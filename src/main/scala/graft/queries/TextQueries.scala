@@ -1,0 +1,311 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import GraftQuery.{q, rowsOnly}
+
+/** Text-analysis + deduplication operators for the training-data pipeline:
+  * exact dedup, fingerprint dedup, MinHash signatures (LSH dedup in
+  * [[graft.operators.Dedup]]), SimHash, language-ID heuristic, quality
+  * scoring, token counting. All integer/hash arithmetic is chosen so DuckDB
+  * can reproduce results bit-for-bit (md5-derived hashes, integer-ratio
+  * comparisons instead of float thresholds).
+  */
+object TextQueries {
+
+  /** Mersenne prime 2^31−1: (a·h+b) mod P stays below 2^62 — no int64 overflow
+    * in either engine.
+    */
+  val P: Long = 2147483647L
+  val NumPerm = 32
+
+  /** Deterministic permutation constants shared by the Spark plan and the
+    * DuckDB oracle (both sides are generated from this seq).
+    */
+  val perms: Seq[(Long, Long)] = (0 until NumPerm).map { j =>
+    val a = ((j * 2654435761L + 1013904223L) % (P - 1)) + 1
+    val b = (j * 97531L * 65537L + 12345L) % P
+    (a, b)
+  }
+
+  // ---- shared normalization (identical on both engines) ----
+
+  /** lowercase, strip non-alnum to space, split, drop empties. */
+  def tokensCol(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "), _ =!= "")
+
+  val tokensSql =
+    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+
+  /** first 8 hex chars of md5 as int64 (0 .. 2^32). */
+  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  def hash32Sql(e: String): String = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
+
+  // ---- exact + fingerprint dedup ----
+
+  /** Exact dedup: hash-groupBy on content hash; survivor = min doc_id.
+    * At 100 TB this is one shuffle on a 128-bit hash — the canonical pattern.
+    */
+  val qDedupExact = q(
+    "q_dedup_exact",
+    "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dups " +
+      "FROM documents GROUP BY 1") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+  }
+
+  /** Fingerprint dedup: md5 over sorted distinct normalized tokens — catches
+    * word-order/punctuation variants that exact hashing misses.
+    */
+  val qDedupFingerprint = q(
+    "q_dedup_fingerprint",
+    "SELECT fp, min(doc_id) AS keep_id, count(*) AS dups FROM (" +
+      s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +
+      "FROM documents) GROUP BY fp") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokensCol(col("text")))))).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+  }
+
+  // ---- MinHash ----
+
+  /** 3-word shingles of the normalized tokens (docs with <3 tokens dropped). */
+  def shinglesDf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokensCol(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - 2),
+          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
+
+  val shinglesSql: String =
+    s"SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s " +
+      s"FROM (SELECT doc_id, $tokensSql AS t FROM documents) WHERE len(t) >= 3"
+
+  /** MinHash signature digest: per doc, sum of the 32 per-permutation minima
+    * min_j((a_j·h + b_j) mod P). The digest oracle-verifies the full
+    * signature computation; the LSH banding/dedup built on it is
+    * `q_dedup_minhash` below.
+    */
+  val qMinhashSig = q(
+    "q_minhash_sig", {
+      val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * h + $b) % $P) AS m$j"
+      }.mkString(", ")
+      val sumExpr = (0 until NumPerm).map(j => s"m$j").mkString(" + ")
+      s"SELECT doc_id, $sumExpr AS sig_sum FROM (" +
+        s"SELECT doc_id, $mins FROM (" +
+        s"SELECT doc_id, ${hash32Sql("s")} % $P AS h FROM ($shinglesSql)) " +
+        "GROUP BY doc_id)"
+    }) { (s, d) =>
+    val hashed = shinglesDf(s, d).select(col("doc_id"), (hash32(col("s")) % P).as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % P).as(s"m$j")
+    }
+    hashed.groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until NumPerm).map(j => col(s"m$j")).reduce(_ + _).as("sig_sum"))
+  }
+
+  /** MinHash-LSH near-dup candidate pairs: 8 bands × 4 rows; a pair is a
+    * candidate if any band agrees; verified with the estimated Jaccard
+    * (fraction of agreeing permutations ≥ 0.5). Distributed shape: shuffle on
+    * band-hash (bounded buckets), never an all-pairs join.
+    */
+  val qDedupMinhash = q(
+    "q_dedup_minhash", {
+      val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * h + $b) % $P) AS m$j"
+      }.mkString(", ")
+      val sigs = s"SELECT doc_id, $mins FROM (SELECT doc_id, ${hash32Sql("s")} % $P AS h " +
+        s"FROM ($shinglesSql)) GROUP BY doc_id"
+      val bands = (0 until 8).map { bnd =>
+        val cols = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sigs"
+      }.mkString(" UNION ALL ")
+      val agree = (0 until NumPerm).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"WITH sigs AS ($sigs), bands AS ($bands), " +
+        "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x " +
+        "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id) " +
+        s"SELECT ida, idb, ($agree) AS agreeing FROM cand " +
+        "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
+        s"WHERE ($agree) * 2 >= $NumPerm"
+    }) { (s, d) =>
+    val hashed = shinglesDf(s, d).select(col("doc_id"), (hash32(col("s")) % P).as("h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("h") * a + b) % P).as(s"m$j")
+    }
+    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until 8).map { bnd =>
+      val cols = (0 until 4).map(r => col(s"m${bnd * 4 + r}"))
+      sigs.select(col("doc_id"), lit(bnd).as("band"),
+        md5(concat_ws(",", cols: _*)).as("bh"))
+    }.reduce(_ union _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .distinct()
+    val agree = (0 until NumPerm)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigs.as("a"), col("a.doc_id") === col("ida"))
+      .join(sigs.as("b"), col("b.doc_id") === col("idb"))
+      .select(col("ida"), col("idb"), agree.as("agreeing"))
+      .filter(col("agreeing") * 2 >= NumPerm)
+  }
+
+  /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
+    * iff the ±1 vote sum over token occurrences is positive. Pure integer
+    * arithmetic → oracle-exact.
+    */
+  val qSimhash = q(
+    "q_simhash", {
+      val sums = (0 until 16).map(b =>
+        s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val sig = (0 until 16).map(b => s"(CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT doc_id, $sig AS simhash FROM (SELECT doc_id, $sums FROM (" +
+        s"SELECT doc_id, ${hash32Sql("tok")} AS th FROM (" +
+        s"SELECT doc_id, unnest($tokensSql) AS tok FROM documents)) GROUP BY doc_id)"
+    }) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+      .select(col("doc_id"), hash32(col("tok")).as("th"))
+    val sumCols = (0 until 16).map(b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = (0 until 16)
+      .map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
+      .reduce(_ + _)
+    toks.groupBy("doc_id")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** N-gram (3-shingle) Jaccard similarity between same-source doc pairs —
+    * exact set intersection/union counts (integer → oracle-exact). Scoped to
+    * same-source pairs: the blocked-join shape that survives scale (never
+    * all-pairs).
+    */
+  val qNgramJaccard = q(
+    "q_ngram_jaccard",
+    s"WITH sh AS (SELECT DISTINCT doc_id, s FROM ($shinglesSql)), " +
+      "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
+      "src AS (SELECT doc_id, source FROM documents), " +
+      "inter AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS i FROM sh x " +
+      "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id " +
+      "JOIN src sa ON sa.doc_id = x.doc_id JOIN src sb ON sb.doc_id = y.doc_id " +
+      "AND sa.source = sb.source GROUP BY 1, 2) " +
+      "SELECT ida, idb, i, na.n + nb.n - i AS u FROM inter " +
+      "JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb " +
+      "WHERE i * 10 >= (na.n + nb.n - i)") { (s, d) =>
+    val sh = shinglesDf(s, d).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val src = Tables.documents(s, d).select("doc_id", "source")
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .join(src.as("sa"), col("sa.doc_id") === col("x.doc_id"))
+      .join(src.as("sb"), col("sb.doc_id") === col("y.doc_id") &&
+        col("sa.source") === col("sb.source"))
+      .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+      .agg(count(lit(1)).as("i"))
+    inter.join(sz.as("na"), col("na.doc_id") === col("ida"))
+      .join(sz.as("nb"), col("nb.doc_id") === col("idb"))
+      .select(col("ida"), col("idb"), col("i"),
+        (col("na.n") + col("nb.n") - col("i")).as("u"))
+      .filter(col("i") * 10 >= col("u"))
+  }
+
+  // ---- text analysis ----
+
+  /** Per-language corpus stats (quality-scoring building block). */
+  val qTextStats = q(
+    "q_text_stats",
+    s"SELECT lang, count(*) AS docs, sum(n_chars) AS sum_chars, " +
+      s"sum(len($tokensSql)) AS sum_tokens FROM documents GROUP BY lang") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(size(tokensCol(col("text"))).cast("long")).as("sum_tokens"))
+  }
+
+  /** Language-ID heuristic: english-stopword hit ratio, compared with integer
+    * arithmetic (hits·20 > total ⇔ ratio > 5%) to avoid float thresholds.
+    * Output = (labelled lang × predicted) confusion counts.
+    */
+  val qLangId = q(
+    "q_lang_id", {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+      val inList = stops.map(w => s"'$w'").mkString(", ")
+      s"SELECT lang, CASE WHEN hits * 20 > total THEN 'en' ELSE 'other' END AS predicted, " +
+        "count(*) AS cnt FROM (SELECT lang, " +
+        s"len(list_filter($tokensSql, x -> x IN ($inList))) AS hits, " +
+        s"len($tokensSql) AS total FROM documents) GROUP BY 1, 2"
+    }) { (s, d) =>
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    val t = tokensCol(col("text"))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(filter(t, x => x.isInCollection(stops))).as("hits"),
+        size(t).as("total"))
+      .select(col("lang"),
+        when(col("hits") * 20 > col("total"), "en").otherwise("other").as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quality scoring: integer-bucketed length/character-class signals. */
+  val qQualityScore = q(
+    "q_quality_score",
+    "SELECT source, count(*) AS docs, sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS long_docs, " +
+      s"sum(CASE WHEN len($tokensSql) * 8 > n_chars THEN 1 ELSE 0 END) AS dense_docs, " +
+      "sum(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS punct_chars " +
+      "FROM documents GROUP BY source") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("n_chars") >= 200, 1).otherwise(0)).as("long_docs"),
+        sum(when(size(tokensCol(col("text"))) * 8 > col("n_chars"), 1).otherwise(0)).as("dense_docs"),
+        sum(size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))).as("punct_chars"))
+  }
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens per source. */
+  val qTokenCount = q(
+    "q_token_count",
+    s"SELECT source, sum(len($tokensSql)) AS ws_tokens, " +
+      "sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS bpe_tokens " +
+      "FROM documents GROUP BY source") { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokensCol(col("text")))).as("ws_tokens"),
+        sum(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))))
+          .as("bpe_tokens"))
+  }
+
+  /** Multimodal plumbing: opaque binary column + typed metadata. The decode
+    * step is a deterministic stub (no image/audio libs in this container) —
+    * the Spark-side schema/partitioning is the real deliverable; see
+    * [[graft.operators.Multimodal]].
+    */
+  val qMultimodalMeta = q(
+    "q_multimodal_meta",
+    "SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS content_hash FROM documents") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("content_hash"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    qDedupExact, qDedupFingerprint, qMinhashSig, qDedupMinhash, qSimhash,
+    qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
+    qMultimodalMeta)
+}
