@@ -1,0 +1,228 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions.{broadcast, col, expr}
+
+import graft.streaming.StatefulOps
+
+/** Event stream: the reference's `IKStream<K,V>` (`core/Stream/IKStream.cs:21`)
+  * re-expressed as a thin wrapper over `Dataset[KV[K, V]]` — every DSL call
+  * is a Catalyst transformation, so chains of stateless operators fuse into
+  * one whole-stage-codegen span instead of the reference's per-record
+  * processor chain (`AbstractProcessor.cs:157-207`).
+  *
+  * Works identically over streaming and batch datasets (the batch façade runs
+  * the same plans on parquet for the DuckDB oracle).
+  */
+final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
+
+  /** `Filter` (`IKStream.cs:67`). */
+  def filter(p: (K, V) => Boolean): KStream[K, V] =
+    new KStream(ds.filter(r => p(r.key, r.value)))
+
+  /** `FilterNot` (`IKStream.cs:79`). */
+  def filterNot(p: (K, V) => Boolean): KStream[K, V] =
+    new KStream(ds.filter(r => !p(r.key, r.value)))
+
+  /** `Map` — re-key + re-value (`IKStream.cs:274`); key-changing. */
+  def map[K2, V2](f: (K, V) => (K2, V2))(
+      implicit e: Encoder[KV[K2, V2]]): KStream[K2, V2] =
+    new KStream(ds.map { r => val (k2, v2) = f(r.key, r.value); KV(k2, v2, r.ts) })
+
+  /** `MapValues` (`IKStream.cs:313`) — key-preserving, no repartition. */
+  def mapValues[V2](f: V => V2)(implicit e: Encoder[KV[K, V2]]): KStream[K, V2] =
+    new KStream(ds.map(r => KV(r.key, f(r.value), r.ts)))
+
+  def mapValuesWithKey[V2](f: (K, V) => V2)(
+      implicit e: Encoder[KV[K, V2]]): KStream[K, V2] =
+    new KStream(ds.map(r => KV(r.key, f(r.key, r.value), r.ts)))
+
+  /** `FlatMap` (`IKStream.cs:155`). */
+  def flatMap[K2, V2](f: (K, V) => IterableOnce[(K2, V2)])(
+      implicit e: Encoder[KV[K2, V2]]): KStream[K2, V2] =
+    new KStream(ds.flatMap(r => f(r.key, r.value).iterator.map { case (k2, v2) => KV(k2, v2, r.ts) }))
+
+  /** `FlatMapValues` (`IKStream.cs:189`). */
+  def flatMapValues[V2](f: V => IterableOnce[V2])(
+      implicit e: Encoder[KV[K, V2]]): KStream[K, V2] =
+    new KStream(ds.flatMap(r => f(r.value).iterator.map(v2 => KV(r.key, v2, r.ts))))
+
+  /** `SelectKey` (`IKStream.cs:409`) — key-changing. */
+  def selectKey[K2](f: (K, V) => K2)(
+      implicit e: Encoder[KV[K2, V]]): KStream[K2, V] =
+    new KStream(ds.map(r => KV(f(r.key, r.value), r.value, r.ts)))
+
+  /** `Peek` (`IKStream.cs:385`) — pass-through side effect. */
+  def peek(action: (K, V) => Unit): KStream[K, V] =
+    new KStream(ds.map { r => action(r.key, r.value); r }(ds.encoder))
+
+  /** `Branch` (`IKStream.cs:37`): ordered predicates, first match wins,
+    * non-matching dropped. One shared plan, N filters — Catalyst reuses the
+    * scan (`KStreamBranchProcessor.cs:16-27`).
+    */
+  def branch(predicates: ((K, V) => Boolean)*): Seq[KStream[K, V]] =
+    predicates.zipWithIndex.map { case (p, i) =>
+      val earlier = predicates.take(i)
+      new KStream(ds.filter(r =>
+        p(r.key, r.value) && !earlier.exists(q => q(r.key, r.value))))
+    }
+
+  /** `merge` — multi-stream union (Kafka Streams op the reference lacks;
+    * SURVEY §2.6).
+    */
+  def merge(other: KStream[K, V]): KStream[K, V] =
+    new KStream(ds.union(other.ds))
+
+  /** Re-timestamp: the reference's `ITimestampExtractor`
+    * (`core/Processors/ITimestampExtractor.cs:10`) as a per-record function.
+    */
+  def withTimestamp(f: (K, V) => java.sql.Timestamp): KStream[K, V] =
+    new KStream(ds.map(r => KV(r.key, r.value, f(r.key, r.value)))(ds.encoder))
+
+  /** `GroupByKey` (`IKStream.cs`; shuffle boundary — Spark repartitions
+    * correctly where the reference left repartitioning unimplemented,
+    * SURVEY §2.8).
+    */
+  def groupByKey: KGroupedStream[K, V] = new KGroupedStream(ds)
+
+  /** `GroupBy` — re-key then group. */
+  def groupBy[K2](f: (K, V) => K2)(
+      implicit e: Encoder[KV[K2, V]]): KGroupedStream[K2, V] =
+    new KGroupedStream(selectKey(f).ds)
+
+  /** `ToTable` (`IKStream.cs:1451`): upsert-by-key materialization. */
+  def toTable(implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
+      ek: Encoder[K]): KTable[K, V] =
+    new KTable(StatefulOps.latestPerKey(ds))
+
+  /** KStream ⋈ KStream windowed join (`IKStream.cs:983`): interval join on
+    * key with |ts1 − ts2| within the window. In streaming, both sides must
+    * carry watermarks (`withWatermarkMs`).
+    */
+  def join[V2, VR](other: KStream[K, V2], windows: JoinWindows)(
+      joiner: (V, V2) => VR)(
+      implicit e: Encoder[KV[K, VR]],
+      et: Encoder[(K, V, Option[V2], java.sql.Timestamp,
+        Option[java.sql.Timestamp])]): KStream[K, VR] =
+    doStreamJoin(other, windows, "inner")((v, v2) => joiner(v, v2.get))
+
+  /** Left windowed join (`IKStream.cs:1177`): unmatched left emits
+    * joiner(v, None). Streaming emits the null-side row only once the
+    * watermark passes (cleaner than the reference's eager emit — SURVEY §2.5
+    * documents the divergence).
+    */
+  def leftJoin[V2, VR](other: KStream[K, V2], windows: JoinWindows)(
+      joiner: (V, Option[V2]) => VR)(
+      implicit e: Encoder[KV[K, VR]],
+      et: Encoder[(K, V, Option[V2], java.sql.Timestamp,
+        Option[java.sql.Timestamp])]): KStream[K, VR] =
+    doStreamJoin(other, windows, "left_outer")(joiner)
+
+  /** Full-outer windowed join (`IKStream.cs:1329`). */
+  def outerJoin[V2, VR](other: KStream[K, V2], windows: JoinWindows)(
+      joiner: (Option[V], Option[V2]) => VR)(
+      implicit e: Encoder[KV[K, VR]],
+      et: Encoder[(Option[K], Option[K], Option[V], Option[V2],
+        Option[java.sql.Timestamp], Option[java.sql.Timestamp])]): KStream[K, VR] = {
+    val l = ds.toDF("key", "value", "ts").as("l")
+    val r = other.ds.toDF("key", "value", "ts").as("r")
+    val cond = col("l.key") === col("r.key") &&
+      col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+      col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
+    val joined = l.join(r, cond, "full_outer")
+    val out = joined.select(
+        col("l.key").as("lk"), col("r.key").as("rk"),
+        col("l.value").as("lv"), col("r.value").as("rv"),
+        col("l.ts").as("lts"), col("r.ts").as("rts"))
+      .as[(Option[K], Option[K], Option[V], Option[V2], Option[java.sql.Timestamp],
+        Option[java.sql.Timestamp])]
+      .map { case (lk, rk, lv, rv, lts, rts) =>
+        val ts = (lts.map(_.getTime) ++ rts.map(_.getTime)).max
+        KV(lk.orElse(rk).get, joiner(lv, rv), new java.sql.Timestamp(ts))
+      }
+    new KStream(out)
+  }
+
+  private def doStreamJoin[V2, VR](other: KStream[K, V2], windows: JoinWindows,
+      joinType: String)(joiner: (V, Option[V2]) => VR)(
+      implicit e: Encoder[KV[K, VR]],
+      et: Encoder[(K, V, Option[V2], java.sql.Timestamp,
+        Option[java.sql.Timestamp])]): KStream[K, VR] = {
+    val l = ds.toDF("key", "value", "ts").as("l")
+    val r = other.ds.toDF("key", "value", "ts").as("r")
+    // match iff r.ts ∈ [l.ts − before, l.ts + after] (JoinWindowOptions.cs:35-53)
+    val cond = col("l.key") === col("r.key") &&
+      col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+      col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
+    val joined = l.join(r, cond, joinType)
+    val out = joined.select(col("l.key").as("k"), col("l.value").as("lv"),
+        col("r.value").as("rv"), col("l.ts").as("lts"), col("r.ts").as("rts"))
+      .as[(K, V, Option[V2], java.sql.Timestamp, Option[java.sql.Timestamp])]
+      .map { case (k, lv, rv, lts, rts) =>
+        // result ts = max of inputs (KStreamKStreamJoinProcessor.cs:58-61)
+        val ts = rts.map(t => math.max(t.getTime, lts.getTime)).getOrElse(lts.getTime)
+        KV(k, joiner(lv, rv), new java.sql.Timestamp(ts))
+      }
+    new KStream(out)
+  }
+
+  /** KStream ⋈ KTable (`IKStream.cs:594`): stream-side-driven lookup. */
+  def join[VT, VR](table: KTable[K, VT])(joiner: (V, VT) => VR)(
+      implicit esr: Encoder[graft.streaming.SideRow[K, V, VT]],
+      ekv: Encoder[KV[K, VR]], ek: Encoder[K],
+      est: Encoder[Option[VT]]): KStream[K, VR] =
+    new KStream(StatefulOps.streamTableJoin(ds, table.changelog, leftJoin = false)(
+      (v, t) => joiner(v, t.get)))
+
+  def leftJoin[VT, VR](table: KTable[K, VT])(joiner: (V, Option[VT]) => VR)(
+      implicit esr: Encoder[graft.streaming.SideRow[K, V, VT]],
+      ekv: Encoder[KV[K, VR]], ek: Encoder[K],
+      est: Encoder[Option[VT]]): KStream[K, VR] =
+    new KStream(StatefulOps.streamTableJoin(ds, table.changelog, leftJoin = true)(joiner))
+
+  /** KStream ⋈ GlobalKTable (`IKStream.cs:836`): foreign-key lookup against a
+    * broadcast dimension — the fact stream never shuffles.
+    */
+  def join[GK, GV, VR](global: GlobalKTable[GK, GV], keyMapper: (K, V) => GK)(
+      joiner: (V, GV) => VR)(
+      implicit egk: Encoder[(KV[K, V], GK)], eo: Encoder[(KV[K, V], Option[GV])],
+      e: Encoder[KV[K, VR]]): KStream[K, VR] =
+    doGlobalJoin(global, keyMapper, inner = true)((v, g) => joiner(v, g.get))
+
+  def leftJoin[GK, GV, VR](global: GlobalKTable[GK, GV], keyMapper: (K, V) => GK)(
+      joiner: (V, Option[GV]) => VR)(
+      implicit egk: Encoder[(KV[K, V], GK)], eo: Encoder[(KV[K, V], Option[GV])],
+      e: Encoder[KV[K, VR]]): KStream[K, VR] =
+    doGlobalJoin(global, keyMapper, inner = false)(joiner)
+
+  private def doGlobalJoin[GK, GV, VR](global: GlobalKTable[GK, GV],
+      keyMapper: (K, V) => GK, inner: Boolean)(joiner: (V, Option[GV]) => VR)(
+      implicit egk: Encoder[(KV[K, V], GK)], eo: Encoder[(KV[K, V], Option[GV])],
+      e: Encoder[KV[K, VR]]): KStream[K, VR] = {
+    val keyed = ds.map(r => (r, keyMapper(r.key, r.value)))
+    val dim = broadcast(global.ds.toDF("gk", "gv"))
+    val joined = keyed.toDF("rec", "fk")
+      .join(dim, col("fk") === col("gk"), if (inner) "inner" else "left")
+      .select(col("rec"), col("gv"))
+      .as[(KV[K, V], Option[GV])]
+    new KStream(joined.map { case (r, gv) => KV(r.key, joiner(r.value, gv), r.ts) })
+  }
+
+  /** Event-time watermark (grace period analog, SURVEY §1.5). */
+  def withWatermarkMs(delayMs: Long): KStream[K, V] =
+    new KStream(ds.withWatermark("ts", s"$delayMs milliseconds"))
+
+  /** `Foreach` terminal op (`IKStream.cs:256`) — batch only. */
+  def foreach(action: (K, V) => Unit): Unit =
+    ds.collect().foreach(r => action(r.key, r.value))
+
+  /** `Print` debug sink (`IKStream.cs:247`). */
+  def print(numRows: Int = 20): Unit = ds.show(numRows, truncate = false)
+
+  def toDF: DataFrame = ds.toDF("key", "value", "ts")
+}
+
+/** Fully-replicated dimension table (`IGlobalKTable`, `core/Table/
+  * IGlobalKTable.cs:37`): broadcast to every task instead of partitioned.
+  */
+final class GlobalKTable[K, V](val ds: Dataset[(K, V)]) extends Serializable

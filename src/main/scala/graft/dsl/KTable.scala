@@ -1,0 +1,112 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Dataset, Encoder}
+
+import graft.streaming.{KeyedChange, StatefulOps}
+
+/** Changelog table: the reference's `IKTable<K,V>` (`core/Table/IKTable.cs:31`)
+  * as a `Dataset[Upsert[K, V]]` — a stream of latest-value-per-key updates
+  * where `value = None` is a tombstone. In streaming this is an update-mode
+  * changelog; in batch it is the final materialized view.
+  */
+final class KTable[K, V](val changelog: Dataset[Upsert[K, V]]) extends Serializable {
+
+  /** `KTable.Filter` (`IKTable.cs:52`; `KTableFilterProcessor.cs:21-53`):
+    * a row whose value fails the predicate becomes a tombstone downstream.
+    */
+  def filter(p: (K, V) => Boolean): KTable[K, V] =
+    new KTable(changelog.map(u =>
+      u.copy(value = u.value.filter(v => p(u.key, v))))(changelog.encoder))
+
+  def filterNot(p: (K, V) => Boolean): KTable[K, V] =
+    filter((k, v) => !p(k, v))
+
+  /** `KTable.MapValues` (`IKTable.cs:190`). */
+  def mapValues[V2](f: V => V2)(
+      implicit e: Encoder[Upsert[K, V2]]): KTable[K, V2] =
+    new KTable(changelog.map(u => Upsert(u.key, u.value.map(f), u.ts)))
+
+  /** `KTable.ToStream` (`IKTable.cs:126`): every update becomes an event;
+    * tombstones dropped (use `toChangeStream` to observe them).
+    */
+  def toStream(implicit e: Encoder[KV[K, V]]): KStream[K, V] =
+    new KStream(changelog.flatMap(u => u.value.map(v => KV(u.key, v, u.ts))))
+
+  def toChangeStream(implicit e: Encoder[Upsert[K, V]]): Dataset[Upsert[K, V]] =
+    changelog
+
+  /** `KTable.GroupBy` (`IKTable.cs:376`): re-key the changelog, emitting
+    * subtract/add halves so the downstream aggregation can retract old values.
+    */
+  def groupBy[K2, V2](selector: (K, V) => (K2, V2))(
+      implicit ekc: Encoder[KeyedChange[K2, V2]], ek: Encoder[K],
+      ev: Encoder[Option[V]]): KGroupedTable[K2, V2] =
+    new KGroupedTable(StatefulOps.changelogChanges(changelog)(selector))
+
+  /** KTable ⋈ KTable (`IKTable.cs:500`). */
+  def join[V2, VR](other: KTable[K, V2])(joiner: (V, V2) => VR)(
+      implicit esr: Encoder[graft.streaming.SideRow[K, V, V2]],
+      eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
+      est: Encoder[(Option[V], Option[V2])]): KTable[K, VR] =
+    new KTable(StatefulOps.tableTableJoin(changelog, other.changelog, "inner")(
+      (l, r) => joiner(l.get, r.get)))
+
+  /** KTable ⟕ KTable (`IKTable.cs:657`). */
+  def leftJoin[V2, VR](other: KTable[K, V2])(joiner: (V, Option[V2]) => VR)(
+      implicit esr: Encoder[graft.streaming.SideRow[K, V, V2]],
+      eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
+      est: Encoder[(Option[V], Option[V2])]): KTable[K, VR] =
+    new KTable(StatefulOps.tableTableJoin(changelog, other.changelog, "left")(
+      (l, r) => joiner(l.get, r)))
+
+  /** KTable ⟗ KTable (`IKTable.cs:826`): result removed when both sides null
+    * (`KTableKTableOuterJoinProcessor.cs:14-50`).
+    */
+  def outerJoin[V2, VR](other: KTable[K, V2])(
+      joiner: (Option[V], Option[V2]) => VR)(
+      implicit esr: Encoder[graft.streaming.SideRow[K, V, V2]],
+      eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
+      est: Encoder[(Option[V], Option[V2])]): KTable[K, VR] =
+    new KTable(StatefulOps.tableTableJoin(changelog, other.changelog, "outer")(joiner))
+
+  /** Materialized view: latest row per key with tombstones applied — the
+    * interactive-query surface (`KafkaStream.Store`, SURVEY §3.3).
+    */
+  def view(implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K],
+      ekv: Encoder[(K, V)]): Dataset[(K, V)] =
+    StatefulOps.latestFromChangelog(changelog)
+      .flatMap(u => u.value.map(v => (u.key, v)))
+}
+
+/** Grouped changelog (`IKGroupedTable`, `core/Table/IKGroupedTable.cs:16`):
+  * aggregations must handle subtract (retraction) halves.
+  */
+final class KGroupedTable[K, V](val changes: Dataset[KeyedChange[K, V]])
+    extends Serializable {
+
+  /** `KGroupedTable.Count` (`IKGroupedTable.cs:25`): +1 on add, −1 on
+    * subtract.
+    */
+  def count(implicit eu: Encoder[Upsert[K, Long]], ek: Encoder[K],
+      el: Encoder[Option[Long]]): KTable[K, Long] =
+    new KTable(StatefulOps.aggregateChanges(changes)(
+      () => 0L, (_, _, agg) => agg + 1L, (_, _, agg) => agg - 1L))
+
+  /** `KGroupedTable.Aggregate` (`IKGroupedTable.cs:220`): init + adder +
+    * subtractor; subtractor returning null deletes the key.
+    */
+  def aggregate[VR](init: () => VR)(adder: (K, V, VR) => VR)(
+      subtractor: (K, V, VR) => VR)(
+      implicit eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
+      evr: Encoder[Option[VR]]): KTable[K, VR] =
+    new KTable(StatefulOps.aggregateChanges(changes)(init, adder, subtractor))
+
+  /** `KGroupedTable.Reduce` (`IKGroupedTable.cs:93`). */
+  def reduce(adder: (V, V) => V, subtractor: (V, V) => V)(
+      implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K],
+      ev: Encoder[Option[V]]): KTable[K, V] =
+    new KTable(StatefulOps.aggregateChanges(changes)(
+      () => null.asInstanceOf[V],
+      (_, v, agg) => if (agg == null) v else adder(agg, v),
+      (_, v, agg) => if (agg == null) null.asInstanceOf[V] else subtractor(agg, v)))
+}

@@ -1,0 +1,127 @@
+package graft.dsl
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StatefulOps
+
+/** Topology entry point, the reference's `StreamBuilder`
+  * (`core/StreamBuilder.cs:49-730`). Instead of building a processor DAG, each
+  * method hands back a wrapper over a Spark `Dataset` — the "topology" IS the
+  * Catalyst logical plan, and `start()`/actions trigger
+  * analysis+optimization (SURVEY §3.1).
+  */
+final class StreamsBuilder(val spark: SparkSession) extends Serializable {
+
+  /** `StreamBuilder.Stream(topic)` over Kafka (`core/StreamBuilder.cs:49`):
+    * binary key/value + metadata, exactly the reference's record shape
+    * (SURVEY §1.2). Deserialize with [[Serdes]] column transforms.
+    * Requires the spark-sql-kafka connector on the cluster classpath.
+    */
+  def kafkaStream(topic: String, bootstrapServers: String,
+      startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** Typed stream from any Dataset (the `TopologyTestDriver` analog uses
+    * `MemoryStream`; the batch façade uses parquet).
+    */
+  def stream[K, V](ds: Dataset[KV[K, V]]): KStream[K, V] = new KStream(ds)
+
+  /** Stream from a DataFrame with (key, value, ts) columns. */
+  def stream[K, V](df: DataFrame, key: Column, value: Column, ts: Column)(
+      implicit e: Encoder[KV[K, V]]): KStream[K, V] =
+    new KStream(df.select(key.as("key"), value.as("value"), ts.as("ts")).as[KV[K, V]])
+
+  /** `StreamBuilder.Table` (`core/StreamBuilder.cs:249`): upsert-by-key
+    * materialization of a stream.
+    */
+  def table[K, V](ds: Dataset[KV[K, V]])(
+      implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
+      ek: Encoder[K]): KTable[K, V] =
+    new KTable(StatefulOps.latestPerKey(ds))
+
+  /** Table directly from a changelog (tombstones as `None`). */
+  def tableFromChangelog[K, V](ds: Dataset[Upsert[K, V]]): KTable[K, V] =
+    new KTable(ds)
+
+  /** `StreamBuilder.GlobalTable` (`core/StreamBuilder.cs:524`): broadcast
+    * dimension.
+    */
+  def globalTable[K, V](ds: Dataset[(K, V)]): GlobalKTable[K, V] =
+    new GlobalKTable(ds)
+
+  def globalTable[K, V](df: DataFrame, key: Column, value: Column)(
+      implicit e: Encoder[(K, V)]): GlobalKTable[K, V] =
+    new GlobalKTable(df.select(key.as("_1"), value.as("_2")).as[(K, V)])
+}
+
+/** Serde layer (SURVEY §1.3): the reference's `ISerDes<T>` pairs become
+  * column transforms between Kafka `binary` and typed columns — once decoded,
+  * Catalyst sees full structure (a capability superset of the reference's
+  * opaque bytes).
+  */
+object Serdes {
+  /** `StringSerDes` */
+  def stringDe(c: Column): Column = c.cast("string")
+  def stringSer(c: Column): Column = c.cast("binary")
+
+  /** `Int64SerDes` / `Int32SerDes` / `DoubleSerDes` — numeric via string
+    * transport (the portable default; big-endian binary layouts are cluster
+    * concerns).
+    */
+  def longDe(c: Column): Column = c.cast("string").cast("long")
+  def intDe(c: Column): Column = c.cast("string").cast("int")
+  def doubleDe(c: Column): Column = c.cast("string").cast("double")
+
+  /** JSON value serde: schema-full decode (`from_json`) — the analog of the
+    * schema-registry serdes for JSON payloads.
+    */
+  def jsonDe(c: Column, schema: org.apache.spark.sql.types.StructType): Column =
+    from_json(c.cast("string"), schema)
+  def jsonSer(c: Column): Column = to_json(c).cast("binary")
+}
+
+/** Sink wiring (`To`, `core/Stream/IKStream.cs:90-137`; `SinkProcessor.cs`).
+  * The Kafka sink honors a per-row `topic` column, which is how the
+  * reference's `ITopicNameExtractor` dynamic routing maps to Spark.
+  */
+object Sinks {
+
+  /** Static-topic Kafka sink. */
+  def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
+  /** Dynamic routing: compute a `topic` column per record
+    * (`ITopicNameExtractor`); the Kafka sink reads it per row.
+    */
+  def toKafkaDynamic(df: DataFrame, bootstrapServers: String,
+      topicExtractor: Column, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.withColumn("topic", topicExtractor)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("checkpointLocation", checkpoint)
+
+  /** In-memory queryable sink — the interactive-query store view
+    * (`KafkaStream.Store`, SURVEY §3.3): query `SELECT * FROM <storeName>`.
+    */
+  def toMemoryStore(df: DataFrame, storeName: String,
+      outputMode: String = "update"): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(storeName)
+      .outputMode(outputMode)
+      .start()
+}

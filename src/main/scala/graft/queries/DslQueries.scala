@@ -1,0 +1,124 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+import graft.dsl._
+import GraftQuery.q
+
+/** Oracle-checked queries that run THROUGH the typed DSL (KStream/KTable +
+  * the custom stateful ops) on the batch façade — proving the DSL layer
+  * produces the same results as plain SQL, not just the hand-built
+  * DataFrame plans.
+  */
+object DslQueries {
+
+  private def eventsKV(s: SparkSession, d: String) = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts"))
+      .as[(Long, String, Double, Timestamp)]
+      .map { case (u, e, v, t) => KV(u, (e, v), t) }
+  }
+
+  /** Flagship §7.2 slice via DSL: stream → flatMapValues → selectKey →
+    * groupByKey → count (word count over documents).
+    */
+  val qDslWordcount = q(
+    "q_dsl_wordcount",
+    "SELECT word, count(*) AS cnt FROM (" +
+      "SELECT unnest(string_split(text, ' ')) AS word FROM documents) " +
+      "WHERE word <> '' GROUP BY word") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        KV(id, text, new Timestamp(0L))
+      }
+    new KStream(docs)
+      .flatMapValues(_.split(" ").toSeq.filter(_.nonEmpty))
+      .selectKey((_, w) => w)
+      .groupByKey
+      .count
+      .changelog
+      .select(col("key").as("word"), col("value").as("cnt"))
+  }
+
+  /** Tumbling-window count via DSL windowedBy (same oracle as
+    * q_window_tumbling).
+    */
+  val qDslWindowedCount = q(
+    "q_dsl_windowed_count",
+    "SELECT epoch_ms(date_trunc('hour', ts)) AS wstart, event_type, " +
+      "count(*) AS cnt FROM events GROUP BY 1, 2") { (s, d) =>
+    import s.implicits._
+    new KStream(eventsKV(s, d))
+      .selectKey((_, v) => v._1)
+      .groupByKey
+      .windowedBy(TumblingWindow.of(3600000L))
+      .count
+      .changelog
+      .select(unix_millis(col("key.start")).as("wstart"),
+        col("key.key").as("event_type"), col("value").as("cnt"))
+  }
+
+  /** KGroupedTable add/subtract path via DSL: events → toTable (latest per
+    * user) → groupBy(event_type) → count. Equals a plain count over the
+    * latest view.
+    */
+  val qDslTableGroupBy = q(
+    "q_dsl_table_groupby",
+    "SELECT event_type, count(*) AS cnt FROM (" +
+      "SELECT * EXCLUDE rn FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+      "FROM events) WHERE rn = 1) GROUP BY event_type") { (s, d) =>
+    import s.implicits._
+    // tie-break matches the oracle: (ts, event_id) descending
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .as[(Long, String, Long, Timestamp)]
+      .map { case (u, e, id, t) => KV(u, e, new Timestamp(t.getTime * 1000 + (id % 1000))) }
+    new KStream(ev)
+      .toTable
+      .groupBy((_, etype) => (etype, 1))
+      .count
+      .view
+      .toDF("event_type", "cnt")
+  }
+
+  /** Stream-table join via the DSL's dual-state stateful op: lineitem stream
+    * enriched by the orders table, then aggregated (same oracle as
+    * q_join_stream_table). Integer-cents fold keeps the sum exact.
+    */
+  val qDslStreamTableJoin = q(
+    "q_dsl_stream_table_join",
+    "SELECT o_orderpriority, count(*) AS cnt, " +
+      s"${Exact.sumScaledSql("l_extendedprice * (1 - l_discount)", 10000)} AS revenue_e4 " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "GROUP BY o_orderpriority") { (s, d) =>
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      .as[(Long, Double, Double, Timestamp)]
+      .map { case (k, p, disc, t) => KV(k, math.round(p * (1 - disc) * 10000), t) }
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .as[(Long, String, Timestamp)]
+      .map { case (k, pr, t) => Upsert(k, Some(pr), new Timestamp(0L)) }
+    new KStream(li)
+      .join(new KTable(orders))((revE4, priority) => (priority, revE4))
+      .selectKey((_, v) => v._1)
+      .groupByKey
+      .aggregate(() => (0L, 0L))((_, v, acc) => (acc._1 + 1L, acc._2 + v._2))
+      .changelog
+      .select(col("key").as("o_orderpriority"),
+        col("value._1").as("cnt"), col("value._2").as("revenue_e4"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslStreamTableJoin)
+}

@@ -1,0 +1,208 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dsl.{Change, KV, Upsert}
+
+/** Discriminated union row for two-input stateful operators (changelog joins):
+  * `isLeft` selects the side; the side's `Option` value is `None` for a
+  * tombstone.
+  */
+final case class SideRow[K, V1, V2](
+    key: K, ts: Timestamp, isLeft: Boolean, v1: Option[V1], v2: Option[V2])
+
+/** A re-keyed changelog `Change` split into its subtract/add halves, the
+  * reference's repartition-map output
+  * (`core/Processors/KTableMapProcessor.cs`): an update produces
+  * (oldKey, Change(old, None)) then (newKey, Change(None, new)).
+  */
+final case class KeyedChange[K, V](key: K, change: Change[V], ts: Timestamp)
+
+/** The three custom stateful patterns Spark lacks as built-ins (SURVEY §4.2),
+  * all implemented once with `flatMapGroupsWithState`, which runs in BOTH
+  * batch (single group invocation, empty initial state) and streaming
+  * (update-mode, state across microbatches) — so the same DSL executes on
+  * static parquet (the batch façade / DuckDB oracle) and on streams.
+  *
+  * Within a batch, records of a group are folded in event-time order —
+  * the Spark analog of the reference's timestamp-synchronized dequeue
+  * (`core/Processors/Internal/PartitionGrouper.cs:67-90`).
+  *
+  * Scale note: every pattern shuffles once on the grouping key and keeps
+  * per-key state O(1) (latest value / aggregate), so state size is bounded by
+  * key cardinality, not input volume.
+  */
+object StatefulOps {
+
+  /** Table materialization: latest value per key (upsert-by-key), the
+    * reference's `KTableSourceProcessor` (`KTableSourceProcessor.cs:34-61`).
+    * Latest = max event time (ties: arrival order).
+    */
+  def latestPerKey[K, V](ds: Dataset[KV[K, V]])(
+      implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
+      ek: Encoder[K]): Dataset[Upsert[K, V]] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[KV[K, V], Upsert[K, V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[KV[K, V]], state: GroupState[KV[K, V]]) =>
+          val newest = it.maxBy(_.ts.getTime)
+          val best = state.getOption match {
+            case Some(prev) if prev.ts.getTime > newest.ts.getTime => prev
+            case _ => newest
+          }
+          state.update(best)
+          Iterator.single(Upsert(key, Some(best.value), best.ts))
+      }
+  }
+
+  /** Changelog upsert stream → latest view (handles tombstones): per key keep
+    * the newest upsert; a tombstone deletes.
+    */
+  def latestFromChangelog[K, V](ds: Dataset[Upsert[K, V]])(
+      implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K]): Dataset[Upsert[K, V]] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Upsert[K, V], Upsert[K, V]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[Upsert[K, V]], state: GroupState[Upsert[K, V]]) =>
+          val newest = it.maxBy(_.ts.getTime)
+          val best = state.getOption match {
+            case Some(prev) if prev.ts.getTime > newest.ts.getTime => prev
+            case _ => newest
+          }
+          state.update(best)
+          Iterator.single(best)
+      }
+  }
+
+  /** Re-keying a changelog for re-aggregation (`KTable.GroupBy`,
+    * `IKTable.cs:376-464`): tracks the previous value per original key and
+    * emits subtract/add `KeyedChange` halves under the new key.
+    */
+  def changelogChanges[K, V, K2, V2](ds: Dataset[Upsert[K, V]])(
+      selector: (K, V) => (K2, V2))(
+      implicit ekc: Encoder[KeyedChange[K2, V2]], ek: Encoder[K],
+      ev: Encoder[Option[V]]): Dataset[KeyedChange[K2, V2]] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Option[V], KeyedChange[K2, V2]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[Upsert[K, V]], state: GroupState[Option[V]]) =>
+          var prev: Option[V] = state.getOption.flatten
+          val out = Seq.newBuilder[KeyedChange[K2, V2]]
+          it.toSeq.sortBy(_.ts.getTime).foreach { up =>
+            prev.foreach { o =>
+              val (k2, v2) = selector(key, o)
+              out += KeyedChange(k2, Change(Some(v2), None), up.ts)
+            }
+            up.value.foreach { n =>
+              val (k2, v2) = selector(key, n)
+              out += KeyedChange(k2, Change(None, Some(v2)), up.ts)
+            }
+            prev = up.value
+          }
+          state.update(prev)
+          out.result().iterator
+      }
+  }
+
+  /** Add/subtract aggregation over `Change` rows (`KGroupedTable.Aggregate`,
+    * `KTableAggregateProcessor.cs:24-74`): update = subtract(old) then
+    * add(new); a subtractor returning null deletes the key
+    * (`docs/_sources/statefull-processors.md.txt:98-103`).
+    */
+  def aggregateChanges[K, V, VR](ds: Dataset[KeyedChange[K, V]])(
+      init: () => VR, adder: (K, V, VR) => VR, subtractor: (K, V, VR) => VR)(
+      implicit eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
+      evr: Encoder[Option[VR]]): Dataset[Upsert[K, VR]] = {
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Option[VR], Upsert[K, VR]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[KeyedChange[K, V]], state: GroupState[Option[VR]]) =>
+          var agg: Option[VR] = state.getOption.flatten
+          var lastTs: Timestamp = new Timestamp(0L)
+          // subtract halves sort before add halves at equal timestamps
+          val ordered = it.toSeq.sortBy(c =>
+            (c.ts.getTime, if (c.change.oldValue.isDefined) 0 else 1))
+          ordered.foreach { c =>
+            lastTs = c.ts
+            c.change.oldValue.foreach { o =>
+              val next = subtractor(key, o, agg.getOrElse(init()))
+              agg = Option(next)
+            }
+            c.change.newValue.foreach { n =>
+              val next = adder(key, n, agg.getOrElse(init()))
+              agg = Option(next)
+            }
+          }
+          state.update(agg)
+          Iterator.single(Upsert(key, agg, lastTs))
+      }
+  }
+
+  /** KTable ⋈ KTable changelog join (`KTableKTableJoinProcessor.cs:20-56` and
+    * left/outer variants): dual value state, every side change re-emits the
+    * joined row; result timestamp = max of the inputs
+    * (`KTableKTableJoinProcessor.cs:36`). Emits a tombstone when the join
+    * result disappears.
+    */
+  def tableTableJoin[K, V1, V2, VR](
+      left: Dataset[Upsert[K, V1]], right: Dataset[Upsert[K, V2]],
+      joinType: String)(joiner: (Option[V1], Option[V2]) => VR)(
+      implicit esr: Encoder[SideRow[K, V1, V2]], eu: Encoder[Upsert[K, VR]],
+      ek: Encoder[K], est: Encoder[(Option[V1], Option[V2])]): Dataset[Upsert[K, VR]] = {
+    val l = left.map(u => SideRow[K, V1, V2](u.key, u.ts, isLeft = true, u.value, None))
+    val r = right.map(u => SideRow[K, V1, V2](u.key, u.ts, isLeft = false, None, u.value))
+    l.union(r).groupByKey(_.key)
+      .flatMapGroupsWithState[(Option[V1], Option[V2]), Upsert[K, VR]](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[SideRow[K, V1, V2]],
+            state: GroupState[(Option[V1], Option[V2])]) =>
+          var (lv, rv) = state.getOption.getOrElse((Option.empty[V1], Option.empty[V2]))
+          val out = Seq.newBuilder[Upsert[K, VR]]
+          it.toSeq.sortBy(_.ts.getTime).foreach { row =>
+            if (row.isLeft) lv = row.v1 else rv = row.v2
+            val emit: Option[VR] = joinType match {
+              case "inner" => for (a <- lv; b <- rv) yield joiner(Some(a), Some(b))
+              case "left"  => lv.map(a => joiner(Some(a), rv))
+              case "outer" =>
+                if (lv.isDefined || rv.isDefined) Some(joiner(lv, rv)) else None
+            }
+            out += Upsert(key, emit, row.ts)
+          }
+          state.update((lv, rv))
+          out.result().iterator
+      }
+  }
+
+  /** KStream ⋈ KTable enrichment join (`KStreamKTableJoinProcessor.cs:28-44`):
+    * table side updates state silently; stream records look up the current
+    * table value (event-time-ordered within the batch — the analog of the
+    * reference's timestamp synchronization). No output on table update.
+    */
+  def streamTableJoin[K, V, VT, VR](
+      stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
+      leftJoin: Boolean)(joiner: (V, Option[VT]) => VR)(
+      implicit esr: Encoder[SideRow[K, V, VT]], ekv: Encoder[KV[K, VR]],
+      ek: Encoder[K], est: Encoder[Option[VT]]): Dataset[KV[K, VR]] = {
+    val s = stream.map(r => SideRow[K, V, VT](r.key, r.ts, isLeft = true, Some(r.value), None))
+    val t = table.map(u => SideRow[K, V, VT](u.key, u.ts, isLeft = false, None, u.value))
+    s.union(t).groupByKey(_.key)
+      .flatMapGroupsWithState[Option[VT], KV[K, VR]](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: K, it: Iterator[SideRow[K, V, VT]], state: GroupState[Option[VT]]) =>
+          var tv: Option[VT] = state.getOption.flatten
+          val out = Seq.newBuilder[KV[K, VR]]
+          // table rows sort before stream rows at equal timestamps
+          it.toSeq.sortBy(row => (row.ts.getTime, if (row.isLeft) 1 else 0)).foreach { row =>
+            if (!row.isLeft) tv = row.v2
+            else row.v1.foreach { v =>
+              if (tv.isDefined || leftJoin) out += KV(key, joiner(v, tv), row.ts)
+            }
+          }
+          state.update(tv)
+          out.result().iterator
+      }
+  }
+}

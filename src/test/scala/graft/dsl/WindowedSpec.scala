@@ -1,0 +1,52 @@
+package graft.dsl
+
+import graft.SparkSpec
+
+/** Windowed aggregation semantics (TimeWindowKStreamCountTests analogs,
+  * SURVEY §2.7): tumbling/hopping/session windows; window bounds [start, end).
+  */
+class WindowedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stream(rows: (String, Int, Long)*): KStream[String, Int] =
+    new KStream(rows.map { case (k, v, t) => KV(k, v, ts(t)) }.toDS())
+
+  test("tumbling window count: records fall in [start, start+size)") {
+    // tumbling 2000ms like TimeWindowKStreamCountTests.cs:40-47
+    val s = stream(("k", 1, 0), ("k", 1, 1999), ("k", 1, 2000), ("x", 1, 500))
+    val out = s.groupByKey.windowedBy(TumblingWindow.of(2000)).count
+      .changelog.collect()
+      .map(u => (u.key.key, u.key.start.getTime, u.value.get)).sorted
+    assert(out === Array(("k", 0L, 2L), ("k", 2000L, 1L), ("x", 0L, 1L)))
+  }
+
+  test("hopping window: each record lands in size/advance windows") {
+    val s = stream(("k", 1, 2500))
+    val out = s.groupByKey.windowedBy(HoppingWindow.of(2000, 1000)).count
+      .changelog.collect().map(u => u.key.start.getTime).sorted
+    assert(out === Array(1000L, 2000L)) // windows [1000,3000) and [2000,4000)
+  }
+
+  test("windowed aggregate folds per (key, window)") {
+    val s = stream(("k", 2, 100), ("k", 3, 200), ("k", 10, 2500))
+    val out = s.groupByKey.windowedBy(TumblingWindow.of(2000))
+      .aggregate(() => 0)((_, v, acc) => acc + v)
+      .changelog.collect().map(u => (u.key.start.getTime, u.value.get)).sorted
+    assert(out === Array((0L, 5), (2000L, 10)))
+  }
+
+  test("windowed reduce") {
+    val s = stream(("k", 2, 100), ("k", 3, 200))
+    val out = s.groupByKey.windowedBy(TumblingWindow.of(2000)).reduce(_ max _)
+      .changelog.collect().map(u => u.value.get)
+    assert(out === Array(3))
+  }
+
+  test("session window: 30-unit gap merges nearby events") {
+    val s = stream(("k", 1, 0), ("k", 1, 20), ("k", 1, 100), ("y", 1, 5))
+    val out = s.groupByKey.windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
+      .count.changelog.collect()
+      .map(u => (u.key.key, u.value.get)).sorted
+    assert(out === Array(("k", 1L), ("k", 2L), ("y", 1L)))
+  }
+}
