@@ -31,4 +31,20 @@ object Tables {
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+
+  /** Rebalance a cheap-to-scan input across all cores before CPU-heavy
+    * per-row work (tokenization, shingling, dot products). The testdata
+    * tables are single-row-group parquet — an unsplittable one-task scan —
+    * so without this every downstream map runs serially. No-op when the scan
+    * already has enough partitions (a real cluster's many splits).
+    */
+  def balanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documentsBalanced(spark: SparkSession, d: String): DataFrame =
+    balanced(documents(spark, d))
+  def embeddingsBalanced(spark: SparkSession, d: String): DataFrame =
+    balanced(embeddings(spark, d))
 }

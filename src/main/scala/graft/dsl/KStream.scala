@@ -170,14 +170,16 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
   def join[VT, VR](table: KTable[K, VT])(joiner: (V, VT) => VR)(
       implicit esr: Encoder[graft.streaming.SideRow[K, V, VT]],
       ekv: Encoder[KV[K, VR]], ek: Encoder[K],
-      est: Encoder[Option[VT]]): KStream[K, VR] =
+      est: Encoder[Option[VT]],
+      easof: Encoder[(K, V, Option[VT], java.sql.Timestamp)]): KStream[K, VR] =
     new KStream(StatefulOps.streamTableJoin(ds, table.changelog, leftJoin = false)(
       (v, t) => joiner(v, t.get)))
 
   def leftJoin[VT, VR](table: KTable[K, VT])(joiner: (V, Option[VT]) => VR)(
       implicit esr: Encoder[graft.streaming.SideRow[K, V, VT]],
       ekv: Encoder[KV[K, VR]], ek: Encoder[K],
-      est: Encoder[Option[VT]]): KStream[K, VR] =
+      est: Encoder[Option[VT]],
+      easof: Encoder[(K, V, Option[VT], java.sql.Timestamp)]): KStream[K, VR] =
     new KStream(StatefulOps.streamTableJoin(ds, table.changelog, leftJoin = true)(joiner))
 
   /** KStream ⋈ GlobalKTable (`IKStream.cs:836`): foreign-key lookup against a

@@ -37,8 +37,12 @@ object Exact {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{round => sqlRound, sum, floor}
 
-  /** Per-row decimal→integer scaling, e.g. dollars→cents (scale=100). */
-  def asInt(c: Column, scale: Long): Column = sqlRound(c * scale).cast("long")
+  /** Per-row decimal→integer scaling, e.g. dollars→cents (scale=100).
+    * floor(x·s + 0.5) == round-half-up for values ~1e-9 off the integer grid,
+    * positive or negative — and unlike Spark's `round()` (BigDecimal per row)
+    * it stays pure arithmetic inside whole-stage codegen.
+    */
+  def asInt(c: Column, scale: Long): Column = floor(c * scale + 0.5).cast("long")
 
   /** Exact integer sum of a decimal-grid column. */
   def sumScaled(c: Column, scale: Long): Column = sum(asInt(c, scale))

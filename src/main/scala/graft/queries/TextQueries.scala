@@ -65,7 +65,7 @@ object TextQueries {
     "SELECT fp, min(doc_id) AS keep_id, count(*) AS dups FROM (" +
       s"SELECT doc_id, md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) AS fp " +
       "FROM documents) GROUP BY fp") { (s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsBalanced(s, d)
       .select(col("doc_id"),
         md5(concat_ws(" ", array_sort(array_distinct(tokensCol(col("text")))))).as("fp"))
       .groupBy("fp")
@@ -76,7 +76,7 @@ object TextQueries {
 
   /** 3-word shingles of the normalized tokens (docs with <3 tokens dropped). */
   def shinglesDf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documentsBalanced(s, d)
       .select(col("doc_id"), tokensCol(col("text")).as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(
@@ -142,12 +142,14 @@ object TextQueries {
     val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
       min((col("h") * a + b) % P).as(s"m$j")
     }
-    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
-    val bands = (0 until 8).map { bnd =>
-      val cols = (0 until 4).map(r => col(s"m${bnd * 4 + r}"))
-      sigs.select(col("doc_id"), lit(bnd).as("band"),
-        md5(concat_ws(",", cols: _*)).as("bh"))
-    }.reduce(_ union _)
+    // signatures feed three joins — persist so the shingle+md5 pipeline runs
+    // once (at cluster scale: a materialized signature table)
+    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
+    // one band row per (doc, band) via posexplode — single pass, no 8-way union
+    val bandHashes = array((0 until 8).map { bnd =>
+      md5(concat_ws(",", (0 until 4).map(r => col(s"m${bnd * 4 + r}")): _*))
+    }: _*)
+    val bands = sigs.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -176,7 +178,7 @@ object TextQueries {
         s"SELECT doc_id, ${hash32Sql("tok")} AS th FROM (" +
         s"SELECT doc_id, unnest($tokensSql) AS tok FROM documents)) GROUP BY doc_id)"
     }) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    val toks = Tables.documentsBalanced(s, d)
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
       .select(col("doc_id"), hash32(col("tok")).as("th"))
     val sumCols = (0 until 16).map(b =>
@@ -196,24 +198,26 @@ object TextQueries {
     */
   val qNgramJaccard = q(
     "q_ngram_jaccard",
-    s"WITH sh AS (SELECT DISTINCT doc_id, s FROM ($shinglesSql)), " +
+    "WITH sh AS (SELECT DISTINCT d.doc_id, d.source, t.s FROM documents d " +
+      s"JOIN ($shinglesSql) t ON t.doc_id = d.doc_id), " +
       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
-      "src AS (SELECT doc_id, source FROM documents), " +
       "inter AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS i FROM sh x " +
-      "JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id " +
-      "JOIN src sa ON sa.doc_id = x.doc_id JOIN src sb ON sb.doc_id = y.doc_id " +
-      "AND sa.source = sb.source GROUP BY 1, 2) " +
+      "JOIN sh y ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id " +
+      "GROUP BY 1, 2) " +
       "SELECT ida, idb, i, na.n + nb.n - i AS u FROM inter " +
       "JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb " +
       "WHERE i * 10 >= (na.n + nb.n - i)") { (s, d) =>
-    val sh = shinglesDf(s, d).distinct()
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // source is carried into the shingle rows so the self-join shuffles on
+    // (source, shingle) — the blocking key — instead of exploding on shingle
+    // alone and filtering afterwards.
     val src = Tables.documents(s, d).select("doc_id", "source")
+    val sh = shinglesDf(s, d).distinct()
+      .join(broadcast(src), "doc_id")
+      .select("doc_id", "source", "s")
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .join(src.as("sa"), col("sa.doc_id") === col("x.doc_id"))
-      .join(src.as("sb"), col("sb.doc_id") === col("y.doc_id") &&
-        col("sa.source") === col("sb.source"))
+        col("x.source") === col("y.source") && col("x.s") === col("y.s") &&
+          col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
       .agg(count(lit(1)).as("i"))
     inter.join(sz.as("na"), col("na.doc_id") === col("ida"))
@@ -230,7 +234,7 @@ object TextQueries {
     "q_text_stats",
     s"SELECT lang, count(*) AS docs, sum(n_chars) AS sum_chars, " +
       s"sum(len($tokensSql)) AS sum_tokens FROM documents GROUP BY lang") { (s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsBalanced(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("docs"),
         sum("n_chars").as("sum_chars"),
@@ -252,7 +256,7 @@ object TextQueries {
     }) { (s, d) =>
     val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
     val t = tokensCol(col("text"))
-    Tables.documents(s, d)
+    Tables.documentsBalanced(s, d)
       .select(col("lang"),
         size(filter(t, x => x.isInCollection(stops))).as("hits"),
         size(t).as("total"))
@@ -269,7 +273,7 @@ object TextQueries {
       s"sum(CASE WHEN len($tokensSql) * 8 > n_chars THEN 1 ELSE 0 END) AS dense_docs, " +
       "sum(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS punct_chars " +
       "FROM documents GROUP BY source") { (s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsBalanced(s, d)
       .groupBy("source")
       .agg(count(lit(1)).as("docs"),
         sum(when(col("n_chars") >= 200, 1).otherwise(0)).as("long_docs"),
@@ -283,7 +287,7 @@ object TextQueries {
     s"SELECT source, sum(len($tokensSql)) AS ws_tokens, " +
       "sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS bpe_tokens " +
       "FROM documents GROUP BY source") { (s, d) =>
-    Tables.documents(s, d)
+    Tables.documentsBalanced(s, d)
       .groupBy("source")
       .agg(sum(size(tokensCol(col("text")))).as("ws_tokens"),
         sum(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))))

@@ -31,7 +31,7 @@ object VectorQueries {
   val qEmbedNorm = q(
     "q_embed_norm",
     s"SELECT vec_id, label, ${Exact.quantSql(normSql("embedding"), 10000)} AS l2_e4 FROM embeddings") { (s, d) =>
-    Tables.embeddings(s, d)
+    Tables.embeddingsBalanced(s, d)
       .select(col("vec_id"), col("label"),
         Exact.quant(normCol(col("embedding")), 10000).as("l2_e4"))
   }
@@ -47,7 +47,7 @@ object VectorQueries {
       "FROM embeddings, qv WHERE vec_id <> 0 " +
       s"ORDER BY ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) DESC, vec_id " +
       "LIMIT 10") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.embeddingsBalanced(s, d)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(qv))
@@ -74,7 +74,7 @@ object VectorQueries {
       s"SELECT cid, count(*) AS n, sum(${Exact.quantSql("cos", 10000)}) AS sum_cos_e4 FROM scored " +
       "WHERE rn = 1 GROUP BY cid") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.embeddingsBalanced(s, d)
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
     emb.filter(col("vec_id") >= 8)
@@ -99,7 +99,7 @@ object VectorQueries {
       s"${Exact.quantSql(dotSql("a.embedding", "b.embedding") + " / (a.nrm * b.nrm)", 10000)} AS cos_e4 " +
       "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
       s"WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.8") { (s, d) =>
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddingsBalanced(s, d)
       .select(col("vec_id"), col("label"), col("embedding"),
         normCol(col("embedding")).as("nrm"))
     e.as("a").join(e.as("b"),
@@ -117,7 +117,7 @@ object VectorQueries {
     * asserted in the ScalaTest spec).
     */
   val qAnnLsh = rowsOnly("q_ann_lsh") { (s, d) =>
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.embeddingsBalanced(s, d)
     val bucketed = emb.withColumn("bucket", Vectors.lshBucket(col("embedding"), 12))
     bucketed.groupBy("bucket")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))

@@ -185,7 +185,10 @@ object StatefulOps {
       stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
       leftJoin: Boolean)(joiner: (V, Option[VT]) => VR)(
       implicit esr: Encoder[SideRow[K, V, VT]], ekv: Encoder[KV[K, VR]],
-      ek: Encoder[K], est: Encoder[Option[VT]]): Dataset[KV[K, VR]] = {
+      ek: Encoder[K], est: Encoder[Option[VT]],
+      easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] = {
+    if (!stream.isStreaming && !table.isStreaming)
+      return streamTableJoinBatch(stream, table, leftJoin)(joiner)
     val s = stream.map(r => SideRow[K, V, VT](r.key, r.ts, isLeft = true, Some(r.value), None))
     val t = table.map(u => SideRow[K, V, VT](u.key, u.ts, isLeft = false, None, u.value))
     s.union(t).groupByKey(_.key)
@@ -204,5 +207,43 @@ object StatefulOps {
           state.update(tv)
           out.result().iterator
       }
+  }
+
+  /** Batch fast path for the stream-table join: it is an AS-OF JOIN — each
+    * stream record pairs with the latest table upsert whose ts ≤ the record's
+    * ts. Implemented as union + window `last(…, ignoreNulls)` over
+    * (key, ts): ONE shuffle, whole-stage codegen, no per-group Scala state —
+    * the plan shape that survives 100 TB. Tombstones stay visible because the
+    * carried value is a non-null struct whose inner field may be null.
+    */
+  private def streamTableJoinBatch[K, V, VT, VR](
+      stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
+      leftJoin: Boolean)(joiner: (V, Option[VT]) => VR)(
+      implicit ekv: Encoder[KV[K, VR]],
+      easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sDF = stream.toDF("key", "value", "ts")
+    val tDF = table.toDF("key", "value", "ts")
+    val tType = tDF.schema("value").dataType
+    val su = sDF.select(col("key"), col("ts"), lit(1).as("side"),
+      col("value").as("sval"), lit(null).cast(tType).as("tval"))
+    val tu = tDF.select(col("key"), col("ts"), lit(0).as("side"),
+      lit(null).cast(sDF.schema("value").dataType).as("sval"),
+      col("value").as("tval"))
+    // table rows sort before stream rows at equal ts (same as streaming path)
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = su.unionByName(tu)
+      .withColumn("tstate",
+        last(when(col("side") === 0, struct(col("tval"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("key"), col("sval"), col("tstate.tval").as("tval"), col("ts"))
+    val typed = joined.as[(K, V, Option[VT], Timestamp)]
+    val mapped = typed.map { case (k, v, tOpt, ts) =>
+      if (tOpt.isDefined || leftJoin) KV(k, joiner(v, tOpt), ts)
+      else null.asInstanceOf[KV[K, VR]]
+    }
+    mapped.filter(r => r != null)
   }
 }
