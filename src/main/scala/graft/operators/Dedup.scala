@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Corpus deduplication operators for training-data pipelines, as reusable
+  * DataFrame transforms. Scale shapes:
+  *  - exact/fingerprint: one shuffle on a 128-bit hash; state = one row per
+  *    distinct content.
+  *  - MinHash-LSH: signatures are a narrow projection (doc_id + 32 ints);
+  *    candidate generation shuffles on band-hash (bounded buckets); the
+  *    verify join touches only candidate pairs. No stage is all-pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical content. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val keep = df.groupBy(h.as("__h")).agg(min(col(idCol)).as("__keep"))
+    df.join(broadcastIfSmall(keep), md5(col(textCol)) === col("__h") &&
+        col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+  }
+
+  /** Fingerprint dedup: normalization-invariant (case/punctuation/word-order)
+    * content identity = md5 of sorted distinct tokens.
+    */
+  def fingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(TextQueries.tokensCol(c)))))
+
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withFp = df.withColumn("__fp", fingerprint(col(textCol)))
+    val keep = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep"))
+    withFp.join(keep, Seq("__fp"))
+      .filter(col(idCol) === col("__keep"))
+      .drop("__fp", "__keep")
+  }
+
+  /** MinHash signature columns m0..m{n-1} for a text column (3-word
+    * shingles, md5-derived hashes — deterministic, no fitted model).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextQueries.{P, hash32, perms, tokensCol}
+    val shingled = df
+      .select(col(idCol), tokensCol(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 3)
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("__t")) - 2),
+          i => concat_ws(" ", slice(col("__t"), i, lit(3))))).as("__s"))
+      .select(col(idCol), (hash32(col("__s")) % P).as("__h"))
+    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
+      min((col("__h") * a + b) % P).as(s"m$j")
+    }
+    shingled.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** LSH candidate pairs from signatures: bands of `rowsPerBand` minima;
+    * pairs sharing any band hash. `bands × rowsPerBand` must equal the
+    * signature width.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val bandHashes = array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+    }: _*)
+    val exploded = sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
+    exploded.as("x").join(exploded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates whose estimated Jaccard (agreeing
+    * permutation fraction) passes `minAgreeFraction`.
+    */
+  def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
+      minAgreeFraction: Double = 0.5): DataFrame = {
+    import TextQueries.NumPerm
+    val sigs = minhashSignatures(df, idCol, textCol).persist()
+    val cand = lshCandidates(sigs, idCol)
+    val agree = (0 until NumPerm)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigs.as("a"), col(s"a.$idCol") === col("ida"))
+      .join(sigs.as("b"), col(s"b.$idCol") === col("idb"))
+      .select(col("ida"), col("idb"), agree.as("agreeing"))
+      .filter(col("agreeing") >= math.ceil(minAgreeFraction * NumPerm).toInt)
+  }
+
+  /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextQueries.{hash32, tokensCol}
+    val toks = df.select(col(idCol),
+        explode(tokensCol(col(textCol))).as("__tok"))
+      .select(col(idCol), hash32(col("__tok")).as("__th"))
+    val sums = (0 until 16).map(b =>
+      sum(when(shiftright(col("__th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sig = (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0)).reduce(_ + _)
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), sig.as("simhash"))
+  }
+
+  private def broadcastIfSmall(df: DataFrame): DataFrame = df
+}

@@ -138,30 +138,8 @@ object TextQueries {
         "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
         s"WHERE ($agree) * 2 >= $NumPerm"
     }) { (s, d) =>
-    val hashed = shinglesDf(s, d).select(col("doc_id"), (hash32(col("s")) % P).as("h"))
-    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % P).as(s"m$j")
-    }
-    // signatures feed three joins — persist so the shingle+md5 pipeline runs
-    // once (at cluster scale: a materialized signature table)
-    val sigs = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*).persist()
-    // one band row per (doc, band) via posexplode — single pass, no 8-way union
-    val bandHashes = array((0 until 8).map { bnd =>
-      md5(concat_ws(",", (0 until 4).map(r => col(s"m${bnd * 4 + r}")): _*))
-    }: _*)
-    val bands = sigs.select(col("doc_id"), posexplode(bandHashes).as(Seq("band", "bh")))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
-      .distinct()
-    val agree = (0 until NumPerm)
-      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sigs.as("a"), col("a.doc_id") === col("ida"))
-      .join(sigs.as("b"), col("b.doc_id") === col("idb"))
-      .select(col("ida"), col("idb"), agree.as("agreeing"))
-      .filter(col("agreeing") * 2 >= NumPerm)
+    graft.operators.Dedup.nearDuplicates(
+      Tables.documentsBalanced(s, d), "doc_id", "text", minAgreeFraction = 0.5)
   }
 
   /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
@@ -178,17 +156,7 @@ object TextQueries {
         s"SELECT doc_id, ${hash32Sql("tok")} AS th FROM (" +
         s"SELECT doc_id, unnest($tokensSql) AS tok FROM documents)) GROUP BY doc_id)"
     }) { (s, d) =>
-    val toks = Tables.documentsBalanced(s, d)
-      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
-      .select(col("doc_id"), hash32(col("tok")).as("th"))
-    val sumCols = (0 until 16).map(b =>
-      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sig = (0 until 16)
-      .map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0))
-      .reduce(_ + _)
-    toks.groupBy("doc_id")
-      .agg(sumCols.head, sumCols.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
+    graft.operators.Dedup.simhash(Tables.documentsBalanced(s, d), "doc_id", "text")
   }
 
   /** N-gram (3-shingle) Jaccard similarity between same-source doc pairs —

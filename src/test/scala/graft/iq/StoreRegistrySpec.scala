@@ -1,0 +1,43 @@
+package graft.iq
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.dsl.{KStream, KV}
+
+/** Interactive queries: materialized stores are queryable like the
+  * reference's `KafkaStream.Store` views (SURVEY §3.3).
+  */
+class StoreRegistrySpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("streaming store: get/range/all reflect latest state per key") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) }).toTable
+    val q = registry.materialize(table, "word_store")
+
+    in.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+    in.addData(("a", 10L)); q.processAllAvailable()
+
+    val all = registry.all("word_store").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("value")).toMap
+    assert(all === Map("a" -> 10L, "b" -> 2L))
+    assert(registry.get("word_store", "a") === Some(10L))
+    assert(registry.range("word_store", "a", "a").count() === 1)
+    assert(registry.approximateNumEntries("word_store") === 2L)
+    registry.stop()
+  }
+
+  test("error handling: permissive parse splits good and corrupt records") {
+    import graft.runtime.ErrorHandling
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val df = Seq("{\"k\": 1}", "not-json").toDF("raw")
+    val parsed = ErrorHandling.deserializeJson(df, "raw", schema)
+    val (good, bad) = ErrorHandling.deadLetter(parsed)
+    assert(good.count() === 1 && bad.count() === 1)
+  }
+}

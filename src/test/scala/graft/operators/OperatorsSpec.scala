@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Training-data pipeline operators: dedup family, similarity search,
+  * multimodal plumbing.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "The quick brown fox jumps over the lazy dog, again and again!"), // fp dup of 0
+    (3L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (4L, "completely different content about spark query engines at scale today ok")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id per identical text") {
+    val out = Dedup.exact(docs, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out === Array(0L, 2L, 3L, 4L)) // 1 dropped (exact dup of 0)
+  }
+
+  test("fingerprint dedup also collapses case/punctuation variants") {
+    val out = Dedup.byFingerprint(docs, "doc_id", "text").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(out === Array(0L, 3L, 4L)) // 1 and 2 both collapse onto 0
+  }
+
+  test("minhash LSH finds the near-duplicate pair, not unrelated docs") {
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text")
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)) || pairs.contains((0L, 1L))) // near/exact dups surface
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })  // 4 unrelated
+  }
+
+  test("simhash of near-identical docs differs in few bits") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def bits(x: Int): Int = Integer.bitCount(x)
+    assert(sigs(0L) === sigs(1L))                       // identical text
+    assert(bits(sigs(0L) ^ sigs(3L)) <= 6)              // near dup: close
+    assert(bits(sigs(0L) ^ sigs(4L)) >= 3)              // unrelated: far
+  }
+
+  test("brute-force topK and bucketed ANN agree on returned cosines") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val qv = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    val brute = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, 10).collect()
+    assert(brute.length === 10)
+    val ann = Similarity.annTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, 10, nBits = 4).collect()
+    assert(ann.nonEmpty)
+    // every ANN result's cosine must equal the brute-force cosine for that id
+    val bruteAll = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qv, Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { r =>
+      assert(math.abs(bruteAll(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("ivfAssign gives every vector exactly one centroid") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") >= 8)
+    val cents = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("centroid_id").distinct().count() > 1)
+  }
+
+  test("multimodal: stub decode is deterministic and batch-shaped") {
+    val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 5)
+    val f0 = feats.find(_.id == 0L).get
+    val f1 = feats.find(_.id == 1L).get
+    assert(f0.contentHash === f1.contentHash) // same payload -> same hash
+    assert(f0.histogram.sum > 0.99 && f0.histogram.sum < 1.01)
+    // frame sampling: every stride-th frame
+    val frames = Multimodal.sampleFrames(media, frameBytes = 10, stride = 2).collect()
+    val payloadLen = docs.filter(col("doc_id") === 0).collect().head.getString(1).length
+    val nFrames = (payloadLen + 9) / 10
+    assert(frames.count(_._1 == 0L) === (nFrames + 1) / 2) // every 2nd frame
+  }
+}
