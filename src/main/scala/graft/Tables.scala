@@ -10,8 +10,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.Md5Prefix32.register(spark) // idempotent; used by hash paths
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** events.ts is a nanosecond parquet timestamp, which Spark 4 refuses to
     * read as TimestampType; read it as a long and truncate to micros (DuckDB

@@ -43,6 +43,7 @@ object Dedup {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{P, hash32, perms, tokensCol}
+    graft.functions.Md5Prefix32.register(df.sparkSession)
     val shingled = df
       .select(col(idCol), tokensCol(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 3)
@@ -93,6 +94,7 @@ object Dedup {
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}
+    graft.functions.Md5Prefix32.register(df.sparkSession)
     val toks = df.select(col(idCol),
         explode(tokensCol(col(textCol))).as("__tok"))
       .select(col(idCol), hash32(col("__tok")).as("__th"))

@@ -38,8 +38,12 @@ object TextQueries {
   val tokensSql =
     "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
 
-  /** first 8 hex chars of md5 as int64 (0 .. 2^32). */
-  def hash32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** first 8 hex chars of md5 as int64 (0 .. 2^32) — the native codegen'd
+    * [[graft.functions.Md5Prefix32]] expression (registered by Tables.load /
+    * the Dedup operators; semantically identical to
+    * `conv(substring(md5(c), 1, 8), 16, 10)`).
+    */
+  def hash32(c: Column): Column = graft.functions.Md5Prefix32.md5Prefix32(c)
 
   def hash32Sql(e: String): String = s"CAST(('0x' || substr(md5($e), 1, 8)) AS BIGINT)"
 
