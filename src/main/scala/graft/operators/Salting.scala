@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation patterns: when one group key dominates (a hot user, a
+  * boilerplate document), a single reducer becomes the straggler. Salting
+  * splits the hot key across `saltBuckets` partial groups, then merges —
+  * two small shuffles instead of one skewed one.
+  */
+object Salting {
+
+  /** Two-phase salted aggregation:
+    * phase 1 groups on (keys…, salt) with `partialAggs`;
+    * phase 2 groups on keys… with `mergeAggs` over the partials.
+    * `mergeAggs` must be the algebraic merge of `partialAggs`
+    * (sum↦sum, count↦sum, min↦min, …).
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+      partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+  }
+}
