@@ -24,7 +24,36 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // streaming-engine throughput: events parquet replayed as a file stream
+    // through a windowed count (the reference's core loop, microbatched)
+    val streamSecs = try {
+      val t0 = System.nanoTime()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      // file-stream source needs a directory: stage the single file into one
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_bench_in")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val q = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .selectExpr("timestamp_micros(ts DIV 1000) AS ts", "event_type", "value")
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "1 hour"),
+          org.apache.spark.sql.functions.col("event_type"))
+        .count()
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] stream pipeline failed: ${e.getMessage}")
+      -1.0
+    }
+    val allResults = results :+ ("stream_windowed_pipeline" -> streamSecs)
+    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

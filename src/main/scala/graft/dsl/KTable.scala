@@ -85,12 +85,20 @@ final class KGroupedTable[K, V](val changes: Dataset[KeyedChange[K, V]])
     extends Serializable {
 
   /** `KGroupedTable.Count` (`IKGroupedTable.cs:25`): +1 on add, −1 on
-    * subtract.
+    * subtract — expressed as a built-in signed-sum aggregation so Catalyst
+    * runs it (map-side partials; chains after the append-mode change
+    * emission in a single streaming query).
     */
   def count(implicit eu: Encoder[Upsert[K, Long]], ek: Encoder[K],
-      el: Encoder[Option[Long]]): KTable[K, Long] =
-    new KTable(StatefulOps.aggregateChanges(changes)(
-      () => 0L, (_, _, agg) => agg + 1L, (_, _, agg) => agg - 1L))
+      et: Encoder[(K, Long, java.sql.Timestamp)]): KTable[K, Long] = {
+    import org.apache.spark.sql.functions._
+    val df = changes.toDF("key", "change", "ts")
+      .groupBy(col("key"))
+      .agg(sum(when(col("change.newValue").isNotNull, 1L).otherwise(-1L)).as("cnt"),
+        max(col("ts")).as("mts"))
+    new KTable(df.as[(K, Long, java.sql.Timestamp)]
+      .map { case (k, c, ts) => Upsert(k, Some(c), ts) })
+  }
 
   /** `KGroupedTable.Aggregate` (`IKGroupedTable.cs:220`): init + adder +
     * subtractor; subtractor returning null deletes the key.

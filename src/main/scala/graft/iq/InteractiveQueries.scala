@@ -61,5 +61,17 @@ final class StoreRegistry(spark: SparkSession) {
   /** `ApproximateNumEntries()`. */
   def approximateNumEntries(storeName: String): Long = all(storeName).count()
 
+  /** Windowed-store `Fetch(key, from, to)` (`IReadOnlyWindowStore.cs:23-99`):
+    * for stores materialized from windowed KTables (key is a
+    * `Windowed[K]` struct with `key`/`start`/`end` fields), return the
+    * window entries for `key` whose start lies in [fromMs, toMs].
+    */
+  def fetch(storeName: String, key: Any, fromMs: Long, toMs: Long): DataFrame =
+    all(storeName)
+      .filter(col("key.key") === lit(key) &&
+        unix_millis(col("key.start").cast("timestamp")) >= fromMs &&
+        unix_millis(col("key.start").cast("timestamp")) <= toMs)
+      .orderBy(col("key.start"))
+
   def stop(): Unit = queries.values.foreach(q => if (q.isActive) q.stop())
 }

@@ -255,9 +255,19 @@ object CoreQueries {
       .groupBy("k").agg(count(lit(1)).as("cnt"))
   }
 
+  /** HLL approximate distinct (Spark superset; rows-only — DuckDB's approx
+    * sketch differs, and `q_count_distinct` already oracle-checks the exact
+    * path).
+    */
+  val qApproxDistinct = GraftQuery.rowsOnly("q_approx_distinct") { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qFilter, qFilterNot, qMap, qMapValues, qFlatMapValues, qSelectKey,
     qBranch, qMerge, qTableLatest, qTableFilter, qTableMapValues,
     qTableGroupByCount, qTableGroupByAgg, q1Agg, qCount, qReduce,
-    qAggCustom, qDistinct, qCountDistinct, qRollup, qJsonExtract)
+    qAggCustom, qDistinct, qCountDistinct, qRollup, qJsonExtract,
+    qApproxDistinct)
 }

@@ -85,9 +85,12 @@ object StatefulOps {
       selector: (K, V) => (K2, V2))(
       implicit ekc: Encoder[KeyedChange[K2, V2]], ek: Encoder[K],
       ev: Encoder[Option[V]]): Dataset[KeyedChange[K2, V2]] = {
+    // Append mode: emitted subtract/add halves are final events, never
+    // retracted — and it lets a downstream built-in aggregation chain in the
+    // same streaming query (Spark forbids chained update-mode fMGWS).
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Option[V], KeyedChange[K2, V2]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[Upsert[K, V]], state: GroupState[Option[V]]) =>
           var prev: Option[V] = state.getOption.flatten
           val out = Seq.newBuilder[KeyedChange[K2, V2]]

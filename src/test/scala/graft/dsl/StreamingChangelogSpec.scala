@@ -1,0 +1,78 @@
+package graft.dsl
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+
+/** Changelog semantics under true streaming: add/subtract aggregation and
+  * table-table joins must hold state ACROSS microbatches (the reference's
+  * store-backed processors).
+  */
+class StreamingChangelogSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private var queries: List[StreamingQuery] = Nil
+  private def start(df: org.apache.spark.sql.Dataset[_], name: String): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode("update").start()
+    queries = q :: queries; q
+  }
+  override def afterAll(): Unit = {
+    queries.foreach(q => if (q.isActive) q.stop()); super.afterAll()
+  }
+
+  private def latest[K, V](rows: Array[Upsert[K, V]]): Map[K, Option[V]] =
+    rows.groupBy(_.key).map { case (k, us) => k -> us.maxBy(_.ts.getTime).value }
+
+  test("KGroupedTable.count subtracts old group when a key moves (cross-batch)") {
+    val in = MemoryStream[(String, String, Long)]
+    val table = new KTable(in.toDS().map { case (k, v, t) =>
+      Upsert(k, Some(v), new java.sql.Timestamp(t)) })
+    val counts = table.groupBy((k, region) => (region, k)).count
+    val q = start(counts.changelog, "t_regions")
+
+    in.addData(("u1", "r1", 1L), ("u2", "r1", 2L)); q.processAllAvailable()
+    // u1 moves r1 -> r2 in a LATER batch: subtract must use state, not batch
+    in.addData(("u1", "r2", 3L)); q.processAllAvailable()
+
+    val state = latest(spark.table("t_regions").as[Upsert[String, Long]].collect())
+    assert(state("r1") === Some(1L))
+    assert(state("r2") === Some(1L))
+  }
+
+  test("table-table outer join transitions across microbatches") {
+    val lin = MemoryStream[(String, String, Long)]
+    val rin = MemoryStream[(String, String, Long)]
+    def toTable(m: MemoryStream[(String, String, Long)]) =
+      new KTable(m.toDS().map { case (k, v, t) =>
+        Upsert(k, if (v == "__del") None else Some(v), new java.sql.Timestamp(t)) })
+    val joined = toTable(lin).outerJoin(toTable(rin)) { (a, b) =>
+      s"${a.getOrElse("-")}/${b.getOrElse("-")}"
+    }
+    val q = start(joined.changelog, "t_ttjoin")
+
+    lin.addData(("k", "l1", 1L)); q.processAllAvailable()
+    rin.addData(("k", "r1", 2L)); q.processAllAvailable()    // both present
+    lin.addData(("k", "__del", 3L)); q.processAllAvailable() // left tombstone
+
+    val state = latest(spark.table("t_ttjoin").as[Upsert[String, String]].collect())
+    assert(state("k") === Some("-/r1")) // right side survives the left delete
+  }
+
+  test("windowed store fetch(key, from, to) over a materialized windowed table") {
+    val in = MemoryStream[(String, Long)]
+    val counted = new KStream(in.toDS().map { case (k, t) =>
+      KV(k, 1, new java.sql.Timestamp(t)) })
+      .groupByKey.windowedBy(TumblingWindow.of(1000)).count
+    val registry = new graft.iq.StoreRegistry(spark)
+    val q = registry.materialize(counted, "win_store")
+    queries = q :: queries
+
+    in.addData(("k", 100L), ("k", 1500L), ("k", 2500L), ("z", 150L))
+    q.processAllAvailable()
+
+    val fetched = registry.fetch("win_store", "k", 0L, 1999L).collect()
+    assert(fetched.length === 2) // windows [0,1000) and [1000,2000), not [2000,3000)
+  }
+}
