@@ -119,6 +119,39 @@ object DslQueries {
         col("value._1").as("cnt"), col("value._2").as("revenue_e4"))
   }
 
+  /** KTable ⋈ KTable through the DSL's dual-state changelog join: latest
+    * order per customer (toTable materialization with (date, orderkey)
+    * ordering packed into the event time) joined to the customer table —
+    * same oracle as the hand-built q_table_table_join.
+    */
+  val qDslTableTableJoin = q(
+    "q_dsl_table_table_join",
+    "SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer JOIN (" +
+      "SELECT * EXCLUDE rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+      "row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn " +
+      "FROM orders) WHERE rn = 1) ON c_custkey = o_custkey") { (s, d) =>
+    import s.implicits._
+    // pack (o_orderdate, o_orderkey) into the event time so latest-per-key
+    // picks the same row as the oracle's two-level ORDER BY (orderkey < 2^20)
+    val orderT = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odms"))
+      .as[(Long, Long, Double, Long)]
+      .map { case (ck, ok, tp, odms) =>
+        // days-since-epoch (not ms — Catalyst micros would overflow int64)
+        KV(ck, (ok, tp), new Timestamp((odms / 86400000L) * (1L << 20) + ok)) }
+    val custT = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+      .as[(Long, String)]
+      .map { case (ck, nm) => Upsert(ck, Some(nm), new Timestamp(0L)) }
+    new KTable(custT)
+      .join(new KStream(orderT).toTable)((name, ord) => (name, ord._1, ord._2))
+      .view
+      .select(col("_1").as("c_custkey"), col("_2._1").as("c_name"),
+        col("_2._2").as("o_orderkey"), col("_2._3").as("o_totalprice"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslStreamTableJoin)
+    qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslStreamTableJoin,
+    qDslTableTableJoin)
 }
