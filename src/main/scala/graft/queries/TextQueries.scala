@@ -280,8 +280,30 @@ object TextQueries {
         md5(col("payload")).as("content_hash"))
   }
 
+  /** Survivor set of exact dedup through `operators.Dedup.exact`: the rows a
+    * deduped corpus would keep.
+    */
+  val qDedupSurvivors = q(
+    "q_dedup_survivors",
+    "SELECT doc_id, n_chars FROM documents WHERE doc_id IN (" +
+      "SELECT min(doc_id) FROM documents GROUP BY md5(text))") { (s, d) =>
+    graft.operators.Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .select("doc_id", "n_chars")
+  }
+
+  /** Survivor set of fingerprint dedup through `operators.Dedup.byFingerprint`. */
+  val qDedupFpSurvivors = q(
+    "q_dedup_fp_survivors",
+    "SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY " +
+      s"md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) " +
+      "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1") { (s, d) =>
+    graft.operators.Dedup.byFingerprint(Tables.documentsBalanced(s, d), "doc_id", "text")
+      .select("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qDedupExact, qDedupFingerprint, qMinhashSig, qDedupMinhash, qSimhash,
+    qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
+    qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qMultimodalMeta)
 }

@@ -73,19 +73,13 @@ object VectorQueries {
       "FROM embeddings, c WHERE vec_id >= 8) " +
       s"SELECT cid, count(*) AS n, sum(${Exact.quantSql("cos", 10000)}) AS sum_cos_e4 FROM scored " +
       "WHERE rn = 1 GROUP BY cid") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddingsBalanced(s, d)
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    emb.filter(col("vec_id") >= 8)
-      .crossJoin(broadcast(cents))
-      .withColumn("cos", dotCol(col("embedding"), col("ce")) /
-        (normCol(col("embedding")) * normCol(col("ce"))))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cid"))))
-      .filter(col("rn") === 1)
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n"), sum(Exact.quant(col("cos"), 10000)).as("sum_cos_e4"))
+    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    graft.operators.Similarity
+      .ivfAssign(emb.filter(col("vec_id") >= 8), "vec_id", "embedding", cents)
+      .groupBy(col("centroid_id").as("cid"))
+      .agg(count(lit(1)).as("n"), sum(Exact.quant(col("__cos"), 10000)).as("sum_cos_e4"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a label (blocked join —
