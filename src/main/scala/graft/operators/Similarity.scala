@@ -57,8 +57,17 @@ object Similarity {
       .select(col(idCol), col("cosine"))
   }
 
+  /** Collect (id, vector) centroid pairs driver-side by column name — the
+    * input shape [[ivfAssign]] expects. Runs one small Spark job.
+    */
+  def collectCentroids(df: DataFrame, idCol: String, vecCol: String): Seq[(Int, Array[Float])] =
+    df.select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getAs[Long](idCol).toInt, r.getAs[Seq[Float]](vecCol).toArray)).toSeq
+
   /** IVF-style assignment: nearest of `centroids` per row (broadcast
-    * centroids; tie → lowest centroid id). Returns (row cols…, centroid_id).
+    * centroids; tie → lowest centroid id). Returns
+    * (row cols…, centroid_id, cosine) where `cosine` is the similarity to
+    * the assigned centroid.
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
@@ -68,9 +77,9 @@ object Similarity {
       .toDF("centroid_id", "__cvec")
       .withColumn("__cvec", col("__cvec").cast("array<float>"))
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("centroid_id"))
+      .orderBy(col("cosine").desc, col("centroid_id"))
     corpus.crossJoin(broadcast(cent))
-      .withColumn("__cos", cosine(col(vecCol), col("__cvec")))
+      .withColumn("cosine", cosine(col(vecCol), col("__cvec")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__cvec", "__rn")

@@ -74,12 +74,12 @@ object VectorQueries {
       s"SELECT cid, count(*) AS n, sum(${Exact.quantSql("cos", 10000)}) AS sum_cos_e4 FROM scored " +
       "WHERE rn = 1 GROUP BY cid") { (s, d) =>
     val emb = Tables.embeddingsBalanced(s, d)
-    val cents = Tables.embeddings(s, d).filter(col("vec_id") < 8)
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
     graft.operators.Similarity
       .ivfAssign(emb.filter(col("vec_id") >= 8), "vec_id", "embedding", cents)
       .groupBy(col("centroid_id").as("cid"))
-      .agg(count(lit(1)).as("n"), sum(Exact.quant(col("__cos"), 10000)).as("sum_cos_e4"))
+      .agg(count(lit(1)).as("n"), sum(Exact.quant(col("cosine"), 10000)).as("sum_cos_e4"))
   }
 
   /** Embedding-cosine near-duplicate pairs within a label (blocked join —

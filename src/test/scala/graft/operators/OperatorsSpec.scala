@@ -68,9 +68,9 @@ class OperatorsSpec extends SparkSpec {
   test("ivfAssign gives every vector exactly one centroid") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") >= 8)
-    val cents = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
-      .filter(col("vec_id") < 8)
-      .collect().map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray)).toSeq
+    val cents = Similarity.collectCentroids(
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001").filter(col("vec_id") < 8),
+      "vec_id", "embedding")
     val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", cents)
     assert(assigned.count() === emb.count())
     assert(assigned.select("centroid_id").distinct().count() > 1)
