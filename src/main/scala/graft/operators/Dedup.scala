@@ -44,6 +44,7 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{P, hash32, perms, tokensCol}
     graft.functions.Md5Prefix32.register(df.sparkSession)
+    graft.functions.MinHashSigAgg.register(df.sparkSession)
     val shingled = df
       .select(col(idCol), tokensCol(col(textCol)).as("__t"))
       .filter(size(col("__t")) >= 3)
@@ -51,10 +52,10 @@ object Dedup {
         transform(sequence(lit(1), size(col("__t")) - 2),
           i => concat_ws(" ", slice(col("__t"), i, lit(3))))).as("__s"))
       .select(col(idCol), (hash32(col("__s")) % P).as("__h"))
-    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("__h") * a + b) % P).as(s"m$j")
-    }
-    shingled.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    // one TypedImperativeAggregate computes all minima in a single buffer
+    shingled.groupBy(col(idCol))
+      .agg(graft.functions.MinHashSigAgg.minhashSig(col("__h")).as("__sig"))
+      .select(col(idCol) +: perms.indices.map(j => col("__sig")(j).as(s"m$j")): _*)
   }
 
   /** LSH candidate pairs from signatures: bands of `rowsPerBand` minima;

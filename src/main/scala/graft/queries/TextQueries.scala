@@ -107,12 +107,8 @@ object TextQueries {
         s"SELECT doc_id, ${hash32Sql("s")} % $P AS h FROM ($shinglesSql)) " +
         "GROUP BY doc_id)"
     }) { (s, d) =>
-    val hashed = shinglesDf(s, d).select(col("doc_id"), (hash32(col("s")) % P).as("h"))
-    val minCols = perms.zipWithIndex.map { case ((a, b), j) =>
-      min((col("h") * a + b) % P).as(s"m$j")
-    }
-    hashed.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
+    graft.operators.Dedup.minhashSignatures(
+      Tables.documentsBalanced(s, d), "doc_id", "text")
       .select(col("doc_id"),
         (0 until NumPerm).map(j => col(s"m$j")).reduce(_ + _).as("sig_sum"))
   }

@@ -79,6 +79,15 @@ class KStreamOpsSpec extends SparkSpec {
     assert(reduced === Map("a" -> "1,2", "b" -> "5"))
   }
 
+  test("stateful ops drop null-key records; stateless ops pass them through") {
+    // reference rule: KStreamReduceProcessor.cs:20-24 (drop) vs stateless pass
+    val s = new KStream(Seq(
+      KV(null.asInstanceOf[String], "x", ts(1)), KV("a", "y", ts(2))).toDS())
+    assert(s.mapValues(_.toUpperCase).ds.count() === 2) // stateless keeps null key
+    val counts = s.groupByKey.count.changelog.collect().map(_.key)
+    assert(counts.toSeq === Seq("a")) // stateful drops it
+  }
+
   test("aggregate result timestamp is the max input ts") {
     val s = stream(("a", "1", 7), ("a", "2", 3))
     val up = s.groupByKey.count.changelog.collect().head
