@@ -210,6 +210,25 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
     new KStream(joined.map { case (r, gv) => KV(r.key, joiner(r.value, gv), r.ts) })
   }
 
+  /** Processor-API analog (the reference's internal `Transform`,
+    * `core/Processors/TransformProcessor.cs:8-27`): arbitrary per-partition
+    * record processing. Use as the last resort — lambdas are opaque to
+    * Catalyst.
+    */
+  def transform[K2, V2](f: Iterator[KV[K, V]] => Iterator[KV[K2, V2]])(
+      implicit e: Encoder[KV[K2, V2]]): KStream[K2, V2] =
+    new KStream(ds.mapPartitions(f))
+
+  /** ValueTransformer analog: `init` runs once per partition (expensive
+    * setup — native contexts, models), the returned function once per record.
+    */
+  def transformValues[V2](init: () => (K, V) => V2)(
+      implicit e: Encoder[KV[K, V2]]): KStream[K, V2] =
+    new KStream(ds.mapPartitions { it =>
+      val fn = init()
+      it.map(r => KV(r.key, fn(r.key, r.value), r.ts))
+    })
+
   /** Event-time watermark (grace period analog, SURVEY §1.5). */
   def withWatermarkMs(delayMs: Long): KStream[K, V] =
     new KStream(ds.withWatermark("ts", s"$delayMs milliseconds"))

@@ -39,5 +39,19 @@ class StoreRegistrySpec extends SparkSpec {
     val parsed = ErrorHandling.deserializeJson(df, "raw", schema)
     val (good, bad) = ErrorHandling.deadLetter(parsed)
     assert(good.count() === 1 && bad.count() === 1)
+
+    // FAIL policy: first corrupt record aborts the query (reference's FAIL)
+    val failing = ErrorHandling.deserializeJson(df, "raw", schema, ErrorHandling.Fail)
+    intercept[org.apache.spark.SparkException] { failing.collect() }
+  }
+
+  test("transform/transformValues: per-partition init, per-record apply") {
+    val s = new graft.dsl.KStream(Seq(
+      graft.dsl.KV("a", "x", new java.sql.Timestamp(1))).toDS())
+    val out = s.transformValues(() => { (k: String, v: String) => s"$k:$v" })
+      .ds.collect().head
+    assert(out.value === "a:x" && out.ts.getTime === 1L)
+    val t = s.transform(it => it.map(r => r.copy(value = r.value.toUpperCase)))
+    assert(t.ds.collect().head.value === "X")
   }
 }
