@@ -42,6 +42,20 @@ class WindowedSpec extends SparkSpec {
     assert(out === Array(3))
   }
 
+  test("windowsFor explode agrees with Spark's native window() assignment") {
+    // aggregate(+1) must equal count for every (key, window) — count uses
+    // Catalyst window(), aggregate uses the hand-rolled WindowsFor explode
+    val rows = (0 until 50).map(i => ("k" + (i % 3), 1, i * 337L))
+    val s = stream(rows: _*)
+    val w = HoppingWindow.of(2000, 500)
+    val viaCount = s.groupByKey.windowedBy(w).count.changelog.collect()
+      .map(u => (u.key.key, u.key.start.getTime, u.value.get)).sorted
+    val viaAgg = s.groupByKey.windowedBy(w)
+      .aggregate(() => 0L)((_, _, acc) => acc + 1L).changelog.collect()
+      .map(u => (u.key.key, u.key.start.getTime, u.value.get)).sorted
+    assert(viaAgg === viaCount)
+  }
+
   test("session window: 30-unit gap merges nearby events") {
     val s = stream(("k", 1, 0), ("k", 1, 20), ("k", 1, 100), ("y", 1, 5))
     val out = s.groupByKey.windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
