@@ -39,36 +39,36 @@ final class KGroupedStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable
     */
   def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
       implicit eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
-      evr: Encoder[Option[VR]]): KTable[K, VR] =
+      evr: Encoder[(Option[VR], Long)]): KTable[K, VR] =
     new KTable(nonNullKey.groupByKey(_.key)
-      .flatMapGroupsWithState[Option[VR], Upsert[K, VR]](
+      .flatMapGroupsWithState[(Option[VR], Long), Upsert[K, VR]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[KV[K, V]], state: GroupState[Option[VR]]) =>
-          var acc = state.getOption.flatten
-          var maxTs = 0L
+        (key: K, it: Iterator[KV[K, V]], state: GroupState[(Option[VR], Long)]) =>
+          // state carries the running max ts — a late batch must emit the
+          // reference's max(record ts, previous agg ts), never a regression
+          var (acc, maxTs) = state.getOption.getOrElse((Option.empty[VR], 0L))
           it.toSeq.sortBy(_.ts.getTime).foreach { r =>
             acc = Some(agg(key, r.value, acc.getOrElse(init())))
             maxTs = math.max(maxTs, r.ts.getTime)
           }
-          state.update(acc)
+          state.update((acc, maxTs))
           Iterator.single(Upsert(key, acc, new Timestamp(maxTs)))
       })
 
   /** `Reduce` (`IKGroupedStream.cs:251`): first value seeds. */
   def reduce(f: (V, V) => V)(
       implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K],
-      ev: Encoder[Option[V]]): KTable[K, V] =
+      ev: Encoder[(Option[V], Long)]): KTable[K, V] =
     new KTable(nonNullKey.groupByKey(_.key)
-      .flatMapGroupsWithState[Option[V], Upsert[K, V]](
+      .flatMapGroupsWithState[(Option[V], Long), Upsert[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[KV[K, V]], state: GroupState[Option[V]]) =>
-          var acc = state.getOption.flatten
-          var maxTs = 0L
+        (key: K, it: Iterator[KV[K, V]], state: GroupState[(Option[V], Long)]) =>
+          var (acc, maxTs) = state.getOption.getOrElse((Option.empty[V], 0L))
           it.toSeq.sortBy(_.ts.getTime).foreach { r =>
             acc = Some(acc.fold(r.value)(a => f(a, r.value)))
             maxTs = math.max(maxTs, r.ts.getTime)
           }
-          state.update(acc)
+          state.update((acc, maxTs))
           Iterator.single(Upsert(key, acc, new Timestamp(maxTs)))
       })
 
@@ -118,28 +118,58 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
     */
   def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
       implicit ew: Encoder[KV[Windowed[K], V]], eu: Encoder[Upsert[Windowed[K], VR]],
-      ek: Encoder[Windowed[K]], evr: Encoder[Option[VR]]): KTable[Windowed[K], VR] = {
-    val sizeMs = parseMs(sizeExpr)
-    val advanceMs = parseMs(advanceExpr)
-    val windowedRecords = withWatermarkIfStreaming.flatMap { r =>
-      windowsFor(r.ts.getTime, sizeMs, advanceMs).map { case (s, e) =>
-        KV(Windowed(r.key, new Timestamp(s), new Timestamp(e)), r.value, r.ts)
-      }
-    }
-    new KGroupedStream(windowedRecords).aggregate(init)((wk, v, acc) => agg(wk.key, v, acc))
-  }
+      ek: Encoder[Windowed[K]], evr: Encoder[(Option[VR], Long)]): KTable[Windowed[K], VR] =
+    new KTable(windowedFold[VR](init, (wk, v, acc) => agg(wk.key, v, acc)))
 
   def reduce(f: (V, V) => V)(
       implicit ew: Encoder[KV[Windowed[K], V]], eu: Encoder[Upsert[Windowed[K], V]],
-      ek: Encoder[Windowed[K]], ev: Encoder[Option[V]]): KTable[Windowed[K], V] = {
+      ek: Encoder[Windowed[K]], ev: Encoder[(Option[V], Long)]): KTable[Windowed[K], V] =
+    new KTable(windowedFold[V](
+      () => null.asInstanceOf[V],
+      (_, v, acc) => if (acc == null) v else f(acc, v)))
+
+  /** Shared windowed fold: explode records to covering windows, RE-apply the
+    * watermark on the exploded rows (typed flatMap drops the event-time
+    * attribute), then fold per (key, window) with event-time state eviction —
+    * closed windows (watermark past end) have their state removed, so state
+    * is bounded by OPEN windows × keys, and grace actually drops late rows.
+    */
+  private def windowedFold[VR](init: () => VR, agg: (Windowed[K], V, VR) => VR)(
+      implicit ew: Encoder[KV[Windowed[K], V]], eu: Encoder[Upsert[Windowed[K], VR]],
+      ek: Encoder[Windowed[K]],
+      evr: Encoder[(Option[VR], Long)]): Dataset[Upsert[Windowed[K], VR]] = {
     val sizeMs = parseMs(sizeExpr)
     val advanceMs = parseMs(advanceExpr)
-    val windowedRecords = withWatermarkIfStreaming.flatMap { r =>
+    val exploded = ds.filter(r => r.key != null).flatMap { r =>
       windowsFor(r.ts.getTime, sizeMs, advanceMs).map { case (s, e) =>
         KV(Windowed(r.key, new Timestamp(s), new Timestamp(e)), r.value, r.ts)
       }
     }
-    new KGroupedStream(windowedRecords).reduce(f)
+    val streaming = exploded.isStreaming
+    val withWm =
+      if (streaming) exploded.withWatermark("ts", w.graceExpr) else exploded
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    withWm.groupByKey(_.key)
+      .flatMapGroupsWithState[(Option[VR], Long), Upsert[Windowed[K], VR]](
+        OutputMode.Update(), timeout) {
+        (wk: Windowed[K], it: Iterator[KV[Windowed[K], V]],
+            state: GroupState[(Option[VR], Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var (acc, maxTs) = state.getOption.getOrElse((Option.empty[VR], 0L))
+            it.toSeq.sortBy(_.ts.getTime).foreach { r =>
+              acc = Some(agg(wk, r.value, acc.getOrElse(init())))
+              maxTs = math.max(maxTs, r.ts.getTime)
+            }
+            state.update((acc, maxTs))
+            if (streaming)
+              state.setTimeoutTimestamp(wk.end.getTime + w.grace.toMillis)
+            Iterator.single(Upsert(wk, acc, new Timestamp(maxTs)))
+          }
+      }
   }
 
   private def parseMs(e: String): Long = e.stripSuffix(" milliseconds").toLong
@@ -148,7 +178,8 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
     * (tsMs − size, tsMs] — `TimeWindowOptions.WindowsFor`.
     */
   private def windowsFor(tsMs: Long, sizeMs: Long, advanceMs: Long): Seq[(Long, Long)] = {
-    var start = tsMs - (tsMs % advanceMs)
+    // floorMod: pre-epoch timestamps must floor toward -inf like window()
+    var start = tsMs - java.lang.Math.floorMod(tsMs, advanceMs)
     val out = Seq.newBuilder[(Long, Long)]
     while (start > tsMs - sizeMs) {
       out += ((start, start + sizeMs))

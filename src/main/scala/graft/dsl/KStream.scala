@@ -124,11 +124,7 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       implicit e: Encoder[KV[K, VR]],
       et: Encoder[(Option[K], Option[K], Option[V], Option[V2],
         Option[java.sql.Timestamp], Option[java.sql.Timestamp])]): KStream[K, VR] = {
-    val l = ds.toDF("key", "value", "ts").as("l")
-    val r = other.ds.toDF("key", "value", "ts").as("r")
-    val cond = col("l.key") === col("r.key") &&
-      col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
-      col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
+    val (l, r, cond) = joinSides(other, windows)
     val joined = l.join(r, cond, "full_outer")
     val out = joined.select(
         col("l.key").as("lk"), col("r.key").as("rk"),
@@ -143,17 +139,33 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
     new KStream(out)
   }
 
+  /** Both sides as DataFrames with watermarks derived from the join window:
+    * buffered join state is bounded by window + grace
+    * (TimeWindowOptions.GracePeriodMs analog).
+    */
+  private def joinSides[V2](other: KStream[K, V2], windows: JoinWindows) = {
+    def side(d: Dataset[_], alias: String) = {
+      val df = d.toDF("key", "value", "ts")
+      val alreadyWatermarked = df.queryExecution.logical.collectFirst {
+        case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+      }.isDefined
+      (if (df.isStreaming && !alreadyWatermarked)
+        df.withWatermark("ts", s"${windows.grace.toMillis} milliseconds")
+      else df).as(alias)
+    }
+    // match iff r.ts ∈ [l.ts − before, l.ts + after] (JoinWindowOptions.cs:35-53)
+    val cond = col("l.key") === col("r.key") &&
+      col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
+      col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
+    (side(ds, "l"), side(other.ds, "r"), cond)
+  }
+
   private def doStreamJoin[V2, VR](other: KStream[K, V2], windows: JoinWindows,
       joinType: String)(joiner: (V, Option[V2]) => VR)(
       implicit e: Encoder[KV[K, VR]],
       et: Encoder[(K, V, Option[V2], java.sql.Timestamp,
         Option[java.sql.Timestamp])]): KStream[K, VR] = {
-    val l = ds.toDF("key", "value", "ts").as("l")
-    val r = other.ds.toDF("key", "value", "ts").as("r")
-    // match iff r.ts ∈ [l.ts − before, l.ts + after] (JoinWindowOptions.cs:35-53)
-    val cond = col("l.key") === col("r.key") &&
-      col("r.ts") >= col("l.ts") - expr(s"INTERVAL ${windows.beforeMs} MILLISECONDS") &&
-      col("r.ts") <= col("l.ts") + expr(s"INTERVAL ${windows.afterMs} MILLISECONDS")
+    val (l, r, cond) = joinSides(other, windows)
     val joined = l.join(r, cond, joinType)
     val out = joined.select(col("l.key").as("k"), col("l.value").as("lv"),
         col("r.value").as("rv"), col("l.ts").as("lts"), col("r.ts").as("rts"))
@@ -233,9 +245,11 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
   def withWatermarkMs(delayMs: Long): KStream[K, V] =
     new KStream(ds.withWatermark("ts", s"$delayMs milliseconds"))
 
-  /** `Foreach` terminal op (`IKStream.cs:256`) — batch only. */
+  /** `Foreach` terminal op (`IKStream.cs:256`) — runs distributed on the
+    * executors (batch; for streams use foreachBatch on the writer).
+    */
   def foreach(action: (K, V) => Unit): Unit =
-    ds.collect().foreach(r => action(r.key, r.value))
+    ds.foreach(r => action(r.key, r.value))
 
   /** `Print` debug sink (`IKStream.cs:247`). */
   def print(numRows: Int = 20): Unit = ds.show(numRows, truncate = false)

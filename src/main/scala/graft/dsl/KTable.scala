@@ -106,13 +106,13 @@ final class KGroupedTable[K, V](val changes: Dataset[KeyedChange[K, V]])
   def aggregate[VR](init: () => VR)(adder: (K, V, VR) => VR)(
       subtractor: (K, V, VR) => VR)(
       implicit eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
-      evr: Encoder[Option[VR]]): KTable[K, VR] =
+      evr: Encoder[(Option[VR], Long)]): KTable[K, VR] =
     new KTable(StatefulOps.aggregateChanges(changes)(init, adder, subtractor))
 
   /** `KGroupedTable.Reduce` (`IKGroupedTable.cs:93`). */
   def reduce(adder: (V, V) => V, subtractor: (V, V) => V)(
       implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K],
-      ev: Encoder[Option[V]]): KTable[K, V] =
+      ev: Encoder[(Option[V], Long)]): KTable[K, V] =
     new KTable(StatefulOps.aggregateChanges(changes)(
       () => null.asInstanceOf[V],
       (_, v, agg) => if (agg == null) v else adder(agg, v),

@@ -114,8 +114,11 @@ object Sinks {
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("checkpointLocation", checkpoint)
 
-  /** In-memory queryable sink — the interactive-query store view
-    * (`KafkaStream.Store`, SURVEY §3.3): query `SELECT * FROM <storeName>`.
+  /** In-memory UPDATE LOG sink: each trigger appends that batch's updates,
+    * so `SELECT * FROM <storeName>` returns the multi-version history. For
+    * the latest-per-key interactive-query STORE view, use
+    * [[graft.iq.StoreRegistry]] (materialize + all/get/range collapse the
+    * log).
     */
   def toMemoryStore(df: DataFrame, storeName: String,
       outputMode: String = "update"): org.apache.spark.sql.streaming.StreamingQuery =

@@ -48,7 +48,8 @@ object StatefulOps {
       .flatMapGroupsWithState[KV[K, V], Upsert[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[KV[K, V]], state: GroupState[KV[K, V]]) =>
-          val newest = it.maxBy(_.ts.getTime)
+          // LAST max wins within the batch (last-write-wins on ts ties)
+          val newest = it.reduceLeft((a, b) => if (b.ts.getTime >= a.ts.getTime) b else a)
           val best = state.getOption match {
             case Some(prev) if prev.ts.getTime > newest.ts.getTime => prev
             case _ => newest
@@ -67,7 +68,7 @@ object StatefulOps {
       .flatMapGroupsWithState[Upsert[K, V], Upsert[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[Upsert[K, V]], state: GroupState[Upsert[K, V]]) =>
-          val newest = it.maxBy(_.ts.getTime)
+          val newest = it.reduceLeft((a, b) => if (b.ts.getTime >= a.ts.getTime) b else a)
           val best = state.getOption match {
             case Some(prev) if prev.ts.getTime > newest.ts.getTime => prev
             case _ => newest
@@ -118,18 +119,18 @@ object StatefulOps {
   def aggregateChanges[K, V, VR](ds: Dataset[KeyedChange[K, V]])(
       init: () => VR, adder: (K, V, VR) => VR, subtractor: (K, V, VR) => VR)(
       implicit eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
-      evr: Encoder[Option[VR]]): Dataset[Upsert[K, VR]] = {
+      evr: Encoder[(Option[VR], Long)]): Dataset[Upsert[K, VR]] = {
     ds.groupByKey(_.key)
-      .flatMapGroupsWithState[Option[VR], Upsert[K, VR]](
+      .flatMapGroupsWithState[(Option[VR], Long), Upsert[K, VR]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
-        (key: K, it: Iterator[KeyedChange[K, V]], state: GroupState[Option[VR]]) =>
-          var agg: Option[VR] = state.getOption.flatten
-          var lastTs: Timestamp = new Timestamp(0L)
-          // subtract halves sort before add halves at equal timestamps
-          val ordered = it.toSeq.sortBy(c =>
-            (c.ts.getTime, if (c.change.oldValue.isDefined) 0 else 1))
+        (key: K, it: Iterator[KeyedChange[K, V]], state: GroupState[(Option[VR], Long)]) =>
+          var (agg, maxTs) = state.getOption.getOrElse((Option.empty[VR], 0L))
+          // stable ts sort preserves per-update emission order (sub, then
+          // add) at equal timestamps — a sub-before-add secondary key would
+          // mis-order successive same-ts updates of one key
+          val ordered = it.toSeq.sortBy(_.ts.getTime)
           ordered.foreach { c =>
-            lastTs = c.ts
+            maxTs = math.max(maxTs, c.ts.getTime)
             c.change.oldValue.foreach { o =>
               val next = subtractor(key, o, agg.getOrElse(init()))
               agg = Option(next)
@@ -139,8 +140,10 @@ object StatefulOps {
               agg = Option(next)
             }
           }
-          state.update(agg)
-          Iterator.single(Upsert(key, agg, lastTs))
+          // result ts carries the running max — a late batch must not emit
+          // a regressed ts that downstream latest-views would ignore
+          state.update((agg, maxTs))
+          Iterator.single(Upsert(key, agg, new Timestamp(maxTs)))
       }
   }
 
@@ -155,6 +158,9 @@ object StatefulOps {
       joinType: String)(joiner: (Option[V1], Option[V2]) => VR)(
       implicit esr: Encoder[SideRow[K, V1, V2]], eu: Encoder[Upsert[K, VR]],
       ek: Encoder[K], est: Encoder[(Option[V1], Option[V2])]): Dataset[Upsert[K, VR]] = {
+    require(left.isStreaming == right.isStreaming,
+      "table-table join requires both sides streaming or both batch; " +
+        "read the static side with readStream (rate-limited file source) to mix")
     val l = left.map(u => SideRow[K, V1, V2](u.key, u.ts, isLeft = true, u.value, None))
     val r = right.map(u => SideRow[K, V1, V2](u.key, u.ts, isLeft = false, None, u.value))
     l.union(r).groupByKey(_.key)
@@ -192,6 +198,10 @@ object StatefulOps {
       easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] = {
     if (!stream.isStreaming && !table.isStreaming)
       return streamTableJoinBatch(stream, table, leftJoin)(joiner)
+    if (stream.isStreaming && !table.isStreaming)
+      return streamStaticJoin(stream, table, leftJoin)(joiner)
+    require(stream.isStreaming,
+      "batch stream side cannot join a streaming table; swap the sides or stream both")
     val s = stream.map(r => SideRow[K, V, VT](r.key, r.ts, isLeft = true, Some(r.value), None))
     val t = table.map(u => SideRow[K, V, VT](u.key, u.ts, isLeft = false, None, u.value))
     s.union(t).groupByKey(_.key)
@@ -210,6 +220,30 @@ object StatefulOps {
           state.update(tv)
           out.result().iterator
       }
+  }
+
+  /** Streaming stream × STATIC table: the table's content is fixed for the
+    * query's lifetime, so the as-of lookup collapses to an equi-join against
+    * the table's final latest-per-key view (Spark's stream-static join;
+    * broadcast when small). This is the GlobalKTable-style enrichment shape.
+    */
+  private def streamStaticJoin[K, V, VT, VR](
+      stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
+      leftJoin: Boolean)(joiner: (V, Option[VT]) => VR)(
+      implicit ekv: Encoder[KV[K, VR]],
+      easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val latest = table.toDF("key", "value", "ts")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("ts").desc)))
+      .filter(col("__rn") === 1 && col("value").isNotNull)
+      .select(col("key").as("__tk"), col("value").as("tval"))
+    val joined = stream.toDF("key", "value", "ts")
+      .join(latest, col("key") === col("__tk"), if (leftJoin) "left" else "inner")
+      .select(col("key"), col("value").as("sval"), col("tval"), col("ts"))
+      .as[(K, V, Option[VT], Timestamp)]
+    joined.map { case (k, v, tOpt, ts) => KV(k, joiner(v, tOpt), ts) }
   }
 
   /** Batch fast path for the stream-table join: it is an AS-OF JOIN — each
