@@ -241,6 +241,21 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       it.map(r => KV(r.key, fn(r.key, r.value), r.ts))
     })
 
+  /** Processor API v2 (`core/Processors/IProcessor.cs:8-29` + named stores):
+    * arbitrary per-key stateful processing with timers (punctuator analog)
+    * and TTL, via Spark 4 `transformWithState`. Streaming requires the
+    * RocksDB state store provider
+    * ([[graft.streaming.ProcessorApi.useRocksDb]]); event-time timers need a
+    * watermark ([[withWatermarkMs]]).
+    */
+  def process[O](processor: org.apache.spark.sql.streaming.StatefulProcessor[K, KV[K, V], O],
+      timeMode: org.apache.spark.sql.streaming.TimeMode =
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+      outputMode: org.apache.spark.sql.streaming.OutputMode =
+        org.apache.spark.sql.streaming.OutputMode.Append())(
+      implicit ek: Encoder[K], eo: Encoder[O]): Dataset[O] =
+    graft.streaming.ProcessorApi.process(ds, processor, timeMode, outputMode)
+
   /** Event-time watermark (grace period analog, SURVEY §1.5). */
   def withWatermarkMs(delayMs: Long): KStream[K, V] =
     new KStream(ds.withWatermark("ts", s"$delayMs milliseconds"))

@@ -23,6 +23,12 @@ object Guarantees {
   case object AtLeastOnce extends Guarantee
   case object ExactlyOnceState extends Guarantee
 
+  /** Persistent store selection (the reference's RocksDB default,
+    * `core/State/Stores.cs`): see [[graft.streaming.ProcessorApi.useRocksDb]]
+    * — required for `transformWithState`, recommended for large state
+    * (changelog checkpointing uploads per-commit deltas, not snapshots).
+    */
+
   def configure[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T],
       checkpointDir: String, commitIntervalMs: Long = 30000L,
       guarantee: Guarantee = AtLeastOnce): org.apache.spark.sql.streaming.DataStreamWriter[T] =
