@@ -86,6 +86,20 @@ object Serdes {
   def jsonDe(c: Column, schema: org.apache.spark.sql.types.StructType): Column =
     from_json(c.cast("string"), schema)
   def jsonSer(c: Column): Column = to_json(c).cast("binary")
+
+  /** Avro value serde, the reference's `SchemaAvroSerDes<T>`
+    * (`serdes/Streamiz.Kafka.Net.SchemaRegistry.SerDes.Avro/
+    * SchemaAvroSerDes.cs:15`): binary Avro ⇄ struct columns against a JSON
+    * Avro schema. Evaluation needs the spark-avro module on the cluster
+    * classpath — a deploy-time dependency like the Kafka connector (absent in
+    * this container), so these columns are construct-checked here and
+    * evaluate on a cluster. Schema-registry wire format (magic byte + schema
+    * id) is a sink/source option there.
+    */
+  def avroDe(c: Column, jsonFormatSchema: String): Column =
+    org.apache.spark.sql.avro.functions.from_avro(c, jsonFormatSchema)
+  def avroSer(c: Column): Column =
+    org.apache.spark.sql.avro.functions.to_avro(c)
 }
 
 /** Sink wiring (`To`, `core/Stream/IKStream.cs:90-137`; `SinkProcessor.cs`).

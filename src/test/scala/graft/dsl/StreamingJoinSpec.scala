@@ -35,6 +35,65 @@ class StreamingJoinSpec extends SparkSpec {
     assert(out.head.ts === ts(1500)) // max of the two input timestamps
   }
 
+  test("stream-stream left join emits the null-padded row only after the window closes") {
+    val lin = MemoryStream[(String, String, Long)]
+    val rin = MemoryStream[(String, String, Long)]
+    def ks(m: MemoryStream[(String, String, Long)]) =
+      new KStream(m.toDS().map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+        .withWatermarkMs(0)
+    val joined = ks(lin).leftJoin(ks(rin), JoinWindows.of(1000)) {
+      (a, b) => s"$a-${b.getOrElse("NULL")}"
+    }
+    val q = joined.ds.writeStream.format("memory").queryName("t_ssleft")
+      .outputMode("append").start()
+    queries = q :: queries
+
+    lin.addData(("k", "matched", 1000L), ("u", "lonely", 1000L))
+    rin.addData(("k", "right", 1500L))
+    q.processAllAvailable()
+    // the match emits eagerly; the unmatched left row is still buffered
+    val eager = spark.table("t_ssleft").as[KV[String, String]].collect()
+    assert(eager.map(_.value).toSet === Set("matched-right"))
+
+    // advance both watermarks past 1000 + after(1000) → "lonely" gives up
+    lin.addData(("w", "adv", 10000L)); rin.addData(("w", "adv", 10000L))
+    q.processAllAvailable()
+    lin.addData(("w", "adv2", 20000L)); rin.addData(("w", "adv2", 20000L))
+    q.processAllAvailable()
+    val out = spark.table("t_ssleft").as[KV[String, String]].collect()
+    assert(out.filter(_.key == "u").map(_.value).toSeq === Seq("lonely-NULL"))
+    // null-side result keeps the left timestamp
+    assert(out.filter(_.key == "u").head.ts === ts(1000))
+  }
+
+  test("stream-stream outer join pads whichever side is missing after close") {
+    val lin = MemoryStream[(String, String, Long)]
+    val rin = MemoryStream[(String, String, Long)]
+    def ks(m: MemoryStream[(String, String, Long)]) =
+      new KStream(m.toDS().map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+        .withWatermarkMs(0)
+    val joined = ks(lin).outerJoin(ks(rin), JoinWindows.of(1000)) {
+      (a, b) => s"${a.getOrElse("NULL")}|${b.getOrElse("NULL")}"
+    }
+    val q = joined.ds.writeStream.format("memory").queryName("t_ssouter")
+      .outputMode("append").start()
+    queries = q :: queries
+
+    lin.addData(("lo", "left-only", 1000L))
+    rin.addData(("ro", "right-only", 1200L))
+    q.processAllAvailable()
+    lin.addData(("w", "adv", 10000L)); rin.addData(("w", "adv", 10000L))
+    q.processAllAvailable()
+    lin.addData(("w", "adv2", 20000L)); rin.addData(("w", "adv2", 20000L))
+    q.processAllAvailable()
+
+    val out = spark.table("t_ssouter").as[KV[String, String]].collect()
+    assert(out.filter(_.key == "lo").map(_.value).toSeq === Seq("left-only|NULL"))
+    assert(out.filter(_.key == "ro").map(_.value).toSeq === Seq("NULL|right-only"))
+    // the advancing keys matched themselves on both sides
+    assert(out.filter(_.key == "w").forall(!_.value.contains("NULL")))
+  }
+
   test("suppress-style final results: append mode emits a window once, after close") {
     val in = MemoryStream[(String, Long)]
     val counted = new KStream(in.toDS().map { case (k, t) =>
