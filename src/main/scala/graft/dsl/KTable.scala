@@ -69,6 +69,33 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]]) extends Serializa
       est: Encoder[(Option[V], Option[V2])]): KTable[K, VR] =
     new KTable(StatefulOps.tableTableJoin(changelog, other.changelog, "outer")(joiner))
 
+  /** Foreign-key KTable ⋈ KTable join (superset — on the reference's declared
+    * roadmap but absent, SURVEY §2.8; modeled on Kafka Streams KIP-213):
+    * each left row joins the `other` row whose key is `fk(leftValue)`; the
+    * result stays keyed by the LEFT key, and an update to a referenced right
+    * row re-emits all left rows pointing at it.
+    */
+  def fkJoin[KO, VO, VR](other: KTable[KO, VO])(fk: V => KO)(
+      joiner: (V, VO) => VR)(
+      implicit efr: Encoder[graft.streaming.FkRow[K, V, KO, VO]],
+      eu: Encoder[Upsert[K, VR]], eko: Encoder[KO], ek: Encoder[K],
+      ev: Encoder[Option[V]], est: Encoder[(Map[K, V], Option[VO])],
+      efl: Encoder[graft.streaming.FkLeft[K, V, KO]],
+      epair: Encoder[(graft.streaming.FkLeft[K, V, KO], Upsert[KO, VO])]): KTable[K, VR] =
+    new KTable(StatefulOps.fkTableJoin(changelog, other.changelog,
+      leftOuter = false)(fk)((v, vo) => joiner(v, vo.get)))
+
+  /** Foreign-key left join: unmatched left rows emit `joiner(v, None)`. */
+  def fkLeftJoin[KO, VO, VR](other: KTable[KO, VO])(fk: V => KO)(
+      joiner: (V, Option[VO]) => VR)(
+      implicit efr: Encoder[graft.streaming.FkRow[K, V, KO, VO]],
+      eu: Encoder[Upsert[K, VR]], eko: Encoder[KO], ek: Encoder[K],
+      ev: Encoder[Option[V]], est: Encoder[(Map[K, V], Option[VO])],
+      efl: Encoder[graft.streaming.FkLeft[K, V, KO]],
+      epair: Encoder[(graft.streaming.FkLeft[K, V, KO], Upsert[KO, VO])]): KTable[K, VR] =
+    new KTable(StatefulOps.fkTableJoin(changelog, other.changelog,
+      leftOuter = true)(fk)(joiner))
+
   /** Materialized view: latest row per key with tombstones applied — the
     * interactive-query surface (`KafkaStream.Store`, SURVEY §3.3).
     */

@@ -151,7 +151,56 @@ object DslQueries {
         col("_2._2").as("o_orderkey"), col("_2._3").as("o_totalprice"))
   }
 
+  /** Foreign-key table-table join (KIP-213 superset): every order joins the
+    * customer row referenced by o_custkey; result keyed by the order key.
+    * Batch fast path = plain equi-join on the extracted key (broadcast-able).
+    */
+  val qFkJoin = q(
+    "q_fk_join",
+    "SELECT o_orderkey, c_name, o_totalprice FROM orders " +
+      "JOIN customer ON o_custkey = c_custkey") { (s, d) =>
+    import s.implicits._
+    val orders = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Long, Double)]
+      .map { case (ok, ck, tp) => Upsert(ok, Some((ck, tp)), new Timestamp(0L)) }
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+      .as[(Long, String)]
+      .map { case (ck, nm) => Upsert(ck, Some(nm), new Timestamp(0L)) }
+    new KTable(orders)
+      .fkJoin(new KTable(cust))(_._1)((o, name) => (name, o._2))
+      .view
+      .select(col("_1").as("o_orderkey"), col("_2._1").as("c_name"),
+        col("_2._2").as("o_totalprice"))
+  }
+
+  /** FK LEFT join with tombstoned right rows: the nation table is filtered
+    * through `KTable.filter` (failing rows become tombstones), so customers
+    * of filtered-out nations exercise the unmatched-left path.
+    */
+  val qFkLeftJoin = q(
+    "q_fk_left_join",
+    "SELECT c_custkey, coalesce(n_name, 'none') AS nation FROM customer " +
+      "LEFT JOIN (SELECT * FROM nation WHERE n_regionkey = 1) " +
+      "ON c_nationkey = n_nationkey") { (s, d) =>
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+      .as[(Long, Long)]
+      .map { case (ck, nk) => Upsert(ck, Some(nk), new Timestamp(0L)) }
+    val nation = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .as[(Long, String, Long)]
+      .map { case (nk, nm, rk) => Upsert(nk, Some((nm, rk)), new Timestamp(0L)) }
+    new KTable(cust)
+      .fkLeftJoin(new KTable(nation).filter((_, v) => v._2 == 1L))(identity)(
+        (_, n) => n.map(_._1).getOrElse("none"))
+      .view
+      .select(col("_1").as("c_custkey"), col("_2").as("nation"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslStreamTableJoin,
-    qDslTableTableJoin)
+    qDslTableTableJoin, qFkJoin, qFkLeftJoin)
 }

@@ -21,6 +21,20 @@ final case class SideRow[K, V1, V2](
   */
 final case class KeyedChange[K, V](key: K, change: Change[V], ts: Timestamp)
 
+/** Foreign-key join rows, grouped by the referenced (right-side) key `KO`.
+  * `kind`: 0 = silent unsubscribe (fk moved — the new group's result
+  * overwrites, so no tombstone), 1 = subscribe/update, 2 = right-side upsert
+  * (`rightVal = None` is a tombstone), 3 = unsubscribe + propagate tombstone
+  * (left row deleted). Mirrors KIP-213's SubscriptionWrapper instruction
+  * types (PROPAGATE vs NO_PROPAGATE deletes).
+  */
+final case class FkRow[K, V, KO, VO](
+    ko: KO, ts: Timestamp, kind: Int,
+    leftKey: Option[K], leftVal: Option[V], rightVal: Option[VO])
+
+/** Batch-path row for the FK join: left row with its extracted foreign key. */
+final case class FkLeft[K, V, KO](key: K, value: V, fkey: KO, ts: Timestamp)
+
 /** The three custom stateful patterns Spark lacks as built-ins (SURVEY §4.2),
   * all implemented once with `flatMapGroupsWithState`, which runs in BOTH
   * batch (single group invocation, empty initial state) and streaming
@@ -183,6 +197,116 @@ object StatefulOps {
           state.update((lv, rv))
           out.result().iterator
       }
+  }
+
+  /** Foreign-key KTable ⋈ KTable join — ABSENT in the reference (declared
+    * roadmap gap, SURVEY §2.8 / `1_2_0.md`); implemented as a superset after
+    * Kafka Streams' KIP-213 design. Result is keyed by the LEFT key; a right
+    * (referenced) table update re-emits every subscribed left row.
+    *
+    * Batch fast path: latest view of both sides, plain equi-join on the
+    * extracted key — Catalyst picks broadcast/shuffled hash join and AQE
+    * re-plans at runtime, so a small dimension side never shuffles the fact
+    * side. Streaming path: the KIP-213 "subscription store" — an append-mode
+    * subscription pass re-keys left changes by foreign key (distinguishing
+    * fk-move from left-delete, like KIP-213's instruction types), then one
+    * update-mode stateful op per `KO` holds (subscribers: Map[K, V], right
+    * value). Because the result is keyed by the LEFT key, an fk-move needs
+    * no tombstone — the new group's emission overwrites — which avoids
+    * KIP-213's out-of-order-resolution machinery entirely.
+    *
+    * Scale note (streaming): state per referenced key is O(#subscribers), so
+    * a hot dimension row (every fact referencing one key) concentrates its
+    * subscriber map on one partition — same skew as any FK join; the batch
+    * path instead inherits AQE skew-join splitting.
+    */
+  def fkTableJoin[K, V, KO, VO, VR](
+      left: Dataset[Upsert[K, V]], right: Dataset[Upsert[KO, VO]],
+      leftOuter: Boolean)(fk: V => KO)(joiner: (V, Option[VO]) => VR)(
+      implicit efr: Encoder[FkRow[K, V, KO, VO]], eu: Encoder[Upsert[K, VR]],
+      eko: Encoder[KO], ek: Encoder[K], ev: Encoder[Option[V]],
+      est: Encoder[(Map[K, V], Option[VO])],
+      efl: Encoder[FkLeft[K, V, KO]],
+      epair: Encoder[(FkLeft[K, V, KO], Upsert[KO, VO])]): Dataset[Upsert[K, VR]] = {
+    require(left.isStreaming == right.isStreaming,
+      "fk join requires both sides streaming or both batch")
+    if (!left.isStreaming) {
+      val lv = latestFromChangelog(left)(left.encoder, ek)
+        .flatMap(u => u.value.map(v => FkLeft(u.key, v, fk(v), u.ts)))
+      val rv = latestFromChangelog(right)(right.encoder, eko)
+        .filter(_.value.isDefined)
+      lv.joinWith(rv, lv("fkey") === rv("key"),
+          if (leftOuter) "left_outer" else "inner")
+        .map { case (l, r) =>
+          val rOpt = Option(r).flatMap(_.value)
+          val ts = math.max(l.ts.getTime, Option(r).map(_.ts.getTime).getOrElse(0L))
+          Upsert(l.key, Some(joiner(l.value, rOpt)), new Timestamp(ts))
+        }
+    } else {
+      // Subscription pass (append mode, so the update-mode join op can chain
+      // after it): tracks the previous left value per key and emits move/
+      // delete instructions under the OLD fk plus subscribe under the new.
+      val ls = left.groupByKey(_.key)
+        .flatMapGroupsWithState[Option[V], FkRow[K, V, KO, VO]](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (k: K, it: Iterator[Upsert[K, V]], state: GroupState[Option[V]]) =>
+            var prev: Option[V] = state.getOption.flatten
+            val out = Seq.newBuilder[FkRow[K, V, KO, VO]]
+            it.toSeq.sortBy(_.ts.getTime).foreach { up =>
+              (prev, up.value) match {
+                case (Some(o), Some(n)) =>
+                  if (fk(o) != fk(n)) // silent: new group's result overwrites
+                    out += FkRow[K, V, KO, VO](fk(o), up.ts, 0, Some(k), None, None)
+                  out += FkRow[K, V, KO, VO](fk(n), up.ts, 1, Some(k), Some(n), None)
+                case (None, Some(n)) =>
+                  out += FkRow[K, V, KO, VO](fk(n), up.ts, 1, Some(k), Some(n), None)
+                case (Some(o), None) => // left delete: propagate a tombstone
+                  out += FkRow[K, V, KO, VO](fk(o), up.ts, 3, Some(k), None, None)
+                case (None, None) => ()
+              }
+              prev = up.value
+            }
+            state.update(prev)
+            out.result().iterator
+        }
+      val rs = right.map(u => FkRow[K, V, KO, VO](u.key, u.ts, 2, None, None, u.value))
+      // Append mode on BOTH stateful ops: Spark only chains multiple fMGWS
+      // when all are append-mode under an append-mode sink. Emitted upserts
+      // are final changelog EVENTS (never retracted in place), so append is
+      // the honest mode; consumers fold them latest-per-key as usual.
+      ls.union(rs).groupByKey(_.ko)
+        .flatMapGroupsWithState[(Map[K, V], Option[VO]), Upsert[K, VR]](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (_: KO, it: Iterator[FkRow[K, V, KO, VO]],
+              state: GroupState[(Map[K, V], Option[VO])]) =>
+            var (subscribers, rv) = state.getOption.getOrElse(
+              (Map.empty[K, V], Option.empty[VO]))
+            def result(v: V): Option[VR] =
+              if (leftOuter) Some(joiner(v, rv))
+              else rv.map(b => joiner(v, Some(b)))
+            val out = Seq.newBuilder[Upsert[K, VR]]
+            it.toSeq.sortBy(r => (r.ts.getTime, r.kind)).foreach { row =>
+              row.kind match {
+                case 0 => row.leftKey.foreach(subscribers -= _)
+                case 1 => for (k <- row.leftKey; v <- row.leftVal) {
+                  subscribers += (k -> v)
+                  out += Upsert(k, result(v), row.ts)
+                }
+                case 2 =>
+                  rv = row.rightVal
+                  subscribers.foreach { case (k, v) =>
+                    out += Upsert(k, result(v), row.ts)
+                  }
+                case _ => row.leftKey.foreach { k =>
+                  subscribers -= k
+                  out += Upsert(k, None, row.ts)
+                }
+              }
+            }
+            state.update((subscribers, rv))
+            out.result().iterator
+        }
+    }
   }
 
   /** KStream ⋈ KTable enrichment join (`KStreamKTableJoinProcessor.cs:28-44`):

@@ -87,6 +87,43 @@ class JoinsSpec extends SparkSpec {
     assert(joined === Map("k" -> "-/r1", "w" -> "-/rw"))
   }
 
+  test("fk join: result keyed by left key, looked up via fk(value)") {
+    // orders (key=orderkey, value=(custkey, price)) fk-join customers
+    val orders = new KTable(Seq(
+      Upsert("o1", Some(("c1", 10)), ts(1)),
+      Upsert("o2", Some(("c2", 20)), ts(2)),
+      Upsert("o3", Some(("c1", 30)), ts(3)),
+      Upsert("o4", Some(("cX", 40)), ts(4))).toDS()) // dangling fk
+    val cust = new KTable(Seq(
+      Upsert("c1", Some("alice"), ts(1)),
+      Upsert("c2", Some("bob"), ts(2))).toDS())
+    val out = orders.fkJoin(cust)(_._1)((o, name) => s"$name:${o._2}")
+      .view.collect().toMap
+    assert(out === Map("o1" -> "alice:10", "o2" -> "bob:20", "o3" -> "alice:30"))
+  }
+
+  test("fk left join keeps dangling references with None") {
+    val orders = new KTable(Seq(
+      Upsert("o1", Some(("c1", 10)), ts(1)),
+      Upsert("o4", Some(("cX", 40)), ts(4))).toDS())
+    val cust = new KTable(Seq(Upsert("c1", Some("alice"), ts(1))).toDS())
+    val out = orders.fkLeftJoin(cust)(_._1)(
+      (o, n) => s"${n.getOrElse("?")}:${o._2}").view.collect().toMap
+    assert(out === Map("o1" -> "alice:10", "o4" -> "?:40"))
+  }
+
+  test("fk join follows an fk change to the new referenced row") {
+    // o1 moves c1 -> c2: the batch view must show only the new reference
+    val orders = new KTable(Seq(
+      Upsert("o1", Some(("c1", 10)), ts(1)),
+      Upsert("o1", Some(("c2", 10)), ts(5))).toDS())
+    val cust = new KTable(Seq(
+      Upsert("c1", Some("alice"), ts(1)),
+      Upsert("c2", Some("bob"), ts(2))).toDS())
+    val out = orders.fkJoin(cust)(_._1)((o, name) => name).view.collect().toMap
+    assert(out === Map("o1" -> "bob"))
+  }
+
   test("global-table join uses the key mapper (foreign key)") {
     val dim = new GlobalKTable(Seq((1, "NATION_1"), (2, "NATION_2")).toDS())
     val s = stream(("c1", "1", 10), ("c2", "2", 20), ("c3", "99", 30))

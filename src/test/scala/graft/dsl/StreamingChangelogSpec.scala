@@ -14,8 +14,9 @@ class StreamingChangelogSpec extends SparkSpec {
   implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
   private var queries: List[StreamingQuery] = Nil
-  private def start(df: org.apache.spark.sql.Dataset[_], name: String): StreamingQuery = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode("update").start()
+  private def start(df: org.apache.spark.sql.Dataset[_], name: String,
+      mode: String = "update"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     queries = q :: queries; q
   }
   override def afterAll(): Unit = {
@@ -58,6 +59,57 @@ class StreamingChangelogSpec extends SparkSpec {
 
     val state = latest(spark.table("t_ttjoin").as[Upsert[String, String]].collect())
     assert(state("k") === Some("-/r1")) // right side survives the left delete
+  }
+
+  test("fk join: right-side update re-emits all subscribed left rows (cross-batch)") {
+    val oin = MemoryStream[(String, String, Long)] // (orderKey, custKey, ts)
+    val cin = MemoryStream[(String, String, Long)] // (custKey, name, ts)
+    val orders = new KTable(oin.toDS().map { case (k, fk, t) =>
+      Upsert(k, Some(fk), new java.sql.Timestamp(t)) })
+    val cust = new KTable(cin.toDS().map { case (k, v, t) =>
+      Upsert(k, if (v == "__del") None else Some(v), new java.sql.Timestamp(t)) })
+    val joined = orders.fkJoin(cust)(identity)((_, name) => name)
+    val q = start(joined.changelog, "t_fkjoin", "append")
+
+    // subscriptions arrive BEFORE the referenced row exists
+    oin.addData(("o1", "c1", 1L), ("o2", "c1", 2L)); q.processAllAvailable()
+    cin.addData(("c1", "alice", 3L)); q.processAllAvailable()
+    var state = latest(spark.table("t_fkjoin").as[Upsert[String, String]].collect())
+    assert(state("o1") === Some("alice") && state("o2") === Some("alice"))
+
+    // right update in a LATER batch re-emits both subscribers from state
+    cin.addData(("c1", "alicia", 4L)); q.processAllAvailable()
+    state = latest(spark.table("t_fkjoin").as[Upsert[String, String]].collect())
+    assert(state("o1") === Some("alicia") && state("o2") === Some("alicia"))
+
+    // right tombstone turns inner-join results into tombstones
+    cin.addData(("c1", "__del", 5L)); q.processAllAvailable()
+    state = latest(spark.table("t_fkjoin").as[Upsert[String, String]].collect())
+    assert(state("o1") === None && state("o2") === None)
+  }
+
+  test("fk join: fk change unsubscribes from the old referenced key (cross-batch)") {
+    val oin = MemoryStream[(String, String, Long)]
+    val cin = MemoryStream[(String, String, Long)]
+    val orders = new KTable(oin.toDS().map { case (k, fk, t) =>
+      Upsert(k, Some(fk), new java.sql.Timestamp(t)) })
+    val cust = new KTable(cin.toDS().map { case (k, v, t) =>
+      Upsert(k, Some(v), new java.sql.Timestamp(t)) })
+    val joined = orders.fkJoin(cust)(identity)((_, name) => name)
+    val q = start(joined.changelog, "t_fkmove", "append")
+
+    cin.addData(("c1", "alice", 1L), ("c2", "bob", 2L)); q.processAllAvailable()
+    oin.addData(("o1", "c1", 3L)); q.processAllAvailable()
+    // o1 re-points c1 -> c2 in a later batch
+    oin.addData(("o1", "c2", 4L)); q.processAllAvailable()
+    val state = latest(spark.table("t_fkmove").as[Upsert[String, String]].collect())
+    assert(state("o1") === Some("bob"))
+
+    // updating the ABANDONED c1 must NOT re-emit o1 (it unsubscribed)
+    cin.addData(("c1", "alicia", 5L)); q.processAllAvailable()
+    val after = spark.table("t_fkmove").as[Upsert[String, String]].collect()
+      .filter(u => u.ts.getTime == 5L)
+    assert(after.isEmpty)
   }
 
   test("windowed store fetch(key, from, to) over a materialized windowed table") {
