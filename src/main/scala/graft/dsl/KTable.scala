@@ -9,14 +9,25 @@ import graft.streaming.{KeyedChange, StatefulOps}
   * where `value = None` is a tombstone. In streaming this is an update-mode
   * changelog; in batch it is the final materialized view.
   */
-final class KTable[K, V](val changelog: Dataset[Upsert[K, V]]) extends Serializable {
+final class KTable[K, V](val changelog: Dataset[Upsert[K, V]],
+    val uniqueKeys: Boolean = false) extends Serializable {
+
+  /** Marks this (batch) changelog as already having at most one row per key —
+    * e.g. a dimension snapshot read from parquet. Downstream batch operators
+    * ([[view]], [[fkJoin]]) then skip the stateful latest-per-key fold, so
+    * the plan stays a plain scan → join with predicate pushdown, column
+    * pruning, and broadcast eligibility intact (the fold's shuffle +
+    * object-codec hop would hide the scan from Catalyst). No effect on
+    * streaming semantics — state folds still run there.
+    */
+  def withUniqueKeys: KTable[K, V] = new KTable(changelog, uniqueKeys = true)
 
   /** `KTable.Filter` (`IKTable.cs:52`; `KTableFilterProcessor.cs:21-53`):
     * a row whose value fails the predicate becomes a tombstone downstream.
     */
   def filter(p: (K, V) => Boolean): KTable[K, V] =
     new KTable(changelog.map(u =>
-      u.copy(value = u.value.filter(v => p(u.key, v))))(changelog.encoder))
+      u.copy(value = u.value.filter(v => p(u.key, v))))(changelog.encoder), uniqueKeys)
 
   def filterNot(p: (K, V) => Boolean): KTable[K, V] =
     filter((k, v) => !p(k, v))
@@ -24,7 +35,7 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]]) extends Serializa
   /** `KTable.MapValues` (`IKTable.cs:190`). */
   def mapValues[V2](f: V => V2)(
       implicit e: Encoder[Upsert[K, V2]]): KTable[K, V2] =
-    new KTable(changelog.map(u => Upsert(u.key, u.value.map(f), u.ts)))
+    new KTable(changelog.map(u => Upsert(u.key, u.value.map(f), u.ts)), uniqueKeys)
 
   /** `KTable.ToStream` (`IKTable.cs:126`): every update becomes an event;
     * tombstones dropped (use `toChangeStream` to observe them).
@@ -83,7 +94,8 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]]) extends Serializa
       efl: Encoder[graft.streaming.FkLeft[K, V, KO]],
       epair: Encoder[(graft.streaming.FkLeft[K, V, KO], Upsert[KO, VO])]): KTable[K, VR] =
     new KTable(StatefulOps.fkTableJoin(changelog, other.changelog,
-      leftOuter = false)(fk)((v, vo) => joiner(v, vo.get)))
+      leftOuter = false, leftUnique = uniqueKeys, rightUnique = other.uniqueKeys)(
+      fk)((v, vo) => joiner(v, vo.get)), uniqueKeys)
 
   /** Foreign-key left join: unmatched left rows emit `joiner(v, None)`. */
   def fkLeftJoin[KO, VO, VR](other: KTable[KO, VO])(fk: V => KO)(
@@ -94,15 +106,19 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]]) extends Serializa
       efl: Encoder[graft.streaming.FkLeft[K, V, KO]],
       epair: Encoder[(graft.streaming.FkLeft[K, V, KO], Upsert[KO, VO])]): KTable[K, VR] =
     new KTable(StatefulOps.fkTableJoin(changelog, other.changelog,
-      leftOuter = true)(fk)(joiner))
+      leftOuter = true, leftUnique = uniqueKeys, rightUnique = other.uniqueKeys)(
+      fk)(joiner), uniqueKeys)
 
   /** Materialized view: latest row per key with tombstones applied — the
     * interactive-query surface (`KafkaStream.Store`, SURVEY §3.3).
     */
   def view(implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K],
       ekv: Encoder[(K, V)]): Dataset[(K, V)] =
-    StatefulOps.latestFromChangelog(changelog)
-      .flatMap(u => u.value.map(v => (u.key, v)))
+    if (!changelog.isStreaming && uniqueKeys)
+      changelog.flatMap(u => u.value.map(v => (u.key, v))) // snapshot: no fold
+    else
+      StatefulOps.latestFromChangelog(changelog)
+        .flatMap(u => u.value.map(v => (u.key, v)))
 }
 
 /** Grouped changelog (`IKGroupedTable`, `core/Table/IKGroupedTable.cs:16`):

@@ -168,8 +168,8 @@ object DslQueries {
       .select(col("c_custkey"), col("c_name"))
       .as[(Long, String)]
       .map { case (ck, nm) => Upsert(ck, Some(nm), new Timestamp(0L)) }
-    new KTable(orders)
-      .fkJoin(new KTable(cust))(_._1)((o, name) => (name, o._2))
+    new KTable(orders).withUniqueKeys
+      .fkJoin(new KTable(cust).withUniqueKeys)(_._1)((o, name) => (name, o._2))
       .view
       .select(col("_1").as("o_orderkey"), col("_2._1").as("c_name"),
         col("_2._2").as("o_totalprice"))
@@ -193,8 +193,8 @@ object DslQueries {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
       .as[(Long, String, Long)]
       .map { case (nk, nm, rk) => Upsert(nk, Some((nm, rk)), new Timestamp(0L)) }
-    new KTable(cust)
-      .fkLeftJoin(new KTable(nation).filter((_, v) => v._2 == 1L))(identity)(
+    new KTable(cust).withUniqueKeys
+      .fkLeftJoin(new KTable(nation).withUniqueKeys.filter((_, v) => v._2 == 1L))(identity)(
         (_, n) => n.map(_._1).getOrElse("none"))
       .view
       .select(col("_1").as("c_custkey"), col("_2").as("nation"))

@@ -222,7 +222,8 @@ object StatefulOps {
     */
   def fkTableJoin[K, V, KO, VO, VR](
       left: Dataset[Upsert[K, V]], right: Dataset[Upsert[KO, VO]],
-      leftOuter: Boolean)(fk: V => KO)(joiner: (V, Option[VO]) => VR)(
+      leftOuter: Boolean, leftUnique: Boolean = false,
+      rightUnique: Boolean = false)(fk: V => KO)(joiner: (V, Option[VO]) => VR)(
       implicit efr: Encoder[FkRow[K, V, KO, VO]], eu: Encoder[Upsert[K, VR]],
       eko: Encoder[KO], ek: Encoder[K], ev: Encoder[Option[V]],
       est: Encoder[(Map[K, V], Option[VO])],
@@ -231,9 +232,11 @@ object StatefulOps {
     require(left.isStreaming == right.isStreaming,
       "fk join requires both sides streaming or both batch")
     if (!left.isStreaming) {
-      val lv = latestFromChangelog(left)(left.encoder, ek)
-        .flatMap(u => u.value.map(v => FkLeft(u.key, v, fk(v), u.ts)))
-      val rv = latestFromChangelog(right)(right.encoder, eko)
+      // A side marked unique (dimension snapshot) skips the stateful fold:
+      // the plan stays scan → join, keeping pushdown/pruning/broadcast.
+      val lsrc = if (leftUnique) left else latestFromChangelog(left)(left.encoder, ek)
+      val lv = lsrc.flatMap(u => u.value.map(v => FkLeft(u.key, v, fk(v), u.ts)))
+      val rv = (if (rightUnique) right else latestFromChangelog(right)(right.encoder, eko))
         .filter(_.value.isDefined)
       lv.joinWith(rv, lv("fkey") === rv("key"),
           if (leftOuter) "left_outer" else "inner")

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions for headline queries: the properties that make
+  * these plans survive a 100 TB scale-up (broadcast dims, predicate pushdown,
+  * column pruning, no unnecessary shuffles) are locked in here so a future
+  * refactor can't silently regress them.
+  *
+  * Runs against the sf0.001 test data (read-only).
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q3_shipping broadcasts both dimension sides; fact table never shuffles pre-join") {
+    val p = plan("q3_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dims must broadcast, not sort-merge")
+    // dimension filter reaches the parquet scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "pushdown lost")
+  }
+
+  test("q_fk_join on unique-key snapshots: scan -> broadcast join, no stateful fold") {
+    val p = plan("q_fk_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("FlatMapGroupsWithState") && !p.contains("MapGroups"),
+      "snapshot fast path must skip the latest-per-key fold")
+    // column pruning: the orders scan reads only the three needed columns
+    assert(p.contains("struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>"),
+      "orders scan must be pruned to 3 columns")
+  }
+
+  test("q1_agg aggregates with map-side partials inside codegen") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial+final agg expected")
+    // AQE hides codegen ids pre-execution; assert the agg strategy instead
+    assert(!p.contains("SortAggregate"), "must stay a hash aggregate")
+  }
+
+  test("q_join_global broadcasts the dimension (fact side never shuffles)") {
+    val p = plan("q_join_global")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_filter pushes the predicate into the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("EqualTo(event_type,click)"), "predicate must reach the scan")
+    assert(p.contains("[codegen id :"), "filter must stay inside codegen")
+  }
+
+  test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
+    import spark.implicits._
+    import graft.dsl._
+    // two upserts for one key: the fold is REQUIRED for correctness here
+    val t = new KTable(Seq(
+      Upsert("k", Some(1), ts(1)), Upsert("k", Some(2), ts(2))).toDS())
+    val p = t.view.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("MapGroups")) // batch lowering of flatMapGroupsWithState
+    assert(t.view.collect().toMap === Map("k" -> 2))
+  }
+}
