@@ -14,7 +14,8 @@ object SparkEntry {
 
   val registry: Seq[GraftQuery] =
     CoreQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ DslQueries.all ++ CompositeQueries.all
+      TextQueries.all ++ VectorQueries.all ++ DslQueries.all ++
+      CompositeQueries.all ++ SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

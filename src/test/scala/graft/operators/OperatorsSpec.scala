@@ -76,6 +76,41 @@ class OperatorsSpec extends SparkSpec {
     assert(assigned.select("centroid_id").distinct().count() > 1)
   }
 
+  test("hash sampling is stable under repartitioning (rand() would not be)") {
+    val ids = (1L to 2000L).toDF("id")
+    val a = Sampling.hashSample(ids, col("id"), 100).collect().map(_.getLong(0)).sorted
+    val b = Sampling.hashSample(ids.repartition(13), col("id"), 100)
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b))
+    // keep rate lands near 10% (md5 buckets are uniform-ish)
+    assert(a.length > 140 && a.length < 260, s"got ${a.length}")
+  }
+
+  test("split assignment is disjoint, exhaustive, and monotone-stable") {
+    val ids = (1L to 1000L).toDF("id")
+    val splits = Sampling.assignSplit(ids, col("id"),
+      Seq(("train", 900), ("val", 950), ("test", 1000)))
+    assert(splits.count() === 1000) // every row assigned exactly once
+    // growing the corpus never reassigns an existing row
+    val bigger = Sampling.assignSplit((1L to 2000L).toDF("id"), col("id"),
+      Seq(("train", 900), ("val", 950), ("test", 1000)))
+    val before = splits.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val after = bigger.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(before.forall { case (k, v) => after(k) == v })
+  }
+
+  test("perKeyCap bounds every key's contribution") {
+    val df = Seq.tabulate(500)(i => (s"k${i % 3}", i.toLong)).toDF("key", "id")
+    val capped = Sampling.perKeyCap(df, col("key"), col("id"), 7)
+    val counts = capped.groupBy("key").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ === 7L))
+    // deterministic: same rows on re-run
+    val again = Sampling.perKeyCap(df.repartition(11), col("key"), col("id"), 7)
+    assert(capped.collect().map(_.toString).sorted
+      .sameElements(again.collect().map(_.toString).sorted))
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
     val feats = Multimodal.extractFeatures(media).collect()
