@@ -81,6 +81,9 @@ final class KGroupedStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable
 
   def windowedBy(w: SessionWindow): SessionWindowedKStream[K, V] =
     new SessionWindowedKStream(ds, w)
+
+  def windowedBy(w: SlidingWindow): SlidingWindowedKStream[K, V] =
+    new SlidingWindowedKStream(ds, w)
 }
 
 /** Windowed grouped stream (`ITimeWindowedKStream`,
@@ -186,6 +189,69 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
       start -= advanceMs
     }
     out.result()
+  }
+}
+
+/** Sliding-windowed grouped stream (KIP-450 analog — superset, see
+  * [[SlidingWindow]]): one window [t − size, t] per distinct record
+  * timestamp t.
+  *
+  * Batch: a codegen'd RANGE-frame window function — single shuffle on the
+  * key, no state, no explosion; at 100 TB this is the cheapest possible
+  * formulation (Catalyst sorts each partition once and streams the frame).
+  * Streaming: per-key event-time buffer with watermark eviction, so state
+  * is bounded by (events within `size` + grace) per key.
+  */
+final class SlidingWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SlidingWindow)
+    extends Serializable {
+
+  def count(implicit eu: Encoder[Upsert[Windowed[K], Long]],
+      et: Encoder[(K, Long, Long)], ek: Encoder[K],
+      ekv: Encoder[KV[K, V]],
+      est: Encoder[Vector[Long]]): KTable[Windowed[K], Long] = {
+    val sizeMs = w.sizeMs
+    if (!ds.isStreaming) {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("tsm"))
+        .rangeBetween(-sizeMs, 0) // [t-size, t], both ends inclusive
+      val df = ds.filter(r => r.key != null).toDF("key", "value", "ts")
+        .withColumn("tsm", unix_millis(col("ts")))
+        .withColumn("cnt", fcount(lit(1)).over(win))
+        .select(col("key"), col("tsm"), col("cnt"))
+        .distinct() // same-ts records share one window
+      new KTable(df.as[(K, Long, Long)].map { case (k, t, c) =>
+        Upsert(Windowed(k, new Timestamp(t - sizeMs), new Timestamp(t)),
+          Some(c), new Timestamp(t))
+      })
+    } else {
+      val graceMs = w.grace.toMillis
+      val src = ds.filter(r => r.key != null).withWatermark("ts", w.graceExpr)
+      new KTable(src.groupByKey(_.key)
+        .flatMapGroupsWithState[Vector[Long], Upsert[Windowed[K], Long]](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+          (key: K, it: Iterator[KV[K, V]], state: GroupState[Vector[Long]]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              var buf = state.getOption.getOrElse(Vector.empty[Long])
+              // evict events that can no longer fall in any future window
+              val wm = state.getCurrentWatermarkMs()
+              if (wm > 0) buf = buf.filter(_ >= wm - sizeMs)
+              val out = Seq.newBuilder[Upsert[Windowed[K], Long]]
+              it.toSeq.sortBy(_.ts.getTime).foreach { r =>
+                val t = r.ts.getTime
+                buf = buf :+ t
+                val cnt = buf.count(e => e >= t - sizeMs && e <= t)
+                out += Upsert(
+                  Windowed(key, new Timestamp(t - sizeMs), new Timestamp(t)),
+                  Some(cnt.toLong), r.ts)
+              }
+              state.update(buf)
+              if (buf.nonEmpty)
+                state.setTimeoutTimestamp(buf.max + sizeMs + graceMs + 1)
+              out.result().iterator
+            }
+        })
+    }
   }
 }
 

@@ -47,6 +47,23 @@ final case class SessionWindow(gap: Duration, grace: Duration = Duration.ZERO)
   def gapExpr: String = ms(gap)
 }
 
+/** Sliding windows — superset; absent in the reference (roadmap:
+  * `1_2_0.md` sliding-window aggs). Modeled on Kafka Streams KIP-450:
+  * for each record at time t, the aggregate covers [t − size, t] (both
+  * inclusive). We emit the right-edge-aligned windows (one per distinct
+  * record timestamp); KIP-450's additional "early" left-edge windows are
+  * the same aggregates observed before the right edge arrives — a
+  * per-update-cadence difference, not a final-result one.
+  */
+final case class SlidingWindow(size: Duration, grace: Duration = Duration.ZERO)
+    extends WindowDef {
+  def sizeMs: Long = size.toMillis
+}
+
+object SlidingWindow {
+  def of(sizeMs: Long): SlidingWindow = SlidingWindow(Duration.ofMillis(sizeMs))
+}
+
 /** Stream-stream join window: match other-side records in
   * [ts − before, ts + after] (`core/Stream/JoinWindowOptions.cs:35-53`).
   */

@@ -99,6 +99,32 @@ object WindowQueries {
       .select(unix_millis(col("window.start")).as("wstart"), col("cnt"))
   }
 
+  /** Sliding 1 h window (KIP-450 analog, superset — absent in the reference):
+    * one window [t − 1h, t] per distinct record timestamp, via the DSL's
+    * RANGE-frame batch path (codegen'd, one shuffle, no explosion).
+    */
+  val qWindowSliding = q(
+    "q_window_sliding",
+    "SELECT DISTINCT event_type, epoch_ms(ts) - 3600000 AS wstart, " +
+      "epoch_ms(ts) AS wend, count(*) OVER (PARTITION BY event_type " +
+      "ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS cnt " +
+      "FROM events") { (s, d) =>
+    import s.implicits._
+    import graft.dsl._
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .map { case (et, t) => KV(et, 1, t) }
+    new KStream(ev).groupByKey
+      .windowedBy(SlidingWindow.of(3600000L))
+      .count
+      .changelog
+      .select(col("key.key").as("event_type"),
+        unix_millis(col("key.start")).as("wstart"),
+        unix_millis(col("key.end")).as("wend"), col("value").as("cnt"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qWindowTumbling, qWindowAgg, qWindowHopping, qWindowSession, qWindowGrace)
+    qWindowTumbling, qWindowAgg, qWindowHopping, qWindowSession, qWindowGrace,
+    qWindowSliding)
 }

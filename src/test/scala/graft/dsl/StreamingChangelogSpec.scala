@@ -112,6 +112,23 @@ class StreamingChangelogSpec extends SparkSpec {
     assert(after.isEmpty)
   }
 
+  test("sliding window count buffers events across microbatches") {
+    val in = MemoryStream[(String, Long)]
+    val counted = new KStream(in.toDS().map { case (k, t) =>
+      KV(k, 1, new java.sql.Timestamp(t)) })
+      .groupByKey.windowedBy(SlidingWindow.of(1000)).count
+    val q = start(counted.changelog, "t_sliding")
+
+    in.addData(("k", 100L), ("k", 600L)); q.processAllAvailable()
+    // a LATER batch: the window ending at 900 must see 100 and 600 from state
+    in.addData(("k", 900L)); q.processAllAvailable()
+
+    val rows = spark.table("t_sliding").as[Upsert[Windowed[String], Long]]
+      .collect().map(u => u.key.end.getTime -> u.value.get).toMap
+    assert(rows(900L) === 3L) // {100, 600, 900} within [−100, 900]
+    assert(rows(600L) === 2L)
+  }
+
   test("windowed store fetch(key, from, to) over a materialized windowed table") {
     val in = MemoryStream[(String, Long)]
     val counted = new KStream(in.toDS().map { case (k, t) =>

@@ -56,6 +56,18 @@ class WindowedSpec extends SparkSpec {
     assert(viaAgg === viaCount)
   }
 
+  test("sliding window count: [t-size, t] inclusive, one window per distinct ts") {
+    // size 1000: windows end at each record ts
+    val s = stream(("k", 1, 0), ("k", 1, 500), ("k", 1, 1000), ("k", 1, 1500),
+      ("k", 1, 1500)) // duplicate ts -> single window row
+    val out = s.groupByKey.windowedBy(SlidingWindow.of(1000)).count
+      .changelog.collect()
+      .map(u => (u.key.end.getTime, u.value.get)).sorted
+    // t=0: {0}; t=500: {0,500}; t=1000: {0,500,1000} (inclusive left edge);
+    // t=1500: {500,1000,1500,1500}
+    assert(out === Array((0L, 1L), (500L, 2L), (1000L, 3L), (1500L, 4L)))
+  }
+
   test("session window: 30-unit gap merges nearby events") {
     val s = stream(("k", 1, 0), ("k", 1, 20), ("k", 1, 100), ("y", 1, 5))
     val out = s.groupByKey.windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
