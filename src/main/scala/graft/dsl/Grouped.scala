@@ -253,6 +253,73 @@ final class SlidingWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SlidingWindow
         })
     }
   }
+
+  /** Sliding-window `aggregate`: arbitrary event-time-ordered fold over
+    * [t − size, t] per distinct record timestamp. Batch collects each
+    * window's events via the same RANGE frame (`collect_list` — per-row cost
+    * is O(events in window), the price of an arbitrary non-mergeable fold;
+    * prefer [[count]] / algebraic sums where possible). Ties in event time
+    * fold in frame order (arrival), matching the reference's arrival-order
+    * processing.
+    */
+  def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
+      implicit eu: Encoder[Upsert[Windowed[K], VR]],
+      ebatch: Encoder[(K, Long, Seq[(Long, V)])], ek: Encoder[K],
+      est: Encoder[Seq[(Long, V)]]): KTable[Windowed[K], VR] = {
+    val sizeMs = w.sizeMs
+    if (!ds.isStreaming) {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("key")).orderBy(col("tsm"))
+        .rangeBetween(-sizeMs, 0)
+      val df = ds.filter(r => r.key != null).toDF("key", "value", "ts")
+        .withColumn("tsm", unix_millis(col("ts")))
+        .withColumn("evs", collect_list(struct(col("tsm"), col("value"))).over(win))
+        .select(col("key"), col("tsm"), col("evs"))
+        .distinct()
+      new KTable(df.as[(K, Long, Seq[(Long, V)])].map { case (k, t, evs) =>
+        var acc = init()
+        evs.foreach { case (_, v) => acc = agg(k, v, acc) } // frame is ts-ordered
+        Upsert(Windowed(k, new Timestamp(t - sizeMs), new Timestamp(t)),
+          Some(acc), new Timestamp(t))
+      })
+    } else {
+      val graceMs = w.grace.toMillis
+      val src = ds.filter(r => r.key != null).withWatermark("ts", w.graceExpr)
+      new KTable(src.groupByKey(_.key)
+        .flatMapGroupsWithState[Seq[(Long, V)], Upsert[Windowed[K], VR]](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+          (key: K, it: Iterator[KV[K, V]], state: GroupState[Seq[(Long, V)]]) =>
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              var buf = state.getOption.getOrElse(Seq.empty[(Long, V)])
+              val wm = state.getCurrentWatermarkMs()
+              if (wm > 0) buf = buf.filter(_._1 >= wm - sizeMs)
+              val out = Seq.newBuilder[Upsert[Windowed[K], VR]]
+              it.toSeq.sortBy(_.ts.getTime).foreach { r =>
+                val t = r.ts.getTime
+                buf = buf :+ (t -> r.value)
+                var acc = init()
+                buf.filter(e => e._1 >= t - sizeMs && e._1 <= t)
+                  .sortBy(_._1).foreach { case (_, v) => acc = agg(key, v, acc) }
+                out += Upsert(
+                  Windowed(key, new Timestamp(t - sizeMs), new Timestamp(t)),
+                  Some(acc), r.ts)
+              }
+              state.update(buf)
+              if (buf.nonEmpty)
+                state.setTimeoutTimestamp(buf.map(_._1).max + sizeMs + graceMs + 1)
+              out.result().iterator
+            }
+        })
+    }
+  }
+
+  def reduce(f: (V, V) => V)(
+      implicit eu: Encoder[Upsert[Windowed[K], V]],
+      ebatch: Encoder[(K, Long, Seq[(Long, V)])], ek: Encoder[K],
+      est: Encoder[Seq[(Long, V)]]): KTable[Windowed[K], V] =
+    aggregate(() => null.asInstanceOf[V])(
+      (_, v, acc) => if (acc == null) v else f(acc, v))
 }
 
 /** Session-windowed grouped stream — Spark-native `session_window` superset

@@ -52,6 +52,16 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       implicit e: Encoder[KV[K2, V]]): KStream[K2, V] =
     new KStream(ds.map(r => KV(f(r.key, r.value), r.value, r.ts)))
 
+  /** Explicit repartition-by-key (Kafka Streams 2.6 `repartition()`; the
+    * reference only roadmaps repartition topics — `1_2_0.md:14`,
+    * `GroupedStreamAggregateBuilder.cs:37` TODO). Rarely needed: every
+    * `groupByKey`/join already shuffles correctly; use this to pre-shape
+    * parallelism (e.g. widen a narrow source before CPU-heavy maps, or
+    * co-partition two streams once for several downstream joins).
+    */
+  def repartition(numPartitions: Int): KStream[K, V] =
+    new KStream(ds.repartition(numPartitions, col("key")))
+
   /** `Peek` (`IKStream.cs:385`) — pass-through side effect. */
   def peek(action: (K, V) => Unit): KStream[K, V] =
     new KStream(ds.map { r => action(r.key, r.value); r }(ds.encoder))

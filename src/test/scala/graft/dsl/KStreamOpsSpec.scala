@@ -93,4 +93,15 @@ class KStreamOpsSpec extends SparkSpec {
     val up = s.groupByKey.count.changelog.collect().head
     assert(up.ts === ts(7))
   }
+
+  test("repartition hash-partitions by key without changing contents") {
+    val s = stream(("a", "1", 1), ("b", "2", 2), ("a", "3", 3))
+    val rep = s.repartition(8)
+    assert(rep.ds.rdd.getNumPartitions === 8)
+    // same-key rows co-locate (hash partitioning on the key column)
+    val parts = rep.ds.rdd.mapPartitionsWithIndex { (i, it) =>
+      it.map(r => r.key -> i) }.collect().groupBy(_._1)
+    assert(parts("a").map(_._2).distinct.length === 1)
+    assert(rep.ds.collect().map(_.value).sorted === Array("1", "2", "3"))
+  }
 }

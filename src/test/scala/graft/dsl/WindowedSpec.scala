@@ -68,6 +68,23 @@ class WindowedSpec extends SparkSpec {
     assert(out === Array((0L, 1L), (500L, 2L), (1000L, 3L), (1500L, 4L)))
   }
 
+  test("sliding window aggregate folds events in event-time order") {
+    val s = stream(("k", 1, 0), ("k", 2, 500), ("k", 3, 1200))
+    val out = s.groupByKey.windowedBy(SlidingWindow.of(1000))
+      .aggregate(() => "")((_, v, acc) => acc + v)
+      .changelog.collect()
+      .map(u => (u.key.end.getTime, u.value.get)).sorted
+    // t=0: "1"; t=500: "12"; t=1200: {500,1200} -> "23" (0 aged out)
+    assert(out === Array((0L, "1"), (500L, "12"), (1200L, "23")))
+  }
+
+  test("sliding window reduce") {
+    val s = stream(("k", 5, 0), ("k", 7, 400))
+    val out = s.groupByKey.windowedBy(SlidingWindow.of(1000)).reduce(_ max _)
+      .changelog.collect().map(u => (u.key.end.getTime, u.value.get)).sorted
+    assert(out === Array((0L, 5), (400L, 7)))
+  }
+
   test("session window: 30-unit gap merges nearby events") {
     val s = stream(("k", 1, 0), ("k", 1, 20), ("k", 1, 100), ("y", 1, 5))
     val out = s.groupByKey.windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
