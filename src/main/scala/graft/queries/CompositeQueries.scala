@@ -125,5 +125,74 @@ object CompositeQueries {
       Seq(sum(col("cnt")).as("cnt"), sum(col("sq_c")).as("sq_c")))
   }
 
-  val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot, qSaltedAgg)
+  /** Q14-shaped: promo revenue vs total per ship-year. Conditional
+    * aggregation over a broadcast part join; both sums exact integers so the
+    * ratio can be computed client-side without float drift.
+    */
+  val q14Promo = q(
+    "q14_promo",
+    "SELECT year(l_shipdate) AS yr, " +
+      s"${Exact.sumScaledSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 10000)} AS promo_e4, " +
+      s"${Exact.sumScaledSql("l_extendedprice * (1 - l_discount)", 10000)} AS total_e4 " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(
+        Exact.sumScaled(
+          when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0)),
+          10000).as("promo_e4"),
+        Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .as("total_e4"))
+  }
+
+  /** Q18-shaped: large-volume orders — aggregate lineitem per order, keep
+    * orders whose total quantity exceeds 300, enrich with customer. The
+    * aggregate-then-join shape: the HAVING filter shrinks the fact side
+    * BEFORE the join, so only qualifying orders are ever joined.
+    */
+  val q18Large = q(
+    "q18_large",
+    "SELECT c_custkey, o_orderkey, epoch_ms(o_orderdate) AS odate_ms, " +
+      s"sq_c FROM (SELECT l_orderkey, ${Exact.sumScaledSql("l_quantity", 100)} AS sq_c " +
+      "FROM lineitem GROUP BY l_orderkey HAVING sq_c > 30000) " +
+      "JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN customer ON c_custkey = o_custkey") { (s, d) =>
+    val bigOrders = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(Exact.sumScaled(col("l_quantity"), 100).as("sq_c"))
+      .filter(col("sq_c") > 30000)
+    bigOrders
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"), col("sq_c"))
+  }
+
+  /** Q9-shaped: profit per supplier nation per order-year — a five-table
+    * join (lineitem ⋈ orders co-shuffle; part/supplier/nation broadcast).
+    */
+  val q9Profit = q(
+    "q9_profit",
+    "SELECT n_name, year(o_orderdate) AS yr, " +
+      s"${Exact.sumScaledSql("l_extendedprice * (1 - l_discount)", 10000)} AS profit_e4 " +
+      "FROM lineitem JOIN orders ON o_orderkey = l_orderkey " +
+      "JOIN part ON p_partkey = l_partkey " +
+      "JOIN supplier ON s_suppkey = l_suppkey " +
+      "JOIN nation ON n_nationkey = s_nationkey " +
+      "WHERE p_type = 'PROMO' GROUP BY n_name, yr") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
+      .agg(Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+        .as("profit_e4"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
+    qSaltedAgg, q14Promo, q18Large, q9Profit)
 }
