@@ -79,3 +79,65 @@ object ErrorHandling {
     l
   }
 }
+
+/** One microbatch's metrics for one streaming query. */
+final case class QueryMetric(
+    queryName: String, queryId: String, batchId: Long,
+    numInputRows: Long, inputRowsPerSecond: Double,
+    processedRowsPerSecond: Double, batchDurationMs: Long,
+    stateRows: Long, stateMemoryBytes: Long)
+
+/** Per-query runtime metrics — on the reference's 1.3.0 roadmap
+  * (`README.md:34-37`, sensors/metrics), implemented here as a superset over
+  * Spark's `StreamingQueryListener`: every microbatch's progress (throughput,
+  * latency, state size) is captured into a bounded in-memory ring and
+  * queryable as a `Dataset`, so metrics join the same analytical surface as
+  * the data (e.g. alert when `processedRowsPerSecond` drops).
+  */
+object Metrics {
+
+  final class Recorder private[Metrics] (maxRetained: Int)
+      extends StreamingQueryListener {
+    private val buf = new scala.collection.mutable.ArrayDeque[QueryMetric]()
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val m = QueryMetric(
+        queryName = Option(p.name).getOrElse(""),
+        queryId = p.id.toString,
+        batchId = p.batchId,
+        numInputRows = p.numInputRows,
+        inputRowsPerSecond = zeroIfNaN(p.inputRowsPerSecond),
+        processedRowsPerSecond = zeroIfNaN(p.processedRowsPerSecond),
+        batchDurationMs = Option(p.durationMs)
+          .flatMap(d => Option(d.get("triggerExecution"))).map(_.longValue).getOrElse(0L),
+        stateRows = p.stateOperators.map(_.numRowsTotal).sum,
+        stateMemoryBytes = p.stateOperators.map(_.memoryUsedBytes).sum)
+      buf.synchronized {
+        buf.append(m)
+        while (buf.size > maxRetained) buf.removeHead()
+      }
+    }
+
+    private def zeroIfNaN(d: Double): Double = if (d.isNaN) 0.0 else d
+
+    /** Current metrics as a queryable Dataset. */
+    def snapshot(spark: SparkSession): org.apache.spark.sql.Dataset[QueryMetric] = {
+      implicit val enc: org.apache.spark.sql.Encoder[QueryMetric] =
+        org.apache.spark.sql.Encoders.product[QueryMetric]
+      spark.createDataset(buf.synchronized(buf.toSeq))
+    }
+  }
+
+  /** Attach a recorder to the session; detach with `remove`. */
+  def attach(spark: SparkSession, maxRetained: Int = 10000): Recorder = {
+    val r = new Recorder(maxRetained)
+    spark.streams.addListener(r)
+    r
+  }
+
+  def remove(spark: SparkSession, r: Recorder): Unit =
+    spark.streams.removeListener(r)
+}
