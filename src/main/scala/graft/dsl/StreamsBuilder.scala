@@ -142,3 +142,24 @@ object Sinks {
       .outputMode(outputMode)
       .start()
 }
+
+/** Emission cadence — the output-mode choice made explicit as API.
+  *
+  * The reference emits every update immediately and lacks `suppress()`
+  * (SURVEY §2.7 "Emission policy"); Kafka Streams' `suppress(untilWindowCloses)`
+  * is its roadmap answer. In Spark the same dial is the sink's output mode,
+  * applied to the whole query:
+  *  - [[perUpdate]]: update mode — every state change emits (the reference's
+  *    cadence; intermediate results visible).
+  *  - [[finalResults]]: append mode + watermark — a windowed result emits
+  *    exactly once, after the watermark passes its window end
+  *    (`suppress(untilWindowCloses)` as a superset; verified in
+  *    `StreamingJoinSpec` "emits a window once, after close").
+  */
+object Emission {
+  def perUpdate[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]):
+      org.apache.spark.sql.streaming.DataStreamWriter[T] = w.outputMode("update")
+
+  def finalResults[T](w: org.apache.spark.sql.streaming.DataStreamWriter[T]):
+      org.apache.spark.sql.streaming.DataStreamWriter[T] = w.outputMode("append")
+}

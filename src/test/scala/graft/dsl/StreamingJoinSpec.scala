@@ -102,9 +102,10 @@ class StreamingJoinSpec extends SparkSpec {
       .windowedBy(TumblingWindow(java.time.Duration.ofMillis(1000),
         java.time.Duration.ofMillis(500)))
       .count
-    // append mode = the reference-missing suppress(): only closed windows emit
-    val q = counted.changelog.writeStream.format("memory").queryName("t_final")
-      .outputMode("append").start()
+    // Emission.finalResults = the reference-missing suppress(): only closed
+    // windows emit
+    val q = Emission.finalResults(
+      counted.changelog.writeStream.format("memory").queryName("t_final")).start()
     queries = q :: queries
 
     in.addData(("k", 100L), ("k", 200L)); q.processAllAvailable()
