@@ -208,7 +208,7 @@ final class SlidingWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SlidingWindow
   def count(implicit eu: Encoder[Upsert[Windowed[K], Long]],
       et: Encoder[(K, Long, Long)], ek: Encoder[K],
       ekv: Encoder[KV[K, V]],
-      est: Encoder[Vector[Long]]): KTable[Windowed[K], Long] = {
+      est: Encoder[Vector[(Long, V)]]): KTable[Windowed[K], Long] = {
     val sizeMs = w.sizeMs
     if (!ds.isStreaming) {
       val win = org.apache.spark.sql.expressions.Window
@@ -224,34 +224,57 @@ final class SlidingWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SlidingWindow
           Some(c), new Timestamp(t))
       })
     } else {
-      val graceMs = w.grace.toMillis
-      val src = ds.filter(r => r.key != null).withWatermark("ts", w.graceExpr)
-      new KTable(src.groupByKey(_.key)
-        .flatMapGroupsWithState[Vector[Long], Upsert[Windowed[K], Long]](
-          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
-          (key: K, it: Iterator[KV[K, V]], state: GroupState[Vector[Long]]) =>
-            if (state.hasTimedOut) { state.remove(); Iterator.empty }
-            else {
-              var buf = state.getOption.getOrElse(Vector.empty[Long])
-              // evict events that can no longer fall in any future window
-              val wm = state.getCurrentWatermarkMs()
-              if (wm > 0) buf = buf.filter(_ >= wm - sizeMs)
-              val out = Seq.newBuilder[Upsert[Windowed[K], Long]]
-              it.toSeq.sortBy(_.ts.getTime).foreach { r =>
-                val t = r.ts.getTime
-                buf = buf :+ t
-                val cnt = buf.count(e => e >= t - sizeMs && e <= t)
-                out += Upsert(
-                  Windowed(key, new Timestamp(t - sizeMs), new Timestamp(t)),
-                  Some(cnt.toLong), r.ts)
-              }
-              state.update(buf)
-              if (buf.nonEmpty)
-                state.setTimeoutTimestamp(buf.max + sizeMs + graceMs + 1)
-              out.result().iterator
-            }
-        })
+      new KTable(streamingWindows[Long]((_, slice) => slice.size.toLong))
     }
+  }
+
+  /** Shared streaming path for count/aggregate/reduce: a per-key event
+    * buffer kept SORTED by event time, watermark-evicted, with late-but-
+    * within-grace arrivals RE-EMITTING every already-formed window whose
+    * span [end − size, end] contains the late event — so streaming results
+    * converge to the batch RANGE-frame results. For in-order arrival the
+    * affected set is just the record's own window; the extra work is
+    * proportional to events inside one window span.
+    */
+  private def streamingWindows[VR](foldWindow: (K, Seq[(Long, V)]) => VR)(
+      implicit eu: Encoder[Upsert[Windowed[K], VR]], ek: Encoder[K],
+      est: Encoder[Vector[(Long, V)]]): Dataset[Upsert[Windowed[K], VR]] = {
+    val sizeMs = w.sizeMs
+    val graceMs = w.grace.toMillis
+    val src = ds.filter(r => r.key != null).withWatermark("ts", w.graceExpr)
+    src.groupByKey(_.key)
+      .flatMapGroupsWithState[Vector[(Long, V)], Upsert[Windowed[K], VR]](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key: K, it: Iterator[KV[K, V]], state: GroupState[Vector[(Long, V)]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var buf = state.getOption.getOrElse(Vector.empty[(Long, V)]) // ts-sorted
+            // evict events that can no longer fall in any future window
+            val wm = state.getCurrentWatermarkMs()
+            if (wm > 0) buf = buf.dropWhile(_._1 < wm - sizeMs)
+            // one result per affected window end; a later re-emit overwrites
+            val out = scala.collection.mutable.LinkedHashMap.empty[Long, Upsert[Windowed[K], VR]]
+            it.toSeq.sortBy(_.ts.getTime).foreach { r =>
+              val t = r.ts.getTime
+              // insert keeping ts order (same-ts: after existing = arrival order)
+              val at = buf.lastIndexWhere(_._1 <= t) + 1
+              buf = (buf.take(at) :+ (t -> r.value)) ++ buf.drop(at)
+              // window ends at every buffered event ts in [t, t + size]:
+              // t's own window plus later windows a late event now falls into
+              buf.iterator.map(_._1).filter(e => e >= t && e <= t + sizeMs)
+                .toSeq.distinct.foreach { e =>
+                  val slice = buf.filter(x => x._1 >= e - sizeMs && x._1 <= e)
+                  out(e) = Upsert(
+                    Windowed(key, new Timestamp(e - sizeMs), new Timestamp(e)),
+                    Some(foldWindow(key, slice)), new Timestamp(e))
+                }
+            }
+            state.update(buf)
+            if (buf.nonEmpty)
+              state.setTimeoutTimestamp(buf.last._1 + sizeMs + graceMs + 1)
+            out.valuesIterator
+          }
+      }
   }
 
   /** Sliding-window `aggregate`: arbitrary event-time-ordered fold over
@@ -265,7 +288,7 @@ final class SlidingWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SlidingWindow
   def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
       implicit eu: Encoder[Upsert[Windowed[K], VR]],
       ebatch: Encoder[(K, Long, Seq[(Long, V)])], ek: Encoder[K],
-      est: Encoder[Seq[(Long, V)]]): KTable[Windowed[K], VR] = {
+      est: Encoder[Vector[(Long, V)]]): KTable[Windowed[K], VR] = {
     val sizeMs = w.sizeMs
     if (!ds.isStreaming) {
       val win = org.apache.spark.sql.expressions.Window
@@ -283,41 +306,18 @@ final class SlidingWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SlidingWindow
           Some(acc), new Timestamp(t))
       })
     } else {
-      val graceMs = w.grace.toMillis
-      val src = ds.filter(r => r.key != null).withWatermark("ts", w.graceExpr)
-      new KTable(src.groupByKey(_.key)
-        .flatMapGroupsWithState[Seq[(Long, V)], Upsert[Windowed[K], VR]](
-          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
-          (key: K, it: Iterator[KV[K, V]], state: GroupState[Seq[(Long, V)]]) =>
-            if (state.hasTimedOut) { state.remove(); Iterator.empty }
-            else {
-              var buf = state.getOption.getOrElse(Seq.empty[(Long, V)])
-              val wm = state.getCurrentWatermarkMs()
-              if (wm > 0) buf = buf.filter(_._1 >= wm - sizeMs)
-              val out = Seq.newBuilder[Upsert[Windowed[K], VR]]
-              it.toSeq.sortBy(_.ts.getTime).foreach { r =>
-                val t = r.ts.getTime
-                buf = buf :+ (t -> r.value)
-                var acc = init()
-                buf.filter(e => e._1 >= t - sizeMs && e._1 <= t)
-                  .sortBy(_._1).foreach { case (_, v) => acc = agg(key, v, acc) }
-                out += Upsert(
-                  Windowed(key, new Timestamp(t - sizeMs), new Timestamp(t)),
-                  Some(acc), r.ts)
-              }
-              state.update(buf)
-              if (buf.nonEmpty)
-                state.setTimeoutTimestamp(buf.map(_._1).max + sizeMs + graceMs + 1)
-              out.result().iterator
-            }
-        })
+      new KTable(streamingWindows[VR] { (k, slice) =>
+        var acc = init()
+        slice.foreach { case (_, v) => acc = agg(k, v, acc) } // slice is ts-sorted
+        acc
+      })
     }
   }
 
   def reduce(f: (V, V) => V)(
       implicit eu: Encoder[Upsert[Windowed[K], V]],
       ebatch: Encoder[(K, Long, Seq[(Long, V)])], ek: Encoder[K],
-      est: Encoder[Seq[(Long, V)]]): KTable[Windowed[K], V] =
+      est: Encoder[Vector[(Long, V)]]): KTable[Windowed[K], V] =
     aggregate(() => null.asInstanceOf[V])(
       (_, v, acc) => if (acc == null) v else f(acc, v))
 }

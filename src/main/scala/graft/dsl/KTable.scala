@@ -90,7 +90,8 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]],
       joiner: (V, VO) => VR)(
       implicit efr: Encoder[graft.streaming.FkRow[K, V, KO, VO]],
       eu: Encoder[Upsert[K, VR]], eko: Encoder[KO], ek: Encoder[K],
-      ev: Encoder[Option[V]], est: Encoder[(Map[K, V], Option[VO])],
+      esub: Encoder[(Option[V], Long, Long)],
+      est: Encoder[(Map[K, V], Option[VO], Long)],
       efl: Encoder[graft.streaming.FkLeft[K, V, KO]],
       epair: Encoder[(graft.streaming.FkLeft[K, V, KO], Upsert[KO, VO])]): KTable[K, VR] =
     new KTable(StatefulOps.fkTableJoin(changelog, other.changelog,
@@ -102,7 +103,8 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]],
       joiner: (V, Option[VO]) => VR)(
       implicit efr: Encoder[graft.streaming.FkRow[K, V, KO, VO]],
       eu: Encoder[Upsert[K, VR]], eko: Encoder[KO], ek: Encoder[K],
-      ev: Encoder[Option[V]], est: Encoder[(Map[K, V], Option[VO])],
+      esub: Encoder[(Option[V], Long, Long)],
+      est: Encoder[(Map[K, V], Option[VO], Long)],
       efl: Encoder[graft.streaming.FkLeft[K, V, KO]],
       epair: Encoder[(graft.streaming.FkLeft[K, V, KO], Upsert[KO, VO])]): KTable[K, VR] =
     new KTable(StatefulOps.fkTableJoin(changelog, other.changelog,

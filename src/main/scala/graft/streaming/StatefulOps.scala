@@ -26,10 +26,14 @@ final case class KeyedChange[K, V](key: K, change: Change[V], ts: Timestamp)
   * overwrites, so no tombstone), 1 = subscribe/update, 2 = right-side upsert
   * (`rightVal = None` is a tombstone), 3 = unsubscribe + propagate tombstone
   * (left row deleted). Mirrors KIP-213's SubscriptionWrapper instruction
-  * types (PROPAGATE vs NO_PROPAGATE deletes).
+  * types (PROPAGATE vs NO_PROPAGATE deletes). `seq` is a per-left-key
+  * monotonic instruction number: same-timestamp instruction sequences
+  * (delete + reinsert, fk A→B→A) MUST replay in emission order, and a
+  * (ts, kind) sort would invert them — the same hazard the
+  * [[StatefulOps.aggregateChanges]] comment documents.
   */
 final case class FkRow[K, V, KO, VO](
-    ko: KO, ts: Timestamp, kind: Int,
+    ko: KO, ts: Timestamp, kind: Int, seq: Long,
     leftKey: Option[K], leftVal: Option[V], rightVal: Option[VO])
 
 /** Batch-path row for the FK join: left row with its extracted foreign key. */
@@ -225,8 +229,9 @@ object StatefulOps {
       leftOuter: Boolean, leftUnique: Boolean = false,
       rightUnique: Boolean = false)(fk: V => KO)(joiner: (V, Option[VO]) => VR)(
       implicit efr: Encoder[FkRow[K, V, KO, VO]], eu: Encoder[Upsert[K, VR]],
-      eko: Encoder[KO], ek: Encoder[K], ev: Encoder[Option[V]],
-      est: Encoder[(Map[K, V], Option[VO])],
+      eko: Encoder[KO], ek: Encoder[K],
+      esub: Encoder[(Option[V], Long, Long)],
+      est: Encoder[(Map[K, V], Option[VO], Long)],
       efl: Encoder[FkLeft[K, V, KO]],
       epair: Encoder[(FkLeft[K, V, KO], Upsert[KO, VO])]): Dataset[Upsert[K, VR]] = {
     require(left.isStreaming == right.isStreaming,
@@ -246,49 +251,68 @@ object StatefulOps {
           Upsert(l.key, Some(joiner(l.value, rOpt)), new Timestamp(ts))
         }
     } else {
-      // Subscription pass (append mode, so the update-mode join op can chain
-      // after it): tracks the previous left value per key and emits move/
-      // delete instructions under the OLD fk plus subscribe under the new.
+      // Subscription pass (append mode, so the downstream join op can chain
+      // after it): tracks (previous left value, last event time, instruction
+      // counter) per key and emits move/delete instructions under the OLD fk
+      // plus subscribe under the new. Cross-batch out-of-order upserts older
+      // than the applied state are IGNORED (the latest-by-ts contract the
+      // other materialization ops guard with prev.ts > newest.ts); a deleted
+      // key's state is removed, so the store is bounded by LIVE left keys.
       val ls = left.groupByKey(_.key)
-        .flatMapGroupsWithState[Option[V], FkRow[K, V, KO, VO]](
+        .flatMapGroupsWithState[(Option[V], Long, Long), FkRow[K, V, KO, VO]](
           OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-          (k: K, it: Iterator[Upsert[K, V]], state: GroupState[Option[V]]) =>
-            var prev: Option[V] = state.getOption.flatten
+          (k: K, it: Iterator[Upsert[K, V]],
+              state: GroupState[(Option[V], Long, Long)]) =>
+            var (prev, lastTs, seq) = state.getOption.getOrElse(
+              (Option.empty[V], Long.MinValue, 0L))
             val out = Seq.newBuilder[FkRow[K, V, KO, VO]]
             it.toSeq.sortBy(_.ts.getTime).foreach { up =>
-              (prev, up.value) match {
-                case (Some(o), Some(n)) =>
-                  if (fk(o) != fk(n)) // silent: new group's result overwrites
-                    out += FkRow[K, V, KO, VO](fk(o), up.ts, 0, Some(k), None, None)
-                  out += FkRow[K, V, KO, VO](fk(n), up.ts, 1, Some(k), Some(n), None)
-                case (None, Some(n)) =>
-                  out += FkRow[K, V, KO, VO](fk(n), up.ts, 1, Some(k), Some(n), None)
-                case (Some(o), None) => // left delete: propagate a tombstone
-                  out += FkRow[K, V, KO, VO](fk(o), up.ts, 3, Some(k), None, None)
-                case (None, None) => ()
+              if (up.ts.getTime < lastTs) () // stale out-of-order upsert
+              else {
+                (prev, up.value) match {
+                  case (Some(o), Some(n)) =>
+                    if (fk(o) != fk(n)) { // silent: new group's result overwrites
+                      out += FkRow[K, V, KO, VO](fk(o), up.ts, 0, seq, Some(k), None, None)
+                      seq += 1
+                    }
+                    out += FkRow[K, V, KO, VO](fk(n), up.ts, 1, seq, Some(k), Some(n), None)
+                    seq += 1
+                  case (None, Some(n)) =>
+                    out += FkRow[K, V, KO, VO](fk(n), up.ts, 1, seq, Some(k), Some(n), None)
+                    seq += 1
+                  case (Some(o), None) => // left delete: propagate a tombstone
+                    out += FkRow[K, V, KO, VO](fk(o), up.ts, 3, seq, Some(k), None, None)
+                    seq += 1
+                  case (None, None) => ()
+                }
+                prev = up.value
+                lastTs = up.ts.getTime
               }
-              prev = up.value
             }
-            state.update(prev)
+            if (prev.isEmpty) state.remove() else state.update((prev, lastTs, seq))
             out.result().iterator
         }
-      val rs = right.map(u => FkRow[K, V, KO, VO](u.key, u.ts, 2, None, None, u.value))
+      // Right rows get seq = MinValue: at equal timestamps the right update
+      // applies BEFORE left instructions, so a subscribe at the same ts sees
+      // the new right value. Left instructions replay in (ts, seq) order.
+      val rs = right.map(u =>
+        FkRow[K, V, KO, VO](u.key, u.ts, 2, Long.MinValue, None, None, u.value))
       // Append mode on BOTH stateful ops: Spark only chains multiple fMGWS
       // when all are append-mode under an append-mode sink. Emitted upserts
       // are final changelog EVENTS (never retracted in place), so append is
       // the honest mode; consumers fold them latest-per-key as usual.
       ls.union(rs).groupByKey(_.ko)
-        .flatMapGroupsWithState[(Map[K, V], Option[VO]), Upsert[K, VR]](
+        .flatMapGroupsWithState[(Map[K, V], Option[VO], Long), Upsert[K, VR]](
           OutputMode.Append(), GroupStateTimeout.NoTimeout) {
           (_: KO, it: Iterator[FkRow[K, V, KO, VO]],
-              state: GroupState[(Map[K, V], Option[VO])]) =>
-            var (subscribers, rv) = state.getOption.getOrElse(
-              (Map.empty[K, V], Option.empty[VO]))
+              state: GroupState[(Map[K, V], Option[VO], Long)]) =>
+            var (subscribers, rv, rvTs) = state.getOption.getOrElse(
+              (Map.empty[K, V], Option.empty[VO], Long.MinValue))
             def result(v: V): Option[VR] =
               if (leftOuter) Some(joiner(v, rv))
               else rv.map(b => joiner(v, Some(b)))
             val out = Seq.newBuilder[Upsert[K, VR]]
-            it.toSeq.sortBy(r => (r.ts.getTime, r.kind)).foreach { row =>
+            it.toSeq.sortBy(r => (r.ts.getTime, r.seq)).foreach { row =>
               row.kind match {
                 case 0 => row.leftKey.foreach(subscribers -= _)
                 case 1 => for (k <- row.leftKey; v <- row.leftVal) {
@@ -296,9 +320,12 @@ object StatefulOps {
                   out += Upsert(k, result(v), row.ts)
                 }
                 case 2 =>
-                  rv = row.rightVal
-                  subscribers.foreach { case (k, v) =>
-                    out += Upsert(k, result(v), row.ts)
+                  if (row.ts.getTime >= rvTs) { // ignore stale right updates
+                    rv = row.rightVal
+                    rvTs = row.ts.getTime
+                    subscribers.foreach { case (k, v) =>
+                      out += Upsert(k, result(v), row.ts)
+                    }
                   }
                 case _ => row.leftKey.foreach { k =>
                   subscribers -= k
@@ -306,7 +333,8 @@ object StatefulOps {
                 }
               }
             }
-            state.update((subscribers, rv))
+            if (subscribers.isEmpty && rv.isEmpty) state.remove()
+            else state.update((subscribers, rv, rvTs))
             out.result().iterator
         }
     }

@@ -129,6 +129,72 @@ class StreamingChangelogSpec extends SparkSpec {
     assert(rows(600L) === 2L)
   }
 
+  test("sliding window: late-but-within-grace event re-emits affected later windows") {
+    val in = MemoryStream[(String, Long)]
+    val counted = new KStream(in.toDS().map { case (k, t) =>
+      KV(k, 1, new java.sql.Timestamp(t)) })
+      .groupByKey
+      .windowedBy(SlidingWindow(java.time.Duration.ofMillis(1000),
+        java.time.Duration.ofMillis(5000))) // generous grace admits the late row
+      .count
+    val q = start(counted.changelog, "t_sliding_late")
+
+    in.addData(("k", 900L)); q.processAllAvailable() // window end=900 cnt=1
+    // late event at 500 (within grace): window end=900 must now show {500,900}
+    in.addData(("k", 500L)); q.processAllAvailable()
+
+    // re-emissions carry the same result ts (the window end) — last arrival
+    // wins, matching latestFromChangelog's >= tie rule
+    val rows = spark.table("t_sliding_late").as[Upsert[Windowed[String], Long]]
+      .collect().groupBy(_.key.end.getTime)
+      .map { case (e, us) => e -> us.last.value.get }
+    assert(rows(500L) === 1L)
+    assert(rows(900L) === 2L) // re-emitted after the late arrival (batch parity)
+  }
+
+  test("fk join: same-ts delete+reinsert replays in order (left key stays joined)") {
+    val oin = MemoryStream[(String, String, Long)] // (orderKey, custKey|__del, ts)
+    val cin = MemoryStream[(String, String, Long)]
+    val orders = new KTable(oin.toDS().map { case (k, v, t) =>
+      Upsert(k, if (v == "__del") None else Some(v), new java.sql.Timestamp(t)) })
+    val cust = new KTable(cin.toDS().map { case (k, v, t) =>
+      Upsert(k, Some(v), new java.sql.Timestamp(t)) })
+    val joined = orders.fkJoin(cust)(identity)((_, name) => name)
+    val q = start(joined.changelog, "t_fkseq", "append")
+
+    cin.addData(("c1", "alice", 1L)); q.processAllAvailable()
+    oin.addData(("o1", "c1", 5L)); q.processAllAvailable()
+    // delete + reinsert AT THE SAME ts in one batch: a (ts, kind) sort would
+    // replay [subscribe, delete] and leave o1 tombstoned; seq order must not
+    oin.addData(("o1", "__del", 7L), ("o1", "c1", 7L)); q.processAllAvailable()
+
+    val rows = spark.table("t_fkseq").as[Upsert[String, String]].collect()
+    val finalAt7 = rows.filter(u => u.ts.getTime == 7L)
+    assert(finalAt7.nonEmpty && finalAt7.last.value === Some("alice"))
+  }
+
+  test("fk join: out-of-order left upsert across batches does not regress state") {
+    val oin = MemoryStream[(String, String, Long)]
+    val cin = MemoryStream[(String, String, Long)]
+    val orders = new KTable(oin.toDS().map { case (k, v, t) =>
+      Upsert(k, Some(v), new java.sql.Timestamp(t)) })
+    val cust = new KTable(cin.toDS().map { case (k, v, t) =>
+      Upsert(k, Some(v), new java.sql.Timestamp(t)) })
+    val joined = orders.fkJoin(cust)(identity)((_, name) => name)
+    val q = start(joined.changelog, "t_fkstale", "append")
+
+    cin.addData(("c1", "alice", 1L), ("c2", "bob", 2L)); q.processAllAvailable()
+    oin.addData(("o1", "c2", 10L)); q.processAllAvailable() // current: bob
+    // STALE upsert (ts=5 < 10) arrives late: must be ignored, not re-point o1
+    oin.addData(("o1", "c1", 5L)); q.processAllAvailable()
+    cin.addData(("c1", "alicia", 20L)); q.processAllAvailable() // c1 update
+
+    val rows = spark.table("t_fkstale").as[Upsert[String, String]].collect()
+    // o1 never re-subscribed to c1, so the c1 update emits nothing for it
+    assert(!rows.exists(u => u.value.contains("alicia")))
+    assert(!rows.exists(u => u.value.contains("alice") && u.ts.getTime == 5L))
+  }
+
   test("windowed store fetch(key, from, to) over a materialized windowed table") {
     val in = MemoryStream[(String, Long)]
     val counted = new KStream(in.toDS().map { case (k, t) =>
