@@ -345,4 +345,35 @@ final class SessionWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SessionWindow
       .as[(K, Timestamp, Timestamp, Long, Timestamp)]
       .map { case (k, s, e, c, mts) => Upsert(Windowed(k, s, e), Some(c), mts) })
   }
+
+  /** Session `aggregate`: arbitrary fold per merged session. Events are
+    * collected per session via Catalyst's `session_window` (native session
+    * merging, map-side partial list concat, watermark-based close in
+    * streaming), then folded in event-time order in a typed map. Event-time
+    * ties order by value (`sort_array` on (ts, value)), not arrival.
+    */
+  def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
+      implicit eu: Encoder[Upsert[Windowed[K], VR]],
+      erow: Encoder[(K, Timestamp, Timestamp, Seq[(Timestamp, V)])]): KTable[Windowed[K], VR] = {
+    val df = withWatermarkIfStreaming.toDF("key", "value", "ts")
+      .filter(col("key").isNotNull)
+      .groupBy(session_window(col("ts"), w.gapExpr), col("key"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("evs"))
+    new KTable(df.select(
+        col("key"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("evs"))
+      .as[(K, Timestamp, Timestamp, Seq[(Timestamp, V)])]
+      .map { case (k, s, e, evs) =>
+        var acc = init()
+        var mts = 0L
+        evs.foreach { case (t, v) => acc = agg(k, v, acc); mts = math.max(mts, t.getTime) }
+        Upsert(Windowed(k, s, e), Some(acc), new Timestamp(mts))
+      })
+  }
+
+  def reduce(f: (V, V) => V)(
+      implicit eu: Encoder[Upsert[Windowed[K], V]],
+      erow: Encoder[(K, Timestamp, Timestamp, Seq[(Timestamp, V)])]): KTable[Windowed[K], V] =
+    aggregate(() => null.asInstanceOf[V])(
+      (_, v, acc) => if (acc == null) v else f(acc, v))
 }

@@ -200,7 +200,37 @@ object DslQueries {
       .select(col("_1").as("c_custkey"), col("_2").as("nation"))
   }
 
+  /** Session-window `aggregate` via the DSL's typed fold (same session
+    * detection oracle as q_window_session): per-user 30-minute-gap sessions
+    * with a custom (count, integer-cents sum) fold.
+    */
+  val qDslSessionAgg = q(
+    "q_dsl_session_agg",
+    "WITH x AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER " +
+      "(PARTITION BY user_id ORDER BY ts) IS NULL OR " +
+      "ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE " +
+      "THEN 1 ELSE 0 END AS brk FROM events), " +
+      "y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
+      "ROWS UNBOUNDED PRECEDING) AS sess FROM x) " +
+      "SELECT user_id, epoch_ms(min(ts)) AS session_start, count(*) AS cnt, " +
+      "sum(CAST(round(value * 100) AS BIGINT)) AS sv_c FROM y GROUP BY user_id, sess") {
+    (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("value"), col("ts"))
+        .as[(Long, Double, Timestamp)]
+        .map { case (u, v, t) => KV(u, v, t) }
+      new KStream(ev).groupByKey
+        .windowedBy(SessionWindow(java.time.Duration.ofMinutes(30)))
+        .aggregate(() => (0L, 0L))((_, v, acc) =>
+          (acc._1 + 1L, acc._2 + math.floor(v * 100 + 0.5).toLong))
+        .changelog
+        .select(col("key.key").as("user_id"),
+          unix_millis(col("key.start")).as("session_start"),
+          col("value._1").as("cnt"), col("value._2").as("sv_c"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslStreamTableJoin,
-    qDslTableTableJoin, qFkJoin, qFkLeftJoin)
+    qDslTableTableJoin, qFkJoin, qFkLeftJoin, qDslSessionAgg)
 }

@@ -85,6 +85,17 @@ class WindowedSpec extends SparkSpec {
     assert(out === Array((0L, 5), (400L, 7)))
   }
 
+  test("session aggregate folds merged sessions in event-time order") {
+    val s = stream(("k", 1, 0), ("k", 2, 20), ("k", 3, 100))
+    val out = s.groupByKey
+      .windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
+      .aggregate(() => "")((_, v, acc) => acc + v)
+      .changelog.collect()
+      .map(u => (u.key.start.getTime, u.value.get)).sorted
+    // events 0 and 20 merge (gap 30); 100 starts a new session
+    assert(out === Array((0L, "12"), (100L, "3")))
+  }
+
   test("session window: 30-unit gap merges nearby events") {
     val s = stream(("k", 1, 0), ("k", 1, 20), ("k", 1, 100), ("y", 1, 5))
     val out = s.groupByKey.windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
