@@ -73,6 +73,29 @@ object Multimodal {
       }
     }
 
+  /** Resize plumbing: per-partition "codec" maps each payload to a
+    * target-size payload (STUB: deterministic byte down/up-sampling to
+    * `targetW*targetH` bytes; a real impl decodes, scales, re-encodes). The
+    * contract that matters at scale: output size is bounded by the target,
+    * independent of input size — so a resize stage always SHRINKS shuffle
+    * volume to a known ceiling.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
+      implicit e: Encoder[MediaRow]): Dataset[MediaRow] =
+    media.mapPartitions { rows =>
+      val target = math.max(1, targetW * targetH)
+      rows.map { r =>
+        val n = r.payload.length
+        val out = new Array[Byte](math.min(target, math.max(n, 1)))
+        var i = 0
+        while (i < out.length) {
+          out(i) = if (n == 0) 0 else r.payload((i.toLong * n / out.length).toInt)
+          i += 1
+        }
+        r.copy(payload = out)
+      }
+    }
+
   /** Frame sampling plumbing for video-like payloads: split a payload into
     * fixed-size "frames", keep every `stride`-th — 1→N explode with bounded
     * output, the distributed shape of video frame extraction.
