@@ -297,9 +297,59 @@ object TextQueries {
       .select("doc_id")
   }
 
+  /** N-gram (token) frequency profile: top-5 tokens per language by count —
+    * the language-model vocabulary profile pattern (two-phase agg + rank).
+    */
+  val qNgramProfile = q(
+    "q_ngram_profile",
+    "SELECT lang, tok, cnt FROM (SELECT lang, tok, cnt, row_number() OVER (" +
+      "PARTITION BY lang ORDER BY cnt DESC, tok) AS rn FROM (" +
+      "SELECT lang, tok, count(*) AS cnt FROM (" +
+      s"SELECT lang, unnest($tokensSql) AS tok FROM documents) GROUP BY 1, 2" +
+      ")) WHERE rn <= 5") { (s, d) =>
+    val counts = Tables.documentsBalanced(s, d)
+      .select(col("lang"), explode(tokensCol(col("text"))).as("tok"))
+      .groupBy("lang", "tok")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .select("lang", "tok", "cnt")
+  }
+
+  /** End-to-end curation pipeline — the flagship training-data flow as ONE
+    * query: exact-dedup survivors → length + token-count + language filters →
+    * kept-docs/token totals per (source, lang). Every stage is a pattern
+    * proven above; this proves they COMPOSE (dedup feeds filters feeds
+    * aggregation) with a single shuffle per stage.
+    */
+  val qCurationPipeline = q(
+    "q_curation_pipeline",
+    "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+      "feat AS (SELECT d.source, d.lang, d.n_chars, " +
+      s"len($tokensSql) AS toks, " +
+      "len(list_filter(" + tokensSql + ", x -> x IN ('the', 'a', 'of', 'and', 'to', " +
+      "'in', 'is', 'for', 'on', 'with'))) AS hits " +
+      "FROM documents d JOIN surv ON d.doc_id = surv.doc_id) " +
+      "SELECT source, lang, count(*) AS kept, sum(toks) AS tokens FROM feat " +
+      "WHERE n_chars >= 100 AND toks BETWEEN 10 AND 5000 AND hits * 20 > toks " +
+      "GROUP BY source, lang") { (s, d) =>
+    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    val surv = graft.operators.Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    val t = tokensCol(col("text"))
+    surv
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(t).as("toks"),
+        size(filter(t, x => x.isInCollection(stops))).as("hits"))
+      .where(col("n_chars") >= 100 && col("toks").between(10, 5000) &&
+        col("hits") * 20 > col("toks"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("kept"), sum(col("toks")).as("tokens"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qMultimodalMeta)
+    qMultimodalMeta, qNgramProfile, qCurationPipeline)
 }
