@@ -284,5 +284,15 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
 
 /** Fully-replicated dimension table (`IGlobalKTable`, `core/Table/
   * IGlobalKTable.cs:37`): broadcast to every task instead of partitioned.
+  *
+  * Refresh semantics (verified divergence): the reference's global table is
+  * continuously updated from its topic; a Spark stream-static join reads a
+  * SNAPSHOT — the static side's file listing is resolved once, and an
+  * in-place overwrite mid-query fails with FILE_NOT_EXIST rather than
+  * refreshing. For a slowly-changing global table, either restart the query
+  * on dimension publish (snapshot versioning), or use `foreachBatch` and
+  * re-read the dimension inside the batch function (fresh listing per
+  * batch). For table-driven updates with full changelog semantics, use
+  * [[KTable.fkJoin]] instead.
   */
 final class GlobalKTable[K, V](val ds: Dataset[(K, V)]) extends Serializable
