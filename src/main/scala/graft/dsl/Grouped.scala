@@ -349,25 +349,30 @@ final class SessionWindowedKStream[K, V](ds: Dataset[KV[K, V]], w: SessionWindow
   /** Session `aggregate`: arbitrary fold per merged session. Events are
     * collected per session via Catalyst's `session_window` (native session
     * merging, map-side partial list concat, watermark-based close in
-    * streaming), then folded in event-time order in a typed map. Event-time
-    * ties order by value (`sort_array` on (ts, value)), not arrival.
+    * streaming), then folded in event-time order in a typed map. The sort
+    * comparator orders by the TS FIELD ONLY, so `V` needs no ordering
+    * (maps, nested types all work); event-time ties fold in unspecified
+    * order — make the fold tie-commutative if ties are possible.
     */
   def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
       implicit eu: Encoder[Upsert[Windowed[K], VR]],
       erow: Encoder[(K, Timestamp, Timestamp, Seq[(Timestamp, V)])]): KTable[Windowed[K], VR] = {
+    val byTs = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("ts") < r.getField("ts"), -1)
+        .when(l.getField("ts") > r.getField("ts"), 1).otherwise(0)
     val df = withWatermarkIfStreaming.toDF("key", "value", "ts")
       .filter(col("key").isNotNull)
       .groupBy(session_window(col("ts"), w.gapExpr), col("key"))
-      .agg(sort_array(collect_list(struct(col("ts"), col("value")))).as("evs"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value"))), byTs).as("evs"))
     new KTable(df.select(
         col("key"), col("session_window.start").as("start"),
         col("session_window.end").as("end"), col("evs"))
       .as[(K, Timestamp, Timestamp, Seq[(Timestamp, V)])]
       .map { case (k, s, e, evs) =>
         var acc = init()
-        var mts = 0L
-        evs.foreach { case (t, v) => acc = agg(k, v, acc); mts = math.max(mts, t.getTime) }
-        Upsert(Windowed(k, s, e), Some(acc), new Timestamp(mts))
+        evs.foreach { case (_, v) => acc = agg(k, v, acc) }
+        // evs is ts-ascending: last element carries the max event time
+        Upsert(Windowed(k, s, e), Some(acc), evs.last._1)
       })
   }
 

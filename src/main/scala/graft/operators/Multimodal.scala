@@ -86,13 +86,18 @@ object Multimodal {
       val target = math.max(1, targetW * targetH)
       rows.map { r =>
         val n = r.payload.length
-        val out = new Array[Byte](math.min(target, math.max(n, 1)))
-        var i = 0
-        while (i < out.length) {
-          out(i) = if (n == 0) 0 else r.payload((i.toLong * n / out.length).toInt)
-          i += 1
+        if (n == 0) r // empty media stays empty
+        else {
+          // exactly `target` bytes: down-samples long payloads, repeats
+          // bytes of short ones — fixed-shape output either way
+          val out = new Array[Byte](target)
+          var i = 0
+          while (i < target) {
+            out(i) = r.payload((i.toLong * n / target).toInt)
+            i += 1
+          }
+          r.copy(payload = out)
         }
-        r.copy(payload = out)
       }
     }
 

@@ -213,7 +213,7 @@ object DslQueries {
       "y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts " +
       "ROWS UNBOUNDED PRECEDING) AS sess FROM x) " +
       "SELECT user_id, epoch_ms(min(ts)) AS session_start, count(*) AS cnt, " +
-      "sum(CAST(round(value * 100) AS BIGINT)) AS sv_c FROM y GROUP BY user_id, sess") {
+      s"${Exact.sumScaledSql("value", 100)} AS sv_c FROM y GROUP BY user_id, sess") {
     (s, d) =>
       import s.implicits._
       val ev = Tables.events(s, d)

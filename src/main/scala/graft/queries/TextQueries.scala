@@ -14,6 +14,13 @@ import GraftQuery.{q, rowsOnly}
   */
 object TextQueries {
 
+  /** Shared English stopword list for the language-ID heuristic and the
+    * curation pipeline — ONE definition drives both the Spark plans and the
+    * DuckDB oracle SQL, so the two sides cannot drift.
+    */
+  val CurationStops: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
   /** Mersenne prime 2^31−1: (a·h+b) mod P stays below 2^62 — no int64 overflow
     * in either engine.
     */
@@ -215,14 +222,13 @@ object TextQueries {
     */
   val qLangId = q(
     "q_lang_id", {
-      val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
-      val inList = stops.map(w => s"'$w'").mkString(", ")
+      val inList = CurationStops.map(w => s"'$w'").mkString(", ")
       s"SELECT lang, CASE WHEN hits * 20 > total THEN 'en' ELSE 'other' END AS predicted, " +
         "count(*) AS cnt FROM (SELECT lang, " +
         s"len(list_filter($tokensSql, x -> x IN ($inList))) AS hits, " +
         s"len($tokensSql) AS total FROM documents) GROUP BY 1, 2"
     }) { (s, d) =>
-    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    val stops = CurationStops
     val t = tokensCol(col("text"))
     Tables.documentsBalanced(s, d)
       .select(col("lang"),
@@ -324,18 +330,20 @@ object TextQueries {
     * aggregation) with a single shuffle per stage.
     */
   val qCurationPipeline = q(
-    "q_curation_pipeline",
-    "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
-      "feat AS (SELECT d.source, d.lang, d.n_chars, " +
-      s"len($tokensSql) AS toks, " +
-      "len(list_filter(" + tokensSql + ", x -> x IN ('the', 'a', 'of', 'and', 'to', " +
-      "'in', 'is', 'for', 'on', 'with'))) AS hits " +
-      "FROM documents d JOIN surv ON d.doc_id = surv.doc_id) " +
-      "SELECT source, lang, count(*) AS kept, sum(toks) AS tokens FROM feat " +
-      "WHERE n_chars >= 100 AND toks BETWEEN 10 AND 5000 AND hits * 20 > toks " +
-      "GROUP BY source, lang") { (s, d) =>
-    val stops = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
-    val surv = graft.operators.Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    "q_curation_pipeline", {
+      val inList = CurationStops.map(w => s"'$w'").mkString(", ")
+      "WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+        "feat AS (SELECT d.source, d.lang, d.n_chars, " +
+        s"len($tokensSql) AS toks, " +
+        s"len(list_filter($tokensSql, x -> x IN ($inList))) AS hits " +
+        "FROM documents d JOIN surv ON d.doc_id = surv.doc_id) " +
+        "SELECT source, lang, count(*) AS kept, sum(toks) AS tokens FROM feat " +
+        "WHERE n_chars >= 100 AND toks BETWEEN 10 AND 5000 AND hits * 20 > toks " +
+        "GROUP BY source, lang"
+    }) { (s, d) =>
+    val stops = CurationStops
+    val surv = graft.operators.Dedup.exact(
+      Tables.documentsBalanced(s, d), "doc_id", "text")
     val t = tokensCol(col("text"))
     surv
       .select(col("source"), col("lang"), col("n_chars"),

@@ -195,6 +195,36 @@ class StreamingChangelogSpec extends SparkSpec {
     assert(!rows.exists(u => u.value.contains("alice") && u.ts.getTime == 5L))
   }
 
+  test("session aggregate merges sessions across microbatches (streaming)") {
+    val in = MemoryStream[(String, Long)]
+    val agg = new KStream(in.toDS().map { case (k, t) =>
+      KV(k, 1, new java.sql.Timestamp(t)) })
+      .groupByKey
+      .windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
+      .aggregate(() => 0L)((_, v, acc) => acc + v)
+    // streaming session windows support append (emit on close), not update
+    val q = start(agg.changelog, "t_sess_agg", "append")
+
+    in.addData(("k", 0L), ("k", 20L)); q.processAllAvailable()
+    // 40 extends the merged session [0, 70) in a LATER batch
+    in.addData(("k", 40L)); q.processAllAvailable()
+    // 200 starts a fresh session; advancing events push the watermark past
+    // both session ends so append mode emits them
+    in.addData(("k", 200L)); q.processAllAvailable()
+    in.addData(("z", 10000L)); q.processAllAvailable()
+    in.addData(("z", 20000L)); q.processAllAvailable()
+
+    val state = latest(spark.table("t_sess_agg").as[Upsert[Windowed[String], Long]]
+      .collect().map(u => Upsert(u.key.start.getTime -> u.key.key, u.value, u.ts)))
+    assert(state((0L, "k")) === Some(3L))   // merged session folded all 3
+    assert(state((200L, "k")) === Some(1L))
+    // session reduce shares the same path (null-sentinel init)
+    val red = new KStream(Seq(KV("r", 5, ts(0)), KV("r", 7, ts(10))).toDS())
+      .groupByKey.windowedBy(SessionWindow(java.time.Duration.ofMillis(30)))
+      .reduce(_ max _).changelog.collect()
+    assert(red.map(_.value.get).toSeq === Seq(7))
+  }
+
   test("windowed store fetch(key, from, to) over a materialized windowed table") {
     val in = MemoryStream[(String, Long)]
     val counted = new KStream(in.toDS().map { case (k, t) =>

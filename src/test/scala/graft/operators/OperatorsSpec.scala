@@ -124,9 +124,9 @@ class OperatorsSpec extends SparkSpec {
     val payloadLen = docs.filter(col("doc_id") === 0).collect().head.getString(1).length
     val nFrames = (payloadLen + 9) / 10
     assert(frames.count(_._1 == 0L) === (nFrames + 1) / 2) // every 2nd frame
-    // resize: output payload bounded by the target size, deterministic
+    // resize: fixed-shape output (exactly target bytes), deterministic
     val small = Multimodal.resize(media, 4, 2).collect()
-    assert(small.forall(_.payload.length <= 8))
+    assert(small.forall(_.payload.length === 8))
     val again = Multimodal.resize(media, 4, 2).collect()
     assert(small.sortBy(_.id).map(_.payload.toSeq) ===
       again.sortBy(_.id).map(_.payload.toSeq))
