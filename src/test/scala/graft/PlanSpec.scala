@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("[codegen id :"), "filter must stay inside codegen")
   }
 
+  test("hash sampling is a pure map-side filter: zero shuffles") {
+    val p = plan("q_sample_hash")
+    assert(!p.contains("Exchange"), "sampling must not shuffle")
+    assert(p.contains("md5_prefix32"), "bucket filter via the native expression")
+  }
+
+  test("q9_profit five-table join broadcasts all three dimensions") {
+    val p = plan("q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, "part/supplier/nation broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._
