@@ -52,6 +52,29 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       implicit e: Encoder[KV[K2, V]]): KStream[K2, V] =
     new KStream(ds.map(r => KV(f(r.key, r.value), r.value, r.ts)))
 
+  /** Keep at most `n` records per key, in event-time order — the streaming
+    * counterpart of `operators.Sampling.perKeyCap` (bounding any key's
+    * contribution during ingest, e.g. max N documents per domain). Runs in
+    * batch AND streaming: per-key state is ONE counter, carried across
+    * microbatches. Superset — the reference has no sampling surface.
+    */
+  def limitPerKey(n: Int)(implicit ek: Encoder[K],
+      el: Encoder[Long]): KStream[K, V] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    implicit val eds: Encoder[KV[K, V]] = ds.encoder
+    new KStream(ds.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, KV[K, V]](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: K, it: Iterator[KV[K, V]],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val kept = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(_.ts.getTime)
+            .take(math.max(0L, n - kept).toInt)
+          state.update(kept + out.size)
+          out.iterator
+      })
+  }
+
   /** Explicit repartition-by-key (Kafka Streams 2.6 `repartition()`; the
     * reference only roadmaps repartition topics — `1_2_0.md:14`,
     * `GroupedStreamAggregateBuilder.cs:37` TODO). Rarely needed: every

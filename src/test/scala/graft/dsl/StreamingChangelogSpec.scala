@@ -195,6 +195,22 @@ class StreamingChangelogSpec extends SparkSpec {
     assert(!rows.exists(u => u.value.contains("alice") && u.ts.getTime == 5L))
   }
 
+  test("limitPerKey caps a key's records across microbatches") {
+    val in = MemoryStream[(String, Long)]
+    val s = new KStream(in.toDS().map { case (k, t) =>
+      KV(k, t, new java.sql.Timestamp(t)) }).limitPerKey(3)
+    val q = start(s.ds, "t_limit", "append")
+
+    in.addData(("k", 1L), ("k", 2L)); q.processAllAvailable() // 2 kept
+    in.addData(("k", 3L), ("k", 4L), ("z", 1L)); q.processAllAvailable()
+
+    val out = spark.table("t_limit").as[KV[String, Long]].collect()
+    // k capped at 3 (state remembered the 2 from batch 1); z untouched
+    assert(out.count(_.key == "k") === 3)
+    assert(out.filter(_.key == "k").map(_.value).sorted === Array(1L, 2L, 3L))
+    assert(out.count(_.key == "z") === 1)
+  }
+
   test("session aggregate merges sessions across microbatches (streaming)") {
     val in = MemoryStream[(String, Long)]
     val agg = new KStream(in.toDS().map { case (k, t) =>
