@@ -100,9 +100,9 @@ object CompositeQueries {
   val qPivot = q(
     "q_pivot",
     "SELECT user_id, " +
-      "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click, " +
-      "sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view, " +
-      "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase " +
+      "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click, " +
+      "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view, " +
+      "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase " +
       "FROM events GROUP BY user_id") { (s, d) =>
     Tables.events(s, d)
       .groupBy("user_id")

@@ -47,8 +47,11 @@ object Exact {
   /** Exact integer sum of a decimal-grid column. */
   def sumScaled(c: Column, scale: Long): Column = sum(asInt(c, scale))
 
+  /** DuckDB types sum(BIGINT) as HUGEINT, which pandas renders as float64 —
+    * the outer CAST keeps the oracle column int64 so it hash-matches Spark.
+    */
   def sumScaledSql(e: String, scale: Long): String =
-    s"sum(CAST(round(($e) * $scale) AS BIGINT))"
+    s"CAST(sum(CAST(round(($e) * $scale) AS BIGINT)) AS BIGINT)"
 
   /** Quantize an already-bit-identical double (cosines, norms) to an integer
     * grid with floor — floor on identical bits is identical on both engines.

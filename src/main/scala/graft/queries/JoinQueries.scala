@@ -163,7 +163,7 @@ object JoinQueries {
   val qRunning = q(
     "q_running",
     "SELECT l_suppkey, l_orderkey, l_linenumber, " +
-      "row_number() OVER w AS rn, sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER w AS run_qty_c " +
+      "row_number() OVER w AS rn, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) OVER w AS BIGINT) AS run_qty_c " +
       "FROM lineitem WHERE l_suppkey <= 20 " +
       "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber " +
       "ROWS UNBOUNDED PRECEDING)") { (s, d) =>

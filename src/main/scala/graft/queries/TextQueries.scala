@@ -207,8 +207,8 @@ object TextQueries {
   /** Per-language corpus stats (quality-scoring building block). */
   val qTextStats = q(
     "q_text_stats",
-    s"SELECT lang, count(*) AS docs, sum(n_chars) AS sum_chars, " +
-      s"sum(len($tokensSql)) AS sum_tokens FROM documents GROUP BY lang") { (s, d) =>
+    s"SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, " +
+      s"CAST(sum(len($tokensSql)) AS BIGINT) AS sum_tokens FROM documents GROUP BY lang") { (s, d) =>
     Tables.documentsBalanced(s, d)
       .groupBy("lang")
       .agg(count(lit(1)).as("docs"),
@@ -243,9 +243,9 @@ object TextQueries {
   /** Quality scoring: integer-bucketed length/character-class signals. */
   val qQualityScore = q(
     "q_quality_score",
-    "SELECT source, count(*) AS docs, sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS long_docs, " +
-      s"sum(CASE WHEN len($tokensSql) * 8 > n_chars THEN 1 ELSE 0 END) AS dense_docs, " +
-      "sum(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS punct_chars " +
+    "SELECT source, count(*) AS docs, CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs, " +
+      s"CAST(sum(CASE WHEN len($tokensSql) * 8 > n_chars THEN 1 ELSE 0 END) AS BIGINT) AS dense_docs, " +
+      "CAST(sum(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))) AS BIGINT) AS punct_chars " +
       "FROM documents GROUP BY source") { (s, d) =>
     Tables.documentsBalanced(s, d)
       .groupBy("source")
@@ -258,8 +258,8 @@ object TextQueries {
   /** Token counting: whitespace tokens + BPE-ish regex tokens per source. */
   val qTokenCount = q(
     "q_token_count",
-    s"SELECT source, sum(len($tokensSql)) AS ws_tokens, " +
-      "sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS bpe_tokens " +
+    s"SELECT source, CAST(sum(len($tokensSql)) AS BIGINT) AS ws_tokens, " +
+      "CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS bpe_tokens " +
       "FROM documents GROUP BY source") { (s, d) =>
     Tables.documentsBalanced(s, d)
       .groupBy("source")
@@ -337,7 +337,7 @@ object TextQueries {
         s"len($tokensSql) AS toks, " +
         s"len(list_filter($tokensSql, x -> x IN ($inList))) AS hits " +
         "FROM documents d JOIN surv ON d.doc_id = surv.doc_id) " +
-        "SELECT source, lang, count(*) AS kept, sum(toks) AS tokens FROM feat " +
+        "SELECT source, lang, count(*) AS kept, CAST(sum(toks) AS BIGINT) AS tokens FROM feat " +
         "WHERE n_chars >= 100 AND toks BETWEEN 10 AND 5000 AND hits * 20 > toks " +
         "GROUP BY source, lang"
     }) { (s, d) =>

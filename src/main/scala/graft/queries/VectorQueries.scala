@@ -71,7 +71,7 @@ object VectorQueries {
       "row_number() OVER (PARTITION BY vec_id ORDER BY " +
       s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")}) DESC, cid) AS rn " +
       "FROM embeddings, c WHERE vec_id >= 8) " +
-      s"SELECT cid, count(*) AS n, sum(${Exact.quantSql("cos", 10000)}) AS sum_cos_e4 FROM scored " +
+      s"SELECT cid, count(*) AS n, CAST(sum(${Exact.quantSql("cos", 10000)}) AS BIGINT) AS sum_cos_e4 FROM scored " +
       "WHERE rn = 1 GROUP BY cid") { (s, d) =>
     val emb = Tables.embeddingsBalanced(s, d)
     val cents = graft.operators.Similarity.collectCentroids(

@@ -45,19 +45,18 @@ for name, sql in sorted(oracle.items()):
         mismatch = None
         for c in g.columns:
             gv, ev = g[c], e[c]
-            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
-                bad = ~(pd.isna(gv) & pd.isna(ev) |
-                        (gv.astype(float) - ev.astype(float)).abs() <= 1e-12 +
-                        1e-12 * ev.astype(float).abs())
-                exact = (gv.astype(float).fillna(1.5) == ev.astype(float).fillna(1.5)).all()
-                if bad.any():
-                    mismatch = (c, g[bad].head(3), e[bad].head(3)); break
-                if not exact:
-                    print(f"  note {name}.{c}: equal within 1e-12 but not bit-exact")
-            else:
-                if not gv.astype(str).equals(ev.astype(str)):
-                    bad = gv.astype(str) != ev.astype(str)
-                    mismatch = (c, g[bad].head(3), e[bad].head(3)); break
+            # The driver hashes string renderings, so dtype KIND must agree:
+            # DuckDB HUGEINT->float64 renders 579 as "579.0" and fails the
+            # driver hash even when values are numerically equal, while an
+            # int32-vs-int64 width difference renders identically ("20") and
+            # passes (q_multimodal_meta was driver-green with int32). Mirror
+            # that: same kind + exact string equality, no float tolerance.
+            if gv.dtype.kind != ev.dtype.kind:
+                print(f"FAIL {name}: col {c} dtype {gv.dtype} vs {ev.dtype}")
+                mismatch = (c, gv.head(3), ev.head(3)); break
+            if not gv.astype(str).equals(ev.astype(str)):
+                bad = gv.astype(str) != ev.astype(str)
+                mismatch = (c, g[bad].head(3), e[bad].head(3)); break
         if mismatch:
             c, gg, ee = mismatch
             print(f"FAIL {name}: col {c}\n got:\n{gg}\n exp:\n{ee}")
