@@ -58,30 +58,73 @@ object Similarity {
   }
 
   /** Collect (id, vector) centroid pairs driver-side by column name — the
-    * input shape [[ivfAssign]] expects. Runs one small Spark job.
+    * input shape [[ivfAssign]] expects. Runs one small Spark job. Accepts any
+    * integral id column width (rejects ids outside Int range rather than
+    * silently truncating).
     */
   def collectCentroids(df: DataFrame, idCol: String, vecCol: String): Seq[(Int, Array[Float])] =
-    df.select(col(idCol), col(vecCol)).collect()
-      .map(r => (r.getAs[Long](idCol).toInt, r.getAs[Seq[Float]](vecCol).toArray)).toSeq
+    df.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        require(id >= Int.MinValue && id <= Int.MaxValue, s"centroid id $id outside Int range")
+        (id.toInt, r.getAs[Seq[Float]](vecCol).toArray)
+      }.toSeq
 
-  /** IVF-style assignment: nearest of `centroids` per row (broadcast
-    * centroids; tie → lowest centroid id). Returns
-    * (row cols…, centroid_id, cosine) where `cosine` is the similarity to
-    * the assigned centroid.
+  /** IVF-style assignment: nearest of `centroids` per row (tie → lowest
+    * centroid id). Returns (row cols…, centroid_id, cosine) where `cosine`
+    * is the similarity to the assigned centroid.
+    *
+    * The centroids become one literal array-of-structs and the argmax is a
+    * per-row `aggregate` fold — a pure map-side projection with NO join, NO
+    * window, NO shuffle, so the plan is a single codegen'd scan stage however
+    * large the corpus. (Centroids iterate in ascending id order with a strict
+    * `>`, so equal-cosine ties keep the lowest id — same as ORDER BY cos
+    * DESC, cid.)
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
+    val centArr = array(centroids.sortBy(_._1).map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("cvec"))
+    }: _*)
+    val best = aggregate(
+      centArr,
+      struct(lit(-1).as("cid"), lit(-2.0).as("cos")),
+      (acc, c) => {
+        val cs = dot(col(vecCol), c.getField("cvec")) /
+          (col("__nrm") * norm(c.getField("cvec")))
+        when(cs > acc.getField("cos"),
+          struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
+      })
+    corpus.withColumn("__nrm", norm(col(vecCol)))
+      .withColumn("__best", best)
+      .withColumn("centroid_id", col("__best").getField("cid"))
+      .withColumn("cosine", col("__best").getField("cos"))
+      .drop("__nrm", "__best")
+  }
+
+  /** Batch multi-query ANN: join a query SET to the corpus on LSH bucket id,
+    * then take the top-k candidates per query — the shape that scales to a
+    * 100 TB corpus. The corpus computes its bucket map-side and never
+    * shuffles (the query side is broadcast); the per-query `row_number` ranks
+    * only the joined candidates (corpus_size / 2^nBits per query in
+    * expectation), not the corpus.
+    *
+    * `queries` column names must not collide with `corpus` ones. Recall is
+    * the standard LSH trade-off: a true neighbor in a different bucket is
+    * missed; verify with [[bruteForceTopK]].
+    */
+  def annJoinTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nBits: Int = 12): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = corpus.sparkSession.createDataFrame(
-      centroids.map { case (id, v) => (id, v) })
-      .toDF("centroid_id", "__cvec")
-      .withColumn("__cvec", col("__cvec").cast("array<float>"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cosine").desc, col("centroid_id"))
-    corpus.crossJoin(broadcast(cent))
-      .withColumn("cosine", cosine(col(vecCol), col("__cvec")))
+    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), nBits))
+    val qs = queries.withColumn("__qbucket", lshBucket(col(qVecCol), nBits))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    c.join(broadcast(qs), col("__bucket") === col("__qbucket"))
+      .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__cvec", "__rn")
+      .filter(col("__rn") <= k)
+      .drop("__bucket", "__qbucket", "__rn")
   }
 }

@@ -105,20 +105,49 @@ object VectorQueries {
         Exact.quant(col("cos"), 10000).as("cos_e4"))
   }
 
-  /** LSH-bucketed ANN (random-hyperplane SimHash over embeddings): 16
-    * deterministic md5-derived hyperplanes; top-k per query restricted to the
-    * query's bucket. Rows-only check (bucket recall vs brute force is
-    * asserted in the ScalaTest spec).
+  /** LSH bucket histogram (random-hyperplane SimHash over embeddings): 12
+    * deterministic xorshift-derived hyperplanes. The hyperplanes are literal
+    * ±1 arrays, so the identical bucket arithmetic is expressible in DuckDB
+    * (bucket recall vs brute force is additionally asserted in the spec).
     */
-  val qAnnLsh = rowsOnly("q_ann_lsh") { (s, d) =>
+  val qAnnLsh = q(
+    "q_ann_lsh",
+    "SELECT bucket, count(*) AS n, min(vec_id) AS min_id FROM (" +
+      s"SELECT vec_id, ${Vectors.lshBucketSql("embedding", 12)} AS bucket " +
+      "FROM embeddings) GROUP BY bucket") { (s, d) =>
     val emb = Tables.embeddingsBalanced(s, d)
     val bucketed = emb.withColumn("bucket", Vectors.lshBucket(col("embedding"), 12))
     bucketed.groupBy("bucket")
       .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
   }
 
+  /** Batch multi-query ANN — the 100 TB shape: a query SET joins the corpus
+    * on LSH bucket id (corpus bucket is computed map-side, query side is
+    * broadcast), then per-query top-k ranks only the bucket's candidates.
+    * The corpus never shuffles; the window runs over candidates, not corpus.
+    */
+  val qAnnMulti = q(
+    "q_ann_multi", {
+      val b = Vectors.lshBucketSql("embedding", 8)
+      val cos = s"${dotSql("c.embedding", "qv")} / (${normSql("c.embedding")} * ${normSql("qv")})"
+      s"WITH c AS (SELECT vec_id, embedding, $b AS bkt FROM embeddings WHERE vec_id >= 16), " +
+        s"qs AS (SELECT vec_id AS qid, embedding AS qv, $b AS qbkt FROM embeddings WHERE vec_id < 16), " +
+        s"cand AS (SELECT qid, c.vec_id AS vec_id, $cos AS cos, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY $cos DESC, c.vec_id) AS rn " +
+        "FROM c JOIN qs ON c.bkt = qs.qbkt) " +
+        s"SELECT qid, vec_id, ${Exact.quantSql("cos", 10000)} AS cos_e4 FROM cand WHERE rn <= 3"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val corpus = emb.filter(col("vec_id") >= 16).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Similarity
+      .annJoinTopK(corpus, queries, "vec_id", "embedding", "qid", "qvec", k = 3, nBits = 8)
+      .select(col("qid"), col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qEmbedNorm, qEmbedTopK, qAnnIvf, qEmbedNearDup, qAnnLsh)
+    qEmbedNorm, qEmbedTopK, qAnnIvf, qEmbedNearDup, qAnnLsh, qAnnMulti)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */
@@ -148,4 +177,15 @@ object Vectors {
     }
     bits.reduce(_ + _)
   }
+
+  /** DuckDB equivalent of [[lshBucket]]: the hyperplanes are ±1 literals, so
+    * the same index-ordered double fold (list_sum over range) reproduces the
+    * sign bits bit-exactly.
+    */
+  def lshBucketSql(v: String, nBits: Int, dim: Int = Dim): String =
+    (0 until nBits).map { j =>
+      val lits = hyperplane(j, dim).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> ($v)[i]::DOUBLE * ([$lits])[i])) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 }

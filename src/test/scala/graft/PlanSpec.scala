@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ann_ivf assignment is a map-side fold: no join, no window exchange") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("Window"), "argmax must be a per-row fold, not row_number")
+    // only the balancing repartition + the final groupBy(cid) agg may shuffle
+    assert("\\+- Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "no centroid crossJoin")
+  }
+
+  test("q_ann_multi: corpus never shuffles before the bucket join (query side broadcast)") {
+    val p = plan("q_ann_multi")
+    assert(p.contains("BroadcastHashJoin"), "query set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._
