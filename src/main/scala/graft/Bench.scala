@@ -20,9 +20,13 @@ object Bench {
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let Catalyst
       // prune the whole projection on scan-shaped queries)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      // -1 marks a crashed query so the JSON can't pass it off as fast
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // streaming-engine throughput: events parquet replayed as a file stream
     // through a windowed count (the reference's core loop, microbatched)
@@ -55,7 +59,7 @@ object Bench {
     val allResults = results :+ ("stream_windowed_pipeline" -> streamSecs)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -41,6 +41,7 @@ object Tables {
     * already has enough partitions (a real cluster's many splits).
     */
   def balanced(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // partitioning is per-microbatch; .rdd would throw
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

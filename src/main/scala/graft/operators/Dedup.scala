@@ -15,14 +15,16 @@ import graft.queries.TextQueries
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per identical content. */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(col(textCol))
-    val keep = df.groupBy(h.as("__h")).agg(min(col(idCol)).as("__keep"))
-    df.join(broadcastIfSmall(keep), md5(col(textCol)) === col("__h") &&
-        col(idCol) === col("__keep"))
-      .drop("__h", "__keep")
-  }
+  /** Exact dedup: keep the lowest-id row per identical content.
+    *
+    * Single-pass shape: `groupBy(md5).agg(min_by(row, id))` — ONE shuffle of
+    * the corpus, with the map-side partial aggregate collapsing duplicate
+    * content before it ships, no join-back, no sort, and no keep-set to
+    * broadcast (at 100 TB that set is corpus-sized — a join-back would be a
+    * second full shuffle).
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepMinBy(df, idCol, md5(col(textCol)))
 
   /** Fingerprint dedup: normalization-invariant (case/punctuation/word-order)
     * content identity = md5 of sorted distinct tokens.
@@ -30,12 +32,17 @@ object Dedup {
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(TextQueries.tokensCol(c)))))
 
-  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val withFp = df.withColumn("__fp", fingerprint(col(textCol)))
-    val keep = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as("__keep"))
-    withFp.join(keep, Seq("__fp"))
-      .filter(col(idCol) === col("__keep"))
-      .drop("__fp", "__keep")
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keepMinBy(df, idCol, fingerprint(col(textCol)))
+
+  /** Shared single-shuffle survivor selection: lowest `idCol` row per
+    * `key` value, original columns and order preserved.
+    */
+  private def keepMinBy(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val cols = df.columns
+    df.groupBy(key.as("__k"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
   /** MinHash signature columns m0..m{n-1} for a text column (3-word
@@ -105,6 +112,4 @@ object Dedup {
     toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(col(idCol), sig.as("simhash"))
   }
-
-  private def broadcastIfSmall(df: DataFrame): DataFrame = df
 }
