@@ -11,22 +11,45 @@ import graft.dsl.KTable
   * `CompositeReadOnlyKeyValueStore` (`core/KafkaStream.cs:474`,
   * `core/State/QueryableStoreTypes.cs:24-41`).
   *
-  * Spark-native equivalent: each materialized KTable registers an update-mode
-  * memory sink; reads collapse the update log to latest-per-key. The view
+  * Spark-native equivalent: each materialized KTable's changelog is folded
+  * into a latest-per-key store via `foreachBatch` — per trigger the work is
+  * O(changed keys) and the store stays O(live keys) however long the query
+  * runs (an append-log memory sink would grow without bound). Tombstones
+  * (null values) delete; a stale update (older ts than the stored row)
+  * loses, matching the changelog's max-timestamp-wins contract. The view
   * lags by at most one trigger (documented divergence, SURVEY §7.4#4).
   */
 final class StoreRegistry(spark: SparkSession) {
 
   private var queries: Map[String, StreamingQuery] = Map.empty
+  // storeName -> (schema of (key, value, ts), key -> latest row)
+  private val stores = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.types.StructType,
+             java.util.concurrent.ConcurrentHashMap[Any, org.apache.spark.sql.Row])]()
 
   /** Materialize a KTable as a named queryable store. */
   def materialize[K, V](table: KTable[K, V], storeName: String): StreamingQuery = {
     val df = table.changelog.toDF("key", "value", "ts")
     val q =
-      if (df.isStreaming)
-        df.writeStream.format("memory").queryName(storeName)
+      if (df.isStreaming) {
+        val state = (df.schema, new java.util.concurrent.ConcurrentHashMap[Any, org.apache.spark.sql.Row]())
+        stores.put(storeName, state)
+        df.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // driver-side upsert of just this trigger's changes, in ts order
+            val rows = batch.collect().sortBy(_.getAs[java.sql.Timestamp]("ts").getTime)
+            rows.foreach { r =>
+              val key = r.get(0)
+              val fresh = Option(state._2.get(key))
+                .forall(cur => r.getAs[java.sql.Timestamp]("ts").getTime >=
+                  cur.getAs[java.sql.Timestamp]("ts").getTime)
+              if (fresh) {
+                if (r.isNullAt(1)) state._2.remove(key) else state._2.put(key, r)
+              }
+            }
+          }
           .outputMode("update").start()
-      else {
+      } else {
         df.createOrReplaceTempView(storeName)
         null
       }
@@ -34,17 +57,29 @@ final class StoreRegistry(spark: SparkSession) {
     q
   }
 
-  /** Latest-per-key view of a store's update log (the
-    * `IReadOnlyKeyValueStore.All()` analog).
+  /** Latest-per-key view of a store (the `IReadOnlyKeyValueStore.All()`
+    * analog). Streaming stores read the compacted map; batch snapshots fold
+    * their changelog view.
     */
   def all(storeName: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    spark.table(storeName)
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("key").orderBy(col("ts").desc)))
-      .filter(col("__rn") === 1 && col("value").isNotNull)
-      .drop("__rn")
+    val state = stores.get(storeName)
+    if (state != null) {
+      val (schema, m) = state
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m.values())
+      spark.createDataFrame(rows, schema)
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      spark.table(storeName)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1 && col("value").isNotNull)
+        .drop("__rn")
+    }
   }
+
+  /** Live key count of a streaming store without a Spark job (O(1)). */
+  private[iq] def storeSize(storeName: String): Option[Int] =
+    Option(stores.get(storeName)).map(_._2.size())
 
   /** Point lookup (`Get(key)`). */
   def get(storeName: String, key: Any): Option[Any] =

@@ -31,6 +31,24 @@ class StoreRegistrySpec extends SparkSpec {
     registry.stop()
   }
 
+  test("streaming store stays O(keys): many triggers never grow the store") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) }).toTable
+    val q = registry.materialize(table, "compact_store")
+
+    // 20 triggers x 2 keys: an append-log store would hold 40 rows
+    (1 to 20).foreach { i =>
+      in.addData(("a", i.toLong), ("b", i * 100L)); q.processAllAvailable()
+    }
+    assert(registry.storeSize("compact_store") === Some(2))
+    val all = registry.all("compact_store").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("value")).toMap
+    assert(all === Map("a" -> 20L, "b" -> 2000L))
+    registry.stop()
+  }
+
   test("error handling: permissive parse splits good and corrupt records") {
     import graft.runtime.ErrorHandling
     import org.apache.spark.sql.types._
