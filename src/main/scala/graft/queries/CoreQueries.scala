@@ -235,6 +235,28 @@ object CoreQueries {
       .agg(countDistinct(col("user_id")).as("users"))
   }
 
+  /** Set intersect (SURVEY §2.6 superset): users who both clicked and
+    * purchased. Distinct-set semantics on both engines.
+    */
+  val qIntersect = q(
+    "q_intersect",
+    "SELECT user_id FROM events WHERE event_type = 'click' " +
+      "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'") { (s, d) =>
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "click").select("user_id")
+      .intersect(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
+  /** Set except (SURVEY §2.6 superset): viewers who never purchased. */
+  val qExcept = q(
+    "q_except",
+    "SELECT user_id FROM events WHERE event_type = 'view' " +
+      "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase'") { (s, d) =>
+    val ev = Tables.events(s, d)
+    ev.filter(col("event_type") === "view").select("user_id")
+      .except(ev.filter(col("event_type") === "purchase").select("user_id"))
+  }
+
   /** Rollup (Spark superset — multi-level aggregation). */
   val qRollup = q(
     "q_rollup",
@@ -268,6 +290,6 @@ object CoreQueries {
     qFilter, qFilterNot, qMap, qMapValues, qFlatMapValues, qSelectKey,
     qBranch, qMerge, qTableLatest, qTableFilter, qTableMapValues,
     qTableGroupByCount, qTableGroupByAgg, q1Agg, qCount, qReduce,
-    qAggCustom, qDistinct, qCountDistinct, qRollup, qJsonExtract,
-    qApproxDistinct)
+    qAggCustom, qDistinct, qCountDistinct, qIntersect, qExcept, qRollup,
+    qJsonExtract, qApproxDistinct)
 }

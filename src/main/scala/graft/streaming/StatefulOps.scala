@@ -138,9 +138,14 @@ object StatefulOps {
       init: () => VR, adder: (K, V, VR) => VR, subtractor: (K, V, VR) => VR)(
       implicit eu: Encoder[Upsert[K, VR]], ek: Encoder[K],
       evr: Encoder[(Option[VR], Long)]): Dataset[Upsert[K, VR]] = {
+    // Append mode: each emitted Upsert is a CHANGELOG EVENT (final as an
+    // event — downstream folds latest-per-key), so append semantics are
+    // correct AND the op may legally chain after the append-mode
+    // changelogChanges in one streaming query (Spark rejects any chain that
+    // mixes update-mode fMGWS; see the fkTableJoin note below).
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[(Option[VR], Long), Upsert[K, VR]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[KeyedChange[K, V]], state: GroupState[(Option[VR], Long)]) =>
           var (agg, maxTs) = state.getOption.getOrElse((Option.empty[VR], 0L))
           // stable ts sort preserves per-update emission order (sub, then

@@ -42,6 +42,27 @@ class StreamingChangelogSpec extends SparkSpec {
     assert(state("r2") === Some(1L))
   }
 
+  test("KGroupedTable.aggregate retracts via subtractor across batches (streaming)") {
+    val in = MemoryStream[(String, Long, Long)] // (user, spend, ts)
+    val table = new KTable(in.toDS().map { case (k, v, t) =>
+      Upsert(k, Some(v), new java.sql.Timestamp(t)) })
+    // re-key by spend bucket; custom fold = sum of spends per bucket.
+    // changelogChanges (append fMGWS) -> aggregateChanges (append fMGWS):
+    // the whole chain must run in one streaming query under an append sink.
+    val agg = table
+      .groupBy((k, spend) => (if (spend >= 100L) "big" else "small", spend))
+      .aggregate(() => 0L)((_, v, acc) => acc + v)((_, v, acc) => acc - v)
+    val q = start(agg.changelog, "t_spend_agg", mode = "append")
+
+    in.addData(("u1", 50L, 1L), ("u2", 200L, 2L)); q.processAllAvailable()
+    // u1's spend moves small -> big in a later batch: subtract uses state
+    in.addData(("u1", 150L, 3L)); q.processAllAvailable()
+
+    val state = latest(spark.table("t_spend_agg").as[Upsert[String, Long]].collect())
+    assert(state("small") === Some(0L))
+    assert(state("big") === Some(350L))
+  }
+
   test("table-table outer join transitions across microbatches") {
     val lin = MemoryStream[(String, String, Long)]
     val rin = MemoryStream[(String, String, Long)]
