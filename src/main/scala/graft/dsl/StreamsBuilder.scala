@@ -100,6 +100,44 @@ object Serdes {
     org.apache.spark.sql.avro.functions.from_avro(c, jsonFormatSchema)
   def avroSer(c: Column): Column =
     org.apache.spark.sql.avro.functions.to_avro(c)
+
+  /** Protobuf value serde, the reference's `SchemaProtobufSerDes<T>`
+    * (`serdes/Streamiz.Kafka.Net.SchemaRegistry.SerDes.Protobuf/
+    * SchemaProtobufSerDes.cs`): binary protobuf ⇄ struct columns against a
+    * compiled descriptor file. Like Avro, the expression impl (spark-protobuf
+    * module) is a deploy-time dependency — construct-checked here, evaluates
+    * on a cluster.
+    */
+  def protobufDe(c: Column, messageName: String, descFilePath: String): Column =
+    org.apache.spark.sql.protobuf.functions.from_protobuf(c, messageName, descFilePath)
+  def protobufSer(c: Column, messageName: String, descFilePath: String): Column =
+    org.apache.spark.sql.protobuf.functions.to_protobuf(c, messageName, descFilePath)
+
+  // ---- Confluent schema-registry wire format ----------------------------
+  // The reference's SR serdes frame every payload as
+  // [magic 0x00][4-byte big-endian schema id][body]
+  // (SchemaAvroSerDes / SchemaProtobufSerDes strip and add this header).
+  // Pure byte-slicing column transforms — engine-independent and testable
+  // without any connector jar.
+
+  /** Body of an SR-framed binary column (drops the 5-byte header). */
+  def srStrip(c: Column): Column = c.substr(lit(6), octet_length(c) - 5)
+
+  /** Big-endian schema id from an SR-framed binary column. */
+  def srSchemaId(c: Column): Column =
+    conv(hex(c.substr(lit(2), lit(4))), 16, 10).cast("int")
+
+  /** True when the magic byte is 0x00 (a valid SR frame). */
+  def srIsFramed(c: Column): Column =
+    octet_length(c) >= 5 && c.substr(lit(1), lit(1)) === lit(Array[Byte](0))
+
+  /** Frame a binary payload with the SR header for `schemaId`. */
+  def srFrame(c: Column, schemaId: Int): Column = {
+    val header = Array[Byte](0,
+      ((schemaId >> 24) & 0xff).toByte, ((schemaId >> 16) & 0xff).toByte,
+      ((schemaId >> 8) & 0xff).toByte, (schemaId & 0xff).toByte)
+    concat(lit(header), c)
+  }
 }
 
 /** Sink wiring (`To`, `core/Stream/IKStream.cs:90-137`; `SinkProcessor.cs`).

@@ -28,6 +28,46 @@ class SerdesSpec extends SparkSpec {
     assert(df.as[(Int, String)].head() === ((1, "x")))
   }
 
+  test("schema-registry wire format round-trips: frame -> id/magic/strip") {
+    val payload = "hello".getBytes("UTF-8")
+    val df = Seq(Tuple1(payload)).toDF("body")
+      .select(Serdes.srFrame(col("body"), schemaId = 0x01020304).as("framed"))
+      .select(
+        Serdes.srIsFramed(col("framed")).as("ok"),
+        Serdes.srSchemaId(col("framed")).as("id"),
+        Serdes.srStrip(col("framed")).as("body"))
+    val (ok, id, body) = df.as[(Boolean, Int, Array[Byte])].head()
+    assert(ok)
+    assert(id === 0x01020304)
+    assert(body.toSeq === payload.toSeq)
+  }
+
+  test("schema-registry framing detects an unframed payload") {
+    val df = Seq(Tuple1("x".getBytes("UTF-8"))).toDF("body")
+      .select(Serdes.srIsFramed(col("body")).as("ok"))
+    assert(!df.as[Boolean].head())
+  }
+
+  test("protobuf serde columns construct against a real descriptor set") {
+    // hand-encoded FileDescriptorSet for: message Msg { optional int32 a = 1; }
+    // (protobuf wire format, all lengths < 128 so no multi-byte varints)
+    def lenDelim(field: Int, body: Array[Byte]): Array[Byte] =
+      Array(((field << 3) | 2).toByte, body.length.toByte) ++ body
+    def varint(field: Int, v: Int): Array[Byte] =
+      Array((field << 3).toByte, v.toByte)
+    val fieldA = lenDelim(1, "a".getBytes) ++ varint(3, 1) ++
+      varint(4, 1) ++ varint(5, 5) // name=a number=1 label=OPTIONAL type=INT32
+    val msg = lenDelim(1, "Msg".getBytes) ++ lenDelim(2, fieldA)
+    val file = lenDelim(1, "msg.proto".getBytes) ++ lenDelim(4, msg)
+    val set = lenDelim(1, file)
+    val descPath = java.nio.file.Files.createTempFile("graft_msg", ".desc")
+    java.nio.file.Files.write(descPath, set)
+
+    val ser = Serdes.protobufSer(struct(lit(1).as("a")), "Msg", descPath.toString)
+    val de = Serdes.protobufDe(col("raw"), "Msg", descPath.toString)
+    assert(ser.toString.contains("to_protobuf") && de.toString.contains("from_protobuf"))
+  }
+
   test("avro serde columns construct against a JSON Avro schema (evaluation is a cluster concern)") {
     val avroSchema =
       """{"type":"record","name":"r","fields":[
