@@ -27,8 +27,14 @@ final class StoreRegistry(spark: SparkSession) {
     String, (org.apache.spark.sql.types.StructType,
              java.util.concurrent.ConcurrentHashMap[Any, org.apache.spark.sql.Row])]()
 
-  /** Materialize a KTable as a named queryable store. */
-  def materialize[K, V](table: KTable[K, V], storeName: String): StreamingQuery = {
+  /** Materialize a KTable as a named queryable store. `outputMode` must suit
+    * the changelog's stateful chain: "update" for plain latest-per-key
+    * chains, "append" when every stateful op runs append-mode (e.g.
+    * `table.groupBy(...).aggregate` — Spark ties the query mode to the
+    * fMGWS modes). The foreachBatch fold is mode-agnostic either way.
+    */
+  def materialize[K, V](table: KTable[K, V], storeName: String,
+      outputMode: String = "update"): StreamingQuery = {
     val df = table.changelog.toDF("key", "value", "ts")
     val q =
       if (df.isStreaming) {
@@ -48,7 +54,7 @@ final class StoreRegistry(spark: SparkSession) {
               }
             }
           }
-          .outputMode("update").start()
+          .outputMode(outputMode).start()
       } else {
         df.createOrReplaceTempView(storeName)
         null

@@ -1,0 +1,162 @@
+package graft.testkit
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.dsl.{KStream, KTable, KV, Upsert}
+import graft.iq.StoreRegistry
+
+/** Packaged test harness, the analog of the reference's
+  * `TopologyTestDriver` + `TestInputTopic` / `TestOutputTopic`
+  * (`core/Mock/TopologyTestDriver.cs:63-99`, `core/Mock/TestInputTopic.cs:99-167`,
+  * `core/Mock/TestOutputTopic.cs:92-150`): drive a typed topology without any
+  * broker, pipe records in, read records or query stores out.
+  *
+  * Mapping: an input topic is a `MemoryStream[KV[K, V]]`; each `pipeInput`
+  * runs every started query to completion (the reference's SYNC_TASK mode —
+  * one record fully processed before the next); an output topic is a named
+  * memory sink read through a cursor; `getKeyValueStore` serves the
+  * latest-per-key view via [[graft.iq.StoreRegistry]].
+  *
+  * Usage (mirrors the reference's `using (var driver = ...)` pattern):
+  * {{{
+  * val driver = new TopologyTestDriver(spark)
+  * val in  = driver.createInputTopic[String, String]()
+  * val out = driver.createOutputTopic(in.stream.filter((_, v) => v.length > 3), "out")
+  * in.pipeInput("key1", "test1234")
+  * val rec = out.readKeyValue()
+  * driver.close()
+  * }}}
+  */
+final class TopologyTestDriver(val spark: SparkSession) extends AutoCloseable {
+
+  private var queries: List[StreamingQuery] = Nil
+  private var autoTsMs = 0L
+  private val registry = new StoreRegistry(spark)
+
+  private[testkit] def nextTs(): Timestamp = { autoTsMs += 1; new Timestamp(autoTsMs) }
+  private[testkit] def processAll(): Unit = queries.foreach(_.processAllAvailable())
+
+  /** `CreateInputTopic<K, V>(topic)`: a typed in-memory source. */
+  def createInputTopic[K, V]()(implicit e: Encoder[KV[K, V]],
+      eu: Encoder[Upsert[K, V]]): TestInputTopic[K, V] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    new TestInputTopic[K, V](MemoryStream[KV[K, V]], this)
+  }
+
+  /** `CreateOuputTopic<K, V>(topic)`: starts the topology ending at `stream`
+    * into a named append sink readable via the returned topic.
+    */
+  def createOutputTopic[K, V](stream: KStream[K, V], name: String)(
+      implicit e: Encoder[KV[K, V]]): TestOutputTopic[K, V] = {
+    val q = stream.ds.writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    queries ::= q
+    new TestOutputTopic[K, V](spark, name, this)
+  }
+
+  /** Materialize a KTable under `name` for [[getKeyValueStore]] — the
+    * `Materialized.As(storeName)` analog. Tries update mode first (plain
+    * latest-per-key chains), falling back to append (chains whose stateful
+    * ops all run append-mode, e.g. `table.groupBy(...).aggregate`).
+    */
+  def materializeStore[K, V](table: KTable[K, V], name: String): Unit = {
+    val q =
+      try registry.materialize(table, name)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          registry.materialize(table, name, outputMode = "append")
+      }
+    if (q != null) queries ::= q
+  }
+
+  /** `GetKeyValueStore<K, V>(name)` over a store registered with
+    * [[materializeStore]].
+    */
+  def getKeyValueStore[K, V](name: String): KeyValueStoreView[K, V] =
+    new KeyValueStoreView[K, V](registry, name)
+
+  def close(): Unit = {
+    queries.foreach(q => if (q.isActive) q.stop())
+    registry.stop()
+  }
+}
+
+/** `TestInputTopic<K, V>` (`core/Mock/TestInputTopic.cs`). */
+final class TestInputTopic[K, V] private[testkit] (
+    in: MemoryStream[KV[K, V]], driver: TopologyTestDriver)(
+    implicit e: Encoder[KV[K, V]], eu: Encoder[Upsert[K, V]]) {
+
+  /** The topology source, `builder.Stream(topic)`. */
+  def stream: KStream[K, V] = new KStream(in.toDS())
+
+  /** `builder.Table(topic)`: each record is an upsert of its key (a null
+    * value is a tombstone), feeding the changelog directly.
+    */
+  def table: KTable[K, V] =
+    new KTable(in.toDS().map(kv => Upsert(kv.key, Option(kv.value), kv.ts)))
+
+  /** `PipeInput(key, value)` — auto-advancing timestamp, processed
+    * synchronously (SYNC_TASK).
+    */
+  def pipeInput(key: K, value: V): Unit = pipeInput(key, value, driver.nextTs())
+
+  def pipeInput(key: K, value: V, ts: Timestamp): Unit = {
+    in.addData(KV(key, value, ts))
+    driver.processAll()
+  }
+
+  /** `PipeInputs(records)`: pipe a batch, then process once. */
+  def pipeInputs(records: Seq[(K, V)]): Unit = {
+    records.foreach { case (k, v) => in.addData(KV(k, v, driver.nextTs())) }
+    driver.processAll()
+  }
+}
+
+/** `TestOutputTopic<K, V>` (`core/Mock/TestOutputTopic.cs`): cursor over the
+  * topology's emitted records, in emission order.
+  */
+final class TestOutputTopic[K, V] private[testkit] (
+    spark: SparkSession, name: String, driver: TopologyTestDriver)(
+    implicit e: Encoder[KV[K, V]]) {
+
+  private var offset = 0
+  private def rows: Seq[KV[K, V]] = spark.table(name).as[KV[K, V]].collect().toSeq
+
+  /** `IsEmpty` — no unread records. */
+  def isEmpty: Boolean = rows.lengthCompare(offset) <= 0
+
+  /** `QueueSize` — unread record count. */
+  def queueSize: Int = math.max(0, rows.size - offset)
+
+  /** `ReadKeyValue()` — next unread record, None when drained. */
+  def readKeyValue(): Option[KV[K, V]] = {
+    val r = rows
+    if (r.lengthCompare(offset) > 0) { val x = r(offset); offset += 1; Some(x) }
+    else None
+  }
+
+  /** `ReadKeyValueList()` — drain all unread records. */
+  def readKeyValueList(): Seq[KV[K, V]] = {
+    val r = rows
+    val out = r.drop(offset); offset = r.size; out
+  }
+
+  /** `ReadValueList()`. */
+  def readValueList(): Seq[V] = readKeyValueList().map(_.value)
+}
+
+/** `IReadOnlyKeyValueStore<K, V>` view (`core/State/QueryableStoreTypes.cs`). */
+final class KeyValueStoreView[K, V] private[testkit] (
+    registry: StoreRegistry, name: String) {
+
+  def get(key: K): Option[V] = registry.get(name, key).map(_.asInstanceOf[V])
+
+  def approximateNumEntries(): Long = registry.approximateNumEntries(name)
+
+  def all(): Map[K, V] = registry.all(name).collect()
+    .map(r => r.getAs[K]("key") -> r.getAs[V]("value")).toMap
+}
