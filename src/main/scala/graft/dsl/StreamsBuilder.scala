@@ -27,7 +27,25 @@ final class StreamsBuilder(val spark: SparkSession) extends Serializable {
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
+      .option("includeHeaders", "true")
       .load()
+
+  /** Typed metadata-carrying stream from a Kafka-shaped DataFrame (columns
+    * `topic, partition, offset, timestamp, headers` as the Kafka source
+    * emits them, plus whatever `key`/`value` decode to): topic / partition /
+    * offset / headers survive into [[KVMeta]], the `IRecordContext` analog —
+    * so header routing and offset-aware logic stay typed instead of dropping
+    * to the raw DataFrame.
+    */
+  def streamWithMeta[K, V](df: DataFrame, key: Column, value: Column)(
+      implicit e: Encoder[KVMeta[K, V]]): Dataset[KVMeta[K, V]] =
+    df.select(
+      key.as("key"), value.as("value"), col("timestamp").as("ts"),
+      struct(
+        col("topic"), col("partition"), col("offset"),
+        coalesce(map_from_entries(col("headers")),
+          expr("CAST(map() AS map<string,binary>)")).as("headers")
+      ).as("meta")).as[KVMeta[K, V]]
 
   /** Typed stream from any Dataset (the `TopologyTestDriver` analog uses
     * `MemoryStream`; the batch façade uses parquet).

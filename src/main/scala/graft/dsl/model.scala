@@ -34,3 +34,26 @@ object KV {
   def now[K, V](key: K, value: V): KV[K, V] =
     KV(key, value, new Timestamp(System.currentTimeMillis()))
 }
+
+/** Per-record source metadata, the reference's `IRecordContext`
+  * (`core/Processors/IRecordContext.cs:9-36`). Field mapping:
+  * `Topic`→topic, `Partition`→partition, `Offset`→offset,
+  * `Headers`→headers (name → raw bytes; Kafka allows duplicate header
+  * names — last one wins here, which is also the reference's read-most
+  * pattern), `Timestamp` lives on the enclosing [[KVMeta]] row.
+  */
+final case class RecordMeta(topic: String, partition: Int, offset: Long,
+    headers: Map[String, Array[Byte]]) {
+  def header(name: String): Option[Array[Byte]] = headers.get(name)
+  def headerString(name: String): Option[String] =
+    header(name).map(new String(_, java.nio.charset.StandardCharsets.UTF_8))
+}
+
+/** Metadata-carrying record: the typed DSL's answer to header/offset-aware
+  * users — `KV` plus the source [[RecordMeta]]. `toKV` drops into the plain
+  * DSL; `changeTimestamp` mirrors `IRecordContext.ChangeTimestamp`.
+  */
+final case class KVMeta[K, V](key: K, value: V, ts: Timestamp, meta: RecordMeta) {
+  def toKV: KV[K, V] = KV(key, value, ts)
+  def changeTimestamp(newTs: Timestamp): KVMeta[K, V] = copy(ts = newTs)
+}
