@@ -31,8 +31,11 @@ object CompositeQueries {
       .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00")))
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1996-03-15 00:00:00")))
+    // customer scales with SF (~1.5 TB at 100 TB total) — no broadcast hint;
+    // size-based planning broadcasts it at small SF and shuffles at scale.
+    // Only fixed-cardinality dims (nation: 25, region: 5) are force-broadcast.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey")
       .agg(
         Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
@@ -45,7 +48,8 @@ object CompositeQueries {
   }
 
   /** Q5-shaped: revenue per nation within one region and order-date year.
-    * region/nation broadcast; orders/lineitem co-shuffle on the key.
+    * region/nation broadcast (fixed-size); orders/lineitem co-shuffle on the
+    * key; the customer-side join is left to size-based planning.
     */
   val q5Region = q(
     "q5_region",
@@ -67,7 +71,7 @@ object CompositeQueries {
         col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
     Tables.lineitem(s, d)
       .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey")) // customer-scaled: AQE decides
       .groupBy("n_name")
       .agg(count(lit(1)).as("cnt"),
         Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
@@ -86,7 +90,7 @@ object CompositeQueries {
       "ORDER BY revenue_e4 DESC, c_custkey LIMIT 20") { (s, d) =>
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey")
       .agg(first("c_name").as("c_name"),
         Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
@@ -126,7 +130,7 @@ object CompositeQueries {
   }
 
   /** Q14-shaped: promo revenue vs total per ship-year. Conditional
-    * aggregation over a broadcast part join; both sums exact integers so the
+    * aggregation over a part join (AQE-sized); both sums exact integers so the
     * ratio can be computed client-side without float drift.
     */
   val q14Promo = q(
@@ -136,7 +140,7 @@ object CompositeQueries {
       s"${Exact.sumScaledSql("l_extendedprice * (1 - l_discount)", 10000)} AS total_e4 " +
       "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1") { (s, d) =>
     Tables.lineitem(s, d)
-      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey")) // SF-scaled: AQE decides
       .groupBy(year(col("l_shipdate")).as("yr"))
       .agg(
         Exact.sumScaled(
@@ -165,13 +169,14 @@ object CompositeQueries {
       .filter(col("sq_c") > 30000)
     bigOrders
       .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.customer(s, d)), col("c_custkey") === col("o_custkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("o_orderkey"),
         unix_millis(col("o_orderdate").cast("timestamp")).as("odate_ms"), col("sq_c"))
   }
 
   /** Q9-shaped: profit per supplier nation per order-year — a five-table
-    * join (lineitem ⋈ orders co-shuffle; part/supplier/nation broadcast).
+    * join (lineitem ⋈ orders co-shuffle; nation broadcast; part/supplier
+    * sized by AQE — SF-scaled, so no forced broadcast).
     */
   val q9Profit = q(
     "q9_profit",
@@ -184,9 +189,9 @@ object CompositeQueries {
       "WHERE p_type = 'PROMO' GROUP BY n_name, yr") { (s, d) =>
     Tables.lineitem(s, d)
       .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
-        col("p_partkey") === col("l_partkey"))
-      .join(broadcast(Tables.supplier(s, d)), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.part(s, d).filter(col("p_type") === "PROMO"),
+        col("p_partkey") === col("l_partkey")) // SF-scaled: AQE decides
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
       .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
       .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
       .agg(Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)

@@ -4,9 +4,13 @@ import graft.Tables
 import org.apache.spark.sql.functions._
 import GraftQuery.q
 
-/** Join operators (SURVEY §2.5) over the batch façade. Small dimension sides
-  * are explicitly `broadcast()` — at 100 TB the fact side (lineitem/events)
-  * must never shuffle for a dimension lookup.
+/** Join operators (SURVEY §2.5) over the batch façade. Broadcast policy:
+  * only fixed-cardinality dims (nation: 25 rows, region: 5) carry an explicit
+  * `broadcast()` hint — they are broadcastable at ANY scale, and the fact
+  * side then never shuffles for the lookup. SF-scaled sides (customer, part,
+  * supplier) get no hint: size-based planning / AQE broadcasts them at small
+  * SF and switches to a shuffle join at 100 TB, where a forced broadcast
+  * would OOM the executors.
   */
 object JoinQueries {
 
@@ -36,7 +40,7 @@ object JoinQueries {
       "ON o_custkey = c_custkey AND c_acctbal > 5000 " +
       "GROUP BY o_orderstatus") { (s, d) =>
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)),
+      .join(Tables.customer(s, d), // SF-scaled side: AQE decides the strategy
         col("o_custkey") === col("c_custkey") && col("c_acctbal") > 5000,
         "left")
       .groupBy("o_orderstatus")
@@ -151,7 +155,7 @@ object JoinQueries {
       "FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rn <= 3") { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     Tables.orders(s, d)
-      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("c_mktsegment")
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))))

@@ -187,7 +187,7 @@ object TextQueries {
     // alone and filtering afterwards.
     val src = Tables.documents(s, d).select("doc_id", "source")
     val sh = shinglesDf(s, d).distinct()
-      .join(broadcast(src), "doc_id")
+      .join(src, "doc_id") // corpus-scaled narrow projection: AQE decides
       .select("doc_id", "source", "s")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),
