@@ -173,12 +173,19 @@ object Sinks {
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
 
+  /** Per-record topic routing (`ITopicNameExtractor`): stamps the `topic`
+    * column the Kafka sink dispatches on. Split out from [[toKafkaDynamic]]
+    * so the routing plan is testable without the connector jar.
+    */
+  def routeTopic(df: DataFrame, topicExtractor: Column): DataFrame =
+    df.withColumn("topic", topicExtractor)
+
   /** Dynamic routing: compute a `topic` column per record
     * (`ITopicNameExtractor`); the Kafka sink reads it per row.
     */
   def toKafkaDynamic(df: DataFrame, bootstrapServers: String,
       topicExtractor: Column, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    df.withColumn("topic", topicExtractor)
+    routeTopic(df, topicExtractor)
       .writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
