@@ -436,11 +436,11 @@ object StatefulOps {
         last(when(col("side") === 0, struct(col("tval"))), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("key"), col("sval"), col("tstate.tval").as("tval"), col("ts"))
-    val typed = joined.as[(K, V, Option[VT], Timestamp)]
-    val mapped = typed.map { case (k, v, tOpt, ts) =>
-      if (tOpt.isDefined || leftJoin) KV(k, joiner(v, tOpt), ts)
-      else null.asInstanceOf[KV[K, VR]]
-    }
-    mapped.filter(r => r != null)
+    // inner-join drop happens columnar (inside codegen, before the single
+    // object hop) — the opaque Scala joiner then runs exactly once per
+    // emitted row, with no null-sentinel re-filter in object space
+    val kept = if (leftJoin) joined else joined.filter(col("tval").isNotNull)
+    kept.as[(K, V, Option[VT], Timestamp)]
+      .map { case (k, v, tOpt, ts) => KV(k, joiner(v, tOpt), ts) }
   }
 }
