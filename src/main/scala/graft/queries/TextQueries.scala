@@ -268,6 +268,51 @@ object TextQueries {
           .as("bpe_tokens"))
   }
 
+  /** Word n-grams of the normalized tokens as a per-row array (1-based
+    * slice windows — identical indexing on both engines); empty when the doc
+    * has fewer than n tokens.
+    */
+  def ngramsCol(text: Column, n: Int): Column = {
+    val t = tokensCol(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - (n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def ngramsSql(n: Int): String =
+    s"list_transform(range(1, greatest(len($tokensSql) - ${n - 2}, 1)), " +
+      s"i -> array_to_string(($tokensSql)[i:i+${n - 1}], ' '))"
+
+  /** Repetition-ratio quality signal (the Gopher-style "fraction of
+    * duplicate n-grams" filter): dup = total − distinct 3-grams, computed
+    * per row with array functions — NO explode, NO shuffle except the final
+    * per-source rollup, so at 100 TB this is a pure map-side scan. A doc is
+    * "repetitive" when > 20% of its 3-grams are duplicates (integer-exact
+    * threshold).
+    */
+  val qRepetition = q(
+    "q_repetition", {
+      val g = ngramsSql(3)
+      s"WITH gr AS (SELECT source, len($g) AS total, " +
+        s"len($g) - len(list_distinct($g)) AS dup FROM documents) " +
+        "SELECT source, count(*) AS docs, " +
+        "CAST(sum(dup) AS BIGINT) AS dup_grams, " +
+        "CAST(sum(total) AS BIGINT) AS grams, " +
+        "CAST(sum(CASE WHEN dup * 5 > total THEN 1 ELSE 0 END) AS BIGINT) AS repetitive_docs " +
+        "FROM gr GROUP BY source"
+    }) { (s, d) =>
+    val g = ngramsCol(col("text"), 3)
+    Tables.documentsBalanced(s, d)
+      .select(col("source"), size(g).as("total"),
+        (size(g) - size(array_distinct(g))).as("dup"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("dup")).as("dup_grams"),
+        sum(col("total")).as("grams"),
+        sum(when(col("dup") * 5 > col("total"), 1).otherwise(0)).as("repetitive_docs"))
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. The decode
     * step is a deterministic stub (no image/audio libs in this container) —
     * the Spark-side schema/partitioning is the real deliverable; see
@@ -359,5 +404,5 @@ object TextQueries {
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qMultimodalMeta, qNgramProfile, qCurationPipeline)
+    qRepetition, qMultimodalMeta, qNgramProfile, qCurationPipeline)
 }
