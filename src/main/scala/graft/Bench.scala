@@ -13,9 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (JVM + codegen paths) outside any query's timing
-    spark.read.parquet(s"$sfDir/region.parquet").write.format("noop")
-      .mode("overwrite").save()
+    // warm the session outside any query's timing: scan + two-phase hash
+    // agg + broadcast join exercise the codegen/JIT paths the first timed
+    // query would otherwise pay for (~2s of compile time at local scale)
+    locally {
+      import org.apache.spark.sql.functions._
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("c"), sum("n_nationkey").as("s"))
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let Catalyst
