@@ -48,12 +48,17 @@ final class TopologyTestDriver(val spark: SparkSession) extends AutoCloseable {
   }
 
   /** `CreateOuputTopic<K, V>(topic)`: starts the topology ending at `stream`
-    * into a named append sink readable via the returned topic.
+    * into a named memory sink readable via the returned topic. Append mode
+    * for record streams; pass `outputMode = "update"` for aggregated
+    * topologies — the reference emits every update immediately, and the
+    * update-mode sink appends each trigger's changed rows, reproducing that
+    * cadence record for record.
     */
-  def createOutputTopic[K, V](stream: KStream[K, V], name: String)(
+  def createOutputTopic[K, V](stream: KStream[K, V], name: String,
+      outputMode: String = "append")(
       implicit e: Encoder[KV[K, V]]): TestOutputTopic[K, V] = {
     val q = stream.ds.writeStream.format("memory")
-      .queryName(name).outputMode("append").start()
+      .queryName(name).outputMode(outputMode).start()
     queries ::= q
     new TestOutputTopic[K, V](spark, name, this)
   }

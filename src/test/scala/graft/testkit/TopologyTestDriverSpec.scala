@@ -10,6 +10,10 @@ import graft.dsl.JoinWindows
   *  - KStreamFilterTests (`test/.../Processors/KStreamFilterTests.cs:30-108`)
   *  - KStreamKStreamJoinTests.StreamStreamJoin (`KStreamKStreamJoinTests.cs:18-52`)
   *  - KGroupedTableAggTests.AggAndQueryInStateStore (`KGroupedTableAggTests.cs:145-205`)
+  *  - KStreamBranchTests.One/MultiBranchWithElements (`KStreamBranchTests.cs:29-106`)
+  *  - KStreamTableJoinTests.StreamTableJoin (`KStreamTableJoinTests.cs:17-49`)
+  *  - TimeWindowKStreamCountTests.TimeWindowingCount / QueryStore2Window
+  *    (`TimeWindowKStreamCountTests.cs:120-155,312-344`)
   */
 class TopologyTestDriverSpec extends SparkSpec {
   import spark.implicits._
@@ -83,6 +87,93 @@ class TopologyTestDriverSpec extends SparkSpec {
       val countStore = driver.getKeyValueStore[String, Long]("count-store")
       assert(countStore.get("TEST") === Some(1L))
       assert(countStore.get("COUCOU") === Some(1L))
+    } finally driver.close()
+  }
+
+  test("KStreamBranchTests: one-branch passthrough and even/odd multi-branch") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      // OneBranchWithElements: a single always-true branch forwards all 10
+      // records in order
+      val inAll = driver.createInputTopic[String, String]()
+      val Seq(b0) = inAll.stream.branch((_, _) => true)
+      val outAll = driver.createOutputTopic(b0, "tk_branch_all")
+      val expected = (0 until 10).map(i => i.toString -> s"value-$i")
+      inAll.pipeInputs(expected)
+      assert(outAll.readKeyValueList().map(r => r.key -> r.value) === expected)
+
+      // MultiBranchWithElements: v % 2 == 0 vs v % 2 > 0 split to two topics
+      val inNum = driver.createInputTopic[String, Int]()
+      val Seq(pair, impair) = inNum.stream.branch(
+        (_, v) => v % 2 == 0, (_, v) => v % 2 > 0)
+      val outPair = driver.createOutputTopic(pair, "tk_branch_pair")
+      val outImpair = driver.createOutputTopic(impair, "tk_branch_impair")
+      inNum.pipeInputs((0 until 10).map(i => i.toString -> i))
+      assert(outPair.readKeyValueList().map(r => r.key -> r.value) ===
+        (0 until 10 by 2).map(i => i.toString -> i))
+      assert(outImpair.readKeyValueList().map(r => r.key -> r.value) ===
+        (1 until 10 by 2).map(i => i.toString -> i))
+    } finally driver.close()
+  }
+
+  test("KStreamTableJoinTests.StreamTableJoin: stream record joins the table's current value") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val tableTopic = driver.createInputTopic[String, String]()
+      val streamTopic = driver.createInputTopic[String, String]()
+      val joined = streamTopic.stream.join(tableTopic.table) {
+        (s, v) => s"$s-$v"
+      }
+      val out = driver.createOutputTopic(joined, "tk_st_join_out")
+
+      tableTopic.pipeInput("test", "test")
+      streamTopic.pipeInput("test", "coucou")
+      val rec = out.readKeyValue()
+      assert(rec.isDefined)
+      assert(rec.get.key === "test" && rec.get.value === "coucou-test")
+      // table updates alone produce no output (enrichment is stream-driven)
+      tableTopic.pipeInput("test", "later")
+      assert(out.isEmpty)
+    } finally driver.close()
+  }
+
+  test("TimeWindowKStreamCountTests.TimeWindowingCount: per-update counts in one window") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val input = driver.createInputTopic[String, String]()
+      val counts = input.stream.groupByKey
+        .windowedBy(graft.dsl.TumblingWindow.of(10000L)).count
+      val out = driver.createOutputTopic(
+        counts.toStream, "tk_window_out", outputMode = "update")
+
+      input.pipeInput("test", "1")
+      input.pipeInput("test", "2")
+      input.pipeInput("test", "3")
+      val els = out.readKeyValueList()
+      assert(els.size === 3)
+      assert(els.forall(_.key.key === "test"))
+      assert(els.forall(r => r.key.end.getTime - r.key.start.getTime === 10000L))
+      assert(els.map(_.value) === Seq(1L, 2L, 3L))
+      assert(els.map(_.key.start).distinct.size === 1)
+    } finally driver.close()
+  }
+
+  test("TimeWindowKStreamCountTests.QueryStore2Window: records split across two windows") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val input = driver.createInputTopic[String, String]()
+      val counts = input.stream.groupByKey
+        .windowedBy(graft.dsl.TumblingWindow.of(5000L)).count
+      val out = driver.createOutputTopic(
+        counts.toStream, "tk_window2_out", outputMode = "update")
+
+      // dt, dt, dt + 1 minute (reference pipes explicit timestamps)
+      input.pipeInput("test", "1", ts(1000))
+      input.pipeInput("test", "2", ts(1000))
+      input.pipeInput("test", "3", ts(61000))
+      val finalByWindow = out.readKeyValueList()
+        .groupBy(_.key.start).map { case (s, rs) => s -> rs.last.value }
+      assert(finalByWindow === Map(ts(0) -> 2L, ts(60000) -> 1L))
     } finally driver.close()
   }
 }
