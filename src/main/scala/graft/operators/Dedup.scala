@@ -68,14 +68,33 @@ object Dedup {
   /** LSH candidate pairs from signatures: bands of `rowsPerBand` minima;
     * pairs sharing any band hash. `bands × rowsPerBand` must equal the
     * signature width.
+    *
+    * `maxBucket` (0 = unbounded) caps each (band, hash) bucket to its
+    * `maxBucket` lowest-id members before pair generation — the guard
+    * against the hot-bucket quadratic blowup (boilerplate text collapsing
+    * millions of docs into one bucket yields C(n,2) pairs). With a cap, a
+    * bucket contributes at most C(maxBucket,2) pairs; docs cut from ALL
+    * their buckets lose candidacy (the standard bounded-recall tradeoff —
+    * near-identical docs usually share several buckets, so a single capped
+    * bucket rarely removes a true pair). The cap's rank window shuffles on
+    * the same (band, hash) key the self-join needs, so it adds a sort but
+    * no extra exchange of the exploded table.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
     val bandHashes = array((0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
     }: _*)
     val exploded = sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
-    exploded.as("x").join(exploded.as("y"),
+    val members =
+      if (maxBucket <= 0) exploded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bh").orderBy(col(idCol))
+        exploded.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= maxBucket).drop("__rn")
+      }
+    members.as("x").join(members.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
@@ -86,10 +105,10 @@ object Dedup {
     * permutation fraction) passes `minAgreeFraction`.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      minAgreeFraction: Double = 0.5): DataFrame = {
+      minAgreeFraction: Double = 0.5, maxBucket: Int = 0): DataFrame = {
     import TextQueries.NumPerm
     val sigs = minhashSignatures(df, idCol, textCol).persist()
-    val cand = lshCandidates(sigs, idCol)
+    val cand = lshCandidates(sigs, idCol, maxBucket = maxBucket)
     val agree = (0 until NumPerm)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
       .reduce(_ + _)

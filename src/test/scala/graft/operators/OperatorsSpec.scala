@@ -37,6 +37,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })  // 4 unrelated
   }
 
+  test("lsh bucket cap bounds hot-bucket pairs but keeps capped-set dups") {
+    // 40 identical docs = one hot bucket per band; uncapped that is
+    // C(40,2) = 780 pairs, capped at 5 it must be at most C(5,2) = 10
+    val hot = (0L until 40L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(hot, "doc_id", "text")
+    val uncapped = Dedup.lshCandidates(sigs, "doc_id").count()
+    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === 780L)
+    assert(capped.size <= 10)
+    // the cap keeps the LOWEST ids deterministically — 0..4 still pair up
+    assert(capped.contains((0L, 1L)) && capped.contains((3L, 4L)))
+    assert(capped.forall { case (a, b) => a < 5L && b < 5L })
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
