@@ -49,15 +49,12 @@ object Dedup {
     * shingles, md5-derived hashes — deterministic, no fitted model).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import TextQueries.{P, hash32, perms, tokensCol}
+    import TextQueries.{P, hash32, perms, ngramsCol}
     graft.functions.Md5Prefix32.register(df.sparkSession)
     graft.functions.MinHashSigAgg.register(df.sparkSession)
+    // docs with <3 tokens drop out: ngramsCol is empty there, explode drops it
     val shingled = df
-      .select(col(idCol), tokensCol(col(textCol)).as("__t"))
-      .filter(size(col("__t")) >= 3)
-      .select(col(idCol), explode(
-        transform(sequence(lit(1), size(col("__t")) - 2),
-          i => concat_ws(" ", slice(col("__t"), i, lit(3))))).as("__s"))
+      .select(col(idCol), explode(ngramsCol(col(textCol), 3)).as("__s"))
       .select(col(idCol), (hash32(col("__s")) % P).as("__h"))
     // one TypedImperativeAggregate computes all minima in a single buffer
     shingled.groupBy(col(idCol))
@@ -69,46 +66,55 @@ object Dedup {
     * pairs sharing any band hash. `bands × rowsPerBand` must equal the
     * signature width.
     *
-    * `maxBucket` (0 = unbounded) caps each (band, hash) bucket to its
-    * `maxBucket` lowest-id members before pair generation — the guard
-    * against the hot-bucket quadratic blowup (boilerplate text collapsing
-    * millions of docs into one bucket yields C(n,2) pairs). With a cap, a
-    * bucket contributes at most C(maxBucket,2) pairs; docs cut from ALL
-    * their buckets lose candidacy (the standard bounded-recall tradeoff —
-    * near-identical docs usually share several buckets, so a single capped
-    * bucket rarely removes a true pair). The cap's rank window shuffles on
-    * the same (band, hash) key the self-join needs, so it adds a sort but
-    * no extra exchange of the exploded table.
+    * `hotBucketThreshold` (0 = unbounded) guards against the hot-bucket
+    * quadratic blowup (boilerplate text collapsing millions of docs into one
+    * bucket yields C(n,2) pairs). Buckets at or under the threshold generate
+    * all pairs as usual; a LARGER bucket switches to the star pattern — every
+    * member pairs with the bucket's lowest id only — so it contributes n−1
+    * pairs instead of C(n,2) while every member keeps candidacy through the
+    * shared representative (a capped/truncated bucket would orphan the
+    * overflow docs entirely: identical docs land in the same buckets in ALL
+    * bands, so per-band truncation removes the same docs everywhere). The
+    * recall cost is only cross-pairs among non-representative members of a
+    * hot bucket — irrelevant for dedup-by-connected-components, where the
+    * star already links the whole bucket. The sizing window aggregates on
+    * the same (band, hash) key the self-join shuffles on.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
-      rowsPerBand: Int = 4, maxBucket: Int = 0): DataFrame = {
+      rowsPerBand: Int = 4, hotBucketThreshold: Int = 0): DataFrame = {
     val bandHashes = array((0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
     }: _*)
     val exploded = sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
-    val members =
-      if (maxBucket <= 0) exploded
+    def allPairs(df: DataFrame): DataFrame =
+      df.as("x").join(df.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+        .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
+    val pairs =
+      if (hotBucketThreshold <= 0) allPairs(exploded)
       else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bh").orderBy(col(idCol))
-        exploded.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= maxBucket).drop("__rn")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+        val sized = exploded
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__mn", min(col(idCol)).over(w))
+        val cold = allPairs(sized.filter(col("__n") <= hotBucketThreshold))
+        val hot = sized
+          .filter(col("__n") > hotBucketThreshold && col(idCol) =!= col("__mn"))
+          .select(col("__mn").as("ida"), col(idCol).as("idb"))
+        cold.unionByName(hot)
       }
-    members.as("x").join(members.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
-      .distinct()
+    pairs.distinct()
   }
 
   /** Near-duplicate pairs: LSH candidates whose estimated Jaccard (agreeing
     * permutation fraction) passes `minAgreeFraction`.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      minAgreeFraction: Double = 0.5, maxBucket: Int = 0): DataFrame = {
+      minAgreeFraction: Double = 0.5, hotBucketThreshold: Int = 0): DataFrame = {
     import TextQueries.NumPerm
     val sigs = minhashSignatures(df, idCol, textCol).persist()
-    val cand = lshCandidates(sigs, idCol, maxBucket = maxBucket)
+    val cand = lshCandidates(sigs, idCol, hotBucketThreshold = hotBucketThreshold)
     val agree = (0 until NumPerm)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
       .reduce(_ + _)

@@ -85,14 +85,12 @@ object TextQueries {
 
   // ---- MinHash ----
 
-  /** 3-word shingles of the normalized tokens (docs with <3 tokens dropped). */
+  /** 3-word shingles of the normalized tokens (docs with <3 tokens dropped:
+    * [[ngramsCol]] yields an empty array there and `explode` drops it).
+    */
   def shinglesDf(s: SparkSession, d: String): DataFrame =
     Tables.documentsBalanced(s, d)
-      .select(col("doc_id"), tokensCol(col("text")).as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("t")) - 2),
-          i => concat_ws(" ", slice(col("t"), i, lit(3))))).as("s"))
+      .select(col("doc_id"), explode(ngramsCol(col("text"), 3)).as("s"))
 
   val shinglesSql: String =
     s"SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s " +

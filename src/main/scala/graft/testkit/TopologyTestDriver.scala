@@ -57,6 +57,10 @@ final class TopologyTestDriver(val spark: SparkSession) extends AutoCloseable {
   def createOutputTopic[K, V](stream: KStream[K, V], name: String,
       outputMode: String = "append")(
       implicit e: Encoder[KV[K, V]]): TestOutputTopic[K, V] = {
+    // complete mode rewrites the sink table each trigger, which would break
+    // the topic's append-only read cursor
+    require(outputMode == "append" || outputMode == "update",
+      s"output topic supports append/update modes, got '$outputMode'")
     val q = stream.ds.writeStream.format("memory")
       .queryName(name).outputMode(outputMode).start()
     queries ::= q

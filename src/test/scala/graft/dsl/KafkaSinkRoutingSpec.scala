@@ -55,14 +55,12 @@ class KafkaSinkRoutingSpec extends SparkSpec {
       rows.select(Serdes.stringSer(col("key")).as("key"),
         Serdes.stringSer(col("value").cast("string")).as("value"),
         col("meta")),
-      coalesce(cast_header(col("meta.headers")("dest")), lit("default")))
+      coalesce(Serdes.stringDe(col("meta.headers")("dest")), lit("default")))
     val byKey = routed
       .select(Serdes.stringDe(col("key")).as("k"), col("topic"))
       .as[(String, String)].collect().toMap
     assert(byKey == Map("k1" -> "hot", "k2" -> "cold", "k3" -> "default"))
   }
-
-  private def cast_header(c: org.apache.spark.sql.Column) = c.cast("string")
 
   test("toKafkaDynamic/toKafka construct writers over a streaming frame") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

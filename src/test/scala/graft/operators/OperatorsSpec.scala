@@ -37,20 +37,24 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })  // 4 unrelated
   }
 
-  test("lsh bucket cap bounds hot-bucket pairs but keeps capped-set dups") {
-    // 40 identical docs = one hot bucket per band; uncapped that is
-    // C(40,2) = 780 pairs, capped at 5 it must be at most C(5,2) = 10
+  test("lsh hot-bucket star bounds pairs linearly and keeps every doc linked") {
+    // 40 identical docs = one hot bucket per band; all-pairs would be
+    // C(40,2) = 780; the star pattern emits exactly n-1 = 39 pairs
     val hot = (0L until 40L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
       .toDF("doc_id", "text")
     val sigs = Dedup.minhashSignatures(hot, "doc_id", "text")
-    val uncapped = Dedup.lshCandidates(sigs, "doc_id").count()
-    val capped = Dedup.lshCandidates(sigs, "doc_id", maxBucket = 5)
+    val unbounded = Dedup.lshCandidates(sigs, "doc_id").count()
+    val starred = Dedup.lshCandidates(sigs, "doc_id", hotBucketThreshold = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(uncapped === 780L)
-    assert(capped.size <= 10)
-    // the cap keeps the LOWEST ids deterministically — 0..4 still pair up
-    assert(capped.contains((0L, 1L)) && capped.contains((3L, 4L)))
-    assert(capped.forall { case (a, b) => a < 5L && b < 5L })
+    assert(unbounded === 780L)
+    // every doc stays a candidate via the bucket representative (id 0) —
+    // a truncating cap would orphan docs 5..39 from every band at once
+    assert(starred === (1L until 40L).map(i => (0L, i)).toSet)
+    // and a hot bucket must not suppress cold-bucket pairs elsewhere: the
+    // planted near-dup pair in the 5-doc corpus still surfaces
+    val mixed = Dedup.nearDuplicates(docs, "doc_id", "text", hotBucketThreshold = 5)
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mixed.contains((0L, 3L)) || mixed.contains((0L, 1L)))
   }
 
   test("simhash of near-identical docs differs in few bits") {
