@@ -14,6 +14,11 @@ import graft.dsl.JoinWindows
   *  - KStreamTableJoinTests.StreamTableJoin (`KStreamTableJoinTests.cs:17-49`)
   *  - TimeWindowKStreamCountTests.TimeWindowingCount / QueryStore2Window
   *    (`TimeWindowKStreamCountTests.cs:120-155,312-344`)
+  *  - KTableKTableJoinTests.TableTableJoin/StateStore (`KTableKTableJoinTests.cs:18-124`)
+  *  - KStreamGlobalTableJoinTests.KStreamGlobalJoinOK/KO
+  *    (`KStreamGlobalTableJoinTests.cs:24-56,91-125`)
+  *  - KGroupedStreamReduceTests.ReduceAndQueryInStateStore
+  *    (`KGroupedStreamReduceTests.cs:106-148`)
   */
 class TopologyTestDriverSpec extends SparkSpec {
   import spark.implicits._
@@ -174,6 +179,83 @@ class TopologyTestDriverSpec extends SparkSpec {
       val finalByWindow = out.readKeyValueList()
         .groupBy(_.key.start).map { case (s, rs) => s -> rs.last.value }
       assert(finalByWindow === Map(ts(0) -> 2L, ts(60000) -> 1L))
+    } finally driver.close()
+  }
+
+  test("KTableKTableJoinTests.TableTableJoin: both sides upserted, join emits and stores") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val topic1 = driver.createInputTopic[String, String]()
+      val topic2 = driver.createInputTopic[String, String]()
+      val joined = topic1.table.join(topic2.table)((v1, v2) => s"$v1-$v2")
+      // the changelog join is an update-mode stateful op -> update sink
+      val out = driver.createOutputTopic(joined.toStream, "tk_tt_join_out",
+        outputMode = "update")
+      driver.materializeStore(joined, "merge-store")
+
+      topic1.pipeInput("test", "test")
+      // only one side present: inner join emits nothing yet
+      assert(out.isEmpty)
+      topic2.pipeInput("test", "coucou")
+      val rec = out.readKeyValue()
+      assert(rec.isDefined)
+      assert(rec.get.key === "test" && rec.get.value === "test-coucou")
+
+      // TableTableJoinStateStore: the merged store holds the joined value
+      val store = driver.getKeyValueStore[String, String]("merge-store")
+      assert(store.approximateNumEntries() === 1)
+      assert(store.get("test") === Some("test-coucou"))
+    } finally driver.close()
+  }
+
+  test("KStreamGlobalTableJoinTests: global join enriches, missing key drops") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      // our GlobalKTable is a broadcast snapshot (stream-static join; the
+      // refresh divergence is documented on GlobalKTable) — the reference's
+      // pipe-into-global-topic setup maps to the snapshot's content
+      val builder = new graft.dsl.StreamsBuilder(spark)
+      val global = builder.globalTable(Seq(("test", "test")).toDS())
+      val in = driver.createInputTopic[String, String]()
+      val joined = in.stream.join(global, (k: String, _: String) => k) {
+        (s, v) => s"$s-$v"
+      }
+      val out = driver.createOutputTopic(joined, "tk_global_join_out")
+
+      // KStreamGlobalJoinOK: key present in the global table
+      in.pipeInput("test", "coucou")
+      val rec = out.readKeyValue()
+      assert(rec.isDefined)
+      assert(rec.get.key === "test" && rec.get.value === "coucou-test")
+
+      // KStreamGlobalJoinKO: key absent -> inner join drops the record
+      in.pipeInput("unknown", "coucou")
+      assert(out.isEmpty)
+    } finally driver.close()
+  }
+
+  test("KGroupedStreamReduceTests.ReduceAndQueryInStateStore: re-keyed count + max reduce") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val input = driver.createInputTopic[String, String]()
+      val grouped = input.stream
+        .mapValues(_.length)
+        .groupBy((k, _) => k.toUpperCase)
+      driver.materializeStore(grouped.count, "count-store")
+      driver.materializeStore(grouped.reduce((v1, v2) => math.max(v1, v2)), "reduce-store")
+
+      input.pipeInput("test", "1")
+      input.pipeInput("test", "120")
+      input.pipeInput("test", "30")
+      input.pipeInput("coucou", "120")
+
+      val reduceStore = driver.getKeyValueStore[String, Int]("reduce-store")
+      assert(reduceStore.approximateNumEntries() === 2)
+      assert(reduceStore.get("TEST") === Some(3))
+
+      val countStore = driver.getKeyValueStore[String, Long]("count-store")
+      assert(countStore.get("TEST") === Some(3L))
+      assert(countStore.get("COUCOU") === Some(1L))
     } finally driver.close()
   }
 }
