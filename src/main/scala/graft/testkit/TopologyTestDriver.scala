@@ -88,6 +88,12 @@ final class TopologyTestDriver(val spark: SparkSession) extends AutoCloseable {
   def getKeyValueStore[K, V](name: String): KeyValueStoreView[K, V] =
     new KeyValueStoreView[K, V](registry, name)
 
+  /** `GetWindowStore<K, V>(name)` (`core/Mock/TopologyTestDriver.cs:358-376`)
+    * over a store materialized from a windowed KTable (`Windowed[K]` keys).
+    */
+  def getWindowStore[K, V](name: String): WindowStoreView[K, V] =
+    new WindowStoreView[K, V](registry, name)
+
   def close(): Unit = {
     queries.foreach(q => if (q.isActive) q.stop())
     registry.stop()
@@ -168,4 +174,30 @@ final class KeyValueStoreView[K, V] private[testkit] (
 
   def all(): Map[K, V] = registry.all(name).collect()
     .map(r => r.getAs[K]("key") -> r.getAs[V]("value")).toMap
+}
+
+/** `IReadOnlyWindowStore<K, V>` view (`core/State/IReadOnlyWindowStore.cs`):
+  * entries keyed by (key, window start, window end).
+  */
+final class WindowStoreView[K, V] private[testkit] (
+    registry: StoreRegistry, name: String) {
+
+  private def entry(r: org.apache.spark.sql.Row): (K, Timestamp, Timestamp, V) = {
+    val wk = r.getStruct(r.fieldIndex("key"))
+    (wk.getAs[K]("key"), wk.getAs[Timestamp]("start"), wk.getAs[Timestamp]("end"),
+      r.getAs[V]("value"))
+  }
+
+  /** `Fetch(key, from, to)`: this key's windows with start in [fromMs, toMs],
+    * ordered by window start.
+    */
+  def fetch(key: K, fromMs: Long, toMs: Long): Seq[(Timestamp, V)] =
+    registry.fetch(name, key, fromMs, toMs).collect()
+      .map(r => { val (_, s, _, v) = entry(r); (s, v) }).toSeq
+
+  /** `All()`: every (key, window) entry. */
+  def all(): Seq[(K, Timestamp, Timestamp, V)] =
+    registry.all(name).collect().map(entry).toSeq
+
+  def approximateNumEntries(): Long = registry.approximateNumEntries(name)
 }

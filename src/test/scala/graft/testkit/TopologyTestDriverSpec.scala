@@ -182,6 +182,29 @@ class TopologyTestDriverSpec extends SparkSpec {
     } finally driver.close()
   }
 
+  test("TimeWindowKStreamCountTests.QueryStoreAll: window store fetch/all") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val input = driver.createInputTopic[String, String]()
+      val counts = input.stream.groupByKey
+        .windowedBy(graft.dsl.TumblingWindow.of(10000L)).count
+      driver.materializeStore(counts, "tk_window_store")
+
+      input.pipeInput("test", "1")
+      input.pipeInput("test", "2")
+      input.pipeInput("test", "3")
+
+      val store = driver.getWindowStore[String, Long]("tk_window_store")
+      val els = store.all()
+      assert(els.size === 1)
+      val (k, start, end, cnt) = els.head
+      assert(k === "test" && cnt === 3L)
+      assert(end.getTime - start.getTime === 10000L)
+      assert(store.fetch("test", 0L, 10000L) === Seq((start, 3L)))
+      assert(store.fetch("test", 20000L, 30000L).isEmpty)
+    } finally driver.close()
+  }
+
   test("KTableKTableJoinTests.TableTableJoin: both sides upserted, join emits and stores") {
     val driver = new TopologyTestDriver(spark)
     try {
