@@ -311,6 +311,33 @@ object TextQueries {
         sum(when(col("dup") * 5 > col("total"), 1).otherwise(0)).as("repetitive_docs"))
   }
 
+  /** Benchmark decontamination via [[graft.operators.Decontaminate]]: the
+    * "benchmark" is the deterministic doc_id % 100 == 0 slice standing in
+    * for an eval set; corpus docs sharing any 5-gram with it are flagged.
+    * Per-source totals keep the check integer-exact.
+    */
+  val qDecontaminate = q(
+    "q_decontaminate", {
+      val g = ngramsSql(5)
+      s"WITH bg AS (SELECT DISTINCT unnest($g) AS gr FROM documents WHERE doc_id % 100 = 0), " +
+        s"hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest($g) AS gr " +
+        "FROM documents WHERE doc_id % 100 <> 0) t JOIN bg USING (gr)) " +
+        "SELECT source, count(*) AS docs, " +
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated " +
+        "FROM documents WHERE doc_id % 100 <> 0 GROUP BY source"
+    }) { (s, d) =>
+    val docs = Tables.documentsBalanced(s, d)
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val hits = graft.operators.Decontaminate
+      .contaminatedIds(corpus, bench, "doc_id", "text", n = 5)
+      .withColumn("__hit", lit(1))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("__hit").isNotNull, 1).otherwise(0)).as("contaminated"))
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. The decode
     * step is a deterministic stub (no image/audio libs in this container) —
     * the Spark-side schema/partitioning is the real deliverable; see
@@ -402,5 +429,6 @@ object TextQueries {
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qMultimodalMeta, qNgramProfile, qCurationPipeline)
+    qRepetition, qDecontaminate, qMultimodalMeta, qNgramProfile,
+    qCurationPipeline)
 }

@@ -57,6 +57,22 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed.contains((0L, 3L)) || mixed.contains((0L, 1L)))
   }
 
+  test("decontaminate flags benchmark-overlapping docs and clean drops only them") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta epsilon copied tail"), // shares a 5-gram
+      (2L, "completely unrelated sentence with no shared phrases at all here"),
+      (3L, "another clean document about distributed query engines and planning")
+    ).toDF("doc_id", "text")
+    val flagged = Decontaminate.contaminatedIds(corpus, bench, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(1L))
+    val kept = Decontaminate.clean(corpus, bench, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(2L, 3L))
+  }
+
   test("simhash of near-identical docs differs in few bits") {
     val sigs = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
