@@ -82,6 +82,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for the join")
   }
 
+  test("q_decontaminate: benchmark grams broadcast into the semi join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      "corpus n-grams must probe a broadcast benchmark set, never shuffle for it")
+    assert(!p.contains("SortMergeJoin LeftSemi"), p.take(2000))
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._
