@@ -86,6 +86,30 @@ object JoinQueries {
       .agg(count(lit(1)).as("cnt"), Exact.sumScaled(col("l_quantity"), 100).as("sq_c"))
   }
 
+  /** KStream ⟕ KStream windowed (interval) LEFT join — left records emit
+    * with a null right side when nothing matches inside the window
+    * (KStreamKStreamJoinProcessor left variant). The orders side is unique
+    * per key, so each left row appears exactly once, matched or not.
+    */
+  val qIntervalLeftJoin = q(
+    "q_interval_left_join",
+    "SELECT l_returnflag, count(*) AS cnt, " +
+      "CAST(sum(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS matched " +
+      "FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey " +
+      "AND l_shipdate >= o_orderdate " +
+      "AND l_shipdate <= o_orderdate + INTERVAL 10 DAY " +
+      "GROUP BY l_returnflag") { (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 10 DAYS"),
+        "left")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("o_orderkey").isNull, 0).otherwise(1)).as("matched"))
+  }
+
   /** KStream ⟗ KStream outer — both sides emit unmatched (null other side).
     * Two per-user aggregates full-outer joined.
     */
@@ -184,6 +208,7 @@ object JoinQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    qJoinStreamTable, qJoinLeft, qJoinGlobal, qIntervalJoin, qJoinOuter,
+    qJoinStreamTable, qJoinLeft, qJoinGlobal, qIntervalJoin,
+    qIntervalLeftJoin, qJoinOuter,
     qTableTableJoin, qSemiJoin, qAntiJoin, qTopK, qRunning)
 }
