@@ -90,6 +90,30 @@ object DslQueries {
       .toDF("event_type", "cnt")
   }
 
+  /** KGroupedTable.reduce via DSL: events → toTable (latest per user) →
+    * groupBy(event_type, value) → reduce(max). Max is order-independent and
+    * compares existing doubles bit-for-bit (no arithmetic), so the fold is
+    * oracle-exact.
+    */
+  val qDslTableReduce = q(
+    "q_dsl_table_reduce",
+    "SELECT event_type, max(value) AS max_v FROM (" +
+      "SELECT * EXCLUDE rn FROM (SELECT *, row_number() OVER " +
+      "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+      "FROM events) WHERE rn = 1) GROUP BY event_type") { (s, d) =>
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"), col("ts"))
+      .as[(Long, String, Long, Double, Timestamp)]
+      .map { case (u, e, id, v, t) => KV(u, (e, v), new Timestamp(t.getTime * 1000 + (id % 1000))) }
+    new KStream(ev)
+      .toTable
+      .groupBy((_, v) => (v._1, v._2))
+      .reduce((a, b) => math.max(a, b), (agg, _) => agg)
+      .view
+      .toDF("event_type", "max_v")
+  }
+
   /** Stream-table join via the DSL's dual-state stateful op: lineitem stream
     * enriched by the orders table, then aggregated (same oracle as
     * q_join_stream_table). Integer-cents fold keeps the sum exact.
@@ -231,6 +255,7 @@ object DslQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslStreamTableJoin,
-    qDslTableTableJoin, qFkJoin, qFkLeftJoin, qDslSessionAgg)
+    qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslTableReduce,
+    qDslStreamTableJoin, qDslTableTableJoin, qFkJoin, qFkLeftJoin,
+    qDslSessionAgg)
 }
