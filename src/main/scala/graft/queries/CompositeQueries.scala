@@ -198,6 +198,29 @@ object CompositeQueries {
         .as("profit_e4"))
   }
 
+  /** Q12-shaped: per return-flag (the synthetic schema's stand-in for
+    * shipmode), high- vs low-priority line counts within a ship-date year —
+    * conditional counting over a fact-fact co-shuffle join with the date
+    * filter pushed into the lineitem scan.
+    */
+  val q12Priority = q(
+    "q12_priority",
+    "SELECT l_returnflag, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_cnt, " +
+      "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_cnt " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+      "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+      "GROUP BY l_returnflag") { (s, d) =>
+    val hi = col("o_orderpriority").isInCollection(Seq("1-URGENT", "2-HIGH"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(sum(when(hi, 1).otherwise(0)).as("high_cnt"),
+        sum(when(hi, 0).otherwise(1)).as("low_cnt"))
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
-    qSaltedAgg, q14Promo, q18Large, q9Profit)
+    qSaltedAgg, q14Promo, q18Large, q9Profit, q12Priority)
 }
