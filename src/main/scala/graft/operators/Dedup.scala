@@ -62,56 +62,36 @@ object Dedup {
       .select(col(idCol) +: perms.indices.map(j => col("__sig")(j).as(s"m$j")): _*)
   }
 
+  /** Production default for [[Lsh.candidatePairs]]'s hot-bucket guard: far
+    * above any organic bucket at test SFs (max observed band-bucket size at
+    * sf0.1 is single digits) yet bounding a boilerplate bucket of millions to
+    * n−1 star pairs instead of C(n,2).
+    */
+  val DefaultHotBucketThreshold = 1024
+
   /** LSH candidate pairs from signatures: bands of `rowsPerBand` minima;
     * pairs sharing any band hash. `bands × rowsPerBand` must equal the
-    * signature width.
-    *
-    * `hotBucketThreshold` (0 = unbounded) guards against the hot-bucket
-    * quadratic blowup (boilerplate text collapsing millions of docs into one
-    * bucket yields C(n,2) pairs). Buckets at or under the threshold generate
-    * all pairs as usual; a LARGER bucket switches to the star pattern — every
-    * member pairs with the bucket's lowest id only — so it contributes n−1
-    * pairs instead of C(n,2) while every member keeps candidacy through the
-    * shared representative (a capped/truncated bucket would orphan the
-    * overflow docs entirely: identical docs land in the same buckets in ALL
-    * bands, so per-band truncation removes the same docs everywhere). The
-    * recall cost is only cross-pairs among non-representative members of a
-    * hot bucket — irrelevant for dedup-by-connected-components, where the
-    * star already links the whole bucket. The sizing window aggregates on
-    * the same (band, hash) key the self-join shuffles on.
+    * signature width. Hot buckets (size > `hotBucketThreshold`, ON by
+    * default) star-link to the bucket's lowest id — see
+    * [[Lsh.candidatePairs]] for the guard's semantics and why truncation
+    * would be wrong.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
-      rowsPerBand: Int = 4, hotBucketThreshold: Int = 0): DataFrame = {
+      rowsPerBand: Int = 4,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     val bandHashes = array((0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
     }: _*)
     val exploded = sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
-    def allPairs(df: DataFrame): DataFrame =
-      df.as("x").join(df.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-            col(s"x.$idCol") < col(s"y.$idCol"))
-        .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
-    val pairs =
-      if (hotBucketThreshold <= 0) allPairs(exploded)
-      else {
-        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-        val sized = exploded
-          .withColumn("__n", count(lit(1)).over(w))
-          .withColumn("__mn", min(col(idCol)).over(w))
-        val cold = allPairs(sized.filter(col("__n") <= hotBucketThreshold))
-        val hot = sized
-          .filter(col("__n") > hotBucketThreshold && col(idCol) =!= col("__mn"))
-          .select(col("__mn").as("ida"), col(idCol).as("idb"))
-        cold.unionByName(hot)
-      }
-    pairs.distinct()
+    Lsh.candidatePairs(exploded, idCol, Seq("band", "bh"), hotBucketThreshold)
   }
 
   /** Near-duplicate pairs: LSH candidates whose estimated Jaccard (agreeing
     * permutation fraction) passes `minAgreeFraction`.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
-      minAgreeFraction: Double = 0.5, hotBucketThreshold: Int = 0): DataFrame = {
+      minAgreeFraction: Double = 0.5,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     import TextQueries.NumPerm
     val sigs = minhashSignatures(df, idCol, textCol).persist()
     val cand = lshCandidates(sigs, idCol, hotBucketThreshold = hotBucketThreshold)

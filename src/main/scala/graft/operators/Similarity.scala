@@ -127,4 +127,42 @@ object Similarity {
       .filter(col("__rn") <= k)
       .drop("__bucket", "__qbucket", "__rn")
   }
+
+  /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH —
+    * the candidate-generation shape that survives 100 TB. Rows are exploded
+    * into `bands` (band, bucket) keys from disjoint hyperplane blocks; a pair
+    * is a candidate iff SOME band agrees (prefixed by `blockCols` equality),
+    * so the self-join shuffles on (blockCols…, band, bucket) — bounded
+    * buckets — never on blockCols alone, which at fixed cardinality is
+    * quadratic in the corpus. Candidates are then verified with the exact
+    * cosine (> `minCosine`) from one narrow join-back.
+    *
+    * Recall is the banding OR: with `bitsPerBand` b and per-bit agreement
+    * p = 1 − θ/π, a true pair is caught with 1 − (1 − p^b)^bands. Hot buckets
+    * (> `hotBucketThreshold`) star-link to the bucket's lowest id — see
+    * [[Lsh.candidatePairs]].
+    *
+    * Returns (ida, idb, cosine) with ida < idb.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, blockCols: Seq[String] = Nil,
+      bands: Int = 4, bitsPerBand: Int = 4,
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold): DataFrame = {
+    val e = df.select(
+      (col(idCol) +: blockCols.map(col)) :+ col(vecCol) :+ norm(col(vecCol)).as("__nrm"): _*)
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("__band"), Vectors.lshBandBucket(col(vecCol), b, bitsPerBand).as("__bkt"))
+    }: _*)
+    val exploded = e.select(
+      (col(idCol) +: blockCols.map(col)) :+ inline(bandKeys): _*)
+    val cand = Lsh.candidatePairs(
+      exploded, idCol, blockCols ++ Seq("__band", "__bkt"), hotBucketThreshold)
+    val v = e.select(col(idCol), col(vecCol), col("__nrm"))
+    cand.join(v.as("a"), col(s"a.$idCol") === col("ida"))
+      .join(v.as("b"), col(s"b.$idCol") === col("idb"))
+      .withColumn("cosine", dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+        (col("a.__nrm") * col("b.__nrm")))
+      .filter(col("cosine") > minCosine)
+      .select(col("ida"), col("idb"), col("cosine"))
+  }
 }

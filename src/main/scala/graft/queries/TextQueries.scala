@@ -164,15 +164,31 @@ object TextQueries {
     graft.operators.Dedup.simhash(Tables.documentsBalanced(s, d), "doc_id", "text")
   }
 
+  /** Hot-shingle cap for [[qNgramJaccard]]: shingles held by more than this
+    * many docs of one source are dropped before pairing. A boilerplate
+    * shingle shared by k docs contributes C(k,2) join rows — unbounded
+    * without the cap (the LSH paths star-link; set intersection has no
+    * representative to link through, so dropping the uninformative shingle is
+    * the standard fix: a shingle in >K docs carries ~no Jaccard signal
+    * anyway). Far above the organic max document frequency at test SFs
+    * (6 at sf0.1), so test results are unchanged — and the cap is mirrored
+    * in the oracle SQL regardless.
+    */
+  val MaxShingleDf = 64
+
   /** N-gram (3-shingle) Jaccard similarity between same-source doc pairs —
-    * exact set intersection/union counts (integer → oracle-exact). Scoped to
-    * same-source pairs: the blocked-join shape that survives scale (never
-    * all-pairs).
+    * exact set intersection/union counts (integer → oracle-exact) over the
+    * df-capped shingle universe. Scoped to same-source pairs: the
+    * blocked-join shape that survives scale (never all-pairs), with
+    * [[MaxShingleDf]] bounding each (source, shingle) bucket's C(k,2) blowup.
     */
   val qNgramJaccard = q(
     "q_ngram_jaccard",
-    "WITH sh AS (SELECT DISTINCT d.doc_id, d.source, t.s FROM documents d " +
+    "WITH sh0 AS (SELECT DISTINCT d.doc_id, d.source, t.s FROM documents d " +
       s"JOIN ($shinglesSql) t ON t.doc_id = d.doc_id), " +
+      "sh AS (SELECT doc_id, source, s FROM (SELECT doc_id, source, s, " +
+      "count(*) OVER (PARTITION BY source, s) AS df FROM sh0) " +
+      s"WHERE df <= $MaxShingleDf), " +
       "sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), " +
       "inter AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS i FROM sh x " +
       "JOIN sh y ON x.source = y.source AND x.s = y.s AND x.doc_id < y.doc_id " +
@@ -180,12 +196,30 @@ object TextQueries {
       "SELECT ida, idb, i, na.n + nb.n - i AS u FROM inter " +
       "JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb " +
       "WHERE i * 10 >= (na.n + nb.n - i)") { (s, d) =>
-    // source is carried into the shingle rows so the self-join shuffles on
-    // (source, shingle) — the blocking key — instead of exploding on shingle
-    // alone and filtering afterwards.
-    val src = Tables.documents(s, d).select("doc_id", "source")
-    val sh = shinglesDf(s, d).distinct()
-      .join(src, "doc_id") // corpus-scaled narrow projection: AQE decides
+    ngramJaccardPairs(s, d, MaxShingleDf)
+  }
+
+  /** [[qNgramJaccard]] body with the df cap as a parameter (specs plant a
+    * boilerplate shingle and assert the pair count stays bounded).
+    *
+    * source is carried into the shingle rows so the self-join shuffles on
+    * (source, shingle) — the blocking key — instead of exploding on shingle
+    * alone and filtering afterwards. The df-cap window partitions by that
+    * same key, so the guard rides the shuffle the join already pays.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
+    ngramJaccardPairsOf(
+      shinglesDf(s, d).distinct()
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "s"),
+      maxDf)
+
+  /** Pair stage over prepared (doc_id, source, s) distinct shingle rows. */
+  def ngramJaccardPairsOf(sh0: DataFrame, maxDf: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source", "s")
+    val sh = sh0
+      .withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df") <= maxDf)
       .select("doc_id", "source", "s")
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("x").join(sh.as("y"),

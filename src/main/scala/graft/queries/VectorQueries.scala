@@ -82,27 +82,43 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"), sum(Exact.quant(col("cosine"), 10000)).as("sum_cos_e4"))
   }
 
-  /** Embedding-cosine near-duplicate pairs within a label (blocked join —
-    * the label is the blocking key, so the pair space stays bounded).
+  /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH
+    * (4 bands × 4 bits, blocked by label): candidates come from bucket
+    * agreement in SOME band, the exact cosine > threshold is the verify
+    * stage. The pair join shuffles on (label, band, bucket) — bounded
+    * buckets — never on the fixed-cardinality label alone, which would be
+    * O(N²/|labels|) at 100 TB. The oracle mirrors the banding bit-exactly
+    * (literal ±1 hyperplanes, index-ordered folds); the operator's
+    * hot-bucket star guard sits far above any organic bucket at test SFs,
+    * so it does not need mirroring.
+    *
+    * Threshold 0.35 rather than a real near-dup 0.9: the synthetic
+    * embeddings top out at cosine ~0.47, so 0.35 is what makes the verify
+    * stage actually fire on test data (pairs at sf0.01: 20). Recall at the
+    * unusually-wide θ = acos(0.35) is ~0.7; for true near-dups (cos > 0.9)
+    * the same 4×4 banding catches ~0.96.
     */
   val qEmbedNearDup = q(
-    "q_embed_near_dup",
-    "WITH e AS (SELECT vec_id, label, embedding, " +
-      s"${normSql("embedding")} AS nrm FROM embeddings) " +
-      "SELECT a.vec_id AS ida, b.vec_id AS idb, " +
-      s"${Exact.quantSql(dotSql("a.embedding", "b.embedding") + " / (a.nrm * b.nrm)", 10000)} AS cos_e4 " +
-      "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id " +
-      s"WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) > 0.8") { (s, d) =>
-    val e = Tables.embeddingsBalanced(s, d)
-      .select(col("vec_id"), col("label"), col("embedding"),
-        normCol(col("embedding")).as("nrm"))
-    e.as("a").join(e.as("b"),
-        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", dotCol(col("a.embedding"), col("b.embedding")) /
-        (col("a.nrm") * col("b.nrm")))
-      .filter(col("cos") > 0.8)
-      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
-        Exact.quant(col("cos"), 10000).as("cos_e4"))
+    "q_embed_near_dup", {
+      val bands = 4; val bits = 4
+      val bandSel = (0 until bands).map(b =>
+        s"SELECT vec_id, label, $b AS band, " +
+          s"${Vectors.lshBandBucketSql("embedding", b, bits)} AS bkt FROM embeddings")
+        .mkString(" UNION ALL ")
+      val cos = s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)"
+      s"WITH e AS (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings), " +
+        s"bk AS ($bandSel), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb FROM bk x " +
+        "JOIN bk y ON x.label = y.label AND x.band = y.band AND x.bkt = y.bkt " +
+        "AND x.vec_id < y.vec_id) " +
+        s"SELECT ida, idb, ${Exact.quantSql(cos, 10000)} AS cos_e4 FROM cand " +
+        "JOIN e a ON a.vec_id = ida JOIN e b ON b.vec_id = idb " +
+        s"WHERE $cos > 0.35"
+    }) { (s, d) =>
+    graft.operators.Similarity.nearDupPairs(
+        Tables.embeddingsBalanced(s, d), "vec_id", "embedding",
+        minCosine = 0.35, blockCols = Seq("label"), bands = 4, bitsPerBand = 4)
+      .select(col("ida"), col("idb"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
   /** LSH bucket histogram (random-hyperplane SimHash over embeddings): 12
@@ -166,9 +182,18 @@ object Vectors {
     }
 
   /** Random-hyperplane LSH bucket id: bit j = [dot(v, r_j) > 0]. */
-  def lshBucket(v: Column, nBits: Int, dim: Int = Dim): Column = {
-    val bits = (0 until nBits).map { j =>
-      val r = hyperplane(j, dim)
+  def lshBucket(v: Column, nBits: Int, dim: Int = Dim): Column =
+    lshBandBucket(v, 0, nBits, dim)
+
+  /** Bucket id for band `band` of a banded sketch: `bitsPerBand` sign bits
+    * from the hyperplane block starting at `band * bitsPerBand`. Bands use
+    * disjoint hyperplanes, so a pair's band buckets are independent trials —
+    * the OR across bands is what buys near-dup recall back from bucketing.
+    * `lshBucket(v, n)` ≡ band 0 of width n.
+    */
+  def lshBandBucket(v: Column, band: Int, bitsPerBand: Int, dim: Int = Dim): Column = {
+    val bits = (0 until bitsPerBand).map { j =>
+      val r = hyperplane(band * bitsPerBand + j, dim)
       val rCol = array(r.map(lit): _*)
       val d = aggregate(
         zip_with(v, rCol, (x, y) => x.cast("double") * y),
@@ -183,8 +208,13 @@ object Vectors {
     * sign bits bit-exactly.
     */
   def lshBucketSql(v: String, nBits: Int, dim: Int = Dim): String =
-    (0 until nBits).map { j =>
-      val lits = hyperplane(j, dim).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+    lshBandBucketSql(v, 0, nBits, dim)
+
+  /** DuckDB equivalent of [[lshBandBucket]]. */
+  def lshBandBucketSql(v: String, band: Int, bitsPerBand: Int, dim: Int = Dim): String =
+    (0 until bitsPerBand).map { j =>
+      val lits = hyperplane(band * bitsPerBand + j, dim)
+        .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
       s"(CASE WHEN list_sum(list_transform(range(1, ${dim + 1}), " +
         s"i -> ($v)[i]::DOUBLE * ([$lits])[i])) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")

@@ -89,6 +89,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin LeftSemi"), p.take(2000))
   }
 
+  test("q_embed_near_dup pair join keys include the LSH bucket, not label alone") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q_embed_near_dup")(spark, dir)
+    // the candidate self-join must block on (label, band, bucket): blocking
+    // on the fixed-cardinality label alone is O(N^2/|labels|) at 100 TB
+    val selfJoin = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.exists(_.toString.contains("__bkt")) => j
+    }
+    assert(selfJoin.nonEmpty, "candidate join lost the __bkt bucket key")
+    assert(!df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .exists(j => j.condition.exists(c =>
+        c.toString.contains("label") && !c.toString.contains("__bkt"))),
+      "a join blocks on label without the bucket key")
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._

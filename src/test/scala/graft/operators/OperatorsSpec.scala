@@ -57,6 +57,76 @@ class OperatorsSpec extends SparkSpec {
     assert(mixed.contains((0L, 3L)) || mixed.contains((0L, 1L)))
   }
 
+  test("hot-bucket guard is ON by default: a 2x-threshold bucket stars to n-1 pairs") {
+    // 2 * DefaultHotBucketThreshold identical docs: every band bucket is hot
+    // under the DEFAULT arguments, so the default path must star-link — not
+    // emit C(n,2) ~ 2M pairs (which would also make this test crawl)
+    val n = 2 * Dedup.DefaultHotBucketThreshold
+    val hot = (0L until n.toLong)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(hot, "doc_id", "text")
+    val pairs = Dedup.lshCandidates(sigs, "doc_id") // defaults only
+    assert(pairs.count() === (n - 1).toLong)
+    // identical docs agree on all permutations, so verify keeps all n-1
+    assert(Dedup.nearDuplicates(hot, "doc_id", "text").count() === (n - 1).toLong)
+  }
+
+  test("nearDupPairs: banded-LSH candidates verify to a subset of exact pairs") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // 0.35 = the threshold where the synthetic embeddings actually pair up
+    val bucketed = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        minCosine = 0.35, blockCols = Seq("label"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact reference: blocked only by label (the pre-bucketing semantics)
+    val e = emb.withColumn("nrm", Similarity.norm(col("embedding")))
+    val exact = e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm")) > 0.35)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.nonEmpty, "verify stage must actually fire on test data")
+    assert(bucketed.subsetOf(exact), "bucketed pairs must all be true near-dups")
+    // sane recall on the test corpus (banding OR buys most pairs back);
+    // 9/14 at sf0.001 with the 4x4 default, deterministic hyperplanes
+    assert(bucketed.size * 2 >= exact.size,
+      s"recall too low: ${bucketed.size}/${exact.size}")
+  }
+
+  test("nearDupPairs finds identical vectors and star-links hot buckets") {
+    val base = Array.tabulate(8)(i => (i + 1).toFloat)
+    val rows = (0L until 12L).map(i => (i, base.clone(), "x")) :+
+      (99L, Array.tabulate(8)(i => (if (i % 2 == 0) 1f else -1f)), "x")
+    val df = rows.toDF("vec_id", "embedding", "label")
+    // 12 identical vectors, threshold 5: every band bucket is hot -> star on
+    // id 0 = 11 pairs; the orthogonal-ish 99 pairs with nothing
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding",
+        minCosine = 0.99, blockCols = Seq("label"), hotBucketThreshold = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (1L until 12L).map(i => (0L, i)).toSet)
+  }
+
+  test("ngram-jaccard df cap bounds the boilerplate-shingle pair blowup") {
+    import graft.queries.TextQueries
+    // 10 docs sharing ONE boilerplate shingle (plus a unique one each): the
+    // shared shingle alone passes the i*10 >= u filter, so without the cap
+    // all C(10,2)=45 pairs ship; with df cap 4 the hot shingle drops and
+    // only the genuinely-similar planted pair (20, 21) survives
+    val boiler = (0L until 10L).flatMap(i =>
+      Seq((i, "src", "copy right footer"), (i, "src", s"unique shingle $i")))
+    val similarPair = Seq( // two docs sharing 2 of their 3 rare shingles
+      (20L, "src", "alpha beta gamma"), (20L, "src", "beta gamma delta"), (20L, "src", "only twenty here"),
+      (21L, "src", "alpha beta gamma"), (21L, "src", "beta gamma delta"), (21L, "src", "only twentyone here"))
+    val sh = (boiler ++ similarPair).toDF("doc_id", "source", "s")
+    val uncapped = TextQueries.ngramJaccardPairsOf(sh, maxDf = 64).count()
+    val capped = TextQueries.ngramJaccardPairsOf(sh, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === 46L) // 45 boilerplate pairs + the planted pair
+    assert(capped === Set((20L, 21L)))
+  }
+
   test("decontaminate flags benchmark-overlapping docs and clean drops only them") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
