@@ -24,22 +24,31 @@ object Bench {
         .groupBy("r_name").agg(count(lit(1)).as("c"), sum("n_nationkey").as("s"))
         .write.format("noop").mode("overwrite").save()
     }
+    // min-of-2 per query: one co-tenant stall can no longer dominate a
+    // query's number (BENCH_r02 was measured against concurrent sbt runs and
+    // reported phantom 10-25x regressions). -1 marks a crashed query so the
+    // JSON can't pass it off as fast.
+    def minOf2(name: String)(run: () => Unit): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { run(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      }
+      val a = once()
+      if (a < 0) a else { val b = once(); if (b < 0) b else math.min(a, b) }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink materializes every row/column (count() would let Catalyst
       // prune the whole projection on scan-shaped queries)
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      // -1 marks a crashed query so the JSON can't pass it off as fast
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> minOf2(name) { () =>
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
     }
     // streaming-engine throughput: events parquet replayed as a file stream
     // through a windowed count (the reference's core loop, microbatched)
-    val streamSecs = try {
-      val t0 = System.nanoTime()
+    val streamSecs = minOf2("stream_windowed_pipeline") { () =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // file-stream source needs a directory: stage the single file into one
@@ -59,10 +68,6 @@ object Bench {
           java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
         .start()
       q.processAllAvailable(); q.stop()
-      (System.nanoTime() - t0) / 1e9
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] stream pipeline failed: ${e.getMessage}")
-      -1.0
     }
     val allResults = results :+ ("stream_windowed_pipeline" -> streamSecs)
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
