@@ -87,10 +87,17 @@ final class StoreRegistry(spark: SparkSession) {
   private[iq] def storeSize(storeName: String): Option[Int] =
     Option(stores.get(storeName)).map(_._2.size())
 
-  /** Point lookup (`Get(key)`). */
-  def get(storeName: String, key: Any): Option[Any] =
-    all(storeName).filter(col("key") === lit(key))
+  /** Point lookup (`Get(key)`). Streaming stores answer from the driver map
+    * in O(1) — no Spark job, which is the point of an *interactive* query
+    * (`key` must be the changelog's key type; tombstoned keys are absent).
+    * Batch snapshots fall back to the folded view.
+    */
+  def get(storeName: String, key: Any): Option[Any] = {
+    val state = stores.get(storeName)
+    if (state != null) Option(state._2.get(key)).map(_.get(1))
+    else all(storeName).filter(col("key") === lit(key))
       .select("value").collect().headOption.map(_.get(0))
+  }
 
   /** Ordered range scan (`Range(from, to)` — inclusive, like
     * `IReadOnlyKeyValueStore.Range`).
@@ -98,6 +105,16 @@ final class StoreRegistry(spark: SparkSession) {
   def range(storeName: String, from: Any, to: Any): DataFrame =
     all(storeName).filter(col("key") >= lit(from) && col("key") <= lit(to))
       .orderBy("key")
+
+  /** Descending-order scans (`ReverseRange` / `ReverseAll`,
+    * `core/State/IReadOnlyKeyValueStore.cs:36-46`).
+    */
+  def reverseRange(storeName: String, from: Any, to: Any): DataFrame =
+    all(storeName).filter(col("key") >= lit(from) && col("key") <= lit(to))
+      .orderBy(col("key").desc)
+
+  def reverseAll(storeName: String): DataFrame =
+    all(storeName).orderBy(col("key").desc)
 
   /** `ApproximateNumEntries()`. */
   def approximateNumEntries(storeName: String): Long = all(storeName).count()
@@ -113,6 +130,16 @@ final class StoreRegistry(spark: SparkSession) {
         unix_millis(col("key.start").cast("timestamp")) >= fromMs &&
         unix_millis(col("key.start").cast("timestamp")) <= toMs)
       .orderBy(col("key.start"))
+
+  /** Windowed-store `FetchAll(from, to)` (`IReadOnlyWindowStore.cs:23-99`):
+    * every key's window entries whose start lies in [fromMs, toMs], ordered
+    * by window start then key.
+    */
+  def fetchAll(storeName: String, fromMs: Long, toMs: Long): DataFrame =
+    all(storeName)
+      .filter(unix_millis(col("key.start").cast("timestamp")) >= fromMs &&
+        unix_millis(col("key.start").cast("timestamp")) <= toMs)
+      .orderBy(col("key.start"), col("key.key"))
 
   def stop(): Unit = queries.values.foreach(q => if (q.isActive) q.stop())
 }

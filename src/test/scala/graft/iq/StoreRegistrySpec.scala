@@ -49,6 +49,74 @@ class StoreRegistrySpec extends SparkSpec {
     registry.stop()
   }
 
+  test("streaming get is O(1): point lookups launch zero Spark jobs") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) }).toTable
+    val q = registry.materialize(table, "o1_store")
+    in.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      (1 to 100).foreach { _ =>
+        assert(registry.get("o1_store", "a") === Some(1L))
+        assert(registry.get("o1_store", "missing") === None)
+      }
+      // listener events are async; give the bus a beat before counting
+      Thread.sleep(500)
+      assert(jobs.get() === 0, "a point lookup ran a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    registry.stop()
+  }
+
+  test("reverseRange / reverseAll scan in descending key order") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) }).toTable
+    val q = registry.materialize(table, "rev_store")
+    in.addData(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)); q.processAllAvailable()
+
+    val revAll = registry.reverseAll("rev_store").collect().map(_.getAs[String]("key"))
+    assert(revAll.toSeq === Seq("d", "c", "b", "a"))
+    val rev = registry.reverseRange("rev_store", "b", "c").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("value"))
+    assert(rev.toSeq === Seq("c" -> 3L, "b" -> 2L))
+    registry.stop()
+  }
+
+  test("windowed store fetchAll returns every key's windows in a time range") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    // 10s tumbling windows keyed by the word; ts = the value
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) })
+      .groupByKey.windowedBy(graft.dsl.TumblingWindow.of(10000L)).count
+    val q = registry.materialize(table, "fa_store")
+    in.addData(("a", 1000L), ("a", 2000L), ("b", 12000L), ("a", 25000L))
+    q.processAllAvailable()
+
+    // all three windows: a@[0,10s) count 2, b@[10s,20s) count 1, a@[20s,30s) count 1
+    val everything = registry.fetchAll("fa_store", 0L, 30000L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key").getAs[String]("key"),
+        r.getAs[Long]("value")))
+    assert(everything.toSeq === Seq(("a", 2L), ("b", 1L), ("a", 1L)))
+    // bounds are inclusive (reference Fetch semantics): [10s, 20s] catches
+    // the a-window starting exactly at 20s, [10s, 20s) does not
+    val mid = registry.fetchAll("fa_store", 10000L, 19999L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key").getAs[String]("key"),
+        r.getAs[Long]("value")))
+    assert(mid.toSeq === Seq(("b", 1L)))
+    assert(registry.fetchAll("fa_store", 10000L, 20000L).count() === 2L)
+    registry.stop()
+  }
+
   test("error handling: permissive parse splits good and corrupt records") {
     import graft.runtime.ErrorHandling
     import org.apache.spark.sql.types._
