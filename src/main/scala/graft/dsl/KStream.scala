@@ -108,9 +108,31 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
 
   /** Re-timestamp: the reference's `ITimestampExtractor`
     * (`core/Processors/ITimestampExtractor.cs:10`) as a per-record function.
+    *
+    * `onInvalid` handles a null or negative extracted timestamp, mirroring
+    * the reference's policy extractors
+    * (`core/Processors/Internal/ExtractRecordMetadataTimestamp.cs:6-18`):
+    * [[InvalidTimestampPolicy.Fail]] (the reference default) aborts the
+    * task, [[InvalidTimestampPolicy.LogAndSkip]] drops the record,
+    * [[InvalidTimestampPolicy.UseRecordMetadata]] keeps the record's
+    * current (source/metadata) timestamp.
     */
-  def withTimestamp(f: (K, V) => java.sql.Timestamp): KStream[K, V] =
-    new KStream(ds.map(r => KV(r.key, r.value, f(r.key, r.value)))(ds.encoder))
+  def withTimestamp(f: (K, V) => java.sql.Timestamp,
+      onInvalid: InvalidTimestampPolicy = InvalidTimestampPolicy.Fail): KStream[K, V] =
+    new KStream(ds.flatMap { r =>
+      val t = f(r.key, r.value)
+      if (t != null && t.getTime >= 0) Some(KV(r.key, r.value, t))
+      else onInvalid match {
+        case InvalidTimestampPolicy.Fail =>
+          throw new IllegalStateException(
+            s"Invalid (negative or null) extracted timestamp $t for key ${r.key}; " +
+              "use LogAndSkip or UseRecordMetadata to tolerate it")
+        case InvalidTimestampPolicy.LogAndSkip =>
+          KStream.log.warn(s"Skipping record with invalid extracted timestamp $t")
+          None
+        case InvalidTimestampPolicy.UseRecordMetadata => Some(r)
+      }
+    }(ds.encoder))
 
   /** `GroupByKey` (`IKStream.cs`; shuffle boundary — Spark repartitions
     * correctly where the reference left repartitioning unimplemented,
@@ -303,6 +325,12 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
   def print(numRows: Int = 20): Unit = ds.show(numRows, truncate = false)
 
   def toDF: DataFrame = ds.toDF("key", "value", "ts")
+}
+
+object KStream {
+  // accessed from executor closures: object access is a per-JVM static
+  // load, so the logger is never serialized with the task
+  private[dsl] lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[KStream[_, _]])
 }
 
 /** Fully-replicated dimension table (`IGlobalKTable`, `core/Table/

@@ -35,6 +35,24 @@ object KV {
     KV(key, value, new Timestamp(System.currentTimeMillis()))
 }
 
+/** What to do when a timestamp extractor returns a null or negative
+  * timestamp — the reference ships one extractor subclass per policy
+  * (`core/Processors/Internal/ExtractRecordMetadataTimestamp.cs:6-18`,
+  * `FailOnInvalidTimestamp`, `LogAndSkipOnInvalidTimestamp`); here the
+  * policy is a parameter of `KStream.withTimestamp`.
+  */
+sealed trait InvalidTimestampPolicy
+object InvalidTimestampPolicy {
+  /** Abort the task (the reference's default, `FailOnInvalidTimestamp`). */
+  case object Fail extends InvalidTimestampPolicy
+  /** Log and drop the record (`LogAndSkipOnInvalidTimestamp`). */
+  case object LogAndSkip extends InvalidTimestampPolicy
+  /** Keep the record's current source/metadata timestamp
+    * (`ExtractRecordMetadataTimestamp`'s fallback).
+    */
+  case object UseRecordMetadata extends InvalidTimestampPolicy
+}
+
 /** Per-record source metadata, the reference's `IRecordContext`
   * (`core/Processors/IRecordContext.cs:9-36`). Field mapping:
   * `Topic`→topic, `Partition`→partition, `Offset`→offset,

@@ -94,6 +94,29 @@ class KStreamOpsSpec extends SparkSpec {
     assert(up.ts === ts(7))
   }
 
+  test("invalid-timestamp policies: Fail aborts, LogAndSkip drops, UseRecordMetadata falls back") {
+    // the extractor yields the (negative) value for key "bad"; it must not
+    // close over the spec class (not serializable), hence the raw lambda
+    val s = stream(("ok", "5", 5), ("bad", "-1", 99))
+    val extract = (_: String, v: String) => new java.sql.Timestamp(v.toLong)
+
+    // default policy = Fail (the reference's FailOnInvalidTimestamp)
+    val failing = s.withTimestamp(extract)
+    val ex = intercept[org.apache.spark.SparkException] { failing.ds.collect() }
+    assert(ex.getMessage.contains("Invalid") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Invalid")))
+
+    // LogAndSkip drops only the invalid record
+    val kept = s.withTimestamp(extract, InvalidTimestampPolicy.LogAndSkip)
+      .ds.collect()
+    assert(kept.map(_.key).toSeq === Seq("ok") && kept.head.ts === ts(5))
+
+    // UseRecordMetadata keeps the record with its original (source) ts
+    val fallback = s.withTimestamp(extract, InvalidTimestampPolicy.UseRecordMetadata)
+      .ds.collect().map(r => r.key -> r.ts).toMap
+    assert(fallback === Map("ok" -> ts(5), "bad" -> ts(99)))
+  }
+
   test("repartition hash-partitions by key without changing contents") {
     val s = stream(("a", "1", 1), ("b", "2", 2), ("a", "3", 3))
     val rep = s.repartition(8)
