@@ -149,8 +149,19 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
       }
     }
     val streaming = exploded.isStreaming
+    // Lateness is measured from the WINDOW END, as the reference does
+    // (`TimeWindowOptions.GracePeriodMs`: admit out-of-order events until
+    // stream time passes end + grace) and as Spark's native window() agg does
+    // (the count path) — a row is late only when its window closed. The
+    // watermark delay is therefore size + grace: Spark's row-level late
+    // filter (record ts vs watermark) then never drops a row whose window is
+    // still open (row.ts >= end − size >= watermark − grace − size), and the
+    // exact end-based check runs in the fold below.
+    val graceMs = w.grace.toMillis
     val withWm =
-      if (streaming) exploded.withWatermark("ts", w.graceExpr) else exploded
+      if (streaming)
+        exploded.withWatermark("ts", s"${sizeMs + graceMs} milliseconds")
+      else exploded
     val timeout =
       if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
     withWm.groupByKey(_.key)
@@ -162,15 +173,27 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
             state.remove()
             Iterator.empty
           } else {
-            var (acc, maxTs) = state.getOption.getOrElse((Option.empty[VR], 0L))
-            it.toSeq.sortBy(_.ts.getTime).foreach { r =>
-              acc = Some(agg(wk, r.value, acc.getOrElse(init())))
-              maxTs = math.max(maxTs, r.ts.getTime)
+            // true event-time watermark (the applied delay includes the size
+            // padding, so add it back): rows of a closed window are dropped
+            // even if they slipped past Spark's row-level filter
+            val wmMs =
+              if (streaming) state.getCurrentWatermarkMs() + sizeMs else Long.MinValue
+            if (streaming && wk.end.getTime + graceMs < wmMs) {
+              // closed window: drop its late rows; free state early if the
+              // timeout hasn't fired yet
+              if (state.exists) state.remove()
+              Iterator.empty
+            } else {
+              var (acc, maxTs) = state.getOption.getOrElse((Option.empty[VR], 0L))
+              it.toSeq.sortBy(_.ts.getTime).foreach { r =>
+                acc = Some(agg(wk, r.value, acc.getOrElse(init())))
+                maxTs = math.max(maxTs, r.ts.getTime)
+              }
+              state.update((acc, maxTs))
+              if (streaming)
+                state.setTimeoutTimestamp(wk.end.getTime + graceMs)
+              Iterator.single(Upsert(wk, acc, new Timestamp(maxTs)))
             }
-            state.update((acc, maxTs))
-            if (streaming)
-              state.setTimeoutTimestamp(wk.end.getTime + w.grace.toMillis)
-            Iterator.single(Upsert(wk, acc, new Timestamp(maxTs)))
           }
       }
   }

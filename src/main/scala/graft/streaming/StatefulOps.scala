@@ -62,7 +62,10 @@ object StatefulOps {
   def latestPerKey[K, V](ds: Dataset[KV[K, V]])(
       implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
       ek: Encoder[K]): Dataset[Upsert[K, V]] = {
-    ds.groupByKey(_.key)
+    // null-key records are skipped at the table source, as the reference does
+    // (`KTableSourceProcessor.cs` logs and drops them)
+    ds.filter((kv: KV[K, V]) => kv.key != null)
+      .groupByKey(_.key)
       .flatMapGroupsWithState[KV[K, V], Upsert[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[KV[K, V]], state: GroupState[KV[K, V]]) =>
@@ -186,9 +189,14 @@ object StatefulOps {
         "read the static side with readStream (rate-limited file source) to mix")
     val l = left.map(u => SideRow[K, V1, V2](u.key, u.ts, isLeft = true, u.value, None))
     val r = right.map(u => SideRow[K, V1, V2](u.key, u.ts, isLeft = false, None, u.value))
+    // Append mode, like aggregateChanges above: each emitted Upsert is a final
+    // changelog EVENT (downstream folds latest-per-key), so append semantics
+    // are correct AND the joined table may legally feed further stateful ops
+    // (stream-table join, groupBy) in the same streaming query — Spark rejects
+    // any chain that mixes update-mode fMGWS.
     l.union(r).groupByKey(_.key)
       .flatMapGroupsWithState[(Option[V1], Option[V2]), Upsert[K, VR]](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[SideRow[K, V1, V2]],
             state: GroupState[(Option[V1], Option[V2])]) =>
           var (lv, rv) = state.getOption.getOrElse((Option.empty[V1], Option.empty[V2]))

@@ -109,10 +109,13 @@ final class TestInputTopic[K, V] private[testkit] (
   def stream: KStream[K, V] = new KStream(in.toDS())
 
   /** `builder.Table(topic)`: each record is an upsert of its key (a null
-    * value is a tombstone), feeding the changelog directly.
+    * value is a tombstone), feeding the changelog directly. Null-key records
+    * are skipped, as the reference's table source does
+    * (`KTableSourceProcessor.cs`).
     */
   def table: KTable[K, V] =
-    new KTable(in.toDS().map(kv => Upsert(kv.key, Option(kv.value), kv.ts)))
+    new KTable(in.toDS().filter(kv => kv.key != null)
+      .map(kv => Upsert(kv.key, Option(kv.value), kv.ts)))
 
   /** `PipeInput(key, value)` — auto-advancing timestamp, processed
     * synchronously (SYNC_TASK).

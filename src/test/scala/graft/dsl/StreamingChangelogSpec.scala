@@ -72,7 +72,7 @@ class StreamingChangelogSpec extends SparkSpec {
     val joined = toTable(lin).outerJoin(toTable(rin)) { (a, b) =>
       s"${a.getOrElse("-")}/${b.getOrElse("-")}"
     }
-    val q = start(joined.changelog, "t_ttjoin")
+    val q = start(joined.changelog, "t_ttjoin", "append")
 
     lin.addData(("k", "l1", 1L)); q.processAllAvailable()
     rin.addData(("k", "r1", 2L)); q.processAllAvailable()    // both present

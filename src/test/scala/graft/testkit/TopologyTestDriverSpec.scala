@@ -211,9 +211,8 @@ class TopologyTestDriverSpec extends SparkSpec {
       val topic1 = driver.createInputTopic[String, String]()
       val topic2 = driver.createInputTopic[String, String]()
       val joined = topic1.table.join(topic2.table)((v1, v2) => s"$v1-$v2")
-      // the changelog join is an update-mode stateful op -> update sink
-      val out = driver.createOutputTopic(joined.toStream, "tk_tt_join_out",
-        outputMode = "update")
+      // the changelog join emits append-mode changelog events
+      val out = driver.createOutputTopic(joined.toStream, "tk_tt_join_out")
       driver.materializeStore(joined, "merge-store")
 
       topic1.pipeInput("test", "test")
