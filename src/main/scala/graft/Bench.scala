@@ -70,10 +70,21 @@ object Bench {
       q.processAllAvailable(); q.stop()
     }
     val allResults = results :+ ("stream_windowed_pipeline" -> streamSecs)
-    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + v }
+    // per-query times as integer ms keep the one-line JSON under ~1.9 KB so
+    // log-tail captures (last-N-chars) still contain the complete line from
+    // {"metric" onward; the same line is also written to BENCH_LAST.json in
+    // the working directory in case a log wrapper mangles stdout
+    def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
+    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sf = sfDir.split("/").last.stripPrefix("sf")
+    val line = s"""{"metric":"total","value":${BigDecimal(total)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf}"""
+    println(line)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // best-effort; stdout is the contract
     spark.stop()
   }
 }
