@@ -43,6 +43,12 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]],
   def toStream(implicit e: Encoder[KV[K, V]]): KStream[K, V] =
     new KStream(changelog.flatMap(u => u.value.map(v => KV(u.key, v, u.ts))))
 
+  /** `KTable.ToStream(keyMapper)` (`IKTable.cs:146`): re-key each update as
+    * it becomes an event.
+    */
+  def toStream[K2](f: (K, V) => K2)(implicit e: Encoder[KV[K2, V]]): KStream[K2, V] =
+    new KStream(changelog.flatMap(u => u.value.map(v => KV(f(u.key, v), v, u.ts))))
+
   def toChangeStream(implicit e: Encoder[Upsert[K, V]]): Dataset[Upsert[K, V]] =
     changelog
 

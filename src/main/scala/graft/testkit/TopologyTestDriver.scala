@@ -40,6 +40,11 @@ final class TopologyTestDriver(val spark: SparkSession) extends AutoCloseable {
   private[testkit] def nextTs(): Timestamp = { autoTsMs += 1; new Timestamp(autoTsMs) }
   private[testkit] def processAll(): Unit = queries.foreach(_.processAllAvailable())
 
+  /** Track an externally-started query (custom sink shapes in tests) so
+    * `pipeInput` drives it and `close()` stops it.
+    */
+  private[testkit] def register(q: StreamingQuery): Unit = queries ::= q
+
   /** `CreateInputTopic<K, V>(topic)`: a typed in-memory source. */
   def createInputTopic[K, V]()(implicit e: Encoder[KV[K, V]],
       eu: Encoder[Upsert[K, V]]): TestInputTopic[K, V] = {
@@ -177,6 +182,19 @@ final class KeyValueStoreView[K, V] private[testkit] (
 
   def all(): Map[K, V] = registry.all(name).collect()
     .map(r => r.getAs[K]("key") -> r.getAs[V]("value")).toMap
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Seq[(K, V)] =
+    df.collect().map(r => r.getAs[K]("key") -> r.getAs[V]("value")).toSeq
+
+  /** `Range(from, to)` — ascending key order, both bounds inclusive. */
+  def range(from: K, to: K): Seq[(K, V)] = pairs(registry.range(name, from, to))
+
+  /** `ReverseRange(from, to)` (`IReadOnlyKeyValueStore.cs:36`). */
+  def reverseRange(from: K, to: K): Seq[(K, V)] =
+    pairs(registry.reverseRange(name, from, to))
+
+  /** `ReverseAll()` (`IReadOnlyKeyValueStore.cs:46`). */
+  def reverseAll(): Seq[(K, V)] = pairs(registry.reverseAll(name))
 }
 
 /** `IReadOnlyWindowStore<K, V>` view (`core/State/IReadOnlyWindowStore.cs`):
