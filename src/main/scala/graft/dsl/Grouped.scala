@@ -18,7 +18,11 @@ import graft.streaming.StatefulOps
   */
 final class KGroupedStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
 
-  private def nonNullKey: Dataset[KV[K, V]] = ds.filter(r => r.key != null)
+  // non-windowed stream aggregations skip null key OR null value
+  // (`KStreamAggregateProcessor.cs:24`, `KStreamReduceProcessor.cs:20`);
+  // windowed ones skip only null keys (`KStreamWindowAggregateProcessor.cs:45`)
+  private def nonNullKey: Dataset[KV[K, V]] =
+    ds.filter(r => r.key != null && r.value != null)
 
   /** `Count` (`IKGroupedStream.cs:27`) — Catalyst hash-agg with map-side
     * partial aggregation (no custom state needed).
