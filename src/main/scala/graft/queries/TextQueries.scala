@@ -184,8 +184,11 @@ object TextQueries {
     */
   val qNgramJaccard = q(
     "q_ngram_jaccard",
-    "WITH sh0 AS (SELECT DISTINCT d.doc_id, d.source, t.s FROM documents d " +
-      s"JOIN ($shinglesSql) t ON t.doc_id = d.doc_id), " +
+    // shingles enter the pair machinery as 4-byte hashes (same mirrored
+    // md5-prefix both engines use for minhash): the distinct, the df-cap
+    // window, and the self-join all shuffle ints instead of shingle strings
+    s"WITH sh0 AS (SELECT DISTINCT d.doc_id, d.source, ${hash32Sql("t.s")} AS s " +
+      s"FROM documents d JOIN ($shinglesSql) t ON t.doc_id = d.doc_id), " +
       "sh AS (SELECT doc_id, source, s FROM (SELECT doc_id, source, s, " +
       "count(*) OVER (PARTITION BY source, s) AS df FROM sh0) " +
       s"WHERE df <= $MaxShingleDf), " +
@@ -209,7 +212,7 @@ object TextQueries {
     */
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
     ngramJaccardPairsOf(
-      shinglesDf(s, d).distinct()
+      shinglesDf(s, d).select(col("doc_id"), hash32(col("s")).as("s")).distinct()
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "s"),
       maxDf)
