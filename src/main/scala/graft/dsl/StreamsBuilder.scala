@@ -156,6 +156,47 @@ object Serdes {
       ((schemaId >> 8) & 0xff).toByte, (schemaId & 0xff).toByte)
     concat(lit(header), c)
   }
+
+  // ---- TimeWindowedSerDes ------------------------------------------------
+  // The reference frames a windowed key on the topic as
+  // [serialized key][8-byte big-endian window startMs]
+  // (`core/SerDes/TimeWindowedSerDes.cs:36-62`,
+  // `core/State/Helper/WindowKeyHelper.cs:30-46`), and in the store as
+  // [serialized key][8-byte BE startMs][4-byte BE seqnum]
+  // (`WindowKeyHelper.cs:80-117`). Same byte-slicing column style as the SR
+  // frame; window starts are epoch ms (non-negative), matching stream time.
+
+  /** Topic-format windowed key: key bytes ++ 8-byte BE window start. */
+  def windowedSer(keyBytes: Column, startMs: Column): Column =
+    concat(keyBytes, unhex(lpad(hex(startMs), 16, "0")))
+
+  /** Key bytes of a topic-format windowed key. */
+  def windowedKeyBytes(c: Column): Column =
+    c.substr(lit(1), octet_length(c) - 8)
+
+  /** Window start (epoch ms) of a topic-format windowed key. */
+  def windowedStartMs(c: Column): Column =
+    conv(hex(c.substr(octet_length(c) - 7, lit(8))), 16, 10).cast("long")
+
+  /** Store-format windowed key: topic format ++ 4-byte BE seqnum. */
+  def windowedStoreSer(keyBytes: Column, startMs: Column, seqnum: Int = 0): Column = {
+    val seq = Array[Byte](((seqnum >> 24) & 0xff).toByte,
+      ((seqnum >> 16) & 0xff).toByte, ((seqnum >> 8) & 0xff).toByte,
+      (seqnum & 0xff).toByte)
+    concat(windowedSer(keyBytes, startMs), lit(seq))
+  }
+
+  /** Key bytes of a store-format windowed key. */
+  def windowedStoreKeyBytes(c: Column): Column =
+    c.substr(lit(1), octet_length(c) - 12)
+
+  /** Window start (epoch ms) of a store-format windowed key. */
+  def windowedStoreStartMs(c: Column): Column =
+    conv(hex(c.substr(octet_length(c) - 11, lit(8))), 16, 10).cast("long")
+
+  /** Sequence number of a store-format windowed key. */
+  def windowedStoreSeq(c: Column): Column =
+    conv(hex(c.substr(octet_length(c) - 3, lit(4))), 16, 10).cast("int")
 }
 
 /** Sink wiring (`To`, `core/Stream/IKStream.cs:90-137`; `SinkProcessor.cs`).

@@ -68,6 +68,33 @@ class SerdesSpec extends SparkSpec {
     assert(ser.toString.contains("to_protobuf") && de.toString.contains("from_protobuf"))
   }
 
+  test("time-windowed serde round-trips and matches the reference byte layout") {
+    import spark.implicits._
+    val df = Seq(("test", 10000L), ("k2", 0L)).toDF("k", "start")
+      .withColumn("framed", Serdes.windowedSer(Serdes.stringSer(col("k")), col("start")))
+      .withColumn("stored", Serdes.windowedStoreSer(Serdes.stringSer(col("k")), col("start"), 7))
+    val rows = df.select(
+      col("framed"),
+      Serdes.stringDe(Serdes.windowedKeyBytes(col("framed"))).as("k2"),
+      Serdes.windowedStartMs(col("framed")).as("s2"),
+      Serdes.stringDe(Serdes.windowedStoreKeyBytes(col("stored"))).as("k3"),
+      Serdes.windowedStoreStartMs(col("stored")).as("s3"),
+      Serdes.windowedStoreSeq(col("stored")).as("seq"))
+      .collect()
+
+    // round-trip both formats
+    assert(rows.map(r => (r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("test", 10000L), ("k2", 0L)))
+    assert(rows.map(r => (r.getString(3), r.getLong(4), r.getInt(5))).toSeq ===
+      Seq(("test", 10000L, 7), ("k2", 0L, 7)))
+
+    // byte-level layout = reference WindowKeyHelper.ToBinary: key bytes then
+    // the 8-byte big-endian start (10000 = 0x2710)
+    val framed = rows.find(_.getString(1) == "test").get.getAs[Array[Byte]](0)
+    assert(framed === "test".getBytes("UTF-8") ++
+      Array[Byte](0, 0, 0, 0, 0, 0, 0x27, 0x10))
+  }
+
   test("avro serde columns construct against a JSON Avro schema (evaluation is a cluster concern)") {
     val avroSchema =
       """{"type":"record","name":"r","fields":[
