@@ -48,6 +48,25 @@ object DslQueries {
       .select(col("key").as("word"), col("value").as("cnt"))
   }
 
+  /** `KStream.flatMap` via DSL (`IKStream.cs` FlatMap: 1 → N records with
+    * NEW keys — the re-keying distinguishes it from flatMapValues): each
+    * event fans out to its own type bucket plus a global "all" bucket, then
+    * groupByKey.count.
+    */
+  val qDslFlatMap = q(
+    "q_dsl_flat_map",
+    "SELECT k, count(*) AS cnt FROM (" +
+      "SELECT event_type AS k FROM events " +
+      "UNION ALL SELECT 'all' AS k FROM events) GROUP BY k") { (s, d) =>
+    import s.implicits._
+    new KStream(eventsKV(s, d))
+      .flatMap((_, v) => Seq(v._1 -> v._2, "all" -> v._2))
+      .groupByKey
+      .count
+      .changelog
+      .select(col("key").as("k"), col("value").as("cnt"))
+  }
+
   /** Tumbling-window count via DSL windowedBy (same oracle as
     * q_window_tumbling).
     */
@@ -255,7 +274,7 @@ object DslQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    qDslWordcount, qDslWindowedCount, qDslTableGroupBy, qDslTableReduce,
-    qDslStreamTableJoin, qDslTableTableJoin, qFkJoin, qFkLeftJoin,
-    qDslSessionAgg)
+    qDslWordcount, qDslFlatMap, qDslWindowedCount, qDslTableGroupBy,
+    qDslTableReduce, qDslStreamTableJoin, qDslTableTableJoin, qFkJoin,
+    qFkLeftJoin, qDslSessionAgg)
 }
