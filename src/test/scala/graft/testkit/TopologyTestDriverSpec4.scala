@@ -56,6 +56,26 @@ class TopologyTestDriverSpec4 extends SparkSpec {
     } finally driver.close()
   }
 
+  test("KStreamKStreamJoinTests.StreamStreamJoinWithNoRecordInRigthJoin: inner join stays silent") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val topic1 = driver.createInputTopic[String, String]()
+      val topic2 = driver.createInputTopic[String, String]()
+      val joined = topic2.stream.join(topic1.stream, JoinWindows.of(10000L)) {
+        (s, v) => s"$s-$v"
+      }
+      val out = driver.createOutputTopic(joined, "tk4_ssij_nomatch_out")
+
+      topic2.pipeInput("test", "coucou")
+      assert(out.isEmpty)
+      // even after the window closes, an unmatched inner-join record never
+      // emits (unlike leftJoin's padded row)
+      topic1.pipeInput("wm", "x", ts(100000))
+      topic2.pipeInput("wm", "y", ts(100000))
+      assert(out.readKeyValueList().forall(_.key == "wm"))
+    } finally driver.close()
+  }
+
   test("KStreamKStreamOuterJoinTests.StreamStreamOuterJoin: either side pads after close") {
     val driver = new TopologyTestDriver(spark)
     try {
