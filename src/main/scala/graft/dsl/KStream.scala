@@ -239,7 +239,8 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       ekv: Encoder[KV[K, VR]], ek: Encoder[K],
       est: Encoder[Option[VT]],
       easof: Encoder[(K, V, Option[VT], java.sql.Timestamp)]): KStream[K, VR] =
-    new KStream(StatefulOps.streamTableJoin(ds, table.changelog, leftJoin = false)(
+    new KStream(StatefulOps.streamTableJoin(ds, table.changelog,
+      leftJoin = false, tableUniqueKeys = table.uniqueKeys)(
       (v, t) => joiner(v, t.get)))
 
   def leftJoin[VT, VR](table: KTable[K, VT])(joiner: (V, Option[VT]) => VR)(
@@ -247,7 +248,8 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       ekv: Encoder[KV[K, VR]], ek: Encoder[K],
       est: Encoder[Option[VT]],
       easof: Encoder[(K, V, Option[VT], java.sql.Timestamp)]): KStream[K, VR] =
-    new KStream(StatefulOps.streamTableJoin(ds, table.changelog, leftJoin = true)(joiner))
+    new KStream(StatefulOps.streamTableJoin(ds, table.changelog,
+      leftJoin = true, tableUniqueKeys = table.uniqueKeys)(joiner))
 
   /** KStream ⋈ GlobalKTable (`IKStream.cs:836`): foreign-key lookup against a
     * broadcast dimension — the fact stream never shuffles.

@@ -152,8 +152,10 @@ object DslQueries {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
       .as[(Long, String, Timestamp)]
       .map { case (k, pr, t) => Upsert(k, Some(pr), new Timestamp(0L)) }
+    // orders is one row per key — withUniqueKeys routes the batch join to
+    // the scan -> equi-join fast path (no as-of union + window shuffle)
     new KStream(li)
-      .join(new KTable(orders))((revE4, priority) => (priority, revE4))
+      .join(new KTable(orders).withUniqueKeys)((revE4, priority) => (priority, revE4))
       .selectKey((_, v) => v._1)
       .groupByKey
       .aggregate(() => (0L, 0L))((_, v, acc) => (acc._1 + 1L, acc._2 + v._2))

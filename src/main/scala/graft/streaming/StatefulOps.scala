@@ -360,12 +360,19 @@ object StatefulOps {
     */
   def streamTableJoin[K, V, VT, VR](
       stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
-      leftJoin: Boolean)(joiner: (V, Option[VT]) => VR)(
+      leftJoin: Boolean, tableUniqueKeys: Boolean = false)(
+      joiner: (V, Option[VT]) => VR)(
       implicit esr: Encoder[SideRow[K, V, VT]], ekv: Encoder[KV[K, VR]],
       ek: Encoder[K], est: Encoder[Option[VT]],
       easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] = {
-    if (!stream.isStreaming && !table.isStreaming)
+    if (!stream.isStreaming && !table.isStreaming) {
+      // a unique-keyed snapshot (withUniqueKeys) has one live row per key, so
+      // the as-of lookup IS an equi join — broadcast-eligible, no union +
+      // window shuffle, no row_number fold
+      if (tableUniqueKeys)
+        return snapshotEquiJoin(stream, table, leftJoin, unique = true)(joiner)
       return streamTableJoinBatch(stream, table, leftJoin)(joiner)
+    }
     if (stream.isStreaming && !table.isStreaming)
       return streamStaticJoin(stream, table, leftJoin)(joiner)
     require(stream.isStreaming,
@@ -399,13 +406,26 @@ object StatefulOps {
       stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
       leftJoin: Boolean)(joiner: (V, Option[VT]) => VR)(
       implicit ekv: Encoder[KV[K, VR]],
+      easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] =
+    snapshotEquiJoin(stream, table, leftJoin, unique = false)(joiner)
+
+  /** Equi join against a table snapshot. `unique = true` (a `withUniqueKeys`
+    * changelog) skips the latest-per-key `row_number` fold entirely — the
+    * plan is scan → join, pruned and broadcast-eligible.
+    */
+  private def snapshotEquiJoin[K, V, VT, VR](
+      stream: Dataset[KV[K, V]], table: Dataset[Upsert[K, VT]],
+      leftJoin: Boolean, unique: Boolean)(joiner: (V, Option[VT]) => VR)(
+      implicit ekv: Encoder[KV[K, VR]],
       easof: Encoder[(K, V, Option[VT], Timestamp)]): Dataset[KV[K, VR]] = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val latest = table.toDF("key", "value", "ts")
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("key").orderBy(col("ts").desc)))
-      .filter(col("__rn") === 1 && col("value").isNotNull)
+    val tDF = table.toDF("key", "value", "ts")
+    val latest = (if (unique) tDF
+      else tDF.withColumn("__rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1))
+      .filter(col("value").isNotNull)
       .select(col("key").as("__tk"), col("value").as("tval"))
     val joined = stream.toDF("key", "value", "ts")
       .join(latest, col("key") === col("__tk"), if (leftJoin) "left" else "inner")

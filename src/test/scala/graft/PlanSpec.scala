@@ -104,6 +104,15 @@ class PlanSpec extends SparkSpec {
       "a join blocks on label without the bucket key")
   }
 
+  test("q_dsl_stream_table_join unique-snapshot path: equi join, no as-of window") {
+    val p = plan("q_dsl_stream_table_join")
+    // the withUniqueKeys snapshot skips the union + last(...) as-of fold and
+    // the row_number latest-per-key fold — scan -> join only
+    assert(!p.contains("Window"), "unique snapshot must not need a window fold")
+    assert(!p.contains("RunningWindowFunction"), p.take(1500))
+    assert(p.contains("Join"), "expected a plain equi join")
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._
