@@ -64,6 +64,28 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(out === Array(("gone", "b@null"), ("k", "a@dim"), ("x", "c@null")))
   }
 
+  test("windowed AGGREGATE admits an out-of-order record while its window is open") {
+    // lateness is measured from the WINDOW END + grace (the reference's
+    // GracePeriodMs and the native count path), NOT from the record ts — an
+    // out-of-order record whose window hasn't closed must still fold in
+    val in = MemoryStream[(String, Int, Long)]
+    val agg = new KStream(in.toDS().map { case (k, v, t) =>
+      KV(k, v, new java.sql.Timestamp(t)) })
+      .groupByKey
+      .windowedBy(TumblingWindow.of(2000))
+      .aggregate(() => 0)((_, v, acc) => acc + v)
+    val q = agg.changelog.writeStream.format("memory").queryName("t_wagg_admit")
+      .outputMode("update").start()
+    queries = q :: queries
+
+    in.addData(("k", 5, 1000L)); q.processAllAvailable()
+    // same-ts arrival in a LATER batch: window [0,2000) is still open
+    in.addData(("k", 100, 1000L)); q.processAllAvailable()
+    val rows = spark.table("t_wagg_admit").as[Upsert[Windowed[String], Int]].collect()
+    val w0 = rows.filter(_.key.start.getTime == 0L).map(_.value.get)
+    assert(w0.max === 105)
+  }
+
   test("windowed AGGREGATE drops grace-late records in streaming (not just count)") {
     val in = MemoryStream[(String, Int, Long)]
     val agg = new KStream(in.toDS().map { case (k, v, t) =>
