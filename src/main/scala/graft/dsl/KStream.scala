@@ -145,10 +145,13 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       implicit e: Encoder[KV[K2, V]]): KGroupedStream[K2, V] =
     new KGroupedStream(selectKey(f).ds)
 
-  /** `ToTable` (`IKStream.cs:1451`): upsert-by-key materialization. */
+  /** `ToTable` (`IKStream.cs:1451`): upsert-by-key materialization. The
+    * batch fold emits one row per key, so the snapshot is unique-keyed and
+    * downstream joins take the scan → equi-join fast paths.
+    */
   def toTable(implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
       ek: Encoder[K]): KTable[K, V] =
-    new KTable(StatefulOps.latestPerKey(ds))
+    new KTable(StatefulOps.latestPerKey(ds), uniqueKeys = !ds.isStreaming)
 
   /** KStream ⋈ KStream windowed join (`IKStream.cs:983`): interval join on
     * key with |ts1 − ts2| within the window. In streaming, both sides must

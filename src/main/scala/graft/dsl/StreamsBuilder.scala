@@ -63,7 +63,7 @@ final class StreamsBuilder(val spark: SparkSession) extends Serializable {
   def table[K, V](ds: Dataset[KV[K, V]])(
       implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
       ek: Encoder[K]): KTable[K, V] =
-    new KTable(StatefulOps.latestPerKey(ds))
+    new KTable(StatefulOps.latestPerKey(ds), uniqueKeys = !ds.isStreaming)
 
   /** Table directly from a changelog (tombstones as `None`). */
   def tableFromChangelog[K, V](ds: Dataset[Upsert[K, V]]): KTable[K, V] =

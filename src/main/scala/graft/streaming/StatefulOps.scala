@@ -62,6 +62,21 @@ object StatefulOps {
   def latestPerKey[K, V](ds: Dataset[KV[K, V]])(
       implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
       ek: Encoder[K]): Dataset[Upsert[K, V]] = {
+    // Batch: the fold is a codegen'd row_number window (one shuffle + sort,
+    // Tungsten), not object state — the 100 TB shape. Ties on ts pick one
+    // row per key (define a strict event order upstream if ties matter;
+    // the streaming path breaks them by arrival).
+    if (!ds.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      return ds.filter((kv: KV[K, V]) => kv.key != null)
+        .toDF("key", "value", "ts")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+        .as[KV[K, V]]
+        .map(kv => Upsert(kv.key, Some(kv.value), kv.ts))
+    }
     // null-key records are skipped at the table source, as the reference does
     // (`KTableSourceProcessor.cs` logs and drops them)
     ds.filter((kv: KV[K, V]) => kv.key != null)
@@ -85,6 +100,18 @@ object StatefulOps {
     */
   def latestFromChangelog[K, V](ds: Dataset[Upsert[K, V]])(
       implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K]): Dataset[Upsert[K, V]] = {
+    // Batch: codegen'd row_number fold, as in latestPerKey above. The latest
+    // row per key survives even if it is a tombstone — downstream views drop
+    // the Nones.
+    if (!ds.isStreaming) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      return ds.toDF("key", "value", "ts")
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("key").orderBy(col("ts").desc)))
+        .filter(col("__rn") === 1).drop("__rn")
+        .as[Upsert[K, V]]
+    }
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Upsert[K, V], Upsert[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {

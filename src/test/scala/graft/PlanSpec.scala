@@ -121,7 +121,9 @@ class PlanSpec extends SparkSpec {
       Upsert("k", Some(1), ts(1)), Upsert("k", Some(2), ts(2))).toDS())
     val p = t.view.queryExecution
       .explainString(ExplainMode.fromString("formatted"))
-    assert(p.contains("MapGroups")) // batch lowering of flatMapGroupsWithState
+    // the fold must be present (row_number window in batch; MapGroups is the
+    // streaming op's batch lowering) — a non-unique table may never skip it
+    assert(p.contains("Window") || p.contains("MapGroups"))
     assert(t.view.collect().toMap === Map("k" -> 2))
   }
 }
