@@ -78,7 +78,10 @@ object Bench {
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val sf = sfDir.split("/").last.stripPrefix("sf")
+    // emit sf as a bare number only when it parses as one; otherwise quote
+    // it so the line stays valid JSON for any SPARK_GRAFT_SF_DIR basename
+    val sfRaw = sfDir.split("/").last.stripPrefix("sf")
+    val sf = scala.util.Try(BigDecimal(sfRaw).toString).getOrElse("\"" + sfRaw + "\"")
     val line = s"""{"metric":"total","value":${BigDecimal(total)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf}"""
     println(line)

@@ -178,11 +178,15 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
             Iterator.empty
           } else {
             // true event-time watermark (the applied delay includes the size
-            // padding, so add it back): rows of a closed window are dropped
-            // even if they slipped past Spark's row-level filter
-            val wmMs =
-              if (streaming) state.getCurrentWatermarkMs() + sizeMs else Long.MinValue
-            if (streaming && wk.end.getTime + graceMs < wmMs) {
+            // padding, so add it back; watermark 0 = not yet established):
+            // wmMs = streamTime − grace. A window closes when end ≤ wmMs,
+            // i.e. streamTime ≥ end + grace — exactly the reference's
+            // closeTime = streamTime − grace, drop when end ≤ closeTime
+            // (`TimeWindowOptions.GracePeriodMs`). Grace is NOT re-added on
+            // the left: the watermark delay already subtracted it once.
+            val curWm = if (streaming) state.getCurrentWatermarkMs() else 0L
+            val wmMs = if (curWm > 0) curWm + sizeMs else Long.MinValue
+            if (streaming && wk.end.getTime <= wmMs) {
               // closed window: drop its late rows; free state early if the
               // timeout hasn't fired yet
               if (state.exists) state.remove()

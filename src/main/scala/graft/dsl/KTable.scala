@@ -8,6 +8,12 @@ import graft.streaming.{KeyedChange, StatefulOps}
   * as a `Dataset[Upsert[K, V]]` — a stream of latest-value-per-key updates
   * where `value = None` is a tombstone. In streaming this is an update-mode
   * changelog; in batch it is the final materialized view.
+  *
+  * Equal-timestamp ties: streaming resolves them last-arrival-wins (the
+  * reference's offset order). Batch breaks them by a source-order sequence
+  * captured before the shuffle (see `StatefulOps.latestPerKey`) —
+  * deterministic, and equal to arrival order when source partition order
+  * reflects it; for a multi-file unsorted source, "arrival" is file order.
   */
 final class KTable[K, V](val changelog: Dataset[Upsert[K, V]],
     val uniqueKeys: Boolean = false) extends Serializable {

@@ -181,6 +181,13 @@ object TextQueries {
     * df-capped shingle universe. Scoped to same-source pairs: the
     * blocked-join shape that survives scale (never all-pairs), with
     * [[MaxShingleDf]] bounding each (source, shingle) bucket's C(k,2) blowup.
+    *
+    * APPROXIMATION: shingles are reduced to 4-byte md5-prefix hashes before
+    * the set machinery, so a hash collision can merge two distinct shingles
+    * and nudge i/u. The oracle mirrors the hash (it checks engine
+    * equivalence, not hash fidelity); `OperatorsSpec`'s exact-vs-hashed test
+    * bounds the drift (identical pair sets at test scale; collision
+    * probability ~n²/2³³ for n distinct shingles per (source) block).
     */
   val qNgramJaccard = q(
     "q_ngram_jaccard",

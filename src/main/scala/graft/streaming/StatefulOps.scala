@@ -63,17 +63,21 @@ object StatefulOps {
       implicit eu: Encoder[Upsert[K, V]], ekv: Encoder[KV[K, V]],
       ek: Encoder[K]): Dataset[Upsert[K, V]] = {
     // Batch: the fold is a codegen'd row_number window (one shuffle + sort,
-    // Tungsten), not object state — the 100 TB shape. Ties on ts pick one
-    // row per key (define a strict event order upstream if ties matter;
-    // the streaming path breaks them by arrival).
+    // Tungsten), not object state — the 100 TB shape. Ties on ts break by a
+    // source-order sequence captured BEFORE the shuffle
+    // (monotonically_increasing_id: partition-ordinal << 33 | row-in-
+    // partition), so last-in-source-order wins — deterministic, and it
+    // matches the streaming path's last-arrival-wins whenever source
+    // partition order reflects arrival (single partition, sorted files).
     if (!ds.isStreaming) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       return ds.filter((kv: KV[K, V]) => kv.key != null)
         .toDF("key", "value", "ts")
+        .withColumn("__seq", monotonically_increasing_id())
         .withColumn("__rn", row_number().over(
-          Window.partitionBy("key").orderBy(col("ts").desc)))
-        .filter(col("__rn") === 1).drop("__rn")
+          Window.partitionBy("key").orderBy(col("ts").desc, col("__seq").desc)))
+        .filter(col("__rn") === 1).drop("__rn", "__seq")
         .as[KV[K, V]]
         .map(kv => Upsert(kv.key, Some(kv.value), kv.ts))
     }
@@ -100,16 +104,17 @@ object StatefulOps {
     */
   def latestFromChangelog[K, V](ds: Dataset[Upsert[K, V]])(
       implicit eu: Encoder[Upsert[K, V]], ek: Encoder[K]): Dataset[Upsert[K, V]] = {
-    // Batch: codegen'd row_number fold, as in latestPerKey above. The latest
-    // row per key survives even if it is a tombstone — downstream views drop
-    // the Nones.
+    // Batch: codegen'd row_number fold with the same source-order tie-break
+    // as latestPerKey above. The latest row per key survives even if it is a
+    // tombstone — downstream views drop the Nones.
     if (!ds.isStreaming) {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       return ds.toDF("key", "value", "ts")
+        .withColumn("__seq", monotonically_increasing_id())
         .withColumn("__rn", row_number().over(
-          Window.partitionBy("key").orderBy(col("ts").desc)))
-        .filter(col("__rn") === 1).drop("__rn")
+          Window.partitionBy("key").orderBy(col("ts").desc, col("__seq").desc)))
+        .filter(col("__rn") === 1).drop("__rn", "__seq")
         .as[Upsert[K, V]]
     }
     ds.groupByKey(_.key)

@@ -106,6 +106,34 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(w0.max === 5) // the late 100 never entered window [0,2000)
   }
 
+  test("windowed AGGREGATE closes at end + grace exactly (no double grace)") {
+    // The reference closes a window once streamTime ≥ end + grace
+    // (closeTime = streamTime − grace, drop when end ≤ closeTime); a buggy
+    // close check of `end + grace < watermark-derived streamTime − grace`
+    // would keep admitting until end + 2·grace. Timestamps are offset from
+    // epoch so the watermark is established (> 0) at every step.
+    val in = MemoryStream[(String, Int, Long)]
+    val agg = new KStream(in.toDS().map { case (k, v, t) =>
+      KV(k, v, new java.sql.Timestamp(t)) })
+      .groupByKey
+      .windowedBy(TumblingWindow(java.time.Duration.ofMillis(2000),
+        java.time.Duration.ofMillis(1000)))                  // size 2s, grace 1s
+      .aggregate(() => 0)((_, v, acc) => acc + v)
+    val q = agg.changelog.writeStream.format("memory").queryName("t_wagg_bound")
+      .outputMode("update").start()
+    queries = q :: queries
+
+    // window [100000, 102000): end = 102000, end+grace = 103000
+    in.addData(("k", 5, 100500L)); q.processAllAvailable()
+    in.addData(("k", 1, 102999L)); q.processAllAvailable() // streamTime just BELOW end+grace
+    in.addData(("k", 7, 100700L)); q.processAllAvailable() // window still open -> folds in
+    in.addData(("k", 1, 103500L)); q.processAllAvailable() // streamTime in (end+grace, end+2·grace]
+    in.addData(("k", 100, 100600L)); q.processAllAvailable() // window closed -> dropped
+    val rows = spark.table("t_wagg_bound").as[Upsert[Windowed[String], Int]].collect()
+    val w0 = rows.filter(_.key.start.getTime == 100000L).map(_.value.get)
+    assert(w0.max === 12) // 5 + 7 admitted; the 100 after close never entered
+  }
+
   test("pre-epoch timestamps: aggregate windows match count windows") {
     val rows = Seq(("k", 1, -5L), ("k", 1, -1500L), ("k", 1, 100L))
     val s = new KStream(rows.map { case (k, v, t) => KV(k, v, ts(t)) }.toDS())

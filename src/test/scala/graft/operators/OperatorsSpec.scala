@@ -127,6 +127,29 @@ class OperatorsSpec extends SparkSpec {
     assert(capped === Set((20L, 21L)))
   }
 
+  test("ngram-jaccard over hashed shingles matches exact string shingles at sf0.001") {
+    import graft.queries.TextQueries
+    // q_ngram_jaccard pairs on 4-byte md5-prefix shingle hashes (cheaper
+    // shuffles); its oracle uses the identical hash, so it cannot catch
+    // collision-induced drift by itself. This bounds the approximation:
+    // at sf0.001 the hashed pair set (i, u counts included) is IDENTICAL to
+    // the exact string-shingle computation — ~2k distinct shingles into a
+    // 2^32 space, collision odds ~1e-6 (birthday), and the fixed md5 prefix
+    // keeps it reproducible.
+    val d = "/root/testdata/sf0.001"
+    val src = graft.Tables.documents(spark, d).select(col("doc_id"), col("source"))
+    val base = TextQueries.shinglesDf(spark, d)
+    def pairs(sh: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long)] =
+      TextQueries.ngramJaccardPairsOf(
+          sh.distinct().join(src, "doc_id").select("doc_id", "source", "s"),
+          TextQueries.MaxShingleDf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = pairs(base.select(col("doc_id"), col("s")))
+    val hashed = pairs(base.select(col("doc_id"), TextQueries.hash32(col("s")).as("s")))
+    assert(exact.nonEmpty)
+    assert(hashed === exact)
+  }
+
   test("decontaminate flags benchmark-overlapping docs and clean drops only them") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
