@@ -94,6 +94,57 @@ class StreamingJoinSpec extends SparkSpec {
     assert(out.filter(_.key == "w").forall(!_.value.contains("NULL")))
   }
 
+  test("stream-stream join emits EVERY pair in a multi-record window (N x M)") {
+    // the reference's windowed join is per-pair: each left record joins each
+    // right record within the window, across batches in either order
+    // (`KStreamKStreamJoinProcessor.cs`: fetch-all from the other side's
+    // window store, one emission per stored match)
+    val lin = MemoryStream[(String, String, Long)]
+    val rin = MemoryStream[(String, String, Long)]
+    def ks(m: MemoryStream[(String, String, Long)]) =
+      new KStream(m.toDS().map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+        .withWatermarkMs(0)
+    val joined = ks(lin).join(ks(rin), JoinWindows.of(1000))((a, b) => s"$a+$b")
+    val q = joined.ds.writeStream.format("memory").queryName("t_ssmulti")
+      .outputMode("append").start()
+    queries = q :: queries
+
+    lin.addData(("k", "l1", 1000L)); rin.addData(("k", "r1", 800L))
+    q.processAllAvailable()
+    lin.addData(("k", "l2", 1400L)) // late-arriving left joins the BUFFERED r1
+    rin.addData(("k", "r2", 1500L), ("k", "r3", 2600L)) // r3 outside both windows
+    q.processAllAvailable()
+
+    val out = spark.table("t_ssmulti").as[KV[String, String]].collect()
+    assert(out.map(_.value).sorted.toSeq ===
+      Seq("l1+r1", "l1+r2", "l2+r1", "l2+r2"))
+    // each pair's ts = max of its two inputs
+    assert(out.map(kv => kv.value -> kv.ts.getTime).toMap ===
+      Map("l1+r1" -> 1000L, "l1+r2" -> 1500L, "l2+r1" -> 1400L, "l2+r2" -> 1500L))
+  }
+
+  test("asymmetric JoinWindows(before, after) bounds matches one-sidedly in streaming") {
+    // left at t matches right in [t - before, t + after] only
+    // (`JoinWindowOptions.cs:35-53`); before=500, after=0 here
+    val lin = MemoryStream[(String, String, Long)]
+    val rin = MemoryStream[(String, String, Long)]
+    def ks(m: MemoryStream[(String, String, Long)]) =
+      new KStream(m.toDS().map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+        .withWatermarkMs(0)
+    val w = JoinWindows(java.time.Duration.ofMillis(500), java.time.Duration.ZERO)
+    val joined = ks(lin).join(ks(rin), w)((a, b) => s"$a+$b")
+    val q = joined.ds.writeStream.format("memory").queryName("t_ssasym")
+      .outputMode("append").start()
+    queries = q :: queries
+
+    lin.addData(("k", "l", 1000L))
+    rin.addData(("k", "rA", 600L), ("k", "rB", 1200L), ("k", "rC", 400L))
+    q.processAllAvailable()
+
+    val rows = spark.table("t_ssasym").as[KV[String, String]].collect()
+    assert(rows.map(_.value).toSeq === Seq("l+rA")) // rB after, rC too early
+  }
+
   test("suppress-style final results: append mode emits a window once, after close") {
     val in = MemoryStream[(String, Long)]
     val counted = new KStream(in.toDS().map { case (k, t) =>
