@@ -25,29 +25,33 @@ object Lsh {
     * the same docs everywhere). The recall cost is only cross-pairs among
     * non-representative members of a hot bucket — irrelevant for
     * dedup-by-connected-components, where the star already links the bucket.
-    * The sizing window aggregates on the same `keyCols` the self-join
-    * shuffles on, so the guard adds no extra shuffle of its own.
+    * Shape: ONE shuffle on `keyCols` collects each bucket's ids
+    * (`collect_list`), then both branches are per-group codegen'd
+    * higher-order expressions — no self-join, no sizing window. A cold
+    * bucket explodes all C(n,2) sorted pairs (n ≤ threshold bounds the
+    * per-row array); a hot bucket emits its n−1 star pairs linearly. A
+    * mega-hot bucket concentrates in one task either way (any group-by-key
+    * formulation does) — the star keeps that task's OUTPUT linear, which is
+    * what makes it survivable.
     */
   def candidatePairs(exploded: DataFrame, idCol: String, keyCols: Seq[String],
       hotBucketThreshold: Int): DataFrame = {
-    def allPairs(df: DataFrame): DataFrame =
-      df.as("x").join(df.as("y"),
-          keyCols.map(c => col(s"x.$c") === col(s"y.$c")).reduce(_ && _) &&
-            col(s"x.$idCol") < col(s"y.$idCol"))
-        .select(col(s"x.$idCol").as("ida"), col(s"y.$idCol").as("idb"))
-    val pairs =
-      if (hotBucketThreshold <= 0) allPairs(exploded)
-      else {
-        val w = Window.partitionBy(keyCols.map(col): _*)
-        val sized = exploded
-          .withColumn("__n", count(lit(1)).over(w))
-          .withColumn("__mn", min(col(idCol)).over(w))
-        val cold = allPairs(sized.filter(col("__n") <= hotBucketThreshold))
-        val hot = sized
-          .filter(col("__n") > hotBucketThreshold && col(idCol) =!= col("__mn"))
-          .select(col("__mn").as("ida"), col(idCol).as("idb"))
-        cold.unionByName(hot)
-      }
-    pairs.distinct()
+    val grouped = exploded.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("__ids"))
+    val sorted = array_sort(array_distinct(col("__ids")))
+    val n = size(sorted)
+    // all i < j pairs of the sorted bucket (ida < idb by construction)
+    val coldPairs = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), n - i - lit(1)),
+        y => struct(x.as("ida"), y.as("idb")))))
+    // star: lowest id pairs with every other member
+    val hotPairs = transform(slice(sorted, lit(2), n - lit(1)),
+      y => struct(element_at(sorted, 1).as("ida"), y.as("idb")))
+    val pairsCol =
+      if (hotBucketThreshold <= 0) coldPairs
+      else when(n > hotBucketThreshold, hotPairs).otherwise(coldPairs)
+    grouped.select(explode(pairsCol).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"))
+      .distinct()
   }
 }

@@ -132,10 +132,11 @@ object Similarity {
     * the candidate-generation shape that survives 100 TB. Rows are exploded
     * into `bands` (band, bucket) keys from disjoint hyperplane blocks; a pair
     * is a candidate iff SOME band agrees (prefixed by `blockCols` equality),
-    * so the self-join shuffles on (blockCols…, band, bucket) — bounded
-    * buckets — never on blockCols alone, which at fixed cardinality is
-    * quadratic in the corpus. Candidates are then verified with the exact
-    * cosine (> `minCosine`) from one narrow join-back.
+    * so the pair machinery shuffles once on (blockCols…, band, bucket) —
+    * bounded buckets, in-group pair explosion (see [[Lsh.candidatePairs]]) —
+    * never on blockCols alone, which at fixed cardinality is quadratic in
+    * the corpus. Candidates are then verified with the exact cosine
+    * (> `minCosine`) from one narrow join-back.
     *
     * Recall is the banding OR: with `bitsPerBand` b and per-bit agreement
     * p = 1 − θ/π, a true pair is caught with 1 − (1 − p^b)^bands. Hot buckets

@@ -224,18 +224,29 @@ object TextQueries {
         .select("doc_id", "source", "s"),
       maxDf)
 
-  /** Pair stage over prepared (doc_id, source, s) distinct shingle rows. */
+  /** Pair stage over prepared (doc_id, source, s) distinct shingle rows.
+    *
+    * One shuffle on the (source, shingle) blocking key does all the heavy
+    * lifting: `collect_list(doc_id)` groups co-shingled docs, the df cap is
+    * `size(list) <= maxDf` on the grouped row (no separate window pass), and
+    * every in-group pair is generated by codegen'd higher-order functions —
+    * no self-join, each capped group contributing at most C(maxDf, 2) pairs.
+    * The doc-size side (`sz`) re-aggregates the same grouped rows, so the
+    * wide shingle rows shuffle exactly once.
+    */
   def ngramJaccardPairsOf(sh0: DataFrame, maxDf: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("source", "s")
-    val sh = sh0
-      .withColumn("__df", count(lit(1)).over(w))
-      .filter(col("__df") <= maxDf)
-      .select("doc_id", "source", "s")
-    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("x").join(sh.as("y"),
-        col("x.source") === col("y.source") && col("x.s") === col("y.s") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+    val grouped = sh0.groupBy("source", "s")
+      .agg(collect_list("doc_id").as("docs"))
+      .filter(size(col("docs")) <= maxDf)
+    val sz = grouped.select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // all i < j pairs of the sorted doc list (ida < idb by construction)
+    val sorted = array_sort(col("docs"))
+    val pairsCol = flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + lit(2), size(col("docs")) - i - lit(1)),
+        y => struct(x.as("ida"), y.as("idb")))))
+    val inter = grouped.select(explode(pairsCol).as("p"))
+      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
       .agg(count(lit(1)).as("i"))
     inter.join(sz.as("na"), col("na.doc_id") === col("ida"))
       .join(sz.as("nb"), col("nb.doc_id") === col("idb"))

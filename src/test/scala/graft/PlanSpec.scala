@@ -89,19 +89,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin LeftSemi"), p.take(2000))
   }
 
-  test("q_embed_near_dup pair join keys include the LSH bucket, not label alone") {
-    import org.apache.spark.sql.catalyst.plans.logical.Join
+  test("q_embed_near_dup candidates group on the LSH bucket; no label-keyed join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val df = SparkEntry.queries("q_embed_near_dup")(spark, dir)
-    // the candidate self-join must block on (label, band, bucket): blocking
-    // on the fixed-cardinality label alone is O(N^2/|labels|) at 100 TB
-    val selfJoin = df.queryExecution.optimizedPlan.collect {
-      case j: Join if j.condition.exists(_.toString.contains("__bkt")) => j
+    // candidate generation must block on (label, band, bucket): one
+    // collect_list groupBy whose keys include the bucket — blocking on the
+    // fixed-cardinality label alone is O(N^2/|labels|) at 100 TB
+    val bucketAgg = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.groupingExpressions.exists(_.toString.contains("__bkt")) => a
     }
-    assert(selfJoin.nonEmpty, "candidate join lost the __bkt bucket key")
+    assert(bucketAgg.nonEmpty, "candidate generation lost the __bkt bucket grouping")
+    // the only joins left are id-equality verify joins — nothing may shuffle
+    // pairs on the label
     assert(!df.queryExecution.optimizedPlan.collect { case j: Join => j }
-      .exists(j => j.condition.exists(c =>
-        c.toString.contains("label") && !c.toString.contains("__bkt"))),
-      "a join blocks on label without the bucket key")
+      .exists(j => j.condition.exists(_.toString.contains("label"))),
+      "a join blocks on label")
   }
 
   test("q_dsl_stream_table_join unique-snapshot path: equi join, no as-of window") {
