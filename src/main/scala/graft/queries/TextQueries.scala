@@ -219,24 +219,28 @@ object TextQueries {
     */
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
     ngramJaccardPairsOf(
-      shinglesDf(s, d).select(col("doc_id"), hash32(col("s")).as("s")).distinct()
+      // no pre-distinct: the pair stage's collect_set dedupes (doc, shingle)
+      // inside its own groupBy shuffle, so exploded shingle rows shuffle once
+      shinglesDf(s, d).select(col("doc_id"), hash32(col("s")).as("s"))
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "s"),
       maxDf)
 
-  /** Pair stage over prepared (doc_id, source, s) distinct shingle rows.
+  /** Pair stage over prepared (doc_id, source, s) shingle rows (duplicate
+    * rows allowed — the set agg dedupes them).
     *
     * One shuffle on the (source, shingle) blocking key does all the heavy
-    * lifting: `collect_list(doc_id)` groups co-shingled docs, the df cap is
-    * `size(list) <= maxDf` on the grouped row (no separate window pass), and
-    * every in-group pair is generated by codegen'd higher-order functions —
-    * no self-join, each capped group contributing at most C(maxDf, 2) pairs.
-    * The doc-size side (`sz`) re-aggregates the same grouped rows, so the
-    * wide shingle rows shuffle exactly once.
+    * lifting: `collect_set(doc_id)` groups co-shingled docs (deduping
+    * repeated shingles of a doc, so no upstream distinct pass is needed),
+    * the df cap is `size(set) <= maxDf` on the grouped row (no separate
+    * window pass), and every in-group pair is generated by codegen'd
+    * higher-order functions — no self-join, each capped group contributing
+    * at most C(maxDf, 2) pairs. The doc-size side (`sz`) re-aggregates the
+    * same grouped rows, so the wide shingle rows shuffle exactly once.
     */
   def ngramJaccardPairsOf(sh0: DataFrame, maxDf: Int): DataFrame = {
     val grouped = sh0.groupBy("source", "s")
-      .agg(collect_list("doc_id").as("docs"))
+      .agg(collect_set("doc_id").as("docs"))
       .filter(size(col("docs")) <= maxDf)
     val sz = grouped.select(explode(col("docs")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
