@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence-shaping operators for the training/embedding side of a data
+  * pipeline: split documents into fixed token windows (embedding / RAG
+  * chunking) and pack documents into fixed token budgets (training-sequence
+  * packing). No reference analog (beyond-parity training-pipeline operators,
+  * like [[Dedup]]/[[Similarity]]/[[Decontaminate]]).
+  *
+  * Both use whitespace tokens so the DuckDB oracle reproduces results
+  * bit-for-bit; swap the tokenizer column expression for a BPE UDF at the
+  * call site if model-true token counts are needed.
+  */
+object Packing {
+
+  /** Overlapping token-window chunks of each document: starts at 1, 1+stride,
+    * 1+2·stride, … (1-based), each spanning `chunkSize` tokens (the last
+    * chunks are shorter). Returns (idCol, chunk_id, chunk, n_tokens).
+    *
+    * Scale shape: pure map-side — tokenize, explode the per-doc start
+    * sequence, slice; all codegen'd builtins, NO shuffle at any size (the
+    * plan is Scan → Generate → Project). Output volume is
+    * ~`chunkSize/stride` × corpus tokens; chunk rows inherit the input
+    * partitioning.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val t = split(col(textCol), " ")
+    df.select(col(idCol), t.as("__t"))
+      .select(col(idCol), col("__t"),
+        explode(sequence(lit(1), greatest(size(col("__t")), lit(1)),
+          lit(stride))).as("__i"))
+      .select(
+        col(idCol),
+        ((col("__i") - 1) / stride).cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("__t"), col("__i"), lit(chunkSize))).as("chunk"),
+        least(lit(chunkSize), size(col("__t")) - col("__i") + 1)
+          .cast("long").as("n_tokens"))
+  }
+
+  /** Contiguous sequence packing: within each `groupCol` partition, docs in
+    * `idCol` order fill training sequences of `tokenBudget` tokens —
+    * `seq_id = (running-token-total − own-tokens) div budget`, i.e. a doc
+    * belongs to the sequence its first token lands in (docs longer than the
+    * budget span sequences; the id marks where they start). Deterministic:
+    * same inputs → same packing, no RNG. Returns
+    * (idCol, groupCol, n_tokens, seq_id).
+    *
+    * Scale shape: one shuffle on `groupCol` + a per-group running sum
+    * (codegen'd window). Group cardinality bounds parallelism — at corpus
+    * scale pack per (source, shard) rather than a handful of global groups,
+    * exactly as you'd shard any cumulative assignment.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum("n_tokens").over(w))
+      // floor of a double division is exact here: token totals sit far
+      // below 2^53, so both engines compute the identical integer
+      .select(col(idCol), col(groupCol), col("n_tokens"),
+        floor((col("__cum") - col("n_tokens")) / tokenBudget)
+          .cast("long").as("seq_id"))
+  }
+}

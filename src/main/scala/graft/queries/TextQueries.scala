@@ -484,10 +484,43 @@ object TextQueries {
       .agg(count(lit(1)).as("kept"), sum(col("toks")).as("tokens"))
   }
 
+  /** Token-window chunking for embedding/RAG prep — 64-token chunks at
+    * stride 32 (50 % overlap) over raw whitespace tokens. Pure map-side
+    * (Scan → Generate → Project, no shuffle); see
+    * [[graft.operators.Packing.chunkTokens]].
+    */
+  val qChunkTokens = q(
+    "q_chunk_tokens",
+    "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents) " +
+      "SELECT doc_id, CAST((u.i - 1) // 32 AS BIGINT) AS chunk_id, " +
+      "array_to_string(t[u.i : u.i + 63], ' ') AS chunk, " +
+      "CAST(least(64, len(t) - u.i + 1) AS BIGINT) AS n_tokens " +
+      "FROM toks, UNNEST(range(1, greatest(len(t), 1) + 1, 32)) AS u(i)") { (s, d) =>
+    graft.operators.Packing.chunkTokens(
+      Tables.documents(s, d), "doc_id", "text", chunkSize = 64, stride = 32)
+  }
+
+  /** Training-sequence packing: docs fill 2048-token sequences per source in
+    * doc_id order — seq_id = running-token-total-before-doc div budget.
+    * One window shuffle on source; see
+    * [[graft.operators.Packing.packSequences]].
+    */
+  val qPackSequences = q(
+    "q_pack_sequences",
+    "WITH toks AS (SELECT doc_id, source, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
+      "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM toks) " +
+      "SELECT doc_id, source, n_tokens, " +
+      "CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id FROM c") { (s, d) =>
+    graft.operators.Packing.packSequences(
+      Tables.documents(s, d), "doc_id", "text", "source", tokenBudget = 2048L)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qMultimodalMeta, qNgramProfile,
-    qCurationPipeline)
+    qCurationPipeline, qChunkTokens, qPackSequences)
 }

@@ -240,6 +240,31 @@ class OperatorsSpec extends SparkSpec {
       .sameElements(again.collect().map(_.toString).sorted))
   }
 
+  test("chunkTokens windows overlap by stride and cover every token") {
+    import graft.operators.Packing
+    // 5 tokens, chunk 3, stride 2 -> starts 1,3,5: "a b c", "c d e", "e"
+    val df = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val out = Packing.chunkTokens(df, "doc_id", "text", chunkSize = 3, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(c => (c._1, c._2))
+    assert(out === Seq(
+      (1L, 0L, "a b c", 3L), (1L, 1L, "c d e", 3L), (1L, 2L, "e", 1L),
+      (2L, 0L, "x", 1L)))
+  }
+
+  test("packSequences fills token budgets in id order within each group") {
+    import graft.operators.Packing
+    // group g: docs of 3, 4, 5 tokens into budget 6:
+    //   doc 1 starts at 0 -> seq 0; doc 2 starts at 3 -> seq 0 (spans into 1);
+    //   doc 3 starts at 7 -> seq 1. group h restarts at seq 0.
+    val df = Seq(
+      (1L, "g", "a b c"), (2L, "g", "a b c d"), (3L, "g", "a b c d e"),
+      (9L, "h", "a b")).toDF("doc_id", "source", "text")
+    val out = Packing.packSequences(df, "doc_id", "text", "source", tokenBudget = 6L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out === Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 5L, 1L), (9L, 2L, 0L)))
+  }
+
   test("multimodal: stub decode is deterministic and batch-shaped") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text/plain")
     val feats = Multimodal.extractFeatures(media).collect()
