@@ -221,6 +221,94 @@ object CompositeQueries {
         sum(when(hi, 0).otherwise(1)).as("low_cnt"))
   }
 
+  /** Q4-shaped: order-priority histogram of 1996 orders that have at least
+    * one returned line — aggregation over a LEFT-SEMI join (EXISTS
+    * decorrelated), date filter pushed into the orders scan, the semi join's
+    * build side pruned to the single join column.
+    */
+  val q4PriorityExists = q(
+    "q4_priority_exists",
+    "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' " +
+      "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') " +
+      "GROUP BY o_orderpriority") { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Q13-shaped: customer distribution by order count INCLUDING zero-order
+    * customers — left outer join + two-level aggregation (per-customer count,
+    * then histogram). The outer join is what a semi/inner join can't express:
+    * the zeros must survive.
+    */
+  val q13Custdist = q(
+    "q13_custdist",
+    "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (" +
+      "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count " +
+      "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+      "GROUP BY c_custkey) GROUP BY c_count") { (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q17-shaped: small-quantity revenue — lines whose quantity is below 20 %
+    * of their part's average. The correlated AVG subquery decorrelates into
+    * a per-part aggregate joined back to the fact; the inequality is
+    * cross-multiplied to integers (5·qty·cnt < sum) so both engines compare
+    * exactly instead of through a float average.
+    */
+  val q17SmallQty = q(
+    "q17_small_qty",
+    "WITH pa AS (SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_partkey) " +
+      "SELECT CAST(count(*) AS BIGINT) AS n_lines, " +
+      s"${Exact.sumScaledSql("l_extendedprice", 100)} AS rev_c " +
+      "FROM lineitem JOIN pa ON l_partkey = pk " +
+      "WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val pa = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("cnt"))
+    li.join(pa, col("l_partkey") === col("pk"))
+      .filter(lit(5) * col("l_quantity").cast("long") * col("cnt") < col("sq"))
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.sumScaled(col("l_extendedprice"), 100).as("rev_c"))
+  }
+
+  /** Q11-shaped: nations holding an outsized share of supplier balance —
+    * per-group totals filtered against a fraction of the GLOBAL total (the
+    * scalar-subquery shape). The one-row global total cross-joins in
+    * broadcast; integer cents make the 10 % threshold exact.
+    */
+  val q11Important = q(
+    "q11_important",
+    "WITH per AS (SELECT s_nationkey, " +
+      s"${Exact.sumScaledSql("s_acctbal", 100)} AS bal_c " +
+      "FROM supplier GROUP BY s_nationkey), " +
+      "tot AS (SELECT CAST(sum(bal_c) AS BIGINT) AS t FROM per) " +
+      "SELECT n_name, bal_c FROM per JOIN nation ON n_nationkey = s_nationkey, tot " +
+      "WHERE bal_c * 10 > t") { (s, d) =>
+    val per = Tables.supplier(s, d).groupBy("s_nationkey")
+      .agg(Exact.sumScaled(col("s_acctbal"), 100).as("bal_c"))
+    val tot = per.agg(sum(col("bal_c")).as("t"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("bal_c") * 10 > col("t"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("n_nationkey") === col("s_nationkey"))
+      .select(col("n_name"), col("bal_c"))
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
-    qSaltedAgg, q14Promo, q18Large, q9Profit, q12Priority)
+    qSaltedAgg, q14Promo, q18Large, q9Profit, q12Priority,
+    q4PriorityExists, q13Custdist, q17SmallQty, q11Important)
 }

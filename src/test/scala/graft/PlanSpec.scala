@@ -107,6 +107,19 @@ class PlanSpec extends SparkSpec {
       "a join blocks on label")
   }
 
+  test("q_chunk_tokens is pure map-side: no Exchange anywhere") {
+    val p = plan("q_chunk_tokens")
+    assert(!p.contains("Exchange"), "chunking must not shuffle:\n" + p.take(1500))
+    assert(p.contains("Generate"), "expected the per-doc start-sequence explode")
+  }
+
+  test("q_pack_sequences shuffles once, on the packing group only") {
+    val p = plan("q_pack_sequences")
+    // one Exchange for the per-source running-sum window, nothing else
+    assert("Exchange".r.findAllIn(p.replace("ReusedExchange", "")).size <= 2,
+      p.take(1500)) // Exchange node + its Arguments echo line
+  }
+
   test("q_dsl_stream_table_join unique-snapshot path: equi join, no as-of window") {
     val p = plan("q_dsl_stream_table_join")
     // the withUniqueKeys snapshot skips the union + last(...) as-of fold and
