@@ -82,10 +82,16 @@ object Bench {
     // it so the line stays valid JSON for any SPARK_GRAFT_SF_DIR basename
     val sfRaw = sfDir.split("/").last.stripPrefix("sf")
     val sf = scala.util.Try(BigDecimal(sfRaw).toString).getOrElse("\"" + sfRaw + "\"")
-    val line = s"""{"metric":"total","value":${BigDecimal(total)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf}"""
+    val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf}"""
     println(line)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+    // the full line has outgrown the driver's ~2000-char log-tail window
+    // (94 queries ≈ 2 KB), so ALSO print a compact line LAST: whatever the
+    // tail head-truncates, its final {"metric"...} line stays complete and
+    // parseable; the full per-query map is committed as BENCH_FULL.json
+    val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sf,"detail":"BENCH_FULL.json"}"""
+    println(compact)
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () } // best-effort; stdout is the contract
     spark.stop()
