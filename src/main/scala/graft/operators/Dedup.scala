@@ -104,6 +104,53 @@ object Dedup {
       .filter(col("agreeing") >= math.ceil(minAgreeFraction * NumPerm).toInt)
   }
 
+  /** Connected-components clustering of near-dup pairs: every id in `nodes`
+    * gets the MINIMUM id of its undirected component as `rep` — the step
+    * that turns pair lists into dedup CLUSTERS (keep the representative,
+    * drop or review the rest). Pair-free nodes are their own rep.
+    *
+    * Algorithm: iterative min-label propagation — each round a node's label
+    * becomes the min of its own and its neighbors' labels; `localCheckpoint`
+    * keeps the lineage flat; convergence takes component-diameter rounds.
+    * Dedup graphs keep that small by construction: hot buckets star-link
+    * (diameter ≤ 2 per bucket), so long chains only arise from genuine
+    * overlap bridges. Each round is one shuffle join + one aggregation over
+    * the edge list — no step is ever quadratic. `maxIter` caps pathological
+    * inputs, and non-convergence THROWS instead of returning a wrong
+    * clustering. At extreme diameters swap the round body for the
+    * large-star/small-star rule (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same fixpoint, O(log²) rounds.
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val e = pairs.select(col("ida").as("a"), col("idb").as("b"))
+      .unionByName(pairs.select(col("idb").as("a"), col("ida").as("b")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = e.join(labels, col("b") === col("id"))
+        .groupBy("a").agg(min("rep").as("nrep"))
+      val next = labels.join(nbr, col("id") === col("a"), "left")
+        .select(col("id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id").as("id0"), col("rep").as("rep0")),
+          col("id") === col("id0"))
+        .filter(col("rep") =!= col("rep0")).count()
+      labels = next
+      i += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the cap; raise maxIter or switch the " +
+        "round body to large-star/small-star")
+    labels.select(col("id").as(idCol), col("rep"))
+  }
+
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}

@@ -123,28 +123,59 @@ object TextQueries {
     * (fraction of agreeing permutations ≥ 0.5). Distributed shape: shuffle on
     * band-hash (bounded buckets), never an all-pairs join.
     */
+  /** Shared CTE list for the MinHash-LSH pair pipeline (sigs → bands → cand)
+    * plus the agreeing-permutation count — one definition drives both
+    * `q_dedup_minhash` and the cluster query's recursive oracle.
+    */
+  private lazy val minhashAgreeSql: String =
+    (0 until NumPerm).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+  private lazy val minhashCtesSql: String = {
+    val mins = perms.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * h + $b) % $P) AS m$j"
+    }.mkString(", ")
+    val sigs = s"SELECT doc_id, $mins FROM (SELECT doc_id, ${hash32Sql("s")} % $P AS h " +
+      s"FROM ($shinglesSql)) GROUP BY doc_id"
+    val bands = (0 until 8).map { bnd =>
+      val cols = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"sigs AS ($sigs), bands AS ($bands), " +
+      "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x " +
+      "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"
+  }
+
   val qDedupMinhash = q(
-    "q_dedup_minhash", {
-      val mins = perms.zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a * h + $b) % $P) AS m$j"
-      }.mkString(", ")
-      val sigs = s"SELECT doc_id, $mins FROM (SELECT doc_id, ${hash32Sql("s")} % $P AS h " +
-        s"FROM ($shinglesSql)) GROUP BY doc_id"
-      val bands = (0 until 8).map { bnd =>
-        val cols = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sigs"
-      }.mkString(" UNION ALL ")
-      val agree = (0 until NumPerm).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"WITH sigs AS ($sigs), bands AS ($bands), " +
-        "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x " +
-        "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id) " +
-        s"SELECT ida, idb, ($agree) AS agreeing FROM cand " +
-        "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
-        s"WHERE ($agree) * 2 >= $NumPerm"
-    }) { (s, d) =>
+    "q_dedup_minhash",
+    s"WITH $minhashCtesSql " +
+      s"SELECT ida, idb, ($minhashAgreeSql) AS agreeing FROM cand " +
+      "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm") { (s, d) =>
     graft.operators.Dedup.nearDuplicates(
       Tables.documentsBalanced(s, d), "doc_id", "text", minAgreeFraction = 0.5)
+  }
+
+  /** Near-dup PAIRS → dedup CLUSTERS: every doc labelled with the minimum
+    * doc_id of its connected component over the MinHash-LSH near-dup graph
+    * (pair-free docs are their own rep). Spark side: iterative min-label
+    * propagation ([[graft.operators.Dedup.connectedComponents]]); oracle:
+    * DuckDB recursive CTE transitive closure over the identical pair SQL.
+    */
+  val qDedupClusters = q(
+    "q_dedup_clusters",
+    s"WITH RECURSIVE $minhashCtesSql, " +
+      s"pairs AS (SELECT ida, idb FROM cand " +
+      "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm), " +
+      "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+      "reach(na, nb) AS (SELECT na, nb FROM e " +
+      "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na) " +
+      "SELECT d.doc_id, CAST(least(d.doc_id, coalesce(min(r.nb), d.doc_id)) AS BIGINT) AS rep " +
+      "FROM documents d LEFT JOIN reach r ON r.na = d.doc_id GROUP BY d.doc_id") { (s, d) =>
+    val docs = Tables.documentsBalanced(s, d)
+    val pairs = graft.operators.Dedup.nearDuplicates(
+      docs, "doc_id", "text", minAgreeFraction = 0.5)
+    graft.operators.Dedup.connectedComponents(pairs, docs, "doc_id")
   }
 
   /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
@@ -522,5 +553,5 @@ object TextQueries {
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qMultimodalMeta, qNgramProfile,
-    qCurationPipeline, qChunkTokens, qPackSequences)
+    qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters)
 }

@@ -240,6 +240,29 @@ class OperatorsSpec extends SparkSpec {
       .sameElements(again.collect().map(_.toString).sorted))
   }
 
+  test("connectedComponents labels chains, stars, and singletons with the min id") {
+    import graft.operators.Dedup
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, singleton 42
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L)).toDF("ida", "idb")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 42L).toDF("doc_id")
+    val reps = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 42L -> 42L))
+  }
+
+  test("connectedComponents throws rather than returning a wrong clustering") {
+    import graft.operators.Dedup
+    // a 6-chain has diameter 5; maxIter 2 cannot converge
+    val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val nodes = (1L to 6L).toDF("doc_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("chunkTokens windows overlap by stride and cover every token") {
     import graft.operators.Packing
     // 5 tokens, chunk 3, stride 2 -> starts 1,3,5: "a b c", "c d e", "e"
