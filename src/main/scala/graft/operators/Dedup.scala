@@ -131,17 +131,17 @@ object Dedup {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // one join per round: keep (rep, neighbor-min) side by side so the
+      // convergence count reads the SAME checkpointed result the next
+      // round's labels derive from — no second join, no recompute
       val nbr = e.join(labels, col("b") === col("id"))
         .groupBy("a").agg(min("rep").as("nrep"))
-      val next = labels.join(nbr, col("id") === col("a"), "left")
-        .select(col("id"),
-          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      val merged = labels.join(nbr, col("id") === col("a"), "left")
+        .select(col("id"), col("rep"),
+          coalesce(col("nrep"), col("rep")).as("nrep"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id").as("id0"), col("rep").as("rep0")),
-          col("id") === col("id0"))
-        .filter(col("rep") =!= col("rep0")).count()
-      labels = next
+      changed = merged.filter(col("nrep") < col("rep")).count()
+      labels = merged.select(col("id"), least(col("rep"), col("nrep")).as("rep"))
       i += 1
     }
     require(changed == 0,
