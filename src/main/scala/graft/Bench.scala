@@ -70,18 +70,24 @@ object Bench {
       q.processAllAvailable(); q.stop()
     }
     val allResults = results :+ ("stream_windowed_pipeline" -> streamSecs)
-    // per-query times as integer ms keep the one-line JSON under ~1.9 KB so
-    // log-tail captures (last-N-chars) still contain the complete line from
-    // {"metric" onward; the same line is also written to BENCH_LAST.json in
-    // the working directory in case a log wrapper mangles stdout
+    // per-query times as integer ms; the full line goes to stdout AND the
+    // tracked BENCH_FULL.json, and a compact total-only line prints last so
+    // a size-limited log tail always ends with complete JSON (see below)
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // emit sf as a bare number only when it parses as one; otherwise quote
-    // it so the line stays valid JSON for any SPARK_GRAFT_SF_DIR basename
+    // AND escape it so the line stays valid JSON for any SPARK_GRAFT_SF_DIR
+    // basename (quotes/backslashes/control chars included)
     val sfRaw = sfDir.split("/").last.stripPrefix("sf")
-    val sf = scala.util.Try(BigDecimal(sfRaw).toString).getOrElse("\"" + sfRaw + "\"")
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sf = scala.util.Try(BigDecimal(sfRaw).toString).getOrElse(jsonStr(sfRaw))
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf}"""
     println(line)

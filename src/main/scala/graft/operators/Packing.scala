@@ -47,8 +47,10 @@ object Packing {
     * `idCol` order fill training sequences of `tokenBudget` tokens —
     * `seq_id = (running-token-total − own-tokens) div budget`, i.e. a doc
     * belongs to the sequence its first token lands in (docs longer than the
-    * budget span sequences; the id marks where they start). Deterministic:
-    * same inputs → same packing, no RNG. Returns
+    * budget span sequences; the id marks where they start). Deterministic —
+    * same inputs → same packing, no RNG — provided `idCol` is unique within
+    * each group (the running sum orders by it alone, so duplicate ids would
+    * make tie order, and thus seq_id, shuffle-dependent). Returns
     * (idCol, groupCol, n_tokens, seq_id).
     *
     * Scale shape: one shuffle on `groupCol` + a per-group running sum

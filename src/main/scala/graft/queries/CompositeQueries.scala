@@ -270,17 +270,20 @@ object CompositeQueries {
     */
   val q17SmallQty = q(
     "q17_small_qty",
-    "WITH pa AS (SELECT l_partkey AS pk, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, " +
+    // floor(), not CAST: DuckDB CAST(double AS BIGINT) ROUNDS while Spark's
+    // .cast("long") truncates — floor is identical on both engines even if
+    // a future generator emits non-integral quantities
+    "WITH pa AS (SELECT l_partkey AS pk, CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq, " +
       "CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_partkey) " +
       "SELECT CAST(count(*) AS BIGINT) AS n_lines, " +
       s"${Exact.sumScaledSql("l_extendedprice", 100)} AS rev_c " +
       "FROM lineitem JOIN pa ON l_partkey = pk " +
-      "WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq") { (s, d) =>
+      "WHERE 5 * CAST(floor(l_quantity) AS BIGINT) * cnt < sq") { (s, d) =>
     val li = Tables.lineitem(s, d)
     val pa = li.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("cnt"))
+      .agg(sum(floor(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
     li.join(pa, col("l_partkey") === col("pk"))
-      .filter(lit(5) * col("l_quantity").cast("long") * col("cnt") < col("sq"))
+      .filter(lit(5) * floor(col("l_quantity")) * col("cnt") < col("sq"))
       .agg(count(lit(1)).as("n_lines"),
         Exact.sumScaled(col("l_extendedprice"), 100).as("rev_c"))
   }

@@ -258,31 +258,27 @@ object TextQueries {
       maxDf)
 
   /** Pair stage over prepared (doc_id, source, s) shingle rows (duplicate
-    * rows allowed — the set agg dedupes them).
+    * rows allowed — the sorted run scan dedupes them).
     *
     * One shuffle on the (source, shingle) blocking key does all the heavy
-    * lifting: `collect_set(doc_id)` groups co-shingled docs (deduping
-    * repeated shingles of a doc, so no upstream distinct pass is needed),
-    * the df cap is `size(set) <= maxDf` on the grouped row (no separate
-    * window pass), and every in-group pair is generated by codegen'd
-    * higher-order functions — no self-join, each capped group contributing
-    * at most C(maxDf, 2) pairs. The doc-size side (`sz`) re-aggregates the
-    * same grouped rows, so the wide shingle rows shuffle exactly once.
+    * lifting: [[graft.operators.Lsh.scanRuns]] sorts runs by (source, s,
+    * doc_id) and streams each kept block's C(n ≤ maxDf, 2) pairs plus one
+    * member row per distinct (doc, shingle) — over-shared shingles are
+    * DROPPED mid-stream with O(maxDf) memory, never buffered whole (a
+    * collect_set would hold a boilerplate shingle's entire doc list in one
+    * aggregation buffer before any size filter ran). Intersections and
+    * per-doc set sizes then aggregate the scan's two row kinds; both
+    * branches hang off the same Exchange, so the wide shingle rows shuffle
+    * exactly once.
     */
   def ngramJaccardPairsOf(sh0: DataFrame, maxDf: Int): DataFrame = {
-    val grouped = sh0.groupBy("source", "s")
-      .agg(collect_set("doc_id").as("docs"))
-      .filter(size(col("docs")) <= maxDf)
-    val sz = grouped.select(explode(col("docs")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // all i < j pairs of the sorted doc list (ida < idb by construction)
-    val sorted = array_sort(col("docs"))
-    val pairsCol = flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + lit(2), size(col("docs")) - i - lit(1)),
-        y => struct(x.as("ida"), y.as("idb")))))
-    val inter = grouped.select(explode(pairsCol).as("p"))
-      .groupBy(col("p.ida").as("ida"), col("p.idb").as("idb"))
+    val scan = graft.operators.Lsh.scanRuns(sh0, "doc_id",
+      Seq("source", "s"), maxDf, hotStar = false, emitMembers = true)
+    val inter = scan.filter(col("tag") === 0)
+      .groupBy(col("a").as("ida"), col("b").as("idb"))
       .agg(count(lit(1)).as("i"))
+    val sz = scan.filter(col("tag") === 1)
+      .groupBy(col("a").as("doc_id")).agg(count(lit(1)).as("n"))
     inter.join(sz.as("na"), col("na.doc_id") === col("ida"))
       .join(sz.as("nb"), col("nb.doc_id") === col("idb"))
       .select(col("ida"), col("idb"), col("i"),

@@ -89,17 +89,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin LeftSemi"), p.take(2000))
   }
 
-  test("q_embed_near_dup candidates group on the LSH bucket; no label-keyed join") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+  test("q_embed_near_dup candidates shuffle on the LSH bucket; no label-keyed join") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = SparkEntry.queries("q_embed_near_dup")(spark, dir)
-    // candidate generation must block on (label, band, bucket): one
-    // collect_list groupBy whose keys include the bucket — blocking on the
-    // fixed-cardinality label alone is O(N^2/|labels|) at 100 TB
-    val bucketAgg = df.queryExecution.optimizedPlan.collect {
-      case a: Aggregate
-        if a.groupingExpressions.exists(_.toString.contains("__bkt")) => a
-    }
-    assert(bucketAgg.nonEmpty, "candidate generation lost the __bkt bucket grouping")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // candidate generation must block on (label, band, bucket): the run
+    // scan's one Exchange partitions on a key including the bucket —
+    // blocking on the fixed-cardinality label alone is O(N^2/|labels|)
+    // at 100 TB
+    assert("hashpartitioning\\([^)]*__bkt".r.findFirstIn(p).nonEmpty,
+      "candidate scan lost the __bkt bucket partitioning:\n" + p.take(1500))
     // the only joins left are id-equality verify joins — nothing may shuffle
     // pairs on the label
     assert(!df.queryExecution.optimizedPlan.collect { case j: Join => j }
