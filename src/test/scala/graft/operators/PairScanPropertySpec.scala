@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Randomized equivalence: the streaming sorted-run pair scanner
+  * ([[Lsh.scanRuns]]) against in-memory brute-force references, across many
+  * seeded-random bucket multisets — duplicate rows, singleton buckets, hot
+  * buckets straddling the threshold, and the unbounded opt-out all occur by
+  * construction. Deterministic seed: failures reproduce.
+  */
+class PairScanPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteCandidates(rows: Seq[(String, Long)],
+      threshold: Int): Set[(Long, Long)] =
+    rows.groupBy(_._1).values.flatMap { grp =>
+      val ids = grp.map(_._2).distinct.sorted
+      if (threshold > 0 && ids.size > threshold)
+        ids.tail.map(i => (ids.head, i)) // star on the min id
+      else
+        for { i <- ids.indices; j <- i + 1 until ids.size }
+          yield (ids(i), ids(j))
+    }.toSet
+
+  test("candidatePairs matches brute force on 25 random bucket multisets") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 25) {
+      val n = 1 + rnd.nextInt(40)
+      val rows = Seq.fill(n)((s"b${rnd.nextInt(6)}", rnd.nextInt(12).toLong))
+      val threshold = rnd.nextInt(5) // 0 = unbounded all-pairs
+      val got = Lsh.candidatePairs(rows.toDF("bh", "id"), "id", Seq("bh"), threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === bruteCandidates(rows, threshold),
+        s"trial $trial threshold=$threshold rows=$rows")
+    }
+  }
+
+  private def bruteJaccard(rows: Seq[(Long, String, String)],
+      maxDf: Int): Set[(Long, Long, Long, Long)] = {
+    val kept = rows.distinct
+      .groupBy(r => (r._2, r._3))
+      .filter { case (_, rs) => rs.map(_._1).distinct.size <= maxDf }
+      .values.flatten.toSeq
+    val docSets = kept.groupBy(_._1)
+      .map { case (d, rs) => d -> rs.map(r => (r._2, r._3)).toSet }
+    (for {
+      a <- docSets.keys; b <- docSets.keys if a < b
+      i = (docSets(a) & docSets(b)).size if i > 0
+      u = docSets(a).size + docSets(b).size - i
+      if i * 10 >= u
+    } yield (a, b, i.toLong, u.toLong)).toSet
+  }
+
+  test("ngramJaccardPairsOf matches brute force on 25 random shingle sets") {
+    import graft.queries.TextQueries
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 25) {
+      val n = 1 + rnd.nextInt(60)
+      val rows = Seq.fill(n)((rnd.nextInt(8).toLong,
+        s"src${rnd.nextInt(2)}", s"sh${rnd.nextInt(10)}"))
+      val maxDf = 1 + rnd.nextInt(5)
+      val got = TextQueries
+        .ngramJaccardPairsOf(rows.toDF("doc_id", "source", "s"), maxDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === bruteJaccard(rows, maxDf),
+        s"trial $trial maxDf=$maxDf rows=$rows")
+    }
+  }
+}
