@@ -61,7 +61,10 @@ object Lsh {
   def scanRuns(exploded: DataFrame, idCol: String, keyCols: Seq[String],
       threshold: Int, hotStar: Boolean, emitMembers: Boolean): DataFrame = {
     val keyLen = keyCols.length
-    val proj = exploded.select(
+    // null ids are dropped (the aggregation formulations this replaces
+    // skipped them too); the cast requires numeric ids — every id column in
+    // this repo is long already
+    val proj = exploded.filter(col(idCol).isNotNull).select(
       keyCols.map(col) :+ col(idCol).cast("long").as("__id"): _*)
     val sorted = proj.repartition(keyCols.map(col): _*)
       .sortWithinPartitions(keyCols.map(col) :+ col("__id"): _*)
@@ -88,15 +91,35 @@ object Lsh {
       pending.next()
     }
 
-    private def keyOf(r: Row): Seq[Any] = (0 until keyLen).map(r.get)
+    /** Allocation-free positional key equality. Uses Java `equals` (NOT
+      * Scala `==`/BoxesRunTime): boxed-double NaN equals NaN (numeric `==`
+      * would spin the scan forever on a NaN key), and byte-array keys get
+      * content comparison instead of reference equality.
+      */
+    private def sameKey(a: Row, b: Row): Boolean = {
+      var i = 0
+      while (i < keyLen) {
+        val x = a.get(i)
+        val y = b.get(i)
+        val eq = (x, y) match {
+          case (null, null) => true
+          case (null, _) | (_, null) => false
+          case (xa: Array[Byte], ya: Array[Byte]) => java.util.Arrays.equals(xa, ya)
+          case _ => x.equals(y)
+        }
+        if (!eq) return false
+        i += 1
+      }
+      true
+    }
     private def idOf(r: Row): Long = r.getLong(keyLen)
 
     /** Consume one full or partial run and stage its output. */
     private def advance(): Unit = {
-      val key = keyOf(rows.head)
+      val keyRow = rows.head
       var ids = Vector.empty[Long] // distinct, ascending (input sorted)
       var hot = false
-      while (!hot && rows.hasNext && keyOf(rows.head) == key) {
+      while (!hot && rows.hasNext && sameKey(rows.head, keyRow)) {
         val id = idOf(rows.next())
         if (ids.isEmpty || ids.last != id) {
           ids :+= id
@@ -121,7 +144,7 @@ object Lsh {
           val streamed: Iterator[Row] = new Iterator[Row] {
             private var staged: Row = _
             private def seek(): Unit =
-              while (staged == null && rows.hasNext && keyOf(rows.head) == key) {
+              while (staged == null && rows.hasNext && sameKey(rows.head, keyRow)) {
                 val id = idOf(rows.next())
                 if (id != last) { last = id; staged = Row(0, rep, id) }
               }
@@ -134,7 +157,7 @@ object Lsh {
           buffered ++ streamed
         } else {
           // drop mode: skip the rest of the run, emit nothing
-          while (rows.hasNext && keyOf(rows.head) == key) rows.next()
+          while (rows.hasNext && sameKey(rows.head, keyRow)) rows.next()
           Iterator.empty
         }
     }

@@ -250,8 +250,9 @@ object TextQueries {
     */
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
     ngramJaccardPairsOf(
-      // no pre-distinct: the pair stage's collect_set dedupes (doc, shingle)
-      // inside its own groupBy shuffle, so exploded shingle rows shuffle once
+      // no pre-distinct: the pair stage's sorted-run scan dedupes adjacent
+      // (doc, shingle) repeats inside its one shuffle (Lsh.scanRuns sorts
+      // runs by (source, s, doc_id)), so exploded rows shuffle once
       shinglesDf(s, d).select(col("doc_id"), hash32(col("s")).as("s"))
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "s"),

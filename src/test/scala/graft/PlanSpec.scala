@@ -91,14 +91,18 @@ class PlanSpec extends SparkSpec {
 
   test("q_embed_near_dup candidates shuffle on the LSH bucket; no label-keyed join") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
     val df = SparkEntry.queries("q_embed_near_dup")(spark, dir)
-    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     // candidate generation must block on (label, band, bucket): the run
-    // scan's one Exchange partitions on a key including the bucket —
-    // blocking on the fixed-cardinality label alone is O(N^2/|labels|)
-    // at 100 TB
-    assert("hashpartitioning\\([^)]*__bkt".r.findFirstIn(p).nonEmpty,
-      "candidate scan lost the __bkt bucket partitioning:\n" + p.take(1500))
+    // scan's one repartition keys on an expression list including the
+    // bucket — blocking on the fixed-cardinality label alone is
+    // O(N^2/|labels|) at 100 TB. Structural check (not a plan-string grep):
+    // robust to rendering changes around the expressions.
+    val bucketRepart = df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression
+        if r.partitionExpressions.exists(_.toString.contains("__bkt")) => r
+    }
+    assert(bucketRepart.nonEmpty, "candidate scan lost the __bkt bucket partitioning")
     // the only joins left are id-equality verify joins — nothing may shuffle
     // pairs on the label
     assert(!df.queryExecution.optimizedPlan.collect { case j: Join => j }
