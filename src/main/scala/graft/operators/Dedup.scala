@@ -151,6 +151,22 @@ object Dedup {
     labels.select(col("id").as(idCol), col("rep"))
   }
 
+  /** One-call near-dup DEDUPLICATION: MinHash-LSH pairs →
+    * [[connectedComponents]] clusters → keep each cluster's minimum-id doc
+    * (and every pair-free doc). The end-to-end form of the pipeline whose
+    * stages are individually oracle-checked (`q_dedup_minhash`,
+    * `q_dedup_clusters`); semi join keeps the corpus scan narrow.
+    */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+      minAgreeFraction: Double = 0.5,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, minAgreeFraction,
+      hotBucketThreshold)
+    val survivors = connectedComponents(pairs, df, idCol)
+      .filter(col("rep") === col(idCol)).select(idCol)
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}

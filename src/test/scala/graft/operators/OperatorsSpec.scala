@@ -252,6 +252,19 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 42L -> 42L))
   }
 
+  test("dedupNear keeps one representative per near-dup cluster plus uniques") {
+    import graft.operators.Dedup
+    // three word-level paraphrases of one text (near-dups), one unrelated doc
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base), (2L, base + " ok"), (3L, "indeed " + base),
+      (9L, "completely different words about spark shuffles and parquet files here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupNear(docs, "doc_id", "text", minAgreeFraction = 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 9L)) // cluster {1,2,3} -> min id 1; 9 untouched
+  }
+
   test("connectedComponents throws rather than returning a wrong clustering") {
     import graft.operators.Dedup
     // a 6-chain has diameter 5; maxIter 2 cannot converge
