@@ -545,10 +545,43 @@ object TextQueries {
       Tables.documents(s, d), "doc_id", "text", "source", tokenBudget = 2048L)
   }
 
+  /** TF-IDF top terms per document — the classic two-aggregate + join-back
+    * shape (term frequency per doc; document frequency per term; score =
+    * tf·N/df). The score is computed as exact integer division
+    * (tf·10⁶ div df — N is constant within a ranking so it cancels), so the
+    * ranking needs no float log and both engines agree bit-for-bit. Scale:
+    * the df side aggregates to vocabulary size (≪ corpus), the join-back
+    * shuffles on term, and the final top-3 is a bounded per-doc window.
+    */
+  val qTfidf = q(
+    "q_tfidf",
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
+      "wc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM w " +
+      "WHERE term <> '' GROUP BY doc_id, term), " +
+      "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM wc GROUP BY term), " +
+      "scored AS (SELECT doc_id, wc.term AS term, (tf * 1000000) // df AS score_q, " +
+      "row_number() OVER (PARTITION BY doc_id ORDER BY (tf * 1000000) // df DESC, wc.term) AS rn " +
+      "FROM wc JOIN dfreq ON wc.term = dfreq.term) " +
+      "SELECT doc_id, term, score_q FROM scored WHERE rn <= 3") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documentsBalanced(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = wc.groupBy("term").agg(count(lit(1)).as("df"))
+    wc.join(dfreq, "term")
+      .withColumn("score_q", expr("(tf * 1000000) DIV df"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("term"))))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "score_q")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qMultimodalMeta, qNgramProfile,
-    qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters)
+    qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf)
 }

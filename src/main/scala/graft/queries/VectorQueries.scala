@@ -162,8 +162,41 @@ object VectorQueries {
       .select(col("qid"), col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** Int8 symmetric quantization — the storage/bandwidth step of an
+    * embedding pipeline (4× smaller vectors for ANN candidate scans). Per
+    * vector: scale = 127 / max|x|, q_i = ⌊x_i·scale + 0.5⌋ ∈ [−127, 127].
+    * Pure map-side — no shuffle at any scale. The oracle pins the full
+    * quantized vector through two order-sensitive digests (plain sum +
+    * position-weighted sum) rather than comparing arrays textually.
+    */
+  val qEmbedQuant = q(
+    "q_embed_quant", {
+      val m = "list_max(list_transform(embedding, x -> abs(x::DOUBLE)))"
+      val sc = s"(CASE WHEN $m = 0 THEN 0.0 ELSE 127.0 / $m END)"
+      def qi(ix: String) = s"CAST(floor(embedding[$ix]::DOUBLE * sc + 0.5) AS BIGINT)"
+      // list_sum types as DOUBLE/HUGEINT — CAST keeps the digests int64
+      s"SELECT vec_id, ${Exact.quantSql("sc", 1000000)} AS scale_e6, " +
+        s"CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> ${qi("i")})) AS BIGINT) AS qsum, " +
+        s"CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> ${qi("i")} * ((i - 1) % 31 + 1))) AS BIGINT) AS qdot " +
+        s"FROM (SELECT vec_id, embedding, $sc AS sc FROM embeddings)"
+    }) { (s, d) =>
+    val maxAbs = aggregate(col("embedding"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    val quant = transform(col("embedding"),
+      x => floor(x.cast("double") * col("sc") + 0.5).cast("long"))
+    Tables.embeddingsBalanced(s, d)
+      .withColumn("sc", when(maxAbs === 0.0, 0.0).otherwise(lit(127.0) / maxAbs))
+      .withColumn("qarr", quant)
+      .select(col("vec_id"), Exact.quant(col("sc"), 1000000).as("scale_e6"),
+        aggregate(col("qarr"), lit(0L), (a, x) => a + x).as("qsum"),
+        aggregate(zip_with(col("qarr"), sequence(lit(0), size(col("qarr")) - 1),
+            (x, i) => x * ((i % 31) + 1).cast("long")),
+          lit(0L), (a, x) => a + x).as("qdot"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qEmbedNorm, qEmbedTopK, qAnnIvf, qEmbedNearDup, qAnnLsh, qAnnMulti)
+    qEmbedNorm, qEmbedTopK, qAnnIvf, qEmbedNearDup, qAnnLsh, qAnnMulti,
+    qEmbedQuant)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

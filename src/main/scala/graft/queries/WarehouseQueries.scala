@@ -242,10 +242,14 @@ object WarehouseQueries {
     // Per-order stats decorrelate both subqueries: EXISTS(other supplier) ⇔
     // n_supp > 1; NOT EXISTS(other returning supplier) ⇔ the returning-
     // supplier set is exactly {l1.suppkey} ⇔ n_r_supp = 1 (l1 is itself 'R').
+    // Two-phase instead of two countDistincts: dedupe (order, supplier) pairs
+    // first, then count — avoids the Expand (2× row multiplication) a
+    // multi-distinct aggregate plans, and both phases keep map-side partials.
     val ordStats = Tables.lineitem(s, d)
-      .groupBy(col("l_orderkey").as("ok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+      .groupBy(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_r"))
+      .groupBy(col("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_r_supp"))
     Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F")
           .select("o_orderkey"),
@@ -307,17 +311,24 @@ object WarehouseQueries {
       "best AS (SELECT pk AS bpk, min(cost_c) AS best_c FROM eligible GROUP BY pk) " +
       "SELECT pk AS p_partkey, sk AS s_suppkey, s_name, n_name, cost_c " +
       "FROM eligible JOIN best ON pk = bpk AND cost_c = best_c") { (s, d) =>
-    val ps = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .agg(min(Exact.quant(col("l_extendedprice") / col("l_quantity"), 100)).as("cost_c"))
-    val eligible = ps
-      .join(Tables.part(s, d).filter(col("p_type") === "STANDARD")
-          .select("p_partkey"),
-        col("pk") === col("p_partkey"), "left_semi")
-      .join(Tables.supplier(s, d), col("s_suppkey") === col("sk")) // AQE decides
+    // Both filters are PER-KEY (part type, supplier region), so they commute
+    // with the per-(part, supplier) min — semi-reduce the fact scan BEFORE
+    // the pair aggregate instead of aggregating all pairs and discarding most.
+    val eurSupp = Tables.supplier(s, d)
       .join(broadcast(Tables.nation(s, d)), col("n_nationkey") === col("s_nationkey"))
       .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
         col("r_regionkey") === col("n_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val ps = Tables.lineitem(s, d)
+      .join(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(eurSupp.select("s_suppkey"),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(Exact.quant(col("l_extendedprice") / col("l_quantity"), 100)).as("cost_c"))
+    val eligible = ps
+      .join(eurSupp, col("s_suppkey") === col("sk")) // AQE decides
       .select(col("pk"), col("sk"), col("cost_c"), col("s_name"), col("n_name"))
     val best = eligible.groupBy(col("pk").as("bpk")).agg(min(col("cost_c")).as("best_c"))
     eligible

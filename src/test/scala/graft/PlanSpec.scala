@@ -132,6 +132,53 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), "expected a plain equi join")
   }
 
+  test("q6_forecast pushes all three range predicates into the scan; one exchange total") {
+    val p = plan("q6_forecast")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,1996-01-01"), "shipdate range lost")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity bound lost")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.03)"), "discount range lost")
+    // scan-agg only: the single exchange is the final single-partition gather
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500)) // node + echo line
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q19_disjunct splits the OR across sides: both scans get pushed disjunctions") {
+    val p = plan("q19_disjunct")
+    // part-only conjuncts extracted from the OR-of-ANDs and pushed to part
+    assert(p.contains("And(EqualTo(p_brand,Brand#1),LessThanOrEqual(p_size,15))"),
+      "part-side disjunction must reach the part scan")
+    // lineitem-only conjuncts (quantity ranges) pushed to lineitem
+    assert(p.contains("And(GreaterThanOrEqual(l_quantity,1.0),LessThanOrEqual(l_quantity,21.0))"),
+      "lineitem-side disjunction must reach the lineitem scan")
+  }
+
+  test("q21_waiting decorrelates without an Expand (no multi-distinct blowup)") {
+    val p = plan("q21_waiting")
+    // two countDistincts would plan an Expand (2x the fact rows); the
+    // two-phase pair-dedupe aggregate must keep the plan Expand-free
+    assert(!p.contains("Expand"), "multi-distinct Expand crept back in")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "two-phase x two-level aggs expected")
+    // the l1 side reads only R rows: filter pushed into its scan
+    assert(p.contains("EqualTo(l_returnflag,R)"), "R filter must reach the scan")
+  }
+
+  test("q2_min_cost semi-reduces the fact scan before the pair aggregate") {
+    val p = plan("q2_min_cost")
+    assert(p.contains("LeftSemi"), "part/supplier filters must semi-reduce pre-agg")
+    assert(!p.contains("CartesianProduct"))
+    // the pair aggregate reads a pruned lineitem scan (4 columns)
+    assert(p.contains("struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double,l_extendedprice:double>"),
+      "lineitem scan must be pruned to the 4 pair-agg columns")
+  }
+
+  test("q22_opportunity: scalar broadcast, date-scoped anti join pushdown") {
+    val p = plan("q22_opportunity")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,2000-01-01"),
+      "anti-join build side must scan only recent orders")
+    assert(!p.contains("CartesianProduct"), "one-row scalar must broadcast")
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._
