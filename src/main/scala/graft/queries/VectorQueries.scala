@@ -194,9 +194,49 @@ object VectorQueries {
           lit(0L), (a, x) => a + x).as("qdot"))
   }
 
+  /** One k-means (Lloyd) update step over the IVF assignment: per cluster,
+    * the count and the per-dimension sums — the sufficient statistics of the
+    * new centroid (mean = sums / n). Elements quantize to integers BEFORE
+    * summing (row-order-independent, exact on both engines); the per-dim sum
+    * vector is pinned through a position-weighted digest, which is linear in
+    * the element sums, so it folds per ROW and aggregates with plain SUM —
+    * no dimension explode, map-side partials all the way. An IVF training
+    * loop is this step iterated with re-collected centroids.
+    */
+  val qKmeansStep = q(
+    "q_kmeans_step", {
+      val cos = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      def xq(ix: String) = s"CAST(floor(embedding[$ix]::DOUBLE * 1000000 + 0.5) AS BIGINT)"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        s"scored AS (SELECT vec_id, embedding, cid, row_number() OVER (" +
+        s"PARTITION BY vec_id ORDER BY $cos DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id >= 8) " +
+        "SELECT cid, CAST(count(*) AS BIGINT) AS n, " +
+        s"CAST(sum(CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> ${xq("i")})) AS BIGINT)) AS BIGINT) AS sum_q, " +
+        s"CAST(sum(CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> ${xq("i")} * ((i - 1) % 31 + 1))) AS BIGINT)) AS BIGINT) AS dot_q " +
+        "FROM scored WHERE rn = 1 GROUP BY cid"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val xq = transform(col("embedding"),
+      x => floor(x.cast("double") * 1000000 + 0.5).cast("long"))
+    graft.operators.Similarity
+      .ivfAssign(emb.filter(col("vec_id") >= 8), "vec_id", "embedding", cents)
+      .withColumn("xq", xq)
+      .withColumn("rsum", aggregate(col("xq"), lit(0L), (a, x) => a + x))
+      .withColumn("rdot", aggregate(zip_with(col("xq"),
+          sequence(lit(0), size(col("xq")) - 1),
+          (x, i) => x * ((i % 31) + 1).cast("long")),
+        lit(0L), (a, x) => a + x))
+      .groupBy(col("centroid_id").as("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("rsum")).as("sum_q"),
+        sum(col("rdot")).as("dot_q"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qEmbedNearDup, qAnnLsh, qAnnMulti,
-    qEmbedQuant)
+    qEmbedQuant, qKmeansStep)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */
