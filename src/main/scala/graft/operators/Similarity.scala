@@ -166,4 +166,43 @@ object Similarity {
       .filter(col("cosine") > minCosine)
       .select(col("ida"), col("idb"), col("cosine"))
   }
+
+  /** Int8 symmetric quantization of a float-vector column: per row,
+    * `q_scale = 127 / max|x|` and `q_vec(i) = ⌊x_i·scale + 0.5⌋ ∈
+    * [−127, 127]` (an all-zero vector quantizes to zeros with scale 0).
+    * Pure map-side — 4× smaller candidate scans for ANN at any corpus size.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.withColumn("q_scale", when(maxAbs === 0.0, 0.0).otherwise(lit(127.0) / maxAbs))
+      .withColumn("q_vec", transform(col(vecCol),
+        x => floor(x.cast("double") * col("q_scale") + 0.5).cast("int")))
+  }
+
+  /** One k-means (Lloyd) update step: assign each row to its max-cosine
+    * centroid, then emit per-cluster sufficient statistics — count and
+    * per-dimension element sums, with elements quantized to an integer grid
+    * (`quantScale`) BEFORE summing so the result is row-order independent
+    * and exact. Output: (cid, n, sums: array<long>). The caller's training
+    * loop divides sums by n, re-collects centroids, and iterates.
+    */
+  def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], quantScale: Long = 1000000L): DataFrame = {
+    val xq = transform(col(vecCol),
+      x => floor(x.cast("double") * quantScale + 0.5).cast("long"))
+    // posexplode → scalar two-phase agg: map-side partials shrink the
+    // shuffle to clusters × dims rows, and no aggregation buffer ever holds
+    // more than one running sum (a collect_list of member vectors would hold
+    // O(cluster size) — the thing this shape exists to avoid). The final
+    // per-cluster regroup collects exactly `dim` scalars back into the array.
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .select(col("centroid_id").as("cid"), posexplode(xq).as(Seq("pos", "xqv")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(col("xqv")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("cid"))
+      .agg(max(col("cnt")).as("n"),
+        transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          e => e.getField("s")).as("sums"))
+  }
 }

@@ -553,6 +553,27 @@ object TextQueries {
     * the df side aggregates to vocabulary size (≪ corpus), the join-back
     * shuffles on term, and the final top-3 is a bounded per-doc window.
     */
+  /** Reusable operator form: top-k terms per document by exact-integer
+    * TF-IDF score (`tf·10⁶ div df`; constant N cancels inside a per-doc
+    * ranking). Output: (idCol, term, score_q).
+    */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = wc.groupBy("term").agg(count(lit(1)).as("df"))
+    wc.join(dfreq, "term")
+      .withColumn("score_q", expr("(tf * 1000000) DIV df"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("score_q").desc, col("term"))))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("term"), col("score_q"))
+  }
+
   val qTfidf = q(
     "q_tfidf",
     "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
@@ -563,19 +584,7 @@ object TextQueries {
       "row_number() OVER (PARTITION BY doc_id ORDER BY (tf * 1000000) // df DESC, wc.term) AS rn " +
       "FROM wc JOIN dfreq ON wc.term = dfreq.term) " +
       "SELECT doc_id, term, score_q FROM scored WHERE rn <= 3") { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val wc = Tables.documentsBalanced(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .filter(col("term") =!= "")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = wc.groupBy("term").agg(count(lit(1)).as("df"))
-    wc.join(dfreq, "term")
-      .withColumn("score_q", expr("(tf * 1000000) DIV df"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score_q").desc, col("term"))))
-      .filter(col("rn") <= 3)
-      .select("doc_id", "term", "score_q")
+    tfidfTopTerms(Tables.documentsBalanced(s, d), "doc_id", "text", 3)
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -180,17 +180,12 @@ object VectorQueries {
         s"CAST(list_sum(list_transform(range(1, len(embedding) + 1), i -> ${qi("i")} * ((i - 1) % 31 + 1))) AS BIGINT) AS qdot " +
         s"FROM (SELECT vec_id, embedding, $sc AS sc FROM embeddings)"
     }) { (s, d) =>
-    val maxAbs = aggregate(col("embedding"), lit(0.0),
-      (acc, x) => greatest(acc, abs(x.cast("double"))))
-    val quant = transform(col("embedding"),
-      x => floor(x.cast("double") * col("sc") + 0.5).cast("long"))
-    Tables.embeddingsBalanced(s, d)
-      .withColumn("sc", when(maxAbs === 0.0, 0.0).otherwise(lit(127.0) / maxAbs))
-      .withColumn("qarr", quant)
-      .select(col("vec_id"), Exact.quant(col("sc"), 1000000).as("scale_e6"),
-        aggregate(col("qarr"), lit(0L), (a, x) => a + x).as("qsum"),
-        aggregate(zip_with(col("qarr"), sequence(lit(0), size(col("qarr")) - 1),
-            (x, i) => x * ((i % 31) + 1).cast("long")),
+    graft.operators.Similarity
+      .quantizeInt8(Tables.embeddingsBalanced(s, d), "embedding")
+      .select(col("vec_id"), Exact.quant(col("q_scale"), 1000000).as("scale_e6"),
+        aggregate(col("q_vec"), lit(0L), (a, x) => a + x.cast("long")).as("qsum"),
+        aggregate(zip_with(col("q_vec"), sequence(lit(0), size(col("q_vec")) - 1),
+            (x, i) => x.cast("long") * ((i % 31) + 1).cast("long")),
           lit(0L), (a, x) => a + x).as("qdot"))
   }
 
@@ -219,19 +214,15 @@ object VectorQueries {
     val emb = Tables.embeddingsBalanced(s, d)
     val cents = graft.operators.Similarity.collectCentroids(
       Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
-    val xq = transform(col("embedding"),
-      x => floor(x.cast("double") * 1000000 + 0.5).cast("long"))
+    // digest the operator's per-dim sums (both digests are linear in the
+    // element sums, so they equal the oracle's per-row formulation exactly)
     graft.operators.Similarity
-      .ivfAssign(emb.filter(col("vec_id") >= 8), "vec_id", "embedding", cents)
-      .withColumn("xq", xq)
-      .withColumn("rsum", aggregate(col("xq"), lit(0L), (a, x) => a + x))
-      .withColumn("rdot", aggregate(zip_with(col("xq"),
-          sequence(lit(0), size(col("xq")) - 1),
-          (x, i) => x * ((i % 31) + 1).cast("long")),
-        lit(0L), (a, x) => a + x))
-      .groupBy(col("centroid_id").as("cid"))
-      .agg(count(lit(1)).as("n"), sum(col("rsum")).as("sum_q"),
-        sum(col("rdot")).as("dot_q"))
+      .kmeansStep(emb.filter(col("vec_id") >= 8), "vec_id", "embedding", cents)
+      .select(col("cid"), col("n"),
+        aggregate(col("sums"), lit(0L), (a, x) => a + x).as("sum_q"),
+        aggregate(zip_with(col("sums"), sequence(lit(0), size(col("sums")) - 1),
+            (x, i) => x * ((i % 31) + 1).cast("long")),
+          lit(0L), (a, x) => a + x).as("dot_q"))
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -321,4 +321,46 @@ class OperatorsSpec extends SparkSpec {
     assert(small.sortBy(_.id).map(_.payload.toSeq) ===
       again.sortBy(_.id).map(_.payload.toSeq))
   }
+
+  test("int8 quantization: values bounded, extremes hit ±127, zero vector safe") {
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 1.0f)), // max|x|=1 -> scale 127
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // all-zero: scale 0, no div-by-0
+      (2L, Array(-0.002f, 0.0012f, 0.0f, 0.002f)) // tiny values still span the range
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "embedding")
+      .select("vec_id", "q_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) === Seq(64, -127, 32, 127)) // 0.5*127=63.5 rounds half-up to 64
+    assert(out(1L) === Seq(0, 0, 0, 0))
+    assert(out(2L) === Seq(-127, 76, 0, 127)) // 0.0012/0.002*127 = 76.2
+
+    assert(out.values.flatten.forall(v => v >= -127 && v <= 127))
+  }
+
+  test("kmeans step emits exact per-dimension integer sums and counts") {
+    val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
+    val pts = Seq( // two obvious members per centroid
+      (10L, Array(2.0f, 0.1f)), (11L, Array(4.0f, -0.1f)),
+      (20L, Array(0.1f, 3.0f)), (21L, Array(-0.1f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(pts, "vec_id", "embedding", cents, quantScale = 10L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2))).sortBy(_._1)
+    // quantized at scale 10: cluster 0 sums = (20+40, 1-1), cluster 1 = (1-1, 30+50)
+    assert(out === Seq((0, 2L, Seq(60L, 0L)), (1, 2L, Seq(0L, 80L))))
+  }
+
+  test("tf-idf ranks rare terms above corpus-wide boilerplate") {
+    import graft.queries.TextQueries
+    val corpus = Seq( // df("common")=3, so even 2x tf scores below a unique term
+      (0L, "common common rare0"),
+      (1L, "common rare1 rare1"),
+      (2L, "common rare2")
+    ).toDF("doc_id", "text")
+    val top1 = TextQueries.tfidfTopTerms(corpus, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" appears in every doc (df=3) -> even 3x term frequency loses
+    // to a unique term; each doc's top term is its own rare token
+    assert(top1 === Map(0L -> "rare0", 1L -> "rare1", 2L -> "rare2"))
+  }
 }
