@@ -574,6 +574,30 @@ object TextQueries {
       .select(col(idCol), col("term"), col("score_q"))
   }
 
+  /** PII-style scrubbing: replace every match of `pattern` with `token`,
+    * recording the per-row match count. Pure map-side (codegen regex) —
+    * the redaction pass a training corpus takes before packing. Patterns
+    * must stay in the RE2 ∩ Java regex dialect (no backrefs/lookahead) so
+    * the oracle mirrors exactly.
+    */
+  def redact(df: org.apache.spark.sql.DataFrame, textCol: String,
+      pattern: String, token: String = "<PII>"): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_redacted",
+        size(regexp_extract_all(col(textCol), lit(pattern), lit(0))))
+      .withColumn(s"${textCol}_redacted", regexp_replace(col(textCol), pattern, token))
+
+  /** Redaction over the events payload: digit runs → `<NUM>`; the redacted
+    * text is pinned through md5 (identical hex on both engines).
+    */
+  val qRedact = q(
+    "q_redact",
+    "SELECT event_id, CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted, " +
+      "md5(regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS redacted_md5 FROM events") { (s, d) =>
+    redact(Tables.events(s, d), "props", "[0-9]+", "<NUM>")
+      .select(col("event_id"), col("n_redacted"),
+        md5(col("props_redacted")).as("redacted_md5"))
+  }
+
   val qTfidf = q(
     "q_tfidf",
     "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
@@ -592,5 +616,6 @@ object TextQueries {
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qMultimodalMeta, qNgramProfile,
-    qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf)
+    qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,
+    qRedact)
 }

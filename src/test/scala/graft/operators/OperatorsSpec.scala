@@ -363,4 +363,19 @@ class OperatorsSpec extends SparkSpec {
     // to a unique term; each doc's top term is its own rare token
     assert(top1 === Map(0L -> "rare0", 1L -> "rare1", 2L -> "rare2"))
   }
+
+  test("redaction replaces every match and counts them per row") {
+    import graft.queries.TextQueries
+    val rows = Seq(
+      (0L, "call 555-0199 or 555-0200 now"),
+      (1L, "no digits here"),
+      (2L, "x1y22z333")
+    ).toDF("id", "t")
+    val out = TextQueries.redact(rows, "t", "[0-9]+", "#")
+      .select("id", "n_redacted", "t_redacted").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(0L) === ((4, "call #-# or #-# now")))
+    assert(out(1L) === ((0, "no digits here")))
+    assert(out(2L) === ((3, "x#y#z#")))
+  }
 }
