@@ -207,8 +207,32 @@ object JoinQueries {
           .as("run_qty_c"))
   }
 
+  /** Discrete (type-1) median per group, rank-based: the ⌈n/2⌉-th smallest
+    * VALUE — an actual data point, so no interpolation arithmetic crosses
+    * engines. Both window functions share one partitioning → a single
+    * shuffle; at scale this is the exact-percentile pattern (for sketched
+    * percentiles see `q_approx_distinct`'s rows-only family).
+    */
+  val qMedian = q(
+    "q_median",
+    "WITH r AS (SELECT event_type, value, " +
+      "row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn, " +
+      "count(*) OVER (PARTITION BY event_type) AS n FROM events) " +
+      s"SELECT event_type, ${Exact.quantSql("value", 100)} AS med_c " +
+      "FROM r WHERE rn = (n + 1) // 2") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val part = Window.partitionBy("event_type")
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("n", count(lit(1)).over(part))
+      .filter(col("rn") === expr("(n + 1) DIV 2"))
+      .select(col("event_type"), Exact.quant(col("value"), 100).as("med_c"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qJoinStreamTable, qJoinLeft, qJoinGlobal, qIntervalJoin,
     qIntervalLeftJoin, qJoinOuter,
-    qTableTableJoin, qSemiJoin, qAntiJoin, qTopK, qRunning)
+    qTableTableJoin, qSemiJoin, qAntiJoin, qTopK, qRunning, qMedian)
 }
