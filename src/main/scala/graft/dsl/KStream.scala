@@ -75,6 +75,32 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       })
   }
 
+  /** Ingest-time exact deduplication: keep the FIRST record per key
+    * (event-time order; ties by arrival). In streaming the per-key state is
+    * bounded by the `withinMs` watermark horizon
+    * (`dropDuplicatesWithinWatermark`), so a late duplicate beyond the
+    * horizon is admitted rather than the state growing forever — the
+    * standard trade for unbounded streams. Batch is a deterministic
+    * earliest-per-key fold. Superset — the reference has no dedup surface
+    * (it is the classic Kafka Streams recipe built on a state store).
+    */
+  def deduplicate(withinMs: Long)(implicit e: Encoder[KV[K, V]]): KStream[K, V] =
+    if (ds.isStreaming)
+      new KStream(
+        ds.withWatermark("ts", s"$withinMs milliseconds")
+          .dropDuplicatesWithinWatermark("key"))
+    else {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
+      val w = Window.partitionBy("key")
+        .orderBy(col("ts").asc, col("__seq").asc)
+      new KStream(ds.toDF()
+        .withColumn("__seq", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__seq")
+        .as[KV[K, V]])
+    }
+
   /** Explicit repartition-by-key (Kafka Streams 2.6 `repartition()`; the
     * reference only roadmaps repartition topics — `1_2_0.md:14`,
     * `GroupedStreamAggregateBuilder.cs:37` TODO). Rarely needed: every

@@ -100,4 +100,31 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("t_stj").as[KV[String, String]].collect().map(_.value)
     assert(out.toSeq === Seq("s1@t1"))
   }
+
+  test("deduplicate keeps first per key across microbatches; state is watermark-bounded") {
+    val in = MemoryStream[(String, String, Long)]
+    val deduped = new KStream(in.toDS()
+      .map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+      .deduplicate(withinMs = 10000L)
+    val q = start(deduped.toDF, "t_dedup", mode = "append")
+
+    in.addData(("a", "first", 1000L), ("a", "dup-same-batch", 1500L), ("b", "only", 1000L))
+    q.processAllAvailable()
+    in.addData(("a", "dup-next-batch", 2000L)) // state must remember a
+    q.processAllAvailable()
+
+    val vals = spark.table("t_dedup").as[KV[String, String]].collect()
+      .map(r => r.key -> r.value).toMap
+    assert(vals === Map("a" -> "first", "b" -> "only"))
+
+    // batch path: deterministic earliest-per-key (ties by source order)
+    val batch = new KStream(Seq(
+      KV("k", "late", new java.sql.Timestamp(300L)),
+      KV("k", "early", new java.sql.Timestamp(100L)),
+      KV("j", "tie1", new java.sql.Timestamp(100L)),
+      KV("j", "tie2", new java.sql.Timestamp(100L))).toDS())
+      .deduplicate(withinMs = 10000L)
+    val b = batch.toDF.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(b === Map("k" -> "early", "j" -> "tie1"))
+  }
 }
