@@ -27,4 +27,26 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
   }
+
+  /** Salted equi-join for a skewed build side: the big (skewed) side gets a
+    * salt in [0, saltBuckets); the small side is replicated once per salt
+    * value; the join keys become (key, salt), so a hot key's rows spread
+    * across `saltBuckets` reducers instead of one straggler. The result is
+    * the plain inner join's exact multiset (each big row matches exactly its
+    * own salt's replica). Use when AQE skew splitting can't see the skew —
+    * streaming joins, or a skewed key hidden behind an expression. Cost:
+    * small side shuffled ×saltBuckets.
+    */
+  def saltedJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
+        .cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicated,
+        saltedBig(bigKey) === replicated(smallKey) &&
+          saltedBig("__salt") === replicated("__salt"))
+      .drop("__salt")
+  }
 }

@@ -129,6 +129,22 @@ object CompositeQueries {
       Seq(sum(col("cnt")).as("cnt"), sum(col("sq_c")).as("sq_c")))
   }
 
+  /** Salted equi-join (skew pattern): the salted two-shuffle join equals the
+    * direct join — the oracle proves the pattern returns the exact multiset.
+    */
+  val qSaltedJoin = q(
+    "q_salted_join",
+    "SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt, " +
+      s"${Exact.sumScaledSql("l_extendedprice * (1 - l_discount)", 10000)} AS rev_e4 " +
+      "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand") { (s, d) =>
+    graft.operators.Salting
+      .saltedJoin(Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey", 8)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        Exact.sumScaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 10000)
+          .as("rev_e4"))
+  }
+
   /** Q14-shaped: promo revenue vs total per ship-year. Conditional
     * aggregation over a part join (AQE-sized); both sums exact integers so the
     * ratio can be computed client-side without float drift.
@@ -312,6 +328,6 @@ object CompositeQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
-    qSaltedAgg, q14Promo, q18Large, q9Profit, q12Priority,
+    qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
     q4PriorityExists, q13Custdist, q17SmallQty, q11Important)
 }

@@ -364,6 +364,20 @@ class OperatorsSpec extends SparkSpec {
     assert(top1 === Map(0L -> "rare0", 1L -> "rare1", 2L -> "rare2"))
   }
 
+  test("salted join equals the plain join on a planted hot key") {
+    val big = ((0 until 200).map(i => (1L, s"hot$i")) ++ // one key with 200 rows
+      Seq((2L, "cold-a"), (3L, "cold-b"))).toDF("k", "payload")
+    val dim = Seq((1L, "one"), (2L, "two"), (4L, "unmatched")).toDF("dk", "name")
+    val salted = graft.operators.Salting.saltedJoin(big, "k", dim, "dk", 4)
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    val plain = big.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
+    assert(salted === plain)
+    assert(salted.length === 201) // 200 hot matches + cold-a; cold-b/4 drop
+  }
+
   test("redaction replaces every match and counts them per row") {
     import graft.queries.TextQueries
     val rows = Seq(
