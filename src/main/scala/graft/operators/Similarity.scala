@@ -205,4 +205,29 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("pos"), col("s")))),
           e => e.getField("s")).as("sums"))
   }
+
+  /** Train IVF centroids: `iters` Lloyd iterations from the given seeds.
+    * Each iteration is one distributed [[kmeansStep]]; only k × dim integer
+    * sums return to the driver per iteration (a documented-small collect,
+    * like [[collectCentroids]] — centroid sets are tiny at any corpus
+    * scale). Clusters that lose all members keep their previous centroid.
+    */
+  def kmeansFit(corpus: DataFrame, idCol: String, vecCol: String,
+      seeds: Seq[(Int, Array[Float])], iters: Int,
+      quantScale: Long = 1000000L): Seq[(Int, Array[Float])] = {
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val stats = kmeansStep(corpus, idCol, vecCol, cents, quantScale)
+        .collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getSeq[Long](2)))).toMap
+      cents = cents.map { case (cid, prev) =>
+        stats.get(cid) match {
+          case Some((n, sums)) if n > 0 =>
+            cid -> sums.map(s => (s.toDouble / quantScale / n).toFloat).toArray
+          case _ => cid -> prev
+        }
+      }
+    }
+    cents
+  }
 }

@@ -68,4 +68,30 @@ class NumericPropertySpec extends SparkSpec {
       assert(got(cid)._2 === sums, s"cluster $cid sums")
     }
   }
+
+  test("kmeansFit recovers three planted blobs from rough seeds") {
+    val rnd = new scala.util.Random(23)
+    // well-separated direction blobs (cosine assignment): axis-aligned cones
+    val blobMeans = Seq(
+      Array(1.0f, 0.05f, 0.05f), Array(0.05f, 1.0f, 0.05f), Array(0.05f, 0.05f, 1.0f))
+    val pts = (0 until 90).map { i =>
+      val m = blobMeans(i % 3)
+      (i.toLong, m.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    // rough seeds: one arbitrary member of each blob
+    val seeds = (0 until 3).map(c => c -> pts(c)._2)
+    val fitted = Similarity.kmeansFit(pts.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", seeds, iters = 3)
+    // each fitted centroid's dominant axis is its own blob's axis…
+    val axes = fitted.sortBy(_._1).map { case (_, v) => v.indexOf(v.max) }
+    assert(axes.toSet === Set(0, 1, 2), s"axes=$axes")
+    // …and sits near the blob's true mean direction
+    for ((cid, v) <- fitted) {
+      val m = blobMeans(axes(cid))
+      def d(a: Array[Float], b: Array[Float]) =
+        a.zip(b).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val cos = d(v, m) / (math.sqrt(d(v, v)) * math.sqrt(d(m, m)))
+      assert(cos > 0.99, s"centroid $cid cos=$cos")
+    }
+  }
 }
