@@ -286,10 +286,22 @@ object CoreQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
   }
 
+  /** Mergeable percentile sketch (Spark superset; rows-only — DuckDB's
+    * quantile interpolation differs from Spark's KLL-style sketch, and
+    * `q_median` oracle-checks the exact rank-based path). One pass, map-side
+    * partial sketches merged per group — the shape that replaces a full sort
+    * at 100 TB.
+    */
+  val qApproxQuantile = GraftQuery.rowsOnly("q_approx_quantile") { (s, d) =>
+    Tables.events(s, d).groupBy("event_type")
+      .agg(percentile_approx(col("value"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p50_p95_p99"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qFilter, qFilterNot, qMap, qMapValues, qFlatMapValues, qSelectKey,
     qBranch, qMerge, qTableLatest, qTableFilter, qTableMapValues,
     qTableGroupByCount, qTableGroupByAgg, q1Agg, qCount, qReduce,
     qAggCustom, qDistinct, qCountDistinct, qIntersect, qExcept, qRollup,
-    qJsonExtract, qApproxDistinct)
+    qJsonExtract, qApproxDistinct, qApproxQuantile)
 }
