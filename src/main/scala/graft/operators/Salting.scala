@@ -18,6 +18,7 @@ object Salting {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val phase1 = salted
@@ -39,6 +40,9 @@ object Salting {
     */
   def saltedJoin(big: DataFrame, bigKey: String, small: DataFrame,
       smallKey: String, saltBuckets: Int): DataFrame = {
+    // 0 buckets would make the replication sequence EMPTY and silently drop
+    // every row from the join — fail loudly instead
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
     val saltedBig = big.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
         .cast("int"))

@@ -376,6 +376,10 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sorted
     assert(salted === plain)
     assert(salted.length === 201) // 200 hot matches + cold-a; cold-b/4 drop
+    // 0 buckets would silently empty the join — must fail loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Salting.saltedJoin(big, "k", dim, "dk", 0)
+    }
   }
 
   test("redaction replaces every match and counts them per row") {
