@@ -77,9 +77,10 @@ object Bench {
     val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // emit sf as a bare number only when it parses as one; otherwise quote
-    // AND escape it so the line stays valid JSON for any SPARK_GRAFT_SF_DIR
-    // basename (quotes/backslashes/control chars included)
+    // sf is ALWAYS a JSON string (a non-numeric dir basename like "0.1x10"
+    // once flipped it between number and string, breaking cross-commit
+    // diffs); sf_dir carries the full input path so any replication/scaling
+    // scheme is self-describing without overloading sf's meaning
     val sfRaw = sfDir.split("/").last.stripPrefix("sf")
     def jsonStr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -87,9 +88,9 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val sf = scala.util.Try(BigDecimal(sfRaw).toString).getOrElse(jsonStr(sfRaw))
+    val sf = jsonStr(sfRaw)
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf}"""
+    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf,"sf_dir":${jsonStr(sfDir)}}"""
     println(line)
     // the full line has outgrown the driver's ~2000-char log-tail window
     // (94 queries ≈ 2 KB), so ALSO print a compact line LAST: whatever the

@@ -75,16 +75,25 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       })
   }
 
-  /** Ingest-time exact deduplication: keep the FIRST record per key
-    * (event-time order; ties by arrival). In streaming the per-key state is
-    * bounded by the `withinMs` watermark horizon
-    * (`dropDuplicatesWithinWatermark`), so a late duplicate beyond the
-    * horizon is admitted rather than the state growing forever — the
-    * standard trade for unbounded streams. Batch is a deterministic
-    * earliest-per-key fold. Superset — the reference has no dedup surface
+  /** Ingest-time exact deduplication: keep the FIRST record per key.
+    *
+    * Keep policy differs by execution mode (asserted by `DslOpsSpec`):
+    * streaming keeps the first-ARRIVED record per key
+    * (`dropDuplicatesWithinWatermark` ignores event time), so an
+    * out-of-order later-ts record that arrives first survives; batch keeps
+    * the earliest EVENT-TIME record (ties broken by `tieBreak` columns,
+    * then source order). In streaming the per-key state is bounded by the
+    * `withinMs` watermark horizon, so a late duplicate beyond the horizon
+    * is admitted rather than the state growing forever — the standard trade
+    * for unbounded streams. Superset — the reference has no dedup surface
     * (it is the classic Kafka Streams recipe built on a state store).
+    *
+    * @param tieBreak extra batch-mode ordering columns after `ts`, so
+    *   equal-timestamp survivors are deterministic at any scale (source
+    *   order, the final fallback, is partition-layout dependent).
     */
-  def deduplicate(withinMs: Long)(implicit e: Encoder[KV[K, V]]): KStream[K, V] =
+  def deduplicate(withinMs: Long, tieBreak: Seq[Column] = Nil)(
+      implicit e: Encoder[KV[K, V]]): KStream[K, V] =
     if (ds.isStreaming)
       new KStream(
         ds.withWatermark("ts", s"$withinMs milliseconds")
@@ -93,7 +102,7 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
       val w = Window.partitionBy("key")
-        .orderBy(col("ts").asc, col("__seq").asc)
+        .orderBy((col("ts").asc +: tieBreak.map(_.asc)) :+ col("__seq").asc: _*)
       new KStream(ds.toDF()
         .withColumn("__seq", monotonically_increasing_id())
         .withColumn("__rn", row_number().over(w))

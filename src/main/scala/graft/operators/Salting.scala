@@ -19,6 +19,8 @@ object Salting {
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltBuckets: Int,
       partialAggs: Seq[Column], mergeAggs: Seq[Column]): DataFrame = {
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column; rename it before salting")
     val salted = df.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
     val phase1 = salted
@@ -43,6 +45,8 @@ object Salting {
     // 0 buckets would make the replication sequence EMPTY and silently drop
     // every row from the join — fail loudly instead
     require(saltBuckets >= 1, s"saltBuckets must be >= 1, got $saltBuckets")
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "an input already has a __salt column; rename it before salting")
     val saltedBig = big.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets))
         .cast("int"))

@@ -173,6 +173,8 @@ object Similarity {
     * Pure map-side — 4× smaller candidate scans for ANN at any corpus size.
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    require(!df.columns.contains("q_scale") && !df.columns.contains("q_vec"),
+      "input already has a q_scale/q_vec column; rename it before quantizing")
     val maxAbs = aggregate(col(vecCol), lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     df.withColumn("q_scale", when(maxAbs === 0.0, 0.0).otherwise(lit(127.0) / maxAbs))
@@ -189,8 +191,18 @@ object Similarity {
     */
   def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], quantScale: Long = 1000000L): DataFrame = {
-    val xq = transform(col(vecCol),
-      x => floor(x.cast("double") * quantScale + 0.5).cast("long"))
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    // a ragged or null-element vector would silently skew n vs the
+    // per-dimension sums (count(posexplode) != rows, sum skips nulls) —
+    // fail the job loudly instead; assert_true rides inside the projected
+    // expression so Catalyst can't prune it away
+    val wellFormed = size(col(vecCol)) === lit(dim) &&
+      !exists(col(vecCol), x => x.isNull)
+    val xq = when(assert_true(wellFormed,
+        concat(lit(s"kmeansStep: vector size != centroid dim $dim or null " +
+          "element in "), col(vecCol).cast("string"))).isNull,
+      transform(col(vecCol),
+        x => floor(x.cast("double") * quantScale + 0.5).cast("long")))
     // posexplode → scalar two-phase agg: map-side partials shrink the
     // shuffle to clusters × dims rows, and no aggregation buffer ever holds
     // more than one running sum (a collect_list of member vectors would hold

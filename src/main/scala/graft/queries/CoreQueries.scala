@@ -295,7 +295,11 @@ object CoreQueries {
   val qApproxQuantile = GraftQuery.rowsOnly("q_approx_quantile") { (s, d) =>
     Tables.events(s, d).groupBy("event_type")
       .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("p50_p95_p99"))
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"))
+      .select(col("event_type"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p95"),
+        element_at(col("ps"), 3).as("p99"))
   }
 
   val all: Seq[GraftQuery] = Seq(

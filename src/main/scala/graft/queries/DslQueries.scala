@@ -276,22 +276,21 @@ object DslQueries {
   }
 
   /** `KStream.deduplicate` batch path: first event per user in event-time
-    * order. Oracle-stable because the events table has no (user_id, ts)
-    * ties at microsecond precision (verified at sf0.01/0.1), so the
-    * source-order tie-break never has to fire.
+    * order, ties broken by event_id on BOTH sides so the check is
+    * deterministic at any scale factor (not just the tie-free sf0.01/0.1).
     */
   val qDslDedup = q(
     "q_dsl_dedup",
     "SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM (" +
       "SELECT user_id, event_id, ts, " +
-      "row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn FROM events) " +
-      "WHERE rn = 1") { (s, d) =>
+      "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+      "FROM events) WHERE rn = 1") { (s, d) =>
     import s.implicits._
     new KStream(Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("ts"))
         .as[(Long, Long, Timestamp)]
         .map { case (u, e, t) => KV(u, e, t) })
-      .deduplicate(withinMs = 3600000L)
+      .deduplicate(withinMs = 3600000L, tieBreak = Seq(col("value")))
       .toDF
       .select(col("key").as("user_id"), col("value").as("event_id"),
         unix_millis(col("ts")).as("ts_ms"))

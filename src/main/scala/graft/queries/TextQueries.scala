@@ -581,10 +581,14 @@ object TextQueries {
     * the oracle mirrors exactly.
     */
   def redact(df: org.apache.spark.sql.DataFrame, textCol: String,
-      pattern: String, token: String = "<PII>"): org.apache.spark.sql.DataFrame =
+      pattern: String, token: String = "<PII>"): org.apache.spark.sql.DataFrame = {
+    require(!df.columns.contains("n_redacted") &&
+        !df.columns.contains(s"${textCol}_redacted"),
+      "input already has an n_redacted/_redacted column; rename it first")
     df.withColumn("n_redacted",
         size(regexp_extract_all(col(textCol), lit(pattern), lit(0))))
       .withColumn(s"${textCol}_redacted", regexp_replace(col(textCol), pattern, token))
+  }
 
   /** Redaction over the events payload: digit runs → `<NUM>`; the redacted
     * text is pinned through md5 (identical hex on both engines).

@@ -127,4 +127,36 @@ class StreamingSpec extends SparkSpec {
     val b = batch.toDF.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(b === Map("k" -> "early", "j" -> "tie1"))
   }
+
+  test("deduplicate keep policy diverges by mode on out-of-order arrival (documented)") {
+    // the same two records, later-ts arriving FIRST: streaming keeps the
+    // first-ARRIVED (ts=900), batch keeps the earliest EVENT-TIME (ts=100).
+    // This pins the scaladoc'd divergence so a refactor can't silently flip it.
+    val in = MemoryStream[(String, String, Long)]
+    val deduped = new KStream(in.toDS()
+      .map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+      .deduplicate(withinMs = 10000L)
+    val q = start(deduped.toDF, "t_dedup_ooo", mode = "append")
+    in.addData(("k", "later-ts-arrives-first", 900L)); q.processAllAvailable()
+    in.addData(("k", "earlier-ts-arrives-second", 100L)); q.processAllAvailable()
+    val streamKept = spark.table("t_dedup_ooo").as[KV[String, String]].collect()
+    assert(streamKept.map(_.value).toSeq === Seq("later-ts-arrives-first"))
+
+    val batchKept = new KStream(Seq(
+      KV("k", "later-ts-arrives-first", new java.sql.Timestamp(900L)),
+      KV("k", "earlier-ts-arrives-second", new java.sql.Timestamp(100L))).toDS())
+      .deduplicate(withinMs = 10000L)
+      .toDF.collect().map(_.getString(1))
+    assert(batchKept.toSeq === Seq("earlier-ts-arrives-second"))
+
+    // explicit tieBreak column makes equal-ts batch survivors deterministic
+    // regardless of source order
+    val tb = new KStream(Seq(
+      KV("j", "zz", new java.sql.Timestamp(100L)),
+      KV("j", "aa", new java.sql.Timestamp(100L))).toDS())
+      .deduplicate(withinMs = 10000L,
+        tieBreak = Seq(org.apache.spark.sql.functions.col("value")))
+      .toDF.collect().map(_.getString(1))
+    assert(tb.toSeq === Seq("aa"))
+  }
 }

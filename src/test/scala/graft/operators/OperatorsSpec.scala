@@ -382,6 +382,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("internal output columns never silently clobber caller data") {
+    import graft.operators.Salting
+    val withSalt = Seq((1L, "x")).toDF("k", "__salt")
+    val plain = Seq((1L, "y")).toDF("dk", "name")
+    intercept[IllegalArgumentException] { // big side carries __salt
+      Salting.saltedJoin(withSalt, "k", plain, "dk", 2)
+    }
+    intercept[IllegalArgumentException] { // small side carries __salt
+      Salting.saltedJoin(plain.toDF("k", "name"), "k", withSalt.toDF("dk", "__salt"), "dk", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Salting.saltedAggregate(withSalt, Seq("k"), 2,
+        Seq(count(lit(1)).as("c")), Seq(sum(col("c")).as("c")))
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.quantizeInt8(
+        Seq((1L, Array(1.0f), 2.0)).toDF("id", "v", "q_scale"), "v")
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.TextQueries.redact(
+        Seq((1L, "t", 0)).toDF("id", "t", "n_redacted"), "t", "[0-9]+")
+    }
+  }
+
+  test("kmeans step fails loudly on ragged or null-element vectors") {
+    val cents = Seq(0 -> Array(1.0f, 0.0f))
+    val ragged = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f))) // dim 2 vs 1
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Similarity.kmeansStep(ragged, "vec_id", "embedding", cents).collect()
+    }
+    assert(e1.getMessage.contains("kmeansStep") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("kmeansStep"))
+    val withNull = Seq((1L, Array[java.lang.Float](1.0f, null)))
+      .toDF("vec_id", "embedding")
+    intercept[Exception] {
+      Similarity.kmeansStep(withNull, "vec_id", "embedding", cents).collect()
+    }
+  }
+
   test("redaction replaces every match and counts them per row") {
     import graft.queries.TextQueries
     val rows = Seq(
