@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side contract is real — schema, partitioning, batch shape,
-  * deterministic outputs — while the actual media decode is STUBBED (`???`
-  * path / deterministic fake): this container has no image/audio libraries.
-  * On a real cluster, swap [[MediaDecoder.decode]] for a JNI/FFI decoder; the
-  * pipeline shape (mapPartitions over binary batches, decoder instantiated
-  * once per partition, never per row) is the part that matters at 100 TB.
+  * deterministic outputs. Image decode is REAL for the formats the JDK
+  * ships codecs for ([[ImageIoDecoder]]: PNG/BMP/GIF/JPEG via
+  * `javax.imageio`, no external libraries); other media (audio/video
+  * containers) fall back to the deterministic [[StubDecoder]] — swap in a
+  * JNI/FFI codec on a real cluster. The pipeline shape (mapPartitions over
+  * binary batches, decoder + digest instantiated once per partition, never
+  * per row) is the part that matters at 100 TB.
   */
 object Multimodal {
 
@@ -31,8 +33,8 @@ object Multimodal {
   }
 
   /** STUB decoder — deterministic fake: dimensions and a 16-bin byte
-    * histogram derived from the payload bytes. Replace with a real codec
-    * (e.g. via JNI) outside this container.
+    * histogram derived from the payload bytes. The fallback for media the
+    * JVM has no codec for (audio/video); replace via JNI on a real cluster.
     */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
@@ -42,6 +44,51 @@ object Multimodal {
       while (i < n) { hist((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
       if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
       ((n % 1920) + 1, (n % 1080) + 1, hist)
+    }
+  }
+
+  /** REAL image decoder on the JDK's built-in codecs (PNG, BMP, GIF, JPEG —
+    * `javax.imageio`, zero external dependencies): true width/height and a
+    * 16-bin luminance histogram (ITU-R BT.601: 0.299 R + 0.587 G +
+    * 0.114 B, normalized to sum 1). Payloads no JDK reader accepts fall
+    * back to [[StubDecoder]] so a mixed-media column never kills the job —
+    * stub rows are recognizable by their size-derived dimensions.
+    *
+    * In-memory only: `ImageIO`'s default disk cache is disabled via a
+    * per-stream `MemoryCacheImageInputStream`, so executors never write
+    * scratch files for a 100 TB scan.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val img =
+        try javax.imageio.ImageIO.read(stream) // closes the stream on success
+        catch { case _: java.io.IOException => null }
+        finally { // only the failure path still holds an open stream
+          try stream.close() catch { case _: java.io.IOException => () }
+        }
+      if (img == null) StubDecoder.decode(payload)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Double](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            hist(math.min(15, (lum / 16.0).toInt)) += 1.0
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
+        (w, h, hist)
+      }
     }
   }
 
@@ -62,13 +109,15 @@ object Multimodal {
       decoder: MediaDecoder = StubDecoder)(
       implicit e: Encoder[MediaFeatures]): Dataset[MediaFeatures] =
     media.mapPartitions { rows =>
-      // per-partition decoder setup happens here (native context, model, …)
+      // per-partition setup: decoder (native context, model, …) AND the
+      // digest — `digest()` resets the instance, so one per partition, not
+      // one per row
       val dec = decoder
+      val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
         val (w, h, hist) = dec.decode(r.payload)
         MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
-          java.security.MessageDigest.getInstance("MD5")
-            .digest(r.payload).map("%02x".format(_)).mkString,
+          md5.digest(r.payload).map("%02x".format(_)).mkString,
           w, h, hist)
       }
     }

@@ -425,10 +425,11 @@ object TextQueries {
         sum(when(col("__hit").isNotNull, 1).otherwise(0)).as("contaminated"))
   }
 
-  /** Multimodal plumbing: opaque binary column + typed metadata. The decode
-    * step is a deterministic stub (no image/audio libs in this container) —
-    * the Spark-side schema/partitioning is the real deliverable; see
-    * [[graft.operators.Multimodal]].
+  /** Multimodal plumbing: opaque binary column + typed metadata. Image
+    * decode is real (JDK `javax.imageio` — see
+    * [[graft.operators.Multimodal.ImageIoDecoder]]); audio/video fall back
+    * to the deterministic stub. This query oracle-checks the metadata leg
+    * (byte length + content hash) the decoders ride on.
     */
   val qMultimodalMeta = q(
     "q_multimodal_meta",

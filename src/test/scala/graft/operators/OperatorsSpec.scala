@@ -322,6 +322,40 @@ class OperatorsSpec extends SparkSpec {
       again.sortBy(_.id).map(_.payload.toSeq))
   }
 
+  test("multimodal: ImageIoDecoder decodes a real PNG (true dims + luminance histogram)") {
+    // 8x4 PNG, left half black, right half white — generated with the same
+    // JDK codecs the decoder reads with, so the round-trip is self-contained
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", png(8, 4)),
+      Multimodal.MediaRow(2L, "image/png", png(16, 2)),
+      Multimodal.MediaRow(3L, "application/octet-stream",
+        Array[Byte](1, 2, 3, 4, 5))) // not an image -> stub fallback
+    val feats = Multimodal
+      .extractFeatures(rows.toDS(), Multimodal.ImageIoDecoder)
+      .collect().map(f => f.id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) === ((8, 4)))
+    assert((feats(2L).width, feats(2L).height) === ((16, 2)))
+    // half the pixels pure black (lum 0 -> bin 0), half pure white (lum 255
+    // -> bin 15); nothing in between
+    for (id <- Seq(1L, 2L)) {
+      val hist = feats(id).histogram
+      assert(math.abs(hist(0) - 0.5) < 1e-9 && math.abs(hist(15) - 0.5) < 1e-9)
+      assert(hist.slice(1, 15).forall(_ == 0.0))
+    }
+    // fallback row got the stub's size-derived shape, job did not fail
+    assert((feats(3L).width, feats(3L).height) === ((6, 6)))
+    assert(feats(3L).contentHash.length === 32)
+  }
+
   test("int8 quantization: values bounded, extremes hit ±127, zero vector safe") {
     val vecs = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f, 1.0f)), // max|x|=1 -> scale 127
