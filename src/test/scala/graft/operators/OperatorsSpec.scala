@@ -265,13 +265,26 @@ class OperatorsSpec extends SparkSpec {
     assert(kept === Array(1L, 9L)) // cluster {1,2,3} -> min id 1; 9 untouched
   }
 
+  test("connectedComponents converges on a chain far longer than its round cap") {
+    import graft.operators.Dedup
+    // 400-node chain: plain min-label propagation would need 399 rounds;
+    // large-star/small-star contracts it within the default maxIter=30
+    val n = 400L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("ida", "idb")
+    val nodes = (1L to n).toDF("doc_id")
+    val reps = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(reps.length === n)
+    assert(reps.forall(_._2 == 1L)) // whole chain collapses to min id 1
+  }
+
   test("connectedComponents throws rather than returning a wrong clustering") {
     import graft.operators.Dedup
-    // a 6-chain has diameter 5; maxIter 2 cannot converge
-    val pairs = (1L until 6L).map(i => (i, i + 1)).toDF("ida", "idb")
-    val nodes = (1L to 6L).toDF("doc_id")
+    // one double-round cannot finish a 200-chain; must throw, not mislabel
+    val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
+    val nodes = (1L to 200L).toDF("doc_id")
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 2).collect()
+      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 1).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }

@@ -68,4 +68,36 @@ class PairScanPropertySpec extends SparkSpec {
         s"trial $trial maxDf=$maxDf rows=$rows")
     }
   }
+
+  test("connectedComponents matches driver-side union-find on 20 random graphs") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 20) {
+      val nNodes = 2 + rnd.nextInt(40)
+      val nEdges = rnd.nextInt(50)
+      val nodes = (0L until nNodes).toSeq
+      val edges = Seq.fill(nEdges)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // brute force: path-compressed union-find, then min id per root
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val minOfRoot = nodes.groupBy(find).map { case (r, ms) => r -> ms.min }
+      val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
+      val got =
+        if (edges.isEmpty) Dedup.connectedComponents(
+          Seq.empty[(Long, Long)].toDF("ida", "idb"), nodes.toDF("doc_id"), "doc_id")
+        else Dedup.connectedComponents(
+          edges.toDF("ida", "idb"), nodes.toDF("doc_id"), "doc_id")
+      val gotMap = got.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(gotMap === want, s"trial $trial nodes=$nNodes edges=$edges")
+    }
+  }
 }
