@@ -247,15 +247,20 @@ object TextQueries {
     * (source, shingle) — the blocking key — instead of exploding on shingle
     * alone and filtering afterwards. The df-cap window partitions by that
     * same key, so the guard rides the shuffle the join already pays.
+    *
+    * Shingles are hashed AND deduped inside the document row
+    * (`array_distinct` before `explode`): intra-doc repeats — the only
+    * duplicates the downstream scan would otherwise strip — never become
+    * rows, so they never ride the Exchange. `source` comes straight off the
+    * documents scan, so the prep stage is pure map-side: scan → explode →
+    * one shuffle, no join.
     */
   def ngramJaccardPairs(s: SparkSession, d: String, maxDf: Int): DataFrame =
     ngramJaccardPairsOf(
-      // no pre-distinct: the pair stage's sorted-run scan dedupes adjacent
-      // (doc, shingle) repeats inside its one shuffle (Lsh.scanRuns sorts
-      // runs by (source, s, doc_id)), so exploded rows shuffle once
-      shinglesDf(s, d).select(col("doc_id"), hash32(col("s")).as("s"))
-        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
-        .select("doc_id", "source", "s"),
+      Tables.documentsBalanced(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(
+            transform(ngramsCol(col("text"), 3), g => hash32(g)))).as("s")),
       maxDf)
 
   /** Pair stage over prepared (doc_id, source, s) shingle rows (duplicate
