@@ -26,6 +26,8 @@ final class StoreRegistry(spark: SparkSession) {
   private val stores = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.types.StructType,
              java.util.concurrent.ConcurrentHashMap[Any, org.apache.spark.sql.Row])]()
+  // storeName -> checkpoint dir of a checkpointed (driver-memory-free) store
+  private var checkpoints: Map[String, String] = Map.empty
 
   /** Materialize a KTable as a named queryable store. `outputMode` must suit
     * the changelog's stateful chain: "update" for plain latest-per-key
@@ -63,6 +65,48 @@ final class StoreRegistry(spark: SparkSession) {
     q
   }
 
+  /** Materialize a table-backed store with NO driver-side map: the table's
+    * own stateful operator already keeps exactly one (value, ts) state row
+    * per live key inside Spark's state store, so checkpointing that query
+    * IS the store — executor-partitioned, spillable, O(live keys) on the
+    * CLUSTER instead of the driver. Reads go through the batch
+    * `statestore` source over the checkpoint (the
+    * `CompositeReadOnlyKeyValueStore.cs` analog's second leg, SURVEY §3.3),
+    * which scans only the store files — so a store far larger than driver
+    * memory stays queryable; `all`/`get`/`range` on this registry route
+    * there automatically. The view lags by at most one committed trigger.
+    *
+    * Trade against [[materialize]]: `get` is a (small) Spark job over the
+    * store files rather than an O(1) map probe — use the driver-map mode
+    * for low-latency point lookups on bounded-cardinality stores, this mode
+    * when key cardinality is unbounded.
+    */
+  def materializeCheckpointed[K, V](table: KTable[K, V], storeName: String,
+      checkpointLocation: String, outputMode: String = "update"): StreamingQuery = {
+    val df = table.changelog.toDF("key", "value", "ts")
+    require(df.isStreaming, "checkpointed stores require a streaming table")
+    val q = df.writeStream.format("noop")
+      .option("checkpointLocation", checkpointLocation)
+      .outputMode(outputMode).start()
+    checkpoints += storeName -> checkpointLocation
+    queries += storeName -> q
+    q
+  }
+
+  /** Latest (key, value, ts) view straight off a checkpointed store's state
+    * files — no driver map, no reprocessing of the changelog. The state row
+    * layout is the materializing operator's state encoder; for table
+    * stores (latest-per-key fMGWS) that is `KV(key, value, ts)`.
+    */
+  private def checkpointView(storeName: String): DataFrame = {
+    val raw = spark.read.format("statestore")
+      .option("path", checkpoints(storeName)).load()
+    // fMGWS state rows come back as value.groupState.<state fields>
+    raw.select(col("value.groupState.key").as("key"),
+      col("value.groupState.value").as("value"),
+      col("value.groupState.ts").as("ts"))
+  }
+
   /** Latest-per-key view of a store (the `IReadOnlyKeyValueStore.All()`
     * analog). Streaming stores read the compacted map; batch snapshots fold
     * their changelog view.
@@ -73,6 +117,8 @@ final class StoreRegistry(spark: SparkSession) {
       val (schema, m) = state
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m.values())
       spark.createDataFrame(rows, schema)
+    } else if (checkpoints.contains(storeName)) {
+      checkpointView(storeName)
     } else {
       import org.apache.spark.sql.expressions.Window
       spark.table(storeName)

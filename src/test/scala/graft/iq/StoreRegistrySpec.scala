@@ -117,6 +117,37 @@ class StoreRegistrySpec extends SparkSpec {
     registry.stop()
   }
 
+  test("checkpointed store: statestore reader serves all/get with no driver map") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) }).toTable
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_ckpt").toString
+    val q = registry.materializeCheckpointed(table, "big_store", ckpt)
+
+    in.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+    in.addData(("a", 10L), ("c", 3L)); q.processAllAvailable() // a updates in place
+
+    // no driver-side map exists for this store at all
+    assert(registry.storeSize("big_store") === None)
+
+    // latest view comes straight off the checkpoint's state files
+    val all = registry.all("big_store").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("value")).toMap
+    assert(all === Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
+    assert(registry.get("big_store", "a") === Some(10L))
+    assert(registry.get("big_store", "missing") === None)
+    val rng = registry.range("big_store", "a", "b").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("value"))
+    assert(rng.toSeq === Seq("a" -> 10L, "b" -> 2L))
+
+    // survives the materializing query stopping: the checkpoint is durable
+    registry.stop()
+    val after = registry.all("big_store").collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("value")).toMap
+    assert(after === Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
+  }
+
   test("error handling: permissive parse splits good and corrupt records") {
     import graft.runtime.ErrorHandling
     import org.apache.spark.sql.types._
