@@ -1,0 +1,78 @@
+package graft.dsl
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Avro value serde on the CORE Avro library (`org.apache.avro`, which ships
+  * with Spark itself) — the reference's `SchemaAvroSerDes<T>` body
+  * (`serdes/Streamiz.Kafka.Net.SchemaRegistry.SerDes.Avro/
+  * SchemaAvroSerDes.cs:15`) without the spark-avro module.
+  *
+  * [[Serdes.avroDe]]/[[Serdes.avroSer]] (the spark-avro `from_avro`/
+  * `to_avro` expressions) stay the preferred cluster path — codegen'd,
+  * no JSON hop. This core path produces and consumes the SAME binary Avro
+  * bytes through the library's JSON encoding as a bridge into Catalyst
+  * (`binary → Avro JSON → from_json(struct)` and back), so the full
+  * wire-format round-trip — including the schema-registry frame
+  * ([[Serdes.srFrame]]/[[Serdes.srStrip]]) — is executable and tested
+  * anywhere Spark runs, connector jar or not.
+  *
+  * Schemas and datum readers/writers are cached per executor (keyed by the
+  * schema JSON); the per-row cost is one decode + one JSON render. Use on
+  * the serde BOUNDARY only — once decoded, stay in Catalyst structs.
+  */
+object AvroCore extends Serializable {
+
+  // per-JVM (executor) cache: Schema parsing is expensive and thread-safe
+  @transient private lazy val schemas =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private def schemaOf(json: String): Schema =
+    schemas.computeIfAbsent(json, j => new Schema.Parser().parse(j))
+
+  /** Binary Avro body → the record as Avro-JSON text (null passes through). */
+  def decodeToJson(payload: Array[Byte], schemaJson: String): String = {
+    if (payload == null) return null
+    val schema = schemaOf(schemaJson)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val rec = reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().jsonEncoder(schema, out)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toString("UTF-8")
+  }
+
+  /** Avro-JSON text → binary Avro body (null passes through). */
+  def encodeFromJson(json: String, schemaJson: String): Array[Byte] = {
+    if (json == null) return null
+    val schema = schemaOf(schemaJson)
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val rec = reader.read(null, DecoderFactory.get().jsonDecoder(schema, json))
+    val out = new ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Decode a binary Avro column to a typed struct column.
+    * `sparkSchema` mirrors the Avro record's fields (names must match;
+    * Avro-JSON field encodings of primitives parse as their Spark types).
+    */
+  def avroDe(c: Column, avroSchemaJson: String, sparkSchema: StructType): Column = {
+    val de = udf((b: Array[Byte]) => decodeToJson(b, avroSchemaJson))
+    from_json(de(c), sparkSchema)
+  }
+
+  /** Encode a struct column to a binary Avro column against the schema. */
+  def avroSer(c: Column, avroSchemaJson: String): Column = {
+    val ser = udf((j: String) => encodeFromJson(j, avroSchemaJson))
+    ser(to_json(c))
+  }
+}

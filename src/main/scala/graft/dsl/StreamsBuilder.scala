@@ -111,8 +111,11 @@ object Serdes {
     * Avro schema. Evaluation needs the spark-avro module on the cluster
     * classpath — a deploy-time dependency like the Kafka connector (absent in
     * this container), so these columns are construct-checked here and
-    * evaluate on a cluster. Schema-registry wire format (magic byte + schema
-    * id) is a sink/source option there.
+    * evaluate on a cluster. [[AvroCore]] implements the same wire bytes on
+    * the core Avro library (which Spark itself ships), so the full round
+    * trip — including the SR frame — IS executed and tested in-container.
+    * Schema-registry wire format (magic byte + schema id) is a sink/source
+    * option there.
     */
   def avroDe(c: Column, jsonFormatSchema: String): Column =
     org.apache.spark.sql.avro.functions.from_avro(c, jsonFormatSchema)

@@ -104,4 +104,49 @@ class SerdesSpec extends SparkSpec {
     val de = Serdes.avroDe(col("raw"), avroSchema)
     assert(ser.toString.contains("to_avro") && de.toString.contains("from_avro"))
   }
+
+  test("avro core serde: SR-framed binary Avro round-trips through typed columns") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    val avroSchema =
+      """{"type":"record","name":"evt","fields":[
+        |{"name":"id","type":"long"},{"name":"name","type":"string"}]}""".stripMargin
+    val schema = new Schema.Parser().parse(avroSchema)
+    val sparkSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+
+    // producer side, simulated with the avro LIBRARY (not our code): binary
+    // records framed with the Confluent wire header for schema id 7
+    def produce(id: Long, name: String): Array[Byte] = {
+      val rec = new GenericData.Record(schema)
+      rec.put("id", id); rec.put("name", name)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+    val framed = Seq(produce(1L, "alpha"), produce(2L, "beta"))
+      .toDF("body")
+      .select(Serdes.srFrame(col("body"), schemaId = 7).as("raw"))
+
+    // consumer side: strip the frame, decode, read typed fields
+    val decoded = framed.select(
+      Serdes.srSchemaId(col("raw")).as("sid"),
+      AvroCore.avroDe(Serdes.srStrip(col("raw")), avroSchema, sparkSchema).as("r"))
+    val rows = decoded.select(col("sid"), col("r.id"), col("r.name"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).sortBy(_._2)
+    assert(rows.toSeq === Seq((7, 1L, "alpha"), (7, 2L, "beta")))
+
+    // reverse leg: our encoder's bytes decode with the plain avro library
+    val reencoded = Seq((3L, "gamma")).toDF("id", "name")
+      .select(AvroCore.avroSer(struct(col("id"), col("name")), avroSchema).as("bin"))
+      .collect().head.getAs[Array[Byte]]("bin")
+    val back = new GenericDatumReader[GenericRecord](schema)
+      .read(null, DecoderFactory.get().binaryDecoder(reencoded, null))
+    assert(back.get("id") === 3L && back.get("name").toString === "gamma")
+  }
 }
