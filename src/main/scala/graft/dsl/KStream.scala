@@ -364,6 +364,28 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
   /** `Print` debug sink (`IKStream.cs:247`). */
   def print(numRows: Int = 20): Unit = ds.show(numRows, truncate = false)
 
+  /** `Print(Printed)` (`IKStream.cs:247`, `KStreamPrint.cs:21`): writes one
+    * `[label]: <mapper(key, value)>` line per record to the configured
+    * writer — the reference's exact line format. Collects to the DRIVER's
+    * writer: this is a debug sink for small/test streams, not a data path.
+    */
+  def print(printed: Printed[K, V]): Unit = {
+    require(printed != null, "print action must not be null")
+    val label = Option(printed.label).getOrElse("KSTREAM-PRINT")
+    def emit(rows: Array[KV[K, V]]): Unit = rows.foreach { kv =>
+      printed.writer.write(s"[$label]: ${printed.mapper(kv.key, kv.value)}\n")
+    }
+    if (ds.isStreaming) {
+      // drain what is currently available through a driver-side batch hook
+      // (the writer lives on the driver; foreachBatch bodies run there)
+      val q = ds.writeStream.outputMode("append")
+        .foreachBatch((batch: Dataset[KV[K, V]], _: Long) => emit(batch.collect()))
+        .start()
+      q.processAllAvailable(); q.stop()
+    } else emit(ds.collect())
+    printed.writer.flush()
+  }
+
   def toDF: DataFrame = ds.toDF("key", "value", "ts")
 }
 
@@ -371,6 +393,26 @@ object KStream {
   // accessed from executor closures: object access is a per-JVM static
   // load, so the logger is never serialized with the task
   private[dsl] lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[KStream[_, _]])
+}
+
+/** `Printed<K, V>` (`core/Stream/Printed.cs:9-50`): writer + optional label
+  * + key-value formatter for [[KStream.print]]. Default mapper renders
+  * `"$key $value"`, matching the reference's `WrappedKeyValueMapper`.
+  */
+final case class Printed[K, V](
+    writer: java.io.Writer,
+    label: String = null,
+    mapper: (K, V) => String = (k: K, v: V) => s"$k $v") {
+  def withLabel(l: String): Printed[K, V] = copy(label = l)
+  def withKeyValueMapper(m: (K, V) => String): Printed[K, V] = copy(mapper = m)
+}
+
+object Printed {
+  /** `Printed.ToWriter(writer)`. */
+  def toWriter[K, V](w: java.io.Writer): Printed[K, V] = Printed(w)
+  /** `Printed.ToOut()`. */
+  def toOut[K, V]: Printed[K, V] =
+    Printed(new java.io.PrintWriter(new java.io.OutputStreamWriter(System.out)))
 }
 
 /** Fully-replicated dimension table (`IGlobalKTable`, `core/Table/

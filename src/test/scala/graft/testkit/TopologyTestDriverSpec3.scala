@@ -40,12 +40,30 @@ object Observed {
   *  - KTableGroupByTests (`KTableGroupByTests.cs:25-47`)
   *  - KGlobalTableTests (`KGlobalTableTests.cs:13-58`)
   *
-  * `KStreamPrintTests` asserts console-writer plumbing (no analog — `print`
-  * is `Dataset.show`); null-argument scenarios assert Kafka-client argument
-  * checks resolved at compile time here.
+  *  - KStreamPrintTests (`KStreamPrintTests.cs:13-50`) — writer plumbing
+  *    via [[graft.dsl.Printed]]
+  *
+  * Null-argument scenarios assert Kafka-client argument checks resolved at
+  * compile time here.
   */
 class TopologyTestDriverSpec3 extends SparkSpec {
   import spark.implicits._
+
+  test("KStreamPrintTests: PrintElementWithWriter emits [label]: key value lines") {
+    val driver = new TopologyTestDriver(spark)
+    try {
+      val in = driver.createInputTopic[String, String]()
+      val writer = new java.io.StringWriter()
+      in.pipeInputs((0 until 5).map(i => i.toString -> s"V$i"))
+      in.stream.print(graft.dsl.Printed.toWriter[String, String](writer)
+        .withLabel("string"))
+      val expected = (0 until 5).map(i => s"[string]: $i V$i\n").mkString
+      assert(writer.toString === expected)
+
+      // ShouldNotAllowNullAction: a null Printed must throw, not NPE later
+      intercept[IllegalArgumentException] { in.stream.print(null) }
+    } finally driver.close()
+  }
 
   test("KStreamMapTests: map to another value type and to another key type") {
     val driver = new TopologyTestDriver(spark)
