@@ -38,4 +38,41 @@ object Decontaminate {
       idCol: String, textCol: String, n: Int = 5): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
+
+  /** Bloom-filter variant of [[contaminatedIds]] for benchmark sides too
+    * large to broadcast as an exact gram set (decontaminating against a
+    * whole held-out SPLIT rather than a small eval set): the benchmark's
+    * grams aggregate into an `expectedGrams`-sized Bloom filter (Spark's
+    * `DataFrameStatFunctions.bloomFilter` — built distributed, merged on the
+    * driver, broadcast at O(bits): ~1.2 GiB for 10⁹ grams at 0.1% fpp vs
+    * tens of GiB of strings), and the corpus is flagged map-side — still no
+    * corpus shuffle.
+    *
+    * Guarantee direction: NO false negatives — every truly contaminated doc
+    * is flagged. False positives over-drop clean docs at ≤ `fpp` per gram —
+    * the conservative failure mode for decontamination. Use the exact
+    * [[contaminatedIds]] when the gram set broadcasts comfortably.
+    */
+  def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+    val bf = ngramSet(benchmark, textCol, n).stat
+      .bloomFilter("g", expectedGrams, fpp)
+    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfBc.value.mightContainString(g))
+    corpus
+      .select(col(idCol), explode(TextQueries.ngramsCol(col(textCol), n)).as("g"))
+      .filter(mightContain(col("g")))
+      .select(idCol).distinct()
+  }
+
+  /** [[clean]] on the Bloom path: may over-drop at ≤ `fpp` per gram, never
+    * under-drops.
+    */
+  def cleanBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.001): DataFrame =
+    corpus.join(
+      contaminatedIdsBloom(corpus, benchmark, idCol, textCol, n, expectedGrams, fpp),
+      Seq(idCol), "left_anti")
 }

@@ -403,6 +403,23 @@ object TextQueries {
         sum(when(col("dup") * 5 > col("total"), 1).otherwise(0)).as("repetitive_docs"))
   }
 
+  /** [[qDecontaminate]] on the Bloom-filter scale path (rows-only: the flag
+    * set depends on Spark's Bloom hashes, which DuckDB cannot mirror; the
+    * no-false-negative superset property is spec-locked in `OperatorsSpec`).
+    */
+  val qDecontaminateBloom = GraftQuery.rowsOnly("q_decontaminate_bloom") { (s, d) =>
+    val docs = Tables.documentsBalanced(s, d)
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    val hits = graft.operators.Decontaminate
+      .contaminatedIdsBloom(corpus, bench, "doc_id", "text", n = 5)
+      .withColumn("__hit", lit(1))
+    corpus.join(hits, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("__hit").isNotNull, 1).otherwise(0)).as("contaminated"))
+  }
+
   /** Benchmark decontamination via [[graft.operators.Decontaminate]]: the
     * "benchmark" is the deterministic doc_id % 100 == 0 slice standing in
     * for an eval set; corpus docs sharing any 5-gram with it are flagged.
@@ -625,7 +642,7 @@ object TextQueries {
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qMultimodalMeta, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,
     qRedact)
 }

@@ -164,6 +164,19 @@ class OperatorsSpec extends SparkSpec {
     val kept = Decontaminate.clean(corpus, bench, "doc_id", "text")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept === Array(2L, 3L))
+
+    // Bloom path: NEVER misses a contaminated doc (no false negatives), and
+    // at a tight fpp flags exactly the exact path's set here
+    val bloomFlagged = Decontaminate
+      .contaminatedIdsBloom(corpus, bench, "doc_id", "text",
+        expectedGrams = 1000L, fpp = 1e-8)
+      .collect().map(_.getLong(0)).toSet
+    assert(bloomFlagged.contains(1L)) // superset guarantee
+    assert(bloomFlagged === Set(1L))  // tight-fpp equality at this scale
+    val bloomKept = Decontaminate.cleanBloom(corpus, bench, "doc_id", "text",
+        expectedGrams = 1000L, fpp = 1e-8)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(bloomKept === Array(2L, 3L))
   }
 
   test("simhash of near-identical docs differs in few bits") {
