@@ -89,6 +89,41 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin LeftSemi"), p.take(2000))
   }
 
+  test("q_decontaminate_bloom: corpus rows never shuffle (map-side Bloom probe)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
+    // the flagging leg must carry NO join at all — the benchmark side is a
+    // broadcast Bloom filter probed in a Filter, so the only joins in the
+    // whole query are the id-level flag join of the reporting wrapper
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 1, s"expected only the reporting flag join, got ${joins.size}")
+    val p = plan("q_decontaminate_bloom")
+    assert(!p.contains("SortMergeJoin"), "id flag join must broadcast at this size")
+  }
+
+  test("q_ngram_jaccard prep is join-free: scan -> explode -> one reused blocking shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression}
+    val df = SparkEntry.queries("q_ngram_jaccard")(spark, dir)
+    // candidate generation blocks on (source, shingle-hash): every
+    // RepartitionByExpression in the plan is THAT one blocking repartition
+    // (the logical tree duplicates it per agg branch; physical reuse below)
+    val repartKeys = df.queryExecution.optimizedPlan.collect {
+      case r: RepartitionByExpression =>
+        r.partitionExpressions.map(_.sql).mkString(",") }
+    assert(repartKeys.distinct.size === 1 &&
+      repartKeys.head.contains("source"),
+      s"expected one blocking key, got $repartKeys")
+    // the only joins are id-equality size joins AFTER the pair scan — the
+    // prep stage itself (scan -> explode) must not join for `source`
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 2, s"expected the two size joins only, got ${joins.size}")
+    assert(joins.forall(j => j.condition.exists(c =>
+      c.toString.contains("ida") || c.toString.contains("idb"))),
+      "a non-id join crept into the pair path")
+    // (the two branches' identical Exchanges dedupe at AQE runtime into a
+    // ReusedExchange — runtime-only, so not assertable on the static plan)
+  }
+
   test("q_embed_near_dup candidates shuffle on the LSH bucket; no label-keyed join") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
