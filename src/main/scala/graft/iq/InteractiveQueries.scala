@@ -94,17 +94,42 @@ final class StoreRegistry(spark: SparkSession) {
   }
 
   /** Latest (key, value, ts) view straight off a checkpointed store's state
-    * files — no driver map, no reprocessing of the changelog. The state row
-    * layout is the materializing operator's state encoder; for table
-    * stores (latest-per-key fMGWS) that is `KV(key, value, ts)`.
+    * files — no driver map, no reprocessing of the changelog. Two state
+    * layouts are recognized by schema:
+    *
+    *  - table stores (latest-per-key fMGWS): state rows arrive as
+    *    `value.groupState.{key, value, ts}`;
+    *  - windowed-aggregation stores (native streaming agg over
+    *    `window(...)`): key = (window, key), value = (buffer…, max-ts) —
+    *    normalized to the `Windowed[K]`-shaped key struct `fetch`/`fetchAll`
+    *    expect. Retention caveat: this view shows LIVE state, so windows the
+    *    watermark has already evicted are absent (the driver-map mode's fold
+    *    retains them) — query within the retention horizon.
     */
   private def checkpointView(storeName: String): DataFrame = {
     val raw = spark.read.format("statestore")
       .option("path", checkpoints(storeName)).load()
-    // fMGWS state rows come back as value.groupState.<state fields>
-    raw.select(col("value.groupState.key").as("key"),
-      col("value.groupState.value").as("value"),
-      col("value.groupState.ts").as("ts"))
+    val valueType = raw.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    if (valueType.fieldNames.contains("groupState"))
+      raw.select(col("value.groupState.key").as("key"),
+        col("value.groupState.value").as("value"),
+        col("value.groupState.ts").as("ts"))
+    else {
+      val keyType = raw.schema("key").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      require(keyType.fieldNames.contains("window"),
+        s"unsupported state layout for $storeName: key=$keyType value=$valueType")
+      val aggFields = valueType.fields.filterNot(_.name == "max")
+      require(aggFields.length == 1,
+        s"windowed checkpoint view expects one aggregation buffer, got $valueType")
+      raw.select(
+        struct(col("key.key").as("key"),
+          col("key.window.start").as("start"),
+          col("key.window.end").as("end")).as("key"),
+        col(s"value.${aggFields.head.name}").as("value"),
+        col("value.max").as("ts"))
+    }
   }
 
   /** Latest-per-key view of a store (the `IReadOnlyKeyValueStore.All()`

@@ -148,6 +148,29 @@ class StoreRegistrySpec extends SparkSpec {
     assert(after === Map("a" -> 10L, "b" -> 2L, "c" -> 3L))
   }
 
+  test("checkpointed windowed store: fetch/fetchAll read window state off the checkpoint") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) })
+      .groupByKey.windowedBy(graft.dsl.TumblingWindow.of(10000L)).count
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_wckpt").toString
+    val q = registry.materializeCheckpointed(table, "win_store", ckpt)
+    in.addData(("a", 1000L), ("a", 2000L), ("b", 12000L), ("a", 25000L))
+    q.processAllAvailable()
+
+    assert(registry.storeSize("win_store") === None) // no driver map
+    val fetched = registry.fetch("win_store", "a", 0L, 30000L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key")
+        .getAs[java.sql.Timestamp]("start").getTime, r.getAs[Long]("value")))
+    assert(fetched.toSeq === Seq((0L, 2L), (20000L, 1L))) // a's two windows
+    val everything = registry.fetchAll("win_store", 0L, 30000L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key").getAs[String]("key"),
+        r.getAs[Long]("value")))
+    assert(everything.toSeq === Seq(("a", 2L), ("b", 1L), ("a", 1L)))
+    registry.stop()
+  }
+
   test("error handling: permissive parse splits good and corrupt records") {
     import graft.runtime.ErrorHandling
     import org.apache.spark.sql.types._
