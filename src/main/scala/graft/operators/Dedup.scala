@@ -131,7 +131,10 @@ object Dedup {
         greatest(col("ida"), col("idb")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
 
-    // large-star: every neighbor LARGER than u hangs off m = min(Γ(u)∪{u})
+    // large-star: every neighbor LARGER than u hangs off m = min(Γ(u)∪{u}).
+    // NO dedup here: duplicate rows cost nothing downstream (small-star's
+    // groupBy-min is duplicate-insensitive and its terminal distinct absorbs
+    // them), so skipping the distinct saves one shuffle per round
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
@@ -140,7 +143,6 @@ object Dedup {
       sym.join(m, col("u") === col("c"))
         .filter(col("v") > col("u")) // larger neighbors only
         .select(col("m").as("u"), col("v").as("v")) // m <= u < v: canonical
-        .filter(col("u") =!= col("v")).distinct()
     }
 
     // small-star: for each node b, its SMALLER neighbors (and b itself)
@@ -154,15 +156,18 @@ object Dedup {
       nbr.unionByName(self).distinct()
     }
 
-    var converged = edges.isEmpty
+    var nEdges = edges.count()
+    var converged = nEdges == 0
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       // fixpoint = identical edge sets (both sides canonical + distinct):
-      // equal counts plus an empty one-way difference
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      // equal counts (carried, not recomputed) plus an empty one-way
+      // difference — the except join only runs on candidate fixpoints
+      val nNext = next.count()
+      converged = nNext == nEdges && next.exceptAll(edges).isEmpty
       edges = next
+      nEdges = nNext
       i += 1
     }
     require(converged,
