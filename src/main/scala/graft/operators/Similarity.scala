@@ -103,6 +103,39 @@ object Similarity {
       .drop("__nrm", "__best")
   }
 
+  /** IVF query path: probe the `nprobe` cells whose centroids are nearest
+    * the query (driver-side over k centroids — tiny), then exact-cosine
+    * top-k over ONLY those cells' rows. `assigned` is [[ivfAssign]] output
+    * (or a table persisted from it); at scale, write it
+    * `partitionBy("centroid_id")` and the `isin` filter becomes partition
+    * pruning — the query scans nprobe/k of the corpus and shuffles nothing.
+    * Recall is the IVF trade: a true neighbor assigned to an unprobed cell
+    * is missed; raise `nprobe` toward k to converge on [[bruteForceTopK]].
+    */
+  def ivfSearchTopK(assigned: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], queryVec: Array[Float],
+      k: Int, nprobe: Int = 2): DataFrame = {
+    require(centroids.nonEmpty, "ivfSearchTopK needs centroids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    val cells = centroids
+      .map { case (cid, v) => (cid, cosD(queryVec, v)) }
+      .sortBy { case (cid, c) => (-c, cid) } // tie -> lowest id, as ivfAssign
+      .take(nprobe).map(_._1)
+    val qArr = array(queryVec.map(v => lit(v)): _*)
+    assigned.filter(col("centroid_id").isin(cells: _*))
+      .withColumn("cosine", cosine(col(vecCol), qArr))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
   /** Batch multi-query ANN: join a query SET to the corpus on LSH bucket id,
     * then take the top-k candidates per query — the shape that scales to a
     * 100 TB corpus. The corpus computes its bucket map-side and never

@@ -82,6 +82,37 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"), sum(Exact.quant(col("cosine"), 10000)).as("sum_cos_e4"))
   }
 
+  /** IVF query path ([[graft.operators.Similarity.ivfSearchTopK]]): probe
+    * the 2 cells (of 8) nearest the query vector (vec_id 8), exact-cosine
+    * top-10 over only those cells' members — the search half of IVF ANN,
+    * scanning nprobe/k of the corpus. Oracle mirrors assignment, probe
+    * selection, and ranking exactly (integer-quantized cosine).
+    */
+  val qAnnIvfSearch = q(
+    "q_ann_ivf_search", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 8), " +
+        s"probe AS (SELECT cid FROM c, qv ORDER BY ${dotSql("ce", "q")} / (${normSql("ce")} * ${normSql("q")}) DESC, cid LIMIT 2), " +
+        s"assigned AS (SELECT vec_id, embedding, cid FROM (SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id > 8) WHERE rn = 1) " +
+        s"SELECT vec_id, ${Exact.quantSql(dotSql("embedding", "q") + " / (" + normSql("embedding") + " * " + normSql("q") + ")", 10000)} AS cos_e4 " +
+        "FROM assigned JOIN probe USING (cid), qv " +
+        s"ORDER BY ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) DESC, vec_id LIMIT 10"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queryVec = Tables.embeddings(s, d).filter(col("vec_id") === 8)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val assigned = graft.operators.Similarity
+      .ivfAssign(emb.filter(col("vec_id") > 8), "vec_id", "embedding", cents)
+    graft.operators.Similarity
+      .ivfSearchTopK(assigned, "vec_id", "embedding", cents, queryVec,
+        k = 10, nprobe = 2)
+      .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH
     * (4 bands × 4 bits, blocked by label): candidates come from bucket
     * agreement in SOME band, the exact cosine > threshold is the verify
@@ -226,8 +257,8 @@ object VectorQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    qEmbedNorm, qEmbedTopK, qAnnIvf, qEmbedNearDup, qAnnLsh, qAnnMulti,
-    qEmbedQuant, qKmeansStep)
+    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qEmbedNearDup, qAnnLsh,
+    qAnnMulti, qEmbedQuant, qKmeansStep)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

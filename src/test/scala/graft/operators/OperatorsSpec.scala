@@ -398,6 +398,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out.values.flatten.forall(v => v >= -127 && v <= 127))
   }
 
+  test("ivfSearchTopK probes only the nearest cells; full probe equals brute force") {
+    // two orthogonal centroids; corpus split cleanly between their cells
+    val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.8f, 0.2f)), // cell 0
+      (20L, Array(0.1f, 0.9f)), (21L, Array(0.2f, 0.8f))  // cell 1
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val query = Array(1.0f, 0.05f) // firmly in cell 0
+
+    // nprobe=1: only cell 0's members are candidates
+    val one = Similarity.ivfSearchTopK(assigned, "vec_id", "embedding",
+      cents, query, k = 10, nprobe = 1).collect().map(_.getLong(0)).toSet
+    assert(one === Set(10L, 11L))
+
+    // nprobe=2 (all cells) ranks exactly like the brute-force baseline
+    val full = Similarity.ivfSearchTopK(assigned, "vec_id", "embedding",
+      cents, query, k = 2, nprobe = 2).collect().map(_.getLong(0)).toSeq
+    assert(full === Seq(10L, 11L)) // highest cosine to (1, .05) first
+  }
+
   test("kmeans step emits exact per-dimension integer sums and counts") {
     val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
     val pts = Seq( // two obvious members per centroid
