@@ -275,4 +275,91 @@ object Similarity {
     }
     cents
   }
+
+  /** k-means|| seeding (Bahmani et al., "Scalable k-means++", VLDB'12 — a
+    * published algorithm, re-expressed as DataFrame passes): instead of
+    * k-means++'s k strictly sequential corpus scans, run `rounds` scans that
+    * each OVERSAMPLE ~`l` candidates with probability ∝ distance to the
+    * nearest seed so far, then reduce the ~l·rounds candidates to k seeds
+    * driver-side (weighted farthest-point, deterministic). Every distributed
+    * pass is a map-side fold over a broadcast candidate array (the
+    * [[ivfAssign]] shape — no join, no shuffle except one count-per-cell
+    * aggregation), so seeding a 10⁹-row corpus costs `rounds`+1 scans.
+    *
+    * Distance is the cosine complement (1 − cos), matching [[ivfAssign]]'s
+    * assignment geometry. Sampling is HASH-randomized — `xxhash64(id,
+    * round, seed)` — so the result is deterministic for a given `seed`
+    * (reproducible pipelines, property-testable), while remaining unbiased
+    * across ids. Returns exactly `min(k, distinct candidates)` seeds,
+    * ids 0..k-1.
+    */
+  def kmeansSeedParallel(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, l: Int = 0, rounds: Int = 5, seed: Long = 42L): Seq[(Int, Array[Float])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val overs = if (l > 0) l else 2 * k // paper's recommended l ≈ 2k
+    // first seed: the hash-minimal row — an arbitrary-but-deterministic pick
+    val first = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(1)
+      .collect().head.getAs[Seq[Float]](1).toArray
+    var cand = Vector[Array[Float]](first)
+    for (round <- 0 until rounds) {
+      val cents = cand.zipWithIndex.map { case (v, i) => (i, v) }
+      // one map-side pass: distance to nearest candidate + hash coin flip.
+      // cost (Σ d) and the sample ride the same scan via two branches of one
+      // cached assignment — at scale this is the pass the paper prescribes.
+      val assigned = ivfAssign(corpus.select(col(idCol), col(vecCol)),
+          idCol, vecCol, cents)
+        .withColumn("__d", lit(1.0) - col("cosine"))
+        .localCheckpoint()
+      val cost = assigned.agg(sum(col("__d"))).collect().head.getDouble(0)
+      if (cost <= 0) return finishSeeds(cand, corpus, idCol, vecCol, k)
+      val p = col("__d") * overs / cost
+      val coin = pmod(xxhash64(col(idCol), lit(round), lit(seed)), lit(1000000L))
+        .cast("double") / 1000000.0
+      val picked = assigned.filter(coin < p)
+        .select(col(vecCol)).collect().map(_.getAs[Seq[Float]](0).toArray)
+      cand ++= picked
+    }
+    finishSeeds(cand, corpus, idCol, vecCol, k)
+  }
+
+  /** Reduce k-means|| candidates to k seeds: weight each candidate by its
+    * cell population (one distributed count pass), then run deterministic
+    * weighted farthest-point selection over the ≤ l·rounds candidates on
+    * the driver (candidate sets are tiny at any corpus scale).
+    */
+  private def finishSeeds(cand: Seq[Array[Float]], corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): Seq[(Int, Array[Float])] = {
+    val distinctCand = cand.map(_.toSeq).distinct.map(_.toArray)
+    if (distinctCand.length <= k)
+      return distinctCand.zipWithIndex.map { case (v, i) => (i, v) }
+    val cents = distinctCand.zipWithIndex.map { case (v, i) => (i, v) }
+    val weights = ivfAssign(corpus.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents)
+      .groupBy("centroid_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def cosD(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+    }
+    // start from the heaviest candidate; repeatedly add the candidate with
+    // max weight × distance-to-chosen — the deterministic counterpart of
+    // weighted k-means++ sampling
+    var chosen = Vector(cents.maxBy(c => (weights.getOrElse(c._1, 0L), -c._1))._1)
+    while (chosen.length < k) {
+      val next = cents.filterNot(c => chosen.contains(c._1))
+        .maxBy { case (cid, v) =>
+          val d = chosen.map(cc => 1.0 - cosD(v,
+            cents.find(_._1 == cc).get._2)).min
+          (weights.getOrElse(cid, 0L) * d, -cid)
+        }._1
+      chosen :+= next
+    }
+    chosen.zipWithIndex.map { case (cid, i) =>
+      (i, cents.find(_._1 == cid).get._2) }
+  }
 }

@@ -256,9 +256,24 @@ object VectorQueries {
           lit(0L), (a, x) => a + x).as("dot_q"))
   }
 
+  /** k-means|| seeding over the embeddings corpus (rows-only: the hash-
+    * randomized sampling has no DuckDB mirror; determinism and cluster
+    * quality are spec-locked in `OperatorsSpec`). Exercises the distributed
+    * seeding passes end-to-end at bench scale.
+    */
+  val qKmeansSeed = rowsOnly("q_kmeans_seed") { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val seeds = graft.operators.Similarity.kmeansSeedParallel(
+      emb, "vec_id", "embedding", k = 8, rounds = 3, seed = 42L)
+    import s.implicits._
+    seeds.map { case (cid, v) =>
+      (cid, math.floor(math.sqrt(v.map(x => x.toDouble * x).sum) * 10000 + 0.5).toLong)
+    }.toDF("seed_id", "l2_e4")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qEmbedNearDup, qAnnLsh,
-    qAnnMulti, qEmbedQuant, qKmeansStep)
+    qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

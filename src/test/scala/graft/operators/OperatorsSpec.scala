@@ -419,6 +419,33 @@ class OperatorsSpec extends SparkSpec {
     assert(full === Seq(10L, 11L)) // highest cosine to (1, .05) first
   }
 
+  test("kmeansSeedParallel lands one seed per planted cluster, deterministically") {
+    // three well-separated direction clusters in 3-d
+    def jitter(base: Array[Float], eps: Float): Seq[Array[Float]] =
+      Seq(base, base.map(_ + eps), base.map(_ - eps))
+    val pts = (jitter(Array(1f, 0f, 0f), 0.02f) ++
+      jitter(Array(0f, 1f, 0f), 0.02f) ++
+      jitter(Array(0f, 0f, 1f), 0.02f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val seeds = Similarity.kmeansSeedParallel(corpus, "vec_id", "embedding",
+      k = 3, rounds = 3, seed = 7L)
+    assert(seeds.length === 3)
+    // each seed points at a distinct axis => assignment splits 3/3/3
+    val sizes = Similarity.ivfAssign(corpus, "vec_id", "embedding", seeds)
+      .groupBy("centroid_id").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq === Seq(3L, 3L, 3L))
+    // deterministic for a fixed seed
+    val again = Similarity.kmeansSeedParallel(corpus, "vec_id", "embedding",
+      k = 3, rounds = 3, seed = 7L)
+    assert(seeds.map(_._2.toSeq) === again.map(_._2.toSeq))
+    // and it feeds kmeansFit: one Lloyd step keeps the 3-way split
+    val fitted = Similarity.kmeansFit(corpus, "vec_id", "embedding", seeds, 1)
+    val sizes2 = Similarity.ivfAssign(corpus, "vec_id", "embedding", fitted)
+      .groupBy("centroid_id").count().collect().map(_.getLong(1)).sorted
+    assert(sizes2.toSeq === Seq(3L, 3L, 3L))
+  }
+
   test("kmeans step emits exact per-dimension integer sums and counts") {
     val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
     val pts = Seq( // two obvious members per centroid
