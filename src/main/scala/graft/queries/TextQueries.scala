@@ -178,6 +178,31 @@ object TextQueries {
     graft.operators.Dedup.connectedComponents(pairs, docs, "doc_id")
   }
 
+  /** One-call near-dup DEDUPLICATION end to end
+    * ([[graft.operators.Dedup.dedupNear]]): MinHash-LSH pairs → connected
+    * components → keep each component's minimum id. The oracle composes the
+    * same recursive closure as [[qDedupClusters]] and keeps self-rep docs —
+    * so the full pipeline (not just its stages) is hash-checked.
+    */
+  val qDedupNear = q(
+    "q_dedup_near",
+    s"WITH RECURSIVE $minhashCtesSql, " +
+      s"pairs AS (SELECT ida, idb FROM cand " +
+      "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm), " +
+      "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+      "reach(na, nb) AS (SELECT na, nb FROM e " +
+      "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na), " +
+      "reps AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.nb), d.doc_id)) AS rep " +
+      "FROM documents d LEFT JOIN reach r ON r.na = d.doc_id GROUP BY d.doc_id) " +
+      "SELECT doc_id, n_chars FROM documents " +
+      "WHERE doc_id IN (SELECT doc_id FROM reps WHERE rep = doc_id)") { (s, d) =>
+    graft.operators.Dedup
+      .dedupNear(Tables.documentsBalanced(s, d), "doc_id", "text",
+        minAgreeFraction = 0.5)
+      .select("doc_id", "n_chars")
+  }
+
   /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
     * iff the ±1 vote sum over token occurrences is positive. Pure integer
     * arithmetic → oracle-exact.
@@ -640,7 +665,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
-    qMinhashSig, qDedupMinhash, qSimhash,
+    qMinhashSig, qDedupMinhash, qDedupNear, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,
