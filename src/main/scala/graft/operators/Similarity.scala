@@ -298,10 +298,12 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     val overs = if (l > 0) l else 2 * k // paper's recommended l ≈ 2k
     // first seed: the hash-minimal row — an arbitrary-but-deterministic pick
-    val first = corpus
+    val firstRows = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(1)
-      .collect().head.getAs[Seq[Float]](1).toArray
+      .collect()
+    require(firstRows.nonEmpty, "kmeansSeedParallel: corpus is empty")
+    val first = firstRows.head.getAs[Seq[Float]](1).toArray
     var cand = Vector[Array[Float]](first)
     for (round <- 0 until rounds) {
       val cents = cand.zipWithIndex.map { case (v, i) => (i, v) }
