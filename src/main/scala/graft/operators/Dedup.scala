@@ -39,7 +39,7 @@ object Dedup {
     * `key` value, original columns and order preserved.
     */
   private def keepMinBy(df: DataFrame, idCol: String, key: Column): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(key.as("__k"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__row"))
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)

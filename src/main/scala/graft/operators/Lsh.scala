@@ -77,7 +77,7 @@ object Lsh {
     * Equal ids are adjacent after the sort, so dedup is a neighbor check;
     * the first distinct id of a run is its minimum (the star/pair anchor).
     */
-  private final class RunScanner(rows: BufferedIterator[Row], keyLen: Int,
+  private final class RunScanner(rows: scala.collection.BufferedIterator[Row], keyLen: Int,
       threshold: Int, hotStar: Boolean, emitMembers: Boolean)
       extends Iterator[Row] {
     private var pending: Iterator[Row] = Iterator.empty

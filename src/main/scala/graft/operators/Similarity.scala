@@ -21,7 +21,7 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int): DataFrame = {
     val q = lit(null) // placeholder to keep Column API; use literal array:
-    val qArr = array(queryVec.map(v => lit(v)): _*)
+    val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     corpus.withColumn("cosine", cosine(col(vecCol), qArr))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
@@ -48,7 +48,7 @@ object Similarity {
         if (d > 0) 1 << j else 0
       }.sum
     }
-    val qArr = array(queryVec.map(v => lit(v)): _*)
+    val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     corpus.withColumn("__bucket", lshBucket(col(vecCol), nBits))
       .filter(col("__bucket") === qBucket)
       .withColumn("cosine", cosine(col(vecCol), qArr))
@@ -85,7 +85,7 @@ object Similarity {
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
     val centArr = array(centroids.sortBy(_._1).map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.map(lit(_)): _*).as("cvec"))
+      struct(lit(cid).as("cid"), array(v.toIndexedSeq.map(lit(_)): _*).as("cvec"))
     }: _*)
     val best = aggregate(
       centArr,
@@ -128,7 +128,7 @@ object Similarity {
       .map { case (cid, v) => (cid, cosD(queryVec, v)) }
       .sortBy { case (cid, c) => (-c, cid) } // tie -> lowest id, as ivfAssign
       .take(nprobe).map(_._1)
-    val qArr = array(queryVec.map(v => lit(v)): _*)
+    val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     assigned.filter(col("centroid_id").isin(cells: _*))
       .withColumn("cosine", cosine(col(vecCol), qArr))
       .orderBy(col("cosine").desc, col(idCol))

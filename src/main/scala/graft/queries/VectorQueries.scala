@@ -304,7 +304,7 @@ object Vectors {
   def lshBandBucket(v: Column, band: Int, bitsPerBand: Int, dim: Int = Dim): Column = {
     val bits = (0 until bitsPerBand).map { j =>
       val r = hyperplane(band * bitsPerBand + j, dim)
-      val rCol = array(r.map(lit): _*)
+      val rCol = array(r.toIndexedSeq.map(lit): _*)
       val d = aggregate(
         zip_with(v, rCol, (x, y) => x.cast("double") * y),
         lit(0.0), (acc, x) => acc + x)
