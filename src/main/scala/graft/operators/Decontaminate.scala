@@ -75,4 +75,33 @@ object Decontaminate {
     corpus.join(
       contaminatedIdsBloom(corpus, benchmark, idCol, textCol, n, expectedGrams, fpp),
       Seq(idCol), "left_anti")
+
+  /** INGEST-TIME decontamination: stamp a `contaminated` boolean per record
+    * with a pure map-side Bloom probe — no explode, no distinct, no join —
+    * so it runs on an UNBOUNDED STREAM (filter crawl data against eval sets
+    * as it arrives) as well as in batch, with per-record cost O(grams per
+    * doc). The benchmark side is read once (batch) when the filter is
+    * built. Same guarantee direction as [[contaminatedIdsBloom]]: every
+    * truly contaminated record is flagged; clean records misflag at
+    * ≤ `fpp` per gram.
+    */
+  def flagBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int = 5,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
+    require(!corpus.columns.contains("contaminated"),
+      "input already has a contaminated column; rename it first")
+    val bf = ngramSet(benchmark, textCol, n).stat
+      .bloomFilter("g", expectedGrams, fpp)
+    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfBc.value.mightContainString(g))
+    corpus.withColumn("contaminated",
+      exists(TextQueries.ngramsCol(col(textCol), n), g => mightContain(g)))
+  }
+
+  /** [[flagBloom]] keep-side filter — the streaming-safe [[cleanBloom]]. */
+  def cleanBloomStream(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, n: Int = 5,
+      expectedGrams: Long = 1000000L, fpp: Double = 0.001): DataFrame =
+    flagBloom(corpus, benchmark, textCol, n, expectedGrams, fpp)
+      .filter(!col("contaminated")).drop("contaminated")
 }

@@ -177,6 +177,22 @@ class OperatorsSpec extends SparkSpec {
         expectedGrams = 1000L, fpp = 1e-8)
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(bloomKept === Array(2L, 3L))
+
+    // ingest-time flag: pure map-side, so it runs on an unbounded stream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val streamed = Decontaminate.cleanBloomStream(
+      in.toDF().toDF("doc_id", "text"), bench, "text",
+      expectedGrams = 1000L, fpp = 1e-8)
+    assert(streamed.isStreaming)
+    val q = streamed.writeStream.format("memory")
+      .queryName("t_decon_stream").outputMode("append").start()
+    corpus.collect().foreach(r => in.addData((r.getLong(0), r.getString(1))))
+    q.processAllAvailable(); q.stop()
+    val kept2 = spark.table("t_decon_stream")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept2 === Array(2L, 3L))
   }
 
   test("simhash of near-identical docs differs in few bits") {
