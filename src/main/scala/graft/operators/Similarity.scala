@@ -326,6 +326,19 @@ object Similarity {
     finishSeeds(cand, corpus, idCol, vecCol, k)
   }
 
+  /** One-call IVF index build: k-means‖ seed → `iters` Lloyd refinements →
+    * cell assignment. Returns (assigned corpus, trained centroids); persist
+    * the DataFrame `partitionBy("centroid_id")` and serve queries with
+    * [[ivfSearchTopK]]. Total cost: seed scans + iters kmeansStep passes +
+    * one assignment scan — every stage's driver traffic is O(k × dim).
+    */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 5, seed: Long = 42L): (DataFrame, Seq[(Int, Array[Float])]) = {
+    val seeds = kmeansSeedParallel(corpus, idCol, vecCol, k, seed = seed)
+    val cents = kmeansFit(corpus, idCol, vecCol, seeds, iters)
+    (ivfAssign(corpus, idCol, vecCol, cents), cents)
+  }
+
   /** Reduce k-means|| candidates to k seeds: weight each candidate by its
     * cell population (one distributed count pass), then run deterministic
     * weighted farthest-point selection over the ≤ l·rounds candidates on

@@ -462,6 +462,23 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes2.toSeq === Seq(3L, 3L, 3L))
   }
 
+  test("ivfBuild end to end: seeded + fitted index answers like brute force") {
+    def jitter(base: Array[Float], eps: Float): Seq[Array[Float]] =
+      Seq(base, base.map(_ + eps), base.map(_ - eps))
+    val pts = (jitter(Array(1f, 0f, 0f), 0.02f) ++
+      jitter(Array(0f, 1f, 0f), 0.02f) ++
+      jitter(Array(0f, 0f, 1f), 0.02f))
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val (assigned, cents) = Similarity.ivfBuild(
+      corpus, "vec_id", "embedding", k = 3, iters = 2, seed = 7L)
+    val query = Array(0.0f, 1.0f, 0.1f) // in the y-axis cluster
+    val hits = Similarity.ivfSearchTopK(assigned, "vec_id", "embedding",
+      cents, query, k = 3, nprobe = 1).collect().map(_.getLong(0)).toSet
+    // nprobe=1 over a well-separated corpus returns exactly the y-cluster
+    assert(hits === Set(3L, 4L, 5L))
+  }
+
   test("kmeans step emits exact per-dimension integer sums and counts") {
     val cents = Seq(0 -> Array(1.0f, 0.0f), 1 -> Array(0.0f, 1.0f))
     val pts = Seq( // two obvious members per centroid
