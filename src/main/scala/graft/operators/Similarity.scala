@@ -20,7 +20,6 @@ object Similarity {
   /** Exact top-k by cosine against one query vector (broadcast single row). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int): DataFrame = {
-    val q = lit(null) // placeholder to keep Column API; use literal array:
     val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     corpus.withColumn("cosine", cosine(col(vecCol), qArr))
       .orderBy(col("cosine").desc, col(idCol))
