@@ -48,8 +48,54 @@ object Similarity {
       }.sum
     }
     val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
-    corpus.withColumn("__bucket", lshBucket(col(vecCol), nBits))
+    // hyperplane dim must match the query's on BOTH sides (a shorter corpus
+    // vector zip_with a longer literal hyperplane nulls the dot product)
+    corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
       .filter(col("__bucket") === qBucket)
+      .withColumn("cosine", cosine(col(vecCol), qArr))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
+  /** Multi-probe LSH ANN (Lv et al., "Multi-Probe LSH", VLDB'07 — a
+    * published technique): besides the query's own bucket, also probe the
+    * buckets reached by flipping the sign bits whose hyperplane margin
+    * |dot(q, r_j)| is smallest — the bits most likely to differ for a true
+    * neighbor. `probes` buckets ≈ the recall of `probes` independent hash
+    * tables at 1× the index size and a `probes/2^nBits` corpus fraction
+    * scanned. Probe set is computed driver-side; the corpus-side filter is
+    * a bucket-id IN list (partition-prunable when persisted by bucket).
+    */
+  def annTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: Array[Float], k: Int, nBits: Int = 12,
+      probes: Int = 4): DataFrame = {
+    require(probes >= 1 && probes <= (1 << nBits),
+      s"probes must be in [1, 2^$nBits], got $probes")
+    val dim = queryVec.length
+    val margins = (0 until nBits).map { j =>
+      val r = Vectors.hyperplane(j, dim)
+      j -> queryVec.zip(r).map { case (x, y) => x.toDouble * y }.sum
+    }
+    val qBucket = margins.collect { case (j, d) if d > 0 => 1 << j }.sum
+    // enumerate probe buckets in increasing total flipped |margin| order:
+    // single flips of the lowest-margin bits first, then pairs, …
+    val absMargin = margins.map { case (j, d) => j -> math.abs(d) }.toMap
+    val probeBuckets = scala.collection.mutable.LinkedHashSet(qBucket)
+    var size = 1
+    while (probeBuckets.size < probes && size <= nBits) {
+      val combos = (0 until nBits).combinations(size)
+        .map(c => (c, c.map(absMargin).sum))
+        .toSeq.sortBy { case (c, m) => (m, c.mkString(",")) }
+      combos.foreach { case (c, _) =>
+        if (probeBuckets.size < probes)
+          probeBuckets += c.foldLeft(qBucket)((b, j) => b ^ (1 << j))
+      }
+      size += 1
+    }
+    val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
+    corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
+      .filter(col("__bucket").isin(probeBuckets.toSeq: _*))
       .withColumn("cosine", cosine(col(vecCol), qArr))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

@@ -462,6 +462,28 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes2.toSeq === Seq(3L, 3L, 3L))
   }
 
+  test("multi-probe LSH recovers neighbors single-bucket probing misses") {
+    // corpus of near-neighbors of one query: with 8 sign bits, some land in
+    // adjacent buckets (one low-margin bit differs); multi-probe finds them
+    val rnd = new scala.util.Random(3)
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val pts = (0 until 40).map { i =>
+      (i.toLong, query.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.3f))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val single = Similarity.annTopK(corpus, "vec_id", "embedding",
+      query, k = 40, nBits = 8).collect().map(_.getLong(0)).toSet
+    val multi = Similarity.annTopKMultiProbe(corpus, "vec_id", "embedding",
+      query, k = 40, nBits = 8, probes = 8).collect().map(_.getLong(0)).toSet
+    assert(single.subsetOf(multi), "probe set must include the query's own bucket")
+    assert(multi.size > single.size,
+      s"multi-probe should widen recall (single=${single.size}, multi=${multi.size})")
+    // probes = 2^nBits degenerates to brute force
+    val all = Similarity.annTopKMultiProbe(corpus, "vec_id", "embedding",
+      query, k = 40, nBits = 8, probes = 256).collect().map(_.getLong(0)).toSet
+    assert(all === pts.map(_._1).toSet)
+  }
+
   test("ivfBuild end to end: seeded + fitted index answers like brute force") {
     def jitter(base: Array[Float], eps: Float): Seq[Array[Float]] =
       Seq(base, base.map(_ + eps), base.map(_ - eps))
