@@ -113,6 +113,43 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** Multi-probe LSH ANN ([[graft.operators.Similarity.annTopKMultiProbe]]):
+    * the query's bucket plus the 3 single-bit flips with the smallest
+    * hyperplane |margin|, exact cosine top-10 over the probed buckets. The
+    * oracle mirrors the margins (same literal ±1 hyperplanes, same fold
+    * order), the flip selection, and the ranking.
+    */
+  val qAnnMultiProbe = q(
+    "q_ann_multiprobe", {
+      val nBits = 8
+      // per-bit margin: dot(q, h_j) as one scalar expression per bit
+      val marginRows = (0 until nBits).map { j =>
+        val lits = Vectors.hyperplane(j, Vectors.Dim)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"SELECT $j AS b, list_sum(list_transform(range(1, ${Vectors.Dim + 1}), " +
+          s"i -> q[i]::DOUBLE * ([$lits])[i])) AS d FROM qv"
+      }.mkString(" UNION ALL ")
+      "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
+        s"m AS ($marginRows), " +
+        "qb AS (SELECT CAST(sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INT) AS qbucket FROM m), " +
+        "flips AS (SELECT b FROM m ORDER BY abs(d), b LIMIT 3), " +
+        "probes AS (SELECT qbucket AS bkt FROM qb " +
+        "UNION SELECT xor(qbucket, 1 << b) FROM qb, flips), " +
+        s"bk AS (SELECT vec_id, embedding, ${Vectors.lshBucketSql("embedding", nBits)} AS bkt " +
+        "FROM embeddings WHERE vec_id <> 0) " +
+        s"SELECT vec_id, ${Exact.quantSql(dotSql("embedding", "q") + " / (" + normSql("embedding") + " * " + normSql("q") + ")", 10000)} AS cos_e4 " +
+        "FROM bk JOIN probes USING (bkt), qv " +
+        s"ORDER BY ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) DESC, vec_id LIMIT 10"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val queryVec = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    graft.operators.Similarity
+      .annTopKMultiProbe(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", queryVec, k = 10, nBits = 8, probes = 4)
+      .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH
     * (4 bands × 4 bits, blocked by label): candidates come from bucket
     * agreement in SOME band, the exact cosine > threshold is the verify
@@ -272,8 +309,8 @@ object VectorQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qEmbedNearDup, qAnnLsh,
-    qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed)
+    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
+    qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */
