@@ -124,6 +124,22 @@ class PlanSpec extends SparkSpec {
     // ReusedExchange — runtime-only, so not assertable on the static plan)
   }
 
+  test("ANN query paths are join-free top-k: pushed scan filter + TakeOrdered") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    for (name <- Seq("q_ann_ivf_search", "q_ann_multiprobe")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      // probe selection happens driver-side over k centroids/bits, so the
+      // corpus leg must carry NO join at any corpus size
+      assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+        s"$name grew a join")
+      val p = plan(name)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name lost the top-k short-circuit (global sort instead?)")
+      assert(p.contains("PushedFilters: [IsNotNull(vec_id)"),
+        s"$name no longer pushes the id predicate into the scan")
+    }
+  }
+
   test("q_embed_near_dup candidates shuffle on the LSH bucket; no label-keyed join") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
