@@ -69,6 +69,55 @@ class PairScanPropertySpec extends SparkSpec {
     }
   }
 
+  test("packSequences invariants hold on 15 random corpora") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 15) {
+      val budget = 1 + rnd.nextInt(20)
+      val rows = (0 until 1 + rnd.nextInt(40)).map { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}",
+          Seq.fill(1 + rnd.nextInt(8))("t").mkString(" "))
+      }
+      val out = Packing
+        .packSequences(rows.toDF("doc_id", "source", "text"),
+          "doc_id", "text", "source", budget.toLong)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // every doc appears exactly once, nothing dropped
+      assert(out.map(_._1).sorted === rows.map(_._1).toArray)
+      for ((grp, docs) <- out.groupBy(_._2)) {
+        val byId = docs.sortBy(_._1)
+        // seq ids are non-decreasing in doc order and start at 0
+        assert(byId.head._4 === 0L, s"trial $trial group $grp")
+        assert(byId.sliding(2).forall {
+          case Array(a, b) => b._4 >= a._4; case _ => true })
+        // a pack only exceeds the budget via its FIRST doc (an overweight
+        // doc gets its own pack; the greedy fill never overshoots mid-pack)
+        for ((_, members) <- byId.groupBy(_._4)) {
+          val tokens = members.sortBy(_._1).map(_._3)
+          val fills = tokens.scanLeft(0L)(_ + _).tail
+          assert(fills.init.forall(_ < budget + tokens.max),
+            s"trial $trial group $grp overfilled: $tokens budget=$budget")
+        }
+      }
+    }
+  }
+
+  test("hash sampling is invariant to partitioning and repeated runs") {
+    import graft.operators.Sampling
+    graft.functions.Md5Prefix32.register(spark)
+    val rows = (0 until 500).map(i => (i.toLong, s"v$i"))
+    val df = rows.toDF("id", "v")
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.hashSample(d, org.apache.spark.sql.functions.col("id"), perMille = 200)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val base = ids(df)
+    assert(base.nonEmpty && base.size < 500)
+    assert(ids(df.repartition(17)) === base) // layout-independent
+    assert(ids(df.coalesce(1)) === base)
+    assert(ids(df) === base)                 // run-to-run deterministic
+  }
+
   test("connectedComponents matches driver-side union-find on 20 random graphs") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(11)
