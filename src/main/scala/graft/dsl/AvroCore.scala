@@ -26,6 +26,12 @@ import org.apache.spark.sql.types.StructType
   * Schemas and datum readers/writers are cached per executor (keyed by the
   * schema JSON); the per-row cost is one decode + one JSON render. Use on
   * the serde BOUNDARY only — once decoded, stay in Catalyst structs.
+  *
+  * Supported Avro types through the JSON bridge: records of primitives,
+  * nested records, arrays, and maps — the shapes `from_json` parses
+  * directly. Avro UNIONS are NOT bridged (Avro JSON wraps them as
+  * `{"type": value}`, which `from_json` cannot unwrap) — use the spark-avro
+  * expressions for union-typed schemas.
   */
 object AvroCore extends Serializable {
 

@@ -149,4 +149,42 @@ class SerdesSpec extends SparkSpec {
       .read(null, DecoderFactory.get().binaryDecoder(reencoded, null))
     assert(back.get("id") === 3L && back.get("name").toString === "gamma")
   }
+
+  test("avro core serde: nested records and arrays survive the JSON bridge") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    import org.apache.spark.sql.types._
+
+    val avroSchema =
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"meta","type":{"type":"record","name":"meta","fields":[
+        |  {"name":"lang","type":"string"},{"name":"score","type":"double"}]}},
+        |{"name":"tags","type":{"type":"array","items":"string"}}]}""".stripMargin
+    val schema = new Schema.Parser().parse(avroSchema)
+    val sparkSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("meta", StructType(Seq(
+        StructField("lang", StringType), StructField("score", DoubleType)))),
+      StructField("tags", ArrayType(StringType))))
+
+    val meta = new GenericData.Record(schema.getField("meta").schema())
+    meta.put("lang", "en"); meta.put("score", 0.75)
+    val rec = new GenericData.Record(schema)
+    rec.put("id", 9L); rec.put("meta", meta)
+    rec.put("tags", java.util.Arrays.asList("a", "b"))
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+
+    val row = Seq(out.toByteArray).toDF("bin")
+      .select(AvroCore.avroDe(col("bin"), avroSchema, sparkSchema).as("r"))
+      .select(col("r.id"), col("r.meta.lang"), col("r.meta.score"), col("r.tags"))
+      .collect().head
+    assert(row.getLong(0) === 9L)
+    assert(row.getString(1) === "en" && row.getDouble(2) === 0.75)
+    assert(row.getSeq[String](3) === Seq("a", "b"))
+  }
 }
