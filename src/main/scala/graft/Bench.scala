@@ -69,7 +69,35 @@ object Bench {
         .start()
       q.processAllAvailable(); q.stop()
     }
-    val allResults = results :+ ("stream_windowed_pipeline" -> streamSecs)
+    // same replay through the graft DSL (KStream -> groupByKey -> windowedBy
+    // -> count -> changelog), so the measured path is THIS library's
+    // streaming surface, not just raw Spark
+    val dslStreamSecs = minOf2("stream_dsl_windowed_count") { () =>
+      import org.apache.spark.sql.functions.{col, expr}
+      import graft.dsl.{KStream, KV, TumblingWindow}
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_bench_dsl")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val ks = new KStream(spark.readStream.schema(schema)
+        .parquet(streamDir.toString)
+        .select(col("event_type"), col("value"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+        .map(r => KV(r.getString(0), r.getDouble(1), r.getTimestamp(2))))
+      val counted = ks.withWatermarkMs(3600000L)
+        .groupByKey.windowedBy(TumblingWindow.of(3600000L)).count
+      val q = counted.changelog.writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft_bench_dsl_ckpt").toString)
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    val allResults = results :+
+      ("stream_windowed_pipeline" -> streamSecs) :+
+      ("stream_dsl_windowed_count" -> dslStreamSecs)
     // per-query times as integer ms; the full line goes to stdout AND the
     // tracked BENCH_FULL.json, and a compact total-only line prints last so
     // a size-limited log tail always ends with complete JSON (see below)
