@@ -102,6 +102,27 @@ object Similarity {
       .select(col(idCol), col("cosine"))
   }
 
+  /** Mean recall@k of an ANN strategy against the brute-force baseline over
+    * a probe query set: |ann ∩ exact| / |exact| averaged across queries.
+    * The tuning loop for `nBits`/`probes`/`nprobe` — run on a SAMPLE of
+    * queries (each query costs two small jobs), not per production query.
+    */
+  def annRecallAt(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[Array[Float]], k: Int,
+      search: Array[Float] => DataFrame): Double = {
+    require(queries.nonEmpty, "annRecallAt needs at least one query vector")
+    val recalls = queries.map { qv =>
+      val exact = bruteForceTopK(corpus, idCol, vecCol, qv, k)
+        .select(idCol).collect().map(_.getLong(0)).toSet
+      if (exact.isEmpty) 1.0
+      else {
+        val got = search(qv).select(idCol).collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+    }
+    recalls.sum / recalls.size
+  }
+
   /** Collect (id, vector) centroid pairs driver-side by column name — the
     * input shape [[ivfAssign]] expects. Runs one small Spark job. Accepts any
     * integral id column width (rejects ids outside Int range rather than

@@ -484,6 +484,23 @@ class OperatorsSpec extends SparkSpec {
     assert(all === pts.map(_._1).toSet)
   }
 
+  test("annRecallAt quantifies the multi-probe recall gain") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq.fill(4)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    def recall(probes: Int): Double = Similarity.annRecallAt(
+      corpus, "vec_id", "embedding", queries, k = 5,
+      qv => Similarity.annTopKMultiProbe(corpus, "vec_id", "embedding",
+        qv, k = 5, nBits = 6, probes = probes))
+    val r1 = recall(1)
+    val r8 = recall(8)
+    val rAll = recall(64) // full probe = brute force
+    assert(r1 <= r8 && r8 <= rAll, s"recall not monotone: $r1, $r8, $rAll")
+    assert(rAll === 1.0)
+  }
+
   test("ivfBuild end to end: seeded + fitted index answers like brute force") {
     def jitter(base: Array[Float], eps: Float): Seq[Array[Float]] =
       Seq(base, base.map(_ + eps), base.map(_ - eps))
