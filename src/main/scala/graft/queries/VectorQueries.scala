@@ -14,10 +14,15 @@ import GraftQuery.{q, rowsOnly}
   */
 object VectorQueries {
 
-  /** Left-to-right double-precision dot product of two float arrays. */
+  /** Left-to-right double-precision dot product of two float arrays —
+    * the native [[graft.functions.FloatVecDot]] expression: bit-identical
+    * to `aggregate(zip_with(a, b, (x, y) => x.cast(double) *
+    * y.cast(double)), 0.0, (acc, x) => acc + x)` (parity locked by
+    * `FloatVecDotSpec`) with a codegen'd loop instead of a materialized
+    * per-row product array.
+    */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.FloatVecDot.fvecDot(a, b)
 
   def normCol(a: Column): Column = sqrt(dotCol(a, a))
 
