@@ -347,9 +347,9 @@ object Vectors {
     val bits = (0 until bitsPerBand).map { j =>
       val r = hyperplane(band * bitsPerBand + j, dim)
       val rCol = array(r.toIndexedSeq.map(lit): _*)
-      val d = aggregate(
-        zip_with(v, rCol, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      // native fold (same doubles as the zip_with formulation — hyperplane
+      // components are ±1.0 literals, so float×double stays exact)
+      val d = VectorQueries.dotCol(v, rCol)
       when(d > 0, 1 << j).otherwise(0)
     }
     bits.reduce(_ + _)
