@@ -12,6 +12,7 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.Md5Prefix32.register(spark) // idempotent; used by hash paths
+    graft.functions.FloatVecDot.register(spark) // SQL access: fvec_dot(a, b)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
