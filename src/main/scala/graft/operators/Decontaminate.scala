@@ -93,9 +93,12 @@ object Decontaminate {
     val bf = ngramSet(benchmark, textCol, n).stat
       .bloomFilter("g", expectedGrams, fpp)
     val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => bfBc.value.mightContainString(g))
+    // ONE udf invocation per row over the whole gram array (early-exits on
+    // the first hit) — not one per gram through a HOF lambda
+    val anyHit = udf((grams: Seq[String]) =>
+      grams != null && grams.exists(bfBc.value.mightContainString))
     corpus.withColumn("contaminated",
-      exists(TextQueries.ngramsCol(col(textCol), n), g => mightContain(g)))
+      anyHit(TextQueries.ngramsCol(col(textCol), n)))
   }
 
   /** [[flagBloom]] keep-side filter — the streaming-safe [[cleanBloom]]. */
