@@ -24,11 +24,18 @@ object Bench {
         .groupBy("r_name").agg(count(lit(1)).as("c"), sum("n_nationkey").as("s"))
         .write.format("noop").mode("overwrite").save()
     }
-    // min-of-2 per query: one co-tenant stall can no longer dominate a
+    // min-of-reps per query: one co-tenant stall can no longer dominate a
     // query's number (BENCH_r02 was measured against concurrent sbt runs and
     // reported phantom 10-25x regressions). -1 marks a crashed query so the
-    // JSON can't pass it off as fast.
-    def minOf2(name: String)(run: () => Unit): Double = {
+    // JSON can't pass it off as fast. When the two reps disagree by >2x the
+    // machine was contended mid-query, so a third rep runs — and the full
+    // rep list is emitted per query so the artifact itself shows which
+    // numbers were noisy instead of needing an after-the-fact re-timing.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
+    def minOfReps(name: String)(run: () => Unit): (Double, Seq[Double]) = {
       def once(): Double = {
         val t0 = System.nanoTime()
         try { run(); (System.nanoTime() - t0) / 1e9 }
@@ -37,18 +44,25 @@ object Bench {
         }
       }
       val a = once()
-      if (a < 0) a else { val b = once(); if (b < 0) b else math.min(a, b) }
+      if (a < 0) return (a, Seq(a))
+      val b = once()
+      if (b < 0) return (b, Seq(a, b))
+      val base = Seq(a, b)
+      val reps =
+        if (base.max / base.min > 2.0) { val c = once(); if (c < 0) base else base :+ c }
+        else base
+      (reps.min, reps)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink materializes every row/column (count() would let Catalyst
       // prune the whole projection on scan-shaped queries)
-      name -> minOf2(name) { () =>
+      name -> minOfReps(name) { () =>
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       }
     }
     // streaming-engine throughput: events parquet replayed as a file stream
     // through a windowed count (the reference's core loop, microbatched)
-    val streamSecs = minOf2("stream_windowed_pipeline") { () =>
+    val streamSecs = minOfReps("stream_windowed_pipeline") { () =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // file-stream source needs a directory: stage the single file into one
@@ -72,7 +86,7 @@ object Bench {
     // same replay through the graft DSL (KStream -> groupByKey -> windowedBy
     // -> count -> changelog), so the measured path is THIS library's
     // streaming surface, not just raw Spark
-    val dslStreamSecs = minOf2("stream_dsl_windowed_count") { () =>
+    val dslStreamSecs = minOfReps("stream_dsl_windowed_count") { () =>
       import org.apache.spark.sql.functions.{col, expr}
       import graft.dsl.{KStream, KV, TumblingWindow}
       import spark.implicits._
@@ -95,6 +109,7 @@ object Bench {
         .start()
       q.processAllAvailable(); q.stop()
     }
+    val loadAfter = loadavg()
     val allResults = results :+
       ("stream_windowed_pipeline" -> streamSecs) :+
       ("stream_dsl_windowed_count" -> dslStreamSecs)
@@ -102,9 +117,19 @@ object Bench {
     // tracked BENCH_FULL.json, and a compact total-only line prints last so
     // a size-limited log tail always ends with complete JSON (see below)
     def ms(v: Double): String = if (v < 0) "-1" else math.round(v * 1000).toString
-    val qs = allResults.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    val qs = allResults.map { case (k, (v, _)) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // every rep per query: a reader can compute each query's spread (max/min)
+    // and see exactly which entries were measured under contention without
+    // re-running anything
+    val repsJson = allResults.map { case (k, (_, reps)) =>
+      s"\"" + k + "\":" + reps.map(ms).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val spreads = allResults.collect { case (_, (v, reps)) if v > 0 =>
+      reps.max / reps.min }
+    val maxSpread = if (spreads.isEmpty) 1.0 else spreads.max
+    val nSpreadGt2 = spreads.count(_ > 2.0)
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
     // sf is ALWAYS a JSON string (a non-numeric dir basename like "0.1x10"
     // once flipped it between number and string, breaking cross-commit
     // diffs); sf_dir carries the full input path so any replication/scaling
@@ -118,13 +143,19 @@ object Bench {
     } + "\""
     val sf = jsonStr(sfRaw)
     val totalStr = BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"sf":$sf,"sf_dir":${jsonStr(sfDir)}}"""
+    def r2(v: Double): String =
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    // contention sentinel: raw /proc/loadavg before/after plus the spread
+    // summary — a run whose loadavg shows dozens of runnable co-tenant
+    // processes or whose max_spread is large is self-declared noisy
+    val noise = s""""load_before":${jsonStr(loadBefore)},"load_after":${jsonStr(loadAfter)},"max_spread":${r2(maxSpread)},"n_spread_gt2":$nSpreadGt2"""
+    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"reps":$repsJson,$noise,"sf":$sf,"sf_dir":${jsonStr(sfDir)}}"""
     println(line)
     // the full line has outgrown the driver's ~2000-char log-tail window
     // (94 queries ≈ 2 KB), so ALSO print a compact line LAST: whatever the
     // tail head-truncates, its final {"metric"...} line stays complete and
     // parseable; the full per-query map is committed as BENCH_FULL.json
-    val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec","sf":$sf,"detail":"BENCH_FULL.json"}"""
+    val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec",$noise,"sf":$sf,"detail":"BENCH_FULL.json"}"""
     println(compact)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (line + "\n").getBytes("UTF-8"))

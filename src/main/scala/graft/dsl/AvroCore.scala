@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.StructType
   * anywhere Spark runs, connector jar or not.
   *
   * Schemas and datum readers/writers are cached per executor (keyed by the
-  * schema JSON); the per-row cost is one decode + one JSON render. Use on
-  * the serde BOUNDARY only — once decoded, stay in Catalyst structs.
+  * schema JSON); encoders and byte buffers are allocated per row (they are
+  * not thread-safe). The per-row cost is one decode + one JSON render. Use
+  * on the serde BOUNDARY only — once decoded, stay in Catalyst structs.
   *
   * Supported Avro types through the JSON bridge: records of primitives,
   * nested records, arrays, and maps — the shapes `from_json` parses
@@ -35,21 +36,32 @@ import org.apache.spark.sql.types.StructType
   */
 object AvroCore extends Serializable {
 
-  // per-JVM (executor) cache: Schema parsing is expensive and thread-safe
-  @transient private lazy val schemas =
-    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
-  private def schemaOf(json: String): Schema =
-    schemas.computeIfAbsent(json, j => new Schema.Parser().parse(j))
+  // per-JVM (executor) cache keyed by schema JSON: Schema parsing is the
+  // expensive part; the datum reader/writer pair rides along because both
+  // are thread-safe after construction (GenericDatumReader keeps its
+  // ResolvingDecoder in a static ThreadLocal; GenericDatumWriter is
+  // stateless beyond the schema). Encoders/decoders and output buffers are
+  // NOT thread-safe and stay per-row.
+  private final case class Serde(schema: Schema,
+      reader: GenericDatumReader[GenericRecord],
+      writer: GenericDatumWriter[GenericRecord])
+  @transient private lazy val serdes =
+    new java.util.concurrent.ConcurrentHashMap[String, Serde]()
+  private def serdeOf(json: String): Serde =
+    serdes.computeIfAbsent(json, { j =>
+      val s = new Schema.Parser().parse(j)
+      Serde(s, new GenericDatumReader[GenericRecord](s),
+        new GenericDatumWriter[GenericRecord](s))
+    })
 
   /** Binary Avro body → the record as Avro-JSON text (null passes through). */
   def decodeToJson(payload: Array[Byte], schemaJson: String): String = {
     if (payload == null) return null
-    val schema = schemaOf(schemaJson)
-    val reader = new GenericDatumReader[GenericRecord](schema)
-    val rec = reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
+    val sd = serdeOf(schemaJson)
+    val rec = sd.reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
     val out = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().jsonEncoder(schema, out)
-    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    val enc = EncoderFactory.get().jsonEncoder(sd.schema, out)
+    sd.writer.write(rec, enc)
     enc.flush()
     out.toString("UTF-8")
   }
@@ -57,12 +69,11 @@ object AvroCore extends Serializable {
   /** Avro-JSON text → binary Avro body (null passes through). */
   def encodeFromJson(json: String, schemaJson: String): Array[Byte] = {
     if (json == null) return null
-    val schema = schemaOf(schemaJson)
-    val reader = new GenericDatumReader[GenericRecord](schema)
-    val rec = reader.read(null, DecoderFactory.get().jsonDecoder(schema, json))
+    val sd = serdeOf(schemaJson)
+    val rec = sd.reader.read(null, DecoderFactory.get().jsonDecoder(sd.schema, json))
     val out = new ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)
-    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    sd.writer.write(rec, enc)
     enc.flush()
     out.toByteArray
   }

@@ -21,13 +21,14 @@ import graft.dsl.KTable
   */
 final class StoreRegistry(spark: SparkSession) {
 
-  private var queries: Map[String, StreamingQuery] = Map.empty
+  // concurrent like `stores`: materialize calls may race from user threads
+  private val queries = new java.util.concurrent.ConcurrentHashMap[String, StreamingQuery]()
   // storeName -> (schema of (key, value, ts), key -> latest row)
   private val stores = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.types.StructType,
              java.util.concurrent.ConcurrentHashMap[Any, org.apache.spark.sql.Row])]()
   // storeName -> checkpoint dir of a checkpointed (driver-memory-free) store
-  private var checkpoints: Map[String, String] = Map.empty
+  private val checkpoints = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize a KTable as a named queryable store. `outputMode` must suit
     * the changelog's stateful chain: "update" for plain latest-per-key
@@ -61,7 +62,7 @@ final class StoreRegistry(spark: SparkSession) {
         df.createOrReplaceTempView(storeName)
         null
       }
-    if (q != null) queries += storeName -> q
+    if (q != null) queries.put(storeName, q)
     q
   }
 
@@ -88,8 +89,8 @@ final class StoreRegistry(spark: SparkSession) {
     val q = df.writeStream.format("noop")
       .option("checkpointLocation", checkpointLocation)
       .outputMode(outputMode).start()
-    checkpoints += storeName -> checkpointLocation
-    queries += storeName -> q
+    checkpoints.put(storeName, checkpointLocation)
+    queries.put(storeName, q)
     q
   }
 
@@ -108,7 +109,7 @@ final class StoreRegistry(spark: SparkSession) {
     */
   private def checkpointView(storeName: String): DataFrame = {
     val raw = spark.read.format("statestore")
-      .option("path", checkpoints(storeName)).load()
+      .option("path", checkpoints.get(storeName)).load()
     val valueType = raw.schema("value").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     if (valueType.fieldNames.contains("groupState"))
@@ -142,7 +143,7 @@ final class StoreRegistry(spark: SparkSession) {
       val (schema, m) = state
       val rows = new java.util.ArrayList[org.apache.spark.sql.Row](m.values())
       spark.createDataFrame(rows, schema)
-    } else if (checkpoints.contains(storeName)) {
+    } else if (checkpoints.containsKey(storeName)) {
       checkpointView(storeName)
     } else {
       import org.apache.spark.sql.expressions.Window
@@ -212,5 +213,5 @@ final class StoreRegistry(spark: SparkSession) {
         unix_millis(col("key.start").cast("timestamp")) <= toMs)
       .orderBy(col("key.start"), col("key.key"))
 
-  def stop(): Unit = queries.values.foreach(q => if (q.isActive) q.stop())
+  def stop(): Unit = queries.values.forEach(q => if (q.isActive) q.stop())
 }

@@ -62,11 +62,15 @@ object Multimodal {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
       val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // NonFatal, not just IOException: JDK readers (notably JPEG) throw
+      // RuntimeExceptions (CMMException, ArrayIndexOutOfBounds, IAE) on
+      // corrupt payloads, and "a mixed-media column never kills the job"
+      // must hold for those too
       val img =
         try javax.imageio.ImageIO.read(stream) // closes the stream on success
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
         finally { // only the failure path still holds an open stream
-          try stream.close() catch { case _: java.io.IOException => () }
+          try stream.close() catch { case scala.util.control.NonFatal(_) => () }
         }
       if (img == null) StubDecoder.decode(payload)
       else {

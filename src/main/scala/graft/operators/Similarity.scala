@@ -70,6 +70,7 @@ object Similarity {
   def annTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, nBits: Int = 12,
       probes: Int = 4): DataFrame = {
+    require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
     require(probes >= 1 && probes <= (1 << nBits),
       s"probes must be in [1, 2^$nBits], got $probes")
     val dim = queryVec.length
@@ -78,20 +79,32 @@ object Similarity {
       j -> queryVec.zip(r).map { case (x, y) => x.toDouble * y }.sum
     }
     val qBucket = margins.collect { case (j, d) if d > 0 => 1 << j }.sum
-    // enumerate probe buckets in increasing total flipped |margin| order:
-    // single flips of the lowest-margin bits first, then pairs, …
-    val absMargin = margins.map { case (j, d) => j -> math.abs(d) }.toMap
+    // Probe buckets in GLOBALLY nondecreasing total flipped |margin| order
+    // (the paper's query-directed sequence): a pair of low-margin flips may
+    // legitimately outrank a single high-margin flip, so sizes interleave.
+    // Min-heap over bit-sets in ascending-|margin| bit order with the
+    // classic shift/expand successor step — each subset is generated exactly
+    // once, heap stays O(probes), total driver work O(probes · log probes)
+    // for ANY nBits (no combination materialization). Ties on total margin
+    // break by flip mask, mirroring the oracle's (total, mask) sort.
+    val sortedBits = margins.map { case (j, d) => (j, math.abs(d)) }.sortBy(_._2)
+    def flipMask(set: Vector[Int]): Int =
+      set.foldLeft(0)((m, i) => m | (1 << sortedBits(i)._1))
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Vector[Int])](
+      Ordering.by[(Double, Vector[Int]), (Double, Int)] {
+        case (s, set) => (s, flipMask(set)) }.reverse)
+    heap.enqueue((sortedBits(0)._2, Vector(0)))
     val probeBuckets = scala.collection.mutable.LinkedHashSet(qBucket)
-    var size = 1
-    while (probeBuckets.size < probes && size <= nBits) {
-      val combos = (0 until nBits).combinations(size)
-        .map(c => (c, c.map(absMargin).sum))
-        .toSeq.sortBy { case (c, m) => (m, c.mkString(",")) }
-      combos.foreach { case (c, _) =>
-        if (probeBuckets.size < probes)
-          probeBuckets += c.foldLeft(qBucket)((b, j) => b ^ (1 << j))
+    while (probeBuckets.size < probes && heap.nonEmpty) {
+      val (score, set) = heap.dequeue()
+      probeBuckets += (qBucket ^ flipMask(set))
+      val mx = set.last
+      if (mx + 1 < nBits) {
+        // shift: …,mx → …,mx+1   expand: …,mx → …,mx,mx+1
+        heap.enqueue((score - sortedBits(mx)._2 + sortedBits(mx + 1)._2,
+          set.init :+ (mx + 1)))
+        heap.enqueue((score + sortedBits(mx + 1)._2, set :+ (mx + 1)))
       }
-      size += 1
     }
     val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
@@ -287,10 +300,18 @@ object Similarity {
     * (`quantScale`) BEFORE summing so the result is row-order independent
     * and exact. Output: (cid, n, sums: array<long>). The caller's training
     * loop divides sums by n, re-collects centroids, and iterates.
+    *
+    * Ill-formed rows FAIL the job (no silent skip): a ragged vector, a null
+    * element, or a whole-NULL vector value (`size(NULL) = -1` ≠ dim) all
+    * trip the well-formed guard — scrub or filter nulls upstream if they
+    * are expected.
     */
   def kmeansStep(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], quantScale: Long = 1000000L): DataFrame = {
-    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    // an empty centroid set would make dim fall back to 0 and the guard
+    // below reject every non-empty vector with a misleading message
+    require(centroids.nonEmpty, "kmeansStep requires at least one centroid")
+    val dim = centroids.head._2.length
     // a ragged or null-element vector would silently skew n vs the
     // per-dimension sums (count(posexplode) != rows, sum skips nulls) —
     // fail the job loudly instead; assert_true rides inside the projected

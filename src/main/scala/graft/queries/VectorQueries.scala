@@ -119,10 +119,13 @@ object VectorQueries {
   }
 
   /** Multi-probe LSH ANN ([[graft.operators.Similarity.annTopKMultiProbe]]):
-    * the query's bucket plus the 3 single-bit flips with the smallest
-    * hyperplane |margin|, exact cosine top-10 over the probed buckets. The
-    * oracle mirrors the margins (same literal ±1 hyperplanes, same fold
-    * order), the flip selection, and the ranking.
+    * the query's bucket plus the 3 flip-sets with the smallest TOTAL
+    * hyperplane |margin| (globally ordered across flip sizes — a pair of
+    * low-margin flips may beat one high-margin flip), exact cosine top-10
+    * over the probed buckets. The oracle mirrors the margins (same literal
+    * ±1 hyperplanes, same fold order) and the flip selection by enumerating
+    * every nonzero flip mask and sorting by (total |margin|, mask) — the
+    * exact order the operator's heap emits.
     */
   val qAnnMultiProbe = q(
     "q_ann_multiprobe", {
@@ -137,9 +140,11 @@ object VectorQueries {
       "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
         s"m AS ($marginRows), " +
         "qb AS (SELECT CAST(sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INT) AS qbucket FROM m), " +
-        "flips AS (SELECT b FROM m ORDER BY abs(d), b LIMIT 3), " +
+        s"flips AS (SELECT mask FROM (SELECT t.mask, " +
+        "(SELECT sum(abs(d)) FROM m WHERE ((t.mask >> b) & 1) = 1) AS tot " +
+        s"FROM range(1, ${1 << nBits}) t(mask)) ORDER BY tot, mask LIMIT 3), " +
         "probes AS (SELECT qbucket AS bkt FROM qb " +
-        "UNION SELECT xor(qbucket, 1 << b) FROM qb, flips), " +
+        "UNION SELECT xor(qbucket, CAST(mask AS INT)) FROM qb, flips), " +
         s"bk AS (SELECT vec_id, embedding, ${Vectors.lshBucketSql("embedding", nBits)} AS bkt " +
         "FROM embeddings WHERE vec_id <> 0) " +
         s"SELECT vec_id, ${Exact.quantSql(dotSql("embedding", "q") + " / (" + normSql("embedding") + " * " + normSql("q") + ")", 10000)} AS cos_e4 " +
