@@ -42,27 +42,47 @@ object Decontaminate {
   /** Bloom-filter variant of [[contaminatedIds]] for benchmark sides too
     * large to broadcast as an exact gram set (decontaminating against a
     * whole held-out SPLIT rather than a small eval set): the benchmark's
-    * grams aggregate into an `expectedGrams`-sized Bloom filter (Spark's
-    * `DataFrameStatFunctions.bloomFilter` — built distributed, merged on the
-    * driver, broadcast at O(bits): ~1.2 GiB for 10⁹ grams at 0.1% fpp vs
-    * tens of GiB of strings), and the corpus is flagged map-side — still no
-    * corpus shuffle.
+    * grams aggregate into an `expectedGrams`-sized Bloom filter and the
+    * corpus is flagged map-side — still no corpus shuffle.
+    *
+    * Build AND probe ride Spark's native runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain` over `xxhash64` of
+    * the gram — the same pair Catalyst injects for runtime join filtering),
+    * so the build is a two-phase distributed aggregate (partial filters
+    * merge map-side; one O(bits) binary returns to the driver: ~1.2 GiB for
+    * 10⁹ grams at 0.1% fpp vs tens of GiB of strings) and the probe stays
+    * inside whole-stage codegen — no Scala UDF anywhere on the path. The
+    * filter binary ships to executors once per stage via the task-binary
+    * broadcast. At extreme sizes raise
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`,
+    * which also cap explicitly-constructed aggregates.
     *
     * Guarantee direction: NO false negatives — every truly contaminated doc
-    * is flagged. False positives over-drop clean docs at ≤ `fpp` per gram —
-    * the conservative failure mode for decontamination. Use the exact
+    * is flagged (the xxhash64 pre-hash can only ADD false positives).
+    * False positives over-drop clean docs at ≤ `fpp` per gram — the
+    * conservative failure mode for decontamination. Use the exact
     * [[contaminatedIds]] when the gram set broadcasts comfortably.
     */
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       expectedGrams: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
-    val bf = ngramSet(benchmark, textCol, n).stat
-      .bloomFilter("g", expectedGrams, fpp)
-    val bfBc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((g: String) => bfBc.value.mightContainString(g))
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedGrams, fpp)
+    val buildAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col("g"))),
+      Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
+    val bfBytes = ngramSet(benchmark, textCol, n)
+      .select(ColumnBridge.column(buildAgg).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val probe = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bfBytes)),
+      ColumnBridge.expression(xxhash64(col("g")))))
     corpus
       .select(col(idCol), explode(TextQueries.ngramsCol(col(textCol), n)).as("g"))
-      .filter(mightContain(col("g")))
+      .filter(probe)
       .select(idCol).distinct()
   }
 

@@ -99,6 +99,13 @@ class PlanSpec extends SparkSpec {
     assert(joins.size === 1, s"expected only the reporting flag join, got ${joins.size}")
     val p = plan("q_decontaminate_bloom")
     assert(!p.contains("SortMergeJoin"), "id flag join must broadcast at this size")
+    // build + probe are the native runtime-filter expressions — the whole
+    // Bloom path must stay inside codegen with no Scala UDF anywhere
+    val udfs = df.queryExecution.optimizedPlan.collect {
+      case pl if pl.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])) => pl
+    }
+    assert(udfs.isEmpty, s"Bloom probe must not use a ScalaUDF:\n${udfs.mkString("\n")}")
   }
 
   test("q_ngram_jaccard prep is join-free: scan -> explode -> one reused blocking shuffle") {
