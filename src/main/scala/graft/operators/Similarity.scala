@@ -185,9 +185,10 @@ object Similarity {
   /** IVF query path: probe the `nprobe` cells whose centroids are nearest
     * the query (driver-side over k centroids — tiny), then exact-cosine
     * top-k over ONLY those cells' rows. `assigned` is [[ivfAssign]] output
-    * (or a table persisted from it); at scale, write it
-    * `partitionBy("centroid_id")` and the `isin` filter becomes partition
-    * pruning — the query scans nprobe/k of the corpus and shuffles nothing.
+    * (or a table persisted from it); at scale, persist via [[ivfWrite]]
+    * (`partitionBy("centroid_id")`) and the `isin` filter becomes partition
+    * pruning — the query scans nprobe/k of the corpus and shuffles nothing
+    * (asserted end-to-end on the selected file set in PartitioningSpec).
     * Recall is the IVF trade: a true neighbor assigned to an unprobed cell
     * is missed; raise `nprobe` toward k to converge on [[bruteForceTopK]].
     */
@@ -425,6 +426,21 @@ object Similarity {
     val cents = kmeansFit(corpus, idCol, vecCol, seeds, iters)
     (ivfAssign(corpus, idCol, vecCol, cents), cents)
   }
+
+  /** Persist an assigned corpus as the SERVING layout: parquet partitioned
+    * by cell, so [[ivfSearchTopK]]'s `centroid_id` filter is answered by
+    * PARTITION PRUNING at the source — the query job lists and reads only
+    * the `nprobe` probed cells' files (nprobe/k of the corpus), never
+    * opening the rest (PlanSpec-asserted on the selected file set). This is
+    * the step that turns the IVF index from a plan-shape claim into a
+    * physical layout.
+    */
+  def ivfWrite(assigned: DataFrame, path: String): Unit =
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Read back an [[ivfWrite]]-persisted index for [[ivfSearchTopK]]. */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Reduce k-means|| candidates to k seeds: weight each candidate by its
     * cell population (one distributed count pass), then run deterministic

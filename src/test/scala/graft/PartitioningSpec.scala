@@ -41,4 +41,51 @@ class PartitioningSpec extends SparkSpec {
       .filter(col("lang") === "en").count()
     assert(one.count() === expected)
   }
+
+  test("ivfWrite + ivfSearchTopK reads only the nprobe probed cells' files") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // four well-separated axis clusters -> four populated cells
+    val rnd = new scala.util.Random(11)
+    def onAxis(axis: Int): Array[Float] = {
+      val v = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.1f)
+      v(axis) = 1f + rnd.nextFloat() * 0.1f; v
+    }
+    val corpus = (0 until 48).map(i => (i.toLong, onAxis(i % 4)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 4).map { a =>
+      val v = new Array[Float](8); v(a) = 1f; (a, v)
+    }
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfWrite(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents), dir)
+    val cells = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).map(_.getName)
+    assert(cells.length === 4, s"expected 4 cell dirs, got ${cells.toSeq}")
+
+    val query = onAxis(2)
+    val topk = Similarity.ivfSearchTopK(Similarity.ivfRead(spark, dir),
+      "vec_id", "embedding", cents, query, k = 5, nprobe = 2)
+    // the cell filter must be a partition filter on the scan, and the
+    // SELECTED file set must span at most nprobe cells — the probed ones
+    val p = topk.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [centroid_id"), p.take(1500))
+    val files = topk.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+    val touched = files.flatMap(
+      _.split("/").find(_.startsWith("centroid_id="))).distinct
+    assert(files.nonEmpty && touched.length <= 2,
+      s"scan must touch <= nprobe cells, got $touched")
+    assert(touched.contains("centroid_id=2"), s"probed cells miss cell 2: $touched")
+
+    // correctness: pruned serving read answers exactly like the in-memory
+    // assigned DataFrame
+    val direct = Similarity.ivfSearchTopK(
+        Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+        "vec_id", "embedding", cents, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val served = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(served === direct)
+  }
 }
