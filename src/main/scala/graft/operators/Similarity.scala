@@ -28,10 +28,12 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id per row (deterministic literal
-    * hyperplanes — stays inside codegen).
+    * hyperplanes — stays inside codegen). `dim` must equal the vectors'
+    * true width — a mismatch nulls the hyperplane dots and collapses every
+    * bucket to 0.
     */
-  def lshBucket(vecCol: Column, nBits: Int = 12): Column =
-    Vectors.lshBucket(vecCol, nBits)
+  def lshBucket(vecCol: Column, nBits: Int = 12, dim: Int = Vectors.Dim): Column =
+    Vectors.lshBucket(vecCol, nBits, dim)
 
   /** Bucketed ANN: search only the query's bucket. Recall is traded for a
     * 2^nBits candidate reduction; verify with [[bruteForceTopK]].
@@ -136,6 +138,49 @@ object Similarity {
     recalls.sum / recalls.size
   }
 
+  /** Whole-sample recall@k in ONE distributed brute-force job (vs
+    * [[annRecallAt]]'s two jobs per query — a 1k-query tuning sample there
+    * launches 2k jobs): the query sample rides along as a broadcast literal
+    * array, each corpus row explodes into (qid, cosine) pairs that feed a
+    * k-capped heap aggregate ([[graft.functions.TopKIdsAgg]]) — explode is
+    * pipelined into the partial agg, so nothing materializes and the
+    * shuffle is O(partitions × |queries| × k) rows however large the
+    * corpus. `ann` is the ANN result set for the SAME sample — (`qidCol`,
+    * `idCol`) rows, e.g. [[annJoinTopK]] output — evaluated in one more
+    * job. Per-query recall |ann ∩ exact| / |exact|, averaged; queries with
+    * an empty exact set count 1.0, matching the per-query form exactly
+    * (spec-asserted identical).
+    */
+  def annRecallAtBatch(corpus: DataFrame, idCol: String, vecCol: String,
+      queries: Seq[Array[Float]], k: Int, ann: DataFrame,
+      qidCol: String = "qid"): Double = {
+    require(queries.nonEmpty, "annRecallAtBatch needs at least one query vector")
+    graft.functions.TopKIdsAgg.register(corpus.sparkSession)
+    val qlits = array(queries.zipWithIndex.map { case (qv, qi) =>
+      struct(lit(qi).as("qid"),
+        array(qv.toIndexedSeq.map(lit(_)): _*).as("qvec"))
+    }: _*)
+    val exact = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__q", explode(qlits))
+      .select(col("__q.qid").as("__qid"),
+        cosine(col("__vec"), col("__q.qvec")).as("__cos"), col("__id"))
+      .groupBy("__qid")
+      .agg(graft.functions.TopKIdsAgg.topkIds(
+        col("__cos"), col("__id"), k).as("__ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    val got = ann
+      .select(col(qidCol).cast("int"), col(idCol).cast("long"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (qi, rows) => qi -> rows.map(_.getLong(1)).toSet }
+    val recalls = queries.indices.map { qi =>
+      val ex = exact.getOrElse(qi, Set.empty)
+      if (ex.isEmpty) 1.0
+      else (got.getOrElse(qi, Set.empty) & ex).size.toDouble / ex.size
+    }
+    recalls.sum / recalls.size
+  }
+
   /** Collect (id, vector) centroid pairs driver-side by column name — the
     * input shape [[ivfAssign]] expects. Runs one small Spark job. Accepts any
     * integral id column width (rejects ids outside Int range rather than
@@ -226,13 +271,18 @@ object Similarity {
     * `queries` column names must not collide with `corpus` ones. Recall is
     * the standard LSH trade-off: a true neighbor in a different bucket is
     * missed; verify with [[bruteForceTopK]].
+    *
+    * `dim` MUST equal the vectors' true width: the hyperplanes are literal
+    * arrays, and a width mismatch nulls every dot product, collapsing all
+    * buckets to 0 — the "join" then silently degenerates into a per-query
+    * full-corpus scan.
     */
   def annJoinTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int, nBits: Int = 12): DataFrame = {
+      k: Int, nBits: Int = 12, dim: Int = Vectors.Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.withColumn("__bucket", lshBucket(col(vecCol), nBits))
-    val qs = queries.withColumn("__qbucket", lshBucket(col(qVecCol), nBits))
+    val c = corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
+    val qs = queries.withColumn("__qbucket", Vectors.lshBucket(col(qVecCol), nBits, dim))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
     c.join(broadcast(qs), col("__bucket") === col("__qbucket"))
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))

@@ -501,6 +501,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rAll === 1.0)
   }
 
+  test("annRecallAtBatch equals the per-query evaluator on the same sample") {
+    val rnd = new scala.util.Random(9)
+    val corpus = (0 until 80)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq.fill(6)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    // per-query: single-bucket LSH search, 2 jobs per query
+    val perQuery = Similarity.annRecallAt(
+      corpus, "vec_id", "embedding", queries, k = 5,
+      qv => Similarity.annTopK(corpus, "vec_id", "embedding", qv,
+        k = 5, nBits = 6))
+    // batch: same single-bucket semantics via the query-set join, and the
+    // whole exact side in one heap-aggregated job
+    val qdf = queries.zipWithIndex
+      .map { case (qv, qi) => (qi, qv) }.toDF("qid", "qvec")
+    val ann = Similarity.annJoinTopK(corpus, qdf,
+        "vec_id", "embedding", "qid", "qvec", k = 5, nBits = 6, dim = 16)
+      .select("qid", "vec_id")
+    val batch = Similarity.annRecallAtBatch(
+      corpus, "vec_id", "embedding", queries, k = 5, ann)
+    assert(batch === perQuery, s"batch $batch != per-query $perQuery")
+    assert(perQuery > 0.0 && perQuery < 1.0,
+      s"sample should exercise a nontrivial recall, got $perQuery")
+  }
+
   test("ivfBuild end to end: seeded + fitted index answers like brute force") {
     def jitter(base: Array[Float], eps: Float): Seq[Array[Float]] =
       Seq(base, base.map(_ + eps), base.map(_ - eps))
