@@ -127,7 +127,10 @@ object Serdes {
     * SchemaProtobufSerDes.cs`): binary protobuf ⇄ struct columns against a
     * compiled descriptor file. Like Avro, the expression impl (spark-protobuf
     * module) is a deploy-time dependency — construct-checked here, evaluates
-    * on a cluster.
+    * on a cluster. [[ProtobufCore]] implements the same wire bytes with no
+    * protobuf dependency at all (the encoding spec is public), so the full
+    * round trip — including the Confluent SR protobuf frame with its
+    * message-index list — IS executed and tested in-container.
     */
   def protobufDe(c: Column, messageName: String, descFilePath: String): Column =
     org.apache.spark.sql.protobuf.functions.from_protobuf(c, messageName, descFilePath)

@@ -68,6 +68,103 @@ class SerdesSpec extends SparkSpec {
     assert(ser.toString.contains("to_protobuf") && de.toString.contains("from_protobuf"))
   }
 
+  test("protobuf core serde: SR-framed wire bytes round-trip through typed columns") {
+    import ProtobufCore._
+    val msg = PMessage(Seq(
+      PField(1, "id", PInt64),
+      PField(2, "name", PString),
+      PField(3, "score", PDouble),
+      PField(4, "flags", PInt32, repeated = true),
+      PField(5, "ok", PBool),
+      PField(6, "delta", PSInt32),
+      PField(7, "payload", PBytes),
+      PField(8, "tags", PString, repeated = true),
+      PField(9, "inner", PMessage(Seq(
+        PField(1, "x", PInt32), PField(2, "s", PString))))))
+
+    // producer side: HAND-ENCODED bytes straight from the published wire
+    // format (tags, varints, zigzag, packed, nested) — independent of our
+    // Writer, so this is external ground truth, like the Avro test's
+    // library-produced bytes
+    val body: Array[Byte] = (
+      Seq(0x08, 0x96, 0x01) ++                    // id    = varint 150
+      Seq(0x12, 0x05) ++ "alpha".getBytes.map(_.toInt) ++ // name = "alpha"
+      Seq(0x19, 0, 0, 0, 0, 0, 0, 0xf8, 0x3f) ++  // score = 1.5 (LE fixed64)
+      Seq(0x22, 0x03, 0x03, 0x8e, 0x02) ++        // flags = packed [3, 270]
+      Seq(0x28, 0x01) ++                          // ok    = true
+      Seq(0x30, 0x03) ++                          // delta = sint32 -2 (zigzag 3)
+      Seq(0x3a, 0x02, 0xde, 0xad) ++              // payload = 0xDEAD
+      Seq(0x42, 0x01, 'a'.toInt) ++               // tags  = ["a",
+      Seq(0x42, 0x01, 'b'.toInt) ++               //          "b"]
+      Seq(0x4a, 0x05, 0x08, 0x07, 0x12, 0x01, 'z'.toInt) // inner = {x:7, s:"z"}
+    ).map(_.toByte).toArray
+
+    // canonical re-encode of the decode must reproduce the bytes exactly
+    assert(encodeFromJson(decodeToJson(body, msg), msg).toSeq === body.toSeq)
+
+    // full column path: SR protobuf frame (magic + schema id + index list)
+    // -> strip -> typed struct fields
+    val framed = Seq(Tuple1(body)).toDF("body")
+      .select(srProtoFrame(col("body"), schemaId = 9).as("raw"))
+    val r = framed.select(
+        Serdes.srSchemaId(col("raw")).as("sid"),
+        srProtoIndexes(col("raw")).as("idx"),
+        protoDe(srProtoStrip(col("raw")), msg).as("m"))
+      .select(col("sid"), col("idx"), col("m.id"), col("m.name"), col("m.score"),
+        col("m.flags"), col("m.ok"), col("m.delta"), col("m.payload"),
+        col("m.tags"), col("m.inner.x"), col("m.inner.s"))
+      .collect().head
+    assert(r.getInt(0) === 9)
+    assert(r.getSeq[Int](1) === Seq(0))
+    assert(r.getLong(2) === 150L)
+    assert(r.getString(3) === "alpha")
+    assert(r.getDouble(4) === 1.5)
+    assert(r.getSeq[Int](5) === Seq(3, 270))
+    assert(r.getBoolean(6) === true)
+    assert(r.getInt(7) === -2)
+    assert(r.getAs[Array[Byte]](8).toSeq === Seq(0xde.toByte, 0xad.toByte))
+    assert(r.getSeq[String](9) === Seq("a", "b"))
+    assert(r.getInt(10) === 7)
+    assert(r.getString(11) === "z")
+
+    // reverse leg: struct -> protoSer bytes are the canonical encoding
+    val reenc = Seq((150L, "alpha")).toDF("id", "name")
+      .select(protoSer(struct(col("id"), col("name")),
+        PMessage(Seq(PField(1, "id", PInt64), PField(2, "name", PString)))).as("bin"))
+      .collect().head.getAs[Array[Byte]]("bin")
+    assert(reenc.toSeq ===
+      (Seq(0x08, 0x96, 0x01, 0x12, 0x05).map(_.toByte) ++ "alpha".getBytes).toSeq)
+  }
+
+  test("protobuf core serde: unknown fields skip, negatives and multi-index frames survive") {
+    import ProtobufCore._
+    val msg = PMessage(Seq(PField(1, "a", PInt32)))
+    // unknown field 15 (varint) + unknown field 16 (length-delim) around a=5
+    val withUnknown = Array(
+      0x78, 0x2a,                   // field 15 varint 42 (unknown -> skipped)
+      0x08, 0x05,                   // a = 5
+      0x82.toByte, 0x01, 0x02, 0x61, 0x62 // field 16 len-delim "ab" (unknown)
+    ).map(_.toByte)
+    assert(decodeToJson(withUnknown, msg) === """{"a":5}""")
+
+    // negative int32: 10-byte sign-extended varint both directions
+    val neg = encodeFromJson("""{"a":-1}""", msg)
+    assert(neg.length === 11) // 1 tag byte + 10 varint bytes
+    assert(decodeToJson(neg, msg) === """{"a":-1}""")
+
+    // non-default message-index list round-trips (zigzag varints)
+    val framed = Seq(Tuple1(Array[Byte](0x08, 0x05))).toDF("body")
+      .select(srProtoFrame(col("body"), schemaId = 3, indexes = Seq(1, 2)).as("raw"))
+    val row = framed.select(
+        Serdes.srSchemaId(col("raw")).as("sid"),
+        srProtoIndexes(col("raw")).as("idx"),
+        protoDe(srProtoStrip(col("raw")), msg).as("m"))
+      .select(col("sid"), col("idx"), col("m.a")).collect().head
+    assert(row.getInt(0) === 3)
+    assert(row.getSeq[Int](1) === Seq(1, 2))
+    assert(row.getInt(2) === 5)
+  }
+
   test("time-windowed serde round-trips and matches the reference byte layout") {
     import spark.implicits._
     val df = Seq(("test", 10000L), ("k2", 0L)).toDF("k", "start")
