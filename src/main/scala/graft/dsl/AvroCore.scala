@@ -1,13 +1,18 @@
 package graft.dsl
 
 import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{JsonNodeFactory, NullNode}
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.io.{DecoderFactory, EncoderFactory}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Avro value serde on the CORE Avro library (`org.apache.avro`, which ships
   * with Spark itself) — the reference's `SchemaAvroSerDes<T>` body
@@ -17,22 +22,27 @@ import org.apache.spark.sql.types.StructType
   * [[Serdes.avroDe]]/[[Serdes.avroSer]] (the spark-avro `from_avro`/
   * `to_avro` expressions) stay the preferred cluster path — codegen'd,
   * no JSON hop. This core path produces and consumes the SAME binary Avro
-  * bytes through the library's JSON encoding as a bridge into Catalyst
-  * (`binary → Avro JSON → from_json(struct)` and back), so the full
-  * wire-format round-trip — including the schema-registry frame
-  * ([[Serdes.srFrame]]/[[Serdes.srStrip]]) — is executable and tested
-  * anywhere Spark runs, connector jar or not.
+  * bytes, bridged into Catalyst through a schema-driven datum ⇄ JSON
+  * renderer (`binary → GenericRecord → canonical JSON → from_json(struct)`
+  * and back). Unlike Avro's own JSON encoding, the renderer resolves
+  * UNIONS into Catalyst-friendly shapes — so records of primitives, nested
+  * records, arrays, maps, enums (as symbol strings), bytes/fixed (as
+  * base64 → `binary`), and union-typed fields all round-trip executably
+  * in-container, connector jar or not. The schema-registry frame
+  * ([[Serdes.srFrame]]/[[Serdes.srStrip]]) composes on the outside.
+  *
+  * Union mapping (resolved per the writer schema, no JSON wrapper):
+  *  - `["null", X]` → plain nullable X — the common optional-field case;
+  *  - multiple non-null branches → a STRUCT OF OPTIONALS with one field
+  *    per branch, keyed by the branch's Avro label (`"string"`, `"long"`,
+  *    a record's full name, `"array"`, `"map"`) — exactly one field is
+  *    non-null. [[sparkSchemaFor]] derives this (and every other) Catalyst
+  *    type from the Avro schema, so the two sides can never drift.
   *
   * Schemas and datum readers/writers are cached per executor (keyed by the
   * schema JSON); encoders and byte buffers are allocated per row (they are
   * not thread-safe). The per-row cost is one decode + one JSON render. Use
   * on the serde BOUNDARY only — once decoded, stay in Catalyst structs.
-  *
-  * Supported Avro types through the JSON bridge: records of primitives,
-  * nested records, arrays, and maps — the shapes `from_json` parses
-  * directly. Avro UNIONS are NOT bridged (Avro JSON wraps them as
-  * `{"type": value}`, which `from_json` cannot unwrap) — use the spark-avro
-  * expressions for union-typed schemas.
   */
 object AvroCore extends Serializable {
 
@@ -54,23 +64,149 @@ object AvroCore extends Serializable {
         new GenericDatumWriter[GenericRecord](s))
     })
 
-  /** Binary Avro body → the record as Avro-JSON text (null passes through). */
+  @transient private lazy val mapper = new ObjectMapper()
+  private def jf = JsonNodeFactory.instance
+
+  /** Non-null branches of a union schema. */
+  private def unionBranches(s: Schema): Seq[Schema] =
+    s.getTypes.asScala.toSeq.filterNot(_.getType == Schema.Type.NULL)
+
+  /** The Avro JSON label a union branch resolves under. */
+  private def branchLabel(s: Schema): String = s.getType match {
+    case Schema.Type.RECORD | Schema.Type.ENUM | Schema.Type.FIXED => s.getFullName
+    case t => t.getName // "string", "long", "array", "map", ...
+  }
+
+  // ---- datum -> canonical JSON -------------------------------------------
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
+    case bb: ByteBuffer =>
+      val d = bb.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes()
+    case a: Array[Byte] => a
+  }
+
+  private def datumToJson(schema: Schema, v: Any): JsonNode = {
+    if (v == null) return NullNode.instance
+    schema.getType match {
+      case Schema.Type.NULL    => NullNode.instance
+      case Schema.Type.BOOLEAN => jf.booleanNode(v.asInstanceOf[Boolean])
+      case Schema.Type.INT     => jf.numberNode(v.asInstanceOf[Int])
+      case Schema.Type.LONG    => jf.numberNode(v.asInstanceOf[Long])
+      case Schema.Type.FLOAT   => jf.numberNode(v.asInstanceOf[Float])
+      case Schema.Type.DOUBLE  => jf.numberNode(v.asInstanceOf[Double])
+      case Schema.Type.STRING  => jf.textNode(v.toString) // Utf8 or String
+      case Schema.Type.ENUM    => jf.textNode(v.toString)
+      case Schema.Type.BYTES | Schema.Type.FIXED =>
+        jf.textNode(java.util.Base64.getEncoder.encodeToString(bytesOf(v)))
+      case Schema.Type.RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        val node = mapper.createObjectNode()
+        schema.getFields.asScala.foreach { f =>
+          node.set[JsonNode](f.name(), datumToJson(f.schema(), rec.get(f.pos())))
+        }
+        node
+      case Schema.Type.ARRAY =>
+        val arr = mapper.createArrayNode()
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .foreach(e => arr.add(datumToJson(schema.getElementType, e)))
+        arr
+      case Schema.Type.MAP =>
+        val node = mapper.createObjectNode()
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.foreach { case (k, mv) =>
+          node.set[JsonNode](k.toString, datumToJson(schema.getValueType, mv))
+        }
+        node
+      case Schema.Type.UNION =>
+        val idx = GenericData.get().resolveUnion(schema, v)
+        val branch = schema.getTypes.get(idx)
+        val branches = unionBranches(schema)
+        if (branches.length <= 1) datumToJson(branch, v) // nullable X -> plain
+        else { // struct of optionals keyed by branch label
+          val node = mapper.createObjectNode()
+          node.set[JsonNode](branchLabel(branch), datumToJson(branch, v))
+          node
+        }
+    }
+  }
+
+  // ---- canonical JSON -> datum -------------------------------------------
+
+  private def jsonToDatum(schema: Schema, node: JsonNode): Any = {
+    val isNull = node == null || node.isNull
+    schema.getType match {
+      case Schema.Type.UNION =>
+        val branches = unionBranches(schema)
+        if (isNull) {
+          require(schema.getTypes.asScala.exists(_.getType == Schema.Type.NULL),
+            s"null for non-nullable union $schema")
+          null
+        } else if (branches.length == 1) jsonToDatum(branches.head, node)
+        else {
+          val set = branches.flatMap { b =>
+            Option(node.get(branchLabel(b))).filterNot(_.isNull).map(b -> _)
+          }
+          if (set.isEmpty) { // all-null branch struct = the null branch
+            require(schema.getTypes.asScala.exists(_.getType == Schema.Type.NULL),
+              s"no branch set for non-nullable union $schema: $node")
+            null
+          } else {
+            require(set.length == 1,
+              s"union value must set exactly one branch of $schema, got $node")
+            jsonToDatum(set.head._1, set.head._2)
+          }
+        }
+      case _ if isNull =>
+        require(schema.getType == Schema.Type.NULL,
+          s"null for non-nullable field of type $schema")
+        null
+      case Schema.Type.NULL    => null
+      case Schema.Type.BOOLEAN => node.asBoolean()
+      case Schema.Type.INT     => node.asInt()
+      case Schema.Type.LONG    => node.asLong()
+      case Schema.Type.FLOAT   => node.asDouble().toFloat
+      case Schema.Type.DOUBLE  => node.asDouble()
+      case Schema.Type.STRING  => node.asText()
+      case Schema.Type.ENUM    => new GenericData.EnumSymbol(schema, node.asText())
+      case Schema.Type.BYTES   =>
+        ByteBuffer.wrap(java.util.Base64.getDecoder.decode(node.asText()))
+      case Schema.Type.FIXED   =>
+        new GenericData.Fixed(schema, java.util.Base64.getDecoder.decode(node.asText()))
+      case Schema.Type.RECORD =>
+        val rec = new GenericData.Record(schema)
+        schema.getFields.asScala.foreach { f =>
+          rec.put(f.pos(), jsonToDatum(f.schema(), node.get(f.name())))
+        }
+        rec
+      case Schema.Type.ARRAY =>
+        val out = new java.util.ArrayList[Any]()
+        node.forEach(e => out.add(jsonToDatum(schema.getElementType, e)))
+        out
+      case Schema.Type.MAP =>
+        val out = new java.util.HashMap[String, Any]()
+        node.fields().forEachRemaining { e =>
+          out.put(e.getKey, jsonToDatum(schema.getValueType, e.getValue))
+        }
+        out
+    }
+  }
+
+  /** Binary Avro body → the record as canonical-JSON text (null passes
+    * through; unions resolved per the class doc).
+    */
   def decodeToJson(payload: Array[Byte], schemaJson: String): String = {
     if (payload == null) return null
     val sd = serdeOf(schemaJson)
     val rec = sd.reader.read(null, DecoderFactory.get().binaryDecoder(payload, null))
-    val out = new ByteArrayOutputStream()
-    val enc = EncoderFactory.get().jsonEncoder(sd.schema, out)
-    sd.writer.write(rec, enc)
-    enc.flush()
-    out.toString("UTF-8")
+    mapper.writeValueAsString(datumToJson(sd.schema, rec))
   }
 
-  /** Avro-JSON text → binary Avro body (null passes through). */
+  /** Canonical-JSON text → binary Avro body (null passes through). */
   def encodeFromJson(json: String, schemaJson: String): Array[Byte] = {
     if (json == null) return null
     val sd = serdeOf(schemaJson)
-    val rec = sd.reader.read(null, DecoderFactory.get().jsonDecoder(sd.schema, json))
+    val rec = jsonToDatum(sd.schema, mapper.readTree(json))
+      .asInstanceOf[GenericRecord]
     val out = new ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)
     sd.writer.write(rec, enc)
@@ -78,14 +214,47 @@ object AvroCore extends Serializable {
     out.toByteArray
   }
 
+  /** The Catalyst schema [[decodeToJson]]'s output parses into — derived
+    * from the Avro schema so the Spark side can never drift from the wire
+    * side. Unions follow the class-doc mapping.
+    */
+  def sparkSchemaFor(avroSchemaJson: String): StructType =
+    sparkTypeOf(serdeOf(avroSchemaJson).schema).asInstanceOf[StructType]
+
+  private def sparkTypeOf(s: Schema): DataType = s.getType match {
+    case Schema.Type.BOOLEAN => BooleanType
+    case Schema.Type.INT     => IntegerType
+    case Schema.Type.LONG    => LongType
+    case Schema.Type.FLOAT   => FloatType
+    case Schema.Type.DOUBLE  => DoubleType
+    case Schema.Type.STRING  => StringType
+    case Schema.Type.ENUM    => StringType
+    case Schema.Type.BYTES | Schema.Type.FIXED => BinaryType
+    case Schema.Type.NULL    => NullType
+    case Schema.Type.RECORD =>
+      StructType(s.getFields.asScala.toSeq.map(f =>
+        StructField(f.name(), sparkTypeOf(f.schema()), nullable = true)))
+    case Schema.Type.ARRAY => ArrayType(sparkTypeOf(s.getElementType))
+    case Schema.Type.MAP   => MapType(StringType, sparkTypeOf(s.getValueType))
+    case Schema.Type.UNION =>
+      val branches = unionBranches(s)
+      if (branches.length == 1) sparkTypeOf(branches.head)
+      else StructType(branches.map(b =>
+        StructField(branchLabel(b), sparkTypeOf(b), nullable = true)))
+  }
+
   /** Decode a binary Avro column to a typed struct column.
-    * `sparkSchema` mirrors the Avro record's fields (names must match;
-    * Avro-JSON field encodings of primitives parse as their Spark types).
+    * `sparkSchema` mirrors the Avro record's fields — pass
+    * [[sparkSchemaFor]]'s derivation (or a compatible hand-written one).
     */
   def avroDe(c: Column, avroSchemaJson: String, sparkSchema: StructType): Column = {
     val de = udf((b: Array[Byte]) => decodeToJson(b, avroSchemaJson))
     from_json(de(c), sparkSchema)
   }
+
+  /** [[avroDe]] with the Catalyst schema derived from the Avro schema. */
+  def avroDe(c: Column, avroSchemaJson: String): Column =
+    avroDe(c, avroSchemaJson, sparkSchemaFor(avroSchemaJson))
 
   /** Encode a struct column to a binary Avro column against the schema. */
   def avroSer(c: Column, avroSchemaJson: String): Column = {
