@@ -95,7 +95,7 @@ final class StoreRegistry(spark: SparkSession) {
   }
 
   /** Latest (key, value, ts) view straight off a checkpointed store's state
-    * files — no driver map, no reprocessing of the changelog. Two state
+    * files — no driver map, no reprocessing of the changelog. Three state
     * layouts are recognized by schema:
     *
     *  - table stores (latest-per-key fMGWS): state rows arrive as
@@ -103,32 +103,59 @@ final class StoreRegistry(spark: SparkSession) {
     *  - windowed-aggregation stores (native streaming agg over
     *    `window(...)`): key = (window, key), value = (buffer…, max-ts) —
     *    normalized to the `Windowed[K]`-shaped key struct `fetch`/`fetchAll`
-    *    expect. Retention caveat: this view shows LIVE state, so windows the
-    *    watermark has already evicted are absent (the driver-map mode's fold
-    *    retains them) — query within the retention horizon.
+    *    expect. A single aggregation buffer surfaces as a scalar `value`;
+    *    multiple buffers surface as a struct of them (field names = the
+    *    aggregate function names Spark stamps on the state schema);
+    *  - session-window stores (native `session_window` agg): key =
+    *    (grouping key, sessionStartTime), value = (session_window, key,
+    *    buffer…, max-ts) — normalized to the same `Windowed[K]` shape with
+    *    the session's merged [start, end).
+    *
+    * The max-timestamp buffer is identified by its state-schema name
+    * (`max`) — Spark names state fields after the aggregate function, not
+    * its alias. Retention caveat: this view shows LIVE state, so windows
+    * the watermark has already evicted are absent (the driver-map mode's
+    * fold retains them) — query within the retention horizon.
     */
   private def checkpointView(storeName: String): DataFrame = {
     val raw = spark.read.format("statestore")
       .option("path", checkpoints.get(storeName)).load()
     val valueType = raw.schema("value").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val keyType = raw.schema("key").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // one agg buffer -> scalar value; several -> struct of buffers
+    def aggValue(aggFields: Array[org.apache.spark.sql.types.StructField]) = {
+      require(aggFields.nonEmpty,
+        s"no aggregation buffer in state layout for $storeName: $valueType")
+      if (aggFields.length == 1) col(s"value.${aggFields.head.name}")
+      else struct(aggFields.map(f => col(s"value.${f.name}").as(f.name)): _*)
+    }
     if (valueType.fieldNames.contains("groupState"))
       raw.select(col("value.groupState.key").as("key"),
         col("value.groupState.value").as("value"),
         col("value.groupState.ts").as("ts"))
-    else {
-      val keyType = raw.schema("key").dataType
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    else if (valueType.fieldNames.contains("session_window")) {
+      val groupCols = keyType.fieldNames.filterNot(_ == "sessionStartTime")
+      require(groupCols.length == 1,
+        s"session checkpoint view expects one grouping column, got key=$keyType")
+      val aggFields = valueType.fields.filterNot(f =>
+        f.name == "max" || f.name == "session_window" || groupCols.contains(f.name))
+      raw.select(
+        struct(col(s"value.${groupCols.head}").as("key"),
+          col("value.session_window.start").as("start"),
+          col("value.session_window.end").as("end")).as("key"),
+        aggValue(aggFields).as("value"),
+        col("value.max").as("ts"))
+    } else {
       require(keyType.fieldNames.contains("window"),
         s"unsupported state layout for $storeName: key=$keyType value=$valueType")
       val aggFields = valueType.fields.filterNot(_.name == "max")
-      require(aggFields.length == 1,
-        s"windowed checkpoint view expects one aggregation buffer, got $valueType")
       raw.select(
         struct(col("key.key").as("key"),
           col("key.window.start").as("start"),
           col("key.window.end").as("end")).as("key"),
-        col(s"value.${aggFields.head.name}").as("value"),
+        aggValue(aggFields).as("value"),
         col("value.max").as("ts"))
     }
   }

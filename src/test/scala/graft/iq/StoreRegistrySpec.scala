@@ -171,6 +171,73 @@ class StoreRegistrySpec extends SparkSpec {
     registry.stop()
   }
 
+  test("checkpointed session store: fetch reads merged sessions off the checkpoint") {
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    // 10s gap: a@1000+2000 merge into [1000, 12000), b@5000 is [5000, 15000);
+    // max event time 5000 keeps the watermark below both ends, so both
+    // sessions are LIVE state when the batch commits
+    val table = new KStream(in.toDS().map { case (k, v) =>
+      KV(k, v, new java.sql.Timestamp(v)) })
+      .groupByKey
+      .windowedBy(graft.dsl.SessionWindow(java.time.Duration.ofMillis(10000L)))
+      .count
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_sess").toString
+    // session aggregations only stream in append mode
+    val q = registry.materializeCheckpointed(table, "sess_store", ckpt,
+      outputMode = "append")
+    in.addData(("a", 1000L), ("a", 2000L), ("b", 5000L))
+    q.processAllAvailable()
+
+    assert(registry.storeSize("sess_store") === None) // no driver map
+    val a = registry.fetch("sess_store", "a", 0L, 30000L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key")
+          .getAs[java.sql.Timestamp]("start").getTime,
+        r.getAs[org.apache.spark.sql.Row]("key")
+          .getAs[java.sql.Timestamp]("end").getTime,
+        r.getAs[Long]("value")))
+    assert(a.toSeq === Seq((1000L, 12000L, 2L))) // merged session, count 2
+    val everything = registry.fetchAll("sess_store", 0L, 30000L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key").getAs[String]("key"),
+        r.getAs[Long]("value")))
+    assert(everything.toSeq === Seq(("a", 2L), ("b", 1L)))
+    registry.stop()
+  }
+
+  test("checkpointed multi-buffer windowed store surfaces all aggregation buffers") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import graft.dsl.{Upsert, Windowed}
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    // a windowed agg with TWO buffers (count + sum) beside the max-ts
+    // 1h delay = retention: no window is watermark-evicted during the test
+    val df = in.toDS().map { case (k, v) => (k, v, new Timestamp(v)) }
+      .toDF("key", "value", "ts").withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sv"),
+        max(col("ts")).as("mts"))
+    val table = new graft.dsl.KTable(df
+      .select(col("key"), col("window.start"), col("window.end"),
+        col("cnt"), col("sv"), col("mts"))
+      .as[(String, Timestamp, Timestamp, Long, Long, Timestamp)]
+      .map { case (k, s, e, c, sv, m) => Upsert(Windowed(k, s, e), Some((c, sv)), m) })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_multi").toString
+    val q = registry.materializeCheckpointed(table, "multi_store", ckpt)
+    in.addData(("a", 1000L), ("a", 2000L), ("b", 12000L))
+    q.processAllAvailable()
+
+    // value = struct of the two buffers, named after the aggregate functions
+    val rows = registry.fetchAll("multi_store", 0L, 30000L).collect()
+      .map { r =>
+        val v = r.getAs[org.apache.spark.sql.Row]("value")
+        (r.getAs[org.apache.spark.sql.Row]("key").getAs[String]("key"),
+          v.getAs[Long]("count"), v.getAs[Long]("sum"))
+      }
+    assert(rows.toSeq === Seq(("a", 2L, 3000L), ("b", 1L, 12000L)))
+    registry.stop()
+  }
+
   test("error handling: permissive parse splits good and corrupt records") {
     import graft.runtime.ErrorHandling
     import org.apache.spark.sql.types._
