@@ -3,6 +3,11 @@ ThisBuild / version := "0.1.0"
 name := "kafkastreamnetspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
+// Deploy-time connector jars vendored into lib/ (e.g. spark-sql-kafka for
+// the live-broker smoke, see docs/KAFKA.md) join the classpath too;
+// the directory is empty in this container and that is fine.
+Compile / unmanagedJars ++= ((baseDirectory.value / "lib") * "*.jar").classpath
+Test / unmanagedJars ++= ((baseDirectory.value / "lib") * "*.jar").classpath
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
 libraryDependencies ++= Seq(
