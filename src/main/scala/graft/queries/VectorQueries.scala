@@ -318,9 +318,47 @@ object VectorQueries {
     }.toDF("seed_id", "l2_e4")
   }
 
+  /** Whole-sample exact top-5 per query via the k-capped heap aggregate
+    * ([[graft.functions.TopKIdsAgg]]) — the one-job exact side of
+    * `annRecallAtBatch`: query vectors ride as broadcast literals, the
+    * explode feeds partial aggregation directly (shuffle = partitions ×
+    * queries × k rows, never |corpus| × |queries|). The oracle mirrors the
+    * ranking (cosine desc, id asc — identical double fold) with a window +
+    * ordered list; ids emit as a CSV string so both engines render
+    * identically.
+    */
+  val qAnnTopkBatch = q(
+    "q_ann_topk_batch",
+    "WITH qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 3), " +
+      "c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 3), " +
+      s"scored AS (SELECT qid, vec_id, ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) AS cs FROM c, qv), " +
+      "ranked AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn FROM scored) " +
+      "SELECT qid, array_to_string(list(vec_id ORDER BY rn), ',') AS ids_csv " +
+      "FROM ranked WHERE rn <= 5 GROUP BY qid") { (s, d) =>
+    graft.functions.TopKIdsAgg.register(s)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq))
+    val qlits = array(queries.map { case (qi, qv) =>
+      struct(lit(qi).as("qid"), array(qv.map(lit(_)): _*).as("qvec"))
+    }.toIndexedSeq: _*)
+    Tables.embeddingsBalanced(s, d).filter(col("vec_id") >= 3)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("__q", explode(qlits))
+      .select(col("__q.qid").as("qid"),
+        (dotCol(col("embedding"), col("__q.qvec")) /
+          (normCol(col("embedding")) * normCol(col("__q.qvec")))).as("cs"),
+        col("vec_id"))
+      .groupBy("qid")
+      .agg(graft.functions.TopKIdsAgg.topkIds(col("cs"), col("vec_id"), 5).as("ids"))
+      .select(col("qid"),
+        concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_csv"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
-    qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed)
+    qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
+    qAnnTopkBatch)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

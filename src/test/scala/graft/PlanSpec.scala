@@ -108,6 +108,19 @@ class PlanSpec extends SparkSpec {
     assert(udfs.isEmpty, s"Bloom probe must not use a ScalaUDF:\n${udfs.mkString("\n")}")
   }
 
+  test("q_ann_topk_batch ranks via partial-aggregated heaps, not a window over the cross product") {
+    val df = SparkEntry.queries("q_ann_topk_batch")(spark, dir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the k-capped heap aggregate must run two-phase (partial before the
+    // shuffle), so the exchange carries partitions x queries x k rows --
+    // a row_number window would shuffle the whole corpus x queries product
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      "topk_ids must aggregate two-phase:\n" + p.take(1500))
+    assert(!p.contains("Window"), "no window ranking on the batch-exact path")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "query sample must ride as literals, not a join")
+  }
+
   test("q_ngram_jaccard prep is join-free: scan -> explode -> one reused blocking shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, RepartitionByExpression}
     val df = SparkEntry.queries("q_ngram_jaccard")(spark, dir)
