@@ -196,6 +196,30 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** [[dedupNear]] with a SURVIVOR POLICY: instead of each cluster's
+    * minimum id, keep the member maximizing `keepBy` (ties → lowest id) —
+    * what production pipelines usually want ("keep the longest /
+    * highest-quality duplicate, drop the rest"). Costs one extra shuffle
+    * vs [[dedupNear]]: the per-cluster arg-max is a `groupBy(rep)` +
+    * `max_by`, map-side combined, so the shuffle carries one candidate row
+    * per cluster per partition — still no all-pairs stage anywhere.
+    * `idCol` must be non-negative (the tie-break negates it inside the
+    * max_by ordering key).
+    */
+  def dedupNearBy(df: DataFrame, idCol: String, textCol: String, keepBy: Column,
+      minAgreeFraction: Double = 0.5,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
+    val pairs = nearDuplicates(df, idCol, textCol, minAgreeFraction,
+      hotBucketThreshold)
+    val reps = connectedComponents(pairs, df, idCol)
+    val cols = df.columns.toIndexedSeq
+    df.join(reps, Seq(idCol))
+      .groupBy(col("rep"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(keepBy.as("q"), (-col(idCol)).as("negid"))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}

@@ -203,6 +203,32 @@ object TextQueries {
       .select("doc_id", "n_chars")
   }
 
+  /** [[graft.operators.Dedup.dedupNearBy]]: same pipeline as
+    * [[qDedupNear]] but the survivor is each cluster's LONGEST doc
+    * (max n_chars, tie → lowest id) instead of its minimum id — the
+    * survivor-policy form. Oracle: identical recursive closure, arg-max
+    * via QUALIFY row_number per component.
+    */
+  val qDedupNearBest = q(
+    "q_dedup_near_best",
+    s"WITH RECURSIVE $minhashCtesSql, " +
+      s"pairs AS (SELECT ida, idb FROM cand " +
+      "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm), " +
+      "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+      "reach(na, nb) AS (SELECT na, nb FROM e " +
+      "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na), " +
+      "reps AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.nb), d.doc_id)) AS rep " +
+      "FROM documents d LEFT JOIN reach r ON r.na = d.doc_id GROUP BY d.doc_id) " +
+      "SELECT doc_id, n_chars FROM (SELECT d.doc_id, d.n_chars FROM documents d " +
+      "JOIN reps USING (doc_id) QUALIFY row_number() OVER " +
+      "(PARTITION BY reps.rep ORDER BY d.n_chars DESC, d.doc_id) = 1)") { (s, d) =>
+    graft.operators.Dedup
+      .dedupNearBy(Tables.documentsBalanced(s, d), "doc_id", "text",
+        keepBy = col("n_chars"), minAgreeFraction = 0.5)
+      .select("doc_id", "n_chars")
+  }
+
   /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
     * iff the ±1 vote sum over token occurrences is positive. Pure integer
     * arithmetic → oracle-exact.
@@ -665,7 +691,7 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
-    qMinhashSig, qDedupMinhash, qDedupNear, qSimhash,
+    qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qSimhash,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,

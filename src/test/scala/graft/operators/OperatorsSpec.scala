@@ -108,6 +108,34 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === (1L until 12L).map(i => (0L, i)).toSet)
   }
 
+  test("dedupNearBy keeps each cluster's best-quality member, not its min id") {
+    // 0/1/3 form one near-dup cluster (exact + near dups of each other);
+    // doc 3 is the LONGEST, so the n_chars policy must keep 3 and drop the
+    // lower-id 0 and 1; the unrelated doc 4 survives untouched
+    val withLen = docs.withColumn("n_chars", length(col("text")))
+    val kept = graft.operators.Dedup.dedupNearBy(
+        withLen, "doc_id", "text", keepBy = col("n_chars"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(0L) && !kept.contains(1L),
+      s"cluster's shorter members must be dropped, kept=$kept")
+    assert(kept.contains(4L), "pair-free docs survive")
+    // the survivor of the cluster is its longest member
+    val clusterKept = kept - 4L
+    val lens = withLen.collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val clusterIds = Set(0L, 1L, 2L, 3L).intersect(lens.keySet)
+    clusterKept.foreach { id =>
+      val peers = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup.nearDuplicates(withLen, "doc_id", "text"),
+        withLen, "doc_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val myRep = peers(id)
+      val myCluster = peers.collect { case (d, r) if r == myRep => d }
+      assert(myCluster.forall(d => lens(d) < lens(id) ||
+        (lens(d) == lens(id) && d >= id)),
+        s"survivor $id is not the (len, -id)-max of $myCluster")
+    }
+  }
+
   test("ngram-jaccard df cap bounds the boilerplate-shingle pair blowup") {
     import graft.queries.TextQueries
     // 10 docs sharing ONE boilerplate shingle (plus a unique one each): the
