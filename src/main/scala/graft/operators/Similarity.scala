@@ -291,6 +291,51 @@ object Similarity {
       .drop("__bucket", "__qbucket", "__rn")
   }
 
+  /** Batch MULTI-PROBE ANN: [[annJoinTopK]] widened so every query also
+    * probes the buckets reached by flipping its lowest-|margin| sign bits —
+    * but with the probe sets computed IN-PLAN per query row (no driver-side
+    * loop over queries, unlike [[annTopKMultiProbe]]). Each query row
+    * derives its per-bit margins against the literal hyperplanes, sorts
+    * them, and explodes into `probes` bucket ids; the corpus computes its
+    * bucket map-side and never shuffles (query side broadcast). Restricted
+    * to SINGLE-bit flips (`probes <= nBits + 1`) — the common regime, where
+    * step-wise probing and the full Lv'07 global ordering coincide; for
+    * deeper probe sequences use the single-query form.
+    */
+  def annJoinTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      k: Int, nBits: Int = 12, probes: Int = 4,
+      dim: Int = Vectors.Dim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
+    require(probes >= 1 && probes <= nBits + 1,
+      s"batch multi-probe uses single-bit flips: probes must be <= nBits + 1, got $probes")
+    // per-bit margin structs; field order (am, b, ...) makes array_sort's
+    // lexicographic struct order = (|margin| asc, bit asc) — the probe order
+    val margins = array((0 until nBits).map { j =>
+      val r = Vectors.hyperplane(j, dim)
+      val rCol = array(r.toIndexedSeq.map(lit): _*)
+      val d = VectorQueries.dotCol(col(qVecCol), rCol)
+      struct(abs(d).as("am"), lit(j).as("b"), lit(1 << j).as("bit"), d.as("d"))
+    }: _*)
+    val qs = queries
+      .withColumn("__m", margins)
+      .withColumn("__qbucket", aggregate(col("__m"), lit(0), (acc, e) =>
+        acc + when(e.getField("d") > 0, e.getField("bit")).otherwise(0)))
+      .withColumn("__probe", explode(concat(
+        array(col("__qbucket")),
+        transform(slice(array_sort(col("__m")), 1, probes - 1),
+          f => col("__qbucket").bitwiseXOR(f.getField("bit"))))))
+      .drop("__m")
+    val c = corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    c.join(broadcast(qs), col("__bucket") === col("__probe"))
+      .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__bucket", "__qbucket", "__probe", "__rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded random-hyperplane LSH —
     * the candidate-generation shape that survives 100 TB. Rows are exploded
     * into `bands` (band, bucket) keys from disjoint hyperplane blocks; a pair

@@ -318,6 +318,45 @@ object VectorQueries {
     }.toDF("seed_id", "l2_e4")
   }
 
+  /** Batch multi-probe ANN
+    * ([[graft.operators.Similarity.annJoinTopKMultiProbe]]): every query in
+    * the set probes its own bucket plus the 2 lowest-|margin| single-bit
+    * flips, computed in-plan — no driver loop. The oracle mirrors the
+    * per-query margins (identical literal hyperplanes and fold order), the
+    * flip selection (QUALIFY over (|margin|, bit)), and the per-query
+    * ranking.
+    */
+  val qAnnMultiProbeBatch = q(
+    "q_ann_multiprobe_batch", {
+      val nBits = 6
+      val marginRows = (0 until nBits).map { j =>
+        val lits = Vectors.hyperplane(j, Vectors.Dim)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"SELECT qid, $j AS b, list_sum(list_transform(range(1, ${Vectors.Dim + 1}), " +
+          s"i -> q[i]::DOUBLE * ([$lits])[i])) AS d FROM qv"
+      }.mkString(" UNION ALL ")
+      "WITH qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 2), " +
+        s"m AS ($marginRows), " +
+        "qb AS (SELECT qid, CAST(sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INT) AS qbucket FROM m GROUP BY qid), " +
+        "flips AS (SELECT qid, b FROM m QUALIFY row_number() OVER (PARTITION BY qid ORDER BY abs(d), b) <= 2), " +
+        "probes AS (SELECT qid, qbucket AS bkt FROM qb " +
+        "UNION SELECT qb.qid, xor(qbucket, 1 << b) FROM qb JOIN flips ON qb.qid = flips.qid), " +
+        s"bk AS (SELECT vec_id, embedding, ${Vectors.lshBucketSql("embedding", nBits)} AS bkt " +
+        "FROM embeddings WHERE vec_id >= 2) " +
+        s"SELECT qid, vec_id, ${Exact.quantSql(dotSql("embedding", "q") + " / (" + normSql("embedding") + " * " + normSql("q") + ")", 10000)} AS cos_e4 " +
+        "FROM bk JOIN probes USING (bkt) JOIN qv USING (qid) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) DESC, vec_id) <= 5"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val qdf = Tables.embeddings(s, d).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Similarity
+      .annJoinTopKMultiProbe(emb.filter(col("vec_id") >= 2), qdf,
+        "vec_id", "embedding", "qid", "qvec", k = 5, nBits = 6, probes = 3)
+      .select(col("qid"), col("vec_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Whole-sample exact top-5 per query via the k-capped heap aggregate
     * ([[graft.functions.TopKIdsAgg]]) — the one-job exact side of
     * `annRecallAtBatch`: query vectors ride as broadcast literals, the
@@ -358,7 +397,7 @@ object VectorQueries {
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
-    qAnnTopkBatch)
+    qAnnTopkBatch, qAnnMultiProbeBatch)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

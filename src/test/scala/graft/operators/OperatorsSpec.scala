@@ -529,6 +529,29 @@ class OperatorsSpec extends SparkSpec {
     assert(rAll === 1.0)
   }
 
+  test("batch multi-probe: probes=1 equals the single-bucket join, more probes widen recall") {
+    val rnd = new scala.util.Random(13)
+    val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val pts = (0 until 50).map { i =>
+      (i.toLong, query.map(x => x + (rnd.nextFloat() * 2 - 1) * 0.4f))
+    }
+    val corpus = pts.toDF("vec_id", "embedding")
+    val qdf = Seq((0, query), (1, query.map(-_))).toDF("qid", "qvec")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Int, Long)] =
+      df.select("qid", "vec_id").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val single = ids(Similarity.annJoinTopK(corpus, qdf,
+      "vec_id", "embedding", "qid", "qvec", k = 50, nBits = 8, dim = 16))
+    val p1 = ids(Similarity.annJoinTopKMultiProbe(corpus, qdf,
+      "vec_id", "embedding", "qid", "qvec", k = 50, nBits = 8, probes = 1, dim = 16))
+    assert(p1 === single, "probes=1 must reduce to the single-bucket join")
+    val p8 = ids(Similarity.annJoinTopKMultiProbe(corpus, qdf,
+      "vec_id", "embedding", "qid", "qvec", k = 50, nBits = 8, probes = 8, dim = 16))
+    assert(p1.subsetOf(p8), "wider probing keeps every single-bucket hit")
+    assert(p8.size > p1.size,
+      s"multi-probe should recover cross-bucket neighbors (p1=${p1.size}, p8=${p8.size})")
+  }
+
   test("annRecallAtBatch equals the per-query evaluator on the same sample") {
     val rnd = new scala.util.Random(9)
     val corpus = (0 until 80)
