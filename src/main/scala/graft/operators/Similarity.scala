@@ -351,16 +351,24 @@ object Similarity {
     * (> `hotBucketThreshold`) star-link to the bucket's lowest id — see
     * [[Lsh.candidatePairs]].
     *
+    * `dim` MUST equal the vectors' true width: a mismatch nulls the
+    * hyperplane dots, collapsing every band bucket to 0 — blocks then
+    * degenerate into single hot buckets whose star-linking silently drops
+    * most true pairs (the exact verify can't recover candidates that were
+    * never generated).
+    *
     * Returns (ida, idb, cosine) with ida < idb.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, blockCols: Seq[String] = Nil,
       bands: Int = 4, bitsPerBand: Int = 4,
-      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold): DataFrame = {
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
+      dim: Int = Vectors.Dim): DataFrame = {
     val e = df.select(
       (col(idCol) +: blockCols.map(col)) :+ col(vecCol) :+ norm(col(vecCol)).as("__nrm"): _*)
     val bandKeys = array((0 until bands).map { b =>
-      struct(lit(b).as("__band"), Vectors.lshBandBucket(col(vecCol), b, bitsPerBand).as("__bkt"))
+      struct(lit(b).as("__band"),
+        Vectors.lshBandBucket(col(vecCol), b, bitsPerBand, dim).as("__bkt"))
     }: _*)
     val exploded = e.select(
       (col(idCol) +: blockCols.map(col)) :+ inline(bandKeys): _*)

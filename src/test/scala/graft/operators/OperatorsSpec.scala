@@ -103,7 +103,8 @@ class OperatorsSpec extends SparkSpec {
     // 12 identical vectors, threshold 5: every band bucket is hot -> star on
     // id 0 = 11 pairs; the orthogonal-ish 99 pairs with nothing
     val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding",
-        minCosine = 0.99, blockCols = Seq("label"), hotBucketThreshold = 5)
+        minCosine = 0.99, blockCols = Seq("label"), hotBucketThreshold = 5,
+        dim = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === (1L until 12L).map(i => (0L, i)).toSet)
   }
