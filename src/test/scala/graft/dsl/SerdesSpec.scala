@@ -136,6 +136,35 @@ class SerdesSpec extends SparkSpec {
       (Seq(0x08, 0x96, 0x01, 0x12, 0x05).map(_.toByte) ++ "alpha".getBytes).toSeq)
   }
 
+  test("protobuf core serde: unpacked repeated scalars and repeated messages decode") {
+    import ProtobufCore._
+    val msg = PMessage(Seq(
+      PField(1, "xs", PInt32, repeated = true),
+      PField(2, "ms", PMessage(Seq(PField(1, "v", PInt32))), repeated = true)))
+    // proto2-style writer: repeated int32 UNPACKED (one tag per element)
+    // interleaved with repeated nested messages
+    val body = Array(
+      0x08, 0x01,             // xs += 1 (unpacked varint)
+      0x12, 0x02, 0x08, 0x07, // ms += {v: 7}
+      0x08, 0x02,             // xs += 2
+      0x12, 0x02, 0x08, 0x09, // ms += {v: 9}
+      0x08, 0x03              // xs += 3
+    ).map(_.toByte)
+    assert(decodeToJson(body, msg) === """{"xs":[1,2,3],"ms":[{"v":7},{"v":9}]}""")
+    // our canonical re-encode packs the scalars; decoding THAT again must
+    // produce the same logical value (packed and unpacked are wire-equal)
+    val reenc = encodeFromJson(decodeToJson(body, msg), msg)
+    assert(decodeToJson(reenc, msg) === """{"xs":[1,2,3],"ms":[{"v":7},{"v":9}]}""")
+    // and the re-encode is the packed canonical form
+    assert(reenc.toSeq === Array(
+      0x0a, 0x03, 0x01, 0x02, 0x03,  // xs packed
+      0x12, 0x02, 0x08, 0x07,
+      0x12, 0x02, 0x08, 0x09).map(_.toByte).toSeq)
+    // empty message: no fields set -> zero bytes, decodes to {}
+    assert(encodeFromJson("""{}""", msg).length === 0)
+    assert(decodeToJson(Array.emptyByteArray, msg) === "{}")
+  }
+
   test("protobuf core serde: unknown fields skip, negatives and multi-index frames survive") {
     import ProtobufCore._
     val msg = PMessage(Seq(PField(1, "a", PInt32)))
