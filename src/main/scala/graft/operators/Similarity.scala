@@ -261,6 +261,41 @@ object Similarity {
       .select(col(idCol), col("cosine"))
   }
 
+  /** Batch IVF serving: [[ivfSearchTopK]] for a query SET — each query's
+    * `nprobe` nearest cells are computed IN-PLAN (scores against the
+    * literal centroid array, `array_sort`, slice, explode — no driver loop
+    * over queries), then the probed (query, cell) pairs join the assigned
+    * corpus on `centroid_id` with the query side broadcast. Cell choice and
+    * tie rules match [[ivfSearchTopK]] exactly (cos desc, cid asc). The
+    * corpus never shuffles; against an [[ivfWrite]]-persisted index the
+    * broadcast join's dynamic partition pruning restricts the scan to the
+    * union of probed cells. Per-query ranking touches only probed-cell
+    * candidates.
+    */
+  def ivfJoinTopK(assigned: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+      centroids: Seq[(Int, Array[Float])], k: Int, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(centroids.nonEmpty, "ivfJoinTopK needs centroids")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    // (-cos, cid) structs: array_sort's lexicographic order = cos desc,
+    // tie -> lowest cid — the ivfSearchTopK probe rule
+    val cellScores = array(centroids.sortBy(_._1).map { case (cid, v) =>
+      val cvec = array(v.toIndexedSeq.map(lit(_)): _*)
+      struct((-(dot(col(qVecCol), cvec) / (norm(col(qVecCol)) * norm(cvec))))
+        .as("negcos"), lit(cid).as("cid"))
+    }: _*)
+    val qs = queries
+      .withColumn("__cell", explode(transform(
+        slice(array_sort(cellScores), 1, nprobe), _.getField("cid"))))
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    assigned.join(broadcast(qs), col("centroid_id") === col("__cell"))
+      .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__cell", "__rn")
+  }
+
   /** Batch multi-query ANN: join a query SET to the corpus on LSH bucket id,
     * then take the top-k candidates per query — the shape that scales to a
     * 100 TB corpus. The corpus computes its bucket map-side and never

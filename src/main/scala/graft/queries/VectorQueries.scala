@@ -118,6 +118,43 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** Batch IVF serving ([[graft.operators.Similarity.ivfJoinTopK]]): every
+    * query in the set (vec_id 8, 9) probes its own 2 nearest of the 8
+    * cells, exact cosine top-10 within the probed cells — the bulk
+    * query path of the IVF index. The oracle mirrors the per-query probe
+    * selection (row_number over centroid cosines), the assignment, and the
+    * per-query ranking.
+    */
+  val qAnnIvfSearchBatch = q(
+    "q_ann_ivf_search_batch", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      val cosQ = s"${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id IN (8, 9)), " +
+        "probe AS (SELECT qid, cid FROM (SELECT qid, cid, row_number() OVER " +
+        s"(PARTITION BY qid ORDER BY ${dotSql("ce", "q")} / (${normSql("ce")} * ${normSql("q")}) DESC, cid) AS rn " +
+        "FROM c, qv) WHERE rn <= 2), " +
+        s"assigned AS (SELECT vec_id, embedding, cid FROM (SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id > 9) WHERE rn = 1) " +
+        s"SELECT qid, vec_id, ${Exact.quantSql(cosQ, 10000)} AS cos_e4 " +
+        "FROM assigned JOIN probe USING (cid) JOIN qv USING (qid) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY $cosQ DESC, vec_id) <= 10"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val qdf = Tables.embeddings(s, d)
+      .filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val assigned = graft.operators.Similarity
+      .ivfAssign(emb.filter(col("vec_id") > 9), "vec_id", "embedding", cents)
+    graft.operators.Similarity
+      .ivfJoinTopK(assigned, qdf, "vec_id", "embedding", "qid", "qvec",
+        cents, k = 10, nprobe = 2)
+      .select(col("qid"), col("vec_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Multi-probe LSH ANN ([[graft.operators.Similarity.annTopKMultiProbe]]):
     * the query's bucket plus the 3 flip-sets with the smallest TOTAL
     * hyperplane |margin| (globally ordered across flip sizes — a pair of
@@ -397,7 +434,7 @@ object VectorQueries {
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
-    qAnnTopkBatch, qAnnMultiProbeBatch)
+    qAnnTopkBatch, qAnnMultiProbeBatch, qAnnIvfSearchBatch)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

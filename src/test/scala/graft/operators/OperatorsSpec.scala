@@ -530,6 +530,33 @@ class OperatorsSpec extends SparkSpec {
     assert(rAll === 1.0)
   }
 
+  test("ivfJoinTopK equals per-query ivfSearchTopK across the query set") {
+    val rnd = new scala.util.Random(17)
+    def onAxis(axis: Int): Array[Float] = {
+      val v = Array.fill(8)((rnd.nextFloat() - 0.5f) * 0.2f)
+      v(axis) = 1f + rnd.nextFloat() * 0.1f; v
+    }
+    val corpus = (0 until 40).map(i => (i.toLong, onAxis(i % 4)))
+      .toDF("vec_id", "embedding")
+    val cents = (0 until 4).map { a =>
+      val v = new Array[Float](8); v(a) = 1f; (a, v)
+    }
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val queryVecs = Seq(100L -> onAxis(1), 101L -> onAxis(3))
+    val qdf = queryVecs.toDF("qid", "qvec")
+    val batch = Similarity.ivfJoinTopK(assigned, qdf,
+        "vec_id", "embedding", "qid", "qvec", cents, k = 5, nprobe = 2)
+      .select("qid", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1)).toMap
+    queryVecs.foreach { case (qid, qv) =>
+      val single = Similarity.ivfSearchTopK(assigned, "vec_id", "embedding",
+          cents, qv, k = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(batch(qid).toSeq === single, s"qid=$qid batch != per-query")
+    }
+  }
+
   test("batch multi-probe: probes=1 equals the single-bucket join, more probes widen recall") {
     val rnd = new scala.util.Random(13)
     val query = Array.fill(16)(rnd.nextFloat() * 2 - 1)
