@@ -267,10 +267,14 @@ object Similarity {
     * over queries), then the probed (query, cell) pairs join the assigned
     * corpus on `centroid_id` with the query side broadcast. Cell choice and
     * tie rules match [[ivfSearchTopK]] exactly (cos desc, cid asc). The
-    * corpus never shuffles; against an [[ivfWrite]]-persisted index the
-    * broadcast join's dynamic partition pruning restricts the scan to the
-    * union of probed cells. Per-query ranking touches only probed-cell
-    * candidates.
+    * corpus never shuffles, and the UNION of probed cells — collected in
+    * one tiny job over the (broadcast-sized by assumption) query side — is
+    * pushed as a STATIC `centroid_id IN (…)` filter, so an
+    * [[ivfWrite]]-persisted index is partition-pruned to the probed cells'
+    * files before the join (spec-asserted on the selected file set;
+    * Spark's dynamic-pruning subquery would not fire here — its heuristic
+    * wants a filtered dimension side). Per-query ranking touches only
+    * probed-cell candidates.
     */
   def ivfJoinTopK(assigned: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
@@ -288,8 +292,13 @@ object Similarity {
     val qs = queries
       .withColumn("__cell", explode(transform(
         slice(array_sort(cellScores), 1, nprobe), _.getField("cid"))))
+    // one tiny job over the broadcast-sized query side turns the probed-cell
+    // union into a static filter the source can partition-prune on
+    val probedCells = qs.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
-    assigned.join(broadcast(qs), col("centroid_id") === col("__cell"))
+    assigned.filter(col("centroid_id").isin(probedCells: _*))
+      .join(broadcast(qs), col("centroid_id") === col("__cell"))
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

@@ -87,5 +87,22 @@ class PartitioningSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val served = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(served === direct)
+
+    // the BATCH serving path prunes too: its static probed-cell IN filter
+    // restricts the persisted scan to the union of both queries' cells
+    val qdf = Seq(100L -> onAxis(1), 101L -> onAxis(2)).toSeq.toDF("qid", "qvec")
+    val batch = Similarity.ivfJoinTopK(Similarity.ivfRead(spark, dir), qdf,
+      "vec_id", "embedding", "qid", "qvec", cents, k = 5, nprobe = 2)
+    // sparkPlan (pre-AQE) exposes the scan directly; AQE only re-plans
+    // exchanges, never partition pruning
+    val bfiles = batch.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+    val btouched = bfiles.flatMap(
+      _.split("/").find(_.startsWith("centroid_id="))).distinct
+    assert(bfiles.nonEmpty && btouched.length <= 4,
+      s"batch scan must touch only the probed cells' union, got $btouched")
+    assert(btouched.contains("centroid_id=1") && btouched.contains("centroid_id=2"),
+      s"probed cells miss the query axes: $btouched")
   }
 }
