@@ -69,6 +69,41 @@ object Similarity {
     * scanned. Probe set is computed driver-side; the corpus-side filter is
     * a bucket-id IN list (partition-prunable when persisted by bucket).
     */
+  /** Flip MASKS in globally nondecreasing total-|margin| order (the Lv'07
+    * query-directed probe sequence), `count` of them: min-heap over bit-sets
+    * in ascending-|margin| bit order with the classic shift/expand
+    * successor step — each subset is generated exactly once, the heap stays
+    * O(count), total driver work O(count · log count) for ANY nBits (no
+    * combination materialization). Ties on total margin break by flip
+    * mask, mirroring the oracle's (total, mask) sort — property-locked
+    * against brute-force mask enumeration in `OperatorsSpec`.
+    */
+  private[operators] def probeMasks(absMargins: IndexedSeq[Double],
+      count: Int): Seq[Int] = {
+    if (count <= 0 || absMargins.isEmpty) return Nil
+    val sortedBits = absMargins.zipWithIndex
+      .map { case (m, j) => (j, m) }.sortBy(_._2)
+    def flipMask(set: Vector[Int]): Int =
+      set.foldLeft(0)((m, i) => m | (1 << sortedBits(i)._1))
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Vector[Int])](
+      Ordering.by[(Double, Vector[Int]), (Double, Int)] {
+        case (s, set) => (s, flipMask(set)) }.reverse)
+    heap.enqueue((sortedBits(0)._2, Vector(0)))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (out.size < count && heap.nonEmpty) {
+      val (score, set) = heap.dequeue()
+      out += flipMask(set)
+      val mx = set.last
+      if (mx + 1 < absMargins.length) {
+        // shift: …,mx → …,mx+1   expand: …,mx → …,mx,mx+1
+        heap.enqueue((score - sortedBits(mx)._2 + sortedBits(mx + 1)._2,
+          set.init :+ (mx + 1)))
+        heap.enqueue((score + sortedBits(mx + 1)._2, set :+ (mx + 1)))
+      }
+    }
+    out.toSeq
+  }
+
   def annTopKMultiProbe(corpus: DataFrame, idCol: String, vecCol: String,
       queryVec: Array[Float], k: Int, nBits: Int = 12,
       probes: Int = 4): DataFrame = {
@@ -81,36 +116,15 @@ object Similarity {
       j -> queryVec.zip(r).map { case (x, y) => x.toDouble * y }.sum
     }
     val qBucket = margins.collect { case (j, d) if d > 0 => 1 << j }.sum
-    // Probe buckets in GLOBALLY nondecreasing total flipped |margin| order
-    // (the paper's query-directed sequence): a pair of low-margin flips may
-    // legitimately outrank a single high-margin flip, so sizes interleave.
-    // Min-heap over bit-sets in ascending-|margin| bit order with the
-    // classic shift/expand successor step — each subset is generated exactly
-    // once, heap stays O(probes), total driver work O(probes · log probes)
-    // for ANY nBits (no combination materialization). Ties on total margin
-    // break by flip mask, mirroring the oracle's (total, mask) sort.
-    val sortedBits = margins.map { case (j, d) => (j, math.abs(d)) }.sortBy(_._2)
-    def flipMask(set: Vector[Int]): Int =
-      set.foldLeft(0)((m, i) => m | (1 << sortedBits(i)._1))
-    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Vector[Int])](
-      Ordering.by[(Double, Vector[Int]), (Double, Int)] {
-        case (s, set) => (s, flipMask(set)) }.reverse)
-    heap.enqueue((sortedBits(0)._2, Vector(0)))
-    val probeBuckets = scala.collection.mutable.LinkedHashSet(qBucket)
-    while (probeBuckets.size < probes && heap.nonEmpty) {
-      val (score, set) = heap.dequeue()
-      probeBuckets += (qBucket ^ flipMask(set))
-      val mx = set.last
-      if (mx + 1 < nBits) {
-        // shift: …,mx → …,mx+1   expand: …,mx → …,mx,mx+1
-        heap.enqueue((score - sortedBits(mx)._2 + sortedBits(mx + 1)._2,
-          set.init :+ (mx + 1)))
-        heap.enqueue((score + sortedBits(mx + 1)._2, set :+ (mx + 1)))
-      }
-    }
+    // the query's own bucket first, then [[probeMasks]]'s globally-ordered
+    // flip sequence (a pair of low-margin flips may legitimately outrank a
+    // single high-margin flip, so flip sizes interleave)
+    val probeBuckets = (qBucket +: probeMasks(
+      margins.map { case (_, d) => math.abs(d) }.toIndexedSeq, probes - 1)
+      .map(qBucket ^ _)).distinct
     val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
-      .filter(col("__bucket").isin(probeBuckets.toSeq: _*))
+      .filter(col("__bucket").isin(probeBuckets: _*))
       .withColumn("cosine", cosine(col(vecCol), qArr))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)

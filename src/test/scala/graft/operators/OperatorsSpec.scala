@@ -491,6 +491,41 @@ class OperatorsSpec extends SparkSpec {
     assert(sizes2.toSeq === Seq(3L, 3L, 3L))
   }
 
+  test("probeMasks emits flip masks in exact (total margin, mask) order") {
+    val rnd = new scala.util.Random(23)
+    // brute-force reference: every nonzero mask scored and sorted the way
+    // the DuckDB oracle does it
+    def brute(margins: IndexedSeq[Double]): Seq[(Double, Int)] =
+      (1 until (1 << margins.length)).map { mask =>
+        val tot = margins.indices.collect {
+          case j if ((mask >> j) & 1) == 1 => margins(j) }.sum
+        (tot, mask)
+      }.sortBy(identity)
+    // continuous random margins (no exact ties): sequence must match the
+    // brute-force (total, mask) sort exactly, for any count
+    (1 to 50).foreach { _ =>
+      val n = 2 + rnd.nextInt(9)
+      val margins = IndexedSeq.fill(n)(rnd.nextDouble() * 10)
+      val count = 1 + rnd.nextInt((1 << n) - 1)
+      val got = Similarity.probeMasks(margins, count)
+      val want = brute(margins).take(count).map(_._2)
+      assert(got === want, s"n=$n count=$count margins=$margins")
+    }
+    // exhaustive enumeration: count = 2^n - 1 yields every mask once
+    val m5 = IndexedSeq.fill(5)(rnd.nextDouble())
+    val all = Similarity.probeMasks(m5, 31)
+    assert(all.sorted === (1 to 31))
+    // tied margins: emitted SCORES still match the brute-force score
+    // sequence and masks stay distinct (tie order among equal scores is
+    // unspecified — real margins are continuous)
+    val tied = IndexedSeq(1.0, 0.0, 1.0, 0.0)
+    val gotTied = Similarity.probeMasks(tied, 15)
+    def score(mask: Int) = tied.indices.collect {
+      case j if ((mask >> j) & 1) == 1 => tied(j) }.sum
+    assert(gotTied.map(score) === brute(tied).map(_._1))
+    assert(gotTied.distinct.length === 15)
+  }
+
   test("multi-probe LSH recovers neighbors single-bucket probing misses") {
     // corpus of near-neighbors of one query: with 8 sign bits, some land in
     // adjacent buckets (one low-margin bit differs); multi-probe finds them
