@@ -1,0 +1,123 @@
+package graft.dsl
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized round-trip lock for the AvroCore JSON bridge AGAINST THE
+  * AVRO LIBRARY as the independent reference implementation: for random
+  * schemas (primitives, bytes/fixed, enums, arrays, maps, nested records,
+  * nullable unions, multi-branch unions) and random library-built records,
+  *
+  *   library-encode → AvroCore.decodeToJson → AvroCore.encodeFromJson →
+  *   library-decode
+  *
+  * must reproduce the original record structurally. 150 schema/record
+  * draws, deterministic seed.
+  */
+class AvroCorePropertySpec extends AnyFunSuite {
+
+  private var nameCounter = 0
+  private def freshName(): String = { nameCounter += 1; s"T$nameCounter" }
+
+  private def randSchema(rnd: scala.util.Random, depth: Int): Schema = {
+    def primitive(): Schema = Schema.create(rnd.nextInt(7) match {
+      case 0 => Schema.Type.BOOLEAN
+      case 1 => Schema.Type.INT
+      case 2 => Schema.Type.LONG
+      case 3 => Schema.Type.FLOAT
+      case 4 => Schema.Type.DOUBLE
+      case 5 => Schema.Type.STRING
+      case 6 => Schema.Type.BYTES
+    })
+    rnd.nextInt(10) match {
+      case 0 => Schema.createEnum(freshName(), null, null, Seq("A", "B", "C").asJava)
+      case 1 => Schema.createFixed(freshName(), null, null, 4)
+      case 2 => Schema.createArray(primitive())
+      case 3 => Schema.createMap(primitive())
+      case 4 => // nullable union
+        Schema.createUnion(Schema.create(Schema.Type.NULL), primitive())
+      case 5 => // multi-branch union (distinct branch types); sometimes a
+        // named record branch, whose label is its FULL name
+        if (depth < 2 && rnd.nextBoolean())
+          Schema.createUnion(Schema.create(Schema.Type.NULL),
+            Schema.create(Schema.Type.STRING), randRecord(rnd, depth + 1))
+        else
+          Schema.createUnion(Schema.create(Schema.Type.NULL),
+            Schema.create(Schema.Type.STRING), Schema.create(Schema.Type.LONG))
+      case 6 if depth < 2 => randRecord(rnd, depth + 1)
+      case _ => primitive()
+    }
+  }
+
+  private def randRecord(rnd: scala.util.Random, depth: Int): Schema = {
+    val fields = (0 until 1 + rnd.nextInt(4)).map { i =>
+      new Schema.Field(s"f$i", randSchema(rnd, depth), null, null)
+    }
+    Schema.createRecord(freshName(), null, "graft.test", false, fields.asJava)
+  }
+
+  private def randValue(rnd: scala.util.Random, s: Schema): AnyRef = s.getType match {
+    case Schema.Type.BOOLEAN => java.lang.Boolean.valueOf(rnd.nextBoolean())
+    case Schema.Type.INT     => java.lang.Integer.valueOf(rnd.nextInt())
+    case Schema.Type.LONG    => java.lang.Long.valueOf(rnd.nextLong())
+    case Schema.Type.FLOAT   => java.lang.Float.valueOf(rnd.nextFloat() * 100 - 50)
+    case Schema.Type.DOUBLE  => java.lang.Double.valueOf(rnd.nextDouble() * 1e6 - 5e5)
+    case Schema.Type.STRING  =>
+      new org.apache.avro.util.Utf8(rnd.alphanumeric.take(rnd.nextInt(10)).mkString + "é☃")
+    case Schema.Type.BYTES   =>
+      val b = new Array[Byte](rnd.nextInt(8)); rnd.nextBytes(b); ByteBuffer.wrap(b)
+    case Schema.Type.FIXED   =>
+      val b = new Array[Byte](s.getFixedSize); rnd.nextBytes(b)
+      new GenericData.Fixed(s, b)
+    case Schema.Type.ENUM    =>
+      new GenericData.EnumSymbol(s, s.getEnumSymbols.get(rnd.nextInt(s.getEnumSymbols.size())))
+    case Schema.Type.ARRAY   =>
+      val out = new java.util.ArrayList[AnyRef]()
+      (0 until rnd.nextInt(4)).foreach(_ => out.add(randValue(rnd, s.getElementType)))
+      out
+    case Schema.Type.MAP     =>
+      val out = new java.util.HashMap[String, AnyRef]()
+      (0 until rnd.nextInt(4)).foreach(i =>
+        out.put(s"k$i", randValue(rnd, s.getValueType)))
+      out
+    case Schema.Type.UNION   =>
+      val branches = s.getTypes.asScala
+      val b = branches(rnd.nextInt(branches.size))
+      if (b.getType == Schema.Type.NULL) null else randValue(rnd, b)
+    case Schema.Type.RECORD  =>
+      val rec = new GenericData.Record(s)
+      s.getFields.asScala.foreach(f => rec.put(f.pos(), randValue(rnd, f.schema())))
+      rec
+    case t => throw new IllegalStateException(s"unexpected $t")
+  }
+
+  test("random schemas: library bytes -> JSON bridge -> library record, structurally equal") {
+    val rnd = new scala.util.Random(41)
+    (1 to 150).foreach { i =>
+      val schema = randRecord(rnd, 0)
+      val rec = randValue(rnd, schema).asInstanceOf[GenericRecord]
+      // producer: the avro LIBRARY writes the bytes
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+      enc.flush()
+      val bytes1 = out.toByteArray
+      // bridge: decode to canonical JSON, re-encode to binary
+      val json = AvroCore.decodeToJson(bytes1, schema.toString)
+      val bytes2 = AvroCore.encodeFromJson(json, schema.toString)
+      // consumer: the avro LIBRARY reads our bytes back
+      val rec2 = new GenericDatumReader[GenericRecord](schema)
+        .read(null, DecoderFactory.get().binaryDecoder(bytes2, null))
+      // Record.equals delegates to GenericData's equals-mode compare
+      // (maps compared by equality, not order)
+      assert(rec2 === rec,
+        s"draw $i: record mismatch\nschema=$schema\njson=$json\nin =$rec\nout=$rec2")
+    }
+  }
+}
