@@ -108,6 +108,21 @@ class PlanSpec extends SparkSpec {
     assert(udfs.isEmpty, s"Bloom probe must not use a ScalaUDF:\n${udfs.mkString("\n")}")
   }
 
+  test("batch ANN serving joins broadcast query sides; the corpus never shuffles pre-join") {
+    Seq("q_ann_multiprobe_batch", "q_ann_ivf_search_batch").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("BroadcastHashJoin"), s"$name: query side must broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$name: corpus must not sort-merge")
+      // the only Exchanges allowed are the broadcast itself and the final
+      // per-query ranking shuffle — nothing repartitions the corpus before
+      // the bucket/cell join
+      val joins = df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      assert(joins.size === 1, s"$name: exactly one probe join, got ${joins.size}")
+    }
+  }
+
   test("q_ann_topk_batch ranks via partial-aggregated heaps, not a window over the cross product") {
     val df = SparkEntry.queries("q_ann_topk_batch")(spark, dir)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
