@@ -603,6 +603,28 @@ object Similarity {
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** [[ivfWrite]] plus the trained centroids persisted INSIDE the index at
+    * `path/_centroids` — underscore-prefixed, so parquet partition
+    * discovery ignores it and [[ivfRead]] still sees only cell data. A
+    * serving process then needs nothing but the path: [[ivfReadCentroids]]
+    * + [[ivfRead]] + [[ivfJoinTopK]]/[[ivfSearchTopK]].
+    */
+  def ivfWriteWithCentroids(assigned: DataFrame,
+      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
+    ivfWrite(assigned, path)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    centroids.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Centroids persisted by [[ivfWriteWithCentroids]], in the driver-side
+    * shape every search/build API takes.
+    */
+  def ivfReadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Array[Float])] =
+    collectCentroids(spark.read.parquet(s"$path/_centroids"), "cid", "cvec")
+
   /** Reduce k-means|| candidates to k seeds: weight each candidate by its
     * cell population (one distributed count pass), then run deterministic
     * weighted farthest-point selection over the ≤ l·rounds candidates on

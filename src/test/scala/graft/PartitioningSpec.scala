@@ -104,5 +104,19 @@ class PartitioningSpec extends SparkSpec {
       s"batch scan must touch only the probed cells' union, got $btouched")
     assert(btouched.contains("centroid_id=1") && btouched.contains("centroid_id=2"),
       s"probed cells miss the query axes: $btouched")
+
+    // self-contained serving: centroids persisted INSIDE the index under
+    // _centroids are invisible to the data read and reload identically
+    Similarity.ivfWriteWithCentroids(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents), cents, dir)
+    val reloaded = Similarity.ivfReadCentroids(spark, dir)
+    assert(reloaded.sortBy(_._1).map { case (c, v) => (c, v.toSeq) } ===
+      cents.sortBy(_._1).map { case (c, v) => (c, v.toSeq) })
+    assert(!Similarity.ivfRead(spark, dir).columns.contains("cvec"),
+      "centroid rows must not leak into the index data read")
+    val servedAgain = Similarity.ivfSearchTopK(Similarity.ivfRead(spark, dir),
+        "vec_id", "embedding", reloaded, query, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(servedAgain === direct)
   }
 }
