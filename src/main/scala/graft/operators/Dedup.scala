@@ -196,6 +196,41 @@ object Dedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — a published
+    * algorithm): hash every character `k`-gram, then keep the minimum hash
+    * of each `w`-wide window — the classic rolling-hash fingerprint set
+    * (MOSS). Guarantees: any shared substring of length ≥ k + w − 1
+    * produces at least one shared fingerprint, and no shared substring
+    * shorter than k is ever detected. Output: (id, `fingerprints`
+    * array<long>, sorted distinct). Docs shorter than `k` are dropped
+    * (no gram exists).
+    *
+    * Scale shape: pure map-side — `transform` over positions with the
+    * native md5-prefix hash, window minima via `slice`/`array_min`, no
+    * shuffle, no state. Fingerprint overlap feeds the usual pair
+    * machinery ([[Lsh.candidatePairs]] on exploded fingerprints) when
+    * pairing is wanted.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
+    graft.functions.Md5Prefix32.register(df.sparkSession)
+    val text = col(textCol)
+    val grams = transform(sequence(lit(1), length(text) - (k - 1)),
+      i => TextQueries.hash32(text.substr(i, lit(k))))
+    // fewer than w grams: the whole doc is one window (winnowing's natural
+    // degenerate case) — otherwise every w-window contributes its minimum
+    val wins = when(size(col("__g")) >= w,
+        transform(sequence(lit(1), size(col("__g")) - (w - 1)),
+          j => array_min(slice(col("__g"), j, lit(w)))))
+      .otherwise(array(array_min(col("__g"))))
+    df.filter(length(text) >= k)
+      .select(col(idCol), grams.as("__g"))
+      .select(col(idCol),
+        array_sort(array_distinct(wins)).as("fingerprints"))
+  }
+
   /** [[dedupNear]] with a SURVIVOR POLICY: instead of each cluster's
     * minimum id, keep the member maximizing `keepBy` (ties → lowest id) —
     * what production pipelines usually want ("keep the longest /

@@ -203,6 +203,31 @@ object TextQueries {
       .select("doc_id", "n_chars")
   }
 
+  /** Winnowing fingerprints ([[graft.operators.Dedup.winnowFingerprints]],
+    * Schleimer et al. SIGMOD'03): char-8-gram rolling hashes, minimum per
+    * 4-window, distinct. The oracle recomputes the identical hash
+    * (md5-prefix over the same character substrings) and window minima
+    * with list comprehensions; the digest is (count, sum) of the
+    * fingerprint set — integer-exact.
+    */
+  val qWinnowFingerprint = q(
+    "q_winnow_fingerprint", {
+      val k = 8; val w = 4
+      s"WITH g AS (SELECT doc_id, [${hash32Sql(s"substr(text, i, $k)")} " +
+        s"for i in range(1, length(text) - $k + 2)] AS gs " +
+        s"FROM documents WHERE length(text) >= $k), " +
+        s"wins AS (SELECT doc_id, CASE WHEN len(gs) >= $w THEN " +
+        s"[list_min(gs[j:j+${w - 1}]) for j in range(1, len(gs) - $w + 2)] " +
+        "ELSE [list_min(gs)] END AS ws FROM g), " +
+        "fp AS (SELECT doc_id, list_sort(list_distinct(ws)) AS fps FROM wins) " +
+        "SELECT doc_id, len(fps) AS n_fp, CAST(list_sum(fps) AS BIGINT) AS fp_sum FROM fp"
+    }) { (s, d) =>
+    graft.operators.Dedup
+      .winnowFingerprints(Tables.documentsBalanced(s, d), "doc_id", "text")
+      .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
+        aggregate(col("fingerprints"), lit(0L), _ + _).as("fp_sum"))
+  }
+
   /** [[graft.operators.Dedup.dedupNearBy]]: same pipeline as
     * [[qDedupNear]] but the survivor is each cluster's LONGEST doc
     * (max n_chars, tie → lowest id) instead of its minimum id — the
@@ -692,6 +717,7 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qSimhash,
+    qWinnowFingerprint,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,

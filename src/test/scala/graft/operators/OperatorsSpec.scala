@@ -109,6 +109,28 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === (1L until 12L).map(i => (0L, i)).toSet)
   }
 
+  test("winnowing fingerprints: shared long substrings always share a fingerprint") {
+    val rnd = new scala.util.Random(19)
+    def randText(n: Int) = rnd.alphanumeric.take(n).mkString
+    // k = 8, w = 4: any shared substring of length >= k + w - 1 = 11 must
+    // yield at least one shared fingerprint (the winnowing guarantee)
+    val shared = randText(40)
+    val docs = Seq(
+      (0L, randText(30) + shared + randText(25)),
+      (1L, randText(50) + shared),         // same 40-char block elsewhere
+      (2L, randText(80))                   // unrelated
+    ).toDF("doc_id", "text")
+    val fps = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      "docs sharing a 40-char substring must share a fingerprint")
+    // short docs (< k chars) drop out; docs of exactly k chars get one
+    val tiny = Seq((0L, "abcdefg"), (1L, "abcdefgh")).toDF("doc_id", "text")
+    val tfps = graft.operators.Dedup.winnowFingerprints(tiny, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(!tfps.contains(0L) && tfps(1L).length === 1)
+  }
+
   test("dedupNearBy keeps each cluster's best-quality member, not its min id") {
     // 0/1/3 form one near-dup cluster (exact + near dups of each other);
     // doc 3 is the LONGEST, so the n_chars policy must keep 3 and drop the
