@@ -231,6 +231,33 @@ object Dedup {
         array_sort(array_distinct(wins)).as("fingerprints"))
   }
 
+  /** MOSS-style near-dup pairs over winnowing fingerprints: documents
+    * sharing at least `minShared` fingerprints (plus the shared/union
+    * counts for Jaccard-style filtering). Rides the same ONE-shuffle
+    * sorted-run machinery as n-gram Jaccard ([[Lsh.scanRuns]]): exploded
+    * fingerprints shuffle once on the fingerprint value, boilerplate
+    * fingerprints with document frequency > `maxDf` are dropped
+    * mid-stream with O(maxDf) memory, and intersections/set-sizes
+    * aggregate off the same Exchange — no self-join, no all-pairs stage.
+    */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    val exploded = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(col("fingerprints")).as("fp"))
+    val scan = Lsh.scanRuns(exploded, idCol, Seq("fp"), maxDf,
+      hotStar = false, emitMembers = true)
+    val inter = scan.filter(col("tag") === 0)
+      .groupBy(col("a").as("ida"), col("b").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    val sz = scan.filter(col("tag") === 1)
+      .groupBy(col("a").as("__wid")).agg(count(lit(1)).as("n"))
+    inter.join(sz.as("na"), col("na.__wid") === col("ida"))
+      .join(sz.as("nb"), col("nb.__wid") === col("idb"))
+      .select(col("ida"), col("idb"), col("shared"),
+        (col("na.n") + col("nb.n") - col("shared")).as("u"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** [[dedupNear]] with a SURVIVOR POLICY: instead of each cluster's
     * minimum id, keep the member maximizing `keepBy` (ties → lowest id) —
     * what production pipelines usually want ("keep the longest /

@@ -210,22 +210,51 @@ object TextQueries {
     * with list comprehensions; the digest is (count, sum) of the
     * fingerprint set — integer-exact.
     */
+  /** Shared winnowing CTE chain (`g` → `wins` → `fp(doc_id, fps)`) — one
+    * definition drives both winnow oracles.
+    */
+  private def winnowCtesSql(k: Int, w: Int): String =
+    s"g AS (SELECT doc_id, [${hash32Sql(s"substr(text, i, $k)")} " +
+      s"for i in range(1, length(text) - $k + 2)] AS gs " +
+      s"FROM documents WHERE length(text) >= $k), " +
+      s"wins AS (SELECT doc_id, CASE WHEN len(gs) >= $w THEN " +
+      s"[list_min(gs[j:j+${w - 1}]) for j in range(1, len(gs) - $w + 2)] " +
+      "ELSE [list_min(gs)] END AS ws FROM g), " +
+      "fp AS (SELECT doc_id, list_sort(list_distinct(ws)) AS fps FROM wins)"
+
   val qWinnowFingerprint = q(
-    "q_winnow_fingerprint", {
-      val k = 8; val w = 4
-      s"WITH g AS (SELECT doc_id, [${hash32Sql(s"substr(text, i, $k)")} " +
-        s"for i in range(1, length(text) - $k + 2)] AS gs " +
-        s"FROM documents WHERE length(text) >= $k), " +
-        s"wins AS (SELECT doc_id, CASE WHEN len(gs) >= $w THEN " +
-        s"[list_min(gs[j:j+${w - 1}]) for j in range(1, len(gs) - $w + 2)] " +
-        "ELSE [list_min(gs)] END AS ws FROM g), " +
-        "fp AS (SELECT doc_id, list_sort(list_distinct(ws)) AS fps FROM wins) " +
-        "SELECT doc_id, len(fps) AS n_fp, CAST(list_sum(fps) AS BIGINT) AS fp_sum FROM fp"
-    }) { (s, d) =>
+    "q_winnow_fingerprint",
+    s"WITH ${winnowCtesSql(8, 4)} " +
+      "SELECT doc_id, len(fps) AS n_fp, CAST(list_sum(fps) AS BIGINT) AS fp_sum FROM fp") { (s, d) =>
     graft.operators.Dedup
       .winnowFingerprints(Tables.documentsBalanced(s, d), "doc_id", "text")
       .select(col("doc_id"), size(col("fingerprints")).as("n_fp"),
         aggregate(col("fingerprints"), lit(0L), _ + _).as("fp_sum"))
+  }
+
+  /** MOSS-style winnow-overlap pairs
+    * ([[graft.operators.Dedup.winnowOverlapPairs]]): docs sharing ≥ 2
+    * df-capped winnowing fingerprints, with shared/union counts. The
+    * oracle recomputes the identical fingerprints, applies the same df
+    * cap, and self-joins — the operator's one-shuffle run scan must match
+    * it exactly.
+    */
+  val qWinnowPairs = q(
+    "q_winnow_pairs", {
+      val maxDf = 64
+      s"WITH ${winnowCtesSql(8, 4)}, " +
+        "fpx AS (SELECT doc_id, unnest(fps) AS fp FROM fp), " +
+        s"keep AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= $maxDf), " +
+        "fx AS (SELECT doc_id, fp FROM fpx JOIN keep USING (fp)), " +
+        "inter AS (SELECT x.doc_id AS ida, y.doc_id AS idb, count(*) AS shared " +
+        "FROM fx x JOIN fx y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2), " +
+        "sz AS (SELECT doc_id, count(*) AS n FROM fx GROUP BY doc_id) " +
+        "SELECT ida, idb, shared, na.n + nb.n - shared AS u FROM inter " +
+        "JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb " +
+        "WHERE shared >= 2"
+    }) { (s, d) =>
+    graft.operators.Dedup.winnowOverlapPairs(
+      Tables.documentsBalanced(s, d), "doc_id", "text")
   }
 
   /** [[graft.operators.Dedup.dedupNearBy]]: same pipeline as
@@ -717,7 +746,7 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qSimhash,
-    qWinnowFingerprint,
+    qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,
