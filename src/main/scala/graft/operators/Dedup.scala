@@ -219,16 +219,25 @@ object Dedup {
     val text = col(textCol)
     val grams = transform(sequence(lit(1), length(text) - (k - 1)),
       i => TextQueries.hash32(text.substr(i, lit(k))))
-    // fewer than w grams: the whole doc is one window (winnowing's natural
-    // degenerate case) — otherwise every w-window contributes its minimum
-    val wins = when(size(col("__g")) >= w,
-        transform(sequence(lit(1), size(col("__g")) - (w - 1)),
-          j => array_min(slice(col("__g"), j, lit(w)))))
-      .otherwise(array(array_min(col("__g"))))
+    // LET-BINDING via a single-element transform: the window pass below
+    // references the gram array many times, and Catalyst's projection
+    // collapse would otherwise INLINE the md5 chain into every window
+    // position — turning the per-row cost from O(len·k) into O(len²·k)
+    // (measured: 0.5 s → 10+ min at sf0.1). The lambda variable pins one
+    // evaluation per row no matter how the optimizer rearranges projects.
+    def fingerprintsOf(g: Column): Column = {
+      // fewer than w grams: the whole doc is one window (winnowing's
+      // natural degenerate case) — else every w-window contributes its min
+      val wins = when(size(g) >= w,
+          transform(sequence(lit(1), size(g) - (w - 1)),
+            j => array_min(slice(g, j, lit(w)))))
+        .otherwise(array(array_min(g)))
+      array_sort(array_distinct(wins))
+    }
     df.filter(length(text) >= k)
-      .select(col(idCol), grams.as("__g"))
       .select(col(idCol),
-        array_sort(array_distinct(wins)).as("fingerprints"))
+        element_at(transform(array(grams), g => fingerprintsOf(g)), 1)
+          .as("fingerprints"))
   }
 
   /** MOSS-style near-dup pairs over winnowing fingerprints: documents
@@ -239,9 +248,15 @@ object Dedup {
     * fingerprints with document frequency > `maxDf` are dropped
     * mid-stream with O(maxDf) memory, and intersections/set-sizes
     * aggregate off the same Exchange — no self-join, no all-pairs stage.
+    *
+    * Defaults are MOSS-like SPARSE fingerprints (wide window w = 16 keeps
+    * ~2/(w+1) of positions) with a tight df cap: pairing cost is bounded
+    * by C(maxDf, 2) rows per distinct fingerprint, so dense fingerprints
+    * (the [[winnowFingerprints]] w = 4 signature default) would blow the
+    * pair space up on boilerplate-heavy corpora — keep w wide here.
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, w: Int = 4, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+      k: Int = 16, w: Int = 16, maxDf: Int = 16, minShared: Int = 2): DataFrame = {
     val exploded = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
     val scan = Lsh.scanRuns(exploded, idCol, Seq("fp"), maxDf,

@@ -234,15 +234,16 @@ object TextQueries {
 
   /** MOSS-style winnow-overlap pairs
     * ([[graft.operators.Dedup.winnowOverlapPairs]]): docs sharing ≥ 2
-    * df-capped winnowing fingerprints, with shared/union counts. The
+    * df-capped SPARSE winnowing fingerprints (k = w = 16, cap 16), with
+    * shared/union counts. The
     * oracle recomputes the identical fingerprints, applies the same df
     * cap, and self-joins — the operator's one-shuffle run scan must match
     * it exactly.
     */
   val qWinnowPairs = q(
     "q_winnow_pairs", {
-      val maxDf = 64
-      s"WITH ${winnowCtesSql(8, 4)}, " +
+      val maxDf = 16
+      s"WITH ${winnowCtesSql(16, 16)}, " +
         "fpx AS (SELECT doc_id, unnest(fps) AS fp FROM fp), " +
         s"keep AS (SELECT fp FROM fpx GROUP BY fp HAVING count(*) <= $maxDf), " +
         "fx AS (SELECT doc_id, fp FROM fpx JOIN keep USING (fp)), " +
