@@ -131,6 +131,28 @@ class OperatorsSpec extends SparkSpec {
     assert(!tfps.contains(0L) && tfps(1L).length === 1)
   }
 
+  test("winnowOverlapPairs finds heavy-overlap docs and the df cap drops boilerplate") {
+    val rnd = new scala.util.Random(29)
+    def randText(n: Int) = rnd.alphanumeric.take(n).mkString
+    val shared = randText(120) // long shared block -> many shared fingerprints
+    val boiler = randText(100) // block shared by EVERYONE -> df-capped away
+    val docs = (
+      Seq((0L, boiler + shared + randText(40)),
+          (1L, randText(40) + boiler + shared)) ++ // near-dup pair via `shared`
+      (2L until 22L).map(i => (i, boiler + randText(150))) // boilerplate-only
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowOverlapPairs(
+        docs, "doc_id", "text", maxDf = 8, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs.exists { case (a, b, _) => a == 0L && b == 1L },
+      s"the shared-block pair must surface: $pairs")
+    // boilerplate-only docs never pair: their fingerprints exceed the df cap
+    val boilerIds = (2L until 22L).toSet
+    assert(!pairs.exists { case (a, b, _) =>
+      boilerIds.contains(a) && boilerIds.contains(b) },
+      s"boilerplate-only docs must be df-capped out of pairing: $pairs")
+  }
+
   test("dedupNearBy keeps each cluster's best-quality member, not its min id") {
     // 0/1/3 form one near-dup cluster (exact + near dups of each other);
     // doc 3 is the LONGEST, so the n_chars policy must keep 3 and drop the
