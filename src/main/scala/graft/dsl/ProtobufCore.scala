@@ -21,8 +21,9 @@ import org.apache.spark.sql.types._
   * [[Serdes.protobufDe]]/[[Serdes.protobufSer]] (the spark-protobuf
   * expressions) stay the preferred cluster path — codegen'd, descriptor
   * files, full proto3 semantics. This core path covers the serde-boundary
-  * subset a streaming pipeline actually moves — scalars, strings, bytes,
-  * enums-as-ints, repeated fields, nested messages — and bridges into
+  * domain a streaming pipeline actually moves — all scalar kinds (varint,
+  * zigzag, unsigned, fixed, sfixed), strings, bytes, enums-as-ints,
+  * repeated fields, nested messages, `map<K,V>`, oneof — and bridges into
   * Catalyst the same way [[AvroCore]] does: `binary → canonical JSON →
   * from_json(struct)` and back, so the full wire round-trip runs and is
   * tested anywhere Spark runs.
@@ -40,46 +41,95 @@ import org.apache.spark.sql.types._
 object ProtobufCore extends Serializable {
 
   /** Field value types. `PInt32`/`PInt64` are varint (enums ride as
-    * `PInt32`); `PSInt32`/`PSInt64` are zigzag (proto `sint*`); `PDouble`/
-    * `PFloat` are fixed-width; `PString`/`PBytes`/`PMessage` are
-    * length-delimited.
+    * `PInt32`); `PSInt32`/`PSInt64` are zigzag (proto `sint*`);
+    * `PUInt32`/`PUInt64` are unsigned varint — `uint32` widens to a
+    * non-negative Long, `uint64` keeps its raw two's-complement bits in a
+    * Long (the protobuf-java / spark-protobuf convention: 2^64-1 reads as
+    * -1L); `PFixed32`/`PFixed64` are unsigned fixed-width (same widening /
+    * raw-bits rule); `PSFixed32`/`PSFixed64` are signed fixed-width;
+    * `PDouble`/`PFloat` are fixed-width floats; `PString`/`PBytes`/
+    * `PMessage` are length-delimited.
+    *
+    * `PMap` is proto `map<K,V>`: on the wire a repeated nested message
+    * (field 1 = key, field 2 = value, never packed); in Catalyst a
+    * `MapType(StringType, V)` — canonical protobuf JSON renders ALL map
+    * keys as strings (and unsigned keys as unsigned decimal), and the
+    * declared key PType losslessly restores the wire bytes on encode.
     */
   sealed trait PType extends Serializable
   case object PInt32 extends PType
   case object PInt64 extends PType
   case object PSInt32 extends PType
   case object PSInt64 extends PType
+  case object PUInt32 extends PType
+  case object PUInt64 extends PType
+  case object PFixed32 extends PType
+  case object PFixed64 extends PType
+  case object PSFixed32 extends PType
+  case object PSFixed64 extends PType
   case object PBool extends PType
   case object PDouble extends PType
   case object PFloat extends PType
   case object PString extends PType
   case object PBytes extends PType
+  final case class PMap(key: PType, value: PType) extends PType {
+    require(key match {
+      case PInt32 | PInt64 | PSInt32 | PSInt64 | PUInt32 | PUInt64 |
+           PFixed32 | PFixed64 | PSFixed32 | PSFixed64 | PBool | PString => true
+      case _ => false
+    }, s"map key must be an integral/bool/string scalar, got $key")
+    require(value match {
+      case _: PMap => false
+      case _ => true
+    }, "map values cannot be maps (protobuf rule)")
+  }
   final case class PMessage(fields: Seq[PField]) extends PType {
     require(fields.map(_.number).distinct.length == fields.length,
       "duplicate field numbers")
     require(fields.map(_.name).distinct.length == fields.length,
       "duplicate field names")
+    fields.filter(_.oneof.isDefined).foreach { f =>
+      require(!f.repeated, s"oneof member ${f.name} cannot be repeated")
+      require(!f.ptype.isInstanceOf[PMap],
+        s"oneof member ${f.name} cannot be a map")
+    }
     @transient lazy val byNumber: Map[Int, PField] =
       fields.map(f => f.number -> f).toMap
+    /** Other members of the same oneof group (empty for non-oneof fields). */
+    @transient lazy val oneofSiblings: Map[String, Seq[String]] =
+      fields.filter(_.oneof.isDefined).groupBy(_.oneof.get).values.flatMap {
+        group => group.map(f => f.name -> group.map(_.name).filter(_ != f.name))
+      }.toMap
   }
+  /** `oneof` names the proto oneof group the field belongs to: members
+    * share presence — decoding applies last-set-wins across the group,
+    * encoding rejects a tree with more than one member set.
+    */
   final case class PField(number: Int, name: String, ptype: PType,
-      repeated: Boolean = false) {
+      repeated: Boolean = false, oneof: Option[String] = None) {
     require(number >= 1, s"field numbers start at 1, got $number")
+    require(!(repeated && ptype.isInstanceOf[PMap]),
+      s"map field $name cannot be repeated (the entry list IS the map)")
+  }
+
+  private def sparkTypeOf(t: PType): DataType = t match {
+    case PInt32 | PSInt32 | PSFixed32 => IntegerType
+    case PInt64 | PSInt64 | PSFixed64 => LongType
+    // uint32/fixed32 widen losslessly; uint64/fixed64 keep raw long bits
+    case PUInt32 | PUInt64 | PFixed32 | PFixed64 => LongType
+    case PBool            => BooleanType
+    case PDouble          => DoubleType
+    case PFloat           => FloatType
+    case PString          => StringType
+    case PBytes           => BinaryType
+    case PMap(_, v)       => MapType(StringType, sparkTypeOf(v))
+    case m: PMessage      => sparkSchema(m)
   }
 
   /** The Catalyst struct a message decodes to (give this to `from_json`). */
   def sparkSchema(msg: PMessage): StructType =
     StructType(msg.fields.map { f =>
-      val base = f.ptype match {
-        case PInt32 | PSInt32 => IntegerType
-        case PInt64 | PSInt64 => LongType
-        case PBool            => BooleanType
-        case PDouble          => DoubleType
-        case PFloat           => FloatType
-        case PString          => StringType
-        case PBytes           => BinaryType
-        case m: PMessage      => sparkSchema(m)
-      }
+      val base = sparkTypeOf(f.ptype)
       StructField(f.name,
         if (f.repeated) ArrayType(base) else base, nullable = true)
     })
@@ -152,10 +202,10 @@ object ProtobufCore extends Serializable {
   private def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
 
   private def wireTypeOf(t: PType): Int = t match {
-    case PInt32 | PInt64 | PSInt32 | PSInt64 | PBool => 0
-    case PDouble => 1
-    case PFloat => 5
-    case PString | PBytes | _: PMessage => 2
+    case PInt32 | PInt64 | PSInt32 | PSInt64 | PUInt32 | PUInt64 | PBool => 0
+    case PDouble | PFixed64 | PSFixed64 => 1
+    case PFloat | PFixed32 | PSFixed32 => 5
+    case PString | PBytes | _: PMessage | _: PMap => 2
   }
 
   // ---- decode: wire bytes -> Jackson tree --------------------------------
@@ -164,25 +214,159 @@ object ProtobufCore extends Serializable {
 
   private def scalarNode(t: PType, r: Reader, node: ObjectNode, name: String): Unit =
     t match {
-      case PInt32   => node.put(name, r.readVarint().toInt)
-      case PInt64   => node.put(name, r.readVarint())
-      case PSInt32  => node.put(name, zigzagDecode(r.readVarint()).toInt)
-      case PSInt64  => node.put(name, zigzagDecode(r.readVarint()))
-      case PBool    => node.put(name, r.readVarint() != 0L)
-      case PDouble  => node.put(name, java.lang.Double.longBitsToDouble(r.readFixed64()))
-      case PFloat   => node.put(name, java.lang.Float.intBitsToFloat(r.readFixed32()))
-      case _        => throw new IllegalStateException(s"not a scalar: $t")
+      case PInt32    => node.put(name, r.readVarint().toInt)
+      case PInt64    => node.put(name, r.readVarint())
+      case PSInt32   => node.put(name, zigzagDecode(r.readVarint()).toInt)
+      case PSInt64   => node.put(name, zigzagDecode(r.readVarint()))
+      case PUInt32   => node.put(name, r.readVarint() & 0xffffffffL)
+      case PUInt64   => node.put(name, r.readVarint()) // raw two's-complement
+      case PFixed32  => node.put(name, r.readFixed32().toLong & 0xffffffffL)
+      case PFixed64  => node.put(name, r.readFixed64()) // raw two's-complement
+      case PSFixed32 => node.put(name, r.readFixed32())
+      case PSFixed64 => node.put(name, r.readFixed64())
+      case PBool     => node.put(name, r.readVarint() != 0L)
+      case PDouble   => node.put(name, java.lang.Double.longBitsToDouble(r.readFixed64()))
+      case PFloat    => node.put(name, java.lang.Float.intBitsToFloat(r.readFixed32()))
+      case _         => throw new IllegalStateException(s"not a scalar: $t")
     }
 
   private def scalarArrayAdd(t: PType, r: Reader, arr: ArrayNode): Unit = t match {
-    case PInt32   => arr.add(r.readVarint().toInt)
-    case PInt64   => arr.add(r.readVarint())
-    case PSInt32  => arr.add(zigzagDecode(r.readVarint()).toInt)
-    case PSInt64  => arr.add(zigzagDecode(r.readVarint()))
-    case PBool    => arr.add(r.readVarint() != 0L)
-    case PDouble  => arr.add(java.lang.Double.longBitsToDouble(r.readFixed64()))
-    case PFloat   => arr.add(java.lang.Float.intBitsToFloat(r.readFixed32()))
-    case _        => throw new IllegalStateException(s"not a scalar: $t")
+    case PInt32    => arr.add(r.readVarint().toInt)
+    case PInt64    => arr.add(r.readVarint())
+    case PSInt32   => arr.add(zigzagDecode(r.readVarint()).toInt)
+    case PSInt64   => arr.add(zigzagDecode(r.readVarint()))
+    case PUInt32   => arr.add(r.readVarint() & 0xffffffffL)
+    case PUInt64   => arr.add(r.readVarint())
+    case PFixed32  => arr.add(r.readFixed32().toLong & 0xffffffffL)
+    case PFixed64  => arr.add(r.readFixed64())
+    case PSFixed32 => arr.add(r.readFixed32())
+    case PSFixed64 => arr.add(r.readFixed64())
+    case PBool     => arr.add(r.readVarint() != 0L)
+    case PDouble   => arr.add(java.lang.Double.longBitsToDouble(r.readFixed64()))
+    case PFloat    => arr.add(java.lang.Float.intBitsToFloat(r.readFixed32()))
+    case _         => throw new IllegalStateException(s"not a scalar: $t")
+  }
+
+  // ---- map<K,V> entry plumbing -------------------------------------------
+  // Wire: each entry is a nested message {1: key, 2: value}. Keys render as
+  // JSON-object member names: canonical protobuf JSON stringifies all map
+  // keys, with unsigned 64-bit keys in unsigned decimal.
+
+  private def keyToString(t: PType, r: Reader): String = t match {
+    case PString            => new String(r.readDelimited().bytes(), UTF_8)
+    case PInt32             => r.readVarint().toInt.toString
+    case PInt64             => r.readVarint().toString
+    case PSInt32            => zigzagDecode(r.readVarint()).toInt.toString
+    case PSInt64            => zigzagDecode(r.readVarint()).toString
+    case PUInt32            => (r.readVarint() & 0xffffffffL).toString
+    case PUInt64            => java.lang.Long.toUnsignedString(r.readVarint())
+    case PFixed32           => (r.readFixed32().toLong & 0xffffffffL).toString
+    case PFixed64           => java.lang.Long.toUnsignedString(r.readFixed64())
+    case PSFixed32          => r.readFixed32().toString
+    case PSFixed64          => r.readFixed64().toString
+    case PBool              => (r.readVarint() != 0L).toString
+    case other              => throw new IllegalStateException(s"bad map key type $other")
+  }
+
+  private def writeKeyString(t: PType, s: String, w: Writer): Unit = {
+    w.writeTag(1, wireTypeOf(t))
+    t match {
+      case PString   => w.writeDelimited(s.getBytes(UTF_8))
+      case PInt32    => w.writeVarint(s.toInt.toLong)
+      case PInt64    => w.writeVarint(s.toLong)
+      case PSInt32   => w.writeVarint(zigzagEncode(s.toInt.toLong) & 0xffffffffL)
+      case PSInt64   => w.writeVarint(zigzagEncode(s.toLong))
+      case PUInt32   => w.writeVarint(s.toLong & 0xffffffffL)
+      case PUInt64   => w.writeVarint(java.lang.Long.parseUnsignedLong(s))
+      case PFixed32  => w.writeFixed32((s.toLong & 0xffffffffL).toInt)
+      case PFixed64  => w.writeFixed64(java.lang.Long.parseUnsignedLong(s))
+      case PSFixed32 => w.writeFixed32(s.toInt)
+      case PSFixed64 => w.writeFixed64(s.toLong)
+      case PBool     => w.writeVarint(if (s.toBoolean) 1L else 0L)
+      case other     => throw new IllegalStateException(s"bad map key type $other")
+    }
+  }
+
+  /** proto3 default for an absent map entry key (rendered as a string). */
+  private def defaultKeyString(t: PType): String = t match {
+    case PString => ""
+    case PBool   => "false"
+    case _       => "0"
+  }
+
+  /** proto3 default for an absent map entry value, as a Jackson node. */
+  private def defaultValueNode(t: PType): JsonNode = t match {
+    case PInt32 | PSInt32 | PSFixed32 => mapper.getNodeFactory.numberNode(0)
+    case PInt64 | PSInt64 | PUInt32 | PUInt64 | PFixed32 | PFixed64 |
+         PSFixed64 => mapper.getNodeFactory.numberNode(0L)
+    case PBool   => mapper.getNodeFactory.booleanNode(false)
+    case PDouble => mapper.getNodeFactory.numberNode(0.0d)
+    case PFloat  => mapper.getNodeFactory.numberNode(0.0f)
+    case PString => mapper.getNodeFactory.textNode("")
+    case PBytes  => mapper.getNodeFactory.textNode("")
+    case _: PMessage => mapper.createObjectNode()
+    case other   => throw new IllegalStateException(s"bad map value type $other")
+  }
+
+  /** Decode one length-delimited value of type `t` positioned at `r`. */
+  private def valueToNode(t: PType, wt: Int, r: Reader): JsonNode = t match {
+    case m: PMessage =>
+      require(wt == 2, s"message value needs wire type 2, got $wt"); decodeTree(m, r.readDelimited())
+    case PString =>
+      require(wt == 2, s"string value needs wire type 2, got $wt")
+      mapper.getNodeFactory.textNode(new String(r.readDelimited().bytes(), UTF_8))
+    case PBytes =>
+      require(wt == 2, s"bytes value needs wire type 2, got $wt")
+      mapper.getNodeFactory.textNode(
+        java.util.Base64.getEncoder.encodeToString(r.readDelimited().bytes()))
+    case scalar =>
+      require(wt == wireTypeOf(scalar),
+        s"expected wire type ${wireTypeOf(scalar)}, got $wt")
+      val tmp = mapper.createArrayNode()
+      scalarArrayAdd(scalar, r, tmp)
+      tmp.get(0)
+  }
+
+  /** Decode a single map entry message into (keyString, valueNode). */
+  private def decodeMapEntry(m: PMap, r: Reader): (String, JsonNode) = {
+    var key: String = null
+    var value: JsonNode = null
+    while (r.hasMore) {
+      val tag = r.readVarint()
+      val number = (tag >>> 3).toInt
+      val wt = (tag & 7).toInt
+      number match {
+        case 1 =>
+          require(wt == wireTypeOf(m.key),
+            s"map key: expected wire type ${wireTypeOf(m.key)}, got $wt")
+          key = keyToString(m.key, r)
+        case 2 => value = valueToNode(m.value, wt, r)
+        case _ => r.skip(wt) // unknown entry field: skip like any message
+      }
+    }
+    // spec: an entry may omit key and/or value -> proto3 defaults
+    (if (key == null) defaultKeyString(m.key) else key,
+     if (value == null) defaultValueNode(m.value) else value)
+  }
+
+  private def encodeMapEntry(m: PMap, key: String, value: JsonNode,
+      number: Int, w: Writer): Unit = {
+    val inner = new Writer
+    writeKeyString(m.key, key, inner)
+    m.value match {
+      case sub: PMessage =>
+        val body = new Writer
+        encodeTree(sub, value, body)
+        inner.writeTag(2, 2); inner.writeDelimited(body.out.toByteArray)
+      case PString =>
+        inner.writeTag(2, 2); inner.writeDelimited(value.asText().getBytes(UTF_8))
+      case PBytes =>
+        inner.writeTag(2, 2)
+        inner.writeDelimited(java.util.Base64.getDecoder.decode(value.asText()))
+      case scalar =>
+        inner.writeTag(2, wireTypeOf(scalar)); encodeScalar(scalar, value, inner)
+    }
+    w.writeTag(number, 2); w.writeDelimited(inner.out.toByteArray)
   }
 
   private def decodeTree(msg: PMessage, r: Reader): ObjectNode = {
@@ -198,22 +382,34 @@ object ProtobufCore extends Serializable {
       msg.byNumber.get(number) match {
         case None => r.skip(wt) // unknown field: proto3 skip rule
         case Some(f) => f.ptype match {
+          case m: PMap =>
+            require(wt == 2, s"field ${f.name}: map entry needs wire type 2, got $wt")
+            val (k, v) = decodeMapEntry(m, r.readDelimited())
+            val obj = node.get(f.name) match {
+              case o: ObjectNode => o
+              case _ => val o = mapper.createObjectNode(); node.set(f.name, o); o
+            }
+            obj.set(k, v) // duplicate key: last entry wins (protobuf rule)
+            ()
           case m: PMessage =>
             require(wt == 2, s"field ${f.name}: message needs wire type 2, got $wt")
             val sub = decodeTree(m, r.readDelimited())
-            if (f.repeated) arrayFor(f).add(sub) else node.set(f.name, sub)
+            if (f.repeated) arrayFor(f).add(sub)
+            else { dropOneofSiblings(msg, f, node); node.set(f.name, sub) }
           case PString =>
             require(wt == 2, s"field ${f.name}: string needs wire type 2, got $wt")
             val s = new String(r.readDelimited().bytes(), UTF_8)
-            if (f.repeated) arrayFor(f).add(s) else node.put(f.name, s)
+            if (f.repeated) arrayFor(f).add(s)
+            else { dropOneofSiblings(msg, f, node); node.put(f.name, s) }
           case PBytes =>
             require(wt == 2, s"field ${f.name}: bytes needs wire type 2, got $wt")
             val b = r.readDelimited().bytes()
             // base64: what Spark's JSON reader maps onto BinaryType
             val b64 = java.util.Base64.getEncoder.encodeToString(b)
-            if (f.repeated) arrayFor(f).add(b64) else node.put(f.name, b64)
+            if (f.repeated) arrayFor(f).add(b64)
+            else { dropOneofSiblings(msg, f, node); node.put(f.name, b64) }
           case scalar =>
-            if (f.repeated && wt == 2) { // packed (proto3 default)
+            if (f.repeated && wt == 2 && wireTypeOf(scalar) != 2) { // packed
               val sub = r.readDelimited()
               val arr = arrayFor(f)
               while (sub.hasMore) scalarArrayAdd(scalar, sub, arr)
@@ -221,13 +417,21 @@ object ProtobufCore extends Serializable {
               require(wt == wireTypeOf(scalar),
                 s"field ${f.name}: expected wire type ${wireTypeOf(scalar)}, got $wt")
               if (f.repeated) scalarArrayAdd(scalar, r, arrayFor(f))
-              else scalarNode(scalar, r, node, f.name) // last one wins
+              else { // last one wins; oneof members evict the group
+                dropOneofSiblings(msg, f, node)
+                scalarNode(scalar, r, node, f.name)
+              }
             }
         }
       }
     }
     node
   }
+
+  /** Oneof last-set-wins: setting a member clears its group siblings. */
+  private def dropOneofSiblings(msg: PMessage, f: PField, node: ObjectNode): Unit =
+    if (f.oneof.isDefined)
+      msg.oneofSiblings.getOrElse(f.name, Nil).foreach(node.remove)
 
   /** Binary protobuf body → canonical-JSON text (null passes through). */
   def decodeToJson(payload: Array[Byte], msg: PMessage): String =
@@ -237,21 +441,45 @@ object ProtobufCore extends Serializable {
   // ---- encode: Jackson tree -> wire bytes --------------------------------
 
   private def encodeScalar(t: PType, v: JsonNode, w: Writer): Unit = t match {
-    case PInt32   => w.writeVarint(v.asInt().toLong)
-    case PInt64   => w.writeVarint(v.asLong())
-    case PSInt32  => w.writeVarint(zigzagEncode(v.asInt().toLong) & 0xffffffffL)
-    case PSInt64  => w.writeVarint(zigzagEncode(v.asLong()))
-    case PBool    => w.writeVarint(if (v.asBoolean()) 1L else 0L)
-    case PDouble  => w.writeFixed64(java.lang.Double.doubleToLongBits(v.asDouble()))
-    case PFloat   => w.writeFixed32(java.lang.Float.floatToIntBits(v.asDouble().toFloat))
-    case _        => throw new IllegalStateException(s"not a scalar: $t")
+    case PInt32    => w.writeVarint(v.asInt().toLong)
+    case PInt64    => w.writeVarint(v.asLong())
+    case PSInt32   => w.writeVarint(zigzagEncode(v.asInt().toLong) & 0xffffffffL)
+    case PSInt64   => w.writeVarint(zigzagEncode(v.asLong()))
+    case PUInt32   => w.writeVarint(v.asLong() & 0xffffffffL)
+    case PUInt64   => w.writeVarint(v.asLong()) // raw two's-complement bits
+    case PFixed32  => w.writeFixed32((v.asLong() & 0xffffffffL).toInt)
+    case PFixed64  => w.writeFixed64(v.asLong())
+    case PSFixed32 => w.writeFixed32(v.asInt())
+    case PSFixed64 => w.writeFixed64(v.asLong())
+    case PBool     => w.writeVarint(if (v.asBoolean()) 1L else 0L)
+    case PDouble   => w.writeFixed64(java.lang.Double.doubleToLongBits(v.asDouble()))
+    case PFloat    => w.writeFixed32(java.lang.Float.floatToIntBits(v.asDouble().toFloat))
+    case _         => throw new IllegalStateException(s"not a scalar: $t")
   }
 
   private def encodeTree(msg: PMessage, node: JsonNode, w: Writer): Unit = {
+    // oneof contract: reject trees with >1 member of a group set (a decoded
+    // tree can never have this; a user-built one failing loudly beats
+    // silently dropping a field)
+    msg.fields.filter(_.oneof.isDefined).groupBy(_.oneof.get).foreach {
+      case (group, members) =>
+        val set = members.filter(m => {
+          val v = node.get(m.name); v != null && !v.isNull
+        })
+        require(set.length <= 1,
+          s"oneof '$group': ${set.map(_.name).mkString(", ")} are all set")
+    }
     // canonical order: ascending field number; absent/null fields skipped
     msg.fields.sortBy(_.number).foreach { f =>
       val v = node.get(f.name)
       if (v != null && !v.isNull) f.ptype match {
+        case m: PMap =>
+          // entries in JSON-object order (= decode order for a decoded
+          // tree, so the canonical fixpoint holds); key+value always
+          // written explicitly
+          v.fields().forEachRemaining { e =>
+            encodeMapEntry(m, e.getKey, e.getValue, f.number, w)
+          }
         case m: PMessage =>
           def one(sub: JsonNode): Unit = {
             val inner = new Writer

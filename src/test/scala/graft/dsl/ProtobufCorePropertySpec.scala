@@ -7,8 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import ProtobufCore._
 
 /** Randomized round-trip lock for the hand-rolled protobuf wire codec:
-  * for random schemas (scalars, zigzag ints, doubles/floats, strings,
-  * bytes, repeated fields, nested messages) and random values,
+  * for random schemas (all scalar kinds — varint, zigzag, unsigned,
+  * fixed, sfixed — doubles/floats, strings, bytes, repeated fields,
+  * nested messages, map&lt;K,V&gt;, oneof groups) and random values,
   *
   *   value-tree → encodeFromJson → decodeToJson → the same value-tree
   *
@@ -21,65 +22,114 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
   private val mapper = new ObjectMapper()
 
   private def randScalar(rnd: scala.util.Random): PType =
+    rnd.nextInt(14) match {
+      case 0  => PInt32
+      case 1  => PInt64
+      case 2  => PSInt32
+      case 3  => PSInt64
+      case 4  => PBool
+      case 5  => PDouble
+      case 6  => PFloat
+      case 7  => PString
+      case 8  => PUInt32
+      case 9  => PUInt64
+      case 10 => PFixed32
+      case 11 => PFixed64
+      case 12 => PSFixed32
+      case 13 => PSFixed64
+    }
+
+  private def randKeyType(rnd: scala.util.Random): PType =
     rnd.nextInt(8) match {
       case 0 => PInt32
       case 1 => PInt64
-      case 2 => PSInt32
-      case 3 => PSInt64
-      case 4 => PBool
-      case 5 => PDouble
-      case 6 => PFloat
+      case 2 => PSInt64
+      case 3 => PUInt32
+      case 4 => PUInt64
+      case 5 => PFixed64
+      case 6 => PBool
       case 7 => PString
     }
 
   private def randMessage(rnd: scala.util.Random, depth: Int): PMessage = {
     val nFields = 1 + rnd.nextInt(5)
     PMessage((0 until nFields).map { i =>
-      val t = rnd.nextInt(10) match {
+      val t = rnd.nextInt(12) match {
         case 8 => PBytes
         case 9 if depth < 2 => randMessage(rnd, depth + 1)
+        case 10 => // map<K,V>: value is any non-map type
+          val v = rnd.nextInt(4) match {
+            case 0 => PBytes
+            case 1 if depth < 2 => randMessage(rnd, depth + 1)
+            case _ => randScalar(rnd)
+          }
+          PMap(randKeyType(rnd), v)
         case _ => randScalar(rnd)
       }
+      val isMap = t.isInstanceOf[PMap]
+      val repeated = !isMap && rnd.nextInt(4) == 0
+      // singular non-map fields sometimes share a oneof group
+      val oneof = if (!isMap && !repeated && rnd.nextInt(4) == 0)
+        Some(s"g${rnd.nextInt(2)}") else None
       // skip some field numbers like evolving schemas do
-      PField(i * 2 + 1 + rnd.nextInt(2), s"f$i", t, repeated = rnd.nextInt(4) == 0)
+      PField(i * 2 + 1 + rnd.nextInt(2), s"f$i", t, repeated, oneof)
     })
+  }
+
+  /** A random map key rendered the way the decoder renders it. */
+  private def randKeyString(rnd: scala.util.Random, t: PType): String = t match {
+    case PString => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
+    case PBool   => rnd.nextBoolean().toString
+    case PInt32  => rnd.nextInt().toString
+    case PUInt32 => (rnd.nextLong() & 0xffffffffL).toString
+    case PUInt64 | PFixed64 => java.lang.Long.toUnsignedString(rnd.nextLong())
+    case _       => rnd.nextLong().toString
   }
 
   /** Value node of exactly the Jackson node types the decoder produces. */
   private def randValue(rnd: scala.util.Random, msg: PMessage): ObjectNode = {
     val node = mapper.createObjectNode()
-    msg.fields.foreach { f =>
-      def one(): Unit = f.ptype match {
-        case PInt32 | PSInt32 =>
-          if (f.repeated) node.withArray(f.name).add(rnd.nextInt())
-          else node.put(f.name, rnd.nextInt())
-        case PInt64 | PSInt64 =>
-          if (f.repeated) node.withArray(f.name).add(rnd.nextLong())
-          else node.put(f.name, rnd.nextLong())
-        case PBool =>
-          if (f.repeated) node.withArray(f.name).add(rnd.nextBoolean())
-          else node.put(f.name, rnd.nextBoolean())
-        case PDouble =>
-          val v = rnd.nextDouble() * 1e6 - 5e5
-          if (f.repeated) node.withArray(f.name).add(v) else node.put(f.name, v)
-        case PFloat =>
-          val v = rnd.nextFloat() * 100 - 50
-          if (f.repeated) node.withArray(f.name).add(v) else node.put(f.name, v)
+    val setGroups = scala.collection.mutable.Set.empty[String]
+    def randLeaf(t: PType): com.fasterxml.jackson.databind.JsonNode = {
+      val nf = mapper.getNodeFactory
+      t match {
+        case PInt32 | PSInt32 | PSFixed32 => nf.numberNode(rnd.nextInt())
+        case PInt64 | PSInt64 | PSFixed64 => nf.numberNode(rnd.nextLong())
+        case PUInt32 | PFixed32 => nf.numberNode(rnd.nextLong() & 0xffffffffL)
+        case PUInt64 | PFixed64 => nf.numberNode(rnd.nextLong()) // raw bits
+        case PBool   => nf.booleanNode(rnd.nextBoolean())
+        case PDouble => nf.numberNode(rnd.nextDouble() * 1e6 - 5e5)
+        case PFloat  => nf.numberNode(rnd.nextFloat() * 100 - 50)
         case PString =>
-          val v = rnd.alphanumeric.take(rnd.nextInt(12)).mkString + "é☃" // non-ascii
-          if (f.repeated) node.withArray(f.name).add(v) else node.put(f.name, v)
+          nf.textNode(rnd.alphanumeric.take(rnd.nextInt(12)).mkString + "é☃")
         case PBytes =>
           val b = new Array[Byte](rnd.nextInt(16)); rnd.nextBytes(b)
-          val b64 = java.util.Base64.getEncoder.encodeToString(b)
-          if (f.repeated) node.withArray(f.name).add(b64) else node.put(f.name, b64)
-        case m: PMessage =>
-          val sub = randValue(rnd, m)
-          if (f.repeated) { node.withArray(f.name).add(sub); () }
-          else { node.set[com.fasterxml.jackson.databind.JsonNode](f.name, sub); () }
+          nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
+        case m: PMessage => randValue(rnd, m)
+        case m: PMap => throw new IllegalStateException(s"map leaf: $m")
       }
-      if (rnd.nextInt(5) == 0) () // absent field (proto3 default) — skipped
-      else if (f.repeated) (0 until rnd.nextInt(4)).foreach(_ => one())
-      else one()
+    }
+    msg.fields.foreach { f =>
+      def one(): Unit = f.ptype match {
+        case m: PMap =>
+          val obj = mapper.createObjectNode()
+          (0 until rnd.nextInt(4)).foreach { _ =>
+            obj.set[com.fasterxml.jackson.databind.JsonNode](
+              randKeyString(rnd, m.key), randLeaf(m.value))
+          }
+          // empty map encodes to nothing = decodes absent, like empty arrays
+          if (obj.size() > 0) { node.set(f.name, obj); () }
+        case t =>
+          val v = randLeaf(t)
+          if (f.repeated) { node.withArray(f.name).add(v); () }
+          else { node.set[com.fasterxml.jackson.databind.JsonNode](f.name, v); () }
+      }
+      val oneofBlocked = f.oneof.exists(setGroups.contains)
+      if (oneofBlocked || rnd.nextInt(5) == 0) () // absent (or group taken)
+      else {
+        f.oneof.foreach(setGroups += _)
+        if (f.repeated) (0 until rnd.nextInt(4)).foreach(_ => one()) else one()
+      }
     }
     // drop empty arrays: an empty repeated field encodes to nothing and
     // decodes as absent, which is the same logical value

@@ -136,6 +136,79 @@ class SerdesSpec extends SparkSpec {
       (Seq(0x08, 0x96, 0x01, 0x12, 0x05).map(_.toByte) ++ "alpha".getBytes).toSeq)
   }
 
+  test("protobuf core serde: maps, oneof, unsigned and fixed types decode to Catalyst") {
+    import ProtobufCore._
+    val msg = PMessage(Seq(
+      PField(1, "attrs", PMap(PString, PInt32)),
+      PField(2, "names", PMap(PInt64, PString)),
+      PField(3, "u32", PUInt32),
+      PField(4, "u64", PUInt64),
+      PField(5, "sf32", PSFixed32),
+      PField(6, "sf64", PSFixed64),
+      PField(7, "fx32", PFixed32),
+      PField(8, "fx64", PFixed64),
+      PField(9, "s", PString, oneof = Some("choice")),
+      PField(10, "n", PInt32, oneof = Some("choice"))))
+
+    // hand-encoded wire bytes (external ground truth, like the test above)
+    val body: Array[Byte] = (
+      Seq(0x0a, 0x05, 0x0a, 0x01, 'k'.toInt, 0x10, 0x07) ++     // attrs["k"]=7
+      Seq(0x0a, 0x07, 0x0a, 0x02, 'k'.toInt, 'k'.toInt,
+          0x10, 0xac, 0x02) ++                                  // attrs["kk"]=300
+      Seq(0x12, 0x08, 0x08, 0x05, 0x12, 0x04) ++
+        "five".getBytes.map(_.toInt) ++                         // names[5]="five"
+      Seq(0x18, 0xff, 0xff, 0xff, 0xff, 0x0f) ++                // u32 = 2^32-1
+      Seq(0x20, 0xff, 0xff, 0xff, 0xff, 0xff,
+          0xff, 0xff, 0xff, 0xff, 0x01) ++                      // u64 = 2^64-1
+      Seq(0x2d, 0xfe, 0xff, 0xff, 0xff) ++                      // sf32 = -2
+      Seq(0x31, 0xfd, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff) ++ // sf64 = -3
+      Seq(0x3d, 0xfe, 0xff, 0xff, 0xff) ++                      // fx32 = 2^32-2
+      Seq(0x41, 0xfe, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff) ++ // fx64 = 2^64-2
+      Seq(0x4a, 0x01, 'x'.toInt) ++                             // s = "x" (oneof)
+      Seq(0x50, 0x09)                                           // n = 9: evicts s
+    ).map(_.toByte).toArray
+
+    val schema = sparkSchema(msg)
+    assert(schema("attrs").dataType ===
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    assert(schema("u64").dataType === org.apache.spark.sql.types.LongType)
+
+    val r = Seq(Tuple1(body)).toDF("raw")
+      .select(protoDe(col("raw"), msg).as("m")).select("m.*")
+      .collect().head
+    assert(r.getAs[Map[String, Int]]("attrs") === Map("k" -> 7, "kk" -> 300))
+    assert(r.getAs[Map[String, String]]("names") === Map("5" -> "five"))
+    assert(r.getAs[Long]("u32") === 4294967295L)
+    assert(r.getAs[Long]("u64") === -1L)      // 2^64-1 as raw long bits
+    assert(r.getAs[Int]("sf32") === -2)
+    assert(r.getAs[Long]("sf64") === -3L)
+    assert(r.getAs[Long]("fx32") === 4294967294L)
+    assert(r.getAs[Long]("fx64") === -2L)     // 2^64-2 as raw long bits
+    assert(r.isNullAt(r.fieldIndex("s")))     // oneof: last-set (n) wins
+    assert(r.getAs[Int]("n") === 9)
+
+    // the DECODED tree is in canonical form: its re-encode is a fixpoint
+    // (the raw body itself is not — it set both oneof members)
+    val bytes2 = encodeFromJson(decodeToJson(body, msg), msg)
+    assert(encodeFromJson(decodeToJson(bytes2, msg), msg).toSeq === bytes2.toSeq)
+
+    // struct -> wire: a Spark map column encodes as map entry messages
+    val mapBytes = spark.range(1)
+      .select(protoSer(struct(map(lit("a"), lit(1)).as("attrs")),
+        PMessage(Seq(PField(1, "attrs", PMap(PString, PInt32))))).as("bin"))
+      .collect().head.getAs[Array[Byte]]("bin")
+    assert(mapBytes.toSeq ===
+      Seq(0x0a, 0x05, 0x0a, 0x01, 'a'.toInt, 0x10, 0x01).map(_.toByte).toSeq)
+
+    // encoding a tree with two oneof members set fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      encodeFromJson("""{"s":"x","n":1}""", msg)
+    }
+    assert(ex.getMessage.contains("oneof"))
+  }
+
   test("protobuf core serde: unpacked repeated scalars and repeated messages decode") {
     import ProtobufCore._
     val msg = PMessage(Seq(
