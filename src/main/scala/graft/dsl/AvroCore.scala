@@ -27,9 +27,12 @@ import org.apache.spark.sql.types._
   * and back). Unlike Avro's own JSON encoding, the renderer resolves
   * UNIONS into Catalyst-friendly shapes — so records of primitives, nested
   * records, arrays, maps, enums (as symbol strings), bytes/fixed (as
-  * base64 → `binary`), and union-typed fields all round-trip executably
-  * in-container, connector jar or not. The schema-registry frame
-  * ([[Serdes.srFrame]]/[[Serdes.srStrip]]) composes on the outside.
+  * base64 → `binary`), union-typed fields, and the logical types
+  * (`decimal` → `DecimalType`, `date` → `DateType`,
+  * `timestamp-millis`/`-micros` → `TimestampType`, `uuid` → string) all
+  * round-trip executably in-container, connector jar or not. The
+  * schema-registry frame ([[Serdes.srFrame]]/[[Serdes.srStrip]]) composes
+  * on the outside.
   *
   * Union mapping (resolved per the writer schema, no JSON wrapper):
   *  - `["null", X]` → plain nullable X — the common optional-field case;
@@ -71,6 +74,41 @@ object AvroCore extends Serializable {
   private def unionBranches(s: Schema): Seq[Schema] =
     s.getTypes.asScala.toSeq.filterNot(_.getType == Schema.Type.NULL)
 
+  // ---- logical types ------------------------------------------------------
+  // The reference gets decimal/date/timestamp/uuid from the Avro library's
+  // logical-type conversions; here they bridge through the canonical JSON:
+  // decimal -> plain JSON number (DecimalType parses it), date -> ISO local
+  // date (DateType), timestamp-millis/micros -> fixed-format UTC ISO
+  // instant (TimestampType), uuid -> its string base unchanged. The raw
+  // datum stays the base type (int days / long epoch / unscaled bytes), so
+  // no GenericData conversions need registering.
+
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  private def microsToString(us: Long): String =
+    tsFmt.format(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** Accepts the instant shapes both JSON legs produce: our own fixed
+    * format, any ISO instant, or to_json's zoneless local form read as UTC.
+    */
+  private def parseMicros(s0: String): Long = {
+    val s = s0.replace(' ', 'T')
+    val inst =
+      try java.time.Instant.parse(s)
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+      }
+    Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+      (inst.getNano / 1000).toLong)
+  }
+
+  private def logicalName(s: Schema): String =
+    Option(s.getLogicalType).map(_.getName).orNull
+
   /** The Avro JSON label a union branch resolves under. */
   private def branchLabel(s: Schema): String = s.getType match {
     case Schema.Type.RECORD | Schema.Type.ENUM | Schema.Type.FIXED => s.getFullName
@@ -88,6 +126,22 @@ object AvroCore extends Serializable {
 
   private def datumToJson(schema: Schema, v: Any): JsonNode = {
     if (v == null) return NullNode.instance
+    logicalName(schema) match {
+      case "decimal" =>
+        val scale = schema.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        return jf.numberNode(new java.math.BigDecimal(
+          new java.math.BigInteger(bytesOf(v)), scale))
+      case "date" =>
+        return jf.textNode(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case "timestamp-millis" =>
+        return jf.textNode(
+          microsToString(Math.multiplyExact(v.asInstanceOf[Long], 1000L)))
+      case "timestamp-micros" =>
+        return jf.textNode(microsToString(v.asInstanceOf[Long]))
+      case _ => () // uuid & unrecognized logical types ride their base type
+    }
     schema.getType match {
       case Schema.Type.NULL    => NullNode.instance
       case Schema.Type.BOOLEAN => jf.booleanNode(v.asInstanceOf[Boolean])
@@ -134,6 +188,33 @@ object AvroCore extends Serializable {
 
   private def jsonToDatum(schema: Schema, node: JsonNode): Any = {
     val isNull = node == null || node.isNull
+    if (!isNull && schema.getType != Schema.Type.UNION)
+      logicalName(schema) match {
+        case "decimal" =>
+          val scale = schema.getLogicalType
+            .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+          // declared scale is a contract: widening is fine, rounding is not
+          val bd = (if (node.isNumber) node.decimalValue()
+                    else new java.math.BigDecimal(node.asText()))
+            .setScale(scale, java.math.RoundingMode.UNNECESSARY)
+          val unscaled = bd.unscaledValue()
+          if (schema.getType == Schema.Type.FIXED) {
+            val size = schema.getFixedSize
+            val raw = unscaled.toByteArray
+            require(raw.length <= size, s"decimal $bd overflows fixed($size)")
+            val out = Array.fill[Byte](size)(
+              if (unscaled.signum() < 0) (-1).toByte else 0.toByte)
+            System.arraycopy(raw, 0, out, size - raw.length, raw.length)
+            return new GenericData.Fixed(schema, out)
+          } else return ByteBuffer.wrap(unscaled.toByteArray)
+        case "date" =>
+          return java.time.LocalDate.parse(node.asText()).toEpochDay.toInt
+        case "timestamp-millis" =>
+          return Math.floorDiv(parseMicros(node.asText()), 1000L)
+        case "timestamp-micros" =>
+          return parseMicros(node.asText())
+        case _ => ()
+      }
     schema.getType match {
       case Schema.Type.UNION =>
         val branches = unionBranches(schema)
@@ -221,7 +302,16 @@ object AvroCore extends Serializable {
   def sparkSchemaFor(avroSchemaJson: String): StructType =
     sparkTypeOf(serdeOf(avroSchemaJson).schema).asInstanceOf[StructType]
 
-  private def sparkTypeOf(s: Schema): DataType = s.getType match {
+  private def sparkTypeOf(s: Schema): DataType = {
+    logicalName(s) match {
+      case "decimal" =>
+        val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        return DecimalType(d.getPrecision, d.getScale)
+      case "date" => return DateType
+      case "timestamp-millis" | "timestamp-micros" => return TimestampType
+      case _ => () // uuid -> StringType through its string base
+    }
+    s.getType match {
     case Schema.Type.BOOLEAN => BooleanType
     case Schema.Type.INT     => IntegerType
     case Schema.Type.LONG    => LongType
@@ -241,6 +331,7 @@ object AvroCore extends Serializable {
       if (branches.length == 1) sparkTypeOf(branches.head)
       else StructType(branches.map(b =>
         StructField(branchLabel(b), sparkTypeOf(b), nullable = true)))
+    }
   }
 
   /** Decode a binary Avro column to a typed struct column.
@@ -256,9 +347,14 @@ object AvroCore extends Serializable {
   def avroDe(c: Column, avroSchemaJson: String): Column =
     avroDe(c, avroSchemaJson, sparkSchemaFor(avroSchemaJson))
 
-  /** Encode a struct column to a binary Avro column against the schema. */
+  /** Encode a struct column to a binary Avro column against the schema.
+    * Timestamps are rendered as UTC ISO instants regardless of the session
+    * timezone so [[encodeFromJson]]'s parse is unambiguous.
+    */
   def avroSer(c: Column, avroSchemaJson: String): Column = {
     val ser = udf((j: String) => encodeFromJson(j, avroSchemaJson))
-    ser(to_json(c))
+    ser(to_json(c, Map(
+      "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+      "timeZone" -> "UTC")))
   }
 }

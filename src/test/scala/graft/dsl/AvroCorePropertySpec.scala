@@ -12,7 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Randomized round-trip lock for the AvroCore JSON bridge AGAINST THE
   * AVRO LIBRARY as the independent reference implementation: for random
   * schemas (primitives, bytes/fixed, enums, arrays, maps, nested records,
-  * nullable unions, multi-branch unions) and random library-built records,
+  * nullable unions, multi-branch unions, and the logical types decimal/
+  * date/timestamp-millis/timestamp-micros/uuid) and random library-built
+  * records,
   *
   *   library-encode → AvroCore.decodeToJson → AvroCore.encodeFromJson →
   *   library-decode
@@ -35,9 +37,24 @@ class AvroCorePropertySpec extends AnyFunSuite {
       case 5 => Schema.Type.STRING
       case 6 => Schema.Type.BYTES
     })
-    rnd.nextInt(10) match {
+    rnd.nextInt(11) match {
       case 0 => Schema.createEnum(freshName(), null, null, Seq("A", "B", "C").asJava)
       case 1 => Schema.createFixed(freshName(), null, null, 4)
+      case 10 => // logical types on their base schemas
+        rnd.nextInt(6) match {
+          case 0 => org.apache.avro.LogicalTypes.decimal(9, 2)
+            .addToSchema(Schema.create(Schema.Type.BYTES))
+          case 1 => org.apache.avro.LogicalTypes.decimal(11, 3)
+            .addToSchema(Schema.createFixed(freshName(), null, null, 5))
+          case 2 => org.apache.avro.LogicalTypes.date()
+            .addToSchema(Schema.create(Schema.Type.INT))
+          case 3 => org.apache.avro.LogicalTypes.timestampMillis()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+          case 4 => org.apache.avro.LogicalTypes.timestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+          case 5 => org.apache.avro.LogicalTypes.uuid()
+            .addToSchema(Schema.create(Schema.Type.STRING))
+        }
       case 2 => Schema.createArray(primitive())
       case 3 => Schema.createMap(primitive())
       case 4 => // nullable union
@@ -62,7 +79,32 @@ class AvroCorePropertySpec extends AnyFunSuite {
     Schema.createRecord(freshName(), null, "graft.test", false, fields.asJava)
   }
 
-  private def randValue(rnd: scala.util.Random, s: Schema): AnyRef = s.getType match {
+  private def randValue(rnd: scala.util.Random, s: Schema): AnyRef =
+    Option(s.getLogicalType).map(_.getName).getOrElse("") match {
+      // decimals: CANONICAL unscaled bytes (minimal two's complement for
+      // bytes, sign-extended-to-size for fixed) — the form our encoder
+      // emits, so the library-record compare is well-defined
+      case "decimal" if s.getType == Schema.Type.BYTES =>
+        ByteBuffer.wrap(
+          java.math.BigInteger.valueOf(rnd.nextInt().toLong).toByteArray)
+      case "decimal" =>
+        val v = java.math.BigInteger.valueOf(rnd.nextInt().toLong)
+        val raw = v.toByteArray
+        val out = Array.fill[Byte](s.getFixedSize)(
+          if (v.signum() < 0) (-1).toByte else 0.toByte)
+        System.arraycopy(raw, 0, out, s.getFixedSize - raw.length, raw.length)
+        new GenericData.Fixed(s, out)
+      // bounded so the ISO renders stay in 4-digit-year parse range
+      case "date" =>
+        java.lang.Integer.valueOf(rnd.nextInt(3000000) - 1500000)
+      case "timestamp-millis" =>
+        java.lang.Long.valueOf(rnd.nextLong() % 4102444800000L)
+      case "timestamp-micros" =>
+        java.lang.Long.valueOf(rnd.nextLong() % 4102444800000000L)
+      case _ => randBaseValue(rnd, s) // uuid rides its string base
+    }
+
+  private def randBaseValue(rnd: scala.util.Random, s: Schema): AnyRef = s.getType match {
     case Schema.Type.BOOLEAN => java.lang.Boolean.valueOf(rnd.nextBoolean())
     case Schema.Type.INT     => java.lang.Integer.valueOf(rnd.nextInt())
     case Schema.Type.LONG    => java.lang.Long.valueOf(rnd.nextLong())

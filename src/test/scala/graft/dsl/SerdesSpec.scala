@@ -452,4 +452,103 @@ class SerdesSpec extends SparkSpec {
     assert(row.getString(1) === "en" && row.getDouble(2) === 0.75)
     assert(row.getSeq[String](3) === Seq("a", "b"))
   }
+
+  test("avro core serde: logical types map to Decimal/Date/Timestamp columns") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.{DecoderFactory, EncoderFactory}
+    import org.apache.spark.sql.types._
+
+    val avroSchema =
+      """{"type":"record","name":"lt","fields":[
+        |{"name":"price","type":{"type":"bytes","logicalType":"decimal","precision":9,"scale":2}},
+        |{"name":"fprice","type":{"type":"fixed","name":"d5","size":5,"logicalType":"decimal","precision":11,"scale":3}},
+        |{"name":"day","type":{"type":"int","logicalType":"date"}},
+        |{"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
+        |{"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |{"name":"uid","type":{"type":"string","logicalType":"uuid"}},
+        |{"name":"opt_ts","type":["null",{"type":"long","logicalType":"timestamp-millis"}]}]}""".stripMargin
+    val schema = new Schema.Parser().parse(avroSchema)
+
+    // the derived Catalyst schema carries the logical types
+    val derived = AvroCore.sparkSchemaFor(avroSchema)
+    assert(derived("price").dataType === DecimalType(9, 2))
+    assert(derived("fprice").dataType === DecimalType(11, 3))
+    assert(derived("day").dataType === DateType)
+    assert(derived("ts_ms").dataType === TimestampType)
+    assert(derived("ts_us").dataType === TimestampType)
+    assert(derived("uid").dataType === StringType)
+    assert(derived("opt_ts").dataType === TimestampType) // nullable union flattens
+
+    // producer side: the avro LIBRARY writes raw base values (unscaled
+    // bytes / epoch days / epoch millis+micros) — external ground truth
+    val msUs = 1614834367089L                     // 2021-03-04T05:06:07.089Z
+    val usUs = 1614834367089123L                  // ...07.089123Z
+    val rec = new GenericData.Record(schema)
+    rec.put("price", java.nio.ByteBuffer.wrap(
+      java.math.BigInteger.valueOf(123456L).toByteArray))          // 1234.56
+    val neg = java.math.BigInteger.valueOf(-7125L).toByteArray     // -7.125
+    val padded = Array.fill[Byte](5)(-1)
+    System.arraycopy(neg, 0, padded, 5 - neg.length, neg.length)
+    rec.put("fprice",
+      new GenericData.Fixed(schema.getField("fprice").schema(), padded))
+    rec.put("day", java.time.LocalDate.of(2021, 3, 4).toEpochDay.toInt)
+    rec.put("ts_ms", msUs)
+    rec.put("ts_us", usUs)
+    rec.put("uid", "123e4567-e89b-12d3-a456-426614174000")
+    rec.put("opt_ts", null)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val body = out.toByteArray
+
+    // canonical fixpoint through the JSON bridge
+    assert(AvroCore.encodeFromJson(
+      AvroCore.decodeToJson(body, avroSchema), avroSchema).toSeq === body.toSeq)
+
+    // tz-safe assertions: epoch extraction + string casts, no local renders
+    val row = Seq(body).toDF("bin")
+      .select(AvroCore.avroDe(col("bin"), avroSchema).as("r"))
+      .select(col("r.price"), col("r.fprice"),
+        col("r.day").cast("string").as("day_s"),
+        unix_millis(col("r.ts_ms")).as("ms"),
+        unix_micros(col("r.ts_us")).as("us"),
+        col("r.uid"), col("r.opt_ts"))
+      .collect().head
+    assert(row.getDecimal(0) === new java.math.BigDecimal("1234.56"))
+    assert(row.getDecimal(1) === new java.math.BigDecimal("-7.125"))
+    assert(row.getString(2) === "2021-03-04")
+    assert(row.getLong(3) === msUs)
+    assert(row.getLong(4) === usUs)
+    assert(row.getString(5) === "123e4567-e89b-12d3-a456-426614174000")
+    assert(row.isNullAt(6))
+
+    // reverse leg: Spark-typed columns (built tz-independently from epoch
+    // values) encode to raw base values the avro library reads back
+    val reenc = spark.range(1).select(AvroCore.avroSer(struct(
+        lit("88.25").cast(DecimalType(9, 2)).as("price"),
+        lit("-1.5").cast(DecimalType(11, 3)).as("fprice"),
+        to_date(lit("1999-12-31")).as("day"),
+        timestamp_millis(lit(946684800123L)).as("ts_ms"),
+        timestamp_micros(lit(946684800123456L)).as("ts_us"),
+        lit("00000000-0000-0000-0000-000000000000").as("uid"),
+        lit(null).cast(TimestampType).as("opt_ts")), avroSchema).as("bin"))
+      .collect().head.getAs[Array[Byte]]("bin")
+    val back = new GenericDatumReader[GenericRecord](schema)
+      .read(null, DecoderFactory.get().binaryDecoder(reenc, null))
+    val priceBB = back.get("price").asInstanceOf[java.nio.ByteBuffer]
+    val priceBytes = new Array[Byte](priceBB.remaining()); priceBB.get(priceBytes)
+    assert(new java.math.BigInteger(priceBytes) ===
+      java.math.BigInteger.valueOf(8825L))
+    assert(new java.math.BigInteger(
+      back.get("fprice").asInstanceOf[GenericData.Fixed].bytes()) ===
+      java.math.BigInteger.valueOf(-1500L))
+    assert(back.get("day") ===
+      java.time.LocalDate.of(1999, 12, 31).toEpochDay.toInt)
+    assert(back.get("ts_ms") === 946684800123L)
+    assert(back.get("ts_us") === 946684800123456L)
+    assert(back.get("uid").toString === "00000000-0000-0000-0000-000000000000")
+    assert(back.get("opt_ts") === null)
+  }
 }
