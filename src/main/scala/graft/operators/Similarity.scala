@@ -350,15 +350,25 @@ object Similarity {
   }
 
   /** Batch MULTI-PROBE ANN: [[annJoinTopK]] widened so every query also
-    * probes the buckets reached by flipping its lowest-|margin| sign bits —
-    * but with the probe sets computed IN-PLAN per query row (no driver-side
-    * loop over queries, unlike [[annTopKMultiProbe]]). Each query row
-    * derives its per-bit margins against the literal hyperplanes, sorts
-    * them, and explodes into `probes` bucket ids; the corpus computes its
-    * bucket map-side and never shuffles (query side broadcast). Restricted
-    * to SINGLE-bit flips (`probes <= nBits + 1`) — the common regime, where
-    * step-wise probing and the full Lv'07 global ordering coincide; for
-    * deeper probe sequences use the single-query form.
+    * probes the buckets reached by flipping its lowest-|margin| sign bits.
+    * Two regimes, same join shape (corpus computes its bucket map-side and
+    * never shuffles; query side broadcast):
+    *
+    *  - `probes <= nBits + 1` (the common case): probe sets computed
+    *    IN-PLAN per query row — no driver job at all. Single-bit flips,
+    *    where step-wise probing and the full Lv'07 global ordering
+    *    coincide.
+    *  - `probes > nBits + 1` (deep probing): multi-bit flip masks in the
+    *    full Lv'07 global total-margin order. The query set is
+    *    broadcast-sized by contract, so ONE tiny job collects
+    *    (`qIdCol`, `qVecCol`); each query's probe sequence comes from the
+    *    same heap generator as the single-query form ([[probeMasks]]) and
+    *    rides back into the plan as a literal qid → bucket-array map
+    *    (O(|queries| · probes) literals — still broadcast-sized). Query
+    *    ids must be unique (they key the literal map).
+    *
+    * Spec-locked: the deep regime returns exactly the per-query
+    * [[annTopKMultiProbe]] results for every query in the batch.
     */
   def annJoinTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
@@ -366,25 +376,48 @@ object Similarity {
       dim: Int = Vectors.Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
-    require(probes >= 1 && probes <= nBits + 1,
-      s"batch multi-probe uses single-bit flips: probes must be <= nBits + 1, got $probes")
-    // per-bit margin structs; field order (am, b, ...) makes array_sort's
-    // lexicographic struct order = (|margin| asc, bit asc) — the probe order
-    val margins = array((0 until nBits).map { j =>
-      val r = Vectors.hyperplane(j, dim)
-      val rCol = array(r.toIndexedSeq.map(lit): _*)
-      val d = VectorQueries.dotCol(col(qVecCol), rCol)
-      struct(abs(d).as("am"), lit(j).as("b"), lit(1 << j).as("bit"), d.as("d"))
-    }: _*)
-    val qs = queries
-      .withColumn("__m", margins)
-      .withColumn("__qbucket", aggregate(col("__m"), lit(0), (acc, e) =>
-        acc + when(e.getField("d") > 0, e.getField("bit")).otherwise(0)))
-      .withColumn("__probe", explode(concat(
-        array(col("__qbucket")),
-        transform(slice(array_sort(col("__m")), 1, probes - 1),
-          f => col("__qbucket").bitwiseXOR(f.getField("bit"))))))
-      .drop("__m")
+    require(probes >= 1 && probes <= (1 << nBits),
+      s"probes must be in [1, 2^$nBits], got $probes")
+    val qs = if (probes <= nBits + 1) {
+      // per-bit margin structs; field order (am, b, ...) makes array_sort's
+      // lexicographic struct order = (|margin| asc, bit asc) — the probe order
+      val margins = array((0 until nBits).map { j =>
+        val r = Vectors.hyperplane(j, dim)
+        val rCol = array(r.toIndexedSeq.map(lit): _*)
+        val d = VectorQueries.dotCol(col(qVecCol), rCol)
+        struct(abs(d).as("am"), lit(j).as("b"), lit(1 << j).as("bit"), d.as("d"))
+      }: _*)
+      queries
+        .withColumn("__m", margins)
+        .withColumn("__qbucket", aggregate(col("__m"), lit(0), (acc, e) =>
+          acc + when(e.getField("d") > 0, e.getField("bit")).otherwise(0)))
+        .withColumn("__probe", explode(concat(
+          array(col("__qbucket")),
+          transform(slice(array_sort(col("__m")), 1, probes - 1),
+            f => col("__qbucket").bitwiseXOR(f.getField("bit"))))))
+        .drop("__m")
+    } else {
+      val collected = queries.select(col(qIdCol), col(qVecCol)).collect()
+      if (collected.isEmpty) queries.withColumn("__probe", lit(0))
+      else {
+        val entries = collected.map { r =>
+          val qv = r.getSeq[Float](1).toArray
+          val margins = (0 until nBits).map { j =>
+            val h = Vectors.hyperplane(j, dim)
+            j -> qv.zip(h).map { case (x, y) => x.toDouble * y }.sum
+          }
+          val qBucket = margins.collect { case (j, d) if d > 0 => 1 << j }.sum
+          val buckets = (qBucket +: probeMasks(
+            margins.map { case (_, d) => math.abs(d) }.toIndexedSeq, probes - 1)
+            .map(qBucket ^ _)).distinct
+          r.get(0) -> buckets
+        }
+        val bucketsOf = map(entries.flatMap { case (qid, buckets) =>
+          Seq(lit(qid), array(buckets.map(lit(_)): _*))
+        }.toIndexedSeq: _*)
+        queries.withColumn("__probe", explode(element_at(bucketsOf, col(qIdCol))))
+      }
+    }
     val c = corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
     c.join(broadcast(qs), col("__bucket") === col("__probe"))

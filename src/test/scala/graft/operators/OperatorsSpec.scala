@@ -259,6 +259,10 @@ class OperatorsSpec extends SparkSpec {
       in.toDF().toDF("doc_id", "text"), bench, "text",
       expectedGrams = 1000L, fpp = 1e-8)
     assert(streamed.isStreaming)
+    // r8: build AND probe are native (BloomFilterAggregate +
+    // BloomFilterMightContain) — no Scala UDF anywhere in the plan
+    assert(!streamed.queryExecution.analyzed.toString.contains("UDF"),
+      "flagBloom probe must stay UDF-free")
     val q = streamed.writeStream.format("memory")
       .queryName("t_decon_stream").outputMode("append").start()
     corpus.collect().foreach(r => in.addData((r.getLong(0), r.getString(1))))
@@ -657,6 +661,32 @@ class OperatorsSpec extends SparkSpec {
     assert(p1.subsetOf(p8), "wider probing keeps every single-bucket hit")
     assert(p8.size > p1.size,
       s"multi-probe should recover cross-bucket neighbors (p1=${p1.size}, p8=${p8.size})")
+  }
+
+  test("batch multi-probe deep regime (probes > nBits+1) equals per-query Lv'07") {
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, Array.fill(12)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val queryVecs = (0 until 4).map(qi =>
+      qi.toLong -> Array.fill(12)(rnd.nextFloat() * 2 - 1))
+    val qdf = queryVecs.toDF("qid", "qvec")
+    // probes = 13 > nBits + 1 = 6: multi-bit flip masks in global
+    // total-margin order — the regime the in-plan path cannot express
+    val batch = Similarity.annJoinTopKMultiProbe(corpus, qdf,
+        "vec_id", "embedding", "qid", "qvec",
+        k = 7, nBits = 5, probes = 13, dim = 12)
+      .select("qid", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    queryVecs.foreach { case (qid, qv) =>
+      val single = Similarity.annTopKMultiProbe(corpus, "vec_id", "embedding",
+          qv, k = 7, nBits = 5, probes = 13)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+      assert(batch.getOrElse(qid, Nil) === single,
+        s"qid=$qid deep batch != per-query Lv'07")
+    }
   }
 
   test("annRecallAtBatch equals the per-query evaluator on the same sample") {
