@@ -4,11 +4,12 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
+  LongType}
 
 /** Bounded top-k ids by score as ONE aggregate: the buffer is a k-capped
   * heap of (score, id), so partial (map-side) aggregation reduces each
@@ -28,7 +29,15 @@ case class TopKIdsAgg(
     kExpr: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+  with ImplicitCastInputTypes {
+
+  // analysis-time contract: a float score or int id registered through
+  // topk_ids coerces here instead of ClassCastException-ing on an executor
+  // (Seq[DataType] conforms to the Seq[AbstractDataType] signature —
+  // AbstractDataType itself is private[sql])
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, LongType, IntegerType)
 
   private lazy val k: Int = {
     val v = kExpr.eval(InternalRow.empty)

@@ -1,6 +1,6 @@
 package graft.iq
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -29,6 +29,10 @@ final class StoreRegistry(spark: SparkSession) {
              java.util.concurrent.ConcurrentHashMap[Any, org.apache.spark.sql.Row])]()
   // storeName -> checkpoint dir of a checkpointed (driver-memory-free) store
   private val checkpoints = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // storeName -> (checkpoint dir, state variable name) of a Processor-API
+  // (transformWithState) store
+  private val processorStores =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   /** Materialize a KTable as a named queryable store. `outputMode` must suit
     * the changelog's stateful chain: "update" for plain latest-per-key
@@ -111,25 +115,43 @@ final class StoreRegistry(spark: SparkSession) {
     *    buffer…, max-ts) — normalized to the same `Windowed[K]` shape with
     *    the session's merged [start, end).
     *
-    * The max-timestamp buffer is identified by its state-schema name
-    * (`max`) — Spark names state fields after the aggregate function, not
-    * its alias. Retention caveat: this view shows LIVE state, so windows
-    * the watermark has already evicted are absent (the driver-map mode's
-    * fold retains them) — query within the retention horizon.
+    * The max-timestamp buffer is the LAST state field — [[graft.streaming
+    * .StatefulOps]] appends its internal max-ts aggregate after the user
+    * buffers, and Spark preserves buffer order in the state schema — so it
+    * is selected POSITIONALLY (by struct ordinal, not by its `max` name): a
+    * user aggregation that is itself `max(...)` produces a second field
+    * named `max` and a by-name lookup would mis-assign the two. A layout
+    * whose last field is not named `max` fails loudly. Retention caveat:
+    * this view shows LIVE state, so windows the watermark has already
+    * evicted are absent (the driver-map mode's fold retains them) — query
+    * within the retention horizon.
     */
   private def checkpointView(storeName: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val raw = spark.read.format("statestore")
       .option("path", checkpoints.get(storeName)).load()
-    val valueType = raw.schema("value").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val keyType = raw.schema("key").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val valueType = raw.schema("value").dataType.asInstanceOf[StructType]
+    val keyType = raw.schema("key").dataType.asInstanceOf[StructType]
+    // ordinal access, immune to duplicate field names in the state schema:
+    // cast renames struct fields POSITIONALLY (a GetStructField ordinal
+    // would be re-resolved by name on the Column bridge and mis-bind), so
+    // a same-shape struct with unique names makes by-name access safe
+    val renamedType = StructType(valueType.fields.zipWithIndex.map {
+      case (f, i) => StructField(s"_b$i", f.dataType, f.nullable) })
+    def valueField(i: Int): Column =
+      col("value").cast(renamedType).getField(s"_b$i")
+    def tsField: Column = {
+      require(valueType.fields.last.name == "max",
+        s"state layout for $storeName does not end in the max-ts buffer: $valueType")
+      valueField(valueType.fields.length - 1)
+    }
     // one agg buffer -> scalar value; several -> struct of buffers
-    def aggValue(aggFields: Array[org.apache.spark.sql.types.StructField]) = {
-      require(aggFields.nonEmpty,
+    def aggValue(aggOrdinals: Seq[Int]) = {
+      require(aggOrdinals.nonEmpty,
         s"no aggregation buffer in state layout for $storeName: $valueType")
-      if (aggFields.length == 1) col(s"value.${aggFields.head.name}")
-      else struct(aggFields.map(f => col(s"value.${f.name}").as(f.name)): _*)
+      if (aggOrdinals.length == 1) valueField(aggOrdinals.head)
+      else struct(aggOrdinals.map(i =>
+        valueField(i).as(valueType.fields(i).name)): _*)
     }
     if (valueType.fieldNames.contains("groupState"))
       raw.select(col("value.groupState.key").as("key"),
@@ -139,25 +161,71 @@ final class StoreRegistry(spark: SparkSession) {
       val groupCols = keyType.fieldNames.filterNot(_ == "sessionStartTime")
       require(groupCols.length == 1,
         s"session checkpoint view expects one grouping column, got key=$keyType")
-      val aggFields = valueType.fields.filterNot(f =>
-        f.name == "max" || f.name == "session_window" || groupCols.contains(f.name))
+      // value = (session_window, groupKey, user buffers..., max-ts)
+      val aggOrdinals = valueType.fields.indices.init.filter { i =>
+        val n = valueType.fields(i).name
+        n != "session_window" && !groupCols.contains(n)
+      }
       raw.select(
         struct(col(s"value.${groupCols.head}").as("key"),
           col("value.session_window.start").as("start"),
           col("value.session_window.end").as("end")).as("key"),
-        aggValue(aggFields).as("value"),
-        col("value.max").as("ts"))
+        aggValue(aggOrdinals).as("value"),
+        tsField.as("ts"))
     } else {
       require(keyType.fieldNames.contains("window"),
         s"unsupported state layout for $storeName: key=$keyType value=$valueType")
-      val aggFields = valueType.fields.filterNot(_.name == "max")
+      // value = (user buffers..., max-ts)
       raw.select(
         struct(col("key.key").as("key"),
           col("key.window.start").as("start"),
           col("key.window.end").as("end")).as("key"),
-        aggValue(aggFields).as("value"),
-        col("value.max").as("ts"))
+        aggValue(valueType.fields.indices.init).as("value"),
+        tsField.as("ts"))
     }
+  }
+
+  /** Register a Processor-API ([[graft.streaming.ProcessorApi]] /
+    * `transformWithState`) store for interactive reads straight off the
+    * query's checkpoint — the third store mode, for state the OTHER two
+    * can't see: named `ValueState`/`ListState`/`MapState` variables inside
+    * a custom [[org.apache.spark.sql.streaming.StatefulProcessor]]. No
+    * driver map, no changelog fold: reads scan the state files through the
+    * batch `statestore` source with `stateVarName`, so the store scales
+    * with the cluster and lags by at most one committed trigger.
+    *
+    * The view normalizes Spark's layouts to this registry's (key, value)
+    * contract: value state → one row per key; list state → one row per
+    * element (flattened); map state → (key, map_key, value) rows. Spark's
+    * single-field encoder structs (`{value: X}`) are unwrapped to scalars
+    * on every leg. Use [[all]]/[[range]]/[[get]] as with any other store
+    * (for map state, [[get]] returns the FIRST entry of the key — read
+    * [[all]] filtered on `key`/`map_key` for the full per-key map).
+    */
+  def registerProcessorStore(storeName: String, checkpointLocation: String,
+      stateVarName: String): Unit =
+    processorStores.put(storeName, (checkpointLocation, stateVarName))
+
+  private def processorStateView(storeName: String): DataFrame = {
+    val (ckpt, varName) = processorStores.get(storeName)
+    val raw = spark.read.format("statestore")
+      .option("path", ckpt).option("stateVarName", varName)
+      .option("flattenCollectionTypes", "true").load()
+    def unwrap(name: String, as: String): Column =
+      raw.schema(name).dataType match {
+        // single-field encoder struct {value: X} -> the scalar
+        case st: org.apache.spark.sql.types.StructType if st.fields.length == 1 =>
+          col(name).getField(st.fields.head.name).as(as)
+        case _ => col(name).as(as)
+      }
+    val fields = raw.schema.fieldNames
+    if (fields.contains("user_map_key"))
+      raw.select(unwrap("key", "key"), unwrap("user_map_key", "map_key"),
+        unwrap("user_map_value", "value"))
+    else if (fields.contains("list_element"))
+      raw.select(unwrap("key", "key"), unwrap("list_element", "value"))
+    else
+      raw.select(unwrap("key", "key"), unwrap("value", "value"))
   }
 
   /** Latest-per-key view of a store (the `IReadOnlyKeyValueStore.All()`
@@ -172,6 +240,8 @@ final class StoreRegistry(spark: SparkSession) {
       spark.createDataFrame(rows, schema)
     } else if (checkpoints.containsKey(storeName)) {
       checkpointView(storeName)
+    } else if (processorStores.containsKey(storeName)) {
+      processorStateView(storeName)
     } else {
       import org.apache.spark.sql.expressions.Window
       spark.table(storeName)

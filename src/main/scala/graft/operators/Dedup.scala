@@ -93,7 +93,13 @@ object Dedup {
       minAgreeFraction: Double = 0.5,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     import TextQueries.NumPerm
-    val sigs = minhashSignatures(df, idCol, textCol).persist()
+    // lazy LOCAL CHECKPOINT, not persist(): same materialization barrier
+    // and multi-branch reuse (candidates + both join-back sides read the
+    // signatures once), but the backing RDD is unpersisted by the
+    // ContextCleaner when this plan is garbage-collected — a session-cache
+    // persist would leak one cached intermediate per call for the
+    // SparkSession's lifetime
+    val sigs = minhashSignatures(df, idCol, textCol).localCheckpoint(false)
     val cand = lshCandidates(sigs, idCol, hotBucketThreshold = hotBucketThreshold)
     val agree = (0 until NumPerm)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
@@ -257,13 +263,17 @@ object Dedup {
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 16, maxDf: Int = 16, minShared: Int = 2): DataFrame = {
-    // persist = materialization barrier before the explode: without it the
-    // Generate node re-evaluates the whole md5 fingerprint chain per
-    // OUTPUT row (measured 8x on this stage at sf0.1). The cached
-    // intermediate is narrow — id + ~2·len/w longs per doc, smaller than
-    // the text itself — and disk-backed, same idiom as the minhash
-    // signature persist in [[nearDuplicates]].
-    val exploded = winnowFingerprints(df, idCol, textCol, k, w).persist()
+    // lazy local checkpoint = materialization barrier before the explode:
+    // without it the Generate node re-evaluates the whole md5 fingerprint
+    // chain per OUTPUT row (measured 8x on this stage at sf0.1). The
+    // materialized intermediate is narrow — id + ~2·len/w longs per doc,
+    // smaller than the text itself — and, unlike a session-cache persist
+    // (which would leak one cached plan per call until the session dies),
+    // the ContextCleaner unpersists the checkpoint RDD once this plan is
+    // garbage-collected. Same idiom as [[nearDuplicates]]' signature
+    // barrier.
+    val exploded = winnowFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint(false)
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
     val scan = Lsh.scanRuns(exploded, idCol, Seq("fp"), maxDf,
       hotStar = false, emitMembers = true)
@@ -286,8 +296,9 @@ object Dedup {
     * vs [[dedupNear]]: the per-cluster arg-max is a `groupBy(rep)` +
     * `max_by`, map-side combined, so the shuffle carries one candidate row
     * per cluster per partition — still no all-pairs stage anywhere.
-    * `idCol` must be non-negative (the tie-break negates it inside the
-    * max_by ordering key).
+    * The tie-break negates `idCol` inside the max_by ordering key —
+    * negation is monotonic for every long except `Long.MinValue` (which
+    * negates to itself), so any id other than that sentinel is fine.
     */
   def dedupNearBy(df: DataFrame, idCol: String, textCol: String, keepBy: Column,
       minAgreeFraction: Double = 0.5,

@@ -238,6 +238,101 @@ class StoreRegistrySpec extends SparkSpec {
     registry.stop()
   }
 
+  test("Processor-API value state reads off the checkpoint with no driver map") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.{ProcessorApi, RunningCountProcessor}
+    ProcessorApi.useRocksDb(spark)
+    try {
+      val registry = new StoreRegistry(spark)
+      val in = MemoryStream[(String, String, Long)]
+      val stream = new KStream(in.toDS().map { case (k, v, t) =>
+        KV(k, v, new java.sql.Timestamp(t)) })
+      val counted = stream.process(new RunningCountProcessor[String, String],
+        TimeMode.None(), OutputMode.Update())
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_proc").toString
+      val q = counted.writeStream.format("noop")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      in.addData(("a", "x", 1000L), ("a", "y", 2000L), ("b", "z", 1000L))
+      q.processAllAvailable()
+      in.addData(("a", "w", 3000L)); q.processAllAvailable()
+      q.stop()
+
+      registry.registerProcessorStore("proc_store", ckpt, "count")
+      assert(registry.storeSize("proc_store") === None) // no driver map
+      val all = registry.all("proc_store").collect()
+        .map(r => r.getAs[String]("key") -> r.getAs[Long]("value")).toMap
+      assert(all === Map("a" -> 3L, "b" -> 1L)) // state survived both triggers
+      assert(registry.get("proc_store", "a") === Some(3L))
+      assert(registry.get("proc_store", "missing") === None)
+      assert(registry.range("proc_store", "a", "a").count() === 1)
+    } finally ProcessorApi.useDefaultStateStore(spark)
+  }
+
+  test("Processor-API list and map state normalize to registry rows") {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.ProcessorApi
+    ProcessorApi.useRocksDb(spark)
+    try {
+      val registry = new StoreRegistry(spark)
+      val in = MemoryStream[(String, String, Long)]
+      val stream = new KStream(in.toDS().map { case (k, v, t) =>
+        KV(k, v, new java.sql.Timestamp(t)) })
+      val out = stream.process(new ListMapStateProcessor,
+        TimeMode.None(), OutputMode.Update())
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_proclm").toString
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      in.addData(("a", "x", 1000L), ("a", "y", 2000L), ("b", "z", 1000L))
+      q.processAllAvailable()
+      q.stop()
+
+      // list state: one row per element, single-field structs unwrapped
+      registry.registerProcessorStore("proc_list", ckpt, "recent")
+      val list = registry.all("proc_list").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("value")))
+      assert(list.toSet === Set(("a", "x"), ("a", "y"), ("b", "z")))
+      // map state: (key, map_key, value) rows
+      registry.registerProcessorStore("proc_map", ckpt, "tally")
+      val m = registry.all("proc_map").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[String]("map_key"),
+          r.getAs[Long]("value")))
+      assert(m.toSet === Set(("a", "x", 1L), ("a", "y", 1L), ("b", "z", 1L)))
+    } finally ProcessorApi.useDefaultStateStore(spark)
+  }
+
+  test("user max aggregate beside the internal max-ts buffer resolves positionally") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.functions._
+    import graft.dsl.{Upsert, Windowed}
+    val registry = new StoreRegistry(spark)
+    val in = MemoryStream[(String, Long)]
+    // the ADVICE trap: the USER buffer is itself max(...), so the state
+    // schema carries TWO fields named "max" — by-name selection would
+    // mis-assign them; positional selection must return the user max as
+    // the value and the ts buffer as ts
+    val df = in.toDS().map { case (k, v) => (k, v, new Timestamp(v)) }
+      .toDF("key", "value", "ts").withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 seconds"), col("key"))
+      .agg(max(col("value")).as("mv"), max(col("ts")).as("mts"))
+    val table = new graft.dsl.KTable(df
+      .select(col("key"), col("window.start"), col("window.end"),
+        col("mv"), col("mts"))
+      .as[(String, Timestamp, Timestamp, Long, Timestamp)]
+      .map { case (k, s, e, mv, m) => Upsert(Windowed(k, s, e), Some(mv), m) })
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_iq_umax").toString
+    val q = registry.materializeCheckpointed(table, "umax_store", ckpt)
+    in.addData(("a", 1000L), ("a", 2000L), ("b", 12000L))
+    q.processAllAvailable()
+
+    val rows = registry.fetchAll("umax_store", 0L, 30000L).collect()
+      .map(r => (r.getAs[org.apache.spark.sql.Row]("key").getAs[String]("key"),
+        r.getAs[Long]("value"),
+        r.getAs[Timestamp]("ts").getTime))
+    // value = user max(value), NOT the ts buffer; ts = max event time
+    assert(rows.toSeq === Seq(("a", 2000L, 2000L), ("b", 12000L, 12000L)))
+    registry.stop()
+  }
+
   test("error handling: permissive parse splits good and corrupt records") {
     import graft.runtime.ErrorHandling
     import org.apache.spark.sql.types._
@@ -260,5 +355,36 @@ class StoreRegistrySpec extends SparkSpec {
     assert(out.value === "a:x" && out.ts.getTime === 1L)
     val t = s.transform(it => it.map(r => r.copy(value = r.value.toUpperCase)))
     assert(t.ds.collect().head.value === "X")
+  }
+}
+
+/** Exercises named ListState + MapState (the two collection state kinds the
+  * registry's processor-store view must normalize).
+  */
+final class ListMapStateProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, KV[String, String], KV[String, Long]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+  @transient private var recent: org.apache.spark.sql.streaming.ListState[String] = _
+  @transient private var tally: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    val es: Encoder[String] = Encoders.STRING
+    val el: Encoder[Long] = Encoders.scalaLong
+    recent = getHandle.getListState[String]("recent", es, TTLConfig.NONE)
+    tally = getHandle.getMapState[String, Long]("tally", es, el, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[KV[String, String]],
+      tv: TimerValues): Iterator[KV[String, Long]] = {
+    var n = 0L
+    rows.foreach { r =>
+      recent.appendValue(r.value)
+      val cur = if (tally.containsKey(r.value)) tally.getValue(r.value) else 0L
+      tally.updateValue(r.value, cur + 1)
+      n += 1
+    }
+    Iterator.single(KV(key, n, new java.sql.Timestamp(0L)))
   }
 }

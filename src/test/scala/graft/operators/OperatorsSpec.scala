@@ -689,6 +689,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topkIds coerces float scores and int ids at analysis time") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.TopKIdsAgg.register(spark)
+    // FloatType score + IntegerType id: ImplicitCastInputTypes widens both
+    // instead of a runtime ClassCastException on an executor
+    val df = Seq((0, 1.5f, 10), (0, 2.5f, 4), (0, 2.5f, 3), (0, 0.5f, 9))
+      .toDF("g", "s", "i")
+      .groupBy("g")
+      .agg(graft.functions.TopKIdsAgg.topkIds(col("s"), col("i"), 2).as("ids"))
+    assert(df.collect().head.getSeq[Long](1) === Seq(3L, 4L))
+  }
+
   test("annRecallAtBatch equals the per-query evaluator on the same sample") {
     val rnd = new scala.util.Random(9)
     val corpus = (0 until 80)
