@@ -22,8 +22,9 @@ import org.apache.spark.sql.types._
   * expressions) stay the preferred cluster path — codegen'd, descriptor
   * files, full proto3 semantics. This core path covers the serde-boundary
   * domain a streaming pipeline actually moves — all scalar kinds (varint,
-  * zigzag, unsigned, fixed, sfixed), strings, bytes, enums-as-ints,
-  * repeated fields, nested messages, `map<K,V>`, oneof — and bridges into
+  * zigzag, unsigned, fixed, sfixed), strings, bytes, enums (symbol strings
+  * via [[PEnum]], or raw ints via `PInt32`), repeated fields, nested
+  * messages, `map<K,V>`, oneof — and bridges into
   * Catalyst the same way [[AvroCore]] does: `binary → canonical JSON →
   * from_json(struct)` and back, so the full wire round-trip runs and is
   * tested anywhere Spark runs.
@@ -72,6 +73,23 @@ object ProtobufCore extends Serializable {
   case object PFloat extends PType
   case object PString extends PType
   case object PBytes extends PType
+  /** Proto enum with its descriptor's (symbol, number) pairs: decodes to
+    * the symbol STRING (canonical protobuf JSON; `StringType` in Catalyst),
+    * with unknown numbers surfacing as the bare number — proto3 keeps
+    * unknown enum values — and encoding accepting either form. Without a
+    * declared PEnum, enums still ride as `PInt32` numbers.
+    */
+  final case class PEnum(symbols: Seq[(String, Int)]) extends PType {
+    require(symbols.nonEmpty, "enum needs at least one symbol")
+    require(symbols.map(_._1).distinct.length == symbols.length,
+      "duplicate enum symbol")
+    require(symbols.map(_._2).distinct.length == symbols.length,
+      "duplicate enum number")
+    @transient lazy val byNumber: Map[Int, String] =
+      symbols.map { case (s, n) => n -> s }.toMap
+    @transient lazy val byName: Map[String, Int] = symbols.toMap
+  }
+
   final case class PMap(key: PType, value: PType) extends PType {
     require(key match {
       case PInt32 | PInt64 | PSInt32 | PSInt64 | PUInt32 | PUInt64 |
@@ -122,6 +140,7 @@ object ProtobufCore extends Serializable {
     case PFloat           => FloatType
     case PString          => StringType
     case PBytes           => BinaryType
+    case _: PEnum         => StringType // symbol names (unknowns as digits)
     case PMap(_, v)       => MapType(StringType, sparkTypeOf(v))
     case m: PMessage      => sparkSchema(m)
   }
@@ -202,7 +221,8 @@ object ProtobufCore extends Serializable {
   private def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
 
   private def wireTypeOf(t: PType): Int = t match {
-    case PInt32 | PInt64 | PSInt32 | PSInt64 | PUInt32 | PUInt64 | PBool => 0
+    case PInt32 | PInt64 | PSInt32 | PSInt64 | PUInt32 | PUInt64 | PBool |
+         _: PEnum => 0
     case PDouble | PFixed64 | PSFixed64 => 1
     case PFloat | PFixed32 | PSFixed32 => 5
     case PString | PBytes | _: PMessage | _: PMap => 2
@@ -227,6 +247,12 @@ object ProtobufCore extends Serializable {
       case PBool     => node.put(name, r.readVarint() != 0L)
       case PDouble   => node.put(name, java.lang.Double.longBitsToDouble(r.readFixed64()))
       case PFloat    => node.put(name, java.lang.Float.intBitsToFloat(r.readFixed32()))
+      case e: PEnum  =>
+        val n = r.readVarint().toInt
+        e.byNumber.get(n) match {
+          case Some(sym) => node.put(name, sym)
+          case None => node.put(name, n) // proto3 keeps unknown enum values
+        }
       case _         => throw new IllegalStateException(s"not a scalar: $t")
     }
 
@@ -244,6 +270,12 @@ object ProtobufCore extends Serializable {
     case PBool     => arr.add(r.readVarint() != 0L)
     case PDouble   => arr.add(java.lang.Double.longBitsToDouble(r.readFixed64()))
     case PFloat    => arr.add(java.lang.Float.intBitsToFloat(r.readFixed32()))
+    case e: PEnum  =>
+      val n = r.readVarint().toInt
+      e.byNumber.get(n) match {
+        case Some(sym) => arr.add(sym)
+        case None => arr.add(n)
+      }
     case _         => throw new IllegalStateException(s"not a scalar: $t")
   }
 
@@ -304,6 +336,9 @@ object ProtobufCore extends Serializable {
     case PFloat  => mapper.getNodeFactory.numberNode(0.0f)
     case PString => mapper.getNodeFactory.textNode("")
     case PBytes  => mapper.getNodeFactory.textNode("")
+    case e: PEnum => e.byNumber.get(0) // proto3 default enum = number 0
+      .map[JsonNode](mapper.getNodeFactory.textNode)
+      .getOrElse(mapper.getNodeFactory.numberNode(0))
     case _: PMessage => mapper.createObjectNode()
     case other   => throw new IllegalStateException(s"bad map value type $other")
   }
@@ -454,6 +489,18 @@ object ProtobufCore extends Serializable {
     case PBool     => w.writeVarint(if (v.asBoolean()) 1L else 0L)
     case PDouble   => w.writeFixed64(java.lang.Double.doubleToLongBits(v.asDouble()))
     case PFloat    => w.writeFixed32(java.lang.Float.floatToIntBits(v.asDouble().toFloat))
+    case e: PEnum  =>
+      val num =
+        if (v.isTextual)
+          e.byName.getOrElse(v.asText(),
+            // a digits-only string is an unknown number that crossed a
+            // StringType column
+            try v.asText().toInt catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"unknown enum symbol '${v.asText()}' (expected one of ${e.symbols.map(_._1)})")
+            })
+        else v.asInt()
+      w.writeVarint(num.toLong)
     case _         => throw new IllegalStateException(s"not a scalar: $t")
   }
 

@@ -41,7 +41,7 @@ class AvroCorePropertySpec extends AnyFunSuite {
       case 0 => Schema.createEnum(freshName(), null, null, Seq("A", "B", "C").asJava)
       case 1 => Schema.createFixed(freshName(), null, null, 4)
       case 10 => // logical types on their base schemas
-        rnd.nextInt(6) match {
+        rnd.nextInt(10) match {
           case 0 => org.apache.avro.LogicalTypes.decimal(9, 2)
             .addToSchema(Schema.create(Schema.Type.BYTES))
           case 1 => org.apache.avro.LogicalTypes.decimal(11, 3)
@@ -54,6 +54,14 @@ class AvroCorePropertySpec extends AnyFunSuite {
             .addToSchema(Schema.create(Schema.Type.LONG))
           case 5 => org.apache.avro.LogicalTypes.uuid()
             .addToSchema(Schema.create(Schema.Type.STRING))
+          case 6 => org.apache.avro.LogicalTypes.localTimestampMillis()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+          case 7 => org.apache.avro.LogicalTypes.localTimestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
+          case 8 => org.apache.avro.LogicalTypes.timeMillis()
+            .addToSchema(Schema.create(Schema.Type.INT))
+          case 9 => org.apache.avro.LogicalTypes.timeMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
         }
       case 2 => Schema.createArray(primitive())
       case 3 => Schema.createMap(primitive())
@@ -97,10 +105,14 @@ class AvroCorePropertySpec extends AnyFunSuite {
       // bounded so the ISO renders stay in 4-digit-year parse range
       case "date" =>
         java.lang.Integer.valueOf(rnd.nextInt(3000000) - 1500000)
-      case "timestamp-millis" =>
+      case "timestamp-millis" | "local-timestamp-millis" =>
         java.lang.Long.valueOf(rnd.nextLong() % 4102444800000L)
-      case "timestamp-micros" =>
+      case "timestamp-micros" | "local-timestamp-micros" =>
         java.lang.Long.valueOf(rnd.nextLong() % 4102444800000000L)
+      case "time-millis" => // non-negative millis of day
+        java.lang.Integer.valueOf(rnd.nextInt(86400000))
+      case "time-micros" => // non-negative micros of day
+        java.lang.Long.valueOf(Math.floorMod(rnd.nextLong(), 86400000000L))
       case _ => randBaseValue(rnd, s) // uuid rides its string base
     }
 

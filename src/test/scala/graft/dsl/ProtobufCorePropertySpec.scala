@@ -54,16 +54,18 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
   private def randMessage(rnd: scala.util.Random, depth: Int): PMessage = {
     val nFields = 1 + rnd.nextInt(5)
     PMessage((0 until nFields).map { i =>
-      val t = rnd.nextInt(12) match {
+      val t = rnd.nextInt(13) match {
         case 8 => PBytes
         case 9 if depth < 2 => randMessage(rnd, depth + 1)
         case 10 => // map<K,V>: value is any non-map type
-          val v = rnd.nextInt(4) match {
+          val v = rnd.nextInt(5) match {
             case 0 => PBytes
             case 1 if depth < 2 => randMessage(rnd, depth + 1)
+            case 2 => PEnum(Seq("A" -> 0, "B" -> 1, "C" -> 5))
             case _ => randScalar(rnd)
           }
           PMap(randKeyType(rnd), v)
+        case 11 => PEnum(Seq("A" -> 0, "B" -> 1, "C" -> 5))
         case _ => randScalar(rnd)
       }
       val isMap = t.isInstanceOf[PMap]
@@ -105,6 +107,9 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
         case PBytes =>
           val b = new Array[Byte](rnd.nextInt(16)); rnd.nextBytes(b)
           nf.textNode(java.util.Base64.getEncoder.encodeToString(b))
+        case e: PEnum =>
+          if (rnd.nextInt(4) == 0) nf.numberNode(100 + rnd.nextInt(50)) // unknown
+          else nf.textNode(e.symbols(rnd.nextInt(e.symbols.length))._1)
         case m: PMessage => randValue(rnd, m)
         case m: PMap => throw new IllegalStateException(s"map leaf: $m")
       }

@@ -148,7 +148,9 @@ class SerdesSpec extends SparkSpec {
       PField(7, "fx32", PFixed32),
       PField(8, "fx64", PFixed64),
       PField(9, "s", PString, oneof = Some("choice")),
-      PField(10, "n", PInt32, oneof = Some("choice"))))
+      PField(10, "n", PInt32, oneof = Some("choice")),
+      PField(11, "color", PEnum(Seq("RED" -> 0, "GREEN" -> 2, "BLUE" -> 5))),
+      PField(12, "shade", PEnum(Seq("RED" -> 0, "GREEN" -> 2)))))
 
     // hand-encoded wire bytes (external ground truth, like the test above)
     val body: Array[Byte] = (
@@ -165,7 +167,9 @@ class SerdesSpec extends SparkSpec {
       Seq(0x3d, 0xfe, 0xff, 0xff, 0xff) ++                      // fx32 = 2^32-2
       Seq(0x41, 0xfe, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff, 0xff) ++ // fx64 = 2^64-2
       Seq(0x4a, 0x01, 'x'.toInt) ++                             // s = "x" (oneof)
-      Seq(0x50, 0x09)                                           // n = 9: evicts s
+      Seq(0x50, 0x09) ++                                        // n = 9: evicts s
+      Seq(0x58, 0x05) ++                                        // color = BLUE
+      Seq(0x60, 0x07)                                           // shade = unknown 7
     ).map(_.toByte).toArray
 
     val schema = sparkSchema(msg)
@@ -188,6 +192,8 @@ class SerdesSpec extends SparkSpec {
     assert(r.getAs[Long]("fx64") === -2L)     // 2^64-2 as raw long bits
     assert(r.isNullAt(r.fieldIndex("s")))     // oneof: last-set (n) wins
     assert(r.getAs[Int]("n") === 9)
+    assert(r.getAs[String]("color") === "BLUE") // enum -> symbol string
+    assert(r.getAs[String]("shade") === "7")    // unknown number kept (proto3)
 
     // the DECODED tree is in canonical form: its re-encode is a fixpoint
     // (the raw body itself is not — it set both oneof members)
@@ -467,6 +473,8 @@ class SerdesSpec extends SparkSpec {
         |{"name":"ts_ms","type":{"type":"long","logicalType":"timestamp-millis"}},
         |{"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}},
         |{"name":"uid","type":{"type":"string","logicalType":"uuid"}},
+        |{"name":"lt_ms","type":{"type":"long","logicalType":"local-timestamp-millis"}},
+        |{"name":"t_us","type":{"type":"long","logicalType":"time-micros"}},
         |{"name":"opt_ts","type":["null",{"type":"long","logicalType":"timestamp-millis"}]}]}""".stripMargin
     val schema = new Schema.Parser().parse(avroSchema)
 
@@ -478,6 +486,9 @@ class SerdesSpec extends SparkSpec {
     assert(derived("ts_ms").dataType === TimestampType)
     assert(derived("ts_us").dataType === TimestampType)
     assert(derived("uid").dataType === StringType)
+    assert(derived("lt_ms").dataType === TimestampNTZType)
+    // time-of-day rides its base long (the spark-avro convention)
+    assert(derived("t_us").dataType === LongType)
     assert(derived("opt_ts").dataType === TimestampType) // nullable union flattens
 
     // producer side: the avro LIBRARY writes raw base values (unscaled
@@ -496,6 +507,8 @@ class SerdesSpec extends SparkSpec {
     rec.put("ts_ms", msUs)
     rec.put("ts_us", usUs)
     rec.put("uid", "123e4567-e89b-12d3-a456-426614174000")
+    rec.put("lt_ms", 946684800123L)  // 2000-01-01T00:00:00.123 (no zone)
+    rec.put("t_us", 37800123456L)    // 10:30:00.123456 time-of-day micros
     rec.put("opt_ts", null)
     val out = new java.io.ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)
@@ -514,7 +527,10 @@ class SerdesSpec extends SparkSpec {
         col("r.day").cast("string").as("day_s"),
         unix_millis(col("r.ts_ms")).as("ms"),
         unix_micros(col("r.ts_us")).as("us"),
-        col("r.uid"), col("r.opt_ts"))
+        col("r.uid"),
+        col("r.lt_ms").cast("string").as("lts"),
+        col("r.t_us"),
+        col("r.opt_ts"))
       .collect().head
     assert(row.getDecimal(0) === new java.math.BigDecimal("1234.56"))
     assert(row.getDecimal(1) === new java.math.BigDecimal("-7.125"))
@@ -522,7 +538,9 @@ class SerdesSpec extends SparkSpec {
     assert(row.getLong(3) === msUs)
     assert(row.getLong(4) === usUs)
     assert(row.getString(5) === "123e4567-e89b-12d3-a456-426614174000")
-    assert(row.isNullAt(6))
+    assert(row.getString(6) === "2000-01-01 00:00:00.123") // NTZ: no zone shift
+    assert(row.getLong(7) === 37800123456L)                // micros of day
+    assert(row.isNullAt(8))
 
     // reverse leg: Spark-typed columns (built tz-independently from epoch
     // values) encode to raw base values the avro library reads back
@@ -533,6 +551,8 @@ class SerdesSpec extends SparkSpec {
         timestamp_millis(lit(946684800123L)).as("ts_ms"),
         timestamp_micros(lit(946684800123456L)).as("ts_us"),
         lit("00000000-0000-0000-0000-000000000000").as("uid"),
+        to_timestamp_ntz(lit("2001-01-01 00:00:00.5")).as("lt_ms"),
+        lit(86399500000L).as("t_us"),
         lit(null).cast(TimestampType).as("opt_ts")), avroSchema).as("bin"))
       .collect().head.getAs[Array[Byte]]("bin")
     val back = new GenericDatumReader[GenericRecord](schema)
@@ -549,6 +569,8 @@ class SerdesSpec extends SparkSpec {
     assert(back.get("ts_ms") === 946684800123L)
     assert(back.get("ts_us") === 946684800123456L)
     assert(back.get("uid").toString === "00000000-0000-0000-0000-000000000000")
+    assert(back.get("lt_ms") === 978307200500L) // local 2001-01-01T00:00:00.5
+    assert(back.get("t_us") === 86399500000L)   // 23:59:59.5 in micros
     assert(back.get("opt_ts") === null)
   }
 }
