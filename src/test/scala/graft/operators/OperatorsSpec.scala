@@ -689,6 +689,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("dedup barrier cache is bounded: one live entry, same-input reuse") {
+    import org.apache.spark.sql.functions.col
+    def cachedCount: Int = spark.sparkContext.getPersistentRDDs.count {
+      case (_, rdd) => rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk
+    }
+    val docsB = docs.withColumn("text", org.apache.spark.sql.functions
+      .concat(col("text"), org.apache.spark.sql.functions.lit(" alt")))
+    Dedup.nearDuplicates(docs, "doc_id", "text").count()
+    val afterFirst = cachedCount
+    // same input: the live cache is reused, nothing new persists
+    Dedup.nearDuplicates(docs, "doc_id", "text").count()
+    assert(cachedCount === afterFirst, "same-input call must reuse the cache")
+    // different input: the previous entry is released before the new one
+    // lands, so the count never grows by more than one vs the first call
+    Dedup.nearDuplicates(docsB, "doc_id", "text").count()
+    Thread.sleep(200) // async unpersist
+    assert(cachedCount <= afterFirst + 1,
+      s"barrier cache leaked: $cachedCount live cached RDDs after swap")
+  }
+
   test("topkIds coerces float scores and int ids at analysis time") {
     import org.apache.spark.sql.functions.col
     graft.functions.TopKIdsAgg.register(spark)
