@@ -342,6 +342,93 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Persist a MinHash signature + band-bucket INDEX for incremental
+    * dedup: one row per (doc, band) carrying the band's bucket hash and
+    * the full 32-column signature, `partitionBy("band")` so a probe's
+    * per-band bucket filter becomes static partition pruning plus bh
+    * row-group pruning (min/max on the sorted-ish md5 strings). ~8× the
+    * signature table on disk (one copy per band) — still a narrow artifact
+    * (≈ 2 KB/doc), the price of a probe path that never shuffles or
+    * rescans the corpus. Build it once per corpus snapshot; see
+    * [[dedupAgainstIndex]] for the probe leg.
+    */
+  def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    val sigs = minhashSignatures(df, idCol, textCol)
+    val bandHashes = array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+    }: _*)
+    val sigCols = (0 until bands * rowsPerBand).map(j => col(s"m$j"))
+    sigs.select(col(idCol) +: posexplode(bandHashes).as(Seq("band", "bh")) +: sigCols: _*)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+  }
+
+  /** INCREMENTAL near-dup check of an ingest batch against a
+    * [[writeSignatureIndex]] artifact — the shape that keeps a 100 TB
+    * corpus append-only: new documents are flagged against the EXISTING
+    * corpus without recomputing or shuffling it.
+    *
+    * Probe shape: the batch's signatures compute map-side; its distinct
+    * (band, bucket) keys — bounded by |batch| × bands, an ingest batch by
+    * contract — collect into a per-band `bh IN (…)` filter pushed into the
+    * index scan (partition pruning on `band`, row-group pruning on `bh`),
+    * and the surviving index rows hash-join the BROADCAST batch side. The
+    * corpus index is scanned only where a probe key can match and never
+    * shuffles; per-pair agreement is evaluated from the two signature row
+    * halves exactly as in [[nearDuplicates]].
+    *
+    * Returns one row per (batch doc, matched corpus doc): (`idCol`,
+    * `corpus_id`, `agreeing`) with `agreeing >= ceil(minAgreeFraction ×
+    * 32)`. A batch doc absent from the result has no indexed near-dup —
+    * safe to ingest; aggregate with `max_by` for a best-match policy.
+    */
+  def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, minAgreeFraction: Double = 0.5,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    import TextQueries.NumPerm
+    val spark = newDocs.sparkSession
+    val sigs = minhashSignatures(newDocs, idCol, textCol)
+    val bandHashes = array((0 until bands).map { b =>
+      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
+    }: _*)
+    val sigCols = (0 until bands * rowsPerBand).map(j => col(s"m$j"))
+    // the batch side is computed twice (key collect + broadcast build) —
+    // an ingest batch is small by contract, so that beats parking another
+    // entry in the barrier cache
+    val probes = sigs
+      .select(col(idCol) +: posexplode(bandHashes).as(Seq("band", "bh")) +: sigCols: _*)
+    // the batch's probe keys, driver-collected (ingest-batch contract):
+    // they prune the index scan BEFORE any join happens
+    val keysByBand = probes.select(col("band"), col("bh")).distinct()
+      .collect().groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getString(1)).toSeq).toMap
+    if (keysByBand.isEmpty) return spark.emptyDataFrame
+      .select(lit(0L).as(idCol), lit(0L).as("corpus_id"), lit(0).as("agreeing"))
+      .limit(0)
+    val prune = keysByBand.toSeq.sortBy(_._1).map { case (b, bhs) =>
+      col("band") === b && col("bh").isin(bhs: _*)
+    }.reduce(_ || _)
+    // two-stage filter: the flat bh IN (…) conjunct pushes into the parquet
+    // scan as a data filter (row-group min/max pruning); the OR-of-ANDs
+    // refines it per band and drives partition pruning on `band` — the OR
+    // alone would not push bh (it mixes partition and data columns)
+    val allBhs = keysByBand.values.flatten.toSeq.distinct
+    val index = spark.read.parquet(indexPath)
+      .filter(col("bh").isin(allBhs: _*))
+      .filter(prune)
+    val agree = (0 until NumPerm)
+      .map(j => when(col(s"n.m$j") === col(s"c.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    index.as("c")
+      .join(broadcast(probes.as("n")),
+        col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .filter(col(s"n.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"n.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
+        agree.as("agreeing"))
+      .filter(col("agreeing") >= math.ceil(minAgreeFraction * NumPerm).toInt)
+      .distinct() // bands agreeing on the same pair collapse
+  }
+
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}

@@ -284,6 +284,33 @@ object TextQueries {
       .select("doc_id", "n_chars")
   }
 
+  /** INCREMENTAL dedup against a persisted signature index
+    * ([[graft.operators.Dedup.writeSignatureIndex]] /
+    * [[graft.operators.Dedup.dedupAgainstIndex]]): the corpus (doc_id % 7
+    * ≠ 0) is indexed once; the ingest batch (doc_id % 7 = 0) is flagged
+    * against it with an index scan pruned to the batch's (band, bucket)
+    * keys — the corpus side never shuffles. The Spark leg includes the
+    * index WRITE (honest end-to-end cost); the oracle recomputes both
+    * sides' signatures and joins them directly.
+    */
+  val qDedupIncremental = q(
+    "q_dedup_incremental",
+    s"WITH $minhashCtesSql, " +
+      "m AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id " +
+      "FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh " +
+      "WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0) " +
+      s"SELECT m.doc_id, m.corpus_id, ($minhashAgreeSql) AS agreeing " +
+      "FROM m JOIN sigs a ON a.doc_id = m.doc_id " +
+      "JOIN sigs b ON b.doc_id = m.corpus_id " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm") { (s, d) =>
+    val docs = Tables.documentsBalanced(s, d)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    graft.operators.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+  }
+
   /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
     * iff the ±1 vote sum over token occurrences is positive. Pure integer
     * arithmetic → oracle-exact.
@@ -746,7 +773,8 @@ object TextQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
-    qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qSimhash,
+    qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qDedupIncremental,
+    qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,

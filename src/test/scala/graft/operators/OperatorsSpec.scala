@@ -689,6 +689,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup probes a persisted signature index without shuffling it") {
+    import org.apache.spark.sql.functions.col
+    val corpus = docs.filter(col("doc_id") =!= 1L) // 0 original; 2 fp; 3 near; 4 unique
+    val batch = docs.filter(col("doc_id") === 1L)  // exact dup of corpus doc 0
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_t").toString
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+
+    val out = Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // batch side broadcasts; the index is scanned, never sort-merge-shuffled
+    assert(plan.contains("BroadcastHashJoin"), "batch side must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "index must not shuffle")
+    // the probe keys reach the parquet scan as a pushed bh IN filter
+    assert(plan.contains("PushedFilters: [In(bh"),
+      s"probe keys must push into the index scan:\n${plan.take(2000)}")
+
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.map(_._1) === Set(1L), "only the batch doc can be flagged")
+    assert(rows.contains((1L, 0L, 32)),
+      s"exact dup must match corpus doc 0 on all 32 permutations, got $rows")
+
+    // a batch with no indexed near-dup comes back empty (safe to ingest)
+    val clean = Seq((9L, "entirely novel content nothing like the corpus rows at all here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(clean, "doc_id", "text", idx).count() === 0L)
+  }
+
   test("dedup barrier cache is bounded: one live entry, same-input reuse") {
     import org.apache.spark.sql.functions.col
     def cachedCount: Int = spark.sparkContext.getPersistentRDDs.count {
