@@ -385,6 +385,9 @@ object AvroCore extends Serializable {
     val ser = udf((j: String) => encodeFromJson(j, avroSchemaJson))
     ser(to_json(c, Map(
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+      // NTZ has its own option; the default renders millis only and would
+      // silently zero the sub-millisecond digits of local-timestamp-micros
+      "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
       "timeZone" -> "UTC")))
   }
 }

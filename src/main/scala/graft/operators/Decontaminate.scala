@@ -63,6 +63,25 @@ object Decontaminate {
     * conservative failure mode for decontamination. Use the exact
     * [[contaminatedIds]] when the gram set broadcasts comfortably.
     */
+  /** `BloomFilterAggregate` silently `Math.min`-clamps its size to the
+    * runtime-filter confs — a clamped filter's REAL false-positive rate can
+    * be orders of magnitude above the requested `fpp`, which would quietly
+    * over-drop clean documents. Enforce the contract loudly instead, with
+    * the conf keys the caller must raise.
+    */
+  private def requireWithinBloomCaps(spark: org.apache.spark.sql.SparkSession,
+      expectedGrams: Long, numBits: Long): Unit = {
+    val maxItems = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedGrams <= maxItems && numBits <= maxBits,
+      s"requested filter ($expectedGrams items / $numBits bits) exceeds the " +
+        s"runtime-filter caps ($maxItems items / $maxBits bits) and would be " +
+        "silently clamped, breaking the fpp contract; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / maxNumBits")
+  }
+
   def contaminatedIdsBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5,
       expectedGrams: Long = 1000000L, fpp: Double = 0.001): DataFrame = {
@@ -71,6 +90,7 @@ object Decontaminate {
     import org.apache.spark.sql.graft.ColumnBridge
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedGrams, fpp)
+    requireWithinBloomCaps(corpus.sparkSession, expectedGrams, numBits)
     val buildAgg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("g"))),
       Literal(expectedGrams), Literal(numBits)).toAggregateExpression()
@@ -120,6 +140,7 @@ object Decontaminate {
     // pre-hash can only ADD false positives)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedGrams, fpp)
+    requireWithinBloomCaps(corpus.sparkSession, expectedGrams, numBits)
     val buildAgg = new BloomFilterAggregate(
       ColumnBridge.expression(xxhash64(col("g"))),
       Literal(expectedGrams), Literal(numBits)).toAggregateExpression()

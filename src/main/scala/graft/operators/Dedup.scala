@@ -79,10 +79,8 @@ object Dedup {
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
       rowsPerBand: Int = 4,
       hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
-    val bandHashes = array((0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
-    }: _*)
-    val exploded = sigs.select(col(idCol), posexplode(bandHashes).as(Seq("band", "bh")))
+    val exploded = sigs.select(col(idCol),
+      posexplode(bandHashExprs(bands, rowsPerBand)).as(Seq("band", "bh")))
     Lsh.candidatePairs(exploded, idCol, Seq("band", "bh"), hotBucketThreshold)
   }
 
@@ -107,15 +105,23 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private def swapBarrier(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      fresh: DataFrame): DataFrame = {
+      fresh: DataFrame): DataFrame = slot.synchronized {
     val prev = slot.get()
-    if (prev != null &&
-        prev.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed))
-      prev // same input: keep serving the live cache
+    // reuse only when the previous entry is genuinely servable: same
+    // ACTIVE session (a slot entry bound to a stopped session would fail
+    // every action; the object outlives sessions), still materialized
+    // (an external clearCache() would otherwise silently strip the
+    // barrier), and the same input plan
+    val reusable = prev != null &&
+      (prev.sparkSession eq fresh.sparkSession) &&
+      prev.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+      prev.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed)
+    if (reusable) prev
     else {
       val cached = fresh.persist()
       slot.set(cached)
-      if (prev != null) prev.unpersist(blocking = false)
+      if (prev != null && (prev.sparkSession eq fresh.sparkSession))
+        prev.unpersist(blocking = false)
       cached
     }
   }
@@ -352,16 +358,33 @@ object Dedup {
     * rescans the corpus. Build it once per corpus snapshot; see
     * [[dedupAgainstIndex]] for the probe leg.
     */
-  def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
-    val sigs = minhashSignatures(df, idCol, textCol)
-    val bandHashes = array((0 until bands).map { b =>
+  /** The band-hash expression every LSH leg derives buckets from. ONE
+    * definition on purpose: [[writeSignatureIndex]] and
+    * [[dedupAgainstIndex]] only match if writer and prober hash
+    * identically — a drifted copy would silently return zero matches
+    * (which reads as "batch is clean"). [[lshCandidates]] shares it too.
+    */
+  private def bandHashExprs(bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
       md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
     }: _*)
+
+  /** One row per (doc, band): id, band ordinal, bucket hash, full
+    * signature columns — the shared shape of the index and the probe side.
+    */
+  private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol)
     val sigCols = (0 until bands * rowsPerBand).map(j => col(s"m$j"))
-    sigs.select(col(idCol) +: posexplode(bandHashes).as(Seq("band", "bh")) +: sigCols: _*)
-      .write.mode("overwrite").partitionBy("band").parquet(path)
+    sigs.select(col(idCol) +:
+      posexplode(bandHashExprs(bands, rowsPerBand)).as(Seq("band", "bh")) +:
+      sigCols: _*)
   }
+
+  def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit =
+    bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band").parquet(path)
 
   /** INCREMENTAL near-dup check of an ingest batch against a
     * [[writeSignatureIndex]] artifact — the shape that keeps a 100 TB
@@ -387,24 +410,18 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     import TextQueries.NumPerm
     val spark = newDocs.sparkSession
-    val sigs = minhashSignatures(newDocs, idCol, textCol)
-    val bandHashes = array((0 until bands).map { b =>
-      md5(concat_ws(",", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*))
-    }: _*)
-    val sigCols = (0 until bands * rowsPerBand).map(j => col(s"m$j"))
     // the batch side is computed twice (key collect + broadcast build) —
     // an ingest batch is small by contract, so that beats parking another
     // entry in the barrier cache
-    val probes = sigs
-      .select(col(idCol) +: posexplode(bandHashes).as(Seq("band", "bh")) +: sigCols: _*)
+    val probes = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand)
     // the batch's probe keys, driver-collected (ingest-batch contract):
     // they prune the index scan BEFORE any join happens
     val keysByBand = probes.select(col("band"), col("bh")).distinct()
       .collect().groupBy(_.getInt(0)).view
       .mapValues(_.map(_.getString(1)).toSeq).toMap
-    if (keysByBand.isEmpty) return spark.emptyDataFrame
-      .select(lit(0L).as(idCol), lit(0L).as("corpus_id"), lit(0).as("agreeing"))
-      .limit(0)
+    if (keysByBand.isEmpty) // schema-correct empty result, whatever idCol's type
+      return probes.select(col(idCol), col(idCol).as("corpus_id"),
+        lit(0).as("agreeing")).limit(0)
     val prune = keysByBand.toSeq.sortBy(_._1).map { case (b, bhs) =>
       col("band") === b && col("bh").isin(bhs: _*)
     }.reduce(_ || _)

@@ -400,11 +400,23 @@ object Similarity {
       val collected = queries.select(col(qIdCol), col(qVecCol)).collect()
       if (collected.isEmpty) queries.withColumn("__probe", lit(0))
       else {
+        // accept float OR double query vectors, like the in-plan regime
+        // (dotCol takes any numeric array) — a probes tweak must not flip
+        // a working pipeline into a driver-side ClassCastException
+        val toDoubles: org.apache.spark.sql.Row => Array[Double] = {
+          import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+          queries.schema(qVecCol).dataType match {
+            case ArrayType(FloatType, _) => r => r.getSeq[Float](1).map(_.toDouble).toArray
+            case ArrayType(DoubleType, _) => r => r.getSeq[Double](1).toArray
+            case other => throw new IllegalArgumentException(
+              s"$qVecCol must be array<float> or array<double>, got $other")
+          }
+        }
         val entries = collected.map { r =>
-          val qv = r.getSeq[Float](1).toArray
+          val qv = toDoubles(r)
           val margins = (0 until nBits).map { j =>
             val h = Vectors.hyperplane(j, dim)
-            j -> qv.zip(h).map { case (x, y) => x.toDouble * y }.sum
+            j -> qv.zip(h).map { case (x, y) => x * y }.sum
           }
           val qBucket = margins.collect { case (j, d) if d > 0 => 1 << j }.sum
           val buckets = (qBucket +: probeMasks(

@@ -306,7 +306,11 @@ object TextQueries {
     val docs = Tables.documentsBalanced(s, d)
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
     val batch = docs.filter(col("doc_id") % 7 === 0)
-    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    // deterministic per-dataset path + overwrite mode: bench reps and
+    // repeated verify runs rewrite ONE directory instead of accreting a
+    // fresh index copy per invocation in the scratch dir
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_" +
+      java.lang.Integer.toHexString(d.hashCode)
     graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
     graft.operators.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
   }

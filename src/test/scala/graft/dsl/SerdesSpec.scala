@@ -474,6 +474,7 @@ class SerdesSpec extends SparkSpec {
         |{"name":"ts_us","type":{"type":"long","logicalType":"timestamp-micros"}},
         |{"name":"uid","type":{"type":"string","logicalType":"uuid"}},
         |{"name":"lt_ms","type":{"type":"long","logicalType":"local-timestamp-millis"}},
+        |{"name":"lt_us","type":{"type":"long","logicalType":"local-timestamp-micros"}},
         |{"name":"t_us","type":{"type":"long","logicalType":"time-micros"}},
         |{"name":"opt_ts","type":["null",{"type":"long","logicalType":"timestamp-millis"}]}]}""".stripMargin
     val schema = new Schema.Parser().parse(avroSchema)
@@ -487,6 +488,7 @@ class SerdesSpec extends SparkSpec {
     assert(derived("ts_us").dataType === TimestampType)
     assert(derived("uid").dataType === StringType)
     assert(derived("lt_ms").dataType === TimestampNTZType)
+    assert(derived("lt_us").dataType === TimestampNTZType)
     // time-of-day rides its base long (the spark-avro convention)
     assert(derived("t_us").dataType === LongType)
     assert(derived("opt_ts").dataType === TimestampType) // nullable union flattens
@@ -507,8 +509,9 @@ class SerdesSpec extends SparkSpec {
     rec.put("ts_ms", msUs)
     rec.put("ts_us", usUs)
     rec.put("uid", "123e4567-e89b-12d3-a456-426614174000")
-    rec.put("lt_ms", 946684800123L)  // 2000-01-01T00:00:00.123 (no zone)
-    rec.put("t_us", 37800123456L)    // 10:30:00.123456 time-of-day micros
+    rec.put("lt_ms", 946684800123L)     // 2000-01-01T00:00:00.123 (no zone)
+    rec.put("lt_us", 946684800123456L)  // ...00.123456 — sub-milli digits live
+    rec.put("t_us", 37800123456L)       // 10:30:00.123456 time-of-day micros
     rec.put("opt_ts", null)
     val out = new java.io.ByteArrayOutputStream()
     val enc = EncoderFactory.get().binaryEncoder(out, null)
@@ -529,6 +532,7 @@ class SerdesSpec extends SparkSpec {
         unix_micros(col("r.ts_us")).as("us"),
         col("r.uid"),
         col("r.lt_ms").cast("string").as("lts"),
+        col("r.lt_us").cast("string").as("ltus"),
         col("r.t_us"),
         col("r.opt_ts"))
       .collect().head
@@ -538,9 +542,10 @@ class SerdesSpec extends SparkSpec {
     assert(row.getLong(3) === msUs)
     assert(row.getLong(4) === usUs)
     assert(row.getString(5) === "123e4567-e89b-12d3-a456-426614174000")
-    assert(row.getString(6) === "2000-01-01 00:00:00.123") // NTZ: no zone shift
-    assert(row.getLong(7) === 37800123456L)                // micros of day
-    assert(row.isNullAt(8))
+    assert(row.getString(6) === "2000-01-01 00:00:00.123")    // NTZ: no zone shift
+    assert(row.getString(7) === "2000-01-01 00:00:00.123456") // full micros
+    assert(row.getLong(8) === 37800123456L)                   // micros of day
+    assert(row.isNullAt(9))
 
     // reverse leg: Spark-typed columns (built tz-independently from epoch
     // values) encode to raw base values the avro library reads back
@@ -552,6 +557,8 @@ class SerdesSpec extends SparkSpec {
         timestamp_micros(lit(946684800123456L)).as("ts_us"),
         lit("00000000-0000-0000-0000-000000000000").as("uid"),
         to_timestamp_ntz(lit("2001-01-01 00:00:00.5")).as("lt_ms"),
+        // sub-millisecond NTZ digits must survive to_json (timestampNTZFormat)
+        to_timestamp_ntz(lit("2001-01-01 00:00:00.123456")).as("lt_us"),
         lit(86399500000L).as("t_us"),
         lit(null).cast(TimestampType).as("opt_ts")), avroSchema).as("bin"))
       .collect().head.getAs[Array[Byte]]("bin")
@@ -569,8 +576,9 @@ class SerdesSpec extends SparkSpec {
     assert(back.get("ts_ms") === 946684800123L)
     assert(back.get("ts_us") === 946684800123456L)
     assert(back.get("uid").toString === "00000000-0000-0000-0000-000000000000")
-    assert(back.get("lt_ms") === 978307200500L) // local 2001-01-01T00:00:00.5
-    assert(back.get("t_us") === 86399500000L)   // 23:59:59.5 in micros
+    assert(back.get("lt_ms") === 978307200500L)    // local 2001-01-01T00:00:00.5
+    assert(back.get("lt_us") === 978307200123456L) // micros intact end-to-end
+    assert(back.get("t_us") === 86399500000L)      // 23:59:59.5 in micros
     assert(back.get("opt_ts") === null)
   }
 }

@@ -238,6 +238,14 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept === Array(2L, 3L))
 
+    // an over-cap filter request fails loudly instead of silently clamping
+    // to the runtime-filter confs (which would break the fpp contract)
+    val capEx = intercept[IllegalArgumentException] {
+      Decontaminate.contaminatedIdsBloom(corpus, bench, "doc_id", "text",
+        expectedGrams = 100000000L, fpp = 0.001)
+    }
+    assert(capEx.getMessage.contains("maxNumBits"))
+
     // Bloom path: NEVER misses a contaminated doc (no false negatives), and
     // at a tight fpp flags exactly the exact path's set here
     val bloomFlagged = Decontaminate
@@ -687,6 +695,23 @@ class OperatorsSpec extends SparkSpec {
       assert(batch.getOrElse(qid, Nil) === single,
         s"qid=$qid deep batch != per-query Lv'07")
     }
+
+    // array<double> query vectors work in the deep regime too (the in-plan
+    // regime always did) — a probes tweak must not flip working code into
+    // a driver-side ClassCastException
+    val qdfD = qdf.select(col("qid"),
+      transform(col("qvec"), x => x.cast("double")).as("qvec"))
+    val batchD = Similarity.annJoinTopKMultiProbe(corpus, qdfD,
+        "vec_id", "embedding", "qid", "qvec",
+        k = 7, nBits = 5, probes = 13, dim = 12)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchF = Similarity.annJoinTopKMultiProbe(corpus, qdf,
+        "vec_id", "embedding", "qid", "qvec",
+        k = 7, nBits = 5, probes = 13, dim = 12)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchD === batchF, "double and float query vectors must agree")
   }
 
   test("incremental dedup probes a persisted signature index without shuffling it") {
