@@ -355,9 +355,14 @@ object Similarity {
     * never shuffles; query side broadcast):
     *
     *  - `probes <= nBits + 1` (the common case): probe sets computed
-    *    IN-PLAN per query row — no driver job at all. Single-bit flips,
-    *    where step-wise probing and the full Lv'07 global ordering
-    *    coincide.
+    *    IN-PLAN per query row — no driver job at all. STEP-WISE single-bit
+    *    probing (flip the lowest-|margin| bits in margin order — Lv'07's
+    *    simpler step-wise variant). Note this is not always identical to
+    *    the global total-margin ordering: a pair of tiny-margin flips can
+    *    outrank one large single flip, so for the same `probes` the two
+    *    regimes may visit slightly different bucket sets — both are
+    *    published probe policies; pick the deep regime when exact Lv'07
+    *    ordering matters.
     *  - `probes > nBits + 1` (deep probing): multi-bit flip masks in the
     *    full Lv'07 global total-margin order. The query set is
     *    broadcast-sized by contract, so ONE tiny job collects

@@ -148,6 +148,38 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
     node
   }
 
+  test("malformed bytes fail cleanly: decode throws, never hangs or misparses") {
+    val rnd = new scala.util.Random(7)
+    (1 to 300).foreach { i =>
+      val msg = randMessage(rnd, 0)
+      val junk = new Array[Byte](rnd.nextInt(48)); rnd.nextBytes(junk)
+      try { decodeToJson(junk, msg); () } // short junk CAN be a valid message
+      catch {
+        case _: IllegalArgumentException => () // truncation / wire mismatch
+        case e: Throwable =>
+          fail(s"draw $i: junk bytes must raise IllegalArgumentException, got " +
+            s"${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // truncating VALID encodings mid-stream must also fail cleanly (or
+    // decode a prefix of fields — protobuf is self-delimiting per field)
+    (1 to 100).foreach { i =>
+      val msg = randMessage(rnd, 0)
+      val bytes = encodeFromJson(
+        mapper.writeValueAsString(randValue(rnd, msg)), msg)
+      if (bytes.nonEmpty) {
+        val cut = java.util.Arrays.copyOf(bytes, rnd.nextInt(bytes.length))
+        try { decodeToJson(cut, msg); () }
+        catch {
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"draw $i: truncated bytes must raise " +
+              s"IllegalArgumentException, got ${e.getClass.getName}")
+        }
+      }
+    }
+  }
+
   test("random schemas and values: tree -> bytes -> tree, and bytes are a fixpoint") {
     val rnd = new scala.util.Random(31)
     (1 to 200).foreach { i =>
