@@ -446,6 +446,22 @@ object Dedup {
       .distinct() // bands agreeing on the same pair collapse
   }
 
+  /** [[dedupAgainstIndex]] keep-side filter: the batch with indexed
+    * near-dups removed — the ingest-pipeline form ("only genuinely new
+    * content enters the corpus"). One extra anti join of the batch against
+    * its own flagged ids; the corpus-side cost is unchanged. Inside a
+    * streaming pipeline, call from `foreachBatch` (the probe collects the
+    * batch's keys, so it needs a bounded batch — exactly what a microbatch
+    * is; spec-locked in `OperatorsSpec`).
+    */
+  def cleanAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, minAgreeFraction: Double = 0.5,
+      bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    newDocs.join(
+      dedupAgainstIndex(newDocs, idCol, textCol, indexPath, minAgreeFraction,
+        bands, rowsPerBand).select(idCol).distinct(),
+      Seq(idCol), "left_anti")
+
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}

@@ -741,6 +741,37 @@ class OperatorsSpec extends SparkSpec {
     val clean = Seq((9L, "entirely novel content nothing like the corpus rows at all here"))
       .toDF("doc_id", "text")
     assert(Dedup.dedupAgainstIndex(clean, "doc_id", "text", idx).count() === 0L)
+
+    // keep-side form: indexed dups drop, novel docs survive
+    val mixed = batch.unionByName(clean)
+    val kept = Dedup.cleanAgainstIndex(mixed, "doc_id", "text", idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(9L), "only the novel doc may enter the corpus")
+  }
+
+  test("incremental dedup runs on an unbounded stream via foreachBatch") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = docs.filter(col("doc_id") =!= 1L)
+    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_s").toString
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+
+    val in = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each microbatch is exactly the bounded batch the probe wants
+        kept ++= Dedup.cleanAgainstIndex(batch, "doc_id", "text", idx)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    // doc 1 = exact dup of indexed doc 0 (drops); 9 = novel (enters)
+    in.addData((1L, docs.filter(col("doc_id") === 0L).collect().head.getString(1)),
+      (9L, "entirely novel content nothing like the corpus rows at all here"))
+    q.processAllAvailable(); q.stop()
+    assert(kept.toSet === Set(9L),
+      s"stream ingest must drop the indexed dup and keep the novel doc, got $kept")
   }
 
   test("dedup barrier cache is bounded: one live entry, same-input reuse") {
