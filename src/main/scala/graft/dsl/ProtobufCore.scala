@@ -183,7 +183,9 @@ object ProtobufCore extends Serializable {
     }
     def readDelimited(): Reader = {
       val len = readVarint().toInt
-      require(len >= 0 && pos + len <= end, s"bad delimited length $len")
+      // long arithmetic: pos + len overflows Int for a crafted 5-byte
+      // varint length and would sail past this check into a negative pos
+      require(len >= 0 && pos.toLong + len <= end, s"bad delimited length $len")
       val r = new Reader(buf, pos, pos + len)
       pos += len; r
     }

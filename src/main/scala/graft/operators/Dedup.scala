@@ -120,7 +120,12 @@ object Dedup {
     else {
       val cached = fresh.persist()
       slot.set(cached)
-      if (prev != null && (prev.sparkSession eq fresh.sparkSession))
+      // unpersist the evicted entry only when it is a DIFFERENT plan:
+      // CacheManager uncaches by plan sameResult, so unpersisting a
+      // same-plan prev (the external-clearCache recovery case) would
+      // remove the entry just persisted for `cached` too
+      if (prev != null && (prev.sparkSession eq fresh.sparkSession) &&
+          !prev.queryExecution.analyzed.sameResult(fresh.queryExecution.analyzed))
         prev.unpersist(blocking = false)
       cached
     }

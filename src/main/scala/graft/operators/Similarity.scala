@@ -410,7 +410,10 @@ object Similarity {
         // a working pipeline into a driver-side ClassCastException
         val toDoubles: org.apache.spark.sql.Row => Array[Double] = {
           import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-          queries.schema(qVecCol).dataType match {
+          // resolve through select(): honors the session's case sensitivity
+          // like every other column reference here (a bare schema(...) apply
+          // is case-SENSITIVE and would reject "qVec" for field "qvec")
+          queries.select(col(qVecCol)).schema.head.dataType match {
             case ArrayType(FloatType, _) => r => r.getSeq[Float](1).map(_.toDouble).toArray
             case ArrayType(DoubleType, _) => r => r.getSeq[Double](1).toArray
             case other => throw new IllegalArgumentException(

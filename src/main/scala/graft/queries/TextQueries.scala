@@ -306,11 +306,14 @@ object TextQueries {
     val docs = Tables.documentsBalanced(s, d)
     val corpus = docs.filter(col("doc_id") % 7 =!= 0)
     val batch = docs.filter(col("doc_id") % 7 === 0)
-    // deterministic per-dataset path + overwrite mode: bench reps and
-    // repeated verify runs rewrite ONE directory instead of accreting a
-    // fresh index copy per invocation in the scratch dir
+    // deterministic per-(dataset, JVM) path + overwrite mode: bench reps
+    // and repeated verify runs within one process rewrite ONE directory
+    // instead of accreting a fresh index copy per invocation — while the
+    // pid suffix keeps concurrent processes (bench vs verify, multi-user
+    // /tmp) from overwriting an index the other is mid-scan
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_" +
-      java.lang.Integer.toHexString(d.hashCode)
+      java.lang.Integer.toHexString(d.hashCode) + "_" +
+      ProcessHandle.current().pid()
     graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
     graft.operators.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
   }

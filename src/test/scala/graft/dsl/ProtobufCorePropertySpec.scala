@@ -149,6 +149,14 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
   }
 
   test("malformed bytes fail cleanly: decode throws, never hangs or misparses") {
+    // directed case random fuzz never finds: a 5-byte varint length of
+    // Int.MaxValue whose bound check would overflow Int arithmetic into a
+    // negative reader position (ArrayIndexOutOfBoundsException) instead of
+    // the clean require failure
+    val overflow = Array(0x0a, 0xff, 0xff, 0xff, 0xff, 0x07).map(_.toByte)
+    val nested = PMessage(Seq(PField(1, "f", PMessage(Seq(PField(1, "x", PInt32))))))
+    intercept[IllegalArgumentException] { decodeToJson(overflow, nested) }
+
     val rnd = new scala.util.Random(7)
     (1 to 300).foreach { i =>
       val msg = randMessage(rnd, 0)
