@@ -88,6 +88,13 @@ final class KGroupedStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable
 
   def windowedBy(w: SlidingWindow): SlidingWindowedKStream[K, V] =
     new SlidingWindowedKStream(ds, w)
+
+  /** User-defined window shapes ([[CustomWindow]]) — the reference's
+    * `WindowOptions` subclassing surface.
+    */
+  def windowedBy(w: CustomWindow): CustomWindowedKStream[K, V] =
+    new CustomWindowedKStream(new TimeWindowedKStream(
+      ds, w.sizeExpr, w.sizeExpr, w, Some(w.assign)))
 }
 
 /** Windowed grouped stream (`ITimeWindowedKStream`,
@@ -97,7 +104,8 @@ final class KGroupedStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable
   * (`KStreamWindowAggregateProcessor.cs:52-58`).
   */
 final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
-    sizeExpr: String, advanceExpr: String, w: WindowDef) extends Serializable {
+    sizeExpr: String, advanceExpr: String, w: WindowDef,
+    assign: Option[Long => Seq[(Long, Long)]] = None) extends Serializable {
 
   private def withWatermarkIfStreaming =
     if (ds.isStreaming && w.grace.toMillis > 0)
@@ -147,8 +155,13 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
       evr: Encoder[(Option[VR], Long)]): Dataset[Upsert[Windowed[K], VR]] = {
     val sizeMs = parseMs(sizeExpr)
     val advanceMs = parseMs(advanceExpr)
+    // a CustomWindow supplies its own covering-windows function; sizeMs is
+    // then its maxSize bound, which keeps the watermark/eviction arithmetic
+    // below valid for every assignable window
+    val assignFn: Long => Seq[(Long, Long)] =
+      assign.getOrElse(t => windowsFor(t, sizeMs, advanceMs))
     val exploded = ds.filter(r => r.key != null).flatMap { r =>
-      windowsFor(r.ts.getTime, sizeMs, advanceMs).map { case (s, e) =>
+      assignFn(r.ts.getTime).map { case (s, e) =>
         KV(Windowed(r.key, new Timestamp(s), new Timestamp(e)), r.value, r.ts)
       }
     }
@@ -221,6 +234,31 @@ final class TimeWindowedKStream[K, V](ds: Dataset[KV[K, V]],
     }
     out.result()
   }
+}
+
+/** Custom-windowed grouped stream ([[CustomWindow]]): the same exploded
+  * event-time fold as the fixed shapes, with the user's window-assignment
+  * function in place of the grid arithmetic. `count` rides the fold too —
+  * the native `window()` shortcut only exists for grid-aligned shapes.
+  * The close/eviction arithmetic stays valid because the watermark delay
+  * is bounded by `maxSize` (every assignable window spans at most that).
+  */
+final class CustomWindowedKStream[K, V](inner: TimeWindowedKStream[K, V])
+    extends Serializable {
+  def aggregate[VR](init: () => VR)(agg: (K, V, VR) => VR)(
+      implicit ew: Encoder[KV[Windowed[K], V]], eu: Encoder[Upsert[Windowed[K], VR]],
+      ek: Encoder[Windowed[K]], evr: Encoder[(Option[VR], Long)]): KTable[Windowed[K], VR] =
+    inner.aggregate(init)(agg)
+
+  def reduce(f: (V, V) => V)(
+      implicit ew: Encoder[KV[Windowed[K], V]], eu: Encoder[Upsert[Windowed[K], V]],
+      ek: Encoder[Windowed[K]], ev: Encoder[(Option[V], Long)]): KTable[Windowed[K], V] =
+    inner.reduce(f)
+
+  def count(
+      implicit ew: Encoder[KV[Windowed[K], V]], eu: Encoder[Upsert[Windowed[K], Long]],
+      ek: Encoder[Windowed[K]], el: Encoder[(Option[Long], Long)]): KTable[Windowed[K], Long] =
+    inner.aggregate(() => 0L)((_, _, acc) => acc + 1L)
 }
 
 /** Sliding-windowed grouped stream (KIP-450 analog — superset, see

@@ -64,6 +64,21 @@ object SlidingWindow {
   def of(sizeMs: Long): SlidingWindow = SlidingWindow(Duration.ofMillis(sizeMs))
 }
 
+/** USER-DEFINED window assignment — the reference's `WindowOptions`
+  * subclassing surface (`core/Stream/WindowOptions.cs`; exercised by its
+  * `CustomWindowTests.cs` DailyTimeWindows anchored at a wall-clock hour):
+  * `assign` maps an event-time (epoch ms) to EVERY [startMs, endMs)
+  * window containing it. `maxSize` bounds the longest assignable window —
+  * it drives the streaming watermark delay (lateness is measured from the
+  * window END, so the delay is maxSize + grace, exactly like the fixed
+  * shapes). The function ships in the task closure: keep it pure and
+  * deterministic (it runs once per record per task, possibly re-executed).
+  */
+final case class CustomWindow(assign: Long => Seq[(Long, Long)],
+    maxSize: Duration, grace: Duration = Duration.ZERO) extends WindowDef {
+  def sizeExpr: String = ms(maxSize)
+}
+
 /** Stream-stream join window: match other-side records in
   * [ts − before, ts + after] (`core/Stream/JoinWindowOptions.cs:35-53`).
   */
