@@ -85,6 +85,41 @@ object DslQueries {
         col("key.key").as("event_type"), col("value").as("cnt"))
   }
 
+  /** CUSTOM window shape via DSL ([[graft.dsl.CustomWindow]], the
+    * reference's `WindowOptions` subclassing surface): BUSINESS-WEEK
+    * windows [Monday 00:00, Saturday 00:00) — weekend events belong to NO
+    * window, a shape the fixed grid (and Spark's native `window()`, even
+    * with startTime offsets) cannot express. Oracle: weekday filter +
+    * Monday truncation (DuckDB weeks start Monday, `dayofweek` 1–5 =
+    * Mon–Fri).
+    */
+  val qDslCustomWindow = q(
+    "q_dsl_custom_window",
+    "SELECT epoch_ms(date_trunc('week', ts)) AS wstart, event_type, " +
+      "count(*) AS cnt FROM events " +
+      "WHERE dayofweek(ts) BETWEEN 1 AND 5 GROUP BY 1, 2") { (s, d) =>
+    import s.implicits._
+    // epoch day 0 (1970-01-01) was a Thursday: weekday 0=Mon … 6=Sun
+    val businessWeek: Long => Seq[(Long, Long)] = { tsMs =>
+      val day = 86400000L
+      val dayIndex = java.lang.Math.floorDiv(tsMs, day)
+      val weekday = java.lang.Math.floorMod(dayIndex + 3, 7)
+      if (weekday >= 5) Nil // Sat/Sun: unassigned
+      else {
+        val monday = (dayIndex - weekday) * day
+        Seq((monday, monday + 5 * day))
+      }
+    }
+    new KStream(eventsKV(s, d))
+      .selectKey((_, v) => v._1)
+      .groupByKey
+      .windowedBy(CustomWindow(businessWeek, java.time.Duration.ofDays(5)))
+      .count
+      .changelog
+      .select(unix_millis(col("key.start")).as("wstart"),
+        col("key.key").as("event_type"), col("value").as("cnt"))
+  }
+
   /** KGroupedTable add/subtract path via DSL: events → toTable (latest per
     * user) → groupBy(event_type) → count. Equals a plain count over the
     * latest view.
@@ -297,7 +332,8 @@ object DslQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    qDslWordcount, qDslFlatMap, qDslWindowedCount, qDslTableGroupBy,
+    qDslWordcount, qDslFlatMap, qDslWindowedCount, qDslCustomWindow,
+    qDslTableGroupBy,
     qDslTableReduce, qDslStreamTableJoin, qDslTableTableJoin, qFkJoin,
     qFkLeftJoin, qDslSessionAgg, qDslDedup)
 }
