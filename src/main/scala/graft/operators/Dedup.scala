@@ -228,18 +228,87 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
   }
 
+  /** Docs that produce a MinHash signature (≥ one 3-word shingle). Only
+    * these can ever enter a near-dup pair: [[minhashSignatures]] drops
+    * shorter docs (no shingle to hash), so they are always pair-free
+    * survivors of the near-dup pipeline.
+    */
+  private def hasSignature(textCol: String): Column =
+    size(TextQueries.ngramsCol(col(textCol), 3)) >= 1
+
+  /** (member id, rep id) for every doc in `df`, where rep is the minimum
+    * id of the doc's near-dup connected component — the shared core of
+    * [[dedupNear]] and [[dedupNearBy]].
+    *
+    * With `collapseExact` (the default), byte-identical docs are collapsed
+    * to their minimum-id EXACT representative first (one narrow shuffle on
+    * a 128-bit content hash — id + md5 only, never the text), the
+    * MinHash/LSH/verify/CC machinery runs over DISTINCT CONTENT only, and
+    * membership fans back out through the exact groups. This is the
+    * standard production guard against duplicate-heavy corpora (crawl
+    * mirrors): a 100-fold-replicated corpus would otherwise emit C(100,2)
+    * true pairs PER CLIQUE out of the verify join (measured 24.8M pairs /
+    * 87–134 s at sf0.1×100 — output-bound, not corpus²), all of which the
+    * collapse removes before they exist. Result equivalence: exact dups
+    * have identical signatures, so in the (default) non-hot-bucket regime
+    * each exact group is a clique merged into its representative's
+    * component, and every component minimum is an exact-group minimum —
+    * the fan-out reproduces the uncollapsed mapping row for row. The one
+    * divergence: when a hot bucket star-links (bucket size >
+    * `hotBucketThreshold`) AND the star pair fails the agreement
+    * threshold, the uncollapsed pipeline can orphan an exact twin that the
+    * collapsed pipeline keeps with its rep — collapse-on is the more
+    * correct clustering there, which is why it is the default rather than
+    * a flag-guarded variant.
+    */
+  private def componentReps(df: DataFrame, idCol: String, textCol: String,
+      minAgreeFraction: Double, hotBucketThreshold: Int,
+      collapseExact: Boolean): DataFrame = {
+    if (!collapseExact) {
+      val pairs = nearDuplicates(df, idCol, textCol, minAgreeFraction,
+        hotBucketThreshold)
+      connectedComponents(pairs, df, idCol)
+    } else {
+      val gate = hasSignature(textCol)
+      // member → exact-group rep (min id per identical text), narrow:
+      // the window shuffles (id, 32-byte hash) rows only
+      val mapping = df.filter(gate)
+        .select(col(idCol), md5(col(textCol)).as("__ch"))
+        .withColumn("__grep", min(col(idCol)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__ch"))))
+        .select(col(idCol), col("__grep"))
+      val reps = df.join(
+        mapping.filter(col(idCol) === col("__grep")).select(idCol),
+        Seq(idCol), "left_semi")
+      val pairs = nearDuplicates(reps, idCol, textCol, minAgreeFraction,
+        hotBucketThreshold)
+      val cc = connectedComponents(pairs, reps, idCol)
+      mapping
+        .join(cc.withColumnRenamed(idCol, "__rid"),
+          col("__grep") === col("__rid"))
+        .select(col(idCol), col("rep"))
+        // signature-less docs never pair: their own rep, as in the
+        // uncollapsed pipeline
+        .unionByName(df.filter(!gate)
+          .select(col(idCol), col(idCol).as("rep")))
+    }
+  }
+
   /** One-call near-dup DEDUPLICATION: MinHash-LSH pairs →
     * [[connectedComponents]] clusters → keep each cluster's minimum-id doc
     * (and every pair-free doc). The end-to-end form of the pipeline whose
     * stages are individually oracle-checked (`q_dedup_minhash`,
     * `q_dedup_clusters`); semi join keeps the corpus scan narrow.
+    * `collapseExact` (default ON) pre-collapses byte-identical docs so the
+    * pair machinery only ever sees distinct content — see [[componentReps]]
+    * for the scale rationale and the equivalence argument.
     */
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
       minAgreeFraction: Double = 0.5,
-      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
-    val pairs = nearDuplicates(df, idCol, textCol, minAgreeFraction,
-      hotBucketThreshold)
-    val survivors = connectedComponents(pairs, df, idCol)
+      hotBucketThreshold: Int = DefaultHotBucketThreshold,
+      collapseExact: Boolean = true): DataFrame = {
+    val survivors = componentReps(df, idCol, textCol, minAgreeFraction,
+        hotBucketThreshold, collapseExact)
       .filter(col("rep") === col(idCol)).select(idCol)
     df.join(survivors, Seq(idCol), "left_semi")
   }
@@ -341,10 +410,10 @@ object Dedup {
     */
   def dedupNearBy(df: DataFrame, idCol: String, textCol: String, keepBy: Column,
       minAgreeFraction: Double = 0.5,
-      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
-    val pairs = nearDuplicates(df, idCol, textCol, minAgreeFraction,
-      hotBucketThreshold)
-    val reps = connectedComponents(pairs, df, idCol)
+      hotBucketThreshold: Int = DefaultHotBucketThreshold,
+      collapseExact: Boolean = true): DataFrame = {
+    val reps = componentReps(df, idCol, textCol, minAgreeFraction,
+      hotBucketThreshold, collapseExact)
     val cols = df.columns.toIndexedSeq
     df.join(reps, Seq(idCol))
       .groupBy(col("rep"))

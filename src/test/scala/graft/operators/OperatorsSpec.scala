@@ -379,6 +379,35 @@ class OperatorsSpec extends SparkSpec {
     assert(kept === Array(1L, 9L)) // cluster {1,2,3} -> min id 1; 9 untouched
   }
 
+  test("dedupNear exact-collapse path matches the uncollapsed pipeline") {
+    // adversarial mix: a 5-twin exact clique, a near-dup of that content,
+    // an unrelated doc, and two IDENTICAL short docs (<3 tokens — no
+    // signature, so the uncollapsed pipeline keeps BOTH; the collapse gate
+    // must leave them alone rather than merging them)
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = (Seq.tabulate(5)(i => (10L + i, base)) ++ Seq(
+      (20L, base + " ok"),
+      (30L, "completely different words about spark shuffles and parquet files"),
+      (40L, "hi there"), (41L, "hi there")))
+      .toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame): Array[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted
+    val collapsed = ids(Dedup.dedupNear(docs, "doc_id", "text",
+      minAgreeFraction = 0.3))
+    val uncollapsed = ids(Dedup.dedupNear(docs, "doc_id", "text",
+      minAgreeFraction = 0.3, collapseExact = false))
+    assert(collapsed === uncollapsed)
+    assert(collapsed === Array(10L, 30L, 40L, 41L))
+    // survivor-policy form: longest doc wins per cluster, both paths agree
+    val withLen = docs.withColumn("n_chars", length(col("text")))
+    val bestCollapsed = ids(Dedup.dedupNearBy(withLen, "doc_id", "text",
+      keepBy = col("n_chars"), minAgreeFraction = 0.3))
+    val bestUncollapsed = ids(Dedup.dedupNearBy(withLen, "doc_id", "text",
+      keepBy = col("n_chars"), minAgreeFraction = 0.3, collapseExact = false))
+    assert(bestCollapsed === bestUncollapsed)
+    assert(bestCollapsed === Array(20L, 30L, 40L, 41L)) // 20 is longest in its cluster
+  }
+
   test("connectedComponents converges on a chain far longer than its round cap") {
     import graft.operators.Dedup
     // 400-node chain: plain min-label propagation would need 399 rounds;
