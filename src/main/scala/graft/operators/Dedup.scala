@@ -103,6 +103,30 @@ object Dedup {
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val lastWinnowBarrier =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private val lastCollapseBarrier =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  /** STALENESS CONTRACT of the one-slot barrier caches: reuse keys on the
+    * analyzed PLAN (`sameResult`), not on file contents — a repeat
+    * [[nearDuplicates]]/[[winnowOverlapPairs]]/[[dedupNear]] call after the
+    * files under the SAME path were overwritten in-place serves the
+    * previously cached signatures (Spark's own `CacheManager` has the same
+    * path-keyed semantics). In-place overwrite of a live input is outside
+    * the operators' contract; when it must happen in a long-lived session,
+    * call [[releaseBarriers]] (or `spark.catalog.refreshByPath`) between
+    * the overwrite and the re-run. The slots also pin the LAST corpus's
+    * cached blocks until the next different-input call — [[releaseBarriers]]
+    * frees them eagerly when the session moves on to unrelated work.
+    */
+  def releaseBarriers(): Unit =
+    Seq(lastSigsBarrier, lastWinnowBarrier, lastCollapseBarrier).foreach { slot =>
+      slot.synchronized {
+        val prev = slot.getAndSet(null)
+        if (prev != null &&
+            prev.sparkSession.sparkContext.isStopped == false)
+          prev.unpersist(blocking = false)
+      }
+    }
   private def swapBarrier(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
       fresh: DataFrame): DataFrame = slot.synchronized {
@@ -133,6 +157,11 @@ object Dedup {
 
   /** Near-duplicate pairs: LSH candidates whose estimated Jaccard (agreeing
     * permutation fraction) passes `minAgreeFraction`.
+    *
+    * Caching: the signature table rides a one-slot barrier cache; repeat
+    * calls over the same input reuse it, and in-place overwrites of the
+    * input files require [[releaseBarriers]] first — see its staleness
+    * contract.
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minAgreeFraction: Double = 0.5,
@@ -228,38 +257,41 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
   }
 
-  /** Docs that produce a MinHash signature (≥ one 3-word shingle). Only
-    * these can ever enter a near-dup pair: [[minhashSignatures]] drops
-    * shorter docs (no shingle to hash), so they are always pair-free
-    * survivors of the near-dup pipeline.
-    */
-  private def hasSignature(textCol: String): Column =
-    size(TextQueries.ngramsCol(col(textCol), 3)) >= 1
-
   /** (member id, rep id) for every doc in `df`, where rep is the minimum
     * id of the doc's near-dup connected component — the shared core of
     * [[dedupNear]] and [[dedupNearBy]].
     *
     * With `collapseExact` (the default), byte-identical docs are collapsed
-    * to their minimum-id EXACT representative first (one narrow shuffle on
-    * a 128-bit content hash — id + md5 only, never the text), the
+    * to their minimum-id EXACT representative first, the
     * MinHash/LSH/verify/CC machinery runs over DISTINCT CONTENT only, and
     * membership fans back out through the exact groups. This is the
     * standard production guard against duplicate-heavy corpora (crawl
     * mirrors): a 100-fold-replicated corpus would otherwise emit C(100,2)
     * true pairs PER CLIQUE out of the verify join (measured 24.8M pairs /
     * 87–134 s at sf0.1×100 — output-bound, not corpus²), all of which the
-    * collapse removes before they exist. Result equivalence: exact dups
-    * have identical signatures, so in the (default) non-hot-bucket regime
-    * each exact group is a clique merged into its representative's
-    * component, and every component minimum is an exact-group minimum —
-    * the fan-out reproduces the uncollapsed mapping row for row. The one
-    * divergence: when a hot bucket star-links (bucket size >
-    * `hotBucketThreshold`) AND the star pair fails the agreement
-    * threshold, the uncollapsed pipeline can orphan an exact twin that the
-    * collapsed pipeline keeps with its rep — collapse-on is the more
-    * correct clustering there, which is why it is the default rather than
-    * a flag-guarded variant.
+    * collapse removes before they exist.
+    *
+    * Cost shape: the member→rep mapping is `md5` of the raw text bytes +
+    * one narrow window shuffle (id + 128-bit hash — NO tokenization; the
+    * expensive tokenize/shingle chain runs only over the collapsed reps,
+    * inside the signature barrier), and the mapping is itself persisted
+    * through a one-slot barrier because three plan legs (rep selection,
+    * CC node list, fan-out join) consume it. Docs that produce no
+    * signature (<3 tokens, or null text — including every md5-null doc
+    * the window would otherwise group together) are detected from the
+    * persisted signature table itself and fan out as their OWN reps,
+    * because they can never pair in the uncollapsed pipeline either.
+    *
+    * Result equivalence: exact dups have identical signatures, so in the
+    * (default) non-hot-bucket regime each exact group is a clique merged
+    * into its representative's component, and every component minimum is
+    * an exact-group minimum — the fan-out reproduces the uncollapsed
+    * mapping row for row. The one divergence: when a hot bucket
+    * star-links (bucket size > `hotBucketThreshold`) AND the star pair
+    * fails the agreement threshold, the uncollapsed pipeline can orphan
+    * an exact twin that the collapsed pipeline keeps with its rep —
+    * collapse-on is the more correct clustering there, which is why it is
+    * the default rather than a flag-guarded variant.
     */
   private def componentReps(df: DataFrame, idCol: String, textCol: String,
       minAgreeFraction: Double, hotBucketThreshold: Int,
@@ -269,28 +301,31 @@ object Dedup {
         hotBucketThreshold)
       connectedComponents(pairs, df, idCol)
     } else {
-      val gate = hasSignature(textCol)
-      // member → exact-group rep (min id per identical text), narrow:
-      // the window shuffles (id, 32-byte hash) rows only
-      val mapping = df.filter(gate)
-        .select(col(idCol), md5(col(textCol)).as("__ch"))
-        .withColumn("__grep", min(col(idCol)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("__ch"))))
-        .select(col(idCol), col("__grep"))
+      val mapping = swapBarrier(lastCollapseBarrier,
+        df.select(col(idCol), md5(col(textCol)).as("__ch"))
+          .withColumn("__grep", min(col(idCol)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("__ch"))))
+          .select(col(idCol), col("__grep")))
       val reps = df.join(
         mapping.filter(col(idCol) === col("__grep")).select(idCol),
         Seq(idCol), "left_semi")
       val pairs = nearDuplicates(reps, idCol, textCol, minAgreeFraction,
         hotBucketThreshold)
       val cc = connectedComponents(pairs, reps, idCol)
+      // signature membership straight off the plan nearDuplicates just
+      // persisted (CacheManager serves the sameResult subplan) — reps
+      // absent from it can never pair, so their exact twins each keep
+      // themselves, exactly as uncollapsed
+      val sigIds = minhashSignatures(reps, idCol, textCol)
+        .select(col(idCol).as("__sid"))
+      val ccFlag = cc
+        .join(sigIds, cc(idCol) === col("__sid"), "left")
+        .select(col(idCol).as("__rid"),
+          when(col("__sid").isNull, lit(null)).otherwise(col("rep"))
+            .as("__crep"))
       mapping
-        .join(cc.withColumnRenamed(idCol, "__rid"),
-          col("__grep") === col("__rid"))
-        .select(col(idCol), col("rep"))
-        // signature-less docs never pair: their own rep, as in the
-        // uncollapsed pipeline
-        .unionByName(df.filter(!gate)
-          .select(col(idCol), col(idCol).as("rep")))
+        .join(ccFlag, col("__grep") === col("__rid"))
+        .select(col(idCol), coalesce(col("__crep"), col(idCol)).as("rep"))
     }
   }
 
@@ -379,7 +414,8 @@ object Dedup {
     // (measured 8x on this stage at sf0.1). The cached intermediate is
     // narrow — id + ~2·len/w longs per doc, smaller than the text itself;
     // see [[swapBarrier]] for the caching policy (one live entry per
-    // operator, previous call unpersisted).
+    // operator, previous call unpersisted) and [[releaseBarriers]] for
+    // the staleness contract on in-place input overwrites.
     val exploded = swapBarrier(lastWinnowBarrier,
         winnowFingerprints(df, idCol, textCol, k, w))
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
@@ -455,10 +491,93 @@ object Dedup {
       sigCols: _*)
   }
 
+  /** Banding metadata persisted beside the index parquet. The underscore
+    * prefix keeps Spark's file listing from treating it as data (same
+    * convention as `_SUCCESS`). Without it, a probe whose bands/rowsPerBand
+    * differ from the writer's would hash into DIFFERENT buckets and
+    * silently return zero matches — which reads as "batch is clean", the
+    * worst possible failure mode for a dedup gate.
+    */
+  private val MetaFileName = "_graft_sigindex_meta.json"
+
+  private def requireBanding(bands: Int, rowsPerBand: Int, op: String): Unit =
+    require(bands * rowsPerBand == TextQueries.NumPerm,
+      s"$op: bands ($bands) x rowsPerBand ($rowsPerBand) must equal the " +
+        s"MinHash signature width ${TextQueries.NumPerm} — the agreement " +
+        "check reads the full signature")
+
+  private def metaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, MetaFileName)
+
+  private def writeIndexMeta(df: DataFrame, path: String, bands: Int,
+      rowsPerBand: Int): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numPerm":${TextQueries.NumPerm}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read and validate the index's persisted banding against the caller's
+    * parameters — a mismatch (or a directory that was never written by
+    * [[writeSignatureIndex]]) fails loud instead of producing drifted
+    * bucket hashes and an empty "all clean" result.
+    */
+  private def validateIndexMeta(df: DataFrame, path: String, bands: Int,
+      rowsPerBand: Int, op: String): Unit = {
+    val p = metaPath(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$op: no $MetaFileName at $path — not a writeSignatureIndex " +
+        "artifact (or one from before banding metadata); rebuild the index " +
+        "with writeSignatureIndex")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def field(name: String): Int =
+      s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$op: malformed $MetaFileName at $path: $txt"))
+    val (b, r) = (field("bands"), field("rowsPerBand"))
+    require(b == bands && r == rowsPerBand,
+      s"$op: index at $path was written with bands=$b rowsPerBand=$r but " +
+        s"the call passed bands=$bands rowsPerBand=$rowsPerBand — probe " +
+        "bucket hashes would never match the index (silent empty result); " +
+        "pass the index's own parameters or rebuild it")
+  }
+
   def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit =
+      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    requireBanding(bands, rowsPerBand, "writeSignatureIndex")
     bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
       .write.mode("overwrite").partitionBy("band").parquet(path)
+    writeIndexMeta(df, path, bands, rowsPerBand)
+  }
+
+  /** APPEND a cleaned ingest batch's signatures to an existing
+    * [[writeSignatureIndex]] artifact — the second half of the append-only
+    * ingest loop: probe the batch ([[dedupAgainstIndex]]), keep the clean
+    * docs ([[cleanAgainstIndex]]), then ADD those docs' signatures so the
+    * NEXT batch dedups against them too — without rewriting the
+    * corpus-sized index. Parquet `append` under the same
+    * `partitionBy("band")` layout just adds files to each band directory:
+    * existing row groups are untouched, the probe's partition/row-group
+    * pruning applies to old and new files alike, and the whole operation
+    * costs one pass over the BATCH (never the corpus). Banding is
+    * validated against the index's persisted metadata — appending with
+    * drifted parameters would poison the index with unfindable rows.
+    */
+  def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    requireBanding(bands, rowsPerBand, "appendToSignatureIndex")
+    validateIndexMeta(df, path, bands, rowsPerBand, "appendToSignatureIndex")
+    bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(path)
+  }
 
   /** INCREMENTAL near-dup check of an ingest batch against a
     * [[writeSignatureIndex]] artifact — the shape that keeps a 100 TB
@@ -483,6 +602,9 @@ object Dedup {
       indexPath: String, minAgreeFraction: Double = 0.5,
       bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     import TextQueries.NumPerm
+    requireBanding(bands, rowsPerBand, "dedupAgainstIndex")
+    validateIndexMeta(newDocs, indexPath, bands, rowsPerBand,
+      "dedupAgainstIndex")
     val spark = newDocs.sparkSession
     // the batch side is computed twice (key collect + broadcast build) —
     // an ingest batch is small by contract, so that beats parking another

@@ -311,11 +311,77 @@ object TextQueries {
     // instead of accreting a fresh index copy per invocation — while the
     // pid suffix keeps concurrent processes (bench vs verify, multi-user
     // /tmp) from overwriting an index the other is mid-scan
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_sigidx_" +
-      java.lang.Integer.toHexString(d.hashCode) + "_" +
-      ProcessHandle.current().pid()
+    val idx = scratchDir("graft_sigidx", d)
     graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
     graft.operators.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+  }
+
+  /** pid-suffixed scratch dirs (signature indexes) registered here are
+    * recursively deleted when the JVM exits, so a bench+verify cycle
+    * leaves no orphan `/tmp/graft_sigidx_*` dirs behind. Deterministic
+    * per-(tag, dataset, pid) naming keeps in-process reuse (overwrite
+    * mode) while isolating concurrent processes.
+    */
+  private object ScratchDirs {
+    private val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      paths.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }))
+    def register(path: String): String = { paths.add(path); path }
+  }
+
+  private def scratchDir(tag: String, d: String): String =
+    ScratchDirs.register(
+      s"${System.getProperty("java.io.tmpdir")}/${tag}_" +
+        java.lang.Integer.toHexString(d.hashCode) + "_" +
+        ProcessHandle.current().pid())
+
+  /** TWO-BATCH sequential ingest against the signature index
+    * ([[graft.operators.Dedup.appendToSignatureIndex]]): the corpus
+    * (doc_id % 7 ≥ 2) is indexed; batch 1 (doc_id % 7 = 1) is cleaned
+    * against it and its CLEAN docs' signatures are APPENDED; batch 2
+    * (doc_id % 7 = 0) then probes the grown index — so a batch-2 doc whose
+    * only near-dup arrived in batch 1 is caught without any corpus
+    * rewrite. The oracle recomputes both probe legs directly: flagged
+    * batch-1 docs, the surviving index membership, then batch 2's matches
+    * against it.
+    */
+  val qDedupIncremental2 = q(
+    "q_dedup_incremental2",
+    s"WITH $minhashCtesSql, " +
+      "c1 AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid " +
+      "FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh " +
+      "WHERE n.doc_id % 7 = 1 AND c.doc_id % 7 NOT IN (0, 1)), " +
+      "flag1 AS (SELECT DISTINCT c1.nid AS doc_id FROM c1 " +
+      "JOIN sigs a ON a.doc_id = c1.nid JOIN sigs b ON b.doc_id = c1.cid " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm), " +
+      "idx AS (SELECT doc_id FROM documents WHERE doc_id % 7 NOT IN (0, 1) " +
+      "UNION ALL SELECT doc_id FROM documents WHERE doc_id % 7 = 1 " +
+      "AND doc_id NOT IN (SELECT doc_id FROM flag1)), " +
+      "c2 AS (SELECT DISTINCT n.doc_id AS nid, c.doc_id AS cid " +
+      "FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh " +
+      "JOIN idx ON idx.doc_id = c.doc_id WHERE n.doc_id % 7 = 0) " +
+      s"SELECT c2.nid AS doc_id, c2.cid AS corpus_id, " +
+      s"($minhashAgreeSql) AS agreeing " +
+      "FROM c2 JOIN sigs a ON a.doc_id = c2.nid " +
+      "JOIN sigs b ON b.doc_id = c2.cid " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm") { (s, d) =>
+    val docs = Tables.documentsBalanced(s, d)
+    val corpus = docs.filter(col("doc_id") % 7 >= 2)
+    val batch1 = docs.filter(col("doc_id") % 7 === 1)
+    val batch2 = docs.filter(col("doc_id") % 7 === 0)
+    val idx = scratchDir("graft_sigidx2", d)
+    graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    val clean1 = graft.operators.Dedup
+      .cleanAgainstIndex(batch1, "doc_id", "text", idx)
+    graft.operators.Dedup.appendToSignatureIndex(clean1, "doc_id", "text", idx)
+    graft.operators.Dedup.dedupAgainstIndex(batch2, "doc_id", "text", idx)
   }
 
   /** SimHash (16-bit, md5-derived token hashes): bit b of the signature is 1
@@ -781,6 +847,7 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qDedupIncremental,
+    qDedupIncremental2,
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,

@@ -18,8 +18,33 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   def ts(ms: Long): Timestamp = new Timestamp(ms)
 
+  /** Temp dir removed recursively at JVM exit — specs must not leave
+    * orphan `/tmp/graft_*` dirs behind a test run.
+    */
+  def tempDir(prefix: String): String =
+    SparkSpec.tempDir(prefix)
+
   override def afterAll(): Unit = {
     // keep the session alive for the next suite (shared JVM)
     super.afterAll()
+  }
+}
+
+object SparkSpec {
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    dirs.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix).toString
+    dirs.add(p)
+    p
   }
 }

@@ -379,6 +379,64 @@ class OperatorsSpec extends SparkSpec {
     assert(kept === Array(1L, 9L)) // cluster {1,2,3} -> min id 1; 9 untouched
   }
 
+  test("appendToSignatureIndex: batch 2 catches a near-dup that arrived in batch 1") {
+    val idx = tempDir("graft_sigidx_t") + "/idx"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      // near-dup of corpus doc 1 → flagged, must NOT be appended
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      // genuinely new content → clean, appended
+      (11L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      // near-dup of batch-1's CLEAN doc 11: only catchable via the append
+      (20L, "one two three four five six seven eight nine ten eleven thirteen"),
+      // near-dup of batch-1's FLAGGED doc 10 ≈ corpus doc 1: must match 1, not 10
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (22L, "entirely unrelated words about spark parquet shuffles and caching"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    val clean1 = Dedup.cleanAgainstIndex(batch1, "doc_id", "text", idx,
+      minAgreeFraction = 0.3)
+    assert(clean1.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    Dedup.appendToSignatureIndex(clean1, "doc_id", "text", idx)
+    val hits = Dedup.dedupAgainstIndex(batch2, "doc_id", "text", idx,
+        minAgreeFraction = 0.3)
+      .select("doc_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits === Set((20L, 11L), (21L, 1L)),
+      s"batch-2 matches must span the appended batch-1 doc and the corpus: $hits")
+  }
+
+  test("signature-index banding metadata fails loud on mismatch") {
+    val idx = tempDir("graft_sigidx_m") + "/idx"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    // probe with drifted banding: must throw, not return "all clean"
+    val drifted = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(corpus, "doc_id", "text", idx,
+        bands = 16, rowsPerBand = 2)
+    }
+    assert(drifted.getMessage.contains("bands=8"),
+      s"mismatch message must name the index's banding: ${drifted.getMessage}")
+    // banding that does not tile the signature: rejected at the door
+    val badWidth = intercept[IllegalArgumentException] {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx + "2",
+        bands = 4, rowsPerBand = 4)
+    }
+    assert(badWidth.getMessage.contains("signature width"))
+    // a directory that was never written by writeSignatureIndex
+    val noMeta = intercept[IllegalArgumentException] {
+      Dedup.appendToSignatureIndex(corpus, "doc_id", "text",
+        tempDir("graft_notidx"))
+    }
+    assert(noMeta.getMessage.contains("_graft_sigindex_meta"))
+  }
+
   test("dedupNear exact-collapse path matches the uncollapsed pipeline") {
     // adversarial mix: a 5-twin exact clique, a near-dup of that content,
     // an unrelated doc, and two IDENTICAL short docs (<3 tokens — no
@@ -747,7 +805,7 @@ class OperatorsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val corpus = docs.filter(col("doc_id") =!= 1L) // 0 original; 2 fp; 3 near; 4 unique
     val batch = docs.filter(col("doc_id") === 1L)  // exact dup of corpus doc 0
-    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_t").toString
+    val idx = tempDir("graft_sigidx_t")
     Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
 
     val out = Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
@@ -783,7 +841,7 @@ class OperatorsSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val corpus = docs.filter(col("doc_id") =!= 1L)
-    val idx = java.nio.file.Files.createTempDirectory("graft_sigidx_s").toString
+    val idx = tempDir("graft_sigidx_s")
     Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
 
     val in = MemoryStream[(Long, String)]
