@@ -130,7 +130,7 @@ object ProtobufCore extends Serializable {
       s"map field $name cannot be repeated (the entry list IS the map)")
   }
 
-  private def sparkTypeOf(t: PType): DataType = t match {
+  private def sparkTypeOf(t: PType, keepUnknown: Boolean): DataType = t match {
     case PInt32 | PSInt32 | PSFixed32 => IntegerType
     case PInt64 | PSInt64 | PSFixed64 => LongType
     // uint32/fixed32 widen losslessly; uint64/fixed64 keep raw long bits
@@ -141,17 +141,41 @@ object ProtobufCore extends Serializable {
     case PString          => StringType
     case PBytes           => BinaryType
     case _: PEnum         => StringType // symbol names (unknowns as digits)
-    case PMap(_, v)       => MapType(StringType, sparkTypeOf(v))
-    case m: PMessage      => sparkSchema(m)
+    case PMap(_, v)       => MapType(StringType, sparkTypeOf(v, keepUnknown))
+    // keepUnknown recurses: a wider writer can add fields at any depth
+    case m: PMessage      => sparkSchema(m, keepUnknown)
   }
 
-  /** The Catalyst struct a message decodes to (give this to `from_json`). */
-  def sparkSchema(msg: PMessage): StructType =
-    StructType(msg.fields.map { f =>
-      val base = sparkTypeOf(f.ptype)
+  /** Hidden field carrying unrecognized wire fields through decode →
+    * encode — the analog of protobuf-java's `UnknownFieldSet`, which the
+    * reference inherits via its protobuf serdes. Each entry is the
+    * VERBATIM tag+payload byte span (`num` = field number for canonical
+    * ordering on re-encode). `$` cannot occur in a .proto identifier, so
+    * the name can never collide with a declared field.
+    */
+  val UnknownFieldName = "$unknown"
+
+  private val unknownSparkType: DataType = ArrayType(StructType(Seq(
+    StructField("num", IntegerType, nullable = true),
+    StructField("raw", BinaryType, nullable = true))))
+
+  /** The Catalyst struct a message decodes to (give this to `from_json`).
+    * With `keepUnknown`, appends the [[UnknownFieldName]] field so
+    * wider-writer fields survive a decode→encode round trip through a
+    * DataFrame column (they are captured in the JSON either way; the
+    * schema decides whether the struct carries them).
+    */
+  def sparkSchema(msg: PMessage, keepUnknown: Boolean = false): StructType = {
+    val base = StructType(msg.fields.map { f =>
+      val b = sparkTypeOf(f.ptype, keepUnknown)
       StructField(f.name,
-        if (f.repeated) ArrayType(base) else base, nullable = true)
+        if (f.repeated) ArrayType(b) else b, nullable = true)
     })
+    if (keepUnknown)
+      StructType(base.fields :+
+        StructField(UnknownFieldName, unknownSparkType, nullable = true))
+    else base
+  }
 
   // ---- wire-format primitives (protobuf encoding spec) -------------------
 
@@ -190,6 +214,12 @@ object ProtobufCore extends Serializable {
       pos += len; r
     }
     def bytes(): Array[Byte] = java.util.Arrays.copyOfRange(buf, pos, end)
+    /** Verbatim byte span from `start` to the current position — how
+      * unknown fields are carried: tag + payload exactly as read, so
+      * re-encode is byte-identical even for non-minimal varints.
+      */
+    def spanFrom(start: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(buf, start, pos)
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 => readFixed64()
@@ -408,16 +438,28 @@ object ProtobufCore extends Serializable {
 
   private def decodeTree(msg: PMessage, r: Reader): ObjectNode = {
     val node = mapper.createObjectNode()
+    var unknown: ArrayNode = null
     def arrayFor(f: PField): ArrayNode = node.get(f.name) match {
       case a: ArrayNode => a
       case _ => val a = mapper.createArrayNode(); node.set(f.name, a); a
     }
     while (r.hasMore) {
+      val tagStart = r.pos
       val tag = r.readVarint()
       val number = (tag >>> 3).toInt
       val wt = (tag & 7).toInt
       msg.byNumber.get(number) match {
-        case None => r.skip(wt) // unknown field: proto3 skip rule
+        case None =>
+          // unknown field: skip for the typed tree (proto3 rule), but
+          // keep the verbatim tag+payload span so encode can splice it
+          // back — protobuf-java's UnknownFieldSet behavior
+          r.skip(wt)
+          if (unknown == null) unknown = mapper.createArrayNode()
+          val u = unknown.addObject()
+          u.put("num", number)
+          u.put("raw", java.util.Base64.getEncoder
+            .encodeToString(r.spanFrom(tagStart)))
+          ()
         case Some(f) => f.ptype match {
           case m: PMap =>
             require(wt == 2, s"field ${f.name}: map entry needs wire type 2, got $wt")
@@ -462,6 +504,7 @@ object ProtobufCore extends Serializable {
         }
       }
     }
+    if (unknown != null) node.set(UnknownFieldName, unknown)
     node
   }
 
@@ -518,16 +561,26 @@ object ProtobufCore extends Serializable {
         require(set.length <= 1,
           s"oneof '$group': ${set.map(_.name).mkString(", ")} are all set")
     }
-    // canonical order: ascending field number; absent/null fields skipped
-    msg.fields.sortBy(_.number).foreach { f =>
-      val v = node.get(f.name)
-      if (v != null && !v.isNull) f.ptype match {
+    // canonical order: ascending field number across KNOWN fields and
+    // carried unknown spans alike — identical bytes to a writer whose
+    // schema declared the unknown numbers (protobuf-java emits unknowns
+    // after known fields; interleaving by number is strictly more
+    // faithful to the canonical wider-schema encoding, and a number can
+    // never be both known and unknown). Absent/null fields skipped.
+    def emitKnown(f: PField, v: JsonNode): Unit =
+      f.ptype match {
         case m: PMap =>
           // entries in JSON-object order (= decode order for a decoded
           // tree, so the canonical fixpoint holds); key+value always
-          // written explicitly
+          // written explicitly. Entries whose VALUE is null are skipped,
+          // mirroring the v.isNull guard on singular fields — a Catalyst
+          // MapType with valueContainsNull renders them as 'k':null,
+          // which has no protobuf encoding (PString would otherwise
+          // write the literal "null", PBytes would base64-garble it,
+          // scalars would silently become 0/false)
           v.fields().forEachRemaining { e =>
-            encodeMapEntry(m, e.getKey, e.getValue, f.number, w)
+            if (!e.getValue.isNull)
+              encodeMapEntry(m, e.getKey, e.getValue, f.number, w)
           }
         case m: PMessage =>
           def one(sub: JsonNode): Unit = {
@@ -554,7 +607,22 @@ object ProtobufCore extends Serializable {
             w.writeTag(f.number, 2); w.writeDelimited(inner.out.toByteArray)
           } else { w.writeTag(f.number, wireTypeOf(scalar)); encodeScalar(scalar, v, w) }
       }
+    val emits = scala.collection.mutable.ArrayBuffer.empty[(Int, () => Unit)]
+    msg.fields.foreach { f =>
+      val v = node.get(f.name)
+      if (v != null && !v.isNull) emits += (f.number -> (() => emitKnown(f, v)))
     }
+    node.get(UnknownFieldName) match {
+      case a: ArrayNode => a.forEach { u =>
+        val raw = java.util.Base64.getDecoder.decode(u.get("raw").asText())
+        emits += (u.get("num").asInt() ->
+          (() => w.out.write(raw, 0, raw.length)))
+      }
+      case _ => ()
+    }
+    // stable sort: repeated unknown occurrences of one number keep their
+    // decode order
+    emits.sortBy(_._1).foreach(_._2())
   }
 
   /** Canonical-JSON text → binary protobuf body (null passes through). */
@@ -568,10 +636,14 @@ object ProtobufCore extends Serializable {
 
   // ---- Catalyst bridge ----------------------------------------------------
 
-  /** Decode a binary protobuf column to a typed struct column. */
-  def protoDe(c: Column, msg: PMessage): Column = {
+  /** Decode a binary protobuf column to a typed struct column.
+    * `keepUnknown` carries wider-writer fields in the hidden
+    * [[UnknownFieldName]] struct field so [[protoSer]] can splice them
+    * back byte-identically.
+    */
+  def protoDe(c: Column, msg: PMessage, keepUnknown: Boolean = false): Column = {
     val de = udf((b: Array[Byte]) => decodeToJson(b, msg))
-    from_json(de(c), sparkSchema(msg))
+    from_json(de(c), sparkSchema(msg, keepUnknown))
   }
 
   /** Encode a struct column to a binary protobuf column. */

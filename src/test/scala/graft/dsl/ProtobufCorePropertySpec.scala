@@ -188,6 +188,48 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wider-writer unknown fields round-trip byte-identically through a narrow reader") {
+    // recursively drop ~a third of the fields (at any nesting depth, incl.
+    // map value messages) to build the narrow READER schema; everything
+    // the wide WRITER emitted must survive decode(narrow) -> encode(narrow)
+    // via the $unknown carrier, byte for byte
+    def narrowOf(rnd: scala.util.Random, m: PMessage): PMessage =
+      PMessage(m.fields.filter(_ => rnd.nextInt(3) > 0).map { f =>
+        f.ptype match {
+          case sub: PMessage => f.copy(ptype = narrowOf(rnd, sub))
+          case PMap(k, sub: PMessage) => f.copy(ptype = PMap(k, narrowOf(rnd, sub)))
+          case _ => f
+        }
+      })
+    val rnd = new scala.util.Random(47)
+    var sawUnknown = 0
+    (1 to 200).foreach { i =>
+      val wide = randMessage(rnd, 0)
+      val narrow = narrowOf(rnd, wide)
+      val tree = randValue(rnd, wide)
+      val bytes = encodeFromJson(mapper.writeValueAsString(tree), wide)
+      val json = decodeToJson(bytes, narrow)
+      if (json.contains("\"$unknown\"")) sawUnknown += 1
+      assert(encodeFromJson(json, narrow).toSeq === bytes.toSeq,
+        s"draw $i: narrow re-encode not byte-identical\nwide=$wide\n" +
+          s"narrow=$narrow\ndecoded=$json")
+      // and the narrow decode of the re-encode is a fixpoint too
+      assert(mapper.readTree(decodeToJson(bytes, narrow)) === mapper.readTree(json))
+    }
+    assert(sawUnknown > 50, s"only $sawUnknown draws exercised unknown capture")
+  }
+
+  test("null map values are skipped on encode, mirroring singular null fields") {
+    val msg = PMessage(Seq(PField(1, "m", PMap(PString, PString)),
+      PField(2, "s", PString)))
+    val bytes = encodeFromJson("""{"m":{"a":null,"b":"x"},"s":"y"}""", msg)
+    assert(mapper.readTree(decodeToJson(bytes, msg)) ===
+      mapper.readTree("""{"m":{"b":"x"},"s":"y"}"""))
+    // all-null map encodes to nothing -> decodes absent
+    val empty = encodeFromJson("""{"m":{"a":null}}""", msg)
+    assert(empty.isEmpty)
+  }
+
   test("random schemas and values: tree -> bytes -> tree, and bytes are a fixpoint") {
     val rnd = new scala.util.Random(31)
     (1 to 200).foreach { i =>

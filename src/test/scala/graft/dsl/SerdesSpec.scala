@@ -253,7 +253,29 @@ class SerdesSpec extends SparkSpec {
       0x08, 0x05,                   // a = 5
       0x82.toByte, 0x01, 0x02, 0x61, 0x62 // field 16 len-delim "ab" (unknown)
     ).map(_.toByte)
-    assert(decodeToJson(withUnknown, msg) === """{"a":5}""")
+    // typed fields skip the unknowns; the verbatim spans ride $unknown
+    val decoded = decodeToJson(withUnknown, msg)
+    assert(decoded.startsWith("""{"a":5,"$unknown":"""))
+    // splice-back re-encode is byte-identical, in canonical number order
+    // (known a=5 first, then fields 15 and 16)
+    assert(encodeFromJson(decoded, msg).toSeq ===
+      (Array(0x08, 0x05, 0x78, 0x2a, 0x82.toByte, 0x01, 0x02, 0x61, 0x62)
+        .map(_.toByte)).toSeq)
+
+    // Catalyst leg: protoDe(keepUnknown) carries them through a DataFrame
+    // column and protoSer splices them back
+    val reenc = Seq(Tuple1(withUnknown)).toDF("raw")
+      .select(protoSer(protoDe(col("raw"), msg, keepUnknown = true), msg)
+        .as("out"))
+      .collect().head.getAs[Array[Byte]]("out")
+    assert(reenc.toSeq ===
+      (Array(0x08, 0x05, 0x78, 0x2a, 0x82.toByte, 0x01, 0x02, 0x61, 0x62)
+        .map(_.toByte)).toSeq)
+    // without keepUnknown the typed schema drops them (proto3 skip rule)
+    val dropped = Seq(Tuple1(withUnknown)).toDF("raw")
+      .select(protoSer(protoDe(col("raw"), msg), msg).as("out"))
+      .collect().head.getAs[Array[Byte]]("out")
+    assert(dropped.toSeq === Array[Byte](0x08, 0x05).toSeq)
 
     // negative int32: 10-byte sign-extended varint both directions
     val neg = encodeFromJson("""{"a":-1}""", msg)
