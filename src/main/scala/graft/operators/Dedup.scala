@@ -600,7 +600,8 @@ object Dedup {
     */
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minAgreeFraction: Double = 0.5,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxProbeKeys: Int = 1 << 20): DataFrame = {
     import TextQueries.NumPerm
     requireBanding(bands, rowsPerBand, "dedupAgainstIndex")
     validateIndexMeta(newDocs, indexPath, bands, rowsPerBand,
@@ -611,9 +612,20 @@ object Dedup {
     // entry in the barrier cache
     val probes = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand)
     // the batch's probe keys, driver-collected (ingest-batch contract):
-    // they prune the index scan BEFORE any join happens
-    val keysByBand = probes.select(col("band"), col("bh")).distinct()
-      .collect().groupBy(_.getInt(0)).view
+    // they prune the index scan BEFORE any join happens. take(cap+1)
+    // keeps the bounded-batch contract CHECKED: a corpus-sized frame
+    // passed as the batch fails in seconds with one extra driver row,
+    // not as a driver OOM mid-collect
+    val keyRows = probes.select(col("band"), col("bh")).distinct()
+      .take(maxProbeKeys + 1)
+    require(keyRows.length <= maxProbeKeys,
+      s"dedupAgainstIndex collects the batch's (band, bucket) probe keys " +
+        s"to the driver, and they exceed maxProbeKeys=$maxProbeKeys — this " +
+        "operator is for BOUNDED ingest batches probing a large index; " +
+        "split the batch (e.g. foreachBatch microbatches), raise " +
+        "maxProbeKeys explicitly, or rebuild and dedup the full corpus " +
+        "with dedupNear instead")
+    val keysByBand = keyRows.groupBy(_.getInt(0)).view
       .mapValues(_.map(_.getString(1)).toSeq).toMap
     if (keysByBand.isEmpty) // schema-correct empty result, whatever idCol's type
       return probes.select(col(idCol), col(idCol).as("corpus_id"),
@@ -652,10 +664,11 @@ object Dedup {
     */
   def cleanAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minAgreeFraction: Double = 0.5,
-      bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxProbeKeys: Int = 1 << 20): DataFrame =
     newDocs.join(
       dedupAgainstIndex(newDocs, idCol, textCol, indexPath, minAgreeFraction,
-        bands, rowsPerBand).select(idCol).distinct(),
+        bands, rowsPerBand, maxProbeKeys).select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */

@@ -370,7 +370,17 @@ object Similarity {
     *    same heap generator as the single-query form ([[probeMasks]]) and
     *    rides back into the plan as a literal qid → bucket-array map
     *    (O(|queries| · probes) literals — still broadcast-sized). Query
-    *    ids must be unique (they key the literal map).
+    *    ids must be unique (they key the literal map; duplicates are
+    *    REJECTED, not last-wins-merged). DOUBLE-EVALUATION CONTRACT: the
+    *    deep regime evaluates `queries` twice — once for the driver
+    *    collect, once as the join side — so a non-deterministic query
+    *    DataFrame (sampling, rand(), a re-read of mutating files) could
+    *    produce probe assignments inconsistent with the joined rows
+    *    (`element_at` → null → rows silently dropped); pass a
+    *    deterministic or persisted query set. `maxCollectedQueries`
+    *    bounds the collect: a corpus-sized DataFrame mistakenly passed as
+    *    `queries` fails in seconds with a clear message instead of
+    *    OOM-ing the driver.
     *
     * Spec-locked: the deep regime returns exactly the per-query
     * [[annTopKMultiProbe]] results for every query in the batch.
@@ -378,7 +388,7 @@ object Similarity {
   def annJoinTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nBits: Int = 12, probes: Int = 4,
-      dim: Int = Vectors.Dim): DataFrame = {
+      dim: Int = Vectors.Dim, maxCollectedQueries: Int = 65536): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
     require(probes >= 1 && probes <= (1 << nBits),
@@ -402,7 +412,22 @@ object Similarity {
             f => col("__qbucket").bitwiseXOR(f.getField("bit"))))))
         .drop("__m")
     } else {
-      val collected = queries.select(col(qIdCol), col(qVecCol)).collect()
+      // take(cap+1), not collect(): the overflow check costs one extra row
+      // of driver memory, not a corpus
+      val collected = queries.select(col(qIdCol), col(qVecCol))
+        .take(maxCollectedQueries + 1)
+      require(collected.length <= maxCollectedQueries,
+        s"deep multi-probe (probes=$probes > nBits+1=${nBits + 1}) collects " +
+          s"the query set to the driver, and it exceeds maxCollectedQueries=" +
+          s"$maxCollectedQueries rows — this parameter is for BOUNDED query " +
+          "batches; shrink the batch, raise maxCollectedQueries explicitly, " +
+          "or drop to the in-plan regime (probes <= nBits + 1)")
+      val dupIds = collected.groupBy(_.get(0)).collect {
+        case (id, rows) if rows.length > 1 => id
+      }
+      require(dupIds.isEmpty,
+        s"deep multi-probe query ids must be unique (they key the literal " +
+          s"qid -> buckets map); duplicates: ${dupIds.take(5).mkString(", ")}")
       if (collected.isEmpty) queries.withColumn("__probe", lit(0))
       else {
         // accept float OR double query vectors, like the in-plan regime

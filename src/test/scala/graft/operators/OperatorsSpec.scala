@@ -437,6 +437,43 @@ class OperatorsSpec extends SparkSpec {
     assert(noMeta.getMessage.contains("_graft_sigindex_meta"))
   }
 
+  test("bounded-batch contracts fail loud: probe-key cap and deep-probe query cap") {
+    val idx = tempDir("graft_sigidx_cap") + "/idx"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    // a "batch" whose probe keys exceed the cap must be rejected with an
+    // actionable message, not collected into the driver
+    val big = (0L until 40L)
+      .map(i => (i, s"unique document number $i with words $i$i $i-$i and more"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(big, "doc_id", "text", idx, maxProbeKeys = 100)
+    }
+    assert(e.getMessage.contains("maxProbeKeys"))
+    // under the cap the same call works
+    assert(Dedup.dedupAgainstIndex(big, "doc_id", "text", idx).count() === 0L)
+
+    // deep-probe regime: oversized query set rejected before the collect
+    val vecs = (0L until 10L)
+      .map(i => (i, Array.tabulate(8)(j => (i + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.annJoinTopKMultiProbe(vecs, vecs, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1, nBits = 2, probes = 4, dim = 8,
+        maxCollectedQueries = 5)
+    }
+    assert(e2.getMessage.contains("maxCollectedQueries"))
+    // duplicate query ids rejected (they key the literal probe map)
+    val dup = vecs.unionByName(vecs)
+    val e3 = intercept[IllegalArgumentException] {
+      Similarity.annJoinTopKMultiProbe(vecs, dup, "vec_id", "embedding",
+        "vec_id", "embedding", k = 1, nBits = 2, probes = 4, dim = 8)
+    }
+    assert(e3.getMessage.contains("unique"))
+  }
+
   test("dedupNear exact-collapse path matches the uncollapsed pipeline") {
     // adversarial mix: a 5-twin exact clique, a near-dup of that content,
     // an unrelated doc, and two IDENTICAL short docs (<3 tokens — no
