@@ -253,7 +253,7 @@ object Similarity {
     */
   def ivfSearchTopK(assigned: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], queryVec: Array[Float],
-      k: Int, nprobe: Int = 2): DataFrame = {
+      k: Int, nprobe: Int = 2, cellCap: Int = 0): DataFrame = {
     require(centroids.nonEmpty, "ivfSearchTopK needs centroids")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     def cosD(a: Array[Float], b: Array[Float]): Double = {
@@ -268,11 +268,39 @@ object Similarity {
       .sortBy { case (cid, c) => (-c, cid) } // tie -> lowest id, as ivfAssign
       .take(nprobe).map(_._1)
     val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
-    assigned.filter(col("centroid_id").isin(cells: _*))
+    capCells(assigned.filter(col("centroid_id").isin(cells: _*)),
+        idCol, cellCap)
       .withColumn("cosine", cosine(col(vecCol), qArr))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cosine"))
+  }
+
+  /** Optional verify-stage bound for the IVF paths: keep at most `cellCap`
+    * members per probed cell — a DETERMINISTIC uniform sample in
+    * `xxhash64(id)` order — before the exact-cosine stage. With the cap
+    * off (0, the default) results are exact over the probed cells; with it
+    * on, per-query verify work is bounded by nprobe × cellCap dot products
+    * no matter how occupancy-skewed the index is (the 100× duplicated
+    * corpus puts 100× the members in every probed cell and the verify
+    * stage alone grows 100-fold — measured in SCALE.md, with the recall
+    * delta). Cost: one row_number window over the PROBED rows only
+    * (narrow: id, vector, cell), after partition pruning; cells at or
+    * under the cap pass through byte-identically. Hash order, not head(n):
+    * a head sample would bias toward whatever order the files were
+    * written in (often insertion time), while the hash is a uniform draw
+    * that is stable across runs and plans.
+    */
+  private def capCells(probed: DataFrame, idCol: String, cellCap: Int): DataFrame = {
+    require(cellCap >= 0, s"cellCap must be >= 0 (0 = off), got $cellCap")
+    if (cellCap == 0) probed
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val cw = Window.partitionBy(col("centroid_id"))
+        .orderBy(xxhash64(col(idCol)), col(idCol))
+      probed.withColumn("__cn", row_number().over(cw))
+        .filter(col("__cn") <= cellCap).drop("__cn")
+    }
   }
 
   /** Batch IVF serving: [[ivfSearchTopK]] for a query SET — each query's
@@ -288,11 +316,13 @@ object Similarity {
     * files before the join (spec-asserted on the selected file set;
     * Spark's dynamic-pruning subquery would not fire here — its heuristic
     * wants a filtered dimension side). Per-query ranking touches only
-    * probed-cell candidates.
+    * probed-cell candidates; `cellCap` optionally bounds the exact-cosine
+    * verify per cell under occupancy skew ([[capCells]]).
     */
   def ivfJoinTopK(assigned: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      centroids: Seq[(Int, Array[Float])], k: Int, nprobe: Int = 2): DataFrame = {
+      centroids: Seq[(Int, Array[Float])], k: Int, nprobe: Int = 2,
+      cellCap: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty, "ivfJoinTopK needs centroids")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
@@ -311,7 +341,8 @@ object Similarity {
     val probedCells = qs.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
-    assigned.filter(col("centroid_id").isin(probedCells: _*))
+    capCells(assigned.filter(col("centroid_id").isin(probedCells: _*)),
+        idCol, cellCap)
       .join(broadcast(qs), col("centroid_id") === col("__cell"))
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
       .withColumn("__rn", row_number().over(w))

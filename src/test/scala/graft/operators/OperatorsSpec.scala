@@ -437,6 +437,41 @@ class OperatorsSpec extends SparkSpec {
     assert(noMeta.getMessage.contains("_graft_sigindex_meta"))
   }
 
+  test("ivf cellCap bounds the verify stage; generous cap is byte-identical") {
+    // 3 centroids; cell 0 is pathologically occupied (60 near-identical
+    // members), cells 1/2 are small
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(v => v + rnd.nextFloat() * 0.01f)
+    val c0 = Array.tabulate(8)(_ => 1f)
+    val c1 = Array.tabulate(8)(i => if (i < 4) 1f else -1f)
+    val c2 = Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)
+    val cents = Seq(0 -> c0, 1 -> c1, 2 -> c2)
+    val rows = (0L until 60L).map(i => (100L + i, jitter(c0))) ++
+      Seq((200L, jitter(c1)), (201L, jitter(c1)), (300L, jitter(c2)))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val queries = Seq((0L, c0), (1L, c1)).toDF("qid", "qvec")
+    def run(cap: Int) = Similarity.ivfJoinTopK(assigned, queries,
+        "vec_id", "embedding", "qid", "qvec", cents, k = 5, nprobe = 2,
+        cellCap = cap)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = run(0)
+    assert(run(1000) === uncapped, "cap above every cell size must be a no-op")
+    // cap 10: the 60-member cell contributes at most 10 candidates, so the
+    // q0 top-5 comes from a 10-member deterministic sample
+    val capped = run(10)
+    assert(capped === run(10), "hash-ordered sample must be deterministic")
+    val q0 = capped.filter(_._1 == 0L).map(_._2)
+    assert(q0.size === 5 && q0.forall(id => (id >= 100L && id < 160L)))
+    // small cells are untouched: q1 still sees both its members
+    assert(capped.filter(_._1 == 1L).map(_._2).intersect(Set(200L, 201L)).size == 2)
+    // single-query path takes the same cap
+    val single = Similarity.ivfSearchTopK(assigned, "vec_id", "embedding",
+      cents, c0, k = 5, nprobe = 1, cellCap = 10)
+    assert(single.count() === 5L)
+  }
+
   test("bounded-batch contracts fail loud: probe-key cap and deep-probe query cap") {
     val idx = tempDir("graft_sigidx_cap") + "/idx"
     val corpus = Seq(
