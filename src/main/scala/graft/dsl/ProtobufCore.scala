@@ -155,7 +155,7 @@ object ProtobufCore extends Serializable {
     */
   val UnknownFieldName = "$unknown"
 
-  private val unknownSparkType: DataType = ArrayType(StructType(Seq(
+  private[dsl] val unknownSparkType: DataType = ArrayType(StructType(Seq(
     StructField("num", IntegerType, nullable = true),
     StructField("raw", BinaryType, nullable = true))))
 
@@ -179,7 +179,7 @@ object ProtobufCore extends Serializable {
 
   // ---- wire-format primitives (protobuf encoding spec) -------------------
 
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  private[dsl] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def this(buf: Array[Byte]) = this(buf, 0, buf.length)
     def hasMore: Boolean = pos < end
     def readVarint(): Long = {
@@ -229,7 +229,7 @@ object ProtobufCore extends Serializable {
     }
   }
 
-  private final class Writer {
+  private[dsl] final class Writer {
     val out = new ByteArrayOutputStream()
     def writeVarint(v0: Long): Unit = {
       var v = v0
@@ -249,10 +249,10 @@ object ProtobufCore extends Serializable {
     def writeDelimited(b: Array[Byte]): Unit = { writeVarint(b.length); out.write(b) }
   }
 
-  private def zigzagDecode(n: Long): Long = (n >>> 1) ^ -(n & 1)
-  private def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
+  private[dsl] def zigzagDecode(n: Long): Long = (n >>> 1) ^ -(n & 1)
+  private[dsl] def zigzagEncode(n: Long): Long = (n << 1) ^ (n >> 63)
 
-  private def wireTypeOf(t: PType): Int = t match {
+  private[dsl] def wireTypeOf(t: PType): Int = t match {
     case PInt32 | PInt64 | PSInt32 | PSInt64 | PUInt32 | PUInt64 | PBool |
          _: PEnum => 0
     case PDouble | PFixed64 | PSFixed64 => 1
@@ -316,7 +316,7 @@ object ProtobufCore extends Serializable {
   // JSON-object member names: canonical protobuf JSON stringifies all map
   // keys, with unsigned 64-bit keys in unsigned decimal.
 
-  private def keyToString(t: PType, r: Reader): String = t match {
+  private[dsl] def keyToString(t: PType, r: Reader): String = t match {
     case PString            => new String(r.readDelimited().bytes(), UTF_8)
     case PInt32             => r.readVarint().toInt.toString
     case PInt64             => r.readVarint().toString
@@ -332,7 +332,7 @@ object ProtobufCore extends Serializable {
     case other              => throw new IllegalStateException(s"bad map key type $other")
   }
 
-  private def writeKeyString(t: PType, s: String, w: Writer): Unit = {
+  private[dsl] def writeKeyString(t: PType, s: String, w: Writer): Unit = {
     w.writeTag(1, wireTypeOf(t))
     t match {
       case PString   => w.writeDelimited(s.getBytes(UTF_8))
@@ -352,7 +352,7 @@ object ProtobufCore extends Serializable {
   }
 
   /** proto3 default for an absent map entry key (rendered as a string). */
-  private def defaultKeyString(t: PType): String = t match {
+  private[dsl] def defaultKeyString(t: PType): String = t match {
     case PString => ""
     case PBool   => "false"
     case _       => "0"
@@ -640,14 +640,40 @@ object ProtobufCore extends Serializable {
     * `keepUnknown` carries wider-writer fields in the hidden
     * [[UnknownFieldName]] struct field so [[protoSer]] can splice them
     * back byte-identically.
+    *
+    * Runs as a single native expression ([[ProtoDecodeExpr]]): wire bytes
+    * parse straight into the Catalyst struct, no per-row JSON hop. The
+    * JSON leg ([[protoDeJson]]) remains as the differential-testing
+    * reference; `ProtobufCorePropertySpec` locks the two identical.
     */
   def protoDe(c: Column, msg: PMessage, keepUnknown: Boolean = false): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      ProtoDecodeExpr(ColumnBridge.expression(c), msg, keepUnknown))
+  }
+
+  /** Encode a struct column to a binary protobuf column (native
+    * [[ProtoEncodeExpr]], no JSON hop; [[protoSerJson]] is the reference
+    * leg).
+    */
+  def protoSer(c: Column, msg: PMessage): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(ProtoEncodeExpr(ColumnBridge.expression(c), msg))
+  }
+
+  /** The original `udf(decodeToJson) → from_json` decode leg — kept as the
+    * independently-implemented reference for differential testing against
+    * [[protoDe]]'s native expression.
+    */
+  def protoDeJson(c: Column, msg: PMessage, keepUnknown: Boolean = false): Column = {
     val de = udf((b: Array[Byte]) => decodeToJson(b, msg))
     from_json(de(c), sparkSchema(msg, keepUnknown))
   }
 
-  /** Encode a struct column to a binary protobuf column. */
-  def protoSer(c: Column, msg: PMessage): Column = {
+  /** The original `to_json → udf(encodeFromJson)` encode leg (reference
+    * for differential testing against [[protoSer]]).
+    */
+  def protoSerJson(c: Column, msg: PMessage): Column = {
     val ser = udf((j: String) => encodeFromJson(j, msg))
     ser(to_json(c))
   }

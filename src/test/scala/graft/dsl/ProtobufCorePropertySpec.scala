@@ -6,22 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import ProtobufCore._
 
-/** Randomized round-trip lock for the hand-rolled protobuf wire codec:
-  * for random schemas (all scalar kinds — varint, zigzag, unsigned,
-  * fixed, sfixed — doubles/floats, strings, bytes, repeated fields,
-  * nested messages, map&lt;K,V&gt;, oneof groups) and random values,
-  *
-  *   value-tree → encodeFromJson → decodeToJson → the same value-tree
-  *
-  * structurally, and the re-encode of the decode is byte-identical (the
-  * canonical-encoding fixpoint). 200 schema/value draws per run,
-  * deterministic seed.
+/** Shared random schema/value generators — also the draw source for
+  * `ProtoCatalystParitySpec`'s differential lock of the native expressions
+  * against this spec's JSON leg.
   */
-class ProtobufCorePropertySpec extends AnyFunSuite {
+private[dsl] object ProtoGen {
 
-  private val mapper = new ObjectMapper()
+  val mapper = new ObjectMapper()
 
-  private def randScalar(rnd: scala.util.Random): PType =
+  def randScalar(rnd: scala.util.Random): PType =
     rnd.nextInt(14) match {
       case 0  => PInt32
       case 1  => PInt64
@@ -39,7 +32,7 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
       case 13 => PSFixed64
     }
 
-  private def randKeyType(rnd: scala.util.Random): PType =
+  def randKeyType(rnd: scala.util.Random): PType =
     rnd.nextInt(8) match {
       case 0 => PInt32
       case 1 => PInt64
@@ -51,7 +44,7 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
       case 7 => PString
     }
 
-  private def randMessage(rnd: scala.util.Random, depth: Int): PMessage = {
+  def randMessage(rnd: scala.util.Random, depth: Int): PMessage = {
     val nFields = 1 + rnd.nextInt(5)
     PMessage((0 until nFields).map { i =>
       val t = rnd.nextInt(13) match {
@@ -79,7 +72,7 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
   }
 
   /** A random map key rendered the way the decoder renders it. */
-  private def randKeyString(rnd: scala.util.Random, t: PType): String = t match {
+  def randKeyString(rnd: scala.util.Random, t: PType): String = t match {
     case PString => rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString
     case PBool   => rnd.nextBoolean().toString
     case PInt32  => rnd.nextInt().toString
@@ -89,7 +82,7 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
   }
 
   /** Value node of exactly the Jackson node types the decoder produces. */
-  private def randValue(rnd: scala.util.Random, msg: PMessage): ObjectNode = {
+  def randValue(rnd: scala.util.Random, msg: PMessage): ObjectNode = {
     val node = mapper.createObjectNode()
     val setGroups = scala.collection.mutable.Set.empty[String]
     def randLeaf(t: PType): com.fasterxml.jackson.databind.JsonNode = {
@@ -147,6 +140,21 @@ class ProtobufCorePropertySpec extends AnyFunSuite {
     empties.foreach(node.remove)
     node
   }
+}
+
+/** Randomized round-trip lock for the hand-rolled protobuf wire codec:
+  * for random schemas (all scalar kinds — varint, zigzag, unsigned,
+  * fixed, sfixed — doubles/floats, strings, bytes, repeated fields,
+  * nested messages, map&lt;K,V&gt;, oneof groups) and random values,
+  *
+  *   value-tree → encodeFromJson → decodeToJson → the same value-tree
+  *
+  * structurally, and the re-encode of the decode is byte-identical (the
+  * canonical-encoding fixpoint). 200 schema/value draws per run,
+  * deterministic seed.
+  */
+class ProtobufCorePropertySpec extends AnyFunSuite {
+  import ProtoGen._
 
   test("malformed bytes fail cleanly: decode throws, never hangs or misparses") {
     // directed case random fuzz never finds: a 5-byte varint length of
