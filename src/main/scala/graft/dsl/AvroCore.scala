@@ -55,12 +55,12 @@ object AvroCore extends Serializable {
   // ResolvingDecoder in a static ThreadLocal; GenericDatumWriter is
   // stateless beyond the schema). Encoders/decoders and output buffers are
   // NOT thread-safe and stay per-row.
-  private final case class Serde(schema: Schema,
+  private[dsl] final case class Serde(schema: Schema,
       reader: GenericDatumReader[GenericRecord],
       writer: GenericDatumWriter[GenericRecord])
   @transient private lazy val serdes =
     new java.util.concurrent.ConcurrentHashMap[String, Serde]()
-  private def serdeOf(json: String): Serde =
+  private[dsl] def serdeOf(json: String): Serde =
     serdes.computeIfAbsent(json, { j =>
       val s = new Schema.Parser().parse(j)
       Serde(s, new GenericDatumReader[GenericRecord](s),
@@ -71,7 +71,7 @@ object AvroCore extends Serializable {
   private def jf = JsonNodeFactory.instance
 
   /** Non-null branches of a union schema. */
-  private def unionBranches(s: Schema): Seq[Schema] =
+  private[dsl] def unionBranches(s: Schema): Seq[Schema] =
     s.getTypes.asScala.toSeq.filterNot(_.getType == Schema.Type.NULL)
 
   // ---- logical types ------------------------------------------------------
@@ -122,18 +122,18 @@ object AvroCore extends Serializable {
       (inst.getNano / 1000).toLong)
   }
 
-  private def logicalName(s: Schema): String =
+  private[dsl] def logicalName(s: Schema): String =
     Option(s.getLogicalType).map(_.getName).orNull
 
   /** The Avro JSON label a union branch resolves under. */
-  private def branchLabel(s: Schema): String = s.getType match {
+  private[dsl] def branchLabel(s: Schema): String = s.getType match {
     case Schema.Type.RECORD | Schema.Type.ENUM | Schema.Type.FIXED => s.getFullName
     case t => t.getName // "string", "long", "array", "map", ...
   }
 
   // ---- datum -> canonical JSON -------------------------------------------
 
-  private def bytesOf(v: Any): Array[Byte] = v match {
+  private[dsl] def bytesOf(v: Any): Array[Byte] = v match {
     case bb: ByteBuffer =>
       val d = bb.duplicate(); val a = new Array[Byte](d.remaining()); d.get(a); a
     case f: org.apache.avro.generic.GenericFixed => f.bytes()
@@ -327,7 +327,7 @@ object AvroCore extends Serializable {
   def sparkSchemaFor(avroSchemaJson: String): StructType =
     sparkTypeOf(serdeOf(avroSchemaJson).schema).asInstanceOf[StructType]
 
-  private def sparkTypeOf(s: Schema): DataType = {
+  private[dsl] def sparkTypeOf(s: Schema): DataType = {
     logicalName(s) match {
       case "decimal" =>
         val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
@@ -366,22 +366,55 @@ object AvroCore extends Serializable {
 
   /** Decode a binary Avro column to a typed struct column.
     * `sparkSchema` mirrors the Avro record's fields — pass
-    * [[sparkSchemaFor]]'s derivation (or a compatible hand-written one).
+    * [[sparkSchemaFor]]'s derivation (or a compatible hand-written one;
+    * a custom schema routes through the JSON leg, the derived one runs
+    * the native expression).
     */
-  def avroDe(c: Column, avroSchemaJson: String, sparkSchema: StructType): Column = {
+  def avroDe(c: Column, avroSchemaJson: String, sparkSchema: StructType): Column =
+    if (sparkSchema == sparkSchemaFor(avroSchemaJson)) avroDe(c, avroSchemaJson)
+    else avroDeJson(c, avroSchemaJson, sparkSchema)
+
+  /** [[avroDe]] as a single native expression ([[AvroDecodeExpr]]): the
+    * decoded `GenericRecord` converts straight to the Catalyst struct, no
+    * per-row JSON hop. [[avroDeJson]] remains the differential-testing
+    * reference; `AvroCorePropertySpec` locks the two identical.
+    */
+  def avroDe(c: Column, avroSchemaJson: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      AvroDecodeExpr(ColumnBridge.expression(c), avroSchemaJson))
+  }
+
+  /** Encode a struct column to a binary Avro column against the schema
+    * (native [[AvroEncodeExpr]], no JSON hop; [[avroSerJson]] is the
+    * reference leg).
+    */
+  def avroSer(c: Column, avroSchemaJson: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      AvroEncodeExpr(ColumnBridge.expression(c), avroSchemaJson))
+  }
+
+  /** The original `udf(decodeToJson) → from_json` decode leg — kept as
+    * the independently-implemented reference for differential testing
+    * against [[avroDe]]'s native expression.
+    */
+  def avroDeJson(c: Column, avroSchemaJson: String,
+      sparkSchema: StructType): Column = {
     val de = udf((b: Array[Byte]) => decodeToJson(b, avroSchemaJson))
     from_json(de(c), sparkSchema)
   }
 
-  /** [[avroDe]] with the Catalyst schema derived from the Avro schema. */
-  def avroDe(c: Column, avroSchemaJson: String): Column =
-    avroDe(c, avroSchemaJson, sparkSchemaFor(avroSchemaJson))
+  /** [[avroDeJson]] with the Catalyst schema derived from the Avro schema. */
+  def avroDeJson(c: Column, avroSchemaJson: String): Column =
+    avroDeJson(c, avroSchemaJson, sparkSchemaFor(avroSchemaJson))
 
-  /** Encode a struct column to a binary Avro column against the schema.
-    * Timestamps are rendered as UTC ISO instants regardless of the session
-    * timezone so [[encodeFromJson]]'s parse is unambiguous.
+  /** The original `to_json → udf(encodeFromJson)` encode leg (reference
+    * for differential testing against [[avroSer]]). Timestamps are
+    * rendered as UTC ISO instants regardless of the session timezone so
+    * [[encodeFromJson]]'s parse is unambiguous.
     */
-  def avroSer(c: Column, avroSchemaJson: String): Column = {
+  def avroSerJson(c: Column, avroSchemaJson: String): Column = {
     val ser = udf((j: String) => encodeFromJson(j, avroSchemaJson))
     ser(to_json(c, Map(
       "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",

@@ -22,12 +22,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * must reproduce the original record structurally. 150 schema/record
   * draws, deterministic seed.
   */
-class AvroCorePropertySpec extends AnyFunSuite {
+/** Shared random Avro schema/record generators — also the draw source
+  * for `AvroCatalystParitySpec`'s differential lock of the native
+  * expressions against the JSON leg.
+  */
+private[dsl] object AvroGen {
 
   private var nameCounter = 0
-  private def freshName(): String = { nameCounter += 1; s"T$nameCounter" }
+  def freshName(): String = synchronized { nameCounter += 1; s"T$nameCounter" }
 
-  private def randSchema(rnd: scala.util.Random, depth: Int): Schema = {
+  def randSchema(rnd: scala.util.Random, depth: Int): Schema = {
     def primitive(): Schema = Schema.create(rnd.nextInt(7) match {
       case 0 => Schema.Type.BOOLEAN
       case 1 => Schema.Type.INT
@@ -80,23 +84,33 @@ class AvroCorePropertySpec extends AnyFunSuite {
     }
   }
 
-  private def randRecord(rnd: scala.util.Random, depth: Int): Schema = {
+  def randRecord(rnd: scala.util.Random, depth: Int): Schema = {
     val fields = (0 until 1 + rnd.nextInt(4)).map { i =>
       new Schema.Field(s"f$i", randSchema(rnd, depth), null, null)
     }
     Schema.createRecord(freshName(), null, "graft.test", false, fields.asJava)
   }
 
-  private def randValue(rnd: scala.util.Random, s: Schema): AnyRef =
+  private def decimalUnscaled(rnd: scala.util.Random, s: Schema): Long = {
+    val p = s.getLogicalType
+      .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getPrecision
+    val bound = math.min(math.pow(10, p.toDouble).toLong, Int.MaxValue.toLong)
+    rnd.nextLong() % bound // in (-bound, bound): at most p digits
+  }
+
+  def randValue(rnd: scala.util.Random, s: Schema): AnyRef =
     Option(s.getLogicalType).map(_.getName).getOrElse("") match {
       // decimals: CANONICAL unscaled bytes (minimal two's complement for
       // bytes, sign-extended-to-size for fixed) — the form our encoder
-      // emits, so the library-record compare is well-defined
+      // emits, so the library-record compare is well-defined. Unscaled
+      // values stay within the declared PRECISION (the avro spec contract;
+      // a 10-digit unscaled in a decimal(9,_) is an invalid value — the
+      // native expressions reject those loudly, see the directed test)
       case "decimal" if s.getType == Schema.Type.BYTES =>
-        ByteBuffer.wrap(
-          java.math.BigInteger.valueOf(rnd.nextInt().toLong).toByteArray)
+        ByteBuffer.wrap(java.math.BigInteger.valueOf(
+          decimalUnscaled(rnd, s)).toByteArray)
       case "decimal" =>
-        val v = java.math.BigInteger.valueOf(rnd.nextInt().toLong)
+        val v = java.math.BigInteger.valueOf(decimalUnscaled(rnd, s))
         val raw = v.toByteArray
         val out = Array.fill[Byte](s.getFixedSize)(
           if (v.signum() < 0) (-1).toByte else 0.toByte)
@@ -116,7 +130,7 @@ class AvroCorePropertySpec extends AnyFunSuite {
       case _ => randBaseValue(rnd, s) // uuid rides its string base
     }
 
-  private def randBaseValue(rnd: scala.util.Random, s: Schema): AnyRef = s.getType match {
+  def randBaseValue(rnd: scala.util.Random, s: Schema): AnyRef = s.getType match {
     case Schema.Type.BOOLEAN => java.lang.Boolean.valueOf(rnd.nextBoolean())
     case Schema.Type.INT     => java.lang.Integer.valueOf(rnd.nextInt())
     case Schema.Type.LONG    => java.lang.Long.valueOf(rnd.nextLong())
@@ -150,6 +164,11 @@ class AvroCorePropertySpec extends AnyFunSuite {
       rec
     case t => throw new IllegalStateException(s"unexpected $t")
   }
+
+}
+
+class AvroCorePropertySpec extends AnyFunSuite {
+  import AvroGen._
 
   test("random schemas: library bytes -> JSON bridge -> library record, structurally equal") {
     val rnd = new scala.util.Random(41)
