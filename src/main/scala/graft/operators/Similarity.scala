@@ -78,7 +78,7 @@ object Similarity {
     * mask, mirroring the oracle's (total, mask) sort — property-locked
     * against brute-force mask enumeration in `OperatorsSpec`.
     */
-  private[operators] def probeMasks(absMargins: IndexedSeq[Double],
+  private[graft] def probeMasks(absMargins: IndexedSeq[Double],
       count: Int): Seq[Int] = {
     if (count <= 0 || absMargins.isEmpty) return Nil
     val sortedBits = absMargins.zipWithIndex
@@ -395,23 +395,16 @@ object Similarity {
     *    published probe policies; pick the deep regime when exact Lv'07
     *    ordering matters.
     *  - `probes > nBits + 1` (deep probing): multi-bit flip masks in the
-    *    full Lv'07 global total-margin order. The query set is
-    *    broadcast-sized by contract, so ONE tiny job collects
-    *    (`qIdCol`, `qVecCol`); each query's probe sequence comes from the
-    *    same heap generator as the single-query form ([[probeMasks]]) and
-    *    rides back into the plan as a literal qid → bucket-array map
-    *    (O(|queries| · probes) literals — still broadcast-sized). Query
-    *    ids must be unique (they key the literal map; duplicates are
-    *    REJECTED, not last-wins-merged). DOUBLE-EVALUATION CONTRACT: the
-    *    deep regime evaluates `queries` twice — once for the driver
-    *    collect, once as the join side — so a non-deterministic query
-    *    DataFrame (sampling, rand(), a re-read of mutating files) could
-    *    produce probe assignments inconsistent with the joined rows
-    *    (`element_at` → null → rows silently dropped); pass a
-    *    deterministic or persisted query set. `maxCollectedQueries`
-    *    bounds the collect: a corpus-sized DataFrame mistakenly passed as
-    *    `queries` fails in seconds with a clear message instead of
-    *    OOM-ing the driver.
+    *    full Lv'07 global total-margin order — ALSO fully in-plan: the
+    *    same heap generator as the single-query form ([[probeMasks]])
+    *    runs per query row as a native expression
+    *    ([[graft.functions.Lv07ProbeMasksExpr]]). No driver collect, no
+    *    literal probe map, and therefore no query-count bound, no
+    *    qid-uniqueness contract and no double-evaluation hazard — the
+    *    deep regime scales to whatever query set the broadcast join
+    *    itself can carry. (Until round 9 this regime collected the query
+    *    set and keyed a literal qid → buckets map; the expression form
+    *    removed that driver-side contract entirely.)
     *
     * Spec-locked: the deep regime returns exactly the per-query
     * [[annTopKMultiProbe]] results for every query in the batch.
@@ -419,7 +412,7 @@ object Similarity {
   def annJoinTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       k: Int, nBits: Int = 12, probes: Int = 4,
-      dim: Int = Vectors.Dim, maxCollectedQueries: Int = 65536): DataFrame = {
+      dim: Int = Vectors.Dim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nBits >= 1 && nBits <= 30, s"nBits must be in [1, 30], got $nBits")
     require(probes >= 1 && probes <= (1 << nBits),
@@ -443,56 +436,27 @@ object Similarity {
             f => col("__qbucket").bitwiseXOR(f.getField("bit"))))))
         .drop("__m")
     } else {
-      // take(cap+1), not collect(): the overflow check costs one extra row
-      // of driver memory, not a corpus
-      val collected = queries.select(col(qIdCol), col(qVecCol))
-        .take(maxCollectedQueries + 1)
-      require(collected.length <= maxCollectedQueries,
-        s"deep multi-probe (probes=$probes > nBits+1=${nBits + 1}) collects " +
-          s"the query set to the driver, and it exceeds maxCollectedQueries=" +
-          s"$maxCollectedQueries rows — this parameter is for BOUNDED query " +
-          "batches; shrink the batch, raise maxCollectedQueries explicitly, " +
-          "or drop to the in-plan regime (probes <= nBits + 1)")
-      val dupIds = collected.groupBy(_.get(0)).collect {
-        case (id, rows) if rows.length > 1 => id
-      }
-      require(dupIds.isEmpty,
-        s"deep multi-probe query ids must be unique (they key the literal " +
-          s"qid -> buckets map); duplicates: ${dupIds.take(5).mkString(", ")}")
-      if (collected.isEmpty) queries.withColumn("__probe", lit(0))
-      else {
-        // accept float OR double query vectors, like the in-plan regime
-        // (dotCol takes any numeric array) — a probes tweak must not flip
-        // a working pipeline into a driver-side ClassCastException
-        val toDoubles: org.apache.spark.sql.Row => Array[Double] = {
-          import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-          // resolve through select(): honors the session's case sensitivity
-          // like every other column reference here (a bare schema(...) apply
-          // is case-SENSITIVE and would reject "qVec" for field "qvec")
-          queries.select(col(qVecCol)).schema.head.dataType match {
-            case ArrayType(FloatType, _) => r => r.getSeq[Float](1).map(_.toDouble).toArray
-            case ArrayType(DoubleType, _) => r => r.getSeq[Double](1).toArray
-            case other => throw new IllegalArgumentException(
-              s"$qVecCol must be array<float> or array<double>, got $other")
-          }
-        }
-        val entries = collected.map { r =>
-          val qv = toDoubles(r)
-          val margins = (0 until nBits).map { j =>
-            val h = Vectors.hyperplane(j, dim)
-            j -> qv.zip(h).map { case (x, y) => x * y }.sum
-          }
-          val qBucket = margins.collect { case (j, d) if d > 0 => 1 << j }.sum
-          val buckets = (qBucket +: probeMasks(
-            margins.map { case (_, d) => math.abs(d) }.toIndexedSeq, probes - 1)
-            .map(qBucket ^ _)).distinct
-          r.get(0) -> buckets
-        }
-        val bucketsOf = map(entries.flatMap { case (qid, buckets) =>
-          Seq(lit(qid), array(buckets.map(lit(_)): _*))
-        }.toIndexedSeq: _*)
-        queries.withColumn("__probe", explode(element_at(bucketsOf, col(qIdCol))))
-      }
+      // deep probing, fully in-plan: per-bit margins exactly as above,
+      // then the Lv'07 heap generator runs per row as a native expression
+      // — masks are nonzero and distinct (locked by the probeMasks spec),
+      // so XOR against the query's own bucket never duplicates a probe
+      val margins = array((0 until nBits).map { j =>
+        val r = Vectors.hyperplane(j, dim)
+        val rCol = array(r.toIndexedSeq.map(lit): _*)
+        val d = VectorQueries.dotCol(col(qVecCol), rCol)
+        struct(abs(d).as("am"), lit(1 << j).as("bit"), d.as("d"))
+      }: _*)
+      queries
+        .withColumn("__m", margins)
+        .withColumn("__qbucket", aggregate(col("__m"), lit(0), (acc, e) =>
+          acc + when(e.getField("d") > 0, e.getField("bit")).otherwise(0)))
+        .withColumn("__probe", explode(concat(
+          array(col("__qbucket")),
+          transform(
+            graft.functions.Lv07ProbeMasks.masksCol(
+              transform(col("__m"), e => e.getField("am")), probes - 1),
+            m => col("__qbucket").bitwiseXOR(m)))))
+        .drop("__m")
     }
     val c = corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))

@@ -472,7 +472,7 @@ class OperatorsSpec extends SparkSpec {
     assert(single.count() === 5L)
   }
 
-  test("bounded-batch contracts fail loud: probe-key cap and deep-probe query cap") {
+  test("probe-key cap fails loud; deep multi-probe needs no cap (in-plan, dup-safe)") {
     val idx = tempDir("graft_sigidx_cap") + "/idx"
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
@@ -490,23 +490,24 @@ class OperatorsSpec extends SparkSpec {
     // under the cap the same call works
     assert(Dedup.dedupAgainstIndex(big, "doc_id", "text", idx).count() === 0L)
 
-    // deep-probe regime: oversized query set rejected before the collect
+    // deep-probe regime is now fully in-plan (Lv07ProbeMasksExpr): no
+    // query-count bound and no qid-uniqueness contract — duplicate query
+    // rows behave like the shallow regime (processed per row, same probe
+    // buckets), so their result sets coincide with the deduped run's
     val vecs = (0L until 10L)
       .map(i => (i, Array.tabulate(8)(j => (i + j + 1).toFloat)))
       .toDF("vec_id", "embedding")
-    val e2 = intercept[IllegalArgumentException] {
-      Similarity.annJoinTopKMultiProbe(vecs, vecs, "vec_id", "embedding",
-        "vec_id", "embedding", k = 1, nBits = 2, probes = 4, dim = 8,
-        maxCollectedQueries = 5)
-    }
-    assert(e2.getMessage.contains("maxCollectedQueries"))
-    // duplicate query ids rejected (they key the literal probe map)
-    val dup = vecs.unionByName(vecs)
-    val e3 = intercept[IllegalArgumentException] {
-      Similarity.annJoinTopKMultiProbe(vecs, dup, "vec_id", "embedding",
-        "vec_id", "embedding", k = 1, nBits = 2, probes = 4, dim = 8)
-    }
-    assert(e3.getMessage.contains("unique"))
+    def hits(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("qid"), col("vec_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val q = vecs.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val qd = q.unionByName(q)
+    val onceQ = hits(Similarity.annJoinTopKMultiProbe(vecs, q, "vec_id",
+      "embedding", "qid", "qvec", k = 1, nBits = 2, probes = 4, dim = 8))
+    val twiceQ = hits(Similarity.annJoinTopKMultiProbe(vecs, qd, "vec_id",
+      "embedding", "qid", "qvec", k = 1, nBits = 2, probes = 4, dim = 8))
+    assert(onceQ === twiceQ,
+      "duplicated query rows must reach the same per-qid hit sets")
   }
 
   test("dedupNear exact-collapse path matches the uncollapsed pipeline") {
