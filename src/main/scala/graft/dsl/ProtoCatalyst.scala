@@ -503,3 +503,49 @@ case class ProtoEncodeExpr(child: Expression, msg: ProtobufCore.PMessage)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Body of an SR-protobuf frame: skips [magic][schema id][index varints]
+  * and returns the protobuf payload bytes.
+  */
+case class SrProtoStripExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sr_proto_strip requires a binary input, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sr_proto_strip"
+  protected override def nullSafeEval(input: Any): Any =
+    ProtobufCore.skipIndexList(input.asInstanceOf[Array[Byte]]).bytes()
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Message-index list of an SR-protobuf frame (`[0]` when the frame uses
+  * the optimized single-byte form).
+  */
+case class SrProtoIndexesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sr_proto_indexes requires a binary input, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sr_proto_indexes"
+  protected override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    require(b.length >= 6 && b(0) == 0, "not an SR protobuf frame")
+    val r = new ProtobufCore.Reader(b, 5, b.length)
+    val count = zigzagDecode(r.readVarint())
+    val out =
+      if (count == 0L) Array(0)
+      else Array.fill(count.toInt)(zigzagDecode(r.readVarint()).toInt)
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

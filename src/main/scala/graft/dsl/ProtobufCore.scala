@@ -700,34 +700,28 @@ object ProtobufCore extends Serializable {
   def srProtoFrame(c: Column, schemaId: Int, indexes: Seq[Int] = Seq(0)): Column =
     Serdes.srFrame(concat(lit(indexListBytes(indexes)), c), schemaId)
 
-  /** Body of an SR-protobuf-framed column (drops header + index list). */
+  /** Position just past the message-index list of an SR protobuf frame. */
+  private[dsl] def skipIndexList(b: Array[Byte]): Reader = {
+    require(b.length >= 6 && b(0) == 0, "not an SR protobuf frame")
+    val r = new Reader(b, 5, b.length)
+    val count = zigzagDecode(r.readVarint())
+    var i = 0L
+    while (i < count) { r.readVarint(); i += 1 }
+    r
+  }
+
+  /** Body of an SR-protobuf-framed column (drops header + index list).
+    * Native expression ([[SrProtoStripExpr]]) — per-record in an SR
+    * pipeline, so no UDF hop.
+    */
   def srProtoStrip(c: Column): Column = {
-    val strip = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else {
-        require(b.length >= 6 && b(0) == 0, "not an SR protobuf frame")
-        val r = new Reader(b, 5, b.length)
-        val count = zigzagDecode(r.readVarint())
-        var i = 0L
-        while (i < count) { r.readVarint(); i += 1 }
-        r.bytes()
-      }
-    }
-    strip(c)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SrProtoStripExpr(ColumnBridge.expression(c)))
   }
 
   /** Message indexes of an SR-protobuf-framed column (e.g. `[0]`). */
   def srProtoIndexes(c: Column): Column = {
-    val idx = udf { (b: Array[Byte]) =>
-      if (b == null) null
-      else {
-        require(b.length >= 6 && b(0) == 0, "not an SR protobuf frame")
-        val r = new Reader(b, 5, b.length)
-        val count = zigzagDecode(r.readVarint())
-        if (count == 0L) Seq(0)
-        else (0L until count).map(_ => zigzagDecode(r.readVarint()).toInt)
-      }
-    }
-    idx(c)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(SrProtoIndexesExpr(ColumnBridge.expression(c)))
   }
 }
