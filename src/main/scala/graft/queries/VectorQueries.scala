@@ -394,6 +394,51 @@ object VectorQueries {
         Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** Batch multi-probe ANN in the DEEP regime (probes > nBits + 1):
+    * multi-bit flip masks in the full Lv'07 global total-margin order,
+    * generated per query row by the native heap expression
+    * ([[graft.functions.Lv07ProbeMasksExpr]]) — fully in-plan, no driver
+    * collect. The oracle enumerates ALL 2^nBits − 1 masks per query,
+    * scores each by its flipped bits' total |margin|, and takes the first
+    * probes − 1 in (total, mask) order — the same global order the heap
+    * emits — then mirrors the probe join and per-query ranking.
+    */
+  val qAnnMultiProbeDeep = q(
+    "q_ann_multiprobe_deep", {
+      val nBits = 5
+      val probes = 13 // > nBits + 1 = 6: the deep regime
+      val marginRows = (0 until nBits).map { j =>
+        val lits = Vectors.hyperplane(j, Vectors.Dim)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"SELECT qid, $j AS b, list_sum(list_transform(range(1, ${Vectors.Dim + 1}), " +
+          s"i -> q[i]::DOUBLE * ([$lits])[i])) AS d FROM qv"
+      }.mkString(" UNION ALL ")
+      "WITH qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 3), " +
+        s"m AS ($marginRows), " +
+        "qb AS (SELECT qid, CAST(sum(CASE WHEN d > 0 THEN 1 << b ELSE 0 END) AS INT) AS qbucket FROM m GROUP BY qid), " +
+        "flips AS (SELECT qid, mask FROM (" +
+        "SELECT ids.qid AS qid, t.mask, " +
+        "(SELECT sum(abs(d)) FROM m WHERE m.qid = ids.qid AND ((t.mask >> b) & 1) = 1) AS tot " +
+        s"FROM (SELECT DISTINCT qid FROM qv) ids, range(1, ${1 << nBits}) t(mask)) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY tot, mask) <= ${probes - 1}), " +
+        "probes AS (SELECT qid, qbucket AS bkt FROM qb " +
+        "UNION SELECT qb.qid, xor(qbucket, CAST(mask AS INT)) FROM qb JOIN flips ON qb.qid = flips.qid), " +
+        s"bk AS (SELECT vec_id, embedding, ${Vectors.lshBucketSql("embedding", nBits)} AS bkt " +
+        "FROM embeddings WHERE vec_id >= 3) " +
+        s"SELECT qid, vec_id, ${Exact.quantSql(dotSql("embedding", "q") + " / (" + normSql("embedding") + " * " + normSql("q") + ")", 10000)} AS cos_e4 " +
+        "FROM bk JOIN probes USING (bkt) JOIN qv USING (qid) " +
+        s"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) DESC, vec_id) <= 5"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val qdf = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Similarity
+      .annJoinTopKMultiProbe(emb.filter(col("vec_id") >= 3), qdf,
+        "vec_id", "embedding", "qid", "qvec", k = 5, nBits = 5, probes = 13)
+      .select(col("qid"), col("vec_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Whole-sample exact top-5 per query via the k-capped heap aggregate
     * ([[graft.functions.TopKIdsAgg]]) — the one-job exact side of
     * `annRecallAtBatch`: query vectors ride as broadcast literals, the
@@ -434,7 +479,7 @@ object VectorQueries {
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
-    qAnnTopkBatch, qAnnMultiProbeBatch, qAnnIvfSearchBatch)
+    qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */
