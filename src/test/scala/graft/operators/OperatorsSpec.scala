@@ -856,6 +856,18 @@ class OperatorsSpec extends SparkSpec {
         s"qid=$qid deep batch != per-query Lv'07")
     }
 
+    // the shuffle-join strategy (broadcastQueries = false, the bulk-batch
+    // plan) must return byte-identical results to the broadcast plan
+    val shuffled = Similarity.annJoinTopKMultiProbe(corpus, qdf,
+        "vec_id", "embedding", "qid", "qvec",
+        k = 7, nBits = 5, probes = 13, dim = 12, broadcastQueries = false)
+      .select("qid", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    assert(shuffled === batch,
+      "shuffle-join strategy must not change deep-regime results")
+
     // array<double> query vectors work in the deep regime too (the in-plan
     // regime always did) — a probes tweak must not flip working code into
     // a driver-side ClassCastException
