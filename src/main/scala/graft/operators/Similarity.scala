@@ -322,7 +322,7 @@ object Similarity {
   def ivfJoinTopK(assigned: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
       centroids: Seq[(Int, Array[Float])], k: Int, nprobe: Int = 2,
-      cellCap: Int = 0): DataFrame = {
+      cellCap: Int = 0, broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(centroids.nonEmpty, "ivfJoinTopK needs centroids")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
@@ -341,9 +341,14 @@ object Similarity {
     val probedCells = qs.select("__cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
+    // broadcastQueries: same strategy trade as [[annJoinTopKMultiProbe]];
+    // the probed-cell pruning above stays either way (its collect is
+    // bounded by the CENTROID count, not the batch — distinct runs
+    // distributed)
+    val qside = if (broadcastQueries) broadcast(qs) else qs.hint("shuffle_hash")
     capCells(assigned.filter(col("centroid_id").isin(probedCells: _*)),
         idCol, cellCap)
-      .join(broadcast(qs), col("centroid_id") === col("__cell"))
+      .join(qside, col("centroid_id") === col("__cell"))
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -368,12 +373,17 @@ object Similarity {
     */
   def annJoinTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
-      k: Int, nBits: Int = 12, dim: Int = Vectors.Dim): DataFrame = {
+      k: Int, nBits: Int = 12, dim: Int = Vectors.Dim,
+      broadcastQueries: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = corpus.withColumn("__bucket", Vectors.lshBucket(col(vecCol), nBits, dim))
     val qs = queries.withColumn("__qbucket", Vectors.lshBucket(col(qVecCol), nBits, dim))
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cosine").desc, col(idCol))
-    c.join(broadcast(qs), col("__bucket") === col("__qbucket"))
+    // broadcastQueries: same strategy trade as [[annJoinTopKMultiProbe]] —
+    // default serves bounded batches against a never-shuffled corpus;
+    // false runs a shuffle-hash join for bulk batches
+    val qside = if (broadcastQueries) broadcast(qs) else qs.hint("shuffle_hash")
+    c.join(qside, col("__bucket") === col("__qbucket"))
       .withColumn("cosine", cosine(col(vecCol), col(qVecCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
