@@ -45,9 +45,18 @@ object AvroCatalyst {
   private def canonF(f: Float): Float = if (f != f) Float.NaN else f
   private def canonD(d: Double): Double = if (d != d) Double.NaN else d
 
-  /** Build a datum→Catalyst converter for `s`; null always maps to null. */
-  private[dsl] def datumConverter(s: Schema): Any => Any = {
+  /** Build a datum→Catalyst converter for `s`; null always maps to null.
+    * `timeAsTime` maps time-millis/micros onto Catalyst TIME(6) nanos-of-
+    * day — a mapping only the native path can evaluate (from_json rejects
+    * TIME, so the JSON leg has no equivalent).
+    */
+  private[dsl] def datumConverter(s: Schema,
+      timeAsTime: Boolean = false): Any => Any = {
     val conv: Any => Any = logicalName(s) match {
+      case "time-millis" if timeAsTime =>
+        v => Math.multiplyExact(v.asInstanceOf[Int].toLong, 1000000L)
+      case "time-micros" if timeAsTime =>
+        v => Math.multiplyExact(v.asInstanceOf[Long], 1000L)
       case "decimal" =>
         val lt = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
         v => Decimal(new java.math.BigDecimal(
@@ -72,7 +81,7 @@ object AvroCatalyst {
         case Schema.Type.BYTES | Schema.Type.FIXED => v => bytesOf(v)
         case Schema.Type.RECORD =>
           val fields = s.getFields.asScala.toArray
-            .map(f => (f.pos(), datumConverter(f.schema())))
+            .map(f => (f.pos(), datumConverter(f.schema(), timeAsTime)))
           v => {
             val rec = v.asInstanceOf[GenericRecord]
             val out = new Array[Any](fields.length)
@@ -86,12 +95,12 @@ object AvroCatalyst {
             new GenericInternalRow(out)
           }
         case Schema.Type.ARRAY =>
-          val ec = datumConverter(s.getElementType)
+          val ec = datumConverter(s.getElementType, timeAsTime)
           v => new GenericArrayData(
             v.asInstanceOf[java.util.Collection[Any]].asScala.iterator
               .map(e => if (e == null) null else ec(e)).toArray)
         case Schema.Type.MAP =>
-          val vc = datumConverter(s.getValueType)
+          val vc = datumConverter(s.getValueType, timeAsTime)
           v => {
             // iterate the decoder's map in ITS order — the same order the
             // JSON leg renders, so map layouts match between paths
@@ -110,7 +119,8 @@ object AvroCatalyst {
         case Schema.Type.UNION =>
           val branches = unionBranches(s)
           if (branches.length <= 1) {
-            val inner = branches.headOption.map(datumConverter)
+            val inner = branches.headOption
+              .map(b => datumConverter(b, timeAsTime))
               .getOrElse((_: Any) => null)
             v => inner(v)
           } else {
@@ -119,7 +129,8 @@ object AvroCatalyst {
             val byTypeIdx: Array[(Int, Any => Any)] =
               s.getTypes.asScala.toArray.map { b =>
                 val pos = branches.indexOf(b)
-                (pos, if (pos >= 0) datumConverter(b) else (_: Any) => null)
+                (pos, if (pos >= 0) datumConverter(b, timeAsTime)
+                 else (_: Any) => null)
               }
             v => {
               val idx = GenericData.get().resolveUnion(s, v)
@@ -139,7 +150,8 @@ object AvroCatalyst {
   /** Build a Catalyst→datum converter for `s` read at Catalyst type `dt`.
     * Null handling (incl. the non-nullable-union require) happens inside.
     */
-  private[dsl] def catalystConverter(s: Schema, dt: DataType): Any => Any = {
+  private[dsl] def catalystConverter(s: Schema, dt: DataType,
+      timeAsTime: Boolean = false): Any => Any = {
     def requireNullable(): Unit =
       require(s.getType == Schema.Type.UNION &&
           s.getTypes.asScala.exists(_.getType == Schema.Type.NULL) ||
@@ -178,6 +190,14 @@ object AvroCatalyst {
           else Math.floorDiv(v.asInstanceOf[Long], 1000L)
       case "local-timestamp-micros" =>
         return v => if (v == null) { requireNullable(); null } else v.asInstanceOf[Long]
+      case "time-millis" if timeAsTime =>
+        // TIME(6) nanos-of-day -> millis-of-day, truncating like the avro
+        // library's own TimeMillisConversion does
+        return v => if (v == null) { requireNullable(); null }
+          else (v.asInstanceOf[Long] / 1000000L).toInt
+      case "time-micros" if timeAsTime =>
+        return v => if (v == null) { requireNullable(); null }
+          else v.asInstanceOf[Long] / 1000L
       case _ => ()
     }
     s.getType match {
@@ -185,12 +205,13 @@ object AvroCatalyst {
         val branches = unionBranches(s)
         if (branches.length <= 1) {
           val inner = branches.headOption
-            .map(b => catalystConverter(b, dt)).getOrElse((_: Any) => null)
+            .map(b => catalystConverter(b, dt, timeAsTime))
+            .getOrElse((_: Any) => null)
           v => if (v == null) { requireNullable(); null } else inner(v)
         } else {
           val st = dt.asInstanceOf[StructType]
           val convs = branches.toArray.zipWithIndex.map { case (b, i) =>
-            catalystConverter(b, st.fields(i).dataType)
+            catalystConverter(b, st.fields(i).dataType, timeAsTime)
           }
           v => {
             if (v == null) { requireNullable(); null }
@@ -248,7 +269,7 @@ object AvroCatalyst {
         val fields = s.getFields.asScala.toArray.map { f =>
           val ord = st.fieldNames.indexOf(f.name())
           val c = if (ord >= 0)
-            catalystConverter(f.schema(), st.fields(ord).dataType)
+            catalystConverter(f.schema(), st.fields(ord).dataType, timeAsTime)
           else nullOnly(f.schema())
           (f.pos(), ord, c,
             if (ord >= 0) st.fields(ord).dataType else NullType)
@@ -267,7 +288,7 @@ object AvroCatalyst {
         }
       case Schema.Type.ARRAY =>
         val et = dt.asInstanceOf[ArrayType].elementType
-        val ec = catalystConverter(s.getElementType, et)
+        val ec = catalystConverter(s.getElementType, et, timeAsTime)
         v => {
           if (v == null) { requireNullable(); null }
           else {
@@ -283,7 +304,7 @@ object AvroCatalyst {
         }
       case Schema.Type.MAP =>
         val vt = dt.asInstanceOf[MapType].valueType
-        val vc = catalystConverter(s.getValueType, vt)
+        val vc = catalystConverter(s.getValueType, vt, timeAsTime)
         v => {
           if (v == null) { requireNullable(); null }
           else {
@@ -306,7 +327,8 @@ object AvroCatalyst {
 }
 
 /** `binary → struct` Avro decode as a single Catalyst expression. */
-case class AvroDecodeExpr(child: Expression, schemaJson: String)
+case class AvroDecodeExpr(child: Expression, schemaJson: String,
+    timeAsTime: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -315,12 +337,12 @@ case class AvroDecodeExpr(child: Expression, schemaJson: String)
       s"avro_decode requires a binary input, got $other")
   }
 
-  override lazy val dataType: DataType = sparkSchemaFor(schemaJson)
+  override lazy val dataType: DataType = sparkSchemaFor(schemaJson, timeAsTime)
   override def nullable: Boolean = true
   override def prettyName: String = "avro_decode"
 
   @transient private lazy val conv =
-    AvroCatalyst.datumConverter(serdeOf(schemaJson).schema)
+    AvroCatalyst.datumConverter(serdeOf(schemaJson).schema, timeAsTime)
 
   protected override def nullSafeEval(input: Any): Any = {
     val sd = serdeOf(schemaJson)
@@ -340,12 +362,13 @@ case class AvroDecodeExpr(child: Expression, schemaJson: String)
   * fields encode as null and fail in the avro writer if non-nullable,
   * like the JSON leg).
   */
-case class AvroEncodeExpr(child: Expression, schemaJson: String)
+case class AvroEncodeExpr(child: Expression, schemaJson: String,
+    timeAsTime: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case st: StructType =>
-      val declared = sparkSchemaFor(schemaJson)
+      val declared = sparkSchemaFor(schemaJson, timeAsTime)
       val bad = st.fields.flatMap { f =>
         declared.fields.find(_.name == f.name) match {
           case Some(d) if !DataType.equalsStructurally(
@@ -367,7 +390,7 @@ case class AvroEncodeExpr(child: Expression, schemaJson: String)
   override def prettyName: String = "avro_encode"
 
   @transient private lazy val conv = AvroCatalyst.catalystConverter(
-    serdeOf(schemaJson).schema, child.dataType)
+    serdeOf(schemaJson).schema, child.dataType, timeAsTime)
 
   protected override def nullSafeEval(input: Any): Any = {
     val sd = serdeOf(schemaJson)

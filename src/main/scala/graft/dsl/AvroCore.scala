@@ -322,12 +322,19 @@ object AvroCore extends Serializable {
 
   /** The Catalyst schema [[decodeToJson]]'s output parses into — derived
     * from the Avro schema so the Spark side can never drift from the wire
-    * side. Unions follow the class-doc mapping.
+    * side. Unions follow the class-doc mapping. With `timeAsTime`,
+    * `time-millis`/`time-micros` map to Catalyst `TIME(6)` instead of
+    * their int/long base — only the NATIVE expressions can evaluate that
+    * mapping (`from_json` rejects TIME, so the JSON leg keeps the
+    * spark-avro int/long convention).
     */
-  def sparkSchemaFor(avroSchemaJson: String): StructType =
-    sparkTypeOf(serdeOf(avroSchemaJson).schema).asInstanceOf[StructType]
+  def sparkSchemaFor(avroSchemaJson: String,
+      timeAsTime: Boolean = false): StructType =
+    sparkTypeOf(serdeOf(avroSchemaJson).schema, timeAsTime)
+      .asInstanceOf[StructType]
 
-  private[dsl] def sparkTypeOf(s: Schema): DataType = {
+  private[dsl] def sparkTypeOf(s: Schema,
+      timeAsTime: Boolean = false): DataType = {
     logicalName(s) match {
       case "decimal" =>
         val d = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
@@ -336,9 +343,12 @@ object AvroCore extends Serializable {
       case "timestamp-millis" | "timestamp-micros" => return TimestampType
       case "local-timestamp-millis" | "local-timestamp-micros" =>
         return TimestampNTZType
-      // time-millis/micros ride their int/long base (millis/micros of day) —
-      // the spark-avro convention; Catalyst TIME exists in 4.1 but the JSON
-      // reader this bridge parses through does not support it yet
+      case "time-millis" | "time-micros" if timeAsTime =>
+        // TIME(6): micros precision covers both avro units
+        return TimeType(TimeType.MICROS_PRECISION)
+      // by default time-millis/micros ride their int/long base (millis/
+      // micros of day) — the spark-avro convention, and the only mapping
+      // the JSON leg can evaluate (from_json rejects TIME)
       case _ => () // uuid -> StringType through its string base
     }
     s.getType match {
@@ -353,14 +363,14 @@ object AvroCore extends Serializable {
     case Schema.Type.NULL    => NullType
     case Schema.Type.RECORD =>
       StructType(s.getFields.asScala.toSeq.map(f =>
-        StructField(f.name(), sparkTypeOf(f.schema()), nullable = true)))
-    case Schema.Type.ARRAY => ArrayType(sparkTypeOf(s.getElementType))
-    case Schema.Type.MAP   => MapType(StringType, sparkTypeOf(s.getValueType))
+        StructField(f.name(), sparkTypeOf(f.schema(), timeAsTime), nullable = true)))
+    case Schema.Type.ARRAY => ArrayType(sparkTypeOf(s.getElementType, timeAsTime))
+    case Schema.Type.MAP   => MapType(StringType, sparkTypeOf(s.getValueType, timeAsTime))
     case Schema.Type.UNION =>
       val branches = unionBranches(s)
-      if (branches.length == 1) sparkTypeOf(branches.head)
+      if (branches.length == 1) sparkTypeOf(branches.head, timeAsTime)
       else StructType(branches.map(b =>
-        StructField(branchLabel(b), sparkTypeOf(b), nullable = true)))
+        StructField(branchLabel(b), sparkTypeOf(b, timeAsTime), nullable = true)))
     }
   }
 
@@ -385,6 +395,21 @@ object AvroCore extends Serializable {
       AvroDecodeExpr(ColumnBridge.expression(c), avroSchemaJson))
   }
 
+  /** [[avroDe]] with `timeAsTime`: `time-millis`/`time-micros` decode to
+    * Catalyst `TIME(6)` (nanos of day) instead of their int/long base —
+    * possible ONLY on the native path ([[AvroDecodeExpr]]); `from_json`
+    * rejects TIME, so the JSON leg (and spark-avro) cannot express it.
+    * TIME is behind Spark 4.1's experimental gate: set
+    * `spark.sql.timeType.enabled=true` or encoders/collect reject the
+    * column.
+    */
+  def avroDeTime(c: Column, avroSchemaJson: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      AvroDecodeExpr(ColumnBridge.expression(c), avroSchemaJson,
+        timeAsTime = true))
+  }
+
   /** Encode a struct column to a binary Avro column against the schema
     * (native [[AvroEncodeExpr]], no JSON hop; [[avroSerJson]] is the
     * reference leg).
@@ -393,6 +418,17 @@ object AvroCore extends Serializable {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
       AvroEncodeExpr(ColumnBridge.expression(c), avroSchemaJson))
+  }
+
+  /** [[avroSer]] accepting `TIME(6)` columns for `time-millis`/`micros`
+    * fields (the [[avroDeTime]] shape); nanos of day convert back to the
+    * schema's unit, truncating like the avro library's own conversions.
+    */
+  def avroSerTime(c: Column, avroSchemaJson: String): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      AvroEncodeExpr(ColumnBridge.expression(c), avroSchemaJson,
+        timeAsTime = true))
   }
 
   /** The original `udf(decodeToJson) → from_json` decode leg — kept as

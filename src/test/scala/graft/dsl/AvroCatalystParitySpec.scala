@@ -98,6 +98,46 @@ class AvroCatalystParitySpec extends SparkSpec {
       err.getCause != null, s"unexpected: $err")
   }
 
+  test("timeAsTime: time-millis/micros decode to TIME(6) and round-trip (native-only)") {
+    // the JSON leg cannot express this at all (from_json rejects TIME);
+    // the lock here is against the avro LIBRARY: library-written bytes ->
+    // native TIME decode -> native encode -> byte-identical, and the
+    // collected value is the right java.time.LocalTime. TIME is behind
+    // Spark 4.1's own experimental gate — avroDeTime requires it on
+    // (collect/encoders reject TIME otherwise)
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    try {
+    val sj = """{"type":"record","name":"T","fields":[
+      {"name":"tm","type":{"type":"int","logicalType":"time-millis"}},
+      {"name":"tu","type":{"type":"long","logicalType":"time-micros"}}]}"""
+    val schema = new org.apache.avro.Schema.Parser().parse(sj)
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    rec.put(0, 45296789)            // 12:34:56.789
+    rec.put(1, 45296789123L)        // 12:34:56.789123
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    val bytes = out.toByteArray
+
+    val row = spark.range(1).select(
+      AvroCore.avroDeTime(lit(bytes), sj).as("m"),
+      AvroCore.avroSerTime(AvroCore.avroDeTime(lit(bytes), sj), sj).as("rt"),
+      AvroCore.avroDe(lit(bytes), sj).as("base")).head()
+    val m = row.getStruct(0)
+    assert(m.getAs[java.time.LocalTime]("tm") ===
+      java.time.LocalTime.of(12, 34, 56, 789000000))
+    assert(m.getAs[java.time.LocalTime]("tu") ===
+      java.time.LocalTime.of(12, 34, 56, 789123000))
+    assert(row.getAs[Array[Byte]](1).toSeq === bytes.toSeq,
+      "TIME round trip must be byte-identical")
+    // the default mapping stays int/long (spark-avro convention, JSON-leg
+    // parity): same bytes, base-typed struct
+    val base = row.getStruct(2)
+    assert(base.getInt(0) === 45296789 && base.getLong(1) === 45296789123L)
+    } finally spark.conf.unset("spark.sql.timeType.enabled")
+  }
+
   test("encode rejects a struct whose field types do not match the schema") {
     val sj = """{"type":"record","name":"R","fields":[
       {"name":"a","type":"long"}]}"""
