@@ -20,11 +20,14 @@ import org.apache.spark.sql.types._
   * SchemaAvroSerDes.cs:15`) without the spark-avro module.
   *
   * [[Serdes.avroDe]]/[[Serdes.avroSer]] (the spark-avro `from_avro`/
-  * `to_avro` expressions) stay the preferred cluster path — codegen'd,
-  * no JSON hop. This core path produces and consumes the SAME binary Avro
-  * bytes, bridged into Catalyst through a schema-driven datum ⇄ JSON
-  * renderer (`binary → GenericRecord → canonical JSON → from_json(struct)`
-  * and back). Unlike Avro's own JSON encoding, the renderer resolves
+  * `to_avro` expressions) remain available for clusters that ship the
+  * module. This core path produces and consumes the SAME binary Avro
+  * bytes, bridged into Catalyst NATIVELY since round 9
+  * ([[AvroDecodeExpr]]/[[AvroEncodeExpr]]: `binary → GenericRecord →
+  * InternalRow` and back, no per-row JSON) — the original schema-driven
+  * datum ⇄ JSON renderer survives as [[avroDeJson]]/[[avroSerJson]], the
+  * independently-implemented differential-testing leg. Either way the
+  * bridge resolves
   * UNIONS into Catalyst-friendly shapes — so records of primitives, nested
   * records, arrays, maps, enums (as symbol strings), bytes/fixed (as
   * base64 → `binary`), union-typed fields, and the logical types
@@ -44,8 +47,9 @@ import org.apache.spark.sql.types._
   *
   * Schemas and datum readers/writers are cached per executor (keyed by the
   * schema JSON); encoders and byte buffers are allocated per row (they are
-  * not thread-safe). The per-row cost is one decode + one JSON render. Use
-  * on the serde BOUNDARY only — once decoded, stay in Catalyst structs.
+  * not thread-safe). The per-row cost is one library decode + one
+  * converter-tree pass. Use on the serde BOUNDARY only — once decoded,
+  * stay in Catalyst structs.
   */
 object AvroCore extends Serializable {
 

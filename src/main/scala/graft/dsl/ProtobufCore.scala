@@ -25,9 +25,12 @@ import org.apache.spark.sql.types._
   * zigzag, unsigned, fixed, sfixed), strings, bytes, enums (symbol strings
   * via [[PEnum]], or raw ints via `PInt32`), repeated fields, nested
   * messages, `map<K,V>`, oneof — and bridges into
-  * Catalyst the same way [[AvroCore]] does: `binary → canonical JSON →
-  * from_json(struct)` and back, so the full wire round-trip runs and is
-  * tested anywhere Spark runs.
+  * Catalyst natively since round 9 ([[ProtoDecodeExpr]]/
+  * [[ProtoEncodeExpr]]: wire bytes ⇄ `InternalRow` in one expression;
+  * the original `binary → canonical JSON → from_json(struct)` leg
+  * survives as [[protoDeJson]]/[[protoSerJson]] for differential
+  * testing), so the full wire round-trip runs and is tested anywhere
+  * Spark runs.
   *
   * Schemas are declared as [[PMessage]] trees (the descriptor analog; field
   * NUMBERS are the wire contract, names only shape the Catalyst struct).
