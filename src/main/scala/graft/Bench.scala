@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Streaming-fixture scratch dirs (input copies + checkpoints) are
+    * removed recursively at JVM exit — repeated bench runs must not
+    * accrete `/tmp/graft_bench_*` dirs (each carries an events.parquet
+    * copy).
+    */
+  private val scratch = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    scratch.forEach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(p))
+    }))
+  private def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratch.add(p.toString)
+    p
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -66,7 +87,7 @@ object Bench {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // file-stream source needs a directory: stage the single file into one
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_bench_in")
+      val streamDir = tempDir("graft_bench_in")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         streamDir.resolve("events.parquet"))
@@ -79,7 +100,7 @@ object Bench {
         .count()
         .writeStream.format("noop").outputMode("update")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
+          tempDir("graft_bench_ckpt").toString)
         .start()
       q.processAllAvailable(); q.stop()
     }
@@ -92,7 +113,7 @@ object Bench {
       import spark.implicits._
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-      val streamDir = java.nio.file.Files.createTempDirectory("graft_bench_dsl")
+      val streamDir = tempDir("graft_bench_dsl")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         streamDir.resolve("events.parquet"))
@@ -105,7 +126,7 @@ object Bench {
         .groupByKey.windowedBy(TumblingWindow.of(3600000L)).count
       val q = counted.changelog.writeStream.format("noop").outputMode("update")
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft_bench_dsl_ckpt").toString)
+          tempDir("graft_bench_dsl_ckpt").toString)
         .start()
       q.processAllAvailable(); q.stop()
     }
