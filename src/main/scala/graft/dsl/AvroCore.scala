@@ -380,12 +380,18 @@ object AvroCore extends Serializable {
 
   /** Decode a binary Avro column to a typed struct column.
     * `sparkSchema` mirrors the Avro record's fields — pass
-    * [[sparkSchemaFor]]'s derivation (or a compatible hand-written one;
-    * a custom schema routes through the JSON leg, the derived one runs
-    * the native expression).
+    * [[sparkSchemaFor]]'s derivation (or a compatible hand-written one).
+    * Dispatch is STRUCTURAL ([[DataType.equalsStructurally]], names and
+    * types, nullability/metadata ignored): a schema shaped like the
+    * derivation runs the native expression; only a genuinely different
+    * shape (e.g. fewer fields) routes through the permissive JSON leg —
+    * so invisible details like field metadata can never flip the error
+    * semantics between the two paths.
     */
   def avroDe(c: Column, avroSchemaJson: String, sparkSchema: StructType): Column =
-    if (sparkSchema == sparkSchemaFor(avroSchemaJson)) avroDe(c, avroSchemaJson)
+    if (DataType.equalsStructurally(sparkSchema,
+        sparkSchemaFor(avroSchemaJson), ignoreNullability = true))
+      avroDe(c, avroSchemaJson)
     else avroDeJson(c, avroSchemaJson, sparkSchema)
 
   /** [[avroDe]] as a single native expression ([[AvroDecodeExpr]]): the

@@ -39,9 +39,11 @@ import ProtobufCore._
   * elements, so the divergence is unreachable for round trips.
   *
   * Measured (local[8], 200k rows of a 6-field message with a repeated
-  * field, a map and a nested message, min of 4): decode 325 ms native vs
-  * 388 ms JSON leg (~1.2×), full decode→encode round trip 307 ms vs
-  * 576 ms (~1.9×) — on top of removing the per-row JSON text allocation
+  * field, a map and a nested message, min of 4, after hoisting the
+  * per-row ordinal/oneof scaffolding into PMessage lazy vals and the
+  * [[ProtoCatalyst.MsgEncodePlan]]): decode 252 ms native vs ~390 ms
+  * JSON leg (~1.5×), full decode→encode round trip 295 ms vs 559 ms
+  * (~1.9×) — on top of removing the per-row JSON text allocation
   * entirely.
   */
 object ProtoCatalyst {
@@ -73,9 +75,12 @@ object ProtoCatalyst {
 
   /** proto3 default for an absent map entry value, as a Catalyst value —
     * the direct analog of the JSON leg's `defaultValueNode` after
-    * `from_json` (message default = all-null row, not null).
+    * `from_json` (message default = all-null row, not null). With
+    * `keepUnknown` the declared message struct carries the trailing
+    * `$unknown` field at EVERY depth ([[sparkSchema]] recurses it), so
+    * the default row must be one slot wider too.
     */
-  private def defaultCatalystValue(t: PType): Any = t match {
+  private def defaultCatalystValue(t: PType, keepUnknown: Boolean): Any = t match {
     case PInt32 | PSInt32 | PSFixed32 => 0
     case PInt64 | PSInt64 | PUInt32 | PUInt64 | PFixed32 | PFixed64 |
          PSFixed64 => 0L
@@ -85,7 +90,8 @@ object ProtoCatalyst {
     case PString => UTF8String.EMPTY_UTF8
     case PBytes  => Array.emptyByteArray
     case e: PEnum => UTF8String.fromString(e.byNumber.getOrElse(0, "0"))
-    case m: PMessage => new GenericInternalRowOf(m.fields.length)
+    case m: PMessage => new GenericInternalRowOf(
+      m.fields.length + (if (keepUnknown) 1 else 0))
     case other   => throw new IllegalStateException(s"bad map value type $other")
   }
 
@@ -131,18 +137,18 @@ object ProtoCatalyst {
       }
     }
     (if (key == null) defaultKeyString(m.key) else key,
-     if (!valueSet) defaultCatalystValue(m.value) else value)
+     if (!valueSet) defaultCatalystValue(m.value, keepUnknown) else value)
   }
 
   private[dsl] def decodeRow(msg: PMessage, r: Reader,
       keepUnknown: Boolean): InternalRow = {
     val n = msg.fields.length
     val values = new Array[Any](n + (if (keepUnknown) 1 else 0))
-    // per-field ordinal; repeated fields get a buffer slot, maps a
+    // field ordinals come precomputed off the PMessage (lazy, once per
+    // message node per JVM); repeated fields get a buffer slot, maps a
     // LinkedHashMap slot (last-wins with first-occurrence position, the
     // Jackson ObjectNode semantics the JSON leg has)
-    val ordinal: Map[Int, Int] =
-      msg.fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    val ordinal = msg.ordinalByNumber
     var unknown: scala.collection.mutable.ArrayBuffer[InternalRow] = null
     while (r.hasMore) {
       val tagStart = r.pos
@@ -152,9 +158,13 @@ object ProtoCatalyst {
       msg.byNumber.get(number) match {
         case None =>
           r.skip(wt)
-          if (unknown == null)
-            unknown = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
-          unknown += InternalRow(number, r.spanFrom(tagStart))
+          // span copy + buffer only when the schema will carry it; a
+          // narrow keepUnknown=false reader pays just the skip
+          if (keepUnknown) {
+            if (unknown == null)
+              unknown = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            unknown += InternalRow(number, r.spanFrom(tagStart))
+          }
         case Some(f) =>
           val i = ordinal(f.number)
           def buffer(): scala.collection.mutable.ArrayBuffer[Any] =
@@ -173,9 +183,8 @@ object ProtoCatalyst {
             }
           def setSingular(v: Any): Unit = {
             if (f.oneof.isDefined)
-              msg.oneofSiblings.getOrElse(f.name, Nil).foreach { sib =>
-                values(ordinal(msg.fields.find(_.name == sib).get.number)) = null
-              }
+              msg.oneofSiblingOrdinals.getOrElse(i, Array.emptyIntArray)
+                .foreach(values(_) = null)
             values(i) = v
           }
           f.ptype match {
@@ -268,43 +277,71 @@ object ProtoCatalyst {
     case _         => throw new IllegalStateException(s"not a scalar: $t")
   }
 
-  private def encodeMapEntryRow(m: PMap, key: String, value: Any,
-      valueType: DataType, number: Int, w: Writer): Unit = {
-    val inner = new Writer
-    writeKeyString(m.key, key, inner)
-    m.value match {
-      case sub: PMessage =>
-        val body = new Writer
-        encodeRow(sub, value.asInstanceOf[InternalRow],
-          valueType.asInstanceOf[StructType], body)
-        inner.writeTag(2, 2); inner.writeDelimited(body.out.toByteArray)
-      case PString =>
-        inner.writeTag(2, 2)
-        inner.writeDelimited(
-          value.asInstanceOf[UTF8String].toString.getBytes(UTF_8))
-      case PBytes =>
-        inner.writeTag(2, 2)
-        inner.writeDelimited(value.asInstanceOf[Array[Byte]])
-      case scalar =>
-        inner.writeTag(2, wireTypeOf(scalar)); encodeScalarValue(scalar, value, inner)
-    }
-    w.writeTag(number, 2); w.writeDelimited(inner.out.toByteArray)
-  }
+  /** Per-(message, input struct) encode plan — name → ordinal binding,
+    * oneof member ordinals, nested plans, number-sorted emit order — built
+    * ONCE per expression (the [[AvroCatalyst]] converter-tree approach),
+    * so rows encode with no per-row map/group/closure building. The only
+    * per-row sort left is the unknown-field interleave, and it runs only
+    * for rows that actually carry unknowns.
+    */
+  private[dsl] final class MsgEncodePlan(msg: PMessage, schema: StructType) {
+    private val byName: Map[String, Int] = schema.fieldNames.zipWithIndex.toMap
+    // oneof groups with the (member name, ordinal) pairs present in the
+    // struct — the >1-set check is per row, the scaffolding is not
+    private val oneofGroups: Array[(String, Array[(String, Int)])] =
+      msg.fields.filter(_.oneof.isDefined).groupBy(_.oneof.get).toArray
+        .sortBy(_._1)
+        .map { case (g, ms) =>
+          (g, ms.flatMap(m => byName.get(m.name).map(m.name -> _)).toArray)
+        }
+    private final case class Bound(f: PField, ord: Int, dt: DataType,
+        sub: MsgEncodePlan)
+    // declared fields present in the struct, ascending field NUMBER — the
+    // canonical emit order when no unknown spans interleave
+    private val bound: Array[Bound] = msg.fields.toArray.flatMap { f =>
+      byName.get(f.name).map { i =>
+        val dt = schema.fields(i).dataType
+        val sub = f.ptype match {
+          case m: PMessage =>
+            val st = (if (f.repeated) dt.asInstanceOf[ArrayType].elementType
+                      else dt).asInstanceOf[StructType]
+            new MsgEncodePlan(m, st)
+          case PMap(_, m: PMessage) =>
+            new MsgEncodePlan(m,
+              dt.asInstanceOf[MapType].valueType.asInstanceOf[StructType])
+          case _ => null
+        }
+        Bound(f, i, dt, sub)
+      }
+    }.sortBy(_.f.number)
+    private val unknownOrd: Int = byName.getOrElse(UnknownFieldName, -1)
 
-  private[dsl] def encodeRow(msg: PMessage, row: InternalRow,
-      schema: StructType, w: Writer): Unit = {
-    val byName: Map[String, Int] =
-      schema.fieldNames.zipWithIndex.toMap
-    // oneof contract, as on the JSON leg: >1 set member fails loudly
-    msg.fields.filter(_.oneof.isDefined).groupBy(_.oneof.get).foreach {
-      case (group, members) =>
-        val set = members.filter(m =>
-          byName.get(m.name).exists(i => !row.isNullAt(i)))
-        require(set.length <= 1,
-          s"oneof '$group': ${set.map(_.name).mkString(", ")} are all set")
+    private def encodeMapEntry(m: PMap, key: String, value: Any,
+        valueType: DataType, sub: MsgEncodePlan, number: Int,
+        w: Writer): Unit = {
+      val inner = new Writer
+      writeKeyString(m.key, key, inner)
+      m.value match {
+        case _: PMessage =>
+          val body = new Writer
+          sub.encode(value.asInstanceOf[InternalRow], body)
+          inner.writeTag(2, 2); inner.writeDelimited(body.out.toByteArray)
+        case PString =>
+          inner.writeTag(2, 2)
+          inner.writeDelimited(
+            value.asInstanceOf[UTF8String].toString.getBytes(UTF_8))
+        case PBytes =>
+          inner.writeTag(2, 2)
+          inner.writeDelimited(value.asInstanceOf[Array[Byte]])
+        case scalar =>
+          inner.writeTag(2, wireTypeOf(scalar))
+          encodeScalarValue(scalar, value, inner)
+      }
+      w.writeTag(number, 2); w.writeDelimited(inner.out.toByteArray)
     }
-    def emitKnown(f: PField, i: Int): Unit = {
-      val dt = schema.fields(i).dataType
+
+    private def emitKnown(b: Bound, row: InternalRow, w: Writer): Unit = {
+      val f = b.f; val i = b.ord; val dt = b.dt
       f.ptype match {
         case m: PMap =>
           val vt = dt.asInstanceOf[MapType].valueType
@@ -314,16 +351,16 @@ object ProtoCatalyst {
           while (j < md.numElements()) {
             // null map values skipped, mirroring the JSON leg's guard
             if (!vals.isNullAt(j))
-              encodeMapEntryRow(m, keys.getUTF8String(j).toString,
-                vals.get(j, vt), vt, f.number, w)
+              encodeMapEntry(m, keys.getUTF8String(j).toString,
+                vals.get(j, vt), vt, b.sub, f.number, w)
             j += 1
           }
-        case sub: PMessage =>
+        case _: PMessage =>
           val st = (if (f.repeated) dt.asInstanceOf[ArrayType].elementType
                     else dt).asInstanceOf[StructType]
           def one(v: InternalRow): Unit = {
             val inner = new Writer
-            encodeRow(sub, v, st, inner)
+            b.sub.encode(v, inner)
             w.writeTag(f.number, 2); w.writeDelimited(inner.out.toByteArray)
           }
           if (f.repeated) {
@@ -376,15 +413,39 @@ object ProtoCatalyst {
           }
       }
     }
-    val emits = scala.collection.mutable.ArrayBuffer.empty[(Int, () => Unit)]
-    msg.fields.foreach { f =>
-      byName.get(f.name).foreach { i =>
-        if (!row.isNullAt(i)) emits += (f.number -> (() => emitKnown(f, i)))
+
+    def encode(row: InternalRow, w: Writer): Unit = {
+      // oneof contract, as on the JSON leg: >1 set member fails loudly
+      var gi = 0
+      while (gi < oneofGroups.length) {
+        val (group, members) = oneofGroups(gi)
+        var set = 0; var names: List[String] = Nil
+        members.foreach { case (nm, i) =>
+          if (!row.isNullAt(i)) { set += 1; names = nm :: names }
+        }
+        require(set <= 1,
+          s"oneof '$group': ${names.reverse.mkString(", ")} are all set")
+        gi += 1
       }
-    }
-    byName.get(UnknownFieldName).foreach { i =>
-      if (!row.isNullAt(i)) {
-        val a = row.getArray(i)
+      val hasUnknown = unknownOrd >= 0 && !row.isNullAt(unknownOrd)
+      if (!hasUnknown) {
+        // the common shape: emit straight in field-number order
+        var i = 0
+        while (i < bound.length) {
+          val b = bound(i)
+          if (!row.isNullAt(b.ord)) emitKnown(b, row, w)
+          i += 1
+        }
+      } else {
+        // interleave carried unknown spans by number; stable sort keeps
+        // repeated unknown occurrences of one number in decode order (a
+        // number can never be both known and unknown)
+        val emits = scala.collection.mutable.ArrayBuffer.empty[(Int, () => Unit)]
+        bound.foreach { b =>
+          if (!row.isNullAt(b.ord))
+            emits += (b.f.number -> (() => emitKnown(b, row, w)))
+        }
+        val a = row.getArray(unknownOrd)
         var j = 0
         while (j < a.numElements()) {
           val u = a.getStruct(j, 2)
@@ -393,17 +454,19 @@ object ProtoCatalyst {
           emits += (num -> (() => w.out.write(raw, 0, raw.length)))
           j += 1
         }
+        emits.sortBy(_._1).foreach(_._2())
       }
     }
-    // stable sort: repeated unknown occurrences of one number keep order
-    emits.sortBy(_._1).foreach(_._2())
   }
 
+  /** One-shot encode (tests / non-hot callers): builds the plan per call —
+    * [[ProtoEncodeExpr]] holds one plan per expression instead.
+    */
   def encode(row: InternalRow, msg: PMessage, schema: StructType): Array[Byte] =
     if (row == null) null
     else {
       val w = new Writer
-      encodeRow(msg, row, schema, w)
+      new MsgEncodePlan(msg, schema).encode(row, w)
       w.out.toByteArray
     }
 }
@@ -494,11 +557,16 @@ case class ProtoEncodeExpr(child: Expression, msg: ProtobufCore.PMessage)
   override def nullable: Boolean = true
   override def prettyName: String = "proto_encode"
 
-  @transient private lazy val childSchema =
-    child.dataType.asInstanceOf[StructType]
+  // plan built once per expression (per executor after deserialization),
+  // not per row
+  @transient private lazy val plan = new ProtoCatalyst.MsgEncodePlan(
+    msg, child.dataType.asInstanceOf[StructType])
 
-  protected override def nullSafeEval(input: Any): Any =
-    ProtoCatalyst.encode(input.asInstanceOf[InternalRow], msg, childSchema)
+  protected override def nullSafeEval(input: Any): Any = {
+    val w = new ProtobufCore.Writer
+    plan.encode(input.asInstanceOf[InternalRow], w)
+    w.out.toByteArray
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -518,7 +586,7 @@ case class SrProtoStripExpr(child: Expression)
   override def nullable: Boolean = true
   override def prettyName: String = "sr_proto_strip"
   protected override def nullSafeEval(input: Any): Any =
-    ProtobufCore.skipIndexList(input.asInstanceOf[Array[Byte]]).bytes()
+    ProtobufCore.parseIndexList(input.asInstanceOf[Array[Byte]])._2.bytes()
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -536,16 +604,9 @@ case class SrProtoIndexesExpr(child: Expression)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "sr_proto_indexes"
-  protected override def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[Array[Byte]]
-    require(b.length >= 6 && b(0) == 0, "not an SR protobuf frame")
-    val r = new ProtobufCore.Reader(b, 5, b.length)
-    val count = zigzagDecode(r.readVarint())
-    val out =
-      if (count == 0L) Array(0)
-      else Array.fill(count.toInt)(zigzagDecode(r.readVarint()).toInt)
-    new GenericArrayData(out)
-  }
+  protected override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      ProtobufCore.parseIndexList(input.asInstanceOf[Array[Byte]])._1.toArray)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

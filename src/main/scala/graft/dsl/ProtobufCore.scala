@@ -121,6 +121,19 @@ object ProtobufCore extends Serializable {
       fields.filter(_.oneof.isDefined).groupBy(_.oneof.get).values.flatMap {
         group => group.map(f => f.name -> group.map(_.name).filter(_ != f.name))
       }.toMap
+    /** Field ordinal (declaration index) by field number — hoisted here so
+      * the native decode path pays zero per-row map building.
+      */
+    @transient lazy val ordinalByNumber: Map[Int, Int] =
+      fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    /** Oneof sibling ORDINALS per member ordinal (decode eviction). */
+    @transient lazy val oneofSiblingOrdinals: Map[Int, Array[Int]] = {
+      val idx = fields.zipWithIndex.toMap
+      oneofSiblings.map { case (name, sibs) =>
+        idx(fields.find(_.name == name).get) ->
+          sibs.map(s => idx(fields.find(_.name == s).get)).toArray
+      }
+    }
   }
   /** `oneof` names the proto oneof group the field belongs to: members
     * share presence — decoding applies last-set-wins across the group,
@@ -703,14 +716,23 @@ object ProtobufCore extends Serializable {
   def srProtoFrame(c: Column, schemaId: Int, indexes: Seq[Int] = Seq(0)): Column =
     Serdes.srFrame(concat(lit(indexListBytes(indexes)), c), schemaId)
 
-  /** Position just past the message-index list of an SR protobuf frame. */
-  private[dsl] def skipIndexList(b: Array[Byte]): Reader = {
+  /** Parse the SR protobuf frame header: message indexes plus a Reader
+    * positioned at the protobuf body. The ONE place the frame contract
+    * lives — both frame expressions ride it. The count bound keeps a
+    * corrupt frame failing loudly (a zigzag count ≥ 2^31 would otherwise
+    * truncate through `.toInt` into a silently wrong/empty index list);
+    * real index lists are proto nesting depths, single digits.
+    */
+  private[dsl] def parseIndexList(b: Array[Byte]): (Seq[Int], Reader) = {
     require(b.length >= 6 && b(0) == 0, "not an SR protobuf frame")
     val r = new Reader(b, 5, b.length)
     val count = zigzagDecode(r.readVarint())
-    var i = 0L
-    while (i < count) { r.readVarint(); i += 1 }
-    r
+    require(count >= 0 && count <= 0xFFFF,
+      s"implausible SR message-index count $count — corrupt frame")
+    val idx =
+      if (count == 0L) Seq(0) // the optimized single-byte [0] form
+      else Seq.fill(count.toInt)(zigzagDecode(r.readVarint()).toInt)
+    (idx, r)
   }
 
   /** Body of an SR-protobuf-framed column (drops header + index list).

@@ -92,6 +92,34 @@ class ProtoCatalystParitySpec extends SparkSpec {
     assert(sawUnknown > 15, s"only $sawUnknown draws exercised unknown capture")
   }
 
+  test("map entry with ABSENT message value defaults to a full-width row under keepUnknown") {
+    // wire-legal: a map<K, Msg> entry may omit field 2 entirely -> the
+    // value defaults to an empty message. With keepUnknown the declared
+    // value struct is one field WIDER ($unknown at every depth); the
+    // default row must match or any downstream read of the last ordinal
+    // throws ArrayIndexOutOfBounds. Build the entry bytes by hand: one
+    // map field (number 1, wire type 2) whose entry carries only the key.
+    val inner = PMessage(Seq(PField(1, "a", PInt32), PField(2, "b", PString)))
+    val msg = PMessage(Seq(PField(1, "m", PMap(PString, inner))))
+    val entry = Array[Byte](0x0a, 0x03, 0x0a, 0x01, 'k') // field1(len 3){ key "k" }
+    val bytes = Array[Byte](0x0a, entry.length.toByte) ++ entry
+    Seq(true, false).foreach { keep =>
+      val direct = protoDe(lit(bytes), msg, keepUnknown = keep)
+      val viaJson = protoDeJson(lit(bytes), msg, keepUnknown = keep)
+      // the re-encode is CANONICAL (value written explicitly as an empty
+      // message, unlike the omitted-value input), so the lock is native ==
+      // JSON-leg bytes plus the decode fixpoint — not == the input bytes
+      val row = spark.range(1).select(
+        (to_json(direct) <=> to_json(viaJson)).as("eq"),
+        (protoSer(direct, msg) <=> protoSerJson(viaJson, msg)).as("enc"),
+        (to_json(protoDe(protoSer(direct, msg), msg, keepUnknown = keep))
+          <=> to_json(direct)).as("fix")).head()
+      assert(row.getBoolean(0), s"keepUnknown=$keep: default-value structs differ")
+      assert(row.getBoolean(1), s"keepUnknown=$keep: native vs JSON-leg encode differ")
+      assert(row.getBoolean(2), s"keepUnknown=$keep: canonical re-encode not a fixpoint")
+    }
+  }
+
   test("null payload and empty message decode like the JSON leg") {
     val msg = PMessage(Seq(PField(1, "a", PInt32), PField(2, "b", PString)))
     val df = spark.range(1).select(
