@@ -91,8 +91,11 @@ object Bench {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         streamDir.resolve("events.parquet"))
-      val q = spark.readStream.schema(schema).parquet(streamDir.toString)
-        .selectExpr("timestamp_micros(ts DIV 1000) AS ts", "event_type", "value")
+      val q = Tables.withEventTs(
+          spark.readStream.schema(schema).parquet(streamDir.toString))
+        .select(org.apache.spark.sql.functions.col("ts"),
+          org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value"))
         .withWatermark("ts", "1 hour")
         .groupBy(org.apache.spark.sql.functions.window(
           org.apache.spark.sql.functions.col("ts"), "1 hour"),
@@ -117,10 +120,9 @@ object Bench {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         streamDir.resolve("events.parquet"))
-      val ks = new KStream(spark.readStream.schema(schema)
-        .parquet(streamDir.toString)
-        .select(col("event_type"), col("value"),
-          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val ks = new KStream(Tables.withEventTs(
+          spark.readStream.schema(schema).parquet(streamDir.toString))
+        .select(col("event_type"), col("value"), col("ts"))
         .map(r => KV(r.getString(0), r.getDouble(1), r.getTimestamp(2))))
       val counted = ks.withWatermarkMs(3600000L)
         .groupByKey.windowedBy(TumblingWindow.of(3600000L)).count

@@ -14,8 +14,9 @@ object SparkEntry {
 
   val registry: Seq[GraftQuery] =
     CoreQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ VectorQueries.all ++ DslQueries.all ++
-      CompositeQueries.all ++ SamplingQueries.all ++ WarehouseQueries.all
+      TextQueries.all ++ SpanQueries.all ++ VectorQueries.all ++
+      DslQueries.all ++ CompositeQueries.all ++ SamplingQueries.all ++
+      WarehouseQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

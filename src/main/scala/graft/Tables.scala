@@ -16,14 +16,30 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events.ts is a nanosecond parquet timestamp, which Spark 4 refuses to
-    * read as TimestampType; read it as a long and truncate to micros (DuckDB
-    * reads the same file by truncating ns → µs, so semantics agree).
+  /** events.ts has shipped in different testdata generations as either a
+    * NANOSECOND parquet timestamp (Spark 4 refuses TimestampType there; the
+    * legacy conf reads it as a long we truncate to micros) or a MICROSECOND
+    * `isAdjustedToUTC=false` timestamp (read natively as TIMESTAMP_NTZ).
+    * Normalize either to session-TZ TimestampType — the session TZ is UTC
+    * everywhere in this project, so the NTZ cast is value-preserving and
+    * DuckDB (which reads the same file as a naive timestamp) agrees.
     */
+  def withEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalArgumentException(
+        s"events.ts: unexpected parquet type $other — expected INT64 nanos " +
+          "(legacy long), TIMESTAMP_NTZ micros, or TIMESTAMP")
+    }
+  }
+
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    withEventTs(load(spark, d, "events"))
   }
   def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")

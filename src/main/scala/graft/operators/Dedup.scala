@@ -671,6 +671,51 @@ object Dedup {
         bands, rowsPerBand, maxProbeKeys).select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
+  /** The full append-only-corpus ingest loop as ONE Structured Streaming
+    * query: per microbatch, (1) near-dedup WITHIN the batch ([[dedupNear]] —
+    * the index only knows about PREVIOUS batches), (2) drop docs with an
+    * indexed near-dup ([[cleanAgainstIndex]]), (3) hand the surviving docs
+    * to `sink`, (4) [[appendToSignatureIndex]] those survivors so the NEXT
+    * batch dedups against them too. This is the microbatch contract the
+    * probe's bounded-batch guard is written for: each trigger's batch is
+    * the "ingest batch".
+    *
+    * Delivery semantics: the checkpoint makes batch replay possible after a
+    * crash between `sink` and the index append. A replayed append writes
+    * duplicate signature ROWS, which are harmless to correctness — a doc
+    * matching its own replayed signatures is excluded by the probe's
+    * self-pair filter, and duplicate (corpus_id, agreeing) matches collapse
+    * in [[dedupAgainstIndex]]'s final `distinct()`. `sink` must be
+    * idempotent, the standard `foreachBatch` contract.
+    *
+    * The batch and its cleaned half are persisted for the duration of the
+    * trigger only (each is consumed by two jobs: probe + anti-join, sink +
+    * append) and unpersisted before the trigger commits — no cache
+    * accretion across batches.
+    */
+  def streamingIngest(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      minAgreeFraction: Double = 0.5,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val inBatch = dedupNear(b.toDF(), idCol, textCol, minAgreeFraction)
+          val clean = cleanAgainstIndex(inBatch, idCol, textCol, indexPath,
+            minAgreeFraction, bands, rowsPerBand, maxProbeKeys).persist()
+          try {
+            sink(clean, batchId)
+            appendToSignatureIndex(clean, idCol, textCol, indexPath,
+              bands, rowsPerBand)
+          } finally { clean.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import TextQueries.{hash32, tokensCol}

@@ -68,4 +68,72 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Fine hash bucket in [0, 1e6): the mixture sampler needs ppm resolution
+    * — at a 10^9-row domain a per-mille grid quantizes the kept volume by
+    * ±0.05%, a ppm grid by ±0.00005%.
+    */
+  def bucketPpm(id: Column): Column =
+    pmod(Md5Prefix32.md5Prefix32(id.cast("string")), lit(1000000L))
+
+  /** Domain-mixture sampling to a token budget — the "data mixture" step of
+    * a training-data pipeline (weights per source/domain, total token
+    * budget; cf. the published GPT-3 / Pile / LLaMA mixture tables, where
+    * high-quality domains are sampled for MULTIPLE epochs and bulk domains
+    * for a fraction of one).
+    *
+    * For each `(domain, weightPpm)` entry the target volume is
+    * `budgetTokens * weightPpm / 1e6` tokens. With `total` = the domain's
+    * available tokens, every row of that domain receives
+    * `copies = target / total` full epochs (integer), plus one more with
+    * probability `(target mod total) / total` — decided DETERMINISTICALLY
+    * by the row's hash bucket, so the sampled mixture is reproducible
+    * bit-for-bit (and expressible in the DuckDB oracle). Rows with zero
+    * copies are dropped; domains absent from `weightsPpm` are dropped
+    * entirely. All arithmetic is integer (ppm grid) — no float rate can
+    * drift between engines.
+    *
+    * Output: the id, domain and token-count columns plus `copies`
+    * (`>= 1`) — the caller materializes repeats downstream (e.g.
+    * `explode(sequence(1, copies))` right before sequence packing) so the
+    * engine never shuffles duplicated rows around.
+    *
+    * Distributed shape: ONE small aggregate (per-domain token totals —
+    * bounded by the number of domains, the same bounded-collect contract as
+    * k-means centroids) to the driver, then a pure map-side filter; the
+    * corpus itself never shuffles.
+    */
+  def mixtureByTokenBudget(df: DataFrame, domainCol: Column, idCol: Column,
+      tokenCountCol: Column, weightsPpm: Seq[(String, Long)],
+      budgetTokens: Long): DataFrame = {
+    require(weightsPpm.nonEmpty, "mixtureByTokenBudget: no domain weights")
+    require(weightsPpm.forall(_._2 > 0),
+      "mixtureByTokenBudget: weights must be positive ppm values")
+    require(budgetTokens > 0, "mixtureByTokenBudget: budgetTokens must be > 0")
+    Md5Prefix32.register(df.sparkSession) // idempotent; bare sessions lack it
+    val totals = df.groupBy(domainCol.as("__dom"))
+      .agg(sum(tokenCountCol.cast("long")).as("__total"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rules = weightsPpm.flatMap { case (dom, ppm) =>
+      totals.get(dom).filter(_ > 0).map { total =>
+        val target = budgetTokens * ppm / 1000000L
+        (dom, target / total, target % total * 1000000L / total)
+      }
+    }
+    require(rules.nonEmpty,
+      s"mixtureByTokenBudget: none of the weighted domains " +
+        s"(${weightsPpm.map(_._1).mkString(", ")}) have rows in the input")
+    val copiesBase = rules.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, copies, _)) => when(domainCol === dom, copies).otherwise(acc)
+    }
+    val remPpm = rules.foldLeft(lit(null).cast("long")) {
+      case (acc, (dom, _, rem)) => when(domainCol === dom, rem).otherwise(acc)
+    }
+    val copies = copiesBase +
+      when(bucketPpm(idCol) < remPpm, 1L).otherwise(0L)
+    df.where(domainCol.isin(rules.map(_._1): _*))
+      .withColumn("copies", copies)
+      .where(col("copies") > 0)
+  }
 }

@@ -62,6 +62,46 @@ object SamplingQueries {
       .select("source", "doc_id")
   }
 
+  /** Domain-mixture weights (ppm) and token budget — ONE definition drives
+    * the Spark call and the generated oracle SQL, so the two sides cannot
+    * drift. src0 is over-weighted past one epoch (copies >= 1 everywhere),
+    * src4 is down-sampled to a fraction; src5..19 are unweighted and
+    * dropped.
+    */
+  private val MixtureWeights: Seq[(String, Long)] = Seq(
+    "src0" -> 400000L, "src1" -> 250000L, "src2" -> 150000L,
+    "src3" -> 100000L, "src4" -> 50000L)
+  private val MixtureBudget = 5000L
+
+  /** Mixture sampling to a token budget: per-domain copies (epochs) +
+    * deterministic remainder sampling, integer-exact on both engines.
+    */
+  val qSampleMixture = q(
+    "q_sample_mixture", {
+      val toks = TextQueries.tokensSql
+      val values = MixtureWeights
+        .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")
+      s"WITH dt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents), " +
+        "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dt GROUP BY source), " +
+        s"w(source, ppm) AS (VALUES $values), " +
+        s"tgt AS (SELECT tot.source, total, (CAST($MixtureBudget AS BIGINT) * ppm) // 1000000 AS target " +
+        "FROM tot JOIN w USING (source)), " +
+        "rules AS (SELECT source, target // total AS copies, " +
+        "((target % total) * 1000000) // total AS rem_ppm FROM tgt), " +
+        "sel AS (SELECT dt.doc_id, dt.source, dt.n_tokens, " +
+        s"copies + CASE WHEN (${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000) < rem_ppm " +
+        "THEN 1 ELSE 0 END AS c FROM dt JOIN rules USING (source)) " +
+        "SELECT doc_id, source, n_tokens, CAST(c AS BIGINT) AS copies FROM sel WHERE c > 0"
+    }) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextQueries.tokensCol(col("text"))).cast("long").as("n_tokens"))
+    Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
+        col("n_tokens"), MixtureWeights, MixtureBudget)
+      .select("doc_id", "source", "n_tokens", "copies")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap)
+    Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
+      qSampleMixture)
 }

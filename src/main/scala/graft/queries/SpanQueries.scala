@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SpanDedup
+import GraftQuery.q
+import TextQueries.tokensSql
+
+/** Substring-level (duplicated token span) deduplication queries —
+  * [[SpanDedup]], the Lee et al. ACL'22 ExactSubstr recipe. Both queries are
+  * fully oracle-checked: window positions, island merging, and the rebuilt
+  * clean text are integer/string-exact on both engines (md5 gram hashes,
+  * 0-based token indices, end-exclusive spans).
+  */
+object SpanQueries {
+
+  private val N = 5       // tokens per window
+  private val MinDocs = 2 // distinct docs for a window to count as duplicated
+
+  /** Shared oracle CTE chain: tokens → positioned n-gram hashes → cross-doc
+    * duplicated hashes → per-doc windows → merged maximal spans. DuckDB list
+    * slicing `t[i:i+k]` is 1-based inclusive; `s = i - 1` converts to the
+    * 0-based token positions the Spark side emits from `posexplode`.
+    */
+  private val spanCtes: String =
+    s"d2 AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
+      s"g AS (SELECT doc_id, unnest(range(1, len(t) - ${N - 2})) AS i, t " +
+      s"FROM d2 WHERE len(t) >= $N), " +
+      "g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s, " +
+      s"md5(array_to_string(t[i:i+${N - 1}], ' ')) AS h FROM g), " +
+      "dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g2) " +
+      s"GROUP BY h HAVING count(*) >= $MinDocs), " +
+      s"hits AS (SELECT doc_id, s, s + $N AS e FROM g2 JOIN dup USING (h)), " +
+      "isl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (" +
+      "PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+      "1 PRECEDING), -1) THEN 1 ELSE 0 END AS ng FROM hits), " +
+      "grps AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id " +
+      "ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp FROM isl), " +
+      "spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end " +
+      "FROM grps GROUP BY doc_id, grp)"
+
+  /** Maximal duplicated 5-token spans per document (0-based, end-exclusive
+    * token indices) — the detection half of substring dedup.
+    */
+  val qDedupSpans = q(
+    "q_dedup_spans",
+    s"WITH $spanCtes SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, " +
+      "CAST(span_end AS BIGINT) AS span_end FROM spans") { (s, d) =>
+    SpanDedup.duplicateTokenSpans(
+      Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
+  }
+
+  /** Duplicated spans cut out of every document: surviving normalized
+    * tokens rejoined, plus the removed-token count — the rewrite half.
+    */
+  val qDedupSpanClean = q(
+    "q_dedup_span_clean",
+    s"WITH $spanCtes, " +
+      "tokpos AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d2), " +
+      "tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok FROM tokpos), " +
+      "cov AS (SELECT tk.doc_id, p, tok, EXISTS (SELECT 1 FROM spans sp " +
+      "WHERE sp.doc_id = tk.doc_id AND p >= sp.span_start AND p < sp.span_end) AS c " +
+      "FROM tk), " +
+      "agg AS (SELECT doc_id, " +
+      "coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text, " +
+      "CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+      "CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed " +
+      "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)") {
+    (s, d) =>
+      SpanDedup.removeDuplicateSpans(
+        Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
+  }
+
+  val all: Seq[GraftQuery] = Seq(qDedupSpans, qDedupSpanClean)
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Substring-level (duplicated token span) dedup, domain-mixture sampling,
+  * and the one-call streaming ingest loop.
+  */
+class SpanMixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  // d1/d2 share the 7-token run "alpha..eta"; d3 repeats a 5-gram WITHIN
+  // itself only; d4 is unrelated
+  private lazy val spanDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta solo1 solo2 solo3"),
+    (2L, "pre1 alpha beta gamma delta epsilon zeta eta post1"),
+    (3L, "u1 u2 u3 u4 u5 x y z u1 u2 u3 u4 u5"),
+    (4L, "completely different tokens about engines and planners here")
+  ).toDF("doc_id", "text")
+
+  test("duplicateTokenSpans finds cross-doc spans and merges overlaps") {
+    val spans = SpanDedup.duplicateTokenSpans(spanDocs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // d1: windows at 0,1,2 (alpha..eta = positions 0..6) merge to [0,7)
+    // d2: same run at positions 1..7 -> windows 1,2,3 merge to [1,8)
+    assert(spans === Set((1L, 0L, 7L), (2L, 1L, 8L)),
+      s"expected the shared 7-token run only, got $spans")
+  }
+
+  test("within-document repetition does not count toward minDocs") {
+    val spans = SpanDedup.duplicateTokenSpans(spanDocs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .filter(col("doc_id") === 3L).count()
+    assert(spans === 0L, "doc 3's self-repeat must not be a duplicated span")
+  }
+
+  test("removeDuplicateSpans cuts exactly the merged spans") {
+    val out = SpanDedup.removeDuplicateSpans(spanDocs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("solo1 solo2 solo3", 7L)))
+    assert(out(2L) === (("pre1 post1", 7L)))
+    assert(out(3L)._2 === 0L) // untouched: spans only cut cross-doc duplicates
+    assert(out(4L)._2 === 0L)
+    // normalization-faithful: untouched docs rebuild to their token join
+    assert(out(4L)._1 === "completely different tokens about engines and planners here")
+  }
+
+  test("mixture sampling follows the integer epoch+remainder rule per row") {
+    val rows = (0 until 50).map(i => (i.toLong, if (i < 30) "a" else "b", 10L))
+    val df = rows.toDF("id", "dom", "n_tokens")
+    // totals: a=300, b=200. budget 1000: a@500000ppm -> target 500 ->
+    // copies 1 + rem 200/300; b@100000ppm -> target 100 -> copies 0 + 1/2
+    val out = Sampling.mixtureByTokenBudget(df, col("dom"), col("id"),
+        col("n_tokens"), Seq("a" -> 500000L, "b" -> 100000L), 1000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toList
+    assert(out.nonEmpty)
+    // recompute the rule independently per row
+    val expected = rows.flatMap { case (id, dom, _) =>
+      val (copies, remPpm) =
+        if (dom == "a") (500L / 300L, 500L % 300L * 1000000L / 300L)
+        else (100L / 200L, 100L % 200L * 1000000L / 200L)
+      val bucket = {
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+        val hex = h.take(4).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex, 16) % 1000000L
+      }
+      val c = copies + (if (bucket < remPpm) 1L else 0L)
+      if (c > 0) Some((id, dom, c)) else None
+    }.toList
+    assert(out.sortBy(_._1) === expected.sortBy(_._1))
+    // a-domain rows never drop below one full epoch
+    assert(out.filter(_._2 == "a").forall(_._3 >= 1L))
+  }
+
+  test("mixture sampling drops unweighted domains and rejects empty weights") {
+    val df = Seq((1L, "a", 5L), (2L, "zzz", 5L)).toDF("id", "dom", "n")
+    val kept = Sampling.mixtureByTokenBudget(df, col("dom"), col("id"),
+        col("n"), Seq("a" -> 900000L), 100L)
+      .select("dom").distinct().collect().map(_.getString(0)).toSet
+    assert(kept === Set("a"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureByTokenBudget(df, col("dom"), col("id"), col("n"),
+        Seq("nope" -> 500000L), 100L)
+    }
+  }
+
+  test("streamingIngest: probe -> within-batch dedup -> sink -> append, per microbatch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val idx = tempDir("graft_sigidx_si") + "/idx"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+
+    val in = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = Dedup.streamingIngest(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, tempDir("graft_si_ckpt"),
+      sink = (clean, batchId) => {
+        perBatch(batchId) = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+        ()
+      },
+      minAgreeFraction = 0.3)
+    try {
+      // batch 0: an indexed near-dup (drops), a new doc, and a WITHIN-batch
+      // near-dup pair of that new doc (one survivor of the two)
+      in.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+        (11L, "one two three four five six seven eight nine ten eleven twelve"),
+        (12L, "one two three four five six seven eight nine ten eleven thirteen"))
+      q.processAllAvailable()
+      assert(perBatch(0L) === Set(11L),
+        s"batch 0 must keep only the within-batch survivor: ${perBatch.toMap}")
+      // batch 1: near-dup of the doc APPENDED in batch 0 -> caught via the
+      // index append; plus one genuinely new doc
+      in.addData(
+        (20L, "one two three four five six seven eight nine ten eleven fourteen"),
+        (21L, "entirely unrelated words about spark parquet shuffles and caching"))
+      q.processAllAvailable()
+      assert(perBatch(1L) === Set(21L),
+        s"batch 1 must drop the near-dup of the appended doc: ${perBatch.toMap}")
+    } finally q.stop()
+  }
+}
