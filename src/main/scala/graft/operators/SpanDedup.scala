@@ -31,6 +31,11 @@ import graft.queries.TextQueries
   *   4. island-merging windows PARTITION BY document, so the sort is
   *      per-doc local and never global.
   * Nothing collects to the driver; every stage scales row-wise at 100 TB.
+  *
+  * The corpus is deliberately tokenized TWICE (dup detection + hit join):
+  * persisting the exploded gram frame to scan once would cache a dataset
+  * several times the corpus size — at 100 TB, recomputing a map-side
+  * explode is far cheaper than materializing it.
   */
 object SpanDedup {
 

@@ -265,6 +265,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "one-row scalar must broadcast")
   }
 
+  test("q_sample_mixture is a map-side filter with the domain IN pushed to the scan") {
+    val p = plan("q_sample_mixture")
+    // the per-domain totals collect happens once at plan-construction; the
+    // emitted plan itself must be a pure narrow filter — zero shuffles
+    assert(!p.contains("Exchange"), "mixture sampling must not shuffle the corpus")
+    assert(p.contains("In(source"), "weighted-domain pre-filter must reach the scan")
+    assert(p.contains("md5_prefix32"), "ppm bucket via the native expression")
+  }
+
+  test("q_dedup_spans: gram pipeline is explode -> hash ops, never all-pairs") {
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span detection must never pair docs all-against-all")
+    assert(!p.contains("SortMergeJoin"), "dup-hash set joins hash-side")
+    // island merging is ONE per-doc sort feeding both window ops
+    assert("Sort \\(".r.findAllIn(p).size <= 1,
+      "span merge must sort once, partitioned by document")
+  }
+
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {
     import spark.implicits._
     import graft.dsl._
