@@ -20,68 +20,120 @@ import graft.queries.TextQueries
   * beyond-parity set.
   *
   * Distributed shape, in order:
-  *   1. n-gram hashing is MAP-SIDE (posexplode of a per-row array — no
+  *   1. byte-identical documents COLLAPSE to one representative per content
+  *      hash first (`collapseExact`, on by default — one `groupBy(md5)`
+  *      shuffle, the exact-dedup shape): identical text yields identical
+  *      grams and identical spans, so computing on distinct content and
+  *      fanning the spans back out is semantics-preserving, while a
+  *      crawl-shaped corpus (mirrors, reposts) never explodes duplicate
+  *      grams. Multiplicity is carried so 100 copies of a unique document
+  *      still count as 100 toward `minDocs` — exactly as the naive path
+  *      counts them;
+  *   2. n-gram hashing is MAP-SIDE (posexplode of a per-row array — no
   *      shuffle, no driver state);
-  *   2. document frequency is ONE shuffle on the 128-bit gram hash — the
+  *   3. document frequency is ONE shuffle on the 128-bit gram hash — the
   *      same canonical shape as exact dedup, and the only corpus-wide
   *      exchange;
-  *   3. the hit join shuffles gram rows on the same hash key (AQE
+  *   4. the hit join shuffles gram rows on the same hash key (AQE
   *      broadcasts the duplicated-hash side when it is small, the common
   *      case — boilerplate is a tiny fraction of distinct grams);
-  *   4. island-merging windows PARTITION BY document, so the sort is
-  *      per-doc local and never global.
+  *   5. island-merging windows PARTITION BY content, so the sort is
+  *      per-content local and never global.
   * Nothing collects to the driver; every stage scales row-wise at 100 TB.
   *
-  * The corpus is deliberately tokenized TWICE (dup detection + hit join):
-  * persisting the exploded gram frame to scan once would cache a dataset
-  * several times the corpus size — at 100 TB, recomputing a map-side
-  * explode is far cheaper than materializing it.
+  * The (distinct) content is deliberately tokenized TWICE (dup detection +
+  * hit join): persisting the exploded gram frame to scan once would cache
+  * a dataset several times the corpus size — at 100 TB, recomputing a
+  * map-side explode is far cheaper than materializing it.
   */
 object SpanDedup {
 
-  /** One row per (doc, 0-based token position): the full md5 hex of the
+  /** One row per (key, 0-based token position): the full md5 hex of the
     * length-`n` token window starting there. Full md5, not the 32-bit
     * prefix: duplicate detection compares hashes for EQUALITY across the
     * whole corpus, and a 32-bit space would produce ~1 false merge per
     * 100k grams (birthday bound) — a correctness hazard the 128-bit space
-    * removes for any realistic corpus.
+    * removes for any realistic corpus. `carry` columns ride along verbatim
+    * (content multiplicity on the collapsed path).
     */
-  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame =
-    df.select(col(idCol),
-        posexplode(TextQueries.ngramsCol(col(textCol), n)).as(Seq("s", "__g")))
-      .select(col(idCol), col("s").cast("long").as("s"),
-        md5(col("__g")).as("h"))
+  private def gramHashes(df: DataFrame, keyCol: String, textCol: String,
+      n: Int, carry: Seq[String] = Nil): DataFrame =
+    df.select(col(keyCol) +: carry.map(col) :+
+        posexplode(TextQueries.ngramsCol(col(textCol), n)).as(Seq("s", "__g")): _*)
+      .select(col(keyCol) +: carry.map(col) :+
+        col("s").cast("long").as("s") :+ md5(col("__g")).as("h"): _*)
 
-  /** Maximal duplicated token spans per document: `(idCol, span_start,
-    * span_end)` in 0-based token indices, end-exclusive. A position starts
-    * a duplicated window when its `n`-gram occurs in >= `minDocs` distinct
-    * documents; overlapping and adjacent windows merge (classic
-    * gaps-and-islands over a per-doc window).
+  /** Merged maximal spans over positioned duplicated-window hits:
+    * classic gaps-and-islands, partitioned by `keyCol`.
     */
-  def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
-    require(n >= 2, s"duplicateTokenSpans: n must be >= 2, got $n")
-    require(minDocs >= 2, s"duplicateTokenSpans: minDocs must be >= 2, got $minDocs")
-    val grams = gramHashes(df, idCol, textCol, n)
-    // df(gram) >= minDocs over DISTINCT documents: dedup (doc, h) first so
-    // a gram repeated WITHIN one doc does not count as cross-doc duplication
-    val dupHashes = grams.select(col("h"), col(idCol)).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("h"))
-    val hits = grams.join(dupHashes, Seq("h"))
-      .select(col(idCol), col("s"), (col("s") + n).as("e"))
-    // merge overlapping/adjacent windows: a new island starts when this
-    // window begins after every previous window's end
-    val w = Window.partitionBy(col(idCol)).orderBy(col("s"))
+  private def mergeIslands(hits: DataFrame, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("s"))
     val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
     val newIsland = when(col("s") > coalesce(prevMax, lit(-1L)), 1).otherwise(0)
     hits.withColumn("__grp",
         sum(newIsland).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col(idCol), col("__grp"))
+      .groupBy(col(keyCol), col("__grp"))
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+      .select(col(keyCol), col("span_start"), col("span_end"))
+  }
+
+  /** Spans per DISTINCT CONTENT: `(__ch, span_start, span_end)` where
+    * `__ch` = md5 of the raw text. Document frequency counts each content's
+    * full document multiplicity, so results are identical to computing on
+    * the uncollapsed corpus.
+    */
+  private def spansByContent(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    // groupBy the TEXT ITSELF: string grouping KEYS hash-aggregate fine
+    // (only string agg BUFFERS force SortAggregate — first(text) would),
+    // and the map-side partial agg collapses same-partition copies before
+    // the shuffle ships them
+    val contents = df.groupBy(col(textCol))
+      .agg(count(lit(1)).as("__mult"))
+      .withColumn("__ch", md5(col(textCol)))
+    val grams = gramHashes(contents, "__ch", textCol, n, carry = Seq("__mult"))
+    val dupHashes = grams.select(col("h"), col("__ch"), col("__mult")).distinct()
+      .groupBy(col("h")).agg(sum(col("__mult")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("h"))
+    mergeIslands(
+      grams.join(dupHashes, Seq("h"))
+        .select(col("__ch"), col("s"), (col("s") + n).as("e")),
+      "__ch")
+  }
+
+  /** Maximal duplicated token spans per document: `(idCol, span_start,
+    * span_end)` in 0-based token indices, end-exclusive. A position starts
+    * a duplicated window when its `n`-gram occurs in >= `minDocs` distinct
+    * documents; overlapping and adjacent windows merge.
+    *
+    * `collapseExact` (default) computes spans once per distinct content and
+    * fans them back out to every copy — same output, bounded gram volume
+    * under crawl-scale exact duplication. Pass `false` to skip the collapse
+    * shuffle on a corpus known to be exact-dedup'd already.
+    */
+  def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2,
+      collapseExact: Boolean = true): DataFrame = {
+    require(n >= 2, s"duplicateTokenSpans: n must be >= 2, got $n")
+    require(minDocs >= 2, s"duplicateTokenSpans: minDocs must be >= 2, got $minDocs")
+    if (collapseExact) {
+      spansByContent(df, idCol, textCol, n, minDocs)
+        .join(df.select(col(idCol), md5(col(textCol)).as("__ch")), Seq("__ch"))
+        .select(col(idCol), col("span_start"), col("span_end"))
+    } else {
+      val grams = gramHashes(df, idCol, textCol, n)
+      // df(gram) >= minDocs over DISTINCT documents: dedup (doc, h) first so
+      // a gram repeated WITHIN one doc does not count as cross-doc duplication
+      val dupHashes = grams.select(col("h"), col(idCol)).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDocs)
+        .select(col("h"))
+      mergeIslands(
+        grams.join(dupHashes, Seq("h"))
+          .select(col(idCol), col("s"), (col("s") + n).as("e")),
+        idCol)
+    }
   }
 
   /** Cut every duplicated span out of each document. Output one row per
@@ -92,15 +144,15 @@ object SpanDedup {
     * preserve) and `n_removed` counts the removed tokens.
     *
     * The cut itself is map-side: the merged spans aggregate to one small
-    * array per affected document, join back to the corpus (AQE broadcasts
-    * the span side when boilerplate is sparse), and the token filter runs
-    * inside higher-order array functions — no second explode, no extra
-    * shuffle over the corpus.
+    * array per distinct content, join back to the corpus on the content
+    * hash (AQE broadcasts the span side when boilerplate is sparse), and
+    * the token filter runs inside higher-order array functions — no second
+    * explode, no extra shuffle over the corpus.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val spans = duplicateTokenSpans(df, idCol, textCol, n, minDocs)
-      .groupBy(col(idCol))
+    val spans = spansByContent(df, idCol, textCol, n, minDocs)
+      .groupBy(col("__ch"))
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("__spans"))
     val toks = TextQueries.tokensCol(col(textCol))
@@ -112,7 +164,8 @@ object SpanDedup {
       transform(toks, (t, i) =>
         when(covered(i.cast("long")), lit(null).cast("string")).otherwise(t)),
       _.isNotNull)
-    df.join(spans, Seq(idCol), "left")
+    df.withColumn("__ch", md5(col(textCol)))
+      .join(spans, Seq("__ch"), "left")
       .select(col(idCol),
         array_join(keptArr, " ").as("clean_text"),
         (size(toks) - size(keptArr)).cast("long").as("n_removed"))

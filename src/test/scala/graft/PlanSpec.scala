@@ -279,9 +279,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "span detection must never pair docs all-against-all")
     assert(!p.contains("SortMergeJoin"), "dup-hash set joins hash-side")
-    // island merging is ONE per-doc sort feeding both window ops
+    // the exact-content collapse must stay a HASH aggregate (a string agg
+    // BUFFER would silently flip it to a corpus-wide SortAggregate)
+    assert(!p.contains("SortAggregate"), "content collapse must hash-aggregate")
+    // island merging is ONE per-content sort feeding both window ops
     assert("Sort \\(".r.findAllIn(p).size <= 1,
-      "span merge must sort once, partitioned by document")
+      "span merge must sort once, partitioned by content")
   }
 
   test("non-unique KTables keep the stateful latest-per-key fold (semantic guard)") {

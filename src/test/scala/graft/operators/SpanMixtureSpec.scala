@@ -48,6 +48,35 @@ class SpanMixtureSpec extends SparkSpec {
     assert(out(4L)._1 === "completely different tokens about engines and planners here")
   }
 
+  test("exact-copy multiplicity counts toward minDocs under the collapse") {
+    // 1 and 2 are byte-identical; no OTHER doc shares their grams. The
+    // collapse computes grams once for the pair but must still count df=2.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally unrelated tokens about query planners")
+    ).toDF("doc_id", "text")
+    val spans = SpanDedup.duplicateTokenSpans(df, "doc_id", "text", n = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans === Set((1L, 0L, 6L), (2L, 0L, 6L)),
+      s"both copies must carry the full-doc span, got $spans")
+  }
+
+  test("collapsed and naive span paths agree on a duplicated corpus") {
+    // spanDocs plus exact twins of every doc under new ids — the crawl shape
+    val twins = spanDocs.select((col("doc_id") + 100L).as("doc_id"), col("text"))
+    val corpus = spanDocs.union(twins)
+    def run(collapse: Boolean) =
+      SpanDedup.duplicateTokenSpans(corpus, "doc_id", "text",
+          n = 5, minDocs = 2, collapseExact = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (c, naive) = (run(true), run(false))
+    assert(c === naive, s"collapse changed semantics: ${c.diff(naive)} / ${naive.diff(c)}")
+    // and the twins make previously-unique docs fully duplicated now
+    assert(c.contains((4L, 0L, 8L)) && c.contains((104L, 0L, 8L)),
+      s"doc 4 + twin must be a full-doc span now: $c")
+  }
+
   test("mixture sampling follows the integer epoch+remainder rule per row") {
     val rows = (0 until 50).map(i => (i.toLong, if (i < 30) "a" else "b", 10L))
     val df = rows.toDF("id", "dom", "n_tokens")
