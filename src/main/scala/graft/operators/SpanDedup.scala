@@ -77,30 +77,44 @@ object SpanDedup {
       .select(col(keyCol), col("span_start"), col("span_end"))
   }
 
-  /** Spans per DISTINCT CONTENT: `(__ch, span_start, span_end)` where
-    * `__ch` = md5 of the raw text. Document frequency counts each content's
-    * full document multiplicity, so results are identical to computing on
-    * the uncollapsed corpus.
+  /** Duplicated-window HITS per distinct content: `(__ch, s, e, __rep,
+    * __keep)` where `__ch` = md5 of the raw text, `__rep` = the content's
+    * lowest doc id, and `__keep` = the lowest doc id in the WHOLE corpus
+    * containing this window's gram (the first-occurrence keeper). Document
+    * frequency counts each content's full document multiplicity, so
+    * results are identical to computing on the uncollapsed corpus.
     */
-  private def spansByContent(df: DataFrame, idCol: String, textCol: String,
+  private def contentHits(df: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int): DataFrame = {
     // groupBy the TEXT ITSELF: string grouping KEYS hash-aggregate fine
     // (only string agg BUFFERS force SortAggregate — first(text) would),
     // and the map-side partial agg collapses same-partition copies before
     // the shuffle ships them
     val contents = df.groupBy(col(textCol))
-      .agg(count(lit(1)).as("__mult"))
+      .agg(count(lit(1)).as("__mult"), min(col(idCol)).as("__rep"))
       .withColumn("__ch", md5(col(textCol)))
-    val grams = gramHashes(contents, "__ch", textCol, n, carry = Seq("__mult"))
-    val dupHashes = grams.select(col("h"), col("__ch"), col("__mult")).distinct()
-      .groupBy(col("h")).agg(sum(col("__mult")).as("__df"))
+    val grams = gramHashes(contents, "__ch", textCol, n,
+      carry = Seq("__mult", "__rep"))
+    val dupStats = grams
+      .select(col("h"), col("__ch"), col("__mult"), col("__rep")).distinct()
+      .groupBy(col("h"))
+      .agg(sum(col("__mult")).as("__df"), min(col("__rep")).as("__keep"))
       .filter(col("__df") >= minDocs)
-      .select(col("h"))
-    mergeIslands(
-      grams.join(dupHashes, Seq("h"))
-        .select(col("__ch"), col("s"), (col("s") + n).as("e")),
-      "__ch")
+      .select(col("h"), col("__keep"))
+    grams.join(dupStats, Seq("h"))
+      .select(col("__ch"), col("s"), (col("s") + n).as("e"),
+        col("__rep"), col("__keep"))
   }
+
+  /** Spans per DISTINCT CONTENT (cut-everything policy): `(__ch,
+    * span_start, span_end)`.
+    */
+  private def spansByContent(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    mergeIslands(
+      contentHits(df, idCol, textCol, n, minDocs)
+        .select(col("__ch"), col("s"), col("e")),
+      "__ch")
 
   /** Maximal duplicated token spans per document: `(idCol, span_start,
     * span_end)` in 0-based token indices, end-exclusive. A position starts
@@ -150,16 +164,65 @@ object SpanDedup {
     * explode, no extra shuffle over the corpus.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val spans = spansByContent(df, idCol, textCol, n, minDocs)
-      .groupBy(col("__ch"))
-      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
-        .as("__spans"))
+      n: Int = 5, minDocs: Int = 2): DataFrame =
+    cutSpans(df, idCol, textCol,
+      spansByContent(df, idCol, textCol, n, minDocs)
+        .groupBy(col("__ch"))
+        .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+          .as("__spans")),
+      spanCol = coalesce(col("__spans"),
+        array().cast("array<struct<s:bigint,e:bigint>>")))
+
+  /** [[removeDuplicateSpans]] with the published ExactSubstr keep-one
+    * policy (Lee et al. ACL'22 remove all-but-one occurrence): each
+    * duplicated window SURVIVES in its first-occurrence document — the
+    * lowest doc id in the corpus containing that gram — and is cut
+    * everywhere else. Boilerplate is removed corpus-wide without
+    * destroying its last copy.
+    *
+    * The collapse keeps this cheap: a window's keeper is always some
+    * content's REPRESENTATIVE doc (the content's min id), so each distinct
+    * content needs at most TWO cut-sets — the full span set (every non-rep
+    * doc, and reps that keep nothing) and a reduced set for its rep doc
+    * (merged over only the hits whose keeper is a DIFFERENT doc). Both
+    * merge per content, never per document; the fan-out join stays the
+    * same single join on the content hash.
+    */
+  def removeDuplicateSpansKeepFirst(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val hits = contentHits(df, idCol, textCol, n, minDocs)
+    def packed(src: DataFrame, out: String): DataFrame =
+      mergeIslands(src.select(col("__ch"), col("s"), col("e")), "__ch")
+        .groupBy(col("__ch"))
+        .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+          .as(out))
+    val allSpans = packed(hits, "__spans_all")
+    // contents whose rep doc keeps at least one window — joined SEPARATELY
+    // from the reduced span list, because a rep that keeps EVERYTHING has an
+    // empty reduced set (no rows to pack) but must still be exempted from
+    // the full cut-set
+    val keeperReps = hits.filter(col("__keep") === col("__rep"))
+      .select(col("__ch"), col("__rep")).distinct()
+    // the rep doc's reduced cut-set: only windows whose keeper is elsewhere
+    val repSpans = packed(hits.filter(col("__keep") =!= col("__rep")), "__spans_rep")
+    val spans = allSpans
+      .join(repSpans, Seq("__ch"), "left")
+      .join(keeperReps, Seq("__ch"), "left")
+    val empty = array().cast("array<struct<s:bigint,e:bigint>>")
+    cutSpans(df, idCol, textCol, spans,
+      spanCol = when(col(idCol) === col("__rep"),
+          coalesce(col("__spans_rep"), empty))
+        .otherwise(coalesce(col("__spans_all"), empty)))
+  }
+
+  /** Shared cut: join per-content span arrays to the corpus on the content
+    * hash and filter tokens through higher-order array functions.
+    */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame, spanCol: Column): DataFrame = {
     val toks = TextQueries.tokensCol(col(textCol))
-    val sp = coalesce(col("__spans"),
-      array().cast("array<struct<s:bigint,e:bigint>>"))
     val covered = (i: Column) =>
-      exists(sp, s => i >= s.getField("s") && i < s.getField("e"))
+      exists(spanCol, s => i >= s.getField("s") && i < s.getField("e"))
     val keptArr = filter(
       transform(toks, (t, i) =>
         when(covered(i.cast("long")), lit(null).cast("string")).otherwise(t)),

@@ -6,10 +6,14 @@ import GraftQuery.q
 import TextQueries.tokensSql
 
 /** Substring-level (duplicated token span) deduplication queries —
-  * [[SpanDedup]], the Lee et al. ACL'22 ExactSubstr recipe. Both queries are
-  * fully oracle-checked: window positions, island merging, and the rebuilt
-  * clean text are integer/string-exact on both engines (md5 gram hashes,
-  * 0-based token indices, end-exclusive spans).
+  * [[SpanDedup]], the Lee et al. ACL'22 ExactSubstr recipe. All queries are
+  * fully oracle-checked: window positions, island merging, the keep-first
+  * exemption, and the rebuilt clean text are integer/string-exact on both
+  * engines (md5 gram hashes, 0-based token indices, end-exclusive spans).
+  * The oracle computes the NAIVE doc-level semantics; the Spark side runs
+  * the exact-content-collapsed plan — their equality is exactly the
+  * collapse-is-semantics-preserving claim, re-proven per round on real
+  * data.
   */
 object SpanQueries {
 
@@ -17,20 +21,24 @@ object SpanQueries {
   private val MinDocs = 2 // distinct docs for a window to count as duplicated
 
   /** Shared oracle CTE chain: tokens → positioned n-gram hashes → cross-doc
-    * duplicated hashes → per-doc windows → merged maximal spans. DuckDB list
-    * slicing `t[i:i+k]` is 1-based inclusive; `s = i - 1` converts to the
-    * 0-based token positions the Spark side emits from `posexplode`.
+    * duplicated hashes (with each hash's first-occurrence KEEPER doc).
+    * DuckDB list slicing `t[i:i+k]` is 1-based inclusive; `s = i - 1`
+    * converts to the 0-based token positions the Spark side emits.
     */
-  private val spanCtes: String =
+  private val baseCtes: String =
     s"d2 AS (SELECT doc_id, $tokensSql AS t FROM documents), " +
       s"g AS (SELECT doc_id, unnest(range(1, len(t) - ${N - 2})) AS i, t " +
       s"FROM d2 WHERE len(t) >= $N), " +
       "g2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s, " +
       s"md5(array_to_string(t[i:i+${N - 1}], ' ')) AS h FROM g), " +
-      "dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g2) " +
-      s"GROUP BY h HAVING count(*) >= $MinDocs), " +
-      s"hits AS (SELECT doc_id, s, s + $N AS e FROM g2 JOIN dup USING (h)), " +
-      "isl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (" +
+      "dup AS (SELECT h, min(doc_id) AS keep FROM (SELECT DISTINCT doc_id, h FROM g2) " +
+      s"GROUP BY h HAVING count(*) >= $MinDocs)"
+
+  /** Gaps-and-islands merge of a positioned-hits CTE named `hits`
+    * (doc_id, s, e) into merged `spans` (doc_id, span_start, span_end).
+    */
+  private val islandCtes: String =
+    "isl AS (SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (" +
       "PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND " +
       "1 PRECEDING), -1) THEN 1 ELSE 0 END AS ng FROM hits), " +
       "grps AS (SELECT doc_id, s, e, sum(ng) OVER (PARTITION BY doc_id " +
@@ -38,12 +46,31 @@ object SpanQueries {
       "spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end " +
       "FROM grps GROUP BY doc_id, grp)"
 
+  /** Token-level rebuild: cut every position covered by a `spans` interval,
+    * rejoin survivors, count removals; one row per document.
+    */
+  private val cutSql: String =
+    "tokpos AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d2), " +
+      "tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok FROM tokpos), " +
+      "cov AS (SELECT tk.doc_id, p, tok, EXISTS (SELECT 1 FROM spans sp " +
+      "WHERE sp.doc_id = tk.doc_id AND p >= sp.span_start AND p < sp.span_end) AS c " +
+      "FROM tk), " +
+      "agg AS (SELECT doc_id, " +
+      "coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text, " +
+      "CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id) " +
+      "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+      "CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed " +
+      "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"
+
   /** Maximal duplicated 5-token spans per document (0-based, end-exclusive
     * token indices) — the detection half of substring dedup.
     */
   val qDedupSpans = q(
     "q_dedup_spans",
-    s"WITH $spanCtes SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, " +
+    s"WITH $baseCtes, " +
+      "hits AS (SELECT doc_id, s, s + " + N + " AS e FROM g2 JOIN dup USING (h)), " +
+      s"$islandCtes " +
+      "SELECT doc_id, CAST(span_start AS BIGINT) AS span_start, " +
       "CAST(span_end AS BIGINT) AS span_end FROM spans") { (s, d) =>
     SpanDedup.duplicateTokenSpans(
       Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
@@ -54,22 +81,27 @@ object SpanQueries {
     */
   val qDedupSpanClean = q(
     "q_dedup_span_clean",
-    s"WITH $spanCtes, " +
-      "tokpos AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d2), " +
-      "tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok FROM tokpos), " +
-      "cov AS (SELECT tk.doc_id, p, tok, EXISTS (SELECT 1 FROM spans sp " +
-      "WHERE sp.doc_id = tk.doc_id AND p >= sp.span_start AND p < sp.span_end) AS c " +
-      "FROM tk), " +
-      "agg AS (SELECT doc_id, " +
-      "coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text, " +
-      "CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id) " +
-      "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
-      "CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed " +
-      "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)") {
-    (s, d) =>
-      SpanDedup.removeDuplicateSpans(
-        Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
+    s"WITH $baseCtes, " +
+      "hits AS (SELECT doc_id, s, s + " + N + " AS e FROM g2 JOIN dup USING (h)), " +
+      s"$islandCtes, $cutSql") { (s, d) =>
+    SpanDedup.removeDuplicateSpans(
+      Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
   }
 
-  val all: Seq[GraftQuery] = Seq(qDedupSpans, qDedupSpanClean)
+  /** The published keep-one policy: every duplicated window survives in its
+    * first-occurrence (lowest-id) document and is cut everywhere else. The
+    * oracle's one-line difference vs `q_dedup_span_clean` — hits exclude
+    * the keeper doc — meets the Spark side's two-cut-set collapsed plan.
+    */
+  val qDedupSpanKeep1 = q(
+    "q_dedup_span_keep1",
+    s"WITH $baseCtes, " +
+      "hits AS (SELECT doc_id, s, s + " + N + " AS e FROM g2 JOIN dup USING (h) " +
+      "WHERE doc_id <> keep), " +
+      s"$islandCtes, $cutSql") { (s, d) =>
+    SpanDedup.removeDuplicateSpansKeepFirst(
+      Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
+  }
+
+  val all: Seq[GraftQuery] = Seq(qDedupSpans, qDedupSpanClean, qDedupSpanKeep1)
 }

@@ -31,7 +31,7 @@ object IncrementalDedupTimer {
 
     for ((label, dir) <- Seq("1x" -> dir1, "100x" -> dir100)) {
       val corpus = graft.Tables.documentsBalanced(spark, dir)
-      val idx = java.nio.file.Files.createTempDirectory(s"incidx_$label").toString
+      val idx = SparkSpec.tempDir(s"incidx_$label") // removed at JVM exit
       val t0 = System.nanoTime()
       graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
       println(f"[incdedup] $label index build: ${(System.nanoTime() - t0) / 1e9}%.1f s")

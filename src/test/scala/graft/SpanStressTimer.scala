@@ -26,7 +26,7 @@ object SpanStressTimer {
     val base = Tables.documentsBalanced(spark, sfDir).select("doc_id", "text")
     // factor× corpus: identical text, offset ids, persisted as parquet so
     // scans (and the double tokenize) are as real as the bench's
-    val dupDir = java.nio.file.Files.createTempDirectory("span_stress").toString
+    val dupDir = SparkSpec.tempDir("span_stress") // removed at JVM exit
     base.select(explode(sequence(lit(0), lit(factor - 1))).as("__k"),
         col("doc_id"), col("text"))
       .select((col("doc_id") + col("__k") * 10000000L).as("doc_id"), col("text"))

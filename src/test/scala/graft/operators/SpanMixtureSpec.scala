@@ -77,6 +77,31 @@ class SpanMixtureSpec extends SparkSpec {
       s"doc 4 + twin must be a full-doc span now: $c")
   }
 
+  test("keep-first removal leaves each span's first-occurrence doc intact") {
+    // shared run "alpha..eta": first occurrence is doc 1 -> doc 1 keeps it,
+    // doc 2 loses it; unrelated docs untouched
+    val out = SpanDedup.removeDuplicateSpansKeepFirst(spanDocs, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("alpha beta gamma delta epsilon zeta eta solo1 solo2 solo3", 0L)),
+      s"doc 1 is the keeper and must stay whole: ${out(1L)}")
+    assert(out(2L) === (("pre1 post1", 7L)))
+    assert(out(3L)._2 === 0L && out(4L)._2 === 0L)
+  }
+
+  test("keep-first removal keeps exactly one copy of an exact-duplicate clique") {
+    val text = "alpha beta gamma delta epsilon zeta eta"
+    val df = Seq((5L, text), (6L, text), (7L, text),
+        (9L, "unrelated words about catalyst plans here"))
+      .toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicateSpansKeepFirst(df, "doc_id", "text",
+        n = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(5L) === ((text, 0L)), s"lowest id keeps the content: ${out(5L)}")
+    assert(out(6L) === (("", 7L)) && out(7L) === (("", 7L)))
+    assert(out(9L)._2 === 0L)
+  }
+
   test("mixture sampling follows the integer epoch+remainder rule per row") {
     val rows = (0 until 50).map(i => (i.toLong, if (i < 30) "a" else "b", 10L))
     val df = rows.toDF("id", "dom", "n_tokens")
