@@ -59,17 +59,30 @@ object Packing {
     * exactly as you'd shard any cumulative assignment.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, tokenBudget: Long): DataFrame = {
+      groupCol: String, tokenBudget: Long): DataFrame =
+    packCounts(
+      df.select(col(idCol), col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens")),
+      idCol, groupCol, "n_tokens", tokenBudget)
+
+  /** [[packSequences]] over a PRECOMPUTED token-count column — the form
+    * downstream of mixture sampling (where the count survives the sampler
+    * and re-tokenizing exploded epoch copies would redo the work
+    * copies-fold). Same contract: `idCol` unique per group, one shuffle on
+    * `groupCol`, codegen'd running sum. Returns
+    * (idCol, groupCol, tokensCol, seq_id).
+    */
+  def packCounts(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
     val w = Window.partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(groupCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
-      .withColumn("__cum", sum("n_tokens").over(w))
+    df.select(col(idCol), col(groupCol), col(tokensCol).cast("long").as(tokensCol))
+      .withColumn("__cum", sum(tokensCol).over(w))
       // floor of a double division is exact here: token totals sit far
       // below 2^53, so both engines compute the identical integer
-      .select(col(idCol), col(groupCol), col("n_tokens"),
-        floor((col("__cum") - col("n_tokens")) / tokenBudget)
+      .select(col(idCol), col(groupCol), col(tokensCol),
+        floor((col("__cum") - col(tokensCol)) / tokenBudget)
           .cast("long").as("seq_id"))
   }
 }

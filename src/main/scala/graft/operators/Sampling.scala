@@ -136,4 +136,18 @@ object Sampling {
       .withColumn("copies", copies)
       .where(col("copies") > 0)
   }
+
+  /** Materialize [[mixtureByTokenBudget]]'s `copies` column as one row per
+    * epoch copy: adds `epoch` in `[0, copies)` via a map-side
+    * `explode(sequence(...))` — the documented place to fan out repeats,
+    * right before sequence packing, so duplicated rows never ride through
+    * earlier shuffles. Rows with `copies < 1` are dropped (the sampler
+    * never emits them; defensive against hand-built inputs, since a
+    * descending `sequence(0, -1)` would otherwise fabricate epochs).
+    */
+  def explodeCopies(df: DataFrame, copiesCol: Column,
+      epochName: String = "epoch"): DataFrame =
+    df.where(copiesCol >= 1)
+      .withColumn(epochName,
+        explode(sequence(lit(0L), copiesCol.cast("long") - 1L)))
 }

@@ -73,26 +73,30 @@ object SamplingQueries {
     "src3" -> 100000L, "src4" -> 50000L)
   private val MixtureBudget = 5000L
 
-  /** Mixture sampling to a token budget: per-domain copies (epochs) +
-    * deterministic remainder sampling, integer-exact on both engines.
+  /** Shared mixture oracle CTE chain ending in `m` = the sampled rows
+    * (doc_id, source, n_tokens, copies >= 1) — one definition for both
+    * mixture queries.
     */
-  val qSampleMixture = q(
-    "q_sample_mixture", {
-      val toks = TextQueries.tokensSql
-      val values = MixtureWeights
-        .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")
-      s"WITH dt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents), " +
-        "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dt GROUP BY source), " +
-        s"w(source, ppm) AS (VALUES $values), " +
-        s"tgt AS (SELECT tot.source, total, (CAST($MixtureBudget AS BIGINT) * ppm) // 1000000 AS target " +
-        "FROM tot JOIN w USING (source)), " +
-        "rules AS (SELECT source, target // total AS copies, " +
-        "((target % total) * 1000000) // total AS rem_ppm FROM tgt), " +
-        "sel AS (SELECT dt.doc_id, dt.source, dt.n_tokens, " +
-        s"copies + CASE WHEN (${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000) < rem_ppm " +
-        "THEN 1 ELSE 0 END AS c FROM dt JOIN rules USING (source)) " +
-        "SELECT doc_id, source, n_tokens, CAST(c AS BIGINT) AS copies FROM sel WHERE c > 0"
-    }) { (s, d) =>
+  private lazy val mixtureCtes: String = {
+    val toks = TextQueries.tokensSql
+    val values = MixtureWeights
+      .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")
+    s"dt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents), " +
+      "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dt GROUP BY source), " +
+      s"w(source, ppm) AS (VALUES $values), " +
+      s"tgt AS (SELECT tot.source, total, (CAST($MixtureBudget AS BIGINT) * ppm) // 1000000 AS target " +
+      "FROM tot JOIN w USING (source)), " +
+      "rules AS (SELECT source, target // total AS copies, " +
+      "((target % total) * 1000000) // total AS rem_ppm FROM tgt), " +
+      "sel AS (SELECT dt.doc_id, dt.source, dt.n_tokens, " +
+      s"copies + CASE WHEN (${hash32Sql("CAST(doc_id AS VARCHAR)")} % 1000000) < rem_ppm " +
+      "THEN 1 ELSE 0 END AS c FROM dt JOIN rules USING (source)), " +
+      "m AS (SELECT doc_id, source, n_tokens, CAST(c AS BIGINT) AS copies " +
+      "FROM sel WHERE c > 0)"
+  }
+
+  /** Spark side of the mixture sample (shared by both mixture queries). */
+  private def mixtureDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(TextQueries.tokensCol(col("text"))).cast("long").as("n_tokens"))
@@ -101,7 +105,40 @@ object SamplingQueries {
       .select("doc_id", "source", "n_tokens", "copies")
   }
 
+  /** Mixture sampling to a token budget: per-domain copies (epochs) +
+    * deterministic remainder sampling, integer-exact on both engines.
+    */
+  val qSampleMixture = q(
+    "q_sample_mixture",
+    s"WITH $mixtureCtes SELECT doc_id, source, n_tokens, copies FROM m") {
+    (s, d) => mixtureDf(s, d)
+  }
+
+  /** The full documented fan-out: mixture `copies` explode to one row per
+    * epoch (epoch-major copy ids — all of epoch 0 packs before epoch 1,
+    * the layout a multi-epoch training run reads), then contiguous
+    * sequence packing per source on the SURVIVING token counts. Proves the
+    * mixture → explodeCopies → packCounts composition end-to-end,
+    * integer-exact on both engines.
+    */
+  val qMixturePacked = q(
+    "q_mixture_packed",
+    s"WITH $mixtureCtes, " +
+      "e AS (SELECT doc_id, source, n_tokens, unnest(range(0, copies)) AS epoch FROM m), " +
+      "k AS (SELECT epoch * 1000000000000 + doc_id AS copy_id, source, n_tokens FROM e), " +
+      "c2 AS (SELECT copy_id, source, n_tokens, sum(n_tokens) OVER " +
+      "(PARTITION BY source ORDER BY copy_id ROWS UNBOUNDED PRECEDING) AS cum FROM k) " +
+      "SELECT CAST(copy_id AS BIGINT) AS copy_id, source, n_tokens, " +
+      "CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS seq_id FROM c2") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val e = Sampling.explodeCopies(mixtureDf(s, d), col("copies"))
+    val k = e.select(
+      (col("epoch") * 1000000000000L + col("doc_id")).as("copy_id"),
+      col("source"), col("n_tokens"))
+    graft.operators.Packing.packCounts(k, "copy_id", "source", "n_tokens", 1024L)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
-      qSampleMixture)
+      qSampleMixture, qMixturePacked)
 }

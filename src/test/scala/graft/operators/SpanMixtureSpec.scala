@@ -142,6 +142,29 @@ class SpanMixtureSpec extends SparkSpec {
     }
   }
 
+  test("explodeCopies materializes one row per epoch and drops non-positive rows") {
+    val df = Seq((1L, 3L), (2L, 1L), (3L, 0L)).toDF("id", "copies")
+    val out = Sampling.explodeCopies(df, col("copies"))
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)),
+      s"3 epochs for id 1, one for id 2, none for id 3: $out")
+  }
+
+  test("packCounts packs epoch-major copy ids contiguously per group") {
+    // two docs of 600 tokens, 2 copies each -> epoch-major copy order packs
+    // (e0d1,e0d2),(e1d1,e1d2) into 1024-token sequences: seq ids 0,0,1,1 ...
+    val rows = Seq((1L, "g", 600L, 2L), (2L, "g", 600L, 2L))
+      .toDF("doc_id", "source", "n_tokens", "copies")
+    val k = Sampling.explodeCopies(rows, col("copies"))
+      .select((col("epoch") * 1000L + col("doc_id")).as("copy_id"),
+        col("source"), col("n_tokens"))
+    val packed = Packing.packCounts(k, "copy_id", "source", "n_tokens", 1024L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // first-token positions: 0,600,1200,1800 -> div 1024 = 0,0,1,1
+    assert(packed === Map(1L -> 0L, 2L -> 0L, 1001L -> 1L, 1002L -> 1L),
+      s"running-fill must assign by first-token position: $packed")
+  }
+
   test("streamingIngest: probe -> within-batch dedup -> sink -> append, per microbatch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
