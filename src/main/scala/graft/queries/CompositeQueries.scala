@@ -327,7 +327,49 @@ object CompositeQueries {
       .select(col("n_name"), col("bal_c"))
   }
 
+  /** The modern training-data curation pipeline, end-to-end in ONE plan:
+    * keep-first substring dedup (boilerplate cut, first occurrence
+    * survives) → minimum-length filter on the SURVIVING tokens →
+    * domain-mixture sampling to a token budget over the post-cleaning
+    * counts → epoch fan-out → contiguous sequence packing. Every stage is
+    * an already-oracle-locked operator; this query locks their
+    * COMPOSITION — the DuckDB oracle chains the same CTEs, so positions,
+    * integer sampling rules, and running-fill seq ids must agree
+    * bit-for-bit through all five stages.
+    *
+    * Scale note: the mixture's per-domain totals collect executes the
+    * cleaning subtree once before the final plan runs it again — at corpus
+    * scale you would materialize `cleaned` as parquet between the two (the
+    * incremental-index pattern); composing in one plan here keeps the
+    * oracle honest end-to-end.
+    */
+  val qCurationPipeline2 = q(
+    "q_curation_pipeline2", {
+      val toks5 = TextQueries.tokensSqlCol("clean_text")
+      val dt2 =
+        s"SELECT c.doc_id, dd.source, CAST(len($toks5) AS BIGINT) AS n_tokens " +
+          "FROM cleaned c JOIN documents dd USING (doc_id) " +
+          s"WHERE len($toks5) >= 5"
+      s"WITH ${SpanQueries.keep1CleanedCtes}, " +
+        s"${SamplingQueries.mixtureCtesFrom(dt2)}, " +
+        SamplingQueries.packedTailSql(1024L)
+    }) { (s, d) =>
+    import graft.operators.Sampling
+    val cleaned = SpanQueries.keep1CleanedDf(s, d)
+    val dt2 = cleaned
+      .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(TextQueries.tokensCol(col("clean_text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 5)
+    val m = Sampling.mixtureByTokenBudget(dt2, col("source"), col("doc_id"),
+        col("n_tokens"), SamplingQueries.MixtureWeights,
+        SamplingQueries.MixtureBudget)
+      .select("doc_id", "source", "n_tokens", "copies")
+    SamplingQueries.packedTailDf(m, 1024L)
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
     qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
-    q4PriorityExists, q13Custdist, q17SmallQty, q11Important)
+    q4PriorityExists, q13Custdist, q17SmallQty, q11Important,
+    qCurationPipeline2)
 }

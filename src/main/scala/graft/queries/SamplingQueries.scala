@@ -68,20 +68,20 @@ object SamplingQueries {
     * src4 is down-sampled to a fraction; src5..19 are unweighted and
     * dropped.
     */
-  private val MixtureWeights: Seq[(String, Long)] = Seq(
+  private[queries] val MixtureWeights: Seq[(String, Long)] = Seq(
     "src0" -> 400000L, "src1" -> 250000L, "src2" -> 150000L,
     "src3" -> 100000L, "src4" -> 50000L)
-  private val MixtureBudget = 5000L
+  private[queries] val MixtureBudget = 5000L
 
-  /** Shared mixture oracle CTE chain ending in `m` = the sampled rows
-    * (doc_id, source, n_tokens, copies >= 1) — one definition for both
-    * mixture queries.
+  /** Mixture oracle CTE chain over a caller-supplied `dt` definition
+    * (doc_id, source, n_tokens), ending in `m` = the sampled rows
+    * (doc_id, source, n_tokens, copies >= 1) — one rule definition for
+    * every mixture query, including the composed curation pipeline.
     */
-  private lazy val mixtureCtes: String = {
-    val toks = TextQueries.tokensSql
+  private[queries] def mixtureCtesFrom(dtSql: String): String = {
     val values = MixtureWeights
       .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")
-    s"dt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents), " +
+    s"dt AS ($dtSql), " +
       "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dt GROUP BY source), " +
       s"w(source, ppm) AS (VALUES $values), " +
       s"tgt AS (SELECT tot.source, total, (CAST($MixtureBudget AS BIGINT) * ppm) // 1000000 AS target " +
@@ -94,6 +94,31 @@ object SamplingQueries {
       "m AS (SELECT doc_id, source, n_tokens, CAST(c AS BIGINT) AS copies " +
       "FROM sel WHERE c > 0)"
   }
+
+  /** Epoch fan-out + per-source packing tail over the `m` CTE, ending in
+    * the final SELECT (copy_id, source, n_tokens, seq_id).
+    */
+  private[queries] def packedTailSql(budget: Long): String =
+    "e AS (SELECT doc_id, source, n_tokens, unnest(range(0, copies)) AS epoch FROM m), " +
+      "k AS (SELECT epoch * 1000000000000 + doc_id AS copy_id, source, n_tokens FROM e), " +
+      "c2 AS (SELECT copy_id, source, n_tokens, sum(n_tokens) OVER " +
+      "(PARTITION BY source ORDER BY copy_id ROWS UNBOUNDED PRECEDING) AS cum FROM k) " +
+      "SELECT CAST(copy_id AS BIGINT) AS copy_id, source, n_tokens, " +
+      s"CAST(floor((cum - n_tokens) / $budget) AS BIGINT) AS seq_id FROM c2"
+
+  /** Spark-side epoch fan-out + packing (mirrors [[packedTailSql]]). */
+  private[queries] def packedTailDf(
+      m: org.apache.spark.sql.DataFrame, budget: Long) = {
+    import org.apache.spark.sql.functions._
+    val e = Sampling.explodeCopies(m, col("copies"))
+    val k = e.select(
+      (col("epoch") * 1000000000000L + col("doc_id")).as("copy_id"),
+      col("source"), col("n_tokens"))
+    graft.operators.Packing.packCounts(k, "copy_id", "source", "n_tokens", budget)
+  }
+
+  private lazy val mixtureCtes: String = mixtureCtesFrom(
+    s"SELECT doc_id, source, CAST(len(${TextQueries.tokensSql}) AS BIGINT) AS n_tokens FROM documents")
 
   /** Spark side of the mixture sample (shared by both mixture queries). */
   private def mixtureDf(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -123,19 +148,8 @@ object SamplingQueries {
     */
   val qMixturePacked = q(
     "q_mixture_packed",
-    s"WITH $mixtureCtes, " +
-      "e AS (SELECT doc_id, source, n_tokens, unnest(range(0, copies)) AS epoch FROM m), " +
-      "k AS (SELECT epoch * 1000000000000 + doc_id AS copy_id, source, n_tokens FROM e), " +
-      "c2 AS (SELECT copy_id, source, n_tokens, sum(n_tokens) OVER " +
-      "(PARTITION BY source ORDER BY copy_id ROWS UNBOUNDED PRECEDING) AS cum FROM k) " +
-      "SELECT CAST(copy_id AS BIGINT) AS copy_id, source, n_tokens, " +
-      "CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS seq_id FROM c2") { (s, d) =>
-    import org.apache.spark.sql.functions._
-    val e = Sampling.explodeCopies(mixtureDf(s, d), col("copies"))
-    val k = e.select(
-      (col("epoch") * 1000000000000L + col("doc_id")).as("copy_id"),
-      col("source"), col("n_tokens"))
-    graft.operators.Packing.packCounts(k, "copy_id", "source", "n_tokens", 1024L)
+    s"WITH $mixtureCtes, ${packedTailSql(1024L)}") { (s, d) =>
+    packedTailDf(mixtureDf(s, d), 1024L)
   }
 
   val all: Seq[GraftQuery] =

@@ -46,10 +46,11 @@ object SpanQueries {
       "spans AS (SELECT doc_id, min(s) AS span_start, max(e) AS span_end " +
       "FROM grps GROUP BY doc_id, grp)"
 
-  /** Token-level rebuild: cut every position covered by a `spans` interval,
-    * rejoin survivors, count removals; one row per document.
+  /** Token-level rebuild as a CTE chain ending in `cleaned` (doc_id,
+    * clean_text, n_removed): cut every position covered by a `spans`
+    * interval, rejoin survivors, count removals; one row per document.
     */
-  private val cutSql: String =
+  private val cutCtes: String =
     "tokpos AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS i, t FROM d2), " +
       "tk AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS tok FROM tokpos), " +
       "cov AS (SELECT tk.doc_id, p, tok, EXISTS (SELECT 1 FROM spans sp " +
@@ -57,10 +58,31 @@ object SpanQueries {
       "FROM tk), " +
       "agg AS (SELECT doc_id, " +
       "coalesce(string_agg(tok, ' ' ORDER BY p) FILTER (WHERE NOT c), '') AS clean_text, " +
-      "CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id) " +
-      "SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
+      "CAST(count(*) FILTER (WHERE c) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id), " +
+      "cleaned AS (SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text, " +
       "CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed " +
-      "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)"
+      "FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id))"
+
+  private val cutSelect: String =
+    "SELECT doc_id, clean_text, n_removed FROM cleaned"
+
+  /** Full keep-first cleaning pipeline as a reusable CTE chain ending in
+    * `cleaned` — the oracle building block for composed curation queries
+    * (see `q_curation_pipeline2`).
+    */
+  private[queries] val keep1CleanedCtes: String =
+    s"$baseCtes, " +
+      "hits AS (SELECT doc_id, s, s + " + N + " AS e FROM g2 JOIN dup USING (h) " +
+      "WHERE doc_id <> keep), " +
+      s"$islandCtes, $cutCtes"
+
+  /** Spark side of the keep-first cleaning (shared with the composed
+    * pipeline).
+    */
+  private[queries] def keep1CleanedDf(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    SpanDedup.removeDuplicateSpansKeepFirst(
+      Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
 
   /** Maximal duplicated 5-token spans per document (0-based, end-exclusive
     * token indices) — the detection half of substring dedup.
@@ -83,7 +105,7 @@ object SpanQueries {
     "q_dedup_span_clean",
     s"WITH $baseCtes, " +
       "hits AS (SELECT doc_id, s, s + " + N + " AS e FROM g2 JOIN dup USING (h)), " +
-      s"$islandCtes, $cutSql") { (s, d) =>
+      s"$islandCtes, $cutCtes $cutSelect") { (s, d) =>
     SpanDedup.removeDuplicateSpans(
       Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
   }
@@ -95,13 +117,7 @@ object SpanQueries {
     */
   val qDedupSpanKeep1 = q(
     "q_dedup_span_keep1",
-    s"WITH $baseCtes, " +
-      "hits AS (SELECT doc_id, s, s + " + N + " AS e FROM g2 JOIN dup USING (h) " +
-      "WHERE doc_id <> keep), " +
-      s"$islandCtes, $cutSql") { (s, d) =>
-    SpanDedup.removeDuplicateSpansKeepFirst(
-      Tables.documentsBalanced(s, d), "doc_id", "text", N, MinDocs)
-  }
+    s"WITH $keep1CleanedCtes $cutSelect") { (s, d) => keep1CleanedDf(s, d) }
 
   val all: Seq[GraftQuery] = Seq(qDedupSpans, qDedupSpanClean, qDedupSpanKeep1)
 }

@@ -42,8 +42,10 @@ object TextQueries {
   def tokensCol(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9]+", " "), " "), _ =!= "")
 
-  val tokensSql =
-    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+  def tokensSqlCol(c: String): String =
+    s"list_filter(string_split(regexp_replace(lower($c), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+
+  val tokensSql = tokensSqlCol("text")
 
   /** first 8 hex chars of md5 as int64 (0 .. 2^32) — the native codegen'd
     * [[graft.functions.Md5Prefix32]] expression (registered by Tables.load /
