@@ -31,6 +31,10 @@ object Bench {
       // testdata parquet is one small file per table; split finer so local
       // scans use all cores (a real cluster keeps the 128m default)
       .config("spark.sql.files.maxPartitionBytes", "4m")
+      // Tables.withEventTs's NTZ cast is value-preserving ONLY under UTC;
+      // without pinning, a non-UTC JVM shifts every event instant and the
+      // streaming legs' hour windows bucket differently per machine
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

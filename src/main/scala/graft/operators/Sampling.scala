@@ -109,6 +109,9 @@ object Sampling {
     require(weightsPpm.nonEmpty, "mixtureByTokenBudget: no domain weights")
     require(weightsPpm.forall(_._2 > 0),
       "mixtureByTokenBudget: weights must be positive ppm values")
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      "mixtureByTokenBudget: duplicate domain in weightsPpm — the rule " +
+        "chain would silently keep only the last entry")
     require(budgetTokens > 0, "mixtureByTokenBudget: budgetTokens must be > 0")
     Md5Prefix32.register(df.sparkSession) // idempotent; bare sessions lack it
     val totals = df.groupBy(domainCol.as("__dom"))
@@ -117,8 +120,14 @@ object Sampling {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rules = weightsPpm.flatMap { case (dom, ppm) =>
       totals.get(dom).filter(_ > 0).map { total =>
-        val target = budgetTokens * ppm / 1000000L
-        (dom, target / total, target % total * 1000000L / total)
+        // BigInt: budget×ppm exceeds Long at trillion-token budgets, and a
+        // silent Long wrap would drop the heaviest domain with no error
+        // (runs once per domain on the driver — cost is nil). target and
+        // remPpm both fit a Long afterwards: target <= budgetTokens,
+        // remPpm < 1e6
+        val target = BigInt(budgetTokens) * ppm / 1000000
+        (dom, (target / total).toLong,
+          (target % total * 1000000 / total).toLong)
       }
     }
     require(rules.nonEmpty,

@@ -220,17 +220,31 @@ object SpanDedup {
     */
   private def cutSpans(df: DataFrame, idCol: String, textCol: String,
       spans: DataFrame, spanCol: Column): DataFrame = {
-    val toks = TextQueries.tokensCol(col(textCol))
     val covered = (i: Column) =>
       exists(spanCol, s => i >= s.getField("s") && i < s.getField("e"))
-    val keptArr = filter(
-      transform(toks, (t, i) =>
-        when(covered(i.cast("long")), lit(null).cast("string")).otherwise(t)),
+    def keptOf(t: Column): Column = filter(
+      transform(t, (tok, i) =>
+        when(covered(i.cast("long")), lit(null).cast("string")).otherwise(tok)),
       _.isNotNull)
+    // clean_text and n_removed both need the token and kept arrays, and
+    // Catalyst's projection collapse would inline the tokenize +
+    // O(tokens × spans) coverage scan into EACH output column — a
+    // constant-factor multiply on the corpus-wide cut. Two let-binding
+    // layers prevent every duplication: the single-element transforms
+    // (the winnowFingerprints pattern) pin t/k WITHIN the struct, and the
+    // `inline` generator evaluates the one-element struct array exactly
+    // once per row before expanding its fields to columns (a plain
+    // two-column select of result.getField(...) would re-inline the whole
+    // chain per column).
+    val packed = transform(array(TextQueries.tokensCol(col(textCol))), t =>
+      element_at(
+        transform(array(keptOf(t)), k =>
+          struct(
+            array_join(k, " ").as("clean_text"),
+            (size(t) - size(k)).cast("long").as("n_removed"))),
+        1))
     df.withColumn("__ch", md5(col(textCol)))
       .join(spans, Seq("__ch"), "left")
-      .select(col(idCol),
-        array_join(keptArr, " ").as("clean_text"),
-        (size(toks) - size(keptArr)).cast("long").as("n_removed"))
+      .select(col(idCol), inline(packed))
   }
 }

@@ -85,7 +85,9 @@ object SamplingQueries {
       "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dt GROUP BY source), " +
       s"w(source, ppm) AS (VALUES $values), " +
       s"tgt AS (SELECT tot.source, total, (CAST($MixtureBudget AS BIGINT) * ppm) // 1000000 AS target " +
-      "FROM tot JOIN w USING (source)), " +
+      // total > 0 mirrors the Spark side's totals.filter(_ > 0): an
+      // all-empty-token domain must be DROPPED, not divide by zero
+      "FROM tot JOIN w USING (source) WHERE total > 0), " +
       "rules AS (SELECT source, target // total AS copies, " +
       "((target % total) * 1000000) // total AS rem_ppm FROM tgt), " +
       "sel AS (SELECT dt.doc_id, dt.source, dt.n_tokens, " +
