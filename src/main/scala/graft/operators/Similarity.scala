@@ -540,6 +540,82 @@ object Similarity {
       .select(col("ida"), col("idb"), col("cosine"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    * scoped to clusters. Every row is assigned to its nearest centroid
+    * ([[ivfAssign]] — one literal centroid array, pure map-side, no shuffle),
+    * and duplicates are then detected ONLY within a cluster: a row is flagged
+    * `is_semdup` when some other row in the same cluster with a LOWER id has
+    * cosine > `tau` with it. Clustering is what makes the paper's recipe
+    * viable at web scale — pair work is Σ|cell|² instead of N², and the
+    * cluster count k is the knob that bounds per-cell size (k ≈ N / target
+    * cell size; the paper uses k = 50k on LAION).
+    *
+    * Keep policy — "dominated by an earlier id": deterministic, unlike the
+    * paper's random-exemplar choice, so results are reproducible and
+    * oracle-checkable. Note it is the EXISTS form, not the sequential greedy
+    * scan: a row dominated only by an already-removed earlier row is still
+    * removed (in a chain a–b–c with cos(a,b), cos(b,c) > tau but cos(a,c) ≤
+    * tau, both b and c are flagged). This is the natural one-join semantics
+    * — the greedy variant is inherently sequential per cell and cannot be
+    * expressed as a bounded-depth plan.
+    *
+    * With `bands` = 0 (default) candidates are the full within-cell pair set
+    * (the paper's exact recipe): a self-equi-join on `centroid_id`, one
+    * shuffle of each side, per-cell quadratic verify. With `bands` > 0, the
+    * within-cell candidates come from banded random-hyperplane LSH instead
+    * ([[nearDupPairs]] with `centroid_id` as the block column) — per-cell
+    * work drops to bucket-bounded pair explosion, the shape that survives
+    * skewed giant cells, at the banding OR's recall (near-1 for true
+    * near-dups at tau ≥ 0.9; see [[nearDupPairs]]).
+    *
+    * Returns the input columns + `centroid_id` + `is_semdup`. Ids must be
+    * distinct (the keep policy is an ordering by id); `tau` ∈ (−1, 1).
+    */
+  def semDedupFlag(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], tau: Double,
+      bands: Int = 0, bitsPerBand: Int = 4,
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
+      dim: Int = Vectors.Dim): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    Seq("centroid_id", "is_semdup", "__rm").foreach { c =>
+      require(!corpus.columns.contains(c),
+        s"input already has a $c column; rename it before semDedup")
+    }
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
+    val removed =
+      if (bands <= 0) {
+        val e = assigned.select(
+          col(idCol), col(vecCol), col("centroid_id"),
+          norm(col(vecCol)).as("__nrm"))
+        e.as("a").join(e.as("b"),
+            col("a.centroid_id") === col("b.centroid_id") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .filter(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+            (col("a.__nrm") * col("b.__nrm")) > tau)
+          .select(col(s"b.$idCol").as("__rm")).distinct()
+      } else {
+        nearDupPairs(assigned, idCol, vecCol, tau,
+            blockCols = Seq("centroid_id"), bands, bitsPerBand,
+            hotBucketThreshold, dim)
+          .select(col("idb").as("__rm")).distinct()
+      }
+    assigned.join(removed, col(idCol) === col("__rm"), "left_outer")
+      .withColumn("is_semdup", col("__rm").isNotNull)
+      .drop("__rm")
+  }
+
+  /** [[semDedupFlag]] survivors only — the deduplicated corpus, with each
+    * row's `centroid_id` retained (useful for downstream per-domain stats).
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], tau: Double,
+      bands: Int = 0, bitsPerBand: Int = 4,
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
+      dim: Int = Vectors.Dim): DataFrame =
+    semDedupFlag(corpus, idCol, vecCol, centroids, tau, bands, bitsPerBand,
+        hotBucketThreshold, dim)
+      .filter(!col("is_semdup")).drop("is_semdup")
+
   /** Int8 symmetric quantization of a float-vector column: per row,
     * `q_scale = 127 / max|x|` and `q_vec(i) = ⌊x_i·scale + 0.5⌋ ∈
     * [−127, 127]` (an all-zero vector quantizes to zeros with scale 0).

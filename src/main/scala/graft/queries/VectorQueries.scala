@@ -476,10 +476,45 @@ object VectorQueries {
         concat_ws(",", transform(col("ids"), _.cast("string"))).as("ids_csv"))
   }
 
+  /** SemDeDup ([[graft.operators.Similarity.semDedupFlag]], Abbas et al.
+    * arXiv:2303.09540): 8 fixed centroids (vec_id 0..7), every other vector
+    * assigned to its max-cosine centroid, then flagged as a semantic
+    * duplicate iff some LOWER-id vector in the same cell has cosine > 0.35
+    * (the deterministic dominated-by-earlier variant of the paper's
+    * keep-one-exemplar policy). The oracle mirrors assignment argmax
+    * (tie → lowest cid) and the within-cell EXISTS over the identical
+    * double-fold cosine, so the flag is bit-reproducible. 0.35 rather than
+    * a production 0.9+ for the same reason as q_embed_near_dup: the
+    * synthetic embeddings top out near cosine 0.47, and 0.35 makes the
+    * policy actually fire (~75 of 492 rows flagged).
+    */
+  val qSemDedup = q(
+    "q_semdedup", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      val cosAB = s"${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "assigned AS (SELECT vec_id, embedding, cid FROM (" +
+        s"SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id >= 8) WHERE rn = 1), " +
+        "rm AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b " +
+        s"ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE $cosAB > 0.35) " +
+        "SELECT a.vec_id, a.cid, (rm.vec_id IS NOT NULL) AS is_semdup " +
+        "FROM assigned a LEFT JOIN rm ON a.vec_id = rm.vec_id"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    graft.operators.Similarity
+      .semDedupFlag(emb.filter(col("vec_id") >= 8).select("vec_id", "embedding"),
+        "vec_id", "embedding", cents, tau = 0.35)
+      .select(col("vec_id"), col("centroid_id").as("cid"), col("is_semdup"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
-    qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch)
+    qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
+    qSemDedup)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */
