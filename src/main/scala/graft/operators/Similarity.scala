@@ -568,6 +568,20 @@ object Similarity {
     * skewed giant cells, at the banding OR's recall (near-1 for true
     * near-dups at tau ≥ 0.9; see [[nearDupPairs]]).
     *
+    * `collapseExact` (default ON) collapses byte-identical vectors to their
+    * min-id representative BEFORE the pair stage, so within-cell work is
+    * quadratic in DISTINCT vectors, not rows — the shape that survives a
+    * duplicate-heavy crawl where a 100-twin clique would otherwise pay
+    * C(100,2) per clique inside its cell. Semantics-preserving under the
+    * dominated-by-earlier policy because cosine is a function of the vector:
+    * a twin of any rep is dominated by its group's min id (cos = 1 > tau,
+    * same cell — identical vectors assign identically), and a group min is
+    * dominated by an earlier row iff it is dominated by that row's rep
+    * (identical vector ⇒ identical cosine, and rep id ≤ row id). The
+    * equivalence is locked row-for-row in SemDedupSpec and re-proved every
+    * round by the q_semdedup oracle, whose SQL computes the naive
+    * per-row semantics.
+    *
     * Returns the input columns + `centroid_id` + `is_semdup`. Ids must be
     * distinct (the keep policy is an ordering by id); `tau` ∈ (−1, 1).
     */
@@ -575,11 +589,27 @@ object Similarity {
       centroids: Seq[(Int, Array[Float])], tau: Double,
       bands: Int = 0, bitsPerBand: Int = 4,
       hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
-      dim: Int = Vectors.Dim): DataFrame = {
+      dim: Int = Vectors.Dim, collapseExact: Boolean = true): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
-    Seq("centroid_id", "is_semdup", "__rm").foreach { c =>
+    Seq("centroid_id", "is_semdup", "__rm", "__gmin", "__gvec").foreach { c =>
       require(!corpus.columns.contains(c),
         s"input already has a $c column; rename it before semDedup")
+    }
+    if (collapseExact) {
+      // one shuffle on the vector itself (array equality = content
+      // identity, no hash-collision risk), then the rep-level flag fans
+      // back out through a second join on the same key
+      val reps = corpus.groupBy(col(vecCol).as("__gvec"))
+        .agg(min(col(idCol)).as("__gmin"))
+      val repFlag = semDedupFlag(
+          reps.select(col("__gmin").as(idCol), col("__gvec").as(vecCol)),
+          idCol, vecCol, centroids, tau, bands, bitsPerBand,
+          hotBucketThreshold, dim, collapseExact = false)
+        .select(col(vecCol).as("__gvec"), col(idCol).as("__gmin"),
+          col("centroid_id"), col("is_semdup").as("__repdup"))
+      return corpus.join(repFlag, col(vecCol) === col("__gvec"))
+        .withColumn("is_semdup", col("__repdup") || col(idCol) =!= col("__gmin"))
+        .drop("__gvec", "__gmin", "__repdup")
     }
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
     val removed =
@@ -611,9 +641,9 @@ object Similarity {
       centroids: Seq[(Int, Array[Float])], tau: Double,
       bands: Int = 0, bitsPerBand: Int = 4,
       hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
-      dim: Int = Vectors.Dim): DataFrame =
+      dim: Int = Vectors.Dim, collapseExact: Boolean = true): DataFrame =
     semDedupFlag(corpus, idCol, vecCol, centroids, tau, bands, bitsPerBand,
-        hotBucketThreshold, dim)
+        hotBucketThreshold, dim, collapseExact)
       .filter(!col("is_semdup")).drop("is_semdup")
 
   /** Int8 symmetric quantization of a float-vector column: per row,

@@ -68,6 +68,32 @@ class SemDedupSpec extends SparkSpec {
     assert(kept + exact.size === n)
   }
 
+  test("collapseExact is row-for-row identical to the naive path on a twinned corpus") {
+    // 5× duplicated corpus: every vector appears as a 5-twin clique with
+    // distinct ids. The collapsed path pairs only the 492 distinct reps,
+    // the naive path pays the full twin quadratic — flags must agree on
+    // EVERY row (rep survival + twin domination + cell assignment).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val base = emb.filter(col("vec_id") >= 8)
+    val twinned = (0 until 5).map { r =>
+      base.select((col("vec_id") * 5 + r).as("vec_id"), col("embedding"))
+    }.reduce(_ union _)
+    def flags(collapse: Boolean): Map[Long, (Int, Boolean)] =
+      Similarity.semDedupFlag(twinned, "vec_id", "embedding", cents,
+          tau = 0.35, collapseExact = collapse)
+        .select("vec_id", "centroid_id", "is_semdup").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val collapsed = flags(true)
+    val naive = flags(false)
+    assert(collapsed.size === 492 * 5)
+    assert(collapsed === naive)
+    // every non-min twin is dominated by its group min (cos = 1 > tau)
+    assert(collapsed.count { case (id, (_, dup)) => id % 5 != 0 && !dup } === 0)
+  }
+
   test("guards: tau range and reserved column names fail loud") {
     val df = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
     val cents = Seq((0, Array(1f, 0f)))
