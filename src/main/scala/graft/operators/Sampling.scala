@@ -159,4 +159,42 @@ object Sampling {
     df.where(copiesCol >= 1)
       .withColumn(epochName,
         explode(sequence(lit(0L), copiesCol.cast("long") - 1L)))
+
+  /** Deterministic global shuffle + sharding — the last-mile permutation
+    * before training: every row gets a `shard` in [0, nShards) and a
+    * 1-based within-shard position `shard_pos`, both driven by the
+    * md5-derived order key `hash(id ++ ":" ++ seed)` (ties broken by id).
+    * Varying `seed` yields an independent permutation per epoch without
+    * touching the data.
+    *
+    * The plan is the shape that survives 100 TB: ONE hash shuffle on
+    * `shard` plus a per-shard LOCAL sort for the position window — never a
+    * global sort, whose range partitioner needs a sampling pass and makes
+    * the write a barrier on the skew of one key range. Writing
+    * `.repartition(nShards, col("shard")).sortWithinPartitions("shard_pos")`
+    * then gives each training reader one sequential shard file in
+    * permutation order.
+    *
+    * A row's ORDER KEY is a pure function of (id, seed), so it never
+    * changes as the corpus grows — but `shard_pos` is dense within the
+    * shard and therefore corpus-dependent by design (a permutation of N
+    * rows must be). Ids must be distinct.
+    */
+  def shuffleShard(df: DataFrame, id: Column, nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    Md5Prefix32.register(df.sparkSession) // idempotent; bare sessions lack it
+    Seq("shard", "shard_pos", "__ok").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a $c column; rename it before shuffleShard")
+    }
+    val key = Md5Prefix32.md5Prefix32(
+      concat(id.cast("string"), lit(":" + seed)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__ok"), id)
+    df.withColumn("__ok", key)
+      .withColumn("shard", pmod(col("__ok"), lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(w))
+      .drop("__ok")
+  }
 }

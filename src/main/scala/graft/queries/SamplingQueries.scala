@@ -154,7 +154,26 @@ object SamplingQueries {
     packedTailDf(mixtureDf(s, d), 1024L)
   }
 
+  /** Deterministic global shuffle into 4 shards
+    * ([[Sampling.shuffleShard]]): the pre-training permutation — md5 order
+    * key over (doc_id, seed "e1"), shard = key mod 4, dense 1-based
+    * position within the shard. Row-exact: the oracle reproduces key,
+    * shard, and position bit-for-bit, so this checks the full permutation,
+    * not summary stats.
+    */
+  val qShuffleShard = q(
+    "q_shuffle_shard", {
+      val k = hash32Sql("CAST(doc_id AS VARCHAR) || ':e1'")
+      s"SELECT doc_id, shard, shard_pos FROM (SELECT doc_id, ($k % 4) AS shard, " +
+        s"row_number() OVER (PARTITION BY ($k % 4) ORDER BY $k, doc_id) AS shard_pos " +
+        "FROM documents)"
+    }) { (s, d) =>
+    Sampling.shuffleShard(Tables.documents(s, d), col("doc_id"),
+        nShards = 4, seed = "e1")
+      .select("doc_id", "shard", "shard_pos")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
-      qSampleMixture, qMixturePacked)
+      qSampleMixture, qMixturePacked, qShuffleShard)
 }

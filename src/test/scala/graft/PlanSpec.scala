@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5_prefix32"), "bucket filter via the native expression")
   }
 
+  test("q_shuffle_shard: one hash shuffle on shard, local sort — never a global sort") {
+    val p = plan("q_shuffle_shard")
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(1500))
+    assert(!p.contains("rangepartitioning"),
+      "a global sort would range-partition:\n" + p.take(1500))
+    assert(p.contains("hashpartitioning(shard"), p.take(1500))
+  }
+
   test("q9_profit five-table join broadcasts all three dimensions") {
     val p = plan("q9_profit")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, "part/supplier/nation broadcast")

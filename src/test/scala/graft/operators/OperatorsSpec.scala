@@ -354,6 +354,33 @@ class OperatorsSpec extends SparkSpec {
       .sameElements(again.collect().map(_.toString).sorted))
   }
 
+  test("shuffleShard is a complete permutation: dense positions, seed-keyed order") {
+    val ids = (1L to 2000L).toDF("id")
+    val out = Sampling.shuffleShard(ids, col("id"), nShards = 4, seed = "e1")
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.length === 2000)
+    assert(out.map(_._1).distinct.length === 2000) // every row exactly once
+    // positions are dense 1..n within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1 to rows.length))
+    }
+    // deterministic under repartitioning
+    val again = Sampling.shuffleShard(ids.repartition(13), col("id"), 4, "e1")
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a different seed is a genuinely different permutation
+    val e2 = Sampling.shuffleShard(ids, col("id"), 4, "e2")
+      .select("id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(out.sortBy(_._1).zip(e2).count { case (a, b) => a != b } > 1000)
+    // and the result is not accidentally id-ordered within a shard
+    val firstShard = out.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(firstShard.sorted.toSeq !== firstShard.toSeq)
+  }
+
   test("connectedComponents labels chains, stars, and singletons with the min id") {
     import graft.operators.Dedup
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, singleton 42
