@@ -458,6 +458,37 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Leakage-free train/val/test assignment: split by NEAR-DUP CLUSTER,
+    * not by document. A per-doc hash split ([[Sampling.assignSplit]]) puts
+    * a training doc's near-duplicate into the eval split with probability
+    * ≈ the eval fraction — exactly the train→eval contamination that
+    * dedup and decontamination exist to prevent. Here every doc inherits
+    * its MinHash-LSH connected-component representative's hash range, so a
+    * cluster lands in ONE split, always.
+    *
+    * Output: input columns + `rep` + `split`. Same distributed shape as
+    * [[dedupNear]] (pair machinery on distinct content when
+    * `collapseExact`, O(log²) CC rounds, narrow joins) plus one map-side
+    * hash of `rep`.
+    *
+    * Stability caveat, unlike `assignSplit`'s per-row monotonicity: when
+    * corpus growth MERGES clusters, the merged cluster's min-id rep
+    * decides, so members of an absorbed cluster can migrate splits. That
+    * is inherent to leakage-freedom — keeping the old assignment would
+    * straddle the merged cluster across train and eval.
+    */
+  def assignSplitLeakFree(df: DataFrame, idCol: String, textCol: String,
+      perMilleBounds: Seq[(String, Int)],
+      minAgreeFraction: Double = 0.5,
+      hotBucketThreshold: Int = DefaultHotBucketThreshold,
+      collapseExact: Boolean = true): DataFrame = {
+    require(!df.columns.contains("rep") && !df.columns.contains("split"),
+      "input already has a rep/split column; rename it first")
+    val reps = componentReps(df, idCol, textCol, minAgreeFraction,
+      hotBucketThreshold, collapseExact)
+    df.join(Sampling.assignSplit(reps, col("rep"), perMilleBounds), Seq(idCol))
+  }
+
   /** Persist a MinHash signature + band-bucket INDEX for incremental
     * dedup: one row per (doc, band) carrying the band's bucket hash and
     * the full 32-column signature, `partitionBy("band")` so a probe's

@@ -205,6 +205,34 @@ object TextQueries {
       .select("doc_id", "n_chars")
   }
 
+  /** Leakage-free split ([[graft.operators.Dedup.assignSplitLeakFree]]):
+    * 90/5/5 train/val/test assigned by the near-dup CLUSTER rep's hash
+    * range, so no near-duplicate pair ever straddles train and eval. The
+    * oracle composes the same recursive transitive closure as
+    * `q_dedup_clusters` with the same md5 bucket rule as `q_sample_split`
+    * — checking per doc that the rep AND the inherited split both match.
+    */
+  val qSplitLeakfree = q(
+    "q_split_leakfree",
+    s"WITH RECURSIVE $minhashCtesSql, " +
+      s"pairs AS (SELECT ida, idb FROM cand " +
+      "JOIN sigs a ON a.doc_id = ida JOIN sigs b ON b.doc_id = idb " +
+      s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm), " +
+      "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+      "reach(na, nb) AS (SELECT na, nb FROM e " +
+      "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na), " +
+      "reps AS (SELECT d.doc_id, CAST(least(d.doc_id, coalesce(min(r.nb), d.doc_id)) AS BIGINT) AS rep " +
+      "FROM documents d LEFT JOIN reach r ON r.na = d.doc_id GROUP BY d.doc_id) " +
+      s"SELECT doc_id, rep, CASE WHEN (${hash32Sql("CAST(rep AS VARCHAR)")} % 1000) < 900 THEN 'train' " +
+      s"WHEN (${hash32Sql("CAST(rep AS VARCHAR)")} % 1000) < 950 THEN 'val' " +
+      "ELSE 'test' END AS split FROM reps") { (s, d) =>
+    graft.operators.Dedup
+      .assignSplitLeakFree(Tables.documentsBalanced(s, d), "doc_id", "text",
+        Seq(("train", 900), ("val", 950), ("test", 1000)),
+        minAgreeFraction = 0.5)
+      .select("doc_id", "rep", "split")
+  }
+
   /** Winnowing fingerprints ([[graft.operators.Dedup.winnowFingerprints]],
     * Schleimer et al. SIGMOD'03): char-8-gram rolling hashes, minimum per
     * 4-window, distinct. The oracle recomputes the identical hash
@@ -855,5 +883,5 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,
-    qRedact)
+    qRedact, qSplitLeakfree)
 }

@@ -381,6 +381,21 @@ class OperatorsSpec extends SparkSpec {
     assert(firstShard.sorted.toSeq !== firstShard.toSeq)
   }
 
+  test("assignSplitLeakFree: no near-dup cluster ever straddles two splits") {
+    val real = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val out = graft.operators.Dedup.assignSplitLeakFree(
+      real, "doc_id", "text", Seq(("train", 900), ("val", 950), ("test", 1000)))
+    assert(out.count() === real.count()) // every doc assigned exactly once
+    val straddling = out.groupBy("rep")
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .filter(col("nsplits") > 1).count()
+    assert(straddling === 0L)
+    // sanity: the split is the rep's hash split, so multi-doc clusters exist
+    // and at least two splits are populated
+    assert(out.select("split").distinct().count() >= 2)
+    assert(out.filter(col("rep") =!= col("doc_id")).count() > 0)
+  }
+
   test("connectedComponents labels chains, stars, and singletons with the min id") {
     import graft.operators.Dedup
     // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, singleton 42
