@@ -89,10 +89,23 @@ object SpanDedup {
     // groupBy the TEXT ITSELF: string grouping KEYS hash-aggregate fine
     // (only string agg BUFFERS force SortAggregate — first(text) would),
     // and the map-side partial agg collapses same-partition copies before
-    // the shuffle ships them
+    // the shuffle ships them.
+    //
+    // The respread after the collapse is LOAD-BEARING: the aggregate's
+    // OUTPUT is small (distinct contents), so AQE coalesces its exchange
+    // toward one partition — and the expensive downstream work (tokenize +
+    // per-gram md5, recomputed per leg) would then run on one core. AQE
+    // sizes stages by input bytes and cannot see the ~45× explode
+    // amplification behind them; the explicit round-robin (REPARTITION_BY_NUM
+    // is exempt from coalescing) keeps the gram legs at full width. Cost:
+    // one contents-sized exchange, dwarfed by the gram-volume shuffles it
+    // feeds. Measured at sf0.1: the collapsed path dropped 12 s → ~3 s
+    // (the 1× overhead vs the naive path is the collapse shuffle itself).
+    val width = df.sparkSession.sparkContext.defaultParallelism
     val contents = df.groupBy(col(textCol))
       .agg(count(lit(1)).as("__mult"), min(col(idCol)).as("__rep"))
       .withColumn("__ch", md5(col(textCol)))
+      .repartition(width)
     val grams = gramHashes(contents, "__ch", textCol, n,
       carry = Seq("__mult", "__rep"))
     val dupStats = grams

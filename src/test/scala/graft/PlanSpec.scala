@@ -61,6 +61,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5_prefix32"), "bucket filter via the native expression")
   }
 
+  test("q_semdedup: map-side assignment, within-cell equi-join — no cartesian anywhere") {
+    val p = plan("q_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "semantic dedup must pair via the cell equi-join, never all-pairs:\n" + p.take(1500))
+    // nearest-centroid assignment is a literal-array fold, not a join
+    assert(!p.contains("rangepartitioning"), p.take(1500))
+  }
+
   test("q_shuffle_shard: one hash shuffle on shard, local sort — never a global sort") {
     val p = plan("q_shuffle_shard")
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(1500))
