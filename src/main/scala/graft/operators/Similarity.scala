@@ -646,6 +646,58 @@ object Similarity {
         hotBucketThreshold, dim, collapseExact)
       .filter(!col("is_semdup")).drop("is_semdup")
 
+  /** SemDeDup with a SURVIVOR POLICY — the production form: semantic
+    * duplicate groups are the connected components of the within-cell
+    * tau-similarity graph (pairs never cross cells, so components stay
+    * cell-local), and each group keeps the member MAXIMIZING `keepBy`
+    * (ties → lowest id), e.g. a quality score or document length, instead
+    * of [[semDedup]]'s earliest-id exemplar.
+    *
+    * Note the group semantics differ from [[semDedupFlag]]'s
+    * dominated-by-earlier EXISTS on purpose: a survivor policy needs
+    * actual GROUPS to pick from, so the transitive closure is the right
+    * equivalence here (the same relationship [[Dedup.dedupNear]] has to
+    * [[Dedup.dedupNearBy]]). Components come from the O(log²)-round
+    * large-star/small-star contraction; the arg-max is one
+    * map-side-combined `groupBy(rep)`.
+    *
+    * `bands` = 0 pairs each cell exactly (quadratic per cell — the paper's
+    * cost model, bounded by cell size via k); `bands` > 0 uses star-guarded
+    * banded LSH within cells. Returns the surviving input rows.
+    */
+  def semDedupBy(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], tau: Double, keepBy: Column,
+      bands: Int = 0, bitsPerBand: Int = 4,
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
+      dim: Int = Vectors.Dim): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
+    val pairs =
+      if (bands <= 0) {
+        val e = assigned.select(
+          col(idCol), col(vecCol), col("centroid_id"),
+          norm(col(vecCol)).as("__nrm"))
+        e.as("a").join(e.as("b"),
+            col("a.centroid_id") === col("b.centroid_id") &&
+              col(s"a.$idCol") < col(s"b.$idCol"))
+          .filter(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+            (col("a.__nrm") * col("b.__nrm")) > tau)
+          .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+      } else {
+        nearDupPairs(assigned, idCol, vecCol, tau,
+            blockCols = Seq("centroid_id"), bands, bitsPerBand,
+            hotBucketThreshold, dim)
+          .select(col("ida"), col("idb"))
+      }
+    val reps = Dedup.connectedComponents(pairs, corpus, idCol)
+    val cols = corpus.columns.toIndexedSeq
+    corpus.join(reps, Seq(idCol))
+      .groupBy(col("rep"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(keepBy.as("q"), (-col(idCol)).as("negid"))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Int8 symmetric quantization of a float-vector column: per row,
     * `q_scale = 127 / max|x|` and `q_vec(i) = ⌊x_i·scale + 0.5⌋ ∈
     * [−127, 127]` (an all-zero vector quantizes to zeros with scale 0).

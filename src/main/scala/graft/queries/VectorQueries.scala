@@ -510,11 +510,48 @@ object VectorQueries {
       .select(col("vec_id"), col("centroid_id").as("cid"), col("is_semdup"))
   }
 
+  /** SemDeDup survivor policy ([[graft.operators.Similarity.semDedupBy]]):
+    * semantic groups = connected components of the within-cell cos > 0.35
+    * graph; each group keeps its HIGHEST-NORM member (ties → lowest id)
+    * instead of the earliest id. The oracle composes the same recursive
+    * transitive closure as `q_dedup_clusters` over the cell-scoped pair
+    * set, then ranks members by the identical double-fold norm.
+    */
+  val qSemDedupBest = q(
+    "q_semdedup_best", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      val cosAB = s"${dotSql("a.embedding", "b.embedding")} / (${normSql("a.embedding")} * ${normSql("b.embedding")})"
+      "WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "assigned AS (SELECT vec_id, embedding, cid FROM (" +
+        s"SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id >= 8) WHERE rn = 1), " +
+        "pairs AS (SELECT a.vec_id AS ida, b.vec_id AS idb FROM assigned a JOIN assigned b " +
+        s"ON a.cid = b.cid AND a.vec_id < b.vec_id WHERE $cosAB > 0.35), " +
+        "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(na, nb) AS (SELECT na, nb FROM e " +
+        "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na), " +
+        "reps AS (SELECT a.vec_id, least(a.vec_id, coalesce(min(r.nb), a.vec_id)) AS rep " +
+        "FROM assigned a LEFT JOIN reach r ON r.na = a.vec_id GROUP BY a.vec_id) " +
+        "SELECT vec_id, label FROM (SELECT m.vec_id, m.label, " +
+        s"row_number() OVER (PARTITION BY reps.rep ORDER BY ${normSql("m.embedding")} DESC, m.vec_id) AS rnk " +
+        "FROM embeddings m JOIN reps ON m.vec_id = reps.vec_id) WHERE rnk = 1"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    graft.operators.Similarity
+      .semDedupBy(emb.filter(col("vec_id") >= 8)
+          .select("vec_id", "embedding", "label"),
+        "vec_id", "embedding", cents, tau = 0.35,
+        keepBy = normCol(col("embedding")))
+      .select("vec_id", "label")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
-    qSemDedup)
+    qSemDedup, qSemDedupBest)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

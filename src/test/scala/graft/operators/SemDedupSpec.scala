@@ -94,6 +94,26 @@ class SemDedupSpec extends SparkSpec {
     assert(collapsed.count { case (id, (_, dup)) => id % 5 != 0 && !dup } === 0)
   }
 
+  test("semDedupBy keeps each semantic component's best-keepBy member, not its min id") {
+    // one cell; edges a-b and b-c (cos 0.707 > tau), so {1,2,3} is ONE
+    // component. keepBy = L2 norm: c (norm 2) survives — where semDedup's
+    // earliest-id policy keeps a instead.
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(r2, r2, 0f)),
+      (3L, Array(0f, 2f, 0f)),
+      (4L, Array(-1f, -1f, -1f)) // lone far-away singleton: survives as-is
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(1f, 1f, 0f)), (1, Array(-1f, -1f, -1f)))
+    val best = Similarity.semDedupBy(df, "id", "vec", cents, tau = 0.5,
+        keepBy = Similarity.norm(col("vec")))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(best === Array(3L, 4L))
+    val earliest = Similarity.semDedup(df, "id", "vec", cents, tau = 0.5)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(earliest === Array(1L, 4L))
+  }
+
   test("guards: tau range and reserved column names fail loud") {
     val df = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
     val cents = Seq((0, Array(1f, 0f)))
