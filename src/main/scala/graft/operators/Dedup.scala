@@ -127,7 +127,7 @@ object Dedup {
           prev.unpersist(blocking = false)
       }
     }
-  private def swapBarrier(
+  private[operators] def swapBarrier(
       slot: java.util.concurrent.atomic.AtomicReference[DataFrame],
       fresh: DataFrame): DataFrame = slot.synchronized {
     val prev = slot.get()

@@ -599,8 +599,15 @@ object Similarity {
       // one shuffle on the vector itself (array equality = content
       // identity, no hash-collision risk), then the rep-level flag fans
       // back out through a second join on the same key
+      // the respread is load-bearing: the collapse's small aggregate output
+      // lets AQE coalesce its exchange well below cluster width, and the
+      // downstream per-rep centroid fold (k dots/row — the expensive stage
+      // at a real k) would inherit that width. REPARTITION_BY_NUM is exempt
+      // from coalescing (same lesson as SpanDedup's gram legs, SCALE.md).
+      val width = corpus.sparkSession.sparkContext.defaultParallelism
       val reps = corpus.groupBy(col(vecCol).as("__gvec"))
         .agg(min(col(idCol)).as("__gmin"))
+        .repartition(width)
       val repFlag = semDedupFlag(
           reps.select(col("__gmin").as(idCol), col("__gvec").as(vecCol)),
           idCol, vecCol, centroids, tau, bands, bitsPerBand,

@@ -201,9 +201,29 @@ object SpanDedup {
     * merge per content, never per document; the fan-out join stays the
     * same single join on the content hash.
     */
+  /** One-slot barrier for the keep-first HIT table (same machinery and
+    * staleness contract as [[Dedup.releaseBarriers]]): `hits` is referenced
+    * three times below (full cut-sets, keeper reps, reduced rep cut-sets),
+    * and each reference would recompute the whole gram pipeline —
+    * tokenize, gram shuffle, df join — while the hit table itself is tiny
+    * (one row per duplicated window occurrence). Call [[releaseBarriers]]
+    * after in-place overwrites of a live input, or to free the pinned
+    * blocks in a long-lived session.
+    */
+  private val lastHitsBarrier =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  def releaseBarriers(): Unit =
+    lastHitsBarrier.synchronized {
+      val prev = lastHitsBarrier.getAndSet(null)
+      if (prev != null && !prev.sparkSession.sparkContext.isStopped)
+        prev.unpersist(blocking = false)
+    }
+
   def removeDuplicateSpansKeepFirst(df: DataFrame, idCol: String,
       textCol: String, n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val hits = contentHits(df, idCol, textCol, n, minDocs)
+    val hits = Dedup.swapBarrier(lastHitsBarrier,
+      contentHits(df, idCol, textCol, n, minDocs))
     def packed(src: DataFrame, out: String): DataFrame =
       mergeIslands(src.select(col("__ch"), col("s"), col("e")), "__ch")
         .groupBy(col("__ch"))
