@@ -705,6 +705,143 @@ object Similarity {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Persist an embedding corpus as a SEMANTIC-DEDUP INDEX — the vector
+    * analog of [[Dedup.writeSignatureIndex]]: IVF assignment partitioned
+    * by `centroid_id` on disk, with the centroids stored INSIDE the index
+    * (`path/_centroids`, the [[ivfWriteWithCentroids]] layout). Storing
+    * the centroids in-index removes the drift failure class the text
+    * index's banding metadata guards against: a probe that assigned the
+    * batch with DIFFERENT centroids would land rows in different cells and
+    * silently return zero matches — here the probe can only ever use the
+    * writer's centroids, because it reads them from the artifact.
+    */
+  def writeSemIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], path: String): Unit =
+    ivfWriteWithCentroids(
+      ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
+        centroids).drop("cosine"),
+      centroids, path)
+
+  /** Append rows to a [[writeSemIndex]] index (the ingest loop's second
+    * half): assignment uses the INDEX'S OWN centroids, `partitionBy` the
+    * cell — partition-append, no rewrite of existing cells' files.
+    */
+  def appendToSemIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val cents = ivfReadCentroids(df.sparkSession, path)
+    validateSemIndex(df, idCol, vecCol, path, "appendToSemIndex")
+    ivfAssign(df.select(col(idCol), col(vecCol)), idCol, vecCol, cents)
+      .drop("cosine")
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+  }
+
+  private def validateSemIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String, op: String): Unit = {
+    val idxCols = df.sparkSession.read.parquet(path).columns.toSet
+    require(idxCols.contains(idCol) && idxCols.contains(vecCol),
+      s"$op: index at $path has columns ${idxCols.mkString(", ")} — " +
+        s"expected the probe's idCol=$idCol and vecCol=$vecCol; index and " +
+        "probe must agree on column names or matches silently miss")
+  }
+
+  /** Incremental semantic dedup: flag each row of a BOUNDED ingest `batch`
+    * that has ANY index member in its cell with cosine > `tau` (the index
+    * is "earlier" by definition — the dominated-by-earlier policy across
+    * snapshots). Returns `(idCol, corpus_id, cosine)` matches.
+    *
+    * The index never shuffles or rescans: the batch is assigned map-side
+    * with the index's own centroids, its probed CELLS (≤ k, driver-tiny)
+    * prune the index scan to matching partitions statically, and the batch
+    * side broadcasts into the cell equi-join. Self-pairs (same id — a
+    * replayed append) are excluded, so re-ingesting a doc already indexed
+    * does not flag it against itself.
+    *
+    * `maxBatchRows` keeps the bounded-batch contract CHECKED (one extra
+    * driver row via take(cap+1), not an executor OOM mid-broadcast):
+    * corpus-sized frames should rebuild with [[semDedup]] instead.
+    */
+  def semDedupAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, tau: Double,
+      maxBatchRows: Int = 1 << 20): DataFrame = {
+    require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    val spark = batch.sparkSession
+    validateSemIndex(batch, idCol, vecCol, indexPath, "semDedupAgainstIndex")
+    val got = batch.select(col(idCol)).take(maxBatchRows + 1)
+    require(got.length <= maxBatchRows,
+      s"semDedupAgainstIndex broadcasts the ingest batch, and it exceeds " +
+        s"maxBatchRows=$maxBatchRows — this operator is for BOUNDED " +
+        "batches probing a large index; split the batch (foreachBatch " +
+        "microbatches), raise maxBatchRows explicitly, or run semDedup " +
+        "over the full corpus instead")
+    val cents = ivfReadCentroids(spark, indexPath)
+    val assigned = ivfAssign(batch.select(col(idCol), col(vecCol)), idCol,
+        vecCol, cents)
+      .drop("cosine")
+      .withColumn("__nn", norm(col(vecCol)))
+    val cells = assigned.select(col("centroid_id")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty)
+      return assigned.select(col(idCol), col(idCol).as("corpus_id"),
+        lit(0.0).as("cosine")).limit(0)
+    val index = spark.read.parquet(indexPath)
+      .filter(col("centroid_id").isin(cells: _*)) // static partition pruning
+      .withColumn("__nc", norm(col(vecCol)))
+    index.as("c")
+      .join(broadcast(assigned.as("n")),
+        col("n.centroid_id") === col("c.centroid_id"))
+      .filter(col(s"n.$idCol") =!= col(s"c.$idCol"))
+      .withColumn("cosine", dot(col(s"n.$vecCol"), col(s"c.$vecCol")) /
+        (col("n.__nn") * col("c.__nc")))
+      .filter(col("cosine") > tau)
+      .select(col(s"n.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
+        col("cosine"))
+  }
+
+  /** [[semDedupAgainstIndex]] keep-side filter: the batch with
+    * index-dominated rows removed — only semantically new content enters
+    * the corpus. One extra anti join of the batch against its flagged ids.
+    */
+  def cleanSemAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, tau: Double,
+      maxBatchRows: Int = 1 << 20): DataFrame =
+    batch.join(
+      semDedupAgainstIndex(batch, idCol, vecCol, indexPath, tau, maxBatchRows)
+        .select(idCol).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** The append-only SEMANTIC ingest loop as one Structured Streaming
+    * query — the vector analog of [[Dedup.streamingIngest]]: per
+    * microbatch, (1) semantic dedup WITHIN the batch ([[semDedupFlag]]
+    * with the index's centroids — the index only knows about previous
+    * batches), (2) drop rows dominated by an indexed member
+    * ([[cleanSemAgainstIndex]]), (3) hand survivors to `sink`,
+    * (4) [[appendToSemIndex]] them so the next batch dedups against them.
+    * Same delivery semantics as the text loop: replayed appends write
+    * duplicate index rows, which are harmless (self-pairs are excluded by
+    * the probe's id filter); `sink` must be idempotent.
+    */
+  def streamingSemIngest(stream: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit, tau: Double,
+      maxBatchRows: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val cents = ivfReadCentroids(b.sparkSession, indexPath)
+          val inBatch = semDedup(b.toDF(), idCol, vecCol, cents, tau)
+            .drop("centroid_id")
+          val clean = cleanSemAgainstIndex(inBatch, idCol, vecCol, indexPath,
+            tau, maxBatchRows).persist()
+          try {
+            sink(clean, batchId)
+            appendToSemIndex(clean, idCol, vecCol, indexPath)
+          } finally { clean.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
+
   /** Int8 symmetric quantization of a float-vector column: per row,
     * `q_scale = 127 / max|x|` and `q_vec(i) = ⌊x_i·scale + 0.5⌋ ∈
     * [−127, 127]` (an all-zero vector quantizes to zeros with scale 0).

@@ -366,7 +366,7 @@ object TextQueries {
     def register(path: String): String = { paths.add(path); path }
   }
 
-  private def scratchDir(tag: String, d: String): String =
+  private[queries] def scratchDir(tag: String, d: String): String =
     ScratchDirs.register(
       s"${System.getProperty("java.io.tmpdir")}/${tag}_" +
         java.lang.Integer.toHexString(d.hashCode) + "_" +

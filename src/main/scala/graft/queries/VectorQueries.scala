@@ -547,11 +547,50 @@ object VectorQueries {
       .select("vec_id", "label")
   }
 
+  /** INCREMENTAL semantic dedup against a persisted IVF index
+    * ([[graft.operators.Similarity.writeSemIndex]] /
+    * [[graft.operators.Similarity.semDedupAgainstIndex]]): the corpus
+    * (vec_id ≥ 8, vec_id % 7 ≠ 0) is indexed once — cell-partitioned, its
+    * centroids inside the artifact; the ingest batch (vec_id % 7 = 0)
+    * probes it with a scan pruned to the batch's cells, corpus never
+    * shuffled. The Spark leg includes the index WRITE (honest end-to-end
+    * cost); the oracle recomputes both sides' cell assignments and joins
+    * them directly.
+    */
+  val qSemDedupIncremental = q(
+    "q_semdedup_incremental", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      val cosNB = s"${dotSql("n.embedding", "b.embedding")} / (${normSql("n.embedding")} * ${normSql("b.embedding")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "assigned AS (SELECT vec_id, embedding, cid FROM (" +
+        s"SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id >= 8) WHERE rn = 1) " +
+        s"SELECT n.vec_id, b.vec_id AS corpus_id, ${Exact.quantSql(cosNB, 10000)} AS cos_e4 " +
+        "FROM assigned n JOIN assigned b ON n.cid = b.cid " +
+        "AND n.vec_id % 7 = 0 AND b.vec_id % 7 <> 0 " +
+        s"WHERE $cosNB > 0.35"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 8 && col("vec_id") % 7 =!= 0)
+      .select("vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 7 === 0)
+      .select("vec_id", "embedding")
+    val idx = TextQueries.scratchDir("graft_semidx", d)
+    graft.operators.Similarity.writeSemIndex(corpus, "vec_id", "embedding",
+      cents, idx)
+    graft.operators.Similarity
+      .semDedupAgainstIndex(batch, "vec_id", "embedding", idx, tau = 0.35)
+      .select(col("vec_id"), col("corpus_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
-    qSemDedup, qSemDedupBest)
+    qSemDedup, qSemDedupBest, qSemDedupIncremental)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

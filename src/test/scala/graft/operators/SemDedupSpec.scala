@@ -114,6 +114,117 @@ class SemDedupSpec extends SparkSpec {
     assert(earliest === Array(1L, 4L))
   }
 
+  test("semantic index: probe prunes to batch cells, append catches batch-2 dups") {
+    val idx = tempDir("graft_semidx_spec") + "/idx"
+    // two far-apart cells; corpus has one member in each
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 0f, 1f)))
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 0.1f, 0.9f))
+    ).toDF("id", "vec")
+    Similarity.writeSemIndex(corpus, "id", "vec", cents, idx)
+    // batch: a near-dup of id 1, and a cell-0 vector far from both
+    val batch = Seq(
+      (10L, Array(0.9f, 0.1f, 0f)),   // identical to 1 -> dominated
+      (11L, Array(1f, -0.9f, 0f))     // same cell, cos < tau -> clean
+    ).toDF("id", "vec")
+    val matches = Similarity.semDedupAgainstIndex(batch, "id", "vec", idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matches === Set((10L, 1L)))
+    val clean = Similarity.cleanSemAgainstIndex(batch, "id", "vec", idx, 0.8)
+    assert(clean.select("id").collect().map(_.getLong(0)).toSeq === Seq(11L))
+    // append the clean row; a batch-2 near-dup of it is now caught
+    Similarity.appendToSemIndex(clean, "id", "vec", idx)
+    val batch2 = Seq((20L, Array(1f, -0.9f, 0.01f))).toDF("id", "vec")
+    val m2 = Similarity.semDedupAgainstIndex(batch2, "id", "vec", idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m2 === Set((20L, 11L)))
+    // a replayed append (crash between sink and append: the batch lands in
+    // the index anyway) must not self-flag the same id on the next probe
+    Similarity.appendToSemIndex(batch2, "id", "vec", idx)
+    val replay = Similarity.semDedupAgainstIndex(batch2, "id", "vec", idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(replay === Set((20L, 11L)), "self-pairs excluded on replay")
+  }
+
+  test("semantic index probe reads ONLY the batch's cells' files") {
+    val idx = tempDir("graft_semidx_prune") + "/idx"
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 0f, 1f)))
+    val corpus = Seq(
+      (1L, Array(0.9f, 0.1f, 0f)),  // cell 0
+      (2L, Array(0f, 0.1f, 0.9f))   // cell 1
+    ).toDF("id", "vec")
+    Similarity.writeSemIndex(corpus, "id", "vec", cents, idx)
+    // the batch lands entirely in cell 1 -> the index scan must not open
+    // cell 0's files at all (static partition pruning on centroid_id)
+    val batch = Seq((10L, Array(0f, 0.2f, 0.9f))).toDF("id", "vec")
+    val probe = Similarity.semDedupAgainstIndex(batch, "id", "vec", idx, 0.8)
+    assert(probe.collect().map(_.getLong(1)).toSet === Set(2L))
+    // sparkPlan (pre-AQE) exposes the scan directly; AQE only re-plans
+    // exchanges, never partition pruning
+    val files = probe.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.flatMap(_.selectedPartitions.toPartitionArray.map(_.urlEncodedPath))
+      .filter(_.contains("centroid_id="))
+    assert(files.nonEmpty && files.forall(_.contains("centroid_id=1")),
+      s"index scan must touch only cell 1: ${files.take(3).toSeq}")
+  }
+
+  test("semantic index guards: batch cap and column mismatch fail loud") {
+    val idx = tempDir("graft_semidx_guard") + "/idx"
+    val cents = Seq((0, Array(1f, 0f)))
+    val corpus = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
+    Similarity.writeSemIndex(corpus, "id", "vec", cents, idx)
+    val batch = (10L to 20L).map(i => (i, Array(1f, 0f))).toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.semDedupAgainstIndex(batch, "id", "vec", idx, 0.8,
+        maxBatchRows = 5)
+    }
+    assert(e1.getMessage.contains("maxBatchRows"))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.semDedupAgainstIndex(
+        batch.withColumnRenamed("vec", "emb"), "id", "emb", idx, 0.8)
+    }
+    assert(e2.getMessage.contains("column"))
+  }
+
+  test("streamingSemIngest: within-batch dedup -> index probe -> sink -> append") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val idx = tempDir("graft_semidx_stream") + "/idx"
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 0f, 1f)))
+    Similarity.writeSemIndex(
+      Seq((1L, Array(0.9f, 0.1f, 0f))).toDF("id", "vec"),
+      "id", "vec", cents, idx)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = Similarity.streamingSemIngest(in.toDF().toDF("id", "vec"),
+      "id", "vec", idx, tempDir("graft_sem_ckpt"),
+      sink = (clean, batchId) => {
+        perBatch(batchId) = clean.select("id").collect().map(_.getLong(0)).toSet
+        ()
+      },
+      tau = 0.8)
+    try {
+      // batch 0: an indexed near-dup (drops), a new vector, and a
+      // within-batch near-dup of that new vector (earliest id survives)
+      in.addData(
+        (10L, Array(0.9f, 0.1f, 0f)),   // dominated by indexed 1
+        (11L, Array(0f, 0.2f, 0.9f)),   // new, cell 1
+        (12L, Array(0f, 0.21f, 0.9f)))  // within-batch dup of 11
+      q.processAllAvailable()
+      assert(perBatch(0L) === Set(11L), s"batch 0: ${perBatch.toMap}")
+      // batch 1: near-dup of the vector APPENDED in batch 0 -> caught
+      in.addData(
+        (20L, Array(0f, 0.19f, 0.9f)),  // dup of appended 11
+        (21L, Array(0f, 0f, -1f)))      // genuinely new
+      q.processAllAvailable()
+      assert(perBatch(1L) === Set(21L), s"batch 1: ${perBatch.toMap}")
+    } finally q.stop()
+  }
+
   test("guards: tau range and reserved column names fail loud") {
     val df = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
     val cents = Seq((0, Array(1f, 0f)))
