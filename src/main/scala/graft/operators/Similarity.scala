@@ -572,15 +572,19 @@ object Similarity {
     * min-id representative BEFORE the pair stage, so within-cell work is
     * quadratic in DISTINCT vectors, not rows — the shape that survives a
     * duplicate-heavy crawl where a 100-twin clique would otherwise pay
-    * C(100,2) per clique inside its cell. Semantics-preserving under the
-    * dominated-by-earlier policy because cosine is a function of the vector:
-    * a twin of any rep is dominated by its group's min id (cos = 1 > tau,
-    * same cell — identical vectors assign identically), and a group min is
-    * dominated by an earlier row iff it is dominated by that row's rep
-    * (identical vector ⇒ identical cosine, and rep id ≤ row id). The
-    * equivalence is locked row-for-row in SemDedupSpec and re-proved every
-    * round by the q_semdedup oracle, whose SQL computes the naive
-    * per-row semantics.
+    * C(100,2) per clique inside its cell. At `bands` = 0 this is
+    * semantics-preserving under the dominated-by-earlier policy because
+    * cosine is a function of the vector: a twin of any rep is dominated by
+    * its group's min id (cos = 1 > tau, same cell — identical vectors
+    * assign identically), and a group min is dominated by an earlier row
+    * iff it is dominated by that row's rep (identical vector ⇒ identical
+    * cosine, and rep id ≤ row id). The equivalence is locked row-for-row
+    * in SemDedupSpec and re-proved every round by the q_semdedup oracle,
+    * whose SQL computes the naive per-row semantics. With `bands` > 0 the
+    * two modes can differ in the LSH approximation's FAVOR: the collapsed
+    * path buckets distinct reps, so a duplicate-heavy corpus cannot
+    * inflate buckets past the hot-bucket star guard the way the naive
+    * path's twins do — same candidates or more, never fewer.
     *
     * Returns the input columns + `centroid_id` + `is_semdup`. Ids must be
     * distinct (the keep policy is an ordering by id); `tau` ∈ (−1, 1).
@@ -591,14 +595,15 @@ object Similarity {
       hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
       dim: Int = Vectors.Dim, collapseExact: Boolean = true): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
-    Seq("centroid_id", "is_semdup", "__rm", "__gmin", "__gvec").foreach { c =>
-      require(!corpus.columns.contains(c),
-        s"input already has a $c column; rename it before semDedup")
-    }
+    requireFreeColumns(corpus, "semDedupFlag",
+      "centroid_id", "is_semdup", "cosine", "__rm", "__gmin", "__gvec",
+      "__nrm", "__best")
     if (collapseExact) {
       // one shuffle on the vector itself (array equality = content
       // identity, no hash-collision risk), then the rep-level flag fans
-      // back out through a second join on the same key
+      // back out through a second join on the same key — null-safe (<=>),
+      // so null-vector rows round-trip like any other group instead of
+      // silently dropping out of the inner join.
       // the respread is load-bearing: the collapse's small aggregate output
       // lets AQE coalesce its exchange well below cluster width, and the
       // downstream per-rep centroid fold (k dots/row — the expensive stage
@@ -614,32 +619,56 @@ object Similarity {
           hotBucketThreshold, dim, collapseExact = false)
         .select(col(vecCol).as("__gvec"), col(idCol).as("__gmin"),
           col("centroid_id"), col("is_semdup").as("__repdup"))
-      return corpus.join(repFlag, col(vecCol) === col("__gvec"))
-        .withColumn("is_semdup", col("__repdup") || col(idCol) =!= col("__gmin"))
+      // null vectors are never semantic duplicates (cosine is undefined,
+      // so the naive path can't pair them either — they assign to cell -1
+      // and every pair filter evaluates null): exclude them from the
+      // twin-domination flag too, keeping the two modes row-for-row equal
+      return corpus.join(repFlag, col(vecCol) <=> col("__gvec"))
+        .withColumn("is_semdup",
+          col("__repdup") ||
+            (col(idCol) =!= col("__gmin") && col(vecCol).isNotNull))
         .drop("__gvec", "__gmin", "__repdup")
     }
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
-    val removed =
-      if (bands <= 0) {
-        val e = assigned.select(
-          col(idCol), col(vecCol), col("centroid_id"),
-          norm(col(vecCol)).as("__nrm"))
-        e.as("a").join(e.as("b"),
-            col("a.centroid_id") === col("b.centroid_id") &&
-              col(s"a.$idCol") < col(s"b.$idCol"))
-          .filter(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-            (col("a.__nrm") * col("b.__nrm")) > tau)
-          .select(col(s"b.$idCol").as("__rm")).distinct()
-      } else {
-        nearDupPairs(assigned, idCol, vecCol, tau,
-            blockCols = Seq("centroid_id"), bands, bitsPerBand,
-            hotBucketThreshold, dim)
-          .select(col("idb").as("__rm")).distinct()
-      }
+    val removed = withinCellPairs(assigned, idCol, vecCol, tau, bands,
+        bitsPerBand, hotBucketThreshold, dim)
+      .select(col("idb").as("__rm")).distinct()
     assigned.join(removed, col(idCol) === col("__rm"), "left_outer")
       .withColumn("is_semdup", col("__rm").isNotNull)
       .drop("__rm")
   }
+
+  private def requireFreeColumns(df: DataFrame, op: String,
+      names: String*): Unit =
+    names.foreach { c =>
+      require(!df.columns.contains(c),
+        s"$op: input already has a $c column; rename it first")
+    }
+
+  /** Shared within-cell candidate+verify stage of the SemDeDup family:
+    * `(ida, idb)` with ida < idb, cosine > tau, same cell. `bands` = 0 =
+    * exact per-cell self-join; `bands` > 0 = star-guarded banded LSH
+    * blocked by the cell.
+    */
+  private def withinCellPairs(assigned: DataFrame, idCol: String,
+      vecCol: String, tau: Double, bands: Int, bitsPerBand: Int,
+      hotBucketThreshold: Int, dim: Int): DataFrame =
+    if (bands <= 0) {
+      val e = assigned.select(
+        col(idCol), col(vecCol), col("centroid_id"),
+        norm(col(vecCol)).as("__nrm"))
+      e.as("a").join(e.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col(s"a.$idCol") < col(s"b.$idCol"))
+        .filter(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__nrm") * col("b.__nrm")) > tau)
+        .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
+    } else {
+      nearDupPairs(assigned, idCol, vecCol, tau,
+          blockCols = Seq("centroid_id"), bands, bitsPerBand,
+          hotBucketThreshold, dim)
+        .select(col("ida"), col("idb"))
+    }
 
   /** [[semDedupFlag]] survivors only — the deduplicated corpus, with each
     * row's `centroid_id` retained (useful for downstream per-domain stats).
@@ -678,24 +707,12 @@ object Similarity {
       hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
       dim: Int = Vectors.Dim): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
+    requireFreeColumns(corpus, "semDedupBy",
+      "rep", "centroid_id", "cosine", "ida", "idb", "__nrm", "__best",
+      "__row")
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
-    val pairs =
-      if (bands <= 0) {
-        val e = assigned.select(
-          col(idCol), col(vecCol), col("centroid_id"),
-          norm(col(vecCol)).as("__nrm"))
-        e.as("a").join(e.as("b"),
-            col("a.centroid_id") === col("b.centroid_id") &&
-              col(s"a.$idCol") < col(s"b.$idCol"))
-          .filter(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-            (col("a.__nrm") * col("b.__nrm")) > tau)
-          .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
-      } else {
-        nearDupPairs(assigned, idCol, vecCol, tau,
-            blockCols = Seq("centroid_id"), bands, bitsPerBand,
-            hotBucketThreshold, dim)
-          .select(col("ida"), col("idb"))
-      }
+    val pairs = withinCellPairs(assigned, idCol, vecCol, tau, bands,
+      bitsPerBand, hotBucketThreshold, dim)
     val reps = Dedup.connectedComponents(pairs, corpus, idCol)
     val cols = corpus.columns.toIndexedSeq
     corpus.join(reps, Seq(idCol))
@@ -756,9 +773,10 @@ object Similarity {
     * replayed append) are excluded, so re-ingesting a doc already indexed
     * does not flag it against itself.
     *
-    * `maxBatchRows` keeps the bounded-batch contract CHECKED (one extra
-    * driver row via take(cap+1), not an executor OOM mid-broadcast):
-    * corpus-sized frames should rebuild with [[semDedup]] instead.
+    * `maxBatchRows` keeps the bounded-batch contract CHECKED (a
+    * limit(cap+1) count — only a long returns to the driver — instead of
+    * an executor OOM mid-broadcast): corpus-sized frames should rebuild
+    * with [[semDedup]] instead.
     */
   def semDedupAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
       indexPath: String, tau: Double,
@@ -766,8 +784,8 @@ object Similarity {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
     val spark = batch.sparkSession
     validateSemIndex(batch, idCol, vecCol, indexPath, "semDedupAgainstIndex")
-    val got = batch.select(col(idCol)).take(maxBatchRows + 1)
-    require(got.length <= maxBatchRows,
+    val got = batch.select(col(idCol)).limit(maxBatchRows + 1).count()
+    require(got <= maxBatchRows,
       s"semDedupAgainstIndex broadcasts the ingest batch, and it exceeds " +
         s"maxBatchRows=$maxBatchRows — this operator is for BOUNDED " +
         "batches probing a large index; split the batch (foreachBatch " +
@@ -830,14 +848,20 @@ object Similarity {
         val b = batch.persist()
         try {
           val cents = ivfReadCentroids(b.sparkSession, indexPath)
+          // persisted: the probe's guard count, its cell collect, its
+          // broadcast build, and the clean anti-join would otherwise each
+          // recompute the within-batch dedup (which, unlike the text
+          // analog's signature barriers, has no internal cache)
           val inBatch = semDedup(b.toDF(), idCol, vecCol, cents, tau)
-            .drop("centroid_id")
-          val clean = cleanSemAgainstIndex(inBatch, idCol, vecCol, indexPath,
-            tau, maxBatchRows).persist()
+            .drop("centroid_id").persist()
           try {
-            sink(clean, batchId)
-            appendToSemIndex(clean, idCol, vecCol, indexPath)
-          } finally { clean.unpersist(); () }
+            val clean = cleanSemAgainstIndex(inBatch, idCol, vecCol,
+              indexPath, tau, maxBatchRows).persist()
+            try {
+              sink(clean, batchId)
+              appendToSemIndex(clean, idCol, vecCol, indexPath)
+            } finally { clean.unpersist(); () }
+          } finally { inBatch.unpersist(); () }
         } finally { b.unpersist(); () }
       }
       .start()

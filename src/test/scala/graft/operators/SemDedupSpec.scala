@@ -114,6 +114,23 @@ class SemDedupSpec extends SparkSpec {
     assert(earliest === Array(1L, 4L))
   }
 
+  test("null vectors survive both modes identically (never semantic dups, cell -1)") {
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, null.asInstanceOf[Array[Float]])
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(1f, 0f, 0f)))
+    def flags(collapse: Boolean): Map[Long, (Int, Boolean)] =
+      Similarity.semDedupFlag(df, "id", "vec", cents, tau = 0.5,
+          collapseExact = collapse)
+        .select("id", "centroid_id", "is_semdup").collect()
+        .map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    val c = flags(true)
+    assert(c === flags(false))
+    assert(c === Map(1L -> (0, false), 2L -> (-1, false), 3L -> (-1, false)))
+  }
+
   test("semantic index: probe prunes to batch cells, append catches batch-2 dups") {
     val idx = tempDir("graft_semidx_spec") + "/idx"
     // two far-apart cells; corpus has one member in each
