@@ -610,6 +610,40 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(path)
   }
 
+  /** Compact a [[writeSignatureIndex]] index into `targetPath`: each
+    * microbatch append adds at least one file per band, so a long-running
+    * ingest loop accretes thousands of small files whose open/footer cost
+    * eventually dominates the probe's pruned scan — and fragments the bh
+    * row-group pruning (many tiny row groups ⇒ weak min/max bounds).
+    * Compaction reads the index once, hash-clusters on (band, salt) so
+    * each band rewrites into at most `filesPerBand` files while the write
+    * stays parallel across bands, and copies the banding metadata
+    * verbatim. Writes to a NEW path on purpose: an in-place rewrite of a
+    * live index would race concurrent probes; atomically swapping
+    * `targetPath` into service is the deployment's move/rename concern.
+    */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPath: String, filesPerBand: Int = 1): Unit = {
+    require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
+    require(targetPath != path,
+      "compactSignatureIndex writes a NEW index; in-place compaction would " +
+        "race concurrent probes — compact to a fresh path and swap it in")
+    val src = metaPath(path)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(src),
+      s"compactSignatureIndex: no $MetaFileName at $path — not a " +
+        "writeSignatureIndex artifact")
+    val idx = spark.read.parquet(path)
+    val salt = pmod(xxhash64(col(idx.columns.head)), lit(filesPerBand.toLong))
+    idx.repartition(col("band"), salt)
+      .write.mode("overwrite").partitionBy("band").parquet(targetPath)
+    val in = fs.open(src)
+    val metaTxt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val out = fs.create(metaPath(targetPath), true)
+    try out.write(metaTxt.getBytes("UTF-8")) finally out.close()
+  }
+
   /** INCREMENTAL near-dup check of an ingest batch against a
     * [[writeSignatureIndex]] artifact — the shape that keeps a 100 TB
     * corpus append-only: new documents are flagged against the EXISTING

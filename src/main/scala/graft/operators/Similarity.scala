@@ -827,6 +827,39 @@ object Similarity {
         .select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Compact a [[writeSemIndex]]/[[appendToSemIndex]] index into
+    * `targetPath`: every microbatch append adds at least one file per
+    * touched cell, so a long-running ingest loop accretes thousands of
+    * small files whose per-file open/footer cost eventually dominates the
+    * probe's pruned scan. Compaction rewrites each cell's rows into
+    * `filesPerCell` files (cell-partitioned layout and the `_centroids`
+    * artifact preserved byte-for-byte), reading the index ONCE with one
+    * shuffle on the cell key.
+    *
+    * Writes to a NEW path on purpose: an in-place rewrite of a live index
+    * would race concurrent probes (the same staleness contract as the
+    * barrier caches); atomically swapping `targetPath` into service is the
+    * deployment's move/rename concern.
+    */
+  def compactSemIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPath: String, filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    require(targetPath != path,
+      "compactSemIndex writes a NEW index; in-place compaction would race " +
+        "concurrent probes — compact to a fresh path and swap it into service")
+    val idx = spark.read.parquet(path)
+    // hash-cluster on (cell, deterministic salt): each cell's rows land in
+    // at most filesPerCell tasks, so partitionBy emits at most that many
+    // files per cell, while the write stays parallel ACROSS cells
+    val salt = pmod(xxhash64(col(idx.columns.head)), lit(filesPerCell.toLong))
+    idx.repartition(col("centroid_id"), salt)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
+    val cents = ivfReadCentroids(spark, path)
+    import spark.implicits._
+    cents.toDF("cid", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$targetPath/_centroids")
+  }
+
   /** The append-only SEMANTIC ingest loop as one Structured Streaming
     * query — the vector analog of [[Dedup.streamingIngest]]: per
     * microbatch, (1) semantic dedup WITHIN the batch ([[semDedupFlag]]

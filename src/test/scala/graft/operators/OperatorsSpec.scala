@@ -452,6 +452,41 @@ class OperatorsSpec extends SparkSpec {
       s"batch-2 matches must span the appended batch-1 doc and the corpus: $hits")
   }
 
+  test("compactSignatureIndex bounds per-band files; probe and metadata survive") {
+    val base = tempDir("graft_sigidx_compact")
+    val idx = base + "/idx"
+    val compacted = base + "/idx2"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    (0 until 3).foreach { k =>
+      Dedup.appendToSignatureIndex(
+        Seq((100L + k, s"unrelated words number $k about spark shuffles and caching today"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx)
+    }
+    def bandFiles(p: String): Seq[Int] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("band="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(bandFiles(idx).exists(_ >= 4), s"appends must accrete: ${bandFiles(idx)}")
+    Dedup.compactSignatureIndex(spark, idx, compacted)
+    assert(bandFiles(compacted).forall(_ == 1),
+      s"compacted bands must hold one file: ${bandFiles(compacted)}")
+    // the probe validates metadata on the compacted artifact and agrees
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))
+      .toDF("doc_id", "text")
+    def probe(p: String) =
+      Dedup.dedupAgainstIndex(batch, "doc_id", "text", p, minAgreeFraction = 0.3)
+        .select("doc_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(compacted) === probe(idx) && probe(compacted).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.compactSignatureIndex(spark, idx, idx)
+    }
+  }
+
   test("signature-index banding metadata fails loud on mismatch") {
     val idx = tempDir("graft_sigidx_m") + "/idx"
     val corpus = Seq(

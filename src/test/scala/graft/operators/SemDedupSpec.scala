@@ -187,6 +187,38 @@ class SemDedupSpec extends SparkSpec {
       s"index scan must touch only cell 1: ${files.take(3).toSeq}")
   }
 
+  test("compactSemIndex: appends accrete files, compaction bounds them, probes agree") {
+    val base = tempDir("graft_semidx_compact")
+    val idx = base + "/idx"
+    val compacted = base + "/idx2"
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 0f, 1f)))
+    Similarity.writeSemIndex(
+      Seq((1L, Array(0.9f, 0.1f, 0f)), (2L, Array(0f, 0.1f, 0.9f)))
+        .toDF("id", "vec"),
+      "id", "vec", cents, idx)
+    (0 until 4).foreach { k =>
+      Similarity.appendToSemIndex(
+        Seq((100L + k, Array(0.8f, 0.2f, 0f))).toDF("id", "vec"),
+        "id", "vec", idx)
+    }
+    def cellFiles(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("centroid_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(cellFiles(idx)("centroid_id=0") >= 5, s"appends must accrete: ${cellFiles(idx)}")
+    Similarity.compactSemIndex(spark, idx, compacted)
+    assert(cellFiles(compacted).values.forall(_ == 1),
+      s"compacted cells must hold one file: ${cellFiles(compacted)}")
+    val batch = Seq((50L, Array(0.85f, 0.15f, 0f))).toDF("id", "vec")
+    def probe(p: String) =
+      Similarity.semDedupAgainstIndex(batch, "id", "vec", p, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe(compacted) === probe(idx) && probe(compacted).nonEmpty)
+    intercept[IllegalArgumentException] {
+      Similarity.compactSemIndex(spark, idx, idx)
+    }
+  }
+
   test("semantic index guards: batch cap and column mismatch fail loud") {
     val idx = tempDir("graft_semidx_guard") + "/idx"
     val cents = Seq((0, Array(1f, 0f)))
