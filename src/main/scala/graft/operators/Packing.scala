@@ -85,4 +85,38 @@ object Packing {
         floor((col("__cum") - col(tokensCol)) / tokenBudget)
           .cast("long").as("seq_id"))
   }
+
+  /** Per-SEQUENCE boundary metadata for [[packCounts]] packing — what a
+    * training reader needs to mask CROSS-DOCUMENT attention inside a packed
+    * sequence: one row per (group, seq_id) with `n_docs` and `docs`, the
+    * offset-ordered array of `(off, id, n_tokens)` document boundaries.
+    * `off` is the document's first-token offset within its sequence
+    * (`(cum − own) − seq_id·budget` ∈ [0, budget)); a document longer than
+    * the remaining budget spans into following sequences — the boundary
+    * row records it once, in the sequence where it STARTS, with its full
+    * length (the packing policy's documented overflow shape, so `off +
+    * n_tokens` may exceed the budget and the reader clips).
+    *
+    * Same distributed shape as the packing itself: ONE shuffle on
+    * `groupCol` feeding both the running-sum window and the per-sequence
+    * aggregate (the groupBy keys are a prefix-extension of the window
+    * partitioning, so no second exchange); `sort_array` orders boundaries
+    * without a sort step — offsets are unique within a sequence.
+    */
+  def packedBoundaries(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(groupCol), col(tokensCol).cast("long").as(tokensCol))
+      .withColumn("__cum", sum(tokensCol).over(w))
+      .withColumn("seq_id",
+        floor((col("__cum") - col(tokensCol)) / tokenBudget).cast("long"))
+      .withColumn("off",
+        col("__cum") - col(tokensCol) - col("seq_id") * tokenBudget)
+      .groupBy(col(groupCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(struct(col("off"), col(idCol).as("id"),
+          col(tokensCol).as("n_tokens")))).as("docs"))
+  }
 }

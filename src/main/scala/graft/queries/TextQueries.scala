@@ -804,6 +804,35 @@ object TextQueries {
       Tables.documents(s, d), "doc_id", "text", "source", tokenBudget = 2048L)
   }
 
+  /** Packed-sequence BOUNDARY metadata
+    * ([[graft.operators.Packing.packedBoundaries]]): per (source, seq_id),
+    * the offset-ordered document boundaries a training reader uses to mask
+    * cross-document attention. The query explodes the per-sequence array
+    * back to one flat row per document (offset, length, docs-in-sequence)
+    * so the oracle checks every boundary value exactly.
+    */
+  val qPackBoundaries = q(
+    "q_pack_boundaries",
+    "WITH toks AS (SELECT doc_id, source, " +
+      "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+      "c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
+      "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM toks), " +
+      "b AS (SELECT doc_id, source, n_tokens, " +
+      "CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id, " +
+      "CAST(cum - n_tokens - CAST(floor((cum - n_tokens) / 2048) AS BIGINT) * 2048 AS BIGINT) AS off FROM c) " +
+      "SELECT source, seq_id, count(*) OVER (PARTITION BY source, seq_id) AS n_docs, " +
+      "doc_id, off, n_tokens FROM b") { (s, d) =>
+    graft.operators.Packing.packedBoundaries(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", tokenBudget = 2048L)
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        explode(col("docs")).as("d"))
+      .select(col("source"), col("seq_id"), col("n_docs"),
+        col("d.id").as("doc_id"), col("d.off").as("off"),
+        col("d.n_tokens").as("n_tokens"))
+  }
+
   /** TF-IDF top terms per document — the classic two-aggregate + join-back
     * shape (term frequency per doc; document frequency per term; score =
     * tf·N/df). The score is computed as exact integer division
@@ -882,6 +911,6 @@ object TextQueries {
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
-    qCurationPipeline, qChunkTokens, qPackSequences, qDedupClusters, qTfidf,
-    qRedact, qSplitLeakfree)
+    qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
+    qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

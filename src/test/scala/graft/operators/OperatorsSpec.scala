@@ -652,6 +652,24 @@ class OperatorsSpec extends SparkSpec {
       (2L, 0L, "x", 1L)))
   }
 
+  test("packedBoundaries: offset-ordered doc spans per sequence, overflow recorded at start") {
+    val df = Seq(
+      (1L, "g", 4L), (2L, "g", 4L), (3L, "g", 4L), (4L, "g", 5L)
+    ).toDF("id", "grp", "n")
+    val out = graft.operators.Packing
+      .packedBoundaries(df, "id", "grp", "n", tokenBudget = 10L)
+      .collect().map { r =>
+        (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getSeq[org.apache.spark.sql.Row](3)
+            .map(d => (d.getLong(0), d.getLong(1), d.getLong(2))))
+      }.sortBy(_._2)
+    // seq 0: docs at offsets 0,4,8 — doc 3 (len 4) overflows past the
+    // budget but is recorded once, where it starts; seq 1: doc 4 at off 2
+    assert(out === Seq(
+      ("g", 0L, 3L, Seq((0L, 1L, 4L), (4L, 2L, 4L), (8L, 3L, 4L))),
+      ("g", 1L, 1L, Seq((2L, 4L, 5L)))))
+  }
+
   test("packSequences fills token budgets in id order within each group") {
     import graft.operators.Packing
     // group g: docs of 3, 4, 5 tokens into budget 6:
