@@ -540,6 +540,13 @@ object Dedup {
   private def metaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, MetaFileName)
 
+  private def readMetaText(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   private def writeIndexMeta(df: DataFrame, path: String, bands: Int,
       rowsPerBand: Int): Unit = {
     val p = metaPath(path)
@@ -565,9 +572,7 @@ object Dedup {
       s"$op: no $MetaFileName at $path — not a writeSignatureIndex " +
         "artifact (or one from before banding metadata); rebuild the index " +
         "with writeSignatureIndex")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val txt = readMetaText(fs, p)
     def field(name: String): Int =
       s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toInt)
@@ -622,24 +627,45 @@ object Dedup {
     * live index would race concurrent probes; atomically swapping
     * `targetPath` into service is the deployment's move/rename concern.
     */
+  /** Qualified-path inequality for the NEW-path compaction contract: a raw
+    * string compare would wave through trailing slashes, `./` prefixes, or
+    * double slashes that Spark later resolves to the same live directory.
+    */
+  private[operators] def requireDistinctPaths(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPath: String, op: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    require(qualified(targetPath) != qualified(path),
+      s"$op writes a NEW index; in-place compaction would race concurrent " +
+        "probes — compact to a fresh path and swap it into service")
+  }
+
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerBand: Int = 1): Unit = {
     require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
-    require(targetPath != path,
-      "compactSignatureIndex writes a NEW index; in-place compaction would " +
-        "race concurrent probes — compact to a fresh path and swap it in")
+    requireDistinctPaths(spark, path, targetPath, "compactSignatureIndex")
+    // validate BEFORE the corpus-sized rewrite: a non-artifact source must
+    // fail in milliseconds, not leave a half-written target
     val src = metaPath(path)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(src),
       s"compactSignatureIndex: no $MetaFileName at $path — not a " +
         "writeSignatureIndex artifact")
+    val metaTxt = readMetaText(fs, src)
     val idx = spark.read.parquet(path)
     val salt = pmod(xxhash64(col(idx.columns.head)), lit(filesPerBand.toLong))
+    // local sort on bh inside each output task: compacted row groups get
+    // TIGHT bh min/max bounds, so the probe's bh IN (…) pushdown keeps
+    // skipping row groups after compaction (without this, id-salt order
+    // gives every row group a near-full-range bh span and the pruning the
+    // index exists for stops working)
     idx.repartition(col("band"), salt)
+      .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(targetPath)
-    val in = fs.open(src)
-    val metaTxt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
     val out = fs.create(metaPath(targetPath), true)
     try out.write(metaTxt.getBytes("UTF-8")) finally out.close()
   }

@@ -72,19 +72,28 @@ object Packing {
     * `groupCol`, codegen'd running sum. Returns
     * (idCol, groupCol, tokensCol, seq_id).
     */
-  def packCounts(df: DataFrame, idCol: String, groupCol: String,
+  /** Shared packing assignment: running token total per group (id order)
+    * and the sequence id each doc's FIRST token lands in — the ONE
+    * definition of the packing policy, so [[packCounts]] and
+    * [[packedBoundaries]] can never desynchronize. Floor of the double
+    * division is exact here: token totals sit far below 2^53, so both
+    * engines compute the identical integer.
+    */
+  private def withCumAndSeqId(df: DataFrame, idCol: String, groupCol: String,
       tokensCol: String, tokenBudget: Long): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
     val w = Window.partitionBy(groupCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(groupCol), col(tokensCol).cast("long").as(tokensCol))
       .withColumn("__cum", sum(tokensCol).over(w))
-      // floor of a double division is exact here: token totals sit far
-      // below 2^53, so both engines compute the identical integer
-      .select(col(idCol), col(groupCol), col(tokensCol),
-        floor((col("__cum") - col(tokensCol)) / tokenBudget)
-          .cast("long").as("seq_id"))
+      .withColumn("seq_id",
+        floor((col("__cum") - col(tokensCol)) / tokenBudget).cast("long"))
   }
+
+  def packCounts(df: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, tokenBudget: Long): DataFrame =
+    withCumAndSeqId(df, idCol, groupCol, tokensCol, tokenBudget)
+      .select(col(idCol), col(groupCol), col(tokensCol), col("seq_id"))
 
   /** Per-SEQUENCE boundary metadata for [[packCounts]] packing — what a
     * training reader needs to mask CROSS-DOCUMENT attention inside a packed
@@ -104,19 +113,12 @@ object Packing {
     * without a sort step — offsets are unique within a sequence.
     */
   def packedBoundaries(df: DataFrame, idCol: String, groupCol: String,
-      tokensCol: String, tokenBudget: Long): DataFrame = {
-    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(groupCol), col(tokensCol).cast("long").as(tokensCol))
-      .withColumn("__cum", sum(tokensCol).over(w))
-      .withColumn("seq_id",
-        floor((col("__cum") - col(tokensCol)) / tokenBudget).cast("long"))
+      tokensCol: String, tokenBudget: Long): DataFrame =
+    withCumAndSeqId(df, idCol, groupCol, tokensCol, tokenBudget)
       .withColumn("off",
         col("__cum") - col(tokensCol) - col("seq_id") * tokenBudget)
       .groupBy(col(groupCol), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(struct(col("off"), col(idCol).as("id"),
           col(tokensCol).as("n_tokens")))).as("docs"))
-  }
 }

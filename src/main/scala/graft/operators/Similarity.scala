@@ -844,9 +844,13 @@ object Similarity {
   def compactSemIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
-    require(targetPath != path,
-      "compactSemIndex writes a NEW index; in-place compaction would race " +
-        "concurrent probes — compact to a fresh path and swap it into service")
+    Dedup.requireDistinctPaths(spark, path, targetPath, "compactSemIndex")
+    // read + validate the centroid artifact BEFORE the corpus-sized
+    // rewrite: a non-writeSemIndex source fails in milliseconds instead of
+    // leaving a half-written target with cell data but no _centroids
+    val cents = ivfReadCentroids(spark, path)
+    require(cents.nonEmpty,
+      s"compactSemIndex: empty _centroids at $path — not a writeSemIndex artifact")
     val idx = spark.read.parquet(path)
     // hash-cluster on (cell, deterministic salt): each cell's rows land in
     // at most filesPerCell tasks, so partitionBy emits at most that many
@@ -854,10 +858,7 @@ object Similarity {
     val salt = pmod(xxhash64(col(idx.columns.head)), lit(filesPerCell.toLong))
     idx.repartition(col("centroid_id"), salt)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
-    val cents = ivfReadCentroids(spark, path)
-    import spark.implicits._
-    cents.toDF("cid", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$targetPath/_centroids")
+    writeCentroids(spark, cents, targetPath)
   }
 
   /** The append-only SEMANTIC ingest loop as one Structured Streaming
@@ -1070,7 +1071,15 @@ object Similarity {
   def ivfWriteWithCentroids(assigned: DataFrame,
       centroids: Seq[(Int, Array[Float])], path: String): Unit = {
     ivfWrite(assigned, path)
-    val spark = assigned.sparkSession
+    writeCentroids(assigned.sparkSession, centroids, path)
+  }
+
+  /** The ONE definition of the `_centroids` artifact layout (cid/cvec,
+    * single file, `$path/_centroids`) — [[ivfWriteWithCentroids]] and
+    * [[compactSemIndex]] both write it, [[ivfReadCentroids]] reads it.
+    */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
     import spark.implicits._
     centroids.toDF("cid", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
