@@ -589,7 +589,17 @@ object Dedup {
   def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     requireBanding(bands, rowsPerBand, "writeSignatureIndex")
+    // cluster on (band, salt) and sort on bh BEFORE the partitioned write:
+    // un-clustered, partitionBy emits one file per (input task × band) —
+    // the small-file shape the sem-index measurement caught (probe 13×
+    // file-bound, SCALE.md) — and unsorted row groups carry near-full-range
+    // bh min/max, disabling the probe's IN pushdown row-group pruning. The
+    // salt keeps the write parallel: files per band ≤ defaultParallelism.
+    val width = df.sparkSession.sparkContext.defaultParallelism
+    val salt = pmod(xxhash64(col(idCol)), lit(width.toLong))
     bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
+      .repartition(col("band"), salt)
+      .sortWithinPartitions(col("band"), col("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
     writeIndexMeta(df, path, bands, rowsPerBand)
   }

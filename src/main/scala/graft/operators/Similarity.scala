@@ -733,11 +733,20 @@ object Similarity {
     * writer's centroids, because it reads them from the artifact.
     */
   def writeSemIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Float])], path: String): Unit =
+      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
+    // hash-cluster on (cell, salt) BEFORE the partitioned write: without
+    // it, partitionBy emits one file per (input task × cell) — a
+    // 3200-task corpus × 8 cells wrote ~25k files, and the probe spent
+    // 13× its compute in file opens (SCALE.md "semantic index probe").
+    // The salt keeps the write parallel: files per cell ≤ defaultParallelism.
+    val width = corpus.sparkSession.sparkContext.defaultParallelism
+    val salt = pmod(xxhash64(col(idCol)), lit(width.toLong))
     ivfWriteWithCentroids(
       ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
-        centroids).drop("cosine"),
+          centroids).drop("cosine")
+        .repartition(col("centroid_id"), salt),
       centroids, path)
+  }
 
   /** Append rows to a [[writeSemIndex]] index (the ingest loop's second
     * half): assignment uses the INDEX'S OWN centroids, `partitionBy` the
