@@ -173,7 +173,39 @@ object SamplingQueries {
       .select("doc_id", "shard", "shard_pos")
   }
 
+  /** Training-shard composition — the OUTPUT end of the pipeline locked as
+    * one plan: documents pack into 2048-token sequences per source
+    * ([[graft.operators.Packing.packSequences]]), the distinct SEQUENCES
+    * (not docs) then shuffle deterministically into 4 shards
+    * ([[Sampling.shuffleShard]] on the composite `source:seq_id` key) —
+    * what a writer does right before emitting shard files of packed
+    * sequences. The oracle chains the identical running-sum packing and
+    * md5 permutation; every (sequence → shard, position) pair is
+    * value-checked.
+    */
+  val qTrainingShards = q(
+    "q_training_shards", {
+      val key = hash32Sql("source || ':' || CAST(seq_id AS VARCHAR) || ':e1'")
+      "WITH toks AS (SELECT doc_id, source, " +
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER " +
+        "(PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM toks), " +
+        "seqs AS (SELECT source, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS seq_id, " +
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens FROM c GROUP BY 1, 2) " +
+        s"SELECT source, seq_id, n_docs, seq_tokens, ($key % 4) AS shard, " +
+        s"row_number() OVER (PARTITION BY ($key % 4) ORDER BY $key, source || ':' || CAST(seq_id AS VARCHAR)) AS shard_pos " +
+        "FROM seqs"
+    }) { (s, d) =>
+    val packed = graft.operators.Packing.packSequences(
+      Tables.documents(s, d), "doc_id", "text", "source", tokenBudget = 2048L)
+    val seqs = packed.groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("seq_tokens"))
+      .withColumn("__sid", concat_ws(":", col("source"), col("seq_id")))
+    Sampling.shuffleShard(seqs, col("__sid"), nShards = 4, seed = "e1")
+      .drop("__sid")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
-      qSampleMixture, qMixturePacked, qShuffleShard)
+      qSampleMixture, qMixturePacked, qShuffleShard, qTrainingShards)
 }
