@@ -1063,9 +1063,21 @@ object Similarity {
     * opening the rest (PlanSpec-asserted on the selected file set). This is
     * the step that turns the IVF index from a plan-shape claim into a
     * physical layout.
+    *
+    * Hash-clustered on (cell, salt-of-first-column) before the write:
+    * `partitionBy` alone emits one file per (input task × cell) — at a
+    * 3200-task corpus that was ~25k files and a probe 13× file-bound
+    * (SCALE.md "semantic index probe") — while the salt keeps files per
+    * cell ≤ defaultParallelism with the write still parallel. The first
+    * column is the id by every caller's convention; any hashable column
+    * works, it only spreads the salt.
     */
-  def ivfWrite(assigned: DataFrame, path: String): Unit =
-    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+  def ivfWrite(assigned: DataFrame, path: String): Unit = {
+    val width = assigned.sparkSession.sparkContext.defaultParallelism
+    val salt = pmod(xxhash64(col(assigned.columns.head)), lit(width.toLong))
+    assigned.repartition(col("centroid_id"), salt)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+  }
 
   /** Read back an [[ivfWrite]]-persisted index for [[ivfSearchTopK]]. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
