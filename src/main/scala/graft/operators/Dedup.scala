@@ -589,17 +589,11 @@ object Dedup {
   def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
       path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     requireBanding(bands, rowsPerBand, "writeSignatureIndex")
-    // cluster on (band, salt) and sort on bh BEFORE the partitioned write:
-    // un-clustered, partitionBy emits one file per (input task × band) —
-    // the small-file shape the sem-index measurement caught (probe 13×
-    // file-bound, SCALE.md) — and unsorted row groups carry near-full-range
-    // bh min/max, disabling the probe's IN pushdown row-group pruning. The
-    // salt keeps the write parallel: files per band ≤ defaultParallelism.
-    val width = df.sparkSession.sparkContext.defaultParallelism
-    val salt = pmod(xxhash64(col(idCol)), lit(width.toLong))
-    bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
-      .repartition(col("band"), salt)
-      .sortWithinPartitions(col("band"), col("bh"))
+    // clustered + bh-sorted write ([[clusterForPartitionedWrite]]): bounded
+    // files per band, tight bh row-group bounds for the probe's IN pushdown
+    clusterForPartitionedWrite(
+        bandedSignatures(df, idCol, textCol, bands, rowsPerBand),
+        "band", sortCols = Seq("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
     writeIndexMeta(df, path, bands, rowsPerBand)
   }
@@ -637,6 +631,31 @@ object Dedup {
     * live index would race concurrent probes; atomically swapping
     * `targetPath` into service is the deployment's move/rename concern.
     */
+  /** The ONE definition of the salt-clustered partitioned-write layout all
+    * index writers share: hash-cluster rows on (partition column, salt) so
+    * `partitionBy` emits at most `filesPerPartition` files per partition
+    * value (default: the cluster's parallelism) instead of one per (input
+    * task × value) — the ~25k-file shape the sem-index probe measurement
+    * caught (13× file-bound; SCALE.md). The salt hashes ALL non-partition
+    * columns, so no column-order convention can silently make it constant
+    * and serialize the write; optional `sortCols` sort within each output
+    * task (after the partition column) so row groups carry tight min/max
+    * for pushdown pruning.
+    */
+  private[operators] def clusterForPartitionedWrite(df: DataFrame,
+      partCol: String, filesPerPartition: Int = 0,
+      sortCols: Seq[String] = Nil): DataFrame = {
+    val width =
+      if (filesPerPartition > 0) filesPerPartition
+      else df.sparkSession.sparkContext.defaultParallelism
+    val saltSrc = df.columns.filterNot(_ == partCol).map(col).toIndexedSeq
+    require(saltSrc.nonEmpty, s"no non-$partCol columns to salt on")
+    val salt = pmod(xxhash64(saltSrc: _*), lit(width.toLong))
+    val re = df.repartition(col(partCol), salt)
+    if (sortCols.isEmpty) re
+    else re.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+  }
+
   /** Qualified-path inequality for the NEW-path compaction contract: a raw
     * string compare would wave through trailing slashes, `./` prefixes, or
     * double slashes that Spark later resolves to the same live directory.
@@ -666,15 +685,11 @@ object Dedup {
       s"compactSignatureIndex: no $MetaFileName at $path — not a " +
         "writeSignatureIndex artifact")
     val metaTxt = readMetaText(fs, src)
-    val idx = spark.read.parquet(path)
-    val salt = pmod(xxhash64(col(idx.columns.head)), lit(filesPerBand.toLong))
-    // local sort on bh inside each output task: compacted row groups get
-    // TIGHT bh min/max bounds, so the probe's bh IN (…) pushdown keeps
-    // skipping row groups after compaction (without this, id-salt order
-    // gives every row group a near-full-range bh span and the pruning the
-    // index exists for stops working)
-    idx.repartition(col("band"), salt)
-      .sortWithinPartitions(col("band"), col("bh"))
+    // clustered + bh-sorted ([[clusterForPartitionedWrite]]): without the
+    // sort, salt order gives every compacted row group a near-full-range
+    // bh span and the probe's IN pushdown stops skipping anything
+    clusterForPartitionedWrite(spark.read.parquet(path), "band",
+        filesPerPartition = filesPerBand, sortCols = Seq("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(targetPath)
     val out = fs.create(metaPath(targetPath), true)
     try out.write(metaTxt.getBytes("UTF-8")) finally out.close()

@@ -733,20 +733,11 @@ object Similarity {
     * writer's centroids, because it reads them from the artifact.
     */
   def writeSemIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[(Int, Array[Float])], path: String): Unit = {
-    // hash-cluster on (cell, salt) BEFORE the partitioned write: without
-    // it, partitionBy emits one file per (input task × cell) — a
-    // 3200-task corpus × 8 cells wrote ~25k files, and the probe spent
-    // 13× its compute in file opens (SCALE.md "semantic index probe").
-    // The salt keeps the write parallel: files per cell ≤ defaultParallelism.
-    val width = corpus.sparkSession.sparkContext.defaultParallelism
-    val salt = pmod(xxhash64(col(idCol)), lit(width.toLong))
+      centroids: Seq[(Int, Array[Float])], path: String): Unit =
     ivfWriteWithCentroids(
       ivfAssign(corpus.select(col(idCol), col(vecCol)), idCol, vecCol,
-          centroids).drop("cosine")
-        .repartition(col("centroid_id"), salt),
-      centroids, path)
-  }
+        centroids).drop("cosine"),
+      centroids, path) // ivfWrite salt-clusters by cell (small-file guard)
 
   /** Append rows to a [[writeSemIndex]] index (the ingest loop's second
     * half): assignment uses the INDEX'S OWN centroids, `partitionBy` the
@@ -860,12 +851,8 @@ object Similarity {
     val cents = ivfReadCentroids(spark, path)
     require(cents.nonEmpty,
       s"compactSemIndex: empty _centroids at $path — not a writeSemIndex artifact")
-    val idx = spark.read.parquet(path)
-    // hash-cluster on (cell, deterministic salt): each cell's rows land in
-    // at most filesPerCell tasks, so partitionBy emits at most that many
-    // files per cell, while the write stays parallel ACROSS cells
-    val salt = pmod(xxhash64(col(idx.columns.head)), lit(filesPerCell.toLong))
-    idx.repartition(col("centroid_id"), salt)
+    Dedup.clusterForPartitionedWrite(spark.read.parquet(path),
+        "centroid_id", filesPerPartition = filesPerCell)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
     writeCentroids(spark, cents, targetPath)
   }
@@ -1064,20 +1051,14 @@ object Similarity {
     * the step that turns the IVF index from a plan-shape claim into a
     * physical layout.
     *
-    * Hash-clustered on (cell, salt-of-first-column) before the write:
-    * `partitionBy` alone emits one file per (input task × cell) — at a
-    * 3200-task corpus that was ~25k files and a probe 13× file-bound
-    * (SCALE.md "semantic index probe") — while the salt keeps files per
-    * cell ≤ defaultParallelism with the write still parallel. The first
-    * column is the id by every caller's convention; any hashable column
-    * works, it only spreads the salt.
+    * Salt-clustered on the cell before the write
+    * ([[Dedup.clusterForPartitionedWrite]]): `partitionBy` alone emits one
+    * file per (input task × cell) — at a 3200-task corpus that was ~25k
+    * files and a probe 13× file-bound (SCALE.md "semantic index probe").
     */
-  def ivfWrite(assigned: DataFrame, path: String): Unit = {
-    val width = assigned.sparkSession.sparkContext.defaultParallelism
-    val salt = pmod(xxhash64(col(assigned.columns.head)), lit(width.toLong))
-    assigned.repartition(col("centroid_id"), salt)
+  def ivfWrite(assigned: DataFrame, path: String): Unit =
+    Dedup.clusterForPartitionedWrite(assigned, "centroid_id")
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
-  }
 
   /** Read back an [[ivfWrite]]-persisted index for [[ivfSearchTopK]]. */
   def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =

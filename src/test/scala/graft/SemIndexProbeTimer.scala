@@ -57,7 +57,7 @@ object SemIndexProbeTimer {
       val t1 = System.nanoTime()
       (0 until nAppends).foreach { k =>
         Similarity.appendToSemIndex(
-          base.limit(50).select((col("vec_id") + 900000L + k * 1000L).as("vec_id"),
+          base.limit(50).select((col("vec_id") + 900000L + k * 1000000L).as("vec_id"),
             col("embedding")),
           "vec_id", "embedding", idx)
       }
