@@ -700,22 +700,55 @@ object Similarity {
     * `bands` = 0 pairs each cell exactly (quadratic per cell — the paper's
     * cost model, bounded by cell size via k); `bands` > 0 uses star-guarded
     * banded LSH within cells. Returns the surviving input rows.
+    *
+    * `collapseExact` (default ON) runs the pair/CC machinery over DISTINCT
+    * vectors only and expands components back to rows. Exact at `bands` =
+    * 0 and tau < 1 (which the guard enforces): every twin pairs with its
+    * rep at cos = 1 > tau, and identical vectors have identical cosines to
+    * everything else, so the row-level component graph is precisely the
+    * rep-level one with each twin glued to its rep's component — the
+    * survivor arg-max then runs over the expanded ROW set, so a twin with
+    * the best `keepBy` still wins its component. Null-vector rows are
+    * singletons in both modes (cosine undefined — they can never pair).
     */
   def semDedupBy(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], tau: Double, keepBy: Column,
       bands: Int = 0, bitsPerBand: Int = 4,
       hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold,
-      dim: Int = Vectors.Dim): DataFrame = {
+      dim: Int = Vectors.Dim, collapseExact: Boolean = true): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
     requireFreeColumns(corpus, "semDedupBy",
       "rep", "centroid_id", "cosine", "ida", "idb", "__nrm", "__best",
-      "__row")
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
-    val pairs = withinCellPairs(assigned, idCol, vecCol, tau, bands,
-      bitsPerBand, hotBucketThreshold, dim)
-    val reps = Dedup.connectedComponents(pairs, corpus, idCol)
+      "__row", "__gvec", "__gmin", "__grep")
     val cols = corpus.columns.toIndexedSeq
-    corpus.join(reps, Seq(idCol))
+    val rowReps: DataFrame =
+      if (collapseExact) {
+        // same width pin as semDedupFlag's collapse (SCALE.md)
+        val width = corpus.sparkSession.sparkContext.defaultParallelism
+        val groups = corpus.groupBy(col(vecCol).as("__gvec"))
+          .agg(min(col(idCol)).as("__gmin"))
+          .repartition(width)
+        val reps = groups.select(col("__gmin").as(idCol),
+          col("__gvec").as(vecCol))
+        val assigned = ivfAssign(reps, idCol, vecCol, centroids).drop("cosine")
+        val pairs = withinCellPairs(assigned, idCol, vecCol, tau, bands,
+          bitsPerBand, hotBucketThreshold, dim)
+        val repCC = Dedup.connectedComponents(pairs, reps, idCol)
+          .select(col(idCol).as("__gmin"), col("rep").as("__grep"))
+        corpus.join(groups, col(vecCol) <=> col("__gvec"))
+          .join(repCC, Seq("__gmin"))
+          // a null-vector row can never pair: its own component, not the
+          // null GROUP's (the collapse would otherwise merge all nulls)
+          .withColumn("rep",
+            when(col(vecCol).isNull, col(idCol)).otherwise(col("__grep")))
+          .select((cols.map(col) :+ col("rep")): _*)
+      } else {
+        val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
+        val pairs = withinCellPairs(assigned, idCol, vecCol, tau, bands,
+          bitsPerBand, hotBucketThreshold, dim)
+        corpus.join(Dedup.connectedComponents(pairs, corpus, idCol), Seq(idCol))
+      }
+    rowReps
       .groupBy(col("rep"))
       .agg(max_by(struct(cols.map(col): _*),
         struct(keepBy.as("q"), (-col(idCol)).as("negid"))).as("__row"))

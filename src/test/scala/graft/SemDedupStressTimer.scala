@@ -48,6 +48,12 @@ object SemDedupStressTimer {
       val c = time("naive", collapse = false)
       assert(a == c, s"collapsed $a vs naive $c flags diverge")
     }
+    // survivor-policy form (components + arg-max) on the same corpus
+    val t0 = System.nanoTime()
+    val kept = Similarity.semDedupBy(corpus, "vec_id", "embedding", cents,
+        tau = 0.35, keepBy = col("vec_id"))
+      .count()
+    println(f"semDedupBy   kept=$kept%8d  ${(System.nanoTime() - t0) / 1e9}%8.1f s")
     corpus.unpersist()
     spark.stop()
   }

@@ -80,14 +80,17 @@ class SemDedupPropertySpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val comps = rows.map(_._1).groupBy(find)
-      val survivors = Similarity.semDedupBy(df, "id", "vec", cents, tau,
-          keepBy = lit(0), dim = dim)
-        .select("id").collect().map(_.getLong(0)).toSet
-      assert(survivors.size === comps.size,
-        s"trial $trial: one survivor per component")
-      comps.foreach { case (_, members) =>
-        assert(members.count(survivors.contains) === 1,
-          s"trial $trial: component $members needs exactly one survivor")
+      for (collapse <- Seq(true, false)) {
+        val survivors = Similarity.semDedupBy(df, "id", "vec", cents, tau,
+            keepBy = col("id"), dim = dim, collapseExact = collapse)
+          .select("id").collect().map(_.getLong(0)).toSet
+        assert(survivors.size === comps.size,
+          s"trial $trial collapse=$collapse: one survivor per component")
+        comps.foreach { case (_, members) =>
+          // keepBy = id -> the MAX id of each component must be the one kept
+          assert(survivors.contains(members.max),
+            s"trial $trial collapse=$collapse: component $members must keep ${members.max}")
+        }
       }
     }
   }
