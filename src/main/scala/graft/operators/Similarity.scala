@@ -929,6 +929,26 @@ object Similarity {
       }
       .start()
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * `y_j = dot(x, r_j) / sqrt(outDim)` with the deterministic ±1
+    * hyperplanes the LSH machinery already uses (Achlioptas'01 sign
+    * matrices satisfy the JL lemma) — so E[‖y‖²] = ‖x‖² and pairwise
+    * distances distort by ~1/√outDim. Pure map-side (the matrix is
+    * `outDim` literal arrays unrolled into codegen'd [[dot]] folds — no
+    * shuffle, no UDF); the standard cheap prefilter ahead of exact
+    * distances: project 64→16 and a brute-force scan reads/multiplies 4×
+    * less, re-ranking survivors at full precision.
+    */
+  def projectJL(vecCol: Column, outDim: Int,
+      dim: Int = Vectors.Dim): Column = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val scale = math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      dot(vecCol, array(Vectors.hyperplane(j, dim)
+        .toIndexedSeq.map(lit(_)): _*)) / scale
+    }: _*)
+  }
+
   /** Int8 symmetric quantization of a float-vector column: per row,
     * `q_scale = 127 / max|x|` and `q_vec(i) = ⌊x_i·scale + 0.5⌋ ∈
     * [−127, 127]` (an all-zero vector quantizes to zeros with scale 0).

@@ -586,11 +586,34 @@ object VectorQueries {
         Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** Johnson–Lindenstrauss projection to 8 dims
+    * ([[graft.operators.Similarity.projectJL]], Achlioptas ±1 sign matrix
+    * over the deterministic hyperplanes): flat (vec_id, dim_j, value)
+    * output so the oracle value-checks every projected coordinate against
+    * the identical double fold over the same ±1 literals.
+    */
+  val qEmbedProject = q(
+    "q_embed_project", {
+      (0 until 8).map { j =>
+        val lits = Vectors.hyperplane(j, Vectors.Dim)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        val d = s"list_sum(list_transform(range(1, ${Vectors.Dim + 1}), " +
+          s"i -> embedding[i]::DOUBLE * ([$lits])[i]))"
+        s"SELECT vec_id, $j AS dim_j, ${Exact.quantSql(s"($d) / sqrt(8.0)", 10000)} AS v_e4 FROM embeddings"
+      }.mkString(" UNION ALL ")
+    }) { (s, d) =>
+    Tables.embeddingsBalanced(s, d)
+      .select(col("vec_id"),
+        posexplode(graft.operators.Similarity.projectJL(col("embedding"), 8)))
+      .select(col("vec_id"), col("pos").as("dim_j"),
+        Exact.quant(col("col"), 10000).as("v_e4"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
-    qSemDedup, qSemDedupBest, qSemDedupIncremental)
+    qSemDedup, qSemDedupBest, qSemDedupIncremental, qEmbedProject)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

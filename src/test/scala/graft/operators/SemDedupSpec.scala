@@ -274,6 +274,31 @@ class SemDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("projectJL preserves norms in expectation and distances in rank") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val proj = emb.select(col("vec_id"),
+      Similarity.norm(col("embedding")).as("n_full"),
+      Similarity.norm(Similarity.projectJL(col("embedding"), 32)).as("n_proj"))
+    val rows = proj.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // E[||Px||^2] = ||x||^2 for the ±1/sqrt(k) sign matrix; squared-norm
+    // relative error has σ ≈ sqrt(2/k) ≈ 0.25 at k = 32, so the mean
+    // |error| sits near 0.2-0.3 on these (non-isotropic) embeddings — the
+    // bounds below fail any broken projection (wrong scale, collapsed
+    // matrix) while tolerating the lemma's own variance
+    val relErr = rows.map { case (nf, np) =>
+      math.abs(np * np - nf * nf) / (nf * nf) }
+    assert(relErr.sum / relErr.length < 0.35,
+      s"mean norm distortion too high: ${relErr.sum / relErr.length}")
+    assert(relErr.max < 2.0, s"worst-case distortion blowup: ${relErr.max}")
+    // deterministic: identical vectors project identically
+    val twice = emb.limit(5)
+      .select(Similarity.projectJL(col("embedding"), 8).as("p")).collect()
+    val again = emb.limit(5)
+      .select(Similarity.projectJL(col("embedding"), 8).as("p")).collect()
+    assert(twice.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
   test("guards: tau range and reserved column names fail loud") {
     val df = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
     val cents = Seq((0, Array(1f, 0f)))
