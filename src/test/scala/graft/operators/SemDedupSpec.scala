@@ -299,6 +299,30 @@ class SemDedupSpec extends SparkSpec {
     assert(twice.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("bruteForceTopKProjected: full overfetch equals exact; small prefilter keeps recall") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    val queryVec = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        queryVec, 10)
+      .collect().map(_.getLong(0)).toSet
+    // candidate set >= corpus: the prefilter is a no-op, results identical
+    val full = Similarity.bruteForceTopKProjected(corpus, "vec_id",
+        "embedding", queryVec, k = 10, outDim = 8, overfetch = 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact)
+    // the real prefilter (16 dims, 16x overfetch — these near-random
+    // synthetic embeddings are the JL worst case; measured 10/10 here,
+    // floor left loose for testdata regeneration) keeps the true top-10
+    val pre = Similarity.bruteForceTopKProjected(corpus, "vec_id",
+        "embedding", queryVec, k = 10, outDim = 16, overfetch = 16)
+      .collect().map(_.getLong(0)).toSet
+    assert(pre.intersect(exact).size >= 7,
+      s"projected prefilter recall too low: ${pre.intersect(exact).size}/10")
+  }
+
   test("guards: tau range and reserved column names fail loud") {
     val df = Seq((1L, Array(1f, 0f))).toDF("id", "vec")
     val cents = Seq((0, Array(1f, 0f)))
