@@ -960,20 +960,29 @@ object Similarity {
     * on [[bruteForceTopK]]. Plan shape: scan → project → TakeOrdered
     * (k × overfetch) → exact re-rank of a driver-bounded candidate set —
     * the corpus never shuffles.
+    *
+    * COST HONESTY: projecting inside the query scan costs outDim × dim
+    * multiplies per row — MORE than the single exact cosine it avoids. The
+    * prefilter pays only when the projection is computed ONCE and scanned
+    * narrow across many queries: materialize `projectJL(vec)` as a column
+    * (one corpus pass, outDim/dim the storage), then pass its name as
+    * `projCol` — each query's coarse stage reads outDim doubles per row
+    * instead of dim floats and does outDim multiplies. The default (null
+    * `projCol`) projects inline, correct but only sensible for one-off
+    * calls and tests.
     */
   def bruteForceTopKProjected(corpus: DataFrame, idCol: String,
       vecCol: String, queryVec: Array[Float], k: Int,
       outDim: Int = 8, overfetch: Int = 4,
-      dim: Int = Vectors.Dim): DataFrame = {
+      dim: Int = Vectors.Dim, projCol: String = null): DataFrame = {
     require(k >= 1 && overfetch >= 1,
       s"need k >= 1 and overfetch >= 1, got k=$k overfetch=$overfetch")
     val q = array(queryVec.toIndexedSeq.map(lit(_)): _*)
     val qp = projectJL(q, outDim, dim)
+    val p = if (projCol != null) col(projCol)
+      else projectJL(col(vecCol), outDim, dim)
     val cand = corpus
-      .withColumn("__pcos", {
-        val p = projectJL(col(vecCol), outDim, dim)
-        dot(p, qp) / (norm(p) * norm(qp))
-      })
+      .withColumn("__pcos", dot(p, qp) / (norm(p) * norm(qp)))
       .orderBy(col("__pcos").desc, col(idCol))
       .limit(k * overfetch)
     cand

@@ -321,6 +321,15 @@ class SemDedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(pre.intersect(exact).size >= 7,
       s"projected prefilter recall too low: ${pre.intersect(exact).size}/10")
+    // the serving shape: projection MATERIALIZED once, passed as projCol —
+    // identical results to the inline form (same folds, just precomputed)
+    val materialized = corpus.withColumn("proj",
+      Similarity.projectJL(col("embedding"), 16))
+    val served = Similarity.bruteForceTopKProjected(materialized, "vec_id",
+        "embedding", queryVec, k = 10, outDim = 16, overfetch = 16,
+        projCol = "proj")
+      .collect().map(_.getLong(0)).toSet
+    assert(served === pre)
   }
 
   test("guards: tau range and reserved column names fail loud") {
