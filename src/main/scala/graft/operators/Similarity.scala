@@ -599,34 +599,20 @@ object Similarity {
       "centroid_id", "is_semdup", "cosine", "__rm", "__gmin", "__gvec",
       "__nrm", "__best")
     if (collapseExact) {
-      // one shuffle on the vector itself (array equality = content
-      // identity, no hash-collision risk), then the rep-level flag fans
-      // back out through a second join on the same key — null-safe (<=>),
-      // so null-vector rows round-trip like any other group instead of
-      // silently dropping out of the inner join.
-      // the respread is load-bearing: the collapse's small aggregate output
-      // lets AQE coalesce its exchange well below cluster width, and the
-      // downstream per-rep centroid fold (k dots/row — the expensive stage
-      // at a real k) would inherit that width. REPARTITION_BY_NUM is exempt
-      // from coalescing (same lesson as SpanDedup's gram legs, SCALE.md).
-      val width = corpus.sparkSession.sparkContext.defaultParallelism
-      val reps = corpus.groupBy(col(vecCol).as("__gvec"))
-        .agg(min(col(idCol)).as("__gmin"))
-        .repartition(width)
       val repFlag = semDedupFlag(
-          reps.select(col("__gmin").as(idCol), col("__gvec").as(vecCol)),
+          distinctVectorGroups(corpus, idCol, vecCol)
+            .select(col("__gmin").as(idCol), col("__gvec").as(vecCol)),
           idCol, vecCol, centroids, tau, bands, bitsPerBand,
           hotBucketThreshold, dim, collapseExact = false)
         .select(col(vecCol).as("__gvec"), col(idCol).as("__gmin"),
           col("centroid_id"), col("is_semdup").as("__repdup"))
-      // null vectors are never semantic duplicates (cosine is undefined,
-      // so the naive path can't pair them either — they assign to cell -1
-      // and every pair filter evaluates null): exclude them from the
-      // twin-domination flag too, keeping the two modes row-for-row equal
+      // unpairable vectors (null, or any null ELEMENT — the dot is null
+      // either way, so the naive path can never pair them) are excluded
+      // from twin domination, keeping the two modes row-for-row equal
       return corpus.join(repFlag, col(vecCol) <=> col("__gvec"))
         .withColumn("is_semdup",
           col("__repdup") ||
-            (col(idCol) =!= col("__gmin") && col(vecCol).isNotNull))
+            (col(idCol) =!= col("__gmin") && !unpairableVec(col(vecCol))))
         .drop("__gvec", "__gmin", "__repdup")
     }
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
@@ -644,6 +630,30 @@ object Similarity {
       require(!df.columns.contains(c),
         s"$op: input already has a $c column; rename it first")
     }
+
+  /** A vector the pair machinery can never match: whole-array null or any
+    * null ELEMENT — [[dot]] returns null either way, so every cosine
+    * comparison drops it. The collapse paths must treat such rows as
+    * singletons even when the grouping key considers them equal (array
+    * grouping compares null elements as equal).
+    */
+  private def unpairableVec(v: Column): Column =
+    when(v.isNull, lit(true)).otherwise(exists(v, _.isNull))
+
+  /** Shared distinct-vector scaffolding of the collapse paths: one shuffle
+    * on the vector itself (array equality = content identity, no
+    * hash-collision risk) → `(__gvec, __gmin)`. The respread is
+    * load-bearing: the collapse's small aggregate output lets AQE coalesce
+    * its exchange well below cluster width, and the downstream per-rep
+    * centroid fold (k dots/row — the expensive stage at a real k) would
+    * inherit that width; REPARTITION_BY_NUM is exempt from coalescing
+    * (same lesson as SpanDedup's gram legs, SCALE.md).
+    */
+  private def distinctVectorGroups(corpus: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    corpus.groupBy(col(vecCol).as("__gvec"))
+      .agg(min(col(idCol)).as("__gmin"))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
 
   /** Shared within-cell candidate+verify stage of the SemDeDup family:
     * `(ida, idb)` with ida < idb, cosine > tau, same cell. `bands` = 0 =
@@ -708,8 +718,9 @@ object Similarity {
     * everything else, so the row-level component graph is precisely the
     * rep-level one with each twin glued to its rep's component — the
     * survivor arg-max then runs over the expanded ROW set, so a twin with
-    * the best `keepBy` still wins its component. Null-vector rows are
-    * singletons in both modes (cosine undefined — they can never pair).
+    * the best `keepBy` still wins its component. Vectors that are null or
+    * carry a null ELEMENT are singletons in both modes (the dot, and so
+    * every cosine, is null — they can never pair).
     */
   def semDedupBy(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], tau: Double, keepBy: Column,
@@ -723,11 +734,7 @@ object Similarity {
     val cols = corpus.columns.toIndexedSeq
     val rowReps: DataFrame =
       if (collapseExact) {
-        // same width pin as semDedupFlag's collapse (SCALE.md)
-        val width = corpus.sparkSession.sparkContext.defaultParallelism
-        val groups = corpus.groupBy(col(vecCol).as("__gvec"))
-          .agg(min(col(idCol)).as("__gmin"))
-          .repartition(width)
+        val groups = distinctVectorGroups(corpus, idCol, vecCol)
         val reps = groups.select(col("__gmin").as(idCol),
           col("__gvec").as(vecCol))
         val assigned = ivfAssign(reps, idCol, vecCol, centroids).drop("cosine")
@@ -737,10 +744,12 @@ object Similarity {
           .select(col(idCol).as("__gmin"), col("rep").as("__grep"))
         corpus.join(groups, col(vecCol) <=> col("__gvec"))
           .join(repCC, Seq("__gmin"))
-          // a null-vector row can never pair: its own component, not the
-          // null GROUP's (the collapse would otherwise merge all nulls)
+          // an unpairable row (null vector OR any null element — the dot is
+          // null either way) can never pair in the naive path: its own
+          // component, not its content group's
           .withColumn("rep",
-            when(col(vecCol).isNull, col(idCol)).otherwise(col("__grep")))
+            when(unpairableVec(col(vecCol)), col(idCol))
+              .otherwise(col("__grep")))
           .select((cols.map(col) :+ col("rep")): _*)
       } else {
         val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
@@ -977,6 +986,18 @@ object Similarity {
       dim: Int = Vectors.Dim, projCol: String = null): DataFrame = {
     require(k >= 1 && overfetch >= 1,
       s"need k >= 1 and overfetch >= 1, got k=$k overfetch=$overfetch")
+    if (projCol != null) {
+      // fail loud on a width mismatch: FloatVecDot would return null for
+      // every row and the "candidate set" would silently become the
+      // k×overfetch lowest ids regardless of similarity
+      corpus.select(size(col(projCol))).limit(1).collect().headOption
+        .foreach { r =>
+          require(r.getInt(0) == outDim,
+            s"projCol '$projCol' holds ${r.getInt(0)}-dim projections but " +
+              s"outDim=$outDim — pass the outDim the column was " +
+              "materialized with")
+        }
+    }
     val q = array(queryVec.toIndexedSeq.map(lit(_)): _*)
     val qp = projectJL(q, outDim, dim)
     val p = if (projCol != null) col(projCol)

@@ -617,7 +617,7 @@ object VectorQueries {
     * than a clustered real corpus would need; recall measured 10/10 at
     * sf0.001 with these settings vs 2/10 at 8-dim/4x.) The
     * oracle mirrors both stages bit-for-bit: the projected coordinates are
-    * the same ±1-literal double folds (division by √8 included), the
+    * the same ±1-literal double folds (division by √16 included), the
     * projected cosine the same left-associated 8-term sum, candidate and
     * final ties broken by vec_id.
     */

@@ -131,6 +131,32 @@ class SemDedupSpec extends SparkSpec {
     assert(c === Map(1L -> (0, false), 2L -> (-1, false), 3L -> (-1, false)))
   }
 
+  test("null-ELEMENT vectors are singletons in both modes and both forms") {
+    // two rows with IDENTICAL null-bearing arrays: array grouping treats
+    // null elements as equal, so the collapse would otherwise glue them
+    // into one group and drop a row the naive path keeps (the dot — and so
+    // every cosine — is null; they can never pair)
+    // build the null-element rows through SQL to get true nulls in the array
+    val withNulls = spark.sql(
+      "SELECT * FROM VALUES " +
+        "(1L, array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), " +
+        "(2L, array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))), " +
+        "(3L, array(CAST(NULL AS FLOAT), CAST(1.0 AS FLOAT))) " +
+        "AS t(id, vec)")
+    val cents = Seq((0, Array(1f, 0f)))
+    def run(collapse: Boolean, by: Boolean): Set[Long] =
+      (if (by)
+        Similarity.semDedupBy(withNulls, "id", "vec", cents, tau = 0.5,
+          keepBy = col("id"), collapseExact = collapse)
+      else
+        Similarity.semDedup(withNulls, "id", "vec", cents, tau = 0.5,
+          collapseExact = collapse))
+        .select("id").collect().map(_.getLong(0)).toSet
+    for (by <- Seq(false, true); collapse <- Seq(true, false))
+      assert(run(collapse, by) === Set(1L, 2L, 3L),
+        s"by=$by collapse=$collapse must keep all three rows")
+  }
+
   test("semantic index: probe prunes to batch cells, append catches batch-2 dups") {
     val idx = tempDir("graft_semidx_spec") + "/idx"
     // two far-apart cells; corpus has one member in each
@@ -292,9 +318,9 @@ class SemDedupSpec extends SparkSpec {
       s"mean norm distortion too high: ${relErr.sum / relErr.length}")
     assert(relErr.max < 2.0, s"worst-case distortion blowup: ${relErr.max}")
     // deterministic: identical vectors project identically
-    val twice = emb.limit(5)
+    val twice = emb.orderBy("vec_id").limit(5)
       .select(Similarity.projectJL(col("embedding"), 8).as("p")).collect()
-    val again = emb.limit(5)
+    val again = emb.orderBy("vec_id").limit(5)
       .select(Similarity.projectJL(col("embedding"), 8).as("p")).collect()
     assert(twice.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
