@@ -653,12 +653,61 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** TWO-BATCH sequential semantic ingest
+    * ([[graft.operators.Similarity.appendToSemIndex]]): the corpus
+    * (vec_id % 7 ≥ 2) is indexed; batch 1 (vec_id % 7 = 1) is cleaned
+    * against it and its CLEAN vectors APPENDED; batch 2 (vec_id % 7 = 0)
+    * then probes the grown index — a batch-2 vector whose only near-dup
+    * arrived in batch 1 is caught without any corpus rewrite. The oracle
+    * recomputes both probe legs: batch-1 flags, the surviving index
+    * membership, then batch 2's matches against it.
+    */
+  val qSemDedupIncremental2 = q(
+    "q_semdedup_incremental2", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      val cosNB = s"${dotSql("n.embedding", "b.embedding")} / (${normSql("n.embedding")} * ${normSql("b.embedding")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "assigned AS (SELECT vec_id, embedding, cid FROM (" +
+        s"SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id >= 8) WHERE rn = 1), " +
+        "flag1 AS (SELECT DISTINCT n.vec_id FROM assigned n JOIN assigned b " +
+        "ON n.cid = b.cid AND n.vec_id % 7 = 1 AND b.vec_id % 7 NOT IN (0, 1) " +
+        s"WHERE $cosNB > 0.35), " +
+        "idx AS (SELECT vec_id FROM assigned WHERE vec_id % 7 NOT IN (0, 1) " +
+        "UNION ALL SELECT vec_id FROM assigned WHERE vec_id % 7 = 1 " +
+        "AND vec_id NOT IN (SELECT vec_id FROM flag1)) " +
+        s"SELECT n.vec_id, b.vec_id AS corpus_id, ${Exact.quantSql(cosNB, 10000)} AS cos_e4 " +
+        "FROM assigned n JOIN assigned b ON n.cid = b.cid " +
+        "JOIN idx ON idx.vec_id = b.vec_id " +
+        s"WHERE n.vec_id % 7 = 0 AND $cosNB > 0.35"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val corpus = emb.filter(col("vec_id") >= 8 && col("vec_id") % 7 >= 2)
+      .select("vec_id", "embedding")
+    val batch1 = emb.filter(col("vec_id") >= 8 && col("vec_id") % 7 === 1)
+      .select("vec_id", "embedding")
+    val batch2 = emb.filter(col("vec_id") >= 8 && col("vec_id") % 7 === 0)
+      .select("vec_id", "embedding")
+    val idx = TextQueries.scratchDir("graft_semidx2", d)
+    graft.operators.Similarity.writeSemIndex(corpus, "vec_id", "embedding",
+      cents, idx)
+    val clean1 = graft.operators.Similarity.cleanSemAgainstIndex(
+      batch1, "vec_id", "embedding", idx, tau = 0.35)
+    graft.operators.Similarity.appendToSemIndex(clean1, "vec_id", "embedding", idx)
+    graft.operators.Similarity
+      .semDedupAgainstIndex(batch2, "vec_id", "embedding", idx, tau = 0.35)
+      .select(col("vec_id"), col("corpus_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
-    qSemDedup, qSemDedupBest, qSemDedupIncremental, qEmbedProject,
-    qAnnProjected)
+    qSemDedup, qSemDedupBest, qSemDedupIncremental, qSemDedupIncremental2,
+    qEmbedProject, qAnnProjected)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */
