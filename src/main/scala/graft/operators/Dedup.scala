@@ -656,9 +656,12 @@ object Dedup {
     else re.sortWithinPartitions((partCol +: sortCols).map(col): _*)
   }
 
-  /** Qualified-path inequality for the NEW-path compaction contract: a raw
+  /** Qualified-path disjointness for the NEW-path compaction contract: a raw
     * string compare would wave through trailing slashes, `./` prefixes, or
-    * double slashes that Spark later resolves to the same live directory.
+    * double slashes that Spark later resolves to the same live directory —
+    * and equality alone would wave through a target NESTED inside the live
+    * index (`path + "/compacted"`), whose files would then pollute the
+    * source's recursive partition discovery for every later probe.
     */
   private[operators] def requireDistinctPaths(
       spark: org.apache.spark.sql.SparkSession,
@@ -668,9 +671,22 @@ object Dedup {
       val hp = new org.apache.hadoop.fs.Path(p)
       hp.getFileSystem(conf).makeQualified(hp)
     }
-    require(qualified(targetPath) != qualified(path),
-      s"$op writes a NEW index; in-place compaction would race concurrent " +
-        "probes — compact to a fresh path and swap it into service")
+    val src = qualified(path)
+    val dst = qualified(targetPath)
+    def contains(outer: org.apache.hadoop.fs.Path,
+        inner: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = inner
+      while (p != null) {
+        if (p == outer) return true
+        p = p.getParent
+      }
+      false
+    }
+    require(!contains(src, dst) && !contains(dst, src),
+      s"$op writes a NEW index; a target equal to or nested with the live " +
+        s"index ($src vs $dst) would race concurrent probes or corrupt its " +
+        "partition discovery — compact to a disjoint path and swap it into " +
+        "service")
   }
 
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,

@@ -110,7 +110,10 @@ object Packing {
     * `groupCol` feeding both the running-sum window and the per-sequence
     * aggregate (the groupBy keys are a prefix-extension of the window
     * partitioning, so no second exchange); `sort_array` orders boundaries
-    * without a sort step — offsets are unique within a sequence.
+    * without a sort step. Ordering is by the full `(off, id)` struct: a
+    * zero-token document shares its `off` with the following document, so
+    * offsets alone are NOT unique — the `id` field breaks the tie and
+    * keeps the output deterministic.
     */
   def packedBoundaries(df: DataFrame, idCol: String, groupCol: String,
       tokensCol: String, tokenBudget: Long): DataFrame =

@@ -15,7 +15,18 @@ object Similarity {
 
   def dot(a: Column, b: Column): Column = VectorQueries.dotCol(a, b)
   def norm(a: Column): Column = VectorQueries.normCol(a)
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosDiv(dot(a, b), norm(a) * norm(b))
+
+  /** Cosine's division, null on a zero denominator: a zero-norm (all-zero)
+    * vector would otherwise make 0/0, which under ANSI mode (the Spark 4
+    * default) is not NaN but a hard DIVIDE_BY_ZERO that kills the whole
+    * job — one all-zero embedding in a 100 TB corpus must degrade to "this
+    * row pairs with nothing" (null, the same convention as null vectors),
+    * never to a failed stage. Every cosine site must divide through this.
+    */
+  private def cosDiv(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
 
   /** Exact top-k by cosine against one query vector (broadcast single row). */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
@@ -229,8 +240,8 @@ object Similarity {
       centArr,
       struct(lit(-1).as("cid"), lit(-2.0).as("cos")),
       (acc, c) => {
-        val cs = dot(col(vecCol), c.getField("cvec")) /
-          (col("__nrm") * norm(c.getField("cvec")))
+        val cs = cosDiv(dot(col(vecCol), c.getField("cvec")),
+          col("__nrm") * norm(c.getField("cvec")))
         when(cs > acc.getField("cos"),
           struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
       })
@@ -330,7 +341,7 @@ object Similarity {
     // tie -> lowest cid — the ivfSearchTopK probe rule
     val cellScores = array(centroids.sortBy(_._1).map { case (cid, v) =>
       val cvec = array(v.toIndexedSeq.map(lit(_)): _*)
-      struct((-(dot(col(qVecCol), cvec) / (norm(col(qVecCol)) * norm(cvec))))
+      struct((-cosDiv(dot(col(qVecCol), cvec), norm(col(qVecCol)) * norm(cvec)))
         .as("negcos"), lit(cid).as("cid"))
     }: _*)
     val qs = queries
@@ -534,11 +545,22 @@ object Similarity {
     val v = e.select(col(idCol), col(vecCol), col("__nrm"))
     cand.join(v.as("a"), col(s"a.$idCol") === col("ida"))
       .join(v.as("b"), col(s"b.$idCol") === col("idb"))
-      .withColumn("cosine", dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-        (col("a.__nrm") * col("b.__nrm")))
-      .filter(col("cosine") > minCosine)
+      .withColumn("cosine", cosDiv(dot(col(s"a.$vecCol"), col(s"b.$vecCol")),
+        col("a.__nrm") * col("b.__nrm")))
+      .filter(exceedsTau(col("cosine"), minCosine))
       .select(col("ida"), col("idb"), col("cosine"))
   }
+
+  /** NaN-safe similarity threshold. Zero-norm cosines are already null via
+    * [[cosDiv]] (and null > tau = null, which filters drop), but NaN can
+    * still arrive through overflow shapes (inf/inf), and Spark's comparison
+    * semantics order NaN ABOVE every double — a bare `cosine > tau` would
+    * call such a pair a near-duplicate where the Java/driver-side
+    * brute-force reference (NaN > tau = false) treats it as unpairable.
+    * Every pair/match verify site must use this guard.
+    */
+  private def exceedsTau(cos: Column, tau: Double): Column =
+    cos > tau && !isnan(cos)
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     * scoped to clusters. Every row is assigned to its nearest centroid
@@ -606,9 +628,10 @@ object Similarity {
           hotBucketThreshold, dim, collapseExact = false)
         .select(col(vecCol).as("__gvec"), col(idCol).as("__gmin"),
           col("centroid_id"), col("is_semdup").as("__repdup"))
-      // unpairable vectors (null, or any null ELEMENT — the dot is null
-      // either way, so the naive path can never pair them) are excluded
-      // from twin domination, keeping the two modes row-for-row equal
+      // unpairable vectors (null, any null ELEMENT, or all-zero — the
+      // cosine is null or NaN, so the naive path can never pair them) are
+      // excluded from twin domination, keeping the two modes row-for-row
+      // equal
       return corpus.join(repFlag, col(vecCol) <=> col("__gvec"))
         .withColumn("is_semdup",
           col("__repdup") ||
@@ -631,14 +654,19 @@ object Similarity {
         s"$op: input already has a $c column; rename it first")
     }
 
-  /** A vector the pair machinery can never match: whole-array null or any
-    * null ELEMENT — [[dot]] returns null either way, so every cosine
-    * comparison drops it. The collapse paths must treat such rows as
+  /** A vector the pair machinery can never match: whole-array null, any
+    * null ELEMENT ([[dot]] returns null either way, so every cosine
+    * comparison drops it), or ALL-ZERO (cosine = 0/0 = NaN, which
+    * [[exceedsTau]] rejects). The collapse paths must treat such rows as
     * singletons even when the grouping key considers them equal (array
-    * grouping compares null elements as equal).
+    * grouping compares null elements as equal) — otherwise a twin of a
+    * zero-vector rep would be flagged via the identical-⇒-cos-1 twin rule
+    * that simply does not hold at norm 0, and the collapsed and naive
+    * modes would diverge.
     */
   private def unpairableVec(v: Column): Column =
-    when(v.isNull, lit(true)).otherwise(exists(v, _.isNull))
+    when(v.isNull, lit(true))
+      .otherwise(exists(v, _.isNull) || forall(v, _ === lit(0.0f)))
 
   /** Shared distinct-vector scaffolding of the collapse paths: one shuffle
     * on the vector itself (array equality = content identity, no
@@ -670,8 +698,9 @@ object Similarity {
       e.as("a").join(e.as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
             col(s"a.$idCol") < col(s"b.$idCol"))
-        .filter(dot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
-          (col("a.__nrm") * col("b.__nrm")) > tau)
+        .filter(exceedsTau(
+          cosDiv(dot(col(s"a.$vecCol"), col(s"b.$vecCol")),
+            col("a.__nrm") * col("b.__nrm")), tau))
         .select(col(s"a.$idCol").as("ida"), col(s"b.$idCol").as("idb"))
     } else {
       nearDupPairs(assigned, idCol, vecCol, tau,
@@ -718,9 +747,10 @@ object Similarity {
     * everything else, so the row-level component graph is precisely the
     * rep-level one with each twin glued to its rep's component — the
     * survivor arg-max then runs over the expanded ROW set, so a twin with
-    * the best `keepBy` still wins its component. Vectors that are null or
-    * carry a null ELEMENT are singletons in both modes (the dot, and so
-    * every cosine, is null — they can never pair).
+    * the best `keepBy` still wins its component. Vectors that are null,
+    * carry a null ELEMENT, or are all-zero are singletons in both modes
+    * (the cosine is null or NaN — they can never pair; see
+    * [[unpairableVec]]/[[exceedsTau]]).
     */
   def semDedupBy(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])], tau: Double, keepBy: Column,
@@ -751,6 +781,8 @@ object Similarity {
             when(unpairableVec(col(vecCol)), col(idCol))
               .otherwise(col("__grep")))
           .select((cols.map(col) :+ col("rep")): _*)
+        // (unpairableVec also covers all-zero vectors: their pair cosine is
+        // NaN, which exceedsTau rejects in the naive path)
       } else {
         val assigned = ivfAssign(corpus, idCol, vecCol, centroids).drop("cosine")
         val pairs = withinCellPairs(assigned, idCol, vecCol, tau, bands,
@@ -850,11 +882,16 @@ object Similarity {
       .join(broadcast(assigned.as("n")),
         col("n.centroid_id") === col("c.centroid_id"))
       .filter(col(s"n.$idCol") =!= col(s"c.$idCol"))
-      .withColumn("cosine", dot(col(s"n.$vecCol"), col(s"c.$vecCol")) /
-        (col("n.__nn") * col("c.__nc")))
-      .filter(col("cosine") > tau)
+      .withColumn("cosine", cosDiv(dot(col(s"n.$vecCol"), col(s"c.$vecCol")),
+        col("n.__nn") * col("c.__nc")))
+      .filter(exceedsTau(col("cosine"), tau))
       .select(col(s"n.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
         col("cosine"))
+      // replayed appends can leave duplicate rows in the index; without a
+      // distinct they surface as duplicate (id, corpus_id) matches (cosine
+      // is a function of the vectors, so the full-row distinct dedups the
+      // pair exactly)
+      .distinct()
   }
 
   /** [[semDedupAgainstIndex]] keep-side filter: the batch with
@@ -990,7 +1027,12 @@ object Similarity {
       // fail loud on a width mismatch: FloatVecDot would return null for
       // every row and the "candidate set" would silently become the
       // k×overfetch lowest ids regardless of similarity
-      corpus.select(size(col(projCol))).limit(1).collect().headOption
+      // sample a NON-NULL projection: size(null) is null and getInt would
+      // throw an opaque NPE instead of the descriptive message (an
+      // all-null column sails through — FloatVecDot nulls are the
+      // documented behavior for null rows)
+      corpus.filter(col(projCol).isNotNull)
+        .select(size(col(projCol))).limit(1).collect().headOption
         .foreach { r =>
           require(r.getInt(0) == outDim,
             s"projCol '$projCol' holds ${r.getInt(0)}-dim projections but " +
@@ -1003,11 +1045,11 @@ object Similarity {
     val p = if (projCol != null) col(projCol)
       else projectJL(col(vecCol), outDim, dim)
     val cand = corpus
-      .withColumn("__pcos", dot(p, qp) / (norm(p) * norm(qp)))
+      .withColumn("__pcos", cosDiv(dot(p, qp), norm(p) * norm(qp)))
       .orderBy(col("__pcos").desc, col(idCol))
       .limit(k * overfetch)
     cand
-      .withColumn("cosine", dot(col(vecCol), q) / (norm(col(vecCol)) * norm(q)))
+      .withColumn("cosine", cosDiv(dot(col(vecCol), q), norm(col(vecCol)) * norm(q)))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
       .select(col(idCol), col("cosine"))

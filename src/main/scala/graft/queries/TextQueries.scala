@@ -709,13 +709,20 @@ object TextQueries {
       .select("doc_id", "n_chars")
   }
 
-  /** Survivor set of fingerprint dedup through `operators.Dedup.byFingerprint`. */
+  /** Survivor set of fingerprint dedup through `operators.Dedup.byFingerprint`.
+    *
+    * Deliberately NOT `documentsBalanced`: byFingerprint is one groupBy —
+    * its own exchange already redistributes, and the map-side fingerprint
+    * compute is too cheap at this scale to pay a full-corpus pre-shuffle
+    * for (measured r9: the balance cost 628→1448 ms). On a real cluster
+    * the scan has many splits and the question never arises.
+    */
   val qDedupFpSurvivors = q(
     "q_dedup_fp_survivors",
     "SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY " +
       s"md5(array_to_string(list_sort(list_distinct($tokensSql)), ' ')) " +
       "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1") { (s, d) =>
-    graft.operators.Dedup.byFingerprint(Tables.documentsBalanced(s, d), "doc_id", "text")
+    graft.operators.Dedup.byFingerprint(Tables.documents(s, d), "doc_id", "text")
       .select("doc_id")
   }
 

@@ -485,6 +485,15 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.compactSignatureIndex(spark, idx, idx)
     }
+    // nesting is as corrupting as equality: a target INSIDE the live index
+    // would pollute its partition discovery; a target that CONTAINS it
+    // would let the compaction scoop up its own output
+    intercept[IllegalArgumentException] {
+      Dedup.compactSignatureIndex(spark, idx, idx + "/compacted")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.compactSignatureIndex(spark, idx + "/./band=0", idx)
+    }
   }
 
   test("signature-index banding metadata fails loud on mismatch") {

@@ -42,9 +42,13 @@ class SemDedupPropertySpec extends SparkSpec {
       val tau = 0.3 + rnd.nextDouble() * 0.5
       val cents = (0 until k).map(c =>
         c -> Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f))
-      // duplicate-heavy: draw from a small pool so exact twins occur
+      // duplicate-heavy: draw from a small pool so exact twins occur; the
+      // pool always contains the ZERO vector, so zero-norm twins (cosine
+      // 0/0 = NaN — Java says unpairable, Spark's NaN-is-largest ordering
+      // would say duplicate without the exceedsTau guard) are exercised
       val pool = Seq.fill(3 + rnd.nextInt(5))(
-        Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f))
+        Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)) :+
+        Array.fill(dim)(0f)
       val rows = (0 until n).map { i =>
         val v = if (rnd.nextBoolean()) pool(rnd.nextInt(pool.size))
           else Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f)

@@ -157,6 +157,36 @@ class SemDedupSpec extends SparkSpec {
         s"by=$by collapse=$collapse must keep all three rows")
   }
 
+  test("zero-norm vectors are singletons in both modes and both forms") {
+    // two IDENTICAL all-zero rows: cosine = 0/0 = NaN, and Spark's
+    // NaN-is-largest comparison would call NaN > tau TRUE — the exceedsTau
+    // guard plus unpairableVec's zero-norm clause must keep them
+    // unpairable (Java/driver-side semantics: NaN > tau is false), in the
+    // naive path AND under the collapse's twin-domination rule
+    val df = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(0f, 0f)),
+      (3L, Array(0f, 0f))
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(1f, 0f)))
+    def run(collapse: Boolean, by: Boolean): Set[Long] =
+      (if (by)
+        Similarity.semDedupBy(df, "id", "vec", cents, tau = 0.5,
+          keepBy = col("id"), collapseExact = collapse)
+      else
+        Similarity.semDedup(df, "id", "vec", cents, tau = 0.5,
+          collapseExact = collapse))
+        .select("id").collect().map(_.getLong(0)).toSet
+    for (by <- Seq(false, true); collapse <- Seq(true, false))
+      assert(run(collapse, by) === Set(1L, 2L, 3L),
+        s"by=$by collapse=$collapse must keep all three rows")
+    // and the pair scan itself emits nothing for zero vectors
+    val pairs = Similarity.nearDupPairs(df, "id", "vec", minCosine = 0.5,
+      bands = 2, bitsPerBand = 2, dim = 2)
+    assert(pairs.collect().isEmpty,
+      "zero vectors hash to one LSH bucket but must not verify as pairs")
+  }
+
   test("semantic index: probe prunes to batch cells, append catches batch-2 dups") {
     val idx = tempDir("graft_semidx_spec") + "/idx"
     // two far-apart cells; corpus has one member in each
@@ -185,9 +215,17 @@ class SemDedupSpec extends SparkSpec {
     // a replayed append (crash between sink and append: the batch lands in
     // the index anyway) must not self-flag the same id on the next probe
     Similarity.appendToSemIndex(batch2, "id", "vec", idx)
-    val replay = Similarity.semDedupAgainstIndex(batch2, "id", "vec", idx, 0.8)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(replay === Set((20L, 11L)), "self-pairs excluded on replay")
+    val replayRows = Similarity.semDedupAgainstIndex(batch2, "id", "vec", idx, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(replayRows === Seq((20L, 11L)), "self-pairs excluded on replay")
+    // the replayed append left id 20 in the index TWICE; a fresh batch
+    // matching it must see ONE match row, not one per index copy
+    val batch3 = Seq((30L, Array(1f, -0.9f, 0.01f))).toDF("id", "vec")
+    val m3 = Similarity.semDedupAgainstIndex(batch3, "id", "vec", idx, 0.8)
+      .select("id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(m3 === Seq((30L, 11L), (30L, 20L)),
+      s"duplicate index rows must not surface as duplicate matches: $m3")
   }
 
   test("semantic index probe reads ONLY the batch's cells' files") {
@@ -356,6 +394,18 @@ class SemDedupSpec extends SparkSpec {
         projCol = "proj")
       .collect().map(_.getLong(0)).toSet
     assert(served === pre)
+    // the width guard must raise its DESCRIPTIVE error on a mismatch even
+    // when the sampled row's projection is null (size(null) = null; a raw
+    // getInt would NPE), and must survive leading null projections
+    val withNullFirst = materialized
+      .withColumn("proj", when(col("vec_id") <= 5, col("proj")))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKProjected(withNullFirst, "vec_id",
+        "embedding", queryVec, k = 10, outDim = 8, overfetch = 16,
+        projCol = "proj")
+    }
+    assert(err.getMessage.contains("16-dim projections"),
+      s"wrong-width error must stay descriptive under null rows: ${err.getMessage}")
   }
 
   test("guards: tau range and reserved column names fail loud") {
