@@ -304,6 +304,39 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
       e: Encoder[KV[K, VR]]): KStream[K, VR] =
     doGlobalJoin(global, keyMapper, inner = false)(joiner)
 
+  /** KStream ⋈ CONTINUOUSLY-REFRESHED GlobalKTable — the
+    * `GlobalStreamThread` semantics (`core/Processors/
+    * GlobalStreamThread.cs:13-220`: a dedicated thread keeps the global
+    * replica updated while the topology runs). Spark's stream-static join
+    * resolves the static side's listing ONCE, so the refresh must happen at
+    * the microbatch boundary: this terminal composes through
+    * `foreachBatch`, re-running `global.load()` — a fresh file listing —
+    * and re-broadcasting the snapshot for EVERY microbatch, then handing
+    * `downstream` the joined batch (batch-static plans compose freely
+    * there; write, aggregate, or chain more DSL). A dimension update
+    * published between batches is therefore visible to the next batch's
+    * joins — the reference's `KGlobalTableTests` update scenario — with
+    * refresh lag bounded by the trigger interval, vs. the reference's
+    * per-record consumer lag.
+    *
+    * Returns the configured writer; call `.start()` (and checkpoint it like
+    * any sink). For full changelog semantics driven by table updates, use
+    * [[KTable.fkJoin]].
+    */
+  def joinGlobalRefreshing[GK, GV, VR](global: RefreshingGlobalKTable[GK, GV],
+      keyMapper: (K, V) => GK, inner: Boolean = true)(
+      joiner: (V, Option[GV]) => VR)(
+      downstream: (Dataset[KV[K, VR]], Long) => Unit)(
+      implicit egk: Encoder[(KV[K, V], GK)], eo: Encoder[(KV[K, V], Option[GV])],
+      e: Encoder[KV[K, VR]])
+      : org.apache.spark.sql.streaming.DataStreamWriter[KV[K, V]] =
+    ds.writeStream.foreachBatch { (batch: Dataset[KV[K, V]], batchId: Long) =>
+      val snapshot = new GlobalKTable(global.load())
+      val joined = new KStream(batch)
+        .doGlobalJoin(snapshot, keyMapper, inner)(joiner)
+      downstream(joined.ds, batchId)
+    }
+
   private def doGlobalJoin[GK, GV, VR](global: GlobalKTable[GK, GV],
       keyMapper: (K, V) => GK, inner: Boolean)(joiner: (V, Option[GV]) => VR)(
       implicit egk: Encoder[(KV[K, V], GK)], eo: Encoder[(KV[K, V], Option[GV])],
@@ -418,14 +451,25 @@ object Printed {
 /** Fully-replicated dimension table (`IGlobalKTable`, `core/Table/
   * IGlobalKTable.cs:37`): broadcast to every task instead of partitioned.
   *
-  * Refresh semantics (verified divergence): the reference's global table is
-  * continuously updated from its topic; a Spark stream-static join reads a
-  * SNAPSHOT — the static side's file listing is resolved once, and an
-  * in-place overwrite mid-query fails with FILE_NOT_EXIST rather than
-  * refreshing. For a slowly-changing global table, either restart the query
-  * on dimension publish (snapshot versioning), or use `foreachBatch` and
-  * re-read the dimension inside the batch function (fresh listing per
-  * batch). For table-driven updates with full changelog semantics, use
+  * Refresh semantics: the reference's global table is continuously updated
+  * from its topic; a Spark stream-static join reads a SNAPSHOT — the static
+  * side's file listing is resolved once, and an in-place overwrite
+  * mid-query fails with FILE_NOT_EXIST rather than refreshing. This class
+  * is that snapshot form (correct for immutable dims). For the reference's
+  * continuous-update semantics use [[RefreshingGlobalKTable]] +
+  * [[KStream.joinGlobalRefreshing]] (per-microbatch re-read/re-broadcast);
+  * for table-driven updates with full changelog semantics, use
   * [[KTable.fkJoin]] instead.
   */
 final class GlobalKTable[K, V](val ds: Dataset[(K, V)]) extends Serializable
+
+/** The refreshable form of [[GlobalKTable]]: holds a LOADER instead of a
+  * resolved Dataset, so every [[KStream.joinGlobalRefreshing]] microbatch
+  * re-runs it (fresh file listing → updated rows visible) — the Spark
+  * expression of the reference's `GlobalStreamThread`
+  * (`core/Processors/GlobalStreamThread.cs:13-220`), which keeps the global
+  * replica continuously updated while the topology runs. Build via
+  * [[StreamsBuilder.globalTableRefreshing]].
+  */
+final class RefreshingGlobalKTable[K, V](val load: () => Dataset[(K, V)])
+  extends Serializable

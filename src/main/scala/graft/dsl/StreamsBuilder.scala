@@ -18,12 +18,17 @@ final class StreamsBuilder(val spark: SparkSession) extends Serializable {
   /** `StreamBuilder.Stream(topic)` over Kafka (`core/StreamBuilder.cs:49`):
     * binary key/value + metadata, exactly the reference's record shape
     * (SURVEY §1.2). Deserialize with [[Serdes]] column transforms.
-    * Requires the spark-sql-kafka connector on the cluster classpath.
+    * Requires the spark-sql-kafka connector on the cluster classpath; the
+    * in-JVM fabric ([[graft.fabric.MemBroker]]) drives the identical plan
+    * with `format = "graft-kafka-mem"` and the broker id as
+    * `bootstrapServers` — how the E2E round trip runs in broker-less
+    * environments.
     */
   def kafkaStream(topic: String, bootstrapServers: String,
-      startingOffsets: String = "latest"): DataFrame =
+      startingOffsets: String = "latest",
+      format: String = "kafka"): DataFrame =
     spark.readStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
@@ -78,6 +83,16 @@ final class StreamsBuilder(val spark: SparkSession) extends Serializable {
   def globalTable[K, V](df: DataFrame, key: Column, value: Column)(
       implicit e: Encoder[(K, V)]): GlobalKTable[K, V] =
     new GlobalKTable(df.select(key.as("_1"), value.as("_2")).as[(K, V)])
+
+  /** `StreamBuilder.GlobalTable` with CONTINUOUS refresh
+    * (`GlobalStreamThread.cs:13-220`): the loader re-runs per microbatch of
+    * any [[KStream.joinGlobalRefreshing]], so dimension updates published
+    * while the topology runs become visible to later batches. See
+    * [[RefreshingGlobalKTable]].
+    */
+  def globalTableRefreshing[K, V](load: () => Dataset[(K, V)])
+      : RefreshingGlobalKTable[K, V] =
+    new RefreshingGlobalKTable(load)
 }
 
 /** Serde layer (SURVEY §1.3): the reference's `ISerDes<T>` pairs become
@@ -211,11 +226,15 @@ object Serdes {
   */
 object Sinks {
 
-  /** Static-topic Kafka sink. */
+  /** Static-topic Kafka sink. `format = "graft-kafka-mem"` runs the same
+    * sink plan against the in-JVM fabric (see [[graft.fabric.MemBroker]]),
+    * where it is additionally EXACTLY-ONCE via the epoch commit ledger.
+    */
   def toKafka(df: DataFrame, bootstrapServers: String, topic: String,
-      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String,
+      format: String = "kafka"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
@@ -231,10 +250,11 @@ object Sinks {
     * (`ITopicNameExtractor`); the Kafka sink reads it per row.
     */
   def toKafkaDynamic(df: DataFrame, bootstrapServers: String,
-      topicExtractor: Column, checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      topicExtractor: Column, checkpoint: String,
+      format: String = "kafka"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     routeTopic(df, topicExtractor)
       .writeStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("checkpointLocation", checkpoint)
 

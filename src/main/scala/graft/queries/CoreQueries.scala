@@ -277,29 +277,51 @@ object CoreQueries {
       .groupBy("k").agg(count(lit(1)).as("cnt"))
   }
 
-  /** HLL approximate distinct (Spark superset; rows-only — DuckDB's approx
-    * sketch differs, and `q_count_distinct` already oracle-checks the exact
-    * path).
+  /** HLL approximate distinct (Spark superset). The sketch VALUE has no
+    * cross-engine oracle (DuckDB's approx sketch differs), so the entry is
+    * oracle-checked as a BOUNDED-ERROR assertion instead: per group, emit
+    * whether the HLL estimate (rsd 0.01) lands within ±5% of the exact
+    * distinct count — ~5 standard errors, deterministic for a fixed input —
+    * and the DuckDB side locks the flag true for every group. The driver's
+    * hash compare therefore re-proves the error bound on real data every
+    * round (`q_count_distinct` still oracle-checks the exact path, and the
+    * pure sketch without the exact-side comparison stage is what a 100 TB
+    * run would ship).
     */
-  val qApproxDistinct = GraftQuery.rowsOnly("q_approx_distinct") { (s, d) =>
+  val qApproxDistinct = q(
+    "q_approx_distinct",
+    "SELECT DISTINCT event_type, CAST(1 AS BIGINT) AS within_5pct FROM events") { (s, d) =>
     Tables.events(s, d).groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .select(col("event_type"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).cast("long").as("within_5pct"))
   }
 
-  /** Mergeable percentile sketch (Spark superset; rows-only — DuckDB's
-    * quantile interpolation differs from Spark's KLL-style sketch, and
-    * `q_median` oracle-checks the exact rank-based path). One pass, map-side
-    * partial sketches merged per group — the shape that replaces a full sort
-    * at 100 TB.
+  /** Mergeable percentile sketch (Spark superset): one pass, map-side
+    * partial sketches merged per group — the shape that replaces a full
+    * sort at 100 TB. Like `q_approx_distinct`, the sketch value itself has
+    * no cross-engine oracle (interpolation differs), so the entry asserts
+    * the sketch's OWN contract as the oracle-checked output: `accuracy` =
+    * 10000 bounds RANK error by 1/10000, so each returned percentile must
+    * lie between the exact percentiles ±0.01 quantile around its target
+    * (a 100× margin, distribution-free — no value-space tolerance to
+    * tune). The flag is locked true per group by the DuckDB side.
     */
-  val qApproxQuantile = GraftQuery.rowsOnly("q_approx_quantile") { (s, d) =>
+  val qApproxQuantile = q(
+    "q_approx_quantile",
+    "SELECT DISTINCT event_type, CAST(1 AS BIGINT) AS within_rank_tol FROM events") { (s, d) =>
+    val qs = array(lit(0.5), lit(0.95), lit(0.99))
+    val bounds = array(Seq(0.49, 0.51, 0.94, 0.96, 0.98, 1.0).map(lit): _*)
+    def ap(i: Int) = element_at(col("ps"), i)
+    def ex(i: Int) = element_at(col("ex"), i)
     Tables.events(s, d).groupBy("event_type")
-      .agg(percentile_approx(col("value"),
-        array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("ps"))
+      .agg(percentile_approx(col("value"), qs, lit(10000)).as("ps"),
+        percentile(col("value"), bounds).as("ex"))
       .select(col("event_type"),
-        element_at(col("ps"), 1).as("p50"),
-        element_at(col("ps"), 2).as("p95"),
-        element_at(col("ps"), 3).as("p99"))
+        (ap(1).between(ex(1), ex(2)) && ap(2).between(ex(3), ex(4)) &&
+          ap(3).between(ex(5), ex(6))).cast("long").as("within_rank_tol"))
   }
 
   val all: Seq[GraftQuery] = Seq(

@@ -159,4 +159,37 @@ class StreamingSpec extends SparkSpec {
       .toDF.collect().map(_.getString(1))
     assert(tb.toSeq === Seq("aa"))
   }
+
+  test("refreshing global table: dimension update becomes visible to a later microbatch") {
+    // the reference's KGlobalTableTests update scenario: the global replica
+    // keeps updating while the topology runs (GlobalStreamThread.cs:13-220);
+    // here the refresh boundary is the microbatch — a dimension published
+    // between batches must join into the NEXT batch, which a plain
+    // stream-static join (snapshot listing resolved once) can never do
+    import org.apache.spark.sql.functions.col
+    val dimDir = tempDir("graft_gkt_refresh") + "/dim"
+    def publish(rows: (String, String)*): Unit =
+      rows.toSeq.toDF("gk", "gv").write.mode("overwrite").parquet(dimDir)
+    publish(("k1", "A"), ("k2", "B"))
+    val global = new StreamsBuilder(spark).globalTableRefreshing[String, String](() =>
+      spark.read.parquet(dimDir)
+        .select(col("gk").as("_1"), col("gv").as("_2")).as[(String, String)])
+
+    val in = MemoryStream[(String, String, Long)]
+    val stream = new KStream(in.toDS()
+      .map { case (k, v, t) => KV(k, v, new java.sql.Timestamp(t)) })
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val q = stream.joinGlobalRefreshing(global, (k: String, _: String) => k)(
+        (v: String, g: Option[String]) => s"$v|${g.getOrElse("-")}") {
+      (batch, _) => out ++= batch.collect().map(kv => (kv.key, kv.value))
+    }.start()
+    queries = q :: queries
+
+    in.addData(("k1", "x", 100L)); q.processAllAvailable()
+    publish(("k1", "A2"), ("k2", "B")) // update BETWEEN batches
+    in.addData(("k1", "y", 200L)); q.processAllAvailable()
+
+    assert(out.toSeq === Seq(("k1", "x|A"), ("k1", "y|A2")),
+      s"batch 2 must see the updated dimension: $out")
+  }
 }

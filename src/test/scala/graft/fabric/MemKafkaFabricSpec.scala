@@ -1,0 +1,172 @@
+package graft.fabric
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSpec
+import graft.dsl.{Sinks, StreamsBuilder}
+
+/** The E2E Kafka semantics this container could never execute against a
+  * real broker (`KafkaIntegrationSpec` stays env-gated for deployments),
+  * now EXECUTED through the in-JVM fabric: the same `kafkaStream` /
+  * `toKafka` / `toKafkaDynamic` entry points, the same options and column
+  * contract, real micro-batches with real checkpoints — only the format
+  * token differs. Mirrors the gated suite's two scenarios and adds the
+  * exactly-once injected-retry scenario the reference covers with Kafka
+  * transactions (`StreamTask.cs:93-110`, `RecordCollector.cs:85-171`).
+  */
+class MemKafkaFabricSpec extends SparkSpec {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val Fmt = "graft-kafka-mem"
+  private var queries: List[StreamingQuery] = Nil
+  override def afterAll(): Unit = {
+    queries.foreach(q => if (q.isActive) q.stop())
+    super.afterAll()
+  }
+  private def track(q: StreamingQuery): StreamingQuery = {
+    queries = q :: queries; q
+  }
+
+  test("round-trip: toKafka start() writes, kafkaStream reads back (incl. headers/meta)") {
+    val brokerId = "fabric_rt"
+    MemBroker.start(brokerId).createTopic("events", partitions = 3)
+    val ckpt = tempDir("graft_fab_rt") + "/ckpt"
+
+    val in = MemoryStream[(String, String)]
+    in.addData(("k1", "v1"), ("k2", "v2"), ("k1", "v3"))
+    val wq = track(Sinks.toKafka(
+      in.toDF().selectExpr("CAST(_1 AS BINARY) AS key", "CAST(_2 AS BINARY) AS value"),
+      brokerId, "events", ckpt, format = Fmt).start())
+    wq.processAllAvailable(); wq.stop()
+
+    // batch source leg: the connector's read-back pattern, bounded
+    val back = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "events")
+      .load()
+      .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+      .as[(String, String)].collect().sorted
+    assert(back.toSeq === Seq(("k1", "v1"), ("k1", "v3"), ("k2", "v2")))
+
+    // same-key records land on the same partition (murmur2 placement),
+    // with dense offsets — the consumer-side ordering contract
+    val k1 = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "events").load()
+      .filter(col("key").cast("string") === "k1")
+      .select("partition", "offset", "value")
+      .collect().map(r => (r.getInt(0), r.getLong(1), new String(r.getAs[Array[Byte]](2))))
+    assert(k1.map(_._1).distinct.length === 1, s"k1 split across partitions: ${k1.toSeq}")
+    assert(k1.sortBy(_._2).map(_._3).toSeq === Seq("v1", "v3"),
+      "offset order must preserve produce order per key")
+
+    // streaming source leg through the DSL entry point: full record contract
+    val streamDf = new StreamsBuilder(spark)
+      .kafkaStream("events", brokerId, startingOffsets = "earliest", format = Fmt)
+    assert(streamDf.isStreaming)
+    assert(Seq("key", "value", "topic", "partition", "offset", "timestamp", "headers")
+      .forall(streamDf.columns.contains))
+    val sq = track(streamDf
+      .selectExpr("CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v", "topic")
+      .writeStream.format("memory").queryName("fab_rt_stream").outputMode("append")
+      .start())
+    sq.processAllAvailable()
+    val streamed = spark.table("fab_rt_stream")
+      .select("k", "v", "topic").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    assert(streamed.toSeq ===
+      Seq(("k1", "v1", "events"), ("k1", "v3", "events"), ("k2", "v2", "events")))
+    sq.stop()
+  }
+
+  test("dynamic routing: per-row topic column dispatches to two topics") {
+    val brokerId = "fabric_dyn"
+    MemBroker.start(brokerId)
+    val ckpt = tempDir("graft_fab_dyn") + "/ckpt"
+    val in = MemoryStream[(String, String)]
+    in.addData(("a", "odd"), ("b", "even"))
+    val routed = in.toDF().selectExpr(
+      "CAST(_1 AS BINARY) AS key", "CAST(_2 AS BINARY) AS value", "_2 AS kind")
+    val wq = track(Sinks.toKafkaDynamic(routed, brokerId,
+      concat(lit("dyn_"), col("kind")), ckpt, format = Fmt).start())
+    wq.processAllAvailable(); wq.stop()
+
+    def readTopic(t: String): Seq[String] = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", t)
+      .load().selectExpr("CAST(value AS STRING)").as[String].collect().toSeq
+    assert(readTopic("dyn_odd") === Seq("odd"))
+    assert(readTopic("dyn_even") === Seq("even"))
+  }
+
+  test("headers round the trip: producer headers surface as the source's map-able column") {
+    val brokerId = "fabric_hdr"
+    val b = MemBroker.start(brokerId)
+    b.produce("hdr_topic", None, MemBroker.Record(
+      "k".getBytes, "v".getBytes, 1234L,
+      Seq("h1" -> Array[Byte](1, 2), "h2" -> "x".getBytes)))
+    val row = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "hdr_topic")
+      .option("includeHeaders", "true")
+      .load()
+      .select(col("headers"), col("timestamp").cast("long").as("ts_s"))
+      .collect().head
+    val hs = row.getSeq[org.apache.spark.sql.Row](0)
+      .map(h => h.getString(0) -> h.getAs[Array[Byte]](1).toSeq)
+    assert(hs === Seq("h1" -> Seq[Byte](1, 2), "h2" -> "x".getBytes.toSeq))
+    assert(row.getLong(1) === 1L, "ms timestamps must surface as seconds-truncating casts do")
+  }
+
+  test("exactly-once: a replayed epoch after a lost commit ack appends nothing") {
+    val brokerId = "fabric_eos"
+    val broker = MemBroker.start(brokerId)
+    broker.createTopic("eos_out")
+    val ckpt = tempDir("graft_fab_eos") + "/ckpt"
+
+    val in = MemoryStream[(String, String)]
+    def writer() = Sinks.toKafka(
+      in.toDF().selectExpr("CAST(_1 AS BINARY) AS key", "CAST(_2 AS BINARY) AS value"),
+      brokerId, "eos_out", ckpt, format = Fmt)
+
+    in.addData(("k", "before"))
+    val q1 = track(writer().start())
+    q1.processAllAvailable(); // epoch 0 committed cleanly
+
+    // inject: next epoch's records LAND on the broker but the commit ack is
+    // lost (the throw) — the at-least-once failure mode
+    in.addData(("k", "during"))
+    broker.failNextCommit.set(true)
+    val failed = intercept[Exception] { q1.processAllAvailable() }
+    assert(failed.getMessage.contains("injected commit failure") ||
+      Option(failed.getCause).exists(_.getMessage.contains("injected commit failure")))
+    assert(!q1.isActive, "the query must die on the lost ack")
+
+    // restart from the SAME checkpoint: Spark replays the uncommitted epoch;
+    // the (queryId, epochId) ledger must swallow the duplicate
+    val q2 = track(writer().start())
+    q2.processAllAvailable()
+    in.addData(("k", "after"))
+    q2.processAllAvailable(); q2.stop()
+
+    val values = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "eos_out")
+      .load().selectExpr("CAST(value AS STRING)").as[String]
+      .collect().sorted
+    assert(values.toSeq === Seq("after", "before", "during"),
+      s"exactly one copy of each record must survive the replay: ${values.toSeq}")
+  }
+
+  test("broker lookup fails loud for an unknown id; write needs a topic") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(Fmt)
+        .option("kafka.bootstrap.servers", "never_started")
+        .option("subscribe", "t").load().collect()
+    }
+    assert(e.getMessage.contains("no MemBroker"))
+  }
+}
