@@ -420,6 +420,11 @@ final class KStream[K, V](val ds: Dataset[KV[K, V]]) extends Serializable {
   }
 
   def toDF: DataFrame = ds.toDF("key", "value", "ts")
+
+  /** `Topology.Describe()` rendering of this stream's dataflow — see
+    * [[Topology.describe]].
+    */
+  def describe: String = Topology.describe(ds)
 }
 
 object KStream {
