@@ -203,8 +203,12 @@ object SchemaRegistrySerdes {
   private def frameGuard(c: Column, id: Int): Column =
     assert_true(
       c.isNull || (Serdes.srIsFramed(c) && Serdes.srSchemaId(c) === id),
+      // coalesce: on a <5-byte payload srSchemaId is null and a null leg
+      // would null out the WHOLE concat — losing the diagnostic exactly in
+      // the unframed case it describes
       concat(lit(s"SR frame mismatch: expected schema id $id, payload " +
-        "carries id "), Serdes.srSchemaId(c).cast("string"),
+        "carries id "),
+        coalesce(Serdes.srSchemaId(c).cast("string"), lit("<none>")),
         lit(" (or is not SR-framed)")))
 
   /** Decode SR-framed Avro knowing ONLY the schema id: the resolver turns

@@ -61,10 +61,21 @@ final class MemBroker private[fabric] (val id: String) {
   def createTopic(topic: String, partitions: Int = 1): Unit = {
     require(partitions >= 1, s"need >= 1 partitions, got $partitions")
     topics.putIfAbsent(topic, Array.fill(partitions)(new Partition))
+    // idempotent on a matching layout, LOUD on a mismatch: a reader's
+    // endOffsets may have auto-created the topic with 1 partition already,
+    // and silently ignoring the requested count would skew murmur2
+    // placement and make explicit-partition produces throw later
+    val existing = topics.get(topic).length
+    require(existing == partitions,
+      s"topic '$topic' already exists with $existing partition(s); " +
+        s"createTopic($partitions) cannot change the layout — create the " +
+        "topic before any producer/consumer touches it")
   }
 
   private def partitionsOf(topic: String): Array[Partition] = {
-    createTopic(topic) // Kafka-style auto-create, 1 partition
+    // Kafka-style auto-create (1 partition) WITHOUT the layout validation:
+    // touching an existing multi-partition topic must not throw
+    topics.putIfAbsent(topic, Array(new Partition))
     topics.get(topic)
   }
 

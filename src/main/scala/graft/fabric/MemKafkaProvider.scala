@@ -25,10 +25,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`kafka.bootstrap.servers` carries the broker id, `subscribe`, `topic`,
   * `startingOffsets`, `includeHeaders`), same source columns (`key, value,
   * topic, partition, offset, timestamp, timestampType[, headers]`), same
-  * sink columns (`value` required; `key`, `topic`, `partition`, `headers`,
-  * `timestamp` optional; per-row `topic` beats the option — the
-  * `ITopicNameExtractor` routing the reference's `SinkProcessor.cs:6-55`
-  * implements). `StreamsBuilder.kafkaStream` / `Sinks.toKafka*` therefore
+  * sink columns (`value` required, binary or string; `key`, `topic`,
+  * `partition`, `headers` optional; the `topic` OPTION overrides a topic
+  * column, exactly like the real sink — dynamic `ITopicNameExtractor`
+  * routing, the reference's `SinkProcessor.cs:6-55`, passes no option and
+  * routes on the column). `StreamsBuilder.kafkaStream` / `Sinks.toKafka*` therefore
   * run UNCHANGED against the fabric with only the format token swapped,
   * executing the full micro-batch/checkpoint/restart machinery this
   * container could never drive against a real broker.
@@ -181,10 +182,15 @@ private[fabric] final class MemKafkaScan(options: CaseInsensitiveStringMap)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MicroBatchStream {
-      override def initialOffset(): Offset =
-        if (options.getOrDefault("startingOffsets", "latest") == "earliest")
-          MemOffset(zeros())
-        else MemOffset(currentEnd())
+      override def initialOffset(): Offset = {
+        // the real source also accepts per-partition offset JSON; fail
+        // loud rather than silently reading from latest
+        val so = options.getOrDefault("startingOffsets", "latest")
+          .trim.toLowerCase(java.util.Locale.ROOT)
+        require(so == "earliest" || so == "latest",
+          s"graft-kafka-mem supports startingOffsets earliest|latest, got '$so'")
+        if (so == "earliest") MemOffset(zeros()) else MemOffset(currentEnd())
+      }
       override def latestOffset(): Offset = MemOffset(currentEnd())
       override def deserializeOffset(json: String): Offset =
         MemOffset(MemKafka.offsetsFromJson(json))
@@ -236,20 +242,33 @@ private[fabric] final class MemKafkaWrite(broker: String,
     extends Write with Serializable {
 
   private def fieldIndex(name: String): Int = schema.fieldNames.indexOf(name)
-  private val valueIdx = fieldIndex("value")
-  require(valueIdx >= 0, "graft-kafka-mem sink needs a value column")
-  require(schema(valueIdx).dataType == BinaryType,
-    s"value must be binary, got ${schema(valueIdx).dataType.simpleString}")
-  private val keyIdx = fieldIndex("key")
+  /** key/value accept binary OR string (the real sink casts strings to
+    * UTF-8 bytes); anything else fails HERE, at plan time, not as an
+    * opaque executor ClassCastException.
+    */
+  private def bytesIdx(name: String, required: Boolean): (Int, Boolean) = {
+    val i = fieldIndex(name)
+    require(i >= 0 || !required, s"graft-kafka-mem sink needs a $name column")
+    if (i < 0) (i, false)
+    else schema(i).dataType match {
+      case BinaryType => (i, false)
+      case StringType => (i, true)
+      case dt => throw new IllegalArgumentException(
+        s"$name must be binary or string, got ${dt.simpleString}")
+    }
+  }
+  private val (valueIdx, valueIsString) = bytesIdx("value", required = true)
+  private val (keyIdx, keyIsString) = bytesIdx("key", required = false)
   private val topicIdx = fieldIndex("topic")
   require(topicIdx >= 0 || topicOption.isDefined,
     "no topic option and no topic column — the kafka sink contract")
+  require(topicIdx < 0 || schema(topicIdx).dataType == StringType,
+    s"topic column must be string, got ${schema(topicIdx).dataType.simpleString}")
   private val partitionIdx = fieldIndex("partition")
   private val headersIdx = fieldIndex("headers")
-  private val timestampIdx = fieldIndex("timestamp")
 
-  private val mapper = MemRecordMapper(topicOption, valueIdx, keyIdx,
-    topicIdx, partitionIdx, headersIdx, timestampIdx)
+  private val mapper = MemRecordMapper(topicOption, valueIdx, valueIsString,
+    keyIdx, keyIsString, topicIdx, partitionIdx, headersIdx)
 
   private def gathered(messages: Array[WriterCommitMessage]) =
     messages.toSeq.collect { case MemTaskRows(rows) => rows }.flatten
@@ -284,25 +303,31 @@ private[fabric] final class MemStreamingWrite(broker: String, queryId: String,
 
 /** Pure row → record projection with pre-resolved field ordinals — the only
   * state the executor-side writer needs, so it ships as one small value.
+  * Contract notes (matching the real kafka sink): the `topic` OPTION
+  * overrides any topic column in the data; string key/value cast to UTF-8
+  * bytes; there is no timestamp column in the sink contract — the broker
+  * stamps produce time, like a real broker's log-append/producer time.
   */
 private[fabric] final case class MemRecordMapper(topicOption: Option[String],
-    valueIdx: Int, keyIdx: Int, topicIdx: Int, partitionIdx: Int,
-    headersIdx: Int, timestampIdx: Int) extends Serializable {
+    valueIdx: Int, valueIsString: Boolean, keyIdx: Int, keyIsString: Boolean,
+    topicIdx: Int, partitionIdx: Int, headersIdx: Int) extends Serializable {
+  private def bytesAt(row: InternalRow, i: Int, isString: Boolean): Array[Byte] =
+    if (isString) row.getUTF8String(i).getBytes else row.getBinary(i)
   def recordOf(row: InternalRow): (String, Option[Int], MemBroker.Record) = {
-    val topic =
+    val topic = topicOption.getOrElse {
       if (topicIdx >= 0 && !row.isNullAt(topicIdx))
         row.getUTF8String(topicIdx).toString
-      else topicOption.getOrElse(
-        throw new IllegalArgumentException("null topic column and no topic option"))
+      else throw new IllegalArgumentException(
+        "null topic column and no topic option")
+    }
     val part =
       if (partitionIdx >= 0 && !row.isNullAt(partitionIdx))
         Some(row.getInt(partitionIdx)) else None
-    val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) row.getBinary(keyIdx) else null
-    val value = if (row.isNullAt(valueIdx)) null else row.getBinary(valueIdx)
-    val ts =
-      if (timestampIdx >= 0 && !row.isNullAt(timestampIdx))
-        row.getLong(timestampIdx) / 1000L
-      else System.currentTimeMillis()
+    val key =
+      if (keyIdx >= 0 && !row.isNullAt(keyIdx)) bytesAt(row, keyIdx, keyIsString)
+      else null
+    val value =
+      if (row.isNullAt(valueIdx)) null else bytesAt(row, valueIdx, valueIsString)
     val headers =
       if (headersIdx < 0 || row.isNullAt(headersIdx)) Seq.empty[(String, Array[Byte])]
       else {
@@ -312,7 +337,8 @@ private[fabric] final case class MemRecordMapper(topicOption: Option[String],
           s.getUTF8String(0).toString -> s.getBinary(1)
         }
       }
-    (topic, part, MemBroker.Record(key, value, ts, headers))
+    (topic, part,
+      MemBroker.Record(key, value, System.currentTimeMillis(), headers))
   }
 }
 

@@ -656,17 +656,20 @@ object Similarity {
 
   /** A vector the pair machinery can never match: whole-array null, any
     * null ELEMENT ([[dot]] returns null either way, so every cosine
-    * comparison drops it), or ALL-ZERO (cosine = 0/0 = NaN, which
-    * [[exceedsTau]] rejects). The collapse paths must treat such rows as
-    * singletons even when the grouping key considers them equal (array
-    * grouping compares null elements as equal) — otherwise a twin of a
-    * zero-vector rep would be flagged via the identical-⇒-cos-1 twin rule
-    * that simply does not hold at norm 0, and the collapsed and naive
-    * modes would diverge.
+    * comparison drops it), ALL-ZERO (cosine = 0/0 = NaN, which
+    * [[exceedsTau]] rejects), or any NaN ELEMENT (every cosine involving
+    * it is NaN — rejected the same way). The collapse paths must treat
+    * such rows as singletons even when the grouping key considers them
+    * equal (array grouping compares null elements as equal and NaN
+    * elements as equal) — otherwise a twin of such a rep would be flagged
+    * via the identical-⇒-cos-1 twin rule that simply does not hold when
+    * the cosine is null/NaN, and the collapsed and naive modes would
+    * diverge.
     */
   private def unpairableVec(v: Column): Column =
     when(v.isNull, lit(true))
-      .otherwise(exists(v, _.isNull) || forall(v, _ === lit(0.0f)))
+      .otherwise(exists(v, x => x.isNull || isnan(x)) ||
+        forall(v, _ === lit(0.0f)))
 
   /** Shared distinct-vector scaffolding of the collapse paths: one shuffle
     * on the vector itself (array equality = content identity, no

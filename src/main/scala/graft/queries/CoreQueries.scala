@@ -304,24 +304,37 @@ object CoreQueries {
     * sort at 100 TB. Like `q_approx_distinct`, the sketch value itself has
     * no cross-engine oracle (interpolation differs), so the entry asserts
     * the sketch's OWN contract as the oracle-checked output: `accuracy` =
-    * 10000 bounds RANK error by 1/10000, so each returned percentile must
-    * lie between the exact percentiles ±0.01 quantile around its target
-    * (a 100× margin, distribution-free — no value-space tolerance to
-    * tune). The flag is locked true per group by the DuckDB side.
+    * 10000 bounds RANK error by 1/10000, so each returned value's rank
+    * INTERVAL [(#<ap)+1, #≤ap]/n must intersect [q−0.011, q+0.011] — a
+    * 100×-margined, genuinely distribution-free check (an interpolated
+    * exact-percentile band is NOT: `percentile(0.49)` on a 2-row group
+    * interpolates to a value the sketch's returned DATA value can
+    * legitimately sit below). The flag is locked true per group by the
+    * DuckDB side. Plan: the window and the groupBy share the
+    * `event_type` partitioning — one exchange total.
     */
   val qApproxQuantile = q(
     "q_approx_quantile",
     "SELECT DISTINCT event_type, CAST(1 AS BIGINT) AS within_rank_tol FROM events") { (s, d) =>
-    val qs = array(lit(0.5), lit(0.95), lit(0.99))
-    val bounds = array(Seq(0.49, 0.51, 0.94, 0.96, 0.98, 1.0).map(lit): _*)
-    def ap(i: Int) = element_at(col("ps"), i)
-    def ex(i: Int) = element_at(col("ex"), i)
-    Tables.events(s, d).groupBy("event_type")
-      .agg(percentile_approx(col("value"), qs, lit(10000)).as("ps"),
-        percentile(col("value"), bounds).as("ex"))
-      .select(col("event_type"),
-        (ap(1).between(ex(1), ex(2)) && ap(2).between(ex(3), ex(4)) &&
-          ap(3).between(ex(5), ex(6))).cast("long").as("within_rank_tol"))
+    import org.apache.spark.sql.expressions.Window
+    val targets = Seq(0.5, 0.95, 0.99)
+    val tol = 0.011
+    val w = Window.partitionBy("event_type")
+    val withPs = Tables.events(s, d)
+      .select(col("event_type"), col("value"))
+      .withColumn("ps", percentile_approx(col("value"),
+        array(targets.map(lit): _*), lit(10000)).over(w))
+    val n = count(col("value"))
+    val checks = targets.zipWithIndex.map { case (qt, i) =>
+      val ap = element_at(col("ps"), i + 1)
+      val below = sum(when(col("value") < ap, 1L).otherwise(0L))
+      val atOrBelow = sum(when(col("value") <= ap, 1L).otherwise(0L))
+      when(max(ap).isNull, lit(true)).otherwise(
+        (below + 1).cast("double") / n <= qt + tol &&
+          atOrBelow.cast("double") / n >= qt - tol)
+    }
+    withPs.groupBy("event_type")
+      .agg(checks.reduce(_ && _).cast("long").as("within_rank_tol"))
   }
 
   val all: Seq[GraftQuery] = Seq(

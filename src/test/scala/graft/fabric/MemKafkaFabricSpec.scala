@@ -161,6 +161,49 @@ class MemKafkaFabricSpec extends SparkSpec {
       s"exactly one copy of each record must survive the replay: ${values.toSeq}")
   }
 
+  test("sink contract: topic OPTION overrides the column; string key/value accepted") {
+    // the real kafka sink's documented precedence — a kafka→kafka
+    // passthrough with a topic option must NOT route rows back to their
+    // source topics (the fabric originally had this backwards)
+    val brokerId = "fabric_prec"
+    MemBroker.start(brokerId)
+    val ckpt = tempDir("graft_fab_prec") + "/ckpt"
+    val in = MemoryStream[(String, String)]
+    in.addData(("k1", "v1"))
+    val df = in.toDF().selectExpr(
+      "_1 AS key", "_2 AS value", "'wrong_topic' AS topic") // strings, not binary
+    val wq = track(Sinks.toKafka(df, brokerId, "right_topic", ckpt, format = Fmt).start())
+    wq.processAllAvailable(); wq.stop()
+    def count(t: String): Long = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", t).load().count()
+    assert(count("right_topic") === 1L && count("wrong_topic") === 0L)
+    val got = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "right_topic").load()
+      .selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)")
+      .as[(String, String)].collect().toSeq
+    assert(got === Seq(("k1", "v1")), "string key/value must cast to UTF-8 bytes")
+  }
+
+  test("guards: partition-layout mismatch and bad startingOffsets fail loud") {
+    val b = MemBroker.start("fabric_guards")
+    b.createTopic("t3", partitions = 3)
+    b.createTopic("t3", partitions = 3) // idempotent on a matching layout
+    val e = intercept[IllegalArgumentException] { b.createTopic("t3", partitions = 2) }
+    assert(e.getMessage.contains("cannot change the layout"))
+    val q = new StreamsBuilder(spark)
+      .kafkaStream("t3", "fabric_guards", startingOffsets = """{"t3":{"0":0}}""",
+        format = Fmt)
+      .writeStream.format("memory").queryName("fab_guard_q").outputMode("append")
+      .start()
+    try {
+      val err = intercept[Exception] { q.processAllAvailable() }
+      assert(err.getMessage.contains("earliest|latest"),
+        s"offset-JSON must fail loud, not silently read latest: ${err.getMessage}")
+    } finally q.stop()
+  }
+
   test("broker lookup fails loud for an unknown id; write needs a topic") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format(Fmt)

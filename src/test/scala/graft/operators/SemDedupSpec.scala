@@ -157,6 +157,30 @@ class SemDedupSpec extends SparkSpec {
         s"by=$by collapse=$collapse must keep all three rows")
   }
 
+  test("NaN-element vectors are singletons in both modes and both forms") {
+    // two IDENTICAL NaN-bearing arrays: array grouping treats NaN elements
+    // as equal, so the collapse would glue them into one group and the
+    // twin rule would flag the second — but every cosine involving NaN is
+    // NaN, which exceedsTau rejects, so the naive path keeps both
+    val df = Seq(
+      (1L, Array(1f, 0f)),
+      (2L, Array(Float.NaN, 1f)),
+      (3L, Array(Float.NaN, 1f))
+    ).toDF("id", "vec")
+    val cents = Seq((0, Array(1f, 0f)))
+    def run(collapse: Boolean, by: Boolean): Set[Long] =
+      (if (by)
+        Similarity.semDedupBy(df, "id", "vec", cents, tau = 0.5,
+          keepBy = col("id"), collapseExact = collapse)
+      else
+        Similarity.semDedup(df, "id", "vec", cents, tau = 0.5,
+          collapseExact = collapse))
+        .select("id").collect().map(_.getLong(0)).toSet
+    for (by <- Seq(false, true); collapse <- Seq(true, false))
+      assert(run(collapse, by) === Set(1L, 2L, 3L),
+        s"by=$by collapse=$collapse must keep all three rows")
+  }
+
   test("zero-norm vectors are singletons in both modes and both forms") {
     // two IDENTICAL all-zero rows: cosine = 0/0 = NaN, and Spark's
     // NaN-is-largest comparison would call NaN > tau TRUE — the exceedsTau
