@@ -58,6 +58,11 @@ final class KTable[K, V](val changelog: Dataset[Upsert[K, V]],
   def toChangeStream(implicit e: Encoder[Upsert[K, V]]): Dataset[Upsert[K, V]] =
     changelog
 
+  /** `Topology.Describe()` rendering of this table's changelog dataflow —
+    * see [[Topology.describe]].
+    */
+  def describe: String = Topology.describe(changelog)
+
   /** `KTable.GroupBy` (`IKTable.cs:376`): re-key the changelog, emitting
     * subtract/add halves so the downstream aggregation can retract old values.
     */

@@ -135,7 +135,11 @@ private[fabric] final class MemKafkaTable(options: CaseInsensitiveStringMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    // SupportsStreamingUpdateAsAppend: update-mode changelogs (windowed
+    // counts etc.) append every update as a record — exactly how the real
+    // kafka sink publishes changelog topics
+    new WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): Write = new MemKafkaWrite(
         MemKafka.brokerId(options), Option(options.get("topic")),
         info.queryId(), info.schema())

@@ -316,4 +316,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window") || p.contains("MapGroups"))
     assert(t.view.collect().toMap === Map("k" -> 2))
   }
+
+  test("q_approx_quantile: window and groupBy share the event_type exchange") {
+    val p = plan("q_approx_quantile")
+    // the rank-interval check folds the sketch window and the count
+    // aggregate over ONE hash partitioning — a second Exchange would mean
+    // the groupBy stopped riding the window's partitioning
+    assert("Exchange".r.findAllIn(p.replace("ReusedExchange", "")).size <= 2,
+      p.take(2000)) // Exchange node + its Arguments echo line
+    assert(p.contains("Window"), "expected the per-group sketch window")
+  }
 }

@@ -161,6 +161,57 @@ class MemKafkaFabricSpec extends SparkSpec {
       s"exactly one copy of each record must survive the replay: ${values.toSeq}")
   }
 
+  test("full topology: kafka source -> windowed count -> windowed-serde kafka sink") {
+    // the reference's flagship pipeline shape, EXECUTED end-to-end: consume
+    // a topic, window-count per key, publish the changelog to a topic with
+    // the TimeWindowedSerDes key layout — source serdes, event-time
+    // windows, and the windowed wire format all through real micro-batches
+    import graft.dsl.{KV, Serdes, TumblingWindow}
+    val brokerId = "fabric_topo"
+    val b = MemBroker.start(brokerId)
+    b.createTopic("clicks"); b.createTopic("clicks_counts")
+    def click(k: String, ts: Long) =
+      MemBroker.Record(k.getBytes, "click".getBytes, ts, Nil)
+    b.produce("clicks", None, click("u1", 10000L))
+    b.produce("clicks", None, click("u1", 20000L))
+    b.produce("clicks", None, click("u2", 70000L))
+
+    val sb = new StreamsBuilder(spark)
+    val src = sb.kafkaStream("clicks", brokerId,
+      startingOffsets = "earliest", format = Fmt)
+    val stream = sb.stream[String, String](src,
+      Serdes.stringDe(col("key")), Serdes.stringDe(col("value")),
+      col("timestamp"))
+    val counts = stream.groupByKey
+      .windowedBy(TumblingWindow.of(60000L))
+      .count
+    val framed = counts.toStream.toDF // (key: Windowed[String], value, ts)
+      .select(
+        Serdes.windowedSer(col("key.key").cast("binary"),
+          unix_millis(col("key.start"))).as("key"),
+        col("value").cast("string").cast("binary").as("value"))
+    val ckpt = tempDir("graft_fab_topo") + "/ckpt"
+    val wq = track(Sinks.toKafka(framed, brokerId, "clicks_counts", ckpt,
+      format = Fmt).outputMode("update").start())
+    wq.processAllAvailable(); wq.stop()
+
+    // consumer side: decode the windowed key layout, keep the latest
+    // update per (user, window start) — changelog-topic semantics
+    val rows = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "clicks_counts").load()
+      .select(
+        Serdes.stringDe(Serdes.windowedKeyBytes(col("key"))).as("user"),
+        Serdes.windowedStartMs(col("key")).as("start"),
+        Serdes.stringDe(col("value")).cast("long").as("cnt"),
+        col("offset"))
+      .collect()
+    val latest = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.maxBy(_.getLong(3)).getLong(2) }
+    assert(latest === Map(("u1", 0L) -> 2L, ("u2", 60000L) -> 1L),
+      s"windowed counts must round the full topology: $latest")
+  }
+
   test("sink contract: topic OPTION overrides the column; string key/value accepted") {
     // the real kafka sink's documented precedence — a kafka→kafka
     // passthrough with a topic option must NOT route rows back to their
