@@ -197,4 +197,84 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w))
       .drop("__ok")
   }
+
+  // ---- temperature-based mixture weights --------------------------------
+  // The published multilingual/multi-domain sampling rule (mBERT, XLM-R,
+  // mT5): sample domain d with p_d ∝ n_d^α, α ∈ (0, 1] — α = 1 is
+  // proportional (big domains dominate), α → 0 approaches uniform
+  // (low-resource domains up-weighted). The weights feed
+  // [[mixtureByTokenBudget]] as its ppm table.
+
+  private def domainTotals(df: DataFrame, domainCol: Column,
+      tokenCountCol: Column): Seq[(String, Long)] =
+    df.groupBy(domainCol.as("__dom"))
+      .agg(sum(tokenCountCol.cast("long")).as("__total"))
+      .collect() // bounded by #domains — the k-means-centroids contract
+      .map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0).sortBy(_._1).toSeq
+
+  /** Largest-remainder apportionment of integer weights onto the ppm grid:
+    * Σ ppm = exactly 1e6, remainder units to the largest fractional parts
+    * (ties → domain name order) — deterministic, no float in sight.
+    */
+  private def largestRemainderPpm(weights: Seq[(String, BigInt)])
+      : Seq[(String, Long)] = {
+    val total = weights.map(_._2).sum
+    require(total > 0, "temperature weights: all domains empty")
+    val based = weights.map { case (d, w) =>
+      val scaled = w * 1000000
+      (d, (scaled / total).toLong, (scaled % total))
+    }
+    val extras = 1000000L - based.map(_._2).sum
+    val bump = based.sortBy { case (d, _, rem) => (-rem, d) }
+      .take(extras.toInt).map(_._1).toSet
+    based.map { case (d, base, _) =>
+      d -> (base + (if (bump(d)) 1L else 0L))
+    }.filter(_._2 > 0)
+  }
+
+  /** Exact integer square root (clamped — float sqrt can be off by one at
+    * perfect-square boundaries, and a ±1 weight flip would desync the
+    * oracle).
+    */
+  private[operators] def isqrt(n: Long): Long = {
+    require(n >= 0, s"isqrt of $n")
+    val g = math.sqrt(n.toDouble).toLong
+    val g1 = if (g * g > n) g - 1 else g
+    if ((g1 + 1) * (g1 + 1) <= n) g1 + 1 else g1
+  }
+
+  /** Temperature weights at α = 1/2 in EXACT integer arithmetic
+    * (`isqrt(total_d)` + largest-remainder ppm): bit-reproducible across
+    * engines, which is what lets `q_sample_temperature` hash-match a
+    * DuckDB oracle. The α people tune lives in
+    * [[temperatureWeightsPpm]]; this is the locked, auditable instance.
+    */
+  def sqrtTemperatureWeightsPpm(df: DataFrame, domainCol: Column,
+      tokenCountCol: Column): Seq[(String, Long)] =
+    largestRemainderPpm(domainTotals(df, domainCol, tokenCountCol)
+      .map { case (d, t) => d -> BigInt(isqrt(t)) })
+
+  /** General-α temperature weights (driver-side doubles over a handful of
+    * per-domain totals; the float is confined to the WEIGHT TABLE — the
+    * sampling itself stays integer-deterministic downstream). Use
+    * [[sqrtTemperatureWeightsPpm]] when cross-engine exactness matters.
+    */
+  def temperatureWeightsPpm(df: DataFrame, domainCol: Column,
+      tokenCountCol: Column, alpha: Double): Seq[(String, Long)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val w = domainTotals(df, domainCol, tokenCountCol)
+      .map { case (d, t) => d -> math.pow(t.toDouble, alpha) }
+    val total = w.map(_._2).sum
+    val based = w.map { case (d, x) =>
+      val scaled = x * 1e6 / total
+      (d, scaled.toLong, scaled - scaled.toLong)
+    }
+    val extras = 1000000L - based.map(_._2).sum
+    val bump = based.sortBy { case (d, _, frac) => (-frac, d) }
+      .take(extras.toInt).map(_._1).toSet
+    based.map { case (d, base, _) =>
+      d -> (base + (if (bump(d)) 1L else 0L))
+    }.filter(_._2 > 0)
+  }
 }

@@ -81,9 +81,17 @@ object SamplingQueries {
   private[queries] def mixtureCtesFrom(dtSql: String): String = {
     val values = MixtureWeights
       .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")
+    mixtureCtesWith(dtSql, s"w(source, ppm) AS (VALUES $values)")
+  }
+
+  /** The mixture rule chain over a caller-supplied weights CTE named `w`
+    * with columns (source, ppm) — shared by the static-weight and the
+    * derived-temperature-weight entries.
+    */
+  private[queries] def mixtureCtesWith(dtSql: String, wCte: String): String =
     s"dt AS ($dtSql), " +
       "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total FROM dt GROUP BY source), " +
-      s"w(source, ppm) AS (VALUES $values), " +
+      s"$wCte, " +
       s"tgt AS (SELECT tot.source, total, (CAST($MixtureBudget AS BIGINT) * ppm) // 1000000 AS target " +
       // total > 0 mirrors the Spark side's totals.filter(_ > 0): an
       // all-empty-token domain must be DROPPED, not divide by zero
@@ -95,7 +103,23 @@ object SamplingQueries {
       "THEN 1 ELSE 0 END AS c FROM dt JOIN rules USING (source)), " +
       "m AS (SELECT doc_id, source, n_tokens, CAST(c AS BIGINT) AS copies " +
       "FROM sel WHERE c > 0)"
-  }
+
+  /** α = 1/2 temperature weights as a `w(source, ppm)` CTE — the exact
+    * integer mirror of [[Sampling.sqrtTemperatureWeightsPpm]]: clamped
+    * isqrt of per-domain totals (float sqrt alone can be off by one at
+    * perfect squares), then largest-remainder apportionment onto the ppm
+    * grid with (remainder DESC, source) tie order.
+    */
+  private[queries] val sqrtTempWeightsCte: String =
+    "s0 AS (SELECT source, total, CAST(floor(sqrt(CAST(total AS DOUBLE))) AS BIGINT) AS g " +
+      "FROM tot WHERE total > 0), " +
+      "s1 AS (SELECT source, total, g - (CASE WHEN g*g > total THEN 1 ELSE 0 END) AS g1 FROM s0), " +
+      "isq AS (SELECT source, g1 + (CASE WHEN (g1+1)*(g1+1) <= total THEN 1 ELSE 0 END) AS wt FROM s1), " +
+      "pb AS (SELECT source, wt, (wt*1000000) // (SELECT sum(wt) FROM isq) AS base, " +
+      "(wt*1000000) % (SELECT sum(wt) FROM isq) AS remn FROM isq), " +
+      "wppm AS (SELECT source, base + (CASE WHEN row_number() OVER (ORDER BY remn DESC, source) " +
+      "<= 1000000 - (SELECT sum(base) FROM pb) THEN 1 ELSE 0 END) AS ppm FROM pb), " +
+      "w AS (SELECT source, CAST(ppm AS BIGINT) AS ppm FROM wppm WHERE ppm > 0)"
 
   /** Epoch fan-out + per-source packing tail over the `m` CTE, ending in
     * the final SELECT (copy_id, source, n_tokens, seq_id).
@@ -119,8 +143,10 @@ object SamplingQueries {
     graft.operators.Packing.packCounts(k, "copy_id", "source", "n_tokens", budget)
   }
 
-  private lazy val mixtureCtes: String = mixtureCtesFrom(
-    s"SELECT doc_id, source, CAST(len(${TextQueries.tokensSql}) AS BIGINT) AS n_tokens FROM documents")
+  private[queries] val docsDtSql: String =
+    s"SELECT doc_id, source, CAST(len(${TextQueries.tokensSql}) AS BIGINT) AS n_tokens FROM documents"
+
+  private lazy val mixtureCtes: String = mixtureCtesFrom(docsDtSql)
 
   /** Spark side of the mixture sample (shared by both mixture queries). */
   private def mixtureDf(s: org.apache.spark.sql.SparkSession, d: String) = {
@@ -205,7 +231,31 @@ object SamplingQueries {
       .drop("__sid")
   }
 
+  /** Temperature-sampled mixture (α = 1/2, the multilingual `p_d ∝ n_d^α`
+    * up-weighting of low-resource domains): weights are DERIVED from the
+    * corpus's own per-domain token totals via exact-integer isqrt +
+    * largest-remainder ppm ([[Sampling.sqrtTemperatureWeightsPpm]]), then
+    * fed through the same deterministic mixture rule as `q_sample_mixture`
+    * — so the full derive-weights → sample chain is value-checked
+    * bit-for-bit. Unlike the static-weight entry, EVERY domain
+    * participates (temperature never zeroes a weight).
+    */
+  val qSampleTemperature = q(
+    "q_sample_temperature",
+    s"WITH ${mixtureCtesWith(docsDtSql, sqrtTempWeightsCte)} " +
+      "SELECT doc_id, source, n_tokens, copies FROM m") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(TextQueries.tokensCol(col("text"))).cast("long").as("n_tokens"))
+    val weights = Sampling.sqrtTemperatureWeightsPpm(
+      docs, col("source"), col("n_tokens"))
+    Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
+        col("n_tokens"), weights, MixtureBudget)
+      .select("doc_id", "source", "n_tokens", "copies")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
-      qSampleMixture, qMixturePacked, qShuffleShard, qTrainingShards)
+      qSampleMixture, qSampleTemperature, qMixturePacked, qShuffleShard,
+      qTrainingShards)
 }

@@ -329,6 +329,46 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length > 140 && a.length < 260, s"got ${a.length}")
   }
 
+  test("temperature weights: exact isqrt, ppm sums to 1e6, flattening monotone in alpha") {
+    // isqrt clamp exactness at perfect-square boundaries (float sqrt alone
+    // can be off by one there)
+    for (s <- Seq(0L, 1L, 2L, 3L, 1000L, 94906265L)) { // 94906265^2 > 2^53
+      val n = s * s
+      if (n >= 0) {
+        assert(Sampling.isqrt(n) === s, s"isqrt($n)")
+        if (n > 0) assert(Sampling.isqrt(n - 1) === s - 1, s"isqrt(${n - 1})")
+        if (n + 1 < (s + 1) * (s + 1)) // n+1 may itself be the next square
+          assert(Sampling.isqrt(n + 1) === s, s"isqrt(${n + 1})")
+      }
+    }
+    // skewed corpus: 90% of tokens in one domain
+    val docs = Seq(
+      ("a", 1L, 9000L), ("b", 2L, 600L), ("c", 3L, 400L)
+    ).toDF("source", "doc_id", "n_tokens")
+    val sqrtW = Sampling.sqrtTemperatureWeightsPpm(
+      docs, col("source"), col("n_tokens")).toMap
+    assert(sqrtW.values.sum === 1000000L, s"ppm must apportion exactly: $sqrtW")
+    // temperature flattens: the dominant domain's share drops below its
+    // proportional 90%, the small domains rise above theirs
+    assert(sqrtW("a") < 900000L && sqrtW("b") > 60000L && sqrtW("c") > 40000L, s"$sqrtW")
+    // ordering preserved: more tokens still means more weight
+    assert(sqrtW("a") > sqrtW("b") && sqrtW("b") > sqrtW("c"))
+    // alpha = 1 is proportional; the double path at alpha = 0.5 agrees
+    // with the exact-integer path within the ppm rounding grain
+    val prop = Sampling.temperatureWeightsPpm(
+      docs, col("source"), col("n_tokens"), alpha = 1.0).toMap
+    assert(math.abs(prop("a") - 900000L) <= 1, s"$prop")
+    val half = Sampling.temperatureWeightsPpm(
+      docs, col("source"), col("n_tokens"), alpha = 0.5).toMap
+    sqrtW.foreach { case (d, p) =>
+      assert(math.abs(half(d) - p) <= 2000,
+        s"double and integer alpha=0.5 paths drifted at $d: $half vs $sqrtW")
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeightsPpm(docs, col("source"), col("n_tokens"), 0.0)
+    }
+  }
+
   test("split assignment is disjoint, exhaustive, and monotone-stable") {
     val ids = (1L to 1000L).toDF("id")
     val splits = Sampling.assignSplit(ids, col("id"),
