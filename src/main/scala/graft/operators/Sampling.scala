@@ -105,7 +105,8 @@ object Sampling {
     */
   def mixtureByTokenBudget(df: DataFrame, domainCol: Column, idCol: Column,
       tokenCountCol: Column, weightsPpm: Seq[(String, Long)],
-      budgetTokens: Long): DataFrame = {
+      budgetTokens: Long,
+      precomputedTotals: Option[Map[String, Long]] = None): DataFrame = {
     require(weightsPpm.nonEmpty, "mixtureByTokenBudget: no domain weights")
     require(weightsPpm.forall(_._2 > 0),
       "mixtureByTokenBudget: weights must be positive ppm values")
@@ -114,10 +115,11 @@ object Sampling {
         "chain would silently keep only the last entry")
     require(budgetTokens > 0, "mixtureByTokenBudget: budgetTokens must be > 0")
     Md5Prefix32.register(df.sparkSession) // idempotent; bare sessions lack it
-    val totals = df.groupBy(domainCol.as("__dom"))
-      .agg(sum(tokenCountCol.cast("long")).as("__total"))
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pass [[domainTokenTotals]] output when the totals already exist
+    // (e.g. they derived the temperature weights) — one corpus aggregate,
+    // not one per consumer
+    val totals = precomputedTotals.getOrElse(
+      domainTokenTotals(df, domainCol, tokenCountCol).toMap)
     val rules = weightsPpm.flatMap { case (dom, ppm) =>
       totals.get(dom).filter(_ > 0).map { total =>
         // BigInt: budget×ppm exceeds Long at trillion-token budgets, and a
@@ -205,11 +207,19 @@ object Sampling {
   // (low-resource domains up-weighted). The weights feed
   // [[mixtureByTokenBudget]] as its ppm table.
 
-  private def domainTotals(df: DataFrame, domainCol: Column,
+  /** Per-domain token totals — ONE bounded aggregate to the driver (the
+    * k-means-centroids contract). Null domains and null/empty totals drop,
+    * matching the SQL mirror's `JOIN ... USING (source)` + `total > 0`.
+    * Compute once and feed BOTH the weights helper and
+    * [[mixtureByTokenBudget]]'s `precomputedTotals` so the corpus is
+    * scanned a single time.
+    */
+  def domainTokenTotals(df: DataFrame, domainCol: Column,
       tokenCountCol: Column): Seq[(String, Long)] =
     df.groupBy(domainCol.as("__dom"))
       .agg(sum(tokenCountCol.cast("long")).as("__total"))
       .collect() // bounded by #domains — the k-means-centroids contract
+      .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
       .map(r => r.getString(0) -> r.getLong(1))
       .filter(_._2 > 0).sortBy(_._1).toSeq
 
@@ -240,8 +250,10 @@ object Sampling {
   private[operators] def isqrt(n: Long): Long = {
     require(n >= 0, s"isqrt of $n")
     val g = math.sqrt(n.toDouble).toLong
-    val g1 = if (g * g > n) g - 1 else g
-    if ((g1 + 1) * (g1 + 1) <= n) g1 + 1 else g1
+    val g1 = if (g > 0 && g * g > n) g - 1 else g
+    // division form: (g1+1)² would overflow Long near Long.MaxValue and
+    // wrap negative, silently returning an off-by-one "exact" root
+    if (g1 + 1 <= n / (g1 + 1)) g1 + 1 else g1
   }
 
   /** Temperature weights at α = 1/2 in EXACT integer arithmetic
@@ -252,29 +264,28 @@ object Sampling {
     */
   def sqrtTemperatureWeightsPpm(df: DataFrame, domainCol: Column,
       tokenCountCol: Column): Seq[(String, Long)] =
-    largestRemainderPpm(domainTotals(df, domainCol, tokenCountCol)
-      .map { case (d, t) => d -> BigInt(isqrt(t)) })
+    sqrtTemperatureWeightsPpm(domainTokenTotals(df, domainCol, tokenCountCol))
 
-  /** General-α temperature weights (driver-side doubles over a handful of
-    * per-domain totals; the float is confined to the WEIGHT TABLE — the
-    * sampling itself stays integer-deterministic downstream). Use
-    * [[sqrtTemperatureWeightsPpm]] when cross-engine exactness matters.
+  /** Pure form over precomputed [[domainTokenTotals]] — use this when the
+    * totals also feed [[mixtureByTokenBudget]], so the corpus is
+    * aggregated once, not once per consumer.
+    */
+  def sqrtTemperatureWeightsPpm(totals: Seq[(String, Long)]): Seq[(String, Long)] =
+    largestRemainderPpm(totals.map { case (d, t) => d -> BigInt(isqrt(t)) })
+
+  /** General-α temperature weights (driver-side `math.pow` over a handful
+    * of per-domain totals; the float is confined to the WEIGHT TABLE and
+    * immediately frozen onto an integer grid — apportionment then shares
+    * [[largestRemainderPpm]] with the exact path, so Σppm = 1e6 holds by
+    * construction). Use [[sqrtTemperatureWeightsPpm]] when cross-engine
+    * exactness matters.
     */
   def temperatureWeightsPpm(df: DataFrame, domainCol: Column,
       tokenCountCol: Column, alpha: Double): Seq[(String, Long)] = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    val w = domainTotals(df, domainCol, tokenCountCol)
-      .map { case (d, t) => d -> math.pow(t.toDouble, alpha) }
-    val total = w.map(_._2).sum
-    val based = w.map { case (d, x) =>
-      val scaled = x * 1e6 / total
-      (d, scaled.toLong, scaled - scaled.toLong)
-    }
-    val extras = 1000000L - based.map(_._2).sum
-    val bump = based.sortBy { case (d, _, frac) => (-frac, d) }
-      .take(extras.toInt).map(_._1).toSet
-    based.map { case (d, base, _) =>
-      d -> (base + (if (bump(d)) 1L else 0L))
-    }.filter(_._2 > 0)
+    largestRemainderPpm(domainTokenTotals(df, domainCol, tokenCountCol)
+      .map { case (d, t) =>
+        d -> BigDecimal(math.pow(t.toDouble, alpha) * 1e9).toBigInt
+      })
   }
 }

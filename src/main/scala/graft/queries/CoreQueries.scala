@@ -294,9 +294,13 @@ object CoreQueries {
     // HLL is duplicate-insensitive, so both sides compute over the
     // pre-distinct (event_type, user_id) pairs: one map-side-combined
     // shuffle of distinct pairs replaces countDistinct's row-doubling
-    // Expand, the estimate is unchanged, and the exact side is count(*)
+    // Expand, the estimate is unchanged, and the exact side is count(*).
+    // Null user_ids are excluded like countDistinct/HLL would exclude
+    // them — without the filter the exact side would count a null group
+    // the sketch ignores.
     Tables.events(s, d)
-      .groupBy("event_type", "user_id").agg(Map.empty[String, String])
+      .where(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
         count(lit(1)).as("exact_users"))

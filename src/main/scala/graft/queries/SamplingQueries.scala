@@ -237,8 +237,11 @@ object SamplingQueries {
     * largest-remainder ppm ([[Sampling.sqrtTemperatureWeightsPpm]]), then
     * fed through the same deterministic mixture rule as `q_sample_mixture`
     * — so the full derive-weights → sample chain is value-checked
-    * bit-for-bit. Unlike the static-weight entry, EVERY domain
-    * participates (temperature never zeroes a weight).
+    * bit-for-bit. Unlike the static-weight entry, every domain present
+    * in the corpus gets a weight (extreme skew can still floor a
+    * negligible domain to 0 ppm on both engines). The per-domain totals
+    * are aggregated ONCE and shared by the weights derivation and the
+    * mixture rule.
     */
   val qSampleTemperature = q(
     "q_sample_temperature",
@@ -247,10 +250,10 @@ object SamplingQueries {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(TextQueries.tokensCol(col("text"))).cast("long").as("n_tokens"))
-    val weights = Sampling.sqrtTemperatureWeightsPpm(
-      docs, col("source"), col("n_tokens"))
+    val totals = Sampling.domainTokenTotals(docs, col("source"), col("n_tokens"))
     Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
-        col("n_tokens"), weights, MixtureBudget)
+        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
+        MixtureBudget, precomputedTotals = Some(totals.toMap))
       .select("doc_id", "source", "n_tokens", "copies")
   }
 

@@ -332,7 +332,8 @@ class OperatorsSpec extends SparkSpec {
   test("temperature weights: exact isqrt, ppm sums to 1e6, flattening monotone in alpha") {
     // isqrt clamp exactness at perfect-square boundaries (float sqrt alone
     // can be off by one there)
-    for (s <- Seq(0L, 1L, 2L, 3L, 1000L, 94906265L)) { // 94906265^2 > 2^53
+    // 94906265 = the largest s with s^2 < 2^53 — the float-precision edge
+    for (s <- Seq(0L, 1L, 2L, 3L, 1000L, 94906265L)) {
       val n = s * s
       if (n >= 0) {
         assert(Sampling.isqrt(n) === s, s"isqrt($n)")
@@ -341,6 +342,9 @@ class OperatorsSpec extends SparkSpec {
           assert(Sampling.isqrt(n + 1) === s, s"isqrt(${n + 1})")
       }
     }
+    // Long.MaxValue: the clamp's squared check would overflow and wrap —
+    // the division form must still return the true floor root
+    assert(Sampling.isqrt(Long.MaxValue) === 3037000499L)
     // skewed corpus: 90% of tokens in one domain
     val docs = Seq(
       ("a", 1L, 9000L), ("b", 2L, 600L), ("c", 3L, 400L)
