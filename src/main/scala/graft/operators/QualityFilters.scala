@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Published heuristic document filters for training-data curation, in
+  * pure integer/string column arithmetic (no floats — every ratio rule is
+  * a cross-multiplication, so the DuckDB oracle reproduces each flag
+  * bit-for-bit):
+  *
+  *  - [[gopherFlags]]: the Gopher quality rules (Rae et al. 2021,
+  *    "Scaling Language Models", Appendix A1.1) — word-count bounds, mean
+  *    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+  *    alphabetic-word fraction, stop-word presence.
+  *  - [[c4CleanLines]]: the C4 line/page cleaning (Raffel et al. 2020,
+  *    "Exploring the Limits of Transfer Learning", §2.2) — keep lines
+  *    that end in terminal punctuation and have ≥ 5 words, drop
+  *    `javascript` lines, flag pages with `lorem ipsum` or `{`.
+  *
+  * Both are pure map-side projections: no shuffle, no UDF — the shape
+  * that rides a 100 TB scan untouched (filters and column pruning still
+  * reach the parquet scan underneath).
+  */
+object QualityFilters {
+
+  /** Raw whitespace words (the papers' unit — NOT the normalized token
+    * stream used by the dedup family).
+    */
+  private def words(text: Column): Column =
+    filter(split(text, " "), _ =!= "")
+
+  private def lines(text: Column): Column = split(text, "\n")
+
+  private val Stopwords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document Gopher rule flags + the conjunction `gopher_pass`.
+    * Thresholds are the published ones; each flag is its own column so a
+    * pipeline can loosen individual rules. Integer cross-multiplication
+    * throughout: e.g. "mean word length in [3, 10]" is
+    * `3·n ≤ Σlen ≤ 10·n`, "≤ 90% bullet lines" is `10·bullets ≤ 9·lines`.
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nWords = size(w).cast("long")
+    val sumLen = coalesce(
+      aggregate(transform(w, x => length(x).cast("long")), lit(0L), _ + _),
+      lit(0L))
+    val nLines = size(lines(t)).cast("long")
+    val bulletLines = size(filter(lines(t),
+      l => trim(l).rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines(t),
+      l => l.rlike("\\.\\.\\.$"))).cast("long")
+    val symbols = (size(regexp_extract_all(t, lit("#"), lit(0))) +
+      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))).cast("long")
+    val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stops = size(array_intersect(
+      transform(w, x => lower(x)), array(Stopwords.map(lit): _*))).cast("long")
+    df.withColumn("g_word_count", nWords.between(50L, 100000L))
+      .withColumn("g_mean_word_len",
+        lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords)
+      .withColumn("g_symbol_ratio", symbols * 10L <= nWords)
+      .withColumn("g_bullet_lines", bulletLines * 10L <= nLines * 9L)
+      .withColumn("g_ellipsis_lines", ellipsisLines * 10L <= nLines * 3L)
+      .withColumn("g_alpha_words", alphaWords * 5L >= nWords * 4L)
+      .withColumn("g_stop_words", stops >= 2L)
+      .withColumn("gopher_pass",
+        col("g_word_count") && col("g_mean_word_len") &&
+          col("g_symbol_ratio") && col("g_bullet_lines") &&
+          col("g_ellipsis_lines") && col("g_alpha_words") &&
+          col("g_stop_words"))
+  }
+
+  /** C4 cleaning: per document, the retained lines (terminal-punctuation
+    * ending, ≥ 5 words, no `javascript`), their count, and the page-level
+    * `c4_page_drop` flag (`lorem ipsum` or a curly brace anywhere — the
+    * paper drops the whole page). Returns the input columns plus
+    * `c4_text`, `c4_lines_kept`, `c4_lines_total`, `c4_page_drop`; a
+    * dropped page keeps its rows flagged rather than silently vanishing,
+    * so the caller chooses `.filter(!col("c4_page_drop"))`.
+    */
+  def c4CleanLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val kept = filter(lines(t), l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(filter(split(trim(l), " "), x => x =!= "")) >= 5 &&
+        !lower(l).contains("javascript"))
+    df.withColumn("c4_text", array_join(kept, "\n"))
+      .withColumn("c4_lines_kept", size(kept).cast("long"))
+      .withColumn("c4_lines_total", size(lines(t)).cast("long"))
+      .withColumn("c4_page_drop",
+        lower(t).contains("lorem ipsum") || t.contains("{"))
+  }
+}

@@ -329,6 +329,46 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length > 140 && a.length < 260, s"got ${a.length}")
   }
 
+  test("gopher flags and C4 cleaning hit their published rule boundaries") {
+    val good = (Seq.fill(30)("the quick brown fox jumps over and") :+
+      "that have with of be to").mkString(" ") // 216 words, all rules pass
+    val docs = Seq(
+      (1L, good),
+      (2L, "short doc"),                          // < 50 words
+      (3L, good + " " + Seq.fill(30)("#").mkString(" ")), // symbol ratio blown
+      (4L, (0 until 10).map(i => s"- bullet $i").mkString("\n")), // 100% bullets
+      (5L, good.split(" ").map(_ => "ab#cd123").mkString(" "))    // numbers+symbols, no pure-alpha fail? still alpha-bearing
+    ).toDF("doc_id", "text")
+    val g = QualityFilters.gopherFlags(docs, "doc_id", "text")
+      .select("doc_id", "g_word_count", "g_symbol_ratio", "g_bullet_lines",
+        "g_stop_words", "gopher_pass")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(g(1L) === ((true, true, true, true, true)), s"good doc: ${g(1L)}")
+    assert(!g(2L)._1 && !g(2L)._5, "under 50 words must fail word count")
+    assert(!g(3L)._2 && !g(3L)._5, "30 hashes on 246 words must fail symbol ratio")
+    assert(!g(4L)._3, "all-bullet doc must fail the 90% bullet-line rule")
+    assert(!g(5L)._4, "stopword-free doc must fail stop-word presence")
+
+    val pages = Seq(
+      (1L, "This line has five good words.\nshort one.\nno terminal punct here at all\n" +
+        "Please enable javascript to continue browsing.\nAnother proper sentence with enough words!"),
+      (2L, "A fine sentence that would survive.\nBut lorem ipsum dolor sit amet poisons the page."),
+      (3L, "function() { return 1; }")
+    ).toDF("doc_id", "text")
+    val c = QualityFilters.c4CleanLines(pages, "doc_id", "text")
+      .select("doc_id", "c4_text", "c4_lines_kept", "c4_lines_total", "c4_page_drop")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(c(1L)._1 === "This line has five good words.\n" +
+      "Another proper sentence with enough words!",
+      s"kept lines wrong: ${c(1L)}")
+    assert(c(1L)._2 === 2L && c(1L)._3 === 5L && !c(1L)._4)
+    assert(c(2L)._4, "lorem ipsum must flag the page")
+    assert(c(3L)._4, "a curly brace must flag the page")
+  }
+
   test("temperature weights: exact isqrt, ppm sums to 1e6, flattening monotone in alpha") {
     // isqrt clamp exactness at perfect-square boundaries (float sqrt alone
     // can be off by one there)
