@@ -10,24 +10,29 @@ import org.apache.spark.sql.functions._
   *
   *  - [[gopherFlags]]: the Gopher quality rules (Rae et al. 2021,
   *    "Scaling Language Models", Appendix A1.1) — word-count bounds, mean
-  *    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
-  *    alphabetic-word fraction, stop-word presence.
+  *    word length, symbol-to-word ratios (hash and ellipsis each), bullet/
+  *    ellipsis line fractions, alphabetic-word fraction, stop-word
+  *    presence.
   *  - [[c4CleanLines]]: the C4 line/page cleaning (Raffel et al. 2020,
   *    "Exploring the Limits of Transfer Learning", §2.2) — keep lines
   *    that end in terminal punctuation and have ≥ 5 words, drop
   *    `javascript` lines, flag pages with `lorem ipsum` or `{`.
   *
   * Both are pure map-side projections: no shuffle, no UDF — the shape
-  * that rides a 100 TB scan untouched (filters and column pruning still
-  * reach the parquet scan underneath).
+  * that rides a 100 TB scan untouched. The tokenizations are materialized
+  * ONCE per row into temp array columns and every flag derives from
+  * those (higher-order-function expressions are not subexpression-
+  * eliminated, so naively repeating them would re-split the text per
+  * flag).
   */
 object QualityFilters {
 
   /** Raw whitespace words (the papers' unit — NOT the normalized token
-    * stream used by the dedup family).
+    * stream used by the dedup family). `\s+` split: a space-only split
+    * would glue words across newlines/tabs and skew every word rule.
     */
   private def words(text: Column): Column =
-    filter(split(text, " "), _ =!= "")
+    filter(split(text, "\\s+"), _ =!= "")
 
   private def lines(text: Column): Column = split(text, "\n")
 
@@ -39,28 +44,39 @@ object QualityFilters {
     * pipeline can loosen individual rules. Integer cross-multiplication
     * throughout: e.g. "mean word length in [3, 10]" is
     * `3·n ≤ Σlen ≤ 10·n`, "≤ 90% bullet lines" is `10·bullets ≤ 9·lines`.
+    * The hash and ellipsis symbol ratios are tested SEPARATELY (each
+    * ≤ 0.1), per the paper — a combined sum would over-filter documents
+    * near either boundary.
     */
-  def gopherFlags(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val w = words(t)
+    val w = col("__gf_w")
+    val ls = col("__gf_ls")
     val nWords = size(w).cast("long")
     val sumLen = coalesce(
       aggregate(transform(w, x => length(x).cast("long")), lit(0L), _ + _),
       lit(0L))
-    val nLines = size(lines(t)).cast("long")
-    val bulletLines = size(filter(lines(t),
+    val nLines = size(ls).cast("long")
+    val bulletLines = size(filter(ls,
       l => trim(l).rlike("^[-*•]"))).cast("long")
-    val ellipsisLines = size(filter(lines(t),
-      l => l.rlike("\\.\\.\\.$"))).cast("long")
-    val symbols = (size(regexp_extract_all(t, lit("#"), lit(0))) +
-      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0)))).cast("long")
+    // \s* before $: a CRLF corpus leaves \r on split lines, and Java's $
+    // (before a final terminator) vs RE2's (end of text only) would
+    // disagree without it
+    val ellipsisLines = size(filter(ls,
+      l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    val hashes = size(regexp_extract_all(t, lit("#"), lit(0))).cast("long")
+    val ellipses =
+      size(regexp_extract_all(t, lit("\\.\\.\\."), lit(0))).cast("long")
     val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
     val stops = size(array_intersect(
       transform(w, x => lower(x)), array(Stopwords.map(lit): _*))).cast("long")
-    df.withColumn("g_word_count", nWords.between(50L, 100000L))
+    df.withColumn("__gf_w", words(t))
+      .withColumn("__gf_ls", lines(t))
+      .withColumn("g_word_count", nWords.between(50L, 100000L))
       .withColumn("g_mean_word_len",
         lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords)
-      .withColumn("g_symbol_ratio", symbols * 10L <= nWords)
+      .withColumn("g_symbol_ratio",
+        hashes * 10L <= nWords && ellipses * 10L <= nWords)
       .withColumn("g_bullet_lines", bulletLines * 10L <= nLines * 9L)
       .withColumn("g_ellipsis_lines", ellipsisLines * 10L <= nLines * 3L)
       .withColumn("g_alpha_words", alphaWords * 5L >= nWords * 4L)
@@ -70,6 +86,7 @@ object QualityFilters {
           col("g_symbol_ratio") && col("g_bullet_lines") &&
           col("g_ellipsis_lines") && col("g_alpha_words") &&
           col("g_stop_words"))
+      .drop("__gf_w", "__gf_ls")
   }
 
   /** C4 cleaning: per document, the retained lines (terminal-punctuation
@@ -80,16 +97,18 @@ object QualityFilters {
     * dropped page keeps its rows flagged rather than silently vanishing,
     * so the caller chooses `.filter(!col("c4_page_drop"))`.
     */
-  def c4CleanLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def c4CleanLines(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val kept = filter(lines(t), l =>
-      l.rlike("[.!?\"]\\s*$") &&
-        size(filter(split(trim(l), " "), x => x =!= "")) >= 5 &&
-        !lower(l).contains("javascript"))
-    df.withColumn("c4_text", array_join(kept, "\n"))
+    val kept = col("__c4_kept")
+    df.withColumn("__c4_kept", filter(lines(t), l =>
+        l.rlike("[.!?\"]\\s*$") &&
+          size(filter(split(trim(l), "\\s+"), x => x =!= "")) >= 5 &&
+          !lower(l).contains("javascript")))
+      .withColumn("c4_text", array_join(kept, "\n"))
       .withColumn("c4_lines_kept", size(kept).cast("long"))
       .withColumn("c4_lines_total", size(lines(t)).cast("long"))
       .withColumn("c4_page_drop",
         lower(t).contains("lorem ipsum") || t.contains("{"))
+      .drop("__c4_kept")
   }
 }

@@ -918,28 +918,29 @@ object TextQueries {
   val qQualityGopher = q(
     "q_quality_gopher",
     "WITH wr AS (SELECT doc_id, text, " +
-      "list_filter(string_split(text, ' '), x -> x <> '') AS w, " +
+      "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w, " +
       "string_split(text, chr(10)) AS ls FROM documents), " +
       "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, " +
       "CAST(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sum_len, " +
       "CAST(len(ls) AS BIGINT) AS n_lines, " +
       "CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bullets, " +
-      "CAST(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.$'))) AS BIGINT) AS ellipsis, " +
-      "CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS symbols, " +
+      "CAST(len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS BIGINT) AS ellipsis, " +
+      "CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes, " +
+      "CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS ellipses, " +
       "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS alpha_w, " +
       "CAST(len(list_intersect(list_transform(w, x -> lower(x)), " +
       "['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stops FROM wr) " +
       "SELECT doc_id, " +
       "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS g_word_count, " +
       "CAST(CASE WHEN 3*n_words <= sum_len AND sum_len <= 10*n_words THEN 1 ELSE 0 END AS BIGINT) AS g_mean_word_len, " +
-      "CAST(CASE WHEN symbols*10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS g_symbol_ratio, " +
+      "CAST(CASE WHEN hashes*10 <= n_words AND ellipses*10 <= n_words THEN 1 ELSE 0 END AS BIGINT) AS g_symbol_ratio, " +
       "CAST(CASE WHEN bullets*10 <= n_lines*9 THEN 1 ELSE 0 END AS BIGINT) AS g_bullet_lines, " +
       "CAST(CASE WHEN ellipsis*10 <= n_lines*3 THEN 1 ELSE 0 END AS BIGINT) AS g_ellipsis_lines, " +
       "CAST(CASE WHEN alpha_w*5 >= n_words*4 THEN 1 ELSE 0 END AS BIGINT) AS g_alpha_words, " +
       "CAST(CASE WHEN stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS g_stop_words " +
       "FROM m") { (s, d) =>
     graft.operators.QualityFilters
-      .gopherFlags(Tables.documents(s, d), "doc_id", "text")
+      .gopherFlags(Tables.documents(s, d), "text")
       .select(col("doc_id"),
         col("g_word_count").cast("long"),
         col("g_mean_word_len").cast("long"),
@@ -967,10 +968,10 @@ object TextQueries {
       "SELECT doc_id, text, string_split(text, chr(10)) AS ls, " +
       "list_filter(string_split(text, chr(10)), l -> " +
       "regexp_matches(l, '[.!?\"]\\s*$') AND " +
-      "len(list_filter(string_split(trim(l), ' '), x -> x <> '')) >= 5 AND " +
+      "len(list_filter(regexp_split_to_array(trim(l), '\\s+'), x -> x <> '')) >= 5 AND " +
       "NOT contains(lower(l), 'javascript')) AS kept FROM documents)") { (s, d) =>
     graft.operators.QualityFilters
-      .c4CleanLines(Tables.documents(s, d), "doc_id", "text")
+      .c4CleanLines(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("c4_lines_kept"), col("c4_lines_total"),
         col("c4_page_drop").cast("long"), col("c4_text"))
   }

@@ -339,7 +339,7 @@ class OperatorsSpec extends SparkSpec {
       (4L, (0 until 10).map(i => s"- bullet $i").mkString("\n")), // 100% bullets
       (5L, good.split(" ").map(_ => "ab#cd123").mkString(" "))    // numbers+symbols, no pure-alpha fail? still alpha-bearing
     ).toDF("doc_id", "text")
-    val g = QualityFilters.gopherFlags(docs, "doc_id", "text")
+    val g = QualityFilters.gopherFlags(docs, "text")
       .select("doc_id", "g_word_count", "g_symbol_ratio", "g_bullet_lines",
         "g_stop_words", "gopher_pass")
       .collect().map(r => r.getLong(0) ->
@@ -351,13 +351,31 @@ class OperatorsSpec extends SparkSpec {
     assert(!g(4L)._3, "all-bullet doc must fail the 90% bullet-line rule")
     assert(!g(5L)._4, "stopword-free doc must fail stop-word presence")
 
+    // the published rule applies the 0.1 threshold to hash and ellipsis
+    // SEPARATELY: 8 of each on 100 words passes (a summed ratio would
+    // wrongly fail at 16/100)
+    val perSymbol = Seq((6L,
+      Seq.fill(25)("the and that have").mkString(" ") + " " +
+        (Seq.fill(8)("#") ++ Seq.fill(8)("...")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val ps = QualityFilters.gopherFlags(perSymbol, "text")
+      .select("g_symbol_ratio").collect().head.getBoolean(0)
+    assert(ps, "8 hashes + 8 ellipses on 116 words must pass per-symbol ratios")
+    // words split on ANY whitespace: one word per line still counts words
+    val multiline = Seq((7L, Seq.fill(60)("the and that have").mkString("\n")))
+      .toDF("doc_id", "text")
+    val ml = QualityFilters.gopherFlags(multiline, "text")
+      .select("g_word_count", "g_stop_words").collect().head
+    assert(ml.getBoolean(0) && ml.getBoolean(1),
+      "newline-separated words must count as words (\\\\s+ split)")
+
     val pages = Seq(
       (1L, "This line has five good words.\nshort one.\nno terminal punct here at all\n" +
         "Please enable javascript to continue browsing.\nAnother proper sentence with enough words!"),
       (2L, "A fine sentence that would survive.\nBut lorem ipsum dolor sit amet poisons the page."),
       (3L, "function() { return 1; }")
     ).toDF("doc_id", "text")
-    val c = QualityFilters.c4CleanLines(pages, "doc_id", "text")
+    val c = QualityFilters.c4CleanLines(pages, "text")
       .select("doc_id", "c4_text", "c4_lines_kept", "c4_lines_total", "c4_page_drop")
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
