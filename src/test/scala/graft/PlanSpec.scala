@@ -317,6 +317,19 @@ class PlanSpec extends SparkSpec {
     assert(t.view.collect().toMap === Map("k" -> 2))
   }
 
+  test("quality filters are pure map-side with one tokenization per row") {
+    for (name <- Seq("q_quality_gopher", "q_c4_clean")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name must not shuffle:\n" + p.take(1200))
+    }
+    // the word/line arrays materialize ONCE (CollapseProject keeps the
+    // non-cheap multi-referenced aliases in their own projection) — a
+    // collapsed plan would re-split the text for every flag
+    val g = plan("q_quality_gopher")
+    assert("AS __gf_w".r.findAllIn(g).size == 1, g.take(1500))
+    assert("AS __gf_ls".r.findAllIn(g).size == 1, g.take(1500))
+  }
+
   test("q_approx_quantile: window and groupBy share the event_type exchange") {
     val p = plan("q_approx_quantile")
     // the rank-interval check folds the sketch window and the count
