@@ -39,6 +39,51 @@ object Decontaminate {
     corpus.join(contaminatedIds(corpus, benchmark, idCol, textCol, n),
       Seq(idCol), "left_anti")
 
+  /** Per-document OVERLAP FRACTION vs the benchmark — the thresholded
+    * contamination score (GPT-3 App. C / PaLM-style "dirty document"
+    * accounting) rather than [[contaminatedIds]]'s any-overlap flag: for
+    * each corpus doc, how many of its DISTINCT n-grams appear in the
+    * benchmark gram set. Returns every corpus row's id with
+    * `grams_total` and `grams_matched` (0/0 for docs shorter than n
+    * tokens — the fraction is the caller's division, kept as an integer
+    * PAIR so thresholds stay cross-multiplications).
+    *
+    * Same scale shape as the flag path: benchmark grams broadcast, the
+    * corpus explodes its own grams and aggregates back on the id — one
+    * corpus-side shuffle on the id, no benchmark-side shuffle.
+    */
+  def overlapStats(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    val bg = ngramSet(benchmark, textCol, n).withColumn("__bg", lit(1))
+    val stats = corpus
+      .select(col(idCol),
+        explode(array_distinct(TextQueries.ngramsCol(col(textCol), n))).as("g"))
+      .join(broadcast(bg), Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("grams_total"),
+        sum(coalesce(col("__bg"), lit(0))).cast("long").as("grams_matched"))
+    corpus.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("grams_total"), lit(0L)).as("grams_total"),
+        coalesce(col("grams_matched"), lit(0L)).as("grams_matched"))
+  }
+
+  /** Keep-side filter on the overlap fraction: docs whose
+    * `matched/total` exceeds `maxOverlapPpm`/1e6 are dropped (integer
+    * cross-multiplication — no float threshold); gram-less docs are kept.
+    */
+  def cleanByOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, maxOverlapPpm: Long,
+      n: Int = 5): DataFrame = {
+    require(maxOverlapPpm >= 0 && maxOverlapPpm <= 1000000L,
+      s"maxOverlapPpm must be a ppm in [0, 1e6], got $maxOverlapPpm")
+    val dirty = overlapStats(corpus, benchmark, idCol, textCol, n)
+      .filter(col("grams_matched") * 1000000L >
+        lit(maxOverlapPpm) * col("grams_total"))
+      .select(idCol)
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-filter variant of [[contaminatedIds]] for benchmark sides too
     * large to broadcast as an exact gram set (decontaminating against a
     * whole held-out SPLIT rather than a small eval set): the benchmark's

@@ -683,6 +683,37 @@ object TextQueries {
         sum(when(col("__hit").isNotNull, 1).otherwise(0)).as("contaminated"))
   }
 
+  /** Overlap-FRACTION decontamination
+    * ([[graft.operators.Decontaminate.overlapStats]]): per corpus doc, the
+    * (distinct-5-gram total, benchmark-matched) pair plus the 20%
+    * threshold verdict (`matched·5 > total`) — the GPT-3/PaLM "dirty
+    * document" accounting, value-exact per document.
+    */
+  val qDecontaminateFrac = q(
+    "q_decontaminate_frac", {
+      val g = ngramsSql(5)
+      s"WITH bg AS (SELECT DISTINCT unnest($g) AS gr FROM documents WHERE doc_id % 100 = 0), " +
+        s"dg AS (SELECT doc_id, unnest(list_distinct($g)) AS gr " +
+        "FROM documents WHERE doc_id % 100 <> 0), " +
+        "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS grams_total, " +
+        "CAST(sum(CASE WHEN gr IN (SELECT gr FROM bg) THEN 1 ELSE 0 END) AS BIGINT) AS grams_matched " +
+        "FROM dg GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(grams_total, 0) AS grams_total, " +
+        "coalesce(grams_matched, 0) AS grams_matched, " +
+        "CAST(CASE WHEN coalesce(grams_matched, 0) * 5 > coalesce(grams_total, 0) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS dirty " +
+        "FROM (SELECT doc_id FROM documents WHERE doc_id % 100 <> 0) d " +
+        "LEFT JOIN st USING (doc_id)"
+    }) { (s, d) =>
+    val docs = Tables.documentsBalanced(s, d)
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+    graft.operators.Decontaminate
+      .overlapStats(corpus, bench, "doc_id", "text", n = 5)
+      .select(col("doc_id"), col("grams_total"), col("grams_matched"),
+        (col("grams_matched") * 5 > col("grams_total")).cast("long").as("dirty"))
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. Image
     * decode is real (JDK `javax.imageio` — see
     * [[graft.operators.Multimodal.ImageIoDecoder]]); audio/video fall back
@@ -984,7 +1015,7 @@ object TextQueries {
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qMultimodalMeta, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

@@ -259,6 +259,25 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(bloomKept === Array(2L, 3L))
 
+    // overlap FRACTION: doc 1 has 6 distinct 5-grams, exactly ONE of
+    // which ("alpha beta gamma delta epsilon") sits in the benchmark's
+    // gram set; thresholds below/above 1/6 must flip the keep decision,
+    // and a gram-less doc (under 5 tokens) reports 0/0 and is always kept
+    val withShort = corpus.unionAll(Seq((4L, "too few words")).toDF("doc_id", "text"))
+    val stats = Decontaminate.overlapStats(withShort, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(1L) === ((6L, 1L)), s"doc 1 stats: ${stats(1L)}")
+    assert(stats(2L)._2 === 0L && stats(3L)._2 === 0L)
+    assert(stats(4L) === ((0L, 0L)), "gram-less docs report 0/0, not a missing row")
+    val strict = Decontaminate.cleanByOverlap(withShort, bench, "doc_id", "text",
+        maxOverlapPpm = 100000L) // 10% < 1/6 -> doc 1 dropped
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(strict === Array(2L, 3L, 4L))
+    val loose = Decontaminate.cleanByOverlap(withShort, bench, "doc_id", "text",
+        maxOverlapPpm = 200000L) // 20% >= 1/6 -> doc 1 kept
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(loose === Array(1L, 2L, 3L, 4L))
+
     // ingest-time flag: pure map-side, so it runs on an unbounded stream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime
