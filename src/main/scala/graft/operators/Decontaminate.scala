@@ -55,17 +55,16 @@ object Decontaminate {
   def overlapStats(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 5): DataFrame = {
     val bg = ngramSet(benchmark, textCol, n).withColumn("__bg", lit(1))
-    val stats = corpus
+    // explode_OUTER keeps gram-less docs as one null-gram row (which joins
+    // nothing), so the 0/0 contract needs no second corpus scan or
+    // join-back — the count aggregates ignore the nulls
+    corpus
       .select(col(idCol),
-        explode(array_distinct(TextQueries.ngramsCol(col(textCol), n))).as("g"))
+        explode_outer(array_distinct(TextQueries.ngramsCol(col(textCol), n))).as("g"))
       .join(broadcast(bg), Seq("g"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("grams_total"),
-        sum(coalesce(col("__bg"), lit(0))).cast("long").as("grams_matched"))
-    corpus.select(col(idCol)).join(stats, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("grams_total"), lit(0L)).as("grams_total"),
-        coalesce(col("grams_matched"), lit(0L)).as("grams_matched"))
+      .agg(count(col("g")).as("grams_total"),
+        count(col("__bg")).as("grams_matched"))
   }
 
   /** Keep-side filter on the overlap fraction: docs whose
