@@ -110,14 +110,17 @@ object SchemaRegistry {
     * client). The HTTP client is built lazily and marked transient so the
     * resolver can ship inside task closures.
     */
-  final class HttpSchemaResolver(baseUrl: String) extends SchemaResolver {
+  final class HttpSchemaResolver(baseUrl: String,
+      requestTimeoutMs: Long = 30000L) extends SchemaResolver {
     @transient private lazy val client = HttpClient.newHttpClient()
     @transient private lazy val mapper = new ObjectMapper()
     private def base = baseUrl.stripSuffix("/")
+    private def timeout = java.time.Duration.ofMillis(requestTimeoutMs)
 
     override def fetch(id: Int): Option[RegisteredSchema] = {
       val resp = client.send(
-        HttpRequest.newBuilder(URI.create(s"$base/schemas/ids/$id")).GET().build(),
+        HttpRequest.newBuilder(URI.create(s"$base/schemas/ids/$id"))
+          .timeout(timeout).GET().build(),
         HttpResponse.BodyHandlers.ofString())
       if (resp.statusCode() == 404) return None
       require(resp.statusCode() == 200,
@@ -142,6 +145,7 @@ object SchemaRegistry {
       val resp = client.send(
         HttpRequest.newBuilder(
             URI.create(s"$base/subjects/$subject/versions"))
+          .timeout(timeout)
           .header("Content-Type", "application/vnd.schemaregistry.v1+json")
           .POST(HttpRequest.BodyPublishers.ofString(body.toString,
             StandardCharsets.UTF_8))

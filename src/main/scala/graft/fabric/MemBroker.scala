@@ -47,11 +47,13 @@ final class MemBroker private[fabric] (val id: String) {
 
   private val topics = new ConcurrentHashMap[String, Array[Partition]]()
   private val roundRobin = new AtomicInteger(0)
-  // (queryId, epochId) pairs whose streaming commit has been applied: the
-  // exactly-once ledger — a replayed epoch (checkpoint retry after a lost
-  // ack) appends nothing the second time
-  private val committed =
-    ConcurrentHashMap.newKeySet[(String, Long)]()
+  // highest epoch applied per queryId: the exactly-once ledger — a
+  // replayed epoch (checkpoint retry after a lost ack) appends nothing
+  // the second time. Micro-batch epochs are strictly increasing per
+  // query, so the watermark is O(1) per query instead of an
+  // unboundedly-growing (queryId, epochId) set — the shape that survives
+  // a long-running stream
+  private val committed = new ConcurrentHashMap[String, Long]()
   /** Test hook: make the NEXT streaming commit apply its records and then
     * throw — "records landed, ack lost", the duplicate-generator scenario
     * an at-least-once sink cannot survive.
@@ -113,8 +115,13 @@ final class MemBroker private[fabric] (val id: String) {
   def commitEpoch(queryId: String, epochId: Long,
       records: Seq[(String, Option[Int], Record)]): Boolean = {
     val applied = committed.synchronized {
-      if (!committed.add((queryId, epochId))) false
-      else { records.foreach { case (t, p, r) => produce(t, p, r) }; true }
+      val max = committed.getOrDefault(queryId, Long.MinValue)
+      if (epochId <= max) false // replay of an already-applied epoch
+      else {
+        records.foreach { case (t, p, r) => produce(t, p, r) }
+        committed.put(queryId, epochId)
+        true
+      }
     }
     if (failNextCommit.getAndSet(false))
       throw new IllegalStateException(
