@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+
+/** Boilerplate-prefix detection and removal — the "strip the site header"
+  * step of web-corpus curation: a leading token run shared by many
+  * documents of the same group (domain/source) is boilerplate, not
+  * content, and inflates n-gram counts and dedup signatures.
+  *
+  * Works on the NORMALIZED token stream ([[TextQueries.tokensCol]]), so
+  * detection is case/punctuation-invariant and the stripped output is the
+  * normalized text (document it downstream — raw-byte offsets are a
+  * different, span-level problem: [[SpanDedup]]).
+  *
+  * Distributed shape: one aggregate on (group, prefix) — the prefix table
+  * is at most |docs|/minDf rows, usually tiny — joined back on the same
+  * keys. No corpus self-join, no window.
+  */
+object Boilerplate {
+
+  private def prefixCol(toks: Column, k: Int): Column =
+    when(size(toks) >= k, array_join(slice(toks, 1, k), " "))
+
+  /** Leading `k`-token prefixes occurring in at least `minDf` documents of
+    * a group: `(groupCol, prefix, df_count)`. Documents shorter than `k`
+    * tokens contribute nothing.
+    */
+  def frequentPrefixes(df: DataFrame, textCol: String, groupCol: String,
+      k: Int, minDf: Long): DataFrame = {
+    require(k >= 1, s"prefix length must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = every document), got $minDf")
+    df.select(col(groupCol),
+        prefixCol(TextQueries.tokensCol(col(textCol)), k).as("prefix"))
+      .filter(col("prefix").isNotNull)
+      .groupBy(groupCol, "prefix")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") >= minDf)
+  }
+
+  /** Flag and strip: every document whose leading `k` normalized tokens
+    * form a [[frequentPrefixes]] prefix of its group gets
+    * `is_boilerplate = true` and `text_clean` = the normalized text with
+    * those tokens removed; everything else passes through with its full
+    * normalized text. The prefix table is corpus-derived, so the join
+    * back carries no broadcast hint (tiny → AQE broadcasts; pathological
+    * → shuffle join instead of an executor OOM).
+    */
+  def stripFrequentPrefixes(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int, minDf: Long): DataFrame = {
+    val prefixes = frequentPrefixes(df, textCol, groupCol, k, minDf)
+      .withColumn("__bp", lit(1))
+    val toks = TextQueries.tokensCol(col(textCol))
+    df.withColumn("prefix", prefixCol(toks, k))
+      .join(prefixes, Seq(groupCol, "prefix"), "left")
+      .withColumn("is_boilerplate", col("__bp").isNotNull)
+      .withColumn("text_clean",
+        when(col("is_boilerplate"),
+          array_join(slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))), " "))
+          .otherwise(array_join(toks, " ")))
+      .drop("prefix", "df_count", "__bp")
+  }
+}

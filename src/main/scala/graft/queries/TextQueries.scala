@@ -714,6 +714,29 @@ object TextQueries {
         (col("grams_matched") * 5 > col("grams_total")).cast("long").as("dirty"))
   }
 
+  /** Boilerplate-prefix strip ([[graft.operators.Boilerplate]]): leading
+    * 2-token runs shared by ≥ 2 docs of a source are flagged and removed
+    * from the normalized text — per-doc flag and cleaned text value-exact
+    * on both engines.
+    */
+  val qBoilerplate = q(
+    "q_boilerplate", {
+      s"WITH t AS (SELECT doc_id, source, $tokensSql AS toks FROM documents), " +
+        "p AS (SELECT doc_id, source, toks, CASE WHEN len(toks) >= 2 " +
+        "THEN array_to_string(toks[1:2], ' ') END AS pre FROM t), " +
+        "f AS (SELECT source, pre, CAST(1 AS INT) AS bp FROM p WHERE pre IS NOT NULL " +
+        "GROUP BY source, pre HAVING count(*) >= 2) " +
+        "SELECT doc_id, CAST(CASE WHEN bp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_boilerplate, " +
+        "coalesce(CASE WHEN bp IS NOT NULL THEN array_to_string(toks[3:], ' ') " +
+        "ELSE array_to_string(toks, ' ') END, '') AS text_clean " +
+        "FROM p LEFT JOIN f USING (source, pre)"
+    }) { (s, d) =>
+    graft.operators.Boilerplate.stripFrequentPrefixes(
+        Tables.documents(s, d), "doc_id", "text", "source", k = 2, minDf = 2L)
+      .select(col("doc_id"), col("is_boilerplate").cast("long"),
+        col("text_clean"))
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. Image
     * decode is real (JDK `javax.imageio` — see
     * [[graft.operators.Multimodal.ImageIoDecoder]]); audio/video fall back
@@ -1015,7 +1038,7 @@ object TextQueries {
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qMultimodalMeta, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

@@ -348,6 +348,33 @@ class OperatorsSpec extends SparkSpec {
     assert(a.length > 140 && a.length < 260, s"got ${a.length}")
   }
 
+  test("boilerplate prefixes: shared headers strip, rare prefixes and short docs survive") {
+    val docs = Seq(
+      (1L, "siteA", "Welcome to: ExampleCorp! actual content one"),
+      (2L, "siteA", "WELCOME to exampleCorp - different content here"), // same normalized prefix
+      (3L, "siteA", "unique opening words for this document"),
+      (4L, "siteB", "welcome to somewhere else entirely"), // other group: df 1
+      (5L, "siteA", "hi") // shorter than k: no prefix
+    ).toDF("doc_id", "source", "text")
+    val freq = Boilerplate.frequentPrefixes(docs, "text", "source", k = 3, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(freq.toSeq === Seq(("siteA", "welcome to examplecorp", 2L)),
+      s"case/punct-invariant header detection: ${freq.toSeq}")
+    val out = Boilerplate.stripFrequentPrefixes(docs, "doc_id", "text",
+        "source", k = 3, minDf = 2)
+      .select("doc_id", "is_boilerplate", "text_clean")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(out(1L) === ((true, "actual content one")))
+    assert(out(2L) === ((true, "different content here")))
+    assert(out(3L) === ((false, "unique opening words for this document")))
+    assert(out(4L) === ((false, "welcome to somewhere else entirely")),
+      "a df-1 prefix in its own group must not strip")
+    assert(out(5L) === ((false, "hi")), "short docs pass through")
+    intercept[IllegalArgumentException] {
+      Boilerplate.frequentPrefixes(docs, "text", "source", k = 3, minDf = 1)
+    }
+  }
+
   test("gopher flags and C4 cleaning hit their published rule boundaries") {
     val good = (Seq.fill(30)("the quick brown fox jumps over and") :+
       "that have with of be to").mkString(" ") // 216 words, all rules pass
