@@ -78,7 +78,19 @@ object SchemaRegistry {
     * `MockSchemaRegistryClient` (`MockSchemaRegistry.cs`), and the local
     * registry for tests and single-process pipelines. Ids are assigned
     * sequentially from 1; re-registering a subject's identical schema
-    * returns the existing id (Confluent semantics).
+    * returns the existing id.
+    *
+    * DIVERGENCE from a real Confluent registry (shared with the
+    * reference's mock, so mock-faithful but worth knowing): ids here are
+    * deduped PER SUBJECT, while Confluent assigns ONE GLOBAL id per
+    * distinct schema text — the same schema registered under two subjects
+    * gets two ids from this class but one id from Confluent. Payloads
+    * framed with one subject's id therefore fail `srAvroDeById`'s strict
+    * frame-id guard when decoded with the other subject's id, even though
+    * a Confluent deployment would decode both. Pipelines that share one
+    * schema across subjects and decode by a pinned id should register it
+    * once and reuse the returned id (or point at a real registry via
+    * [[HttpSchemaResolver]]).
     */
   final class InMemoryRegistry extends SchemaResolver {
     private val nextId = new AtomicInteger(0)

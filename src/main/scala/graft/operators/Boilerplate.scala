@@ -61,10 +61,14 @@ object Boilerplate {
     df.withColumn("prefix", prefixCol(toks, k))
       .join(prefixes, Seq(groupCol, "prefix"), "left")
       .withColumn("is_boilerplate", col("__bp").isNotNull)
-      .withColumn("text_clean",
+      // coalesce: NULL text tokenizes to NULL, but the contract (and the
+      // DuckDB mirror) is a non-null text_clean — a NULL document strips
+      // to the empty string
+      .withColumn("text_clean", coalesce(
         when(col("is_boilerplate"),
           array_join(slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))), " "))
-          .otherwise(array_join(toks, " ")))
+          .otherwise(array_join(toks, " ")),
+        lit("")))
       .drop("prefix", "df_count", "__bp")
   }
 }

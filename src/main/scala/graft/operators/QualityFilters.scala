@@ -39,6 +39,19 @@ object QualityFilters {
   private val Stopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Same loud-failure contract as
+    * [[Boilerplate.stripFrequentPrefixes]]: refuse inputs whose columns
+    * collide with the temp or output names this operator writes —
+    * `withColumn` would silently overwrite them (and the temps would then
+    * be dropped on exit, losing user data).
+    */
+  private def requireFreshColumns(df: DataFrame, op: String,
+      names: Seq[String]): Unit =
+    names.foreach { c =>
+      require(!df.columns.contains(c),
+        s"$op: input already has a $c column; rename it first")
+    }
+
   /** Per-document Gopher rule flags + the conjunction `gopher_pass`.
     * Thresholds are the published ones; each flag is its own column so a
     * pipeline can loosen individual rules. Integer cross-multiplication
@@ -49,6 +62,10 @@ object QualityFilters {
     * near either boundary.
     */
   def gopherFlags(df: DataFrame, textCol: String): DataFrame = {
+    requireFreshColumns(df, "gopherFlags", Seq("__gf_w", "__gf_ls",
+      "g_word_count", "g_mean_word_len", "g_symbol_ratio",
+      "g_bullet_lines", "g_ellipsis_lines", "g_alpha_words",
+      "g_stop_words", "gopher_pass"))
     val t = col(textCol)
     val w = col("__gf_w")
     val ls = col("__gf_ls")
@@ -70,17 +87,23 @@ object QualityFilters {
     val alphaWords = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
     val stops = size(array_intersect(
       transform(w, x => lower(x)), array(Stopwords.map(lit): _*))).cast("long")
+    // every flag coalesces to false on NULL text: split(NULL) is NULL, so
+    // the raw comparisons would all be NULL while the DuckDB oracle's
+    // CASE WHEN yields 0 — a latent hash mismatch the moment a corpus
+    // carries a NULL document
+    def flag(c: Column): Column = coalesce(c, lit(false))
     df.withColumn("__gf_w", words(t))
       .withColumn("__gf_ls", lines(t))
-      .withColumn("g_word_count", nWords.between(50L, 100000L))
+      .withColumn("g_word_count", flag(nWords.between(50L, 100000L)))
       .withColumn("g_mean_word_len",
-        lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords)
+        flag(lit(3L) * nWords <= sumLen && sumLen <= lit(10L) * nWords))
       .withColumn("g_symbol_ratio",
-        hashes * 10L <= nWords && ellipses * 10L <= nWords)
-      .withColumn("g_bullet_lines", bulletLines * 10L <= nLines * 9L)
-      .withColumn("g_ellipsis_lines", ellipsisLines * 10L <= nLines * 3L)
-      .withColumn("g_alpha_words", alphaWords * 5L >= nWords * 4L)
-      .withColumn("g_stop_words", stops >= 2L)
+        flag(hashes * 10L <= nWords && ellipses * 10L <= nWords))
+      .withColumn("g_bullet_lines", flag(bulletLines * 10L <= nLines * 9L))
+      .withColumn("g_ellipsis_lines",
+        flag(ellipsisLines * 10L <= nLines * 3L))
+      .withColumn("g_alpha_words", flag(alphaWords * 5L >= nWords * 4L))
+      .withColumn("g_stop_words", flag(stops >= 2L))
       .withColumn("gopher_pass",
         col("g_word_count") && col("g_mean_word_len") &&
           col("g_symbol_ratio") && col("g_bullet_lines") &&
@@ -98,17 +121,25 @@ object QualityFilters {
     * so the caller chooses `.filter(!col("c4_page_drop"))`.
     */
   def c4CleanLines(df: DataFrame, textCol: String): DataFrame = {
+    requireFreshColumns(df, "c4CleanLines", Seq("__c4_kept", "c4_text",
+      "c4_lines_kept", "c4_lines_total", "c4_page_drop"))
     val t = col(textCol)
     val kept = col("__c4_kept")
+    // NULL text ⇒ empty page, not NULL outputs: the DuckDB mirror
+    // coalesces to ''/0/false, and downstream pipeline stages expect
+    // non-null c4_text
     df.withColumn("__c4_kept", filter(lines(t), l =>
         l.rlike("[.!?\"]\\s*$") &&
           size(filter(split(trim(l), "\\s+"), x => x =!= "")) >= 5 &&
           !lower(l).contains("javascript")))
-      .withColumn("c4_text", array_join(kept, "\n"))
-      .withColumn("c4_lines_kept", size(kept).cast("long"))
-      .withColumn("c4_lines_total", size(lines(t)).cast("long"))
+      .withColumn("c4_text", coalesce(array_join(kept, "\n"), lit("")))
+      .withColumn("c4_lines_kept",
+        coalesce(size(kept).cast("long"), lit(0L)))
+      .withColumn("c4_lines_total",
+        coalesce(size(lines(t)).cast("long"), lit(0L)))
       .withColumn("c4_page_drop",
-        lower(t).contains("lorem ipsum") || t.contains("{"))
+        coalesce(lower(t).contains("lorem ipsum") || t.contains("{"),
+          lit(false)))
       .drop("__c4_kept")
   }
 }

@@ -433,6 +433,49 @@ class OperatorsSpec extends SparkSpec {
     assert(c(3L)._4, "a curly brace must flag the page")
   }
 
+  test("quality filters: column collisions fail loud, NULL text is an empty page") {
+    val collide1 = Seq((1L, "x", true)).toDF("doc_id", "text", "gopher_pass")
+    val e1 = intercept[IllegalArgumentException] {
+      QualityFilters.gopherFlags(collide1, "text")
+    }
+    assert(e1.getMessage.contains("gopher_pass"))
+    val collide2 = Seq((1L, "x", "t")).toDF("doc_id", "text", "c4_text")
+    val e2 = intercept[IllegalArgumentException] {
+      QualityFilters.c4CleanLines(collide2, "text")
+    }
+    assert(e2.getMessage.contains("c4_text"))
+    // temp-column collisions are just as destructive (the temp gets
+    // dropped on exit, deleting the caller's column)
+    val collide3 = Seq((1L, "x", "t")).toDF("doc_id", "text", "__gf_w")
+    assert(intercept[IllegalArgumentException] {
+      QualityFilters.gopherFlags(collide3, "text")
+    }.getMessage.contains("__gf_w"))
+
+    // NULL text: every gopher flag false (not NULL — the oracle's CASE
+    // WHEN semantics), C4 outputs ''/0/false, boilerplate strips to ''
+    val nulls = Seq((1L, Option("the be to of and that have with " * 10)),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val gn = QualityFilters.gopherFlags(nulls, "text")
+      .filter(col("doc_id") === 2L)
+      .select("g_word_count", "g_stop_words", "gopher_pass").collect().head
+    assert(!gn.isNullAt(0) && !gn.getBoolean(0) && !gn.getBoolean(1) &&
+      !gn.getBoolean(2), s"NULL text must yield false flags, got $gn")
+    val cn = QualityFilters.c4CleanLines(nulls, "text")
+      .filter(col("doc_id") === 2L)
+      .select("c4_text", "c4_lines_kept", "c4_page_drop").collect().head
+    assert(cn.getString(0) === "" && cn.getLong(1) === 0L && !cn.getBoolean(2))
+    val bp = Seq((1L, "acme corp news flash one", "d"),
+        (2L, "acme corp news flash two", "d"),
+        (3L, null.asInstanceOf[String], "d"))
+      .toDF("doc_id", "text", "domain")
+    val bn = Boilerplate.stripFrequentPrefixes(bp, "doc_id", "text",
+        "domain", k = 4, minDf = 2)
+      .filter(col("doc_id") === 3L)
+      .select("is_boilerplate", "text_clean").collect().head
+    assert(!bn.getBoolean(0) && bn.getString(1) === "",
+      s"NULL text must pass through as non-boilerplate empty clean text: $bn")
+  }
+
   test("temperature weights: exact isqrt, ppm sums to 1e6, flattening monotone in alpha") {
     // isqrt clamp exactness at perfect-square boundaries (float sqrt alone
     // can be off by one there)
