@@ -60,6 +60,16 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
       catch { case _: Throwable => "" }
     val loadBefore = loadavg()
+    // isolated re-timing knobs (absent in driver runs, so the contract is
+    // unchanged there): SPARK_GRAFT_ONLY=q_a,q_b limits the run to named
+    // queries, SPARK_GRAFT_MIN_REPS=n forces at least n reps per query —
+    // together they answer "is this regression real or co-tenant noise"
+    // without editing code. A filtered run never overwrites the tracked
+    // BENCH_FULL.json artifact.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    val minReps = sys.env.get("SPARK_GRAFT_MIN_REPS").map(_.toInt).getOrElse(2)
     def minOfReps(name: String)(run: () => Unit): (Double, Seq[Double]) = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -68,26 +78,32 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
-      val a = once()
-      if (a < 0) return (a, Seq(a))
-      val b = once()
-      if (b < 0) return (b, Seq(a, b))
-      val base = Seq(a, b)
-      val reps =
-        if (base.max / base.min > 2.0) { val c = once(); if (c < 0) base else base :+ c }
-        else base
+      var reps = Vector.empty[Double]
+      while (reps.length < minReps) {
+        val t = once()
+        if (t < 0) return (t, reps :+ t)
+        reps = reps :+ t
+      }
+      if (reps.max / reps.min > 2.0) { // contended mid-query: one tiebreak rep
+        val c = once()
+        if (c >= 0) reps = reps :+ c
+      }
       (reps.min, reps)
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink materializes every row/column (count() would let Catalyst
-      // prune the whole projection on scan-shaped queries)
-      name -> minOfReps(name) { () =>
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .map { case (name, fn) =>
+        // noop sink materializes every row/column (count() would let
+        // Catalyst prune the whole projection on scan-shaped queries)
+        name -> minOfReps(name) { () =>
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       }
-    }
     // streaming-engine throughput: events parquet replayed as a file stream
     // through a windowed count (the reference's core loop, microbatched)
-    val streamSecs = minOfReps("stream_windowed_pipeline") { () =>
+    val streamSecs = if (!wanted("stream_windowed_pipeline"))
+      None
+    else Some(minOfReps("stream_windowed_pipeline") { () =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
       // file-stream source needs a directory: stage the single file into one
@@ -110,11 +126,13 @@ object Bench {
           tempDir("graft_bench_ckpt").toString)
         .start()
       q.processAllAvailable(); q.stop()
-    }
+    })
     // same replay through the graft DSL (KStream -> groupByKey -> windowedBy
     // -> count -> changelog), so the measured path is THIS library's
     // streaming surface, not just raw Spark
-    val dslStreamSecs = minOfReps("stream_dsl_windowed_count") { () =>
+    val dslStreamSecs = if (!wanted("stream_dsl_windowed_count"))
+      None
+    else Some(minOfReps("stream_dsl_windowed_count") { () =>
       import org.apache.spark.sql.functions.{col, expr}
       import graft.dsl.{KStream, KV, TumblingWindow}
       import spark.implicits._
@@ -135,11 +153,11 @@ object Bench {
           tempDir("graft_bench_dsl_ckpt").toString)
         .start()
       q.processAllAvailable(); q.stop()
-    }
+    })
     val loadAfter = loadavg()
-    val allResults = results :+
-      ("stream_windowed_pipeline" -> streamSecs) :+
-      ("stream_dsl_windowed_count" -> dslStreamSecs)
+    val allResults = results ++
+      streamSecs.map("stream_windowed_pipeline" -> _) ++
+      dslStreamSecs.map("stream_dsl_windowed_count" -> _)
     // per-query times as integer ms; the full line goes to stdout AND the
     // tracked BENCH_FULL.json, and a compact total-only line prints last so
     // a size-limited log tail always ends with complete JSON (see below)
@@ -184,9 +202,10 @@ object Bench {
     // parseable; the full per-query map is committed as BENCH_FULL.json
     val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec",$noise,"sf":$sf,"detail":"BENCH_FULL.json"}"""
     println(compact)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // best-effort; stdout is the contract
+    if (only.isEmpty) // a filtered run is a diagnostic, not the artifact
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // best-effort; stdout is the contract
     spark.stop()
   }
 }
