@@ -368,8 +368,130 @@ object CompositeQueries {
     SamplingQueries.packedTailDf(m, 1024L)
   }
 
+  /** The round-10 quality/curation operators composed into ONE plan —
+    * the published web-corpus recipe end-to-end: Gopher rule filtering →
+    * C4 line/page cleaning → boilerplate-prefix stripping (per source) →
+    * overlap-fraction benchmark decontamination → temperature-weighted
+    * mixture sampling. Every stage is an already-oracle-locked operator;
+    * this entry locks their COMPOSITION (derived-text tokenizations,
+    * the prefix-table join over a derived column, benchmark grams vs
+    * cleaned grams) value-exact through all five stages.
+    *
+    * Corpus-specific policy knobs, chosen where each rule has real
+    * selectivity on the synthetic corpus and documented for what they
+    * are: (a) the Gopher stop-word rule is DROPPED (the synthetic
+    * vocabulary contains no English stop words — the per-rule columns
+    * exist precisely so a pipeline can drop an inapplicable rule);
+    * (b) C4 line-cleaning falls back to the original text when no line
+    * qualifies (the corpus is single-line, punctuation-free word soup;
+    * the page-level drop rule still gates), so the projection is
+    * exercised without erasing the corpus; (c) decontamination uses
+    * 3-grams at a 20% overlap threshold — the setting that separates
+    * REAL leaks from random collisions at every SF: near-duplicates of
+    * benchmark docs overlap ~100% while the random-text floor stays
+    * under ~15% (p90 measured 2.7% at sf0.01, 15.4% at sf0.1; 2-grams
+    * of the ~40-word vocabulary saturate at sf0.1 — median 96% — and
+    * 5-grams never collide at all).
+    *
+    * Scale note: like `q_curation_pipeline2`, the temperature-weight
+    * derivation collects per-domain totals (bounded by #domains), which
+    * runs the cleaning subtree once before the final plan runs it again —
+    * at corpus scale you would materialize the cleaned corpus as parquet
+    * between the two; composing in one plan here keeps the oracle honest
+    * end-to-end.
+    */
+  val qCurationPipeline3 = q(
+    "q_curation_pipeline3", {
+      val stageCtes =
+        // stage 1: Gopher rules (minus stop words) — mirror of
+        // q_quality_gopher's flag arithmetic, applied as one filter
+        "corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 100 <> 0), " +
+          "wr AS (SELECT doc_id, source, text, " +
+          "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w, " +
+          "string_split(text, chr(10)) AS ls FROM corpus), " +
+          "gf AS (SELECT doc_id, source, text FROM wr WHERE " +
+          "len(w) BETWEEN 50 AND 100000 " +
+          "AND 3*len(w) <= coalesce(list_sum(list_transform(w, x -> len(x))), 0) " +
+          "AND coalesce(list_sum(list_transform(w, x -> len(x))), 0) <= 10*len(w) " +
+          "AND len(regexp_extract_all(text, '#'))*10 <= len(w) " +
+          "AND len(regexp_extract_all(text, '\\.\\.\\.'))*10 <= len(w) " +
+          "AND len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))*10 <= len(ls)*9 " +
+          "AND len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))*10 <= len(ls)*3 " +
+          "AND len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))*5 >= len(w)*4), " +
+          // stage 2: C4 clean — kept lines where any qualify, else the
+          // original text; page-drop rule gates
+          "c4 AS (SELECT doc_id, source, text, " +
+          "list_filter(string_split(text, chr(10)), l -> " +
+          "regexp_matches(l, '[.!?\"]\\s*$') AND " +
+          "len(list_filter(regexp_split_to_array(trim(l), '\\s+'), x -> x <> '')) >= 5 AND " +
+          "NOT contains(lower(l), 'javascript')) AS keptl, " +
+          "(contains(lower(text), 'lorem ipsum') OR contains(text, '{')) AS pdrop FROM gf), " +
+          "s2 AS (SELECT doc_id, source, CASE WHEN len(keptl) > 0 " +
+          "THEN array_to_string(keptl, chr(10)) ELSE text END AS text2 FROM c4 WHERE NOT pdrop), " +
+          // stage 3: boilerplate-prefix strip (k=2, minDf=2, per source)
+          // over the stage-2 text — mirror of q_boilerplate
+          s"bt AS (SELECT doc_id, source, ${TextQueries.tokensSqlCol("text2")} AS toks FROM s2), " +
+          "bpre AS (SELECT doc_id, source, toks, CASE WHEN len(toks) >= 2 " +
+          "THEN array_to_string(toks[1:2], ' ') END AS pre FROM bt), " +
+          "bf AS (SELECT source, pre, CAST(1 AS INT) AS bp FROM bpre WHERE pre IS NOT NULL " +
+          "GROUP BY source, pre HAVING count(*) >= 2), " +
+          "s3 AS (SELECT doc_id, source, " +
+          "coalesce(CASE WHEN bp IS NOT NULL THEN array_to_string(toks[3:], ' ') " +
+          "ELSE array_to_string(toks, ' ') END, '') AS text3 " +
+          "FROM bpre LEFT JOIN bf USING (source, pre)), " +
+          // stage 4: overlap-fraction decontamination (3-grams, 20% ppm)
+          // of the stripped text vs the RAW benchmark slice — mirror of
+          // q_decontaminate_frac / cleanByOverlap
+          s"bgr AS (SELECT DISTINCT unnest(${TextQueries.ngramsSql(3)}) AS gr " +
+          "FROM documents WHERE doc_id % 100 = 0), " +
+          s"dgr AS (SELECT doc_id, unnest(list_distinct(${TextQueries.ngramsSqlCol("text3", 3)})) AS gr FROM s3), " +
+          "ost AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gt, " +
+          "CAST(sum(CASE WHEN gr IN (SELECT gr FROM bgr) THEN 1 ELSE 0 END) AS BIGINT) AS gm " +
+          "FROM dgr GROUP BY doc_id), " +
+          "s4 AS (SELECT s3.doc_id, s3.source, s3.text3 FROM s3 LEFT JOIN ost USING (doc_id) " +
+          "WHERE NOT (coalesce(gm, 0) * 1000000 > coalesce(gt, 0) * 200000))"
+      // stage 5: temperature mixture over the surviving token counts —
+      // the shared mixture rule chain + derived sqrt weights
+      val dt3 =
+        s"SELECT doc_id, source, CAST(len(${TextQueries.tokensSqlCol("text3")}) AS BIGINT) AS n_tokens " +
+          s"FROM s4 WHERE len(${TextQueries.tokensSqlCol("text3")}) >= 1"
+      s"WITH $stageCtes, " +
+        s"${SamplingQueries.mixtureCtesWith(dt3, SamplingQueries.sqrtTempWeightsCte)} " +
+        "SELECT doc_id, source, n_tokens, copies FROM m"
+    }) { (s, d) =>
+    import graft.operators.{Boilerplate, Decontaminate, QualityFilters, Sampling}
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text").as("text_clean"))
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "source", "text")
+    val g = QualityFilters.gopherFlags(corpus, "text")
+      .filter(col("g_word_count") && col("g_mean_word_len") &&
+        col("g_symbol_ratio") && col("g_bullet_lines") &&
+        col("g_ellipsis_lines") && col("g_alpha_words"))
+      .select("doc_id", "source", "text")
+    val s2 = QualityFilters.c4CleanLines(g, "text")
+      .filter(!col("c4_page_drop"))
+      .select(col("doc_id"), col("source"),
+        when(col("c4_lines_kept") > 0, col("c4_text"))
+          .otherwise(col("text")).as("text2"))
+    val s3 = Boilerplate.stripFrequentPrefixes(s2, "doc_id", "text2",
+        "source", k = 2, minDf = 2L)
+      .select("doc_id", "source", "text_clean")
+    val s4 = Decontaminate.cleanByOverlap(s3, bench, "doc_id", "text_clean",
+      maxOverlapPpm = 200000L, n = 3)
+    val dt = s4.select(col("doc_id"), col("source"),
+        size(TextQueries.tokensCol(col("text_clean"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val totals = Sampling.domainTokenTotals(dt, col("source"), col("n_tokens"))
+    Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
+        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
+        SamplingQueries.MixtureBudget, precomputedTotals = Some(totals.toMap))
+      .select("doc_id", "source", "n_tokens", "copies")
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
     qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
     q4PriorityExists, q13Custdist, q17SmallQty, q11Important,
-    qCurationPipeline2)
+    qCurationPipeline2, qCurationPipeline3)
 }

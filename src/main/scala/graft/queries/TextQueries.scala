@@ -606,9 +606,16 @@ object TextQueries {
       .otherwise(array().cast("array<string>"))
   }
 
-  def ngramsSql(n: Int): String =
-    s"list_transform(range(1, greatest(len($tokensSql) - ${n - 2}, 1)), " +
-      s"i -> array_to_string(($tokensSql)[i:i+${n - 1}], ' '))"
+  def ngramsSql(n: Int): String = ngramsSqlCol("text", n)
+
+  /** [[ngramsSql]] over an arbitrary column/expression (the composed
+    * pipelines n-gram derived text, not the raw `text` column).
+    */
+  def ngramsSqlCol(c: String, n: Int): String = {
+    val toks = tokensSqlCol(c)
+    s"list_transform(range(1, greatest(len($toks) - ${n - 2}, 1)), " +
+      s"i -> array_to_string(($toks)[i:i+${n - 1}], ' '))"
+  }
 
   /** Repetition-ratio quality signal (the Gopher-style "fraction of
     * duplicate n-grams" filter): dup = total − distinct 3-grams, computed

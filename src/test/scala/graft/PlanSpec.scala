@@ -330,6 +330,24 @@ class PlanSpec extends SparkSpec {
     assert("AS __gf_ls".r.findAllIn(g).size == 1, g.take(1500))
   }
 
+  test("q_curation_pipeline3: five composed stages, four agg shuffles, all joins broadcast") {
+    val p = plan("q_curation_pipeline3")
+    // the only shuffles are the tiny aggregates: the boilerplate prefix
+    // table (twice — the decontamination's dirty-id branch recomputes the
+    // stripped corpus; AQE dedupes the identical subtrees at runtime),
+    // the benchmark gram set, and the per-doc overlap counts. Gopher and
+    // C4 are in-scan filters/projections; the mixture rule is a pure
+    // map-side CASE from driver-collected totals.
+    assert("\\+- Exchange".r.findAllIn(p).size <= 4, p.take(2500))
+    // prefix join-back, gram probe, and dirty-id anti join all broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "every pipeline join must broadcast:\n" + p.take(2500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
+    // the mixture's domain rule pushes into the parquet scan itself
+    assert(p.contains("In(source"),
+      "mixture domain filter must reach the scan:\n" + p.take(2500))
+  }
+
   test("q_approx_quantile: window and groupBy share the event_type exchange") {
     val p = plan("q_approx_quantile")
     // the rank-interval check folds the sketch window and the count
