@@ -255,6 +255,84 @@ class MemKafkaFabricSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("murmur2 matches Kafka's published test vectors (real-producer placement parity)") {
+    // the vectors from Apache Kafka's UtilsTest#testMurmur2 — the hash the
+    // real connector's default partitioner (RecordCollector.cs:85-171 →
+    // Kafka DefaultPartitioner) applies to key bytes. Locking these locks
+    // the fabric's placement to what a real broker would have done.
+    val vectors = Seq(
+      "21" -> -973932308,
+      "foobar" -> -790332482,
+      "a-little-bit-long-string" -> -985981536,
+      "a-little-bit-longer-string" -> -1486304829,
+      "lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8" -> -58897971)
+    for ((s, expected) <- vectors)
+      assert(MemBroker.murmur2(s.getBytes("UTF-8")) === expected,
+        s"murmur2('$s') diverged from Kafka's published value")
+    assert(MemBroker.murmur2(Array.emptyByteArray) === 275646681,
+      "murmur2 of the empty key must match Kafka's seed-only path")
+  }
+
+  test("N-partition topic: N input partitions per microbatch, murmur2 key placement") {
+    val brokerId = "fabric_parallel"
+    val nParts = 4
+    val b = MemBroker.start(brokerId)
+    b.createTopic("wide", partitions = nParts)
+    val ckpt = tempDir("graft_fab_wide") + "/ckpt"
+
+    // produce through the SINK with no partition column: placement must be
+    // the producer default — murmur2(key) & 0x7fffffff mod N
+    val keys = (0 until 40).map(i => s"key$i")
+    val in = MemoryStream[(String, String)]
+    in.addData(keys.map(k => (k, s"v_$k")): _*)
+    val wq = track(Sinks.toKafka(
+      in.toDF().selectExpr("CAST(_1 AS BINARY) AS key", "CAST(_2 AS BINARY) AS value"),
+      brokerId, "wide", ckpt, format = Fmt).start())
+    wq.processAllAvailable(); wq.stop()
+
+    // batch leg: one Spark input partition per topic partition — the
+    // source parallelism contract a 1000-executor cluster relies on
+    val batchDf = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "wide").load()
+    assert(batchDf.rdd.getNumPartitions === nParts,
+      s"expected $nParts input partitions, got ${batchDf.rdd.getNumPartitions}")
+    val placed = batchDf
+      .select(col("key").cast("string"), col("partition"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(placed.keySet === keys.toSet)
+    for (k <- keys) {
+      val expected = (MemBroker.murmur2(k.getBytes("UTF-8")) & 0x7fffffff) % nParts
+      assert(placed(k) === expected,
+        s"key '$k' landed on ${placed(k)}, real producer would pick $expected")
+    }
+    // sanity: the keys actually spread (a degenerate all-on-one layout
+    // would make the parallelism assertion vacuous)
+    assert(placed.values.toSet.size >= 3, s"keys did not spread: $placed")
+
+    // streaming leg: EVERY microbatch plans one input partition per topic
+    // partition (offset ranges are per-partition, like the real connector)
+    val widths = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val sq = track(new StreamsBuilder(spark)
+      .kafkaStream("wide", brokerId, startingOffsets = "earliest", format = Fmt)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("graft_fab_wide2") + "/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        widths.add(df.rdd.getNumPartitions): Unit
+      }
+      .start())
+    sq.processAllAvailable()
+    // a second batch over newly-produced records keeps the same width
+    (0 until 8).foreach(i => b.produce("wide", None,
+      MemBroker.Record(s"late$i".getBytes, s"lv$i".getBytes,
+        System.currentTimeMillis(), Nil)))
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    val nonEmpty = widths.asScala.toList
+    assert(nonEmpty.nonEmpty && nonEmpty.forall(_ === nParts),
+      s"every microbatch must carry $nParts input partitions, got $nonEmpty")
+  }
+
   test("broker lookup fails loud for an unknown id; write needs a topic") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format(Fmt)
