@@ -117,6 +117,59 @@ class StoreRegistrySpec extends SparkSpec {
     registry.stop()
   }
 
+  test("fetch parity sweep: the reference's doc example + edge ranges, both IQ modes") {
+    // the IReadOnlyWindowStore.cs:23-99 doc example: windows for key A
+    // starting at 10, 15, 20, 25 (width 10, hop 5); Fetch(A, 10, 20) must
+    // return exactly the first THREE (start-time inclusive both ends),
+    // oldest window first. Events at 19s/25s put A in starts
+    // {10,15}/{20,25}; a B event keeps key filtering honest.
+    def builtStore(registry: StoreRegistry, name: String,
+        ckpt: Option[String]): Unit = {
+      val in = MemoryStream[(String, Long)]
+      val table = new KStream(in.toDS().map { case (k, v) =>
+        KV(k, v, new java.sql.Timestamp(v)) })
+        .groupByKey.windowedBy(graft.dsl.HoppingWindow.of(10000L, 5000L)).count
+      val q = ckpt match {
+        case Some(c) => registry.materializeCheckpointed(table, name, c)
+        case None => registry.materialize(table, name)
+      }
+      in.addData(("A", 19000L), ("A", 25000L), ("B", 19000L))
+      q.processAllAvailable()
+    }
+    def starts(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getAs[org.apache.spark.sql.Row]("key")
+        .getAs[java.sql.Timestamp]("start").getTime)
+    for ((mode, ckpt) <- Seq(
+        "driver-map" -> None,
+        "checkpointed" -> Some(java.nio.file.Files
+          .createTempDirectory("graft_iq_sweep").toString))) {
+      val registry = new StoreRegistry(spark)
+      val name = s"sweep_${mode.take(6)}"
+      builtStore(registry, name, ckpt)
+      // the doc example: [10s, 20s] -> starts 10, 15, 20 — inclusive both
+      // ends, ordered oldest -> newest
+      assert(starts(registry.fetch(name, "A", 10000L, 20000L)) ===
+        Seq(10000L, 15000L, 20000L), s"[$mode] doc example")
+      // exact-boundary singleton: from == to hits the window starting there
+      assert(starts(registry.fetch(name, "A", 15000L, 15000L)) ===
+        Seq(15000L), s"[$mode] from == to must hit the exact start")
+      // reversed bounds: empty result, NO throw (reference: to < minTime
+      // -> EmptyWindowStoreEnumerator, InMemoryWindowStore.cs:287-300)
+      assert(registry.fetch(name, "A", 20000L, 10000L).count() === 0L,
+        s"[$mode] reversed bounds must be empty, not an error")
+      // range below / above all windows: empty
+      assert(registry.fetch(name, "A", 0L, 9999L).count() === 0L)
+      assert(registry.fetch(name, "A", 30001L, 99999L).count() === 0L)
+      // missing key: empty (null-value semantics of the point Fetch)
+      assert(registry.fetch(name, "C", 0L, 99999L).count() === 0L,
+        s"[$mode] unknown key must be empty")
+      // key isolation: B has its own windows in the same range
+      assert(starts(registry.fetch(name, "B", 10000L, 20000L)) ===
+        Seq(10000L, 15000L), s"[$mode] key filter")
+      registry.stop()
+    }
+  }
+
   test("checkpointed store: statestore reader serves all/get with no driver map") {
     val registry = new StoreRegistry(spark)
     val in = MemoryStream[(String, Long)]
