@@ -64,12 +64,25 @@ object Bench {
     // unchanged there): SPARK_GRAFT_ONLY=q_a,q_b limits the run to named
     // queries, SPARK_GRAFT_MIN_REPS=n forces at least n reps per query —
     // together they answer "is this regression real or co-tenant noise"
-    // without editing code. A filtered run never overwrites the tracked
-    // BENCH_FULL.json artifact.
+    // without editing code. A run with EITHER knob set never overwrites
+    // the tracked BENCH_FULL.json artifact (a subset or a different rep
+    // basis would poison cross-round diffs).
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      // a typo'd name would otherwise time ZERO queries and exit 0 with
+      // total 0.000 — the opposite of the knob's purpose
+      val known = SparkEntry.queries.keySet ++
+        Set("stream_windowed_pipeline", "stream_dsl_windowed_count")
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in the suite: ${unknown.toSeq.sorted.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_ONLY is set but names no queries")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
-    val minReps = sys.env.get("SPARK_GRAFT_MIN_REPS").map(_.toInt).getOrElse(2)
+    val minRepsEnv = sys.env.get("SPARK_GRAFT_MIN_REPS")
+    val minReps = minRepsEnv.map(_.toInt).getOrElse(2)
+    require(minReps >= 1, s"SPARK_GRAFT_MIN_REPS must be >= 1, got $minReps")
     def minOfReps(name: String)(run: () => Unit): (Double, Seq[Double]) = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -202,7 +215,11 @@ object Bench {
     // parseable; the full per-query map is committed as BENCH_FULL.json
     val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec",$noise,"sf":$sf,"detail":"BENCH_FULL.json"}"""
     println(compact)
-    if (only.isEmpty) // a filtered run is a diagnostic, not the artifact
+    // only an UNMODIFIED run may refresh the tracked artifact: a query
+    // filter measures a subset, and a rep-count override changes the
+    // measurement basis (min over N warm reps is not comparable to the
+    // 2-rep baseline) — either would poison cross-round diffs
+    if (only.isEmpty && minRepsEnv.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // best-effort; stdout is the contract

@@ -50,11 +50,8 @@ object Boilerplate {
     */
   def stripFrequentPrefixes(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, k: Int, minDf: Long): DataFrame = {
-    Seq("prefix", "is_boilerplate", "text_clean", "df_count", "__bp")
-      .foreach { c =>
-        require(!df.columns.contains(c),
-          s"stripFrequentPrefixes: input already has a $c column; rename it first")
-      }
+    QualityFilters.requireFreshColumns(df, "stripFrequentPrefixes",
+      Seq("prefix", "is_boilerplate", "text_clean", "df_count", "__bp"))
     val prefixes = frequentPrefixes(df, textCol, groupCol, k, minDf)
       .withColumn("__bp", lit(1))
     val toks = TextQueries.tokensCol(col(textCol))

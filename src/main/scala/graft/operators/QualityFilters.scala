@@ -39,18 +39,24 @@ object QualityFilters {
   private val Stopwords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Same loud-failure contract as
+  /** Loud-failure contract shared with
     * [[Boilerplate.stripFrequentPrefixes]]: refuse inputs whose columns
-    * collide with the temp or output names this operator writes —
+    * collide with the temp or output names an operator writes —
     * `withColumn` would silently overwrite them (and the temps would then
-    * be dropped on exit, losing user data).
+    * be dropped on exit, losing user data). Comparison is
+    * CASE-INSENSITIVE, because `withColumn`/`drop` resolve through
+    * Spark's default case-insensitive resolver: a `Gopher_Pass` input
+    * column would be overwritten by `gopher_pass` just the same.
     */
-  private def requireFreshColumns(df: DataFrame, op: String,
-      names: Seq[String]): Unit =
+  private[operators] def requireFreshColumns(df: DataFrame, op: String,
+      names: Seq[String]): Unit = {
+    val existing = df.columns.map(_.toLowerCase).toSet
     names.foreach { c =>
-      require(!df.columns.contains(c),
-        s"$op: input already has a $c column; rename it first")
+      require(!existing.contains(c.toLowerCase),
+        s"$op: input already has a $c column (names are matched " +
+          "case-insensitively, like Spark's resolver); rename it first")
     }
+  }
 
   /** Per-document Gopher rule flags + the conjunction `gopher_pass`.
     * Thresholds are the published ones; each flag is its own column so a

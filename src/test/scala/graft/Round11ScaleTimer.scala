@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** SCALE.md measurement for the round-10 additions — Gopher rules, C4
   * cleaning, boilerplate-prefix strip, overlap-fraction decontamination,
   * temperature mixture — on the established 10× duplicated-content
-  * replication recipe (ids offset per copy, text IDENTICAL: every row
-  * gains R−1 exact twins, the adversarial duplication case; the
-  * decontamination BENCHMARK slice replicates too, so its gram set grows
-  * with the corpus).
+  * replication recipe (ids offset per copy via doc_id·R+r, text
+  * IDENTICAL: every row gains R−1 exact twins, the adversarial
+  * duplication case). For the decontamination row: under the id remap
+  * the `% 100 == 0` benchmark slice selects (r = 0, id % 10 == 0) —
+  * i.e. a 10×-LARGER set of DISTINCT texts, each of which also has 9
+  * exact twins sitting in the corpus side (rows with guaranteed 100%
+  * overlap) — the gram set grows ~R× and the corpus carries planted
+  * full-overlap hits, which is the adversarial direction even though the
+  * bench rows themselves are not twinned.
   * `sbt "Test/runMain graft.Round11ScaleTimer <sfDir> <R>"` — run with
   * R=1 then R=10 and compare.
   */
@@ -34,42 +39,42 @@ object Round11ScaleTimer {
     val docs = replicate(Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text"), "doc_id")
 
-    def time(name: String)(thunk: => Long): Unit = {
+    // row count computed ONCE, outside every timed region — an in-loop
+    // count() would add a second full corpus scan to each measurement
+    val nDocs = docs.count()
+    def time(name: String, rows: Long = nDocs)(thunk: => Unit): Unit = {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        val n = thunk
-        (System.nanoTime() - t0) / 1e9 -> n
+        thunk
+        (System.nanoTime() - t0) / 1e9
       }
-      println(f"[r11scale] $name R=$rep min=${runs.map(_._1).min}%.2f s " +
-        f"rows=${runs.head._2} " +
-        runs.map(r => f"${r._1}%.2f").mkString("reps=[", ", ", "]"))
+      println(f"[r11scale] $name R=$rep min=${runs.min}%.2f s rows=$rows " +
+        runs.map(r => f"$r%.2f").mkString("reps=[", ", ", "]"))
     }
 
     time("gopher_flags") {
       QualityFilters.gopherFlags(docs, "text")
         .write.format("noop").mode("overwrite").save()
-      docs.count()
     }
     time("c4_clean") {
       QualityFilters.c4CleanLines(docs, "text")
         .write.format("noop").mode("overwrite").save()
-      docs.count()
     }
     time("boilerplate_strip") {
       Boilerplate.stripFrequentPrefixes(docs, "doc_id", "text", "source",
           k = 2, minDf = 2L)
         .write.format("noop").mode("overwrite").save()
-      docs.count()
     }
     locally {
-      // replicated benchmark: the gram set itself is R× denser — the
-      // adversarial direction for the broadcast side
+      // see the scaladoc: bench = a 10×-larger distinct slice whose
+      // texts also have 9 corpus twins — gram set grows ~R×, corpus
+      // carries planted 100%-overlap rows
       val bench = docs.filter(col("doc_id") % 100 === 0)
       val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-      time("overlap_stats") {
+      val nCorpus = corpus.count()
+      time("overlap_stats", rows = nCorpus) {
         Decontaminate.overlapStats(corpus, bench, "doc_id", "text", n = 3)
           .write.format("noop").mode("overwrite").save()
-        corpus.count()
       }
     }
     time("temperature_mixture") {
@@ -81,7 +86,6 @@ object Round11ScaleTimer {
           col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
           budgetTokens = 5000L, precomputedTotals = Some(totals.toMap))
         .write.format("noop").mode("overwrite").save()
-      dt.count()
     }
     spark.stop()
   }

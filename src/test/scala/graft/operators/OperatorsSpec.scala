@@ -450,6 +450,17 @@ class OperatorsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       QualityFilters.gopherFlags(collide3, "text")
     }.getMessage.contains("__gf_w"))
+    // CASE-VARIANT collisions must fail too: withColumn resolves through
+    // Spark's case-insensitive resolver, so 'Gopher_Pass' would be
+    // silently overwritten by 'gopher_pass'
+    val collide4 = Seq((1L, "x", true)).toDF("doc_id", "text", "Gopher_Pass")
+    assert(intercept[IllegalArgumentException] {
+      QualityFilters.gopherFlags(collide4, "text")
+    }.getMessage.contains("gopher_pass"))
+    val collide5 = Seq((1L, "x", "d", "t")).toDF("doc_id", "text", "domain", "Text_Clean")
+    assert(intercept[IllegalArgumentException] {
+      Boilerplate.stripFrequentPrefixes(collide5, "doc_id", "text", "domain", 2, 2L)
+    }.getMessage.contains("text_clean"))
 
     // NULL text: every gopher flag false (not NULL — the oracle's CASE
     // WHEN semantics), C4 outputs ''/0/false, boilerplate strips to ''
