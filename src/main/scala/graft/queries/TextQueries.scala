@@ -653,21 +653,44 @@ object TextQueries {
         sum(when(col("dup") * 5 > col("total"), 1).otherwise(0)).as("repetitive_docs"))
   }
 
-  /** [[qDecontaminate]] on the Bloom-filter scale path (rows-only: the flag
-    * set depends on Spark's Bloom hashes, which DuckDB cannot mirror; the
-    * no-false-negative superset property is spec-locked in `OperatorsSpec`).
+  /** [[qDecontaminate]] on the Bloom-filter scale path. The Bloom flag SET
+    * depends on Spark's filter hashes, which DuckDB cannot mirror — so the
+    * entry is oracle-checked on what IS mirrorable (the approx-entry
+    * pattern): per source, the EXACT contamination count (DuckDB
+    * recomputes it value-exact) plus `no_false_negative`, true iff every
+    * exactly-contaminated doc was also Bloom-flagged — the filter's one
+    * hard guarantee, re-proven on real data every round; the DuckDB side
+    * locks it to 1. Bench cost includes both the Bloom and the exact leg
+    * (documented; the pure Bloom path a 100 TB run ships is the
+    * `contaminatedIdsBloom` call alone).
     */
-  val qDecontaminateBloom = GraftQuery.rowsOnly("q_decontaminate_bloom") { (s, d) =>
+  val qDecontaminateBloom = q(
+    "q_decontaminate_bloom", {
+      val g = ngramsSql(5)
+      s"WITH bg AS (SELECT DISTINCT unnest($g) AS gr FROM documents WHERE doc_id % 100 = 0), " +
+        s"hit AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest($g) AS gr " +
+        "FROM documents WHERE doc_id % 100 <> 0) t JOIN bg USING (gr)) " +
+        "SELECT source, count(*) AS docs, " +
+        "CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM hit) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_exact, " +
+        "CAST(1 AS BIGINT) AS no_false_negative " +
+        "FROM documents WHERE doc_id % 100 <> 0 GROUP BY source"
+    }) { (s, d) =>
     val docs = Tables.documentsBalanced(s, d)
     val bench = docs.filter(col("doc_id") % 100 === 0)
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
-    val hits = graft.operators.Decontaminate
+    val exact = graft.operators.Decontaminate
+      .contaminatedIds(corpus, bench, "doc_id", "text", n = 5)
+      .withColumn("__ex", lit(1))
+    val bloom = graft.operators.Decontaminate
       .contaminatedIdsBloom(corpus, bench, "doc_id", "text", n = 5)
-      .withColumn("__hit", lit(1))
-    corpus.join(hits, Seq("doc_id"), "left")
+      .withColumn("__bl", lit(1))
+    corpus.join(exact, Seq("doc_id"), "left")
+      .join(bloom, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("docs"),
-        sum(when(col("__hit").isNotNull, 1).otherwise(0)).as("contaminated"))
+        sum(when(col("__ex").isNotNull, 1).otherwise(0)).as("contaminated_exact"),
+        min(when(col("__ex").isNotNull && col("__bl").isNull, 0L).otherwise(1L))
+          .as("no_false_negative"))
   }
 
   /** Benchmark decontamination via [[graft.operators.Decontaminate]]: the

@@ -340,19 +340,33 @@ object VectorQueries {
           lit(0L), (a, x) => a + x).as("dot_q"))
   }
 
-  /** k-means|| seeding over the embeddings corpus (rows-only: the hash-
-    * randomized sampling has no DuckDB mirror; determinism and cluster
-    * quality are spec-locked in `OperatorsSpec`). Exercises the distributed
-    * seeding passes end-to-end at bench scale.
+  /** k-means|| seeding over the embeddings corpus. The hash-randomized
+    * sampling itself has no DuckDB mirror, so the entry oracle-checks the
+    * algorithm's CONTRACT instead (the approx-entry pattern): exactly k
+    * seed rows; every seed is a bit-exact member of the corpus (k-means‖
+    * samples and farthest-point-REDUCES actual points — it never
+    * averages, so float equality is exact); and the k seed vectors are
+    * pairwise distinct. The DuckDB side locks all three. Cluster-quality
+    * determinism stays spec-locked in `OperatorsSpec` (planted-cluster
+    * test). Exercises the distributed seeding passes end-to-end at bench
+    * scale.
     */
-  val qKmeansSeed = rowsOnly("q_kmeans_seed") { (s, d) =>
+  val qKmeansSeed = q(
+    "q_kmeans_seed",
+    "SELECT unnest(range(0, 8)) AS seed_id, " +
+      "CAST(1 AS BIGINT) AS in_corpus, CAST(1 AS BIGINT) AS seeds_distinct") { (s, d) =>
     val emb = Tables.embeddingsBalanced(s, d)
     val seeds = graft.operators.Similarity.kmeansSeedParallel(
       emb, "vec_id", "embedding", k = 8, rounds = 3, seed = 42L)
+    val distinctOk = seeds.map(_._2.toSeq).distinct.size == seeds.size
     import s.implicits._
-    seeds.map { case (cid, v) =>
-      (cid, math.floor(math.sqrt(v.map(x => x.toDouble * x).sum) * 10000 + 0.5).toLong)
-    }.toDF("seed_id", "l2_e4")
+    val seedDf = seeds.map { case (cid, v) => (cid.toLong, v) }
+      .toDF("seed_id", "__sv")
+    val corpusVecs = emb.select(col("embedding").as("__cv")).distinct()
+    seedDf.join(corpusVecs, col("__sv") === col("__cv"), "left")
+      .select(col("seed_id"),
+        when(col("__cv").isNotNull, 1L).otherwise(0L).as("in_corpus"),
+        lit(if (distinctOk) 1L else 0L).as("seeds_distinct"))
   }
 
   /** Batch multi-probe ANN

@@ -108,11 +108,14 @@ class PlanSpec extends SparkSpec {
   test("q_decontaminate_bloom: corpus rows never shuffle (map-side Bloom probe)") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val df = SparkEntry.queries("q_decontaminate_bloom")(spark, dir)
-    // the flagging leg must carry NO join at all — the benchmark side is a
-    // broadcast Bloom filter probed in a Filter, so the only joins in the
-    // whole query are the id-level flag join of the reporting wrapper
+    // the BLOOM flagging leg must carry NO join at all — the benchmark
+    // side is a broadcast Bloom filter probed in a Filter. The only joins
+    // in the whole query are the EXACT comparison leg the oracle-checked
+    // no-false-negative assertion added (its gram semi join) plus the two
+    // id-level flag joins of the reporting wrapper
     val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
-    assert(joins.size === 1, s"expected only the reporting flag join, got ${joins.size}")
+    assert(joins.size === 3,
+      s"expected exact-leg semi join + two flag joins, got ${joins.size}")
     val p = plan("q_decontaminate_bloom")
     assert(!p.contains("SortMergeJoin"), "id flag join must broadcast at this size")
     // build + probe are the native runtime-filter expressions — the whole
