@@ -40,6 +40,50 @@ object Boilerplate {
       .filter(col("df_count") >= minDf)
   }
 
+  /** Cross-document frequent-LINE removal (the CCNet/RefinedWeb
+    * line-dedup step, Wenzek et al. 2020 §3.1): a raw line occurring in
+    * at least `minDf` DISTINCT documents of its group (navigation bars,
+    * cookie banners, footers) is boilerplate and is removed from every
+    * document; remaining lines keep their original order and bytes.
+    * Returns the input columns plus `text_kept` (surviving lines
+    * re-joined with newlines; '' for NULL text) and `lines_removed`.
+    *
+    * Distributed shape: one (group, line, doc) DISTINCT aggregate builds
+    * the frequent-line table (bounded by distinct frequent lines — tiny
+    * next to the corpus), joined back to the exploded lines without a
+    * broadcast hint (tiny → AQE broadcasts), then one per-document
+    * re-aggregate reassembles order via sort_array on (pos, line) — no
+    * global sort, no self-join of documents.
+    */
+  def stripFrequentLines(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = every line), got $minDf")
+    QualityFilters.requireFreshColumns(df, "stripFrequentLines",
+      Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf"))
+    val lines = split(col(textCol), "\n")
+    // posexplode_outer keeps NULL-text docs as one null-line row, so they
+    // survive the regroup with text_kept = '' instead of vanishing
+    val ex = df.select(col(idCol), col(groupCol),
+      posexplode_outer(lines).as(Seq("__pos", "__ln")))
+    val freq = ex.filter(col("__ln").isNotNull && trim(col("__ln")) =!= "")
+      .select(col(groupCol), col("__ln"), col(idCol)).distinct()
+      .groupBy(col(groupCol), col("__ln"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col(groupCol), col("__ln"), lit(1).as("__lf"))
+    val re = ex.join(freq, Seq(groupCol, "__ln"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          sort_array(collect_list(when(col("__lf").isNull && col("__ln").isNotNull,
+            struct(col("__pos"), col("__ln"))))),
+          s => s.getField("__ln")), "\n").as("text_kept"),
+        sum(when(col("__lf").isNotNull, 1L).otherwise(0L)).as("lines_removed"))
+    df.join(re, Seq(idCol), "left")
+      .withColumn("text_kept", coalesce(col("text_kept"), lit("")))
+      .withColumn("lines_removed", coalesce(col("lines_removed"), lit(0L)))
+  }
+
   /** Flag and strip: every document whose leading `k` normalized tokens
     * form a [[frequentPrefixes]] prefix of its group gets
     * `is_boilerplate = true` and `text_clean` = the normalized text with

@@ -118,6 +118,44 @@ object QualityFilters {
       .drop("__gf_w", "__gf_ls")
   }
 
+  /** Corpus-trained bigram-rarity fluency score — the integer-exact,
+    * no-external-model analog of LM-perplexity quality filtering (CCNet,
+    * Wenzek et al. 2020 trains KenLM; at curation time the corpus's own
+    * n-gram statistics carry the same signal): a document whose token
+    * bigrams are mostly RARE in the corpus (occurrence count ≤ `rareMax`)
+    * is incoherent relative to the corpus. Emits, per document,
+    * `bigrams_total` (occurrence count, not distinct), `bigrams_rare`,
+    * and `lowq` = rare·5 > total (more than 20% rare). Zero-bigram docs
+    * (< 2 tokens, NULL text) emit 0/0/false.
+    *
+    * Kept integer (counts + cross-multiplication) rather than a float
+    * log-probability sum so a cross-engine oracle reproduces every value
+    * bit-for-bit — no ln() ulp drift.
+    *
+    * Distributed shape: one explode of bigram OCCURRENCES feeding (a) the
+    * corpus-wide count table (one gram-keyed aggregate) and (b) the
+    * per-doc re-aggregate after a gram-keyed join — both sides of the
+    * join arrive on the same gram partitioning, and the count table is
+    * corpus-bounded (distinct bigrams), never collected.
+    */
+  def bigramRarity(df: DataFrame, idCol: String, textCol: String,
+      rareMax: Long = 1L): DataFrame = {
+    require(rareMax >= 1, s"rareMax must be >= 1, got $rareMax")
+    requireFreshColumns(df, "bigramRarity",
+      Seq("bigrams_total", "bigrams_rare", "lowq", "__bg", "__bgc"))
+    val ex = df.select(col(idCol),
+      explode_outer(graft.queries.TextQueries.ngramsCol(col(textCol), 2))
+        .as("__bg"))
+    val counts = ex.filter(col("__bg").isNotNull)
+      .groupBy(col("__bg")).agg(count(lit(1)).as("__bgc"))
+    ex.join(counts, Seq("__bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__bg")).as("bigrams_total"),
+        sum(when(col("__bg").isNotNull && col("__bgc") <= rareMax, 1L)
+          .otherwise(0L)).as("bigrams_rare"))
+      .withColumn("lowq", col("bigrams_rare") * 5 > col("bigrams_total"))
+  }
+
   /** C4 cleaning: per document, the retained lines (terminal-punctuation
     * ending, ≥ 5 words, no `javascript`), their count, and the page-level
     * `c4_page_drop` flag (`lorem ipsum` or a curly brace anywhere — the

@@ -774,6 +774,65 @@ object TextQueries {
         col("text_clean"))
   }
 
+  /** Cross-document frequent-line removal
+    * ([[graft.operators.Boilerplate.stripFrequentLines]]): raw lines in
+    * ≥ 2 distinct docs of a source are boilerplate and removed; survivors
+    * keep order and bytes. The synthetic corpus is single-line with no
+    * exact within-source duplicates, so here the entry value-locks the
+    * IDENTITY path (explode → df table → join → byte-exact reassembly of
+    * every document); the removal branch is spec-locked on planted
+    * multi-line fixtures in `OperatorsSpec`.
+    */
+  val qStripLines = q(
+    "q_strip_lines",
+    "WITH t AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM documents), " +
+      "ex AS (SELECT doc_id, source, unnest(ls) AS l, " +
+      "unnest(range(1, len(ls) + 1)) AS pos FROM t), " +
+      "lf AS (SELECT source, l FROM (SELECT source, l, " +
+      "count(DISTINCT doc_id) AS df FROM ex WHERE trim(l) <> '' " +
+      "GROUP BY source, l) WHERE df >= 2), " +
+      "re AS (SELECT ex.doc_id, " +
+      "array_to_string(list(ex.l ORDER BY ex.pos) FILTER (WHERE lf.l IS NULL), chr(10)) AS text_kept, " +
+      "CAST(sum(CASE WHEN lf.l IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lines_removed " +
+      "FROM ex LEFT JOIN lf ON ex.source = lf.source AND ex.l = lf.l " +
+      "GROUP BY ex.doc_id) " +
+      "SELECT d.doc_id, coalesce(text_kept, '') AS text_kept, " +
+      "coalesce(lines_removed, 0) AS lines_removed " +
+      "FROM documents d LEFT JOIN re USING (doc_id)") { (s, d) =>
+    graft.operators.Boilerplate.stripFrequentLines(
+        Tables.documents(s, d), "doc_id", "text", "source", minDf = 2L)
+      .select(col("doc_id"), col("text_kept"), col("lines_removed"))
+  }
+
+  /** Corpus-trained bigram-rarity fluency score
+    * ([[graft.operators.QualityFilters.bigramRarity]]): per doc, total
+    * and rare (corpus-hapax) bigram occurrences plus the 20% low-quality
+    * verdict — all integer, value-exact. The synthetic vocabulary is ~40
+    * words, so its bigram counts have essentially no hapax tail (the
+    * entry locks the per-doc totals and near-zero rare counts); the
+    * flagging branch is spec-locked on a planted incoherent doc in
+    * `OperatorsSpec`.
+    */
+  val qBigramRarity = q(
+    "q_bigram_rarity", {
+      val g = ngramsSql(2)
+      s"WITH bgx AS (SELECT doc_id, unnest($g) AS g FROM documents), " +
+        "cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bgx GROUP BY g), " +
+        "st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS bigrams_total, " +
+        "CAST(sum(CASE WHEN c <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS bigrams_rare " +
+        "FROM bgx JOIN cnt USING (g) GROUP BY doc_id) " +
+        "SELECT d.doc_id, coalesce(bigrams_total, 0) AS bigrams_total, " +
+        "coalesce(bigrams_rare, 0) AS bigrams_rare, " +
+        "CAST(CASE WHEN coalesce(bigrams_rare, 0) * 5 > coalesce(bigrams_total, 0) " +
+        "THEN 1 ELSE 0 END AS BIGINT) AS lowq " +
+        "FROM documents d LEFT JOIN st USING (doc_id)"
+    }) { (s, d) =>
+    graft.operators.QualityFilters
+      .bigramRarity(Tables.documentsBalanced(s, d), "doc_id", "text", rareMax = 1L)
+      .select(col("doc_id"), col("bigrams_total"), col("bigrams_rare"),
+        col("lowq").cast("long"))
+  }
+
   /** Multimodal plumbing: opaque binary column + typed metadata. Image
     * decode is real (JDK `javax.imageio` — see
     * [[graft.operators.Multimodal.ImageIoDecoder]]); audio/video fall back
@@ -1075,7 +1134,7 @@ object TextQueries {
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qMultimodalMeta, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qBigramRarity, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

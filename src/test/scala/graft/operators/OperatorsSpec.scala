@@ -487,6 +487,61 @@ class OperatorsSpec extends SparkSpec {
       s"NULL text must pass through as non-boilerplate empty clean text: $bn")
   }
 
+  test("stripFrequentLines removes cross-doc lines, keeps order/bytes, handles NULL") {
+    val docs = Seq(
+      (1L, "d", "COOKIE BANNER\nreal content one.\nfooter text\nmore real words here"),
+      (2L, "d", "COOKIE BANNER\nentirely different body.\nfooter text"),
+      (3L, "d", "unique document with its own lines\nnothing shared at all"),
+      (4L, "e", "COOKIE BANNER\nsame line, different source — must survive"),
+      (5L, "d", null.asInstanceOf[String]),
+      (6L, "d", "COOKIE BANNER\nCOOKIE BANNER\nbody"), // twice in ONE doc: df counts docs, both removed
+      (7L, "d", ""),
+      (8L, "d", "   \n\nreal line\n   ") // blank/whitespace lines never count as frequent
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.stripFrequentLines(docs, "doc_id", "text", "source", 2L)
+      .select("doc_id", "text_kept", "lines_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === (("real content one.\nmore real words here", 2L)))
+    assert(out(2L) === (("entirely different body.", 2L)))
+    assert(out(3L)._2 === 0L, "nothing shared -> nothing removed")
+    assert(out(3L)._1 === "unique document with its own lines\nnothing shared at all")
+    assert(out(4L) === (("COOKIE BANNER\nsame line, different source — must survive", 0L)),
+      "frequency is per group; a cross-source line must survive")
+    assert(out(5L) === (("", 0L)), "NULL text -> empty kept text, not a dropped row")
+    assert(out(6L) === (("body", 2L)),
+      "df counts DOCS (6 counts once toward df) but removal strips every occurrence")
+    assert(out(7L) === (("", 0L)))
+    assert(out(8L) === (("   \n\nreal line\n   ", 0L)),
+      "whitespace-only lines are not boilerplate candidates")
+    // collision guard (case-insensitive, like the other curation ops)
+    assert(intercept[IllegalArgumentException] {
+      Boilerplate.stripFrequentLines(
+        Seq((1L, "d", "x", "t")).toDF("doc_id", "source", "text", "Text_Kept"),
+        "doc_id", "text", "source", 2L)
+    }.getMessage.contains("text_kept"))
+  }
+
+  test("bigramRarity flags the planted incoherent doc and only it") {
+    val fluent = "the data the data the data the data the data"
+    val docs = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent),
+      (4L, "zq wv xk jm qp zn wt kv jx mq"), // all-hapax bigrams -> lowq
+      (5L, "the data ab cd the data the data the data the data the data the data the data the data"), // 3 rare of 21 -> 14% -> ok
+      (6L, null.asInstanceOf[String]),
+      (7L, "single")
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.bigramRarity(docs, "doc_id", "text", rareMax = 1L)
+      .select("doc_id", "bigrams_total", "bigrams_rare", "lowq")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L)._3 === false && out(1L)._2 === 0L)
+    assert(out(4L)._3 === true, s"all-hapax doc must flag: ${out(4L)}")
+    assert(out(4L)._1 === 9L && out(4L)._2 === 9L)
+    assert(out(5L)._3 === false,
+      s"3 rare of 21 is under the 20% line: ${out(5L)}")
+    assert(out(6L) === ((0L, 0L, false)), "NULL text -> 0/0/false, row kept")
+    assert(out(7L) === ((0L, 0L, false)), "single-token doc has no bigrams")
+  }
+
   test("temperature weights: exact isqrt, ppm sums to 1e6, flattening monotone in alpha") {
     // isqrt clamp exactness at perfect-square boundaries (float sqrt alone
     // can be off by one there)
