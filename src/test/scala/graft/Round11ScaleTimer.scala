@@ -77,6 +77,15 @@ object Round11ScaleTimer {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    time("strip_lines") {
+      Boilerplate.stripFrequentLines(docs, "doc_id", "text", "source",
+          minDf = 2L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("bigram_rarity") {
+      QualityFilters.bigramRarity(docs, "doc_id", "text", rareMax = 1L)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("temperature_mixture") {
       val dt = docs.select(col("doc_id"), col("source"),
         size(graft.queries.TextQueries.tokensCol(col("text")))
