@@ -60,17 +60,37 @@ object Boilerplate {
     require(minDf >= 2, s"minDf must be >= 2 (df 1 = every line), got $minDf")
     QualityFilters.requireFreshColumns(df, "stripFrequentLines",
       Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf"))
-    val lines = split(col(textCol), "\n")
+    val freq = lineDocCounts(df, idCol, textCol, groupCol)
+      .filter(col("df_count") >= minDf)
+      .select(col(groupCol), col("__ln"), lit(1).as("__lf"))
+    stripLinesAgainst(df, idCol, textCol, groupCol, freq)
+  }
+
+  /** Per-(group, line) DISTINCT-document counts — the table both the
+    * one-shot [[stripFrequentLines]] and the persisted index build from.
+    * Blank/whitespace-only lines and null groups are excluded (never
+    * boilerplate candidates, never probe-able).
+    */
+  private def lineDocCounts(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame =
+    df.select(col(groupCol), col(idCol),
+        explode(split(col(textCol), "\n")).as("__ln"))
+      .filter(col(groupCol).isNotNull &&
+        col("__ln").isNotNull && trim(col("__ln")) =!= "")
+      .distinct()
+      .groupBy(col(groupCol), col("__ln"))
+      .agg(count(lit(1)).as("df_count"))
+
+  /** The shared strip/reassembly: remove every line of `df` present in
+    * `freq` (columns: groupCol, `__ln`, `__lf`), preserving order and
+    * bytes of the survivors; NULL text → ''.
+    */
+  private def stripLinesAgainst(df: DataFrame, idCol: String,
+      textCol: String, groupCol: String, freq: DataFrame): DataFrame = {
     // posexplode_outer keeps NULL-text docs as one null-line row, so they
     // survive the regroup with text_kept = '' instead of vanishing
     val ex = df.select(col(idCol), col(groupCol),
-      posexplode_outer(lines).as(Seq("__pos", "__ln")))
-    val freq = ex.filter(col("__ln").isNotNull && trim(col("__ln")) =!= "")
-      .select(col(groupCol), col("__ln"), col(idCol)).distinct()
-      .groupBy(col(groupCol), col("__ln"))
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDf)
-      .select(col(groupCol), col("__ln"), lit(1).as("__lf"))
+      posexplode_outer(split(col(textCol), "\n")).as(Seq("__pos", "__ln")))
     val re = ex.join(freq, Seq(groupCol, "__ln"), "left")
       .groupBy(col(idCol))
       .agg(
@@ -82,6 +102,132 @@ object Boilerplate {
     df.join(re, Seq(idCol), "left")
       .withColumn("text_kept", coalesce(col("text_kept"), lit("")))
       .withColumn("lines_removed", coalesce(col("lines_removed"), lit(0L)))
+  }
+
+  // ---- persisted line-frequency index (the incremental-ingest path) ----
+
+  private val LineMetaFileName = "_graft_linefreq_meta.json"
+
+  private def lineMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, LineMetaFileName)
+
+  private def writeLineMeta(df: DataFrame, path: String,
+      groupCol: String): Unit = {
+    val p = lineMetaPath(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"op":"lineFreqIndex","group":"$groupCol"}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def validateLineMeta(df: DataFrame, path: String,
+      groupCol: String, op: String): Unit = {
+    val p = lineMetaPath(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$op: no $LineMetaFileName at $path — not a writeLineFreqIndex " +
+        "artifact; build the index with writeLineFreqIndex")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val g = """"group"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$op: malformed $LineMetaFileName at $path: $txt"))
+    require(g == groupCol,
+      s"$op: index at $path was built with groupCol='$g' but the call " +
+        s"passed '$groupCol' — the partition layout would not line up; " +
+        "pass the index's own group column or rebuild it")
+  }
+
+  /** Build a persisted LINE-FREQUENCY index from a corpus: per-(group,
+    * line) distinct-document counts, partitioned by group (probes prune
+    * to their groups statically) and salt-clustered so each group writes
+    * a bounded number of files. The one-shot [[stripFrequentLines]]
+    * recomputes this table per run; at corpus scale the counts are built
+    * ONCE here and every ingest batch probes + appends against them —
+    * the same append-only loop as the MinHash signature index.
+    */
+  def writeLineFreqIndex(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, path: String): Unit = {
+    Dedup.clusterForPartitionedWrite(
+        lineDocCounts(df, idCol, textCol, groupCol),
+        groupCol, sortCols = Seq("__ln"))
+      .write.mode("overwrite").partitionBy(groupCol).parquet(path)
+    writeLineMeta(df, path, groupCol)
+  }
+
+  /** APPEND a new batch's per-(group, line) doc counts to an existing
+    * index — partial counts per file; probes SUM them at read time, so an
+    * append costs one pass over the BATCH and never rewrites the corpus
+    * counts. CONTRACT: each document is appended at most once across the
+    * index's lifetime (the natural shape of an ingest loop) — re-appending
+    * the same documents double-counts their lines, which can only OVER-
+    * remove (conservative for curation, but don't rely on it).
+    */
+  def appendToLineFreqIndex(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, path: String): Unit = {
+    validateLineMeta(df, path, groupCol, "appendToLineFreqIndex")
+    lineDocCounts(df, idCol, textCol, groupCol)
+      .write.mode("append").partitionBy(groupCol).parquet(path)
+  }
+
+  /** Strip a batch against the PERSISTED index: frequent = summed
+    * df_count ≥ minDf over the index's (possibly appended) partials. The
+    * index scan prunes statically to the batch's own group values (one
+    * bounded distinct-collect — the per-domain contract, like mixture
+    * totals); the batch itself shuffles only for the line join and the
+    * per-doc reassembly.
+    */
+  def stripAgainstLineIndex(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, path: String, minDf: Long): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = every line), got $minDf")
+    QualityFilters.requireFreshColumns(df, "stripAgainstLineIndex",
+      Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf"))
+    validateLineMeta(df, path, groupCol, "stripAgainstLineIndex")
+    val groups = df.select(col(groupCol)).filter(col(groupCol).isNotNull)
+      .distinct().collect().map(_.get(0)) // bounded by #domains
+    val freq = df.sparkSession.read.parquet(path)
+      .filter(col(groupCol).isInCollection(groups.toSeq))
+      .groupBy(col(groupCol), col("__ln"))
+      .agg(sum(col("df_count")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col(groupCol), col("__ln"), lit(1).as("__lf"))
+    stripLinesAgainst(df, idCol, textCol, groupCol, freq)
+  }
+
+  /** Compact an appended index into `targetPath`: merge the per-append
+    * partial counts into one row per (group, line) and bound files per
+    * group — long ingest loops otherwise accrete one file per (append ×
+    * group) whose open/footer cost eventually dominates probes. Writes to
+    * a NEW disjoint path (same contract as compactSignatureIndex: an
+    * in-place rewrite would race live probes).
+    */
+  def compactLineFreqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPath: String, filesPerGroup: Int = 1): Unit = {
+    require(filesPerGroup >= 1, s"filesPerGroup must be >= 1, got $filesPerGroup")
+    Dedup.requireDistinctPaths(spark, path, targetPath, "compactLineFreqIndex")
+    val metaSrc = lineMetaPath(path)
+    val fs = metaSrc.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(metaSrc),
+      s"compactLineFreqIndex: no $LineMetaFileName at $path — not a " +
+        "writeLineFreqIndex artifact")
+    val txt = {
+      val in = fs.open(metaSrc)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val groupCol = """"group"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
+        s"compactLineFreqIndex: malformed $LineMetaFileName: $txt"))
+    val merged = spark.read.parquet(path)
+      .groupBy(col(groupCol), col("__ln"))
+      .agg(sum(col("df_count")).as("df_count"))
+    Dedup.clusterForPartitionedWrite(merged, groupCol,
+        filesPerPartition = filesPerGroup, sortCols = Seq("__ln"))
+      .write.mode("overwrite").partitionBy(groupCol).parquet(targetPath)
+    val out = fs.create(lineMetaPath(targetPath), true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
   }
 
   /** Flag and strip: every document whose leading `k` normalized tokens

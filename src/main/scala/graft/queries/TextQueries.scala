@@ -804,6 +804,47 @@ object TextQueries {
       .select(col("doc_id"), col("text_kept"), col("lines_removed"))
   }
 
+  /** TWO-BATCH incremental line-frequency flow
+    * ([[graft.operators.Boilerplate.writeLineFreqIndex]] /
+    * `appendToLineFreqIndex` / `stripAgainstLineIndex`): the corpus
+    * (doc_id % 7 ≥ 2) builds the persisted per-(source, line) count
+    * index; batch 1 (doc_id % 7 = 1) appends its counts; batch 2
+    * (doc_id % 7 = 0) is then stripped against the ACCUMULATED counts —
+    * so a batch-2 line whose second occurrence arrived in batch 1 is
+    * caught without any corpus recount. The oracle recomputes the df over
+    * corpus ∪ batch 1 directly and strips batch 2 the same way.
+    */
+  val qStripLinesIncremental = q(
+    "q_strip_lines_incremental",
+    "WITH t AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM documents), " +
+      "ex0 AS (SELECT doc_id, source, unnest(ls) AS l, " +
+      "unnest(range(1, len(ls) + 1)) AS pos FROM t), " +
+      "lf AS (SELECT source, l FROM (SELECT source, l, " +
+      "count(DISTINCT doc_id) AS df FROM ex0 WHERE doc_id % 7 <> 0 " +
+      "AND trim(l) <> '' GROUP BY source, l) WHERE df >= 2), " +
+      "re AS (SELECT ex0.doc_id, " +
+      "array_to_string(list(ex0.l ORDER BY ex0.pos) FILTER (WHERE lf.l IS NULL), chr(10)) AS text_kept, " +
+      "CAST(sum(CASE WHEN lf.l IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lines_removed " +
+      "FROM ex0 LEFT JOIN lf ON ex0.source = lf.source AND ex0.l = lf.l " +
+      "WHERE ex0.doc_id % 7 = 0 GROUP BY ex0.doc_id) " +
+      "SELECT d.doc_id, coalesce(text_kept, '') AS text_kept, " +
+      "coalesce(lines_removed, 0) AS lines_removed " +
+      "FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d " +
+      "LEFT JOIN re USING (doc_id)") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") % 7 >= 2)
+    val batch1 = docs.filter(col("doc_id") % 7 === 1)
+    val batch2 = docs.filter(col("doc_id") % 7 === 0)
+    val idx = scratchDir("graft_lineidx", d)
+    graft.operators.Boilerplate.writeLineFreqIndex(
+      corpus, "doc_id", "text", "source", idx)
+    graft.operators.Boilerplate.appendToLineFreqIndex(
+      batch1, "doc_id", "text", "source", idx)
+    graft.operators.Boilerplate.stripAgainstLineIndex(
+        batch2, "doc_id", "text", "source", idx, minDf = 2L)
+      .select(col("doc_id"), col("text_kept"), col("lines_removed"))
+  }
+
   /** Corpus-trained bigram-rarity fluency score
     * ([[graft.operators.QualityFilters.bigramRarity]]): per doc, total
     * and rare (corpus-hapax) bigram occurrences plus the 20% low-quality
@@ -1134,7 +1175,7 @@ object TextQueries {
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qBigramRarity, qMultimodalMeta, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

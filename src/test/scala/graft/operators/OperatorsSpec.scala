@@ -521,6 +521,76 @@ class OperatorsSpec extends SparkSpec {
     }.getMessage.contains("text_kept"))
   }
 
+  test("line-frequency index: probe catches index-frequent lines, append accumulates, compact merges") {
+    val idx = tempDir("graft_lineidx") + "/idx"
+    val corpus = Seq(
+      (1L, "d", "SITE HEADER\nreal body one"),
+      (2L, "d", "SITE HEADER\nreal body two"),
+      (3L, "d", "HALF FREQUENT\nother body"),
+      (4L, "e", "SITE HEADER\nforeign source")
+    ).toDF("doc_id", "source", "text")
+    Boilerplate.writeLineFreqIndex(corpus, "doc_id", "text", "source", idx)
+
+    // a batch doc carrying an INDEX-frequent line strips it even though
+    // the line is unique within the batch — the incremental point
+    val batch1 = Seq(
+      (10L, "d", "SITE HEADER\nfresh content"),
+      (11L, "d", "HALF FREQUENT\nmore content"), // df 1 in index + this batch doc NOT yet counted
+      (12L, "e", "SITE HEADER\nonly one e-doc has this")
+    ).toDF("doc_id", "source", "text")
+    val s1 = Boilerplate.stripAgainstLineIndex(batch1, "doc_id", "text",
+        "source", idx, minDf = 2L)
+      .select("doc_id", "text_kept", "lines_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(s1(10L) === (("fresh content", 1L)),
+      "index-frequent line must strip from a batch where it is unique")
+    assert(s1(11L) === (("HALF FREQUENT\nmore content", 0L)),
+      "df 1 in the index stays under minDf 2 until the batch is appended")
+    assert(s1(12L) === (("SITE HEADER\nonly one e-doc has this", 0L)),
+      "group scoping: source e has df 1 for that line")
+
+    // append batch1; HALF FREQUENT now has df 2 (doc 3 + doc 11) and
+    // source e's SITE HEADER has df 2 (doc 4 + doc 12)
+    Boilerplate.appendToLineFreqIndex(batch1, "doc_id", "text", "source", idx)
+    val batch2 = Seq(
+      (20L, "d", "HALF FREQUENT\nlate arrival"),
+      (21L, "e", "SITE HEADER\nlate e arrival")
+    ).toDF("doc_id", "source", "text")
+    def probe(path: String) = Boilerplate.stripAgainstLineIndex(batch2,
+        "doc_id", "text", "source", path, minDf = 2L)
+      .select("doc_id", "text_kept", "lines_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val s2 = probe(idx)
+    assert(s2(20L) === (("late arrival", 1L)),
+      "appended counts must accumulate across batches")
+    assert(s2(21L) === (("late e arrival", 1L)))
+
+    // compaction: merged counts answer identically, files per group bounded
+    val compacted = tempDir("graft_lineidx") + "/compacted"
+    Boilerplate.compactLineFreqIndex(spark, idx, compacted, filesPerGroup = 1)
+    assert(probe(compacted) === s2, "compaction must not change any answer")
+    val dFiles = new java.io.File(compacted, "source=d")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(dFiles <= 1, s"compaction must bound files per group, got $dFiles")
+
+    // guards: non-artifact dir, wrong group column, nested compaction target
+    val e1 = intercept[IllegalArgumentException] {
+      Boilerplate.stripAgainstLineIndex(batch2, "doc_id", "text", "source",
+        tempDir("graft_lineidx_bogus"), minDf = 2L)
+    }
+    assert(e1.getMessage.contains("writeLineFreqIndex"))
+    val e2 = intercept[IllegalArgumentException] {
+      Boilerplate.appendToLineFreqIndex(
+        batch2.withColumnRenamed("source", "domain"),
+        "doc_id", "text", "domain", idx)
+    }
+    assert(e2.getMessage.contains("groupCol"))
+    val e3 = intercept[IllegalArgumentException] {
+      Boilerplate.compactLineFreqIndex(spark, idx, idx + "/compacted")
+    }
+    assert(e3.getMessage.contains("disjoint"))
+  }
+
   test("bigramRarity flags the planted incoherent doc and only it") {
     val fluent = "the data the data the data the data the data"
     val docs = Seq(
