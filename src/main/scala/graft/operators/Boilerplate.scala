@@ -75,8 +75,11 @@ object Boilerplate {
       groupCol: String): DataFrame =
     df.select(col(groupCol), col(idCol),
         explode(split(col(textCol), "\n")).as("__ln"))
+      // ^\s*$, not trim() != '': Spark trim strips SPACES only, so a
+      // tab- or \r-only line (every blank line of a CRLF corpus) would
+      // otherwise count as frequent content
       .filter(col(groupCol).isNotNull &&
-        col("__ln").isNotNull && trim(col("__ln")) =!= "")
+        col("__ln").isNotNull && !col("__ln").rlike("^\\s*$"))
       .distinct()
       .groupBy(col(groupCol), col("__ln"))
       .agg(count(lit(1)).as("df_count"))
@@ -121,10 +124,14 @@ object Boilerplate {
     finally out.close()
   }
 
-  private def validateLineMeta(df: DataFrame, path: String,
-      groupCol: String, op: String): Unit = {
+  /** Read the index meta, failing loud on a non-artifact directory or
+    * malformed content. Returns (raw meta text, persisted groupCol name) —
+    * the ONE parse both the validators and compaction share.
+    */
+  private def readLineMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): (String, String) = {
     val p = lineMetaPath(path)
-    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
       s"$op: no $LineMetaFileName at $path — not a writeLineFreqIndex " +
         "artifact; build the index with writeLineFreqIndex")
@@ -134,10 +141,55 @@ object Boilerplate {
     val g = """"group"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(
         s"$op: malformed $LineMetaFileName at $path: $txt"))
+    (txt, g)
+  }
+
+  private def validateLineMeta(df: DataFrame, path: String,
+      groupCol: String, op: String): Unit = {
+    val g = readLineMeta(df.sparkSession, path, op)._2
     require(g == groupCol,
       s"$op: index at $path was built with groupCol='$g' but the call " +
         s"passed '$groupCol' — the partition layout would not line up; " +
         "pass the index's own group column or rebuild it")
+  }
+
+  /** The index keys its counts by STRING groups (domains/sources); other
+    * types would round-trip through partition-directory parsing with
+    * type-inference surprises — fail loud instead.
+    */
+  private def requireStringGroup(df: DataFrame, groupCol: String,
+      op: String): Unit =
+    require(df.schema(groupCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$op: groupCol '$groupCol' must be a string column (got " +
+        s"${df.schema(groupCol).dataType.simpleString}); cast or derive a " +
+        "string domain key first")
+
+  /** Hive partition directories cannot carry arbitrary strings faithfully
+    * ('' becomes __HIVE_DEFAULT_PARTITION__ → NULL on read; '1' and '01'
+    * type-infer to the same int), so the partition column is an ENCODED
+    * token — 'g' + uppercase hex of the UTF-8 group bytes — and the REAL
+    * group value rides as a data column the probes join on. The driver-
+    * side twin must produce identical tokens to Spark's hex().
+    */
+  private def grpToken(c: Column): Column =
+    concat(lit("g"), hex(encode(c, "UTF-8")))
+
+  private def grpTokenOf(value: String): String =
+    "g" + value.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+
+  /** The index's fixed on-disk schema — supplied explicitly on every read
+    * so (a) an EMPTY index (a legal first batch with no countable lines
+    * writes only _SUCCESS) reads as an empty frame instead of dying on
+    * schema inference, and (b) partition-value type inference never runs.
+    */
+  private def lineIndexSchema(groupCol: String) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(groupCol, StringType),
+      StructField("__ln", StringType),
+      StructField("df_count", LongType),
+      StructField("__grp", StringType)))
   }
 
   /** Build a persisted LINE-FREQUENCY index from a corpus: per-(group,
@@ -150,10 +202,12 @@ object Boilerplate {
     */
   def writeLineFreqIndex(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, path: String): Unit = {
+    requireStringGroup(df, groupCol, "writeLineFreqIndex")
     Dedup.clusterForPartitionedWrite(
-        lineDocCounts(df, idCol, textCol, groupCol),
-        groupCol, sortCols = Seq("__ln"))
-      .write.mode("overwrite").partitionBy(groupCol).parquet(path)
+        lineDocCounts(df, idCol, textCol, groupCol)
+          .withColumn("__grp", grpToken(col(groupCol))),
+        "__grp", sortCols = Seq("__ln"))
+      .write.mode("overwrite").partitionBy("__grp").parquet(path)
     writeLineMeta(df, path, groupCol)
   }
 
@@ -167,9 +221,11 @@ object Boilerplate {
     */
   def appendToLineFreqIndex(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, path: String): Unit = {
+    requireStringGroup(df, groupCol, "appendToLineFreqIndex")
     validateLineMeta(df, path, groupCol, "appendToLineFreqIndex")
     lineDocCounts(df, idCol, textCol, groupCol)
-      .write.mode("append").partitionBy(groupCol).parquet(path)
+      .withColumn("__grp", grpToken(col(groupCol)))
+      .write.mode("append").partitionBy("__grp").parquet(path)
   }
 
   /** Strip a batch against the PERSISTED index: frequent = summed
@@ -184,11 +240,14 @@ object Boilerplate {
     require(minDf >= 2, s"minDf must be >= 2 (df 1 = every line), got $minDf")
     QualityFilters.requireFreshColumns(df, "stripAgainstLineIndex",
       Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf"))
+    requireStringGroup(df, groupCol, "stripAgainstLineIndex")
     validateLineMeta(df, path, groupCol, "stripAgainstLineIndex")
     val groups = df.select(col(groupCol)).filter(col(groupCol).isNotNull)
-      .distinct().collect().map(_.get(0)) // bounded by #domains
-    val freq = df.sparkSession.read.parquet(path)
-      .filter(col(groupCol).isInCollection(groups.toSeq))
+      .distinct().collect().map(_.getString(0)) // bounded by #domains
+    val freq = df.sparkSession.read.schema(lineIndexSchema(groupCol))
+      .parquet(path)
+      // prune on the encoded PARTITION token; join below on the real value
+      .filter(col("__grp").isInCollection(groups.map(grpTokenOf).toSeq))
       .groupBy(col(groupCol), col("__ln"))
       .agg(sum(col("df_count")).as("__df"))
       .filter(col("__df") >= minDf)
@@ -207,25 +266,16 @@ object Boilerplate {
       path: String, targetPath: String, filesPerGroup: Int = 1): Unit = {
     require(filesPerGroup >= 1, s"filesPerGroup must be >= 1, got $filesPerGroup")
     Dedup.requireDistinctPaths(spark, path, targetPath, "compactLineFreqIndex")
-    val metaSrc = lineMetaPath(path)
-    val fs = metaSrc.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(metaSrc),
-      s"compactLineFreqIndex: no $LineMetaFileName at $path — not a " +
-        "writeLineFreqIndex artifact")
-    val txt = {
-      val in = fs.open(metaSrc)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    }
-    val groupCol = """"group"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse(throw new IllegalArgumentException(
-        s"compactLineFreqIndex: malformed $LineMetaFileName: $txt"))
-    val merged = spark.read.parquet(path)
+    val (txt, groupCol) = readLineMeta(spark, path, "compactLineFreqIndex")
+    val merged = spark.read.schema(lineIndexSchema(groupCol)).parquet(path)
       .groupBy(col(groupCol), col("__ln"))
       .agg(sum(col("df_count")).as("df_count"))
-    Dedup.clusterForPartitionedWrite(merged, groupCol,
+      .withColumn("__grp", grpToken(col(groupCol)))
+    Dedup.clusterForPartitionedWrite(merged, "__grp",
         filesPerPartition = filesPerGroup, sortCols = Seq("__ln"))
-      .write.mode("overwrite").partitionBy(groupCol).parquet(targetPath)
+      .write.mode("overwrite").partitionBy("__grp").parquet(targetPath)
+    val fs = lineMetaPath(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(lineMetaPath(targetPath), true)
     try out.write(txt.getBytes("UTF-8")) finally out.close()
   }

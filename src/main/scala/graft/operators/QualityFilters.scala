@@ -148,12 +148,16 @@ object QualityFilters {
         .as("__bg"))
     val counts = ex.filter(col("__bg").isNotNull)
       .groupBy(col("__bg")).agg(count(lit(1)).as("__bgc"))
-    ex.join(counts, Seq("__bg"), "left")
+    val metrics = ex.join(counts, Seq("__bg"), "left")
       .groupBy(col(idCol))
       .agg(count(col("__bg")).as("bigrams_total"),
         sum(when(col("__bg").isNotNull && col("__bgc") <= rareMax, 1L)
           .otherwise(0L)).as("bigrams_rare"))
       .withColumn("lowq", col("bigrams_rare") * 5 > col("bigrams_total"))
+    // input columns ride along (the sibling-operator contract: filters
+    // compose by chaining, no caller-side join); explode_outer guarantees
+    // metrics covers every id
+    df.join(metrics, Seq(idCol))
   }
 
   /** C4 cleaning: per document, the retained lines (terminal-punctuation

@@ -789,7 +789,7 @@ object TextQueries {
       "ex AS (SELECT doc_id, source, unnest(ls) AS l, " +
       "unnest(range(1, len(ls) + 1)) AS pos FROM t), " +
       "lf AS (SELECT source, l FROM (SELECT source, l, " +
-      "count(DISTINCT doc_id) AS df FROM ex WHERE trim(l) <> '' " +
+      "count(DISTINCT doc_id) AS df FROM ex WHERE NOT regexp_matches(l, '^\\s*$') " +
       "GROUP BY source, l) WHERE df >= 2), " +
       "re AS (SELECT ex.doc_id, " +
       "array_to_string(list(ex.l ORDER BY ex.pos) FILTER (WHERE lf.l IS NULL), chr(10)) AS text_kept, " +
@@ -821,7 +821,7 @@ object TextQueries {
       "unnest(range(1, len(ls) + 1)) AS pos FROM t), " +
       "lf AS (SELECT source, l FROM (SELECT source, l, " +
       "count(DISTINCT doc_id) AS df FROM ex0 WHERE doc_id % 7 <> 0 " +
-      "AND trim(l) <> '' GROUP BY source, l) WHERE df >= 2), " +
+      "AND NOT regexp_matches(l, '^\\s*$') GROUP BY source, l) WHERE df >= 2), " +
       "re AS (SELECT ex0.doc_id, " +
       "array_to_string(list(ex0.l ORDER BY ex0.pos) FILTER (WHERE lf.l IS NULL), chr(10)) AS text_kept, " +
       "CAST(sum(CASE WHEN lf.l IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lines_removed " +

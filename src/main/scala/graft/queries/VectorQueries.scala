@@ -362,10 +362,16 @@ object VectorQueries {
     import s.implicits._
     val seedDf = seeds.map { case (cid, v) => (cid.toLong, v) }
       .toDF("seed_id", "__sv")
-    val corpusVecs = emb.select(col("embedding").as("__cv")).distinct()
-    seedDf.join(corpusVecs, col("__sv") === col("__cv"), "left")
+    // membership via a BROADCAST probe of the k-row seed frame against the
+    // streaming corpus scan (map-side, then a k-row aggregate) — a
+    // distinct() of corpus vectors + array-keyed join would shuffle every
+    // embedding just to answer 8 lookups
+    val matches = emb.join(broadcast(seedDf),
+        col("embedding") === col("__sv"))
+      .groupBy(col("seed_id")).agg(count(lit(1)).as("__m"))
+    seedDf.join(matches, Seq("seed_id"), "left")
       .select(col("seed_id"),
-        when(col("__cv").isNotNull, 1L).otherwise(0L).as("in_corpus"),
+        when(col("__m").isNotNull, 1L).otherwise(0L).as("in_corpus"),
         lit(if (distinctOk) 1L else 0L).as("seeds_distinct"))
   }
 

@@ -49,7 +49,7 @@ class CurationPropertySpec extends SparkSpec {
   }
   private def tokens(t: String): Array[String] =
     if (t == null) null
-    else t.toLowerCase.replaceAll("[^a-z0-9]+", " ")
+    else t.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]+", " ")
       .split(" ", -1).filter(_.nonEmpty)
   private def grams(toks: Array[String], n: Int): Array[String] =
     if (toks == null || toks.length < n) Array.empty
@@ -67,7 +67,7 @@ class CurationPropertySpec extends SparkSpec {
     val hashes = countMatches("#", t)
     val ellipses = countMatches("\\.\\.\\.", t)
     val alphaW = w.count(x => find("[A-Za-z]", x)).toLong
-    val stops = w.map(_.toLowerCase).toSet.intersect(Stop).size.toLong
+    val stops = w.map(_.toLowerCase(java.util.Locale.ROOT)).toSet.intersect(Stop).size.toLong
     (nW >= 50L && nW <= 100000L,
       3L * nW <= sumLen && sumLen <= 10L * nW,
       hashes * 10L <= nW && ellipses * 10L <= nW,
@@ -82,10 +82,10 @@ class CurationPropertySpec extends SparkSpec {
     val kept = lines(t).filter { l =>
       find("[.!?\"]\\s*$", l) &&
         words(spTrim(l)).length >= 5 &&
-        !l.toLowerCase.contains("javascript")
+        !l.toLowerCase(java.util.Locale.ROOT).contains("javascript")
     }
     (kept.mkString("\n"), kept.length.toLong, lines(t).length.toLong,
-      t.toLowerCase.contains("lorem ipsum") || t.contains("{"))
+      t.toLowerCase(java.util.Locale.ROOT).contains("lorem ipsum") || t.contains("{"))
   }
 
   // ---- corpus generator ----

@@ -569,7 +569,8 @@ class OperatorsSpec extends SparkSpec {
     val compacted = tempDir("graft_lineidx") + "/compacted"
     Boilerplate.compactLineFreqIndex(spark, idx, compacted, filesPerGroup = 1)
     assert(probe(compacted) === s2, "compaction must not change any answer")
-    val dFiles = new java.io.File(compacted, "source=d")
+    // partition dirs carry the encoded token, not the raw group: hex('d') = 64
+    val dFiles = new java.io.File(compacted, "__grp=g64")
       .listFiles().count(_.getName.endsWith(".parquet"))
     assert(dFiles <= 1, s"compaction must bound files per group, got $dFiles")
 
@@ -589,6 +590,56 @@ class OperatorsSpec extends SparkSpec {
       Boilerplate.compactLineFreqIndex(spark, idx, idx + "/compacted")
     }
     assert(e3.getMessage.contains("disjoint"))
+    val e4 = intercept[IllegalArgumentException] {
+      Boilerplate.writeLineFreqIndex(
+        Seq((1L, 7, "x\nx")).toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", tempDir("graft_lineidx_int"))
+    }
+    assert(e4.getMessage.contains("string column"),
+      "non-string groups must fail loud, not round-trip through partition dirs")
+  }
+
+  test("line-frequency index survives hostile group values and empty builds") {
+    // empty-string and numeric-lookalike groups: a raw partitionBy would
+    // turn '' into __HIVE_DEFAULT_PARTITION__ (read back NULL) and
+    // type-infer '1'/'01' into the same int — the encoded partition token
+    // plus the data-column join must keep all three distinct and probe-able
+    val idx = tempDir("graft_lineidx_h") + "/idx"
+    val corpus = Seq(
+      (1L, "", "EMPTY GROUP LINE\nbody a"),
+      (2L, "", "EMPTY GROUP LINE\nbody b"),
+      (3L, "1", "NUM LINE\nbody c"),
+      (4L, "1", "NUM LINE\nbody d"),
+      (5L, "01", "NUM LINE\nonly once in 01")
+    ).toDF("doc_id", "source", "text")
+    Boilerplate.writeLineFreqIndex(corpus, "doc_id", "text", "source", idx)
+    val batch = Seq(
+      (10L, "", "EMPTY GROUP LINE\nnew empty-group doc"),
+      (11L, "1", "NUM LINE\nnew 1-group doc"),
+      (12L, "01", "NUM LINE\nnew 01-group doc")
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.stripAgainstLineIndex(batch, "doc_id", "text",
+        "source", idx, minDf = 2L)
+      .select("doc_id", "text_kept", "lines_removed")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(10L) === (("new empty-group doc", 1L)),
+      "''-group counts must survive the partition round trip")
+    assert(out(11L) === (("new 1-group doc", 1L)))
+    assert(out(12L) === (("NUM LINE\nnew 01-group doc", 0L)),
+      "'01' must stay a distinct group from '1' (df 1 there)")
+
+    // an index legally built from a batch with ZERO countable lines (all
+    // NULL/blank — incl. tab-only lines, which are blank despite trim())
+    // must read back as EMPTY, not crash schema inference
+    val emptyIdx = tempDir("graft_lineidx_e") + "/idx"
+    Boilerplate.writeLineFreqIndex(
+      Seq((1L, "d", null.asInstanceOf[String]), (2L, "d", "\t\n  \n\r"))
+        .toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", emptyIdx)
+    val out2 = Boilerplate.stripAgainstLineIndex(batch, "doc_id", "text",
+        "source", emptyIdx, minDf = 2L)
+      .agg(sum("lines_removed")).collect().head.getLong(0)
+    assert(out2 === 0L, "an empty index strips nothing and must not throw")
   }
 
   test("bigramRarity flags the planted incoherent doc and only it") {
