@@ -351,6 +351,27 @@ class PlanSpec extends SparkSpec {
       "mixture domain filter must reach the scan:\n" + p.take(2500))
   }
 
+  test("q_strip_lines: tiny-table broadcasts, ordered reassembly without a sort node") {
+    val p = plan("q_strip_lines")
+    // exchanges: the (group, line, doc) distinct agg's two phases + the
+    // per-doc regroup — the frequent-line table and the final doc join
+    // both broadcast back
+    assert("\\+- Exchange".r.findAllIn(p).size <= 3, p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    // line order is restored via sort_array INSIDE the aggregate — a Sort
+    // node would mean a per-doc (or global) sort snuck in
+    assert(!p.contains("Sort ("), "reassembly must not plan a sort:\n" + p.take(2000))
+  }
+
+  test("q_bigram_rarity: gram count table joins broadcast, no sort-merge anywhere") {
+    val p = plan("q_bigram_rarity")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q_approx_quantile: window and groupBy share the event_type exchange") {
     val p = plan("q_approx_quantile")
     // the rank-interval check folds the sketch window and the count
