@@ -81,7 +81,13 @@ object Bench {
     }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
     val minRepsEnv = sys.env.get("SPARK_GRAFT_MIN_REPS")
-    val minReps = minRepsEnv.map(_.toInt).getOrElse(2)
+    val minReps = minRepsEnv.map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_MIN_REPS must be an integer, got '$v'")
+      }
+    }.getOrElse(2)
     require(minReps >= 1, s"SPARK_GRAFT_MIN_REPS must be >= 1, got $minReps")
     def minOfReps(name: String)(run: () => Unit): (Double, Seq[Double]) = {
       def once(): Double = {

@@ -158,12 +158,19 @@ object Boilerplate {
     * type-inference surprises — fail loud instead.
     */
   private def requireStringGroup(df: DataFrame, groupCol: String,
-      op: String): Unit =
+      op: String): Unit = {
     require(df.schema(groupCol).dataType ==
         org.apache.spark.sql.types.StringType,
       s"$op: groupCol '$groupCol' must be a string column (got " +
         s"${df.schema(groupCol).dataType.simpleString}); cast or derive a " +
         "string domain key first")
+    // the meta file stores the name as raw JSON and reads it back with a
+    // quote-bounded regex — a name containing '"' or '\' would write
+    // malformed meta that bricks later appends/probes, so fail loud here
+    require(!groupCol.exists(c => c == '"' || c == '\\'),
+      s"$op: groupCol name must not contain '\"' or '\\' (got '$groupCol') " +
+        "— alias the column to a plain name first")
+  }
 
   /** Hive partition directories cannot carry arbitrary strings faithfully
     * ('' becomes __HIVE_DEFAULT_PARTITION__ → NULL on read; '1' and '01'
@@ -202,6 +209,8 @@ object Boilerplate {
     */
   def writeLineFreqIndex(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, path: String): Unit = {
+    QualityFilters.requireFreshColumns(df, "writeLineFreqIndex",
+      Seq("__ln", "df_count", "__grp"))
     requireStringGroup(df, groupCol, "writeLineFreqIndex")
     Dedup.clusterForPartitionedWrite(
         lineDocCounts(df, idCol, textCol, groupCol)
@@ -221,6 +230,8 @@ object Boilerplate {
     */
   def appendToLineFreqIndex(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, path: String): Unit = {
+    QualityFilters.requireFreshColumns(df, "appendToLineFreqIndex",
+      Seq("__ln", "df_count", "__grp"))
     requireStringGroup(df, groupCol, "appendToLineFreqIndex")
     validateLineMeta(df, path, groupCol, "appendToLineFreqIndex")
     lineDocCounts(df, idCol, textCol, groupCol)

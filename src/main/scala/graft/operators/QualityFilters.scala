@@ -155,9 +155,14 @@ object QualityFilters {
           .otherwise(0L)).as("bigrams_rare"))
       .withColumn("lowq", col("bigrams_rare") * 5 > col("bigrams_total"))
     // input columns ride along (the sibling-operator contract: filters
-    // compose by chaining, no caller-side join); explode_outer guarantees
-    // metrics covers every id
-    df.join(metrics, Seq(idCol))
+    // compose by chaining, no caller-side join); explode_outer covers
+    // every NON-NULL id, but a NULL id never matches an equi-join key —
+    // left + coalesce keeps such rows with the zero-bigram metrics
+    // instead of silently dropping them
+    df.join(metrics, Seq(idCol), "left")
+      .withColumn("bigrams_total", coalesce(col("bigrams_total"), lit(0L)))
+      .withColumn("bigrams_rare", coalesce(col("bigrams_rare"), lit(0L)))
+      .withColumn("lowq", coalesce(col("lowq"), lit(false)))
   }
 
   /** C4 cleaning: per document, the retained lines (terminal-punctuation

@@ -597,6 +597,24 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("string column"),
       "non-string groups must fail loud, not round-trip through partition dirs")
+    // a groupCol name carrying a quote would write meta JSON the regex
+    // reader mis-parses — rejected up front, not discovered at probe time
+    val e5 = intercept[IllegalArgumentException] {
+      Boilerplate.writeLineFreqIndex(
+        Seq((1L, "d", "x\nx")).toDF("doc_id", "so\"urce", "text"),
+        "doc_id", "text", "so\"urce", tempDir("graft_lineidx_q"))
+    }
+    assert(e5.getMessage.contains("alias"), e5.getMessage)
+    // index writers share the fresh-column guard: an input already
+    // carrying __ln must fail with the operator-named message, not a
+    // later ambiguous-reference AnalysisException
+    val e6 = intercept[IllegalArgumentException] {
+      Boilerplate.appendToLineFreqIndex(
+        batch2.withColumn("__ln", lit("stale")),
+        "doc_id", "text", "source", idx)
+    }
+    assert(e6.getMessage.contains("appendToLineFreqIndex") &&
+      e6.getMessage.contains("__ln"), e6.getMessage)
   }
 
   test("line-frequency index survives hostile group values and empty builds") {
@@ -661,6 +679,19 @@ class OperatorsSpec extends SparkSpec {
       s"3 rare of 21 is under the 20% line: ${out(5L)}")
     assert(out(6L) === ((0L, 0L, false)), "NULL text -> 0/0/false, row kept")
     assert(out(7L) === ((0L, 0L, false)), "single-token doc has no bigrams")
+
+    // a NULL id never matches an equi-join key — the left join + coalesce
+    // must keep the row with zero metrics rather than dropping it
+    val withNullId = Seq(
+      (java.lang.Long.valueOf(1L), fluent),
+      (null.asInstanceOf[java.lang.Long], "orphan words here")
+    ).toDF("doc_id", "text")
+    val nullOut = QualityFilters.bigramRarity(withNullId, "doc_id", "text")
+      .filter(col("doc_id").isNull)
+      .select("bigrams_total", "bigrams_rare", "lowq").collect()
+    assert(nullOut.length === 1, "NULL-id row must survive")
+    assert(nullOut.head.getLong(0) === 0L && nullOut.head.getLong(1) === 0L &&
+      !nullOut.head.getBoolean(2))
   }
 
   test("temperature weights: exact isqrt, ppm sums to 1e6, flattening monotone in alpha") {
