@@ -889,6 +889,57 @@ object TextQueries {
         md5(col("payload")).as("content_hash"))
   }
 
+  /** Perceptual-hash image dedup ([[graft.operators.ImageDedup]]): 64-bit
+    * dHash per payload, 8 one-byte Hamming bands → candidate pairs →
+    * exact Hamming ≤ 6 verify → connected components. The decode seam
+    * uses the deterministic code-point surrogate ([[ImageDedup.dHashTextCol]])
+    * so DuckDB can recompute the ENTIRE pipeline — hash values, banding,
+    * Hamming verify, and the recursive-closure cluster assignment — while
+    * the real `javax.imageio` grid path is locked by `ImageDedupSpec` on
+    * generated PNGs (an image codec is the one step SQL cannot host).
+    * The hot-bucket threshold is pinned far above any test-SF bucket so
+    * Spark's star guard and the oracle's all-pairs banding agree exactly;
+    * production calls keep the guarded default.
+    */
+  val qImageDedup = q(
+    "q_image_dedup", {
+      val rowBytes = (0 until 8).map { r =>
+        (0 until 8).map { c =>
+          s"(CASE WHEN p[${r * 9 + c + 2}] > p[${r * 9 + c + 1}] THEN ${1 << c} ELSE 0 END)"
+        }.mkString(" + ")
+      }
+      val hamming = (1 to 8).map(i => s"bit_count(xor(x.bs[$i], y.bs[$i]))")
+        .mkString(" + ")
+      "WITH RECURSIVE " +
+        "px AS (SELECT doc_id, CASE WHEN coalesce(length(text), 0) >= 1 THEN " +
+        "[ord(substr(text, 1 + CAST((i * length(text)) // 72 AS INT), 1)) " +
+        "for i in range(72)] END AS p FROM documents), " +
+        s"hb AS (SELECT doc_id, CASE WHEN p IS NULL THEN [0, 0, 0, 0, 0, 0, 0, 0] " +
+        s"ELSE [${rowBytes.mkString(", ")}] END AS bs FROM px), " +
+        "h AS (SELECT doc_id, printf('%02x%02x%02x%02x%02x%02x%02x%02x', " +
+        "bs[1], bs[2], bs[3], bs[4], bs[5], bs[6], bs[7], bs[8]) AS dhash, bs FROM hb), " +
+        "bands AS (SELECT doc_id, r, bs[CAST(r + 1 AS INT)] AS bv FROM h " +
+        "CROSS JOIN (SELECT unnest(range(8)) AS r) t), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bands a " +
+        "JOIN bands b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
+        "pairs AS (SELECT ida, idb FROM cand JOIN h x ON x.doc_id = ida " +
+        s"JOIN h y ON y.doc_id = idb WHERE $hamming <= 6), " +
+        "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(na, nb) AS (SELECT na, nb FROM e " +
+        "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na) " +
+        "SELECT d.doc_id, h.dhash, " +
+        "CAST(least(d.doc_id, coalesce(min(r2.nb), d.doc_id)) AS BIGINT) AS rep " +
+        "FROM documents d JOIN h USING (doc_id) " +
+        "LEFT JOIN reach r2 ON r2.na = d.doc_id GROUP BY d.doc_id, h.dhash"
+    }) { (s, d) =>
+    val hashed = Tables.documentsBalanced(s, d).select(col("doc_id"),
+      graft.operators.ImageDedup.dHashTextCol(col("text")).as("dhash"))
+    graft.operators.ImageDedup
+      .imageClusters(hashed, "doc_id", "dhash", maxHamming = 6,
+        hotBucketThreshold = 1 << 20)
+      .select("doc_id", "dhash", "rep")
+  }
+
   /** Survivor set of exact dedup through `operators.Dedup.exact`: the rows a
     * deduped corpus would keep.
     */
@@ -1175,7 +1226,7 @@ object TextQueries {
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SCALE.md measurement for the round-12 additions on the established 10×
+  * duplicated-content replication recipe (ids offset per copy via
+  * doc_id·R+r, text IDENTICAL — every row gains R−1 exact twins). For
+  * image dedup this is the adversarial direction: every replicated doc's
+  * dHash collides exactly, so every band bucket's duplicate groups grow
+  * R× and the verified pair set grows ~R²× inside each cluster (bounded
+  * by the hot-bucket star guard at production settings).
+  * `sbt "Test/runMain graft.Round12ScaleTimer <sfDir> <R>"` — run with
+  * R=1 then R=10 and compare.
+  */
+object Round12ScaleTimer {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.ImageDedup
+
+    def replicate(base: DataFrame, idCol: String): DataFrame =
+      (0 until rep).map { r =>
+        base.withColumn(idCol, col(idCol) * rep + r)
+      }.reduce(_ unionAll _)
+
+    val docs = replicate(Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text"), "doc_id")
+    val nDocs = docs.count()
+    def time(name: String, rows: Long = nDocs)(thunk: => Unit): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        thunk
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[r12scale] $name R=$rep min=${runs.min}%.2f s rows=$rows " +
+        runs.map(r => f"$r%.2f").mkString("reps=[", ", ", "]"))
+    }
+
+    // production settings: guarded hot-bucket threshold (the star guard is
+    // exactly what absorbs the R× bucket growth), default maxHamming
+    val hashed = docs.select(col("doc_id"),
+      ImageDedup.dHashTextCol(col("text")).as("dhash"))
+    time("image_dedup_clusters") {
+      ImageDedup.imageClusters(hashed, "doc_id", "dhash")
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+}

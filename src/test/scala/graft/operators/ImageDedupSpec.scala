@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Multimodal.MediaRow
+
+/** Real-decoder leg of [[ImageDedup]]: the oracle entry (`q_image_dedup`)
+  * locks the surrogate column path cross-engine; this suite locks the
+  * `javax.imageio` path on GENERATED images — determinism, resize
+  * robustness, corrupt-payload fallback, and end-to-end clustering of a
+  * planted duplicate set.
+  */
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic photo: a horizontal gradient plus a seeded
+    * blocky texture — enough horizontal structure for a non-degenerate
+    * dHash (a flat fill would hash to all zeros).
+    */
+  private def makeImage(w: Int, h: Int, seed: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rnd = new java.util.Random(seed)
+    val blocks = Array.fill(8, 8)(rnd.nextInt(128))
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = 127 * x / math.max(1, w - 1)
+      val tex = blocks(math.min(7, y * 8 / h))(math.min(7, x * 8 / w))
+      val v = math.min(255, base + tex)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  private def pngBytes(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def resized(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    out
+  }
+
+  private def hamming(a: String, b: String): Int =
+    (0 until 8).map { r =>
+      java.lang.Integer.bitCount(
+        Integer.parseInt(a.substring(r * 2, r * 2 + 2), 16) ^
+          Integer.parseInt(b.substring(r * 2, r * 2 + 2), 16))
+    }.sum
+
+  test("dHashImage: deterministic, resize-robust, distinct for distinct content") {
+    val base = makeImage(240, 160, seed = 7)
+    val h1 = ImageDedup.hexOf(ImageDedup.dHashImage(pngBytes(base)).get)
+    val h2 = ImageDedup.hexOf(ImageDedup.dHashImage(pngBytes(base)).get)
+    assert(h1 === h2, "same payload must hash identically")
+    assert(h1.matches("[0-9a-f]{16}"), s"16 lowercase hex chars: $h1")
+    assert(h1 !== ImageDedup.ZeroHash, "textured image must not hash to zero")
+
+    // the dHash property: a downscaled copy stays within a small Hamming
+    // ball of the original (gradients survive resampling)
+    val small = ImageDedup.hexOf(
+      ImageDedup.dHashImage(pngBytes(resized(base, 96, 64))).get)
+    assert(hamming(h1, small) <= 6,
+      s"resize must stay near-dup: d(${h1}, ${small}) = ${hamming(h1, small)}")
+
+    // different content lands far away
+    val other = ImageDedup.hexOf(
+      ImageDedup.dHashImage(pngBytes(makeImage(240, 160, seed = 99))).get)
+    assert(hamming(h1, other) > 6,
+      s"distinct images must separate: d = ${hamming(h1, other)}")
+
+    // 1×1 and tiny images produce a full (degenerate) grid, no crash
+    assert(ImageDedup.dHashImage(pngBytes(makeImage(1, 1, seed = 1))).get
+      .forall(_ == 0), "flat 1x1 image has no gradients")
+    assert(ImageDedup.dHashImage(pngBytes(makeImage(3, 2, seed = 5))).isDefined)
+  }
+
+  test("dHashImage falls back for corrupt payloads; grid core matches packing contract") {
+    assert(ImageDedup.dHashImage("not an image".getBytes("UTF-8")).isEmpty)
+    assert(ImageDedup.dHashSurrogateBytes(Array.emptyByteArray)
+      .forall(_ == 0))
+    // bit packing: strictly increasing row -> all 8 bits set per row
+    val inc = Array.tabulate(72)(i => i.toLong)
+    assert(ImageDedup.dHashBytesFromGrid(inc).forall(_ == 0xff))
+    assert(ImageDedup.hexOf(ImageDedup.dHashBytesFromGrid(inc)) === "ff" * 8)
+    // flat grid -> no bits (comparison is strict)
+    assert(ImageDedup.dHashBytesFromGrid(Array.fill(72)(5L)).forall(_ == 0))
+  }
+
+  test("end-to-end: PNG media column clusters duplicates and resizes together, singletons apart") {
+    val a = makeImage(240, 160, seed = 7)
+    val b = makeImage(240, 160, seed = 99)
+    val c = makeImage(200, 140, seed = 1234)
+    val rows = Seq(
+      MediaRow(1L, "image/png", pngBytes(a)),
+      MediaRow(2L, "image/png", pngBytes(a)), // exact dup of 1
+      MediaRow(3L, "image/png", pngBytes(resized(a, 120, 80))), // near dup of 1
+      MediaRow(4L, "image/png", pngBytes(b)),
+      MediaRow(5L, "image/png", pngBytes(c)),
+      MediaRow(6L, "application/octet-stream", "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val hashed = ImageDedup.dHashImages(rows)
+    val reps = ImageDedup.imageClusters(hashed, "id", "dhash")
+      .select("id", "rep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(1L) === 1L && reps(2L) === 1L && reps(3L) === 1L,
+      s"exact + resized copies must cluster with the original: $reps")
+    assert(reps(4L) === 4L && reps(5L) === 5L && reps(6L) === 6L,
+      s"distinct images and the non-image payload stay singletons: $reps")
+    val kept = ImageDedup.dedupImages(hashed, "id", "dhash")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L, 6L))
+
+    // collapse-exact is an optimization, not a semantics change: both
+    // modes must produce identical (id, rep) assignments
+    val uncollapsed = ImageDedup
+      .imageClusters(hashed, "id", "dhash", collapseExact = false)
+      .select("id", "rep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uncollapsed === reps, "collapseExact must be output-identical")
+  }
+
+  test("surrogate column path agrees with the Scala surrogate on UTF-8-safe text") {
+    // dHashTextCol samples CODE POINTS of the string; dHashSurrogateBytes
+    // samples BYTES — on ASCII they coincide, which is the bridge the
+    // oracle entry stands on
+    val texts = Seq("", "short", "a" * 71, ("the quick brown fox " * 20).trim,
+      (0 until 300).map(i => ('a' + i % 26).toChar).mkString)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val colHashes = df.select(col("id"),
+        ImageDedup.dHashTextCol(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val scalaHash = ImageDedup.hexOf(
+        ImageDedup.dHashSurrogateBytes(t.getBytes("UTF-8")))
+      assert(colHashes(i.toLong) === scalaHash, s"text #$i '$t'")
+    }
+    // NULL text takes the ZeroHash guard
+    val nullHash = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(ImageDedup.dHashTextCol(col("text"))).collect().head.getString(0)
+    assert(nullHash === ImageDedup.ZeroHash)
+  }
+}
