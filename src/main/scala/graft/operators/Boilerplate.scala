@@ -245,9 +245,18 @@ object Boilerplate {
     * bounded distinct-collect — the per-domain contract, like mixture
     * totals); the batch itself shuffles only for the line join and the
     * per-doc reassembly.
+    *
+    * `includeBatchCounts` (the streaming-ingest form) adds the BATCH's
+    * own per-(group, line) distinct-doc counts to the index partials
+    * before the threshold: a line whose df is split across the batch
+    * boundary (minDf−1 in the index, 1 in the batch) is then caught,
+    * as is one frequent within the batch alone — the index only ever
+    * knows about PREVIOUS batches. One extra aggregate over the batch;
+    * the index-side cost is unchanged.
     */
   def stripAgainstLineIndex(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, path: String, minDf: Long): DataFrame = {
+      groupCol: String, path: String, minDf: Long,
+      includeBatchCounts: Boolean = false): DataFrame = {
     require(minDf >= 2, s"minDf must be >= 2 (df 1 = every line), got $minDf")
     QualityFilters.requireFreshColumns(df, "stripAgainstLineIndex",
       Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf"))
@@ -255,16 +264,61 @@ object Boilerplate {
     validateLineMeta(df, path, groupCol, "stripAgainstLineIndex")
     val groups = df.select(col(groupCol)).filter(col(groupCol).isNotNull)
       .distinct().collect().map(_.getString(0)) // bounded by #domains
-    val freq = df.sparkSession.read.schema(lineIndexSchema(groupCol))
+    val idxPartials = df.sparkSession.read.schema(lineIndexSchema(groupCol))
       .parquet(path)
       // prune on the encoded PARTITION token; join below on the real value
       .filter(col("__grp").isInCollection(groups.map(grpTokenOf).toSeq))
+      .select(col(groupCol), col("__ln"), col("df_count"))
+    val partials =
+      if (includeBatchCounts)
+        idxPartials.unionByName(lineDocCounts(df, idCol, textCol, groupCol))
+      else idxPartials
+    val freq = partials
       .groupBy(col(groupCol), col("__ln"))
       .agg(sum(col("df_count")).as("__df"))
       .filter(col("__df") >= minDf)
       .select(col(groupCol), col("__ln"), lit(1).as("__lf"))
     stripLinesAgainst(df, idCol, textCol, groupCol, freq)
   }
+
+  /** The full append-only line-curation ingest loop as ONE Structured
+    * Streaming query — the line-frequency index's counterpart of
+    * [[Dedup.streamingIngest]] / `Similarity.streamingSemIngest`: per
+    * microbatch, (1) strip lines whose COMBINED df (index partials +
+    * the batch's own counts) reaches `minDf`
+    * ([[stripAgainstLineIndex]] with `includeBatchCounts`), (2) hand
+    * the stripped batch to `sink`, (3) [[appendToLineFreqIndex]] the
+    * RAW batch's counts so the next batch thresholds against them too.
+    * Build the index first with [[writeLineFreqIndex]] (an empty build
+    * from zero countable lines is legal).
+    *
+    * Delivery semantics: the checkpoint makes batch replay possible
+    * after a crash between `sink` and the append's commit. A replayed
+    * append double-counts the batch's lines — which can only OVER-strip
+    * later batches (conservative for curation, the documented
+    * [[appendToLineFreqIndex]] contract); `sink` must be idempotent,
+    * the standard `foreachBatch` contract. The batch is persisted for
+    * the trigger only (probe + append both read it) and unpersisted
+    * before the trigger commits.
+    */
+  def streamingLineIngest(stream: DataFrame, idCol: String, textCol: String,
+      groupCol: String, indexPath: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      minDf: Long): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val stripped = stripAgainstLineIndex(b.toDF(), idCol, textCol,
+            groupCol, indexPath, minDf, includeBatchCounts = true).persist()
+          try {
+            sink(stripped, batchId)
+            appendToLineFreqIndex(b.toDF(), idCol, textCol, groupCol, indexPath)
+          } finally { stripped.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
 
   /** Compact an appended index into `targetPath`: merge the per-append
     * partial counts into one row per (group, line) and bound files per

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import GraftQuery.q
 
@@ -459,8 +460,42 @@ object CompositeQueries {
         s"${SamplingQueries.mixtureCtesWith(dt3, SamplingQueries.sqrtTempWeightsCte)} " +
         "SELECT doc_id, source, n_tokens, copies FROM m"
     }) { (s, d) =>
+    curationPipeline3(Tables.documents(s, d), stagedDir = None)
+  }
+
+  /** The `q_curation_pipeline3` flow as a reusable function: Gopher →
+    * C4 → boilerplate-prefix strip → overlap-fraction decontamination →
+    * temperature mixture.
+    *
+    * `stagedDir = None` composes all five stages into ONE logical plan
+    * (what the oracle checks end-to-end). That plan re-executes the
+    * map-side cleaning subtree ~4× — the decontamination join and the
+    * mixture's bounded totals-collect each replay their upstream
+    * (documented cost anatomy in PLANS.md). `stagedDir = Some(dir)`
+    * is the production form those docs promised: the cleaned corpus is
+    * MATERIALIZED to scratch parquet after stage 3 and again after
+    * stage 4, so every stage executes exactly once and downstream
+    * passes re-read the (much smaller) cleaned text instead of
+    * replaying Gopher/C4/strip. Row-identical to the one-plan form
+    * (`CurationPipelineSpec`); measured crossover in SCALE.md.
+    */
+  /** Scratch-parquet stage checkpoint shared by the composed pipelines:
+    * `None` keeps one logical plan; `Some(dir)` materializes the stage
+    * and re-reads it, so downstream passes stop replaying upstream.
+    */
+  private def stageCheckpoint(stagedDir: Option[String])(
+      df: DataFrame, tag: String): DataFrame = stagedDir match {
+    case None => df
+    case Some(dir) =>
+      val path = s"$dir/$tag"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
+  def curationPipeline3(docs: DataFrame,
+      stagedDir: Option[String]): DataFrame = {
     import graft.operators.{Boilerplate, Decontaminate, QualityFilters, Sampling}
-    val docs = Tables.documents(s, d)
+    val checkpoint = stageCheckpoint(stagedDir) _
     val bench = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id"), col("text").as("text_clean"))
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
@@ -475,13 +510,141 @@ object CompositeQueries {
       .select(col("doc_id"), col("source"),
         when(col("c4_lines_kept") > 0, col("c4_text"))
           .otherwise(col("text")).as("text2"))
-    val s3 = Boilerplate.stripFrequentPrefixes(s2, "doc_id", "text2",
-        "source", k = 2, minDf = 2L)
-      .select("doc_id", "source", "text_clean")
-    val s4 = Decontaminate.cleanByOverlap(s3, bench, "doc_id", "text_clean",
-      maxOverlapPpm = 200000L, n = 3)
+    val s3 = checkpoint(
+      Boilerplate.stripFrequentPrefixes(s2, "doc_id", "text2",
+          "source", k = 2, minDf = 2L)
+        .select("doc_id", "source", "text_clean"),
+      "stage3_clean")
+    val s4 = checkpoint(
+      Decontaminate.cleanByOverlap(s3, bench, "doc_id", "text_clean",
+        maxOverlapPpm = 200000L, n = 3),
+      "stage4_decontaminated")
     val dt = s4.select(col("doc_id"), col("source"),
         size(TextQueries.tokensCol(col("text_clean"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    val totals = Sampling.domainTokenTotals(dt, col("source"), col("n_tokens"))
+    Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
+        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
+        SamplingQueries.MixtureBudget, precomputedTotals = Some(totals.toMap))
+      .select("doc_id", "source", "n_tokens", "copies")
+  }
+
+  /** End-to-end curation in CCNet ORDER (Wenzek et al. 2020 §3: dedup
+    * before quality filtering): cross-document LINE dedup first
+    * ([[graft.operators.Boilerplate.stripFrequentLines]]), then Gopher
+    * rules → C4 line cleaning → overlap-fraction decontamination →
+    * temperature mixture — the line-removal output (`text_kept`) is the
+    * input of every downstream stage. Same policy knobs as
+    * `q_curation_pipeline3` (stop-word rule dropped, C4
+    * falls back to the stage input when no line qualifies, 3-grams at
+    * 20 % ppm); the boilerplate-PREFIX stage is absent — in this
+    * ordering the line dedup IS the boilerplate removal.
+    *
+    * The synthetic corpus has no within-source duplicate lines at any
+    * SF (measured), so the oracle locks the full composed flow on the
+    * line-strip IDENTITY path; the removal→downstream interplay (a
+    * stripped banner changing Gopher/C4/decontamination verdicts) is
+    * spec-locked on planted fixtures in `CurationPipelineSpec`.
+    */
+  val qCurationPipeline4 = q(
+    "q_curation_pipeline4", {
+      val stageCtes =
+        "corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 100 <> 0), " +
+          // stage 1: frequent-line removal per source (mirror of
+          // q_strip_lines, scoped to the corpus slice)
+          "lt AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus), " +
+          "lex AS (SELECT doc_id, source, unnest(ls) AS l, " +
+          "unnest(range(1, len(ls) + 1)) AS pos FROM lt), " +
+          "lfq AS (SELECT source, l FROM (SELECT source, l, " +
+          "count(DISTINCT doc_id) AS df FROM lex WHERE NOT regexp_matches(l, '^\\s*$') " +
+          "GROUP BY source, l) WHERE df >= 2), " +
+          "lre AS (SELECT lex.doc_id, " +
+          "array_to_string(list(lex.l ORDER BY lex.pos) FILTER (WHERE lfq.l IS NULL), chr(10)) AS tk " +
+          "FROM lex LEFT JOIN lfq ON lex.source = lfq.source AND lex.l = lfq.l " +
+          "GROUP BY lex.doc_id), " +
+          "st1 AS (SELECT c.doc_id, c.source, coalesce(lre.tk, '') AS text1 " +
+          "FROM corpus c LEFT JOIN lre ON c.doc_id = lre.doc_id), " +
+          // stage 2: Gopher rules (minus stop words) over the STRIPPED text
+          "wr AS (SELECT doc_id, source, text1, " +
+          "list_filter(regexp_split_to_array(text1, '\\s+'), x -> x <> '') AS w, " +
+          "string_split(text1, chr(10)) AS ls FROM st1), " +
+          "gf AS (SELECT doc_id, source, text1 FROM wr WHERE " +
+          "len(w) BETWEEN 50 AND 100000 " +
+          "AND 3*len(w) <= coalesce(list_sum(list_transform(w, x -> len(x))), 0) " +
+          "AND coalesce(list_sum(list_transform(w, x -> len(x))), 0) <= 10*len(w) " +
+          "AND len(regexp_extract_all(text1, '#'))*10 <= len(w) " +
+          "AND len(regexp_extract_all(text1, '\\.\\.\\.'))*10 <= len(w) " +
+          "AND len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]')))*10 <= len(ls)*9 " +
+          "AND len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))*10 <= len(ls)*3 " +
+          "AND len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))*5 >= len(w)*4), " +
+          // stage 3: C4 clean with fallback; page-drop gates
+          "c4 AS (SELECT doc_id, source, text1, " +
+          "list_filter(string_split(text1, chr(10)), l -> " +
+          "regexp_matches(l, '[.!?\"]\\s*$') AND " +
+          "len(list_filter(regexp_split_to_array(trim(l), '\\s+'), x -> x <> '')) >= 5 AND " +
+          "NOT contains(lower(l), 'javascript')) AS keptl, " +
+          "(contains(lower(text1), 'lorem ipsum') OR contains(text1, '{')) AS pdrop FROM gf), " +
+          "s3 AS (SELECT doc_id, source, CASE WHEN len(keptl) > 0 " +
+          "THEN array_to_string(keptl, chr(10)) ELSE text1 END AS text2 FROM c4 WHERE NOT pdrop), " +
+          // stage 4: overlap-fraction decontamination (3-grams, 20% ppm)
+          // vs the RAW benchmark slice
+          s"bgr AS (SELECT DISTINCT unnest(${TextQueries.ngramsSql(3)}) AS gr " +
+          "FROM documents WHERE doc_id % 100 = 0), " +
+          s"dgr AS (SELECT doc_id, unnest(list_distinct(${TextQueries.ngramsSqlCol("text2", 3)})) AS gr FROM s3), " +
+          "ost AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gt, " +
+          "CAST(sum(CASE WHEN gr IN (SELECT gr FROM bgr) THEN 1 ELSE 0 END) AS BIGINT) AS gm " +
+          "FROM dgr GROUP BY doc_id), " +
+          "s4 AS (SELECT s3.doc_id, s3.source, s3.text2 FROM s3 LEFT JOIN ost USING (doc_id) " +
+          "WHERE NOT (coalesce(gm, 0) * 1000000 > coalesce(gt, 0) * 200000))"
+      val dt4 =
+        s"SELECT doc_id, source, CAST(len(${TextQueries.tokensSqlCol("text2")}) AS BIGINT) AS n_tokens " +
+          s"FROM s4 WHERE len(${TextQueries.tokensSqlCol("text2")}) >= 1"
+      s"WITH $stageCtes, " +
+        s"${SamplingQueries.mixtureCtesWith(dt4, SamplingQueries.sqrtTempWeightsCte)} " +
+        "SELECT doc_id, source, n_tokens, copies FROM m"
+    }) { (s, d) =>
+    curationPipeline4(Tables.documents(s, d), stagedDir = None)
+  }
+
+  /** The `q_curation_pipeline4` flow (CCNet order — see the query doc) as
+    * a reusable function, with the same [[stageCheckpoint]] staging
+    * option as [[curationPipeline3]].
+    */
+  def curationPipeline4(docs: DataFrame,
+      stagedDir: Option[String]): DataFrame = {
+    import graft.operators.{Boilerplate, Decontaminate, QualityFilters, Sampling}
+    val checkpoint = stageCheckpoint(stagedDir) _
+    val bench = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text").as("text_kept"))
+    val corpus = docs.filter(col("doc_id") % 100 =!= 0)
+      .select("doc_id", "source", "text")
+    // stage 1 (the CCNet inversion): cross-document line dedup FIRST
+    val s1 = Boilerplate.stripFrequentLines(corpus, "doc_id", "text",
+        "source", minDf = 2L)
+      .select("doc_id", "source", "text_kept")
+    // stage 2: Gopher rules (minus stop words) over the stripped text
+    val s2 = QualityFilters.gopherFlags(s1, "text_kept")
+      .filter(col("g_word_count") && col("g_mean_word_len") &&
+        col("g_symbol_ratio") && col("g_bullet_lines") &&
+        col("g_ellipsis_lines") && col("g_alpha_words"))
+      .select("doc_id", "source", "text_kept")
+    // stage 3: C4 clean, falling back to the stage input when no line
+    // qualifies; page-level drop gates
+    val s3 = checkpoint(
+      QualityFilters.c4CleanLines(s2, "text_kept")
+        .filter(!col("c4_page_drop"))
+        .select(col("doc_id"), col("source"),
+          when(col("c4_lines_kept") > 0, col("c4_text"))
+            .otherwise(col("text_kept")).as("text_kept")),
+      "stage3_clean")
+    // stage 4: overlap-fraction decontamination vs the raw bench slice
+    val s4 = checkpoint(
+      Decontaminate.cleanByOverlap(s3, bench, "doc_id", "text_kept",
+        maxOverlapPpm = 200000L, n = 3),
+      "stage4_decontaminated")
+    // stage 5: temperature mixture over surviving token counts
+    val dt = s4.select(col("doc_id"), col("source"),
+        size(TextQueries.tokensCol(col("text_kept"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 1)
     val totals = Sampling.domainTokenTotals(dt, col("source"), col("n_tokens"))
     Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
@@ -493,5 +656,5 @@ object CompositeQueries {
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
     qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
     q4PriorityExists, q13Custdist, q17SmallQty, q11Important,
-    qCurationPipeline2, qCurationPipeline3)
+    qCurationPipeline2, qCurationPipeline3, qCurationPipeline4)
 }

@@ -351,6 +351,24 @@ class PlanSpec extends SparkSpec {
       "mixture domain filter must reach the scan:\n" + p.take(2500))
   }
 
+  test("q_curation_pipeline4: CCNet order composes without sort-merge or sort nodes") {
+    val p = plan("q_curation_pipeline4")
+    // exchanges: the line strip's distinct-df two-phase + per-doc regroup
+    // (replayed once by the decontamination branch, AQE-deduped at
+    // runtime), the benchmark gram set, and the per-doc overlap counts;
+    // Gopher and C4 stay in-scan, the mixture rule is a map-side CASE
+    assert("\\+- Exchange".r.findAllIn(p).size <= 7, p.take(2500))
+    // frequent-line join-back, gram probe, dirty-id anti join: broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "every pipeline join must broadcast:\n" + p.take(2500))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2500))
+    // line reassembly via sort_array inside the aggregate — no Sort node
+    assert(!p.contains("Sort ("), "no sort may sneak in:\n" + p.take(2500))
+    // the mixture's domain rule pushes into the parquet scan itself
+    assert(p.contains("In(source"),
+      "mixture domain filter must reach the scan:\n" + p.take(2500))
+  }
+
   test("q_strip_lines: tiny-table broadcasts, ordered reassembly without a sort node") {
     val p = plan("q_strip_lines")
     // exchanges: the (group, line, doc) distinct agg's two phases + the

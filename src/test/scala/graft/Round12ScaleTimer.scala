@@ -52,5 +52,34 @@ object Round12ScaleTimer {
       ImageDedup.imageClusters(hashed, "doc_id", "dhash")
         .write.format("noop").mode("overwrite").save()
     }
+
+    // staged-materialization crossover: the one-plan pipeline replays its
+    // map-side cleaning subtree ~4×; the staged form pays two scratch
+    // parquet round-trips instead. R = 1 only: replication blows the
+    // in-pipeline benchmark slice up 10× (10× more DISTINCT bench texts
+    // over a ~40-word vocabulary), its 3-gram set then covers essentially
+    // every corpus doc past the 20% threshold, and the pipeline correctly
+    // drops the whole corpus — a degenerate input, not a timing subject.
+    // Vary the SF instead (the crossover table in SCALE.md).
+    if (rep > 1) return
+    time("pipeline3_oneplan") {
+      graft.queries.CompositeQueries.curationPipeline3(docs, stagedDir = None)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("pipeline3_staged") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pipe3_scale").toString
+      try
+        graft.queries.CompositeQueries
+          .curationPipeline3(docs, stagedDir = Some(dir))
+          .write.format("noop").mode("overwrite").save()
+      finally {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(dir))
+      }
+    }
   }
 }

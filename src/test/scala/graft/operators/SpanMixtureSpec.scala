@@ -204,4 +204,59 @@ class SpanMixtureSpec extends SparkSpec {
         s"batch 1 must drop the near-dup of the appended doc: ${perBatch.toMap}")
     } finally q.stop()
   }
+
+  test("streamingLineIngest: combined-count strip -> sink -> append, per microbatch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val idx = tempDir("graft_lineidx_si") + "/idx"
+    // pre-built index: HEADER df 2 (frequent), SPLIT LINE df 1 (under minDf)
+    Boilerplate.writeLineFreqIndex(Seq(
+        (1L, "d", "HEADER\nbody one"),
+        (2L, "d", "HEADER\nbody two"),
+        (3L, "d", "SPLIT LINE\nbody three"))
+      .toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", idx)
+
+    val in = MemoryStream[(Long, String, String)]
+    val perBatch =
+      scala.collection.mutable.Map.empty[Long, Map[Long, (String, Long)]]
+    val q = Boilerplate.streamingLineIngest(
+      in.toDF().toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", idx, tempDir("graft_li_ckpt"),
+      sink = (stripped, batchId) => {
+        perBatch(batchId) = stripped.select("doc_id", "text_kept", "lines_removed")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        ()
+      },
+      minDf = 2L)
+    try {
+      // batch 0 exercises all three strip sources: index-frequent
+      // (HEADER), split across the boundary (SPLIT LINE: index df 1 +
+      // batch df 1), and frequent within the batch alone (BATCH LINE,
+      // two batch docs)
+      in.addData(
+        (10L, "d", "HEADER\nfresh a"),
+        (11L, "d", "SPLIT LINE\nfresh b"),
+        (12L, "d", "BATCH LINE\nfresh c"),
+        (13L, "d", "BATCH LINE\nfresh d"))
+      q.processAllAvailable()
+      assert(perBatch(0L) === Map(
+        10L -> (("fresh a", 1L)), 11L -> (("fresh b", 1L)),
+        12L -> (("fresh c", 1L)), 13L -> (("fresh d", 1L))),
+        s"batch 0: ${perBatch.toMap}")
+      // batch 1: BATCH LINE now lives in the index via the batch-0
+      // append; SPLIT LINE's partials (1 pre-index + 1 appended) sum to
+      // minDf; a genuinely unique doc passes untouched
+      in.addData(
+        (20L, "d", "BATCH LINE\nlate"),
+        (21L, "d", "SPLIT LINE\nlate two"),
+        (22L, "d", "unique forever\nkeep me"))
+      q.processAllAvailable()
+      assert(perBatch(1L) === Map(
+        20L -> (("late", 1L)), 21L -> (("late two", 1L)),
+        22L -> (("unique forever\nkeep me", 0L))),
+        s"batch 1: ${perBatch.toMap}")
+    } finally q.stop()
+  }
 }
