@@ -81,22 +81,27 @@ object SchemaRegistry {
     * returns the existing id.
     *
     * DIVERGENCE from a real Confluent registry (shared with the
-    * reference's mock, so mock-faithful but worth knowing): ids here are
-    * deduped PER SUBJECT, while Confluent assigns ONE GLOBAL id per
-    * distinct schema text — the same schema registered under two subjects
-    * gets two ids from this class but one id from Confluent. Payloads
-    * framed with one subject's id therefore fail `srAvroDeById`'s strict
-    * frame-id guard when decoded with the other subject's id, even though
-    * a Confluent deployment would decode both. Pipelines that share one
-    * schema across subjects and decode by a pinned id should register it
-    * once and reuse the returned id (or point at a real registry via
-    * [[HttpSchemaResolver]]).
+    * reference's mock, so mock-faithful but worth knowing): by DEFAULT
+    * ids here are deduped PER SUBJECT, while Confluent assigns ONE
+    * GLOBAL id per distinct schema text — the same schema registered
+    * under two subjects gets two ids from this class but one id from
+    * Confluent. Payloads framed with one subject's id therefore fail
+    * `srAvroDeById`'s strict frame-id guard when decoded with the other
+    * subject's id, even though a Confluent deployment would decode both.
+    * Pipelines that share one schema across subjects and decode by a
+    * pinned id can either register once and reuse the returned id, point
+    * at a real registry via [[HttpSchemaResolver]], or construct this
+    * class with `globalIds = true` — the Confluent assignment rule (one
+    * id per distinct schema text, across subjects; subject/version
+    * bookkeeping unchanged). The default stays mock-faithful.
     */
-  final class InMemoryRegistry extends SchemaResolver {
+  final class InMemoryRegistry(globalIds: Boolean = false)
+      extends SchemaResolver {
     private val nextId = new AtomicInteger(0)
     private val byId = new ConcurrentHashMap[Int, RegisteredSchema]()
     private val bySubject =
       new ConcurrentHashMap[String, List[(Int, RegisteredSchema)]]()
+    private val bySchema = new ConcurrentHashMap[RegisteredSchema, Int]()
 
     override def fetch(id: Int): Option[RegisteredSchema] =
       Option(byId.get(id))
@@ -107,8 +112,15 @@ object SchemaRegistry {
         versions.find(_._2 == schema) match {
           case Some((id, _)) => id
           case None =>
-            val id = nextId.incrementAndGet()
-            byId.put(id, schema)
+            val id =
+              if (globalIds && bySchema.containsKey(schema))
+                bySchema.get(schema)
+              else {
+                val fresh = nextId.incrementAndGet()
+                byId.put(fresh, schema)
+                bySchema.putIfAbsent(schema, fresh)
+                fresh
+              }
             bySubject.put(subject, versions :+ (id -> schema))
             id
         }

@@ -164,16 +164,46 @@ private[fabric] final class MemKafkaScan(options: CaseInsensitiveStringMap)
     val b = MemBroker.get(broker)
     topics.map(t => t -> Seq.fill(b.partitionCount(t))(0L)).toMap
   }
+  /** `minPartitions` (same option as the real kafka source): when the
+    * non-empty offset ranges number fewer than this, split ranges into
+    * contiguous sub-ranges — pieces per range proportional to its record
+    * count (ceil), every piece non-empty — so a hot topic-partition fans
+    * out across idle cores instead of serializing one task. 0 = off.
+    */
+  private val minPartitions: Int = {
+    val mp = options.getInt("minPartitions", 0)
+    require(mp >= 0, s"minPartitions must be positive, got $mp")
+    mp
+  }
+
   private def partitionsBetween(from: Map[String, Seq[Long]],
-      until: Map[String, Seq[Long]]): Array[InputPartition] =
-    (for {
-      t <- topics
-      p <- until(t).indices
-      lo = from.getOrElse(t, Seq.empty).applyOrElse[Int, Long](p, _ => 0L)
-      hi = until(t)(p)
-      if hi > lo
-    } yield MemInputPartition(broker, t, p, lo, hi, includeHeaders)
-      : InputPartition).toArray
+      until: Map[String, Seq[Long]]): Array[InputPartition] = {
+    val ranges =
+      for {
+        t <- topics
+        p <- until(t).indices
+        lo = from.getOrElse(t, Seq.empty).applyOrElse[Int, Long](p, _ => 0L)
+        hi = until(t)(p)
+        if hi > lo
+      } yield (t, p, lo, hi)
+    val split =
+      if (minPartitions <= ranges.size) ranges
+      else {
+        val totalSize = ranges.map { case (_, _, lo, hi) => hi - lo }.sum.toDouble
+        ranges.flatMap { case (t, p, lo, hi) =>
+          val size = hi - lo
+          val parts = math.max(1, math.ceil(size / totalSize * minPartitions).toInt)
+          (0 until parts).flatMap { i =>
+            val a = lo + size * i / parts
+            val b = lo + size * (i + 1) / parts
+            if (b > a) Some((t, p, a, b)) else None
+          }
+        }
+      }
+    split.map { case (t, p, lo, hi) =>
+      MemInputPartition(broker, t, p, lo, hi, includeHeaders): InputPartition
+    }.toArray
+  }
 
   override def toBatch: Batch = new Batch {
     // snapshot once at planning, like the kafka batch source's resolved range

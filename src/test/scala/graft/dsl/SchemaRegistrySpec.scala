@@ -51,6 +51,36 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(n === 1L)
   }
 
+  test("globalIds mode: one id per distinct schema text across subjects; default stays per-subject") {
+    // default (mock-faithful): same schema under two subjects -> two ids,
+    // and the strict frame guard rejects the cross-subject decode
+    val perSubject = new InMemoryRegistry
+    val idA = perSubject.register("users-value", RegisteredSchema("AVRO", userSchema))
+    val idB = perSubject.register("audit-value", RegisteredSchema("AVRO", userSchema))
+    assert(idA !== idB, "per-subject mode must keep distinct ids (mock semantics)")
+
+    // globalIds = true (Confluent semantics): the same schema text shares
+    // ONE id across subjects, so a payload framed under subject A decodes
+    // with the id returned for subject B
+    val global = new InMemoryRegistry(globalIds = true)
+    val (framed, gidA) = srAvroSerBySubject(
+      struct(col("id"), col("name")), "users-value", userSchema, global)
+    val gidB = global.register("audit-value", RegisteredSchema("AVRO", userSchema))
+    assert(gidA === gidB, "one global id per distinct schema text")
+    val enc = Seq((7L, "hopper")).toDF("id", "name").select(framed.as("raw"))
+    val out = enc.select(srAvroDeById(col("raw"), gidB, global).as("m"))
+      .select(col("m.id"), col("m.name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((7L, "hopper")),
+      "cross-subject payload must decode through the shared global id")
+    // a DIFFERENT schema text still gets its own id
+    val gidEv = global.register("users-value", RegisteredSchema("AVRO", eventSchema))
+    assert(gidEv !== gidA)
+    // version bookkeeping per subject is unchanged: re-registering the
+    // identical schema under the same subject returns the same id
+    assert(global.register("users-value", RegisteredSchema("AVRO", userSchema)) === gidA)
+  }
+
   test("unknown id fails at plan time; mismatched frame fails the row loudly") {
     val reg = new InMemoryRegistry
     val idUser = reg.register("users-value", RegisteredSchema("AVRO", userSchema))

@@ -333,6 +333,52 @@ class MemKafkaFabricSpec extends SparkSpec {
       s"every microbatch must carry $nParts input partitions, got $nonEmpty")
   }
 
+  test("minPartitions splits hot offset ranges: 2-partition topic, >= 4 input partitions, no loss") {
+    val brokerId = "fabric_minparts"
+    val b = MemBroker.start(brokerId)
+    b.createTopic("hot", partitions = 2)
+    // skewed load: partition 0 carries 30 records, partition 1 carries 2 —
+    // the proportional split must fan the hot partition out
+    (0 until 30).foreach(i => b.produce("hot", Some(0),
+      MemBroker.Record(null, s"p0_$i".getBytes, System.currentTimeMillis(), Nil)))
+    (0 until 2).foreach(i => b.produce("hot", Some(1),
+      MemBroker.Record(null, s"p1_$i".getBytes, System.currentTimeMillis(), Nil)))
+
+    // batch leg: >= 4 input partitions, every record read exactly once
+    val batchDf = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "hot")
+      .option("minPartitions", "4").load()
+    assert(batchDf.rdd.getNumPartitions >= 4,
+      s"minPartitions=4 must split the 2 ranges, got ${batchDf.rdd.getNumPartitions}")
+    val vals = batchDf.select(col("value").cast("string")).collect().map(_.getString(0))
+    assert(vals.length === 32 && vals.toSet.size === 32,
+      s"split ranges must cover every offset exactly once: ${vals.length}")
+    // without the option the layout stays 1:1 (the default contract)
+    val plain = spark.read.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "hot").load()
+    assert(plain.rdd.getNumPartitions === 2)
+
+    // streaming leg: every microbatch plans >= 4 pieces
+    val widths = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+    val sq = track(spark.readStream.format(Fmt)
+      .option("kafka.bootstrap.servers", brokerId)
+      .option("subscribe", "hot")
+      .option("startingOffsets", "earliest")
+      .option("minPartitions", "4").load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("graft_fab_minp") + "/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        widths.add(df.rdd.getNumPartitions): Unit
+      }
+      .start())
+    sq.processAllAvailable(); sq.stop()
+    import scala.jdk.CollectionConverters._
+    assert(widths.asScala.nonEmpty && widths.asScala.forall(_ >= 4),
+      s"every microbatch must plan >= 4 input partitions, got ${widths.asScala.toList}")
+  }
+
   test("broker lookup fails loud for an unknown id; write needs a topic") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format(Fmt)
