@@ -113,12 +113,17 @@ object SchemaRegistry {
           case Some((id, _)) => id
           case None =>
             val id =
-              if (globalIds && bySchema.containsKey(schema))
-                bySchema.get(schema)
+              if (!globalIds) {
+                // per-subject (mock-faithful) mode never consults or
+                // populates the global map — no dead state accumulates
+                val fresh = nextId.incrementAndGet()
+                byId.put(fresh, schema)
+                fresh
+              } else if (bySchema.containsKey(schema)) bySchema.get(schema)
               else {
                 val fresh = nextId.incrementAndGet()
                 byId.put(fresh, schema)
-                bySchema.putIfAbsent(schema, fresh)
+                bySchema.put(schema, fresh)
                 fresh
               }
             bySubject.put(subject, versions :+ (id -> schema))

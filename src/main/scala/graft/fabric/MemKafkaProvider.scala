@@ -172,7 +172,7 @@ private[fabric] final class MemKafkaScan(options: CaseInsensitiveStringMap)
     */
   private val minPartitions: Int = {
     val mp = options.getInt("minPartitions", 0)
-    require(mp >= 0, s"minPartitions must be positive, got $mp")
+    require(mp >= 0, s"minPartitions must be non-negative (0 = off), got $mp")
     mp
   }
 

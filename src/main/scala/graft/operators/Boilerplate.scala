@@ -262,17 +262,39 @@ object Boilerplate {
       Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf"))
     requireStringGroup(df, groupCol, "stripAgainstLineIndex")
     validateLineMeta(df, path, groupCol, "stripAgainstLineIndex")
+    val counts =
+      if (includeBatchCounts) Some(lineDocCounts(df, idCol, textCol, groupCol))
+      else None
+    stripWithPartials(df, idCol, textCol, groupCol, path, minDf,
+      batchCounts = counts, excludeIngestDir = None)
+  }
+
+  /** The shared threshold + strip over (base index partials ∪ visible
+    * ingest subtrees ∪ optional batch counts). `excludeIngestDir` is the
+    * streaming loop's replay guard: a batch's OWN (possibly pre-crash)
+    * subtree is excluded from its probe, so replay reads exactly the
+    * pre-batch index state and re-derives identical output.
+    */
+  private def stripWithPartials(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, path: String, minDf: Long,
+      batchCounts: Option[DataFrame],
+      excludeIngestDir: Option[String]): DataFrame = {
+    val spark = df.sparkSession
     val groups = df.select(col(groupCol)).filter(col(groupCol).isNotNull)
       .distinct().collect().map(_.getString(0)) // bounded by #domains
-    val idxPartials = df.sparkSession.read.schema(lineIndexSchema(groupCol))
-      .parquet(path)
-      // prune on the encoded PARTITION token; join below on the real value
-      .filter(col("__grp").isInCollection(groups.map(grpTokenOf).toSeq))
-      .select(col(groupCol), col("__ln"), col("df_count"))
-    val partials =
-      if (includeBatchCounts)
-        idxPartials.unionByName(lineDocCounts(df, idCol, textCol, groupCol))
-      else idxPartials
+    val tokens = groups.map(grpTokenOf).toSeq
+    val roots = path +: listIngestDirs(spark, path, excludeIngestDir)
+    val idxPartials = roots
+      .map(r => spark.read.schema(lineIndexSchema(groupCol)).parquet(r)
+        // prune on the encoded PARTITION token; join on the real value
+        .filter(col("__grp").isInCollection(tokens))
+        .select(col(groupCol), col("__ln"), col("df_count")))
+      .reduce(_ unionByName _)
+    val partials = batchCounts match {
+      case Some(c) => idxPartials.unionByName(
+        c.select(col(groupCol), col("__ln"), col("df_count")))
+      case None => idxPartials
+    }
     val freq = partials
       .groupBy(col(groupCol), col("__ln"))
       .agg(sum(col("df_count")).as("__df"))
@@ -281,58 +303,128 @@ object Boilerplate {
     stripLinesAgainst(df, idCol, textCol, groupCol, freq)
   }
 
-  /** The full append-only line-curation ingest loop as ONE Structured
-    * Streaming query — the line-frequency index's counterpart of
-    * [[Dedup.streamingIngest]] / `Similarity.streamingSemIngest`: per
-    * microbatch, (1) strip lines whose COMBINED df (index partials +
-    * the batch's own counts) reaches `minDf`
-    * ([[stripAgainstLineIndex]] with `includeBatchCounts`), (2) hand
-    * the stripped batch to `sink`, (3) [[appendToLineFreqIndex]] the
-    * RAW batch's counts so the next batch thresholds against them too.
-    * Build the index first with [[writeLineFreqIndex]] (an empty build
-    * from zero countable lines is legal).
+  // ---- streaming ingest: idempotent per-batch subtrees under _ingest ----
+
+  private val IngestDirName = "_ingest"
+
+  /** Streaming appends live in `path/_ingest/<queryTag>/b_<batchId>` —
+    * underscore-prefixed, so Spark's default file index HIDES the subtree
+    * from plain `parquet(path)` reads (the base index stays readable by
+    * anything), while this module's own probes list and union the
+    * subtrees explicitly. One dir per (query, batch) makes the streaming
+    * append IDEMPOTENT: a replayed batch overwrites its own subtree
+    * instead of double-counting.
+    */
+  private def ingestBatchDir(path: String, queryTag: String,
+      batchId: Long): String =
+    s"$path/$IngestDirName/$queryTag/b_$batchId"
+
+  private def listIngestDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, exclude: Option[String]): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path, IngestDirName)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val excluded = exclude.map(e =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(e)).toString).toSet
+      for {
+        q <- fs.listStatus(root).toSeq if q.isDirectory
+        b <- fs.listStatus(q.getPath).toSeq if b.isDirectory
+        d = fs.makeQualified(b.getPath).toString
+        if !excluded.contains(d)
+      } yield d
+    }
+  }
+
+  /** One streaming microbatch of the line-curation ingest loop — exposed
+    * for direct spec-level replay testing; [[streamingLineIngest]] wires
+    * it into `foreachBatch`. Steps: (1) strip lines whose COMBINED df
+    * (base index + OTHER batches' ingest subtrees + this batch's own
+    * fresh counts) reaches `minDf`; (2) hand the stripped batch to
+    * `sink`; (3) overwrite this batch's ingest subtree with its counts
+    * so later batches threshold against them too.
     *
-    * Delivery semantics: the checkpoint makes batch replay possible
-    * after a crash between `sink` and the append's commit. A replayed
-    * append double-counts the batch's lines — which can only OVER-strip
-    * later batches (conservative for curation, the documented
-    * [[appendToLineFreqIndex]] contract); `sink` must be idempotent,
-    * the standard `foreachBatch` contract. The batch is persisted for
-    * the trigger only (probe + append both read it) and unpersisted
-    * before the trigger commits.
+    * REPLAY-IDEMPOTENT: the probe excludes the batch's own subtree, so
+    * a replay after a crash anywhere (including after the subtree write
+    * committed) sees exactly the pre-batch index state, re-derives an
+    * identical stripped result for the idempotent `sink`, and the
+    * overwrite leaves the index bit-identical — no double counts, no
+    * self-over-strip.
+    */
+  private[operators] def ingestLineBatch(batch: DataFrame, idCol: String,
+      textCol: String, groupCol: String, indexPath: String,
+      queryTag: String, batchId: Long, minDf: Long,
+      sink: (DataFrame, Long) => Unit): Unit = {
+    require(minDf >= 2, s"minDf must be >= 2 (df 1 = every line), got $minDf")
+    QualityFilters.requireFreshColumns(batch, "ingestLineBatch",
+      Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf", "df_count", "__grp"))
+    requireStringGroup(batch, groupCol, "ingestLineBatch")
+    validateLineMeta(batch, indexPath, groupCol, "ingestLineBatch")
+    val own = ingestBatchDir(indexPath, queryTag, batchId)
+    // counts computed ONCE per trigger: the threshold union and the
+    // subtree write both read this frame (review finding r12)
+    val counts = lineDocCounts(batch, idCol, textCol, groupCol).persist()
+    try {
+      val stripped = stripWithPartials(batch, idCol, textCol, groupCol,
+        indexPath, minDf, batchCounts = Some(counts),
+        excludeIngestDir = Some(own)).persist()
+      try sink(stripped, batchId)
+      finally { stripped.unpersist(); () }
+      counts.withColumn("__grp", grpToken(col(groupCol)))
+        .write.mode("overwrite").partitionBy("__grp").parquet(own)
+    } finally { counts.unpersist(); () }
+  }
+
+  /** The full line-curation ingest loop as ONE Structured Streaming
+    * query — the line-frequency index's counterpart of
+    * [[Dedup.streamingIngest]] / `Similarity.streamingSemIngest`; see
+    * [[ingestLineBatch]] for the per-trigger steps and the
+    * replay-idempotence contract (`sink` must be idempotent, the
+    * standard `foreachBatch` rule — everything index-side is
+    * exactly-once by construction). Build the index first with
+    * [[writeLineFreqIndex]] (an empty build from zero countable lines
+    * is legal); [[compactLineFreqIndex]] folds accumulated batch
+    * subtrees back into one base layout. The query tag is derived from
+    * the checkpoint dir, which is what makes a RESTARTED query land its
+    * replayed batches on the same subtrees.
     */
   def streamingLineIngest(stream: DataFrame, idCol: String, textCol: String,
       groupCol: String, indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
-      minDf: Long): org.apache.spark.sql.streaming.StreamingQuery =
+      minDf: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    val queryTag = "q" + java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
-        try {
-          val stripped = stripAgainstLineIndex(b.toDF(), idCol, textCol,
-            groupCol, indexPath, minDf, includeBatchCounts = true).persist()
-          try {
-            sink(stripped, batchId)
-            appendToLineFreqIndex(b.toDF(), idCol, textCol, groupCol, indexPath)
-          } finally { stripped.unpersist(); () }
-        } finally { b.unpersist(); () }
+        try ingestLineBatch(b.toDF(), idCol, textCol, groupCol, indexPath,
+          queryTag, batchId, minDf, sink)
+        finally { b.unpersist(); () }
       }
       .start()
+  }
 
   /** Compact an appended index into `targetPath`: merge the per-append
-    * partial counts into one row per (group, line) and bound files per
-    * group — long ingest loops otherwise accrete one file per (append ×
-    * group) whose open/footer cost eventually dominates probes. Writes to
-    * a NEW disjoint path (same contract as compactSignatureIndex: an
-    * in-place rewrite would race live probes).
+    * partial counts — base-root appends AND accumulated streaming-batch
+    * subtrees (`_ingest/…`) — into one row per (group, line) in the base
+    * layout, bounding files per group; long ingest loops otherwise
+    * accrete one file (and one subtree) per batch whose open/footer cost
+    * eventually dominates probes. Writes to a NEW disjoint path (same
+    * contract as compactSignatureIndex: an in-place rewrite would race
+    * live probes — and here would also race a live streaming loop's next
+    * subtree write, so compact into a fresh path and repoint).
     */
   def compactLineFreqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerGroup: Int = 1): Unit = {
     require(filesPerGroup >= 1, s"filesPerGroup must be >= 1, got $filesPerGroup")
     Dedup.requireDistinctPaths(spark, path, targetPath, "compactLineFreqIndex")
     val (txt, groupCol) = readLineMeta(spark, path, "compactLineFreqIndex")
-    val merged = spark.read.schema(lineIndexSchema(groupCol)).parquet(path)
+    val roots = path +: listIngestDirs(spark, path, exclude = None)
+    val merged = roots
+      .map(r => spark.read.schema(lineIndexSchema(groupCol)).parquet(r))
+      .reduce(_ unionByName _)
       .groupBy(col(groupCol), col("__ln"))
       .agg(sum(col("df_count")).as("df_count"))
       .withColumn("__grp", grpToken(col(groupCol)))

@@ -273,11 +273,15 @@ object ImageDedup {
       val cc = classReps(
         classes.select(col("__cid").as(idCol), col(hashCol)),
         idCol, hashCol, maxHamming, hotBucketThreshold)
-      df.join(
-          hashed.select(col(idCol), col(hashCol)).join(classes, Seq(hashCol))
-            .join(cc.select(col(idCol).as("__cid"), col("rep")), Seq("__cid"))
-            .select(col(idCol), col("rep")),
-          Seq(idCol))
+      // null-safe class join: a NULL hash (possible when the caller
+      // supplies a precomputed hash column) forms its own class under
+      // groupBy, and <=> keeps its members mapped — an equi-join would
+      // silently drop them, diverging from the uncollapsed path
+      val mapping = hashed.select(col(idCol), col(hashCol))
+        .join(classes, hashed(hashCol) <=> classes(hashCol))
+        .join(cc.select(col(idCol).as("__cid"), col("rep")), Seq("__cid"))
+        .select(hashed(idCol).as(idCol), col("rep"))
+      df.join(mapping, Seq(idCol))
     }
   }
 

@@ -463,6 +463,19 @@ object CompositeQueries {
     curationPipeline3(Tables.documents(s, d), stagedDir = None)
   }
 
+  /** Scratch-parquet stage checkpoint shared by the composed pipelines:
+    * `None` keeps one logical plan; `Some(dir)` materializes the stage
+    * and re-reads it, so downstream passes stop replaying upstream.
+    */
+  private def stageCheckpoint(stagedDir: Option[String])(
+      df: DataFrame, tag: String): DataFrame = stagedDir match {
+    case None => df
+    case Some(dir) =>
+      val path = s"$dir/$tag"
+      df.write.mode("overwrite").parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
   /** The `q_curation_pipeline3` flow as a reusable function: Gopher →
     * C4 → boilerplate-prefix strip → overlap-fraction decontamination →
     * temperature mixture.
@@ -479,19 +492,6 @@ object CompositeQueries {
     * replaying Gopher/C4/strip. Row-identical to the one-plan form
     * (`CurationPipelineSpec`); measured crossover in SCALE.md.
     */
-  /** Scratch-parquet stage checkpoint shared by the composed pipelines:
-    * `None` keeps one logical plan; `Some(dir)` materializes the stage
-    * and re-reads it, so downstream passes stop replaying upstream.
-    */
-  private def stageCheckpoint(stagedDir: Option[String])(
-      df: DataFrame, tag: String): DataFrame = stagedDir match {
-    case None => df
-    case Some(dir) =>
-      val path = s"$dir/$tag"
-      df.write.mode("overwrite").parquet(path)
-      df.sparkSession.read.parquet(path)
-  }
-
   def curationPipeline3(docs: DataFrame,
       stagedDir: Option[String]): DataFrame = {
     import graft.operators.{Boilerplate, Decontaminate, QualityFilters, Sampling}

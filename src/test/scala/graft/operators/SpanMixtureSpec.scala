@@ -259,4 +259,61 @@ class SpanMixtureSpec extends SparkSpec {
         s"batch 1: ${perBatch.toMap}")
     } finally q.stop()
   }
+
+  test("ingestLineBatch replay is idempotent: identical strip output, no double counts") {
+    val idx = tempDir("graft_lineidx_rp") + "/idx"
+    Boilerplate.writeLineFreqIndex(
+      Seq((1L, "d", "SPLIT LINE\nbody one")).toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", idx)
+    val batch0 = Seq(
+      (10L, "d", "SPLIT LINE\nfresh a"),
+      (11L, "d", "ONCE ONLY\nfresh b")).toDF("doc_id", "source", "text")
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[Map[Long, (String, Long)]]
+    def runBatch0(): Unit = Boilerplate.ingestLineBatch(batch0, "doc_id",
+      "text", "source", idx, "qtest", batchId = 0L, minDf = 2L,
+      sink = (s, _) => {
+        results += s.select("doc_id", "text_kept", "lines_removed")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+        ()
+      })
+    runBatch0()
+    assert(results.last === Map(
+      10L -> (("fresh a", 1L)), 11L -> (("ONCE ONLY\nfresh b", 0L))),
+      s"first run: ${results.last}")
+    // REPLAY the same (queryTag, batchId) — the crash-after-subtree-write
+    // scenario. The probe excludes the batch's own subtree, so the result
+    // must be IDENTICAL; the old blind-append design would have summed
+    // the pre-crash counts with the recount and stripped ONCE ONLY too.
+    runBatch0()
+    assert(results(1) === results(0),
+      s"replay must re-derive the identical strip: ${results(1)} vs ${results(0)}")
+    // and the index state is not doubled: a later doc carrying ONCE ONLY
+    // sees df 1 (kept) — doubled counts would read df 2 and strip it
+    val later = Boilerplate.stripAgainstLineIndex(
+        Seq((20L, "d", "ONCE ONLY\nlater doc")).toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", idx, minDf = 2L)
+      .select("text_kept", "lines_removed").collect().head
+    assert(later.getString(0) === "ONCE ONLY\nlater doc" && later.getLong(1) === 0L,
+      s"replayed batch must count once, got $later")
+    // a DIFFERENT batch accumulates on top of the subtree as usual
+    val batch1 = Seq((30L, "d", "ONCE ONLY\nnext batch")).toDF("doc_id", "source", "text")
+    Boilerplate.ingestLineBatch(batch1, "doc_id", "text", "source", idx,
+      "qtest", batchId = 1L, minDf = 2L, sink = (s, _) => {
+        val m = s.select("doc_id", "text_kept").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(m === Map(30L -> "next batch"),
+          s"batch-0 subtree counts must combine with batch 1's own: $m")
+        ()
+      })
+    // compaction folds the ingest subtrees into a fresh base layout
+    val compacted = tempDir("graft_lineidx_rp") + "/compacted"
+    Boilerplate.compactLineFreqIndex(spark, idx, compacted)
+    val afterCompact = Boilerplate.stripAgainstLineIndex(
+        Seq((40L, "d", "ONCE ONLY\nafter compact")).toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", compacted, minDf = 2L)
+      .select("lines_removed").collect().head.getLong(0)
+    assert(afterCompact === 1L,
+      "compacted index must carry the merged subtree counts (ONCE ONLY df 2)")
+  }
 }
