@@ -292,7 +292,8 @@ object ImageDedup {
   private def classReps(ids: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, hotBucketThreshold: Int): DataFrame = {
     val withBytes = Dedup.swapBarrier(lastBytesBarrier,
-      ids.select(col(idCol), hashBytesCol(col(hashCol)).as("__hb")))
+      ids.filter(col(hashCol).isNotNull)
+        .select(col(idCol), hashBytesCol(col(hashCol)).as("__hb")))
     val bands = withBytes.select(col(idCol),
       posexplode(col("__hb")).as(Seq("__band", "__bv")))
     val cand = Lsh.candidatePairs(bands, idCol, Seq("__band", "__bv"),
@@ -313,4 +314,247 @@ object ImageDedup {
       .filter(col("rep") === col(idCol)).select(idCol)
     df.join(survivors, Seq(idCol), "left_semi")
   }
+
+  // ---- persisted image-hash index (incremental image dedup) ----
+  // The perceptual-hash sibling of Dedup's MinHash signature index:
+  // write once, probe each ingest batch with a pruned scan, append the
+  // clean batch, compact periodically, loop via foreachBatch.
+
+  private val ImgMetaFileName = "_graft_imghash_meta.json"
+
+  private def imgMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, ImgMetaFileName)
+
+  private def writeImgMeta(df: DataFrame, path: String, idCol: String): Unit = {
+    require(!idCol.exists(c => c == '"' || c == '\\'),
+      s"writeImageHashIndex: idCol name must not contain '\"' or '\\' " +
+        s"(got '$idCol') — alias the column to a plain name first")
+    val p = imgMetaPath(path)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"op":"imageHashIndex","id":"$idCol","gridW":$GridW,"gridH":$GridH}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read + validate the meta, returning (raw text, persisted idCol).
+    * Fails loud on a non-artifact directory or a grid-geometry mismatch
+    * (a future wider grid would make every probe silently empty).
+    */
+  private def readImgMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): (String, String) = {
+    val p = imgMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$op: no $ImgMetaFileName at $path — not a writeImageHashIndex " +
+        "artifact; build the index with writeImageHashIndex")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def strField(name: String): String =
+      (s""""$name"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(txt).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$op: malformed $ImgMetaFileName at $path: $txt"))
+    def intField(name: String): Int =
+      (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          s"$op: malformed $ImgMetaFileName at $path: $txt"))
+    require(intField("gridW") == GridW && intField("gridH") == GridH,
+      s"$op: index at $path uses grid ${intField("gridW")}×${intField("gridH")} " +
+        s"but this build hashes $GridW×$GridH — probes would never match; " +
+        "rebuild the index")
+    (txt, strField("id"))
+  }
+
+  private def validateImgMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, op: String): Unit = {
+    val persisted = readImgMeta(spark, path, op)._2
+    require(persisted == idCol,
+      s"$op: index at $path stores ids under '$persisted' but the call " +
+        s"passed '$idCol' — pass the index's own id column or rebuild it")
+  }
+
+  /** The index's fixed on-disk schema, supplied explicitly on every read
+    * so an EMPTY index (legal: a first batch of all-NULL hashes) reads
+    * as empty instead of dying on inference. Ids are long (the repo-wide
+    * id convention, same as [[Lsh]]).
+    */
+  private def imgIndexSchema(idCol: String) = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField(idCol, LongType),
+      StructField("dhash", StringType),
+      StructField("bv", IntegerType),
+      StructField("band", IntegerType)))
+  }
+
+  /** One row per (band, id): (idCol, dhash, bv, band). Rows with a NULL
+    * hash produce nothing (a NULL hash can match nothing — same rule as
+    * the banding in [[classReps]]).
+    */
+  private def bandedHashes(df: DataFrame, idCol: String,
+      hashCol: String): DataFrame = {
+    require(hashCol == "dhash" || !df.columns.map(_.toLowerCase)
+        .contains("dhash"),
+      s"bandedHashes: input already has a 'dhash' column distinct from " +
+        s"hashCol '$hashCol' — drop or rename it first")
+    QualityFilters.requireFreshColumns(df, "imageHashIndex",
+      Seq("band", "bv", "corpus_id", "hamming"))
+    df.select(col(idCol).cast("long").as(idCol), col(hashCol).as("dhash"))
+      // the filter is load-bearing: hashBytesCol of a NULL hash is an
+      // array of 8 NULL ints (the outer sequence is a literal), which
+      // posexplode would emit as NULL band values
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol), col("dhash"),
+        posexplode(hashBytesCol(col("dhash"))).as(Seq("band", "bv")))
+  }
+
+  /** Build the persisted index: banded hash rows partitioned by `band`
+    * (probes prune statically) and salt-clustered + `bv`-sorted
+    * ([[Dedup.clusterForPartitionedWrite]]) so each band writes a
+    * bounded number of files with tight `bv` row-group bounds for the
+    * probe's IN pushdown.
+    */
+  def writeImageHashIndex(df: DataFrame, idCol: String, hashCol: String,
+      path: String): Unit = {
+    Dedup.clusterForPartitionedWrite(bandedHashes(df, idCol, hashCol),
+        "band", sortCols = Seq("bv"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+    writeImgMeta(df, path, idCol)
+  }
+
+  /** APPEND a cleaned ingest batch's hash rows — one pass over the
+    * BATCH, the corpus-sized index is never rewritten. A replayed append
+    * (crash between sink and commit in the streaming loop) adds
+    * duplicate rows, which are harmless: the probe's self-pair filter
+    * and terminal `distinct()` absorb them — same contract as
+    * [[Dedup.appendToSignatureIndex]].
+    */
+  def appendToImageHashIndex(df: DataFrame, idCol: String, hashCol: String,
+      path: String): Unit = {
+    validateImgMeta(df.sparkSession, path, idCol, "appendToImageHashIndex")
+    bandedHashes(df, idCol, hashCol)
+      .write.mode("append").partitionBy("band").parquet(path)
+  }
+
+  /** INCREMENTAL near-dup check of an ingest batch against the index:
+    * one row per (batch doc, matched corpus doc) with the exact Hamming
+    * distance (≤ `maxHamming`). Probe shape mirrors
+    * [[Dedup.dedupAgainstIndex]]: the batch's distinct (band, bv) keys —
+    * bounded by 8 × |batch|, the ingest-batch contract, checked via
+    * `maxProbeKeys` — collect into a per-band `bv IN (…)` filter pushed
+    * into the index scan (partition pruning on `band`, row-group pruning
+    * on `bv`); surviving index rows hash-join the BROADCAST batch side;
+    * the corpus index never shuffles.
+    */
+  def dedupAgainstImageIndex(newDocs: DataFrame, idCol: String,
+      hashCol: String, indexPath: String, maxHamming: Int = 6,
+      maxProbeKeys: Int = 1 << 20): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0, 64], got $maxHamming")
+    val spark = newDocs.sparkSession
+    validateImgMeta(spark, indexPath, idCol, "dedupAgainstImageIndex")
+    val probes = bandedHashes(newDocs, idCol, hashCol)
+    val keyRows = probes.select(col("band"), col("bv")).distinct()
+      .take(maxProbeKeys + 1)
+    require(keyRows.length <= maxProbeKeys,
+      s"dedupAgainstImageIndex collects the batch's (band, bv) probe keys " +
+        s"to the driver, and they exceed maxProbeKeys=$maxProbeKeys — this " +
+        "operator is for BOUNDED ingest batches probing a large index; " +
+        "split the batch or raise maxProbeKeys explicitly")
+    if (keyRows.isEmpty)
+      return probes.select(col(idCol), col(idCol).as("corpus_id"),
+        lit(0).as("hamming")).limit(0)
+    val keysByBand = keyRows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getInt(1)).toSeq).toMap
+    val prune = keysByBand.toSeq.sortBy(_._1).map { case (b, bvs) =>
+      col("band") === b && col("bv").isin(bvs: _*)
+    }.reduce(_ || _)
+    // flat IN pushes into the scan as a data filter; the OR-of-ANDs
+    // refines per band and drives partition pruning (the sig-index
+    // two-stage pattern)
+    val allBvs = keysByBand.values.flatten.toSeq.distinct
+    val index = spark.read.schema(imgIndexSchema(idCol)).parquet(indexPath)
+      .filter(col("bv").isin(allBvs: _*))
+      .filter(prune)
+    val ham = hammingCol(hashBytesCol(col("n.dhash")),
+      hashBytesCol(col("c.dhash")))
+    index.as("c")
+      .join(broadcast(probes.as("n")),
+        col("n.band") === col("c.band") && col("n.bv") === col("c.bv"))
+      .filter(col(s"n.$idCol") =!= col(s"c.$idCol"))
+      .select(col(s"n.$idCol").as(idCol), col(s"c.$idCol").as("corpus_id"),
+        ham.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // bands agreeing on the same pair collapse
+  }
+
+  /** [[dedupAgainstImageIndex]] keep-side filter: the batch with indexed
+    * near-dups removed — only genuinely new images enter the corpus.
+    */
+  def cleanAgainstImageIndex(newDocs: DataFrame, idCol: String,
+      hashCol: String, indexPath: String, maxHamming: Int = 6,
+      maxProbeKeys: Int = 1 << 20): DataFrame =
+    newDocs.join(
+      dedupAgainstImageIndex(newDocs, idCol, hashCol, indexPath, maxHamming,
+        maxProbeKeys).select(idCol).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** Compact an appended index into `targetPath` (NEW disjoint path —
+    * in-place would race live probes): bounded files per band, `bv`
+    * re-sorted for row-group pruning, exact duplicate rows from replayed
+    * appends dropped, meta copied verbatim.
+    */
+  def compactImageHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPath: String, filesPerBand: Int = 1): Unit = {
+    require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
+    Dedup.requireDistinctPaths(spark, path, targetPath, "compactImageHashIndex")
+    val (txt, idCol) = readImgMeta(spark, path, "compactImageHashIndex")
+    Dedup.clusterForPartitionedWrite(
+        spark.read.schema(imgIndexSchema(idCol)).parquet(path).distinct(),
+        "band", filesPerPartition = filesPerBand, sortCols = Seq("bv"))
+      .write.mode("overwrite").partitionBy("band").parquet(targetPath)
+    val fs = imgMetaPath(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(imgMetaPath(targetPath), true)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The full append-only image-ingest loop as ONE Structured Streaming
+    * query — the perceptual-hash counterpart of [[Dedup.streamingIngest]]:
+    * per microbatch over (id, hash) rows, (1) near-dedup WITHIN the batch
+    * ([[dedupImages]] — the index only knows previous batches), (2) drop
+    * docs with an indexed near-dup ([[cleanAgainstImageIndex]]), (3) hand
+    * survivors to `sink`, (4) [[appendToImageHashIndex]] them for the
+    * next batch. Hash upstream (e.g. [[dHashImages]] over the decoded
+    * media column) so the loop stays decoder-agnostic.
+    *
+    * Delivery: replayed appends add duplicate rows, harmless by the
+    * probe's self-pair filter + distinct (see
+    * [[appendToImageHashIndex]]); `sink` must be idempotent, the
+    * standard `foreachBatch` contract. Batch and its cleaned half are
+    * persisted for the trigger only.
+    */
+  def streamingImageIngest(stream: DataFrame, idCol: String, hashCol: String,
+      indexPath: String, checkpointDir: String,
+      sink: (DataFrame, Long) => Unit,
+      maxHamming: Int = 6,
+      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val inBatch = dedupImages(b.toDF(), idCol, hashCol, maxHamming)
+          val clean = cleanAgainstImageIndex(inBatch, idCol, hashCol,
+            indexPath, maxHamming, maxProbeKeys).persist()
+          try {
+            sink(clean, batchId)
+            appendToImageHashIndex(clean, idCol, hashCol, indexPath)
+          } finally { clean.unpersist(); () }
+        } finally { b.unpersist(); () }
+      }
+      .start()
 }

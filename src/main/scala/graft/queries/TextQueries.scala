@@ -901,29 +901,39 @@ object TextQueries {
     * Spark's star guard and the oracle's all-pairs banding agree exactly;
     * production calls keep the guarded default.
     */
+  /** Shared dHash oracle CTE chain (`px` code-point samples → `hb`
+    * row-bytes → `h(doc_id, dhash, bs)` → `bands(doc_id, r, bv)`) — one
+    * definition drives the cluster and the incremental-index oracles,
+    * mirroring [[graft.operators.ImageDedup.dHashTextCol]] exactly.
+    */
+  private val imageHashCtesSql: String = {
+    val rowBytes = (0 until 8).map { r =>
+      (0 until 8).map { c =>
+        s"(CASE WHEN p[${r * 9 + c + 2}] > p[${r * 9 + c + 1}] THEN ${1 << c} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    "px AS (SELECT doc_id, CASE WHEN coalesce(length(text), 0) >= 1 THEN " +
+      "[ord(substr(text, 1 + CAST((i * length(text)) // 72 AS INT), 1)) " +
+      "for i in range(72)] END AS p FROM documents), " +
+      s"hb AS (SELECT doc_id, CASE WHEN p IS NULL THEN [0, 0, 0, 0, 0, 0, 0, 0] " +
+      s"ELSE [${rowBytes.mkString(", ")}] END AS bs FROM px), " +
+      "h AS (SELECT doc_id, printf('%02x%02x%02x%02x%02x%02x%02x%02x', " +
+      "bs[1], bs[2], bs[3], bs[4], bs[5], bs[6], bs[7], bs[8]) AS dhash, bs FROM hb), " +
+      "bands AS (SELECT doc_id, r, bs[CAST(r + 1 AS INT)] AS bv FROM h " +
+      "CROSS JOIN (SELECT unnest(range(8)) AS r) t)"
+  }
+
+  /** Exact Hamming between two `h` rows aliased `x` and `y`. */
+  private val imageHammingSql: String =
+    (1 to 8).map(i => s"bit_count(xor(x.bs[$i], y.bs[$i]))").mkString(" + ")
+
   val qImageDedup = q(
     "q_image_dedup", {
-      val rowBytes = (0 until 8).map { r =>
-        (0 until 8).map { c =>
-          s"(CASE WHEN p[${r * 9 + c + 2}] > p[${r * 9 + c + 1}] THEN ${1 << c} ELSE 0 END)"
-        }.mkString(" + ")
-      }
-      val hamming = (1 to 8).map(i => s"bit_count(xor(x.bs[$i], y.bs[$i]))")
-        .mkString(" + ")
-      "WITH RECURSIVE " +
-        "px AS (SELECT doc_id, CASE WHEN coalesce(length(text), 0) >= 1 THEN " +
-        "[ord(substr(text, 1 + CAST((i * length(text)) // 72 AS INT), 1)) " +
-        "for i in range(72)] END AS p FROM documents), " +
-        s"hb AS (SELECT doc_id, CASE WHEN p IS NULL THEN [0, 0, 0, 0, 0, 0, 0, 0] " +
-        s"ELSE [${rowBytes.mkString(", ")}] END AS bs FROM px), " +
-        "h AS (SELECT doc_id, printf('%02x%02x%02x%02x%02x%02x%02x%02x', " +
-        "bs[1], bs[2], bs[3], bs[4], bs[5], bs[6], bs[7], bs[8]) AS dhash, bs FROM hb), " +
-        "bands AS (SELECT doc_id, r, bs[CAST(r + 1 AS INT)] AS bv FROM h " +
-        "CROSS JOIN (SELECT unnest(range(8)) AS r) t), " +
+      "WITH RECURSIVE " + imageHashCtesSql + ", " +
         "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bands a " +
         "JOIN bands b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
         "pairs AS (SELECT ida, idb FROM cand JOIN h x ON x.doc_id = ida " +
-        s"JOIN h y ON y.doc_id = idb WHERE $hamming <= 6), " +
+        s"JOIN h y ON y.doc_id = idb WHERE $imageHammingSql <= 6), " +
         "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
         "reach(na, nb) AS (SELECT na, nb FROM e " +
         "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na) " +
@@ -938,6 +948,36 @@ object TextQueries {
       .imageClusters(hashed, "doc_id", "dhash", maxHamming = 6,
         hotBucketThreshold = 1 << 20)
       .select("doc_id", "dhash", "rep")
+  }
+
+  /** INCREMENTAL image dedup through the persisted hash index
+    * ([[graft.operators.ImageDedup.writeImageHashIndex]] /
+    * `dedupAgainstImageIndex`): the corpus (doc_id % 7 ≠ 0) is indexed
+    * once; the ingest batch (doc_id % 7 = 0) is flagged against it with
+    * an index scan pruned to the batch's (band, bv) keys — the corpus
+    * side never shuffles. The Spark leg includes the index WRITE (honest
+    * end-to-end cost); the oracle recomputes both sides' hashes and
+    * joins them directly.
+    */
+  val qImageDedupIncremental = q(
+    "q_image_dedup_incremental",
+    s"WITH $imageHashCtesSql, " +
+      "m AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id " +
+      "FROM bands n JOIN bands c ON n.r = c.r AND n.bv = c.bv " +
+      "WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0) " +
+      s"SELECT m.doc_id, m.corpus_id, CAST($imageHammingSql AS BIGINT) AS hamming " +
+      "FROM m JOIN h x ON x.doc_id = m.doc_id " +
+      "JOIN h y ON y.doc_id = m.corpus_id " +
+      s"WHERE $imageHammingSql <= 6") { (s, d) =>
+    import graft.operators.ImageDedup
+    val hashed = Tables.documentsBalanced(s, d).select(col("doc_id"),
+      ImageDedup.dHashTextCol(col("text")).as("dhash"))
+    val corpus = hashed.filter(col("doc_id") % 7 =!= 0)
+    val batch = hashed.filter(col("doc_id") % 7 === 0)
+    val idx = scratchDir("graft_imgidx", d)
+    ImageDedup.writeImageHashIndex(corpus, "doc_id", "dhash", idx)
+    ImageDedup.dedupAgainstImageIndex(batch, "doc_id", "dhash", idx)
+      .select(col("doc_id"), col("corpus_id"), col("hamming").cast("long"))
   }
 
   /** Survivor set of exact dedup through `operators.Dedup.exact`: the rows a
@@ -1226,7 +1266,7 @@ object TextQueries {
     qSimhash,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }

@@ -351,6 +351,20 @@ class PlanSpec extends SparkSpec {
       "mixture domain filter must reach the scan:\n" + p.take(2500))
   }
 
+  test("q_image_dedup_incremental: probe prunes the index scan and broadcasts the batch") {
+    val p = plan("q_image_dedup_incremental")
+    // the batch's (band, bv) keys reach the index scan: flat IN as a
+    // data filter (row-group pruning) + band partition pruning
+    assert(p.contains("PushedFilters: [In(bv"),
+      "bv IN pushdown lost:\n" + p.take(2000))
+    assert(p.contains("PartitionFilters: [") && p.contains("band#"),
+      "band partition pruning lost:\n" + p.take(2000))
+    // the corpus-sized index never shuffles: the batch side broadcasts
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+    assert("\\+- Exchange".r.findAllIn(p).size <= 3, p.take(2000))
+  }
+
   test("q_curation_pipeline4: CCNet order composes without sort-merge or sort nodes") {
     val p = plan("q_curation_pipeline4")
     // exchanges: the line strip's distinct-df two-phase + per-doc regroup

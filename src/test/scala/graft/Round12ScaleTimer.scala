@@ -53,6 +53,23 @@ object Round12ScaleTimer {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // incremental image-index probe: corpus indexed once, a ~1% batch
+    // probed against it — the pruned-scan shape whose cost must track the
+    // BATCH, not the corpus
+    locally {
+      val hashed = docs.select(col("doc_id"),
+        ImageDedup.dHashTextCol(col("text")).as("dhash"))
+      val corpus = hashed.filter(col("doc_id") % 100 =!= 0)
+      val batch = hashed.filter(col("doc_id") % 100 === 0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_imgidx_scale").toString + "/idx"
+      ImageDedup.writeImageHashIndex(corpus, "doc_id", "dhash", dir)
+      time("image_index_probe") {
+        ImageDedup.dedupAgainstImageIndex(batch, "doc_id", "dhash", dir)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+
     // staged-materialization crossover: the one-plan pipeline replays its
     // map-side cleaning subtree ~4×; the staged form pays two scratch
     // parquet round-trips instead. R = 1 only: replication blows the

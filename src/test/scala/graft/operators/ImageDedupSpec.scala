@@ -127,6 +127,101 @@ class ImageDedupSpec extends SparkSpec {
     assert(uncollapsed === reps, "collapseExact must be output-identical")
   }
 
+  test("image-hash index: probe catches exact and near dups, append accumulates, compact merges, guards fail loud") {
+    val idx = tempDir("graft_imgidx") + "/idx"
+    val A = "0000000000000000"
+    val F = "ffffffffffffffff"
+    val corpus = Seq((1L, A), (2L, F)).toDF("id", "dhash")
+    ImageDedup.writeImageHashIndex(corpus, "id", "dhash", idx)
+
+    val nearA = "0100000000000000" // Hamming 1 from A, shares 7 bands
+    val newH = "0f0f0f0f0f0f0f0f" // Hamming 32 from both corpus hashes
+    val batch = Seq((10L, A), (11L, nearA), (12L, newH)).toDF("id", "dhash")
+    val flagged = ImageDedup.dedupAgainstImageIndex(batch, "id", "dhash", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(flagged === Set((10L, 1L, 0), (11L, 1L, 1)),
+      s"exact + near dup must flag against corpus id 1 only: $flagged")
+    val clean = ImageDedup.cleanAgainstImageIndex(batch, "id", "dhash", idx)
+      .select("id").as[Long].collect().toSet
+    assert(clean === Set(12L))
+
+    // append the clean doc; a later near-dup of it is now caught
+    ImageDedup.appendToImageHashIndex(
+      Seq((12L, newH)).toDF("id", "dhash"), "id", "dhash", idx)
+    val batch2 = Seq((20L, "0f0f0f0f0f0f0f1f"), (21L, "3333333333333333"))
+      .toDF("id", "dhash") // 20 is Hamming 1 from newH; 21 is far from all
+    def probe(p: String) = ImageDedup
+      .dedupAgainstImageIndex(batch2, "id", "dhash", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probe(idx) === Set((20L, 12L, 1)),
+      s"appended hashes must be probe-able: ${probe(idx)}")
+
+    // compaction answers identically with bounded files per band
+    val compacted = tempDir("graft_imgidx") + "/compacted"
+    ImageDedup.compactImageHashIndex(spark, idx, compacted)
+    assert(probe(compacted) === probe(idx))
+    val bandFiles = new java.io.File(compacted, "band=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(bandFiles <= 1, s"compaction must bound files per band, got $bandFiles")
+
+    // an all-NULL-hash batch probes as empty (no crash, no rows)
+    assert(ImageDedup.dedupAgainstImageIndex(
+      Seq((30L, null.asInstanceOf[String])).toDF("id", "dhash"),
+      "id", "dhash", idx).count() === 0L)
+
+    // guards: non-artifact dir; id-column mismatch; nested compact target
+    val e1 = intercept[IllegalArgumentException] {
+      ImageDedup.dedupAgainstImageIndex(batch, "id", "dhash",
+        tempDir("graft_imgidx_bogus"))
+    }
+    assert(e1.getMessage.contains("writeImageHashIndex"))
+    val e2 = intercept[IllegalArgumentException] {
+      ImageDedup.appendToImageHashIndex(
+        batch.withColumnRenamed("id", "img_id"), "img_id", "dhash", idx)
+    }
+    assert(e2.getMessage.contains("img_id"))
+    val e3 = intercept[IllegalArgumentException] {
+      ImageDedup.compactImageHashIndex(spark, idx, idx + "/compacted")
+    }
+    assert(e3.getMessage.contains("disjoint"))
+  }
+
+  test("streamingImageIngest: within-batch dedup -> index clean -> sink -> append, per microbatch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val idx = tempDir("graft_imgidx_si") + "/idx"
+    ImageDedup.writeImageHashIndex(
+      Seq((1L, "0000000000000000")).toDF("id", "dhash"), "id", "dhash", idx)
+
+    val in = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val q = ImageDedup.streamingImageIngest(
+      in.toDF().toDF("id", "dhash"), "id", "dhash", idx,
+      tempDir("graft_imgsi_ckpt"),
+      sink = (clean, batchId) => {
+        perBatch(batchId) = clean.select("id").collect().map(_.getLong(0)).toSet
+        ()
+      })
+    try {
+      // batch 0: an indexed near-dup (drops), a new hash, and a
+      // WITHIN-batch exact dup of that new hash (one survivor)
+      in.addData(
+        (10L, "0100000000000000"), // Hamming 1 from indexed -> drops
+        (11L, "0f0f0f0f0f0f0f0f"), // new
+        (12L, "0f0f0f0f0f0f0f0f")) // within-batch dup of 11
+      q.processAllAvailable()
+      assert(perBatch(0L) === Set(11L), s"batch 0: ${perBatch.toMap}")
+      // batch 1: near-dup of the doc APPENDED in batch 0 -> caught via
+      // the index append; plus one genuinely new hash
+      in.addData(
+        (20L, "0f0f0f0f0f0f0f1f"), // Hamming 1 from appended 11
+        (21L, "3333333333333333"))
+      q.processAllAvailable()
+      assert(perBatch(1L) === Set(21L), s"batch 1: ${perBatch.toMap}")
+    } finally q.stop()
+  }
+
   test("surrogate column path agrees with the Scala surrogate on UTF-8-safe text") {
     // dHashTextCol samples CODE POINTS of the string; dHashSurrogateBytes
     // samples BYTES — on ASCII they coincide, which is the bridge the
