@@ -392,8 +392,17 @@ object Boilerplate {
       groupCol: String, indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       minDf: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+    // hash the QUALIFIED checkpoint path, not the raw string: a restart
+    // spelling the same dir differently ("/ckpt/" vs "/ckpt", relative
+    // vs absolute) resumes the same Spark checkpoint, and its replayed
+    // batches must land on the SAME subtrees or they double-count
+    val qualified = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir)
+      p.getFileSystem(stream.sparkSession.sessionState.newHadoopConf())
+        .makeQualified(p).toString
+    }
     val queryTag = "q" + java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
+      .digest(qualified.getBytes("UTF-8"))
       .take(6).map(b => f"${b & 0xff}%02x").mkString
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -415,6 +424,17 @@ object Boilerplate {
     * contract as compactSignatureIndex: an in-place rewrite would race
     * live probes — and here would also race a live streaming loop's next
     * subtree write, so compact into a fresh path and repoint).
+    *
+    * CONTRACT with the streaming loop: compact only after the ingest
+    * query has STOPPED CLEANLY (every written batch committed to its
+    * checkpoint). Compaction folds ALL subtrees into the base layout;
+    * if a crashed query left an uncommitted batch's subtree behind,
+    * resuming that checkpoint against the compacted path would replay
+    * the batch on top of its already-folded counts — the exclusion that
+    * makes replay idempotent matches only `_ingest` subtrees, never
+    * base-folded rows. Resume against the ORIGINAL path first (the
+    * replay overwrites its own subtree, committing the batch), then
+    * compact.
     */
   def compactLineFreqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerGroup: Int = 1): Unit = {

@@ -268,20 +268,23 @@ object ImageDedup {
       val hashed = Dedup.swapBarrier(lastHashBarrier,
         df.select(col(idCol), col(hashCol)))
       // one map-side-combined shuffle builds the hash classes; everything
-      // expensive then runs over distinct hashes only
-      val classes = hashed.groupBy(col(hashCol)).agg(min(col(idCol)).as("__cid"))
+      // expensive then runs over distinct hashes only. NULL hashes stay
+      // OUT of the classes: a NULL hash means "unknown", not "identical"
+      // — grouping them would invent Hamming-0 edges between unrelated
+      // docs — so null-hash rows keep rep = self via the left-join
+      // coalesce below, matching the uncollapsed path exactly (there
+      // they are banding-invisible nodes that component to themselves)
+      val classes = hashed.filter(col(hashCol).isNotNull)
+        .groupBy(col(hashCol)).agg(min(col(idCol)).as("__cid"))
       val cc = classReps(
         classes.select(col("__cid").as(idCol), col(hashCol)),
         idCol, hashCol, maxHamming, hotBucketThreshold)
-      // null-safe class join: a NULL hash (possible when the caller
-      // supplies a precomputed hash column) forms its own class under
-      // groupBy, and <=> keeps its members mapped — an equi-join would
-      // silently drop them, diverging from the uncollapsed path
       val mapping = hashed.select(col(idCol), col(hashCol))
-        .join(classes, hashed(hashCol) <=> classes(hashCol))
+        .join(classes, Seq(hashCol))
         .join(cc.select(col(idCol).as("__cid"), col("rep")), Seq("__cid"))
-        .select(hashed(idCol).as(idCol), col("rep"))
-      df.join(mapping, Seq(idCol))
+        .select(col(idCol), col("rep"))
+      df.join(mapping, Seq(idCol), "left")
+        .withColumn("rep", coalesce(col("rep"), col(idCol)))
     }
   }
 
@@ -402,6 +405,18 @@ object ImageDedup {
         s"hashCol '$hashCol' — drop or rename it first")
     QualityFilters.requireFreshColumns(df, "imageHashIndex",
       Seq("band", "bv", "corpus_id", "hamming"))
+    // integral ids only, checked loud: a silent cast('long') of string
+    // ids would write an all-NULL id index whose self-pair filter then
+    // discards every match — the silent-empty failure mode a dedup gate
+    // must never have
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType => ()
+      case dt => throw new IllegalArgumentException(
+        s"imageHashIndex: idCol '$idCol' must be an integral column (got " +
+          s"${dt.simpleString}) — derive a long id first (the repo-wide " +
+          "id convention, as in Lsh)")
+    }
     df.select(col(idCol).cast("long").as(idCol), col(hashCol).as("dhash"))
       // the filter is load-bearing: hashBytesCol of a NULL hash is an
       // array of 8 NULL ints (the outer sequence is a literal), which
@@ -554,7 +569,14 @@ object ImageDedup {
             sink(clean, batchId)
             appendToImageHashIndex(clean, idCol, hashCol, indexPath)
           } finally { clean.unpersist(); () }
-        } finally { b.unpersist(); () }
+        } finally {
+          b.unpersist()
+          // each batch's plan differs (fresh offsets), so the one-slot
+          // barrier caches dedupImages filled can never be reused by the
+          // NEXT trigger — release per trigger, or the last batch's two
+          // cached projections pin executor storage for the session
+          releaseBarriers()
+        }
       }
       .start()
 }

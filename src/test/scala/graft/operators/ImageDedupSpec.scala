@@ -125,6 +125,21 @@ class ImageDedupSpec extends SparkSpec {
       .imageClusters(hashed, "id", "dhash", collapseExact = false)
       .select("id", "rep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uncollapsed === reps, "collapseExact must be output-identical")
+
+    // NULL hashes mean "unknown", never "identical": two null-hash docs
+    // must each stay their own singleton in BOTH modes (the collapse
+    // must not invent a Hamming-0 class out of NULLs)
+    val withNulls = Seq((3L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String]), (9L, "0f0f0f0f0f0f0f0f"))
+      .toDF("id", "dhash")
+    for (collapse <- Seq(true, false)) {
+      val m = ImageDedup.imageClusters(withNulls, "id", "dhash",
+          collapseExact = collapse)
+        .select("id", "rep").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m === Map(3L -> 3L, 7L -> 7L, 9L -> 9L),
+        s"null hashes must be singletons (collapse=$collapse): $m")
+    }
   }
 
   test("image-hash index: probe catches exact and near dups, append accumulates, compact merges, guards fail loud") {
@@ -184,6 +199,14 @@ class ImageDedupSpec extends SparkSpec {
       ImageDedup.compactImageHashIndex(spark, idx, idx + "/compacted")
     }
     assert(e3.getMessage.contains("disjoint"))
+    // string ids would silently cast to all-NULL and make the self-pair
+    // filter discard every match — the guard fails loud instead
+    val e4 = intercept[IllegalArgumentException] {
+      ImageDedup.writeImageHashIndex(
+        Seq(("doc-001", A)).toDF("id", "dhash"), "id", "dhash",
+        tempDir("graft_imgidx_sid"))
+    }
+    assert(e4.getMessage.contains("integral"), e4.getMessage)
   }
 
   test("streamingImageIngest: within-batch dedup -> index clean -> sink -> append, per microbatch") {
