@@ -861,4 +861,43 @@ object Dedup {
     toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(col(idCol), sig.as("simhash"))
   }
+
+  /** Full 64-bit SimHash (Charikar STOC'02 as deployed for web-crawl
+    * near-dup detection in Manku, Jain & Das Sarma, WWW'07): per token
+    * occurrence a 64-bit hash (two md5-prefix halves — the same
+    * md5-derived family the oracles mirror) votes ±1 on each bit
+    * position; signature bit = sign of the vote sum. Output: (idCol,
+    * `simhash64`) as 16 lowercase hex chars — byte r = bits r·8 … r·8+7
+    * (bit c of the byte = position r·8+c), the SAME layout as
+    * [[ImageDedup]]'s dHash, so the whole Hamming stack (banding with
+    * the ≤ 7-bit pigeonhole guarantee, [[ImageDedup.imageClusters]],
+    * the persisted hash index + streaming ingest) applies to TEXT
+    * signatures unchanged. Manku's production setting is Hamming ≤ 3
+    * on 64 bits — inside the 8-band guarantee with margin. Docs with
+    * no tokens (empty/NULL text) carry no signature, like [[simhash]].
+    *
+    * Distributed shape: one explode + one map-side-combined 64-sum
+    * aggregate on the id — no joins, no state.
+    */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import TextQueries.{hash32, tokensCol}
+    graft.functions.Md5Prefix32.register(df.sparkSession)
+    val toks = df.select(col(idCol),
+        explode(tokensCol(col(textCol))).as("__tok"))
+      .select(col(idCol),
+        hash32(col("__tok")).as("__hi"),
+        conv(substring(md5(col("__tok")), 9, 8), 16, 10).cast("long").as("__lo"))
+    val sums = (0 until 64).map { b =>
+      val (h, sh) = if (b < 32) (col("__lo"), b) else (col("__hi"), b - 32)
+      sum(when(shiftright(h, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val hexSig = concat((0 until 8).map { r =>
+      val byteR = (0 until 8).map(c =>
+        when(col(s"s${r * 8 + c}") > 0, lit(1 << c)).otherwise(lit(0)))
+        .reduce(_ + _)
+      lpad(lower(hex(byteR)), 2, "0")
+    }: _*)
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol), hexSig.as("simhash64"))
+  }
 }

@@ -431,6 +431,59 @@ object TextQueries {
     graft.operators.Dedup.simhash(Tables.documentsBalanced(s, d), "doc_id", "text")
   }
 
+  /** Full 64-bit SimHash near-dup CLUSTERING
+    * ([[graft.operators.Dedup.simhash64]] → the shared Hamming stack:
+    * 8 one-byte bands, exact Hamming ≤ 3 verify — Manku WWW'07's
+    * production radius — connected components via
+    * [[graft.operators.ImageDedup.imageClusters]]). The oracle
+    * recomputes the 64 vote sums from the same two md5-prefix halves,
+    * packs the identical byte layout, and mirrors banding + verify +
+    * recursive-closure clustering end-to-end. Docs with no tokens carry
+    * no signature on either engine. Threshold pinned above any test-SF
+    * bucket so Spark's star guard and the SQL all-pairs banding agree.
+    */
+  val qSimhash64Cluster = q(
+    "q_simhash64_cluster", {
+      val sums = (0 until 64).map { b =>
+        val (h, sh) = if (b < 32) ("lo", b) else ("hi", b - 32)
+        s"sum(CASE WHEN ($h >> $sh) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+      }.mkString(", ")
+      val bytes = (0 until 8).map { r =>
+        (0 until 8).map(c =>
+          s"(CASE WHEN s${r * 8 + c} > 0 THEN ${1 << c} ELSE 0 END)").mkString(" + ")
+      }
+      val hamming = (1 to 8).map(i => s"bit_count(xor(x.bs[$i], y.bs[$i]))")
+        .mkString(" + ")
+      "WITH RECURSIVE " +
+        "th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi, " +
+        "CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo FROM (" +
+        s"SELECT doc_id, unnest($tokensSql) AS tok FROM documents)), " +
+        s"ss AS (SELECT doc_id, $sums FROM th GROUP BY doc_id), " +
+        s"sb AS (SELECT doc_id, [${bytes.mkString(", ")}] AS bs FROM ss), " +
+        "h AS (SELECT doc_id, printf('%02x%02x%02x%02x%02x%02x%02x%02x', " +
+        "bs[1], bs[2], bs[3], bs[4], bs[5], bs[6], bs[7], bs[8]) AS simhash64, bs FROM sb), " +
+        "bands AS (SELECT doc_id, r, bs[CAST(r + 1 AS INT)] AS bv FROM h " +
+        "CROSS JOIN (SELECT unnest(range(8)) AS r) t), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bands a " +
+        "JOIN bands b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
+        "pairs AS (SELECT ida, idb FROM cand JOIN h x ON x.doc_id = ida " +
+        s"JOIN h y ON y.doc_id = idb WHERE $hamming <= 3), " +
+        "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(na, nb) AS (SELECT na, nb FROM e " +
+        "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na) " +
+        "SELECT d.doc_id, h.simhash64, " +
+        "CAST(least(d.doc_id, coalesce(min(r2.nb), d.doc_id)) AS BIGINT) AS rep " +
+        "FROM documents d JOIN h USING (doc_id) " +
+        "LEFT JOIN reach r2 ON r2.na = d.doc_id GROUP BY d.doc_id, h.simhash64"
+    }) { (s, d) =>
+    val hashed = graft.operators.Dedup
+      .simhash64(Tables.documentsBalanced(s, d), "doc_id", "text")
+    graft.operators.ImageDedup
+      .imageClusters(hashed, "doc_id", "simhash64", maxHamming = 3,
+        hotBucketThreshold = 1 << 20)
+      .select("doc_id", "simhash64", "rep")
+  }
+
   /** Hot-shingle cap for [[qNgramJaccard]]: shingles held by more than this
     * many docs of one source are dropped before pairing. A boilerplate
     * shingle shared by k docs contributes C(k,2) join rows — unbounded
@@ -1263,7 +1316,7 @@ object TextQueries {
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qDedupIncremental,
     qDedupIncremental2,
-    qSimhash,
+    qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qNgramProfile,

@@ -308,6 +308,35 @@ class OperatorsSpec extends SparkSpec {
     assert(bits(sigs(0L) ^ sigs(4L)) >= 3)              // unrelated: far
   }
 
+  test("simhash64: identical docs share signatures, near-dups cluster at Hamming 3, unrelated stay apart") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "entirely different content about spark shuffles partitions and caching layers"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.simhash64(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!sigs.contains(5L), "token-less doc carries no signature")
+    assert(sigs(1L) === sigs(2L) && sigs(1L).matches("[0-9a-f]{16}"))
+    def hamming(a: String, b: String): Int = (0 until 8).map { r =>
+      Integer.bitCount(Integer.parseInt(a.substring(r * 2, r * 2 + 2), 16) ^
+        Integer.parseInt(b.substring(r * 2, r * 2 + 2), 16))
+    }.sum
+    assert(hamming(sigs(1L), sigs(3L)) <= 3,
+      s"one-word change must stay near: ${hamming(sigs(1L), sigs(3L))}")
+    assert(hamming(sigs(1L), sigs(4L)) > 3,
+      s"unrelated text must separate: ${hamming(sigs(1L), sigs(4L))}")
+    // the shared Hamming stack clusters the text signatures directly
+    val hashed = Dedup.simhash64(corpus, "doc_id", "text")
+    val reps = graft.operators.ImageDedup
+      .imageClusters(hashed, "doc_id", "simhash64", maxHamming = 3)
+      .select("doc_id", "rep").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L), s"$reps")
+  }
+
   test("brute-force topK and bucketed ANN agree on returned cosines") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val qv = emb.filter(col("vec_id") === 0).select("embedding")
