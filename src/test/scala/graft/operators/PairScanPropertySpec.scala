@@ -140,13 +140,19 @@ class PairScanPropertySpec extends SparkSpec {
       edges.foreach { case (a, b) => parent(find(a)) = find(b) }
       val minOfRoot = nodes.groupBy(find).map { case (r, ms) => r -> ms.min }
       val want = nodes.map(n => n -> minOfRoot(find(n))).toMap
-      val got =
-        if (edges.isEmpty) Dedup.connectedComponents(
-          Seq.empty[(Long, Long)].toDF("ida", "idb"), nodes.toDF("doc_id"), "doc_id")
-        else Dedup.connectedComponents(
-          edges.toDF("ida", "idb"), nodes.toDF("doc_id"), "doc_id")
-      val gotMap = got.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(gotMap === want, s"trial $trial nodes=$nNodes edges=$edges")
+      // both execution paths must match the reference: the driver
+      // union-find fast path (default threshold) AND the distributed
+      // star-contraction loop (threshold 0)
+      for (threshold <- Seq(Dedup.SmallGraphMaxEdges, 0L)) {
+        val pairsDf =
+          if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("ida", "idb")
+          else edges.toDF("ida", "idb")
+        val got = Dedup.connectedComponents(pairsDf, nodes.toDF("doc_id"),
+          "doc_id", smallGraphMaxEdges = threshold)
+        val gotMap = got.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(gotMap === want,
+          s"trial $trial threshold=$threshold nodes=$nNodes edges=$edges")
+      }
     }
   }
 }
