@@ -221,7 +221,10 @@ object Dedup {
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
 
     val nEdges0 = edges.count()
-    if (nEdges0 <= smallGraphMaxEdges) {
+    // strict <: smallGraphMaxEdges = 0 genuinely forces the distributed
+    // loop (including its zero-edge convergence branch, which the specs
+    // pin) — with <=, a zero-edge input would silently fast-path
+    if (nEdges0 < smallGraphMaxEdges) {
       // exact driver-side union-find over the bounded edge set; same
       // (id, rep = component MIN) contract as the distributed loop
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -922,12 +925,15 @@ object Dedup {
     * aggregate on the id — no joins, no state.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import TextQueries.{hash32, tokensCol}
-    graft.functions.Md5Prefix32.register(df.sparkSession)
+    import TextQueries.tokensCol
+    // both halves slice ONE md5(token) call (identical children CSE in
+    // codegen) — mixing Md5Prefix32 for one half with builtin md5 for
+    // the other would digest every token twice; conv(substr(md5)) is
+    // value-identical to Md5Prefix32 (the hash32Sql mirror contract)
     val toks = df.select(col(idCol),
         explode(tokensCol(col(textCol))).as("__tok"))
       .select(col(idCol),
-        hash32(col("__tok")).as("__hi"),
+        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("__hi"),
         conv(substring(md5(col("__tok")), 9, 8), 16, 10).cast("long").as("__lo"))
     val sums = (0 until 64).map { b =>
       val (h, sh) = if (b < 32) (col("__lo"), b) else (col("__hi"), b - 32)

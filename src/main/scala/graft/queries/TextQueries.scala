@@ -455,7 +455,7 @@ object TextQueries {
       val hamming = (1 to 8).map(i => s"bit_count(xor(x.bs[$i], y.bs[$i]))")
         .mkString(" + ")
       "WITH RECURSIVE " +
-        "th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS hi, " +
+        s"th AS (SELECT doc_id, ${hash32Sql("tok")} AS hi, " +
         "CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS lo FROM (" +
         s"SELECT doc_id, unnest($tokensSql) AS tok FROM documents)), " +
         s"ss AS (SELECT doc_id, $sums FROM th GROUP BY doc_id), " +

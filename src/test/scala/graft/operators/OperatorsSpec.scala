@@ -316,8 +316,8 @@ class OperatorsSpec extends SparkSpec {
       (4L, "entirely different content about spark shuffles partitions and caching layers"),
       (5L, "")
     ).toDF("doc_id", "text")
-    val sigs = Dedup.simhash64(corpus, "doc_id", "text")
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashed = Dedup.simhash64(corpus, "doc_id", "text")
+    val sigs = hashed.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(!sigs.contains(5L), "token-less doc carries no signature")
     assert(sigs(1L) === sigs(2L) && sigs(1L).matches("[0-9a-f]{16}"))
     def hamming(a: String, b: String): Int = (0 until 8).map { r =>
@@ -329,7 +329,6 @@ class OperatorsSpec extends SparkSpec {
     assert(hamming(sigs(1L), sigs(4L)) > 3,
       s"unrelated text must separate: ${hamming(sigs(1L), sigs(4L))}")
     // the shared Hamming stack clusters the text signatures directly
-    val hashed = Dedup.simhash64(corpus, "doc_id", "text")
     val reps = graft.operators.ImageDedup
       .imageClusters(hashed, "doc_id", "simhash64", maxHamming = 3)
       .select("doc_id", "rep").collect()
