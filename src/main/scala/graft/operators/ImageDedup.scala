@@ -84,23 +84,24 @@ object ImageDedup {
     bytes.map(b => f"${b & 0xff}%02x").mkString
   }
 
-  /** Average-pooled ×1000-luminance grid of a decoded image. Cell (r, c)
-    * covers x ∈ [c·w/9, (c+1)·w/9), y ∈ [r·h/8, (r+1)·h/8), widened to
-    * at least one pixel so tiny images still produce a full grid; cell
-    * value = floor(lumSum / pixelCount) — deterministic integer math.
+  /** Average-pooled ×1000-luminance grid of a decoded image at an
+    * arbitrary geometry. Cell (r, c) covers x ∈ [c·w/gw, (c+1)·w/gw),
+    * y ∈ [r·h/gh, (r+1)·h/gh), widened to at least one pixel so tiny
+    * images still produce a full grid; cell value = floor(lumSum /
+    * pixelCount) — deterministic integer math.
     */
-  def grayGridOf(img: java.awt.image.BufferedImage): Array[Long] = {
+  def grayPool(img: java.awt.image.BufferedImage, gw: Int, gh: Int): Array[Long] = {
     val w = img.getWidth
     val h = img.getHeight
-    val out = new Array[Long](GridCells)
+    val out = new Array[Long](gw * gh)
     var r = 0
-    while (r < GridH) {
-      val y0 = r * h / GridH
-      val y1 = math.max(y0 + 1, (r + 1) * h / GridH)
+    while (r < gh) {
+      val y0 = r * h / gh
+      val y1 = math.max(y0 + 1, (r + 1) * h / gh)
       var c = 0
-      while (c < GridW) {
-        val x0 = c * w / GridW
-        val x1 = math.max(x0 + 1, (c + 1) * w / GridW)
+      while (c < gw) {
+        val x0 = c * w / gw
+        val x1 = math.max(x0 + 1, (c + 1) * w / gw)
         var sum = 0L
         var cnt = 0L
         var y = y0
@@ -115,13 +116,17 @@ object ImageDedup {
           }
           y += 1
         }
-        out(r * GridW + c) = sum / cnt
+        out(r * gw + c) = sum / cnt
         c += 1
       }
       r += 1
     }
     out
   }
+
+  /** The dHash pooling geometry (9×8). */
+  def grayGridOf(img: java.awt.image.BufferedImage): Array[Long] =
+    grayPool(img, GridW, GridH)
 
   /** dHash row-bytes of a REAL image payload, or None when no JDK codec
     * accepts it (corrupt bytes, audio/video containers). Same NonFatal
@@ -157,6 +162,104 @@ object ImageDedup {
       dHashBytesFromGrid(g)
     }
   }
+
+  // ---- pHash (DCT) — the second canonical perceptual hash ----
+
+  /** pHash pooling geometry: 32×32 grayscale ahead of the DCT. */
+  val PHashN = 32
+
+  /** Deterministic DCT basis: StrictMath cosines (bit-identical on every
+    * JVM/platform, unlike `Math.cos` which may use platform intrinsics).
+    * cosTable(u)(x) = cos(π·(2x+1)·u / (2·N)).
+    */
+  private val cosTable: Array[Array[Double]] =
+    Array.tabulate(PHashN, PHashN)((u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * PHashN)))
+
+  /** pHash (Krawetz 2013's DCT variant): 32×32 grayscale → 2-D DCT-II →
+    * top-left 8×8 low-frequency block → bit (r, c) = coefficient (r, c)
+    * greater than the MEAN of the block's 63 AC coefficients (DC
+    * excluded from the mean — it is raw brightness, which the hash must
+    * ignore). Same 8-byte/16-hex packing as dHash, so banding,
+    * clustering, and the persisted index apply unchanged. Returns None
+    * when no JDK codec accepts the payload.
+    *
+    * Robustness contrast with [[dHashImage]]: AC coefficients are
+    * invariant to uniform brightness shifts (they only move F(0,0)) and
+    * degrade gracefully under rescaling/blur — the spec locks both.
+    */
+  def pHashImage(payload: Array[Byte]): Option[Array[Int]] = {
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val img =
+      try javax.imageio.ImageIO.read(stream)
+      catch { case scala.util.control.NonFatal(_) => null }
+      finally {
+        try stream.close() catch { case scala.util.control.NonFatal(_) => () }
+      }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val g = grayPool(img, PHashN, PHashN)
+      // separable 2-D DCT-II, rows then columns (orthonormal scale —
+      // any uniform scale works, the bits compare against the mean)
+      val rows = Array.ofDim[Double](PHashN, PHashN)
+      var r = 0
+      while (r < PHashN) {
+        var u = 0
+        while (u < PHashN) {
+          var s = 0.0
+          var x = 0
+          while (x < PHashN) { s += g(r * PHashN + x) * cosTable(u)(x); x += 1 }
+          rows(r)(u) = s
+          u += 1
+        }
+        r += 1
+      }
+      val block = Array.ofDim[Double](8, 8)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var s = 0.0
+          var y = 0
+          while (y < PHashN) { s += rows(y)(u) * cosTable(v)(y); y += 1 }
+          block(v)(u) = s
+          u += 1
+        }
+        v += 1
+      }
+      var acSum = 0.0
+      var i = 1
+      while (i < 64) { acSum += block(i / 8)(i % 8); i += 1 }
+      val mean = acSum / 63.0
+      val bytes = new Array[Int](8)
+      var rr = 0
+      while (rr < 8) {
+        var b = 0
+        var cc = 0
+        while (cc < 8) {
+          if (block(rr)(cc) > mean) b |= 1 << cc
+          cc += 1
+        }
+        bytes(rr) = b
+        rr += 1
+      }
+      Some(bytes)
+    }
+  }
+
+  /** Per-partition pHash over a media column: real decode, byte
+    * surrogate fallback (the [[dHashSurrogateBytes]] sampler — a
+    * deterministic stand-in, not a DCT) for payloads no codec accepts.
+    * Output: (id, phash).
+    */
+  def pHashImages(media: Dataset[MediaRow]): DataFrame =
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val bytes = pHashImage(m.payload).getOrElse(dHashSurrogateBytes(m.payload))
+        (m.id, hexOf(bytes))
+      }
+    }(Encoders.product[(Long, String)]).toDF("id", "phash")
 
   /** Per-partition dHash over a media column: real decode first, byte
     * surrogate for non-image payloads — one pass, no state, the same

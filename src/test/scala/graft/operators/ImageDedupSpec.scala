@@ -84,6 +84,48 @@ class ImageDedupSpec extends SparkSpec {
     assert(ImageDedup.dHashImage(pngBytes(makeImage(3, 2, seed = 5))).isDefined)
   }
 
+  test("pHash: deterministic, brightness-invariant, resize-robust, distinct content separates") {
+    def brightened(img: BufferedImage, delta: Int): BufferedImage = {
+      val out = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        def ch(s: Int) = math.min(255, math.max(0, ((rgb >> s) & 0xff) + delta))
+        out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+      }
+      out
+    }
+    val base = makeImage(240, 160, seed = 7)
+    val h1 = ImageDedup.hexOf(ImageDedup.pHashImage(pngBytes(base)).get)
+    val h2 = ImageDedup.hexOf(ImageDedup.pHashImage(pngBytes(base)).get)
+    assert(h1 === h2 && h1.matches("[0-9a-f]{16}"))
+    // AC coefficients ignore a uniform brightness shift entirely — the
+    // pHash property dHash does not have by construction
+    val bright = ImageDedup.hexOf(
+      ImageDedup.pHashImage(pngBytes(brightened(base, 12))).get)
+    assert(hamming(h1, bright) <= 2,
+      s"brightness shift must barely move pHash: ${hamming(h1, bright)}")
+    val small = ImageDedup.hexOf(
+      ImageDedup.pHashImage(pngBytes(resized(base, 96, 64))).get)
+    assert(hamming(h1, small) <= 6,
+      s"resize must stay near: ${hamming(h1, small)}")
+    val other = ImageDedup.hexOf(
+      ImageDedup.pHashImage(pngBytes(makeImage(240, 160, seed = 99))).get)
+    assert(hamming(h1, other) > 6,
+      s"distinct images must separate: ${hamming(h1, other)}")
+    assert(ImageDedup.pHashImage("not an image".getBytes("UTF-8")).isEmpty)
+    // the shared stack consumes pHash columns unchanged
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image/png", pngBytes(base)),
+      Multimodal.MediaRow(2L, "image/png", pngBytes(brightened(base, 12))),
+      Multimodal.MediaRow(3L, "image/png", pngBytes(makeImage(240, 160, seed = 99)))
+    ).toDS()
+    val reps = ImageDedup.imageClusters(
+        ImageDedup.pHashImages(rows), "id", "phash")
+      .select("id", "rep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps === Map(1L -> 1L, 2L -> 1L, 3L -> 3L), s"$reps")
+  }
+
   test("dHashImage falls back for corrupt payloads; grid core matches packing contract") {
     assert(ImageDedup.dHashImage("not an image".getBytes("UTF-8")).isEmpty)
     assert(ImageDedup.dHashSurrogateBytes(Array.emptyByteArray)
