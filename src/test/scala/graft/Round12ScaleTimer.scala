@@ -92,6 +92,10 @@ object Round12ScaleTimer {
       graft.queries.CompositeQueries.curationPipeline3(docs, stagedDir = None)
         .write.format("noop").mode("overwrite").save()
     }
+    def rmRec(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rmRec)
+      f.delete(): Unit
+    }
     time("pipeline3_staged") {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_pipe3_scale").toString
@@ -99,13 +103,20 @@ object Round12ScaleTimer {
         graft.queries.CompositeQueries
           .curationPipeline3(docs, stagedDir = Some(dir))
           .write.format("noop").mode("overwrite").save()
-      finally {
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(): Unit
-        }
-        rm(new java.io.File(dir))
-      }
+      finally rmRec(new java.io.File(dir))
+    }
+    time("pipeline4_oneplan") {
+      graft.queries.CompositeQueries.curationPipeline4(docs, stagedDir = None)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("pipeline4_staged") {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pipe4_scale").toString
+      try
+        graft.queries.CompositeQueries
+          .curationPipeline4(docs, stagedDir = Some(dir))
+          .write.format("noop").mode("overwrite").save()
+      finally rmRec(new java.io.File(dir))
     }
   }
 }
