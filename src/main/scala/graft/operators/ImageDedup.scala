@@ -441,6 +441,24 @@ object ImageDedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  /** [[dedupImages]] with a SURVIVOR POLICY ([[Dedup.dedupNearBy]]'s
+    * contract): keep the cluster member maximizing `keepBy` (highest
+    * resolution, best quality score, …; ties → lowest id), instead of
+    * the minimum id. One extra map-side-combined per-cluster arg-max
+    * shuffle; the id negation in the tie key is monotonic for every
+    * long except `Long.MinValue`.
+    */
+  def dedupImagesBy(df: DataFrame, idCol: String, hashCol: String,
+      keepBy: Column, maxHamming: Int = 6,
+      hotBucketThreshold: Int = Dedup.DefaultHotBucketThreshold): DataFrame = {
+    val survivors = imageClusters(df, idCol, hashCol, maxHamming, hotBucketThreshold)
+      .groupBy(col("rep"))
+      .agg(max_by(col(idCol),
+        struct(keepBy.as("q"), (-col(idCol)).as("negid"))).as("__keep"))
+      .select(col("__keep").as(idCol))
+    df.join(survivors, Seq(idCol), "left_semi")
+  }
+
   // ---- persisted image-hash index (incremental image dedup) ----
   // The perceptual-hash sibling of Dedup's MinHash signature index:
   // write once, probe each ingest batch with a pruned scan, append the

@@ -168,6 +168,16 @@ class ImageDedupSpec extends SparkSpec {
       .select("id", "rep").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(uncollapsed === reps, "collapseExact must be output-identical")
 
+    // survivor policy: keep the highest-keepBy member per cluster, not
+    // the minimum id (ties break to the lowest id)
+    val withQuality = hashed.withColumn("w",
+      when(col("id") === 3L, 100).otherwise(col("id").cast("int")))
+    val best = ImageDedup.dedupImagesBy(withQuality, "id", "dhash",
+        keepBy = col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(best === Set(3L, 4L, 5L, 6L),
+      s"cluster {1,2,3} must keep the max-quality member 3: $best")
+
     // NULL hashes mean "unknown", never "identical": two null-hash docs
     // must each stay their own singleton in BOTH modes (the collapse
     // must not invent a Hamming-0 class out of NULLs)
