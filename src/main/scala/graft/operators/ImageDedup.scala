@@ -459,6 +459,62 @@ object ImageDedup {
     df.join(survivors, Seq(idCol), "left_semi")
   }
 
+  // ---- video near-dup via frame-hash overlap ----
+
+  /** Per-frame perceptual hashes of video-like payloads: the
+    * [[Multimodal.sampleFrames]] 1→N explode (every `stride`-th
+    * `frameBytes` block) followed by per-frame hashing — real
+    * [[dHashImage]] decode when a frame is a decodable image, the
+    * deterministic byte surrogate otherwise (the container-codec seam;
+    * a real deployment plugs a JNI frame decoder into the same shape).
+    * Output: (id, frame_idx, fhash).
+    */
+  def frameHashes(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int): DataFrame = {
+    implicit val enc: org.apache.spark.sql.Encoder[(Long, Int, Array[Byte])] =
+      Encoders.product[(Long, Int, Array[Byte])]
+    Multimodal.sampleFrames(media, frameBytes, stride)
+      .mapPartitions { rows =>
+        rows.map { case (id, idx, frame) =>
+          (id, idx, hexOf(dHashImage(frame).getOrElse(dHashSurrogateBytes(frame))))
+        }
+      }(Encoders.product[(Long, Int, String)])
+      .toDF("id", "frame_idx", "fhash")
+  }
+
+  /** Near-duplicate VIDEO pairs: videos sharing at least `minShared`
+    * DISTINCT frame hashes, with the shared/union counts for
+    * Jaccard-style filtering — re-cuts, re-encodes, and
+    * subset/superset edits of the same footage share most frames while
+    * unrelated videos share none. Rides the same ONE-shuffle sorted-run
+    * machinery as winnowing/n-gram overlap ([[Lsh.scanRuns]]): exploded
+    * distinct frame hashes shuffle once on the hash value, and
+    * boilerplate frames held by more than `maxDf` videos (intro cards,
+    * logo stings, black frames) are dropped mid-stream with O(maxDf)
+    * memory — without the cap one shared intro would pair every video
+    * with every other.
+    */
+  def videoOverlapPairs(media: Dataset[MediaRow], frameBytes: Int,
+      stride: Int, maxDf: Int = 64, minShared: Int = 2): DataFrame = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes and stride must be >= 1, got $frameBytes/$stride")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val exploded = frameHashes(media, frameBytes, stride)
+      .select(col("id"), col("fhash")).distinct()
+    val scan = Lsh.scanRuns(exploded, "id", Seq("fhash"), maxDf,
+      hotStar = false, emitMembers = true)
+    val inter = scan.filter(col("tag") === 0)
+      .groupBy(col("a").as("ida"), col("b").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    val sz = scan.filter(col("tag") === 1)
+      .groupBy(col("a").as("__vid")).agg(count(lit(1)).as("n"))
+    inter.join(sz.as("na"), col("na.__vid") === col("ida"))
+      .join(sz.as("nb"), col("nb.__vid") === col("idb"))
+      .select(col("ida"), col("idb"), col("shared"),
+        (col("na.n") + col("nb.n") - col("shared")).as("u"))
+      .filter(col("shared") >= minShared)
+  }
+
   // ---- persisted image-hash index (incremental image dedup) ----
   // The perceptual-hash sibling of Dedup's MinHash signature index:
   // write once, probe each ingest batch with a pruned scan, append the

@@ -297,6 +297,46 @@ class ImageDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("video near-dup: shared-frame overlap pairs re-cuts, df cap kills boilerplate intros") {
+    // synthetic "videos": payload = concatenated fixed-size frames, each
+    // frame a distinct deterministic byte pattern (the stub-decode seam —
+    // frame hash = byte-surrogate dHash of the block)
+    val fb = 64
+    def frame(tag: Int): Array[Byte] =
+      Array.tabulate(fb)(i => ((tag * 31 + i * 7) % 251).toByte)
+    val intro = frame(999) // shared by EVERY video (logo sting)
+    def video(frames: Seq[Int]): Array[Byte] =
+      (intro +: frames.map(frame)).reduce(_ ++ _)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/raw", video(Seq(1, 2, 3, 4, 5, 6, 7, 8))),
+      Multimodal.MediaRow(2L, "video/raw", video(Seq(1, 2, 3, 4, 5, 6, 20, 21))), // re-cut: 6 shared
+      Multimodal.MediaRow(3L, "video/raw", video(Seq(30, 31, 32, 33, 34, 35, 36, 37))), // unrelated
+      Multimodal.MediaRow(4L, "video/raw", video(Seq(40, 41)))
+    ).toDS()
+    val fh = ImageDedup.frameHashes(rows, frameBytes = fb, stride = 1)
+    assert(fh.filter(col("id") === 1L).count() === 9L, "intro + 8 frames")
+    // identical content blocks hash identically across videos
+    val f1 = fh.filter(col("id") === 1L && col("frame_idx") === 1)
+      .select("fhash").collect().head.getString(0)
+    val f2 = fh.filter(col("id") === 2L && col("frame_idx") === 1)
+      .select("fhash").collect().head.getString(0)
+    assert(f1 === f2)
+
+    // maxDf = 3 drops the intro (df 4); the re-cut pair shares 6 frames
+    val pairs = ImageDedup.videoOverlapPairs(rows, frameBytes = fb,
+        stride = 1, maxDf = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // union counts over the DF-CAPPED hash universe (the dropped intro
+    // contributes to neither side — winnowOverlapPairs semantics)
+    assert(pairs.toSeq === Seq((1L, 2L, 6L, 10L)),
+      s"only the re-cut pair, 6 shared of 10 capped-union: ${pairs.toSeq}")
+
+    // without the cap the intro links everything — the guard the cap exists for
+    val uncapped = ImageDedup.videoOverlapPairs(rows, frameBytes = fb,
+      stride = 1, maxDf = 64, minShared = 1).count()
+    assert(uncapped === 6L, "all C(4,2) pairs link through the shared intro")
+  }
+
   test("surrogate column path agrees with the Scala surrogate on UTF-8-safe text") {
     // dHashTextCol samples CODE POINTS of the string; dHashSurrogateBytes
     // samples BYTES — on ASCII they coincide, which is the bridge the
