@@ -464,18 +464,10 @@ object Dedup {
     val exploded = swapBarrier(lastWinnowBarrier,
         winnowFingerprints(df, idCol, textCol, k, w))
       .select(col(idCol), explode(col("fingerprints")).as("fp"))
-    val scan = Lsh.scanRuns(exploded, idCol, Seq("fp"), maxDf,
-      hotStar = false, emitMembers = true)
-    val inter = scan.filter(col("tag") === 0)
-      .groupBy(col("a").as("ida"), col("b").as("idb"))
-      .agg(count(lit(1)).as("shared"))
-    val sz = scan.filter(col("tag") === 1)
-      .groupBy(col("a").as("__wid")).agg(count(lit(1)).as("n"))
-    inter.join(sz.as("na"), col("na.__wid") === col("ida"))
-      .join(sz.as("nb"), col("nb.__wid") === col("idb"))
-      .select(col("ida"), col("idb"), col("shared"),
-        (col("na.n") + col("nb.n") - col("shared")).as("u"))
-      .filter(col("shared") >= minShared)
+    Lsh.overlapPairsFromScan(
+      Lsh.scanRuns(exploded, idCol, Seq("fp"), maxDf,
+        hotStar = false, emitMembers = true),
+      minShared)
   }
 
   /** [[dedupNear]] with a SURVIVOR POLICY: instead of each cluster's

@@ -128,12 +128,14 @@ object ImageDedup {
   def grayGridOf(img: java.awt.image.BufferedImage): Array[Long] =
     grayPool(img, GridW, GridH)
 
-  /** dHash row-bytes of a REAL image payload, or None when no JDK codec
-    * accepts it (corrupt bytes, audio/video containers). Same NonFatal
+  /** The ONE ImageIO decode seam both perceptual hashes share: None for
+    * NULL payloads (a nullable binary column must never NPE a scan),
+    * payloads no JDK codec accepts, and degenerate images. Same NonFatal
     * hygiene as [[Multimodal.ImageIoDecoder]] — a hostile payload must
     * never kill a 100 TB scan.
     */
-  def dHashImage(payload: Array[Byte]): Option[Array[Int]] = {
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (payload == null) return None
     val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     val img =
@@ -142,15 +144,19 @@ object ImageDedup {
       finally {
         try stream.close() catch { case scala.util.control.NonFatal(_) => () }
       }
-    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
-    else Some(dHashBytesFromGrid(grayGridOf(img)))
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None else Some(img)
   }
 
+  /** dHash row-bytes of a REAL image payload, or None when
+    * [[decodeImage]] rejects it. */
+  def dHashImage(payload: Array[Byte]): Option[Array[Int]] =
+    decodeImage(payload).map(img => dHashBytesFromGrid(grayGridOf(img)))
+
   /** Deterministic byte-sample fallback grid: pixel i = unsigned byte at
-    * floor(i·n/72). Empty payload → all-zero hash.
+    * floor(i·n/72). Empty or NULL payload → all-zero hash.
     */
   def dHashSurrogateBytes(payload: Array[Byte]): Array[Int] = {
-    val n = payload.length
+    val n = if (payload == null) 0 else payload.length
     if (n < 1) new Array[Int](GridH)
     else {
       val g = new Array[Long](GridCells)
@@ -178,35 +184,27 @@ object ImageDedup {
 
   /** pHash (Krawetz 2013's DCT variant): 32×32 grayscale → 2-D DCT-II →
     * top-left 8×8 low-frequency block → bit (r, c) = coefficient (r, c)
-    * greater than the MEAN of the block's 63 AC coefficients (DC
-    * excluded from the mean — it is raw brightness, which the hash must
-    * ignore). Same 8-byte/16-hex packing as dHash, so banding,
-    * clustering, and the persisted index apply unchanged. Returns None
-    * when no JDK codec accepts the payload.
-    *
-    * Robustness contrast with [[dHashImage]]: AC coefficients are
-    * invariant to uniform brightness shifts (they only move F(0,0)) and
-    * degrade gracefully under rescaling/blur — the spec locks both.
+    * greater than the MEAN of the block's 63 AC coefficients. DC — raw
+    * brightness — votes NOTHING: it is excluded from the mean AND its
+    * bit position (0, 0) is fixed 0, so a uniform brightness shift
+    * (which moves only F(0,0)) cannot flip any bit. Same 8-byte/16-hex
+    * packing as dHash, so banding, clustering, and the persisted index
+    * apply unchanged. Returns None when [[decodeImage]] rejects the
+    * payload.
     */
-  def pHashImage(payload: Array[Byte]): Option[Array[Int]] = {
-    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
-    val img =
-      try javax.imageio.ImageIO.read(stream)
-      catch { case scala.util.control.NonFatal(_) => null }
-      finally {
-        try stream.close() catch { case scala.util.control.NonFatal(_) => () }
-      }
-    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
-    else {
+  def pHashImage(payload: Array[Byte]): Option[Array[Int]] =
+    decodeImage(payload).map { img =>
       val g = grayPool(img, PHashN, PHashN)
       // separable 2-D DCT-II, rows then columns (orthonormal scale —
-      // any uniform scale works, the bits compare against the mean)
-      val rows = Array.ofDim[Double](PHashN, PHashN)
+      // any uniform scale works, the bits compare against the mean).
+      // Only the 8 lowest horizontal frequencies are ever read by pass
+      // 2, so pass 1 computes just those (4× less multiply-add than the
+      // full 32-frequency transform, bit-identical output)
+      val rows = Array.ofDim[Double](PHashN, 8)
       var r = 0
       while (r < PHashN) {
         var u = 0
-        while (u < PHashN) {
+        while (u < 8) {
           var s = 0.0
           var x = 0
           while (x < PHashN) { s += g(r * PHashN + x) * cosTable(u)(x); x += 1 }
@@ -238,15 +236,14 @@ object ImageDedup {
         var b = 0
         var cc = 0
         while (cc < 8) {
-          if (block(rr)(cc) > mean) b |= 1 << cc
+          if ((rr != 0 || cc != 0) && block(rr)(cc) > mean) b |= 1 << cc
           cc += 1
         }
         bytes(rr) = b
         rr += 1
       }
-      Some(bytes)
+      bytes
     }
-  }
 
   /** Per-partition pHash over a media column: real decode, byte
     * surrogate fallback (the [[dHashSurrogateBytes]] sampler — a
@@ -499,20 +496,15 @@ object ImageDedup {
     require(frameBytes >= 1 && stride >= 1,
       s"frameBytes and stride must be >= 1, got $frameBytes/$stride")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // maxDf 0 would hit scanRuns' "0 = unbounded" opt-out and silently
+    // disable the load-bearing boilerplate-frame cap
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val exploded = frameHashes(media, frameBytes, stride)
       .select(col("id"), col("fhash")).distinct()
-    val scan = Lsh.scanRuns(exploded, "id", Seq("fhash"), maxDf,
-      hotStar = false, emitMembers = true)
-    val inter = scan.filter(col("tag") === 0)
-      .groupBy(col("a").as("ida"), col("b").as("idb"))
-      .agg(count(lit(1)).as("shared"))
-    val sz = scan.filter(col("tag") === 1)
-      .groupBy(col("a").as("__vid")).agg(count(lit(1)).as("n"))
-    inter.join(sz.as("na"), col("na.__vid") === col("ida"))
-      .join(sz.as("nb"), col("nb.__vid") === col("idb"))
-      .select(col("ida"), col("idb"), col("shared"),
-        (col("na.n") + col("nb.n") - col("shared")).as("u"))
-      .filter(col("shared") >= minShared)
+    Lsh.overlapPairsFromScan(
+      Lsh.scanRuns(exploded, "id", Seq("fhash"), maxDf,
+        hotStar = false, emitMembers = true),
+      minShared)
   }
 
   // ---- persisted image-hash index (incremental image dedup) ----

@@ -73,6 +73,27 @@ object Lsh {
     }(Encoders.row(ScanSchema))
   }
 
+  /** Shared-count overlap pairs from a [[scanRuns]] output (emitMembers
+    * must be on): distinct id pairs with `shared` (co-occurring keys) and
+    * `u` (union of the two ids' key counts over the df-capped key
+    * universe — dropped over-threshold keys contribute to NEITHER side).
+    * The one aggregation tail winnowing overlap and video frame overlap
+    * share.
+    */
+  def overlapPairsFromScan(scan: DataFrame, minShared: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val inter = scan.filter(col("tag") === 0)
+      .groupBy(col("a").as("ida"), col("b").as("idb"))
+      .agg(count(lit(1)).as("shared"))
+    val sz = scan.filter(col("tag") === 1)
+      .groupBy(col("a").as("__oid")).agg(count(lit(1)).as("n"))
+    inter.join(sz.as("na"), col("na.__oid") === col("ida"))
+      .join(sz.as("nb"), col("nb.__oid") === col("idb"))
+      .select(col("ida"), col("idb"), col("shared"),
+        (col("na.n") + col("nb.n") - col("shared")).as("u"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Streams pair/member rows over consecutive (key, id)-sorted runs.
     * Equal ids are adjacent after the sort, so dedup is a neighbor check;
     * the first distinct id of a run is its minimum (the star/pair anchor).

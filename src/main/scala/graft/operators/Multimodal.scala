@@ -38,7 +38,9 @@ object Multimodal {
     */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
-      val n = payload.length
+      // NULL payload ≡ empty payload: a nullable binary column must
+      // never NPE a scan
+      val n = if (payload == null) 0 else payload.length
       val hist = new Array[Double](16)
       var i = 0
       while (i < n) { hist((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
@@ -60,6 +62,7 @@ object Multimodal {
     */
   object ImageIoDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      if (payload == null) return StubDecoder.decode(payload)
       val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       // NonFatal, not just IOException: JDK readers (notably JPEG) throw
@@ -119,9 +122,12 @@ object Multimodal {
       val dec = decoder
       val md5 = java.security.MessageDigest.getInstance("MD5")
       rows.map { r =>
-        val (w, h, hist) = dec.decode(r.payload)
-        MediaFeatures(r.id, r.mediaType, r.payload.length.toLong,
-          md5.digest(r.payload).map("%02x".format(_)).mkString,
+        // NULL payloads normalize to empty at the seam — hashes, sizes,
+        // and decoders all stay total
+        val p = if (r.payload == null) Array.emptyByteArray else r.payload
+        val (w, h, hist) = dec.decode(p)
+        MediaFeatures(r.id, r.mediaType, p.length.toLong,
+          md5.digest(p).map("%02x".format(_)).mkString,
           w, h, hist)
       }
     }
@@ -138,8 +144,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       val target = math.max(1, targetW * targetH)
       rows.map { r =>
-        val n = r.payload.length
-        if (n == 0) r // empty media stays empty
+        val n = if (r.payload == null) 0 else r.payload.length
+        if (n == 0) r // empty (or NULL) media stays as-is
         else {
           // exactly `target` bytes: down-samples long payloads, repeats
           // bytes of short ones — fixed-shape output either way
@@ -161,7 +167,8 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int)(
       implicit e: Encoder[(Long, Int, Array[Byte])]): Dataset[(Long, Int, Array[Byte])] =
     media.flatMap { r =>
-      r.payload.grouped(frameBytes).zipWithIndex
+      if (r.payload == null) Iterator.empty // NULL media has no frames
+      else r.payload.grouped(frameBytes).zipWithIndex
         .filter(_._2 % stride == 0)
         .map { case (frame, idx) => (r.id, idx, frame) }
     }

@@ -114,6 +114,14 @@ class ImageDedupSpec extends SparkSpec {
     assert(hamming(h1, other) > 6,
       s"distinct images must separate: ${hamming(h1, other)}")
     assert(ImageDedup.pHashImage("not an image".getBytes("UTF-8")).isEmpty)
+    // the "brightness never votes" invariant is structural: bit (0,0)
+    // is fixed 0, so every pHash byte 0 has its LSB clear
+    assert((Integer.parseInt(h1.substring(0, 2), 16) & 1) === 0)
+    // NULL payloads are rejected cleanly, never an NPE (nullable binary
+    // columns are legal media inputs)
+    assert(ImageDedup.pHashImage(null).isEmpty)
+    assert(ImageDedup.dHashImage(null).isEmpty)
+    assert(ImageDedup.dHashSurrogateBytes(null).forall(_ == 0))
     // the shared stack consumes pHash columns unchanged
     val rows = Seq(
       Multimodal.MediaRow(1L, "image/png", pngBytes(base)),
@@ -311,7 +319,8 @@ class ImageDedupSpec extends SparkSpec {
       Multimodal.MediaRow(1L, "video/raw", video(Seq(1, 2, 3, 4, 5, 6, 7, 8))),
       Multimodal.MediaRow(2L, "video/raw", video(Seq(1, 2, 3, 4, 5, 6, 20, 21))), // re-cut: 6 shared
       Multimodal.MediaRow(3L, "video/raw", video(Seq(30, 31, 32, 33, 34, 35, 36, 37))), // unrelated
-      Multimodal.MediaRow(4L, "video/raw", video(Seq(40, 41)))
+      Multimodal.MediaRow(4L, "video/raw", video(Seq(40, 41))),
+      Multimodal.MediaRow(5L, "video/raw", null) // NULL media: no frames, no NPE
     ).toDS()
     val fh = ImageDedup.frameHashes(rows, frameBytes = fb, stride = 1)
     assert(fh.filter(col("id") === 1L).count() === 9L, "intro + 8 frames")
