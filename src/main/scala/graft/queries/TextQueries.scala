@@ -959,22 +959,28 @@ object TextQueries {
     * definition drives the cluster and the incremental-index oracles,
     * mirroring [[graft.operators.ImageDedup.dHashTextCol]] exactly.
     */
-  private val imageHashCtesSql: String = {
-    val rowBytes = (0 until 8).map { r =>
-      (0 until 8).map { c =>
-        s"(CASE WHEN p[${r * 9 + c + 2}] > p[${r * 9 + c + 1}] THEN ${1 << c} ELSE 0 END)"
-      }.mkString(" + ")
-    }
+  /** The 8 dHash row-byte expressions over a 72-sample list aliased `p`
+    * — shared by every dHash-mirroring oracle.
+    */
+  private val dhashByteExprsSql: Seq[String] = (0 until 8).map { r =>
+    (0 until 8).map { c =>
+      s"(CASE WHEN p[${r * 9 + c + 2}] > p[${r * 9 + c + 1}] THEN ${1 << c} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
+  private val dhashPrintfSql: String =
+    "printf('%02x%02x%02x%02x%02x%02x%02x%02x', " +
+      "bs[1], bs[2], bs[3], bs[4], bs[5], bs[6], bs[7], bs[8])"
+
+  private val imageHashCtesSql: String =
     "px AS (SELECT doc_id, CASE WHEN coalesce(length(text), 0) >= 1 THEN " +
       "[ord(substr(text, 1 + CAST((i * length(text)) // 72 AS INT), 1)) " +
       "for i in range(72)] END AS p FROM documents), " +
       s"hb AS (SELECT doc_id, CASE WHEN p IS NULL THEN [0, 0, 0, 0, 0, 0, 0, 0] " +
-      s"ELSE [${rowBytes.mkString(", ")}] END AS bs FROM px), " +
-      "h AS (SELECT doc_id, printf('%02x%02x%02x%02x%02x%02x%02x%02x', " +
-      "bs[1], bs[2], bs[3], bs[4], bs[5], bs[6], bs[7], bs[8]) AS dhash, bs FROM hb), " +
+      s"ELSE [${dhashByteExprsSql.mkString(", ")}] END AS bs FROM px), " +
+      s"h AS (SELECT doc_id, $dhashPrintfSql AS dhash, bs FROM hb), " +
       "bands AS (SELECT doc_id, r, bs[CAST(r + 1 AS INT)] AS bv FROM h " +
       "CROSS JOIN (SELECT unnest(range(8)) AS r) t)"
-  }
 
   /** Exact Hamming between two `h` rows aliased `x` and `y`. */
   private val imageHammingSql: String =
@@ -1031,6 +1037,51 @@ object TextQueries {
     ImageDedup.writeImageHashIndex(corpus, "doc_id", "dhash", idx)
     ImageDedup.dedupAgainstImageIndex(batch, "doc_id", "dhash", idx)
       .select(col("doc_id"), col("corpus_id"), col("hamming").cast("long"))
+  }
+
+  /** Video near-dup pairs through the REAL operator
+    * ([[graft.operators.ImageDedup.videoOverlapPairs]]): each document's
+    * UTF-8 payload is a "video", its 96-byte blocks the frames, per-frame
+    * dHash surrogates the fingerprints; videos sharing ≥ 2 distinct
+    * frame hashes pair with exact shared/capped-union counts, boilerplate
+    * frames (df > 16) dropped from both sides. The corpus is pure ASCII
+    * at every SF (asserted when the entry was written), so the oracle's
+    * code-point framing and sampling equal the operator's byte framing
+    * exactly — the same bridge `q_image_dedup` stands on.
+    */
+  val qVideoOverlap = q(
+    "q_video_overlap", {
+      val fb = 96
+      "WITH fr AS (SELECT doc_id, unnest(range(1, " +
+        s"CAST(ceil(length(text) / $fb.0) AS INT) + 1)) AS f, text FROM documents), " +
+        s"fx AS (SELECT doc_id, substr(text, (f - 1) * $fb + 1, $fb) AS blk FROM fr), " +
+        "fpx AS (SELECT doc_id, CASE WHEN length(blk) >= 1 THEN " +
+        "[ord(substr(blk, 1 + CAST((i * length(blk)) // 72 AS INT), 1)) " +
+        "for i in range(72)] END AS p FROM fx), " +
+        s"fhb AS (SELECT doc_id, CASE WHEN p IS NULL THEN [0, 0, 0, 0, 0, 0, 0, 0] " +
+        s"ELSE [${dhashByteExprsSql.mkString(", ")}] END AS bs FROM fpx), " +
+        s"fh AS (SELECT DISTINCT doc_id, $dhashPrintfSql AS fhash FROM fhb), " +
+        "kept AS (SELECT doc_id, fhash FROM fh WHERE fhash IN (" +
+        "SELECT fhash FROM (SELECT fhash, count(DISTINCT doc_id) AS df " +
+        "FROM fh GROUP BY fhash) WHERE df <= 16)), " +
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY doc_id), " +
+        "pr AS (SELECT a.doc_id AS ida, b.doc_id AS idb, " +
+        "CAST(count(*) AS BIGINT) AS shared FROM kept a " +
+        "JOIN kept b ON a.fhash = b.fhash AND a.doc_id < b.doc_id " +
+        "GROUP BY a.doc_id, b.doc_id) " +
+        "SELECT ida, idb, shared, na.n + nb.n - shared AS u FROM pr " +
+        "JOIN sz na ON na.doc_id = ida JOIN sz nb ON nb.doc_id = idb " +
+        "WHERE shared >= 2"
+    }) { (s, d) =>
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), lit("video/raw").as("mediaType"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[graft.operators.Multimodal.MediaRow]
+    graft.operators.ImageDedup
+      .videoOverlapPairs(media, frameBytes = 96, stride = 1,
+        maxDf = 16, minShared = 2)
+      .select(col("ida"), col("idb"), col("shared"), col("u"))
   }
 
   /** Survivor set of exact dedup through `operators.Dedup.exact`: the rows a
@@ -1319,7 +1370,7 @@ object TextQueries {
     qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qVideoOverlap, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }
