@@ -311,6 +311,20 @@ object ImageDedup {
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
       lit(0), (acc, x) => acc + x)
 
+  /** Exact Hamming distance between two 16-hex hashes as a FLAT scalar
+    * expression (8 × bit_count(xor)) — higher-order array functions
+    * (`zip_with`/`aggregate`) evaluate their lambdas interpreted per
+    * row, which dominates a verify over millions of candidate rows;
+    * this form stays inside whole-stage codegen.
+    */
+  def hammingHexCol(a: Column, b: Column): Column =
+    (0 until GridH).map { r =>
+      bit_count(
+        conv(a.substr(lit(r * 2 + 1), lit(2)), 16, 10).cast("long")
+          .bitwiseXOR(conv(b.substr(lit(r * 2 + 1), lit(2)), 16, 10).cast("long")))
+        .cast("int")
+    }.reduce(_ + _)
+
   private val lastHashBarrier =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   private val lastBytesBarrier =
@@ -517,7 +531,8 @@ object ImageDedup {
   private def imgMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(path, ImgMetaFileName)
 
-  private def writeImgMeta(df: DataFrame, path: String, idCol: String): Unit = {
+  private def writeImgMeta(df: DataFrame, path: String, idCol: String,
+      bandBits: Int): Unit = {
     require(!idCol.exists(c => c == '"' || c == '\\'),
       s"writeImageHashIndex: idCol name must not contain '\"' or '\\' " +
         s"(got '$idCol') — alias the column to a plain name first")
@@ -525,17 +540,18 @@ object ImageDedup {
     val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(
-      s"""{"op":"imageHashIndex","id":"$idCol","gridW":$GridW,"gridH":$GridH}"""
-        .getBytes("UTF-8"))
+      (s"""{"op":"imageHashIndex","id":"$idCol","bandBits":$bandBits,""" +
+        s""""gridW":$GridW,"gridH":$GridH}""").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Read + validate the meta, returning (raw text, persisted idCol).
-    * Fails loud on a non-artifact directory or a grid-geometry mismatch
-    * (a future wider grid would make every probe silently empty).
+  /** Read + validate the meta, returning (raw text, persisted idCol,
+    * band width in bits). Fails loud on a non-artifact directory or a
+    * grid-geometry mismatch (a future wider grid would make every probe
+    * silently empty). `bandBits` defaults to 8 for pre-field artifacts.
     */
   private def readImgMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, op: String): (String, String) = {
+      path: String, op: String): (String, String, Int) = {
     val p = imgMetaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(p),
@@ -557,15 +573,18 @@ object ImageDedup {
       s"$op: index at $path uses grid ${intField("gridW")}×${intField("gridH")} " +
         s"but this build hashes $GridW×$GridH — probes would never match; " +
         "rebuild the index")
-    (txt, strField("id"))
+    val bb = (s""""bandBits"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(8)
+    (txt, strField("id"), bb)
   }
 
   private def validateImgMeta(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String, op: String): Unit = {
-    val persisted = readImgMeta(spark, path, op)._2
+      path: String, idCol: String, op: String): Int = {
+    val (_, persisted, bandBits) = readImgMeta(spark, path, op)
     require(persisted == idCol,
       s"$op: index at $path stores ids under '$persisted' but the call " +
         s"passed '$idCol' — pass the index's own id column or rebuild it")
+    bandBits
   }
 
   /** The index's fixed on-disk schema, supplied explicitly on every read
@@ -582,12 +601,25 @@ object ImageDedup {
       StructField("band", IntegerType)))
   }
 
-  /** One row per (band, id): (idCol, dhash, bv, band). Rows with a NULL
-    * hash produce nothing (a NULL hash can match nothing — same rule as
-    * the banding in [[classReps]]).
+  /** Above this many distinct (band, bv) probe keys, the index scan
+    * skips literal-IN pruning and relies on the broadcast join alone —
+    * see the regime note in [[dedupAgainstImageIndex]].
+    */
+  val PushdownKeyLimit = 4096
+
+  private def requireBandBits(bandBits: Int, op: String): Unit =
+    require(bandBits == 8 || bandBits == 16,
+      s"$op: bandBits must be 8 (8 bands, Hamming ≤ 7 guarantee) or 16 " +
+        s"(4 bands, Hamming ≤ 3 guarantee — the big-corpus layout), got $bandBits")
+
+  /** One row per (band, id): (idCol, dhash, bv, band), with `bandBits`
+    * controlling the band value width — 8 → 8 one-byte bands, 16 → 4
+    * two-byte bands. Rows with a NULL hash produce nothing (a NULL hash
+    * can match nothing — same rule as the banding in [[classReps]]).
     */
   private def bandedHashes(df: DataFrame, idCol: String,
-      hashCol: String): DataFrame = {
+      hashCol: String, bandBits: Int): DataFrame = {
+    requireBandBits(bandBits, "imageHashIndex")
     require(hashCol == "dhash" || !df.columns.map(_.toLowerCase)
         .contains("dhash"),
       s"bandedHashes: input already has a 'dhash' column distinct from " +
@@ -606,13 +638,19 @@ object ImageDedup {
           s"${dt.simpleString}) — derive a long id first (the repo-wide " +
           "id convention, as in Lsh)")
     }
+    val hb = hashBytesCol(col("dhash"))
+    val bandVals =
+      if (bandBits == 16)
+        transform(sequence(lit(0), lit(GridH / 2 - 1)), r =>
+          element_at(hb, r * 2 + 1) * 256 + element_at(hb, r * 2 + 2))
+      else hb
     df.select(col(idCol).cast("long").as(idCol), col(hashCol).as("dhash"))
       // the filter is load-bearing: hashBytesCol of a NULL hash is an
       // array of 8 NULL ints (the outer sequence is a literal), which
       // posexplode would emit as NULL band values
       .filter(col("dhash").isNotNull)
       .select(col(idCol), col("dhash"),
-        posexplode(hashBytesCol(col("dhash"))).as(Seq("band", "bv")))
+        posexplode(bandVals).as(Seq("band", "bv")))
   }
 
   /** Build the persisted index: banded hash rows partitioned by `band`
@@ -620,13 +658,23 @@ object ImageDedup {
     * ([[Dedup.clusterForPartitionedWrite]]) so each band writes a
     * bounded number of files with tight `bv` row-group bounds for the
     * probe's IN pushdown.
+    *
+    * `bandBits` picks the on-disk band width, persisted in the meta so
+    * appends and probes self-configure: 8 → 8 one-byte bands (Hamming
+    * ≤ 7 detection guarantee), 16 → 4 two-byte bands (guarantee ≤ 3,
+    * Manku's production radius — and the layout a LARGE corpus needs:
+    * one-byte band values saturate their 256-value domain at any real
+    * corpus size, making every probe key match ~N/256 index rows;
+    * measured 87.9 → 1.1 s on a 500k-row index probe, SCALE.md.
+    * Norouzi CVPR'12's analysis: band width should grow with log₂ N).
     */
   def writeImageHashIndex(df: DataFrame, idCol: String, hashCol: String,
-      path: String): Unit = {
-    Dedup.clusterForPartitionedWrite(bandedHashes(df, idCol, hashCol),
+      path: String, bandBits: Int = 8): Unit = {
+    requireBandBits(bandBits, "writeImageHashIndex")
+    Dedup.clusterForPartitionedWrite(bandedHashes(df, idCol, hashCol, bandBits),
         "band", sortCols = Seq("bv"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
-    writeImgMeta(df, path, idCol)
+    writeImgMeta(df, path, idCol, bandBits)
   }
 
   /** APPEND a cleaned ingest batch's hash rows — one pass over the
@@ -638,8 +686,9 @@ object ImageDedup {
     */
   def appendToImageHashIndex(df: DataFrame, idCol: String, hashCol: String,
       path: String): Unit = {
-    validateImgMeta(df.sparkSession, path, idCol, "appendToImageHashIndex")
-    bandedHashes(df, idCol, hashCol)
+    val bandBits = validateImgMeta(df.sparkSession, path, idCol,
+      "appendToImageHashIndex")
+    bandedHashes(df, idCol, hashCol, bandBits)
       .write.mode("append").partitionBy("band").parquet(path)
   }
 
@@ -659,8 +708,9 @@ object ImageDedup {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64], got $maxHamming")
     val spark = newDocs.sparkSession
-    validateImgMeta(spark, indexPath, idCol, "dedupAgainstImageIndex")
-    val probes = bandedHashes(newDocs, idCol, hashCol)
+    val bandBits = validateImgMeta(spark, indexPath, idCol,
+      "dedupAgainstImageIndex")
+    val probes = bandedHashes(newDocs, idCol, hashCol, bandBits)
     val keyRows = probes.select(col("band"), col("bv")).distinct()
       .take(maxProbeKeys + 1)
     require(keyRows.length <= maxProbeKeys,
@@ -671,20 +721,30 @@ object ImageDedup {
     if (keyRows.isEmpty)
       return probes.select(col(idCol), col(idCol).as("corpus_id"),
         lit(0).as("hamming")).limit(0)
-    val keysByBand = keyRows.groupBy(_.getInt(0)).view
-      .mapValues(_.map(_.getInt(1)).toSeq).toMap
-    val prune = keysByBand.toSeq.sortBy(_._1).map { case (b, bvs) =>
-      col("band") === b && col("bv").isin(bvs: _*)
-    }.reduce(_ || _)
-    // flat IN pushes into the scan as a data filter; the OR-of-ANDs
-    // refines per band and drives partition pruning (the sig-index
-    // two-stage pattern)
-    val allBvs = keysByBand.values.flatten.toSeq.distinct
-    val index = spark.read.schema(imgIndexSchema(idCol)).parquet(indexPath)
-      .filter(col("bv").isin(allBvs: _*))
-      .filter(prune)
-    val ham = hammingCol(hashBytesCol(col("n.dhash")),
-      hashBytesCol(col("c.dhash")))
+    val index0 = spark.read.schema(imgIndexSchema(idCol)).parquet(indexPath)
+    // two probe regimes by key count:
+    //  - SMALL key sets: literal (band, bv) pruning pushes into the scan
+    //    as a data filter (flat IN) + per-band OR refinement — the
+    //    sig-index two-stage pattern, skipping row groups entirely.
+    //  - LARGE key sets (a big batch saturating the band-value domain):
+    //    the literals prune nothing — every row group contains matching
+    //    values — while the 10⁴–10⁵-literal expression tree costs real
+    //    evaluation time and real memory in EVERY task's deserialized
+    //    plan (measured: driver-side OOM class at 2×10⁴ literals).
+    //    Skip the filters; the broadcast hash join below IS the filter,
+    //    at O(1) per index row.
+    val index =
+      if (keyRows.length > PushdownKeyLimit) index0
+      else {
+        val keysByBand = keyRows.groupBy(_.getInt(0)).view
+          .mapValues(_.map(_.getInt(1)).toSeq).toMap
+        val prune = keysByBand.toSeq.sortBy(_._1).map { case (b, bvs) =>
+          col("band") === b && col("bv").isin(bvs: _*)
+        }.reduce(_ || _)
+        val allBvs = keysByBand.values.flatten.toSeq.distinct
+        index0.filter(col("bv").isin(allBvs: _*)).filter(prune)
+      }
+    val ham = hammingHexCol(col("n.dhash"), col("c.dhash"))
     index.as("c")
       .join(broadcast(probes.as("n")),
         col("n.band") === col("c.band") && col("n.bv") === col("c.bv"))
@@ -715,7 +775,7 @@ object ImageDedup {
       path: String, targetPath: String, filesPerBand: Int = 1): Unit = {
     require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
     Dedup.requireDistinctPaths(spark, path, targetPath, "compactImageHashIndex")
-    val (txt, idCol) = readImgMeta(spark, path, "compactImageHashIndex")
+    val (txt, idCol, _) = readImgMeta(spark, path, "compactImageHashIndex")
     Dedup.clusterForPartitionedWrite(
         spark.read.schema(imgIndexSchema(idCol)).parquet(path).distinct(),
         "band", filesPerPartition = filesPerBand, sortCols = Seq("bv"))

@@ -77,6 +77,19 @@ object Round12ScaleTimer {
         ImageDedup.dedupAgainstImageIndex(batch, "doc_id", "dhash", dir)
           .write.format("noop").mode("overwrite").save()
       }
+      // the big-corpus layout: one-byte band values saturate their
+      // 256-value domain under heavy duplication (every probe key
+      // matches ~N/256 index rows); two-byte bands keep the probe
+      // tracking the batch — at Manku's Hamming ≤ 3 radius
+      val dir16 = java.nio.file.Files
+        .createTempDirectory("graft_imgidx_scale16").toString + "/idx"
+      ImageDedup.writeImageHashIndex(corpus, "doc_id", "dhash", dir16,
+        bandBits = 16)
+      time("image_index_probe_16bit") {
+        ImageDedup.dedupAgainstImageIndex(batch, "doc_id", "dhash", dir16,
+            maxHamming = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
 
     // staged-materialization crossover: the one-plan pipeline replays its

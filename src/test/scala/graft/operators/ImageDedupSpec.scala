@@ -244,6 +244,19 @@ class ImageDedupSpec extends SparkSpec {
       Seq((30L, null.asInstanceOf[String])).toDF("id", "dhash"),
       "id", "dhash", idx).count() === 0L)
 
+    // bandBits = 16 (the big-corpus layout: 4 two-byte bands, Hamming
+    // ≤ 3 guarantee): appends and probes self-configure from the meta
+    // and agree with the 8-bit layout on within-guarantee pairs
+    val idx16 = tempDir("graft_imgidx16") + "/idx"
+    ImageDedup.writeImageHashIndex(corpus, "id", "dhash", idx16, bandBits = 16)
+    ImageDedup.appendToImageHashIndex(
+      Seq((12L, newH)).toDF("id", "dhash"), "id", "dhash", idx16)
+    assert(probe(idx16) === probe(idx),
+      "16-bit-band probes must find the same within-guarantee pairs")
+    val bandDirs16 = new java.io.File(idx16).listFiles()
+      .count(_.getName.startsWith("band="))
+    assert(bandDirs16 === 4, s"16-bit layout has 4 bands, got $bandDirs16")
+
     // guards: non-artifact dir; id-column mismatch; nested compact target
     val e1 = intercept[IllegalArgumentException] {
       ImageDedup.dedupAgainstImageIndex(batch, "id", "dhash",
