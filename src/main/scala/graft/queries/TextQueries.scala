@@ -1039,6 +1039,36 @@ object TextQueries {
       .select(col("doc_id"), col("corpus_id"), col("hamming").cast("long"))
   }
 
+  /** The big-corpus index layout (`bandBits = 16`: 4 two-byte bands,
+    * Hamming ≤ 3 pigeonhole guarantee) through the same incremental
+    * probe — the oracle mirrors the WIDER banding (a pair is a candidate
+    * iff some aligned byte PAIR matches) and the tighter radius, locking
+    * the layout cross-engine like its 8-bit sibling.
+    */
+  val qImageDedupIncremental16 = q(
+    "q_image_dedup_incremental16",
+    s"WITH $imageHashCtesSql, " +
+      "bands16 AS (SELECT doc_id, r, bs[CAST(2 * r + 1 AS INT)] * 256 + " +
+      "bs[CAST(2 * r + 2 AS INT)] AS bv FROM h " +
+      "CROSS JOIN (SELECT unnest(range(4)) AS r) t), " +
+      "m AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id " +
+      "FROM bands16 n JOIN bands16 c ON n.r = c.r AND n.bv = c.bv " +
+      "WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0) " +
+      s"SELECT m.doc_id, m.corpus_id, CAST($imageHammingSql AS BIGINT) AS hamming " +
+      "FROM m JOIN h x ON x.doc_id = m.doc_id " +
+      "JOIN h y ON y.doc_id = m.corpus_id " +
+      s"WHERE $imageHammingSql <= 3") { (s, d) =>
+    import graft.operators.ImageDedup
+    val hashed = Tables.documentsBalanced(s, d).select(col("doc_id"),
+      ImageDedup.dHashTextCol(col("text")).as("dhash"))
+    val corpus = hashed.filter(col("doc_id") % 7 =!= 0)
+    val batch = hashed.filter(col("doc_id") % 7 === 0)
+    val idx = scratchDir("graft_imgidx16", d)
+    ImageDedup.writeImageHashIndex(corpus, "doc_id", "dhash", idx, bandBits = 16)
+    ImageDedup.dedupAgainstImageIndex(batch, "doc_id", "dhash", idx, maxHamming = 3)
+      .select(col("doc_id"), col("corpus_id"), col("hamming").cast("long"))
+  }
+
   /** Video near-dup pairs through the REAL operator
     * ([[graft.operators.ImageDedup.videoOverlapPairs]]): each document's
     * UTF-8 payload is a "video", its 96-byte blocks the frames, per-frame
@@ -1370,7 +1400,7 @@ object TextQueries {
     qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qVideoOverlap, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }
