@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import GraftQuery.q
+
+/** Temporal-join queries over [[graft.operators.Temporal]]: point-in-time
+  * (as-of) and keyless point-in-interval (range) joins — the two warehouse
+  * temporal shapes the keyed interval join (`q_interval_join`) doesn't
+  * cover. Timestamps are emitted as epoch-millis BIGINTs so the DuckDB
+  * compare is timestamp-format-agnostic (house rule from WindowQueries).
+  */
+object TemporalQueries {
+
+  /** As-of join: each purchase picks the latest at-or-before view by the
+    * same user (NULL when the user never viewed before buying). The oracle
+    * mirrors the exact tie rule — max qualifying ts, then max view id —
+    * with a two-level argmax, deliberately NOT a vendor ASOF JOIN (whose
+    * tie-breaking is unspecified).
+    */
+  val qAsofJoin = q(
+    "q_asof_join",
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id, max(v.ts) AS ats FROM p LEFT JOIN v " +
+      "ON v.user_id = p.user_id AND v.ts <= p.ts GROUP BY p.event_id) " +
+      "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, " +
+      "epoch_ms(m.ats) AS asof_ts_ms, max(v.view_id) AS asof_view_id " +
+      "FROM p JOIN m ON m.event_id = p.event_id " +
+      "LEFT JOIN v ON v.user_id = p.user_id AND v.ts = m.ats " +
+      "GROUP BY 1, 2, 3, 4") { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    Temporal.asofJoin(p, v, Seq("user_id"), "ts", "vts", Seq("view_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("asof_vts")).as("asof_ts_ms"),
+        col("asof_view_id"))
+  }
+
+  /** Keyless range join: urgent orders open a 1–3 day window from their
+    * order date; every lineitem shipped inside ANY such window matches it
+    * (no key relates the two sides). Output: per-window point count + exact
+    * scaled quantity, zero-count windows kept — locking both the pairing
+    * and the inner-join drop semantics. The oracle states the naive range
+    * predicate; the Spark side must reproduce it through the bucketized
+    * equi-join (2-day buckets ≈ the median window length).
+    */
+  val qRangeJoin = q(
+    "q_range_join",
+    "WITH iv AS (SELECT o_orderkey, o_orderdate AS ws, " +
+      "o_orderdate + ((o_orderkey % 3) + 1) * INTERVAL 1 DAY AS we " +
+      "FROM orders WHERE o_orderpriority = '1-URGENT'), " +
+      "j AS (SELECT o_orderkey, count(*) AS n_pts, " +
+      s"${Exact.sumScaledSql("l_quantity", 100)} AS qty_c " +
+      "FROM iv JOIN lineitem ON l_shipdate >= ws AND l_shipdate <= we GROUP BY 1) " +
+      "SELECT iv.o_orderkey, coalesce(j.n_pts, 0) AS n_pts, " +
+      "coalesce(j.qty_c, 0) AS qty_c FROM iv LEFT JOIN j USING (o_orderkey)") { (s, d) =>
+    val iv = Tables.orders(s, d)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").as("ws"),
+        expr("o_orderdate + make_dt_interval(CAST(o_orderkey % 3 AS INT) + 1)").as("we"))
+    val pts = Tables.lineitem(s, d).select(col("l_quantity"), col("l_shipdate"))
+    val matched = Temporal
+      .rangeJoin(pts, iv, "l_shipdate", "ws", "we", bucketMs = 2L * 86400000L)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_pts"), Exact.sumScaled(col("l_quantity"), 100).as("qty_c"))
+    iv.select("o_orderkey")
+      .join(matched, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("n_pts"), lit(0L)).as("n_pts"),
+        coalesce(col("qty_c"), lit(0L)).as("qty_c"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(qAsofJoin, qRangeJoin)
+}

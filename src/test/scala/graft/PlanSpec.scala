@@ -413,4 +413,27 @@ class PlanSpec extends SparkSpec {
       p.take(2000)) // Exchange node + its Arguments echo line
     assert(p.contains("Window"), "expected the per-group sketch window")
   }
+
+  test("q_asof_join: union + ONE key shuffle + one window — no range explosion") {
+    val p = plan("q_asof_join")
+    // the whole as-of resolves on a single hash partitioning by user_id
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("Window"), "expected the carry-forward window")
+    assert(!p.contains("Join"), "as-of must not plan any join operator:\n" + p.take(2000))
+    // both side filters reach their scans
+    assert(p.contains("EqualTo(event_type,purchase)") &&
+      p.contains("EqualTo(event_type,view)"), "pushdown lost:\n" + p.take(2000))
+  }
+
+  test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range predicate must ride the bucket equi-join:\n" + p.take(2000))
+    // tiny interval side broadcasts after the bucket explode (Generate);
+    // the lineitem fact scan is pruned to the two needed columns and never
+    // shuffles before the join
+    assert(p.contains("Generate") && p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("struct<l_quantity:double,l_shipdate:timestamp"),
+      "lineitem scan must be pruned to 2 columns:\n" + p.take(2000))
+  }
 }

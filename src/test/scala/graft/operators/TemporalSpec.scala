@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Planted-data contracts for [[Temporal.asofJoin]] and
+  * [[Temporal.rangeJoin]] — the tie rule, boundary inclusivity,
+  * exactly-once pairing, and the loud guards.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trades(rows: (Long, Long, Long)*): DataFrame = // (id, key, t)
+    rows.toDF("id", "key", "t")
+  private def quotes(rows: (Long, Long, Long)*): DataFrame = // (qid, key, qt)
+    rows.toDF("qid", "qkey", "qt").withColumnRenamed("qkey", "key")
+
+  private def asof(l: DataFrame, r: DataFrame, tol: Option[Long] = None) =
+    Temporal.asofJoin(l, r, Seq("key"), "t", "qt", Seq("qid"), toleranceMs = tol)
+      .select("id", "asof_qt", "asof_qid")
+
+  test("asofJoin: latest at-or-before quote wins; equal ts is inclusive") {
+    val out = asof(
+      trades((1L, 7L, 100L), (2L, 7L, 250L)),
+      quotes((10L, 7L, 90L), (11L, 7L, 100L), (12L, 7L, 240L), (13L, 7L, 260L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // trade@100 sees quote@100 (inclusive), not quote@90; trade@250 sees 240
+    assert(out == Set((1L, 100L, 11L), (2L, 240L, 12L)))
+  }
+
+  test("asofJoin: tie at the winning timestamp resolves to the greatest payload") {
+    val out = asof(
+      trades((1L, 7L, 200L)),
+      quotes((31L, 7L, 150L), (33L, 7L, 150L), (32L, 7L, 150L)))
+      .collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((150L, 33L)))
+  }
+
+  test("asofJoin: no qualifying quote and NULL-key rows survive with NULL payload") {
+    val l = Seq((1L, Option(7L), 50L), (2L, Option.empty[Long], 500L))
+      .toDF("id", "key", "t")
+    val out = asof(l, quotes((10L, 7L, 90L))).collect()
+      .map(r => (r.getLong(0), r.isNullAt(1) && r.isNullAt(2))).toMap
+    assert(out == Map(1L -> true, 2L -> true)) // 90 > 50; NULL key matches nothing
+  }
+
+  test("asofJoin: keys stay partitioned — a match never crosses keys") {
+    val out = asof(
+      trades((1L, 7L, 100L)),
+      quotes((10L, 8L, 90L))) // other key, earlier ts
+      .collect()
+    assert(out.head.isNullAt(1))
+  }
+
+  test("asofJoin tolerance: stale matches beyond the window are nulled") {
+    val out = asof(
+      trades((1L, 7L, 100L), (2L, 7L, 1000L)),
+      quotes((10L, 7L, 95L)), tol = Some(10L))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(out == Map(1L -> 10L, 2L -> -1L)) // 5ms in-window; 905ms stale
+  }
+
+  test("asofJoin guards: timeline type mismatch and missing payload fail loud") {
+    val l = trades((1L, 7L, 100L))
+    val r = quotes((10L, 7L, 90L)).withColumn("qt", $"qt".cast("timestamp"))
+    val e = intercept[IllegalArgumentException](
+      Temporal.asofJoin(l, r, Seq("key"), "t", "qt", Seq("qid")))
+    assert(e.getMessage.contains("timeline types differ"))
+    val e2 = intercept[IllegalArgumentException](
+      Temporal.asofJoin(l, quotes((10L, 7L, 90L)), Seq("key"), "t", "qt", Nil))
+    assert(e2.getMessage.contains("rightCols"))
+  }
+
+  private def pts(ps: Long*): DataFrame = ps.zipWithIndex
+    .map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+  private def ivs(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("iid", "s", "e")
+
+  private def pairs(p: DataFrame, i: DataFrame, w: Long = 10L): Set[(Long, Long)] =
+    Temporal.rangeJoin(p, i, "p", "s", "e", bucketMs = w)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("rangeJoin: inclusive boundaries, exactly-once pairs across bucket spans") {
+    val p = pts(5L, 10L, 37L, 60L)            // pids 0..3
+    val i = ivs((1L, 5L, 10L), (2L, 8L, 55L)) // iid 2 spans buckets 0..5
+    // p=5: start boundary of iid1; p=10: end boundary of iid1 AND inside iid2;
+    // p=37 only iid2; p=60 nothing. Multi-bucket interval must not duplicate.
+    assert(pairs(p, i) ==
+      Set((0L, 1L), (1L, 1L), (1L, 2L), (2L, 2L)))
+  }
+
+  test("rangeJoin: empty (e < s) intervals and NULL points match nothing") {
+    val p = Seq((0L, Option(15L)), (1L, Option.empty[Long])).toDF("pid", "p")
+    val i = ivs((1L, 20L, 10L)) // inverted → dropped
+    assert(pairs(p, i).isEmpty)
+  }
+
+  test("rangeJoin: negative timelines bucket by floor, not toward zero") {
+    // p=-5 is in bucket -1 ([-10,0)); a truncating division would put it in
+    // bucket 0 and miss the interval [-9,-2]
+    assert(pairs(pts(-5L), ivs((1L, -9L, -2L))) == Set((0L, 1L)))
+  }
+
+  test("rangeJoin: over-wide interval fails loud instead of exploding") {
+    val e = intercept[Exception] {
+      Temporal.rangeJoin(pts(5L), ivs((1L, 0L, 1000000L)), "p", "s", "e",
+        bucketMs = 10L, maxBucketsPerInterval = 100).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxBucketsPerInterval"), msgs)
+  }
+
+  test("rangeJoin guards: shared column names rejected before any job runs") {
+    val e = intercept[IllegalArgumentException](
+      Temporal.rangeJoin(pts(1L), ivs((1L, 0L, 5L)).withColumnRenamed("iid", "pid"),
+        "p", "s", "e", bucketMs = 10L))
+    assert(e.getMessage.contains("share column"))
+  }
+
+  test("rangeJoin: timestamp timeline agrees with the integral-ms timeline") {
+    import org.apache.spark.sql.functions.timestamp_millis
+    val p = pts(5000L, 12000L)
+    val i = ivs((1L, 4000L, 6000L))
+    val tp = p.withColumn("p", timestamp_millis($"p"))
+    val ti = i.withColumn("s", timestamp_millis($"s")).withColumn("e", timestamp_millis($"e"))
+    val fromTs = Temporal.rangeJoin(tp, ti, "p", "s", "e", bucketMs = 1000L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromTs == pairs(p, i, w = 1000L))
+  }
+}
