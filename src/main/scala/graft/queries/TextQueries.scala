@@ -1114,6 +1114,50 @@ object TextQueries {
       .select(col("ida"), col("idb"), col("shared"), col("u"))
   }
 
+  /** AUDIO near-dup clustering ([[graft.operators.Audio]]): the
+    * 72-window energy-envelope hash — window j POOLS 4 code-point
+    * samples (the [[graft.operators.Audio.energyHashTextCol]] oracle
+    * surrogate; the REAL `javax.sound.sampled` PCM path is spec-locked
+    * in `AudioSpec` on generated WAV/AIFF clips, an audio codec being
+    * the one step SQL cannot host) — then the SAME gradient pack,
+    * banding, Hamming ≤ 6 verify, and recursive-closure clustering the
+    * image family runs: one Hamming stack, three modalities. Only the
+    * `px` sampling CTE differs from `q_image_dedup`'s; every downstream
+    * SQL fragment is reused verbatim.
+    */
+  val qAudioDedup = q(
+    "q_audio_dedup", {
+      val poolExpr = (0 until 4).map(m =>
+        s"ord(substr(text, 1 + CAST(((j * 4 + $m) * length(text)) // 288 AS INT), 1))")
+        .mkString(" + ")
+      "WITH RECURSIVE " +
+        "px AS (SELECT doc_id, CASE WHEN coalesce(length(text), 0) >= 1 THEN " +
+        s"[$poolExpr for j in range(72)] END AS p FROM documents), " +
+        s"hb AS (SELECT doc_id, CASE WHEN p IS NULL THEN [0, 0, 0, 0, 0, 0, 0, 0] " +
+        s"ELSE [${dhashByteExprsSql.mkString(", ")}] END AS bs FROM px), " +
+        s"h AS (SELECT doc_id, $dhashPrintfSql AS ahash, bs FROM hb), " +
+        "bands AS (SELECT doc_id, r, bs[CAST(r + 1 AS INT)] AS bv FROM h " +
+        "CROSS JOIN (SELECT unnest(range(8)) AS r) t), " +
+        "cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb FROM bands a " +
+        "JOIN bands b ON a.r = b.r AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
+        "pairs AS (SELECT ida, idb FROM cand JOIN h x ON x.doc_id = ida " +
+        s"JOIN h y ON y.doc_id = idb WHERE $imageHammingSql <= 6), " +
+        "e(na, nb) AS (SELECT ida, idb FROM pairs UNION SELECT idb, ida FROM pairs), " +
+        "reach(na, nb) AS (SELECT na, nb FROM e " +
+        "UNION SELECT r.na, e2.nb FROM reach r JOIN e e2 ON r.nb = e2.na) " +
+        "SELECT d.doc_id, h.ahash, " +
+        "CAST(least(d.doc_id, coalesce(min(r2.nb), d.doc_id)) AS BIGINT) AS rep " +
+        "FROM documents d JOIN h USING (doc_id) " +
+        "LEFT JOIN reach r2 ON r2.na = d.doc_id GROUP BY d.doc_id, h.ahash"
+    }) { (s, d) =>
+    val hashed = Tables.documentsBalanced(s, d).select(col("doc_id"),
+      graft.operators.Audio.energyHashTextCol(col("text")).as("ahash"))
+    graft.operators.ImageDedup
+      .imageClusters(hashed, "doc_id", "ahash", maxHamming = 6,
+        hotBucketThreshold = 1 << 20)
+      .select("doc_id", "ahash", "rep")
+  }
+
   /** Survivor set of exact dedup through `operators.Dedup.exact`: the rows a
     * deduped corpus would keep.
     */
@@ -1400,7 +1444,7 @@ object TextQueries {
     qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
-    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qNgramProfile,
+    qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
 }
