@@ -40,27 +40,36 @@ import org.apache.spark.sql.types._
   */
 object Temporal {
 
-  /** Backward (latest-at-or-before) as-of join.
+  /** Point-in-time (as-of) join, all three pandas `merge_asof` directions.
     *
-    * For each `left` row, attaches the right payload of the latest `right`
-    * row with equal `keys` and `right(rightTs) <= left(leftTs)`; columns are
-    * `prefix + rightTs` and `prefix + c` for `c` in `rightCols`, NULL when no
-    * right row qualifies (left-outer semantics — left rows are never
-    * dropped, including NULL-key rows, which match nothing).
+    * For each `left` row, attaches the right payload of the matching
+    * `right` row with equal `keys`, where "matching" depends on
+    * `direction`:
+    *  - `"backward"` (default): the LATEST right row with
+    *    `right(rightTs) <= left(leftTs)`;
+    *  - `"forward"`: the EARLIEST right row with `rightTs >= leftTs`;
+    *  - `"nearest"`: whichever of the two is closer in time (exact ms
+    *    distance; equidistant → the backward match).
+    * Output columns are `prefix + rightTs` and `prefix + c` for `c` in
+    * `rightCols`, NULL when no right row qualifies (left-outer semantics
+    * — left rows are never dropped). NULL keys and NULL timestamps on
+    * EITHER side match nothing (the SQL comparison rule).
     *
     * Tie rule (deterministic, engine-mirrorable): among right rows sharing
-    * the maximal qualifying `rightTs`, the one with the greatest
-    * `rightCols` tuple (lexicographic, NULLs first) wins.
+    * the winning `rightTs`, the one with the greatest `rightCols` tuple
+    * (lexicographic, NULLs first) wins — in every direction.
     *
-    * `toleranceMs`: with `Some(t)`, a match older than `t` milliseconds
-    * before the left timestamp is discarded (pandas `merge_asof(tolerance)`
-    * semantics) — applied as a map-side post-filter on the matched pair, so
-    * the plan is unchanged.
+    * `toleranceMs`: with `Some(t)`, a match farther than `t` milliseconds
+    * from the left timestamp is discarded (pandas `merge_asof(tolerance)`
+    * semantics) — applied per candidate BEFORE the nearest pick, as a
+    * map-side post-filter, so the plan is unchanged.
     *
     * Plan shape: union → ONE hash shuffle on `keys` → per-key sort →
-    * running `last(ignoreNulls)` window → filter back to left rows. A
-    * hot key costs one partition's sort (external, spills); there is no
-    * per-row state object and no driver participation.
+    * running `last(ignoreNulls)` window (backward) / reverse-order
+    * `first(ignoreNulls)` window (forward; `nearest` runs both over the
+    * SAME exchange, paying one extra in-partition sort) → filter back to
+    * left rows. A hot key costs one partition's sort (external, spills);
+    * there is no per-row state object and no driver participation.
     */
   def asofJoin(
       left: DataFrame,
@@ -70,9 +79,12 @@ object Temporal {
       rightTs: String,
       rightCols: Seq[String],
       prefix: String = "asof_",
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin: at least one key column required")
     require(rightCols.nonEmpty, "asofJoin: rightCols must name the payload to attach")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"asofJoin: direction must be backward, forward, or nearest — got '$direction'")
     QualityFilters.requireFreshColumns(
       left, "asofJoin", Seq("__ts", "__tag", "__l", "__r") ++
         (rightTs +: rightCols).map(prefix + _))
@@ -96,27 +108,54 @@ object Temporal {
       keys.map(col) ++ Seq(
         col(leftTs).as("__ts"), lit(1).as("__tag"),
         leftStruct.as("__l"), lit(null).cast(payloadType).as("__r")): _*)
-    val r = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTs).as("__ts"), lit(0).as("__tag"),
-        lit(null).cast(leftType).as("__l"), payload.as("__r")): _*)
+    val r = right
+      // a NULL right timestamp satisfies no SQL comparison — and unfiltered
+      // it would sort first and be carried into every later row's last()
+      .where(col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"), lit(0).as("__tag"),
+          lit(null).cast(leftType).as("__l"), payload.as("__r")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    // Backward ordering: right rows sort BEFORE left rows at an equal
+    // timestamp (tag 0 < 1) — that makes the join inclusive; payload-
+    // ascending puts the tie-winning (greatest) payload last, where
+    // last() picks it up. Forward mirrors both: rights AFTER lefts at
+    // equal ts (tag desc) so the [current, following] frame still sees
+    // them, payload-descending so first() hits the greatest.
+    val part = Window.partitionBy(keys.map(col): _*)
+    val wb = part
       .orderBy(col("__ts").asc, col("__tag").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    val joined = l.unionByName(r)
-      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__tag") === 1)
+    val wf = part
+      .orderBy(col("__ts").asc, col("__tag").desc, col("__r").desc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = last(col("__r"), ignoreNulls = true).over(wb)
+    val fwd = first(col("__r"), ignoreNulls = true).over(wf)
 
     val toMs = msConverter(left.select(col(leftTs)).schema.head.dataType, "asofJoin")
-    val bounded = toleranceMs match {
-      case None => joined
-      case Some(t) =>
-        // NULL comparison → false → matched payload survives only in-window
-        joined.withColumn("__r",
-          when(toMs(col("__ts")) - toMs(col(s"__r.$rightTs")) <= t, col("__r")))
+    // per-candidate tolerance gate (NULL comparison → false → candidate
+    // dropped); also kills any candidate for a NULL left timestamp
+    def gate(cand: Column, dist: Column): Column = toleranceMs match {
+      case None => when(col("__ts").isNotNull, cand)
+      case Some(t) => when(dist <= t, cand)
     }
+    def distTo(cand: Column): Column =
+      abs(toMs(col("__ts")) - toMs(cand.getField(rightTs)))
+
+    val joined = l.unionByName(r)
+      .withColumn("__r", direction match {
+        case "backward" => gate(back, distTo(back))
+        case "forward"  => gate(fwd, distTo(fwd))
+        case "nearest"  =>
+          val b = gate(back, distTo(back))
+          val f = gate(fwd, distTo(fwd))
+          // closer candidate wins; equidistant or forward-missing → backward
+          when(b.isNull, f).when(f.isNull, b)
+            .when(distTo(f) < distTo(b), f).otherwise(b)
+      })
+      .where(col("__tag") === 1)
+    val bounded = joined
 
     bounded.select(
       col("__l.*") +:

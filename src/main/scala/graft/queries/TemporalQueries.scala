@@ -42,6 +42,43 @@ object TemporalQueries {
         col("asof_view_id"))
   }
 
+  /** Nearest-direction as-of join: each purchase picks the CLOSER of its
+    * latest at-or-before view and earliest at-or-after view (exact ms
+    * distance; equidistant → the backward match; greatest view id on a
+    * same-timestamp tie). The oracle states both argmaxes and the
+    * nearest pick naively; the Spark side must reproduce it through the
+    * one-shuffle dual-window form.
+    */
+  val qAsofNearest = q(
+    "q_asof_nearest",
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "mb AS (SELECT p.event_id, max(v.ts) AS bts FROM p LEFT JOIN v " +
+      "ON v.user_id = p.user_id AND v.ts <= p.ts GROUP BY p.event_id), " +
+      "mf AS (SELECT p.event_id, min(v.ts) AS fts FROM p LEFT JOIN v " +
+      "ON v.user_id = p.user_id AND v.ts >= p.ts GROUP BY p.event_id), " +
+      "c AS (SELECT p.event_id, p.user_id, p.ts, " +
+      "CASE WHEN bts IS NULL THEN fts WHEN fts IS NULL THEN bts " +
+      "WHEN epoch_ms(fts) - epoch_ms(p.ts) < epoch_ms(p.ts) - epoch_ms(bts) " +
+      "THEN fts ELSE bts END AS ats " +
+      "FROM p JOIN mb USING (event_id) JOIN mf USING (event_id)) " +
+      "SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ts_ms, " +
+      "epoch_ms(c.ats) AS asof_ts_ms, max(v.view_id) AS asof_view_id " +
+      "FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts = c.ats " +
+      "GROUP BY 1, 2, 3, 4") { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    Temporal.asofJoin(p, v, Seq("user_id"), "ts", "vts", Seq("view_id"),
+        direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("asof_vts")).as("asof_ts_ms"),
+        col("asof_view_id"))
+  }
+
   /** Keyless range join: urgent orders open a 1–3 day window from their
     * order date; every lineitem shipped inside ANY such window matches it
     * (no key relates the two sides). Output: per-window point count + exact
@@ -76,5 +113,5 @@ object TemporalQueries {
         coalesce(col("qty_c"), lit(0L)).as("qty_c"))
   }
 
-  val all: Seq[GraftQuery] = Seq(qAsofJoin, qRangeJoin)
+  val all: Seq[GraftQuery] = Seq(qAsofJoin, qAsofNearest, qRangeJoin)
 }

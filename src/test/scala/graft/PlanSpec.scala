@@ -425,6 +425,16 @@ class PlanSpec extends SparkSpec {
       p.contains("EqualTo(event_type,view)"), "pushdown lost:\n" + p.take(2000))
   }
 
+  test("q_asof_nearest: both directions ride the SAME single exchange — no join") {
+    val p = plan("q_asof_nearest")
+    // dual-window nearest still resolves on one hash partitioning; the
+    // forward pass costs only a second in-partition sort
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), "nearest as-of must not plan any join:\n" + p.take(2000))
+    assert("\\+- Window".r.findAllIn(p).size == 2,
+      "expected the backward + forward window pair:\n" + p.take(2000))
+  }
+
   test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -60,6 +60,66 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> 10L, 2L -> -1L)) // 5ms in-window; 905ms stale
   }
 
+  private def asofDir(l: DataFrame, r: DataFrame, dir: String,
+      tol: Option[Long] = None) =
+    Temporal.asofJoin(l, r, Seq("key"), "t", "qt", Seq("qid"),
+      toleranceMs = tol, direction = dir)
+      .select("id", "asof_qt", "asof_qid")
+
+  test("asofJoin forward: earliest at-or-after wins, inclusive, greatest payload on tie") {
+    val out = asofDir(
+      trades((1L, 7L, 100L), (2L, 7L, 250L), (3L, 7L, 990L)),
+      quotes((10L, 7L, 90L), (11L, 7L, 100L), (12L, 7L, 300L), (13L, 7L, 300L)),
+      "forward")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // trade@100 → quote@100 (inclusive, not 300); trade@250 → ties at 300
+    // resolve to the greatest qid; trade@990 → nothing ahead
+    assert(out == Set((1L, 100L, 11L), (2L, 300L, 13L), (3L, -1L, -1L)))
+  }
+
+  test("asofJoin nearest: closer side wins; equidistant prefers backward") {
+    val out = asofDir(
+      trades((1L, 7L, 100L), (2L, 7L, 206L), (3L, 7L, 195L)),
+      quotes((10L, 7L, 90L), (11L, 7L, 200L)),
+      "nearest")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // t=100: back 90 (d=10) vs fwd 200 (d=100) → 90; t=206: back 200 wins;
+    // t=195: back 90 (d=105) vs fwd 200 (d=5) → 200
+    assert(out == Set((1L, 90L, 10L), (2L, 200L, 11L), (3L, 200L, 11L)))
+    val tie = asofDir(trades((1L, 7L, 150L)),
+      quotes((10L, 7L, 100L), (11L, 7L, 200L)), "nearest").collect()
+    assert(tie.head.getLong(1) == 100L, "equidistant must take the backward match")
+  }
+
+  test("asofJoin nearest honors tolerance per side") {
+    val out = asofDir(
+      trades((1L, 7L, 195L)),
+      quotes((10L, 7L, 90L), (11L, 7L, 200L)), "nearest", tol = Some(50L))
+      .collect()
+    assert(out.head.getLong(2) == 11L) // back 90 out of tolerance, fwd survives
+    val none = asofDir(trades((1L, 7L, 195L)),
+      quotes((10L, 7L, 90L)), "nearest", tol = Some(50L)).collect()
+    assert(none.head.isNullAt(2))
+  }
+
+  test("asofJoin: NULL timestamps on either side match nothing, any direction") {
+    val l = Seq((1L, 7L, Option(100L)), (2L, 7L, Option.empty[Long]))
+      .toDF("id", "key", "t")
+    val r = Seq((10L, 7L, Option(90L)), (11L, 7L, Option.empty[Long]))
+      .toDF("qid", "key", "qt")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val got = Temporal.asofJoin(l, r, Seq("key"), "t", "qt", Seq("qid"),
+          direction = dir)
+        .select("id", "asof_qid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      // the null-ts quote is never carried; the null-ts trade never matches
+      assert(got(2L) == -1L, s"$dir: null left ts must not match")
+      assert(got(1L) == (if (dir == "forward") -1L else 10L), s"$dir")
+    }
+  }
+
   test("asofJoin guards: timeline type mismatch and missing payload fail loud") {
     val l = trades((1L, 7L, 100L))
     val r = quotes((10L, 7L, 90L)).withColumn("qt", $"qt".cast("timestamp"))
