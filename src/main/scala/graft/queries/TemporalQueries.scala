@@ -101,11 +101,18 @@ object TemporalQueries {
       .where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate").as("ws"),
         expr("o_orderdate + make_dt_interval(CAST(o_orderkey % 3 AS INT) + 1)").as("we"))
+    // aggregate pushdown through the range join: the output is
+    // per-interval SUM/COUNT, so collapse points to one partial row per
+    // DISTINCT timeline value first (≈2.5k ship dates vs 600k lineitems
+    // at sf0.1) and re-sum after the join — the ~15M-row matched pair
+    // set is never materialized (measured 8.8 → 0.9 s, SCALE.md)
     val pts = Tables.lineitem(s, d).select(col("l_quantity"), col("l_shipdate"))
+      .groupBy("l_shipdate")
+      .agg(count(lit(1)).as("__n"), Exact.sumScaled(col("l_quantity"), 100).as("__q"))
     val matched = Temporal
       .rangeJoin(pts, iv, "l_shipdate", "ws", "we", bucketMs = 2L * 86400000L)
       .groupBy("o_orderkey")
-      .agg(count(lit(1)).as("n_pts"), Exact.sumScaled(col("l_quantity"), 100).as("qty_c"))
+      .agg(sum(col("__n")).as("n_pts"), sum(col("__q")).as("qty_c"))
     iv.select("o_orderkey")
       .join(matched, Seq("o_orderkey"), "left")
       .select(col("o_orderkey"),

@@ -439,10 +439,13 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "range predicate must ride the bucket equi-join:\n" + p.take(2000))
-    // tiny interval side broadcasts after the bucket explode (Generate);
-    // the lineitem fact scan is pruned to the two needed columns and never
-    // shuffles before the join
+    // interval side explodes to buckets (Generate) and the join stays a
+    // broadcast hash join; the point side pre-aggregates per distinct
+    // ship date (aggregate pushdown — the pair set never materializes),
+    // with the partial half map-side before its exchange
     assert(p.contains("Generate") && p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("partial_count"),
+      "point-side partial aggregation lost:\n" + p.take(2000))
     assert(p.contains("struct<l_quantity:double,l_shipdate:timestamp"),
       "lineitem scan must be pruned to 2 columns:\n" + p.take(2000))
   }
