@@ -234,6 +234,137 @@ object Temporal {
       .drop("__b")
   }
 
+  /** Time-series RESAMPLE: per-key bucketed aggregation DENSIFIED over
+    * each key's [min, max] bucket span, with optional forward-fill — the
+    * pandas `resample(...).agg(...).ffill()` shape (and SQL's
+    * gap-fill/`date_spine`), which a plain groupBy cannot express because
+    * empty buckets produce no row to aggregate.
+    *
+    * Output: one row per (keys, `bucket`) for EVERY bucket in the key's
+    * observed span (bucket = floor(ts / bucketMs) · bucketMs, the
+    * [[rangeJoin]] floor rule, epoch-ms long), with `aggs` evaluated over
+    * the rows in that bucket. Missing buckets get NULL aggregates under
+    * `fill = "none"`, or the latest preceding bucket's values under
+    * `fill = "ffill"` (leading gaps stay NULL — nothing precedes them).
+    * Rows with a NULL timestamp are dropped (they belong to no bucket).
+    *
+    * Plan shape: ONE shuffle builds the per-(key, bucket) aggregates
+    * (map-side partials), a per-key re-agg derives each span, the spans
+    * explode to dense buckets (map-side 1→N, capped loud at
+    * `maxBucketsPerKey` — a key spanning years at second granularity is
+    * a config error, not an OOM), and the dense frame joins the sparse
+    * aggregates back on (keys, bucket). Forward-fill is one running
+    * `last(ignoreNulls)` window per agg column on the SAME (keys)
+    * partitioning. Nothing touches the driver; per-key cost is the
+    * key's own span.
+    */
+  def resample(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      bucketMs: Long,
+      aggs: Seq[Column],
+      fill: String = "none",
+      maxBucketsPerKey: Int = 1000000): DataFrame = {
+    require(keys.nonEmpty, "resample: at least one key column required")
+    require(aggs.nonEmpty, "resample: at least one aggregate required")
+    require(bucketMs > 0, s"resample: bucket width must be positive, got $bucketMs")
+    require(maxBucketsPerKey > 0, "resample: maxBucketsPerKey must be positive")
+    require(Set("none", "ffill")(fill),
+      s"resample: fill must be none or ffill — got '$fill'")
+    QualityFilters.requireFreshColumns(df, "resample", Seq("bucket", "__b0", "__b1"))
+
+    val toMs = msConverter(df.select(col(tsCol)).schema.head.dataType, "resample")
+    def bucketOf(x: Column): Column =
+      (x - ((x % bucketMs) + bucketMs) % bucketMs).cast(LongType)
+
+    val sparse = df
+      .where(col(tsCol).isNotNull)
+      .withColumn("bucket", bucketOf(toMs(col(tsCol))))
+      .groupBy((keys :+ "bucket").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val aggNames = sparse.columns.drop(keys.length + 1).toSeq
+
+    val dense = sparse
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .withColumn("__b1", {
+        // loud in-pipeline span guard, the rangeJoin pattern
+        val nb = ((col("__b1") - col("__b0")) / bucketMs).cast(LongType)
+        when(nb < maxBucketsPerKey, col("__b1"))
+          .otherwise(raise_error(format_string(
+            s"resample: a key spans %s buckets of $bucketMs ms — over " +
+              s"maxBucketsPerKey=$maxBucketsPerKey; widen bucketMs or raise " +
+              "the cap explicitly",
+            nb + 1)).cast(LongType))
+      })
+      .withColumn("bucket",
+        explode(sequence(col("__b0"), col("__b1"), lit(bucketMs))))
+      .drop("__b0", "__b1")
+
+    val joined = dense.join(sparse, keys :+ "bucket", "left")
+    if (fill == "none") joined
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      aggNames.foldLeft(joined) { (acc, c) =>
+        acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      }
+    }
+  }
+
+  /** Sweep-line interval CONCURRENCY: the step function of how many
+    * intervals are simultaneously open, per key group — "max concurrent
+    * sessions / peak rooms in use", which Spark can otherwise only
+    * express as a quadratic self-join.
+    *
+    * Half-open semantics `[start, end)`: an interval ending exactly when
+    * another starts does NOT overlap it (the meeting-rooms convention);
+    * at equal timestamps, end events apply before start events. Output:
+    * one row per distinct event time per key — (keys…, `t` epoch-ms,
+    * `concurrency` AFTER applying that instant's events). NULL/empty
+    * (`end <= start`) intervals contribute nothing.
+    *
+    * Plan shape: each interval maps to two (t, ±1) events (map-side 1→2
+    * explode), one map-side-combined shuffle nets the deltas per
+    * (keys, instant), and a per-key running sum over the netted timeline
+    * yields the step function — linear in the number of intervals, no
+    * self-join. `max(concurrency)` per key composes downstream for the
+    * peak.
+    */
+  def concurrency(
+      intervals: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String): DataFrame = {
+    require(keys.nonEmpty, "concurrency: at least one key column required")
+    QualityFilters.requireFreshColumns(intervals, "concurrency",
+      Seq("t", "concurrency", "__d"))
+    val sMs = msConverter(intervals.select(col(startCol)).schema.head.dataType,
+      "concurrency")
+    val eMs = msConverter(intervals.select(col(endCol)).schema.head.dataType,
+      "concurrency")
+    val live = intervals.where(col(startCol).isNotNull && col(endCol).isNotNull &&
+      eMs(col(endCol)) > sMs(col(startCol)))
+    val events = live.select(
+      (keys.map(col) :+ explode(array(
+        struct(sMs(col(startCol)).as("t"), lit(1).as("__d")),
+        struct(eMs(col(endCol)).as("t"), lit(-1).as("__d")))).as("__e")): _*)
+      .select((keys.map(col) ++ Seq(col("__e.t").as("t"), col("__e.__d").as("__d"))): _*)
+    // net the deltas per instant FIRST (this is also what makes the
+    // half-open rule exact: an end and a start at the same instant
+    // cancel before the running sum ever sees them), then one running
+    // sum per key over distinct instants
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .groupBy((keys :+ "t").map(col): _*)
+      .agg(sum(col("__d")).as("__d"))
+      .withColumn("concurrency", sum(col("__d")).over(w).cast(LongType))
+      .drop("__d")
+  }
+
   /** Column → epoch-millis LONG for timestamps; integral columns pass
     * through unchanged (their native unit IS the bucket/tolerance unit).
     * Fractional/other types are rejected loudly — silently flooring a

@@ -120,5 +120,66 @@ object TemporalQueries {
         coalesce(col("qty_c"), lit(0L)).as("qty_c"))
   }
 
-  val all: Seq[GraftQuery] = Seq(qAsofJoin, qAsofNearest, qRangeJoin)
+  /** Time-series resample with forward-fill: daily order counts + exact
+    * scaled revenue per priority, DENSIFIED over each priority's
+    * [first, last] order-day span — empty days exist (≈1.2 orders/day/
+    * priority at sf0.01) and must carry the previous day's values. The
+    * oracle builds the dense spine with `range()` and mirrors the fill
+    * with IGNORE NULLS last_value; the Spark side must produce it via
+    * the span-explode + left-join + running-window form.
+    */
+  val qResampleFfill = q(
+    "q_resample_ffill",
+    "WITH b AS (SELECT o_orderpriority, " +
+      "CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000) AS BIGINT) " +
+      "* 86400000 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
+      s"${Exact.sumScaledSql("o_totalprice", 100)} AS rev_c " +
+      "FROM orders GROUP BY 1, 2), " +
+      "s AS (SELECT o_orderpriority, unnest(range(min(bucket), max(bucket) + 1, " +
+      "86400000)) AS bucket FROM b GROUP BY o_orderpriority), " +
+      "j AS (SELECT s.o_orderpriority, s.bucket, b.n_orders, b.rev_c " +
+      "FROM s LEFT JOIN b USING (o_orderpriority, bucket)) " +
+      "SELECT o_orderpriority, bucket, " +
+      "last_value(n_orders IGNORE NULLS) OVER w AS n_orders, " +
+      "last_value(rev_c IGNORE NULLS) OVER w AS rev_c FROM j " +
+      "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY bucket " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)") { (s, d) =>
+    Temporal.resample(
+      Tables.orders(s, d).select("o_orderpriority", "o_orderdate", "o_totalprice"),
+      Seq("o_orderpriority"), "o_orderdate", bucketMs = 86400000L,
+      aggs = Seq(count(lit(1)).as("n_orders"),
+        Exact.sumScaled(col("o_totalprice"), 100).as("rev_c")),
+      fill = "ffill")
+  }
+
+  /** Sweep-line interval concurrency: how many urgent-order windows
+    * ([orderdate, orderdate + 1–3 days), half-open) are open at once,
+    * per priority class, as the full step function. The oracle counts
+    * covering intervals per boundary instant DIRECTLY (`ws <= t < we`
+    * join — a formulation independent of the sweep), so the netted
+    * running sum is cross-checked against first principles, including
+    * instants where the count drops to zero.
+    */
+  val qConcurrency = q(
+    "q_concurrency",
+    "WITH iv AS (SELECT o_orderpriority AS p, " +
+      "epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS ws, " +
+      "epoch_ms(CAST(o_orderdate AS TIMESTAMP) + " +
+      "((o_orderkey % 3) + 1) * INTERVAL 1 DAY) AS we FROM orders " +
+      "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), " +
+      "ts AS (SELECT DISTINCT p, t FROM " +
+      "(SELECT p, ws AS t FROM iv UNION ALL SELECT p, we FROM iv)) " +
+      "SELECT ts.p AS o_orderpriority, ts.t, " +
+      "CAST(count(iv.ws) AS BIGINT) AS concurrency FROM ts " +
+      "LEFT JOIN iv ON iv.p = ts.p AND iv.ws <= ts.t AND ts.t < iv.we " +
+      "GROUP BY 1, 2") { (s, d) =>
+    val iv = Tables.orders(s, d)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderpriority"), col("o_orderdate").as("ws"),
+        expr("o_orderdate + make_dt_interval(CAST(o_orderkey % 3 AS INT) + 1)").as("we"))
+    Temporal.concurrency(iv, Seq("o_orderpriority"), "ws", "we")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(qAsofJoin, qAsofNearest, qRangeJoin, qResampleFfill, qConcurrency)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.sum
 
 /** Planted-data contracts for [[Temporal.asofJoin]] and
   * [[Temporal.rangeJoin]] — the tie rule, boundary inclusivity,
@@ -176,6 +177,57 @@ class TemporalSpec extends SparkSpec {
       Temporal.rangeJoin(pts(1L), ivs((1L, 0L, 5L)).withColumnRenamed("iid", "pid"),
         "p", "s", "e", bucketMs = 10L))
     assert(e.getMessage.contains("share column"))
+  }
+
+  test("resample: densifies each key's span; ffill carries the last seen bucket") {
+    val df = Seq((7L, 0L, 10.0), (7L, 5L, 20.0), (7L, 25L, 40.0), (8L, 12L, 1.0))
+      .toDF("key", "t", "v")
+    val out = Temporal.resample(df, Seq("key"), "t", bucketMs = 10L,
+        aggs = Seq(sum($"v").as("sv")), fill = "ffill")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // key 7 spans buckets 0..20: bucket 0 sums both in-bucket rows, the
+    // EMPTY bucket 10 forward-fills it, bucket 20 overwrites; key 8's
+    // span is its single bucket — keys never bleed into each other
+    assert(out == Map((7L, 0L) -> 30.0, (7L, 10L) -> 30.0, (7L, 20L) -> 40.0,
+      (8L, 10L) -> 1.0))
+    val none = Temporal.resample(df, Seq("key"), "t", 10L,
+        Seq(sum($"v").as("sv")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    assert(none((7L, 10L)) == -1.0, "gap bucket must stay NULL without ffill")
+  }
+
+  test("resample: NULL timestamps drop; an over-wide key span fails loud") {
+    val out = Temporal.resample(
+      Seq((1L, Option(5L), 1.0), (1L, Option.empty[Long], 9.0)).toDF("key", "t", "v"),
+      Seq("key"), "t", 10L, Seq(sum($"v").as("sv"))).collect()
+    assert(out.map(_.getDouble(2)).toSeq == Seq(1.0))
+    val e = intercept[Exception] {
+      Temporal.resample(Seq((1L, 0L, 1.0), (1L, 1000000L, 2.0)).toDF("key", "t", "v"),
+        Seq("key"), "t", 1L, Seq(sum($"v").as("sv")), maxBucketsPerKey = 100).count()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("maxBucketsPerKey"), msgs)
+  }
+
+  test("concurrency: half-open step function — end-meets-start does not overlap") {
+    val iv = Seq((7L, 0L, 10L), (7L, 5L, 15L), (7L, 10L, 20L), (9L, 0L, 5L))
+      .toDF("key", "s", "e")
+    val out = Temporal.concurrency(iv, Seq("key"), "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // key 7: +1@0, +1@5, (-1+1)@10 nets to no change, -1@15, -1@20 —
+    // the [0,10) and [10,20) intervals never overlap
+    assert(out == Map((7L, 0L) -> 1L, (7L, 5L) -> 2L, (7L, 10L) -> 2L,
+      (7L, 15L) -> 1L, (7L, 20L) -> 0L, (9L, 0L) -> 1L, (9L, 5L) -> 0L))
+  }
+
+  test("concurrency: NULL and empty intervals contribute nothing") {
+    val iv = Seq((1L, Option(5L), Option(5L)), (1L, Option(9L), Option.empty[Long]),
+      (1L, Option(1L), Option(3L))).toDF("key", "s", "e")
+    val out = Temporal.concurrency(iv, Seq("key"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L), (3L, 0L))) // only the [1,3) interval counts
   }
 
   test("rangeJoin: timestamp timeline agrees with the integral-ms timeline") {
