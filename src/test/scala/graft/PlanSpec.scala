@@ -435,6 +435,27 @@ class PlanSpec extends SparkSpec {
       "expected the backward + forward window pair:\n" + p.take(2000))
   }
 
+  test("q_resample_ffill: span explode + broadcast join-back + ONE window, no extra shuffle") {
+    val p = plan("q_resample_ffill")
+    // two key-side exchanges (per-bucket agg, span re-agg); the dense
+    // frame keeps the keys partitioning, so the ffill window adds NONE
+    assert("\\+- Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("Generate") && p.contains("Window"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "sparse aggregates must broadcast back onto the dense spine:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_concurrency: netted sweep — two exchanges, one window, zero joins") {
+    val p = plan("q_concurrency")
+    assert("\\+- Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Join"), "the sweep must not plan a self-join:\n" + p.take(2000))
+    assert(p.contains("Generate") && p.contains("Window"), p.take(2000))
+    // the per-instant netting aggregate combines map-side before its exchange
+    assert(p.contains("partial_sum"), "map-side netting lost:\n" + p.take(2000))
+  }
+
   test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
