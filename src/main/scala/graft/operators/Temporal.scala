@@ -245,7 +245,15 @@ object Temporal {
     * [[rangeJoin]] floor rule, epoch-ms long), with `aggs` evaluated over
     * the rows in that bucket. Missing buckets get NULL aggregates under
     * `fill = "none"`, or the latest preceding bucket's values under
-    * `fill = "ffill"` (leading gaps stay NULL — nothing precedes them).
+    * `fill = "ffill"` (leading gaps stay NULL — nothing precedes them),
+    * or LINEAR INTERPOLATION between the surrounding observed buckets
+    * under `fill = "interp"` (leading AND trailing gaps stay NULL —
+    * there is nothing to interpolate toward). `interp` requires every
+    * aggregate column to be integral and emits the floor of the exact
+    * rational interpolant in pure integer arithmetic
+    * (`prev + floorDiv(dv * steps, totalSteps)` with a TRUE floor
+    * division, negative deltas included) — engine-exact, no float
+    * drift; interp outputs are BIGINT.
     * Rows with a NULL timestamp are dropped (they belong to no bucket).
     *
     * Plan shape: ONE shuffle builds the per-(key, bucket) aggregates
@@ -270,8 +278,8 @@ object Temporal {
     require(aggs.nonEmpty, "resample: at least one aggregate required")
     require(bucketMs > 0, s"resample: bucket width must be positive, got $bucketMs")
     require(maxBucketsPerKey > 0, "resample: maxBucketsPerKey must be positive")
-    require(Set("none", "ffill")(fill),
-      s"resample: fill must be none or ffill — got '$fill'")
+    require(Set("none", "ffill", "interp")(fill),
+      s"resample: fill must be none, ffill, or interp — got '$fill'")
     QualityFilters.requireFreshColumns(df, "resample", Seq("bucket", "__b0", "__b1"))
 
     val toMs = msConverter(df.select(col(tsCol)).schema.head.dataType, "resample")
@@ -304,13 +312,123 @@ object Temporal {
 
     val joined = dense.join(sparse, keys :+ "bucket", "left")
     if (fill == "none") joined
-    else {
+    else if (fill == "ffill") {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       aggNames.foldLeft(joined) { (acc, c) =>
         acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
       }
+    } else {
+      sparse.schema.drop(keys.length + 1).foreach(f => require(
+        f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        },
+        s"resample: fill=interp needs integral aggregate columns — " +
+          s"${f.name} is ${f.dataType}; scale to an integer grid first " +
+          "(float interpolation would drift between engines)"))
+      val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // true floor division in exact long arithmetic (the rangeJoin mod
+      // trick) — truncating `/` would round negative deltas toward zero
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - ((a % b) + b) % b) / b).cast(LongType)
+      aggNames.foldLeft(joined) { (acc, c) =>
+        val v = col(c).cast(LongType)
+        val obsB = when(col(c).isNotNull, col("bucket"))
+        val pv = last(v, ignoreNulls = true).over(wb)
+        val pb = last(obsB, ignoreNulls = true).over(wb)
+        val nv = first(v, ignoreNulls = true).over(wf)
+        val nb = first(obsB, ignoreNulls = true).over(wf)
+        // steps are exact: every bucket is a multiple of bucketMs, so the
+        // double quotient is integral; magnitudes stay << 2^53
+        val steps = ((col("bucket") - pb) / bucketMs).cast(LongType)
+        val total = ((nb - pb) / bucketMs).cast(LongType)
+        acc.withColumn(c,
+          when(col(c).isNotNull, v)
+            .when(pv.isNull || nv.isNull, lit(null).cast(LongType))
+            .otherwise(pv + floorDiv((nv - pv) * steps, total)))
+      }
     }
+  }
+
+  /** Gaps-and-islands interval MERGE: per key group, coalesce CLOSED
+    * intervals `[start, end]` that overlap — or sit within
+    * `gapToleranceMs` of each other — into maximal "islands", the classic
+    * sessionization/coverage shape (merge meeting holds, collapse lease
+    * renewals, sessionize point events). With `gapToleranceMs = 0`,
+    * touching intervals (one ends exactly where the next starts) merge:
+    * closed intervals sharing a boundary instant genuinely overlap.
+    * Point events sessionize by passing the SAME column as `startCol` and
+    * `endCol` with the session gap as the tolerance.
+    *
+    * Output: one row per island — (keys…, `island_start`, `island_end`
+    * epoch-ms longs, `n_intervals`). NULL and inverted (`end < start`)
+    * intervals contribute nothing.
+    *
+    * Plan shape: intervals first collapse to one row per DISTINCT
+    * (keys, start) — max end + count, map-side partial — which makes the
+    * window ordering TOTAL (a per-row island flag under `(s, e)` ties is
+    * order-dependent: the flag comes from one window pass and the island
+    * number from another, and nothing pins the two passes to the same
+    * tie traversal — rows sharing a start always co-island anyway, so
+    * group them before sweeping). Then ONE hash shuffle on `keys` + one
+    * per-key sort feeds both window passes (running max-end over
+    * strictly-preceding starts marks island openings; a running sum
+    * numbers them — same partitioning, same ordering, one exchange + one
+    * sort node), and a groupBy on (keys, island) collapses each island.
+    * The quadratic self-join formulation is never materialized; per-key
+    * cost is the key's own sort, which spills externally on a hot key.
+    */
+  def mergeIntervals(
+      intervals: DataFrame,
+      keys: Seq[String],
+      startCol: String,
+      endCol: String,
+      gapToleranceMs: Long = 0L): DataFrame = {
+    require(keys.nonEmpty, "mergeIntervals: at least one key column required")
+    require(gapToleranceMs >= 0,
+      s"mergeIntervals: negative gap tolerance $gapToleranceMs")
+    QualityFilters.requireFreshColumns(intervals, "mergeIntervals",
+      Seq("island_start", "island_end", "n_intervals", "__s", "__e", "__n",
+        "__pme", "__isl"))
+    val sMs = msConverter(intervals.select(col(startCol)).schema.head.dataType,
+      "mergeIntervals")
+    val eMs = msConverter(intervals.select(col(endCol)).schema.head.dataType,
+      "mergeIntervals")
+
+    val live = intervals
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        eMs(col(endCol)) >= sMs(col(startCol)))
+      .select(keys.map(col) ++
+        Seq(sMs(col(startCol)).as("__s"), eMs(col(endCol)).as("__e")): _*)
+
+    // Collapse to distinct starts: intervals sharing (keys, __s) all
+    // contain the instant __s, so they always co-island — and afterwards
+    // __s is UNIQUE per key, making both window orderings total (no
+    // tie-order hazard) and shrinking the window input.
+    val grouped = live
+      .groupBy((keys :+ "__s").map(col): _*)
+      .agg(max(col("__e")).as("__e"), count(lit(1)).as("__n"))
+
+    // Both windows share one partitioning + ordering → Catalyst plans one
+    // exchange and one sort.
+    val part = Window.partitionBy(keys.map(col): _*).orderBy(col("__s").asc)
+    val wPrev = part.rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    grouped
+      .withColumn("__pme", max(col("__e")).over(wPrev))
+      .withColumn("__isl", sum(
+        when(col("__pme").isNull || col("__s") > col("__pme") + gapToleranceMs,
+          lit(1L)).otherwise(lit(0L))).over(wRun))
+      .groupBy((keys :+ "__isl").map(col): _*)
+      .agg(min(col("__s")).as("island_start"),
+        max(col("__e")).as("island_end"),
+        sum(col("__n")).as("n_intervals"))
+      .drop("__isl")
   }
 
   /** Sweep-line interval CONCURRENCY: the step function of how many

@@ -180,6 +180,117 @@ object TemporalQueries {
     Temporal.concurrency(iv, Seq("o_orderpriority"), "ws", "we")
   }
 
+  /** Time-series resample with LINEAR interpolation: the ffill query's
+    * shape, but interior gap days take the floor of the exact integer
+    * interpolant between the surrounding observed days (leading/trailing
+    * gaps stay NULL). Both engines compute `prev + ⌊Δv·steps/total⌋` with
+    * a true floor division built from `%` (DuckDB's `//` truncates, so
+    * the oracle spells the same mod-trick the Spark side uses) — an
+    * integer-exact contract with zero float drift, negative deltas
+    * included.
+    */
+  val qResampleInterp = q(
+    "q_resample_interp",
+    "WITH b AS (SELECT o_orderpriority, " +
+      "CAST(floor(epoch_ms(CAST(o_orderdate AS TIMESTAMP)) / 86400000) AS BIGINT) " +
+      "* 86400000 AS bucket, CAST(count(*) AS BIGINT) AS n_orders, " +
+      s"${Exact.sumScaledSql("o_totalprice", 100)} AS rev_c " +
+      "FROM orders GROUP BY 1, 2), " +
+      "s AS (SELECT o_orderpriority, unnest(range(min(bucket), max(bucket) + 1, " +
+      "86400000)) AS bucket FROM b GROUP BY o_orderpriority), " +
+      "j AS (SELECT s.o_orderpriority, s.bucket, b.n_orders, b.rev_c " +
+      "FROM s LEFT JOIN b USING (o_orderpriority, bucket)), " +
+      "w AS (SELECT o_orderpriority, bucket, n_orders, rev_c, " +
+      "last_value(n_orders IGNORE NULLS) OVER wb AS pn, " +
+      "first_value(n_orders IGNORE NULLS) OVER wf AS nn, " +
+      "last_value(rev_c IGNORE NULLS) OVER wb AS pr, " +
+      "first_value(rev_c IGNORE NULLS) OVER wf AS nr, " +
+      "(bucket - last_value(CASE WHEN n_orders IS NOT NULL THEN bucket END " +
+      "IGNORE NULLS) OVER wb) // 86400000 AS steps, " +
+      "(first_value(CASE WHEN n_orders IS NOT NULL THEN bucket END " +
+      "IGNORE NULLS) OVER wf - last_value(CASE WHEN n_orders IS NOT NULL " +
+      "THEN bucket END IGNORE NULLS) OVER wb) // 86400000 AS total FROM j " +
+      "WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY bucket " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+      "wf AS (PARTITION BY o_orderpriority ORDER BY bucket " +
+      "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+      "SELECT o_orderpriority, bucket, " +
+      "CASE WHEN n_orders IS NOT NULL THEN n_orders " +
+      "WHEN pn IS NULL OR nn IS NULL THEN NULL ELSE pn + CAST((" +
+      "(nn - pn) * steps - ((((nn - pn) * steps % total) + total) % total)" +
+      ") / total AS BIGINT) END AS n_orders, " +
+      "CASE WHEN rev_c IS NOT NULL THEN rev_c " +
+      "WHEN pr IS NULL OR nr IS NULL THEN NULL ELSE pr + CAST((" +
+      "(nr - pr) * steps - ((((nr - pr) * steps % total) + total) % total)" +
+      ") / total AS BIGINT) END AS rev_c FROM w") { (s, d) =>
+    Temporal.resample(
+      Tables.orders(s, d).select("o_orderpriority", "o_orderdate", "o_totalprice"),
+      Seq("o_orderpriority"), "o_orderdate", bucketMs = 86400000L,
+      aggs = Seq(count(lit(1)).as("n_orders"),
+        Exact.sumScaled(col("o_totalprice"), 100).as("rev_c")),
+      fill = "interp")
+  }
+
+  /** Gaps-and-islands merge: urgent/high orders open a 1–3 HOUR service
+    * window from their (midnight) order timestamp — same-day windows per
+    * priority coalesce into one island, day boundaries split. The oracle
+    * states the canonical two-window SQL formulation (running max-end
+    * over strictly-preceding rows marks island starts, a running sum
+    * numbers them); the Spark side must reproduce it through
+    * [[Temporal.mergeIntervals]]'s single-exchange plan.
+    */
+  val qMergeIntervals = q(
+    "q_merge_intervals",
+    "WITH iv AS (SELECT o_orderpriority, " +
+      "epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS s, " +
+      "epoch_ms(CAST(o_orderdate AS TIMESTAMP) + " +
+      "((o_orderkey % 3) + 1) * INTERVAL 1 HOUR) AS e FROM orders " +
+      "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), " +
+      "g AS (SELECT o_orderpriority, s, max(e) AS e, count(*) AS n " +
+      "FROM iv GROUP BY 1, 2), " +
+      "x AS (SELECT o_orderpriority, s, e, n, max(e) OVER " +
+      "(PARTITION BY o_orderpriority ORDER BY s " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM g), " +
+      "y AS (SELECT o_orderpriority, s, e, n, " +
+      "sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY o_orderpriority ORDER BY s " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM x) " +
+      "SELECT o_orderpriority, min(s) AS island_start, max(e) AS island_end, " +
+      "CAST(sum(n) AS BIGINT) AS n_intervals FROM y " +
+      "GROUP BY o_orderpriority, isl") { (s, d) =>
+    val iv = Tables.orders(s, d)
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_orderpriority"), col("o_orderdate").as("ws"),
+        expr("CAST(o_orderdate AS TIMESTAMP) + make_dt_interval(0, " +
+          "CAST(o_orderkey % 3 AS INT) + 1)").as("we"))
+    Temporal.mergeIntervals(iv, Seq("o_orderpriority"), "ws", "we")
+  }
+
+  /** Sessionization: per-user event sessions with a 30-minute inactivity
+    * gap — the classic web-analytics shape, expressed as point-event
+    * interval merge (`start = end = ts`, gap tolerance = the session
+    * window). Output: one row per session with its span and event count.
+    */
+  val qSessionize = q(
+    "q_sessionize",
+    "WITH pt AS (SELECT user_id, epoch_ms(ts) AS t, count(*) AS n FROM events " +
+      "WHERE ts IS NOT NULL GROUP BY 1, 2), " +
+      "x AS (SELECT user_id, t, n, max(t) OVER (PARTITION BY user_id ORDER BY t " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM pt), " +
+      "y AS (SELECT user_id, t, n, " +
+      "sum(CASE WHEN pme IS NULL OR t > pme + 1800000 THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY user_id ORDER BY t " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM x) " +
+      "SELECT user_id, min(t) AS session_start, max(t) AS session_end, " +
+      "CAST(sum(n) AS BIGINT) AS n_events FROM y GROUP BY user_id, isl") { (s, d) =>
+    Temporal.mergeIntervals(
+      Tables.events(s, d).select(col("user_id"), col("ts")),
+      Seq("user_id"), "ts", "ts", gapToleranceMs = 1800000L)
+      .select(col("user_id"), col("island_start").as("session_start"),
+        col("island_end").as("session_end"), col("n_intervals").as("n_events"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(qAsofJoin, qAsofNearest, qRangeJoin, qResampleFfill, qConcurrency)
+    Seq(qAsofJoin, qAsofNearest, qRangeJoin, qResampleFfill, qResampleInterp,
+      qConcurrency, qMergeIntervals, qSessionize)
 }

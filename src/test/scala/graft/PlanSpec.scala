@@ -456,6 +456,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "map-side netting lost:\n" + p.take(2000))
   }
 
+  test("q_merge_intervals: distinct-start sweep — two exchanges, zero joins") {
+    val p = plan("q_merge_intervals")
+    // (keys, start) pre-agg + keys window repartition; the final island
+    // groupBy rides the keys partitioning (a subset of its grouping keys)
+    // and adds NO third exchange
+    assert("\\+- Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Join"), "island merge must not plan a join:\n" + p.take(2000))
+    assert("\\+- Window".r.findAllIn(p).size == 2,
+      "expected the prev-max-end + island-number window pair:\n" + p.take(2000))
+    assert(p.contains("In(o_orderpriority"), "priority pushdown lost:\n" + p.take(2000))
+  }
+
+  test("q_sessionize: point-event sessionization keeps the merge-intervals shape") {
+    val p = plan("q_sessionize")
+    assert("\\+- Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("IsNotNull(ts)"), "null-ts pushdown lost:\n" + p.take(2000))
+  }
+
+  test("q_resample_interp: dual interp windows ride ONE sort on the ffill plan shape") {
+    val p = plan("q_resample_interp")
+    assert("\\+- Exchange".r.findAllIn(p).size == 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "sparse aggregates must broadcast back onto the dense spine:\n" + p.take(2000))
+    // backward + forward windows share ordering → exactly one Sort node
+    assert("\\+- Window".r.findAllIn(p).size == 2 &&
+      "\\+- Sort".r.findAllIn(p).size == 1,
+      "interp must not add a second sort:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

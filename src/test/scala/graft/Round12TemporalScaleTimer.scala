@@ -86,6 +86,44 @@ object Round12TemporalScaleTimer {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // sessionization: replicated events keep their user ids, so per-user
+    // timelines densify 10× — distinct starts (the sweep's real input)
+    // grow with R and the per-key window sort carries it
+    time("sessionize") {
+      Temporal.mergeIntervals(events.select(col("user_id"), col("ts")),
+          Seq("user_id"), "ts", "ts", gapToleranceMs = 1800000L)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // interval merge under pure DUPLICATION: replicating orders repeats
+    // the same (priority, start, end) rows — the distinct-(keys, start)
+    // pre-collapse must absorb all of it map-side, leaving the window
+    // input constant (the near-flat expectation)
+    val miv = (0 until rep)
+      .map(_ => Tables.orders(spark, sfDir)
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderpriority"), col("o_orderdate").as("ws"),
+          expr("CAST(o_orderdate AS TIMESTAMP) + make_dt_interval(0, " +
+            "CAST(o_orderkey % 3 AS INT) + 1)").as("we")))
+      .reduce(_ unionAll _)
+    time("merge_intervals") {
+      Temporal.mergeIntervals(miv, Seq("o_orderpriority"), "ws", "we")
+        .write.format("noop").mode("overwrite").save()
+    }
+    // interp resample under duplication: the sparse agg absorbs repeated
+    // rows map-side and the dense spine is span-bound — scan-dominated
+    val ro = (0 until rep)
+      .map(_ => Tables.orders(spark, sfDir)
+        .select("o_orderpriority", "o_orderdate", "o_totalprice"))
+      .reduce(_ unionAll _)
+    time("resample_interp") {
+      Temporal.resample(ro, Seq("o_orderpriority"), "o_orderdate",
+          bucketMs = 86400000L,
+          aggs = Seq(count(lit(1)).as("n_orders"),
+            sum((col("o_totalprice") * 100).cast("long")).as("rev_c")),
+          fill = "interp")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     val docs = replicate(Tables.documents(spark, sfDir)
       .select("doc_id", "text"), "doc_id")
     time("audio_dedup_clusters") {

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.sum
+import org.apache.spark.sql.functions.{max, sum}
 
 /** Planted-data contracts for [[Temporal.asofJoin]] and
   * [[Temporal.rangeJoin]] — the tie rule, boundary inclusivity,
@@ -228,6 +228,91 @@ class TemporalSpec extends SparkSpec {
     val out = Temporal.concurrency(iv, Seq("key"), "s", "e")
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(out == Set((1L, 1L), (3L, 0L))) // only the [1,3) interval counts
+  }
+
+  test("resample interp: interior gaps interpolate with a true floor; edges stay NULL") {
+    // key 7 observes buckets 0 (v=10) and 30 (v=0): the gap buckets
+    // interpolate 10 + floor(-10*1/3) = 6 and 10 + floor(-10*2/3) = 3 —
+    // a negative non-divisible delta, so truncating division would give
+    // 7 and 4
+    val df = Seq((7L, 0L, 10L), (7L, 0L, 0L), (7L, 35L, 0L), (8L, 12L, 5L))
+      .toDF("key", "t", "v")
+    val out = Temporal.resample(df, Seq("key"), "t", bucketMs = 10L,
+        aggs = Seq(max($"v").as("mv")), fill = "interp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toMap
+    assert(out == Map((7L, 0L) -> 10L, (7L, 10L) -> 6L, (7L, 20L) -> 3L,
+      (7L, 30L) -> 0L, (8L, 10L) -> 5L))
+  }
+
+  test("resample interp: leading/trailing gaps NULL; float aggregates rejected loud") {
+    // leading gap has no preceding observation: with observations only at
+    // buckets 10 and 20, a key whose span starts at its first observation
+    // has no leading gap — so plant one via a second agg column that is
+    // NULL in the first bucket
+    val df = Seq((1L, 5L, Option.empty[Long]), (1L, 15L, Option(8L)),
+      (1L, 25L, Option.empty[Long]), (1L, 35L, Option(2L)),
+      (1L, 45L, Option.empty[Long])).toDF("key", "t", "v")
+    val out = Temporal.resample(df, Seq("key"), "t", 10L,
+        Seq(max($"v").as("mv")), fill = "interp")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toMap
+    // bucket 0 (observed-but-NULL agg) and bucket 40 bracket the timeline:
+    // nothing before/after to interpolate from → NULL; bucket 20 is interior
+    assert(out == Map(0L -> Long.MinValue, 10L -> 8L, 20L -> 5L, 30L -> 2L,
+      40L -> Long.MinValue))
+    val e = intercept[IllegalArgumentException] {
+      Temporal.resample(Seq((1L, 0L, 1.5)).toDF("key", "t", "v"),
+        Seq("key"), "t", 10L, Seq(sum($"v").as("sv")), fill = "interp")
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
+  test("mergeIntervals: overlap and touch merge; gaps split; tolerance bridges") {
+    val iv = Seq((7L, 0L, 10L), (7L, 10L, 20L), (7L, 5L, 8L), (7L, 25L, 30L),
+      (9L, 0L, 3L)).toDF("key", "s", "e")
+    val got = Temporal.mergeIntervals(iv, Seq("key"), "s", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // closed intervals: [0,10] and [10,20] share instant 10 → one island
+    assert(got == Set((7L, 0L, 20L, 3L), (7L, 25L, 30L, 1L), (9L, 0L, 3L, 1L)))
+    val bridged = Temporal.mergeIntervals(iv, Seq("key"), "s", "e",
+        gapToleranceMs = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(bridged == Set((7L, 0L, 30L, 4L), (9L, 0L, 3L, 1L)))
+  }
+
+  test("mergeIntervals: a contained interval never extends its island") {
+    val iv = Seq((1L, 0L, 100L), (1L, 5L, 10L), (1L, 150L, 160L))
+      .toDF("key", "s", "e")
+    val got = Temporal.mergeIntervals(iv, Seq("key"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 100L, 2L), (150L, 160L, 1L)))
+  }
+
+  test("mergeIntervals: exact duplicate intervals count into ONE island, never leak") {
+    // the tie hazard this operator's distinct-start pre-collapse exists
+    // for: duplicated (s, e) rows must not let an island flag and its
+    // running sum disagree on tie order and weld neighboring islands
+    val iv = Seq((1L, 0L, 10L), (1L, 0L, 10L), (1L, 0L, 4L), (1L, 100L, 110L),
+      (1L, 100L, 110L)).toDF("key", "s", "e")
+    val got = Temporal.mergeIntervals(iv, Seq("key"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 10L, 3L), (100L, 110L, 2L)))
+  }
+
+  test("mergeIntervals: NULL/inverted intervals drop; point events sessionize") {
+    val iv = Seq((1L, Option(9L), Option(5L)), (1L, Option.empty[Long], Option(5L)),
+      (1L, Option(1L), Option(1L)), (1L, Option(2L), Option(2L)),
+      (1L, Option(40L), Option(40L))).toDF("key", "s", "e")
+    val got = Temporal.mergeIntervals(iv, Seq("key"), "s", "s",
+        gapToleranceMs = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // s==e sessionization on the START column: NULL start drops, the
+    // inverted row still contributes its point (s,s); points 1,2,9 chain
+    // within the 10ms gap, 40 stands alone
+    assert(got == Set((1L, 9L, 3L), (40L, 40L, 1L)))
   }
 
   test("rangeJoin: timestamp timeline agrees with the integral-ms timeline") {
