@@ -65,11 +65,15 @@ object Temporal {
     * map-side post-filter, so the plan is unchanged.
     *
     * Plan shape: union → ONE hash shuffle on `keys` → per-key sort →
-    * running `last(ignoreNulls)` window (backward) / reverse-order
-    * `first(ignoreNulls)` window (forward; `nearest` runs both over the
-    * SAME exchange, paying one extra in-partition sort) → filter back to
-    * left rows. A hot key costs one partition's sort (external, spills);
-    * there is no per-row state object and no driver participation.
+    * running `last(ignoreNulls)` window (backward) / the SAME growing
+    * frame over the mirrored (ts-descending) ordering (forward; `nearest`
+    * runs both over the SAME exchange, paying one extra in-partition
+    * sort) → filter back to left rows. Both frames are
+    * [unboundedPreceding, currentRow] — a [currentRow,
+    * unboundedFollowing] frame would make Spark re-aggregate the
+    * partition remainder per row, quadratic on a hot key. A hot key
+    * costs one partition's sort (external, spills); there is no per-row
+    * state object and no driver participation.
     */
   def asofJoin(
       left: DataFrame,
@@ -127,11 +131,18 @@ object Temporal {
     val wb = part
       .orderBy(col("__ts").asc, col("__tag").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The forward pass is the backward pass MIRRORED (ts desc, tags and
+    // payload order flipped, nulls-last → nulls-first) with the same
+    // GROWING [unboundedPreceding, currentRow] frame — never a
+    // [currentRow, unboundedFollowing] frame: Spark's
+    // UnboundedFollowingWindowFunctionFrame re-aggregates the partition
+    // remainder for EVERY row, turning a hot key quadratic. The reversed
+    // growing frame is linear and costs one extra in-partition sort.
     val wf = part
-      .orderBy(col("__ts").asc, col("__tag").desc, col("__r").desc_nulls_last)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__ts").desc, col("__tag").asc, col("__r").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val back = last(col("__r"), ignoreNulls = true).over(wb)
-    val fwd = first(col("__r"), ignoreNulls = true).over(wf)
+    val fwd = last(col("__r"), ignoreNulls = true).over(wf)
 
     val toMs = msConverter(left.select(col(leftTs)).schema.head.dataType, "asofJoin")
     // per-candidate tolerance gate (NULL comparison → false → candidate
@@ -329,28 +340,37 @@ object Temporal {
           "(float interpolation would drift between engines)"))
       val wb = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket"))
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // forward lookup = the same growing frame over the REVERSED bucket
+      // order (an unbounded-following frame re-aggregates the partition
+      // remainder per row in Spark — quadratic on a long key span; the
+      // mirrored growing frame is linear and costs one extra sort)
+      val wf = Window.partitionBy(keys.map(col): _*).orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // true floor division in exact long arithmetic (the rangeJoin mod
       // trick) — truncating `/` would round negative deltas toward zero
       def floorDiv(a: Column, b: Column): Column =
         ((a - ((a % b) + b) % b) / b).cast(LongType)
-      aggNames.foldLeft(joined) { (acc, c) =>
+      // all columns in ONE select: a per-column withColumn fold leaves a
+      // Project between the window batches and defeats CollapseWindow —
+      // this way every wb expression lands in one Window node and every
+      // wf expression in the other
+      val filled = aggNames.map { c =>
         val v = col(c).cast(LongType)
         val obsB = when(col(c).isNotNull, col("bucket"))
         val pv = last(v, ignoreNulls = true).over(wb)
         val pb = last(obsB, ignoreNulls = true).over(wb)
-        val nv = first(v, ignoreNulls = true).over(wf)
-        val nb = first(obsB, ignoreNulls = true).over(wf)
+        val nv = last(v, ignoreNulls = true).over(wf)
+        val nb = last(obsB, ignoreNulls = true).over(wf)
         // steps are exact: every bucket is a multiple of bucketMs, so the
         // double quotient is integral; magnitudes stay << 2^53
         val steps = ((col("bucket") - pb) / bucketMs).cast(LongType)
         val total = ((nb - pb) / bucketMs).cast(LongType)
-        acc.withColumn(c,
-          when(col(c).isNotNull, v)
-            .when(pv.isNull || nv.isNull, lit(null).cast(LongType))
-            .otherwise(pv + floorDiv((nv - pv) * steps, total)))
+        when(col(c).isNotNull, v)
+          .when(pv.isNull || nv.isNull, lit(null).cast(LongType))
+          .otherwise(pv + floorDiv((nv - pv) * steps, total))
+          .as(c)
       }
+      joined.select((keys :+ "bucket").map(col) ++ filled: _*)
     }
   }
 

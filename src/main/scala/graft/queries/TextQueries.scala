@@ -1329,6 +1329,66 @@ object TextQueries {
       .select(col(idCol), col("term"), col("score_q"))
   }
 
+  /** Okapi BM25 document retrieval (Robertson et al., TREC-3; the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf form, positive for every df):
+    * rank documents against a bag-of-terms query, returning the top `n`
+    * by total score.
+    *
+    * Engine-exactness: each (doc, term) partial is quantized to integer
+    * MICRO-UNITS (`floor(score · 1e6)`) BEFORE the per-doc sum — float
+    * sums are order-dependent and Spark's aggregation order is not
+    * DuckDB's, but integer sums commute. The score expression itself is
+    * written in the exact same IEEE operation order on both engines
+    * (every `*`, `/`, `+` is a correctly-rounded double op on identical
+    * inputs; the one libm call, `ln`, agrees in practice and any last-ulp
+    * wobble only matters on an exact micro-unit boundary).
+    *
+    * Scale shape: the term filter lands right after the explode (map
+    * side), so the tf aggregate shuffles only matching (doc, term) pairs;
+    * df aggregates to ≤ |query| rows and broadcasts back; corpus stats
+    * (N, avgdl) are ONE broadcast row; the doc-length join keys on the
+    * id (AQE broadcasts at small SF, co-keyed shuffle at corpus scale);
+    * the global top-n plans as TakeOrderedAndProject — no single-partition
+    * sort of the full ranking.
+    */
+  def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25Rank: query must name at least one term")
+    require(n > 0, "bm25Rank: n must be positive")
+    val words = docs.select(col(idCol),
+      expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
+    val dl = words.select(col(idCol), size(col("__w")).cast("long").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = words
+      .select(col(idCol), explode(col("__w")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__sq", floor(
+        col("__idf") * (col("__tf") * lit(k1 + 1)) /
+          (col("__tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))) *
+          lit(1000000)).cast("long"))
+    val top = scored
+      .groupBy(col(idCol))
+      .agg(sum(col("__sq")).as("bm25_q"))
+      .orderBy(col("bm25_q").desc, col(idCol).asc)
+      .limit(n)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25_q").desc, col(idCol).asc)))
+  }
+
   /** PII-style scrubbing: replace every match of `pattern` with `token`,
     * recording the per-row match count. Pure map-side (codegen regex) —
     * the redaction pass a training corpus takes before packing. Patterns
@@ -1355,6 +1415,39 @@ object TextQueries {
     redact(Tables.events(s, d), "props", "[0-9]+", "<NUM>")
       .select(col("event_id"), col("n_redacted"),
         md5(col("props_redacted")).as("redacted_md5"))
+  }
+
+  /** BM25 retrieval: top-20 documents for the query
+    * {hash, join, spark, window} (k1 = 1.2, b = 0.75, Lucene idf). The
+    * oracle recomputes the FULL scoring pipeline in DuckDB with the same
+    * IEEE operation order, the same micro-unit floor quantization before
+    * the per-doc sum (integer sums commute; float sums don't), and the
+    * same (score desc, doc_id) tie rule — so ranks AND quantized scores
+    * hash-match.
+    */
+  val qBm25 = q(
+    "q_bm25",
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> x <> '') AS w FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+      "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, unnest(w) AS t FROM w) " +
+      "WHERE t IN ('hash', 'join', 'spark', 'window') GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT tf.doc_id, CAST(floor(" +
+      "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) / " +
+      "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000" +
+      ") AS BIGINT) AS sq " +
+      "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "tot AS (SELECT doc_id, CAST(sum(sq) AS BIGINT) AS bm25_q " +
+      "FROM sc GROUP BY 1) " +
+      "SELECT doc_id, bm25_q, CAST(row_number() OVER " +
+      "(ORDER BY bm25_q DESC, doc_id) AS INT) AS rank " +
+      "FROM tot ORDER BY rank LIMIT 20") { (s, d) =>
+    bm25Rank(Tables.documentsBalanced(s, d), "doc_id", "text",
+      Seq("hash", "join", "spark", "window"), 20)
   }
 
   val qTfidf = q(
@@ -1446,5 +1539,5 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qRedact, qSplitLeakfree)
+    qDedupClusters, qTfidf, qBm25, qRedact, qSplitLeakfree)
 }

@@ -1592,6 +1592,37 @@ class OperatorsSpec extends SparkSpec {
     assert(top1 === Map(0L -> "rare0", 1L -> "rare1", 2L -> "rare2"))
   }
 
+  test("bm25 column path equals the scalar reference; ranking and guards hold") {
+    import graft.queries.TextQueries
+    val corpus = Seq(
+      (0L, "a a b x"),     // dl 4
+      (1L, "a c"),         // dl 2
+      (2L, "b b b c y y"), // dl 6
+      (3L, "z z")          // no query term -> excluded
+    ).toDF("doc_id", "text")
+    val got = TextQueries.bm25Rank(corpus, "doc_id", "text", Seq("a", "b"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // scalar reference: the same Okapi formula in plain doubles, floored
+    // to micro-units per (doc, term) before the per-doc sum
+    val n = 4L; val avgdl = (4 + 2 + 6 + 2).toDouble / 4
+    def sq(tf: Long, df: Long, dl: Long): Long =
+      math.floor(math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+        (tf * (1.2 + 1)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) *
+        1000000).toLong
+    val exp = Map( // (doc -> total micro-score)
+      0L -> (sq(2, 2, 4) + sq(1, 2, 4)), // a x2, b x1
+      1L -> sq(1, 2, 2),                 // a x1
+      2L -> sq(3, 2, 6))                 // b x3
+    assert(got.map(r => r._1 -> r._2).toMap === exp)
+    // ranks follow (score desc, doc_id asc) and doc 3 never appears
+    assert(got.sortBy(_._3).map(_._1).toSeq ===
+      exp.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+    assert(!got.exists(_._1 == 3L))
+    intercept[IllegalArgumentException](
+      TextQueries.bm25Rank(corpus, "doc_id", "text", Nil, 5))
+  }
+
   test("salted join equals the plain join on a planted hot key") {
     val big = ((0 until 200).map(i => (1L, s"hot$i")) ++ // one key with 200 rows
       Seq((2L, "cold-a"), (3L, "cold-b"))).toDF("k", "payload")
