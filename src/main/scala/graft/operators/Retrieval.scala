@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.functions.Md5Prefix32
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BM25 retrieval (Robertson et al., TREC-3; the Lucene
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf form, positive for every df):
+  * one-shot corpus ranking plus a PERSISTED inverted index with the same
+  * write / append / probe / compact lifecycle as the MinHash signature,
+  * SemDeDup, line-frequency, and image-hash indexes — so a retrieval
+  * corpus is tokenized ONCE and every query afterwards reads only the
+  * term-bucket partitions it probes.
+  *
+  * Engine-exactness contract (shared by both paths): each (doc, term)
+  * partial score is quantized to integer MICRO-UNITS (`floor(score·1e6)`)
+  * BEFORE the per-doc sum — float sums are order-dependent and Spark's
+  * aggregation order is not DuckDB's, but integer sums commute. The score
+  * expression itself is written in the exact same IEEE operation order on
+  * both engines; the one libm call (`ln`) agrees in practice and any
+  * last-ulp wobble only matters on an exact micro-unit boundary.
+  *
+  * Reference anchor: the reference ships no retrieval operator — this is
+  * part of the training-data-pipeline charter (similarity search over
+  * text, the sparse complement of the ANN family in Similarity.scala).
+  */
+object Retrieval {
+
+  /** The shared Okapi scorer: micro-unit quantized partial for one
+    * (doc, term) — `tf`/`df`/`dl` integral columns, `n` the corpus doc
+    * count (long), `avgdl` double. Both the one-shot and the index path
+    * emit EXACTLY this expression so their results are bit-identical.
+    */
+  private def scoreQ(tf: Column, df: Column, dl: Column, n: Column,
+      avgdl: Column, k1: Double, b: Double): Column =
+    floor(
+      log(lit(1.0) + (n - df + lit(0.5)) / (df + lit(0.5))) *
+        (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl)) *
+        lit(1000000)).cast("long")
+
+  /** House tokenizer (the tfidf/dedup rule): split on single spaces,
+    * drop empties.
+    */
+  private def tokens(textCol: String): Column =
+    expr(s"filter(split($textCol, ' '), x -> x != '')")
+
+  private def topN(scored: DataFrame, n: Int): DataFrame = {
+    // global top-n plans as TakeOrderedAndProject — no single-partition
+    // sort of the full ranking; the rank window then runs over n rows
+    val top = scored
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__sq")).as("bm25_q"))
+      .orderBy(col("bm25_q").desc, col("doc_id").asc)
+      .limit(n)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25_q").desc, col("doc_id").asc)))
+  }
+
+  private def requireQuery(queryTerms: Seq[String], n: Int, op: String): Unit = {
+    require(queryTerms.nonEmpty, s"$op: query must name at least one term")
+    require(n > 0, s"$op: n must be positive")
+  }
+
+  private def requireLongId(df: DataFrame, idCol: String, op: String): Unit =
+    require(df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"$op: id column '$idCol' must be integral (got " +
+      s"${df.schema(idCol).dataType.simpleString}) — the index stores ids " +
+      "as int64")
+
+  /** One-shot BM25: rank `docs` against a bag-of-terms query, returning
+    * the top `n` as (doc_id, bm25_q, rank) by (score desc, id asc).
+    * Documents containing no query term never appear (inner semantics).
+    *
+    * Scale shape: the term filter lands right after the explode (map
+    * side), so the tf aggregate shuffles only matching (doc, term) pairs;
+    * df aggregates to ≤ |query| rows and broadcasts back; corpus stats
+    * (N, avgdl) are ONE broadcast row; the doc-length join keys on the
+    * id (AQE broadcasts at small SF, co-keyed shuffle at corpus scale).
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireQuery(queryTerms, n, "bm25Rank")
+    requireLongId(docs, idCol, "bm25Rank")
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(textCol).as("__w"))
+    val dl = words.select(col("doc_id"), size(col("__w")).cast("long").as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      // the zero-doc guard never fires alongside a posting (no docs → no
+      // postings), so the non-empty value path is the bare division
+      when(count(lit(1)) === 0, lit(null).cast("double"))
+        .otherwise(sum(col("__dl")).cast("double") / count(lit(1)))
+        .as("__avgdl"))
+    val tf = words
+      .select(col("doc_id"), explode(col("__w")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    topN(tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
+        col("__n"), col("__avgdl"), k1, b)), n)
+  }
+
+  // ---- the persisted inverted index ----
+
+  /** The index's fixed on-disk schema, supplied explicitly on every read
+    * (an empty index reads as an empty frame; partition-value inference
+    * never runs). Two row kinds share it:
+    *  - POSTING rows: (term, doc_id, tf, dl) in partition
+    *    `__tb = "b" + (md5_prefix32(term) mod nBuckets)`;
+    *  - STATS rows: (term NULL, doc_id NULL, tf = batch doc count,
+    *    dl = batch token total) in partition `__tb = "stats"` — ONE row
+    *    per write/append, summed at probe time, so corpus N and avgdl
+    *    ride the same atomic parquet write as the postings they describe
+    *    (no separate mutable meta to drift).
+    */
+  private val indexSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("doc_id", LongType),
+    StructField("tf", LongType),
+    StructField("dl", LongType),
+    StructField("__tb", StringType)))
+
+  private val StatsToken = "stats"
+
+  private def bucketToken(term: Column, nBuckets: Int): Column =
+    concat(lit("b"), pmod(Md5Prefix32.md5Prefix32(term), lit(nBuckets.toLong)))
+
+  /** Driver-side twin of [[bucketToken]] — must produce identical tokens. */
+  private def bucketTokenOf(term: String, nBuckets: Int): String =
+    "b" + java.lang.Math.floorMod(
+      Md5Prefix32.hash(term.getBytes("UTF-8")), nBuckets.toLong)
+
+  private def metaPath(path: String) = s"$path/_graft_text_index_meta.json"
+
+  private def writeMeta(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"""{"nBuckets": $nBuckets, "version": 1}"""
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String, op: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$op: no text index at $path (missing " +
+      s"${p.getName}) — build one with writeTextIndex first")
+    val in = fs.open(p)
+    val txt = try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(buf); new String(buf, "UTF-8")
+    } finally in.close()
+    val m = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+    require(m.isDefined, s"$op: malformed text index meta at $path: $txt")
+    m.get.group(1).toInt
+  }
+
+  private def batchRows(docs: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    Md5Prefix32.register(docs.sparkSession) // idempotent; bare sessions lack it
+    val words = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(textCol).as("__w"))
+    val postings = words
+      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
+        explode(col("__w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+        bucketToken(col("term"), nBuckets).as("__tb"))
+    val stats = words
+      .agg(count(lit(1)).as("tf"), sum(size(col("__w")).cast("long")).as("dl"))
+      .select(lit(null).cast(StringType).as("term"),
+        lit(null).cast(LongType).as("doc_id"),
+        col("tf"), coalesce(col("dl"), lit(0L)).as("dl"),
+        lit(StatsToken).as("__tb"))
+    postings.unionByName(stats)
+  }
+
+  /** Build the index: postings partitioned by term bucket (probes prune
+    * statically to their query terms' buckets), salt-clustered and
+    * term-sorted within each partition so row groups carry tight min/max
+    * for the residual term filter.
+    */
+  def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, s"writeTextIndex: nBuckets must be positive, got $nBuckets")
+    requireLongId(docs, idCol, "writeTextIndex")
+    Dedup.clusterForPartitionedWrite(
+        batchRows(docs, idCol, textCol, nBuckets),
+        "__tb", sortCols = Seq("term"))
+      .write.mode("overwrite").partitionBy("__tb").parquet(path)
+    writeMeta(docs.sparkSession, path, nBuckets)
+  }
+
+  /** APPEND a new batch of documents. CONTRACT: each document is appended
+    * at most once across the index's lifetime (the natural ingest-loop
+    * shape) — re-appending duplicates postings, inflating that term's df
+    * and the doc's score contributions. One parquet write carries both
+    * the postings and the batch's stats row.
+    */
+  def appendToTextIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    requireLongId(docs, idCol, "appendToTextIndex")
+    val nBuckets = readMeta(docs.sparkSession, path, "appendToTextIndex")
+    batchRows(docs, idCol, textCol, nBuckets)
+      .write.mode("append").partitionBy("__tb").parquet(path)
+  }
+
+  /** Query the PERSISTED index: reads ONLY the query terms' bucket
+    * partitions plus the stats partition — the corpus is never scanned.
+    * Returns exactly what [[bm25Rank]] over the indexed corpus returns
+    * (same scorer, same quantization, same tie rule).
+    */
+  def bm25AgainstIndex(spark: SparkSession, path: String,
+      queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireQuery(queryTerms, n, "bm25AgainstIndex")
+    val nBuckets = readMeta(spark, path, "bm25AgainstIndex")
+    val tks = (queryTerms.map(bucketTokenOf(_, nBuckets)).distinct :+ StatsToken)
+    val rows = spark.read.schema(indexSchema).parquet(path)
+      .filter(col("__tb").isInCollection(tks))
+    val stats = rows.where(col("term").isNull)
+      .agg(sum(col("tf")).as("__n"),
+        // an index built/appended only from empty batches has N = 0 (and
+        // no postings); guard the 0/0 — the non-empty path is the bare
+        // division, identical to bm25Rank's
+        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
+          .as("__avgdl"))
+    val posts = rows
+      .where(col("term").isNotNull && col("term").isin(queryTerms: _*))
+      .select(col("term"), col("doc_id"), col("tf").as("__tf"),
+        col("dl").as("__dl"))
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("__df"))
+    topN(posts
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
+        col("__n"), col("__avgdl"), k1, b)), n)
+  }
+
+  /** Compact an appended index into `targetPath` (must be disjoint from
+    * the live index): postings re-cluster into the bounded-file layout
+    * and the per-append stats rows fold into ONE. Pure layout work —
+    * probe results are identical before and after.
+    */
+  def compactTextIndex(spark: SparkSession, path: String,
+      targetPath: String): Unit = {
+    val nBuckets = readMeta(spark, path, "compactTextIndex")
+    Dedup.requireDistinctPaths(spark, path, targetPath, "compactTextIndex")
+    val rows = spark.read.schema(indexSchema).parquet(path)
+    val stats = rows.where(col("term").isNull)
+      .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
+      .select(lit(null).cast(StringType).as("term"),
+        lit(null).cast(LongType).as("doc_id"),
+        coalesce(col("tf"), lit(0L)).as("tf"),
+        coalesce(col("dl"), lit(0L)).as("dl"),
+        lit(StatsToken).as("__tb"))
+    Dedup.clusterForPartitionedWrite(
+        rows.where(col("term").isNotNull).unionByName(stats),
+        "__tb", sortCols = Seq("term"))
+      .write.mode("overwrite").partitionBy("__tb").parquet(targetPath)
+    writeMeta(spark, targetPath, nBuckets)
+  }
+}

@@ -1329,65 +1329,14 @@ object TextQueries {
       .select(col(idCol), col("term"), col("score_q"))
   }
 
-  /** Okapi BM25 document retrieval (Robertson et al., TREC-3; the Lucene
-    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf form, positive for every df):
-    * rank documents against a bag-of-terms query, returning the top `n`
-    * by total score.
-    *
-    * Engine-exactness: each (doc, term) partial is quantized to integer
-    * MICRO-UNITS (`floor(score · 1e6)`) BEFORE the per-doc sum — float
-    * sums are order-dependent and Spark's aggregation order is not
-    * DuckDB's, but integer sums commute. The score expression itself is
-    * written in the exact same IEEE operation order on both engines
-    * (every `*`, `/`, `+` is a correctly-rounded double op on identical
-    * inputs; the one libm call, `ln`, agrees in practice and any last-ulp
-    * wobble only matters on an exact micro-unit boundary).
-    *
-    * Scale shape: the term filter lands right after the explode (map
-    * side), so the tf aggregate shuffles only matching (doc, term) pairs;
-    * df aggregates to ≤ |query| rows and broadcasts back; corpus stats
-    * (N, avgdl) are ONE broadcast row; the doc-length join keys on the
-    * id (AQE broadcasts at small SF, co-keyed shuffle at corpus scale);
-    * the global top-n plans as TakeOrderedAndProject — no single-partition
-    * sort of the full ranking.
+  /** Okapi BM25 retrieval — the one-shot corpus path; moved to
+    * [[graft.operators.Retrieval.bm25Rank]] (which also owns the
+    * persisted inverted index this delegates to for the full lifecycle).
     */
   def bm25Rank(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, queryTerms: Seq[String], n: Int,
-      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(queryTerms.nonEmpty, "bm25Rank: query must name at least one term")
-    require(n > 0, "bm25Rank: n must be positive")
-    val words = docs.select(col(idCol),
-      expr(s"filter(split($textCol, ' '), x -> x != '')").as("__w"))
-    val dl = words.select(col(idCol), size(col("__w")).cast("long").as("__dl"))
-    val stats = dl.agg(count(lit(1)).as("__n"),
-      (sum(col("__dl")).cast("double") / count(lit(1))).as("__avgdl"))
-    val tf = words
-      .select(col(idCol), explode(col("__w")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("__tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
-      .withColumn("__idf",
-        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
-          (col("__df") + lit(0.5))))
-      .withColumn("__sq", floor(
-        col("__idf") * (col("__tf") * lit(k1 + 1)) /
-          (col("__tf") + lit(k1) *
-            (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))) *
-          lit(1000000)).cast("long"))
-    val top = scored
-      .groupBy(col(idCol))
-      .agg(sum(col("__sq")).as("bm25_q"))
-      .orderBy(col("bm25_q").desc, col(idCol).asc)
-      .limit(n)
-    top.withColumn("rank",
-      row_number().over(Window.orderBy(col("bm25_q").desc, col(idCol).asc)))
-  }
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame =
+    graft.operators.Retrieval.bm25Rank(docs, idCol, textCol, queryTerms, n, k1, b)
 
   /** PII-style scrubbing: replace every match of `pattern` with `token`,
     * recording the per-row match count. Pure map-side (codegen regex) —
@@ -1447,6 +1396,28 @@ object TextQueries {
       "(ORDER BY bm25_q DESC, doc_id) AS INT) AS rank " +
       "FROM tot ORDER BY rank LIMIT 20") { (s, d) =>
     bm25Rank(Tables.documentsBalanced(s, d), "doc_id", "text",
+      Seq("hash", "join", "spark", "window"), 20)
+  }
+
+  /** BM25 against the PERSISTED inverted index: half the corpus is
+    * indexed with `writeTextIndex`, the other half arrives via
+    * `appendToTextIndex` (per-batch stats rows summing at probe time),
+    * and the probe reads ONLY the query terms' bucket partitions + stats.
+    * The oracle is the SAME full-corpus recompute as `q_bm25` — proving
+    * the index lifecycle is semantics-preserving end-to-end, including
+    * the split-batch corpus statistics.
+    */
+  val qBm25Indexed = q(
+    "q_bm25_indexed",
+    qBm25.oracle.get) { (s, d) =>
+    import graft.operators.Retrieval
+    val docs = Tables.documentsBalanced(s, d)
+    val idx = scratchDir("graft_textidx", d)
+    Retrieval.writeTextIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx, nBuckets = 16)
+    Retrieval.appendToTextIndex(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    Retrieval.bm25AgainstIndex(s, idx,
       Seq("hash", "join", "spark", "window"), 20)
   }
 
@@ -1539,5 +1510,5 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qBm25, qRedact, qSplitLeakfree)
+    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qRedact, qSplitLeakfree)
 }

@@ -492,6 +492,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q_bm25_indexed: probe prunes to query-term buckets; top-n never sorts the ranking") {
+    val p = plan("q_bm25_indexed")
+    // the index scan reads ONLY the query terms' bucket partitions plus
+    // the stats partition — the corpus is never rescanned
+    assert(p.contains("PartitionFilters: [__tb") && p.contains(",stats)"),
+      "bucket partition pruning lost:\n" + p.take(2500))
+    assert(p.contains("In(term, [hash,join,spark,window])"),
+      "term pushdown lost:\n" + p.take(2500))
+    // the df leg prunes to the term column alone
+    assert(p.contains("ReadSchema: struct<term:string>"),
+      "df-side column pruning lost:\n" + p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-n must not sort the full ranking:\n" + p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
   test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Lifecycle contracts for the BM25 inverted index
+  * ([[Retrieval.writeTextIndex]] / append / probe / compact): the probe
+  * must return EXACTLY what the one-shot [[Retrieval.bm25Rank]] returns
+  * over the same corpus — including when the corpus reached the index
+  * through split appends — plus the loud guards.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus: DataFrame = Seq(
+    (0L, "a a b x"),
+    (1L, "a c"),
+    (2L, "b b b c y y"),
+    (3L, "z z"),
+    (4L, "a b a b c"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  test("index probe equals the one-shot ranking, write-only and write+append") {
+    val q = Seq("a", "b")
+    val direct = rows(Retrieval.bm25Rank(corpus, "doc_id", "text", q, 10))
+    assert(direct.nonEmpty)
+
+    val whole = freshDir("retr_whole")
+    Retrieval.writeTextIndex(corpus, "doc_id", "text", whole, nBuckets = 4)
+    assert(rows(Retrieval.bm25AgainstIndex(spark, whole, q, 10)) === direct)
+
+    // the same corpus split across a build and two appends — per-batch
+    // stats rows must SUM to the same N/avgdl and df must be additive
+    val split = freshDir("retr_split")
+    Retrieval.writeTextIndex(corpus.where($"doc_id" < 2), "doc_id", "text",
+      split, nBuckets = 4)
+    Retrieval.appendToTextIndex(corpus.where($"doc_id" >= 2 && $"doc_id" < 4),
+      "doc_id", "text", split)
+    Retrieval.appendToTextIndex(corpus.where($"doc_id" >= 4), "doc_id", "text",
+      split)
+    assert(rows(Retrieval.bm25AgainstIndex(spark, split, q, 10)) === direct)
+  }
+
+  test("compaction folds append partials and preserves probe results") {
+    val q = Seq("a", "b", "c")
+    val idx = freshDir("retr_cmp")
+    Retrieval.writeTextIndex(corpus.where($"doc_id" % 2 === 0), "doc_id",
+      "text", idx, nBuckets = 4)
+    Retrieval.appendToTextIndex(corpus.where($"doc_id" % 2 === 1), "doc_id",
+      "text", idx)
+    val before = rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10))
+    val target = freshDir("retr_cmp_out")
+    Retrieval.compactTextIndex(spark, idx, target)
+    assert(rows(Retrieval.bm25AgainstIndex(spark, target, q, 10)) === before)
+    assert(before === rows(Retrieval.bm25Rank(corpus, "doc_id", "text", q, 10)))
+  }
+
+  test("an empty build is legal; probing it returns no rows") {
+    val idx = freshDir("retr_empty")
+    Retrieval.writeTextIndex(corpus.where($"doc_id" < 0), "doc_id", "text",
+      idx, nBuckets = 4)
+    assert(Retrieval.bm25AgainstIndex(spark, idx, Seq("a"), 5).count() === 0L)
+  }
+
+  test("guards fail loud: missing index, nested compact target, bad inputs") {
+    val none = intercept[IllegalArgumentException](
+      Retrieval.bm25AgainstIndex(spark, freshDir("retr_none"), Seq("a"), 5))
+    assert(none.getMessage.contains("writeTextIndex"))
+
+    val idx = freshDir("retr_guard")
+    Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
+    val nested = intercept[IllegalArgumentException](
+      Retrieval.compactTextIndex(spark, idx, idx + "/compacted"))
+    assert(nested.getMessage.contains("disjoint"))
+
+    intercept[IllegalArgumentException](
+      Retrieval.bm25AgainstIndex(spark, idx, Nil, 5))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25AgainstIndex(spark, idx, Seq("a"), 0))
+    intercept[IllegalArgumentException](
+      Retrieval.writeTextIndex(corpus.withColumn("doc_id",
+        $"doc_id".cast("string")), "doc_id", "text", freshDir("retr_str"), 4))
+  }
+
+  test("query terms absent from the index rank nothing but break nothing") {
+    val idx = freshDir("retr_absent")
+    Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
+    val got = rows(Retrieval.bm25AgainstIndex(spark, idx,
+      Seq("nosuchterm", "b"), 10))
+    val direct = rows(Retrieval.bm25Rank(corpus, "doc_id", "text",
+      Seq("nosuchterm", "b"), 10))
+    assert(got === direct && got.nonEmpty)
+  }
+}
