@@ -218,8 +218,81 @@ object Retrieval {
       .write.mode("append").partitionBy("__tb").parquet(path)
   }
 
+  // ---- streaming ingest: idempotent per-batch subtrees under _ingest ----
+
+  private val IngestDirName = "_ingest"
+
+  /** Streaming appends live in `path/_ingest/<queryTag>/b_<batchId>` —
+    * underscore-prefixed so Spark's default file index HIDES the subtree
+    * from plain `parquet(path)` reads, while [[bm25AgainstIndex]] and
+    * [[compactTextIndex]] list and union the subtrees explicitly. One dir
+    * per (query, batch) makes the streaming append IDEMPOTENT: a replayed
+    * batch OVERWRITES its own subtree instead of appending duplicate
+    * postings — the crash-replay hole the plain [[appendToTextIndex]]
+    * contract leaves open is closed on this path.
+    */
+  private def ingestBatchDir(path: String, queryTag: String,
+      batchId: Long): String =
+    s"$path/$IngestDirName/$queryTag/b_$batchId"
+
+  private def listIngestDirs(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path, IngestDirName)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else for {
+      q <- fs.listStatus(root).toSeq if q.isDirectory
+      b <- fs.listStatus(q.getPath).toSeq if b.isDirectory
+    } yield fs.makeQualified(b.getPath).toString
+  }
+
+  /** One streaming microbatch — exposed for direct spec-level replay
+    * testing; [[streamingTextIngest]] wires it into `foreachBatch`.
+    * Overwrites the batch's own subtree with its postings + stats row,
+    * so a replay after a crash leaves the index bit-identical.
+    */
+  private[operators] def ingestTextBatch(batch: DataFrame, idCol: String,
+      textCol: String, indexPath: String, queryTag: String,
+      batchId: Long): Unit = {
+    requireLongId(batch, idCol, "ingestTextBatch")
+    val nBuckets = readMeta(batch.sparkSession, indexPath, "ingestTextBatch")
+    batchRows(batch, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(ingestBatchDir(indexPath, queryTag, batchId))
+  }
+
+  /** Live-ingest loop for the inverted index — the retrieval member of
+    * the streaming-index family (`Dedup.streamingIngest`,
+    * `Similarity.streamingSemIngest`, `Boilerplate.streamingLineIngest`):
+    * each trigger's documents land as one idempotent subtree that every
+    * later probe unions in. Build the base first with [[writeTextIndex]]
+    * (an empty build is legal); [[compactTextIndex]] folds accumulated
+    * subtrees back into one base layout. The query tag derives from the
+    * QUALIFIED checkpoint path so a restarted query lands replayed
+    * batches on the same subtrees.
+    */
+  def streamingTextIngest(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val qualified = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir)
+      p.getFileSystem(stream.sparkSession.sessionState.newHadoopConf())
+        .makeQualified(p).toString
+    }
+    val queryTag = "q" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qualified.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestTextBatch(batch.toDF(), idCol, textCol, indexPath, queryTag,
+          batchId)
+      }
+      .start()
+  }
+
   /** Query the PERSISTED index: reads ONLY the query terms' bucket
-    * partitions plus the stats partition — the corpus is never scanned.
+    * partitions plus the stats partition — across the base layout AND
+    * every streaming-ingest subtree — the corpus is never scanned.
     * Returns exactly what [[bm25Rank]] over the indexed corpus returns
     * (same scorer, same quantization, same tie rule).
     */
@@ -229,7 +302,9 @@ object Retrieval {
     requireQuery(queryTerms, n, "bm25AgainstIndex")
     val nBuckets = readMeta(spark, path, "bm25AgainstIndex")
     val tks = (queryTerms.map(bucketTokenOf(_, nBuckets)).distinct :+ StatsToken)
-    val rows = spark.read.schema(indexSchema).parquet(path)
+    val rows = (path +: listIngestDirs(spark, path))
+      .map(r => spark.read.schema(indexSchema).parquet(r))
+      .reduce(_ unionByName _)
       .filter(col("__tb").isInCollection(tks))
     val stats = rows.where(col("term").isNull)
       .agg(sum(col("tf")).as("__n"),
@@ -252,15 +327,18 @@ object Retrieval {
   }
 
   /** Compact an appended index into `targetPath` (must be disjoint from
-    * the live index): postings re-cluster into the bounded-file layout
-    * and the per-append stats rows fold into ONE. Pure layout work —
-    * probe results are identical before and after.
+    * the live index): postings — base layout AND accumulated streaming
+    * subtrees — re-cluster into the bounded-file layout and the
+    * per-append stats rows fold into ONE. Pure layout work — probe
+    * results are identical before and after.
     */
   def compactTextIndex(spark: SparkSession, path: String,
       targetPath: String): Unit = {
     val nBuckets = readMeta(spark, path, "compactTextIndex")
     Dedup.requireDistinctPaths(spark, path, targetPath, "compactTextIndex")
-    val rows = spark.read.schema(indexSchema).parquet(path)
+    val rows = (path +: listIngestDirs(spark, path))
+      .map(r => spark.read.schema(indexSchema).parquet(r))
+      .reduce(_ unionByName _)
     val stats = rows.where(col("term").isNull)
       .agg(sum(col("tf")).as("tf"), sum(col("dl")).as("dl"))
       .select(lit(null).cast(StringType).as("term"),

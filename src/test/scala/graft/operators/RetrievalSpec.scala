@@ -89,6 +89,51 @@ class RetrievalSpec extends SparkSpec {
         $"doc_id".cast("string")), "doc_id", "text", freshDir("retr_str"), 4))
   }
 
+  test("streaming ingest: probes see each batch; replay leaves the index bit-identical") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val q = Seq("a", "b")
+    val idx = freshDir("retr_stream")
+    Retrieval.writeTextIndex(corpus.where($"doc_id" < 2), "doc_id", "text",
+      idx, nBuckets = 4)
+
+    val in = MemoryStream[(Long, String)]
+    val sq = Retrieval.streamingTextIngest(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text",
+      idx, java.nio.file.Files.createTempDirectory("retr_ckpt").toString)
+    try {
+      in.addData((2L, "b b b c y y"), (3L, "z z"))
+      sq.processAllAvailable()
+      in.addData((4L, "a b a b c"), (5L, ""))
+      sq.processAllAvailable()
+    } finally sq.stop()
+    val direct = rows(Retrieval.bm25Rank(corpus, "doc_id", "text", q, 10))
+    assert(rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)) === direct)
+
+    // a crash-replay of batch 1 OVERWRITES its own subtree — no duplicate
+    // postings, no double-counted stats
+    Retrieval.ingestTextBatch(
+      corpus.where($"doc_id" >= 4), "doc_id", "text", idx,
+      queryTag = streamQueryTag(idx), batchId = 1L)
+    assert(rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)) === direct)
+
+    // compaction folds base + subtrees and keeps results
+    val target = freshDir("retr_stream_cmp")
+    Retrieval.compactTextIndex(spark, idx, target)
+    assert(rows(Retrieval.bm25AgainstIndex(spark, target, q, 10)) === direct)
+  }
+
+  /** The one live queryTag under the index's _ingest dir (this spec runs
+    * a single streaming query per index).
+    */
+  private def streamQueryTag(idx: String): String = {
+    val root = new org.apache.hadoop.fs.Path(idx, "_ingest")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+    assert(tags.length === 1, tags.toSeq)
+    tags.head
+  }
+
   test("query terms absent from the index rank nothing but break nothing") {
     val idx = freshDir("retr_absent")
     Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
