@@ -180,6 +180,37 @@ object TemporalQueries {
     Temporal.concurrency(iv, Seq("o_orderpriority"), "ws", "we")
   }
 
+  /** Tolerance-gated as-of join (pandas `merge_asof(tolerance=…)`): the
+    * backward query's shape with matches farther than 7 days nulled —
+    * the oracle adds the window to its qualifying predicate, the Spark
+    * side must reproduce it through the per-candidate post-filter on the
+    * SAME one-shuffle plan.
+    */
+  val qAsofTolerance = q(
+    "q_asof_tolerance",
+    "WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'), " +
+      "v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'), " +
+      "m AS (SELECT p.event_id, max(v.ts) AS ats FROM p LEFT JOIN v " +
+      "ON v.user_id = p.user_id AND v.ts <= p.ts " +
+      "AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 604800000 GROUP BY p.event_id) " +
+      "SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms, " +
+      "epoch_ms(m.ats) AS asof_ts_ms, max(v.view_id) AS asof_view_id " +
+      "FROM p JOIN m ON m.event_id = p.event_id " +
+      "LEFT JOIN v ON v.user_id = p.user_id AND v.ts = m.ats " +
+      "GROUP BY 1, 2, 3, 4") { (s, d) =>
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    Temporal.asofJoin(p, v, Seq("user_id"), "ts", "vts", Seq("view_id"),
+        toleranceMs = Some(604800000L))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        unix_millis(col("asof_vts")).as("asof_ts_ms"),
+        col("asof_view_id"))
+  }
+
   /** Time-series resample with LINEAR interpolation: the ffill query's
     * shape, but interior gap days take the floor of the exact integer
     * interpolant between the surrounding observed days (leading/trailing
@@ -291,6 +322,6 @@ object TemporalQueries {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(qAsofJoin, qAsofNearest, qRangeJoin, qResampleFfill, qResampleInterp,
-      qConcurrency, qMergeIntervals, qSessionize)
+    Seq(qAsofJoin, qAsofNearest, qAsofTolerance, qRangeJoin, qResampleFfill,
+      qResampleInterp, qConcurrency, qMergeIntervals, qSessionize)
 }
