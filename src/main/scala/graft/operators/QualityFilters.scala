@@ -195,4 +195,55 @@ object QualityFilters {
           lit(false)))
       .drop("__c4_kept")
   }
+
+  /** Hampel/MAD robust outlier flag, per key group: a row is an outlier
+    * when `|value − median| > k · MAD` with
+    * `MAD = median(|value − median|)` — the standard robust alternative
+    * to mean/stddev z-scores (a handful of giant documents cannot drag
+    * the threshold the way they drag a stddev). The entire rule is
+    * evaluated in EXACT integer arithmetic: medians of integers land on
+    * the ½ grid, so `med2 = 2·median(v)` and `mad4 = 2·median(|2v − med2|)`
+    * are integral, and the verdict is the integer comparison
+    * `2·|2v − med2| > k·mad4` — engine-exact, no float thresholds.
+    *
+    * Output: the input plus `med2`, `mad4`, and `is_outlier` (BIGINT
+    * 0/1; NULL for a NULL value — it belongs to no distribution).
+    * NULL values are excluded from both medians.
+    *
+    * Plan shape: two aggregation passes over the input (inherent to MAD
+    * — the deviations need the median first), each collapsing to one row
+    * per key and broadcast back; the input itself never shuffles. At
+    * 100 TB the exact per-key median is the only super-linear piece —
+    * Spark's `percentile` buffers per-key values; for web-scale key
+    * cardinalities swap in `percentile_approx` at the caller's accuracy
+    * budget (the flag rule is unchanged).
+    */
+  def madOutlierFlags(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Long = 3L): DataFrame = {
+    require(keys.nonEmpty, "madOutlierFlags: at least one key column required")
+    require(k > 0, s"madOutlierFlags: k must be positive, got $k")
+    requireFreshColumns(df, "madOutlierFlags",
+      Seq("med2", "mad4", "is_outlier", "__d2"))
+    require(df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }, s"madOutlierFlags: value column '$valueCol' must be integral (got " +
+      s"${df.schema(valueCol).dataType.simpleString}) — scale to an " +
+      "integer grid first (float medians would drift between engines)")
+
+    val v = col(valueCol).cast("long")
+    val med = df.groupBy(keys.map(col): _*)
+      .agg((expr(s"percentile($valueCol, 0.5)") * 2).cast("long").as("med2"))
+    val withD = df.join(broadcast(med), keys)
+      .withColumn("__d2", abs(v * 2 - col("med2")))
+    val mad = withD.groupBy(keys.map(col): _*)
+      .agg((expr("percentile(__d2, 0.5)") * 2).cast("long").as("mad4"))
+    withD.join(broadcast(mad), keys)
+      .withColumn("is_outlier",
+        (col("__d2") * 2 > lit(k) * col("mad4")).cast("long"))
+      .drop("__d2")
+  }
 }

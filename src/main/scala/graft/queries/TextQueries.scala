@@ -1439,6 +1439,30 @@ object TextQueries {
     * integer cross-multiplication, so each rule verdict hash-matches the
     * DuckDB mirror per document.
     */
+  /** Hampel/MAD robust length-outlier flags per source domain
+    * ([[graft.operators.QualityFilters.madOutlierFlags]]): the whole rule
+    * is exact integer arithmetic on the ½-grid-scaled medians
+    * (`med2 = 2·median`, `mad4 = 2·median(|2v − med2|)`,
+    * outlier ⟺ `2·|2v − med2| > k·mad4`), so the DuckDB mirror
+    * hash-matches every verdict — no float thresholds anywhere.
+    */
+  val qOutlierMad = q(
+    "q_outlier_mad",
+    "WITH m AS (SELECT source, CAST(median(n_chars) * 2 AS BIGINT) AS med2 " +
+      "FROM documents GROUP BY 1), " +
+      "d AS (SELECT doc_id, documents.source, " +
+      "abs(n_chars * 2 - med2) AS d2, med2 FROM documents JOIN m USING (source)), " +
+      "md AS (SELECT source, CAST(median(d2) * 2 AS BIGINT) AS mad4 " +
+      "FROM d GROUP BY 1) " +
+      "SELECT doc_id, d.source, med2, mad4, " +
+      "CAST(d2 * 2 > 3 * mad4 AS BIGINT) AS is_outlier " +
+      "FROM d JOIN md USING (source)") { (s, d) =>
+    graft.operators.QualityFilters.madOutlierFlags(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      Seq("source"), "n_chars", k = 3L)
+      .select("doc_id", "source", "med2", "mad4", "is_outlier")
+  }
+
   val qQualityGopher = q(
     "q_quality_gopher",
     "WITH wr AS (SELECT doc_id, text, " +
@@ -1507,7 +1531,7 @@ object TextQueries {
     qDedupIncremental2,
     qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
-    qNgramJaccard, qTextStats, qLangId, qQualityScore, qTokenCount,
+    qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qBm25, qBm25Indexed, qRedact, qSplitLeakfree)

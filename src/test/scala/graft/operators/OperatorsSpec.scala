@@ -1623,6 +1623,33 @@ class OperatorsSpec extends SparkSpec {
       TextQueries.bm25Rank(corpus, "doc_id", "text", Nil, 5))
   }
 
+  test("MAD outlier flags: robust to the outlier itself; exact half-grid medians") {
+    import graft.operators.QualityFilters
+    // key 1: values 10,11,12,13,1000 -> median 12, deviations 2,1,0,1,988
+    // -> MAD 1; only 1000 breaks |v-med| > 3*MAD (13 has dev 1 = MAD*1).
+    // A mean/stddev rule would let 1000 drag the threshold; MAD must not.
+    // key 2: even count exercises the half-grid (median 1.5 -> med2 = 3)
+    val df = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 1000L),
+      (2L, 1L), (2L, 2L)).toDF("k", "v")
+    val out = QualityFilters.madOutlierFlags(df, Seq("k"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out((1L, 1000L))._3 == 1L)
+    assert(Seq(10L, 11L, 12L, 13L).forall(v => out((1L, v))._3 == 0L))
+    // med2 = 2*12; d2 = |2v-24| = (4,2,0,2,1976), median 2 -> mad4 = 4
+    assert(out((1L, 10L)) == (24L, 4L, 0L))
+    assert(out((2L, 1L))._1 == 3L, "even-count median must land on the half grid")
+    // NULL values belong to no distribution
+    val n = QualityFilters.madOutlierFlags(
+      Seq((1L, Option(5L)), (1L, Option(6L)), (1L, Option.empty[Long]))
+        .toDF("k", "v"), Seq("k"), "v")
+      .where($"v".isNull).collect()
+    assert(n.length == 1 && n.head.isNullAt(4))
+    intercept[IllegalArgumentException](
+      QualityFilters.madOutlierFlags(df.withColumn("v", $"v".cast("double")),
+        Seq("k"), "v"))
+  }
+
   test("salted join equals the plain join on a planted hot key") {
     val big = ((0 until 200).map(i => (1L, s"hot$i")) ++ // one key with 200 rows
       Seq((2L, "cold-a"), (3L, "cold-b"))).toDF("k", "payload")
