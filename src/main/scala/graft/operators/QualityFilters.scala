@@ -236,11 +236,11 @@ object QualityFilters {
 
     val v = col(valueCol).cast("long")
     val med = df.groupBy(keys.map(col): _*)
-      .agg((expr(s"percentile($valueCol, 0.5)") * 2).cast("long").as("med2"))
+      .agg((percentile(col(valueCol), lit(0.5)) * 2).cast("long").as("med2"))
     val withD = df.join(broadcast(med), keys)
       .withColumn("__d2", abs(v * 2 - col("med2")))
     val mad = withD.groupBy(keys.map(col): _*)
-      .agg((expr("percentile(__d2, 0.5)") * 2).cast("long").as("mad4"))
+      .agg((percentile(col("__d2"), lit(0.5)) * 2).cast("long").as("mad4"))
     withD.join(broadcast(mad), keys)
       .withColumn("is_outlier",
         (col("__d2") * 2 > lit(k) * col("mad4")).cast("long"))

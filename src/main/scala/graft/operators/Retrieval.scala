@@ -43,10 +43,11 @@ object Retrieval {
         lit(1000000)).cast("long")
 
   /** House tokenizer (the tfidf/dedup rule): split on single spaces,
-    * drop empties.
+    * drop empties. Typed API, not an `expr` string — a column name with
+    * dots/backticks must resolve, not parse.
     */
   private def tokens(textCol: String): Column =
-    expr(s"filter(split($textCol, ' '), x -> x != '')")
+    filter(split(col(textCol), " "), x => x =!= "")
 
   private def topN(scored: DataFrame, n: Int): DataFrame = {
     // global top-n plans as TakeOrderedAndProject — no single-partition
