@@ -61,8 +61,15 @@ object Retrieval {
       row_number().over(Window.orderBy(col("bm25_q").desc, col("doc_id").asc)))
   }
 
+  /** Query contract: a bag of DISTINCT terms — repeats are a set test
+    * here, not a double weight (state a repeated term once; classic BM25
+    * query-side tf weighting is out of scope for both paths equally).
+    */
   private def requireQuery(queryTerms: Seq[String], n: Int, op: String): Unit = {
     require(queryTerms.nonEmpty, s"$op: query must name at least one term")
+    require(queryTerms.forall(t => t != null && t.nonEmpty),
+      s"$op: query terms must be non-null and non-empty (the tokenizer " +
+        "never emits either, so they cannot match)")
     require(n > 0, s"$op: n must be positive")
   }
 
