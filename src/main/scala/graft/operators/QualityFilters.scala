@@ -246,4 +246,59 @@ object QualityFilters {
         (col("__d2") * 2 > lit(k) * col("mad4")).cast("long"))
       .drop("__d2")
   }
+
+  /** CCNet-style percentile buckets (Wenzek et al. 2020 §4.3: per-language
+    * perplexity terciles → head/middle/tail): per key group, label each
+    * row by the fraction of its group ranking strictly below it. The
+    * fraction is an EXACT integer — `pr_ppm = (rank − 1)·10⁶ div n` with
+    * SQL `RANK()` (ties share a rank, so the verdict is independent of
+    * tie traversal) — and bucket cuts are ppm integers, so both engines
+    * agree bit-for-bit with no float percentiles.
+    *
+    * `cutsPpm` are the ascending upper bounds (exclusive) of every bucket
+    * but the last; `labels` has one more entry. Rows with a NULL score get
+    * NULL `pr_ppm`/`bucket` (they belong to no distribution) and never
+    * shift the ranks of scored rows.
+    *
+    * Plan shape: ONE window pass per key group (rank + two counts over
+    * the same partitioning), everything else map-side. At 100 TB the
+    * per-key sort is the window operator's external sort — the same cost
+    * as any per-key ranking.
+    */
+  def percentileBuckets(df: DataFrame, keys: Seq[String], scoreCol: String,
+      cutsPpm: Seq[Long] = Seq(333333L, 666667L),
+      labels: Seq[String] = Seq("head", "middle", "tail")): DataFrame = {
+    require(keys.nonEmpty, "percentileBuckets: at least one key column required")
+    require(labels.size == cutsPpm.size + 1,
+      s"percentileBuckets: ${cutsPpm.size} cuts need ${cutsPpm.size + 1} " +
+        s"labels, got ${labels.size}")
+    require(cutsPpm == cutsPpm.sorted && cutsPpm.distinct == cutsPpm &&
+      cutsPpm.forall(c => c > 0 && c < 1000000L),
+      s"percentileBuckets: cuts must be strictly ascending within " +
+        s"(0, 1000000), got ${cutsPpm.mkString(", ")}")
+    requireFreshColumns(df, "percentileBuckets",
+      Seq("pr_ppm", "bucket", "__r", "__n"))
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+    // NULL scores sort first under the default asc ordering, so every
+    // scored row's RANK is inflated by the group's null count — subtract
+    // it; count(scoreCol) skips nulls for the denominator
+    val scored = df
+      .withColumn("__r",
+        rank().over(w.orderBy(col(scoreCol).asc)).cast("long") -
+          (count(lit(1)).over(w) - count(col(scoreCol)).over(w)))
+      .withColumn("__n", count(col(scoreCol)).over(w))
+      .withColumn("pr_ppm",
+        when(col(scoreCol).isNotNull,
+          expr("((__r - 1) * 1000000) DIV __n")))
+    val bucket = cutsPpm.zip(labels).foldRight(
+        when(col("pr_ppm").isNotNull, lit(labels.last))) {
+      case ((cut, label), rest) =>
+        when(col("pr_ppm") < cut, lit(label)).otherwise(rest)
+    }
+    scored
+      .withColumn("bucket", when(col("pr_ppm").isNotNull, bucket))
+      .drop("__r", "__n")
+  }
 }

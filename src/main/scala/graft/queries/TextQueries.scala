@@ -1463,6 +1463,27 @@ object TextQueries {
       .select("doc_id", "source", "med2", "mad4", "is_outlier")
   }
 
+  /** CCNet head/middle/tail buckets per language
+    * ([[graft.operators.QualityFilters.percentileBuckets]], Wenzek '20
+    * §4.3) keyed on the document-length score: exact integer
+    * percent-ranks (`(rank−1)·10⁶ div n`, RANK ties shared) against ppm
+    * cuts, so every label hash-matches the DuckDB mirror.
+    */
+  val qCcnetBuckets = q(
+    "q_ccnet_buckets",
+    "WITH x AS (SELECT doc_id, lang, " +
+      "rank() OVER (PARTITION BY lang ORDER BY n_chars) AS r, " +
+      "count(*) OVER (PARTITION BY lang) AS n FROM documents) " +
+      "SELECT doc_id, lang, ((r - 1) * 1000000) // n AS pr_ppm, " +
+      "CASE WHEN ((r - 1) * 1000000) // n < 333333 THEN 'head' " +
+      "WHEN ((r - 1) * 1000000) // n < 666667 THEN 'middle' " +
+      "ELSE 'tail' END AS bucket FROM x") { (s, d) =>
+    graft.operators.QualityFilters.percentileBuckets(
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+      Seq("lang"), "n_chars")
+      .select("doc_id", "lang", "pr_ppm", "bucket")
+  }
+
   val qQualityGopher = q(
     "q_quality_gopher",
     "WITH wr AS (SELECT doc_id, text, " +
@@ -1531,7 +1552,7 @@ object TextQueries {
     qDedupIncremental2,
     qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
-    qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qTokenCount,
+    qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qBm25, qBm25Indexed, qRedact, qSplitLeakfree)

@@ -1650,6 +1650,34 @@ class OperatorsSpec extends SparkSpec {
         Seq("k"), "v"))
   }
 
+  test("percentile buckets: shared tie ranks, null scores rank nothing, loud guards") {
+    import graft.operators.QualityFilters
+    // key 1: scores 10,10,20,30,40 -> ranks 1,1,3,4,5; pr_ppm over n=5:
+    // 0,0,400000,600000,800000 -> head,head,middle,middle,tail
+    val df = Seq((1L, 0L, Option(10L)), (1L, 1L, Option(10L)),
+      (1L, 2L, Option(20L)), (1L, 3L, Option(30L)), (1L, 4L, Option(40L)),
+      (2L, 5L, Option(7L)), (2L, 6L, Option.empty[Long]))
+      .toDF("k", "id", "s")
+    val out = QualityFilters.percentileBuckets(df, Seq("k"), "s")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) "null" else r.getString(4))).toMap
+    assert(out(0L) == (0L, "head") && out(1L) == (0L, "head"))
+    assert(out(2L) == (400000L, "middle") && out(3L) == (600000L, "middle"))
+    assert(out(4L) == (800000L, "tail"))
+    // a NULL score must not shift key 2's single scored row off rank 1
+    assert(out(5L) == (0L, "head") && out(6L) == (-1L, "null"))
+    val custom = QualityFilters.percentileBuckets(df.where($"s".isNotNull),
+        Seq("k"), "s", cutsPpm = Seq(500000L), labels = Seq("lo", "hi"))
+      .collect().map(r => r.getLong(1) -> r.getString(4)).toMap
+    assert(custom(2L) == "lo" && custom(3L) == "hi")
+    intercept[IllegalArgumentException](QualityFilters.percentileBuckets(
+      df, Seq("k"), "s", cutsPpm = Seq(500000L), labels = Seq("only")))
+    intercept[IllegalArgumentException](QualityFilters.percentileBuckets(
+      df, Seq("k"), "s", cutsPpm = Seq(700000L, 300000L),
+      labels = Seq("a", "b", "c")))
+  }
+
   test("salted join equals the plain join on a planted hot key") {
     val big = ((0 until 200).map(i => (1L, s"hot$i")) ++ // one key with 200 rows
       Seq((2L, "cold-a"), (3L, "cold-b"))).toDF("k", "payload")
