@@ -492,6 +492,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q_ccnet_buckets: one exchange, rank+count windows share the sort, no joins") {
+    val p = plan("q_ccnet_buckets")
+    assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    assert("\\+- Window".r.findAllIn(p).size == 2 &&
+      "\\+- Sort".r.findAllIn(p).size == 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("q_outlier_mad: per-key stat frames broadcast back; scans stay column-pruned") {
+    val p = plan("q_outlier_mad")
+    // two sequential aggregate passes are inherent to MAD (deviations
+    // need the median first); each collapses to one row per key and
+    // broadcasts — the input itself never shuffles or sort-merges
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
   test("q_bm25_indexed: probe prunes to query-term buckets; top-n never sorts the ranking") {
     val p = plan("q_bm25_indexed")
     // the index scan reads ONLY the query terms' bucket partitions plus
