@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Randomized equivalence: [[Temporal.asofJoin]] (all three directions ×
+  * tolerance on/off) against a brute-force scalar reference, across seeded
+  * random keyed timelines — duplicate timestamps on both sides, payload
+  * ties at the winning instant, NULL timestamps, keys present on only one
+  * side, and empty sides all occur by construction. Deterministic seed:
+  * failures reproduce.
+  */
+class TemporalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The documented contract, restated imperatively: per direction the
+    * winning candidate timestamp, then the greatest payload among rows
+    * sharing it; a winner farther than the tolerance is discarded;
+    * nearest takes the closer side, equidistant → backward.
+    */
+  private def reference(left: Seq[(Long, Long, Option[Long])],
+      right: Seq[(Long, Long, Option[Long])], dir: String,
+      tol: Option[Long]): Map[Long, Option[Long]] =
+    left.map { case (id, k, tOpt) =>
+      val out = tOpt match {
+        case None => None
+        case Some(t) =>
+          val live = right.collect { case (qid, `k`, Some(qt)) => (qt, qid) }
+          val back = {
+            val c = live.filter(_._1 <= t)
+            if (c.isEmpty) None
+            else {
+              val wt = c.map(_._1).max
+              Some((wt, c.filter(_._1 == wt).map(_._2).max))
+            }
+          }
+          val fwd = {
+            val c = live.filter(_._1 >= t)
+            if (c.isEmpty) None
+            else {
+              val wt = c.map(_._1).min
+              Some((wt, c.filter(_._1 == wt).map(_._2).max))
+            }
+          }
+          def gate(c: Option[(Long, Long)]) = c.filter { case (qt, _) =>
+            tol.forall(x => math.abs(qt - t) <= x)
+          }
+          val (b, f) = (gate(back), gate(fwd))
+          dir match {
+            case "backward" => b
+            case "forward"  => f
+            case "nearest" => (b, f) match {
+              case (None, x) => x
+              case (x, None) => x
+              case (Some((bt, _)), Some((ft, _))) =>
+                if (math.abs(ft - t) < math.abs(bt - t)) f else b
+            }
+          }
+      }
+      id -> out.map(_._2)
+    }.toMap
+
+  test("asofJoin matches brute force over 60 random timelines x 3 directions x tolerance") {
+    val rnd = new scala.util.Random(2026)
+    for (trial <- 1 to 60) {
+      val nl = rnd.nextInt(12)
+      val nr = rnd.nextInt(12)
+      def ts(): Option[Long] =
+        if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(30).toLong)
+      val left = (0 until nl).map(i => (i.toLong, rnd.nextInt(3).toLong, ts()))
+      val right = (0 until nr).map(i => (100L + i, rnd.nextInt(3).toLong, ts()))
+      val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(10).toLong) else None
+      val dir = Seq("backward", "forward", "nearest")(trial % 3)
+
+      val got = Temporal.asofJoin(
+          left.toDF("id", "key", "t"), right.toDF("qid", "key", "qt"),
+          Seq("key"), "t", "qt", Seq("qid"),
+          toleranceMs = tol, direction = dir)
+        .select("id", "asof_qid").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Option.empty[Long] else Some(r.getLong(1))))
+        .toMap
+      val exp = reference(left, right, dir, tol)
+      assert(got === exp,
+        s"trial $trial dir=$dir tol=$tol\nleft=$left\nright=$right")
+    }
+  }
+}
