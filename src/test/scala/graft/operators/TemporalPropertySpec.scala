@@ -59,6 +59,46 @@ class TemporalPropertySpec extends SparkSpec {
       id -> out.map(_._2)
     }.toMap
 
+  /** Brute-force islands: sort live intervals by start, sweep with a
+    * running max-end, split when the gap exceeds the tolerance.
+    */
+  private def bruteIslands(rows: Seq[(Long, Option[Long], Option[Long])],
+      gap: Long): Set[(Long, Long, Long, Long)] =
+    rows.collect { case (k, Some(s), Some(e)) if e >= s => (k, s, e) }
+      .groupBy(_._1).flatMap { case (k, grp) =>
+        val sorted = grp.map(g => (g._2, g._3)).sortBy(identity)
+        val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc, (s, e)) => acc match {
+            case (is, ie, n) :: rest if s <= ie + gap =>
+              (is, math.max(ie, e), n + 1) :: rest
+            case _ => (s, e, 1L) :: acc
+          }
+        }
+        islands.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+
+  test("mergeIntervals matches brute force over 40 random interval sets") {
+    val rnd = new scala.util.Random(777)
+    for (trial <- 1 to 40) {
+      val n = rnd.nextInt(25)
+      def coord(): Option[Long] =
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toLong)
+      // duplicates, points (s == e), inverted, and NULL ends by construction
+      val rows = Seq.fill(n) {
+        val s = coord()
+        val e = if (rnd.nextInt(4) == 0) s else coord()
+        (1L + rnd.nextInt(2), s, e)
+      }
+      val gap = rnd.nextInt(4).toLong
+      val got = Temporal.mergeIntervals(rows.toDF("key", "s", "e"),
+          Seq("key"), "s", "e", gapToleranceMs = gap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got === bruteIslands(rows, gap), s"trial $trial gap=$gap rows=$rows")
+    }
+  }
+
   test("asofJoin matches brute force over 60 random timelines x 3 directions x tolerance") {
     val rnd = new scala.util.Random(2026)
     for (trial <- 1 to 60) {
