@@ -99,6 +99,56 @@ class TemporalPropertySpec extends SparkSpec {
     }
   }
 
+  /** Brute interp resample: bucket floor, max per bucket, dense span,
+    * floor-division interpolation between surrounding observations.
+    */
+  private def bruteInterp(rows: Seq[(Long, Option[Long], Long)],
+      w: Long): Map[(Long, Long), Option[Long]] = {
+    def fd(a: Long, b: Long) = Math.floorDiv(a, b)
+    rows.collect { case (k, Some(t), v) => (k, w * fd(t, w), v) }
+      .groupBy(_._1).flatMap { case (k, grp) =>
+        val sparse = grp.groupBy(_._2).map { case (b, g) => b -> g.map(_._3).max }
+        val (b0, b1) = (sparse.keys.min, sparse.keys.max)
+        val obs = sparse.keys.toSeq.sorted
+        (b0 to b1 by w).map { b =>
+          val v: Option[Long] = sparse.get(b).orElse {
+            val prev = obs.filter(_ < b).lastOption
+            val next = obs.find(_ > b)
+            (prev, next) match {
+              case (Some(p), Some(nx)) =>
+                val (pv, nv) = (sparse(p), sparse(nx))
+                Some(pv + fd((nv - pv) * ((b - p) / w), (nx - p) / w))
+              case _ => None
+            }
+          }
+          (k, b) -> v
+        }
+      }
+  }
+
+  test("resample interp matches brute force over 30 random series") {
+    val rnd = new scala.util.Random(555)
+    for (trial <- 1 to 30) {
+      val n = 1 + rnd.nextInt(15)
+      val w = 1L + rnd.nextInt(5)
+      val rows = Seq.fill(n)((1L + rnd.nextInt(2),
+        if (rnd.nextInt(10) == 0) Option.empty[Long]
+        else Some(rnd.nextInt(40).toLong - 10), // negative timelines too
+        rnd.nextInt(100).toLong - 50))          // negative deltas too
+      if (rows.exists(_._2.isDefined)) {
+        val got = Temporal.resample(rows.toDF("key", "t", "v"),
+            Seq("key"), "t", w,
+            Seq(org.apache.spark.sql.functions.max(
+              org.apache.spark.sql.functions.col("v")).as("mv")),
+            fill = "interp")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+            (if (r.isNullAt(2)) Option.empty[Long] else Some(r.getLong(2))))
+          .toMap
+        assert(got === bruteInterp(rows, w), s"trial $trial w=$w rows=$rows")
+      }
+    }
+  }
+
   test("asofJoin matches brute force over 60 random timelines x 3 directions x tolerance") {
     val rnd = new scala.util.Random(2026)
     for (trial <- 1 to 60) {
