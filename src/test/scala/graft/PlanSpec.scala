@@ -492,6 +492,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q_bm25: term filter map-side, stats broadcast, top-n via TakeOrderedAndProject") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-n must not sort the full ranking:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    // the (N, avgdl) corpus stats ride one broadcast row (a cross join of
+    // a 1-row side plans as BroadcastNestedLoopJoin — bounded, correct)
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+  }
+
   test("q_ccnet_buckets: one exchange, rank+count windows share the sort, no joins") {
     val p = plan("q_ccnet_buckets")
     assert("\\+- Exchange".r.findAllIn(p).size == 1, p.take(2000))
