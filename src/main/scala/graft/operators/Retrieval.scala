@@ -334,6 +334,61 @@ object Retrieval {
         col("__n"), col("__avgdl"), k1, b)), n)
   }
 
+  /** BATCH probe: score MANY queries against the index in ONE plan — the
+    * retrieval twin of the ANN family's `q_ann_topk_batch` form.
+    * `queries` is a (queryIdCol: long, termCol: string) frame, one row per
+    * (query, term); the distinct term set is collected driver-side to
+    * compute the bucket pruning (bounded by the batch's vocabulary — the
+    * serving-batch contract, same as the ANN batch path). Output:
+    * (query_id, doc_id, bm25_q, rank ≤ nPerQuery) with the single-probe
+    * scorer, quantization, and (score desc, doc_id) tie rule per query.
+    * NULL/empty terms and NULL query ids are rejected loudly.
+    */
+  def bm25BatchAgainstIndex(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      nPerQuery: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nPerQuery > 0, s"bm25BatchAgainstIndex: nPerQuery must be positive")
+    val nBuckets = readMeta(spark, path, "bm25BatchAgainstIndex")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(termCol).as("term"))
+    val terms = q.select("term").distinct().collect().map { r =>
+      require(!r.isNullAt(0) && r.getString(0).nonEmpty,
+        "bm25BatchAgainstIndex: query terms must be non-null and non-empty")
+      r.getString(0)
+    }.toSeq // bounded by the query batch's vocabulary
+    require(terms.nonEmpty, "bm25BatchAgainstIndex: empty query batch")
+    require(q.where(col("query_id").isNull).isEmpty,
+      "bm25BatchAgainstIndex: NULL query ids are not addressable")
+
+    val tks = terms.map(bucketTokenOf(_, nBuckets)).distinct :+ StatsToken
+    val rows = (path +: listIngestDirs(spark, path))
+      .map(r => spark.read.schema(indexSchema).parquet(r))
+      .reduce(_ unionByName _)
+      .filter(col("__tb").isInCollection(tks))
+    val stats = rows.where(col("term").isNull)
+      .agg(sum(col("tf")).as("__n"),
+        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
+          .as("__avgdl"))
+    val posts = rows
+      .where(col("term").isNotNull && col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf").as("__tf"),
+        col("dl").as("__dl"))
+    val dfreq = posts.groupBy("term").agg(count(lit(1)).as("__df"))
+    val scored = posts
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q.distinct()), "term") // repeats in a query = a set
+      .crossJoin(broadcast(stats))
+      .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
+        col("__n"), col("__avgdl"), k1, b))
+    scored
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__sq")).as("bm25_q"))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("bm25_q").desc, col("doc_id").asc)))
+      .where(col("rank") <= nPerQuery)
+  }
+
   /** Compact an appended index into `targetPath` (must be disjoint from
     * the live index): postings — base layout AND accumulated streaming
     * subtrees — re-cluster into the bounded-file layout and the

@@ -1421,6 +1421,46 @@ object TextQueries {
       Seq("hash", "join", "spark", "window"), 20)
   }
 
+  /** Batch BM25 against the persisted index: two queries scored in ONE
+    * plan (the retrieval twin of `q_ann_topk_batch`), top-10 each. The
+    * oracle recomputes both rankings from the corpus with the same
+    * quantization and per-query tie rule.
+    */
+  val qBm25Batch = q(
+    "q_bm25_batch",
+    "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+      "x -> x <> '') AS w FROM documents), " +
+      "dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+      "qt(query_id, term) AS (VALUES (CAST(1 AS BIGINT), 'hash'), " +
+      "(CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'spark'), " +
+      "(CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'scan')), " +
+      "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM (SELECT doc_id, unnest(w) AS t FROM w) " +
+      "WHERE t IN (SELECT term FROM qt) GROUP BY 1, 2), " +
+      "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+      "sc AS (SELECT qt.query_id, tf.doc_id, CAST(floor(" +
+      "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) / " +
+      "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000" +
+      ") AS BIGINT) AS sq " +
+      "FROM tf JOIN dfq USING (term) JOIN qt USING (term) " +
+      "JOIN dl USING (doc_id) CROSS JOIN st), " +
+      "tot AS (SELECT query_id, doc_id, CAST(sum(sq) AS BIGINT) AS bm25_q " +
+      "FROM sc GROUP BY 1, 2) " +
+      "SELECT query_id, doc_id, bm25_q, CAST(row_number() OVER " +
+      "(PARTITION BY query_id ORDER BY bm25_q DESC, doc_id) AS INT) AS rank " +
+      "FROM tot QUALIFY rank <= 10") { (s, d) =>
+    import graft.operators.Retrieval
+    val idx = scratchDir("graft_textidx_b", d)
+    Retrieval.writeTextIndex(Tables.documentsBalanced(s, d), "doc_id", "text",
+      idx, nBuckets = 16)
+    import s.implicits._
+    val batch = Seq((1L, "hash"), (1L, "join"), (2L, "spark"),
+      (2L, "window"), (2L, "scan")).toDF("query_id", "term")
+    Retrieval.bm25BatchAgainstIndex(s, idx, batch, "query_id", "term", 10)
+  }
+
   val qTfidf = q(
     "q_tfidf",
     "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
@@ -1555,5 +1595,5 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qRedact, qSplitLeakfree)
+    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Batch, qRedact, qSplitLeakfree)
 }

@@ -134,6 +134,32 @@ class RetrievalSpec extends SparkSpec {
     tags.head
   }
 
+  test("batch probe equals per-query single probes; loud on bad batches") {
+    val idx = freshDir("retr_batch")
+    Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
+    val batch = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "c"), (2L, "nosuch"))
+      .toDF("query_id", "term")
+    val got = Retrieval.bm25BatchAgainstIndex(spark, idx, batch,
+        "query_id", "term", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    for ((qid, terms) <- Seq(1L -> Seq("a", "b"), 2L -> Seq("c", "nosuch"))) {
+      val single = rows(Retrieval.bm25AgainstIndex(spark, idx, terms, 10))
+      assert(single.nonEmpty)
+      single.foreach { case (doc, sc, rk) =>
+        assert(got((qid, doc)) == (sc, rk), s"query $qid doc $doc")
+      }
+      assert(got.keys.count(_._1 == qid) == single.size, s"query $qid size")
+    }
+    intercept[IllegalArgumentException](Retrieval.bm25BatchAgainstIndex(
+      spark, idx, Seq((1L, "")).toDF("query_id", "term"),
+      "query_id", "term", 10))
+    intercept[IllegalArgumentException](Retrieval.bm25BatchAgainstIndex(
+      spark, idx,
+      Seq((Option.empty[Long], "a")).toDF("query_id", "term"),
+      "query_id", "term", 10))
+  }
+
   test("query terms absent from the index rank nothing but break nothing") {
     val idx = freshDir("retr_absent")
     Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
