@@ -389,6 +389,39 @@ object Retrieval {
       .where(col("rank") <= nPerQuery)
   }
 
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse N ranked
+    * lists — e.g. this module's BM25 lexical ranking with an ANN cosine
+    * ranking — into one hybrid top-n. Each list contributes
+    * `⌊10⁹ / (k + rank)⌋` per document (the classic 1/(k+rank), scaled to
+    * an exact integer so the cross-system sum commutes and both engines
+    * agree bit-for-bit); fused ties break on doc_id. Inputs are
+    * (doc_id, rank) frames — rank 1-based, exactly what [[bm25Rank]] /
+    * [[bm25AgainstIndex]] and the ANN top-k queries emit. A document
+    * missing from a list simply contributes nothing (the standard RRF
+    * rule). Plan: map-side contribution per list → union → one hash
+    * aggregate on doc_id → TakeOrderedAndProject top-n.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], n: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.size >= 2,
+      s"rrfFuse: fusion needs at least two rankings, got ${rankings.size}")
+    require(n > 0, "rrfFuse: n must be positive")
+    require(kRrf >= 0, s"rrfFuse: k must be non-negative, got $kRrf")
+    rankings.zipWithIndex.foreach { case (r, i) =>
+      require(r.columns.contains("doc_id") && r.columns.contains("rank"),
+        s"rrfFuse: ranking #$i must carry doc_id and rank columns " +
+          s"(got ${r.columns.mkString(", ")})")
+    }
+    val contribs = rankings.map(_.select(col("doc_id"),
+      expr(s"1000000000 DIV ($kRrf + rank)").as("__c")))
+    val top = contribs.reduce(_ unionByName _)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_q"))
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+      .limit(n)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("rrf_q").desc, col("doc_id").asc)))
+  }
+
   /** Compact an appended index into `targetPath` (must be disjoint from
     * the live index): postings — base layout AND accumulated streaming
     * subtrees — re-cluster into the bounded-file layout and the

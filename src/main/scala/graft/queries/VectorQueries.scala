@@ -722,7 +722,68 @@ object VectorQueries {
         Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** HYBRID retrieval: Reciprocal Rank Fusion
+    * ([[graft.operators.Retrieval.rrfFuse]], Cormack SIGIR'09) of the
+    * BM25 lexical top-50 over `documents` and the cosine ANN top-50 over
+    * `embeddings` for the vec_id-0 query vector (documents and embeddings
+    * share the 0..N id space). Each list contributes the exact integer
+    * `10⁹ div (60 + rank)`, so the fused scores and ranks hash-match the
+    * DuckDB recompute of BOTH legs end-to-end.
+    */
+  val qRrfHybrid = q(
+    "q_rrf_hybrid", {
+      val cosQ = s"${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")})"
+      "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(w) AS t FROM w) " +
+        "WHERE t IN ('hash', 'join', 'spark', 'window') GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(" +
+        "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000" +
+        ") AS BIGINT) AS sq " +
+        "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "tot AS (SELECT doc_id, CAST(sum(sq) AS BIGINT) AS bm25_q " +
+        "FROM sc GROUP BY 1), " +
+        "lex AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY bm25_q DESC, doc_id) AS rank FROM tot QUALIFY rank <= 50), " +
+        "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0), " +
+        s"anns AS (SELECT vec_id AS doc_id, $cosQ AS cs " +
+        "FROM embeddings, qv WHERE vec_id <> 0), " +
+        "ann AS (SELECT doc_id, row_number() OVER " +
+        "(ORDER BY cs DESC, doc_id) AS rank FROM anns QUALIFY rank <= 50), " +
+        "u AS (SELECT doc_id, 1000000000 // (60 + rank) AS c FROM lex " +
+        "UNION ALL SELECT doc_id, 1000000000 // (60 + rank) FROM ann), " +
+        "f AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_q FROM u GROUP BY 1) " +
+        "SELECT doc_id, rrf_q, CAST(row_number() OVER " +
+        "(ORDER BY rrf_q DESC, doc_id) AS INT) AS rank FROM f " +
+        "QUALIFY rank <= 20"
+    }) { (s, d) =>
+    import graft.operators.Retrieval
+    val lex = Retrieval.bm25Rank(Tables.documentsBalanced(s, d), "doc_id",
+        "text", Seq("hash", "join", "spark", "window"), 50)
+      .select("doc_id", "rank")
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toIndexedSeq
+    val qlit = array(qv.map(lit(_)): _*)
+    val scored = Tables.embeddingsBalanced(s, d).filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        (dotCol(col("embedding"), qlit) /
+          (normCol(col("embedding")) * normCol(qlit))).as("cs"))
+    val ann = scored.orderBy(col("cs").desc, col("doc_id").asc).limit(50)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cs").desc, col("doc_id").asc)))
+      .select("doc_id", "rank")
+    Retrieval.rrfFuse(Seq(lex, ann), n = 20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
+    qRrfHybrid,
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,

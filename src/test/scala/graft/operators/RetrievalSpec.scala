@@ -160,6 +160,26 @@ class RetrievalSpec extends SparkSpec {
       "query_id", "term", 10))
   }
 
+  test("rrf fusion: exact contributions, missing docs contribute nothing, ties on id") {
+    // k = 60: rank 1 -> 10^9/61 = 16393442, rank 2 -> 16129032, rank 3 -> 15873015
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val b = Seq((11L, 1), (12L, 2)).toDF("doc_id", "rank") // 10 missing here
+    val got = rows(Retrieval.rrfFuse(Seq(a, b), n = 10))
+    val exp = Seq(
+      (11L, 16129032L + 16393442L, 1), // rank2 + rank1
+      (12L, 15873015L + 16129032L, 2), // rank3 + rank2
+      (10L, 16393442L, 3))             // only list a
+    assert(got === exp)
+    // a perfect score tie breaks on doc_id
+    val t1 = Seq((5L, 1), (7L, 2)).toDF("doc_id", "rank")
+    val t2 = Seq((7L, 1), (5L, 2)).toDF("doc_id", "rank")
+    assert(rows(Retrieval.rrfFuse(Seq(t1, t2), 10)).map(r => (r._1, r._3)) ===
+      Seq((5L, 1), (7L, 2)))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a), 10))
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(
+      Seq(a, b.withColumnRenamed("rank", "r")), 10))
+  }
+
   test("query terms absent from the index rank nothing but break nothing") {
     val idx = freshDir("retr_absent")
     Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
