@@ -56,7 +56,9 @@ object Audio {
     * the format plus the per-frame MONO amplitude, mono(i) =
     * floorDiv(Σ_channels sample, channels). None for NULL payloads,
     * containers no JDK parser accepts, non-PCM encodings (μ-law/GSM —
-    * the JNI seam), and zero-frame clips; NonFatal-guarded throughout
+    * the JNI seam), zero-frame clips, and non-positive/NaN/NOT_SPECIFIED
+    * sample rates (a hostile header would otherwise divide-by-zero the
+    * duration math); NonFatal-guarded throughout
     * (a hostile payload must never kill the scan).
     */
   def decodePcm(payload: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Long])] = {
@@ -76,6 +78,10 @@ object Audio {
       if (!(signed || unsigned)) return None
       if (bits != 8 && bits != 16) return None
       if (ch < 1 || fmt.getFrameSize != ch * (bits / 8)) return None
+      // A crafted header can carry sample rate 0 / negative /
+      // NOT_SPECIFIED (-1); downstream duration math divides by it, so
+      // treat it as a decode rejection like the other malformed shapes.
+      if (!(fmt.getSampleRate > 0f) || math.round(fmt.getSampleRate) < 1) return None
       val bytes = ais.readAllBytes()
       val frameSize = fmt.getFrameSize
       val n = bytes.length / frameSize // trailing partial frame ignored

@@ -208,7 +208,12 @@ object QualityFilters {
     *
     * Output: the input plus `med2`, `mad4`, and `is_outlier` (BIGINT
     * 0/1; NULL for a NULL value — it belongs to no distribution).
-    * NULL values are excluded from both medians.
+    * NULL values are excluded from both medians. Rows with a NULL in any
+    * KEY column are DROPPED from the output (the stats are joined back
+    * with plain equi-joins, and SQL equality never matches NULL) — unlike
+    * [[percentileBuckets]], which partitions by key and therefore keeps
+    * NULL keys as their own group. On a dirty corpus, filter or
+    * coalesce-default the keys first if those rows must survive.
     *
     * Plan shape: two aggregation passes over the input (inherent to MAD
     * — the deviations need the median first), each collapsing to one row

@@ -114,26 +114,32 @@ object Temporal {
         leftStruct.as("__l"), lit(null).cast(payloadType).as("__r")): _*)
     val r = right
       // a NULL right timestamp satisfies no SQL comparison — and unfiltered
-      // it would sort first and be carried into every later row's last()
-      .where(col(rightTs).isNotNull)
+      // it would sort first and be carried into every later row's last().
+      // NULL right KEYS likewise match nothing: Window.partitionBy groups
+      // NULLs together (GROUP BY semantics), so an unfiltered NULL-key right
+      // row would hand its payload to NULL-key left rows — filtering here
+      // makes those left rows fall through to the left-outer NULL payload.
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).as("__ts"), lit(0).as("__tag"),
           lit(null).cast(leftType).as("__l"), payload.as("__r")): _*)
 
-    // Backward ordering: right rows sort BEFORE left rows at an equal
-    // timestamp (tag 0 < 1) — that makes the join inclusive; payload-
+    // Both directions order rights BEFORE lefts at an equal timestamp
+    // (__tag.asc, 0 < 1) — under a growing [unboundedPreceding, currentRow]
+    // frame that is exactly what makes the join INCLUSIVE in each
+    // direction: by the time the scan reaches a left row, every right row
+    // at the same timestamp has already entered the frame. Payload-
     // ascending puts the tie-winning (greatest) payload last, where
-    // last() picks it up. Forward mirrors both: rights AFTER lefts at
-    // equal ts (tag desc) so the [current, following] frame still sees
-    // them, payload-descending so first() hits the greatest.
+    // last() picks it up — identically in both passes.
     val part = Window.partitionBy(keys.map(col): _*)
     val wb = part
       .orderBy(col("__ts").asc, col("__tag").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // The forward pass is the backward pass MIRRORED (ts desc, tags and
-    // payload order flipped, nulls-last → nulls-first) with the same
-    // GROWING [unboundedPreceding, currentRow] frame — never a
+    // The forward pass mirrors ONLY the timeline (ts desc); tag and
+    // payload orderings stay identical to the backward pass, which keeps
+    // the frame inclusive and the tie rule unchanged. Same GROWING
+    // [unboundedPreceding, currentRow] frame — never a
     // [currentRow, unboundedFollowing] frame: Spark's
     // UnboundedFollowingWindowFunctionFrame re-aggregates the partition
     // remainder for EVERY row, turning a hot key quadratic. The reversed
@@ -166,9 +172,8 @@ object Temporal {
             .when(distTo(f) < distTo(b), f).otherwise(b)
       })
       .where(col("__tag") === 1)
-    val bounded = joined
 
-    bounded.select(
+    joined.select(
       col("__l.*") +:
         col(s"__r.$rightTs").as(prefix + rightTs) +:
         rightCols.map(c => col(s"__r.$c").as(prefix + c)): _*)

@@ -17,14 +17,15 @@ class TemporalPropertySpec extends SparkSpec {
     * sharing it; a winner farther than the tolerance is discarded;
     * nearest takes the closer side, equidistant → backward.
     */
-  private def reference(left: Seq[(Long, Long, Option[Long])],
-      right: Seq[(Long, Long, Option[Long])], dir: String,
+  private def reference(left: Seq[(Long, Option[Long], Option[Long])],
+      right: Seq[(Long, Option[Long], Option[Long])], dir: String,
       tol: Option[Long]): Map[Long, Option[Long]] =
-    left.map { case (id, k, tOpt) =>
-      val out = tOpt match {
-        case None => None
-        case Some(t) =>
-          val live = right.collect { case (qid, `k`, Some(qt)) => (qt, qid) }
+    left.map { case (id, kOpt, tOpt) =>
+      // a NULL key or NULL timestamp on EITHER side matches nothing
+      val out = (kOpt, tOpt) match {
+        case (None, _) | (_, None) => None
+        case (Some(k), Some(t)) =>
+          val live = right.collect { case (qid, Some(`k`), Some(qt)) => (qt, qid) }
           val back = {
             val c = live.filter(_._1 <= t)
             if (c.isEmpty) None
@@ -156,8 +157,10 @@ class TemporalPropertySpec extends SparkSpec {
       val nr = rnd.nextInt(12)
       def ts(): Option[Long] =
         if (rnd.nextInt(8) == 0) None else Some(rnd.nextInt(30).toLong)
-      val left = (0 until nl).map(i => (i.toLong, rnd.nextInt(3).toLong, ts()))
-      val right = (0 until nr).map(i => (100L + i, rnd.nextInt(3).toLong, ts()))
+      def key(): Option[Long] = // NULL keys on BOTH sides, by construction
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(3).toLong)
+      val left = (0 until nl).map(i => (i.toLong, key(), ts()))
+      val right = (0 until nr).map(i => (100L + i, key(), ts()))
       val tol = if (rnd.nextBoolean()) Some(rnd.nextInt(10).toLong) else None
       val dir = Seq("backward", "forward", "nearest")(trial % 3)
 

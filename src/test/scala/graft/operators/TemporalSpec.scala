@@ -45,6 +45,24 @@ class TemporalSpec extends SparkSpec {
     assert(out == Map(1L -> true, 2L -> true)) // 90 > 50; NULL key matches nothing
   }
 
+  test("asofJoin: a NULL-key right row donates its payload to nobody") {
+    // Window.partitionBy groups NULL keys together, so without the
+    // right-side NULL-key filter the NULL-key trade would pick up qid 20.
+    val l = Seq((1L, Option(7L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("id", "key", "t")
+    val r = Seq((10L, Option(7L), 90L), (20L, Option.empty[Long], 90L))
+      .toDF("qid", "key", "qt")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val got = Temporal.asofJoin(l, r, Seq("key"), "t", "qt", Seq("qid"),
+          direction = dir)
+        .select("id", "asof_qid").collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      assert(got(2L) == -1L, s"$dir: NULL-key left row must keep NULL payload")
+      assert(got(1L) == (if (dir == "forward") -1L else 10L),
+        s"$dir: keyed rows unaffected by the NULL-key filter")
+    }
+  }
+
   test("asofJoin: keys stay partitioned — a match never crosses keys") {
     val out = asof(
       trades((1L, 7L, 100L)),
