@@ -1,0 +1,400 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization for the ANN index (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — the FAISS IVF-PQ
+  * lineage, re-expressed as DataFrame passes).
+  *
+  * Why: the IVF index ([[Similarity.ivfWrite]]) stores FULL float vectors —
+  * 4·dim bytes per row. At the 100 TB / 10¹⁰-vector regime the index itself
+  * becomes the storage and scan problem. PQ splits each vector into `m`
+  * subspaces, k-means-quantizes each subspace to one of `codes` codewords,
+  * and stores only the `m` small code ids per vector (m bytes at codes ≤
+  * 256 vs 4·dim — 32× smaller at dim 64, m 8). Queries scan CODES with
+  * asymmetric distance (ADC): per subspace, the query's dot product against
+  * every codeword is precomputed into a tiny table, so scoring a row is `m`
+  * table lookups — no float vector is read in the scan. A top-`rerankK`
+  * shortlist is then re-scored EXACTLY against full vectors fetched by id
+  * (the rerank contract: with adequate `rerankK`, output is exactly the
+  * probed-cell exact top-k, which is what the oracle checks).
+  *
+  * Everything that must agree across runs/engines is INTEGER arithmetic:
+  * vectors are L2-normalized then quantized to a `scale` grid (long), the
+  * codebooks live on the same grid, code assignment is integer-L2 argmin
+  * (tie → lowest code id), and ADC scores are exact BIGINT sums of integer
+  * products — no float accumulates anywhere in the index or the scan.
+  *
+  * Scale shape: training runs on a deterministic hash-sample (`trainN`, the
+  * FAISS practice — codebook quality saturates long before corpus size),
+  * one distributed pass per Lloyd iteration covering ALL subspaces at once
+  * (posexplode of subspaces → integer stats; only m·codes·subDim longs
+  * return to the driver). Encoding is pure map-side. The serving layout is
+  * the [[Similarity.ivfWrite]] cell-partitioned parquet with the codebooks
+  * persisted inside the index (`_pq_codebooks`) — a serving process needs
+  * nothing but the path.
+  */
+object Pq {
+
+  /** Trained codebooks: `books(m)(code)` is the quantized codeword for
+    * subspace `m` — `subDim` longs on the `scale` grid (value ≈
+    * unitVec · scale). `m · codes · subDim` longs total — driver-tiny.
+    */
+  final case class Codebooks(
+      subspaces: Int, subDim: Int, scale: Long,
+      books: IndexedSeq[IndexedSeq[Array[Long]]]) {
+    require(books.length == subspaces, s"expected $subspaces books, got ${books.length}")
+    def codes: Int = books.head.length
+    def dim: Int = subspaces * subDim
+  }
+
+  /** Overflow guard shared by train/encode/ADC: normalized elements are in
+    * [−1, 1] so a grid value is ≤ scale; the largest intermediate is a
+    * squared diff sum ≤ dim·(2·scale)² (encode) or a dot ≤ dim·scale²
+    * (ADC) — both must fit a signed 64-bit long with headroom.
+    */
+  private def requireScaleFits(scale: Long, dim: Int): Unit =
+    require(scale >= 1 && 4.0 * scale * scale * dim < Long.MaxValue / 4.0,
+      s"Pq: scale $scale overflows 64-bit intermediates at dim $dim " +
+        "(need 4·scale²·dim ≪ 2⁶³); use scale ≤ ~3e8 at dim 64")
+
+  /** L2-normalized, `scale`-grid quantized copy of a float-vector column:
+    * `xq_i = floor(x_i / ‖x‖ · scale + 0.5)` (round-half-up, matching the
+    * house [[graft.queries.Exact.quant]] rule); an all-zero vector
+    * quantizes to zeros. Pure map-side.
+    */
+  def quantizedUnit(vecCol: Column, scale: Long): Column = {
+    val nrm = Similarity.norm(vecCol)
+    transform(vecCol, x =>
+      when(nrm === 0.0, lit(0L))
+        .otherwise(floor(x.cast("double") / nrm * scale + 0.5).cast("long")))
+  }
+
+  // ---------------------------------------------------------------------
+  // Training
+  // ---------------------------------------------------------------------
+
+  /** Train PQ codebooks: per subspace, integer-L2 Lloyd k-means over the
+    * (normalized, quantized) subvectors of a deterministic hash-sample.
+    *
+    * - `trainN = 0` trains on the full corpus; otherwise on the `trainN`
+    *   rows with the smallest `xxhash64(id, seed)` — reproducible, unbiased,
+    *   and the reason training cost is INDEPENDENT of corpus size (FAISS
+    *   trains IVF-PQ codebooks on ~10⁵–10⁶ samples however big the index).
+    * - Seeds: the `codes` distinct subvectors with the smallest hash per
+    *   subspace (one pass, all subspaces at once).
+    * - Each Lloyd iteration is ONE distributed job for ALL subspaces:
+    *   posexplode to (subspace, subvector) rows, literal-codebook integer
+    *   argmin (the [[Similarity.ivfAssign]] shape — no join, no window),
+    *   then per-(subspace, code, position) integer sums; m·codes·subDim
+    *   longs return to the driver, which rounds the new codeword grid
+    *   values. Clusters that lose all members keep their codeword.
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, codes: Int, iters: Int = 8,
+      scale: Long = 1000000L, trainN: Int = 0, seed: Long = 42L): Codebooks = {
+    require(subspaces >= 1, s"Pq.train: subspaces must be >= 1, got $subspaces")
+    require(codes >= 1 && codes <= 65536,
+      s"Pq.train: codes must be in [1, 65536], got $codes")
+    require(iters >= 0, s"Pq.train: iters must be >= 0, got $iters")
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect() match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case _ => throw new IllegalArgumentException("Pq.train: corpus is empty")
+    }
+    require(dim % subspaces == 0,
+      s"Pq.train: dim $dim not divisible into $subspaces subspaces")
+    val subDim = dim / subspaces
+    requireScaleFits(scale, dim)
+
+    val sampled =
+      if (trainN <= 0) corpus.select(col(idCol), col(vecCol))
+      else corpus.select(col(idCol), col(vecCol))
+        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(trainN)
+
+    // (sub, xq) rows: subspace id + that subspace's quantized subvector.
+    // posexplode of a subDim-sliced transform — one narrow shuffle-free scan.
+    val xq = quantizedUnit(col(vecCol), scale)
+    val subs = sampled
+      .select(posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(xq, s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
+        xxhash64(col(idCol), lit(seed + 1)).as("__h"), col(idCol).as("__id"))
+
+    // Seeds: per subspace, the `codes` hash-smallest DISTINCT subvectors.
+    import org.apache.spark.sql.expressions.Window
+    val sw = Window.partitionBy(col("sub")).orderBy(col("__h"), col("__id"))
+    val seedRows = subs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("sub"), col("sv")).orderBy(col("__h"), col("__id"))))
+      .filter(col("__rn") === 1).drop("__rn") // distinct subvectors only
+      .withColumn("__rn", row_number().over(sw))
+      .filter(col("__rn") <= codes)
+      .select(col("sub"), col("__rn") - 1, col("sv"))
+      .collect()
+    var books: IndexedSeq[IndexedSeq[Array[Long]]] =
+      (0 until subspaces).map { s =>
+        val mine = seedRows.filter(_.getInt(0) == s)
+          .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+          .sortBy(_._1).map(_._2).toIndexedSeq
+        require(mine.nonEmpty, s"Pq.train: subspace $s has no training data")
+        // fewer distinct subvectors than codes: pad by repeating (harmless —
+        // duplicate codewords never win an argmin tie against a lower id)
+        (0 until codes).map(c => mine(c % mine.length))
+      }
+
+    val subsForIters = if (iters > 0) subs.select("sub", "sv").localCheckpoint() else subs
+    for (_ <- 0 until iters) {
+      val assigned = subsForIters
+        .withColumn("code", assignCode(col("sub"), col("sv"), books))
+      val stats = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          (r.getLong(3), r.getLong(4)))).toMap
+      books = (0 until subspaces).map { s =>
+        (0 until codes).map { c =>
+          val prev = books(s)(c)
+          val fresh: Array[Long] = Array.tabulate(subDim) { p =>
+            stats.get((s, c, p)) match {
+              case Some((sm, n)) if n > 0 => Math.round(sm.toDouble / n)
+              case _ => Long.MinValue // marker: no members at this (s, c)
+            }
+          }
+          if (fresh.contains(Long.MinValue)) prev else fresh
+        }
+      }
+    }
+    Codebooks(subspaces, subDim, scale, books)
+  }
+
+  /** Integer-L2 argmin over a codebook, per (subspace, subvector) row —
+    * the native [[graft.functions.PqAssignSub]] kernel (tie → lowest code
+    * id). The codebooks ride as a plan reference object; a
+    * higher-order-function fold here rebuilt the m·codes·subDim literal
+    * array PER ROW and was ~1000× slower.
+    */
+  private def assignCode(subCol: Column, svCol: Column,
+      books: IndexedSeq[IndexedSeq[Array[Long]]]): Column =
+    graft.functions.PqCodec.pqAssignSub(subCol, svCol,
+      books.map(_.toArray).toArray)
+
+  // ---------------------------------------------------------------------
+  // Encoding
+  // ---------------------------------------------------------------------
+
+  /** Append `pq_code: array<int>` (length `subspaces`) to the input — each
+    * element the integer-L2-nearest codeword of that subspace's normalized
+    * quantized subvector (tie → lowest code id). Pure map-side projection
+    * via the native [[graft.functions.PqEncode]] kernel (whole-stage
+    * codegen, codebooks as one plan reference object): no join, no window,
+    * no shuffle — a single scan stage at any corpus size. Ragged or
+    * null-element vectors yield a NULL code (they cannot be searched).
+    */
+  def encode(df: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
+    require(!df.columns.contains("pq_code"),
+      "Pq.encode: input already has a pq_code column")
+    df.withColumn("pq_code", graft.functions.PqCodec.pqEncode(
+      col(vecCol), cb.books.map(_.toArray).toArray, cb.scale))
+  }
+
+  // ---------------------------------------------------------------------
+  // ADC scoring
+  // ---------------------------------------------------------------------
+
+  /** Per-query ADC lookup tables: `tables(s)(c)` = integer dot of the
+    * (normalized, quantized) query subvector with codeword `c` of subspace
+    * `s` — exact BIGINT, computed driver-side over m·codes·subDim longs.
+    * Row score = Σ_s tables(s)(code_s) ≈ scale²·cos(query, row).
+    */
+  def adcTables(queryVec: Array[Float], cb: Codebooks): IndexedSeq[Array[Long]] = {
+    require(queryVec.length == cb.dim,
+      s"Pq.adcTables: query dim ${queryVec.length} != index dim ${cb.dim}")
+    val qq = quantizeUnitDriver(queryVec, cb.scale)
+    (0 until cb.subspaces).map { s =>
+      cb.books(s).map { cw =>
+        var d = 0L; var i = 0
+        while (i < cb.subDim) { d += qq(s * cb.subDim + i) * cw(i); i += 1 }
+        d
+      }.toArray
+    }
+  }
+
+  /** Driver twin of [[quantizedUnit]] — same IEEE double ops, same
+    * round-half-up. (ADC is shortlist-only, so even a ULP divergence here
+    * could not change final output — the rerank is exact — but keeping the
+    * twins identical makes the encode/ADC specs exact.)
+    */
+  def quantizeUnitDriver(v: Array[Float], scale: Long): Array[Long] = {
+    var ss = 0.0
+    v.foreach(x => ss += x.toDouble * x.toDouble)
+    val nrm = math.sqrt(ss)
+    if (nrm == 0.0) Array.fill(v.length)(0L)
+    else v.map(x => math.floor(x.toDouble / nrm * scale + 0.5).toLong)
+  }
+
+  /** ADC score column over a `pq_code` array: m table lookups summed —
+    * integer-exact, map-side, and the ONLY thing the candidate scan reads
+    * besides the id (the float vector column is never touched).
+    */
+  def adcScore(codeCol: Column, tables: IndexedSeq[Array[Long]]): Column =
+    graft.functions.PqCodec.pqAdc(codeCol, tables.toArray)
+
+  // ---------------------------------------------------------------------
+  // Search
+  // ---------------------------------------------------------------------
+
+  /** IVF-PQ query: probe the `nprobe` cells nearest the query (same cell
+    * choice and tie rules as [[Similarity.ivfSearchTopK]] — cos desc, cid
+    * asc), ADC-score ONLY those cells' code rows, shortlist the top
+    * `rerankK` by (adc desc, id asc), then re-score the shortlist EXACTLY
+    * (full-precision cosine against `corpus`' float vectors, fetched by a
+    * pushed-down id filter) and return the top `k` by (cosine desc, id).
+    *
+    * The rerank contract: whenever the true probed-cell top-k survives the
+    * ADC shortlist (guaranteed at rerankK = probed size; overwhelmingly
+    * likely far below it — measured in PqSpec/SCALE.md), the output is
+    * EXACTLY the probed-cell exact top-k — same rows, same cosines, same
+    * order. `rerankK` is the recall/cost knob: the candidate scan reads m
+    * bytes per row, and full vectors are fetched for only rerankK ids.
+    *
+    * Two jobs by design (the FAISS serving shape): the shortlist job scans
+    * codes (cell-partition-pruned when `encoded` is a persisted index) and
+    * returns rerankK ids to the driver; the rerank job reads only
+    * id+vector for rows passing the pushed `id IN (…)` filter.
+    */
+  def ivfPqSearchTopK(encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: Codebooks,
+      queryVec: Array[Float], k: Int, rerankK: Int,
+      nprobe: Int = 2): DataFrame = {
+    require(k >= 1, s"ivfPqSearchTopK: k must be >= 1, got $k")
+    require(rerankK >= k, s"ivfPqSearchTopK: rerankK $rerankK < k $k")
+    require(nprobe >= 1, s"ivfPqSearchTopK: nprobe must be >= 1, got $nprobe")
+    require(centroids.nonEmpty, "ivfPqSearchTopK needs centroids")
+    val cells = probeCells(centroids, queryVec, nprobe)
+    val ids = adcShortlist(
+      encoded.filter(col("centroid_id").isin(cells: _*)),
+      idCol, cb, queryVec, rerankK)
+    rerankExact(corpus, idCol, vecCol, ids, queryVec, k)
+  }
+
+  /** Flat (whole-corpus) PQ search — no IVF stage: ADC over every code
+    * row, then the exact rerank. The degenerate one-cell case of
+    * [[ivfPqSearchTopK]]; useful when the corpus is already filtered.
+    */
+  def pqSearchTopK(encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cb: Codebooks,
+      queryVec: Array[Float], k: Int, rerankK: Int): DataFrame = {
+    require(k >= 1, s"pqSearchTopK: k must be >= 1, got $k")
+    require(rerankK >= k, s"pqSearchTopK: rerankK $rerankK < k $k")
+    val ids = adcShortlist(encoded, idCol, cb, queryVec, rerankK)
+    rerankExact(corpus, idCol, vecCol, ids, queryVec, k)
+  }
+
+  /** The nprobe cells nearest the query — identical pick to
+    * [[Similarity.ivfSearchTopK]] (cos desc, cid asc on tie).
+    */
+  def probeCells(centroids: Seq[(Int, Array[Float])],
+      queryVec: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.map { case (cid, v) => (cid, cosDriver(queryVec, v)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nprobe).map(_._1)
+
+  private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+  }
+
+  private def adcShortlist(candidates: DataFrame, idCol: String,
+      cb: Codebooks, queryVec: Array[Float], rerankK: Int): Seq[Long] =
+    candidates
+      .select(col(idCol).cast("long").as("__id"),
+        adcScore(col("pq_code"), adcTables(queryVec, cb)).as("__adc"))
+      .orderBy(col("__adc").desc, col("__id"))
+      .limit(rerankK)
+      .collect().map(_.getLong(0)).toSeq
+
+  private def rerankExact(corpus: DataFrame, idCol: String, vecCol: String,
+      ids: Seq[Long], queryVec: Array[Float], k: Int): DataFrame = {
+    val qArr = array(queryVec.toIndexedSeq.map(lit): _*)
+    corpus
+      .filter(col(idCol).isin(ids: _*))
+      .withColumn("cosine", Similarity.cosine(col(vecCol), qArr))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cosine"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted index
+  // ---------------------------------------------------------------------
+
+  /** One-call IVF-PQ build: IVF centroids + assignment
+    * ([[Similarity.ivfBuild]]), PQ codebooks trained on a hash-sample, every
+    * row encoded. Returns the encoded assignment (…, centroid_id, pq_code),
+    * the centroids, and the codebooks. Persist with [[writeIndex]]; the
+    * SERVING scan then reads (id, centroid_id, pq_code) only — the float
+    * vectors stay in the base corpus for the rerank fetch.
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+      kCells: Int, subspaces: Int, codes: Int, iters: Int = 5,
+      trainN: Int = 0, seed: Long = 42L)
+      : (DataFrame, Seq[(Int, Array[Float])], Codebooks) = {
+    val (assigned, cents) = Similarity.ivfBuild(corpus, idCol, vecCol,
+      kCells, iters, seed)
+    val cb = train(corpus, idCol, vecCol, subspaces, codes, iters,
+      trainN = trainN, seed = seed)
+    (encode(assigned, vecCol, cb), cents, cb)
+  }
+
+  /** Persist the SERVING layout: (id, centroid_id, pq_code) cell-partitioned
+    * parquet (partition pruning answers the probe filter), centroids at
+    * `_centroids` ([[Similarity.ivfWriteWithCentroids]] layout), codebooks
+    * at `_pq_codebooks` — underscore-prefixed so partition discovery skips
+    * both. The float vector column is deliberately NOT written: the codes
+    * ARE the index (m·1 byte-ish ints vs 4·dim bytes — the whole point),
+    * and the rerank reads vectors from the base corpus by id.
+    */
+  def writeIndex(encoded: DataFrame, idCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: Codebooks,
+      path: String): Unit = {
+    Similarity.ivfWriteWithCentroids(
+      encoded.select(col(idCol), col("centroid_id"), col("pq_code")),
+      centroids, path)
+    writeCodebooks(encoded.sparkSession, cb, path)
+  }
+
+  private def writeCodebooks(spark: SparkSession, cb: Codebooks,
+      path: String): Unit = {
+    import spark.implicits._
+    cb.books.zipWithIndex.flatMap { case (b, s) =>
+      b.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq, cb.scale) }
+    }.toDF("sub", "code", "cw", "scale")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+  }
+
+  /** Codebooks persisted by [[writeIndex]], back in driver shape. */
+  def readCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(s"$path/_pq_codebooks")
+      .select(col("sub"), col("code"), col("cw"), col("scale"))
+      .collect()
+    require(rows.nonEmpty, s"Pq.readCodebooks: no codebooks at $path")
+    val scale = rows.head.getLong(3)
+    val bySub = rows.groupBy(_.getInt(0))
+    val subspaces = bySub.keys.max + 1
+    val books = (0 until subspaces).map { s =>
+      bySub(s).map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
+        .sortBy(_._1).map(_._2).toIndexedSeq
+    }
+    Codebooks(subspaces, books.head.head.length, scale, books)
+  }
+
+  /** Read back a [[writeIndex]]-persisted code index (cell-partitioned). */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -155,6 +155,46 @@ object VectorQueries {
         Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** IVF-PQ search ([[graft.operators.Pq.ivfPqSearchTopK]]): the full
+    * compressed-index pipeline — 16×256 PQ codebooks trained by
+    * integer-exact Lloyd k-means, every corpus vector encoded to 16 code
+    * bytes, the 2 nearest of 8 cells probed, candidates ranked by
+    * integer-exact ADC (16 table lookups per row, no float vector read),
+    * the top-256 shortlist re-scored EXACTLY against full vectors, top-10
+    * returned. The rerank contract makes the output the probed-cell exact
+    * top-10 — which is precisely what the oracle computes (same probe
+    * selection, same assignment, same ranking as `q_ann_ivf_search`).
+    * PqSpec locks the contract at full rerank and measures the shortlist
+    * recall; SCALE.md carries the index-bytes-vs-raw row.
+    */
+  val qAnnIvfPq = q(
+    "q_ann_ivfpq", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 8), " +
+        s"probe AS (SELECT cid FROM c, qv ORDER BY ${dotSql("ce", "q")} / (${normSql("ce")} * ${normSql("q")}) DESC, cid LIMIT 2), " +
+        s"assigned AS (SELECT vec_id, embedding, cid FROM (SELECT vec_id, embedding, cid, row_number() OVER (PARTITION BY vec_id ORDER BY $cosCE DESC, cid) AS rn " +
+        "FROM embeddings, c WHERE vec_id > 8) WHERE rn = 1) " +
+        s"SELECT vec_id, ${Exact.quantSql(dotSql("embedding", "q") + " / (" + normSql("embedding") + " * " + normSql("q") + ")", 10000)} AS cos_e4 " +
+        "FROM assigned JOIN probe USING (cid), qv " +
+        s"ORDER BY ${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")}) DESC, vec_id LIMIT 10"
+    }) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val corpus = emb.filter(col("vec_id") > 8)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queryVec = Tables.embeddings(s, d).filter(col("vec_id") === 8)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+      subspaces = 16, codes = 256, iters = 3)
+    val encoded = graft.operators.Pq.encode(
+      graft.operators.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb)
+    graft.operators.Pq.ivfPqSearchTopK(encoded, corpus, "vec_id", "embedding",
+        cents, cb, queryVec, k = 10, rerankK = 256, nprobe = 2)
+      .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Multi-probe LSH ANN ([[graft.operators.Similarity.annTopKMultiProbe]]):
     * the query's bucket plus the 3 flip-sets with the smallest TOTAL
     * hyperplane |margin| (globally ordered across flip sizes — a pair of
@@ -784,7 +824,7 @@ object VectorQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qRrfHybrid,
-    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnMultiProbe,
+    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnIvfPq, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
     qSemDedup, qSemDedupBest, qSemDedupIncremental, qSemDedupIncremental2,

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** IVF-PQ contracts ([[Pq]]): integer-exact encoding and ADC, the rerank
+  * exactness contract, training determinism and convergence, and the
+  * persisted index (codes-only bytes, codebook roundtrip).
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def emb = graft.Tables.embeddings(spark, sfDir)
+    .select(col("vec_id"), col("embedding"))
+
+  private def corpusVecs(n: Int): Seq[(Long, Array[Float])] =
+    emb.limit(n).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray)).toSeq
+
+  test("encode: every code in range; argmin matches a driver brute force") {
+    val cb = Pq.train(emb, "vec_id", "embedding", subspaces = 8, codes = 16,
+      iters = 3, trainN = 200)
+    val got = Pq.encode(emb.limit(50), "embedding", cb)
+      .select(col("vec_id"), col("embedding"), col("pq_code")).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray,
+        r.getSeq[Int](2).toArray))
+    assert(got.nonEmpty)
+    got.foreach { case (id, vec, code) =>
+      assert(code.length == 8, s"id $id: ${code.length} codes")
+      val xq = Pq.quantizeUnitDriver(vec, cb.scale)
+      code.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < 16, s"id $id sub $s code $c out of range")
+        // brute-force integer-L2 argmin, tie -> lowest code
+        val dists = cb.books(s).map { cw =>
+          (0 until cb.subDim).map { i =>
+            val d = xq(s * cb.subDim + i) - cw(i); d * d
+          }.sum
+        }
+        val want = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(c == want, s"id $id sub $s: got $c want $want")
+      }
+    }
+  }
+
+  test("ADC score equals the driver integer table sum, row by row") {
+    val cb = Pq.train(emb, "vec_id", "embedding", subspaces = 8, codes = 16,
+      iters = 2, trainN = 100)
+    val query = corpusVecs(1).head._2
+    val tables = Pq.adcTables(query, cb)
+    val got = Pq.encode(emb.limit(40), "embedding", cb)
+      .select(col("vec_id"), col("pq_code"),
+        Pq.adcScore(col("pq_code"), tables).as("adc")).collect()
+    got.foreach { r =>
+      val code = r.getSeq[Int](1)
+      val want = code.zipWithIndex.map { case (c, s) => tables(s)(c) }.sum
+      assert(r.getLong(2) == want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("rerank contract: rerankK = corpus size reproduces exact top-k, flat and IVF") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val n = corpus.count().toInt
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 8, codes = 16,
+      iters = 3, trainN = 200)
+    val encoded = Pq.encode(corpus, "embedding", cb)
+    val flat = Pq.pqSearchTopK(encoded, corpus, "vec_id", "embedding", cb,
+        query, k = 10, rerankK = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(flat === exact, "flat PQ with full rerank must be exact")
+
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val encodedIvf = Pq.encode(assigned, "embedding", cb)
+    val ivfAll = Pq.ivfPqSearchTopK(encodedIvf, corpus, "vec_id", "embedding",
+        cents, cb, query, k = 10, rerankK = n, nprobe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfAll === exact, "IVF-PQ probing every cell with full rerank must be exact")
+  }
+
+  test("a modest rerankK already recovers the exact top-k on real embeddings") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        query, k = 10).collect().map(_.getLong(0)).toSeq
+    // the canonical FAISS shape: 16 subspaces x 256 codes = 16-byte codes
+    // (16x smaller than 64 float32s); on these near-random synthetic
+    // embeddings the coarser 8x16 config cannot separate neighbors
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 16,
+      codes = 256, iters = 5)
+    val encoded = Pq.encode(corpus, "embedding", cb)
+    val got = Pq.pqSearchTopK(encoded, corpus, "vec_id", "embedding", cb,
+        query, k = 10, rerankK = 64)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === exact,
+      "16x256 PQ at rerankK=64 over ~500 rows should recover the exact " +
+        "top-10 (ADC recall regression if this trips)")
+  }
+
+  test("training is deterministic and Lloyd iterations reduce quantization error") {
+    val a = Pq.train(emb, "vec_id", "embedding", subspaces = 4, codes = 8,
+      iters = 4, trainN = 150, seed = 7L)
+    val b = Pq.train(emb, "vec_id", "embedding", subspaces = 4, codes = 8,
+      iters = 4, trainN = 150, seed = 7L)
+    assert(a.books.flatten.map(_.toSeq) == b.books.flatten.map(_.toSeq),
+      "same seed must reproduce identical codebooks")
+
+    // total integer-L2 quantization error must not grow with training
+    def errorOf(cb: Pq.Codebooks): Long = {
+      val rows = emb.collect()
+        .map(r => Pq.quantizeUnitDriver(r.getAs[Seq[Float]](1).toArray, cb.scale))
+      rows.map { xq =>
+        (0 until cb.subspaces).map { s =>
+          cb.books(s).map { cw =>
+            (0 until cb.subDim).map { i =>
+              val d = xq(s * cb.subDim + i) - cw(i); d * d
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    val seeded = Pq.train(emb, "vec_id", "embedding", subspaces = 4, codes = 8,
+      iters = 0, trainN = 150, seed = 7L)
+    assert(errorOf(a) <= errorOf(seeded),
+      "4 Lloyd iterations must not increase quantization error vs raw seeds")
+  }
+
+  test("persisted index: roundtrip, partition pruning filter shape, code bytes << vector bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 8, codes = 16,
+      iters = 2, trainN = 200)
+    val encoded = Pq.encode(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb)
+    Pq.writeIndex(encoded, "vec_id", cents, cb, s"$dir/pq")
+    Similarity.ivfWrite(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents), s"$dir/full")
+
+    val cb2 = Pq.readCodebooks(spark, s"$dir/pq")
+    assert(cb2.books.flatten.map(_.toSeq) == cb.books.flatten.map(_.toSeq) &&
+      cb2.scale == cb.scale && cb2.subDim == cb.subDim)
+    val cents2 = Similarity.ivfReadCentroids(spark, s"$dir/pq")
+    assert(cents2.map(_._1) == cents.map(_._1))
+
+    val idx = Pq.readIndex(spark, s"$dir/pq")
+    assert(idx.columns.sorted.toSeq == Seq("centroid_id", "pq_code", "vec_id"))
+    assert(idx.count() == corpus.count())
+
+    // the storage claim: code cells a fraction of full-vector cells
+    def cellBytes(root: String): Long = {
+      val base = new java.io.File(root)
+      def walk(f: java.io.File): Long =
+        if (f.isFile && f.getName.endsWith(".parquet")) f.length()
+        else if (f.isDirectory && !f.getName.startsWith("_"))
+          f.listFiles().map(walk).sum
+        else 0L
+      base.listFiles().filter(_.getName.startsWith("centroid_id=")).map(walk).sum
+    }
+    val (pqB, fullB) = (cellBytes(s"$dir/pq"), cellBytes(s"$dir/full"))
+    assert(pqB * 3 < fullB,
+      s"PQ cells ($pqB B) should be well under full-vector cells ($fullB B)")
+
+    // query through the persisted artifacts only
+    val query = emb.filter(col("vec_id") === 8)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val got = Pq.ivfPqSearchTopK(idx, corpus, "vec_id", "embedding",
+        cents2, cb2, query, k = 5, rerankK = corpus.count().toInt,
+        nprobe = cents2.size)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        query, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+  }
+
+  test("guards fail loud: indivisible dim, rerankK < k, overflowing scale") {
+    val df = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException](
+      Pq.train(df, "id", "vec", subspaces = 2, codes = 4))
+    assert(e1.getMessage.contains("not divisible"))
+    val e2 = intercept[IllegalArgumentException](
+      Pq.train(df, "id", "vec", subspaces = 3, codes = 4, scale = 4000000000L))
+    assert(e2.getMessage.contains("overflows"))
+    val cb = Pq.Codebooks(1, 3, 1000L, IndexedSeq(IndexedSeq(Array(0L, 0L, 0L))))
+    val e3 = intercept[IllegalArgumentException](
+      Pq.pqSearchTopK(df, df, "id", "vec", cb, Array(1f, 0f, 0f),
+        k = 5, rerankK = 3))
+    assert(e3.getMessage.contains("rerankK"))
+  }
+}
