@@ -141,6 +141,45 @@ object Retrieval {
 
   private val StatsToken = "stats"
 
+  /** Document-ordered posting blocks for WAND pruning: block =
+    * floorDiv(doc_id, blockSize) — the SAME ranges for every term, which
+    * is what makes a per-block upper bound a bound on a whole doc's score
+    * (a doc's postings for all query terms live in its one block). 1024
+    * docs per block keeps the stats sidecar ~1000× smaller than postings.
+    */
+  private[operators] val DefaultBlockSize = 1024L
+
+  private val BlockStatsDirName = "_block_stats"
+
+  /** Per-(term, block) bound ingredients. The score is increasing in tf
+    * and decreasing in dl, so (max tf, min dl) bounds every posting in
+    * the block; n_docs sums to the term's EXACT df (one posting per
+    * (doc, term) across the index lifetime — the append contract).
+    */
+  private val blockStatsSchema = StructType(Seq(
+    StructField("term", StringType),
+    StructField("block", LongType),
+    StructField("max_tf", LongType),
+    StructField("min_dl", LongType),
+    StructField("n_docs", LongType),
+    StructField("__tb", StringType)))
+
+  /** floorDiv(doc_id, size) in pure long arithmetic: subtract the
+    * non-negative pmod, then exact integral division (`div` truncation ==
+    * floor when the division is exact) — no double roundtrip, so ids
+    * anywhere in the long range block correctly.
+    */
+  private def blockOf(docId: Column, size: Long): Column =
+    call_function("div", docId - pmod(docId, lit(size)), lit(size))
+
+  private def blockStatsOf(postings: DataFrame, blockSize: Long): DataFrame =
+    postings
+      .groupBy(col("term"), blockOf(col("doc_id"), blockSize).as("block"),
+        col("__tb"))
+      .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
+        count(lit(1)).as("n_docs"))
+      .select("term", "block", "max_tf", "min_dl", "n_docs", "__tb")
+
   private def bucketToken(term: Column, nBuckets: Int): Column =
     concat(lit("b"), pmod(Md5Prefix32.md5Prefix32(term), lit(nBuckets.toLong)))
 
@@ -151,12 +190,14 @@ object Retrieval {
 
   private def metaPath(path: String) = s"$path/_graft_text_index_meta.json"
 
-  private def writeMeta(spark: SparkSession, path: String, nBuckets: Int): Unit = {
+  private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
+      blockSize: Long = DefaultBlockSize): Unit = {
     val p = new org.apache.hadoop.fs.Path(metaPath(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val out = fs.create(p, true)
-    try out.write(s"""{"nBuckets": $nBuckets, "version": 1}"""
-      .getBytes("UTF-8"))
+    try out.write(
+      s"""{"nBuckets": $nBuckets, "blockSize": $blockSize, "version": 2}"""
+        .getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -173,6 +214,23 @@ object Retrieval {
     val m = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
     require(m.isDefined, s"$op: malformed text index meta at $path: $txt")
     m.get.group(1).toInt
+  }
+
+  /** The block width recorded at build time; None for a pre-block-stats
+    * (version 1) index — the WAND probe refuses those loudly.
+    */
+  private def readBlockSize(spark: SparkSession, path: String,
+      op: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$op: no text index at $path")
+    val in = fs.open(p)
+    val txt = try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(buf); new String(buf, "UTF-8")
+    } finally in.close()
+    """"blockSize"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
   }
 
   private def batchRows(docs: DataFrame, idCol: String, textCol: String,
@@ -202,14 +260,23 @@ object Retrieval {
     * for the residual term filter.
     */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      blockSize: Long = DefaultBlockSize): Unit = {
     require(nBuckets > 0, s"writeTextIndex: nBuckets must be positive, got $nBuckets")
+    require(blockSize > 0, s"writeTextIndex: blockSize must be positive, got $blockSize")
     requireLongId(docs, idCol, "writeTextIndex")
-    Dedup.clusterForPartitionedWrite(
-        batchRows(docs, idCol, textCol, nBuckets),
-        "__tb", sortCols = Seq("term"))
-      .write.mode("overwrite").partitionBy("__tb").parquet(path)
-    writeMeta(docs.sparkSession, path, nBuckets)
+    val rows = batchRows(docs, idCol, textCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.clusterForPartitionedWrite(rows, "__tb", sortCols = Seq("term"))
+        .write.mode("overwrite").partitionBy("__tb").parquet(path)
+      // one aggregation over the SAME materialized tokenization — the
+      // corpus is never tokenized twice for the stats sidecar
+      blockStatsOf(rows.where(col("term").isNotNull), blockSize)
+        .write.mode("overwrite").partitionBy("__tb")
+        .parquet(s"$path/$BlockStatsDirName")
+    } finally rows.unpersist()
+    writeMeta(docs.sparkSession, path, nBuckets, blockSize)
   }
 
   /** APPEND a new batch of documents. CONTRACT: each document is appended
@@ -222,8 +289,19 @@ object Retrieval {
       path: String): Unit = {
     requireLongId(docs, idCol, "appendToTextIndex")
     val nBuckets = readMeta(docs.sparkSession, path, "appendToTextIndex")
-    batchRows(docs, idCol, textCol, nBuckets)
-      .write.mode("append").partitionBy("__tb").parquet(path)
+    val blockSize = readBlockSize(docs.sparkSession, path, "appendToTextIndex")
+    val rows = batchRows(docs, idCol, textCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      rows.write.mode("append").partitionBy("__tb").parquet(path)
+      // a batch's (term, block) rows append alongside earlier ones; the
+      // probe re-aggregates (max, min, sum) across writes
+      blockSize.foreach { bs =>
+        blockStatsOf(rows.where(col("term").isNotNull), bs)
+          .write.mode("append").partitionBy("__tb")
+          .parquet(s"$path/$BlockStatsDirName")
+      }
+    } finally rows.unpersist()
   }
 
   // ---- streaming ingest: idempotent per-batch subtrees under _ingest ----
@@ -263,9 +341,19 @@ object Retrieval {
       batchId: Long): Unit = {
     requireLongId(batch, idCol, "ingestTextBatch")
     val nBuckets = readMeta(batch.sparkSession, indexPath, "ingestTextBatch")
-    batchRows(batch, idCol, textCol, nBuckets)
-      .write.mode("overwrite").partitionBy("__tb")
-      .parquet(ingestBatchDir(indexPath, queryTag, batchId))
+    val blockSize = readBlockSize(batch.sparkSession, indexPath, "ingestTextBatch")
+    val dir = ingestBatchDir(indexPath, queryTag, batchId)
+    val rows = batchRows(batch, idCol, textCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      rows.write.mode("overwrite").partitionBy("__tb").parquet(dir)
+      // overwrite keeps the batch subtree replay-idempotent, stats included
+      blockSize.foreach { bs =>
+        blockStatsOf(rows.where(col("term").isNotNull), bs)
+          .write.mode("overwrite").partitionBy("__tb")
+          .parquet(s"$dir/$BlockStatsDirName")
+      }
+    } finally rows.unpersist()
   }
 
   /** Live-ingest loop for the inverted index — the retrieval member of
@@ -332,6 +420,168 @@ object Retrieval {
       .crossJoin(broadcast(stats))
       .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
         col("__n"), col("__avgdl"), k1, b)), n)
+  }
+
+  /** Block-max WAND probe (Broder et al. CIKM'03; Ding & Suel SIGIR'11,
+    * re-expressed as a stats pre-filter): identical output to
+    * [[bm25AgainstIndex]] — same scorer, quantization, tie rule — but the
+    * posting scan is PRUNED to doc-id block ranges whose score upper
+    * bound can still reach the top-n.
+    *
+    * How: the index sidecar (`_block_stats`, written with the postings)
+    * stores (max tf, min dl, doc count) per (term, doc-block). The score
+    * is increasing in tf and decreasing in dl and df, so
+    * `scoreQ(max_tf, df, min_dl)` bounds every posting in the block, and
+    * because blocks are the SAME doc-id ranges for every term, the
+    * per-block sum of term bounds bounds ANY document's total score in
+    * that range. The probe then:
+    *   1. computes per-block upper bounds from the stats ONLY (the
+    *      sidecar is ~blockSize× smaller than postings, bucket-pruned to
+    *      the query terms);
+    *   2. exact-scores a SEED prefix — the highest-bound blocks holding
+    *      at least n docs — giving θ, a lower bound on the true n-th
+    *      best score (every doc's true score ≥ its seed-subset score);
+    *   3. keeps only blocks with bound ≥ θ (≥, not >: a pruned doc must
+    *      be STRICTLY below the n-th score or it could win a doc-id
+    *      tie) and exact-scores their postings.
+    * Every document in a pruned block scores < θ ≤ the n-th best, so the
+    * result is EXACTLY the unpruned ranking. df comes from the sidecar
+    * (Σ n_docs per term — the true df), never from the pruned postings.
+    *
+    * Degradation is graceful and loud-free: if more than `maxSurvivors`
+    * blocks survive (low-discrimination corpora — e.g. uniform
+    * duplicates — or tiny θ), the prune filter is skipped and the probe
+    * IS [[bm25AgainstIndex]] plus one tiny stats job. Indexes built
+    * before block stats existed (version-1 meta) are refused loudly —
+    * rebuild or [[compactTextIndex]] to upgrade.
+    *
+    * Scale shape: stats jobs touch the sidecar only; the driver collects
+    * seed ids (≤ ~n rows), θ (n rows), and survivor ids (≤ maxSurvivors)
+    * — never postings. The posting scan carries a doc-block `isin` filter
+    * on top of the same bucket pruning as the plain probe; postings
+    * within a partition are (term, doc_id)-sorted at write time, so row
+    * groups carry tight min/max for BOTH the term and the derived-range
+    * skipping.
+    */
+  def bm25WandAgainstIndex(spark: SparkSession, path: String,
+      queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxSurvivors: Int = 65536, seedBoost: Int = 32): DataFrame =
+    bm25WandWithPlan(spark, path, queryTerms, n, k1, b, maxSurvivors,
+      seedBoost)._1
+
+  /** What the pruner decided — surfaced for measurement and ops
+    * observability (SCALE.md's scanned-postings rows come from here).
+    * `survivors = None` means the prune was skipped (degraded to the
+    * plain probe's scan).
+    */
+  private[graft] final case class WandPlan(blockSize: Long,
+      totalBlocks: Long, seedBlocks: Long, theta: Option[Long],
+      survivors: Option[Seq[Long]])
+
+  private[graft] def bm25WandWithPlan(spark: SparkSession, path: String,
+      queryTerms: Seq[String], n: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxSurvivors: Int = 65536, seedBoost: Int = 32): (DataFrame, WandPlan) = {
+    require(seedBoost >= 1, s"bm25WandAgainstIndex: seedBoost must be >= 1, got $seedBoost")
+    requireQuery(queryTerms, n, "bm25WandAgainstIndex")
+    val nBuckets = readMeta(spark, path, "bm25WandAgainstIndex")
+    val blockSize = readBlockSize(spark, path, "bm25WandAgainstIndex")
+      .getOrElse(throw new IllegalArgumentException(
+        s"bm25WandAgainstIndex: index at $path predates block stats " +
+          "(version-1 meta) — rebuild with writeTextIndex or upgrade via " +
+          "compactTextIndex"))
+    val roots = path +: listIngestDirs(spark, path)
+    val tks = queryTerms.map(bucketTokenOf(_, nBuckets)).distinct
+    locally { // every root must carry the sidecar, or bounds under-count
+      val conf = spark.sessionState.newHadoopConf()
+      roots.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r, BlockStatsDirName)
+        require(p.getFileSystem(conf).exists(p),
+          s"bm25WandAgainstIndex: $r has no $BlockStatsDirName sidecar " +
+            "(written before block stats existed?) — compactTextIndex " +
+            "the index to regenerate it")
+      }
+    }
+
+    // ---- stats-only plane: bounds, seeds, θ, survivors ----
+    val bstats = roots
+      .map(r => spark.read.schema(blockStatsSchema)
+        .parquet(s"$r/$BlockStatsDirName"))
+      .reduce(_ unionByName _)
+      .filter(col("__tb").isInCollection(tks) &&
+        col("term").isin(queryTerms: _*))
+      .groupBy(col("term"), col("block")) // merge rows from appends/ingests
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
+        sum(col("n_docs")).as("n_docs"))
+    val rows = roots
+      .map(r => spark.read.schema(indexSchema).parquet(r))
+      .reduce(_ unionByName _)
+      .filter(col("__tb").isInCollection(tks :+ StatsToken))
+    val stats = rows.where(col("term").isNull)
+      .agg(sum(col("tf")).as("__n"),
+        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
+          .as("__avgdl"))
+    // the TRUE df per term — from the sidecar, not the pruned postings
+    val dfreq = bstats.groupBy("term").agg(sum(col("n_docs")).as("__df"))
+
+    val bounds = bstats
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__bound", scoreQ(col("max_tf"), col("__df"), col("min_dl"),
+        col("__n"), col("__avgdl"), k1, b))
+      .groupBy(col("block"))
+      .agg(sum(col("__bound")).as("__ub"),
+        // ≥ this many distinct docs live in the range (max over terms)
+        max(col("n_docs")).as("__docs_lb"))
+    val ordered = bounds
+      .withColumn("__cum", sum(col("__docs_lb")).over(
+        Window.orderBy(col("__ub").desc, col("block").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // seed prefix: blocks until the cumulative doc lower bound reaches
+    // seedBoost·n, not n — θ from a bare-n seed is the n-th best of ONE
+    // block, which sits far below the true n-th best whenever the
+    // selective (high-idf) docs are a small fraction of each block, and
+    // then prunes nothing. Oversampling costs ≤ seedBoost·n·|terms|
+    // postings in the seed job — trivial against what a good θ prunes.
+    val seeds = ordered
+      .where(col("__cum") - col("__docs_lb") < seedBoost.toLong * n)
+      .select("block").collect().map(_.getLong(0)).toSeq
+
+    def scoreRanges(blocks: Option[Seq[Long]]): DataFrame = {
+      val posts = rows
+        .where(col("term").isNotNull && col("term").isin(queryTerms: _*))
+      val pruned = blocks match {
+        case Some(ids) =>
+          posts.where(blockOf(col("doc_id"), blockSize).isInCollection(ids))
+        case None => posts
+      }
+      topN(pruned
+        .select(col("term"), col("doc_id"), col("tf").as("__tf"),
+          col("dl").as("__dl"))
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
+          col("__n"), col("__avgdl"), k1, b)), n)
+    }
+
+    val totalBlocks = bounds.count()
+    def skipped(reason: WandPlan => WandPlan): (DataFrame, WandPlan) =
+      (scoreRanges(None), reason(WandPlan(blockSize, totalBlocks, 0L, None, None)))
+    if (seeds.isEmpty) return skipped(identity) // empty index/terms
+    val seedTop = scoreRanges(Some(seeds)).select("bm25_q").collect()
+    if (seedTop.length < n) // corpus smaller than n: nothing to prune
+      return skipped(_.copy(seedBlocks = seeds.length.toLong))
+    val theta = seedTop.map(_.getLong(0)).min
+
+    val survivors = bounds.where(col("__ub") >= theta)
+      .select("block").limit(maxSurvivors + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val plan = WandPlan(blockSize, totalBlocks, seeds.length.toLong,
+      Some(theta),
+      if (survivors.length > maxSurvivors) None else Some(survivors))
+    (scoreRanges(plan.survivors), plan)
   }
 
   /** BATCH probe: score MANY queries against the index in ONE plan — the
@@ -429,7 +679,7 @@ object Retrieval {
     * results are identical before and after.
     */
   def compactTextIndex(spark: SparkSession, path: String,
-      targetPath: String): Unit = {
+      targetPath: String, blockSize: Long = DefaultBlockSize): Unit = {
     val nBuckets = readMeta(spark, path, "compactTextIndex")
     Dedup.requireDistinctPaths(spark, path, targetPath, "compactTextIndex")
     val rows = (path +: listIngestDirs(spark, path))
@@ -446,6 +696,13 @@ object Retrieval {
         rows.where(col("term").isNotNull).unionByName(stats),
         "__tb", sortCols = Seq("term"))
       .write.mode("overwrite").partitionBy("__tb").parquet(targetPath)
-    writeMeta(spark, targetPath, nBuckets)
+    // regenerate the WAND sidecar from the compacted postings — this is
+    // also the upgrade path for a version-1 (pre-block-stats) index
+    blockStatsOf(
+        spark.read.schema(indexSchema).parquet(targetPath)
+          .where(col("term").isNotNull), blockSize)
+      .write.mode("overwrite").partitionBy("__tb")
+      .parquet(s"$targetPath/$BlockStatsDirName")
+    writeMeta(spark, targetPath, nBuckets, blockSize)
   }
 }

@@ -1426,6 +1426,32 @@ object TextQueries {
     * oracle recomputes both rankings from the corpus with the same
     * quantization and per-query tie rule.
     */
+  /** Block-max WAND probe ([[graft.operators.Retrieval.bm25WandAgainstIndex]]):
+    * same index lifecycle as `q_bm25_indexed` (split build + append) but
+    * the probe prunes doc-id blocks whose stats-derived score upper bound
+    * cannot reach the top-20 — then exact-scores only the survivors. The
+    * oracle is the SAME full-corpus recompute as `q_bm25`: the pruning is
+    * provably result-invariant (a pruned block's every doc scores
+    * strictly below the seeded n-th-best lower bound θ), so ranks AND
+    * quantized scores hash-match the unpruned probe and the one-shot.
+    * blockSize 64 at gate scale so pruning actually engages (5k docs →
+    * ~80 blocks).
+    */
+  val qBm25Wand = q(
+    "q_bm25_wand",
+    qBm25.oracle.get) { (s, d) =>
+    import graft.operators.Retrieval
+    val docs = Tables.documentsBalanced(s, d)
+    val idx = scratchDir("graft_textidx_w", d)
+    Retrieval.writeTextIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx,
+      nBuckets = 16, blockSize = 64)
+    Retrieval.appendToTextIndex(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    Retrieval.bm25WandAgainstIndex(s, idx,
+      Seq("hash", "join", "spark", "window"), 20)
+  }
+
   val qBm25Batch = q(
     "q_bm25_batch",
     "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
@@ -1595,5 +1621,6 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Batch, qRedact, qSplitLeakfree)
+    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Batch,
+    qRedact, qSplitLeakfree)
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Block-max WAND probe contracts ([[Retrieval.bm25WandAgainstIndex]]):
+  * exactness against the unpruned probe under every index lifecycle shape
+  * (split appends, streaming ingest, tiny blocks forcing real pruning,
+  * n larger than the corpus), plus the upgrade/refusal paths.
+  */
+class WandSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Int)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+
+  /** Skewed corpus: a handful of term-dense docs in low id ranges, then a
+    * long tail of low-tf docs across many doc-id blocks — the shape block
+    * pruning exists for.
+    */
+  private def skewed(nTail: Int): DataFrame = {
+    val heads = Seq(
+      (0L, "spark spark spark join join hash"),
+      (1L, "spark join hash hash hash"),
+      (2L, "spark spark join"))
+    val tail = (1 to nTail).map { i =>
+      (100L + i, "spark filler" + (" pad" * (i % 7)))
+    }
+    (heads ++ tail).toDF("doc_id", "text")
+  }
+
+  test("WAND probe hash-matches the plain probe across lifecycle shapes") {
+    val docs = skewed(200)
+    val q = Seq("spark", "join", "hash")
+    val idx = freshDir("wand_eq")
+    Retrieval.writeTextIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, nBuckets = 4, blockSize = 16)
+    Retrieval.appendToTextIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx)
+    for (n <- Seq(1, 5, 20, 500)) {
+      val plain = rows(Retrieval.bm25AgainstIndex(spark, idx, q, n))
+      val wand = rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, n))
+      assert(wand === plain, s"n=$n")
+    }
+    // single-term and absent-term queries
+    assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, Seq("hash"), 5)) ===
+      rows(Retrieval.bm25AgainstIndex(spark, idx, Seq("hash"), 5)))
+    assert(Retrieval.bm25WandAgainstIndex(spark, idx, Seq("nosuchterm"), 5)
+      .isEmpty)
+  }
+
+  test("pruning is real: tiny blocks + tiny maxSurvivors falls back without changing results") {
+    val docs = skewed(300)
+    val q = Seq("spark", "join", "hash")
+    val idx = freshDir("wand_prune")
+    Retrieval.writeTextIndex(docs, "doc_id", "text", idx,
+      nBuckets = 4, blockSize = 8)
+    val plain = rows(Retrieval.bm25AgainstIndex(spark, idx, q, 3))
+    // normal path (pruned) and the degraded path (maxSurvivors = 0 forces
+    // the unpruned fallback) must both equal the plain probe
+    assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, 3)) === plain)
+    assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, 3,
+      maxSurvivors = 0)) === plain)
+  }
+
+  test("WAND sees streaming-ingested batches and their stats") {
+    val idx = freshDir("wand_ingest")
+    Retrieval.writeTextIndex(
+      Seq((0L, "spark join")).toDF("doc_id", "text"), "doc_id", "text", idx,
+      nBuckets = 4, blockSize = 16)
+    Retrieval.ingestTextBatch(
+      Seq((1L, "spark spark hash"), (2L, "join hash")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, "qtest", 0L)
+    val q = Seq("spark", "hash")
+    assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, 10)) ===
+      rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)))
+  }
+
+  test("compaction regenerates the sidecar; probe results unchanged") {
+    val docs = skewed(100)
+    val idx = freshDir("wand_cpt")
+    val tgt = freshDir("wand_cpt_tgt")
+    Retrieval.writeTextIndex(docs.where(col("doc_id") < 50), "doc_id", "text",
+      idx, nBuckets = 4, blockSize = 16)
+    Retrieval.appendToTextIndex(docs.where(col("doc_id") >= 50),
+      "doc_id", "text", idx)
+    Retrieval.compactTextIndex(spark, idx, tgt, blockSize = 32)
+    val q = Seq("spark", "join")
+    assert(rows(Retrieval.bm25WandAgainstIndex(spark, tgt, q, 10)) ===
+      rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)))
+  }
+
+  test("a version-1 index (no blockSize in meta) is refused loudly") {
+    val idx = freshDir("wand_v1")
+    Retrieval.writeTextIndex(skewed(10), "doc_id", "text", idx, nBuckets = 2)
+    // rewrite the meta as version 1 (no blockSize) and drop the sidecar
+    val metaFile = new java.io.File(s"$idx/_graft_text_index_meta.json")
+    java.nio.file.Files.write(metaFile.toPath,
+      """{"nBuckets": 2, "version": 1}""".getBytes("UTF-8"))
+    // the local Hadoop FS keeps a sidecar checksum; drop it or the read
+    // of the hand-edited meta fails on CRC, not on version
+    new java.io.File(s"$idx/._graft_text_index_meta.json.crc").delete()
+    val e = intercept[IllegalArgumentException](
+      Retrieval.bm25WandAgainstIndex(spark, idx, Seq("spark"), 5))
+    assert(e.getMessage.contains("predates block stats"))
+    // plain probe still works on the same index
+    assert(Retrieval.bm25AgainstIndex(spark, idx, Seq("spark"), 5)
+      .count() > 0)
+  }
+}
