@@ -672,6 +672,41 @@ object Retrieval {
       row_number().over(Window.orderBy(col("rrf_q").desc, col("doc_id").asc)))
   }
 
+  /** Per-query batch RRF: fuse N ranked lists for a whole QUERY BATCH in
+    * one plan — the fusion twin of [[bm25BatchAgainstIndex]] and the ANN
+    * batch paths. Inputs are (query_id, doc_id, rank) frames (rank
+    * 1-based within its query); contributions, quantization
+    * (`⌊10⁹/(k + rank)⌋`), missing-doc rule, and the (rrf_q desc, doc_id)
+    * tie break are exactly [[rrfFuse]]'s, applied per query_id. Output:
+    * (query_id, doc_id, rrf_q, rank ≤ n per query).
+    *
+    * Plan: map-side contribution per list → union → ONE hash aggregate on
+    * (query_id, doc_id) → per-query rank window over ≤ Σ list sizes rows
+    * per query. No per-query driver loop, no join — serving a thousand
+    * queries costs one aggregate over their combined (small) top lists.
+    */
+  def rrfFuseBatch(rankings: Seq[DataFrame], n: Int,
+      kRrf: Int = 60): DataFrame = {
+    require(rankings.size >= 2,
+      s"rrfFuseBatch: fusion needs at least two rankings, got ${rankings.size}")
+    require(n > 0, "rrfFuseBatch: n must be positive")
+    require(kRrf >= 0, s"rrfFuseBatch: k must be non-negative, got $kRrf")
+    rankings.zipWithIndex.foreach { case (r, i) =>
+      require(Seq("query_id", "doc_id", "rank").forall(r.columns.contains),
+        s"rrfFuseBatch: ranking #$i must carry query_id, doc_id and rank " +
+          s"columns (got ${r.columns.mkString(", ")})")
+    }
+    val contribs = rankings.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"1000000000 DIV ($kRrf + rank)").as("__c")))
+    contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf_q"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_q").desc, col("doc_id").asc)))
+      .where(col("rank") <= n)
+  }
+
   /** Compact an appended index into `targetPath` (must be disjoint from
     * the live index): postings — base layout AND accumulated streaming
     * subtrees — re-cluster into the bounded-file layout and the

@@ -822,8 +822,88 @@ object VectorQueries {
     Retrieval.rrfFuse(Seq(lex, ann), n = 20)
   }
 
+  /** Batched hybrid retrieval ([[graft.operators.Retrieval.rrfFuseBatch]]):
+    * TWO queries served in one plan end-to-end — lexical top-50s from the
+    * persisted inverted index's batch probe (`bm25BatchAgainstIndex`, one
+    * bucket-pruned scan for the whole batch), ANN cosine top-50s for both
+    * query embeddings in one corpus pass (literal query array, per-query
+    * rank window), fused per (query_id, doc_id) with the exact integer
+    * RRF contribution and (rrf_q desc, doc_id) ties. Query 1 = lexical
+    * {hash, join} + embedding 0; query 2 = {spark, window, scan} +
+    * embedding 1; ids share the doc_id space as in `q_rrf_hybrid`.
+    */
+  val qRrfHybridBatch = q(
+    "q_rrf_hybrid_batch", {
+      val cosQ = s"${dotSql("embedding", "q")} / (${normSql("embedding")} * ${normSql("q")})"
+      "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), " +
+        "x -> x <> '') AS w FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "qt(query_id, term) AS (VALUES (CAST(1 AS BIGINT), 'hash'), " +
+        "(CAST(1 AS BIGINT), 'join'), (CAST(2 AS BIGINT), 'spark'), " +
+        "(CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'scan')), " +
+        "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(w) AS t FROM w) " +
+        "WHERE t IN (SELECT term FROM qt) GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT qt.query_id, tf.doc_id, CAST(floor(" +
+        "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000" +
+        ") AS BIGINT) AS sq " +
+        "FROM tf JOIN dfq USING (term) JOIN qt USING (term) " +
+        "JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "tot AS (SELECT query_id, doc_id, CAST(sum(sq) AS BIGINT) AS bm25_q " +
+        "FROM sc GROUP BY 1, 2), " +
+        "lex AS (SELECT query_id, doc_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY bm25_q DESC, doc_id) AS rank " +
+        "FROM tot QUALIFY rank <= 50), " +
+        "qv AS (SELECT vec_id + 1 AS query_id, embedding AS q " +
+        "FROM embeddings WHERE vec_id < 2), " +
+        s"anns AS (SELECT query_id, vec_id AS doc_id, $cosQ AS cs " +
+        "FROM embeddings, qv WHERE vec_id >= 2), " +
+        "ann AS (SELECT query_id, doc_id, row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rank " +
+        "FROM anns QUALIFY rank <= 50), " +
+        "u AS (SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM lex " +
+        "UNION ALL SELECT query_id, doc_id, 1000000000 // (60 + rank) FROM ann), " +
+        "f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_q " +
+        "FROM u GROUP BY 1, 2) " +
+        "SELECT query_id, doc_id, rrf_q, CAST(row_number() OVER " +
+        "(PARTITION BY query_id ORDER BY rrf_q DESC, doc_id) AS INT) AS rank " +
+        "FROM f QUALIFY rank <= 20"
+    }) { (s, d) =>
+    import graft.operators.Retrieval
+    import s.implicits._
+    val idx = TextQueries.scratchDir("graft_textidx_rrfb", d)
+    Retrieval.writeTextIndex(Tables.documentsBalanced(s, d), "doc_id", "text",
+      idx, nBuckets = 16)
+    val batch = Seq((1L, "hash"), (1L, "join"), (2L, "spark"),
+      (2L, "window"), (2L, "scan")).toDF("query_id", "term")
+    val lex = Retrieval.bm25BatchAgainstIndex(s, idx, batch,
+        "query_id", "term", 50)
+      .select("query_id", "doc_id", "rank")
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0) + 1L, r.getSeq[Float](1).toIndexedSeq))
+    val qlits = array(queries.map { case (qi, qv) =>
+      struct(lit(qi).as("qid"), array(qv.map(lit(_)): _*).as("qvec"))
+    }.toIndexedSeq: _*)
+    val ann = Tables.embeddingsBalanced(s, d).filter(col("vec_id") >= 2)
+      .withColumn("__q", explode(qlits))
+      .select(col("__q.qid").as("query_id"), col("vec_id").as("doc_id"),
+        (dotCol(col("embedding"), col("__q.qvec")) /
+          (normCol(col("embedding")) * normCol(col("__q.qvec")))).as("cs"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cs").desc, col("doc_id").asc)))
+      .where(col("rank") <= 50)
+      .select("query_id", "doc_id", "rank")
+    Retrieval.rrfFuseBatch(Seq(lex, ann), n = 20)
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qRrfHybrid,
+    qRrfHybrid, qRrfHybridBatch,
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnIvfPq, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,

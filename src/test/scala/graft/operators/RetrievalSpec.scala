@@ -180,6 +180,31 @@ class RetrievalSpec extends SparkSpec {
       Seq(a, b.withColumnRenamed("rank", "r")), 10))
   }
 
+  test("batch rrf equals per-query rrfFuse; contract guards fire") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (2L, 11L, 1), (2L, 12L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val ann = Seq((1L, 11L, 1), (1L, 12L, 2), (2L, 12L, 1))
+      .toDF("query_id", "doc_id", "rank")
+    val batch = Retrieval.rrfFuseBatch(Seq(lex, ann), n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val single = Seq(1L, 2L).flatMap { q =>
+      Retrieval.rrfFuse(
+        Seq(lex.where(col("query_id") === q).drop("query_id"),
+          ann.where(col("query_id") === q).drop("query_id")), n = 10)
+        .collect().map(r => (q, r.getLong(0), r.getLong(1), r.getInt(2)))
+    }.toSet
+    assert(batch === single)
+
+    val e = intercept[IllegalArgumentException](
+      Retrieval.rrfFuseBatch(Seq(lex.drop("query_id"), ann), 10))
+    assert(e.getMessage.contains("query_id"))
+    val e2 = intercept[IllegalArgumentException](
+      Retrieval.rrfFuseBatch(Seq(lex), 10))
+    assert(e2.getMessage.contains("at least two"))
+  }
+
   test("query terms absent from the index rank nothing but break nothing") {
     val idx = freshDir("retr_absent")
     Retrieval.writeTextIndex(corpus, "doc_id", "text", idx, nBuckets = 4)
