@@ -321,7 +321,39 @@ object TemporalQueries {
         col("island_end").as("session_end"), col("n_intervals").as("n_events"))
   }
 
+  /** The STREAMING as-of enrichment run through its batch façade
+    * ([[graft.streaming.AsofEnrich.enrich]] with TimeMode.None — the same
+    * `transformWithState` processor the streaming topology runs, one pass,
+    * empty initial state): per user, every dimension (view) row enters the
+    * per-key timeline state before any fact (purchase) is enriched, so the
+    * output must equal the batch as-of join — and the oracle IS
+    * `q_asof_join`'s SQL. `preferRight = max` mirrors the batch
+    * greatest-payload tie rule for same-timestamp views. This is the
+    * equivalence gate for the streaming operator (AsofEnrichSpec holds the
+    * multi-batch replay, tolerance, and watermark-compaction contracts).
+    */
+  val qAsofStream = q(
+    "q_asof_stream",
+    qAsofJoin.oracle.get) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.{AsofEnrich, AsofEvent}
+    val evs = Tables.events(s, d)
+      .where(col("event_type").isin("purchase", "view"))
+      .select(col("user_id").as("key"), unix_millis(col("ts")).as("ts"),
+        when(col("event_type") === "purchase", col("event_id")).as("l"),
+        when(col("event_type") === "view", col("event_id")).as("r"))
+      .as[(Long, Long, Option[Long], Option[Long])]
+      .map(t => AsofEvent[Long, Long, Long](t._1, t._2, t._3, t._4))
+    AsofEnrich.enrich(evs,
+        preferRight = (a: Long, b: Long) => math.max(a, b),
+        timeMode = org.apache.spark.sql.streaming.TimeMode.None())
+      .toDF()
+      .select(col("left").as("event_id"), col("key").as("user_id"),
+        col("ts").as("ts_ms"), col("asofTs").as("asof_ts_ms"),
+        col("right").as("asof_view_id"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qAsofJoin, qAsofNearest, qAsofTolerance, qRangeJoin, qResampleFfill,
-      qResampleInterp, qConcurrency, qMergeIntervals, qSessionize)
+      qResampleInterp, qConcurrency, qMergeIntervals, qSessionize, qAsofStream)
 }
