@@ -111,18 +111,10 @@ object Boilerplate {
 
   private val LineMetaFileName = "_graft_linefreq_meta.json"
 
-  private def lineMetaPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, LineMetaFileName)
-
   private def writeLineMeta(df: DataFrame, path: String,
-      groupCol: String): Unit = {
-    val p = lineMetaPath(path)
-    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(s"""{"op":"lineFreqIndex","group":"$groupCol"}"""
-      .getBytes("UTF-8"))
-    finally out.close()
-  }
+      groupCol: String): Unit =
+    IndexLifecycle.writeMeta(df.sparkSession, path, LineMetaFileName,
+      s"""{"op":"lineFreqIndex","group":"$groupCol"}""")
 
   /** Read the index meta, failing loud on a non-artifact directory or
     * malformed content. Returns (raw meta text, persisted groupCol name) —
@@ -130,15 +122,9 @@ object Boilerplate {
     */
   private def readLineMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, op: String): (String, String) = {
-    val p = lineMetaPath(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"$op: no $LineMetaFileName at $path — not a writeLineFreqIndex " +
-        "artifact; build the index with writeLineFreqIndex")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val g = """"group"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val txt = IndexLifecycle.requireMeta(spark, path, LineMetaFileName, op,
+      "writeLineFreqIndex")
+    val g = IndexLifecycle.strField(txt, "group")
       .getOrElse(throw new IllegalArgumentException(
         s"$op: malformed $LineMetaFileName at $path: $txt"))
     (txt, g)
@@ -212,7 +198,7 @@ object Boilerplate {
     QualityFilters.requireFreshColumns(df, "writeLineFreqIndex",
       Seq("__ln", "df_count", "__grp"))
     requireStringGroup(df, groupCol, "writeLineFreqIndex")
-    Dedup.clusterForPartitionedWrite(
+    IndexLifecycle.clusterForPartitionedWrite(
         lineDocCounts(df, idCol, textCol, groupCol)
           .withColumn("__grp", grpToken(col(groupCol))),
         "__grp", sortCols = Seq("__ln"))
@@ -304,37 +290,16 @@ object Boilerplate {
   }
 
   // ---- streaming ingest: idempotent per-batch subtrees under _ingest ----
+  // (layout, listing, and query tags are [[IndexLifecycle]]'s; a replayed
+  // batch overwrites its own subtree instead of double-counting)
 
-  private val IngestDirName = "_ingest"
-
-  /** Streaming appends live in `path/_ingest/<queryTag>/b_<batchId>` —
-    * underscore-prefixed, so Spark's default file index HIDES the subtree
-    * from plain `parquet(path)` reads (the base index stays readable by
-    * anything), while this module's own probes list and union the
-    * subtrees explicitly. One dir per (query, batch) makes the streaming
-    * append IDEMPOTENT: a replayed batch overwrites its own subtree
-    * instead of double-counting.
-    */
   private def ingestBatchDir(path: String, queryTag: String,
       batchId: Long): String =
-    s"$path/$IngestDirName/$queryTag/b_$batchId"
+    IndexLifecycle.ingestBatchDir(path, queryTag, batchId)
 
   private def listIngestDirs(spark: org.apache.spark.sql.SparkSession,
-      path: String, exclude: Option[String]): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(path, IngestDirName)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Seq.empty
-    else {
-      val excluded = exclude.map(e =>
-        fs.makeQualified(new org.apache.hadoop.fs.Path(e)).toString).toSet
-      for {
-        q <- fs.listStatus(root).toSeq if q.isDirectory
-        b <- fs.listStatus(q.getPath).toSeq if b.isDirectory
-        d = fs.makeQualified(b.getPath).toString
-        if !excluded.contains(d)
-      } yield d
-    }
-  }
+      path: String, exclude: Option[String]): Seq[String] =
+    IndexLifecycle.listIngestDirs(spark, path, exclude)
 
   /** One streaming microbatch of the line-curation ingest loop — exposed
     * for direct spec-level replay testing; [[streamingLineIngest]] wires
@@ -392,18 +357,7 @@ object Boilerplate {
       groupCol: String, indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       minDf: Long): org.apache.spark.sql.streaming.StreamingQuery = {
-    // hash the QUALIFIED checkpoint path, not the raw string: a restart
-    // spelling the same dir differently ("/ckpt/" vs "/ckpt", relative
-    // vs absolute) resumes the same Spark checkpoint, and its replayed
-    // batches must land on the SAME subtrees or they double-count
-    val qualified = {
-      val p = new org.apache.hadoop.fs.Path(checkpointDir)
-      p.getFileSystem(stream.sparkSession.sessionState.newHadoopConf())
-        .makeQualified(p).toString
-    }
-    val queryTag = "q" + java.security.MessageDigest.getInstance("MD5")
-      .digest(qualified.getBytes("UTF-8"))
-      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    val queryTag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -439,7 +393,7 @@ object Boilerplate {
   def compactLineFreqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerGroup: Int = 1): Unit = {
     require(filesPerGroup >= 1, s"filesPerGroup must be >= 1, got $filesPerGroup")
-    Dedup.requireDistinctPaths(spark, path, targetPath, "compactLineFreqIndex")
+    IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactLineFreqIndex")
     val (txt, groupCol) = readLineMeta(spark, path, "compactLineFreqIndex")
     val roots = path +: listIngestDirs(spark, path, exclude = None)
     val merged = roots
@@ -448,13 +402,10 @@ object Boilerplate {
       .groupBy(col(groupCol), col("__ln"))
       .agg(sum(col("df_count")).as("df_count"))
       .withColumn("__grp", grpToken(col(groupCol)))
-    Dedup.clusterForPartitionedWrite(merged, "__grp",
+    IndexLifecycle.clusterForPartitionedWrite(merged, "__grp",
         filesPerPartition = filesPerGroup, sortCols = Seq("__ln"))
       .write.mode("overwrite").partitionBy("__grp").parquet(targetPath)
-    val fs = lineMetaPath(targetPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(lineMetaPath(targetPath), true)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    IndexLifecycle.writeMeta(spark, targetPath, LineMetaFileName, txt)
   }
 
   /** Flag and strip: every document whose leading `k` normalized tokens

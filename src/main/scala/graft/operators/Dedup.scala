@@ -574,27 +574,10 @@ object Dedup {
         s"MinHash signature width ${TextQueries.NumPerm} — the agreement " +
         "check reads the full signature")
 
-  private def metaPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, MetaFileName)
-
-  private def readMetaText(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
-
   private def writeIndexMeta(df: DataFrame, path: String, bands: Int,
-      rowsPerBand: Int): Unit = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(
-      df.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numPerm":${TextQueries.NumPerm}}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+      rowsPerBand: Int): Unit =
+    IndexLifecycle.writeMeta(df.sparkSession, path, MetaFileName,
+      s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numPerm":${TextQueries.NumPerm}}""")
 
   /** Read and validate the index's persisted banding against the caller's
     * parameters — a mismatch (or a directory that was never written by
@@ -603,16 +586,10 @@ object Dedup {
     */
   private def validateIndexMeta(df: DataFrame, path: String, bands: Int,
       rowsPerBand: Int, op: String): Unit = {
-    val p = metaPath(path)
-    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"$op: no $MetaFileName at $path — not a writeSignatureIndex " +
-        "artifact (or one from before banding metadata); rebuild the index " +
-        "with writeSignatureIndex")
-    val txt = readMetaText(fs, p)
+    val txt = IndexLifecycle.requireMeta(df.sparkSession, path, MetaFileName,
+      op, "writeSignatureIndex")
     def field(name: String): Int =
-      s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(txt)
-        .map(_.group(1).toInt)
+      IndexLifecycle.longField(txt, name).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException(
           s"$op: malformed $MetaFileName at $path: $txt"))
     val (b, r) = (field("bands"), field("rowsPerBand"))
@@ -628,7 +605,7 @@ object Dedup {
     requireBanding(bands, rowsPerBand, "writeSignatureIndex")
     // clustered + bh-sorted write ([[clusterForPartitionedWrite]]): bounded
     // files per band, tight bh row-group bounds for the probe's IN pushdown
-    clusterForPartitionedWrite(
+    IndexLifecycle.clusterForPartitionedWrite(
         bandedSignatures(df, idCol, textCol, bands, rowsPerBand),
         "band", sortCols = Seq("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
@@ -668,84 +645,21 @@ object Dedup {
     * live index would race concurrent probes; atomically swapping
     * `targetPath` into service is the deployment's move/rename concern.
     */
-  /** The ONE definition of the salt-clustered partitioned-write layout all
-    * index writers share: hash-cluster rows on (partition column, salt) so
-    * `partitionBy` emits at most `filesPerPartition` files per partition
-    * value (default: the cluster's parallelism) instead of one per (input
-    * task × value) — the ~25k-file shape the sem-index probe measurement
-    * caught (13× file-bound; SCALE.md). The salt hashes ALL non-partition
-    * columns, so no column-order convention can silently make it constant
-    * and serialize the write; optional `sortCols` sort within each output
-    * task (after the partition column) so row groups carry tight min/max
-    * for pushdown pruning.
-    */
-  private[operators] def clusterForPartitionedWrite(df: DataFrame,
-      partCol: String, filesPerPartition: Int = 0,
-      sortCols: Seq[String] = Nil): DataFrame = {
-    val width =
-      if (filesPerPartition > 0) filesPerPartition
-      else df.sparkSession.sparkContext.defaultParallelism
-    val saltSrc = df.columns.filterNot(_ == partCol).map(col).toIndexedSeq
-    require(saltSrc.nonEmpty, s"no non-$partCol columns to salt on")
-    val salt = pmod(xxhash64(saltSrc: _*), lit(width.toLong))
-    val re = df.repartition(col(partCol), salt)
-    if (sortCols.isEmpty) re
-    else re.sortWithinPartitions((partCol +: sortCols).map(col): _*)
-  }
-
-  /** Qualified-path disjointness for the NEW-path compaction contract: a raw
-    * string compare would wave through trailing slashes, `./` prefixes, or
-    * double slashes that Spark later resolves to the same live directory —
-    * and equality alone would wave through a target NESTED inside the live
-    * index (`path + "/compacted"`), whose files would then pollute the
-    * source's recursive partition discovery for every later probe.
-    */
-  private[operators] def requireDistinctPaths(
-      spark: org.apache.spark.sql.SparkSession,
-      path: String, targetPath: String, op: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    def qualified(p: String) = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).makeQualified(hp)
-    }
-    val src = qualified(path)
-    val dst = qualified(targetPath)
-    def contains(outer: org.apache.hadoop.fs.Path,
-        inner: org.apache.hadoop.fs.Path): Boolean = {
-      var p: org.apache.hadoop.fs.Path = inner
-      while (p != null) {
-        if (p == outer) return true
-        p = p.getParent
-      }
-      false
-    }
-    require(!contains(src, dst) && !contains(dst, src),
-      s"$op writes a NEW index; a target equal to or nested with the live " +
-        s"index ($src vs $dst) would race concurrent probes or corrupt its " +
-        "partition discovery — compact to a disjoint path and swap it into " +
-        "service")
-  }
-
   def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerBand: Int = 1): Unit = {
     require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
-    requireDistinctPaths(spark, path, targetPath, "compactSignatureIndex")
+    IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactSignatureIndex")
     // validate BEFORE the corpus-sized rewrite: a non-artifact source must
     // fail in milliseconds, not leave a half-written target
-    val src = metaPath(path)
-    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(src),
-      s"compactSignatureIndex: no $MetaFileName at $path — not a " +
-        "writeSignatureIndex artifact")
-    val metaTxt = readMetaText(fs, src)
-    // clustered + bh-sorted ([[clusterForPartitionedWrite]]): without the
-    // sort, salt order gives every compacted row group a near-full-range
-    // bh span and the probe's IN pushdown stops skipping anything
-    clusterForPartitionedWrite(spark.read.parquet(path), "band",
+    val metaTxt = IndexLifecycle.requireMeta(spark, path, MetaFileName,
+      "compactSignatureIndex", "writeSignatureIndex")
+    // clustered + bh-sorted ([[IndexLifecycle.clusterForPartitionedWrite]]):
+    // without the sort, salt order gives every compacted row group a
+    // near-full-range bh span and the probe's IN pushdown stops skipping
+    IndexLifecycle.clusterForPartitionedWrite(spark.read.parquet(path), "band",
         filesPerPartition = filesPerBand, sortCols = Seq("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(targetPath)
-    val out = fs.create(metaPath(targetPath), true)
-    try out.write(metaTxt.getBytes("UTF-8")) finally out.close()
+    IndexLifecycle.writeMeta(spark, targetPath, MetaFileName, metaTxt)
   }
 
   /** INCREMENTAL near-dup check of an ingest batch against a

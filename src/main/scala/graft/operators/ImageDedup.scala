@@ -528,21 +528,14 @@ object ImageDedup {
 
   private val ImgMetaFileName = "_graft_imghash_meta.json"
 
-  private def imgMetaPath(path: String) =
-    new org.apache.hadoop.fs.Path(path, ImgMetaFileName)
-
   private def writeImgMeta(df: DataFrame, path: String, idCol: String,
       bandBits: Int): Unit = {
     require(!idCol.exists(c => c == '"' || c == '\\'),
       s"writeImageHashIndex: idCol name must not contain '\"' or '\\' " +
         s"(got '$idCol') — alias the column to a plain name first")
-    val p = imgMetaPath(path)
-    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      (s"""{"op":"imageHashIndex","id":"$idCol","bandBits":$bandBits,""" +
-        s""""gridW":$GridW,"gridH":$GridH}""").getBytes("UTF-8"))
-    finally out.close()
+    IndexLifecycle.writeMeta(df.sparkSession, path, ImgMetaFileName,
+      s"""{"op":"imageHashIndex","id":"$idCol","bandBits":$bandBits,""" +
+        s""""gridW":$GridW,"gridH":$GridH}""")
   }
 
   /** Read + validate the meta, returning (raw text, persisted idCol,
@@ -552,29 +545,21 @@ object ImageDedup {
     */
   private def readImgMeta(spark: org.apache.spark.sql.SparkSession,
       path: String, op: String): (String, String, Int) = {
-    val p = imgMetaPath(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p),
-      s"$op: no $ImgMetaFileName at $path — not a writeImageHashIndex " +
-        "artifact; build the index with writeImageHashIndex")
-    val in = fs.open(p)
-    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val txt = IndexLifecycle.requireMeta(spark, path, ImgMetaFileName, op,
+      "writeImageHashIndex")
     def strField(name: String): String =
-      (s""""$name"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(txt).map(_.group(1))
+      IndexLifecycle.strField(txt, name)
         .getOrElse(throw new IllegalArgumentException(
           s"$op: malformed $ImgMetaFileName at $path: $txt"))
     def intField(name: String): Int =
-      (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
-        .map(_.group(1).toInt)
+      IndexLifecycle.longField(txt, name).map(_.toInt)
         .getOrElse(throw new IllegalArgumentException(
           s"$op: malformed $ImgMetaFileName at $path: $txt"))
     require(intField("gridW") == GridW && intField("gridH") == GridH,
       s"$op: index at $path uses grid ${intField("gridW")}×${intField("gridH")} " +
         s"but this build hashes $GridW×$GridH — probes would never match; " +
         "rebuild the index")
-    val bb = (s""""bandBits"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
-      .map(_.group(1).toInt).getOrElse(8)
+    val bb = IndexLifecycle.longField(txt, "bandBits").map(_.toInt).getOrElse(8)
     (txt, strField("id"), bb)
   }
 
@@ -655,7 +640,7 @@ object ImageDedup {
 
   /** Build the persisted index: banded hash rows partitioned by `band`
     * (probes prune statically) and salt-clustered + `bv`-sorted
-    * ([[Dedup.clusterForPartitionedWrite]]) so each band writes a
+    * ([[IndexLifecycle.clusterForPartitionedWrite]]) so each band writes a
     * bounded number of files with tight `bv` row-group bounds for the
     * probe's IN pushdown.
     *
@@ -671,7 +656,7 @@ object ImageDedup {
   def writeImageHashIndex(df: DataFrame, idCol: String, hashCol: String,
       path: String, bandBits: Int = 8): Unit = {
     requireBandBits(bandBits, "writeImageHashIndex")
-    Dedup.clusterForPartitionedWrite(bandedHashes(df, idCol, hashCol, bandBits),
+    IndexLifecycle.clusterForPartitionedWrite(bandedHashes(df, idCol, hashCol, bandBits),
         "band", sortCols = Seq("bv"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
     writeImgMeta(df, path, idCol, bandBits)
@@ -774,16 +759,13 @@ object ImageDedup {
   def compactImageHashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerBand: Int = 1): Unit = {
     require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
-    Dedup.requireDistinctPaths(spark, path, targetPath, "compactImageHashIndex")
+    IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactImageHashIndex")
     val (txt, idCol, _) = readImgMeta(spark, path, "compactImageHashIndex")
-    Dedup.clusterForPartitionedWrite(
+    IndexLifecycle.clusterForPartitionedWrite(
         spark.read.schema(imgIndexSchema(idCol)).parquet(path).distinct(),
         "band", filesPerPartition = filesPerBand, sortCols = Seq("bv"))
       .write.mode("overwrite").partitionBy("band").parquet(targetPath)
-    val fs = imgMetaPath(targetPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(imgMetaPath(targetPath), true)
-    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    IndexLifecycle.writeMeta(spark, targetPath, ImgMetaFileName, txt)
   }
 
   /** The full append-only image-ingest loop as ONE Structured Streaming

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The ONE implementation of the persisted-index lifecycle plumbing that
+  * the five index families share — MinHash signatures ([[Dedup]]),
+  * semantic vectors ([[Similarity]]), line frequencies ([[Boilerplate]]),
+  * BM25 postings ([[Retrieval]]), perceptual hashes ([[ImageDedup]]).
+  * Each family keeps its own schema, probe, and validation MESSAGES;
+  * what lives here is the mechanics every one of them was hand-rolling:
+  *
+  *  - the `_…_meta.json` artifact (atomic single-file write beside the
+  *    parquet, underscore-prefixed so partition discovery ignores it)
+  *    and its regex field extraction;
+  *  - the `_ingest/<queryTag>/b_<batchId>` subtree convention that makes
+  *    streaming appends replay-idempotent, with the qualified-checkpoint
+  *    query tag that lands a RESTARTED query's replays on the same
+  *    subtrees;
+  *  - the salt-clustered partitioned write (bounded files per partition
+  *    value, optional in-partition sort for row-group pruning);
+  *  - the qualified-path disjointness guard behind every compact-to-a-
+  *    new-path contract.
+  */
+private[graft] object IndexLifecycle {
+
+  // ---------------------------------------------------------------------
+  // Meta artifact
+  // ---------------------------------------------------------------------
+
+  private def metaPath(path: String, fileName: String) =
+    new org.apache.hadoop.fs.Path(path, fileName)
+
+  /** Overwrite `path/fileName` with one small JSON document. */
+  def writeMeta(spark: SparkSession, path: String, fileName: String,
+      json: String): Unit = {
+    val p = metaPath(path, fileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Meta text, or None when the artifact is absent (caller phrases the
+    * loud not-an-index message).
+    */
+  def readMeta(spark: SparkSession, path: String,
+      fileName: String): Option[String] = {
+    val p = metaPath(path, fileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  /** Like [[readMeta]] but the absence message is standardized. */
+  def requireMeta(spark: SparkSession, path: String, fileName: String,
+      op: String, buildHint: String): String =
+    readMeta(spark, path, fileName).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: no $fileName at $path — not a $buildHint artifact; build " +
+          s"the index with $buildHint first"))
+
+  def longField(txt: String, name: String): Option[Long] =
+    (s""""$name"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong)
+
+  def strField(txt: String, name: String): Option[String] =
+    (s""""$name"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(txt)
+      .map(_.group(1))
+
+  // ---------------------------------------------------------------------
+  // Streaming-ingest subtrees
+  // ---------------------------------------------------------------------
+
+  val IngestDirName = "_ingest"
+
+  /** `path/_ingest/<queryTag>/b_<batchId>` — underscore-prefixed so
+    * Spark's default file index hides the subtree from plain
+    * `parquet(path)` reads; one dir per (query, batch) is what makes a
+    * streaming append IDEMPOTENT (a replayed batch overwrites its own
+    * subtree instead of appending duplicates).
+    */
+  def ingestBatchDir(path: String, queryTag: String, batchId: Long): String =
+    s"$path/$IngestDirName/$queryTag/b_$batchId"
+
+  /** Every (query, batch) subtree under `path/_ingest`, qualified;
+    * `exclude` drops one subtree (the replay-idempotence trick: a batch
+    * probing the index must not see its OWN previous write).
+    */
+  def listIngestDirs(spark: SparkSession, path: String,
+      exclude: Option[String] = None): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path, IngestDirName)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else {
+      val excluded = exclude.map(e =>
+        fs.makeQualified(new org.apache.hadoop.fs.Path(e)).toString).toSet
+      for {
+        q <- fs.listStatus(root).toSeq if q.isDirectory
+        b <- fs.listStatus(q.getPath).toSeq if b.isDirectory
+        d = fs.makeQualified(b.getPath).toString
+        if !excluded.contains(d)
+      } yield d
+    }
+  }
+
+  /** Stable per-query tag from the QUALIFIED checkpoint path — a restart
+    * spelling the same dir differently ("/ckpt/" vs "/ckpt", relative vs
+    * absolute) resumes the same Spark checkpoint, and its replayed
+    * batches must land on the SAME subtrees or they double-count.
+    */
+  def queryTagOf(spark: SparkSession, checkpointDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpointDir)
+    val qualified = p.getFileSystem(spark.sessionState.newHadoopConf())
+      .makeQualified(p).toString
+    "q" + java.security.MessageDigest.getInstance("MD5")
+      .digest(qualified.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  // ---------------------------------------------------------------------
+  // Write layout / compaction clustering
+  // ---------------------------------------------------------------------
+
+  /** The salt-clustered partitioned-write layout all index writers share:
+    * hash-cluster rows on (partition column, salt) so `partitionBy` emits
+    * at most `filesPerPartition` files per partition value (default: the
+    * cluster's parallelism) instead of one per (input task × value) — the
+    * ~25k-file shape the sem-index probe measurement caught (13×
+    * file-bound; SCALE.md). The salt hashes ALL non-partition columns, so
+    * no column-order convention can silently make it constant and
+    * serialize the write; optional `sortCols` sort within each output
+    * task (after the partition column) so row groups carry tight min/max
+    * for pushdown pruning.
+    */
+  def clusterForPartitionedWrite(df: DataFrame, partCol: String,
+      filesPerPartition: Int = 0, sortCols: Seq[String] = Nil): DataFrame = {
+    val width =
+      if (filesPerPartition > 0) filesPerPartition
+      else df.sparkSession.sparkContext.defaultParallelism
+    val saltSrc = df.columns.filterNot(_ == partCol).map(col).toIndexedSeq
+    require(saltSrc.nonEmpty, s"no non-$partCol columns to salt on")
+    val salt = pmod(xxhash64(saltSrc: _*), lit(width.toLong))
+    val re = df.repartition(col(partCol), salt)
+    if (sortCols.isEmpty) re
+    else re.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+  }
+
+  /** Qualified-path disjointness for the NEW-path compaction contract: a
+    * raw string compare would wave through trailing slashes, `./`
+    * prefixes, or double slashes that Spark later resolves to the same
+    * live directory — and equality alone would wave through a target
+    * NESTED inside the live index (`path + "/compacted"`), whose files
+    * would then pollute the source's recursive partition discovery for
+    * every later probe.
+    */
+  def requireDistinctPaths(spark: SparkSession, path: String,
+      targetPath: String, op: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp)
+    }
+    val src = qualified(path)
+    val dst = qualified(targetPath)
+    def contains(outer: org.apache.hadoop.fs.Path,
+        inner: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = inner
+      while (p != null) {
+        if (p == outer) return true
+        p = p.getParent
+      }
+      false
+    }
+    require(!contains(src, dst) && !contains(dst, src),
+      s"$op writes a NEW index; a target equal to or nested with the live " +
+        s"index ($src vs $dst) would race concurrent probes or corrupt its " +
+        "partition discovery — compact to a disjoint path and swap it into " +
+        "service")
+  }
+}

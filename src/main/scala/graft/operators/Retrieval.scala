@@ -188,50 +188,30 @@ object Retrieval {
     "b" + java.lang.Math.floorMod(
       Md5Prefix32.hash(term.getBytes("UTF-8")), nBuckets.toLong)
 
-  private def metaPath(path: String) = s"$path/_graft_text_index_meta.json"
+  private val MetaFileName = "_graft_text_index_meta.json"
 
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
-      blockSize: Long = DefaultBlockSize): Unit = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(
-      s"""{"nBuckets": $nBuckets, "blockSize": $blockSize, "version": 2}"""
-        .getBytes("UTF-8"))
-    finally out.close()
-  }
+      blockSize: Long = DefaultBlockSize): Unit =
+    IndexLifecycle.writeMeta(spark, path, MetaFileName,
+      s"""{"nBuckets": $nBuckets, "blockSize": $blockSize, "version": 2}""")
 
   private def readMeta(spark: SparkSession, path: String, op: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p), s"$op: no text index at $path (missing " +
-      s"${p.getName}) — build one with writeTextIndex first")
-    val in = fs.open(p)
-    val txt = try {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(buf); new String(buf, "UTF-8")
-    } finally in.close()
-    val m = """"nBuckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-    require(m.isDefined, s"$op: malformed text index meta at $path: $txt")
-    m.get.group(1).toInt
+    val txt = IndexLifecycle.requireMeta(spark, path, MetaFileName, op,
+      "writeTextIndex")
+    IndexLifecycle.longField(txt, "nBuckets").map(_.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"$op: malformed text index meta at $path: $txt"))
   }
 
   /** The block width recorded at build time; None for a pre-block-stats
     * (version 1) index — the WAND probe refuses those loudly.
     */
   private def readBlockSize(spark: SparkSession, path: String,
-      op: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(metaPath(path))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(p), s"$op: no text index at $path")
-    val in = fs.open(p)
-    val txt = try {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      in.readFully(buf); new String(buf, "UTF-8")
-    } finally in.close()
-    """"blockSize"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
-      .map(_.group(1).toLong)
-  }
+      op: String): Option[Long] =
+    IndexLifecycle.longField(
+      IndexLifecycle.requireMeta(spark, path, MetaFileName, op,
+        "writeTextIndex"),
+      "blockSize")
 
   private def batchRows(docs: DataFrame, idCol: String, textCol: String,
       nBuckets: Int): DataFrame = {
@@ -268,7 +248,7 @@ object Retrieval {
     val rows = batchRows(docs, idCol, textCol, nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Dedup.clusterForPartitionedWrite(rows, "__tb", sortCols = Seq("term"))
+      IndexLifecycle.clusterForPartitionedWrite(rows, "__tb", sortCols = Seq("term"))
         .write.mode("overwrite").partitionBy("__tb").parquet(path)
       // one aggregation over the SAME materialized tokenization — the
       // corpus is never tokenized twice for the stats sidecar
@@ -305,31 +285,17 @@ object Retrieval {
   }
 
   // ---- streaming ingest: idempotent per-batch subtrees under _ingest ----
+  // (layout, listing, and query tags are [[IndexLifecycle]]'s; a replayed
+  // batch OVERWRITES its own subtree instead of appending duplicate
+  // postings — the crash-replay hole the plain [[appendToTextIndex]]
+  // contract leaves open is closed on this path)
 
-  private val IngestDirName = "_ingest"
-
-  /** Streaming appends live in `path/_ingest/<queryTag>/b_<batchId>` —
-    * underscore-prefixed so Spark's default file index HIDES the subtree
-    * from plain `parquet(path)` reads, while [[bm25AgainstIndex]] and
-    * [[compactTextIndex]] list and union the subtrees explicitly. One dir
-    * per (query, batch) makes the streaming append IDEMPOTENT: a replayed
-    * batch OVERWRITES its own subtree instead of appending duplicate
-    * postings — the crash-replay hole the plain [[appendToTextIndex]]
-    * contract leaves open is closed on this path.
-    */
   private def ingestBatchDir(path: String, queryTag: String,
       batchId: Long): String =
-    s"$path/$IngestDirName/$queryTag/b_$batchId"
+    IndexLifecycle.ingestBatchDir(path, queryTag, batchId)
 
-  private def listIngestDirs(spark: SparkSession, path: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(path, IngestDirName)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) Seq.empty
-    else for {
-      q <- fs.listStatus(root).toSeq if q.isDirectory
-      b <- fs.listStatus(q.getPath).toSeq if b.isDirectory
-    } yield fs.makeQualified(b.getPath).toString
-  }
+  private def listIngestDirs(spark: SparkSession, path: String): Seq[String] =
+    IndexLifecycle.listIngestDirs(spark, path)
 
   /** One streaming microbatch — exposed for direct spec-level replay
     * testing; [[streamingTextIngest]] wires it into `foreachBatch`.
@@ -369,14 +335,7 @@ object Retrieval {
   def streamingTextIngest(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
-    val qualified = {
-      val p = new org.apache.hadoop.fs.Path(checkpointDir)
-      p.getFileSystem(stream.sparkSession.sessionState.newHadoopConf())
-        .makeQualified(p).toString
-    }
-    val queryTag = "q" + java.security.MessageDigest.getInstance("MD5")
-      .digest(qualified.getBytes("UTF-8"))
-      .take(6).map(b => f"${b & 0xff}%02x").mkString
+    val queryTag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -716,7 +675,7 @@ object Retrieval {
   def compactTextIndex(spark: SparkSession, path: String,
       targetPath: String, blockSize: Long = DefaultBlockSize): Unit = {
     val nBuckets = readMeta(spark, path, "compactTextIndex")
-    Dedup.requireDistinctPaths(spark, path, targetPath, "compactTextIndex")
+    IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactTextIndex")
     val rows = (path +: listIngestDirs(spark, path))
       .map(r => spark.read.schema(indexSchema).parquet(r))
       .reduce(_ unionByName _)
@@ -727,7 +686,7 @@ object Retrieval {
         coalesce(col("tf"), lit(0L)).as("tf"),
         coalesce(col("dl"), lit(0L)).as("dl"),
         lit(StatsToken).as("__tb"))
-    Dedup.clusterForPartitionedWrite(
+    IndexLifecycle.clusterForPartitionedWrite(
         rows.where(col("term").isNotNull).unionByName(stats),
         "__tb", sortCols = Seq("term"))
       .write.mode("overwrite").partitionBy("__tb").parquet(targetPath)

@@ -926,14 +926,14 @@ object Similarity {
   def compactSemIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetPath: String, filesPerCell: Int = 1): Unit = {
     require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
-    Dedup.requireDistinctPaths(spark, path, targetPath, "compactSemIndex")
+    IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactSemIndex")
     // read + validate the centroid artifact BEFORE the corpus-sized
     // rewrite: a non-writeSemIndex source fails in milliseconds instead of
     // leaving a half-written target with cell data but no _centroids
     val cents = ivfReadCentroids(spark, path)
     require(cents.nonEmpty,
       s"compactSemIndex: empty _centroids at $path — not a writeSemIndex artifact")
-    Dedup.clusterForPartitionedWrite(spark.read.parquet(path),
+    IndexLifecycle.clusterForPartitionedWrite(spark.read.parquet(path),
         "centroid_id", filesPerPartition = filesPerCell)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
     writeCentroids(spark, cents, targetPath)
@@ -1214,12 +1214,12 @@ object Similarity {
     * physical layout.
     *
     * Salt-clustered on the cell before the write
-    * ([[Dedup.clusterForPartitionedWrite]]): `partitionBy` alone emits one
+    * ([[IndexLifecycle.clusterForPartitionedWrite]]): `partitionBy` alone emits one
     * file per (input task × cell) — at a 3200-task corpus that was ~25k
     * files and a probe 13× file-bound (SCALE.md "semantic index probe").
     */
   def ivfWrite(assigned: DataFrame, path: String): Unit =
-    Dedup.clusterForPartitionedWrite(assigned, "centroid_id")
+    IndexLifecycle.clusterForPartitionedWrite(assigned, "centroid_id")
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
   /** Read back an [[ivfWrite]]-persisted index for [[ivfSearchTopK]]. */
