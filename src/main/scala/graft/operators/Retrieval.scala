@@ -42,12 +42,13 @@ object Retrieval {
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl)) *
         lit(1000000)).cast("long")
 
-  /** House tokenizer (the tfidf/dedup rule): split on single spaces,
-    * drop empties. Typed API, not an `expr` string — a column name with
-    * dots/backticks must resolve, not parse.
+  /** Tokens of `textCol` under `tok` (default: the house single-space
+    * rule — byte-identical to every pre-tokenizer oracle entry). Typed
+    * API, not an `expr` string — a column name with dots/backticks must
+    * resolve, not parse.
     */
-  private def tokens(textCol: String): Column =
-    filter(split(col(textCol), " "), x => x =!= "")
+  private def tokens(textCol: String, tok: Tokenizer): Column =
+    tok.column(col(textCol))
 
   private def topN(scored: DataFrame, n: Int): DataFrame = {
     // global top-n plans as TakeOrderedAndProject — no single-partition
@@ -93,11 +94,12 @@ object Retrieval {
     */
   def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
       queryTerms: Seq[String], n: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      tokenizer: Tokenizer = Tokenizer.House): DataFrame = {
     requireQuery(queryTerms, n, "bm25Rank")
     requireLongId(docs, idCol, "bm25Rank")
     val words = docs.select(col(idCol).cast("long").as("doc_id"),
-      tokens(textCol).as("__w"))
+      tokens(textCol, tokenizer).as("__w"))
     val dl = words.select(col("doc_id"), size(col("__w")).cast("long").as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"),
       // the zero-doc guard never fires alongside a posting (no docs → no
@@ -191,9 +193,22 @@ object Retrieval {
   private val MetaFileName = "_graft_text_index_meta.json"
 
   private def writeMeta(spark: SparkSession, path: String, nBuckets: Int,
-      blockSize: Long = DefaultBlockSize): Unit =
+      blockSize: Long = DefaultBlockSize,
+      tokenizer: Tokenizer = Tokenizer.House): Unit =
     IndexLifecycle.writeMeta(spark, path, MetaFileName,
-      s"""{"nBuckets": $nBuckets, "blockSize": $blockSize, "version": 2}""")
+      s"""{"nBuckets": $nBuckets, "blockSize": $blockSize, """ +
+        s""""tok": "${tokenizer.tag}", "version": 2}""")
+
+  /** The tokenizer the index was BUILT with — appends and ingests must
+    * match it or postings drift ("house" when the meta predates the
+    * field).
+    */
+  private def readTokenizer(spark: SparkSession, path: String,
+      op: String): Tokenizer =
+    IndexLifecycle.strField(
+      IndexLifecycle.requireMeta(spark, path, MetaFileName, op,
+        "writeTextIndex"), "tok")
+      .map(Tokenizer.fromTag(_, op)).getOrElse(Tokenizer.House)
 
   private def readMeta(spark: SparkSession, path: String, op: String): Int = {
     val txt = IndexLifecycle.requireMeta(spark, path, MetaFileName, op,
@@ -214,10 +229,10 @@ object Retrieval {
       "blockSize")
 
   private def batchRows(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, tokenizer: Tokenizer): DataFrame = {
     Md5Prefix32.register(docs.sparkSession) // idempotent; bare sessions lack it
     val words = docs.select(col(idCol).cast("long").as("doc_id"),
-      tokens(textCol).as("__w"))
+      tokens(textCol, tokenizer).as("__w"))
     val postings = words
       .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
         explode(col("__w")).as("term"))
@@ -241,11 +256,12 @@ object Retrieval {
     */
   def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64,
-      blockSize: Long = DefaultBlockSize): Unit = {
+      blockSize: Long = DefaultBlockSize,
+      tokenizer: Tokenizer = Tokenizer.House): Unit = {
     require(nBuckets > 0, s"writeTextIndex: nBuckets must be positive, got $nBuckets")
     require(blockSize > 0, s"writeTextIndex: blockSize must be positive, got $blockSize")
     requireLongId(docs, idCol, "writeTextIndex")
-    val rows = batchRows(docs, idCol, textCol, nBuckets)
+    val rows = batchRows(docs, idCol, textCol, nBuckets, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       IndexLifecycle.clusterForPartitionedWrite(rows, "__tb", sortCols = Seq("term"))
@@ -256,7 +272,7 @@ object Retrieval {
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$path/$BlockStatsDirName")
     } finally rows.unpersist()
-    writeMeta(docs.sparkSession, path, nBuckets, blockSize)
+    writeMeta(docs.sparkSession, path, nBuckets, blockSize, tokenizer)
   }
 
   /** APPEND a new batch of documents. CONTRACT: each document is appended
@@ -270,7 +286,8 @@ object Retrieval {
     requireLongId(docs, idCol, "appendToTextIndex")
     val nBuckets = readMeta(docs.sparkSession, path, "appendToTextIndex")
     val blockSize = readBlockSize(docs.sparkSession, path, "appendToTextIndex")
-    val rows = batchRows(docs, idCol, textCol, nBuckets)
+    val rows = batchRows(docs, idCol, textCol, nBuckets,
+      readTokenizer(docs.sparkSession, path, "appendToTextIndex"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       rows.write.mode("append").partitionBy("__tb").parquet(path)
@@ -309,7 +326,8 @@ object Retrieval {
     val nBuckets = readMeta(batch.sparkSession, indexPath, "ingestTextBatch")
     val blockSize = readBlockSize(batch.sparkSession, indexPath, "ingestTextBatch")
     val dir = ingestBatchDir(indexPath, queryTag, batchId)
-    val rows = batchRows(batch, idCol, textCol, nBuckets)
+    val rows = batchRows(batch, idCol, textCol, nBuckets,
+      readTokenizer(batch.sparkSession, indexPath, "ingestTextBatch"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       rows.write.mode("overwrite").partitionBy("__tb").parquet(dir)
@@ -697,6 +715,7 @@ object Retrieval {
           .where(col("term").isNotNull), blockSize)
       .write.mode("overwrite").partitionBy("__tb")
       .parquet(s"$targetPath/$BlockStatsDirName")
-    writeMeta(spark, targetPath, nBuckets, blockSize)
+    writeMeta(spark, targetPath, nBuckets, blockSize,
+      readTokenizer(spark, path, "compactTextIndex"))
   }
 }

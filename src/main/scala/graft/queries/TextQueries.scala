@@ -651,8 +651,9 @@ object TextQueries {
     * slice windows — identical indexing on both engines); empty when the doc
     * has fewer than n tokens.
     */
-  def ngramsCol(text: Column, n: Int): Column = {
-    val t = tokensCol(text)
+  def ngramsCol(text: Column, n: Int,
+      tokenizer: graft.operators.Tokenizer = graft.operators.Tokenizer.Ascii): Column = {
+    val t = tokenizer.column(text)
     // n equal-length shifted slices zipped, one concat per gram — NOT a
     // per-gram slice(t, i, n)+array_join lambda: that shape re-slices the
     // token array once per gram (O(len·n) array copies) and measured 5.9×
@@ -1313,11 +1314,12 @@ object TextQueries {
     * ranking). Output: (idCol, term, score_q).
     */
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+      textCol: String, k: Int,
+      tokenizer: graft.operators.Tokenizer = graft.operators.Tokenizer.House)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wc = docs
-      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
-      .filter(col("term") =!= "")
+      .select(col(idCol), explode(tokenizer.column(col(textCol))).as("term"))
       .groupBy(idCol, "term")
       .agg(count(lit(1)).as("tf"))
     val dfreq = wc.groupBy("term").agg(count(lit(1)).as("df"))
@@ -1449,6 +1451,53 @@ object TextQueries {
     Retrieval.appendToTextIndex(
       docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
     Retrieval.bm25WandAgainstIndex(s, idx,
+      Seq("hash", "join", "spark", "window"), 20)
+  }
+
+  /** BM25 under the pluggable UNICODE tokenizer
+    * ([[graft.operators.Tokenizer.Unicode]]): the corpus is roughened
+    * in-query (every space becomes ", " and a final "." lands) so the
+    * house single-space rule would produce garbage tokens ("hash," never
+    * matches the query) — only Unicode-category segmentation + casefold
+    * recovers the clean words. The full index lifecycle runs under the
+    * new rule: the build persists the tokenizer tag in the index meta and
+    * the APPEND half resolves it from there (nothing re-passes it), so
+    * the oracle — the complete scoring pipeline over
+    * `regexp_split_to_array` tokens — also gates the meta roundtrip.
+    */
+  val qBm25Unicode = q(
+    "q_bm25_unicode", {
+      val toks = graft.operators.Tokenizer.Unicode(casefold = true)
+        .duckSql("regexp_replace(text, ' ', ', ', 'g') || '.'")
+      s"WITH w AS (SELECT doc_id, $toks AS w FROM documents), " +
+        "dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl), " +
+        "tf AS (SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM (SELECT doc_id, unnest(w) AS t FROM w) " +
+        "WHERE t IN ('hash', 'join', 'spark', 'window') GROUP BY 1, 2), " +
+        "dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "sc AS (SELECT tf.doc_id, CAST(floor(" +
+        "ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) / " +
+        "(tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) * 1000000" +
+        ") AS BIGINT) AS sq " +
+        "FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st), " +
+        "tot AS (SELECT doc_id, CAST(sum(sq) AS BIGINT) AS bm25_q " +
+        "FROM sc GROUP BY 1) " +
+        "SELECT doc_id, bm25_q, CAST(row_number() OVER " +
+        "(ORDER BY bm25_q DESC, doc_id) AS INT) AS rank " +
+        "FROM tot ORDER BY rank LIMIT 20"
+    }) { (s, d) =>
+    import graft.operators.{Retrieval, Tokenizer}
+    val rough = Tables.documentsBalanced(s, d).withColumn("text",
+      concat(regexp_replace(col("text"), " ", ", "), lit(".")))
+    val idx = scratchDir("graft_textidx_u", d)
+    Retrieval.writeTextIndex(rough.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, nBuckets = 16,
+      tokenizer = Tokenizer.Unicode(casefold = true))
+    Retrieval.appendToTextIndex( // tokenizer resolved from the index meta
+      rough.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    Retrieval.bm25AgainstIndex(s, idx,
       Seq("hash", "join", "spark", "window"), 20)
   }
 
@@ -1621,6 +1670,6 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Batch,
+    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch,
     qRedact, qSplitLeakfree)
 }
