@@ -289,7 +289,8 @@ object Temporal {
       bucketMs: Long,
       aggs: Seq[Column],
       fill: String = "none",
-      maxBucketsPerKey: Int = 1000000): DataFrame = {
+      maxBucketsPerKey: Int = 1000000,
+      materializeSparse: Boolean = false): DataFrame = {
     require(keys.nonEmpty, "resample: at least one key column required")
     require(aggs.nonEmpty, "resample: at least one aggregate required")
     require(bucketMs > 0, s"resample: bucket width must be positive, got $bucketMs")
@@ -302,11 +303,18 @@ object Temporal {
     def bucketOf(x: Column): Column =
       (x - ((x % bucketMs) + bucketMs) % bucketMs).cast(LongType)
 
-    val sparse = df
+    val sparse0 = df
       .where(col(tsCol).isNotNull)
       .withColumn("bucket", bucketOf(toMs(col(tsCol))))
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+    // the sparse aggregate feeds BOTH the span derivation and the dense
+    // left join — two full recomputes of the input scan + aggregation.
+    // `materializeSparse` localCheckpoints it (one compute, executor-local
+    // blocks): measured 1.36× at 10× key cardinality (SCALE.md r13); off
+    // by default because the eager materialization costs more than the
+    // replay on small inputs and pins executor storage for the plan's life
+    val sparse = if (materializeSparse) sparse0.localCheckpoint() else sparse0
     val aggNames = sparse.columns.drop(keys.length + 1).toSeq
 
     val dense = sparse
