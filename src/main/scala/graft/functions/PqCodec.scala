@@ -115,6 +115,53 @@ object PqKernels {
   }
 }
 
+/** Batch-serving sibling of [[PqAdc]]: one reference object holds EVERY
+  * query's ADC tables (`tables(qIdx)(sub)(code)`), and the row names which
+  * query it is being scored for — the shape the per-query candidate join
+  * produces. Same integer-exact sum, same null rules, plus null for an
+  * unknown query index.
+  */
+case class PqAdcBatch(code: Expression, qIdx: Expression,
+    tables: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = code
+  override def right: Expression = qIdx
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (code.dataType, qIdx.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_batch requires (array<int>, int), got $l and $r")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_adc_batch"
+
+  protected override def nullSafeEval(c: Any, q: Any): Any = {
+    val qi = q.asInstanceOf[Int]
+    if (qi < 0 || qi >= tables.length) null
+    else PqKernels.adc(c.asInstanceOf[ArrayData], tables(qi))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tablesRef = ctx.addReferenceObj("adcTables3", tables, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (c, q) => {
+      s"""
+        |java.lang.Long res = ($q < 0 || $q >= $tablesRef.length)
+        |  ? null : graft.functions.PqKernels.adc($c, $tablesRef[$q]);
+        |if (res == null) { ${ev.isNull} = true; } else { ${ev.value} = res.longValue(); }
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcBatch =
+    copy(code = newLeft, qIdx = newRight)
+}
+
 /** Native PQ encoder: float/double vector → `array<int>` of per-subspace
   * code ids. The codebooks ride as ONE plan reference object (not a
   * 16×256×4-literal expression tree — the higher-order-function
@@ -242,4 +289,9 @@ object PqCodec {
   def pqAssignSub(sub: Column, sv: Column, books: Array[Array[Array[Long]]]): Column =
     ColumnBridge.column(PqAssignSub(
       ColumnBridge.expression(sub), ColumnBridge.expression(sv), books))
+
+  def pqAdcBatch(code: Column, qIdx: Column,
+      tables: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(PqAdcBatch(
+      ColumnBridge.expression(code), ColumnBridge.expression(qIdx), tables))
 }

@@ -330,6 +330,84 @@ object Pq {
       .select(col(idCol), col("cosine"))
   }
 
+  /** BATCH IVF-PQ serving: top-k for a whole query set in ONE plan (after
+    * two driver-side preparations bounded by the batch, never the corpus).
+    * Per query the cell choice, ADC ranking, shortlist size, and exact
+    * rerank match [[ivfPqSearchTopK]] row for row.
+    *
+    * Shape: the query batch collects to the driver (`maxQueries` guard —
+    * each query's ADC table is m·codes longs, so the reference object is
+    * ~32 KB/query at 16×256), probe cells compute per query over the
+    * centroids, and the union of probed cells prunes the code scan
+    * statically (partition pruning on a persisted index). Candidates =
+    * codes ⋈ broadcast (query, cell) pairs, scored by the native
+    * [[graft.functions.PqAdcBatch]] kernel (the batch's tables ride as ONE
+    * reference object); a per-query rank window keeps `rerankK`; the
+    * shortlist — ≤ |batch|·rerankK rows — BROADCASTS into the corpus scan
+    * for the exact-cosine rerank (the corpus never shuffles), and the
+    * final per-query top-k window runs over ≤ rerankK rows per query.
+    *
+    * Output: (query_id, `idCol`, cosine) — `k` rows per query by
+    * (cosine desc, id asc).
+    */
+  def ivfPqJoinTopK(encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: Codebooks,
+      k: Int, rerankK: Int, nprobe: Int = 2,
+      maxQueries: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"ivfPqJoinTopK: k must be >= 1, got $k")
+    require(rerankK >= k, s"ivfPqJoinTopK: rerankK $rerankK < k $k")
+    require(nprobe >= 1, s"ivfPqJoinTopK: nprobe must be >= 1, got $nprobe")
+    require(centroids.nonEmpty, "ivfPqJoinTopK needs centroids")
+    val spark = encoded.sparkSession
+    val qRows = queries
+      .select(col(qIdCol).cast("long"), col(qVecCol))
+      .take(maxQueries + 1)
+    require(qRows.length <= maxQueries,
+      s"ivfPqJoinTopK holds one ADC table per query on the driver, and " +
+        s"the batch exceeds maxQueries=$maxQueries — split the batch or " +
+        "raise the cap explicitly (≈ m·codes·8 bytes per query)")
+    require(qRows.nonEmpty, "ivfPqJoinTopK: empty query batch")
+    val qs = qRows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "ivfPqJoinTopK: NULL query ids/vectors are not addressable")
+      (r.getLong(0), r.getSeq[Float](1).toArray)
+    }
+    val tables3 = qs.map { case (_, v) => adcTables(v, cb).toArray }.toArray
+
+    import spark.implicits._
+    val qCells = qs.zipWithIndex.flatMap { case ((qid, v), qi) =>
+      probeCells(centroids, v, nprobe).map(c => (qid, qi, c))
+    }.toSeq.toDF("query_id", "__qidx", "__cell")
+    val allCells = qCells.select("__cell").collect().map(_.getInt(0)).distinct.toSeq
+
+    val shortlist = encoded
+      .filter(col("centroid_id").isin(allCells: _*))
+      .join(broadcast(qCells), col("centroid_id") === col("__cell"))
+      .withColumn("__adc", graft.functions.PqCodec.pqAdcBatch(
+        col("pq_code"), col("__qidx"), tables3))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__adc").desc, col(idCol).asc)))
+      .filter(col("__rn") <= rerankK)
+      .select(col("query_id"), col(idCol))
+
+    val qVecs = qs.map { case (qid, v) => (qid, v.toSeq) }.toSeq
+      .toDF("query_id", "__qvec")
+    corpus
+      .join(broadcast(shortlist), idCol)
+      .join(broadcast(qVecs), "query_id")
+      .withColumn("cosine", Similarity.cosine(col(vecCol),
+        col("__qvec").cast("array<float>")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col(idCol).asc)))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"))
+  }
+
   // ---------------------------------------------------------------------
   // Persisted index
   // ---------------------------------------------------------------------
@@ -376,6 +454,24 @@ object Pq {
       b.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq, cb.scale) }
     }.toDF("sub", "code", "cw", "scale")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+  }
+
+  /** APPEND a batch to a [[writeIndex]] artifact — the ingest-loop second
+    * half, self-configuring like the other index families: cells come
+    * from the index's OWN `_centroids` and codes from its OWN
+    * `_pq_codebooks` (a caller cannot drift the quantization), and the
+    * codes-only rows partition-append without touching existing cells'
+    * files.
+    */
+  def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val cents = Similarity.ivfReadCentroids(spark, path)
+    val cb = readCodebooks(spark, path)
+    encode(Similarity.ivfAssign(df.select(col(idCol), col(vecCol)),
+        idCol, vecCol, cents), vecCol, cb)
+      .select(col(idCol), col("centroid_id"), col("pq_code"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
   /** Codebooks persisted by [[writeIndex]], back in driver shape. */

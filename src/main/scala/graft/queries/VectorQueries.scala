@@ -195,6 +195,36 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** BATCH IVF-PQ serving ([[graft.operators.Pq.ivfPqJoinTopK]]): the
+    * compressed-index pipeline for a query SET in one plan — per-query
+    * probe cells + ADC tables prepared driver-side (bounded by the
+    * batch), candidates scored by the native batch ADC kernel, per-query
+    * top-256 shortlists broadcast into the exact-cosine rerank. Same
+    * setup as `q_ann_ivf_search_batch` (queries = vec 8, 9; corpus > 9;
+    * 2 of 8 cells), and the same oracle: the rerank contract makes each
+    * query's output the probed-cell exact top-10.
+    */
+  val qAnnIvfPqBatch = q(
+    "q_ann_ivfpq_batch",
+    qAnnIvfSearchBatch.oracle.get) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val cb = graft.operators.Pq.train(corpus, "vec_id", "embedding",
+      subspaces = 16, codes = 256, iters = 3)
+    val encoded = graft.operators.Pq.encode(
+      graft.operators.Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb)
+    val qdf = Tables.embeddings(s, d)
+      .filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    graft.operators.Pq.ivfPqJoinTopK(encoded, corpus, "vec_id", "embedding",
+        qdf, "qid", "qvec", cents, cb, k = 10, rerankK = 256, nprobe = 2)
+      .select(col("query_id").as("qid"), col("vec_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Multi-probe LSH ANN ([[graft.operators.Similarity.annTopKMultiProbe]]):
     * the query's bucket plus the 3 flip-sets with the smallest TOTAL
     * hyperplane |margin| (globally ordered across flip sizes — a pair of
@@ -907,6 +937,7 @@ object VectorQueries {
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnIvfPq, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
+    qAnnIvfPqBatch,
     qSemDedup, qSemDedupBest, qSemDedupIncremental, qSemDedupIncremental2,
     qEmbedProject, qAnnProjected)
 }

@@ -184,6 +184,51 @@ class PqSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("batch serving equals per-query single searches; append self-configures") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 16,
+      codes = 256, iters = 2)
+    val encoded = Pq.encode(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb)
+    val queries = emb.filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Pq.ivfPqJoinTopK(encoded, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", cents, cb, k = 5, rerankK = 64, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Seq(8L, 9L).flatMap { qid =>
+      val qv = emb.filter(col("vec_id") === qid).select("embedding")
+        .collect().head.getAs[Seq[Float]](0).toArray
+      Pq.ivfPqSearchTopK(encoded, corpus, "vec_id", "embedding", cents, cb,
+          qv, k = 5, rerankK = 64, nprobe = 3)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch === single)
+
+    // append path: index artifacts configure the encoding; an appended
+    // vector becomes findable
+    val dir = java.nio.file.Files.createTempDirectory("pqapp").toString + "/idx"
+    val half = corpus.filter(col("vec_id") % 2 === 0)
+    Pq.writeIndex(Pq.encode(
+        Similarity.ivfAssign(half, "vec_id", "embedding", cents),
+        "embedding", cb), "vec_id", cents, cb, dir)
+    Pq.appendToIndex(corpus.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", dir)
+    val idx = Pq.readIndex(spark, dir)
+    assert(idx.count() === corpus.count())
+    val query = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val got = Pq.ivfPqSearchTopK(idx, corpus, "vec_id", "embedding",
+        Similarity.ivfReadCentroids(spark, dir), Pq.readCodebooks(spark, dir),
+        query, k = 5, rerankK = corpus.count().toInt, nprobe = cents.size)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        query, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(got === exact)
+  }
+
   test("guards fail loud: indivisible dim, rerankK < k, overflowing scale") {
     val df = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](
