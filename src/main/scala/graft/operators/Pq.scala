@@ -493,4 +493,27 @@ object Pq {
   /** Read back a [[writeIndex]]-persisted code index (cell-partitioned). */
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact an appended PQ index into `targetPath` (disjoint by
+    * contract, like every index family): each microbatch append adds ≥ 1
+    * file per touched cell, so long ingest loops accrete small files;
+    * compaction rewrites each cell into `filesPerCell` files and carries
+    * the `_centroids` + `_pq_codebooks` artifacts verbatim — both are
+    * read (and thereby validated) BEFORE the corpus-sized rewrite, so a
+    * non-artifact source fails in milliseconds.
+    */
+  def compactIndex(spark: SparkSession, path: String, targetPath: String,
+      filesPerCell: Int = 1): Unit = {
+    require(filesPerCell >= 1, s"filesPerCell must be >= 1, got $filesPerCell")
+    IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "Pq.compactIndex")
+    val cents = Similarity.ivfReadCentroids(spark, path)
+    require(cents.nonEmpty,
+      s"Pq.compactIndex: empty _centroids at $path — not a Pq.writeIndex artifact")
+    val cb = readCodebooks(spark, path)
+    IndexLifecycle.clusterForPartitionedWrite(spark.read.parquet(path),
+        "centroid_id", filesPerPartition = filesPerCell)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
+    Similarity.writeCentroids(spark, cents, targetPath)
+    writeCodebooks(spark, cb, targetPath)
+  }
 }

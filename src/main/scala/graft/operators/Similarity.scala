@@ -1242,7 +1242,7 @@ object Similarity {
     * single file, `$path/_centroids`) — [[ivfWriteWithCentroids]] and
     * [[compactSemIndex]] both write it, [[ivfReadCentroids]] reads it.
     */
-  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def writeCentroids(spark: org.apache.spark.sql.SparkSession,
       centroids: Seq[(Int, Array[Float])], path: String): Unit = {
     import spark.implicits._
     centroids.toDF("cid", "cvec")

@@ -539,6 +539,43 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
   }
 
+  test("q_bm25_wand: survivor scoring keeps bucket pruning, block filter, and top-n shape") {
+    val p = plan("q_bm25_wand")
+    // same bucket partition pruning as the plain probe
+    assert(p.contains("PartitionFilters: [__tb") && p.contains(",stats)"),
+      "bucket partition pruning lost:\n" + p.take(2500))
+    assert(p.contains("In(term, [hash,join,spark,window])"),
+      "term pushdown lost:\n" + p.take(2500))
+    // the WAND block-range prune rides the posting scan as a filter on
+    // the derived doc-block (floorDiv via pmod)
+    assert(p.contains("pmod(doc_id"),
+      "block-range prune filter lost:\n" + p.take(2500))
+    assert(p.contains("TakeOrderedAndProject") && !p.contains("SortMergeJoin"),
+      p.take(2500))
+  }
+
+  test("q_ann_ivfpq: the rerank scan reads only shortlist ids, top-k never sorts the corpus") {
+    val p = plan("q_ann_ivfpq")
+    // the exact-cosine rerank fetches ONLY the ADC shortlist's ids — the
+    // id IN (...) filter is pushed into the corpus scan
+    assert(p.contains("In(vec_id"),
+      "shortlist id pushdown lost:\n" + p.take(2500))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not sort the corpus:\n" + p.take(2500))
+    assert(!p.contains("Join"), "the rerank is a filtered scan, not a join:\n" +
+      p.take(2500))
+  }
+
+  test("q_ann_ivfpq_batch: shortlist and query vectors broadcast into the rerank") {
+    val p = plan("q_ann_ivfpq_batch")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "shortlist + query-vector joins must broadcast:\n" + p.take(2500))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2500))
+    // per-query ranking is a bounded window, not a global sort of the corpus
+    assert(p.contains("Window"), p.take(2500))
+  }
+
   test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

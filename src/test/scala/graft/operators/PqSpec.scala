@@ -227,6 +227,30 @@ class PqSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
         query, k = 5).collect().map(_.getLong(0)).toSeq
     assert(got === exact)
+
+    // compaction: appends accrete files per cell; compaction bounds them,
+    // carries both artifacts, and probes agree pre/post
+    val tgt = java.nio.file.Files.createTempDirectory("pqcpt").toString + "/idx"
+    Pq.compactIndex(spark, dir, tgt)
+    val cb2 = Pq.readCodebooks(spark, tgt)
+    assert(cb2.books.flatten.map(_.toSeq) ==
+      Pq.readCodebooks(spark, dir).books.flatten.map(_.toSeq))
+    val gotC = Pq.ivfPqSearchTopK(Pq.readIndex(spark, tgt), corpus,
+        "vec_id", "embedding",
+        Similarity.ivfReadCentroids(spark, tgt), cb2,
+        query, k = 5, rerankK = corpus.count().toInt, nprobe = cents.size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotC === exact)
+    def cellFiles(root: String): Int = {
+      val base = new java.io.File(root)
+      base.listFiles().filter(_.getName.startsWith("centroid_id="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    }
+    assert(cellFiles(tgt) <= cents.size,
+      "compaction must bound files to filesPerCell per cell")
+    val e = intercept[IllegalArgumentException](
+      Pq.compactIndex(spark, dir, s"$dir/nested"))
+    assert(e.getMessage.contains("disjoint"))
   }
 
   test("guards fail loud: indivisible dim, rerankK < k, overflowing scale") {
