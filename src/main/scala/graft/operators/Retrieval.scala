@@ -616,6 +616,139 @@ object Retrieval {
       .where(col("rank") <= nPerQuery)
   }
 
+  /** Block-max WAND for the BATCH probe: identical output to
+    * [[bm25BatchAgainstIndex]], with each query's posting scan pruned to
+    * the doc-id blocks whose per-QUERY score bound can still reach that
+    * query's top-n. The pruning machinery is [[bm25WandAgainstIndex]]'s,
+    * lifted per query: bounds aggregate per (query, block) over the
+    * broadcast (query, term) pairs, the seed prefix and θ compute PER
+    * QUERY in two small jobs, and the final scoring joins postings to a
+    * broadcast (query, surviving-block) pair set — so a block survives
+    * for exactly the queries it can still serve. If the total survivor
+    * pair count exceeds `maxSurvivors`, the whole batch degrades to the
+    * unpruned probe (still exact, like the single-query fallback).
+    */
+  def bm25WandBatchAgainstIndex(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      nPerQuery: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxSurvivors: Int = 1 << 20, seedBoost: Int = 32): DataFrame = {
+    require(nPerQuery > 0, "bm25WandBatchAgainstIndex: nPerQuery must be positive")
+    require(seedBoost >= 1,
+      s"bm25WandBatchAgainstIndex: seedBoost must be >= 1, got $seedBoost")
+    val nBuckets = readMeta(spark, path, "bm25WandBatchAgainstIndex")
+    val blockSize = readBlockSize(spark, path, "bm25WandBatchAgainstIndex")
+      .getOrElse(throw new IllegalArgumentException(
+        s"bm25WandBatchAgainstIndex: index at $path predates block stats " +
+          "(version-1 meta) — rebuild with writeTextIndex or upgrade via " +
+          "compactTextIndex"))
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(termCol).as("term")).distinct() // repeats in a query = a set
+    val terms = q.select("term").distinct().collect().map { r =>
+      require(!r.isNullAt(0) && r.getString(0).nonEmpty,
+        "bm25WandBatchAgainstIndex: query terms must be non-null and non-empty")
+      r.getString(0)
+    }.toSeq
+    require(terms.nonEmpty, "bm25WandBatchAgainstIndex: empty query batch")
+    require(q.where(col("query_id").isNull).isEmpty,
+      "bm25WandBatchAgainstIndex: NULL query ids are not addressable")
+
+    val roots = path +: listIngestDirs(spark, path)
+    val tks = terms.map(bucketTokenOf(_, nBuckets)).distinct
+    locally {
+      val conf = spark.sessionState.newHadoopConf()
+      roots.foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r, BlockStatsDirName)
+        require(p.getFileSystem(conf).exists(p),
+          s"bm25WandBatchAgainstIndex: $r has no $BlockStatsDirName " +
+            "sidecar — compactTextIndex the index to regenerate it")
+      }
+    }
+
+    val bstats = roots
+      .map(r => spark.read.schema(blockStatsSchema)
+        .parquet(s"$r/$BlockStatsDirName"))
+      .reduce(_ unionByName _)
+      .filter(col("__tb").isInCollection(tks) &&
+        col("term").isin(terms: _*))
+      .groupBy(col("term"), col("block"))
+      .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
+        sum(col("n_docs")).as("n_docs"))
+    val rows = roots
+      .map(r => spark.read.schema(indexSchema).parquet(r))
+      .reduce(_ unionByName _)
+      .filter(col("__tb").isInCollection(tks :+ StatsToken))
+    val stats = rows.where(col("term").isNull)
+      .agg(sum(col("tf")).as("__n"),
+        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
+          .as("__avgdl"))
+    val dfreq = bstats.groupBy("term").agg(sum(col("n_docs")).as("__df"))
+
+    // per-(query, block) upper bound: only the query's own terms vote
+    val bounds = bstats
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__bound", scoreQ(col("max_tf"), col("__df"), col("min_dl"),
+        col("__n"), col("__avgdl"), k1, b))
+      .groupBy(col("query_id"), col("block"))
+      .agg(sum(col("__bound")).as("__ub"), max(col("n_docs")).as("__docs_lb"))
+    val ordered = bounds
+      .withColumn("__cum", sum(col("__docs_lb")).over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("__ub").desc, col("block").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val seedPairs = ordered
+      .where(col("__cum") - col("__docs_lb") < seedBoost.toLong * nPerQuery)
+      .select("query_id", "block")
+
+    def scorePairs(pairs: Option[DataFrame]): DataFrame = {
+      val posts = rows
+        .where(col("term").isNotNull && col("term").isin(terms: _*))
+        .select(col("term"), col("doc_id"), col("tf").as("__tf"),
+          col("dl").as("__dl"))
+        .join(broadcast(dfreq), "term")
+        .join(broadcast(q), "term")
+      val pruned = pairs match {
+        case Some(p) => posts
+          .withColumn("block", blockOf(col("doc_id"), blockSize))
+          .join(broadcast(p), Seq("query_id", "block"))
+        case None => posts
+      }
+      pruned
+        .crossJoin(broadcast(stats))
+        .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
+          col("__n"), col("__avgdl"), k1, b))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("__sq")).as("bm25_q"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("bm25_q").desc, col("doc_id").asc)))
+        .where(col("rank") <= nPerQuery)
+    }
+
+    // θ per query = each query's n-th best over its seed ranges (queries
+    // with fewer than n seed docs get -inf: everything survives for them)
+    val thetas = scorePairs(Some(seedPairs))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__cnt"), min(col("bm25_q")).as("__nth"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getLong(1) < nPerQuery) Long.MinValue else r.getLong(2)))
+      .toMap
+    if (thetas.isEmpty) return scorePairs(None) // empty index/terms
+
+    import spark.implicits._
+    val thetaDf = thetas.toSeq.toDF("query_id", "__theta")
+    val survivors = bounds
+      .join(broadcast(thetaDf), Seq("query_id"), "left")
+      .where(col("__theta").isNull || col("__ub") >= col("__theta"))
+      .select("query_id", "block")
+    val pairCount = survivors.limit(maxSurvivors + 1).count()
+    if (pairCount > maxSurvivors) scorePairs(None)
+    else scorePairs(Some(survivors))
+  }
+
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse N ranked
     * lists — e.g. this module's BM25 lexical ranking with an ANN cosine
     * ranking — into one hybrid top-n. Each list contributes

@@ -1536,6 +1536,26 @@ object TextQueries {
     Retrieval.bm25BatchAgainstIndex(s, idx, batch, "query_id", "term", 10)
   }
 
+  /** The BATCH probe under block-max WAND pruning
+    * ([[graft.operators.Retrieval.bm25WandBatchAgainstIndex]]): per-query
+    * bounds, seeds, θ, and survivors — exact output by the same
+    * result-invariance argument as `q_bm25_wand`, so the oracle IS
+    * `q_bm25_batch`'s full-corpus recompute.
+    */
+  val qBm25WandBatch = q(
+    "q_bm25_wand_batch",
+    qBm25Batch.oracle.get) { (s, d) =>
+    import graft.operators.Retrieval
+    val idx = scratchDir("graft_textidx_wb", d)
+    Retrieval.writeTextIndex(Tables.documentsBalanced(s, d), "doc_id", "text",
+      idx, nBuckets = 16, blockSize = 64)
+    import s.implicits._
+    val batch = Seq((1L, "hash"), (1L, "join"), (2L, "spark"),
+      (2L, "window"), (2L, "scan")).toDF("query_id", "term")
+    Retrieval.bm25WandBatchAgainstIndex(s, idx, batch, "query_id", "term", 10)
+  }
+
+
   val qTfidf = q(
     "q_tfidf",
     "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), " +
@@ -1670,6 +1690,6 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch,
+    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch, qBm25WandBatch,
     qRedact, qSplitLeakfree)
 }

@@ -94,6 +94,28 @@ class WandSpec extends SparkSpec {
       rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)))
   }
 
+  test("batch WAND equals the plain batch probe, pruned and degraded") {
+    val docs = skewed(250)
+    val idx = freshDir("wand_batch")
+    Retrieval.writeTextIndex(docs.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", idx, nBuckets = 4, blockSize = 16)
+    Retrieval.appendToTextIndex(docs.where(col("doc_id") % 2 === 1),
+      "doc_id", "text", idx)
+    val batch = Seq((1L, "spark"), (1L, "join"), (2L, "hash"), (2L, "join"),
+      (3L, "nosuchterm"), (1L, "join")) // repeat = a set; q3 matches nothing
+      .toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    for (n <- Seq(1, 3, 500)) {
+      val plain = rows(Retrieval.bm25BatchAgainstIndex(spark, idx, batch,
+        "query_id", "term", n))
+      assert(rows(Retrieval.bm25WandBatchAgainstIndex(spark, idx, batch,
+        "query_id", "term", n)) === plain, s"n=$n")
+      assert(rows(Retrieval.bm25WandBatchAgainstIndex(spark, idx, batch,
+        "query_id", "term", n, maxSurvivors = 0)) === plain, s"n=$n degraded")
+    }
+  }
+
   test("a version-1 index (no blockSize in meta) is refused loudly") {
     val idx = freshDir("wand_v1")
     Retrieval.writeTextIndex(skewed(10), "doc_id", "text", idx, nBuckets = 2)
