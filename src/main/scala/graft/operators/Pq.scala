@@ -113,8 +113,18 @@ object Pq {
         .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(trainN)
 
     // (sub, xq) rows: subspace id + that subspace's quantized subvector.
-    // posexplode of a subDim-sliced transform — one narrow shuffle-free scan.
-    val xq = quantizedUnit(col(vecCol), scale)
+    // posexplode of a subDim-sliced transform — one narrow shuffle-free
+    // scan. A ragged or null-element vector FAILS the job (the kmeansStep
+    // rule): a short vector's truncated slices could otherwise be chosen
+    // as codebook seeds, silently poisoning the whole index (every later
+    // encode would null out or crash on the width mismatch); assert_true
+    // rides inside the projected expression so Catalyst can't prune it
+    val wellFormed = size(col(vecCol)) === lit(dim) &&
+      !exists(col(vecCol), x => x.isNull)
+    val xq = when(assert_true(wellFormed,
+        concat(lit(s"Pq.train: vector size != dim $dim or null element " +
+          "in "), col(vecCol).cast("string"))).isNull,
+      quantizedUnit(col(vecCol), scale))
     val subs = sampled
       .select(posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
         s => slice(xq, s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
@@ -293,22 +303,12 @@ object Pq {
     rerankExact(corpus, idCol, vecCol, ids, queryVec, k)
   }
 
-  /** The nprobe cells nearest the query — identical pick to
-    * [[Similarity.ivfSearchTopK]] (cos desc, cid asc on tie).
+  /** The nprobe cells nearest the query — [[Similarity.probeCellsFor]],
+    * the ONE probe-selection rule all IVF paths share.
     */
   def probeCells(centroids: Seq[(Int, Array[Float])],
       queryVec: Array[Float], nprobe: Int): Seq[Int] =
-    centroids.map { case (cid, v) => (cid, cosDriver(queryVec, v)) }
-      .sortBy { case (cid, c) => (-c, cid) }
-      .take(nprobe).map(_._1)
-
-  private def cosDriver(a: Array[Float], b: Array[Float]): Double = {
-    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-      nb += b(i).toDouble * b(i); i += 1 }
-    if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
-  }
+    Similarity.probeCellsFor(centroids, queryVec, nprobe)
 
   private def adcShortlist(candidates: DataFrame, idCol: String,
       cb: Codebooks, queryVec: Array[Float], rerankK: Int): Seq[Long] =
@@ -378,10 +378,11 @@ object Pq {
     val tables3 = qs.map { case (_, v) => adcTables(v, cb).toArray }.toArray
 
     import spark.implicits._
-    val qCells = qs.zipWithIndex.flatMap { case ((qid, v), qi) =>
+    val qCellsLocal = qs.zipWithIndex.flatMap { case ((qid, v), qi) =>
       probeCells(centroids, v, nprobe).map(c => (qid, qi, c))
-    }.toSeq.toDF("query_id", "__qidx", "__cell")
-    val allCells = qCells.select("__cell").collect().map(_.getInt(0)).distinct.toSeq
+    }.toSeq
+    val qCells = qCellsLocal.toDF("query_id", "__qidx", "__cell")
+    val allCells = qCellsLocal.map(_._3).distinct // driver data — no job
 
     val shortlist = encoded
       .filter(col("centroid_id").isin(allCells: _*))

@@ -290,14 +290,20 @@ object Retrieval {
       readTokenizer(docs.sparkSession, path, "appendToTextIndex"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      rows.write.mode("append").partitionBy("__tb").parquet(path)
-      // a batch's (term, block) rows append alongside earlier ones; the
-      // probe re-aggregates (max, min, sum) across writes
+      // sidecar FIRST: a crash between the two writes then leaves an
+      // OVER-complete sidecar (rows for postings that never landed) —
+      // harmless to the WAND probe (phantom blocks bound rows that don't
+      // exist; scoring df comes from the postings). The reverse order
+      // would leave postings whose blocks the bounds never see —
+      // unconditionally pruned, silently wrong. A batch's (term, block)
+      // rows append alongside earlier ones; the probe re-aggregates
+      // (max, min, sum) across writes.
       blockSize.foreach { bs =>
         blockStatsOf(rows.where(col("term").isNotNull), bs)
           .write.mode("append").partitionBy("__tb")
           .parquet(s"$path/$BlockStatsDirName")
       }
+      rows.write.mode("append").partitionBy("__tb").parquet(path)
     } finally rows.unpersist()
   }
 
@@ -422,8 +428,12 @@ object Retrieval {
     *      be STRICTLY below the n-th score or it could win a doc-id
     *      tie) and exact-scores their postings.
     * Every document in a pruned block scores < θ ≤ the n-th best, so the
-    * result is EXACTLY the unpruned ranking. df comes from the sidecar
-    * (Σ n_docs per term — the true df), never from the pruned postings.
+    * result is EXACTLY the unpruned ranking. df comes from the UNPRUNED
+    * postings (a 1-column bucket-pruned count — the plain probe's own
+    * number), never from the pruned postings and never from the sidecar:
+    * postings-df keeps scoring parity even when a crash between an
+    * append's two writes leaves the sidecar over-complete, where the
+    * phantom rows only weaken bounds, never correctness.
     *
     * Degradation is graceful and loud-free: if more than `maxSurvivors`
     * blocks survive (low-discrimination corpora — e.g. uniform
@@ -459,7 +469,8 @@ object Retrieval {
   private[graft] def bm25WandWithPlan(spark: SparkSession, path: String,
       queryTerms: Seq[String], n: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      maxSurvivors: Int = 65536, seedBoost: Int = 32): (DataFrame, WandPlan) = {
+      maxSurvivors: Int = 65536, seedBoost: Int = 32,
+      collectStats: Boolean = false): (DataFrame, WandPlan) = {
     require(seedBoost >= 1, s"bm25WandAgainstIndex: seedBoost must be >= 1, got $seedBoost")
     requireQuery(queryTerms, n, "bm25WandAgainstIndex")
     val nBuckets = readMeta(spark, path, "bm25WandAgainstIndex")
@@ -500,8 +511,14 @@ object Retrieval {
         when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
           .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
           .as("__avgdl"))
-    // the TRUE df per term — from the sidecar, not the pruned postings
-    val dfreq = bstats.groupBy("term").agg(sum(col("n_docs")).as("__df"))
+    // df per term from the POSTINGS — the exact number the plain probe
+    // uses, so scoring parity holds even if the sidecar has drifted (a
+    // crash between an append's two writes); it is one 1-column count
+    // over the bucket-pruned postings, the same job the plain probe runs.
+    // The sidecar's Σ n_docs equals it only when the sidecar is complete.
+    val dfreq = rows
+      .where(col("term").isNotNull && col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("__df"))
 
     val bounds = bstats
       .join(broadcast(dfreq), "term")
@@ -512,19 +529,24 @@ object Retrieval {
       .agg(sum(col("__bound")).as("__ub"),
         // ≥ this many distinct docs live in the range (max over terms)
         max(col("n_docs")).as("__docs_lb"))
-    val ordered = bounds
-      .withColumn("__cum", sum(col("__docs_lb")).over(
-        Window.orderBy(col("__ub").desc, col("block").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // seed prefix: blocks until the cumulative doc lower bound reaches
     // seedBoost·n, not n — θ from a bare-n seed is the n-th best of ONE
     // block, which sits far below the true n-th best whenever the
     // selective (high-idf) docs are a small fraction of each block, and
-    // then prunes nothing. Oversampling costs ≤ seedBoost·n·|terms|
-    // postings in the seed job — trivial against what a good θ prunes.
-    val seeds = ordered
-      .where(col("__cum") - col("__docs_lb") < seedBoost.toLong * n)
-      .select("block").collect().map(_.getLong(0)).toSeq
+    // then prunes nothing. docsLB ≥ 1 bounds the prefix at seedBoost·n
+    // blocks, so a TakeOrderedAndProject top-(seedBoost·n) + a driver
+    // prefix scan replaces what was a single-partition global window.
+    val seedTarget = seedBoost.toLong * n
+    val seedCand = bounds
+      .orderBy(col("__ub").desc, col("block").asc)
+      .limit((seedTarget min Int.MaxValue.toLong).toInt)
+      .select("block", "__docs_lb").collect()
+    val seeds = {
+      var cum = 0L
+      seedCand.takeWhile { r =>
+        val keep = cum < seedTarget; cum += r.getLong(1); keep
+      }.map(_.getLong(0)).toSeq
+    }
 
     def scoreRanges(blocks: Option[Seq[Long]]): DataFrame = {
       val posts = rows
@@ -543,7 +565,9 @@ object Retrieval {
           col("__n"), col("__avgdl"), k1, b)), n)
     }
 
-    val totalBlocks = bounds.count()
+    // plan stats cost a Spark job; the serving path (collectStats=false)
+    // never pays it
+    def totalBlocks: Long = if (collectStats) bounds.count() else -1L
     def skipped(reason: WandPlan => WandPlan): (DataFrame, WandPlan) =
       (scoreRanges(None), reason(WandPlan(blockSize, totalBlocks, 0L, None, None)))
     if (seeds.isEmpty) return skipped(identity) // empty index/terms
@@ -682,7 +706,11 @@ object Retrieval {
         when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
           .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
           .as("__avgdl"))
-    val dfreq = bstats.groupBy("term").agg(sum(col("n_docs")).as("__df"))
+    // df from the POSTINGS (the plain batch probe's exact number; the
+    // sidecar Σ n_docs only equals it when the sidecar is complete)
+    val dfreq = rows
+      .where(col("term").isNotNull && col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("__df"))
 
     // per-(query, block) upper bound: only the query's own terms vote
     val bounds = bstats

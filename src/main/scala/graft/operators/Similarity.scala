@@ -219,6 +219,29 @@ object Similarity {
         (id.toInt, r.getAs[Seq[Float]](vecCol).toArray)
       }.toSeq
 
+  /** Driver-side cosine over float arrays — THE one definition the probe
+    * paths share (zero-norm → −1.0). Index-ordered double accumulation,
+    * like the in-plan fold.
+    */
+  private[operators] def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
+  }
+
+  /** The `nprobe` cells nearest a query (cos desc, cid asc on tie) — the
+    * ONE probe-selection rule [[ivfSearchTopK]], [[ivfJoinTopK]]'s oracle
+    * twin, and the IVF-PQ paths ([[Pq]]) all share; a drift here would
+    * silently desynchronize their cell choices.
+    */
+  def probeCellsFor(centroids: Seq[(Int, Array[Float])],
+      queryVec: Array[Float], nprobe: Int): Seq[Int] =
+    centroids.map { case (cid, v) => (cid, cosDriver(queryVec, v)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nprobe).map(_._1)
+
   /** IVF-style assignment: nearest of `centroids` per row (tie → lowest
     * centroid id). Returns (row cols…, centroid_id, cosine) where `cosine`
     * is the similarity to the assigned centroid.
@@ -267,17 +290,7 @@ object Similarity {
       k: Int, nprobe: Int = 2, cellCap: Int = 0): DataFrame = {
     require(centroids.nonEmpty, "ivfSearchTopK needs centroids")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    def cosD(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0 || nb == 0) -1.0 else d / math.sqrt(na * nb)
-    }
-    val cells = centroids
-      .map { case (cid, v) => (cid, cosD(queryVec, v)) }
-      .sortBy { case (cid, c) => (-c, cid) } // tie -> lowest id, as ivfAssign
-      .take(nprobe).map(_._1)
+    val cells = probeCellsFor(centroids, queryVec, nprobe)
     val qArr = array(queryVec.toIndexedSeq.map(v => lit(v)): _*)
     capCells(assigned.filter(col("centroid_id").isin(cells: _*)),
         idCol, cellCap)

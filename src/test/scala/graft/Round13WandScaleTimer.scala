@@ -62,7 +62,8 @@ object Round13WandScaleTimer {
 
     val plainRows = Retrieval.bm25AgainstIndex(spark, idx, query, 20)
       .collect().map(_.toSeq).toSeq
-    val (wandDf, plan) = Retrieval.bm25WandWithPlan(spark, idx, query, 20)
+    val (wandDf, plan) = Retrieval.bm25WandWithPlan(spark, idx, query, 20,
+      collectStats = true)
     val wandRows = wandDf.collect().map(_.toSeq).toSeq
     require(plainRows == wandRows,
       s"WAND != plain at R=$rep:\n$plainRows\nvs\n$wandRows")

@@ -253,6 +253,23 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("train fails loud on ragged or null-element vectors (no silent codebook poison)") {
+    val ragged = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f)))
+      .toDF("id", "vec")
+    val e = intercept[Exception](
+      Pq.train(ragged, "id", "vec", subspaces = 2, codes = 2, iters = 0))
+    assert(e.getMessage.contains("vector size != dim") ||
+      Option(e.getCause).exists(_.getMessage.contains("vector size != dim")),
+      e.getMessage)
+    val nullElem = Seq((1L, Array[java.lang.Float](1f, null, 0f, 0f)))
+      .toDF("id", "vec").selectExpr("id", "cast(vec as array<float>) as vec")
+    val e2 = intercept[Exception](
+      Pq.train(nullElem, "id", "vec", subspaces = 2, codes = 2, iters = 0))
+    assert(e2.getMessage.contains("null element") ||
+      Option(e2.getCause).exists(_.getMessage.contains("null element")),
+      e2.getMessage)
+  }
+
   test("guards fail loud: indivisible dim, rerankK < k, overflowing scale") {
     val df = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](
