@@ -845,6 +845,37 @@ object Retrieval {
       .where(col("rank") <= n)
   }
 
+  /** Dense locality-bearing doc ids for index builds — the document
+    * reordering step production block-max deployments run before writing
+    * the index (Ding & Suel SIGIR'11 §6; the BP line of work): WAND
+    * pruning works exactly when similar-quality/similar-content docs
+    * share doc-id blocks, and crawl ids are usually interleaved. Sorts by
+    * `orderCols` (+ the old id as the total-order tiebreak) and appends
+    * `doc_id_new` = the dense 0-based rank. Build the index over the new
+    * ids; keep the returned mapping to translate results back.
+    *
+    * Plan shape: ONE range-partitioned sort (the classic total-order
+    * shuffle) + a per-partition-count pass to make ranks dense without a
+    * single-partition window (`zipWithIndex` — per-partition imperative
+    * indexing is the documented RDD exception). A build-time cost, paid
+    * once per index build, never at probe time.
+    */
+  def reorderDocs(docs: DataFrame, idCol: String,
+      orderCols: Seq[Column]): DataFrame = {
+    require(orderCols.nonEmpty, "reorderDocs: at least one order column required")
+    require(!docs.columns.contains("doc_id_new"),
+      "reorderDocs: input already has a doc_id_new column")
+    requireLongId(docs, idCol, "reorderDocs")
+    val spark = docs.sparkSession
+    val sorted = docs.orderBy(orderCols :+ col(idCol): _*)
+    val schema = sorted.schema.add("doc_id_new",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Compact an appended index into `targetPath` (must be disjoint from
     * the live index): postings — base layout AND accumulated streaming
     * subtrees — re-cluster into the bounded-file layout and the

@@ -1454,6 +1454,24 @@ object TextQueries {
       Seq("hash", "join", "spark", "window"), 20)
   }
 
+  /** Doc-id reordering for block-max index builds
+    * ([[graft.operators.Retrieval.reorderDocs]]): dense 0-based ids in
+    * (source, n_chars, doc_id) order — similar docs land in the same
+    * doc-id blocks, which is what makes WAND bounds discriminate (crawl
+    * ids are interleaved; production engines reorder before building).
+    * The oracle is the direct dense-rank recompute; determinism comes
+    * from the old-id tiebreak making the order total.
+    */
+  val qDocReorder = q(
+    "q_doc_reorder",
+    "SELECT doc_id, CAST(row_number() OVER " +
+      "(ORDER BY source, n_chars, doc_id) - 1 AS BIGINT) AS doc_id_new " +
+      "FROM documents") { (s, d) =>
+    graft.operators.Retrieval.reorderDocs(Tables.documents(s, d), "doc_id",
+        Seq(col("source"), col("n_chars")))
+      .select(col("doc_id"), col("doc_id_new"))
+  }
+
   /** BM25 under the pluggable UNICODE tokenizer
     * ([[graft.operators.Tokenizer.Unicode]]): the corpus is roughened
     * in-query (every space becomes ", " and a final "." lands) so the
@@ -1690,6 +1708,6 @@ object TextQueries {
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
-    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch, qBm25WandBatch,
+    qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch, qBm25WandBatch, qDocReorder,
     qRedact, qSplitLeakfree)
 }

@@ -116,6 +116,40 @@ class WandSpec extends SparkSpec {
     }
   }
 
+  test("doc-id reordering restores pruning on an interleaved corpus") {
+    // quality alternates with doc id: every 8-doc block contains rich
+    // docs, so every block bounds high and NOTHING prunes — the
+    // WAND-adversarial interleaving. Reordering by a quality proxy
+    // clusters the rich docs into few blocks.
+    val docs = (0 until 256).map { i =>
+      if (i % 8 == 0) (i.toLong, "spark spark spark join join hash")
+      else (i.toLong, "spark filler pad pad pad pad pad pad pad pad")
+    }.toDF("doc_id", "text")
+    val q = Seq("spark", "join", "hash")
+
+    def planFor(d: org.apache.spark.sql.DataFrame, tag: String) = {
+      val idx = freshDir(tag)
+      Retrieval.writeTextIndex(d, "doc_id", "text", idx,
+        nBuckets = 4, blockSize = 8)
+      val (df, plan) = Retrieval.bm25WandWithPlan(spark, idx, q, 5,
+        collectStats = true)
+      (df.collect().map(r => r.getLong(1)).toSeq, plan)
+    }
+
+    val (scoresBefore, before) = planFor(docs, "wand_reorder_a")
+    assert(before.survivors.map(_.size.toLong).getOrElse(-1L) ==
+      before.totalBlocks, "interleaved ids must defeat pruning (premise)")
+
+    val reordered = Retrieval.reorderDocs(docs, "doc_id",
+        Seq(length(col("text")).desc))
+      .select(col("doc_id_new").as("doc_id"), col("text"))
+    val (scoresAfter, after) = planFor(reordered, "wand_reorder_b")
+    assert(after.survivors.exists(_.size.toLong < after.totalBlocks),
+      s"reordering must restore pruning: $after")
+    // reordering renames ids but cannot change the score multiset
+    assert(scoresBefore.sorted === scoresAfter.sorted)
+  }
+
   test("a version-1 index (no blockSize in meta) is refused loudly") {
     val idx = freshDir("wand_v1")
     Retrieval.writeTextIndex(skewed(10), "doc_id", "text", idx, nBuckets = 2)
