@@ -393,7 +393,11 @@ object Pq {
         Window.partitionBy(col("query_id"))
           .orderBy(col("__adc").desc, col(idCol).asc)))
       .filter(col("__rn") <= rerankK)
-      .select(col("query_id"), col(idCol))
+      // a replayed append can leave duplicate code rows; without this the
+      // rerank join would duplicate (query, doc) rows and the final rank
+      // window would count one doc twice (the single-query path's `isin`
+      // is naturally idempotent — this keeps the batch path equally so)
+      .select(col("query_id"), col(idCol)).distinct()
 
     val qVecs = qs.map { case (qid, v) => (qid, v.toSeq) }.toSeq
       .toDF("query_id", "__qvec")
@@ -407,6 +411,31 @@ object Pq {
           .orderBy(col("cosine").desc, col(idCol).asc)))
       .filter(col("__rn") <= k)
       .select(col("query_id"), col(idCol), col("cosine"))
+  }
+
+  /** Mean recall@k of the IVF-PQ path against [[Similarity.bruteForceTopK]]
+    * over a probe-query set — the knob-tuning tool for (subspaces, codes,
+    * rerankK, nprobe), the PQ sibling of [[Similarity.annRecallAt]]. A
+    * query with an empty exact top-k scores 1.0.
+    */
+  def ivfPqRecallAt(encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: Codebooks,
+      queries: Seq[Array[Float]], k: Int, rerankK: Int,
+      nprobe: Int = 2): Double = {
+    require(queries.nonEmpty, "ivfPqRecallAt: at least one probe query")
+    val recalls = queries.map { qv =>
+      val exact = Similarity.bruteForceTopK(corpus, idCol, vecCol, qv, k)
+        .collect().map(_.getLong(0)).toSet
+      if (exact.isEmpty) 1.0
+      else {
+        val got = ivfPqSearchTopK(encoded, corpus, idCol, vecCol, centroids,
+            cb, qv, k, rerankK, nprobe)
+          .collect().map(_.getLong(0)).toSet
+        (got & exact).size.toDouble / exact.size
+      }
+    }
+    recalls.sum / recalls.size
   }
 
   // ---------------------------------------------------------------------
@@ -462,7 +491,12 @@ object Pq {
     * from the index's OWN `_centroids` and codes from its OWN
     * `_pq_codebooks` (a caller cannot drift the quantization), and the
     * codes-only rows partition-append without touching existing cells'
-    * files.
+    * files. CONTRACT: each vector appends at most once across the
+    * index's lifetime (the [[Retrieval.appendToTextIndex]] rule) —
+    * duplicate code rows from a replayed append cannot corrupt results
+    * (both search paths deduplicate their shortlists) but they inflate
+    * every probe's candidate scan; [[compactIndex]] does not collapse
+    * them (ids are opaque here).
     */
   def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {

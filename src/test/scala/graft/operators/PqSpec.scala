@@ -253,6 +253,28 @@ class PqSpec extends SparkSpec {
     assert(e.getMessage.contains("disjoint"))
   }
 
+  test("recall evaluator: full probe+rerank scores 1.0; recall rises with rerankK") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 8, codes = 16,
+      iters = 2, trainN = 200)
+    val encoded = Pq.encode(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb).localCheckpoint()
+    val queries = emb.filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    val n = corpus.count().toInt
+    val full = Pq.ivfPqRecallAt(encoded, corpus, "vec_id", "embedding",
+      cents, cb, queries, k = 10, rerankK = n, nprobe = cents.size)
+    assert(full === 1.0, "probing every cell with full rerank must be exact")
+    val lo = Pq.ivfPqRecallAt(encoded, corpus, "vec_id", "embedding",
+      cents, cb, queries, k = 10, rerankK = 16, nprobe = 2)
+    val hi = Pq.ivfPqRecallAt(encoded, corpus, "vec_id", "embedding",
+      cents, cb, queries, k = 10, rerankK = 128, nprobe = 2)
+    assert(lo <= hi, s"recall must not fall as rerankK grows: $lo vs $hi")
+  }
+
   test("train fails loud on ragged or null-element vectors (no silent codebook poison)") {
     val ragged = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f)))
       .toDF("id", "vec")
