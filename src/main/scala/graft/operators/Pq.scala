@@ -315,6 +315,14 @@ object Pq {
     candidates
       .select(col(idCol).cast("long").as("__id"),
         adcScore(col("pq_code"), adcTables(queryVec, cb)).as("__adc"))
+      // dedupe BEFORE the limit: duplicate code rows from a replayed
+      // append would otherwise consume rerankK slots, shrinking the
+      // DISTINCT shortlist below rerankK and silently voiding the
+      // "rerankK = probed size ⇒ exact probed-cell top-k" guarantee.
+      // max(adc) is a no-op on true replays (same vector + same codebooks
+      // ⇒ same code ⇒ same score); the aggregate just makes rerankK count
+      // distinct documents.
+      .groupBy(col("__id")).agg(max(col("__adc")).as("__adc"))
       .orderBy(col("__adc").desc, col("__id"))
       .limit(rerankK)
       .collect().map(_.getLong(0)).toSeq
@@ -389,15 +397,20 @@ object Pq {
       .join(broadcast(qCells), col("centroid_id") === col("__cell"))
       .withColumn("__adc", graft.functions.PqCodec.pqAdcBatch(
         col("pq_code"), col("__qidx"), tables3))
+      // dedupe BEFORE the rank window — a replayed append's duplicate
+      // code rows would otherwise occupy rerankK slots (fewer DISTINCT
+      // docs than rerankK per query, voiding the rerank guarantee) and
+      // duplicate (query, doc) rows into the rerank join. max(adc) is a
+      // no-op on true replays (same vector + codebooks ⇒ same score);
+      // the aggregate makes rerankK count distinct documents, matching
+      // the single-query path's groupBy(id)
+      .groupBy(col("query_id"), col(idCol))
+      .agg(max(col("__adc")).as("__adc"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("__adc").desc, col(idCol).asc)))
       .filter(col("__rn") <= rerankK)
-      // a replayed append can leave duplicate code rows; without this the
-      // rerank join would duplicate (query, doc) rows and the final rank
-      // window would count one doc twice (the single-query path's `isin`
-      // is naturally idempotent — this keeps the batch path equally so)
-      .select(col("query_id"), col(idCol)).distinct()
+      .select(col("query_id"), col(idCol))
 
     val qVecs = qs.map { case (qid, v) => (qid, v.toSeq) }.toSeq
       .toDF("query_id", "__qvec")

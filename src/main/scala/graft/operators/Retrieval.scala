@@ -336,13 +336,28 @@ object Retrieval {
       readTokenizer(batch.sparkSession, indexPath, "ingestTextBatch"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      rows.write.mode("overwrite").partitionBy("__tb").parquet(dir)
-      // overwrite keeps the batch subtree replay-idempotent, stats included
+      // replay idempotence + the sidecar-FIRST invariant (the
+      // appendToTextIndex rule: every observable state is sidecar ≥
+      // postings, where over-complete is harmless — phantom blocks bound
+      // rows that don't exist; scoring df comes from the postings). A
+      // postings `overwrite` would wipe the whole subtree INCLUDING a
+      // just-written sidecar, so the replay reset is an explicit delete:
+      // (1) drop the subtree (stale postings AND stale sidecar go
+      // together — a crash here leaves an empty subtree, which probes
+      // read as zero rows), (2) write the sidecar (over-complete until
+      // the postings land), (3) APPEND postings into the now-fresh
+      // subtree. A crash between (2) and (3) — or mid-(3) — leaves the
+      // sidecar covering postings that don't exist yet: bounds are
+      // weaker-side-safe, never mispruning, until the replay completes.
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        batch.sparkSession.sessionState.newHadoopConf())
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
       blockSize.foreach { bs =>
         blockStatsOf(rows.where(col("term").isNotNull), bs)
           .write.mode("overwrite").partitionBy("__tb")
           .parquet(s"$dir/$BlockStatsDirName")
       }
+      rows.write.mode("append").partitionBy("__tb").parquet(dir)
     } finally rows.unpersist()
   }
 
@@ -853,6 +868,12 @@ object Retrieval {
     * `orderCols` (+ the old id as the total-order tiebreak) and appends
     * `doc_id_new` = the dense 0-based rank. Build the index over the new
     * ids; keep the returned mapping to translate results back.
+    *
+    * NULL rule: bare columns sort with Spark's ascending default —
+    * NULLS FIRST — so docs with a NULL order key take the LOWEST new ids
+    * (pass `asc_nulls_last`/`desc` columns to override). SQL mirrors of
+    * this operator must say NULLS FIRST explicitly (DuckDB/Postgres
+    * default ASC to NULLS LAST).
     *
     * Plan shape: ONE range-partitioned sort (the classic total-order
     * shuffle) + a per-partition-count pass to make ranks dense without a

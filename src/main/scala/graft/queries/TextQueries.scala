@@ -1460,13 +1460,16 @@ object TextQueries {
     * doc-id blocks, which is what makes WAND bounds discriminate (crawl
     * ids are interleaved; production engines reorder before building).
     * The oracle is the direct dense-rank recompute; determinism comes
-    * from the old-id tiebreak making the order total.
+    * from the old-id tiebreak making the order total. NULLS FIRST in the
+    * oracle mirrors reorderDocs' documented null rule (Spark asc default;
+    * DuckDB's ASC default is NULLS LAST, which would silently diverge on
+    * any NULL order key).
     */
   val qDocReorder = q(
     "q_doc_reorder",
     "SELECT doc_id, CAST(row_number() OVER " +
-      "(ORDER BY source, n_chars, doc_id) - 1 AS BIGINT) AS doc_id_new " +
-      "FROM documents") { (s, d) =>
+      "(ORDER BY source NULLS FIRST, n_chars NULLS FIRST, doc_id) - 1 " +
+      "AS BIGINT) AS doc_id_new FROM documents") { (s, d) =>
     graft.operators.Retrieval.reorderDocs(Tables.documents(s, d), "doc_id",
         Seq(col("source"), col("n_chars")))
       .select(col("doc_id"), col("doc_id_new"))

@@ -84,8 +84,29 @@ final class AsofEnrichProcessor[K, L, R](
         s"AsofEvent must carry exactly one of left/right, got $e")
     }
 
-    // watermark compaction: of the entries at or below the cutoff, only
-    // the newest can still serve a future (non-late) fact — keep just it
+    // deterministic emit order; facts see every same-batch right above.
+    // MATERIALIZED (not a lazy iterator) because compaction below mutates
+    // the timeline the matches read — and it must: this batch's facts are
+    // enriched BEFORE entries are evicted. Spark admits input rows with
+    // the PREVIOUS batch's (older) late-events watermark, so a fact with
+    // ts in [lateWatermark, evictionWatermark − tolerance) is legal input
+    // here — compacting first would evict its true as-of match in the
+    // same call and silently enrich it to NULL (diverging from the batch
+    // asofJoin even under the time-ordered replay contract).
+    lefts.sortInPlaceBy(_._1)
+    val out = lefts.map { case (ts, l) =>
+      matchAt(tl, ts) match {
+        case Some((rts, r)) =>
+          AsofEnriched[K, L, R](key, ts, l, Some(rts), Some(r))
+        case None => AsofEnriched[K, L, R](key, ts, l, None, None)
+      }
+    }
+
+    // watermark compaction ON THE WAY OUT: of the entries at or below the
+    // cutoff, only the newest can still serve a future fact — keep just
+    // it. Batch N's eviction boundary equals batch N+1's late-record
+    // admission boundary, so every row the engine ever admits can still
+    // find its newest-at-or-before entry.
     val wm = tv.getCurrentWatermarkInMs()
     if (wm > 0 && tl.nonEmpty) {
       val cutoff = wm - toleranceMs.getOrElse(0L)
@@ -96,16 +117,7 @@ final class AsofEnrichProcessor[K, L, R](
       timeline.clear()
       if (tl.nonEmpty) timeline.appendList(tl.toArray)
     }
-
-    // deterministic emit order; facts see every same-batch right above
-    lefts.sortInPlaceBy(_._1)
-    lefts.iterator.map { case (ts, l) =>
-      matchAt(tl, ts) match {
-        case Some((rts, r)) =>
-          AsofEnriched[K, L, R](key, ts, l, Some(rts), Some(r))
-        case None => AsofEnriched[K, L, R](key, ts, l, None, None)
-      }
-    }
+    out.iterator
   }
 
   /** Insert keeping ts order; same-ts entries fold through preferRight. */
