@@ -65,6 +65,62 @@ object PqKernels {
     new GenericArrayData(out)
   }
 
+  /** RESIDUAL encode (the FAISS IVFADC recipe, Jégou TPAMI'11 §IV):
+    * normalize + quantize exactly like [[encode]], then subtract the
+    * row's coarse-cell quantized centroid BEFORE the per-subspace argmin
+    * — the codebooks spend their bits on within-cell variance. Null for
+    * ragged/null-element vectors or an unknown cell id (an index row
+    * pointing at a centroid this codebook never saw must fail visibly).
+    */
+  def encodeRes(vec: ArrayData, isDouble: Boolean, cell: Int,
+      cqByCell: Array[Array[Long]],
+      books: Array[Array[Array[Long]]], scale: Long): GenericArrayData = {
+    val subspaces = books.length
+    val subDim = books(0)(0).length
+    val dim = subspaces * subDim
+    if (cell < 0 || cell >= cqByCell.length) return null
+    val cq = cqByCell(cell)
+    if (cq == null || cq.length != dim) return null
+    if (vec.numElements() != dim) return null
+    val xq = new Array[Long](dim)
+    var ss = 0.0
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      val x = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+      ss += x * x
+      i += 1
+    }
+    val nrm = math.sqrt(ss)
+    i = 0
+    while (i < dim) {
+      val x = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+      val q = if (nrm == 0.0) 0L else math.floor(x / nrm * scale + 0.5).toLong
+      xq(i) = q - cq(i)
+      i += 1
+    }
+    val out = new Array[Int](subspaces)
+    var s = 0
+    while (s < subspaces) {
+      val book = books(s)
+      val off = s * subDim
+      var bestCode = -1
+      var bestD = Long.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var d = 0L
+        var j = 0
+        while (j < subDim) { val t = xq(off + j) - cw(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; bestCode = c }
+        c += 1
+      }
+      out(s) = bestCode
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Integer-L2 argmin of one already-quantized subvector against the
     * codebook of subspace `sub` (tie → lowest code). Null for an unknown
     * subspace, a subvector of the wrong width, or a null element.
@@ -203,6 +259,56 @@ case class PqEncode(child: Expression, books: Array[Array[Array[Long]]],
     copy(child = newChild)
 }
 
+/** Native RESIDUAL PQ encoder ([[PqKernels.encodeRes]]): (vector,
+  * coarse-cell id) → `array<int>` code ids against residual-trained
+  * codebooks. The per-cell quantized centroids and the codebooks each
+  * ride as one plan reference object, so the encode scan stays a single
+  * whole-stage-codegen'd kernel call per row, like [[PqEncode]].
+  */
+case class PqEncodeRes(vec: Expression, cell: Expression,
+    cqByCell: Array[Array[Long]], books: Array[Array[Array[Long]]],
+    scale: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cell.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode_res requires (array<float|double>, int), got $l and $r")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode_res"
+
+  private def isDouble: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  protected override def nullSafeEval(v: Any, c: Any): Any =
+    PqKernels.encodeRes(v.asInstanceOf[ArrayData], isDouble,
+      c.asInstanceOf[Int], cqByCell, books, scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cqRef = ctx.addReferenceObj("pqCellCq", cqByCell, "long[][]")
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      s"""
+        |${ev.value} = graft.functions.PqKernels.encodeRes(
+        |  $v, $isDouble, $c, $cqRef, $booksRef, ${scale}L);
+        |${ev.isNull} = (${ev.value} == null);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeRes =
+    copy(vec = newLeft, cell = newRight)
+}
+
 /** Native ADC scorer: `array<int>` PQ code → exact BIGINT Σ table lookups.
   * The per-query tables ride as one reference object; scoring a row is
   * `subspaces` array reads inside whole-stage codegen.
@@ -282,6 +388,11 @@ object PqCodec {
 
   def pqEncode(vec: Column, books: Array[Array[Array[Long]]], scale: Long): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(vec), books, scale))
+
+  def pqEncodeRes(vec: Column, cell: Column, cqByCell: Array[Array[Long]],
+      books: Array[Array[Array[Long]]], scale: Long): Column =
+    ColumnBridge.column(PqEncodeRes(ColumnBridge.expression(vec),
+      ColumnBridge.expression(cell), cqByCell, books, scale))
 
   def pqAdc(code: Column, tables: Array[Array[Long]]): Column =
     ColumnBridge.column(PqAdc(ColumnBridge.expression(code), tables))

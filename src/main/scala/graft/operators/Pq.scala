@@ -37,14 +37,29 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** Codebook encoding tags, persisted in `_pq_codebooks` so appends and
+    * probes can never drift from what the index was built with (the
+    * tokenizer-tag pattern): [[EncRaw]] quantizes the normalized vector
+    * itself; [[EncResidual]] quantizes `x − centroid(cell)` (the FAISS
+    * IVFADC recipe, Jégou TPAMI'11 §IV) — the codebook spends its bits on
+    * within-cell variance, which buys materially better shortlist recall
+    * at the same code budget (measured in SCALE.md).
+    */
+  val EncRaw = "raw"
+  val EncResidual = "residual"
+
   /** Trained codebooks: `books(m)(code)` is the quantized codeword for
     * subspace `m` — `subDim` longs on the `scale` grid (value ≈
-    * unitVec · scale). `m · codes · subDim` longs total — driver-tiny.
+    * unitVec · scale for [[EncRaw]]; residual-grid for [[EncResidual]]).
+    * `m · codes · subDim` longs total — driver-tiny.
     */
   final case class Codebooks(
       subspaces: Int, subDim: Int, scale: Long,
-      books: IndexedSeq[IndexedSeq[Array[Long]]]) {
+      books: IndexedSeq[IndexedSeq[Array[Long]]],
+      encoding: String = EncRaw) {
     require(books.length == subspaces, s"expected $subspaces books, got ${books.length}")
+    require(encoding == EncRaw || encoding == EncResidual,
+      s"unknown PQ encoding '$encoding' (this build knows raw/residual)")
     def codes: Int = books.head.length
     def dim: Int = subspaces * subDim
   }
@@ -94,42 +109,117 @@ object Pq {
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, codes: Int, iters: Int = 8,
       scale: Long = 1000000L, trainN: Int = 0, seed: Long = 42L): Codebooks = {
-    require(subspaces >= 1, s"Pq.train: subspaces must be >= 1, got $subspaces")
-    require(codes >= 1 && codes <= 65536,
-      s"Pq.train: codes must be in [1, 65536], got $codes")
-    require(iters >= 0, s"Pq.train: iters must be >= 0, got $iters")
-    val dim = corpus.select(size(col(vecCol))).limit(1).collect() match {
-      case Array(r) if !r.isNullAt(0) => r.getInt(0)
-      case _ => throw new IllegalArgumentException("Pq.train: corpus is empty")
-    }
-    require(dim % subspaces == 0,
-      s"Pq.train: dim $dim not divisible into $subspaces subspaces")
-    val subDim = dim / subspaces
-    requireScaleFits(scale, dim)
-
-    val sampled =
-      if (trainN <= 0) corpus.select(col(idCol), col(vecCol))
-      else corpus.select(col(idCol), col(vecCol))
-        .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(trainN)
-
-    // (sub, xq) rows: subspace id + that subspace's quantized subvector.
-    // posexplode of a subDim-sliced transform — one narrow shuffle-free
-    // scan. A ragged or null-element vector FAILS the job (the kmeansStep
-    // rule): a short vector's truncated slices could otherwise be chosen
-    // as codebook seeds, silently poisoning the whole index (every later
-    // encode would null out or crash on the width mismatch); assert_true
-    // rides inside the projected expression so Catalyst can't prune it
-    val wellFormed = size(col(vecCol)) === lit(dim) &&
-      !exists(col(vecCol), x => x.isNull)
-    val xq = when(assert_true(wellFormed,
-        concat(lit(s"Pq.train: vector size != dim $dim or null element " +
-          "in "), col(vecCol).cast("string"))).isNull,
-      quantizedUnit(col(vecCol), scale))
+    val subDim = trainChecks(corpus, vecCol, subspaces, codes, iters, scale,
+      "Pq.train")
+    val dim = subDim * subspaces
+    val sampled = sampleRows(corpus, idCol, vecCol, trainN, seed)
+    val xq = checkedXq(col(vecCol), dim, scale, "Pq.train")
     val subs = sampled
       .select(posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
         s => slice(xq, s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
         xxhash64(col(idCol), lit(seed + 1)).as("__h"), col(idCol).as("__id"))
+    Codebooks(subspaces, subDim, scale,
+      lloydTrain(subs, subspaces, subDim, codes, iters, "Pq.train"), EncRaw)
+  }
 
+  /** [[train]] on RESIDUALS `xq − quantizedCentroid(cell)` (IVFADC, Jégou
+    * TPAMI'11 §IV): each sampled row is coarse-assigned with the SAME rule
+    * every encode uses ([[Similarity.ivfAssign]] over `centroids`), its
+    * quantized-unit vector has its cell's quantized centroid subtracted,
+    * and the Lloyd loop runs over the residual subvectors. Same sampling,
+    * seeding, iteration, and integer-exactness contracts as [[train]];
+    * the returned codebooks carry the [[EncResidual]] tag so every
+    * downstream path (encode, ADC, append) self-selects the residual
+    * arithmetic — a caller cannot mix the encodings.
+    *
+    * Residual grid values live in [−2·scale, 2·scale] (difference of two
+    * unit-grid vectors), which the shared [[requireScaleFits]] headroom
+    * covers: encode distances peak at dim·(4·scale)² = 16·dim·scale², the
+    * guard's exact bound.
+    */
+  def trainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])],
+      subspaces: Int, codes: Int, iters: Int = 8,
+      scale: Long = 1000000L, trainN: Int = 0, seed: Long = 42L): Codebooks = {
+    require(centroids.nonEmpty, "Pq.trainResidual needs centroids")
+    val subDim = trainChecks(corpus, vecCol, subspaces, codes, iters, scale,
+      "Pq.trainResidual")
+    val dim = subDim * subspaces
+    centroids.foreach { case (cid, c) =>
+      require(c.length == dim,
+        s"Pq.trainResidual: centroid $cid has dim ${c.length} != corpus dim $dim")
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cqDf = centroids
+      .map { case (cid, c) => (cid, quantizeUnitDriver(c, scale).toSeq) }
+      .toDF("__cid", "__cq")
+    val sampled = sampleRows(corpus, idCol, vecCol, trainN, seed)
+    val assigned = Similarity.ivfAssign(sampled, idCol, vecCol, centroids)
+      .join(broadcast(cqDf), col("centroid_id") === col("__cid"))
+    val xq = checkedXq(col(vecCol), dim, scale, "Pq.trainResidual")
+    val rq = zip_with(xq, col("__cq"), (a, b) => a - b)
+    val subs = assigned
+      .select(posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+        s => slice(rq, s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
+        xxhash64(col(idCol), lit(seed + 1)).as("__h"), col(idCol).as("__id"))
+    Codebooks(subspaces, subDim, scale,
+      lloydTrain(subs, subspaces, subDim, codes, iters, "Pq.trainResidual"),
+      EncResidual)
+  }
+
+  private def trainChecks(corpus: DataFrame, vecCol: String, subspaces: Int,
+      codes: Int, iters: Int, scale: Long, op: String): Int = {
+    require(subspaces >= 1, s"$op: subspaces must be >= 1, got $subspaces")
+    require(codes >= 1 && codes <= 65536,
+      s"$op: codes must be in [1, 65536], got $codes")
+    require(iters >= 0, s"$op: iters must be >= 0, got $iters")
+    val dim = corpus.select(size(col(vecCol))).limit(1).collect() match {
+      case Array(r) if !r.isNullAt(0) => r.getInt(0)
+      case _ => throw new IllegalArgumentException(s"$op: corpus is empty")
+    }
+    require(dim % subspaces == 0,
+      s"$op: dim $dim not divisible into $subspaces subspaces")
+    requireScaleFits(scale, dim)
+    dim / subspaces
+  }
+
+  /** `trainN = 0` trains on the full corpus; otherwise on the `trainN`
+    * rows with the smallest `xxhash64(id, seed)` — reproducible, unbiased,
+    * corpus-size-independent (the FAISS practice).
+    */
+  private def sampleRows(corpus: DataFrame, idCol: String, vecCol: String,
+      trainN: Int, seed: Long): DataFrame =
+    if (trainN <= 0) corpus.select(col(idCol), col(vecCol))
+    else corpus.select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol)).limit(trainN)
+
+  /** Quantized-unit vector with the malformed-row guard. A ragged or
+    * null-element vector FAILS the job (the kmeansStep rule): a short
+    * vector's truncated slices could otherwise be chosen as codebook
+    * seeds, silently poisoning the whole index (every later encode would
+    * null out or crash on the width mismatch); assert_true rides inside
+    * the projected expression so Catalyst can't prune it.
+    */
+  private def checkedXq(vecCol: Column, dim: Int, scale: Long,
+      op: String): Column = {
+    val wellFormed = size(vecCol) === lit(dim) &&
+      !exists(vecCol, x => x.isNull)
+    when(assert_true(wellFormed,
+        concat(lit(s"$op: vector size != dim $dim or null element in "),
+          vecCol.cast("string"))).isNull,
+      quantizedUnit(vecCol, scale))
+  }
+
+  /** Seed + Lloyd-iterate over prepared (sub, sv, __h, __id) subvector
+    * rows — the shared core of [[train]] and [[trainResidual]] (one
+    * distributed job per iteration covering ALL subspaces; only
+    * m·codes·subDim longs ever return to the driver).
+    */
+  private def lloydTrain(subsIn: DataFrame, subspaces: Int, subDim: Int,
+      codes: Int, iters: Int,
+      op: String): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val subs = subsIn
     // Seeds: per subspace, the `codes` hash-smallest DISTINCT subvectors.
     import org.apache.spark.sql.expressions.Window
     val sw = Window.partitionBy(col("sub")).orderBy(col("__h"), col("__id"))
@@ -146,7 +236,7 @@ object Pq {
         val mine = seedRows.filter(_.getInt(0) == s)
           .map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
           .sortBy(_._1).map(_._2).toIndexedSeq
-        require(mine.nonEmpty, s"Pq.train: subspace $s has no training data")
+        require(mine.nonEmpty, s"$op: subspace $s has no training data")
         // fewer distinct subvectors than codes: pad by repeating (harmless —
         // duplicate codewords never win an argmin tie against a lower id)
         (0 until codes).map(c => mine(c % mine.length))
@@ -176,7 +266,7 @@ object Pq {
         }
       }
     }
-    Codebooks(subspaces, subDim, scale, books)
+    books
   }
 
   /** Integer-L2 argmin over a codebook, per (subspace, subvector) row —
@@ -205,8 +295,66 @@ object Pq {
   def encode(df: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
     require(!df.columns.contains("pq_code"),
       "Pq.encode: input already has a pq_code column")
+    require(cb.encoding == EncRaw,
+      "Pq.encode: residual codebooks need the row's coarse cell - use " +
+        "encodeResidual (the codebook's encoding tag self-selects the path)")
     df.withColumn("pq_code", graft.functions.PqCodec.pqEncode(
       col(vecCol), cb.books.map(_.toArray).toArray, cb.scale))
+  }
+
+  /** [[encode]] for [[EncResidual]] codebooks: the input must already
+    * carry `centroid_id` (the [[Similarity.ivfAssign]] output - coarse
+    * assignment happens BEFORE encoding in IVFADC), and each row's code
+    * quantizes `xq - quantizedCentroid(cell)` via the native
+    * [[graft.functions.PqEncodeRes]] kernel. Still pure map-side: the
+    * per-cell quantized centroids ride as one plan reference object.
+    * Rows whose centroid_id the codebook never saw yield NULL codes.
+    */
+  def encodeResidual(df: DataFrame, vecCol: String, cb: Codebooks,
+      centroids: Seq[(Int, Array[Float])]): DataFrame = {
+    require(!df.columns.contains("pq_code"),
+      "Pq.encodeResidual: input already has a pq_code column")
+    require(cb.encoding == EncResidual,
+      "Pq.encodeResidual: codebooks are raw-encoded - use encode")
+    require(df.columns.contains("centroid_id"),
+      "Pq.encodeResidual: input needs a centroid_id column (run " +
+        "Similarity.ivfAssign first - IVFADC encodes relative to the cell)")
+    df.withColumn("pq_code", graft.functions.PqCodec.pqEncodeRes(
+      col(vecCol), col("centroid_id").cast("int"),
+      quantizedCentroids(centroids, cb.scale),
+      cb.books.map(_.toArray).toArray, cb.scale))
+  }
+
+  /** Per-cell quantized-unit centroids as a dense id-indexed array (the
+    * kernel reference-object shape); gaps in the id space are null slots
+    * the kernel rejects loudly.
+    */
+  private def quantizedCentroids(centroids: Seq[(Int, Array[Float])],
+      scale: Long): Array[Array[Long]] = {
+    require(centroids.nonEmpty, "quantizedCentroids: no centroids")
+    centroids.foreach { case (cid, _) =>
+      require(cid >= 0 && cid < (1 << 22),
+        s"quantizedCentroids: cell id $cid outside the dense-array range")
+    }
+    val out = new Array[Array[Long]](centroids.map(_._1).max + 1)
+    centroids.foreach { case (cid, c) =>
+      out(cid) = quantizeUnitDriver(c, scale)
+    }
+    out
+  }
+
+  /** The residual ADC's per-(query, cell) offset: `qq . cq(cell)` - the
+    * coarse term of `q.x ~ q.c + q.r`. A per-cell CONSTANT, so it is
+    * computed driver-side (nprobe integers) and added to each candidate's
+    * table-lookup sum, making ADC scores comparable ACROSS probed cells.
+    */
+  def cellOffset(queryVec: Array[Float], cb: Codebooks,
+      centroid: Array[Float]): Long = {
+    val qq = quantizeUnitDriver(queryVec, cb.scale)
+    val cq = quantizeUnitDriver(centroid, cb.scale)
+    var d = 0L; var i = 0
+    while (i < qq.length) { d += qq(i) * cq(i); i += 1 }
+    d
   }
 
   // ---------------------------------------------------------------------
@@ -286,8 +434,26 @@ object Pq {
     val cells = probeCells(centroids, queryVec, nprobe)
     val ids = adcShortlist(
       encoded.filter(col("centroid_id").isin(cells: _*)),
-      idCol, cb, queryVec, rerankK)
+      idCol, shortlistScore(queryVec, cb, centroids, cells), rerankK)
     rerankExact(corpus, idCol, vecCol, ids, queryVec, k)
+  }
+
+  /** The ADC estimate each shortlist ranks by: the table-lookup sum, plus
+    * - for residual codebooks - the probed cell's driver-computed coarse
+    * offset `qq . cq(cell)` (a literal int->long map over the nprobe
+    * probed cells), which makes estimates comparable across cells.
+    */
+  private def shortlistScore(queryVec: Array[Float], cb: Codebooks,
+      centroids: Seq[(Int, Array[Float])], cells: Seq[Int]): Column = {
+    val tableSum = adcScore(col("pq_code"), adcTables(queryVec, cb))
+    if (cb.encoding != EncResidual) tableSum
+    else {
+      val cmap = centroids.toMap
+      val entries = cells.flatMap { c =>
+        Seq(lit(c), lit(cellOffset(queryVec, cb, cmap(c))))
+      }
+      tableSum + element_at(map(entries: _*), col("centroid_id").cast("int"))
+    }
   }
 
   /** Flat (whole-corpus) PQ search — no IVF stage: ADC over every code
@@ -299,7 +465,11 @@ object Pq {
       queryVec: Array[Float], k: Int, rerankK: Int): DataFrame = {
     require(k >= 1, s"pqSearchTopK: k must be >= 1, got $k")
     require(rerankK >= k, s"pqSearchTopK: rerankK $rerankK < k $k")
-    val ids = adcShortlist(encoded, idCol, cb, queryVec, rerankK)
+    require(cb.encoding == EncRaw,
+      "pqSearchTopK: residual codes only rank within their coarse cells - " +
+        "use ivfPqSearchTopK with the index's centroids")
+    val ids = adcShortlist(encoded, idCol,
+      adcScore(col("pq_code"), adcTables(queryVec, cb)), rerankK)
     rerankExact(corpus, idCol, vecCol, ids, queryVec, k)
   }
 
@@ -311,10 +481,9 @@ object Pq {
     Similarity.probeCellsFor(centroids, queryVec, nprobe)
 
   private def adcShortlist(candidates: DataFrame, idCol: String,
-      cb: Codebooks, queryVec: Array[Float], rerankK: Int): Seq[Long] =
+      scoreCol: Column, rerankK: Int): Seq[Long] =
     candidates
-      .select(col(idCol).cast("long").as("__id"),
-        adcScore(col("pq_code"), adcTables(queryVec, cb)).as("__adc"))
+      .select(col(idCol).cast("long").as("__id"), scoreCol.as("__adc"))
       // dedupe BEFORE the limit: duplicate code rows from a replayed
       // append would otherwise consume rerankK slots, shrinking the
       // DISTINCT shortlist below rerankK and silently voiding the
@@ -386,17 +555,25 @@ object Pq {
     val tables3 = qs.map { case (_, v) => adcTables(v, cb).toArray }.toArray
 
     import spark.implicits._
+    // per-(query, cell) rows; for residual codebooks each carries the
+    // query's coarse offset qq . cq(cell) so batch ADC estimates compare
+    // across cells exactly like the single-query path (0 for raw)
+    val cmap = centroids.toMap
     val qCellsLocal = qs.zipWithIndex.flatMap { case ((qid, v), qi) =>
-      probeCells(centroids, v, nprobe).map(c => (qid, qi, c))
+      probeCells(centroids, v, nprobe).map { c =>
+        val off = if (cb.encoding == EncResidual) cellOffset(v, cb, cmap(c))
+          else 0L
+        (qid, qi, c, off)
+      }
     }.toSeq
-    val qCells = qCellsLocal.toDF("query_id", "__qidx", "__cell")
+    val qCells = qCellsLocal.toDF("query_id", "__qidx", "__cell", "__off")
     val allCells = qCellsLocal.map(_._3).distinct // driver data — no job
 
     val shortlist = encoded
       .filter(col("centroid_id").isin(allCells: _*))
       .join(broadcast(qCells), col("centroid_id") === col("__cell"))
       .withColumn("__adc", graft.functions.PqCodec.pqAdcBatch(
-        col("pq_code"), col("__qidx"), tables3))
+        col("pq_code"), col("__qidx"), tables3) + col("__off"))
       // dedupe BEFORE the rank window — a replayed append's duplicate
       // code rows would otherwise occupy rerankK slots (fewer DISTINCT
       // docs than rerankK per query, voiding the rerank guarantee) and
@@ -464,13 +641,19 @@ object Pq {
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
       kCells: Int, subspaces: Int, codes: Int, iters: Int = 5,
-      trainN: Int = 0, seed: Long = 42L)
+      trainN: Int = 0, seed: Long = 42L, residual: Boolean = false)
       : (DataFrame, Seq[(Int, Array[Float])], Codebooks) = {
     val (assigned, cents) = Similarity.ivfBuild(corpus, idCol, vecCol,
       kCells, iters, seed)
-    val cb = train(corpus, idCol, vecCol, subspaces, codes, iters,
-      trainN = trainN, seed = seed)
-    (encode(assigned, vecCol, cb), cents, cb)
+    if (residual) {
+      val cb = trainResidual(corpus, idCol, vecCol, cents, subspaces, codes,
+        iters, trainN = trainN, seed = seed)
+      (encodeResidual(assigned, vecCol, cb, cents), cents, cb)
+    } else {
+      val cb = train(corpus, idCol, vecCol, subspaces, codes, iters,
+        trainN = trainN, seed = seed)
+      (encode(assigned, vecCol, cb), cents, cb)
+    }
   }
 
   /** Persist the SERVING layout: (id, centroid_id, pq_code) cell-partitioned
@@ -494,8 +677,10 @@ object Pq {
       path: String): Unit = {
     import spark.implicits._
     cb.books.zipWithIndex.flatMap { case (b, s) =>
-      b.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq, cb.scale) }
-    }.toDF("sub", "code", "cw", "scale")
+      b.zipWithIndex.map { case (cw, c) =>
+        (s, c, cw.toSeq, cb.scale, cb.encoding)
+      }
+    }.toDF("sub", "code", "cw", "scale", "enc")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_pq_codebooks")
   }
 
@@ -516,26 +701,36 @@ object Pq {
     val spark = df.sparkSession
     val cents = Similarity.ivfReadCentroids(spark, path)
     val cb = readCodebooks(spark, path)
-    encode(Similarity.ivfAssign(df.select(col(idCol), col(vecCol)),
-        idCol, vecCol, cents), vecCol, cb)
-      .select(col(idCol), col("centroid_id"), col("pq_code"))
+    val assigned = Similarity.ivfAssign(df.select(col(idCol), col(vecCol)),
+      idCol, vecCol, cents)
+    // the index's OWN codebooks carry the encoding tag - an append can
+    // never quantize differently from the base build
+    val enc = if (cb.encoding == EncResidual)
+      encodeResidual(assigned, vecCol, cb, cents)
+    else encode(assigned, vecCol, cb)
+    enc.select(col(idCol), col("centroid_id"), col("pq_code"))
       .write.mode("append").partitionBy("centroid_id").parquet(path)
   }
 
   /** Codebooks persisted by [[writeIndex]], back in driver shape. */
   def readCodebooks(spark: SparkSession, path: String): Codebooks = {
-    val rows = spark.read.parquet(s"$path/_pq_codebooks")
-      .select(col("sub"), col("code"), col("cw"), col("scale"))
+    val raw = spark.read.parquet(s"$path/_pq_codebooks")
+    // `enc` column absent on pre-residual indexes -> EncRaw (what they are)
+    val withEnc = if (raw.columns.contains("enc")) raw
+      else raw.withColumn("enc", lit(EncRaw))
+    val rows = withEnc
+      .select(col("sub"), col("code"), col("cw"), col("scale"), col("enc"))
       .collect()
     require(rows.nonEmpty, s"Pq.readCodebooks: no codebooks at $path")
     val scale = rows.head.getLong(3)
+    val encoding = rows.head.getString(4)
     val bySub = rows.groupBy(_.getInt(0))
     val subspaces = bySub.keys.max + 1
     val books = (0 until subspaces).map { s =>
       bySub(s).map(r => (r.getInt(1), r.getSeq[Long](2).toArray))
         .sortBy(_._1).map(_._2).toIndexedSeq
     }
-    Codebooks(subspaces, books.head.head.length, scale, books)
+    Codebooks(subspaces, books.head.head.length, scale, books, encoding)
   }
 
   /** Read back a [[writeIndex]]-persisted code index (cell-partitioned). */

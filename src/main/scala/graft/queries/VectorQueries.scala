@@ -195,6 +195,46 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** IVFADC residual-encoded search ([[graft.operators.Pq.trainResidual]]
+    * / [[Pq.encodeResidual]], Jégou TPAMI'11 §IV): codebooks quantize
+    * `x − centroid(cell)` so their bits model within-cell variance, the
+    * ADC estimate adds the driver-computed per-cell coarse offset
+    * `q·c(cell)`, and the full PERSISTED-index lifecycle runs under the
+    * residual tag — build half the corpus via writeIndex (the `enc` tag
+    * lands in `_pq_codebooks`), APPEND the other half (the append
+    * resolves encoding + centroids + codebooks from the index itself),
+    * probe the merged index. Same oracle as `q_ann_ivfpq`: the exact
+    * rerank makes the output the probed-cell exact top-10 regardless of
+    * encoding — what differs (and what SCALE.md measures) is shortlist
+    * recall at small rerankK.
+    */
+  val qAnnIvfPqResidual = q(
+    "q_ann_ivfpq_residual",
+    qAnnIvfPq.oracle.get) { (s, d) =>
+    val emb = Tables.embeddingsBalanced(s, d)
+    val corpus = emb.filter(col("vec_id") > 8)
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queryVec = Tables.embeddings(s, d).filter(col("vec_id") === 8)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val cb = graft.operators.Pq.trainResidual(corpus, "vec_id", "embedding",
+      cents, subspaces = 16, codes = 256, iters = 3)
+    val idx = TextQueries.scratchDir("graft_pqidx_res", d)
+    val half1 = corpus.filter(col("vec_id") % 2 === 0)
+    val half2 = corpus.filter(col("vec_id") % 2 === 1)
+    graft.operators.Pq.writeIndex(
+      graft.operators.Pq.encodeResidual(
+        graft.operators.Similarity.ivfAssign(half1, "vec_id", "embedding",
+          cents), "embedding", cb, cents),
+      "vec_id", cents, cb, idx)
+    graft.operators.Pq.appendToIndex(half2, "vec_id", "embedding", idx)
+    graft.operators.Pq.ivfPqSearchTopK(
+        graft.operators.Pq.readIndex(s, idx), corpus, "vec_id", "embedding",
+        cents, graft.operators.Pq.readCodebooks(s, idx), queryVec,
+        k = 10, rerankK = 256, nprobe = 2)
+      .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** BATCH IVF-PQ serving ([[graft.operators.Pq.ivfPqJoinTopK]]): the
     * compressed-index pipeline for a query SET in one plan — per-query
     * probe cells + ADC tables prepared driver-side (bounded by the
@@ -934,7 +974,7 @@ object VectorQueries {
 
   val all: Seq[GraftQuery] = Seq(
     qRrfHybrid, qRrfHybridBatch,
-    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnIvfPq, qAnnMultiProbe,
+    qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnIvfPq, qAnnIvfPqResidual, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
     qAnnIvfPqBatch,
