@@ -27,13 +27,18 @@ object Dedup {
     keepMinBy(df, idCol, md5(col(textCol)))
 
   /** Fingerprint dedup: normalization-invariant (case/punctuation/word-order)
-    * content identity = md5 of sorted distinct tokens.
+    * content identity = md5 of sorted distinct tokens. The tokenizer is
+    * pluggable ([[Tokenizer]], default the ascii rule every existing
+    * oracle pins) so a multilingual corpus fingerprints under the same
+    * rule its retrieval index tokenizes with.
     */
-  def fingerprint(c: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(TextQueries.tokensCol(c)))))
+  def fingerprint(c: Column,
+      tokenizer: Tokenizer = Tokenizer.Ascii): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokenizer.column(c)))))
 
-  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    keepMinBy(df, idCol, fingerprint(col(textCol)))
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame =
+    keepMinBy(df, idCol, fingerprint(col(textCol), tokenizer))
 
   /** Shared single-shuffle survivor selection: lowest `idCol` row per
     * `key` value, original columns and order preserved.
@@ -46,15 +51,19 @@ object Dedup {
   }
 
   /** MinHash signature columns m0..m{n-1} for a text column (3-word
-    * shingles, md5-derived hashes — deterministic, no fitted model).
+    * shingles, md5-derived hashes — deterministic, no fitted model). The
+    * shingling tokenizer is pluggable (default ascii — byte-identical to
+    * every pre-existing entry); pass [[Tokenizer.Unicode]] for
+    * multilingual corpora so dedup and retrieval share one rule.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     import TextQueries.{P, hash32, perms, ngramsCol}
     graft.functions.Md5Prefix32.register(df.sparkSession)
     graft.functions.MinHashSigAgg.register(df.sparkSession)
     // docs with <3 tokens drop out: ngramsCol is empty there, explode drops it
     val shingled = df
-      .select(col(idCol), explode(ngramsCol(col(textCol), 3)).as("__s"))
+      .select(col(idCol), explode(ngramsCol(col(textCol), 3, tokenizer)).as("__s"))
       .select(col(idCol), (hash32(col("__s")) % P).as("__h"))
     // one TypedImperativeAggregate computes all minima in a single buffer
     shingled.groupBy(col(idCol))
@@ -165,12 +174,15 @@ object Dedup {
     */
   def nearDuplicates(df: DataFrame, idCol: String, textCol: String,
       minAgreeFraction: Double = 0.5,
-      hotBucketThreshold: Int = DefaultHotBucketThreshold): DataFrame = {
+      hotBucketThreshold: Int = DefaultHotBucketThreshold,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     import TextQueries.NumPerm
     // materialization barrier: candidates + both join-back sides read the
-    // signatures once; see [[swapBarrier]] for the caching policy
+    // signatures once; see [[swapBarrier]] for the caching policy (a
+    // different tokenizer is a different analyzed plan, so the one-slot
+    // cache never serves a stale rule)
     val sigs = swapBarrier(lastSigsBarrier,
-      minhashSignatures(df, idCol, textCol))
+      minhashSignatures(df, idCol, textCol, tokenizer))
     val cand = lshCandidates(sigs, idCol, hotBucketThreshold = hotBucketThreshold)
     val agree = (0 until NumPerm)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
@@ -340,10 +352,11 @@ object Dedup {
     */
   private def componentReps(df: DataFrame, idCol: String, textCol: String,
       minAgreeFraction: Double, hotBucketThreshold: Int,
-      collapseExact: Boolean): DataFrame = {
+      collapseExact: Boolean,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     if (!collapseExact) {
       val pairs = nearDuplicates(df, idCol, textCol, minAgreeFraction,
-        hotBucketThreshold)
+        hotBucketThreshold, tokenizer)
       connectedComponents(pairs, df, idCol)
     } else {
       val mapping = swapBarrier(lastCollapseBarrier,
@@ -355,13 +368,13 @@ object Dedup {
         mapping.filter(col(idCol) === col("__grep")).select(idCol),
         Seq(idCol), "left_semi")
       val pairs = nearDuplicates(reps, idCol, textCol, minAgreeFraction,
-        hotBucketThreshold)
+        hotBucketThreshold, tokenizer)
       val cc = connectedComponents(pairs, reps, idCol)
       // signature membership straight off the plan nearDuplicates just
       // persisted (CacheManager serves the sameResult subplan) — reps
       // absent from it can never pair, so their exact twins each keep
       // themselves, exactly as uncollapsed
-      val sigIds = minhashSignatures(reps, idCol, textCol)
+      val sigIds = minhashSignatures(reps, idCol, textCol, tokenizer)
         .select(col(idCol).as("__sid"))
       val ccFlag = cc
         .join(sigIds, cc(idCol) === col("__sid"), "left")
@@ -386,9 +399,10 @@ object Dedup {
   def dedupNear(df: DataFrame, idCol: String, textCol: String,
       minAgreeFraction: Double = 0.5,
       hotBucketThreshold: Int = DefaultHotBucketThreshold,
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val survivors = componentReps(df, idCol, textCol, minAgreeFraction,
-        hotBucketThreshold, collapseExact)
+        hotBucketThreshold, collapseExact, tokenizer)
       .filter(col("rep") === col(idCol)).select(idCol)
     df.join(survivors, Seq(idCol), "left_semi")
   }
@@ -409,6 +423,10 @@ object Dedup {
     * machinery ([[Lsh.candidatePairs]] on exploded fingerprints) when
     * pairing is wanted.
     */
+  /* Winnowing is CHARACTER-level by design (raw `k`-byte substrings of
+   * the untouched text — SIGMOD'03 §2) and therefore has no tokenizer to
+   * thread: it is the one fingerprint family member that detects overlap
+   * across tokenization/normalization differences, which is its job. */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
@@ -484,9 +502,10 @@ object Dedup {
   def dedupNearBy(df: DataFrame, idCol: String, textCol: String, keepBy: Column,
       minAgreeFraction: Double = 0.5,
       hotBucketThreshold: Int = DefaultHotBucketThreshold,
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val reps = componentReps(df, idCol, textCol, minAgreeFraction,
-      hotBucketThreshold, collapseExact)
+      hotBucketThreshold, collapseExact, tokenizer)
     val cols = df.columns.toIndexedSeq
     df.join(reps, Seq(idCol))
       .groupBy(col("rep"))
@@ -518,11 +537,12 @@ object Dedup {
       perMilleBounds: Seq[(String, Int)],
       minAgreeFraction: Double = 0.5,
       hotBucketThreshold: Int = DefaultHotBucketThreshold,
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(!df.columns.contains("rep") && !df.columns.contains("split"),
       "input already has a rep/split column; rename it first")
     val reps = componentReps(df, idCol, textCol, minAgreeFraction,
-      hotBucketThreshold, collapseExact)
+      hotBucketThreshold, collapseExact, tokenizer)
     df.join(Sampling.assignSplit(reps, col("rep"), perMilleBounds), Seq(idCol))
   }
 
@@ -551,8 +571,9 @@ object Dedup {
     * signature columns — the shared shape of the index and the probe side.
     */
   private def bandedSignatures(df: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol)
+      bands: Int, rowsPerBand: Int,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, tokenizer)
     val sigCols = (0 until bands * rowsPerBand).map(j => col(s"m$j"))
     sigs.select(col(idCol) +:
       posexplode(bandHashExprs(bands, rowsPerBand)).as(Seq("band", "bh")) +:
@@ -575,9 +596,22 @@ object Dedup {
         "check reads the full signature")
 
   private def writeIndexMeta(df: DataFrame, path: String, bands: Int,
-      rowsPerBand: Int): Unit =
+      rowsPerBand: Int, tokenizer: Tokenizer): Unit =
     IndexLifecycle.writeMeta(df.sparkSession, path, MetaFileName,
-      s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numPerm":${TextQueries.NumPerm}}""")
+      s"""{"bands":$bands,"rowsPerBand":$rowsPerBand,"numPerm":${TextQueries.NumPerm},"tokenizer":"${tokenizer.tag}"}""")
+
+  /** The index's own shingling rule, resolved from its persisted meta —
+    * appends and probes can never tokenize differently from the base
+    * build (the [[Retrieval]] tokenizer-tag pattern); pre-tag indexes
+    * default to ascii (what they are).
+    */
+  private def readTokenizer(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): Tokenizer = {
+    val txt = IndexLifecycle.requireMeta(spark, path, MetaFileName, op,
+      "writeSignatureIndex")
+    Tokenizer.fromTag(
+      IndexLifecycle.strField(txt, "tokenizer").getOrElse("ascii"), op)
+  }
 
   /** Read and validate the index's persisted banding against the caller's
     * parameters — a mismatch (or a directory that was never written by
@@ -601,15 +635,16 @@ object Dedup {
   }
 
   def writeSignatureIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+      path: String, bands: Int = 8, rowsPerBand: Int = 4,
+      tokenizer: Tokenizer = Tokenizer.Ascii): Unit = {
     requireBanding(bands, rowsPerBand, "writeSignatureIndex")
     // clustered + bh-sorted write ([[clusterForPartitionedWrite]]): bounded
     // files per band, tight bh row-group bounds for the probe's IN pushdown
     IndexLifecycle.clusterForPartitionedWrite(
-        bandedSignatures(df, idCol, textCol, bands, rowsPerBand),
+        bandedSignatures(df, idCol, textCol, bands, rowsPerBand, tokenizer),
         "band", sortCols = Seq("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(path)
-    writeIndexMeta(df, path, bands, rowsPerBand)
+    writeIndexMeta(df, path, bands, rowsPerBand, tokenizer)
   }
 
   /** APPEND a cleaned ingest batch's signatures to an existing
@@ -629,7 +664,8 @@ object Dedup {
       path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
     requireBanding(bands, rowsPerBand, "appendToSignatureIndex")
     validateIndexMeta(df, path, bands, rowsPerBand, "appendToSignatureIndex")
-    bandedSignatures(df, idCol, textCol, bands, rowsPerBand)
+    bandedSignatures(df, idCol, textCol, bands, rowsPerBand,
+        readTokenizer(df.sparkSession, path, "appendToSignatureIndex"))
       .write.mode("append").partitionBy("band").parquet(path)
   }
 
@@ -692,8 +728,10 @@ object Dedup {
     val spark = newDocs.sparkSession
     // the batch side is computed twice (key collect + broadcast build) —
     // an ingest batch is small by contract, so that beats parking another
-    // entry in the barrier cache
-    val probes = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand)
+    // entry in the barrier cache; the shingling rule comes from the
+    // index's OWN meta, so probe and index can never tokenize apart
+    val probes = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand,
+      readTokenizer(spark, indexPath, "dedupAgainstIndex"))
     // the batch's probe keys, driver-collected (ingest-batch contract):
     // they prune the index scan BEFORE any join happens. take(cap+1)
     // keeps the bounded-batch contract CHECKED: a corpus-sized frame
@@ -787,7 +825,10 @@ object Dedup {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
         try {
-          val inBatch = dedupNear(b.toDF(), idCol, textCol, minAgreeFraction)
+          // within-batch dedup under the index's OWN tokenizer rule
+          val inBatch = dedupNear(b.toDF(), idCol, textCol, minAgreeFraction,
+            tokenizer = readTokenizer(b.sparkSession, indexPath,
+              "streamingIngest"))
           val clean = cleanAgainstIndex(inBatch, idCol, textCol, indexPath,
             minAgreeFraction, bands, rowsPerBand, maxProbeKeys).persist()
           try {

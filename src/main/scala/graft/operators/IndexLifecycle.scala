@@ -86,9 +86,17 @@ private[graft] object IndexLifecycle {
   def ingestBatchDir(path: String, queryTag: String, batchId: Long): String =
     s"$path/$IngestDirName/$queryTag/b_$batchId"
 
+  /** Reserved suffix for in-flight batch subtrees: [[writeViaTmp]]
+    * stages a batch's files in `<dir>.tmp` and renames into place, and
+    * [[listIngestDirs]] never lists a `.tmp` dir — so probes see a batch
+    * subtree either complete or not at all, never half-written.
+    */
+  val TmpSuffix = ".tmp"
+
   /** Every (query, batch) subtree under `path/_ingest`, qualified;
     * `exclude` drops one subtree (the replay-idempotence trick: a batch
-    * probing the index must not see its OWN previous write).
+    * probing the index must not see its OWN previous write). In-flight
+    * `.tmp` stages are invisible.
     */
   def listIngestDirs(spark: SparkSession, path: String,
       exclude: Option[String] = None): Seq[String] = {
@@ -100,11 +108,38 @@ private[graft] object IndexLifecycle {
         fs.makeQualified(new org.apache.hadoop.fs.Path(e)).toString).toSet
       for {
         q <- fs.listStatus(root).toSeq if q.isDirectory
-        b <- fs.listStatus(q.getPath).toSeq if b.isDirectory
+        b <- fs.listStatus(q.getPath).toSeq
+        if b.isDirectory && !b.getPath.getName.endsWith(TmpSuffix)
         d = fs.makeQualified(b.getPath).toString
         if !excluded.contains(d)
       } yield d
     }
+  }
+
+  /** Stage-then-publish for one batch subtree: run `write` against
+    * `<dir>.tmp` (cleared first, so a crashed previous stage can't
+    * pollute it), then delete any previous `<dir>` and rename the stage
+    * into place. Probes never observe a partially-written subtree — the
+    * only visibility gap is the delete+rename pair (two metadata ops, vs
+    * the full recompute+write a plain delete-then-overwrite exposes); on
+    * a store with non-atomic rename that residual gap remains, and a
+    * crash inside it leaves the batch absent-but-staged, which the
+    * batch's REPLAY repairs (same subtree, same content).
+    */
+  def writeViaTmp(spark: SparkSession, dir: String)
+      (write: String => Unit): Unit = {
+    val tmp = dir + TmpSuffix
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val fs = dirP.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(tmpP, true)
+    write(tmp)
+    require(fs.exists(tmpP),
+      s"writeViaTmp: the staged write left nothing at $tmp")
+    fs.delete(dirP, true)
+    require(fs.rename(tmpP, dirP),
+      s"writeViaTmp: rename $tmp -> $dir failed; the batch is staged but " +
+        "unpublished — replay the batch to repair")
   }
 
   /** Stable per-query tag from the QUALIFIED checkpoint path — a restart

@@ -349,8 +349,16 @@ object Pq {
     * table-lookup sum, making ADC scores comparable ACROSS probed cells.
     */
   def cellOffset(queryVec: Array[Float], cb: Codebooks,
+      centroid: Array[Float]): Long =
+    cellOffsetQ(quantizeUnitDriver(queryVec, cb.scale), cb, centroid)
+
+  /** [[cellOffset]] with the query already quantized — both probe paths
+    * quantize the query ONCE and reuse `qq` across their nprobe (or
+    * nprobe × batch) cells instead of re-running the normalization per
+    * (query, cell) pair.
+    */
+  private def cellOffsetQ(qq: Array[Long], cb: Codebooks,
       centroid: Array[Float]): Long = {
-    val qq = quantizeUnitDriver(queryVec, cb.scale)
     val cq = quantizeUnitDriver(centroid, cb.scale)
     var d = 0L; var i = 0
     while (i < qq.length) { d += qq(i) * cq(i); i += 1 }
@@ -449,8 +457,9 @@ object Pq {
     if (cb.encoding != EncResidual) tableSum
     else {
       val cmap = centroids.toMap
+      val qq = quantizeUnitDriver(queryVec, cb.scale)
       val entries = cells.flatMap { c =>
-        Seq(lit(c), lit(cellOffset(queryVec, cb, cmap(c))))
+        Seq(lit(c), lit(cellOffsetQ(qq, cb, cmap(c))))
       }
       tableSum + element_at(map(entries: _*), col("centroid_id").cast("int"))
     }
@@ -560,9 +569,11 @@ object Pq {
     // across cells exactly like the single-query path (0 for raw)
     val cmap = centroids.toMap
     val qCellsLocal = qs.zipWithIndex.flatMap { case ((qid, v), qi) =>
+      // quantize each query ONCE, not once per probed cell
+      val qq = if (cb.encoding == EncResidual) quantizeUnitDriver(v, cb.scale)
+        else null
       probeCells(centroids, v, nprobe).map { c =>
-        val off = if (cb.encoding == EncResidual) cellOffset(v, cb, cmap(c))
-          else 0L
+        val off = if (qq != null) cellOffsetQ(qq, cb, cmap(c)) else 0L
         (qid, qi, c, off)
       }
     }.toSeq
@@ -668,10 +679,28 @@ object Pq {
       centroids: Seq[(Int, Array[Float])], cb: Codebooks,
       path: String): Unit = {
     Similarity.ivfWriteWithCentroids(
-      encoded.select(col(idCol), col("centroid_id"), col("pq_code")),
+      encoded.select(col(idCol), col("centroid_id"),
+        checkedCode(idCol, "Pq.writeIndex")),
       centroids, path)
     writeCodebooks(encoded.sparkSession, cb, path)
   }
+
+  /** The persist-path null-code guard: [[encode]]/[[encodeResidual]]
+    * yield NULL codes for ragged/null-element vectors and (residual)
+    * unknown coarse cells — correct for ad-hoc scoring, but a PERSISTED
+    * null-code row would silently vanish from every future shortlist
+    * (null ADC sorts last), degrading recall with no failure anywhere.
+    * So every write path fails the job instead (the [[checkedXq]]
+    * training rule applied at persist time); assert_true rides inside the
+    * projected expression so Catalyst can't prune it.
+    */
+  private def checkedCode(idCol: String, op: String): Column =
+    when(assert_true(col("pq_code").isNotNull,
+        concat(lit(s"$op: NULL pq_code for id "), col(idCol).cast("string"),
+          lit(" — ragged/null-element vector or a coarse cell the " +
+            "codebooks never saw; a persisted null-code row would " +
+            "silently vanish from every shortlist"))).isNull,
+      col("pq_code")).as("pq_code")
 
   private def writeCodebooks(spark: SparkSession, cb: Codebooks,
       path: String): Unit = {
@@ -708,8 +737,66 @@ object Pq {
     val enc = if (cb.encoding == EncResidual)
       encodeResidual(assigned, vecCol, cb, cents)
     else encode(assigned, vecCol, cb)
-    enc.select(col(idCol), col("centroid_id"), col("pq_code"))
+    enc.select(col(idCol), col("centroid_id"),
+        checkedCode(idCol, "Pq.appendToIndex"))
       .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
+  /** One streaming-ingest microbatch — exposed for direct replay
+    * exercise (the oracle replays a batch id and the probe must not
+    * move); [[streamingPqIngest]] wires it into `foreachBatch`. Unlike
+    * [[appendToIndex]] (append-only, at-most-once per vector by caller
+    * contract), the batch's rows land in the idempotent
+    * `_ingest/<queryTag>/b_<batchId>` subtree ([[IndexLifecycle]] layout,
+    * shared with the text/signature/semantic/line/image families): a
+    * REPLAYED batch overwrites its own subtree instead of appending
+    * duplicate code rows. Encoding is self-configuring — cells from the
+    * index's own `_centroids`, codes (and the raw/residual tag) from its
+    * own `_pq_codebooks` — so an ingest loop can never drift from the
+    * base build. The write stages into a `.tmp` sibling and renames into
+    * place, so probes never see a half-written subtree; the visibility
+    * gap is one delete+rename of metadata, not the encode+write.
+    */
+  def ingestPqBatch(batch: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, queryTag: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = Similarity.ivfReadCentroids(spark, indexPath)
+    val cb = readCodebooks(spark, indexPath)
+    val assigned = Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)),
+      idCol, vecCol, cents)
+    val enc = if (cb.encoding == EncResidual)
+      encodeResidual(assigned, vecCol, cb, cents)
+    else encode(assigned, vecCol, cb)
+    val dir = IndexLifecycle.ingestBatchDir(indexPath, queryTag, batchId)
+    IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
+      enc.select(col(idCol), col("centroid_id"),
+          checkedCode(idCol, "Pq.ingestPqBatch"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    }
+  }
+
+  /** Live-ingest loop for the PQ index — the PQ member of the streaming-
+    * index family ([[Retrieval.streamingTextIngest]],
+    * [[Dedup.streamingIngest]], [[Similarity.streamingSemIngest]],
+    * [[Boilerplate.streamingLineIngest]],
+    * [[ImageDedup.streamingImageIngest]]): each trigger's vectors land as
+    * one idempotent subtree that [[readIndex]] unions into every later
+    * probe. Build the base first with [[writeIndex]]; [[compactIndex]]
+    * folds accumulated subtrees back into the base cell layout. The
+    * query tag derives from the QUALIFIED checkpoint path so a restarted
+    * query lands replayed batches on the same subtrees.
+    */
+  def streamingPqIngest(stream: DataFrame, idCol: String, vecCol: String,
+      indexPath: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val queryTag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestPqBatch(batch.toDF(), idCol, vecCol, indexPath, queryTag,
+          batchId)
+      }
+      .start()
   }
 
   /** Codebooks persisted by [[writeIndex]], back in driver shape. */
@@ -724,6 +811,12 @@ object Pq {
     require(rows.nonEmpty, s"Pq.readCodebooks: no codebooks at $path")
     val scale = rows.head.getLong(3)
     val encoding = rows.head.getString(4)
+    // every row must agree on (scale, enc): a torn or mixed _pq_codebooks
+    // write would otherwise silently elect rows.head's tag and decode the
+    // whole index with the wrong arithmetic
+    require(rows.forall(r => r.getLong(3) == scale && r.getString(4) == encoding),
+      s"Pq.readCodebooks: _pq_codebooks at $path mixes (scale, enc) values " +
+        "— torn or mixed write; rebuild the index artifact")
     val bySub = rows.groupBy(_.getInt(0))
     val subspaces = bySub.keys.max + 1
     val books = (0 until subspaces).map { s =>
@@ -733,17 +826,34 @@ object Pq {
     Codebooks(subspaces, books.head.head.length, scale, books, encoding)
   }
 
-  /** Read back a [[writeIndex]]-persisted code index (cell-partitioned). */
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read back a [[writeIndex]]-persisted code index (cell-partitioned),
+    * UNIONED with every [[streamingPqIngest]] subtree under `_ingest` —
+    * the one read all probes go through, so streamed rows are findable
+    * the moment their batch commits. Each subtree is itself
+    * cell-partitioned parquet, so the probe's `centroid_id` filter
+    * partition-prunes every leg of the union; ingest dirs read with the
+    * base schema pinned (an empty batch's subtree has no files to infer
+    * from).
+    */
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val ingest = IndexLifecycle.listIngestDirs(spark, path)
+    if (ingest.isEmpty) base
+    else (base +: ingest.map(spark.read.schema(base.schema).parquet(_)))
+      .reduce(_ unionByName _)
+  }
 
-  /** Compact an appended PQ index into `targetPath` (disjoint by
-    * contract, like every index family): each microbatch append adds ≥ 1
+  /** Compact an appended/streamed PQ index into `targetPath` (disjoint
+    * by contract, like every index family): each microbatch adds ≥ 1
     * file per touched cell, so long ingest loops accrete small files;
-    * compaction rewrites each cell into `filesPerCell` files and carries
-    * the `_centroids` + `_pq_codebooks` artifacts verbatim — both are
-    * read (and thereby validated) BEFORE the corpus-sized rewrite, so a
-    * non-artifact source fails in milliseconds.
+    * compaction folds the base layout AND every `_ingest` subtree
+    * ([[readIndex]]'s union) into `filesPerCell` files per cell and
+    * carries the `_centroids` + `_pq_codebooks` artifacts verbatim —
+    * both are read (and thereby validated) BEFORE the corpus-sized
+    * rewrite, so a non-artifact source fails in milliseconds. The
+    * compacted target has no `_ingest` subtree: streamed rows become
+    * base rows (the raw/residual `enc` tag survives in the carried
+    * codebooks — PqSpec-locked).
     */
   def compactIndex(spark: SparkSession, path: String, targetPath: String,
       filesPerCell: Int = 1): Unit = {
@@ -753,7 +863,7 @@ object Pq {
     require(cents.nonEmpty,
       s"Pq.compactIndex: empty _centroids at $path — not a Pq.writeIndex artifact")
     val cb = readCodebooks(spark, path)
-    IndexLifecycle.clusterForPartitionedWrite(spark.read.parquet(path),
+    IndexLifecycle.clusterForPartitionedWrite(readIndex(spark, path),
         "centroid_id", filesPerPartition = filesPerCell)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
     Similarity.writeCentroids(spark, cents, targetPath)

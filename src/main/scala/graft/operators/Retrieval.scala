@@ -339,25 +339,24 @@ object Retrieval {
       // replay idempotence + the sidecar-FIRST invariant (the
       // appendToTextIndex rule: every observable state is sidecar ≥
       // postings, where over-complete is harmless — phantom blocks bound
-      // rows that don't exist; scoring df comes from the postings). A
-      // postings `overwrite` would wipe the whole subtree INCLUDING a
-      // just-written sidecar, so the replay reset is an explicit delete:
-      // (1) drop the subtree (stale postings AND stale sidecar go
-      // together — a crash here leaves an empty subtree, which probes
-      // read as zero rows), (2) write the sidecar (over-complete until
-      // the postings land), (3) APPEND postings into the now-fresh
-      // subtree. A crash between (2) and (3) — or mid-(3) — leaves the
-      // sidecar covering postings that don't exist yet: bounds are
-      // weaker-side-safe, never mispruning, until the replay completes.
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-        batch.sparkSession.sessionState.newHadoopConf())
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      blockSize.foreach { bs =>
-        blockStatsOf(rows.where(col("term").isNotNull), bs)
-          .write.mode("overwrite").partitionBy("__tb")
-          .parquet(s"$dir/$BlockStatsDirName")
+      // rows that don't exist; scoring df comes from the postings). Both
+      // writes STAGE into the subtree's `.tmp` sibling (invisible to
+      // probes — listIngestDirs skips the suffix) and publish by
+      // delete+rename ([[IndexLifecycle.writeViaTmp]]): a replay after a
+      // crash overwrites its own stage and republished bit-identical;
+      // probes never see a half-written subtree, and the only window
+      // where a previously-committed batch is absent is the two metadata
+      // ops, not the full recompute+rewrite. Sidecar still lands before
+      // postings inside the stage, so even a torn non-atomic rename
+      // store degrades to the weaker-side-safe over-complete state.
+      IndexLifecycle.writeViaTmp(batch.sparkSession, dir) { tmp =>
+        blockSize.foreach { bs =>
+          blockStatsOf(rows.where(col("term").isNotNull), bs)
+            .write.mode("overwrite").partitionBy("__tb")
+            .parquet(s"$tmp/$BlockStatsDirName")
+        }
+        rows.write.mode("append").partitionBy("__tb").parquet(tmp)
       }
-      rows.write.mode("append").partitionBy("__tb").parquet(dir)
     } finally rows.unpersist()
   }
 
@@ -508,6 +507,15 @@ object Retrieval {
     }
 
     // ---- stats-only plane: bounds, seeds, θ, survivors ----
+    // The plane costs TWO fixed jobs total (was four before the r15
+    // fusion, each recomputing the df/stats aggregation): (1) one
+    // bucket-pruned postings aggregation collecting df-per-term and the
+    // corpus (N, avgdl) — |terms|+1 driver rows, re-injected as LOCAL
+    // relations so no later action recomputes them; (2) one sidecar
+    // TakeOrdered collecting the top max(seedBoost·n, maxSurvivors+1)
+    // blocks by upper bound, which serves BOTH the seed-prefix selection
+    // and (post-θ) the survivor filter — no third job re-scans the
+    // sidecar for survivors.
     val bstats = roots
       .map(r => spark.read.schema(blockStatsSchema)
         .parquet(s"$r/$BlockStatsDirName"))
@@ -521,19 +529,43 @@ object Retrieval {
       .map(r => spark.read.schema(indexSchema).parquet(r))
       .reduce(_ unionByName _)
       .filter(col("__tb").isInCollection(tks :+ StatsToken))
-    val stats = rows.where(col("term").isNull)
-      .agg(sum(col("tf")).as("__n"),
-        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
-          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
-          .as("__avgdl"))
     // df per term from the POSTINGS — the exact number the plain probe
     // uses, so scoring parity holds even if the sidecar has drifted (a
-    // crash between an append's two writes); it is one 1-column count
-    // over the bucket-pruned postings, the same job the plain probe runs.
-    // The sidecar's Σ n_docs equals it only when the sidecar is complete.
-    val dfreq = rows
-      .where(col("term").isNotNull && col("term").isin(queryTerms: _*))
-      .groupBy("term").agg(count(lit(1)).as("__df"))
+    // crash between an append's two writes); the sidecar's Σ n_docs
+    // equals it only when the sidecar is complete. Fused with the corpus
+    // stats row into ONE grouped pass (the null-term group IS the stats
+    // row), collected once, never recomputed.
+    val aggRows = rows
+      .where(col("term").isNull || col("term").isin(queryTerms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__c"), sum(col("tf")).as("__stf"),
+        sum(col("dl")).as("__sdl"))
+      .collect()
+    // same arithmetic as the plain probe's stats aggregate: __n = Σtf of
+    // the stats rows; __avgdl = Σdl / Σtf (double division), NULL when
+    // the index holds no documents
+    val statsRow = aggRows.find(_.isNullAt(0)) // fields: term, __c, __stf, __sdl
+    val nOpt: Option[Long] = statsRow.map(r =>
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+    val avgOpt: Option[Double] = statsRow.collect {
+      case r if !r.isNullAt(2) && r.getLong(2) != 0L && !r.isNullAt(3) =>
+        r.getLong(3).toDouble / r.getLong(2)
+    }
+    val stats = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        nOpt.map(java.lang.Long.valueOf).orNull,
+        avgOpt.map(java.lang.Double.valueOf).orNull)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__avgdl",
+          org.apache.spark.sql.types.DoubleType))))
+    val dfreq = {
+      import spark.implicits._
+      aggRows.filter(!_.isNullAt(0))
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("term", "__df")
+    }
 
     val bounds = bstats
       .join(broadcast(dfreq), "term")
@@ -549,16 +581,23 @@ object Retrieval {
     // block, which sits far below the true n-th best whenever the
     // selective (high-idf) docs are a small fraction of each block, and
     // then prunes nothing. docsLB ≥ 1 bounds the prefix at seedBoost·n
-    // blocks, so a TakeOrderedAndProject top-(seedBoost·n) + a driver
-    // prefix scan replaces what was a single-partition global window.
+    // blocks, so a TakeOrderedAndProject top-max(seedBoost·n,
+    // maxSurvivors+1) + a driver prefix scan replaces what was a
+    // single-partition global window — and the SAME collected, desc-
+    // ordered list answers the survivor filter below: any block with
+    // bound ≥ θ that is not among the collected top maxSurvivors+1 can
+    // only exist when MORE than maxSurvivors blocks clear θ, which is
+    // exactly the documented degrade-to-unpruned case.
     val seedTarget = seedBoost.toLong * n
-    val seedCand = bounds
+    val planeLimit = (seedTarget max (maxSurvivors.toLong + 1)) min
+      Int.MaxValue.toLong
+    val plane = bounds
       .orderBy(col("__ub").desc, col("block").asc)
-      .limit((seedTarget min Int.MaxValue.toLong).toInt)
-      .select("block", "__docs_lb").collect()
+      .limit(planeLimit.toInt)
+      .select("block", "__docs_lb", "__ub").collect()
     val seeds = {
       var cum = 0L
-      seedCand.takeWhile { r =>
+      plane.takeWhile { r =>
         val keep = cum < seedTarget; cum += r.getLong(1); keep
       }.map(_.getLong(0)).toSeq
     }
@@ -591,9 +630,14 @@ object Retrieval {
       return skipped(_.copy(seedBlocks = seeds.length.toLong))
     val theta = seedTop.map(_.getLong(0)).min
 
-    val survivors = bounds.where(col("__ub") >= theta)
-      .select("block").limit(maxSurvivors + 1)
-      .collect().map(_.getLong(0)).toSeq
+    // survivors off the ALREADY-collected plane — no extra job. The
+    // plane holds the top maxSurvivors+1 blocks by bound (desc), so if
+    // ≤ maxSurvivors of them clear θ, every clearing block in the index
+    // is among them (anything uncollected bounds below the plane's
+    // minimum); more than maxSurvivors ⇒ the documented unpruned
+    // fallback, exactly as the old third job decided it.
+    val survivors = plane.filter(r => !r.isNullAt(2) && r.getLong(2) >= theta)
+      .map(_.getLong(0)).toSeq
     val plan = WandPlan(blockSize, totalBlocks, seeds.length.toLong,
       Some(theta),
       if (survivors.length > maxSurvivors) None else Some(survivors))

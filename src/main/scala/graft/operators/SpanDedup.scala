@@ -57,9 +57,11 @@ object SpanDedup {
     * (content multiplicity on the collapsed path).
     */
   private def gramHashes(df: DataFrame, keyCol: String, textCol: String,
-      n: Int, carry: Seq[String] = Nil): DataFrame =
+      n: Int, carry: Seq[String] = Nil,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame =
     df.select(col(keyCol) +: carry.map(col) :+
-        posexplode(TextQueries.ngramsCol(col(textCol), n)).as(Seq("s", "__g")): _*)
+        posexplode(TextQueries.ngramsCol(col(textCol), n, tokenizer))
+          .as(Seq("s", "__g")): _*)
       .select(col(keyCol) +: carry.map(col) :+
         col("s").cast("long").as("s") :+ md5(col("__g")).as("h"): _*)
 
@@ -85,7 +87,8 @@ object SpanDedup {
     * results are identical to computing on the uncollapsed corpus.
     */
   private def contentHits(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int): DataFrame = {
+      n: Int, minDocs: Int,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     // groupBy the TEXT ITSELF: string grouping KEYS hash-aggregate fine
     // (only string agg BUFFERS force SortAggregate — first(text) would),
     // and the map-side partial agg collapses same-partition copies before
@@ -107,7 +110,7 @@ object SpanDedup {
       .withColumn("__ch", md5(col(textCol)))
       .repartition(width)
     val grams = gramHashes(contents, "__ch", textCol, n,
-      carry = Seq("__mult", "__rep"))
+      carry = Seq("__mult", "__rep"), tokenizer = tokenizer)
     val dupStats = grams
       .select(col("h"), col("__ch"), col("__mult"), col("__rep")).distinct()
       .groupBy(col("h"))
@@ -123,9 +126,10 @@ object SpanDedup {
     * span_start, span_end)`.
     */
   private def spansByContent(df: DataFrame, idCol: String, textCol: String,
-      n: Int, minDocs: Int): DataFrame =
+      n: Int, minDocs: Int,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame =
     mergeIslands(
-      contentHits(df, idCol, textCol, n, minDocs)
+      contentHits(df, idCol, textCol, n, minDocs, tokenizer)
         .select(col("__ch"), col("s"), col("e")),
       "__ch")
 
@@ -141,15 +145,16 @@ object SpanDedup {
     */
   def duplicateTokenSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2,
-      collapseExact: Boolean = true): DataFrame = {
+      collapseExact: Boolean = true,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     require(n >= 2, s"duplicateTokenSpans: n must be >= 2, got $n")
     require(minDocs >= 2, s"duplicateTokenSpans: minDocs must be >= 2, got $minDocs")
     if (collapseExact) {
-      spansByContent(df, idCol, textCol, n, minDocs)
+      spansByContent(df, idCol, textCol, n, minDocs, tokenizer)
         .join(df.select(col(idCol), md5(col(textCol)).as("__ch")), Seq("__ch"))
         .select(col(idCol), col("span_start"), col("span_end"))
     } else {
-      val grams = gramHashes(df, idCol, textCol, n)
+      val grams = gramHashes(df, idCol, textCol, n, tokenizer = tokenizer)
       // df(gram) >= minDocs over DISTINCT documents: dedup (doc, h) first so
       // a gram repeated WITHIN one doc does not count as cross-doc duplication
       val dupHashes = grams.select(col("h"), col(idCol)).distinct()
@@ -177,14 +182,16 @@ object SpanDedup {
     * explode, no extra shuffle over the corpus.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, minDocs: Int = 2): DataFrame =
+      n: Int = 5, minDocs: Int = 2,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame =
     cutSpans(df, idCol, textCol,
-      spansByContent(df, idCol, textCol, n, minDocs)
+      spansByContent(df, idCol, textCol, n, minDocs, tokenizer)
         .groupBy(col("__ch"))
         .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
           .as("__spans")),
       spanCol = coalesce(col("__spans"),
-        array().cast("array<struct<s:bigint,e:bigint>>")))
+        array().cast("array<struct<s:bigint,e:bigint>>")),
+      tokenizer = tokenizer)
 
   /** [[removeDuplicateSpans]] with the published ExactSubstr keep-one
     * policy (Lee et al. ACL'22 remove all-but-one occurrence): each
@@ -221,9 +228,10 @@ object SpanDedup {
     }
 
   def removeDuplicateSpansKeepFirst(df: DataFrame, idCol: String,
-      textCol: String, n: Int = 5, minDocs: Int = 2): DataFrame = {
+      textCol: String, n: Int = 5, minDocs: Int = 2,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val hits = Dedup.swapBarrier(lastHitsBarrier,
-      contentHits(df, idCol, textCol, n, minDocs))
+      contentHits(df, idCol, textCol, n, minDocs, tokenizer))
     def packed(src: DataFrame, out: String): DataFrame =
       mergeIslands(src.select(col("__ch"), col("s"), col("e")), "__ch")
         .groupBy(col("__ch"))
@@ -245,14 +253,16 @@ object SpanDedup {
     cutSpans(df, idCol, textCol, spans,
       spanCol = when(col(idCol) === col("__rep"),
           coalesce(col("__spans_rep"), empty))
-        .otherwise(coalesce(col("__spans_all"), empty)))
+        .otherwise(coalesce(col("__spans_all"), empty)),
+      tokenizer = tokenizer)
   }
 
   /** Shared cut: join per-content span arrays to the corpus on the content
     * hash and filter tokens through higher-order array functions.
     */
   private def cutSpans(df: DataFrame, idCol: String, textCol: String,
-      spans: DataFrame, spanCol: Column): DataFrame = {
+      spans: DataFrame, spanCol: Column,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     val covered = (i: Column) =>
       exists(spanCol, s => i >= s.getField("s") && i < s.getField("e"))
     def keptOf(t: Column): Column = filter(
@@ -269,7 +279,7 @@ object SpanDedup {
     // once per row before expanding its fields to columns (a plain
     // two-column select of result.getField(...) would re-inline the whole
     // chain per column).
-    val packed = transform(array(TextQueries.tokensCol(col(textCol))), t =>
+    val packed = transform(array(tokenizer.column(col(textCol))), t =>
       element_at(
         transform(array(keptOf(t)), k =>
           struct(

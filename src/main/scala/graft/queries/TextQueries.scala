@@ -132,12 +132,16 @@ object TextQueries {
   private lazy val minhashAgreeSql: String =
     (0 until NumPerm).map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-  private lazy val minhashCtesSql: String = {
+  /** The sigs/bands/cand CTE chain over an arbitrary shingle SELECT —
+    * the ascii default and the unicode-tokenized variant share one
+    * definition so the banding/perm arithmetic cannot drift.
+    */
+  private def minhashCtesSqlOver(shingles: String): String = {
     val mins = perms.zipWithIndex.map { case ((a, b), j) =>
       s"min(($a * h + $b) % $P) AS m$j"
     }.mkString(", ")
     val sigs = s"SELECT doc_id, $mins FROM (SELECT doc_id, ${hash32Sql("s")} % $P AS h " +
-      s"FROM ($shinglesSql)) GROUP BY doc_id"
+      s"FROM ($shingles)) GROUP BY doc_id"
     val bands = (0 until 8).map { bnd =>
       val cols = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, md5(concat_ws(',', $cols)) AS bh FROM sigs"
@@ -146,6 +150,7 @@ object TextQueries {
       "cand AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb FROM bands x " +
       "JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"
   }
+  private lazy val minhashCtesSql: String = minhashCtesSqlOver(shinglesSql)
 
   val qDedupMinhash = q(
     "q_dedup_minhash",
@@ -344,6 +349,46 @@ object TextQueries {
     val idx = scratchDir("graft_sigidx", d)
     graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
     graft.operators.Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
+  }
+
+  /** INCREMENTAL MinHash dedup under the UNICODE tokenizer
+    * ([[graft.operators.Tokenizer.Unicode]] threaded through
+    * [[graft.operators.Dedup.writeSignatureIndex]], the tag persisted in
+    * the index meta and resolved — not passed — by the probe, the
+    * `q_bm25_unicode` pattern for the dedup family). The corpus text gets
+    * every 'a' accented to 'á' so the rule is LOAD-BEARING: the ascii
+    * default treats 'á' as a separator (splitting words, different
+    * shingles, different signatures), so an implementation that dropped
+    * the tokenizer anywhere — signature, banding, probe side — would
+    * hash-mismatch. The oracle recomputes the whole unicode pipeline:
+    * same shingles, same perm minima, same banding, same agreement rule.
+    */
+  val qDedupMinhashUnicode = q(
+    "q_dedup_minhash_unicode", {
+      val toksU = graft.operators.Tokenizer.Unicode(casefold = true)
+        .duckSql("regexp_replace(text, 'a', 'á', 'g')")
+      val shingles =
+        "SELECT doc_id, unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)]) AS s " +
+          s"FROM (SELECT doc_id, $toksU AS t FROM documents) WHERE len(t) >= 3"
+      s"WITH ${minhashCtesSqlOver(shingles)}, " +
+        "m AS (SELECT DISTINCT n.doc_id AS doc_id, c.doc_id AS corpus_id " +
+        "FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh " +
+        "WHERE n.doc_id % 7 = 0 AND c.doc_id % 7 <> 0) " +
+        s"SELECT m.doc_id, m.corpus_id, ($minhashAgreeSql) AS agreeing " +
+        "FROM m JOIN sigs a ON a.doc_id = m.doc_id " +
+        "JOIN sigs b ON b.doc_id = m.corpus_id " +
+        s"WHERE ($minhashAgreeSql) * 2 >= $NumPerm"
+    }) { (s, d) =>
+    import graft.operators.{Dedup, Tokenizer}
+    val docs = Tables.documentsBalanced(s, d)
+      .withColumn("text", regexp_replace(col("text"), "a", "á"))
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val idx = scratchDir("graft_sigidx_u", d)
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx,
+      tokenizer = Tokenizer.Unicode(casefold = true))
+    // the probe resolves the tokenizer from the index's own meta
+    Dedup.dedupAgainstIndex(batch, "doc_id", "text", idx)
   }
 
   /** pid-suffixed scratch dirs (signature indexes) registered here are
@@ -1704,8 +1749,8 @@ object TextQueries {
   val all: Seq[GraftQuery] = Seq(
     qQualityGopher, qC4Clean,
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
-    qMinhashSig, qDedupMinhash, qDedupNear, qDedupNearBest, qDedupIncremental,
-    qDedupIncremental2,
+    qMinhashSig, qDedupMinhash, qDedupMinhashUnicode, qDedupNear, qDedupNearBest,
+    qDedupIncremental, qDedupIncremental2,
     qSimhash, qSimhash64Cluster,
     qWinnowFingerprint, qWinnowPairs,
     qNgramJaccard, qTextStats, qLangId, qQualityScore, qOutlierMad, qCcnetBuckets, qTokenCount,

@@ -235,6 +235,49 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** STREAMING-INGESTED IVF-PQ index ([[graft.operators.Pq.ingestPqBatch]]
+    * / [[graft.operators.Pq.streamingPqIngest]] /
+    * [[graft.operators.Pq.readIndex]]): a third of the corpus builds the
+    * base via writeIndex; the other two thirds arrive as TWO ingest-loop
+    * microbatches landing in idempotent `_ingest/<queryTag>/b_<id>`
+    * subtrees (encoding self-configured from the index's own `_centroids`
+    * + `_pq_codebooks`); batch 1 is then REPLAYED — the crash-recovery
+    * path — and must overwrite its own subtree, not duplicate it. The
+    * probe reads the base ∪ ingest union and, by the rerank contract,
+    * returns exactly the probed-cell exact top-10 over the FULL corpus —
+    * the same oracle as `q_ann_ivfpq` (which never leaves memory), so a
+    * dropped, duplicated, or double-counted streamed row breaks the
+    * hash.
+    */
+  val qAnnIvfPqIncremental = q(
+    "q_ann_ivfpq_incremental",
+    qAnnIvfPq.oracle.get) { (s, d) =>
+    import graft.operators.{IndexLifecycle, Pq, Similarity}
+    val emb = Tables.embeddingsBalanced(s, d)
+    val corpus = emb.filter(col("vec_id") > 8)
+    val cents = Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    val queryVec = Tables.embeddings(s, d).filter(col("vec_id") === 8)
+      .select("embedding").collect().head.getAs[Seq[Float]](0).toArray
+    val cb = Pq.train(corpus, "vec_id", "embedding",
+      subspaces = 16, codes = 256, iters = 3)
+    val idx = TextQueries.scratchDir("graft_pqidx_inc", d)
+    Pq.writeIndex(Pq.encode(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", cents), "embedding", cb),
+      "vec_id", cents, cb, idx)
+    val tag = IndexLifecycle.queryTagOf(s, s"$idx/_ckpt")
+    val batch1 = corpus.filter(col("vec_id") % 3 === 1)
+    Pq.ingestPqBatch(batch1, "vec_id", "embedding", idx, tag, 0L)
+    Pq.ingestPqBatch(corpus.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", idx, tag, 1L)
+    Pq.ingestPqBatch(batch1, "vec_id", "embedding", idx, tag, 0L) // replay
+    Pq.ivfPqSearchTopK(Pq.readIndex(s, idx), corpus, "vec_id", "embedding",
+        cents, Pq.readCodebooks(s, idx), queryVec,
+        k = 10, rerankK = 256, nprobe = 2)
+      .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** BATCH IVF-PQ serving ([[graft.operators.Pq.ivfPqJoinTopK]]): the
     * compressed-index pipeline for a query SET in one plan — per-query
     * probe cells + ADC tables prepared driver-side (bounded by the
@@ -977,7 +1020,7 @@ object VectorQueries {
     qEmbedNorm, qEmbedTopK, qAnnIvf, qAnnIvfSearch, qAnnIvfPq, qAnnIvfPqResidual, qAnnMultiProbe,
     qEmbedNearDup, qAnnLsh, qAnnMulti, qEmbedQuant, qKmeansStep, qKmeansSeed,
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
-    qAnnIvfPqBatch,
+    qAnnIvfPqBatch, qAnnIvfPqIncremental,
     qSemDedup, qSemDedupBest, qSemDedupIncremental, qSemDedupIncremental2,
     qEmbedProject, qAnnProjected)
 }

@@ -292,6 +292,278 @@ class PqSpec extends SparkSpec {
       e2.getMessage)
   }
 
+  // ----------------------------------------------------------------------
+  // IVFADC residual lifecycle
+  // ----------------------------------------------------------------------
+
+  private def centsOf(maxId: Int): Seq[(Int, Array[Float])] =
+    Similarity.collectCentroids(
+      emb.filter(col("vec_id") < maxId), "vec_id", "embedding")
+
+  test("residual: rerank contract holds; batch path agrees with single-query path including the per-cell offset") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.trainResidual(corpus, "vec_id", "embedding", cents,
+      subspaces = 16, codes = 256, iters = 2)
+    assert(cb.encoding == Pq.EncResidual)
+    val encoded = Pq.encodeResidual(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb, cents).localCheckpoint()
+    val n = corpus.count().toInt
+    // full probe + full rerank must be exact (encoding-independent)
+    val query = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Pq.ivfPqSearchTopK(encoded, corpus, "vec_id", "embedding",
+        cents, cb, query, k = 10, rerankK = n, nprobe = cents.size)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exact, "residual IVF-PQ full probe + full rerank must be exact")
+    // batch ≡ single at a small rerankK across MULTIPLE probed cells —
+    // this is where a wrong/missing per-cell coarse offset diverges the
+    // two paths (their shortlists are assembled differently)
+    val queries = emb.filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Pq.ivfPqJoinTopK(encoded, corpus, "vec_id", "embedding",
+        queries, "qid", "qvec", cents, cb, k = 5, rerankK = 32, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Seq(8L, 9L).flatMap { qid =>
+      val qv = emb.filter(col("vec_id") === qid).select("embedding")
+        .collect().head.getAs[Seq[Float]](0).toArray
+      Pq.ivfPqSearchTopK(encoded, corpus, "vec_id", "embedding", cents, cb,
+          qv, k = 5, rerankK = 32, nprobe = 3)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch === single,
+      "residual batch serving must equal per-query single searches")
+  }
+
+  test("residual: enc tag survives writeIndex -> append -> compact; probes agree at every stage") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.trainResidual(corpus, "vec_id", "embedding", cents,
+      subspaces = 8, codes = 16, iters = 2, trainN = 200)
+    val dir = tempDir("pqres") + "/idx"
+    Pq.writeIndex(Pq.encodeResidual(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", cents), "embedding", cb, cents),
+      "vec_id", cents, cb, dir)
+    assert(Pq.readCodebooks(spark, dir).encoding == Pq.EncResidual,
+      "writeIndex must persist the residual tag")
+    // append self-resolves the encoding from the artifact
+    Pq.appendToIndex(corpus.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", dir)
+    val query = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val n = corpus.count().toInt
+    def probe(path: String): Seq[Long] =
+      Pq.ivfPqSearchTopK(Pq.readIndex(spark, path), corpus, "vec_id",
+          "embedding", Similarity.ivfReadCentroids(spark, path),
+          Pq.readCodebooks(spark, path), query, k = 5, rerankK = n,
+          nprobe = cents.size)
+        .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(probe(dir) === exact)
+    val tgt = tempDir("pqresc") + "/idx"
+    Pq.compactIndex(spark, dir, tgt)
+    val cb2 = Pq.readCodebooks(spark, tgt)
+    assert(cb2.encoding == Pq.EncResidual,
+      "compactIndex must carry the residual tag, not default it to raw")
+    assert(cb2.books.flatten.map(_.toSeq) == cb.books.flatten.map(_.toSeq))
+    assert(probe(tgt) === exact)
+  }
+
+  test("residual: mixed-encoding guards refuse the wrong encode path and flat search") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val resCb = Pq.trainResidual(corpus, "vec_id", "embedding", cents,
+      subspaces = 8, codes = 16, iters = 0, trainN = 100)
+    val rawCb = Pq.train(corpus, "vec_id", "embedding",
+      subspaces = 8, codes = 16, iters = 0, trainN = 100)
+    val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+    val e1 = intercept[IllegalArgumentException](
+      Pq.encode(corpus, "embedding", resCb))
+    assert(e1.getMessage.contains("encodeResidual"))
+    val e2 = intercept[IllegalArgumentException](
+      Pq.encodeResidual(assigned, "embedding", rawCb, cents))
+    assert(e2.getMessage.contains("raw-encoded"))
+    val e3 = intercept[IllegalArgumentException](
+      Pq.encodeResidual(corpus, "embedding", resCb, cents))
+    assert(e3.getMessage.contains("centroid_id"))
+    // residual codes only rank within their cells — flat search refuses
+    val enc = Pq.encodeResidual(assigned, "embedding", resCb, cents)
+    val qv = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val e4 = intercept[IllegalArgumentException](
+      Pq.pqSearchTopK(enc, corpus, "vec_id", "embedding", resCb, qv,
+        k = 5, rerankK = 10))
+    assert(e4.getMessage.contains("ivfPqSearchTopK"))
+  }
+
+  test("residual: unknown cell and ragged vector yield NULL codes, and every persist path fails loud on them") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.trainResidual(corpus, "vec_id", "embedding", cents,
+      subspaces = 8, codes = 16, iters = 0, trainN = 100)
+    // kernel level: a coarse cell the codebooks never saw -> NULL code
+    val goodVec = emb.filter(col("vec_id") === 10).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val forged = Seq((999L, goodVec, 99))
+      .toDF("vec_id", "embedding", "centroid_id")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "centroid_id")
+    val enc = Pq.encodeResidual(forged, "embedding", cb, cents)
+    assert(enc.select("pq_code").collect().head.isNullAt(0),
+      "unknown cell must yield a NULL code")
+    // ragged vector -> NULL code too
+    val ragged = Seq((998L, Seq(1f, 0f), 0))
+      .toDF("vec_id", "embedding", "centroid_id")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "centroid_id")
+    assert(Pq.encodeResidual(ragged, "embedding", cb, cents)
+      .select("pq_code").collect().head.isNullAt(0),
+      "ragged vector must yield a NULL code")
+    // persist paths: a NULL code must fail the job, not vanish from the
+    // index (it would silently drop out of every future shortlist)
+    val dir = tempDir("pqnull") + "/idx"
+    val e = intercept[Exception](Pq.writeIndex(enc, "vec_id", cents, cb, dir))
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgChain(e).contains("NULL pq_code"), msgChain(e))
+    // a valid base build, then an append of a ragged vector fails loud
+    Pq.writeIndex(Pq.encodeResidual(
+        Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+        "embedding", cb, cents), "vec_id", cents, cb, dir)
+    val raggedRaw = Seq((997L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding")
+    val e2 = intercept[Exception](
+      Pq.appendToIndex(raggedRaw, "vec_id", "embedding", dir))
+    assert(msgChain(e2).contains("NULL pq_code"), msgChain(e2))
+  }
+
+  test("readCodebooks refuses a torn _pq_codebooks (mixed enc or scale rows)") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 4,
+      codes = 8, iters = 0, trainN = 100)
+    val dir = tempDir("pqtorn") + "/idx"
+    Pq.writeIndex(Pq.encode(
+        Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+        "embedding", cb), "vec_id", cents, cb, dir)
+    // simulate a torn write: one extra codebook row with a different tag
+    Seq((0, 999, Seq(0L), cb.scale, Pq.EncResidual))
+      .toDF("sub", "code", "cw", "scale", "enc")
+      .write.mode("append").parquet(s"$dir/_pq_codebooks")
+    val e = intercept[IllegalArgumentException](Pq.readCodebooks(spark, dir))
+    assert(e.getMessage.contains("mixes"))
+  }
+
+  // ----------------------------------------------------------------------
+  // Streaming ingest + replayed-append shortlist regression
+  // ----------------------------------------------------------------------
+
+  test("streaming ingest: MemoryStream batches land as idempotent subtrees; probe equals the full build; compaction folds them in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = emb.filter(col("vec_id") > 9).localCheckpoint()
+    val cents = centsOf(8)
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 8,
+      codes = 16, iters = 2, trainN = 200)
+    val dir = tempDir("pqstream") + "/idx"
+    val base = corpus.filter(col("vec_id") % 3 === 0)
+    Pq.writeIndex(Pq.encode(
+        Similarity.ivfAssign(base, "vec_id", "embedding", cents),
+        "embedding", cb), "vec_id", cents, cb, dir)
+    val rest = corpus.filter(col("vec_id") % 3 =!= 0)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (b0, b1) = rest.partition(_._1 % 3 == 1)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Pq.streamingPqIngest(in.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, tempDir("pqstream_ckpt"))
+    try {
+      in.addData(b0.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b1.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val idx = Pq.readIndex(spark, dir)
+    assert(idx.count() == corpus.count(),
+      "base + streamed batches must cover the corpus exactly once")
+    val query = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, k = 5).collect().map(_.getLong(0)).toSeq
+    val n = corpus.count().toInt
+    val got = Pq.ivfPqSearchTopK(idx, corpus, "vec_id", "embedding",
+        cents, Pq.readCodebooks(spark, dir), query, k = 5, rerankK = n,
+        nprobe = cents.size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === exact, "streamed index probe must equal the full build")
+    // a REPLAY of batch 0 (same queryTag + batchId — what a crash-restart
+    // does) overwrites its own subtree: same row count, same probe
+    val tag = IndexLifecycle.queryTagOf(spark,
+      // the checkpoint dir used above is gone from scope; replay under a
+      // fresh tag pair instead: write batch 0 twice under one tag
+      tempDir("pqstream_ckpt2"))
+    Pq.ingestPqBatch(base.sparkSession.createDataFrame(b0.toIndexedSeq)
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir, tag, 7L)
+    val afterFirst = Pq.readIndex(spark, dir).count()
+    Pq.ingestPqBatch(base.sparkSession.createDataFrame(b0.toIndexedSeq)
+      .toDF("vec_id", "embedding"), "vec_id", "embedding", dir, tag, 7L)
+    assert(Pq.readIndex(spark, dir).count() == afterFirst,
+      "a replayed batch must overwrite its own subtree, not append")
+    // compaction folds base + every subtree into one layout; probe agrees
+    val tgt = tempDir("pqstreamc") + "/idx"
+    Pq.compactIndex(spark, dir, tgt)
+    assert(spark.read.parquet(tgt).count() == afterFirst,
+      "compaction must fold the ingest subtrees into the base layout")
+    assert(IndexLifecycle.listIngestDirs(spark, tgt).isEmpty)
+    val gotC = Pq.ivfPqSearchTopK(Pq.readIndex(spark, tgt), corpus,
+        "vec_id", "embedding", Similarity.ivfReadCentroids(spark, tgt),
+        Pq.readCodebooks(spark, tgt), query, k = 5, rerankK = n,
+        nprobe = cents.size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotC === exact)
+  }
+
+  test("regression: duplicate code rows (simulated replayed append) keep rerankK counting DISTINCT docs — output equals the clean index") {
+    // the r14 fix (shortlist groupBy BEFORE the limit/rank): with
+    // duplicates and a pre-fix shortlist, rerankK slots fill with copies
+    // and the DISTINCT shortlist shrinks below rerankK, breaking the
+    // "rerankK >= distinct candidates => exact probed-cell top-k" rule
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 8,
+      codes = 16, iters = 2, trainN = 200)
+    val encoded = Pq.encode(
+      Similarity.ivfAssign(corpus, "vec_id", "embedding", cents),
+      "embedding", cb).localCheckpoint()
+    val doubled = encoded.unionAll(encoded) // every code row twice
+    val n = corpus.count().toInt
+    val query = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, k = 10).collect().map(_.getLong(0)).toSeq
+    val got = Pq.ivfPqSearchTopK(doubled, corpus, "vec_id", "embedding",
+        cents, cb, query, k = 10, rerankK = n, nprobe = cents.size)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === exact,
+      "rerankK = corpus size on a doubled index must still be exact " +
+        "(duplicates must not consume shortlist slots)")
+    // batch path: doubled index ≡ clean index row-for-row
+    val queries = emb.filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def batchOn(e: org.apache.spark.sql.DataFrame) =
+      Pq.ivfPqJoinTopK(e, corpus, "vec_id", "embedding", queries, "qid",
+          "qvec", cents, cb, k = 5, rerankK = 16, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchOn(doubled) === batchOn(encoded),
+      "batch serving on a replayed (doubled) index must equal the clean index")
+  }
+
   test("guards fail loud: indivisible dim, rerankK < k, overflowing scale") {
     val df = Seq((1L, Array(1f, 0f, 0f))).toDF("id", "vec")
     val e1 = intercept[IllegalArgumentException](

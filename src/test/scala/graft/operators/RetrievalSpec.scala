@@ -123,6 +123,46 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(Retrieval.bm25AgainstIndex(spark, target, q, 10)) === direct)
   }
 
+  test("regression: a crashed replay never unpublishes the batch it replays (stage-then-rename)") {
+    // pre-fix shape (r14's delete-subtree-first order): a replay DELETED
+    // the committed subtree before recomputing it, so a crash mid-replay
+    // left the batch silently absent from every probe until the next
+    // replay. Post-fix, the replay stages into `<dir>.tmp` and the
+    // committed subtree survives any crash before the final rename.
+    val q = Seq("a", "b")
+    val idx = freshDir("retr_crash")
+    Retrieval.writeTextIndex(corpus.where($"doc_id" < 2), "doc_id", "text",
+      idx, nBuckets = 4)
+    Retrieval.ingestTextBatch(corpus.where($"doc_id" >= 2), "doc_id", "text",
+      idx, queryTag = "qcrash", batchId = 0L)
+    val committed = rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10))
+    assert(committed === rows(Retrieval.bm25Rank(corpus, "doc_id", "text", q, 10)))
+
+    // replay batch 0 with a batch whose evaluation explodes mid-write —
+    // the crash-in-the-middle a restart produces
+    val bomb = org.apache.spark.sql.functions.udf((s: String) => {
+      if (s != null) throw new RuntimeException("kaboom"); s
+    })
+    val crashing = corpus.where($"doc_id" >= 2)
+      .select($"doc_id", bomb($"text").as("text"))
+    intercept[Exception](Retrieval.ingestTextBatch(crashing, "doc_id", "text",
+      idx, queryTag = "qcrash", batchId = 0L))
+    assert(rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)) === committed,
+      "a crashed replay must leave the previously committed batch visible")
+
+    // the healing replay republishes bit-equivalent results and clears
+    // the stage
+    Retrieval.ingestTextBatch(corpus.where($"doc_id" >= 2), "doc_id", "text",
+      idx, queryTag = "qcrash", batchId = 0L)
+    assert(rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)) === committed)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      IndexLifecycle.ingestBatchDir(idx, "qcrash", 0L) +
+        IndexLifecycle.TmpSuffix)),
+      "the healing replay must clear the crashed stage")
+  }
+
   /** The one live queryTag under the index's _ingest dir (this spec runs
     * a single streaming query per index).
     */

@@ -80,6 +80,38 @@ class WandSpec extends SparkSpec {
       rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)))
   }
 
+  test("regression: an over-complete sidecar (phantom blocks, no postings) never misprunes") {
+    // the crash contract: every observable subtree state is sidecar ≥
+    // postings, where phantom (term, block) rows bound documents that do
+    // not exist. WAND must stay exact because scoring df comes from the
+    // POSTINGS, never the sidecar — simulate the extreme over-complete
+    // state by deleting a batch subtree's postings while keeping its
+    // _block_stats intact.
+    val idx = freshDir("wand_phantom")
+    Retrieval.writeTextIndex(skewed(100), "doc_id", "text", idx,
+      nBuckets = 4, blockSize = 16)
+    Retrieval.ingestTextBatch(
+      Seq((900L, "spark spark spark hash hash"), (901L, "join hash"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idx, "qphantom", 0L)
+    val dir = IndexLifecycle.ingestBatchDir(idx, "qphantom", 0L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    // delete every postings partition, keep the sidecar: the subtree is
+    // now maximally over-complete (all its blocks are phantoms)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__tb="))
+      .foreach(s => fs.delete(s.getPath, true))
+    val q = Seq("spark", "hash", "join")
+    for (n <- Seq(1, 3, 10)) {
+      val plain = rows(Retrieval.bm25AgainstIndex(spark, idx, q, n))
+      assert(plain.nonEmpty && !plain.exists(_._1 >= 900L),
+        s"postings-less batch docs must be gone from the plain probe (n=$n)")
+      assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, n)) === plain,
+        s"phantom sidecar blocks must weaken bounds only, never prune (n=$n)")
+    }
+  }
+
   test("compaction regenerates the sidecar; probe results unchanged") {
     val docs = skewed(100)
     val idx = freshDir("wand_cpt")

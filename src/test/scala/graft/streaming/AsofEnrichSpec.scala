@@ -140,6 +140,50 @@ class AsofEnrichSpec extends SparkSpec {
     }
   }
 
+  test("regression: a late-window fact is enriched BEFORE compaction evicts its true match") {
+    // the r14 fix (compact on the way OUT, after the batch's facts
+    // enrich): Spark admits batch-N rows with batch N−1's (older) late
+    // watermark while getCurrentWatermarkInMs() is the newer eviction
+    // watermark, so a fact with ts in [lateWatermark, evictionWatermark)
+    // is legal input whose true as-of match sits BELOW the eviction
+    // cutoff. Pre-fix (compact first), dim@100 was evicted in the same
+    // handleInputRows call and the fact silently enriched to NULL.
+    withRocksDb {
+      val in = MemoryStream[(Long, Long, Option[Long], Option[Long])]
+      val events = in.toDS()
+        .withColumn("etime", timestamp_millis(col("_2")))
+        .withWatermark("etime", "0 milliseconds")
+        .as[(Long, Long, Option[Long], Option[Long], java.sql.Timestamp)]
+        .map(t => AsofEvent[Long, Long, Long](t._1, t._2, t._3, t._4))
+      val out = AsofEnrich.enrich(events)
+      val q = out.writeStream.format("memory").queryName("t_asof_latewin")
+        .outputMode("append").start()
+      queries = q :: queries
+
+      def d(k: Long, ts: Long, v: Long) = (k, ts, Option.empty[Long], Option(v))
+      def f(k: Long, ts: Long, id: Long) = (k, ts, Option(id), Option.empty[Long])
+
+      // batch 1: the true match (ts=100) plus a far-future dim that
+      // advances the eviction watermark for batch 2 to 5000
+      in.addData(d(1L, 100L, 10L), d(1L, 5000L, 99L))
+      q.processAllAvailable()
+      // batch 2: a fact at 150 — admitted under the batch-1 late
+      // watermark (0), but the eviction cutoff is 5000, under which only
+      // the NEWEST at-or-below entry (dim@5000) survives compaction
+      in.addData(f(1L, 150L, 900L))
+      q.processAllAvailable()
+      assert(collected("t_asof_latewin")
+          .contains((1L, 150L, 900L, Some(100L), Some(10L))),
+        s"late-window fact must enrich from dim@100, got: " +
+          collected("t_asof_latewin"))
+      // and compaction still happened: a later fact sees only dim@5000
+      in.addData(f(1L, 6000L, 901L))
+      q.processAllAvailable()
+      assert(collected("t_asof_latewin")
+        .contains((1L, 6000L, 901L, Some(5000L), Some(99L))))
+    }
+  }
+
   test("batch mode reproduces Temporal.asofJoin on the real events table") {
     val e = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val evs = e.where(col("event_type").isin("purchase", "view"))
