@@ -41,9 +41,19 @@ object Pq {
     * probes can never drift from what the index was built with (the
     * tokenizer-tag pattern): [[EncRaw]] quantizes the normalized vector
     * itself; [[EncResidual]] quantizes `x − centroid(cell)` (the FAISS
-    * IVFADC recipe, Jégou TPAMI'11 §IV) — the codebook spends its bits on
-    * within-cell variance, which buys materially better shortlist recall
-    * at the same code budget (measured in SCALE.md).
+    * IVFADC recipe, Jégou TPAMI'11 §IV), spending the codebook's bits on
+    * within-cell variance.
+    *
+    * MEASURED (SCALE.md "IVFADC residual recall", r15 grid over
+    * (config × nprobe × rerankK) at sf0.1): on THIS near-random synthetic
+    * corpus residual does NOT beat raw — indistinguishable at 16×256,
+    * consistently WORSE at 8×16, because the coarse cells carry no real
+    * structure (residuals are as high-variance as the vectors) while the
+    * residual grid's doubled dynamic range halves effective per-subspace
+    * resolution. The recipe pays on CLUSTERED corpora (the TPAMI'11
+    * regime, where ‖x − c‖ ≪ ‖x‖); [[EncRaw]] stays the default, and the
+    * measured operating point on this corpus is 16×256 raw, nprobe 8,
+    * rerankK 64 → recall@10 = 1.000.
     */
   val EncRaw = "raw"
   val EncResidual = "residual"

@@ -205,8 +205,10 @@ object VectorQueries {
     * resolves encoding + centroids + codebooks from the index itself),
     * probe the merged index. Same oracle as `q_ann_ivfpq`: the exact
     * rerank makes the output the probed-cell exact top-10 regardless of
-    * encoding — what differs (and what SCALE.md measures) is shortlist
-    * recall at small rerankK.
+    * encoding — what differs is shortlist recall at small rerankK, and
+    * SCALE.md's r15 grid measured that honestly: on this near-random
+    * synthetic corpus residual does NOT beat raw (see [[graft.operators.Pq]]
+    * scaladoc); the entry locks the residual LIFECYCLE, not a recall win.
     */
   val qAnnIvfPqResidual = q(
     "q_ann_ivfpq_residual",
