@@ -47,8 +47,8 @@ object Round15AsofScaleTimer {
         .outputMode("append").start()
       try {
         println(s"\n### $label (watermark delay $delay, K=$k, B=$nBatches)")
-        println("| batch | rows in | wall (s) | state rows after |")
-        println("|---|---|---|---|")
+        println("| batch | rows in | wall (s) | state rows after | state MB |")
+        println("|---|---|---|---|---|")
         for (b <- 0 until nBatches) {
           val base = b.toLong * 1000L
           // one dim update per key per batch + a 10% fact probe
@@ -60,10 +60,10 @@ object Round15AsofScaleTimer {
           in.addData(dims ++ facts)
           q.processAllAvailable()
           val wall = (System.nanoTime() - t0) / 1e9
-          val stateRows = Option(q.lastProgress)
-            .flatMap(p => p.stateOperators.headOption)
-            .map(_.numRowsTotal).getOrElse(-1L)
-          println(f"| $b | ${dims.size + facts.size} | $wall%.2f | $stateRows |")
+          val op = Option(q.lastProgress).flatMap(_.stateOperators.headOption)
+          val stateRows = op.map(_.numRowsTotal).getOrElse(-1L)
+          val stateMb = op.map(_.memoryUsedBytes / 1e6).getOrElse(-1.0)
+          println(f"| $b | ${dims.size + facts.size} | $wall%.2f | $stateRows | $stateMb%.1f |")
         }
         val n = spark.table(sink).count()
         val nulls = spark.table(sink).where(col("right").isNull).count()
@@ -72,7 +72,7 @@ object Round15AsofScaleTimer {
     }
 
     run("0 milliseconds", "compacting")
-    run("365 days", "non-compacting")
+    run("365 days", "noncompacting")
     spark.stop()
   }
 }
