@@ -335,8 +335,14 @@ object Boilerplate {
         excludeIngestDir = Some(own)).persist()
       try sink(stripped, batchId)
       finally { stripped.unpersist(); () }
-      counts.withColumn("__grp", grpToken(col(groupCol)))
-        .write.mode("overwrite").partitionBy("__grp").parquet(own)
+      // stage-then-rename ([[IndexLifecycle.writeViaTmp]]): a concurrent
+      // probe (or a crash mid-write) never sees a partially-written
+      // subtree — the previous replay's counts stay visible until the
+      // publish rename, exactly like the retrieval and PQ ingest loops
+      IndexLifecycle.writeViaTmp(batch.sparkSession, own) { tmp =>
+        counts.withColumn("__grp", grpToken(col(groupCol)))
+          .write.mode("overwrite").partitionBy("__grp").parquet(tmp)
+      }
     } finally { counts.unpersist(); () }
   }
 

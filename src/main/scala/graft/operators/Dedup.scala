@@ -434,25 +434,28 @@ object Dedup {
     val text = col(textCol)
     val grams = transform(sequence(lit(1), length(text) - (k - 1)),
       i => TextQueries.hash32(text.substr(i, lit(k))))
-    // LET-BINDING via a single-element transform: the window pass below
-    // references the gram array many times, and Catalyst's projection
-    // collapse would otherwise INLINE the md5 chain into every window
-    // position — turning the per-row cost from O(len·k) into O(len²·k)
-    // (measured: 0.5 s → 10+ min at sf0.1). The lambda variable pins one
-    // evaluation per row no matter how the optimizer rearranges projects.
-    def fingerprintsOf(g: Column): Column = {
-      // fewer than w grams: the whole doc is one window (winnowing's
-      // natural degenerate case) — else every w-window contributes its min
-      val wins = when(size(g) >= w,
-          transform(sequence(lit(1), size(g) - (w - 1)),
-            j => array_min(slice(g, j, lit(w)))))
-        .otherwise(array(array_min(g)))
-      array_sort(array_distinct(wins))
-    }
+    // TWO-select shape: the gram array materializes as a projection
+    // column (`__g`) and the window pass references it by BoundReference.
+    // CollapseProject does NOT inline it (an expensive expression with
+    // multiple references fails its cheap-to-duplicate check), so grams
+    // evaluate once per row — the r12 shape, measured ~1.5× faster than
+    // the r13 single-element-transform let-binding (628 ms vs ~1.0 s at
+    // sf0.1: the nested-lambda wrapper adds an interpreted HOF layer per
+    // row). The O(len²·k) pathology that motivated the let-binding lived
+    // in the EXPLODE consumer (the Generate node re-evaluating the chain
+    // per output row) — that path is guarded by [[winnowOverlapPairs]]'
+    // persist barrier, and `q_winnow_pairs`' wall time is its sentinel.
+    //
+    // fewer than w grams: the whole doc is one window (winnowing's
+    // natural degenerate case) — else every w-window contributes its min
+    val wins = when(size(col("__g")) >= w,
+        transform(sequence(lit(1), size(col("__g")) - (w - 1)),
+          j => array_min(slice(col("__g"), j, lit(w)))))
+      .otherwise(array(array_min(col("__g"))))
     df.filter(length(text) >= k)
+      .select(col(idCol), grams.as("__g"))
       .select(col(idCol),
-        element_at(transform(array(grams), g => fingerprintsOf(g)), 1)
-          .as("fingerprints"))
+        array_sort(array_distinct(wins)).as("fingerprints"))
   }
 
   /** MOSS-style near-dup pairs over winnowing fingerprints: documents

@@ -529,6 +529,34 @@ class PqSpec extends SparkSpec {
     assert(gotC === exact)
   }
 
+  test("streaming ingest self-resolves RESIDUAL encoding from the index's codebooks") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.trainResidual(corpus, "vec_id", "embedding", cents,
+      subspaces = 8, codes = 16, iters = 1, trainN = 150)
+    val dir = tempDir("pqstreamres") + "/idx"
+    Pq.writeIndex(Pq.encodeResidual(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", cents), "embedding", cb, cents),
+      "vec_id", cents, cb, dir)
+    // the ingest batch passes RAW vectors; encoding must come from the
+    // persisted residual codebooks, not a caller parameter
+    Pq.ingestPqBatch(corpus.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding"), "vec_id", "embedding", dir, "qres", 0L)
+    val query = emb.filter(col("vec_id") === 8).select("embedding")
+      .collect().head.getAs[Seq[Float]](0).toArray
+    val n = corpus.count().toInt
+    val got = Pq.ivfPqSearchTopK(Pq.readIndex(spark, dir), corpus,
+        "vec_id", "embedding", Similarity.ivfReadCentroids(spark, dir),
+        Pq.readCodebooks(spark, dir), query, k = 5, rerankK = n,
+        nprobe = cents.size)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      query, k = 5).collect().map(_.getLong(0)).toSeq
+    assert(got === exact,
+      "a residual index's streamed batch must be findable exactly")
+  }
+
   test("regression: duplicate code rows (simulated replayed append) keep rerankK counting DISTINCT docs — output equals the clean index") {
     // the r14 fix (shortlist groupBy BEFORE the limit/rank): with
     // duplicates and a pre-fix shortlist, rerankK slots fill with copies
