@@ -480,6 +480,47 @@ object Retrieval {
       totalBlocks: Long, seedBlocks: Long, theta: Option[Long],
       survivors: Option[Seq[Long]])
 
+  /** ONE bucket-pruned postings pass collecting df-per-term and the
+    * corpus (N, avgdl) stats row (the null-term group IS the stats row),
+    * re-injected as LOCAL relations so no later action in a multi-job
+    * probe recomputes them — the r15 WAND-plane fusion's shared core.
+    * Arithmetic matches the plain probe's aggregates exactly: df =
+    * posting-row count per term, __n = Σtf of the stats rows, __avgdl =
+    * Σdl / Σtf (double division), NULL when the index holds no documents.
+    */
+  private def collectScoringPlane(spark: SparkSession, rows: DataFrame,
+      terms: Seq[String]): (DataFrame, DataFrame) = {
+    val aggRows = rows
+      .where(col("term").isNull || col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__c"), sum(col("tf")).as("__stf"),
+        sum(col("dl")).as("__sdl"))
+      .collect()
+    val statsRow = aggRows.find(_.isNullAt(0)) // fields: term, __c, __stf, __sdl
+    val nOpt: Option[Long] = statsRow.map(r =>
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+    val avgOpt: Option[Double] = statsRow.collect {
+      case r if !r.isNullAt(2) && r.getLong(2) != 0L && !r.isNullAt(3) =>
+        r.getLong(3).toDouble / r.getLong(2)
+    }
+    val stats = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        nOpt.map(java.lang.Long.valueOf).orNull,
+        avgOpt.map(java.lang.Double.valueOf).orNull)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__avgdl",
+          org.apache.spark.sql.types.DoubleType))))
+    val dfreq = {
+      import spark.implicits._
+      aggRows.filter(!_.isNullAt(0))
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .toDF("term", "__df")
+    }
+    (dfreq, stats)
+  }
+
   private[graft] def bm25WandWithPlan(spark: SparkSession, path: String,
       queryTerms: Seq[String], n: Int,
       k1: Double = 1.2, b: Double = 0.75,
@@ -535,37 +576,7 @@ object Retrieval {
     // equals it only when the sidecar is complete. Fused with the corpus
     // stats row into ONE grouped pass (the null-term group IS the stats
     // row), collected once, never recomputed.
-    val aggRows = rows
-      .where(col("term").isNull || col("term").isin(queryTerms: _*))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("__c"), sum(col("tf")).as("__stf"),
-        sum(col("dl")).as("__sdl"))
-      .collect()
-    // same arithmetic as the plain probe's stats aggregate: __n = Σtf of
-    // the stats rows; __avgdl = Σdl / Σtf (double division), NULL when
-    // the index holds no documents
-    val statsRow = aggRows.find(_.isNullAt(0)) // fields: term, __c, __stf, __sdl
-    val nOpt: Option[Long] = statsRow.map(r =>
-      if (r.isNullAt(2)) 0L else r.getLong(2))
-    val avgOpt: Option[Double] = statsRow.collect {
-      case r if !r.isNullAt(2) && r.getLong(2) != 0L && !r.isNullAt(3) =>
-        r.getLong(3).toDouble / r.getLong(2)
-    }
-    val stats = spark.createDataFrame(
-      java.util.Collections.singletonList(org.apache.spark.sql.Row(
-        nOpt.map(java.lang.Long.valueOf).orNull,
-        avgOpt.map(java.lang.Double.valueOf).orNull)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__n",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("__avgdl",
-          org.apache.spark.sql.types.DoubleType))))
-    val dfreq = {
-      import spark.implicits._
-      aggRows.filter(!_.isNullAt(0))
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-        .toDF("term", "__df")
-    }
+    val (dfreq, stats) = collectScoringPlane(spark, rows, queryTerms)
 
     val bounds = bstats
       .join(broadcast(dfreq), "term")
@@ -724,16 +735,25 @@ object Retrieval {
         s"bm25WandBatchAgainstIndex: index at $path predates block stats " +
           "(version-1 meta) — rebuild with writeTextIndex or upgrade via " +
           "compactTextIndex"))
-    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+    // collect the (query, term) pairs ONCE (bounded by the serving-batch
+    // contract, like the plain batch probe's term collect) and re-inject
+    // them as a local relation: the three downstream joins against `q`
+    // then never recompute the input frame, and the null checks ride the
+    // same single job
+    val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(termCol).as("term")).distinct() // repeats in a query = a set
-    val terms = q.select("term").distinct().collect().map { r =>
-      require(!r.isNullAt(0) && r.getString(0).nonEmpty,
+      .collect()
+    qRows.foreach { r =>
+      require(!r.isNullAt(1) && r.getString(1).nonEmpty,
         "bm25WandBatchAgainstIndex: query terms must be non-null and non-empty")
-      r.getString(0)
-    }.toSeq
+      require(!r.isNullAt(0),
+        "bm25WandBatchAgainstIndex: NULL query ids are not addressable")
+    }
+    val terms = qRows.map(_.getString(1)).distinct.toSeq
     require(terms.nonEmpty, "bm25WandBatchAgainstIndex: empty query batch")
-    require(q.where(col("query_id").isNull).isEmpty,
-      "bm25WandBatchAgainstIndex: NULL query ids are not addressable")
+    import spark.implicits._
+    val q = qRows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      .toDF("query_id", "term")
 
     val roots = path +: listIngestDirs(spark, path)
     val tks = terms.map(bucketTokenOf(_, nBuckets)).distinct
@@ -760,18 +780,19 @@ object Retrieval {
       .map(r => spark.read.schema(indexSchema).parquet(r))
       .reduce(_ unionByName _)
       .filter(col("__tb").isInCollection(tks :+ StatsToken))
-    val stats = rows.where(col("term").isNull)
-      .agg(sum(col("tf")).as("__n"),
-        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
-          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
-          .as("__avgdl"))
     // df from the POSTINGS (the plain batch probe's exact number; the
-    // sidecar Σ n_docs only equals it when the sidecar is complete)
-    val dfreq = rows
-      .where(col("term").isNotNull && col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("__df"))
+    // sidecar Σ n_docs only equals it when the sidecar is complete) —
+    // one fused collected pass, LOCAL relations thereafter (the r15
+    // plane fusion, same as the single-query probe)
+    val (dfreq, stats) = collectScoringPlane(spark, rows, terms)
 
-    // per-(query, block) upper bound: only the query's own terms vote
+    // per-(query, block) upper bound: only the query's own terms vote.
+    // PERSISTED for the duration of the call: the θ job (via seedPairs)
+    // and the survivor collect both read it, and with dfreq/stats/q
+    // local it is the only non-postings subplan left to share — the
+    // returned plan references none of it (survivors collect to a local
+    // relation below), so the finally-unpersist can never trigger a
+    // recompute in the caller's hands.
     val bounds = bstats
       .join(broadcast(dfreq), "term")
       .join(broadcast(q), "term")
@@ -780,6 +801,7 @@ object Retrieval {
         col("__n"), col("__avgdl"), k1, b))
       .groupBy(col("query_id"), col("block"))
       .agg(sum(col("__bound")).as("__ub"), max(col("n_docs")).as("__docs_lb"))
+      .persist()
     val ordered = bounds
       .withColumn("__cum", sum(col("__docs_lb")).over(
         Window.partitionBy(col("query_id"))
@@ -814,26 +836,35 @@ object Retrieval {
         .where(col("rank") <= nPerQuery)
     }
 
-    // θ per query = each query's n-th best over its seed ranges (queries
-    // with fewer than n seed docs get -inf: everything survives for them)
-    val thetas = scorePairs(Some(seedPairs))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("__cnt"), min(col("bm25_q")).as("__nth"))
-      .collect()
-      .map(r => r.getLong(0) ->
-        (if (r.getLong(1) < nPerQuery) Long.MinValue else r.getLong(2)))
-      .toMap
-    if (thetas.isEmpty) return scorePairs(None) // empty index/terms
+    try {
+      // θ per query = each query's n-th best over its seed ranges (queries
+      // with fewer than n seed docs get -inf: everything survives for them)
+      val thetas = scorePairs(Some(seedPairs))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__cnt"), min(col("bm25_q")).as("__nth"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.getLong(1) < nPerQuery) Long.MinValue else r.getLong(2)))
+        .toMap
+      if (thetas.isEmpty) return scorePairs(None) // empty index/terms
 
-    import spark.implicits._
-    val thetaDf = thetas.toSeq.toDF("query_id", "__theta")
-    val survivors = bounds
-      .join(broadcast(thetaDf), Seq("query_id"), "left")
-      .where(col("__theta").isNull || col("__ub") >= col("__theta"))
-      .select("query_id", "block")
-    val pairCount = survivors.limit(maxSurvivors + 1).count()
-    if (pairCount > maxSurvivors) scorePairs(None)
-    else scorePairs(Some(survivors))
+      val thetaDf = thetas.toSeq.toDF("query_id", "__theta")
+      // survivors COLLECT (≤ maxSurvivors + 1 (query, block) pairs — the
+      // knob that already bounds the prune's usefulness bounds this
+      // driver set too) and re-inject as a local relation: one job off
+      // the cached bounds instead of two computations (count + the
+      // final join's rescan), and the returned plan stays free of the
+      // persisted frame
+      val survRows = bounds
+        .join(broadcast(thetaDf), Seq("query_id"), "left")
+        .where(col("__theta").isNull || col("__ub") >= col("__theta"))
+        .select("query_id", "block")
+        .limit(maxSurvivors + 1).collect()
+      if (survRows.length > maxSurvivors) scorePairs(None)
+      else scorePairs(Some(
+        survRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+          .toDF("query_id", "block")))
+    } finally bounds.unpersist(blocking = false)
   }
 
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse N ranked

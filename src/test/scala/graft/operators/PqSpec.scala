@@ -557,6 +557,31 @@ class PqSpec extends SparkSpec {
       "a residual index's streamed batch must be findable exactly")
   }
 
+  test("readIndex union keeps partition pruning: every scan leg carries the probed-cell partition filter") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val cb = Pq.train(corpus, "vec_id", "embedding", subspaces = 4,
+      codes = 8, iters = 0, trainN = 100)
+    val dir = tempDir("pqprune") + "/idx"
+    Pq.writeIndex(Pq.encode(
+        Similarity.ivfAssign(corpus.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", cents), "embedding", cb),
+      "vec_id", cents, cb, dir)
+    Pq.ingestPqBatch(corpus.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "embedding"), "vec_id", "embedding", dir, "qp", 0L)
+    // the probe's candidate scan: base + one ingest subtree, cell filter
+    val probe = Pq.readIndex(spark, dir)
+      .filter(col("centroid_id").isin(0, 1))
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pfs = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(pfs.size >= 2,
+      s"expected >= 2 parquet scan legs (base + ingest subtree), plan:\n$p")
+    pfs.foreach(f => assert(f.contains("centroid_id"),
+      s"a union leg lost the centroid_id partition filter: [$f]\n$p"))
+  }
+
   test("regression: duplicate code rows (simulated replayed append) keep rerankK counting DISTINCT docs — output equals the clean index") {
     // the r14 fix (shortlist groupBy BEFORE the limit/rank): with
     // duplicates and a pre-fix shortlist, rerankK slots fill with copies
