@@ -649,6 +649,33 @@ object Pq {
     recalls.sum / recalls.size
   }
 
+  /** Batched [[ivfPqRecallAt]]: the whole probe-query set served by ONE
+    * [[ivfPqJoinTopK]] plan and the exact side computed in one corpus
+    * pass ([[Similarity.annRecallAtBatch]]'s TopKIdsAgg job) — a fixed
+    * handful of jobs instead of 2·|queries|, which is what makes wide
+    * (config × nprobe × rerankK) tuning sweeps affordable (the r15
+    * recall grid ran 256 evaluations). Same recall definition and the
+    * same per-query probe-cell/rank/tie rules (batch ≡ single is
+    * PqSpec-locked), so the two evaluators agree exactly.
+    */
+  def ivfPqRecallAtBatch(encoded: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cb: Codebooks,
+      queries: Seq[Array[Float]], k: Int, rerankK: Int,
+      nprobe: Int = 2): Double = {
+    require(queries.nonEmpty, "ivfPqRecallAtBatch: at least one probe query")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qdf = queries.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("__qid", "__qvec")
+      .selectExpr("__qid", "cast(__qvec as array<float>) as __qvec")
+    val ann = ivfPqJoinTopK(encoded, corpus, idCol, vecCol, qdf, "__qid",
+      "__qvec", centroids, cb, k, rerankK, nprobe,
+      maxQueries = math.max(512, queries.size))
+    Similarity.annRecallAtBatch(corpus, idCol, vecCol, queries, k,
+      ann.select(col("query_id").as("qid"), col(idCol)))
+  }
+
   // ---------------------------------------------------------------------
   // Persisted index
   // ---------------------------------------------------------------------

@@ -47,9 +47,12 @@ object Round15PqRecallTimer {
       println("| nprobe | rerankK | raw recall@10 | residual recall@10 |")
       println("|---|---|---|---|")
       for (nprobe <- Seq(2, cents.size); rerankK <- Seq(16, 32, 64, 128)) {
-        val r0 = Pq.ivfPqRecallAt(encRaw, corpus, "vec_id", "embedding",
+        // the BATCH evaluator (PqSpec-locked ≡ the per-query loop): the
+        // original loop ran 2 jobs per query — this grid cell is now a
+        // fixed handful of jobs regardless of |queries|
+        val r0 = Pq.ivfPqRecallAtBatch(encRaw, corpus, "vec_id", "embedding",
           cents, raw, queries, k = 10, rerankK = rerankK, nprobe = nprobe)
-        val r1 = Pq.ivfPqRecallAt(encRes, corpus, "vec_id", "embedding",
+        val r1 = Pq.ivfPqRecallAtBatch(encRes, corpus, "vec_id", "embedding",
           cents, res, queries, k = 10, rerankK = rerankK, nprobe = nprobe)
         println(f"| $nprobe | $rerankK | $r0%.3f | $r1%.3f |")
       }

@@ -275,6 +275,32 @@ class PqSpec extends SparkSpec {
     assert(lo <= hi, s"recall must not fall as rerankK grows: $lo vs $hi")
   }
 
+  test("batched recall evaluator agrees exactly with the per-query loop, raw and residual") {
+    val corpus = emb.filter(col("vec_id") > 9)
+    val cents = centsOf(8)
+    val queries = emb.filter(col("vec_id") === 8 || col("vec_id") === 9)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
+    for (residual <- Seq(false, true)) {
+      val cb = if (residual)
+        Pq.trainResidual(corpus, "vec_id", "embedding", cents,
+          subspaces = 8, codes = 16, iters = 1, trainN = 150)
+      else Pq.train(corpus, "vec_id", "embedding", subspaces = 8,
+        codes = 16, iters = 1, trainN = 150)
+      val assigned = Similarity.ivfAssign(corpus, "vec_id", "embedding", cents)
+      val encoded = (if (residual)
+          Pq.encodeResidual(assigned, "embedding", cb, cents)
+        else Pq.encode(assigned, "embedding", cb)).localCheckpoint()
+      for ((rk, np) <- Seq((16, 2), (64, 3))) {
+        val single = Pq.ivfPqRecallAt(encoded, corpus, "vec_id", "embedding",
+          cents, cb, queries, k = 10, rerankK = rk, nprobe = np)
+        val batch = Pq.ivfPqRecallAtBatch(encoded, corpus, "vec_id",
+          "embedding", cents, cb, queries, k = 10, rerankK = rk, nprobe = np)
+        assert(batch === single,
+          s"residual=$residual rerankK=$rk nprobe=$np: batch $batch != single $single")
+      }
+    }
+  }
+
   test("train fails loud on ragged or null-element vectors (no silent codebook poison)") {
     val ragged = Seq((1L, Array(1f, 0f, 0f, 0f)), (2L, Array(1f, 0f)))
       .toDF("id", "vec")
