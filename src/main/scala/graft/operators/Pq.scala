@@ -669,6 +669,11 @@ object Pq {
     val qdf = queries.zipWithIndex
       .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("__qid", "__qvec")
       .selectExpr("__qid", "cast(__qvec as array<float>) as __qvec")
+    // maxQueries tracks |queries| rather than enforcing the serving cap:
+    // that guard bounds DRIVER memory against an unbounded DataFrame
+    // batch, but this evaluator's queries are ALREADY a driver-side Seq —
+    // the caller has materialized them, so the ADC tables (~m·codes·8 B
+    // each) are the same order of driver memory the input itself is
     val ann = ivfPqJoinTopK(encoded, corpus, idCol, vecCol, qdf, "__qid",
       "__qvec", centroids, cb, k, rerankK, nprobe,
       maxQueries = math.max(512, queries.size))
