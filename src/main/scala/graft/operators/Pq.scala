@@ -44,16 +44,19 @@ object Pq {
     * IVFADC recipe, Jégou TPAMI'11 §IV), spending the codebook's bits on
     * within-cell variance.
     *
-    * MEASURED (SCALE.md "IVFADC residual recall", r15 grid over
-    * (config × nprobe × rerankK) at sf0.1): on THIS near-random synthetic
-    * corpus residual does NOT beat raw — indistinguishable at 16×256,
-    * consistently WORSE at 8×16, because the coarse cells carry no real
-    * structure (residuals are as high-variance as the vectors) while the
-    * residual grid's doubled dynamic range halves effective per-subspace
-    * resolution. The recipe pays on CLUSTERED corpora (the TPAMI'11
-    * regime, where ‖x − c‖ ≪ ‖x‖); [[EncRaw]] stays the default, and the
-    * measured operating point on this corpus is 16×256 raw, nprobe 8,
-    * rerankK 64 → recall@10 = 1.000.
+    * MEASURED (SCALE.md "IVFADC residual recall", r15 grids over
+    * (config × nprobe × rerankK) at sf0.1): the choice is CORPUS
+    * GEOMETRY. On the near-random synthetic corpus residual does NOT
+    * beat raw (indistinguishable at 16×256, consistently worse at 8×16 —
+    * no cell structure, and the residual grid's doubled dynamic range
+    * halves per-subspace resolution); on a clustered derivation of the
+    * same data (‖x − c‖ ≪ ‖x‖, the TPAMI'11 regime) residual wins EVERY
+    * grid point — up to 1.8× recall@10 at small rerankK (0.575 vs 0.313
+    * at 16×256, rerankK 16). [[EncRaw]] stays the default; pick
+    * [[EncResidual]] when vectors cluster around the coarse cells (most
+    * real embedding corpora — sweep with [[ivfPqRecallAtBatch]] to
+    * check). Output correctness is encoding-independent either way (the
+    * exact-rerank contract).
     */
   val EncRaw = "raw"
   val EncResidual = "residual"

@@ -35,6 +35,38 @@ object Round15PqRecallTimer {
       .select("embedding").collect().map(_.getSeq[Float](0).toArray).toSeq
     println(s"corpus=$n vectors, ${cents.size} cells, ${queries.size} queries")
 
+    runGrid("near-random corpus (as stored)", corpus, queries, cents)
+
+    // CLUSTERED variant: pull every vector toward its coarse centroid
+    // (x' = c + α·(x − c), α = 0.25) — the regime IVFADC exists for
+    // (Jégou TPAMI'11 §IV: residuals small relative to the vectors).
+    // Same derivation applied to the queries, same centroids throughout.
+    val alpha = 0.25
+    val centMap = map(cents.flatMap { case (cid, c) =>
+      Seq(lit(cid), array(c.toIndexedSeq.map(lit(_)): _*))
+    }: _*)
+    val clustered = graft.operators.Similarity
+      .ivfAssign(corpus, "vec_id", "embedding", cents)
+      .withColumn("embedding",
+        zip_with(element_at(centMap, col("centroid_id")), col("embedding"),
+          (c, x) => c + lit(alpha) * (x - c)).cast("array<float>"))
+      .select("vec_id", "embedding").localCheckpoint()
+    def pull(v: Array[Float]): Array[Float] = {
+      val cell = graft.operators.Similarity.probeCellsFor(cents, v, 1).head
+      val c = cents.find(_._1 == cell).get._2
+      v.indices.map(i => c(i) + alpha.toFloat * (v(i) - c(i))).toArray
+    }
+    runGrid("clustered corpus (x' = c + 0.25(x−c))", clustered,
+      queries.map(pull), cents)
+    spark.stop()
+  }
+
+  private def runGrid(label: String,
+      corpus: org.apache.spark.sql.DataFrame,
+      queries: Seq[Array[Float]],
+      cents: Seq[(Int, Array[Float])]): Unit = {
+    import graft.operators.{Pq, Similarity}
+    println(s"\n## $label")
     for ((m, k) <- Seq((8, 16), (16, 256))) {
       val raw = Pq.train(corpus, "vec_id", "embedding", m, k, iters = 3)
       val res = Pq.trainResidual(corpus, "vec_id", "embedding", cents,
@@ -57,6 +89,5 @@ object Round15PqRecallTimer {
         println(f"| $nprobe | $rerankK | $r0%.3f | $r1%.3f |")
       }
     }
-    spark.stop()
   }
 }
