@@ -822,7 +822,11 @@ object Dedup {
       sink: (DataFrame, Long) => Unit,
       minAgreeFraction: Double = 0.5,
       bands: Int = 8, rowsPerBand: Int = 4,
-      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the index's tokenizer rule is immutable for its lifetime — resolve
+    // it ONCE at query start, not one meta-file read per trigger
+    val tokenizer = readTokenizer(stream.sparkSession, indexPath,
+      "streamingIngest")
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -830,8 +834,7 @@ object Dedup {
         try {
           // within-batch dedup under the index's OWN tokenizer rule
           val inBatch = dedupNear(b.toDF(), idCol, textCol, minAgreeFraction,
-            tokenizer = readTokenizer(b.sparkSession, indexPath,
-              "streamingIngest"))
+            tokenizer = tokenizer)
           val clean = cleanAgainstIndex(inBatch, idCol, textCol, indexPath,
             minAgreeFraction, bands, rowsPerBand, maxProbeKeys).persist()
           try {
@@ -842,13 +845,18 @@ object Dedup {
         } finally { b.unpersist(); () }
       }
       .start()
+  }
 
-  /** SimHash (16-bit) column pipeline: near-dups differ in few bits. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import TextQueries.{hash32, tokensCol}
+  /** SimHash (16-bit) column pipeline: near-dups differ in few bits.
+    * Tokenizer pluggable like the rest of the fingerprint family
+    * (default ascii — byte-identical to every pre-existing entry).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
+    import TextQueries.hash32
     graft.functions.Md5Prefix32.register(df.sparkSession)
     val toks = df.select(col(idCol),
-        explode(tokensCol(col(textCol))).as("__tok"))
+        explode(tokenizer.column(col(textCol))).as("__tok"))
       .select(col(idCol), hash32(col("__tok")).as("__th"))
     val sums = (0 until 16).map(b =>
       sum(when(shiftright(col("__th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
@@ -874,14 +882,14 @@ object Dedup {
     * Distributed shape: one explode + one map-side-combined 64-sum
     * aggregate on the id — no joins, no state.
     */
-  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    import TextQueries.tokensCol
+  def simhash64(df: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     // both halves slice ONE md5(token) call (identical children CSE in
     // codegen) — mixing Md5Prefix32 for one half with builtin md5 for
     // the other would digest every token twice; conv(substr(md5)) is
     // value-identical to Md5Prefix32 (the hash32Sql mirror contract)
     val toks = df.select(col(idCol),
-        explode(tokensCol(col(textCol))).as("__tok"))
+        explode(tokenizer.column(col(textCol))).as("__tok"))
       .select(col(idCol),
         conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("__hi"),
         conv(substring(md5(col("__tok")), 9, 8), 16, 10).cast("long").as("__lo"))

@@ -771,20 +771,29 @@ object Pq {
     * them (ids are opaque here).
     */
   def appendToIndex(df: DataFrame, idCol: String, vecCol: String,
-      path: String): Unit = {
+      path: String): Unit =
+    selfConfiguredCodes(df, idCol, vecCol, path, "Pq.appendToIndex")
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+
+  /** The self-configured codes projection every post-build write path
+    * shares: cells from the index's OWN `_centroids`, codes (and the
+    * raw/residual encoding tag) from its OWN `_pq_codebooks` — a caller
+    * can never drift the quantization. Artifacts are resolved PER CALL
+    * on purpose (two tiny driver reads): a replayed batch must encode
+    * with whatever the index at `path` holds at replay time, even after
+    * artifact surgery between runs.
+    */
+  private def selfConfiguredCodes(df: DataFrame, idCol: String,
+      vecCol: String, path: String, op: String): DataFrame = {
     val spark = df.sparkSession
     val cents = Similarity.ivfReadCentroids(spark, path)
     val cb = readCodebooks(spark, path)
     val assigned = Similarity.ivfAssign(df.select(col(idCol), col(vecCol)),
       idCol, vecCol, cents)
-    // the index's OWN codebooks carry the encoding tag - an append can
-    // never quantize differently from the base build
     val enc = if (cb.encoding == EncResidual)
       encodeResidual(assigned, vecCol, cb, cents)
     else encode(assigned, vecCol, cb)
-    enc.select(col(idCol), col("centroid_id"),
-        checkedCode(idCol, "Pq.appendToIndex"))
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+    enc.select(col(idCol), col("centroid_id"), checkedCode(idCol, op))
   }
 
   /** One streaming-ingest microbatch — exposed for direct replay
@@ -804,19 +813,11 @@ object Pq {
     */
   def ingestPqBatch(batch: DataFrame, idCol: String, vecCol: String,
       indexPath: String, queryTag: String, batchId: Long): Unit = {
-    val spark = batch.sparkSession
-    val cents = Similarity.ivfReadCentroids(spark, indexPath)
-    val cb = readCodebooks(spark, indexPath)
-    val assigned = Similarity.ivfAssign(batch.select(col(idCol), col(vecCol)),
-      idCol, vecCol, cents)
-    val enc = if (cb.encoding == EncResidual)
-      encodeResidual(assigned, vecCol, cb, cents)
-    else encode(assigned, vecCol, cb)
+    val enc = selfConfiguredCodes(batch, idCol, vecCol, indexPath,
+      "Pq.ingestPqBatch")
     val dir = IndexLifecycle.ingestBatchDir(indexPath, queryTag, batchId)
-    IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
-      enc.select(col(idCol), col("centroid_id"),
-          checkedCode(idCol, "Pq.ingestPqBatch"))
-        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    IndexLifecycle.writeViaTmp(batch.sparkSession, dir) { tmp =>
+      enc.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
     }
   }
 

@@ -725,7 +725,8 @@ object Retrieval {
   def bm25WandBatchAgainstIndex(spark: SparkSession, path: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
       nPerQuery: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxSurvivors: Int = 1 << 20, seedBoost: Int = 32): DataFrame = {
+      maxSurvivors: Int = 1 << 20, seedBoost: Int = 32,
+      maxBatchPairs: Int = 1 << 20): DataFrame = {
     require(nPerQuery > 0, "bm25WandBatchAgainstIndex: nPerQuery must be positive")
     require(seedBoost >= 1,
       s"bm25WandBatchAgainstIndex: seedBoost must be >= 1, got $seedBoost")
@@ -742,7 +743,15 @@ object Retrieval {
     // same single job
     val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(termCol).as("term")).distinct() // repeats in a query = a set
-      .collect()
+      .take(maxBatchPairs + 1)
+    // bounded-batch contract CHECKED (the ivfPqJoinTopK/dedupAgainstIndex
+    // convention): a corpus-sized frame passed as the query batch fails
+    // in seconds with an actionable message, not as a driver OOM
+    require(qRows.length <= maxBatchPairs,
+      s"bm25WandBatchAgainstIndex collects the batch's (query, term) pairs " +
+        s"to the driver, and they exceed maxBatchPairs=$maxBatchPairs — " +
+        "this probe serves BOUNDED query batches; split the batch or raise " +
+        "the cap explicitly")
     qRows.foreach { r =>
       require(!r.isNullAt(1) && r.getString(1).nonEmpty,
         "bm25WandBatchAgainstIndex: query terms must be non-null and non-empty")
