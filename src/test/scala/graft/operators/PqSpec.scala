@@ -326,6 +326,37 @@ class PqSpec extends SparkSpec {
     Similarity.collectCentroids(
       emb.filter(col("vec_id") < maxId), "vec_id", "embedding")
 
+  test("residual encode: every code matches a driver brute force over quantized residuals") {
+    val cents = centsOf(8)
+    val cb = Pq.trainResidual(emb, "vec_id", "embedding", cents,
+      subspaces = 8, codes = 16, iters = 2, trainN = 200)
+    val got = Pq.encodeResidual(
+        Similarity.ivfAssign(emb.limit(50), "vec_id", "embedding", cents),
+        "embedding", cb, cents)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("pq_code")).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]](1).toArray,
+        r.getInt(2), r.getSeq[Int](3).toArray))
+    assert(got.nonEmpty)
+    val cmap = cents.toMap
+    got.foreach { case (id, vec, cell, code) =>
+      assert(code.length == 8, s"id $id: ${code.length} codes")
+      val xq = Pq.quantizeUnitDriver(vec, cb.scale)
+      val cq = Pq.quantizeUnitDriver(cmap(cell), cb.scale)
+      val rq = xq.indices.map(i => xq(i) - cq(i)).toArray
+      code.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < 16, s"id $id sub $s code $c out of range")
+        val dists = cb.books(s).map { cw =>
+          (0 until cb.subDim).map { i =>
+            val d = rq(s * cb.subDim + i) - cw(i); d * d
+          }.sum
+        }
+        val want = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(c == want, s"id $id sub $s: got $c want $want (cell $cell)")
+      }
+    }
+  }
+
   test("residual: rerank contract holds; batch path agrees with single-query path including the per-cell offset") {
     val corpus = emb.filter(col("vec_id") > 9)
     val cents = centsOf(8)
