@@ -316,4 +316,35 @@ class SpanMixtureSpec extends SparkSpec {
     assert(afterCompact === 1L,
       "compacted index must carry the merged subtree counts (ONCE ONLY df 2)")
   }
+
+  test("a crashed line-ingest stage (.tmp subtree) is invisible to probes and healed by replay") {
+    val idx = tempDir("graft_lineidx_tmp") + "/idx"
+    Boilerplate.writeLineFreqIndex(
+      Seq((1L, "d", "SPLIT LINE\nbody one")).toDF("doc_id", "source", "text"),
+      "doc_id", "text", "source", idx)
+    val batch0 = Seq((10L, "d", "SPLIT LINE\nfresh a")).toDF("doc_id", "source", "text")
+    Boilerplate.ingestLineBatch(batch0, "doc_id", "text", "source", idx,
+      "qtmp", batchId = 0L, minDf = 2L, sink = (_, _) => ())
+    def probe(): Long = Boilerplate.stripAgainstLineIndex(
+        Seq((20L, "d", "SPLIT LINE\nprobe")).toDF("doc_id", "source", "text"),
+        "doc_id", "text", "source", idx, minDf = 2L)
+      .select("lines_removed").collect().head.getLong(0)
+    assert(probe() === 1L, "SPLIT LINE reaches df 2 after the committed batch")
+    // simulate a crash mid-replay: garbage parquet-less content in the
+    // batch's .tmp stage — listIngestDirs must never surface it
+    val tmp = new java.io.File(
+      IndexLifecycle.ingestBatchDir(idx, "qtmp", 0L) + IndexLifecycle.TmpSuffix)
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(tmp.toPath.resolve("junk.txt"), "partial")
+    assert(probe() === 1L,
+      "an in-flight .tmp stage must be invisible — the committed subtree still counts")
+    assert(!IndexLifecycle.listIngestDirs(spark, idx)
+        .exists(_.endsWith(IndexLifecycle.TmpSuffix)),
+      "listIngestDirs must hide .tmp stages")
+    // the healing replay clears the stage and republishes
+    Boilerplate.ingestLineBatch(batch0, "doc_id", "text", "source", idx,
+      "qtmp", batchId = 0L, minDf = 2L, sink = (_, _) => ())
+    assert(!tmp.exists(), "the replay must clear the crashed stage")
+    assert(probe() === 1L)
+  }
 }
