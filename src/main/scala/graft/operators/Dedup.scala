@@ -430,32 +430,19 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 1, s"need k >= 2 and w >= 1, got k=$k w=$w")
-    graft.functions.Md5Prefix32.register(df.sparkSession)
-    val text = col(textCol)
-    val grams = transform(sequence(lit(1), length(text) - (k - 1)),
-      i => TextQueries.hash32(text.substr(i, lit(k))))
-    // TWO-select shape: the gram array materializes as a projection
-    // column (`__g`) and the window pass references it by BoundReference.
-    // CollapseProject does NOT inline it (an expensive expression with
-    // multiple references fails its cheap-to-duplicate check), so grams
-    // evaluate once per row — the r12 shape, measured ~1.5× faster than
-    // the r13 single-element-transform let-binding (628 ms vs ~1.0 s at
-    // sf0.1: the nested-lambda wrapper adds an interpreted HOF layer per
-    // row). The O(len²·k) pathology that motivated the let-binding lived
-    // in the EXPLODE consumer (the Generate node re-evaluating the chain
-    // per output row) — that path is guarded by [[winnowOverlapPairs]]'
-    // persist barrier, and `q_winnow_pairs`' wall time is its sentinel.
-    //
-    // fewer than w grams: the whole doc is one window (winnowing's
-    // natural degenerate case) — else every w-window contributes its min
-    val wins = when(size(col("__g")) >= w,
-        transform(sequence(lit(1), size(col("__g")) - (w - 1)),
-          j => array_min(slice(col("__g"), j, lit(w)))))
-      .otherwise(array(array_min(col("__g"))))
-    df.filter(length(text) >= k)
-      .select(col(idCol), grams.as("__g"))
+    // ONE native codegen'd kernel call per row ([[graft.functions.WinnowFp]])
+    // — value-exact twin of the column formulation it replaced (per-gram
+    // md5_prefix32 over substr + per-window array_min(slice) + sorted
+    // distinct; OperatorsSpec locks the parity on the real corpus), with
+    // the window pass O(len) via a monotonic deque instead of O(len·w)
+    // slice copies, and no interpreted higher-order-function layers. This
+    // also retires the projection-collapse tightrope the column shape
+    // walked (the r13 O(len²·k) explode pathology and the r12/r13
+    // let-binding debate) — there is nothing left to inline.
+    df.filter(length(col(textCol)) >= k)
       .select(col(idCol),
-        array_sort(array_distinct(wins)).as("fingerprints"))
+        graft.functions.WinnowFp.winnowFp(col(textCol), k, w)
+          .as("fingerprints"))
   }
 
   /** MOSS-style near-dup pairs over winnowing fingerprints: documents

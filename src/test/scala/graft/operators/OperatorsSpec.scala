@@ -131,6 +131,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!tfps.contains(0L) && tfps(1L).length === 1)
   }
 
+  test("winnow kernel is value-exact to the column formulation it replaced, on the real corpus") {
+    // the retired shape: per-gram md5_prefix32 over substr, per-window
+    // array_min(slice), sorted distinct — rebuilt here verbatim as the
+    // parity oracle for the native WinnowFp kernel (both k/w regimes:
+    // the dense signature default 8/4 and the MOSS-sparse 16/16),
+    // including the degenerate fewer-than-w-grams single-window case
+    // and non-ASCII code-point substring semantics
+    import org.apache.spark.sql.Column
+    def columnForm(textCol: Column, k: Int, w: Int): Column = {
+      val grams = transform(sequence(lit(1), length(textCol) - (k - 1)),
+        i => graft.queries.TextQueries.hash32(textCol.substr(i, lit(k))))
+      val wins = when(size(grams) >= w,
+          transform(sequence(lit(1), size(grams) - (w - 1)),
+            j => array_min(slice(grams, j, lit(w)))))
+        .otherwise(array(array_min(grams)))
+      array_sort(array_distinct(wins))
+    }
+    graft.functions.Md5Prefix32.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (100001L, "short but ≥ k: añ9"), // 18 chars incl. multibyte
+        (100002L, "el niño corre rápido — ünïcödé content ² with ññ runs"))
+        .toDF("doc_id", "text"))
+    for ((k, w) <- Seq((8, 4), (16, 16))) {
+      val mismatches = docs.filter(length(col("text")) >= k)
+        .select(col("doc_id"),
+          graft.functions.WinnowFp.winnowFp(col("text"), k, w).as("kernel"),
+          columnForm(col("text"), k, w).as("columns"))
+        .filter(not(col("kernel") === col("columns")))
+        .count()
+      assert(mismatches === 0L, s"k=$k w=$w: kernel != column formulation")
+    }
+  }
+
   test("winnowOverlapPairs finds heavy-overlap docs and the df cap drops boilerplate") {
     val rnd = new scala.util.Random(29)
     def randText(n: Int) = rnd.alphanumeric.take(n).mkString
