@@ -55,19 +55,28 @@ object Dedup {
     * shingling tokenizer is pluggable (default ascii — byte-identical to
     * every pre-existing entry); pass [[Tokenizer.Unicode]] for
     * multilingual corpora so dedup and retrieval share one rule.
+    *
+    * ONE fused native kernel call per row
+    * ([[graft.functions.MinHashSigFull]]: tokenize → shingle → md5 → all
+    * 32 permutation minima) — the whole signature is a MAP-SIDE
+    * PROJECTION. The explode/aggregate formulation it replaced (locked
+    * as this kernel's parity oracle in `OperatorsSpec`) materialized one
+    * row per shingle and paid a per-doc Exchange for the groupBy — a
+    * shuffle stage that rode every near-dup pipeline and every
+    * signature-index write/probe; this shape has none. Docs with < 3
+    * tokens drop out (null signature, filtered), the explode pipeline's
+    * exact semantics. Two selects on purpose: the 32 per-column reads
+    * reference the ONE materialized `__sig` array, and CollapseProject's
+    * cheap-to-duplicate check refuses to inline an expensive
+    * multi-reference expression (the winnow-shape rule).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
-    import TextQueries.{P, hash32, perms, ngramsCol}
-    graft.functions.Md5Prefix32.register(df.sparkSession)
-    graft.functions.MinHashSigAgg.register(df.sparkSession)
-    // docs with <3 tokens drop out: ngramsCol is empty there, explode drops it
-    val shingled = df
-      .select(col(idCol), explode(ngramsCol(col(textCol), 3, tokenizer)).as("__s"))
-      .select(col(idCol), (hash32(col("__s")) % P).as("__h"))
-    // one TypedImperativeAggregate computes all minima in a single buffer
-    shingled.groupBy(col(idCol))
-      .agg(graft.functions.MinHashSigAgg.minhashSig(col("__h")).as("__sig"))
+    import TextQueries.perms
+    df.select(col(idCol),
+        graft.functions.MinHashSigFull
+          .minhashSigFull(col(textCol), tokenizer.tag).as("__sig"))
+      .filter(col("__sig").isNotNull)
       .select(col(idCol) +: perms.indices.map(j => col("__sig")(j).as(s"m$j")): _*)
   }
 

@@ -131,6 +131,41 @@ class OperatorsSpec extends SparkSpec {
     assert(!tfps.contains(0L) && tfps(1L).length === 1)
   }
 
+  test("minhash kernel is value-exact to the explode/aggregate pipeline it replaced, every tokenizer, on the real corpus") {
+    // the retired shape — explode(ngrams) -> md5_prefix32 % P ->
+    // MinHashSigAgg — rebuilt verbatim as the kernel's parity oracle
+    // (MinHashSigAgg stays in the library exactly for this role)
+    import graft.queries.TextQueries.{P, hash32, ngramsCol, perms}
+    def pipelineForm(df: org.apache.spark.sql.DataFrame,
+        tok: Tokenizer): org.apache.spark.sql.DataFrame = {
+      graft.functions.Md5Prefix32.register(spark)
+      graft.functions.MinHashSigAgg.register(spark)
+      df.select(col("doc_id"), explode(ngramsCol(col("text"), 3, tok)).as("__s"))
+        .select(col("doc_id"), (hash32(col("__s")) % P).as("__h"))
+        .groupBy(col("doc_id"))
+        .agg(graft.functions.MinHashSigAgg.minhashSig(col("__h")).as("__sig"))
+        .select(col("doc_id") +: perms.indices.map(j => col("__sig")(j).as(s"m$j")): _*)
+    }
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (200001L, "two tokens"),                       // < 3 tokens: drops
+        (200002L, "Él niÑo corre RÁPIDO — ñ ü ² ok"),  // case + non-ASCII
+        (200003L, "a,b;c d.e f"))                      // ascii-rule separators
+        .toDF("doc_id", "text"))
+    for (tok <- Seq[Tokenizer](Tokenizer.Ascii, Tokenizer.House,
+        Tokenizer.Unicode(casefold = true), Tokenizer.Unicode(casefold = false))) {
+      val want = pipelineForm(docs, tok).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val got = Dedup.minhashSignatures(docs, "doc_id", "text", tok).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      assert(got.keySet == want.keySet,
+        s"${tok.tag}: row-drop semantics diverged: ${got.keySet.size} vs ${want.keySet.size}")
+      val bad = want.keys.filter(k => got(k) != want(k))
+      assert(bad.isEmpty, s"${tok.tag}: ${bad.take(3)} signatures diverged")
+    }
+  }
+
   test("winnow kernel is value-exact to the column formulation it replaced, on the real corpus") {
     // the retired shape: per-gram md5_prefix32 over substr, per-window
     // array_min(slice), sorted distinct — rebuilt here verbatim as the
