@@ -848,18 +848,17 @@ object Dedup {
     * (default ascii — byte-identical to every pre-existing entry).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
-      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
-    import TextQueries.hash32
-    graft.functions.Md5Prefix32.register(df.sparkSession)
-    val toks = df.select(col(idCol),
-        explode(tokenizer.column(col(textCol))).as("__tok"))
-      .select(col(idCol), hash32(col("__tok")).as("__th"))
-    val sums = (0 until 16).map(b =>
-      sum(when(shiftright(col("__th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
-    val sig = (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0)).reduce(_ + _)
-    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .select(col(idCol), sig.as("simhash"))
-  }
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame =
+    // one fused native kernel call per row ([[graft.functions.SimHash16]]
+    // — the [[minhashSignatures]] treatment): tokenize, md5 per token
+    // occurrence, ±1 bit votes, sign threshold — a map-side projection
+    // with no explode and no per-doc aggregate Exchange. Value-exact to
+    // the retired explode/groupBy pipeline (OperatorsSpec parity); docs
+    // with zero tokens drop out, the explode semantics.
+    df.select(col(idCol),
+        graft.functions.SimHashSig.simhash16(col(textCol), tokenizer.tag)
+          .as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Full 64-bit SimHash (Charikar STOC'02 as deployed for web-crawl
     * near-dup detection in Manku, Jain & Das Sarma, WWW'07): per token
@@ -879,27 +878,15 @@ object Dedup {
     * aggregate on the id — no joins, no state.
     */
   def simhash64(df: DataFrame, idCol: String, textCol: String,
-      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
-    // both halves slice ONE md5(token) call (identical children CSE in
-    // codegen) — mixing Md5Prefix32 for one half with builtin md5 for
-    // the other would digest every token twice; conv(substr(md5)) is
-    // value-identical to Md5Prefix32 (the hash32Sql mirror contract)
-    val toks = df.select(col(idCol),
-        explode(tokenizer.column(col(textCol))).as("__tok"))
-      .select(col(idCol),
-        conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("__hi"),
-        conv(substring(md5(col("__tok")), 9, 8), 16, 10).cast("long").as("__lo"))
-    val sums = (0 until 64).map { b =>
-      val (h, sh) = if (b < 32) (col("__lo"), b) else (col("__hi"), b - 32)
-      sum(when(shiftright(h, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
-    }
-    val hexSig = concat((0 until 8).map { r =>
-      val byteR = (0 until 8).map(c =>
-        when(col(s"s${r * 8 + c}") > 0, lit(1 << c)).otherwise(lit(0)))
-        .reduce(_ + _)
-      lpad(lower(hex(byteR)), 2, "0")
-    }: _*)
-    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
-      .select(col(idCol), hexSig.as("simhash64"))
-  }
+      tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame =
+    // one fused native kernel call per row
+    // ([[graft.functions.SimHash64Hex]]): both unsigned 32-bit digest
+    // halves of ONE md5 per token occurrence vote on all 64 positions;
+    // hex output in the dHash byte layout. Map-side projection — no
+    // explode, no per-doc aggregate Exchange; value-exact to the retired
+    // explode/groupBy pipeline (OperatorsSpec parity).
+    df.select(col(idCol),
+        graft.functions.SimHashSig.simhash64Hex(col(textCol), tokenizer.tag)
+          .as("simhash64"))
+      .filter(col("simhash64").isNotNull)
 }

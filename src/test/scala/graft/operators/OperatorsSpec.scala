@@ -166,6 +166,55 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("simhash kernels are value-exact to the explode/groupBy pipelines they replaced") {
+    import graft.queries.TextQueries.hash32
+    graft.functions.Md5Prefix32.register(spark)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (300001L, ""),                                  // zero tokens: drops
+        (300002L, "Él niÑo RÁPIDO — ü ² mixed content"))
+        .toDF("doc_id", "text"))
+    for (tok <- Seq[Tokenizer](Tokenizer.Ascii, Tokenizer.Unicode(casefold = true))) {
+      // retired 16-bit pipeline
+      val toks16 = docs.select(col("doc_id"),
+          explode(tok.column(col("text"))).as("__tok"))
+        .select(col("doc_id"), hash32(col("__tok")).as("__th"))
+      val sums16 = (0 until 16).map(b =>
+        sum(when(shiftright(col("__th"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b"))
+      val sig16 = (0 until 16).map(b => when(col(s"s$b") > 0, 1 << b).otherwise(0)).reduce(_ + _)
+      val want16 = toks16.groupBy(col("doc_id")).agg(sums16.head, sums16.tail: _*)
+        .select(col("doc_id"), sig16.as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val got16 = Dedup.simhash(docs, "doc_id", "text", tok)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got16 === want16, s"${tok.tag}: 16-bit simhash diverged")
+
+      // retired 64-bit pipeline
+      val toks64 = docs.select(col("doc_id"),
+          explode(tok.column(col("text"))).as("__tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("__tok")), 1, 8), 16, 10).cast("long").as("__hi"),
+          conv(substring(md5(col("__tok")), 9, 8), 16, 10).cast("long").as("__lo"))
+      val sums64 = (0 until 64).map { b =>
+        val (h, sh) = if (b < 32) (col("__lo"), b) else (col("__hi"), b - 32)
+        sum(when(shiftright(h, sh).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$b")
+      }
+      val hexSig = concat((0 until 8).map { r =>
+        val byteR = (0 until 8).map(c =>
+          when(col(s"s${r * 8 + c}") > 0, lit(1 << c)).otherwise(lit(0)))
+          .reduce(_ + _)
+        lpad(lower(hex(byteR)), 2, "0")
+      }: _*)
+      val want64 = toks64.groupBy(col("doc_id")).agg(sums64.head, sums64.tail: _*)
+        .select(col("doc_id"), hexSig.as("simhash64"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val got64 = Dedup.simhash64(docs, "doc_id", "text", tok)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got64 === want64, s"${tok.tag}: 64-bit simhash diverged")
+    }
+  }
+
   test("winnow kernel is value-exact to the column formulation it replaced, on the real corpus") {
     // the retired shape: per-gram md5_prefix32 over substr, per-window
     // array_min(slice), sorted distinct — rebuilt here verbatim as the
