@@ -35,6 +35,15 @@ object MinHashSigKernels {
   private val as: Array[Long] = graft.queries.TextQueries.perms.map(_._1).toArray
   private val bs: Array[Long] = graft.queries.TextQueries.perms.map(_._2).toArray
 
+  /** Per-thread MD5 instance shared by the signature kernels —
+    * `MessageDigest.getInstance` does a provider lookup per call, which
+    * at one call PER ROW is measurable; `reset()` between uses is the
+    * documented reuse contract.
+    */
+  private[functions] val md5Local =
+    java.lang.ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   private val patterns = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
   private def pattern(re: String): java.util.regex.Pattern = {
     val p = patterns.get(re)
@@ -65,7 +74,7 @@ object MinHashSigKernels {
   def signature(text: UTF8String, tag: String): GenericArrayData = {
     val toks = tokens(text, tag)
     if (toks.length < 3) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val mins = Array.fill(as.length)(P)
     var i = 0
     while (i + 2 < toks.length) {

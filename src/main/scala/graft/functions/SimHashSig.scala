@@ -26,7 +26,7 @@ object SimHashKernels {
   private def votes(text: UTF8String, tag: String): Array[Int] = {
     val toks = MinHashSigKernels.tokens(text, tag)
     if (toks.isEmpty) return null
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MinHashSigKernels.md5Local.get()
     val sums = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

@@ -33,7 +33,7 @@ object WinnowKernels {
     val n = text.numChars()
     if (n < k) return null
     val nGrams = n - k + 1
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = MinHashSigKernels.md5Local.get()
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
