@@ -39,7 +39,7 @@ case class Md5Prefix32(child: Expression) extends UnaryExpression {
 }
 
 object Md5Prefix32 {
-  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+  private[functions] val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
   /** First 4 md5 digest bytes as an unsigned big-endian long (0 .. 2^32). */

@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -35,15 +34,6 @@ object MinHashSigKernels {
   private val as: Array[Long] = graft.queries.TextQueries.perms.map(_._1).toArray
   private val bs: Array[Long] = graft.queries.TextQueries.perms.map(_._2).toArray
 
-  /** Per-thread MD5 instance shared by the signature kernels —
-    * `MessageDigest.getInstance` does a provider lookup per call, which
-    * at one call PER ROW is measurable; `reset()` between uses is the
-    * documented reuse contract.
-    */
-  private[functions] val md5Local =
-    java.lang.ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   private val patterns = new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]()
   private def pattern(re: String): java.util.regex.Pattern = {
     val p = patterns.get(re)
@@ -71,19 +61,17 @@ object MinHashSigKernels {
   /** All 32 permutation minima, or null when the text yields fewer than
     * 3 tokens (no shingle exists).
     */
-  def signature(text: UTF8String, tag: String): GenericArrayData = {
+  def signature(text: UTF8String, tag: String): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = tokens(text, tag)
     if (toks.length < 3) return null
-    val md = md5Local.get()
     val mins = Array.fill(as.length)(P)
     var i = 0
     while (i + 2 < toks.length) {
       val shingle = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
-      md.reset()
-      val d = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val h32 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      val h = h32 % P
+      // THE one definition of the first-4-digest-bytes hash — Md5Prefix32
+      // owns it (and its per-thread digest); the kernels must never fork it
+      val h = Md5Prefix32.hash(
+        shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % P
       var j = 0
       while (j < as.length) {
         val x = (as(j) * h + bs(j)) % P
@@ -92,7 +80,10 @@ object MinHashSigKernels {
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    // primitive-backed array — GenericArrayData over Array[Long] boxes
+    // every element per row on this hot path
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
   }
 }
 

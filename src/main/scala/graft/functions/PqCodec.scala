@@ -204,11 +204,12 @@ case class PqAdcBatch(code: Expression, qIdx: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tablesRef = ctx.addReferenceObj("adcTables3", tables, "long[][][]")
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, (c, q) => {
       s"""
-        |java.lang.Long res = ($q < 0 || $q >= $tablesRef.length)
+        |java.lang.Long $res = ($q < 0 || $q >= $tablesRef.length)
         |  ? null : graft.functions.PqKernels.adc($c, $tablesRef[$q]);
-        |if (res == null) { ${ev.isNull} = true; } else { ${ev.value} = res.longValue(); }
+        |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
       """.stripMargin
     })
   }
@@ -331,10 +332,11 @@ case class PqAdc(child: Expression, tables: Array[Array[Long]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tablesRef = ctx.addReferenceObj("adcTables", tables, "long[][]")
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-        |java.lang.Long res = graft.functions.PqKernels.adc($v, $tablesRef);
-        |if (res == null) { ${ev.isNull} = true; } else { ${ev.value} = res.longValue(); }
+        |java.lang.Long $res = graft.functions.PqKernels.adc($v, $tablesRef);
+        |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.longValue(); }
       """.stripMargin
     })
   }
@@ -370,10 +372,11 @@ case class PqAssignSub(sub: Expression, sv: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val booksRef = ctx.addReferenceObj("pqBooks", books, "long[][][]")
+    val res = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, (s, v) => {
       s"""
-        |java.lang.Integer res = graft.functions.PqKernels.assignSub($s, $v, $booksRef);
-        |if (res == null) { ${ev.isNull} = true; } else { ${ev.value} = res.intValue(); }
+        |java.lang.Integer $res = graft.functions.PqKernels.assignSub($s, $v, $booksRef);
+        |if ($res == null) { ${ev.isNull} = true; } else { ${ev.value} = $res.intValue(); }
       """.stripMargin
     })
   }

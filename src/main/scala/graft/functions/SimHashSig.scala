@@ -26,7 +26,7 @@ object SimHashKernels {
   private def votes(text: UTF8String, tag: String): Array[Int] = {
     val toks = MinHashSigKernels.tokens(text, tag)
     if (toks.isEmpty) return null
-    val md = MinHashSigKernels.md5Local.get()
+    val md = Md5Prefix32.digests.get()
     val sums = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
@@ -52,11 +52,28 @@ object SimHashKernels {
     * `md5_prefix32(token)`'s low 16 bits.
     */
   def sig16(text: UTF8String, tag: String): java.lang.Integer = {
-    val s = votes(text, tag)
-    if (s == null) return null
+    // own 16-bit loop: the full votes() extracts the lo half and runs 64
+    // positions per token — 3/4 of that is wasted for a 16-bit signature
+    val toks = MinHashSigKernels.tokens(text, tag)
+    if (toks.isEmpty) return null
+    val md = Md5Prefix32.digests.get()
+    val sums = new Array[Int](16)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // hash32's low 16 bits live in digest bytes 2-3
+      val h = (((d(2) & 0xffL) << 8) | (d(3) & 0xffL)).toInt
+      var b = 0
+      while (b < 16) {
+        if (((h >> b) & 1) == 1) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
     var out = 0
     var b = 0
-    while (b < 16) { if (s(32 + b) > 0) out |= (1 << b); b += 1 }
+    while (b < 16) { if (sums(b) > 0) out |= (1 << b); b += 1 }
     java.lang.Integer.valueOf(out)
   }
 
@@ -94,10 +111,11 @@ case class SimHash16(child: Expression, tokenizerTag: String)
     SimHashKernels.sig16(v.asInstanceOf[UTF8String], tokenizerTag)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tagRef = ctx.addReferenceObj("tokTag", tokenizerTag, "java.lang.String")
+    val resName = ctx.freshName("res")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
-        |java.lang.Integer res = graft.functions.SimHashKernels.sig16($v, $tagRef);
-        |if (res == null) { ${ev.isNull} = true; } else { ${ev.value} = res.intValue(); }
+        |java.lang.Integer $resName = graft.functions.SimHashKernels.sig16($v, $tagRef);
+        |if ($resName == null) { ${ev.isNull} = true; } else { ${ev.value} = $resName.intValue(); }
       """.stripMargin
     })
   }

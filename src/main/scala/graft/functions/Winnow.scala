@@ -4,7 +4,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,22 +28,17 @@ object WinnowKernels {
     * Fewer than `w` grams: the whole doc is one window (winnowing's
     * natural degenerate case).
     */
-  def fingerprints(text: UTF8String, k: Int, w: Int): GenericArrayData = {
+  def fingerprints(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = text.numChars()
     if (n < k) return null
     val nGrams = n - k + 1
-    val md = MinHashSigKernels.md5Local.get()
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      // 1-based code-point substring — Substring/substr's exact rule
-      val gram = text.substringSQL(i + 1, k)
-      md.reset()
-      val d = md.digest(gram.getBytes)
-      // first 8 hex chars of the digest as an unsigned 32-bit value —
-      // the Md5Prefix32 contract (conv(substr(md5(c),1,8),16,10))
-      hashes(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      // 1-based code-point substring — Substring/substr's exact rule;
+      // the hash is Md5Prefix32's own (THE one definition of the
+      // first-4-digest-bytes value every oracle mirrors)
+      hashes(i) = Md5Prefix32.hash(text.substringSQL(i + 1, k).getBytes)
       i += 1
     }
     val outN = if (nGrams >= w) nGrams - w + 1 else 1
@@ -72,7 +66,9 @@ object WinnowKernels {
       if (j == 0 || mins(j) != mins(j - 1)) { mins(distinct) = mins(j); distinct += 1 }
       j += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(mins, distinct))
+    // primitive-backed (no per-element boxing on the hot path)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(mins, distinct))
   }
 }
 

@@ -64,21 +64,33 @@ object Dedup {
     * row per shingle and paid a per-doc Exchange for the groupBy — a
     * shuffle stage that rode every near-dup pipeline and every
     * signature-index write/probe; this shape has none. Docs with < 3
-    * tokens drop out (null signature, filtered), the explode pipeline's
-    * exact semantics. Two selects on purpose: the 32 per-column reads
-    * reference the ONE materialized `__sig` array, and CollapseProject's
-    * cheap-to-duplicate check refuses to inline an expensive
-    * multi-reference expression (the winnow-shape rule).
+    * tokens drop out (null signature → [[dropNull]]'s 0-element
+    * Generate), the explode pipeline's exact semantics; the 32
+    * per-column reads reference the Generate's MATERIALIZED output
+    * attribute, so the kernel runs exactly once per row
+    * (OperatorsSpec counts kernel occurrences in the optimized plan).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       tokenizer: Tokenizer = Tokenizer.Ascii): DataFrame = {
     import TextQueries.perms
     df.select(col(idCol),
-        graft.functions.MinHashSigFull
-          .minhashSigFull(col(textCol), tokenizer.tag).as("__sig"))
-      .filter(col("__sig").isNotNull)
+        explode(dropNull(graft.functions.MinHashSigFull
+          .minhashSigFull(col(textCol), tokenizer.tag))).as("__sig"))
       .select(col(idCol) +: perms.indices.map(j => col("__sig")(j).as(s"m$j")): _*)
   }
+
+  /** The single-evaluation NULL-row drop for the signature kernels:
+    * `explode(filter(array(e), isNotNull))` — a 0-or-1-element Generate
+    * whose child evaluates ONCE per row. The obvious
+    * `select(e).filter(isNotNull)` is NOT equivalent in cost:
+    * PushPredicateThroughNonJoin pushes the filter below the Project by
+    * substituting the alias, leaving the kernel in BOTH the Filter and
+    * the Project — every row would pay tokenize + all its md5 calls
+    * twice (verified on this Spark's optimized plans; a PlanSpec-style
+    * assertion in OperatorsSpec counts kernel occurrences).
+    */
+  private def dropNull(e: Column): Column =
+    filter(array(e), _.isNotNull)
 
   /** Production default for [[Lsh.candidatePairs]]'s hot-bucket guard: far
     * above any organic bucket at test SFs (max observed band-bucket size at
@@ -856,9 +868,8 @@ object Dedup {
     // the retired explode/groupBy pipeline (OperatorsSpec parity); docs
     // with zero tokens drop out, the explode semantics.
     df.select(col(idCol),
-        graft.functions.SimHashSig.simhash16(col(textCol), tokenizer.tag)
-          .as("simhash"))
-      .filter(col("simhash").isNotNull)
+        explode(dropNull(graft.functions.SimHashSig
+          .simhash16(col(textCol), tokenizer.tag))).as("simhash"))
 
   /** Full 64-bit SimHash (Charikar STOC'02 as deployed for web-crawl
     * near-dup detection in Manku, Jain & Das Sarma, WWW'07): per token
@@ -886,7 +897,6 @@ object Dedup {
     // explode, no per-doc aggregate Exchange; value-exact to the retired
     // explode/groupBy pipeline (OperatorsSpec parity).
     df.select(col(idCol),
-        graft.functions.SimHashSig.simhash64Hex(col(textCol), tokenizer.tag)
-          .as("simhash64"))
-      .filter(col("simhash64").isNotNull)
+        explode(dropNull(graft.functions.SimHashSig
+          .simhash64Hex(col(textCol), tokenizer.tag))).as("simhash64"))
 }

@@ -166,6 +166,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("signature kernels evaluate ONCE per row: optimized plans carry a single kernel occurrence") {
+    // the select(kernel).filter(isNotNull) shape gets the filter pushed
+    // below the Project (alias substitution), duplicating the kernel into
+    // Filter AND Project — every row would tokenize + md5 twice. The
+    // dropNull Generate shape keeps one occurrence; this pins it.
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def occurrences(df: org.apache.spark.sql.DataFrame, token: String): Int =
+      token.r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+    assert(occurrences(Dedup.minhashSignatures(docs, "doc_id", "text"),
+      "minhash_sig_full") === 1)
+    assert(occurrences(Dedup.simhash(docs, "doc_id", "text"),
+      "simhash16") === 1)
+    assert(occurrences(Dedup.simhash64(docs, "doc_id", "text"),
+      "simhash64_hex") === 1)
+    assert(occurrences(Dedup.winnowFingerprints(docs, "doc_id", "text"),
+      "winnow_fp") === 1)
+  }
+
   test("simhash kernels are value-exact to the explode/groupBy pipelines they replaced") {
     import graft.queries.TextQueries.hash32
     graft.functions.Md5Prefix32.register(spark)
