@@ -663,22 +663,48 @@ object Dedup {
     * ingest loop: probe the batch ([[dedupAgainstIndex]]), keep the clean
     * docs ([[cleanAgainstIndex]]), then ADD those docs' signatures so the
     * NEXT batch dedups against them too — without rewriting the
-    * corpus-sized index. Parquet `append` under the same
-    * `partitionBy("band")` layout just adds files to each band directory:
-    * existing row groups are untouched, the probe's partition/row-group
-    * pruning applies to old and new files alike, and the whole operation
-    * costs one pass over the BATCH (never the corpus). Banding is
-    * validated against the index's persisted metadata — appending with
-    * drifted parameters would poison the index with unfindable rows.
+    * corpus-sized index. The batch lands as a STAGED subtree
+    * (`path/_ingest/<queryTag>/b_<batchId>`, written to `.tmp` and
+    * renamed into place, [[IndexLifecycle.writeViaTmp]]) — the same
+    * publish discipline as the Retrieval/Pq/Boilerplate ingest paths, so
+    * a crash mid-append leaves nothing probe-visible (the old direct
+    * `mode(append)` could expose a torn set of band files the instant the
+    * job commit started). Probes union the base tree with every published
+    * subtree; band partition pruning and `bh` row-group pruning apply to
+    * each alike, and the whole operation costs one pass over the BATCH
+    * (never the corpus). Banding is validated against the index's
+    * persisted metadata — appending with drifted parameters would poison
+    * the index with unfindable rows.
+    *
+    * `queryTag`/`batchId` address the subtree: the streaming loop passes
+    * its checkpoint tag + foreachBatch id so a REPLAYED batch overwrites
+    * its own subtree instead of duplicating rows; the manual default
+    * allocates the next free id under the `append` tag.
     */
   def appendToSignatureIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+      path: String, bands: Int = 8, rowsPerBand: Int = 4,
+      queryTag: String = "append", batchId: Long = -1L): Unit = {
     requireBanding(bands, rowsPerBand, "appendToSignatureIndex")
     validateIndexMeta(df, path, bands, rowsPerBand, "appendToSignatureIndex")
-    bandedSignatures(df, idCol, textCol, bands, rowsPerBand,
-        readTokenizer(df.sparkSession, path, "appendToSignatureIndex"))
-      .write.mode("append").partitionBy("band").parquet(path)
+    val spark = df.sparkSession
+    val id = if (batchId >= 0L) batchId
+      else IndexLifecycle.nextAppendBatchId(spark, path, queryTag)
+    val dir = IndexLifecycle.ingestBatchDir(path, queryTag, id)
+    val rows = bandedSignatures(df, idCol, textCol, bands, rowsPerBand,
+      readTokenizer(spark, path, "appendToSignatureIndex"))
+    IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
+      rows.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    }
   }
+
+  /** The signature index's live roots: the base tree plus every PUBLISHED
+    * append subtree (in-flight `.tmp` stages invisible), minus the
+    * optionally-excluded one (a replaying batch must not probe its own
+    * previous write).
+    */
+  private def signatureIndexRoots(spark: org.apache.spark.sql.SparkSession,
+      path: String, exclude: Option[String] = None): Seq[String] =
+    path +: IndexLifecycle.listIngestDirs(spark, path, exclude)
 
   /** Compact a [[writeSignatureIndex]] index into `targetPath`: each
     * microbatch append adds at least one file per band, so a long-running
@@ -702,8 +728,14 @@ object Dedup {
       "compactSignatureIndex", "writeSignatureIndex")
     // clustered + bh-sorted ([[IndexLifecycle.clusterForPartitionedWrite]]):
     // without the sort, salt order gives every compacted row group a
-    // near-full-range bh span and the probe's IN pushdown stops skipping
-    IndexLifecycle.clusterForPartitionedWrite(spark.read.parquet(path), "band",
+    // near-full-range bh span and the probe's IN pushdown stops skipping.
+    // Append subtrees fold into the compacted base — the compacted index
+    // starts with a clean _ingest slate.
+    val baseSchema = spark.read.parquet(path).schema
+    val all = signatureIndexRoots(spark, path)
+      .map(r => spark.read.schema(baseSchema).parquet(r))
+      .reduce(_ unionByName _)
+    IndexLifecycle.clusterForPartitionedWrite(all, "band",
         filesPerPartition = filesPerBand, sortCols = Seq("bh"))
       .write.mode("overwrite").partitionBy("band").parquet(targetPath)
     IndexLifecycle.writeMeta(spark, targetPath, MetaFileName, metaTxt)
@@ -731,7 +763,8 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minAgreeFraction: Double = 0.5,
       bands: Int = 8, rowsPerBand: Int = 4,
-      maxProbeKeys: Int = 1 << 20): DataFrame = {
+      maxProbeKeys: Int = 1 << 20,
+      excludeSubtree: Option[String] = None): DataFrame = {
     import TextQueries.NumPerm
     requireBanding(bands, rowsPerBand, "dedupAgainstIndex")
     validateIndexMeta(newDocs, indexPath, bands, rowsPerBand,
@@ -770,7 +803,13 @@ object Dedup {
     // refines it per band and drives partition pruning on `band` — the OR
     // alone would not push bh (it mixes partition and data columns)
     val allBhs = keysByBand.values.flatten.toSeq.distinct
-    val index = spark.read.parquet(indexPath)
+    // base tree ∪ published append subtrees, read under the probe's own
+    // schema (names match the written layout; an EMPTY published batch —
+    // zero data files — reads as zero rows instead of failing inference);
+    // both filter stages push into every root alike
+    val index = signatureIndexRoots(spark, indexPath, excludeSubtree)
+      .map(r => spark.read.schema(probes.schema).parquet(r))
+      .reduce(_ unionByName _)
       .filter(col("bh").isin(allBhs: _*))
       .filter(prune)
     val agree = (0 until NumPerm)
@@ -797,10 +836,11 @@ object Dedup {
   def cleanAgainstIndex(newDocs: DataFrame, idCol: String, textCol: String,
       indexPath: String, minAgreeFraction: Double = 0.5,
       bands: Int = 8, rowsPerBand: Int = 4,
-      maxProbeKeys: Int = 1 << 20): DataFrame =
+      maxProbeKeys: Int = 1 << 20,
+      excludeSubtree: Option[String] = None): DataFrame =
     newDocs.join(
       dedupAgainstIndex(newDocs, idCol, textCol, indexPath, minAgreeFraction,
-        bands, rowsPerBand, maxProbeKeys).select(idCol).distinct(),
+        bands, rowsPerBand, maxProbeKeys, excludeSubtree).select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
   /** The full append-only-corpus ingest loop as ONE Structured Streaming
@@ -813,12 +853,12 @@ object Dedup {
     * the "ingest batch".
     *
     * Delivery semantics: the checkpoint makes batch replay possible after a
-    * crash between `sink` and the index append. A replayed append writes
-    * duplicate signature ROWS, which are harmless to correctness — a doc
-    * matching its own replayed signatures is excluded by the probe's
-    * self-pair filter, and duplicate (corpus_id, agreeing) matches collapse
-    * in [[dedupAgainstIndex]]'s final `distinct()`. `sink` must be
-    * idempotent, the standard `foreachBatch` contract.
+    * crash between `sink` and the index append. A replayed append
+    * OVERWRITES its own staged subtree (`_ingest/<checkpoint tag>/b_<id>`,
+    * [[appendToSignatureIndex]]) instead of duplicating rows, and the
+    * replay's probe EXCLUDES that subtree — so a replayed batch sees
+    * exactly the pre-batch index state and reproduces its original clean
+    * set. `sink` must be idempotent, the standard `foreachBatch` contract.
     *
     * The batch and its cleaned half are persisted for the duration of the
     * trigger only (each is consumed by two jobs: probe + anti-join, sink +
@@ -835,6 +875,7 @@ object Dedup {
     // it ONCE at query start, not one meta-file read per trigger
     val tokenizer = readTokenizer(stream.sparkSession, indexPath,
       "streamingIngest")
+    val tag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -843,12 +884,16 @@ object Dedup {
           // within-batch dedup under the index's OWN tokenizer rule
           val inBatch = dedupNear(b.toDF(), idCol, textCol, minAgreeFraction,
             tokenizer = tokenizer)
+          // a REPLAY must not probe its own previous append — exclude
+          // this batch's subtree so the replay sees the pre-batch state
+          val own = IndexLifecycle.ingestBatchDir(indexPath, tag, batchId)
           val clean = cleanAgainstIndex(inBatch, idCol, textCol, indexPath,
-            minAgreeFraction, bands, rowsPerBand, maxProbeKeys).persist()
+            minAgreeFraction, bands, rowsPerBand, maxProbeKeys,
+            excludeSubtree = Some(own)).persist()
           try {
             sink(clean, batchId)
             appendToSignatureIndex(clean, idCol, textCol, indexPath,
-              bands, rowsPerBand)
+              bands, rowsPerBand, queryTag = tag, batchId = batchId)
           } finally { clean.unpersist(); () }
         } finally { b.unpersist(); () }
       }

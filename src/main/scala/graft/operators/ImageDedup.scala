@@ -663,19 +663,35 @@ object ImageDedup {
   }
 
   /** APPEND a cleaned ingest batch's hash rows — one pass over the
-    * BATCH, the corpus-sized index is never rewritten. A replayed append
-    * (crash between sink and commit in the streaming loop) adds
-    * duplicate rows, which are harmless: the probe's self-pair filter
-    * and terminal `distinct()` absorb them — same contract as
-    * [[Dedup.appendToSignatureIndex]].
+    * BATCH, the corpus-sized index is never rewritten. The batch lands as
+    * a STAGED subtree (`path/_ingest/<queryTag>/b_<batchId>`, written to
+    * `.tmp` and renamed — [[IndexLifecycle.writeViaTmp]]): a crash
+    * mid-append leaves nothing probe-visible, and a REPLAYED streaming
+    * append overwrites its own subtree instead of duplicating rows —
+    * same contract as [[Dedup.appendToSignatureIndex]]. The manual
+    * default allocates the next free id under the `append` tag.
     */
   def appendToImageHashIndex(df: DataFrame, idCol: String, hashCol: String,
-      path: String): Unit = {
-    val bandBits = validateImgMeta(df.sparkSession, path, idCol,
+      path: String, queryTag: String = "append", batchId: Long = -1L): Unit = {
+    val spark = df.sparkSession
+    val bandBits = validateImgMeta(spark, path, idCol,
       "appendToImageHashIndex")
-    bandedHashes(df, idCol, hashCol, bandBits)
-      .write.mode("append").partitionBy("band").parquet(path)
+    val id = if (batchId >= 0L) batchId
+      else IndexLifecycle.nextAppendBatchId(spark, path, queryTag)
+    val dir = IndexLifecycle.ingestBatchDir(path, queryTag, id)
+    val rows = bandedHashes(df, idCol, hashCol, bandBits)
+    IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
+      rows.write.mode("overwrite").partitionBy("band").parquet(tmp)
+    }
   }
+
+  /** Base tree ∪ published append subtrees (in-flight `.tmp` stages
+    * invisible), minus the optionally-excluded one (a replaying batch
+    * must not probe its own previous write).
+    */
+  private def imageIndexRoots(spark: org.apache.spark.sql.SparkSession,
+      path: String, exclude: Option[String] = None): Seq[String] =
+    path +: IndexLifecycle.listIngestDirs(spark, path, exclude)
 
   /** INCREMENTAL near-dup check of an ingest batch against the index:
     * one row per (batch doc, matched corpus doc) with the exact Hamming
@@ -689,7 +705,8 @@ object ImageDedup {
     */
   def dedupAgainstImageIndex(newDocs: DataFrame, idCol: String,
       hashCol: String, indexPath: String, maxHamming: Int = 6,
-      maxProbeKeys: Int = 1 << 20): DataFrame = {
+      maxProbeKeys: Int = 1 << 20,
+      excludeSubtree: Option[String] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 64,
       s"maxHamming must be in [0, 64], got $maxHamming")
     val spark = newDocs.sparkSession
@@ -706,7 +723,9 @@ object ImageDedup {
     if (keyRows.isEmpty)
       return probes.select(col(idCol), col(idCol).as("corpus_id"),
         lit(0).as("hamming")).limit(0)
-    val index0 = spark.read.schema(imgIndexSchema(idCol)).parquet(indexPath)
+    val index0 = imageIndexRoots(spark, indexPath, excludeSubtree)
+      .map(r => spark.read.schema(imgIndexSchema(idCol)).parquet(r))
+      .reduce(_ unionByName _)
     // two probe regimes by key count:
     //  - SMALL key sets: literal (band, bv) pruning pushes into the scan
     //    as a data filter (flat IN) + per-band OR refinement — the
@@ -745,10 +764,11 @@ object ImageDedup {
     */
   def cleanAgainstImageIndex(newDocs: DataFrame, idCol: String,
       hashCol: String, indexPath: String, maxHamming: Int = 6,
-      maxProbeKeys: Int = 1 << 20): DataFrame =
+      maxProbeKeys: Int = 1 << 20,
+      excludeSubtree: Option[String] = None): DataFrame =
     newDocs.join(
       dedupAgainstImageIndex(newDocs, idCol, hashCol, indexPath, maxHamming,
-        maxProbeKeys).select(idCol).distinct(),
+        maxProbeKeys, excludeSubtree).select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
   /** Compact an appended index into `targetPath` (NEW disjoint path —
@@ -761,8 +781,11 @@ object ImageDedup {
     require(filesPerBand >= 1, s"filesPerBand must be >= 1, got $filesPerBand")
     IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactImageHashIndex")
     val (txt, idCol, _) = readImgMeta(spark, path, "compactImageHashIndex")
-    IndexLifecycle.clusterForPartitionedWrite(
-        spark.read.schema(imgIndexSchema(idCol)).parquet(path).distinct(),
+    // append subtrees fold into the compacted base (clean _ingest slate)
+    val all = imageIndexRoots(spark, path)
+      .map(r => spark.read.schema(imgIndexSchema(idCol)).parquet(r))
+      .reduce(_ unionByName _)
+    IndexLifecycle.clusterForPartitionedWrite(all.distinct(),
         "band", filesPerPartition = filesPerBand, sortCols = Seq("bv"))
       .write.mode("overwrite").partitionBy("band").parquet(targetPath)
     IndexLifecycle.writeMeta(spark, targetPath, ImgMetaFileName, txt)
@@ -777,28 +800,33 @@ object ImageDedup {
     * next batch. Hash upstream (e.g. [[dHashImages]] over the decoded
     * media column) so the loop stays decoder-agnostic.
     *
-    * Delivery: replayed appends add duplicate rows, harmless by the
-    * probe's self-pair filter + distinct (see
-    * [[appendToImageHashIndex]]); `sink` must be idempotent, the
-    * standard `foreachBatch` contract. Batch and its cleaned half are
-    * persisted for the trigger only.
+    * Delivery: a replayed append OVERWRITES its own staged subtree and
+    * the replay's probe excludes it (see [[appendToImageHashIndex]]), so
+    * a replayed batch sees exactly the pre-batch index state; `sink`
+    * must be idempotent, the standard `foreachBatch` contract. Batch and
+    * its cleaned half are persisted for the trigger only.
     */
   def streamingImageIngest(stream: DataFrame, idCol: String, hashCol: String,
       indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       maxHamming: Int = 6,
-      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
         try {
           val inBatch = dedupImages(b.toDF(), idCol, hashCol, maxHamming)
+          // a REPLAY must not probe its own previous append
+          val own = IndexLifecycle.ingestBatchDir(indexPath, tag, batchId)
           val clean = cleanAgainstImageIndex(inBatch, idCol, hashCol,
-            indexPath, maxHamming, maxProbeKeys).persist()
+            indexPath, maxHamming, maxProbeKeys,
+            excludeSubtree = Some(own)).persist()
           try {
             sink(clean, batchId)
-            appendToImageHashIndex(clean, idCol, hashCol, indexPath)
+            appendToImageHashIndex(clean, idCol, hashCol, indexPath,
+              queryTag = tag, batchId = batchId)
           } finally { clean.unpersist(); () }
         } finally {
           b.unpersist()
@@ -810,4 +838,5 @@ object ImageDedup {
         }
       }
       .start()
+  }
 }

@@ -142,6 +142,28 @@ private[graft] object IndexLifecycle {
         "unpublished — replay the batch to repair")
   }
 
+  /** Next free batch id under `path/_ingest/<queryTag>` — the manual
+    * (non-streaming) append's id allocator: max existing `b_<n>` + 1, 0
+    * on a fresh index. Single-writer by contract (the same contract the
+    * ingest loops already carry); a streaming append never calls this —
+    * it uses its OWN foreachBatch id so a replay overwrites its subtree.
+    */
+  def nextAppendBatchId(spark: SparkSession, path: String,
+      queryTag: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, IngestDirName), queryTag)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) 0L
+    else {
+      val ids = fs.listStatus(root).toSeq.collect {
+        case s if s.isDirectory && s.getPath.getName.startsWith("b_") &&
+            !s.getPath.getName.endsWith(TmpSuffix) =>
+          s.getPath.getName.stripPrefix("b_").toLong
+      }
+      if (ids.isEmpty) 0L else ids.max + 1L
+    }
+  }
+
   /** Stable per-query tag from the QUALIFIED checkpoint path — a restart
     * spelling the same dir differently ("/ckpt/" vs "/ckpt", relative vs
     * absolute) resumes the same Spark checkpoint, and its replayed

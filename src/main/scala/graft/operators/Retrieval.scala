@@ -478,7 +478,12 @@ object Retrieval {
     */
   private[graft] final case class WandPlan(blockSize: Long,
       totalBlocks: Long, seedBlocks: Long, theta: Option[Long],
-      survivors: Option[Seq[Long]])
+      survivors: Option[Seq[Long]],
+      // two-tier observability: rows the tier-one (seed-prefix) collect
+      // brought to the driver (≤ seedBoost·n by construction) and whether
+      // the bounded survivor-extension job had to run (θ at or below the
+      // prefix's minimum bound — uniform-bounds corpora)
+      planeRows: Long = 0L, extended: Boolean = false)
 
   /** ONE bucket-pruned postings pass collecting df-per-term and the
     * corpus (N, avgdl) stats row (the null-term group IS the stats row),
@@ -497,8 +502,11 @@ object Retrieval {
         sum(col("dl")).as("__sdl"))
       .collect()
     val statsRow = aggRows.find(_.isNullAt(0)) // fields: term, __c, __stf, __sdl
-    val nOpt: Option[Long] = statsRow.map(r =>
-      if (r.isNullAt(2)) 0L else r.getLong(2))
+    // a NULL Σtf stays NULL (sum over all-NULL tf) — arithmetic-identical
+    // to the aggregate this plane replaced, which propagated NULL scores
+    // rather than computing idf against N=0
+    val nOpt: Option[Long] = statsRow.flatMap(r =>
+      if (r.isNullAt(2)) None else Some(r.getLong(2)))
     val avgOpt: Option[Double] = statsRow.collect {
       case r if !r.isNullAt(2) && r.getLong(2) != 0L && !r.isNullAt(3) =>
         r.getLong(3).toDouble / r.getLong(2)
@@ -553,10 +561,12 @@ object Retrieval {
     // bucket-pruned postings aggregation collecting df-per-term and the
     // corpus (N, avgdl) — |terms|+1 driver rows, re-injected as LOCAL
     // relations so no later action recomputes them; (2) one sidecar
-    // TakeOrdered collecting the top max(seedBoost·n, maxSurvivors+1)
-    // blocks by upper bound, which serves BOTH the seed-prefix selection
-    // and (post-θ) the survivor filter — no third job re-scans the
-    // sidecar for survivors.
+    // TakeOrdered collecting the top seedBoost·n blocks by upper bound,
+    // which serves BOTH the seed-prefix selection and (post-θ, whenever
+    // the prefix provably covers every clearing block — the typical
+    // probe) the survivor filter. A third bounded sidecar job runs ONLY
+    // when θ falls at or below the prefix's minimum bound, and then
+    // collects only the clearing blocks (≤ maxSurvivors+1).
     val bstats = roots
       .map(r => spark.read.schema(blockStatsSchema)
         .parquet(s"$r/$BlockStatsDirName"))
@@ -592,19 +602,21 @@ object Retrieval {
     // block, which sits far below the true n-th best whenever the
     // selective (high-idf) docs are a small fraction of each block, and
     // then prunes nothing. docsLB ≥ 1 bounds the prefix at seedBoost·n
-    // blocks, so a TakeOrderedAndProject top-max(seedBoost·n,
-    // maxSurvivors+1) + a driver prefix scan replaces what was a
-    // single-partition global window — and the SAME collected, desc-
-    // ordered list answers the survivor filter below: any block with
-    // bound ≥ θ that is not among the collected top maxSurvivors+1 can
-    // only exist when MORE than maxSurvivors blocks clear θ, which is
-    // exactly the documented degrade-to-unpruned case.
+    // blocks, so a TakeOrderedAndProject top-seedBoost·n + a driver
+    // prefix scan replaces what was a single-partition global window.
+    // The collect is TWO-TIER: this first tier fetches ONLY the seed
+    // prefix (≤ seedBoost·n rows — never maxSurvivors+1, which at the
+    // default would be a guaranteed ~1M-row driver collect per probe and
+    // a ~1M-entry per-partition TakeOrdered heap on every executor even
+    // when a handful of blocks clear θ); the survivor set below reuses it
+    // whenever the prefix provably covers every clearing block, and pays
+    // ONE extra bounded job only when θ lands at or above the prefix's
+    // minimum bound.
     val seedTarget = seedBoost.toLong * n
-    val planeLimit = (seedTarget max (maxSurvivors.toLong + 1)) min
-      Int.MaxValue.toLong
+    val tierLimit = (seedTarget min Int.MaxValue.toLong).toInt
     val plane = bounds
       .orderBy(col("__ub").desc, col("block").asc)
-      .limit(planeLimit.toInt)
+      .limit(tierLimit)
       .select("block", "__docs_lb", "__ub").collect()
     val seeds = {
       var cum = 0L
@@ -634,24 +646,47 @@ object Retrieval {
     // never pays it
     def totalBlocks: Long = if (collectStats) bounds.count() else -1L
     def skipped(reason: WandPlan => WandPlan): (DataFrame, WandPlan) =
-      (scoreRanges(None), reason(WandPlan(blockSize, totalBlocks, 0L, None, None)))
+      (scoreRanges(None), reason(WandPlan(blockSize, totalBlocks, 0L, None,
+        None, planeRows = plane.length.toLong)))
     if (seeds.isEmpty) return skipped(identity) // empty index/terms
     val seedTop = scoreRanges(Some(seeds)).select("bm25_q").collect()
     if (seedTop.length < n) // corpus smaller than n: nothing to prune
       return skipped(_.copy(seedBlocks = seeds.length.toLong))
     val theta = seedTop.map(_.getLong(0)).min
 
-    // survivors off the ALREADY-collected plane — no extra job. The
-    // plane holds the top maxSurvivors+1 blocks by bound (desc), so if
-    // ≤ maxSurvivors of them clear θ, every clearing block in the index
-    // is among them (anything uncollected bounds below the plane's
-    // minimum); more than maxSurvivors ⇒ the documented unpruned
-    // fallback, exactly as the old third job decided it.
-    val survivors = plane.filter(r => !r.isNullAt(2) && r.getLong(2) >= theta)
-      .map(_.getLong(0)).toSeq
+    // survivors, tier two. The collected prefix provably holds EVERY
+    // block with bound ≥ θ in two cases: (a) it is the whole plane
+    // (fewer blocks exist than the tier limit, or a NULL bound was
+    // collected — desc ordering sorts NULLs last, so a collected NULL
+    // means every non-NULL block is already here); (b) its minimum
+    // collected bound is < θ — anything uncollected bounds at or below
+    // that minimum, hence strictly below θ. In both (the typical probe:
+    // θ exceeds the tail of a few-hundred-row prefix) the survivor set
+    // comes off the tier-one array with NO extra job. Only when θ ≤ the
+    // prefix minimum — survivors may extend past the prefix — does one
+    // extra bounded job run, and it collects ONLY clearing blocks
+    // (bound ≥ θ pushed into the scan), capped at maxSurvivors+1 so an
+    // overflow degrades to the documented unpruned fallback instead of
+    // a corpus-sized collect.
+    val planeComplete = plane.length < tierLimit || plane.exists(_.isNullAt(2))
+    val prefixMin: Option[Long] =
+      plane.reverseIterator.find(!_.isNullAt(2)).map(_.getLong(2))
+    val mustExtend = !(planeComplete || prefixMin.exists(_ < theta))
+    val survivors: Seq[Long] =
+      if (!mustExtend)
+        plane.filter(r => !r.isNullAt(2) && r.getLong(2) >= theta)
+          .map(_.getLong(0)).toSeq
+      else {
+        val extLimit = ((maxSurvivors.toLong + 1) min Int.MaxValue.toLong).toInt
+        bounds.where(col("__ub") >= theta)
+          .orderBy(col("__ub").desc, col("block").asc)
+          .limit(extLimit)
+          .select("block").collect().map(_.getLong(0)).toSeq
+      }
     val plan = WandPlan(blockSize, totalBlocks, seeds.length.toLong,
       Some(theta),
-      if (survivors.length > maxSurvivors) None else Some(survivors))
+      if (survivors.length > maxSurvivors) None else Some(survivors),
+      planeRows = plane.length.toLong, extended = mustExtend)
     (scoreRanges(plan.survivors), plan)
   }
 

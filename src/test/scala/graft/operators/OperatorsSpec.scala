@@ -1027,6 +1027,56 @@ class OperatorsSpec extends SparkSpec {
       s"batch-2 matches must span the appended batch-1 doc and the corpus: $hits")
   }
 
+  test("appendToSignatureIndex: staged publish — torn stages invisible, replays overwrite") {
+    val base = tempDir("graft_sigidx_stage")
+    val idx = base + "/idx"
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
+    val batchTxt = "unrelated words about spark shuffles and caching parquet today"
+    val batch = Seq((100L, batchTxt)).toDF("doc_id", "text")
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", idx,
+      queryTag = "qx", batchId = 7L)
+    val probeDocs = Seq((10L, batchTxt + " now")).toDF("doc_id", "text")
+    def hits(exclude: Option[String] = None) =
+      Dedup.dedupAgainstIndex(probeDocs, "doc_id", "text", idx,
+          minAgreeFraction = 0.3, excludeSubtree = exclude)
+        .select("doc_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits() === Set((10L, 100L)))
+    // a REPLAY of the same (tag, batch) overwrites its subtree — no
+    // duplicate subtree, no duplicate rows, identical probe
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", idx,
+      queryTag = "qx", batchId = 7L)
+    val subtrees = new java.io.File(idx + "/_ingest/qx").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(subtrees === Seq("b_7"), s"replay must not accrete: $subtrees")
+    assert(hits() === Set((10L, 100L)))
+    // the replaying batch probes the PRE-batch state via self-exclusion
+    assert(hits(exclude = Some(
+      IndexLifecycle.ingestBatchDir(idx, "qx", 7L))) === Set.empty)
+    // a TORN stage (crash mid-append: files staged under b_N.tmp, never
+    // renamed) is invisible to probes — stage a subtree whose doc WOULD
+    // match, assert no phantom hit, then publish it and see the hit
+    val idx2 = base + "/idx2"
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx2)
+    Dedup.appendToSignatureIndex(
+      Seq((200L, batchTxt)).toDF("doc_id", "text"), "doc_id", "text", idx2,
+      queryTag = "qx", batchId = 0L)
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(idx2 + "/_ingest/qx/b_0")
+    val torn = new org.apache.hadoop.fs.Path(idx + "/_ingest/qx/b_8.tmp")
+    val fs = torn.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, torn, false, conf)
+    assert(hits() === Set((10L, 100L)),
+      "a torn .tmp stage must never reach a probe")
+    assert(fs.rename(torn, new org.apache.hadoop.fs.Path(
+      idx + "/_ingest/qx/b_8")))
+    assert(hits() === Set((10L, 100L), (10L, 200L)),
+      "the rename IS the publish: the same files turn visible atomically")
+  }
+
   test("compactSignatureIndex bounds per-band files; probe and metadata survive") {
     val base = tempDir("graft_sigidx_compact")
     val idx = base + "/idx"
@@ -1044,10 +1094,31 @@ class OperatorsSpec extends SparkSpec {
     def bandFiles(p: String): Seq[Int] =
       new java.io.File(p).listFiles().filter(_.getName.startsWith("band="))
         .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
-    assert(bandFiles(idx).exists(_ >= 4), s"appends must accrete: ${bandFiles(idx)}")
+    // appends accrete as PUBLISHED staged subtrees (stage-then-rename),
+    // never as torn files inside the base band dirs
+    assert(bandFiles(idx).forall(_ == 1),
+      s"base band dirs must be untouched by appends: ${bandFiles(idx)}")
+    val subtrees = new java.io.File(idx + "/_ingest/append").listFiles()
+      .filter(_.getName.startsWith("b_")).map(_.getName).sorted.toSeq
+    assert(subtrees === Seq("b_0", "b_1", "b_2"),
+      s"appends must accrete one published subtree each: $subtrees")
     Dedup.compactSignatureIndex(spark, idx, compacted)
     assert(bandFiles(compacted).forall(_ == 1),
       s"compacted bands must hold one file: ${bandFiles(compacted)}")
+    assert(!new java.io.File(compacted + "/_ingest").exists(),
+      "compaction folds append subtrees into the base tree")
+    // the appended docs fold into the compacted artifact: a probe that
+    // matches ONLY an appended doc agrees pre/post compaction
+    val appendedProbe = Seq(
+      (11L, "unrelated words number 1 about spark shuffles and caching today!"))
+      .toDF("doc_id", "text")
+    def probeAppended(p: String) =
+      Dedup.dedupAgainstIndex(appendedProbe, "doc_id", "text", p,
+        minAgreeFraction = 0.3)
+        .select("doc_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeAppended(compacted) === probeAppended(idx) &&
+      probeAppended(compacted).nonEmpty)
     // the probe validates metadata on the compacted artifact and agrees
     val batch = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"))

@@ -112,6 +112,45 @@ class WandSpec extends SparkSpec {
     }
   }
 
+  test("two-tier plane: tier one collects only the seed prefix; a uniform corpus takes the bounded extension") {
+    // Tier one collects only the seed prefix (≤ seedBoost·n rows — the
+    // r15 plane collected max(seedBoost·n, maxSurvivors+1) ≈ 1M rows per
+    // probe). The survivor set must still be EXACT in both regimes:
+    //  (a) skewed corpus — θ beats the prefix's minimum bound, survivors
+    //      come off the tier-one array, NO extension job;
+    //  (b) uniform corpus — every block bounds identically, θ == the
+    //      prefix minimum, tier one cannot prove coverage, and ONE extra
+    //      bounded job collects every clearing block.
+    val q = Seq("spark", "join")
+
+    val skIdx = freshDir("wand_tier1")
+    Retrieval.writeTextIndex(skewed(200), "doc_id", "text", skIdx,
+      nBuckets = 4, blockSize = 16)
+    val (skRes, skPlan) = Retrieval.bm25WandWithPlan(spark, skIdx, q, 3)
+    assert(rows(skRes) === rows(Retrieval.bm25AgainstIndex(spark, skIdx, q, 3)))
+    assert(!skPlan.extended,
+      "a skewed corpus must resolve survivors off the tier-one prefix")
+    assert(skPlan.planeRows <= 32L * 3,
+      s"tier one must collect at most seedBoost*n rows, got ${skPlan.planeRows}")
+    assert(skPlan.survivors.exists(_.nonEmpty))
+
+    val uIdx = freshDir("wand_tier2")
+    Retrieval.writeTextIndex(
+      (0 until 96).map(i => (i.toLong, "spark join")).toDF("doc_id", "text"),
+      "doc_id", "text", uIdx, nBuckets = 4, blockSize = 8)
+    val (uRes, uPlan) = Retrieval.bm25WandWithPlan(spark, uIdx, q, 1,
+      seedBoost = 1, collectStats = true)
+    assert(rows(uRes) === rows(Retrieval.bm25AgainstIndex(spark, uIdx, q, 1)))
+    // every one of the 12 blocks bounds == θ: tier one held only the
+    // single seed block, so the extension must recover all 12
+    assert(uPlan.extended, "uniform bounds must force the extension job")
+    assert(uPlan.planeRows === 1L)
+    assert(uPlan.seedBlocks === 1L)
+    assert(uPlan.totalBlocks === 12L)
+    assert(uPlan.survivors.exists(_.size === 12),
+      s"extension must recover every clearing block: ${uPlan.survivors}")
+  }
+
   test("compaction regenerates the sidecar; probe results unchanged") {
     val docs = skewed(100)
     val idx = freshDir("wand_cpt")
