@@ -159,7 +159,9 @@ object StatefulOps {
             }
             prev = up.value
           }
-          state.update(prev)
+          // a tombstoned original key needs no previous-value row anymore —
+          // evict, so the re-key store stays bounded by LIVE keys
+          if (prev.isEmpty) state.remove() else state.update(prev)
           out.result().iterator
       }
   }
@@ -199,8 +201,16 @@ object StatefulOps {
             }
           }
           // result ts carries the running max — a late batch must not emit
-          // a regressed ts that downstream latest-views would ignore
-          state.update((agg, maxTs))
+          // a regressed ts that downstream latest-views would ignore.
+          // A null aggregate DELETES the key's state row (the reference's
+          // store semantics: a null aggregation result is a store delete,
+          // KTableAggregateProcessor.cs:63-66) — without it a churning
+          // keyspace accretes one state row per key EVER seen and the
+          // store grows without bound (measured: Round16StatefulScaleTimer,
+          // SCALE.md). The running-max ts guard protects LIVE keys; after
+          // a delete, a revived key is a fresh generation and emits its
+          // own ts, exactly as the reference's store does.
+          if (agg.isEmpty) state.remove() else state.update((agg, maxTs))
           Iterator.single(Upsert(key, agg, new Timestamp(maxTs)))
       }
   }
@@ -243,7 +253,13 @@ object StatefulOps {
             }
             out += Upsert(key, emit, row.ts)
           }
-          state.update((lv, rv))
+          // both sides tombstoned ⇒ the key is DEAD: delete its dual-state
+          // row (the reference deletes store rows on null, so its join
+          // stores are bounded by live keys — ours must be too; measured:
+          // Round16StatefulScaleTimer, SCALE.md). A revived key starts a
+          // fresh dual state, same as a first-seen key.
+          if (lv.isEmpty && rv.isEmpty) state.remove()
+          else state.update((lv, rv))
           out.result().iterator
       }
   }

@@ -82,6 +82,64 @@ class StreamingChangelogSpec extends SparkSpec {
     assert(state("k") === Some("-/r1")) // right side survives the left delete
   }
 
+  test("tombstone eviction: dead keys leave the state store (join, aggregate, re-key)") {
+    import graft.streaming.{KeyedChange, StatefulOps}
+    def stateRows(q: StreamingQuery): Long =
+      Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum)
+        .getOrElse(-1L)
+
+    // table-table outer join: a key tombstoned on BOTH sides must leave
+    // the dual-state store; a one-sided tombstone must stay
+    val lin = MemoryStream[(String, Option[String], Long)]
+    val rin = MemoryStream[(String, Option[String], Long)]
+    val lt = lin.toDS().map { case (k, v, t) => Upsert(k, v, new java.sql.Timestamp(t)) }
+    val rt = rin.toDS().map { case (k, v, t) => Upsert(k, v, new java.sql.Timestamp(t)) }
+    val joined = StatefulOps.tableTableJoin(lt, rt, "outer")(
+      (a: Option[String], b: Option[String]) => a.getOrElse("-") + b.getOrElse("-"))
+    val jq = start(joined, "t_evict_join", mode = "append")
+    lin.addData(("a", Some("x"), 1L), ("b", Some("y"), 1L))
+    rin.addData(("a", Some("X"), 1L)); jq.processAllAvailable()
+    assert(stateRows(jq) === 2L)
+    lin.addData(("a", Option.empty[String], 2L), ("b", Option.empty[String], 2L))
+    rin.addData(("a", Option.empty[String], 2L)); jq.processAllAvailable()
+    assert(stateRows(jq) === 0L,
+      "keys dead on both sides must be evicted from the join store")
+    // a revived key behaves like a first-seen key
+    lin.addData(("a", Some("z"), 3L)); jq.processAllAvailable()
+    assert(stateRows(jq) === 1L)
+    val outRows = latest(spark.table("t_evict_join").as[Upsert[String, String]].collect())
+    assert(outRows("a") === Some("z-") && outRows("b") === None)
+
+    // add/subtract aggregate: subtractor-null-deletes must remove the row
+    val ain = MemoryStream[(String, Option[Long], Option[Long], Long)]
+    val changes = ain.toDS().map { case (k, o, n, t) =>
+      KeyedChange(k, Change(o, n), new java.sql.Timestamp(t)) }
+    val agg = StatefulOps.aggregateChanges(changes)(
+      () => "0",
+      (_: String, v: Long, acc: String) => (acc.toLong + v).toString,
+      (_: String, v: Long, acc: String) => {
+        val r = acc.toLong - v; if (r == 0L) null else r.toString })
+    val aq = start(agg, "t_evict_agg", mode = "append")
+    ain.addData(("g", Option.empty[Long], Some(5L), 1L)); aq.processAllAvailable()
+    ain.addData(("h", Option.empty[Long], Some(7L), 2L)); aq.processAllAvailable()
+    assert(stateRows(aq) === 2L)
+    ain.addData(("h", Some(7L), Option.empty[Long], 3L)); aq.processAllAvailable()
+    assert(stateRows(aq) === 1L,
+      "a key aggregated to null must be evicted from the store")
+
+    // changelogChanges: a tombstoned original key drops its prev-value row
+    val cin = MemoryStream[(String, Option[Long], Long)]
+    val ups = cin.toDS().map { case (k, v, t) =>
+      Upsert(k, v, new java.sql.Timestamp(t)) }
+    val rekeyed = StatefulOps.changelogChanges(ups)((k, v: Long) => (v % 2, k))
+    val cq = start(rekeyed, "t_evict_rekey", mode = "append")
+    cin.addData(("p", Some(4L), 1L), ("q", Some(3L), 1L)); cq.processAllAvailable()
+    assert(stateRows(cq) === 2L)
+    cin.addData(("p", Option.empty[Long], 2L)); cq.processAllAvailable()
+    assert(stateRows(cq) === 1L,
+      "a tombstoned key must drop its previous-value row")
+  }
+
   test("fk join: right-side update re-emits all subscribed left rows (cross-batch)") {
     val oin = MemoryStream[(String, String, Long)] // (orderKey, custKey, ts)
     val cin = MemoryStream[(String, String, Long)] // (custKey, name, ts)
