@@ -154,9 +154,18 @@ object Retrieval {
   private val BlockStatsDirName = "_block_stats"
 
   /** Per-(term, block) bound ingredients. The score is increasing in tf
-    * and decreasing in dl, so (max tf, min dl) bounds every posting in
-    * the block; n_docs sums to the term's EXACT df (one posting per
-    * (doc, term) across the index lifetime — the append contract).
+    * and decreasing in dl, so (max tf, min dl) UPPER-bounds every posting
+    * in the block and (min tf, max dl) LOWER-bounds it; n_docs sums to
+    * the term's EXACT df (one posting per (doc, term) across the index
+    * lifetime — the append contract).
+    *
+    * `min_tf`/`max_dl` are the round-16 additions powering the batch
+    * probe's ONE-PASS pruning (a θ lower bound derived from the sidecar
+    * alone — no seed-scoring job). Sidecars written before them read as
+    * NULL under this explicit schema; the probe then simply derives no
+    * lower bound from those rows (upper-bound pruning semantics are
+    * unchanged), so old indexes stay exact, just unpruned on the batch
+    * path until a compact regenerates the sidecar.
     */
   private val blockStatsSchema = StructType(Seq(
     StructField("term", StringType),
@@ -164,6 +173,8 @@ object Retrieval {
     StructField("max_tf", LongType),
     StructField("min_dl", LongType),
     StructField("n_docs", LongType),
+    StructField("min_tf", LongType),
+    StructField("max_dl", LongType),
     StructField("__tb", StringType)))
 
   /** floorDiv(doc_id, size) in pure long arithmetic: subtract the
@@ -179,8 +190,10 @@ object Retrieval {
       .groupBy(col("term"), blockOf(col("doc_id"), blockSize).as("block"),
         col("__tb"))
       .agg(max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"),
-        count(lit(1)).as("n_docs"))
-      .select("term", "block", "max_tf", "min_dl", "n_docs", "__tb")
+        count(lit(1)).as("n_docs"),
+        min(col("tf")).as("min_tf"), max(col("dl")).as("max_dl"))
+      .select("term", "block", "max_tf", "min_dl", "n_docs",
+        "min_tf", "max_dl", "__tb")
 
   private def bucketToken(term: Column, nBuckets: Int): Column =
     concat(lit("b"), pmod(Md5Prefix32.md5Prefix32(term), lit(nBuckets.toLong)))
@@ -747,15 +760,41 @@ object Retrieval {
 
   /** Block-max WAND for the BATCH probe: identical output to
     * [[bm25BatchAgainstIndex]], with each query's posting scan pruned to
-    * the doc-id blocks whose per-QUERY score bound can still reach that
-    * query's top-n. The pruning machinery is [[bm25WandAgainstIndex]]'s,
-    * lifted per query: bounds aggregate per (query, block) over the
-    * broadcast (query, term) pairs, the seed prefix and θ compute PER
-    * QUERY in two small jobs, and the final scoring joins postings to a
-    * broadcast (query, surviving-block) pair set — so a block survives
-    * for exactly the queries it can still serve. If the total survivor
-    * pair count exceeds `maxSurvivors`, the whole batch degrades to the
-    * unpruned probe (still exact, like the single-query fallback).
+    * the doc-id blocks whose per-QUERY score upper bound can still reach
+    * that query's top-n — in ONE postings pass (round 16; the previous
+    * shape paid a seed-scoring pass to learn θ before the survivor pass,
+    * roughly doubling the probe's fixed cost).
+    *
+    * The one-pass trick: the v2 sidecar stores per-(term, block) LOWER
+    * bound ingredients (`min_tf`, `max_dl`) besides the upper ones. For a
+    * query, any block's lower bound `lb(b) = max over its terms t of
+    * scoreQ(min_tf, df, max_dl)` is a score at least `n_docs(t*, b)`
+    * distinct docs in that block reach (each contains t* with tf ≥
+    * min_tf and dl ≤ max_dl, and other-term partials are ≥ 0). Blocks
+    * are disjoint doc ranges, so walking blocks in lb-descending order
+    * until the doc count reaches n yields `θ_lb = min lb over that
+    * prefix` with ≥ n docs guaranteed to score ≥ θ_lb — a VALID lower
+    * bound on the true n-th best score, derived from the sidecar alone.
+    * Blocks with upper bound < θ_lb ≤ θ_true hold only docs that score
+    * strictly below the n-th best and are pruned; the single scoring
+    * pass over the surviving (query, block) pairs is exact.
+    *
+    * Crash safety: the append contract allows an OVER-complete sidecar
+    * (phantom rows whose postings never landed). Phantoms only weaken
+    * upper bounds but could inflate θ_lb (claiming docs that don't
+    * exist), so the lower bound is GATED per term: it participates only
+    * where the sidecar's Σ n_docs equals the term's postings df (the
+    * exact number the scorer uses anyway) — any phantom breaks the
+    * equality and silently disables lb-pruning for that term, never
+    * exactness. Sidecars written before v2 read their lb columns as
+    * NULL and behave the same way; `compactTextIndex` regenerates v2.
+    *
+    * Scale shape: the survivor pair set never routes through the driver
+    * — it joins the posting scan in-plan (AQE picks broadcast or shuffle
+    * by size), so there is no driver-memory cap to degrade around:
+    * `maxSurvivors`/`seedBoost` are retained for source compatibility
+    * and ignored. Driver traffic is |terms|+1 plane rows; the probe runs
+    * ONE fixed postings aggregation (df/stats) and ONE scoring pass.
     */
   def bm25WandBatchAgainstIndex(spark: SparkSession, path: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
@@ -773,9 +812,8 @@ object Retrieval {
           "compactTextIndex"))
     // collect the (query, term) pairs ONCE (bounded by the serving-batch
     // contract, like the plain batch probe's term collect) and re-inject
-    // them as a local relation: the three downstream joins against `q`
-    // then never recompute the input frame, and the null checks ride the
-    // same single job
+    // them as a local relation: the joins against `q` then never
+    // recompute the input frame, and the null checks ride the same job
     val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(termCol).as("term")).distinct() // repeats in a query = a set
       .take(maxBatchPairs + 1)
@@ -811,6 +849,30 @@ object Retrieval {
       }
     }
 
+    val rows = roots
+      .map(r => spark.read.schema(indexSchema).parquet(r))
+      .reduce(_ unionByName _)
+      .filter(col("__tb").isInCollection(tks :+ StatsToken))
+    // df from the POSTINGS (the plain batch probe's exact number; the
+    // sidecar Σ n_docs only equals it when the sidecar is complete) — as
+    // IN-PLAN subplans: with the whole probe now being ONE action, a
+    // collected plane would just add a second fixed-cost job (measured
+    // ~0.3 s at sf0.1); inside the single plan the df aggregate doubles
+    // as the phantom gate for the sidecar lower bounds below, exactly as
+    // the plain batch probe computes it
+    val dfreq = rows
+      .where(col("term").isNotNull && col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val stats = rows.where(col("term").isNull)
+      .agg(sum(col("tf")).as("__n"),
+        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
+          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
+          .as("__avgdl"))
+
+    // per-(term, block) merged sidecar rows with BOTH bound directions.
+    // The lb ingredients survive the merge only if every contributing
+    // row carries them (a NULL from a pre-v2 file must poison min/max,
+    // not be skipped by the aggregate — hence the validity conjunct).
     val bstats = roots
       .map(r => spark.read.schema(blockStatsSchema)
         .parquet(s"$r/$BlockStatsDirName"))
@@ -819,96 +881,76 @@ object Retrieval {
         col("term").isin(terms: _*))
       .groupBy(col("term"), col("block"))
       .agg(max(col("max_tf")).as("max_tf"), min(col("min_dl")).as("min_dl"),
-        sum(col("n_docs")).as("n_docs"))
-    val rows = roots
-      .map(r => spark.read.schema(indexSchema).parquet(r))
-      .reduce(_ unionByName _)
-      .filter(col("__tb").isInCollection(tks :+ StatsToken))
-    // df from the POSTINGS (the plain batch probe's exact number; the
-    // sidecar Σ n_docs only equals it when the sidecar is complete) —
-    // one fused collected pass, LOCAL relations thereafter (the r15
-    // plane fusion, same as the single-query probe)
-    val (dfreq, stats) = collectScoringPlane(spark, rows, terms)
+        sum(col("n_docs")).as("n_docs"),
+        min(col("min_tf")).as("min_tf"), max(col("max_dl")).as("max_dl"),
+        (count(lit(1)) === count(col("min_tf")) &&
+          count(lit(1)) === count(col("max_dl"))).as("__v2"),
+        sum(sum(col("n_docs"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("term")))
+          .as("__tdocs"))
 
-    // per-(query, block) upper bound: only the query's own terms vote.
-    // PERSISTED for the duration of the call: the θ job (via seedPairs)
-    // and the survivor collect both read it, and with dfreq/stats/q
-    // local it is the only non-postings subplan left to share — the
-    // returned plan references none of it (survivors collect to a local
-    // relation below), so the finally-unpersist can never trigger a
-    // recompute in the caller's hands.
-    val bounds = bstats
+    // per-(query, block): upper bound Σ over the query's terms; lower
+    // bound = the best single-term witness, VALID only where the term is
+    // v2-complete AND phantom-free (sidecar doc total == postings df)
+    val perTerm = bstats
       .join(broadcast(dfreq), "term")
       .join(broadcast(q), "term")
       .crossJoin(broadcast(stats))
       .withColumn("__bound", scoreQ(col("max_tf"), col("__df"), col("min_dl"),
         col("__n"), col("__avgdl"), k1, b))
+      .withColumn("__tlb",
+        when(col("__v2") && col("__tdocs") === col("__df"),
+          scoreQ(col("min_tf"), col("__df"), col("max_dl"),
+            col("__n"), col("__avgdl"), k1, b))
+          .otherwise(lit(null).cast("long")))
+    val qb = perTerm
       .groupBy(col("query_id"), col("block"))
-      .agg(sum(col("__bound")).as("__ub"), max(col("n_docs")).as("__docs_lb"))
-      .persist()
-    val ordered = bounds
-      .withColumn("__cum", sum(col("__docs_lb")).over(
+      .agg(sum(col("__bound")).as("__ub"),
+        max(col("__tlb")).as("__lb"),
+        max_by(col("n_docs"), col("__tlb")).as("__lb_docs"))
+
+    // θ_lb per query IN-PLAN: blocks in lb-desc order until the witness
+    // doc count reaches n; valid only when it does reach n (otherwise no
+    // pruning for that query — the unpruned scan is still exact)
+    val lbWin = Window.partitionBy(col("query_id"))
+      .orderBy(col("__lb").desc, col("block").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thetaLb = qb
+      .where(col("__lb").isNotNull)
+      .withColumn("__cum", sum(col("__lb_docs")).over(lbWin))
+      .where(col("__cum") - col("__lb_docs") < nPerQuery)
+      .groupBy(col("query_id"))
+      .agg(min(col("__lb")).as("__cand"), max(col("__cum")).as("__covered"))
+      .select(col("query_id"),
+        when(col("__covered") >= nPerQuery, col("__cand")).as("__theta"))
+
+    // surviving (query, block) pairs — IN-PLAN, never driver-routed:
+    // AQE broadcasts the pair set when small and shuffle-joins when not,
+    // so no degrade path is needed for exactness or driver memory
+    val surviving = qb
+      .join(thetaLb, Seq("query_id"), "left")
+      .where(col("__theta").isNull || col("__ub") >= col("__theta"))
+      .select(col("query_id"), col("block"))
+
+    // the single scoring pass
+    rows
+      .where(col("term").isNotNull && col("term").isin(terms: _*))
+      .select(col("term"), col("doc_id"), col("tf").as("__tf"),
+        col("dl").as("__dl"))
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(q), "term")
+      .withColumn("block", blockOf(col("doc_id"), blockSize))
+      .join(surviving, Seq("query_id", "block"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
+        col("__n"), col("__avgdl"), k1, b))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__sq")).as("bm25_q"))
+      .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
-          .orderBy(col("__ub").desc, col("block").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val seedPairs = ordered
-      .where(col("__cum") - col("__docs_lb") < seedBoost.toLong * nPerQuery)
-      .select("query_id", "block")
-
-    def scorePairs(pairs: Option[DataFrame]): DataFrame = {
-      val posts = rows
-        .where(col("term").isNotNull && col("term").isin(terms: _*))
-        .select(col("term"), col("doc_id"), col("tf").as("__tf"),
-          col("dl").as("__dl"))
-        .join(broadcast(dfreq), "term")
-        .join(broadcast(q), "term")
-      val pruned = pairs match {
-        case Some(p) => posts
-          .withColumn("block", blockOf(col("doc_id"), blockSize))
-          .join(broadcast(p), Seq("query_id", "block"))
-        case None => posts
-      }
-      pruned
-        .crossJoin(broadcast(stats))
-        .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
-          col("__n"), col("__avgdl"), k1, b))
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(sum(col("__sq")).as("bm25_q"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("bm25_q").desc, col("doc_id").asc)))
-        .where(col("rank") <= nPerQuery)
-    }
-
-    try {
-      // θ per query = each query's n-th best over its seed ranges (queries
-      // with fewer than n seed docs get -inf: everything survives for them)
-      val thetas = scorePairs(Some(seedPairs))
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("__cnt"), min(col("bm25_q")).as("__nth"))
-        .collect()
-        .map(r => r.getLong(0) ->
-          (if (r.getLong(1) < nPerQuery) Long.MinValue else r.getLong(2)))
-        .toMap
-      if (thetas.isEmpty) return scorePairs(None) // empty index/terms
-
-      val thetaDf = thetas.toSeq.toDF("query_id", "__theta")
-      // survivors COLLECT (≤ maxSurvivors + 1 (query, block) pairs — the
-      // knob that already bounds the prune's usefulness bounds this
-      // driver set too) and re-inject as a local relation: one job off
-      // the cached bounds instead of two computations (count + the
-      // final join's rescan), and the returned plan stays free of the
-      // persisted frame
-      val survRows = bounds
-        .join(broadcast(thetaDf), Seq("query_id"), "left")
-        .where(col("__theta").isNull || col("__ub") >= col("__theta"))
-        .select("query_id", "block")
-        .limit(maxSurvivors + 1).collect()
-      if (survRows.length > maxSurvivors) scorePairs(None)
-      else scorePairs(Some(
-        survRows.map(r => (r.getLong(0), r.getLong(1))).toSeq
-          .toDF("query_id", "block")))
-    } finally bounds.unpersist(blocking = false)
+          .orderBy(col("bm25_q").desc, col("doc_id").asc)))
+      .where(col("rank") <= nPerQuery)
+      .drop("block")
   }
 
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse N ranked

@@ -90,8 +90,14 @@ class WandSpec extends SparkSpec {
     val idx = freshDir("wand_phantom")
     Retrieval.writeTextIndex(skewed(100), "doc_id", "text", idx,
       nBuckets = 4, blockSize = 16)
+    // the phantom batch is ADVERSARIAL for the one-pass θ lower bound: a
+    // FULL block (ids 896-910 at blockSize 16) of docs carrying
+    // rare "hash" (postings df=2) — its 15 witnesses alone cover any
+    // n ≤ 15, so an ungated lb would set θ above the real tail's bounds
+    // and prune true top-n docs (verified: removing the df gate fails
+    // this test at n=10)
     Retrieval.ingestTextBatch(
-      Seq((900L, "spark spark spark hash hash"), (901L, "join hash"))
+      (896L to 910L).map(i => (i, ("spark " * 30).trim + " hash hash"))
         .toDF("doc_id", "text"),
       "doc_id", "text", idx, "qphantom", 0L)
     val dir = IndexLifecycle.ingestBatchDir(idx, "qphantom", 0L)
@@ -110,7 +116,42 @@ class WandSpec extends SparkSpec {
       assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, n)) === plain,
         s"phantom sidecar blocks must weaken bounds only, never prune (n=$n)")
     }
+    // the BATCH probe under the same phantoms: its one-pass θ lower
+    // bound must be DISABLED by the df gate (sidecar Σ n_docs > postings
+    // df for every phantom-inflated term), never inflate θ and misprune
+    // n=10 reaches tail docs whose blocks an inflated θ_lb would prune
+    val batch = q.map(t => (1L, t)).toDF("query_id", "term")
+    val wandB = Retrieval.bm25WandBatchAgainstIndex(spark, idx, batch,
+      "query_id", "term", 10).drop("query_id")
+    assert(rows(wandB) === rows(Retrieval.bm25AgainstIndex(spark, idx, q, 10)),
+      "phantom-inflated terms must fall back to upper-bound-only pruning")
   }
+
+  test("pre-v2 sidecar (no lb columns) batch-probes exactly, lb-pruning disabled") {
+    // a sidecar written before min_tf/max_dl reads those columns as NULL;
+    // the batch probe must derive no θ lower bound from it (NULL poisons
+    // the min/max merge via the validity conjunct) and stay exact
+    val idx = freshDir("wand_prev2")
+    Retrieval.writeTextIndex(skewed(150), "doc_id", "text", idx,
+      nBuckets = 4, blockSize = 16)
+    // strip the v2 columns in place, simulating an old artifact
+    val scDir = idx + "/_block_stats"
+    val stripped = spark.read.parquet(scDir)
+      .drop("min_tf", "max_dl").collect()
+    val schema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(scDir).drop("min_tf", "max_dl").schema)
+    spark.createDataFrame(java.util.Arrays.asList(stripped: _*), schema)
+      .write.mode("overwrite").partitionBy("__tb").parquet(scDir)
+    val q = Seq("spark", "join", "hash")
+    val batch = q.map(t => (7L, t)).toDF("query_id", "term")
+    val wandB = Retrieval.bm25WandBatchAgainstIndex(spark, idx, batch,
+      "query_id", "term", 5).drop("query_id")
+    assert(rows(wandB) === rows(Retrieval.bm25AgainstIndex(spark, idx, q, 5)))
+    // the single probe's upper-bound pruning is unaffected by the strip
+    assert(rows(Retrieval.bm25WandAgainstIndex(spark, idx, q, 5)) ===
+      rows(Retrieval.bm25AgainstIndex(spark, idx, q, 5)))
+  }
+
 
   test("two-tier plane: tier one collects only the seed prefix; a uniform corpus takes the bounded extension") {
     // Tier one collects only the seed prefix (≤ seedBoost·n rows — the
