@@ -362,11 +362,14 @@ object Boilerplate {
   def streamingLineIngest(stream: DataFrame, idCol: String, textCol: String,
       groupCol: String, indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
-      minDf: Long): org.apache.spark.sql.streaming.StreamingQuery = {
+      minDf: Long,
+      maxLiveSubtrees: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val queryTag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maybeCompactLineIngest(batch.sparkSession, indexPath, queryTag,
+          batchId, maxLiveSubtrees, groupCol)
         val b = batch.persist()
         try ingestLineBatch(b.toDF(), idCol, textCol, groupCol, indexPath,
           queryTag, batchId, minDf, sink)
@@ -374,6 +377,32 @@ object Boilerplate {
       }
       .start()
   }
+
+  /** The loop's `maxLiveSubtrees` trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]] mechanics): the query's accumulated partial-
+    * count subtrees fold into one. Unlike the signature/posting families
+    * this merge SUMS the partials per (group, line) — the probe's own
+    * aggregation ([[stripWithPartials]] sums `df_count` across roots), so
+    * every later probe is value-identical while a line that appears in
+    * every batch collapses from one row per batch to one row total. 0
+    * disables.
+    */
+  private[operators] def maybeCompactLineIngest(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queryTag: String, batchId: Long, maxLiveSubtrees: Int,
+      groupCol: String): Boolean =
+    maxLiveSubtrees > 0 &&
+      IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
+          maxLiveSubtrees) { (sources, tmp) =>
+        val all = sources
+          .map(s => spark.read.schema(lineIndexSchema(groupCol)).parquet(s))
+          .reduce(_ unionByName _)
+          .groupBy(col(groupCol), col("__ln"), col("__grp"))
+          .agg(sum(col("df_count")).as("df_count"))
+        IndexLifecycle.clusterForPartitionedWrite(all, "__grp",
+            sortCols = Seq("__ln"))
+          .write.mode("overwrite").partitionBy("__grp").parquet(tmp)
+      }
 
   /** Compact an appended index into `targetPath`: merge the per-append
     * partial counts — base-root appends AND accumulated streaming-batch

@@ -870,15 +870,24 @@ object Dedup {
       sink: (DataFrame, Long) => Unit,
       minAgreeFraction: Double = 0.5,
       bands: Int = 8, rowsPerBand: Int = 4,
-      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxProbeKeys: Int = 1 << 20,
+      maxLiveSubtrees: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     // the index's tokenizer rule is immutable for its lifetime — resolve
     // it ONCE at query start, not one meta-file read per trigger
     val tokenizer = readTokenizer(stream.sparkSession, indexPath,
       "streamingIngest")
     val tag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
+    // the signature rows' schema, derived from the PLAN only (no job) —
+    // what the in-loop compaction reads possibly-empty subtrees under
+    val sigSchema = bandedSignatures(stream.sparkSession
+        .createDataFrame(stream.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], stream.schema),
+      idCol, textCol, bands, rowsPerBand, tokenizer).schema
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maybeCompactSignatureIngest(batch.sparkSession, indexPath, tag,
+          batchId, maxLiveSubtrees, sigSchema)
         val b = batch.persist()
         try {
           // within-batch dedup under the index's OWN tokenizer rule
@@ -899,6 +908,27 @@ object Dedup {
       }
       .start()
   }
+
+  /** The loop's `maxLiveSubtrees` trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]] mechanics): the query's accumulated signature
+    * subtrees fold into one under the base clustered layout (band
+    * partitions, bh-sorted row groups). Row-identical union → every later
+    * probe is bit-identical; only the file/subtree count collapses. 0
+    * disables.
+    */
+  private[operators] def maybeCompactSignatureIngest(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queryTag: String, batchId: Long, maxLiveSubtrees: Int,
+      sigSchema: org.apache.spark.sql.types.StructType): Boolean =
+    maxLiveSubtrees > 0 &&
+      IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
+          maxLiveSubtrees) { (sources, tmp) =>
+        val all = sources.map(s => spark.read.schema(sigSchema).parquet(s))
+          .reduce(_ unionByName _)
+        IndexLifecycle.clusterForPartitionedWrite(all, "band",
+            sortCols = Seq("bh"))
+          .write.mode("overwrite").partitionBy("band").parquet(tmp)
+      }
 
   /** SimHash (16-bit) column pipeline: near-dups differ in few bits.
     * Tokenizer pluggable like the rest of the fingerprint family

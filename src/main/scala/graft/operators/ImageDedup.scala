@@ -810,11 +810,23 @@ object ImageDedup {
       indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit,
       maxHamming: Int = 6,
-      maxProbeKeys: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxProbeKeys: Int = 1 << 20,
+      maxLiveSubtrees: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val tag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
+    // banded-row schema from the PLAN only (no job) — what the in-loop
+    // compaction reads possibly-empty subtrees under; the band width is
+    // the index's own (immutable for its lifetime, resolved once)
+    val bandBits = validateImgMeta(stream.sparkSession, indexPath, idCol,
+      "streamingImageIngest")
+    val hashSchema = bandedHashes(stream.sparkSession
+        .createDataFrame(stream.sparkSession.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], stream.schema),
+      idCol, hashCol, bandBits).schema
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maybeCompactImageIngest(batch.sparkSession, indexPath, tag, batchId,
+          maxLiveSubtrees, hashSchema)
         val b = batch.persist()
         try {
           val inBatch = dedupImages(b.toDF(), idCol, hashCol, maxHamming)
@@ -839,4 +851,25 @@ object ImageDedup {
       }
       .start()
   }
+
+  /** The loop's `maxLiveSubtrees` trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]] mechanics): the query's accumulated hash
+    * subtrees fold into one under the base clustered layout (band
+    * partitions, bv-sorted row groups). Row-identical union → every later
+    * probe is bit-identical; only the file/subtree count collapses. 0
+    * disables.
+    */
+  private[operators] def maybeCompactImageIngest(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queryTag: String, batchId: Long, maxLiveSubtrees: Int,
+      hashSchema: org.apache.spark.sql.types.StructType): Boolean =
+    maxLiveSubtrees > 0 &&
+      IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
+          maxLiveSubtrees) { (sources, tmp) =>
+        val all = sources.map(s => spark.read.schema(hashSchema).parquet(s))
+          .reduce(_ unionByName _)
+        IndexLifecycle.clusterForPartitionedWrite(all, "band",
+            sortCols = Seq("bv"))
+          .write.mode("overwrite").partitionBy("band").parquet(tmp)
+      }
 }

@@ -142,6 +142,89 @@ private[graft] object IndexLifecycle {
         "unpublished — replay the batch to repair")
   }
 
+  /** Suffix distinguishing a query's COMPACTED subtree namespace from its
+    * live per-batch namespace. `queryTagOf` emits `q` + 12 hex chars and
+    * the manual tag is `append`, so no real tag collides with a `-c`
+    * suffixed one.
+    */
+  private val CompactTagSuffix = "-c"
+
+  /** The published subtrees belonging to ONE ingest query (its own tag
+    * plus its compacted namespace), qualified — the set its in-loop
+    * compaction may fold. Other queries' subtrees are never touched: they
+    * may still replay their last batch, and folding a subtree a replay
+    * later overwrites would double its rows.
+    */
+  private def listOwnDirs(spark: SparkSession, path: String,
+      queryTag: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(queryTag, queryTag + CompactTagSuffix).flatMap { t =>
+      val root = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(path, IngestDirName), t)
+      val fs = root.getFileSystem(conf)
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.collect {
+        case s if s.isDirectory && !s.getPath.getName.endsWith(TmpSuffix) =>
+          fs.makeQualified(s.getPath).toString
+      }
+    }
+  }
+
+  /** In-loop auto-compaction for a streaming-ingest query's OWN subtrees —
+    * the `maxLiveSubtrees` knob every ingest loop shares. Call at BATCH
+    * START (before the batch's probe): when the query's published subtree
+    * count has reached `maxLiveSubtrees`, every subtree it owns — its live
+    * `b_<id>` dirs and any previous compact — folds into ONE new subtree
+    * `_ingest/<tag>-c/b_<batchId>` (staged via [[writeViaTmp]], published
+    * complete-or-nothing), and the folded sources are deleted. Content is
+    * row-identical (`mergeInto` unions the source rows into the family's
+    * clustered layout), so every later probe is bit-identical to the
+    * uncompacted index — only the file/subtree count collapses.
+    *
+    * Crash/replay safety (the foreachBatch rules: only batch `batchId`
+    * itself can replay; earlier batches are committed):
+    *  - crash while staging → the `.tmp` stage is invisible; the replay
+    *    redoes the merge from the unchanged sources;
+    *  - crash after publish, before the source deletes → the index is
+    *    OVER-complete (sources + their compacted copy both visible —
+    *    the same torn-replay window the per-batch publish already
+    *    documents) until the replay, which sees the published target and
+    *    finishes the deletes without re-merging;
+    *  - the batch's own `b_<batchId>` subtree (present when replaying a
+    *    batch that already appended) is NEVER a merge source — the replay
+    *    overwrites it later, and folding it first would double its rows.
+    *
+    * Runs on batches ALREADY ingested — cost is one read+write of the
+    * ingested-since-last-compact data, never the corpus-sized base (the
+    * base layout is [[requireDistinctPaths]]-guarded offline compaction's
+    * job). Returns true when a compaction (or its replay repair) ran.
+    */
+  def compactOwnSubtrees(spark: SparkSession, path: String, queryTag: String,
+      batchId: Long, maxLiveSubtrees: Int)
+      (mergeInto: (Seq[String], String) => Unit): Boolean = {
+    require(maxLiveSubtrees >= 1,
+      s"maxLiveSubtrees must be >= 1 when compaction is enabled, got $maxLiveSubtrees")
+    val conf = spark.sessionState.newHadoopConf()
+    def qualified(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString
+    }
+    val own = qualified(ingestBatchDir(path, queryTag, batchId))
+    val target = ingestBatchDir(path, queryTag + CompactTagSuffix, batchId)
+    val targetQ = qualified(target)
+    val sources = listOwnDirs(spark, path, queryTag)
+      .filterNot(d => d == own || d == targetQ)
+    val targetP = new org.apache.hadoop.fs.Path(target)
+    val fs = targetP.getFileSystem(conf)
+    val published = fs.exists(targetP)
+    if (!published && sources.size < maxLiveSubtrees) return false
+    if (sources.isEmpty && !published) return false
+    if (!published && sources.nonEmpty)
+      writeViaTmp(spark, target)(tmp => mergeInto(sources, tmp))
+    sources.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    true
+  }
+
   /** Next free batch id under `path/_ingest/<queryTag>` — the manual
     * (non-streaming) append's id allocator: max existing `b_<n>` + 1, 0
     * on a fresh index. Single-writer by contract (the same contract the

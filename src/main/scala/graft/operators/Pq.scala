@@ -833,17 +833,40 @@ object Pq {
     * query lands replayed batches on the same subtrees.
     */
   def streamingPqIngest(stream: DataFrame, idCol: String, vecCol: String,
-      indexPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      indexPath: String, checkpointDir: String,
+      maxLiveSubtrees: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val queryTag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maybeCompactPqIngest(batch.sparkSession, indexPath, queryTag,
+          batchId, maxLiveSubtrees)
         ingestPqBatch(batch.toDF(), idCol, vecCol, indexPath, queryTag,
           batchId)
       }
       .start()
   }
+
+  /** The loop's `maxLiveSubtrees` trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]] mechanics): the query's accumulated code
+    * subtrees fold into one under the base cell-partitioned layout
+    * ([[readIndex]]'s schema rule: subtrees read under the base's own
+    * schema). Row-identical union → every later probe is bit-identical;
+    * only the file/subtree count collapses. 0 disables.
+    */
+  private[operators] def maybeCompactPqIngest(spark: SparkSession,
+      indexPath: String, queryTag: String, batchId: Long,
+      maxLiveSubtrees: Int): Boolean =
+    maxLiveSubtrees > 0 && {
+      val baseSchema = spark.read.parquet(indexPath).schema
+      IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
+          maxLiveSubtrees) { (sources, tmp) =>
+        val all = sources.map(s => spark.read.schema(baseSchema).parquet(s))
+          .reduce(_ unionByName _)
+        IndexLifecycle.clusterForPartitionedWrite(all, "centroid_id")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      }
+    }
 
   /** Codebooks persisted by [[writeIndex]], back in driver shape. */
   def readCodebooks(spark: SparkSession, path: String): Codebooks = {

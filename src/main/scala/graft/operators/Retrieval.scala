@@ -359,9 +359,15 @@ object Retrieval {
       // crash overwrites its own stage and republished bit-identical;
       // probes never see a half-written subtree, and the only window
       // where a previously-committed batch is absent is the two metadata
-      // ops, not the full recompute+rewrite. Sidecar still lands before
-      // postings inside the stage, so even a torn non-atomic rename
-      // store degrades to the weaker-side-safe over-complete state.
+      // ops, not the full recompute+rewrite. On a store with NON-atomic
+      // rename (object stores), a torn publish exposes a partial subtree;
+      // the probes stay fail-safe in EVERY partial state (TornPublishSpec
+      // walks all tear points in both copy orders): committed batches are
+      // never under-read, and the WAND probe is exact while the partial
+      // sidecar is visible (phantom rows only weaken bounds) and refuses
+      // LOUDLY via the _block_stats guard when postings landed
+      // sidecar-less — never silently wrong; the batch's replay repairs
+      // the subtree bit-identically.
       IndexLifecycle.writeViaTmp(batch.sparkSession, dir) { tmp =>
         blockSize.foreach { bs =>
           blockStatsOf(rows.where(col("term").isNotNull), bs)
@@ -384,17 +390,61 @@ object Retrieval {
     * batches on the same subtrees.
     */
   def streamingTextIngest(stream: DataFrame, idCol: String, textCol: String,
-      indexPath: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      indexPath: String, checkpointDir: String,
+      maxLiveSubtrees: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val queryTag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maybeCompactTextIngest(batch.sparkSession, indexPath, queryTag,
+          batchId, maxLiveSubtrees)
         ingestTextBatch(batch.toDF(), idCol, textCol, indexPath, queryTag,
           batchId)
       }
       .start()
   }
+
+  /** The loop's `maxLiveSubtrees` trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]] mechanics, probe-equality guaranteed by
+    * row-identical union): the query's accumulated subtrees fold into one
+    * — postings under the base clustered layout, the `_block_stats`
+    * sidecar staged FIRST inside the same subtree (the appendToTextIndex
+    * invariant: every observable state is sidecar ≥ postings). 0 disables.
+    */
+  private[operators] def maybeCompactTextIngest(spark: SparkSession,
+      indexPath: String, queryTag: String, batchId: Long,
+      maxLiveSubtrees: Int): Boolean =
+    maxLiveSubtrees > 0 && {
+      val sidecars = readBlockSize(spark, indexPath,
+        "streamingTextIngest").isDefined
+      IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
+          maxLiveSubtrees) { (sources, tmp) =>
+        val conf = spark.sessionState.newHadoopConf()
+        if (sidecars) {
+          val withSide = sources.filter { s =>
+            val p = new org.apache.hadoop.fs.Path(s, BlockStatsDirName)
+            p.getFileSystem(conf).exists(p)
+          }
+          val side =
+            if (withSide.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                blockStatsSchema)
+            else withSide.map(s => spark.read.schema(blockStatsSchema)
+              .parquet(s"$s/$BlockStatsDirName")).reduce(_ unionByName _)
+          IndexLifecycle.clusterForPartitionedWrite(side, "__tb",
+              sortCols = Seq("term"))
+            .write.mode("overwrite").partitionBy("__tb")
+            .parquet(s"$tmp/$BlockStatsDirName")
+        }
+        val posts = sources.map(s => spark.read.schema(indexSchema)
+          .parquet(s)).reduce(_ unionByName _)
+        // append, not overwrite: the sidecar already lives under tmp
+        IndexLifecycle.clusterForPartitionedWrite(posts, "__tb",
+            sortCols = Seq("term"))
+          .write.mode("append").partitionBy("__tb").parquet(tmp)
+      }
+    }
 
   /** Query the PERSISTED index: reads ONLY the query terms' bucket
     * partitions plus the stats partition — across the base layout AND

@@ -36,6 +36,75 @@ object Guarantees {
       .trigger(Trigger.ProcessingTime(commitIntervalMs))
 }
 
+/** State-store BACKEND selection for every stateful op in the library —
+  * the DSL's windowed/table aggregations and joins ([[graft.streaming
+  * .StatefulOps]]), the Processor API, and the streaming as-of enrich all
+  * read the session's provider when their query STARTS.
+  *
+  * Reference mapping (`core/State/Stores.cs`): the reference defaults
+  * stateful processors to persistent RocksDB stores
+  * (`RocksDbKeyValueStore.cs`) with in-memory stores
+  * (`InMemoryKeyValueStore.cs`) as the opt-in — here the same dial is
+  * Spark's state-store provider class:
+  *  - [[Stores.RocksDb]] → `RocksDBStateStoreProvider` (rocksdbjni ships
+  *    with Spark): state spills to local disk per shuffle partition, so a
+  *    key-heavy op is bounded by executor DISK, not heap — the backend the
+  *    key-scale measurements ran on (SCALE.md "Changelog stateful ops at
+  *    key scale": 100k live keys × 24 batches, flat per-batch wall, state
+  *    rows == live keys) and the one `transformWithState` requires.
+  *    Changelog checkpointing (on by default here) uploads per-commit
+  *    deltas instead of full snapshots.
+  *  - [[Stores.InMemory]] → `HDFSBackedStateStoreProvider` (Spark's
+  *    default): state lives on-heap with snapshot checkpoints — fine for
+  *    small state, GC-bound at key scale.
+  *
+  * Set BEFORE `start()`; a running query keeps the provider it started
+  * with, and a checkpoint PINS its provider — restarting an existing
+  * checkpoint under the other backend fails (Spark state formats are not
+  * cross-compatible). Pick the backend per app, like the reference's
+  * store supplier choice.
+  */
+object Stores {
+  sealed trait Backend { private[graft] def providerClass: String }
+
+  /** `InMemoryKeyValueStore.cs` analog: on-heap state, snapshot ckpts. */
+  case object InMemory extends Backend {
+    private[graft] val providerClass =
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  }
+
+  /** `RocksDbKeyValueStore.cs` analog (the reference's default persistent
+    * store): disk-backed per-partition state, delta checkpoints.
+    */
+  case object RocksDb extends Backend {
+    private[graft] val providerClass =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  }
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+
+  /** Select the session's store backend for queries started AFTER this
+    * call. `changelogCheckpointing` applies to RocksDB only (delta-upload
+    * commits; ignored by the in-memory provider).
+    */
+  def use(spark: SparkSession, backend: Backend,
+      changelogCheckpointing: Boolean = true): Unit = {
+    spark.conf.set(ProviderKey, backend.providerClass)
+    if (backend == RocksDb)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        changelogCheckpointing.toString)
+  }
+
+  /** The backend queries started NOW would run on (session conf; Spark's
+    * own default when never set).
+    */
+  def backendOf(spark: SparkSession): Backend =
+    if (spark.conf.get(ProviderKey, InMemory.providerClass)
+        == RocksDb.providerClass) RocksDb
+    else InMemory
+}
+
 /** Error handling (SURVEY §2.7): the reference's
   * `DeserializationExceptionHandler` / `ProductionExceptionHandler` with
   * CONTINUE-or-FAIL policies (`core/StreamConfig.cs:2140-2150`).

@@ -36,25 +36,22 @@ object ProcessorApi {
     * is the analog of the reference's default persistent RocksDB stores,
     * `core/State/Stores.cs`).
     */
-  val RocksDbProvider =
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+  val RocksDbProvider: String = graft.runtime.Stores.RocksDb.providerClass
 
   /** Switch the session's streaming state to RocksDB. `transformWithState`
     * REQUIRES this in streaming mode; the fMGWS-based ops in [[StatefulOps]]
     * also run on it (faster recovery via changelog checkpointing: only the
-    * delta is uploaded per commit, not a full store snapshot).
+    * delta is uploaded per commit, not a full store snapshot). Sugar for
+    * [[graft.runtime.Stores.use]] — the first-class backend dial with the
+    * reference mapping (`core/State/Stores.cs`).
     */
-  def useRocksDb(spark: SparkSession, changelogCheckpointing: Boolean = true): Unit = {
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
-    spark.conf.set(
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-      changelogCheckpointing.toString)
-  }
+  def useRocksDb(spark: SparkSession, changelogCheckpointing: Boolean = true): Unit =
+    graft.runtime.Stores.use(spark, graft.runtime.Stores.RocksDb,
+      changelogCheckpointing)
 
   /** Revert to the default HDFS-backed in-memory provider. */
   def useDefaultStateStore(spark: SparkSession): Unit =
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    graft.runtime.Stores.use(spark, graft.runtime.Stores.InMemory)
 
   /** Run a custom processor over a keyed stream. Event-time timers need a
     * watermark on the input (`KStream.withWatermarkMs`). Works in batch too

@@ -1,0 +1,325 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The `maxLiveSubtrees` in-loop auto-compaction every streaming-ingest
+  * family shares ([[IndexLifecycle.compactOwnSubtrees]]): when a query's
+  * published subtree count reaches the cap, its subtrees fold into ONE
+  * compacted subtree with bit-identical probe results — and the fold is
+  * crash/replay-repairable (publish-then-delete, target keyed by batch id).
+  * One trigger test per family (text/BM25, MinHash signatures, image
+  * hashes, PQ codes, line frequencies), plus the crash-repair branch and
+  * the loop-level integration.
+  */
+class IngestCompactionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = tempDir(tag) + "/idx"
+
+  /** The query's own published subtree dirs (live tag + compact tag). */
+  private def ownSubtrees(idx: String, tag: String): Seq[String] =
+    Seq(tag, tag + "-c").flatMap { t =>
+      val d = new java.io.File(s"$idx/_ingest/$t")
+      if (!d.isDirectory) Seq.empty
+      else d.listFiles().toSeq
+        .filter(f => f.isDirectory && !f.getName.endsWith(".tmp"))
+        .map(f => s"$t/${f.getName}")
+    }.sorted
+
+  /** Full index content (base ∪ published subtrees) as sorted row strings
+    * — probe bit-identity for ANY probe.
+    */
+  private def contentOf(idx: String): Seq[String] = {
+    val schema = spark.read.parquet(idx).schema
+    (idx +: IndexLifecycle.listIngestDirs(spark, idx))
+      .map(r => spark.read.schema(schema).parquet(r))
+      .reduce(_ unionByName _)
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(t); ()
+      } else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t); ()
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Retrieval (postings + _block_stats sidecar) — the richest family
+  // ---------------------------------------------------------------------
+
+  private def docs(lo: Long, hi: Long): DataFrame = Seq(
+    (0L, "a a b x"), (1L, "a c"), (2L, "b b b c y y"),
+    (3L, "z z"), (4L, "a b a b c"), (5L, ""), (6L, "a a a b"),
+    (7L, "c c b")
+  ).toDF("doc_id", "text").where($"doc_id" >= lo && $"doc_id" < hi)
+
+  test("text ingest: cap folds subtrees into one; plain and WAND probes bit-identical; below-cap is a no-op") {
+    val q = Seq("a", "b", "c")
+    val idx = freshDir("cmp_text")
+    Retrieval.writeTextIndex(docs(0, 2), "doc_id", "text", idx, nBuckets = 4)
+    (0 to 2).foreach { i =>
+      Retrieval.ingestTextBatch(docs(2 + 2 * i, 4 + 2 * i), "doc_id", "text",
+        idx, queryTag = "qr", batchId = i.toLong)
+    }
+    assert(ownSubtrees(idx, "qr").size === 3)
+    val plainBefore = Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq
+    val wandBefore = Retrieval.bm25WandAgainstIndex(spark, idx, q, 10)
+      .collect().map(_.toString).toSeq
+    val rowsBefore = contentOf(idx)
+
+    // below the cap: nothing moves
+    assert(!Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L,
+      maxLiveSubtrees = 10))
+    assert(ownSubtrees(idx, "qr").size === 3)
+    // disabled: nothing moves
+    assert(!Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 0))
+
+    // at the cap: the three subtrees fold into _ingest/qr-c/b_3
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L,
+      maxLiveSubtrees = 3))
+    assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3"))
+    assert(contentOf(idx) === rowsBefore,
+      "compaction must be row-identical")
+    assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq === plainBefore)
+    // the sidecar folded too — WAND still exact AND its per-term df gate
+    // (sidecar Σ n_docs == postings df) still holds on the merged rows
+    assert(Retrieval.bm25WandAgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq === wandBefore)
+  }
+
+  test("text ingest: crash between publish and source deletes is repaired by the replay's trigger call") {
+    val q = Seq("a", "b", "c")
+    val idx = freshDir("cmp_text_crash")
+    Retrieval.writeTextIndex(docs(0, 2), "doc_id", "text", idx, nBuckets = 4)
+    (0 to 2).foreach { i =>
+      Retrieval.ingestTextBatch(docs(2 + 2 * i, 4 + 2 * i), "doc_id", "text",
+        idx, queryTag = "qr", batchId = i.toLong)
+    }
+    val before = Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq
+    // stash one source subtree, compact, then restore it — exactly the
+    // on-disk state of a crash after the compact published but before the
+    // source deletes finished (the documented over-complete torn window)
+    val stash = tempDir("cmp_text_stash") + "/b_1"
+    copyDir(s"$idx/_ingest/qr/b_1", stash)
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 3))
+    copyDir(stash, s"$idx/_ingest/qr/b_1")
+    assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3", "qr/b_1"))
+    // over-complete: batch 1's postings are now duplicated — visibly wrong
+    assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq !== before)
+    // the replay's trigger call sees the published target and finishes the
+    // deletes WITHOUT re-merging (the leftover's rows already live there)
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 3))
+    assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3"))
+    assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq === before)
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash signatures
+  // ---------------------------------------------------------------------
+
+  test("signature ingest: cap folds subtrees; index probe bit-identical") {
+    val idx = freshDir("cmp_sig")
+    val base = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(base, "doc_id", "text", idx)
+    val batches = Seq(
+      (10L, "one two three four five six seven eight nine ten eleven twelve"),
+      (11L, "red orange yellow green blue indigo violet cyan magenta black white gray"),
+      (12L, "spark parquet shuffle broadcast partition codegen catalyst tungsten arrow row column batch"))
+    batches.zipWithIndex.foreach { case ((id, txt), i) =>
+      Dedup.appendToSignatureIndex(Seq((id, txt)).toDF("doc_id", "text"),
+        "doc_id", "text", idx, queryTag = "qd", batchId = i.toLong)
+    }
+    assert(ownSubtrees(idx, "qd").size === 3)
+    // a probe batch near-duplicating one base doc and one ingested doc
+    val probe = Seq(
+      (90L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (91L, "one two three four five six seven eight nine ten eleven thirteen"))
+      .toDF("doc_id", "text")
+    val hitsBefore = Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx,
+      minAgreeFraction = 0.3).collect().map(_.toString).sorted.toSeq
+    assert(hitsBefore.nonEmpty)
+    val rowsBefore = contentOf(idx)
+    val sigSchema = spark.read.parquet(idx).schema
+    assert(Dedup.maybeCompactSignatureIngest(spark, idx, "qd", 3L, 3,
+      sigSchema))
+    assert(ownSubtrees(idx, "qd") === Seq("qd-c/b_3"))
+    assert(contentOf(idx) === rowsBefore)
+    assert(Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx,
+      minAgreeFraction = 0.3).collect().map(_.toString).sorted.toSeq
+      === hitsBefore)
+  }
+
+  // ---------------------------------------------------------------------
+  // Image hashes
+  // ---------------------------------------------------------------------
+
+  test("image-hash ingest: cap folds subtrees; index probe bit-identical") {
+    val idx = freshDir("cmp_img")
+    ImageDedup.writeImageHashIndex(
+      Seq((1L, "0000000000000000"), (2L, "ffffffffffffffff"))
+        .toDF("id", "dhash"), "id", "dhash", idx)
+    val batches = Seq("0f0f0f0f0f0f0f0f", "f0f0f0f0f0f0f0f0",
+      "00ff00ff00ff00ff")
+    batches.zipWithIndex.foreach { case (h, i) =>
+      ImageDedup.appendToImageHashIndex(
+        Seq((10L + i, h)).toDF("id", "dhash"), "id", "dhash", idx,
+        queryTag = "qi", batchId = i.toLong)
+    }
+    assert(ownSubtrees(idx, "qi").size === 3)
+    val probe = Seq((90L, "0100000000000000"), (91L, "0f0f0f0f0f0f0f1f"))
+      .toDF("id", "dhash")
+    val hitsBefore = ImageDedup.dedupAgainstImageIndex(probe, "id", "dhash",
+      idx).collect().map(_.toString).sorted.toSeq
+    assert(hitsBefore.nonEmpty)
+    val rowsBefore = contentOf(idx)
+    assert(ImageDedup.maybeCompactImageIngest(spark, idx, "qi", 3L, 3,
+      spark.read.parquet(idx).schema))
+    assert(ownSubtrees(idx, "qi") === Seq("qi-c/b_3"))
+    assert(contentOf(idx) === rowsBefore)
+    assert(ImageDedup.dedupAgainstImageIndex(probe, "id", "dhash", idx)
+      .collect().map(_.toString).sorted.toSeq === hitsBefore)
+  }
+
+  // ---------------------------------------------------------------------
+  // PQ codes
+  // ---------------------------------------------------------------------
+
+  test("pq ingest: cap folds subtrees; readIndex bit-identical") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding")).limit(60).localCheckpoint()
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 4), "vec_id", "embedding")
+    val cb = Pq.train(emb, "vec_id", "embedding", subspaces = 4, codes = 8,
+      iters = 1, trainN = 60)
+    val idx = freshDir("cmp_pq")
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    Pq.writeIndex(Pq.encode(
+        Similarity.ivfAssign(base, "vec_id", "embedding", cents),
+        "embedding", cb), "vec_id", cents, cb, idx)
+    (1 to 3).foreach { i =>
+      Pq.ingestPqBatch(emb.filter(col("vec_id") % 4 === i), "vec_id",
+        "embedding", idx, queryTag = "qp", batchId = i.toLong)
+    }
+    assert(ownSubtrees(idx, "qp").size === 3)
+    val rowsBefore = Pq.readIndex(spark, idx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(Pq.maybeCompactPqIngest(spark, idx, "qp", 4L, 3))
+    assert(ownSubtrees(idx, "qp") === Seq("qp-c/b_4"))
+    assert(Pq.readIndex(spark, idx).collect().map(_.toString).sorted.toSeq
+      === rowsBefore)
+  }
+
+  // ---------------------------------------------------------------------
+  // Line frequencies (the one SUMMING merge: partials collapse per line)
+  // ---------------------------------------------------------------------
+
+  test("line-freq ingest: cap folds subtrees summing partials; strip probe value-identical") {
+    val idx = freshDir("cmp_line")
+    Boilerplate.writeLineFreqIndex(
+      Seq((1L, "d", "HEADER\nbody one"), (2L, "d", "HEADER\nbody two"))
+        .toDF("doc_id", "src", "text"),
+      "doc_id", "text", "src", idx)
+    val noSink = (_: DataFrame, _: Long) => ()
+    (0 to 2).foreach { i =>
+      Boilerplate.ingestLineBatch(
+        Seq((10L + 2 * i, "d", s"HEADER\nunique $i a"),
+          (11L + 2 * i, "d", s"HEADER\nunique $i b"))
+          .toDF("doc_id", "src", "text"),
+        "doc_id", "text", "src", idx, queryTag = "ql", batchId = i.toLong,
+        minDf = 3L, sink = noSink)
+    }
+    assert(ownSubtrees(idx, "ql").size === 3)
+    val probe = Seq((90L, "d", "HEADER\nfresh body"))
+      .toDF("doc_id", "src", "text")
+    def strip() = Boilerplate.stripAgainstLineIndex(probe, "doc_id", "text",
+      "src", idx, minDf = 3L).select("doc_id", "text_kept", "lines_removed")
+      .collect().map(_.toString).sorted.toSeq
+    def totals() = {
+      val schema = spark.read.parquet(idx).schema
+      (idx +: IndexLifecycle.listIngestDirs(spark, idx))
+        .map(r => spark.read.schema(schema).parquet(r))
+        .reduce(_ unionByName _)
+        .groupBy(col("src"), col("__ln")).agg(sum("df_count").as("df"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val stripBefore = strip()
+    assert(stripBefore.head.contains("fresh body") &&
+      !stripBefore.head.contains("HEADER"),
+      s"HEADER (df 8 across base+batches) must strip: $stripBefore")
+    val totalsBefore = totals()
+    assert(Boilerplate.maybeCompactLineIngest(spark, idx, "ql", 3L, 3, "src"))
+    assert(ownSubtrees(idx, "ql") === Seq("ql-c/b_3"))
+    assert(totals() === totalsBefore,
+      "summed per-(group, line) counts must be preserved")
+    assert(strip() === stripBefore)
+    // the HEADER partials (1 per batch subtree + base) really collapsed
+    val headerRows = (idx +: IndexLifecycle.listIngestDirs(spark, idx))
+      .map(r => spark.read.schema(spark.read.parquet(idx).schema).parquet(r))
+      .reduce(_ unionByName _)
+      .filter(col("__ln") === "HEADER").count()
+    assert(headerRows === 2L,
+      s"base partial + ONE merged partial expected, got $headerRows")
+  }
+
+  // ---------------------------------------------------------------------
+  // Loop-level integration: the streaming query compacts itself
+  // ---------------------------------------------------------------------
+
+  test("streamingIngest(maxLiveSubtrees): the loop compacts in-flight and keeps catching dups across the fold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val idx = freshDir("cmp_loop")
+    Dedup.writeSignatureIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val in = MemoryStream[(Long, String)]
+    val perBatch = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val ckpt = tempDir("cmp_loop_ckpt")
+    val q = Dedup.streamingIngest(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", idx, ckpt,
+      sink = (clean, batchId) => {
+        perBatch(batchId) = clean.select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+        ()
+      },
+      minAgreeFraction = 0.3, maxLiveSubtrees = 2)
+    val tag = IndexLifecycle.queryTagOf(spark, ckpt)
+    try {
+      in.addData((10L, "one two three four five six seven eight nine ten eleven twelve"))
+      q.processAllAvailable()
+      in.addData((11L, "red orange yellow green blue indigo violet cyan magenta black white gray"))
+      q.processAllAvailable()
+      // batch 2 starts with 2 live subtrees = the cap -> folds them, then
+      // appends its own; its probe must still catch batch-0's doc
+      in.addData(
+        (20L, "one two three four five six seven eight nine ten eleven thirteen"),
+        (21L, "entirely unrelated words about spark parquet shuffles and caching"))
+      q.processAllAvailable()
+      assert(perBatch(2L) === Set(21L),
+        s"the dup of batch 0's doc must still be caught AFTER the fold: ${perBatch.toMap}")
+      // the fold really happened: batch 0/1 subtrees gone, one compact +
+      // batch 2's own subtree live
+      assert(ownSubtrees(idx, tag) === Seq(s"$tag-c/b_2", s"$tag/b_2"),
+        s"got ${ownSubtrees(idx, tag)}")
+    } finally q.stop()
+  }
+}
