@@ -832,6 +832,10 @@ object Similarity {
   /** Append rows to a [[writeSemIndex]] index (the ingest loop's second
     * half): assignment uses the INDEX'S OWN centroids, `partitionBy` the
     * cell — partition-append, no rewrite of existing cells' files.
+    * CONTRACT: at-most-once per row (a replayed append duplicates rows —
+    * harmless to the dedup probes, which `distinct()` pairs, but it
+    * inflates the index); the streaming loop uses [[ingestSemBatch]]
+    * instead, which is replay-IDEMPOTENT.
     */
   def appendToSemIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String): Unit = {
@@ -841,6 +845,36 @@ object Similarity {
       .drop("cosine")
       .write.partitionBy("centroid_id").mode("append").parquet(path)
   }
+
+  /** One streaming-ingest microbatch for the semantic index — the sem
+    * member of the shared `_ingest/<queryTag>/b_<batchId>` subtree
+    * convention ([[IndexLifecycle]], same as the text/signature/line/
+    * image/PQ families): the batch's cell-assigned rows stage into the
+    * subtree's `.tmp` sibling and publish by rename, so a REPLAYED batch
+    * overwrites its own subtree instead of appending duplicate rows and
+    * probes never see a half-written one.
+    */
+  def ingestSemBatch(batch: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, queryTag: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val cents = ivfReadCentroids(spark, indexPath)
+    validateSemIndex(batch, idCol, vecCol, indexPath, "ingestSemBatch")
+    val rows = ivfAssign(batch.select(col(idCol), col(vecCol)), idCol,
+      vecCol, cents).drop("cosine")
+    val dir = IndexLifecycle.ingestBatchDir(indexPath, queryTag, batchId)
+    IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
+      IndexLifecycle.clusterForPartitionedWrite(rows, "centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+    }
+  }
+
+  /** The sem index's live roots: base tree ∪ published ingest subtrees
+    * (in-flight `.tmp` stages invisible), minus the optionally-excluded
+    * one (a replaying batch must not probe its own previous write).
+    */
+  private def semIndexRoots(spark: org.apache.spark.sql.SparkSession,
+      path: String, exclude: Option[String] = None): Seq[String] =
+    path +: IndexLifecycle.listIngestDirs(spark, path, exclude)
 
   private def validateSemIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, op: String): Unit = {
@@ -870,7 +904,8 @@ object Similarity {
     */
   def semDedupAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
       indexPath: String, tau: Double,
-      maxBatchRows: Int = 1 << 20): DataFrame = {
+      maxBatchRows: Int = 1 << 20,
+      excludeSubtree: Option[String] = None): DataFrame = {
     require(tau > -1.0 && tau < 1.0, s"tau must be in (-1, 1), got $tau")
     val spark = batch.sparkSession
     validateSemIndex(batch, idCol, vecCol, indexPath, "semDedupAgainstIndex")
@@ -891,7 +926,13 @@ object Similarity {
     if (cells.isEmpty)
       return assigned.select(col(idCol), col(idCol).as("corpus_id"),
         lit(0.0).as("cosine")).limit(0)
-    val index = spark.read.parquet(indexPath)
+    // base tree ∪ published ingest subtrees, read under the base's own
+    // schema (an EMPTY published batch reads as zero rows instead of
+    // failing inference); cell pruning pushes into every root alike
+    val baseSchema = spark.read.parquet(indexPath).schema
+    val index = semIndexRoots(spark, indexPath, excludeSubtree)
+      .map(r => spark.read.schema(baseSchema).parquet(r))
+      .reduce(_ unionByName _)
       .filter(col("centroid_id").isin(cells: _*)) // static partition pruning
       .withColumn("__nc", norm(col(vecCol)))
     index.as("c")
@@ -916,9 +957,11 @@ object Similarity {
     */
   def cleanSemAgainstIndex(batch: DataFrame, idCol: String, vecCol: String,
       indexPath: String, tau: Double,
-      maxBatchRows: Int = 1 << 20): DataFrame =
+      maxBatchRows: Int = 1 << 20,
+      excludeSubtree: Option[String] = None): DataFrame =
     batch.join(
-      semDedupAgainstIndex(batch, idCol, vecCol, indexPath, tau, maxBatchRows)
+      semDedupAgainstIndex(batch, idCol, vecCol, indexPath, tau, maxBatchRows,
+        excludeSubtree)
         .select(idCol).distinct(),
       Seq(idCol), "left_anti")
 
@@ -946,7 +989,13 @@ object Similarity {
     val cents = ivfReadCentroids(spark, path)
     require(cents.nonEmpty,
       s"compactSemIndex: empty _centroids at $path — not a writeSemIndex artifact")
-    IndexLifecycle.clusterForPartitionedWrite(spark.read.parquet(path),
+    // streaming-ingest subtrees fold into the compacted base — the
+    // compacted index starts with a clean _ingest slate
+    val baseSchema = spark.read.parquet(path).schema
+    val all = semIndexRoots(spark, path)
+      .map(r => spark.read.schema(baseSchema).parquet(r))
+      .reduce(_ unionByName _)
+    IndexLifecycle.clusterForPartitionedWrite(all,
         "centroid_id", filesPerPartition = filesPerCell)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(targetPath)
     writeCentroids(spark, cents, targetPath)
@@ -958,18 +1007,26 @@ object Similarity {
     * with the index's centroids — the index only knows about previous
     * batches), (2) drop rows dominated by an indexed member
     * ([[cleanSemAgainstIndex]]), (3) hand survivors to `sink`,
-    * (4) [[appendToSemIndex]] them so the next batch dedups against them.
-    * Same delivery semantics as the text loop: replayed appends write
-    * duplicate index rows, which are harmless (self-pairs are excluded by
-    * the probe's id filter); `sink` must be idempotent.
+    * (4) [[ingestSemBatch]] them so the next batch dedups against them.
+    * Same delivery semantics as the text/signature loops: a replayed
+    * batch OVERWRITES its own staged subtree and its probe EXCLUDES that
+    * subtree, so the replay sees exactly the pre-batch index state and
+    * reproduces its original clean set; `sink` must be idempotent, the
+    * standard `foreachBatch` contract. `maxLiveSubtrees` (0 = off) is the
+    * shared in-loop auto-compaction trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]]).
     */
   def streamingSemIngest(stream: DataFrame, idCol: String, vecCol: String,
       indexPath: String, checkpointDir: String,
       sink: (DataFrame, Long) => Unit, tau: Double,
-      maxBatchRows: Int = 1 << 20): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBatchRows: Int = 1 << 20,
+      maxLiveSubtrees: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    val tag = IndexLifecycle.queryTagOf(stream.sparkSession, checkpointDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        maybeCompactSemIngest(batch.sparkSession, indexPath, tag, batchId,
+          maxLiveSubtrees)
         val b = batch.persist()
         try {
           val cents = ivfReadCentroids(b.sparkSession, indexPath)
@@ -980,16 +1037,40 @@ object Similarity {
           val inBatch = semDedup(b.toDF(), idCol, vecCol, cents, tau)
             .drop("centroid_id").persist()
           try {
+            // a REPLAY must not probe its own previous append
+            val own = IndexLifecycle.ingestBatchDir(indexPath, tag, batchId)
             val clean = cleanSemAgainstIndex(inBatch, idCol, vecCol,
-              indexPath, tau, maxBatchRows).persist()
+              indexPath, tau, maxBatchRows,
+              excludeSubtree = Some(own)).persist()
             try {
               sink(clean, batchId)
-              appendToSemIndex(clean, idCol, vecCol, indexPath)
+              ingestSemBatch(clean, idCol, vecCol, indexPath, tag, batchId)
             } finally { clean.unpersist(); () }
           } finally { inBatch.unpersist(); () }
         } finally { b.unpersist(); () }
       }
       .start()
+  }
+
+  /** The loop's `maxLiveSubtrees` trigger ([[IndexLifecycle
+    * .compactOwnSubtrees]] mechanics): the query's accumulated cell
+    * subtrees fold into one under the base cell-partitioned layout.
+    * Row-identical union → every later probe is bit-identical; only the
+    * file/subtree count collapses. 0 disables.
+    */
+  private[operators] def maybeCompactSemIngest(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queryTag: String, batchId: Long, maxLiveSubtrees: Int): Boolean =
+    maxLiveSubtrees > 0 && {
+      val baseSchema = spark.read.parquet(indexPath).schema
+      IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
+          maxLiveSubtrees) { (sources, tmp) =>
+        val all = sources.map(s => spark.read.schema(baseSchema).parquet(s))
+          .reduce(_ unionByName _)
+        IndexLifecycle.clusterForPartitionedWrite(all, "centroid_id")
+          .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
+      }
+    }
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
     * `y_j = dot(x, r_j) / sqrt(outDim)` with the deterministic ±1
@@ -1235,9 +1316,18 @@ object Similarity {
     IndexLifecycle.clusterForPartitionedWrite(assigned, "centroid_id")
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
-  /** Read back an [[ivfWrite]]-persisted index for [[ivfSearchTopK]]. */
-  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  /** Read back an [[ivfWrite]]-persisted index for [[ivfSearchTopK]] —
+    * base tree UNIONED with every published streaming-ingest subtree
+    * (same rule as [[Pq.readIndex]]), so a search over a live-ingested
+    * index sees every appended vector.
+    */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val ingest = IndexLifecycle.listIngestDirs(spark, path)
+    if (ingest.isEmpty) base
+    else (base +: ingest.map(spark.read.schema(base.schema).parquet(_)))
+      .reduce(_ unionByName _)
+  }
 
   /** [[ivfWrite]] plus the trained centroids persisted INSIDE the index at
     * `path/_centroids` — underscore-prefixed, so parquet partition

@@ -228,6 +228,50 @@ class IngestCompactionSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------------
+  // Semantic vectors (newly subtree-based: replay-idempotent + cap)
+  // ---------------------------------------------------------------------
+
+  test("sem ingest: replayed batch overwrites its subtree; cap folds subtrees; probe and ivfRead bit-identical") {
+    val idx = freshDir("cmp_sem")
+    val cents = Seq((0, Array(1f, 0f, 0f)), (1, Array(0f, 0f, 1f)))
+    Similarity.writeSemIndex(
+      Seq((1L, Array(0.9f, 0.1f, 0f))).toDF("id", "vec"),
+      "id", "vec", cents, idx)
+    val batches = Seq(
+      Seq((10L, Array(0f, 0.2f, 0.9f))),
+      Seq((11L, Array(0.1f, 0.9f, 0f))),
+      Seq((12L, Array(-0.9f, 0f, 0.1f))))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Similarity.ingestSemBatch(b.toDF("id", "vec"), "id", "vec", idx,
+        queryTag = "qs", batchId = i.toLong)
+    }
+    assert(ownSubtrees(idx, "qs").size === 3)
+    // a REPLAY overwrites its own subtree — same total rows
+    Similarity.ingestSemBatch(batches(1).toDF("id", "vec"), "id", "vec",
+      idx, queryTag = "qs", batchId = 1L)
+    assert(Similarity.ivfRead(spark, idx).count() === 4L,
+      "a replayed sem batch must overwrite, not append")
+    val probe = Seq((90L, Array(0f, 0.19f, 0.9f)), (91L, Array(0.5f, 0.5f, 0.5f)))
+      .toDF("id", "vec")
+    val hitsBefore = Similarity.semDedupAgainstIndex(probe, "id", "vec",
+      idx, tau = 0.8).collect().map(_.toString).sorted.toSeq
+    assert(hitsBefore.nonEmpty)
+    val rowsBefore = Similarity.ivfRead(spark, idx).collect()
+      .map(_.toString).sorted.toSeq
+    assert(Similarity.maybeCompactSemIngest(spark, idx, "qs", 3L, 3))
+    assert(ownSubtrees(idx, "qs") === Seq("qs-c/b_3"))
+    assert(Similarity.ivfRead(spark, idx).collect().map(_.toString).sorted.toSeq
+      === rowsBefore)
+    assert(Similarity.semDedupAgainstIndex(probe, "id", "vec", idx,
+      tau = 0.8).collect().map(_.toString).sorted.toSeq === hitsBefore)
+    // offline compaction folds base + subtrees into a clean-slate target
+    val target = freshDir("cmp_sem_out")
+    Similarity.compactSemIndex(spark, idx, target)
+    assert(Similarity.ivfRead(spark, target).collect().map(_.toString).sorted.toSeq
+      === rowsBefore)
+  }
+
+  // ---------------------------------------------------------------------
   // Line frequencies (the one SUMMING merge: partials collapse per line)
   // ---------------------------------------------------------------------
 
