@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{DsirScore, Md5Prefix32}
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS'23): select raw-corpus documents whose hashed-n-gram
+  * distribution looks like a TARGET corpus, by importance weight under
+  * two bucketed multinomials. The LLM-curation workhorse for "give me
+  * 10M web documents that look like Wikipedia".
+  *
+  * Spark-first anatomy, sized for 100 TB:
+  *  - [[fit]] is the ONLY pass that reads both corpora: hashed
+  *    unigram+bigram bucket counts per side. The aggregate key space is
+  *    `buckets` (≤ 2^20, default 2^13), so the shuffle after map-side
+  *    partial aggregation is ≤ 32·buckets rows per side — two scans, a
+  *    KB-scale shuffle, and one driver array. No vocabulary is ever
+  *    collected (the hash trick bounds the model, exactly the paper's
+  *    construction).
+  *  - The fitted model is a `buckets`-long integer array riding the plan
+  *    as a reference object; [[score]] is ONE codegen'd map-side
+  *    projection per document ([[graft.functions.DsirScore]]) — no
+  *    explode, no join, no shuffle. Weights are integer micro-units
+  *    (`floor(1e6·Σ log-ratio)`) so sums commute and the DuckDB oracle
+  *    matches hash-exact.
+  *  - [[resample]] is Gumbel-top-k: weight + deterministic integer
+  *    Gumbel noise (seeded md5 of the doc id — replayable, both engines
+  *    agree), then ONE TakeOrdered — sampling without replacement from
+  *    the softmax of weights with no global sort and no RNG state.
+  *
+  * Reference scope note: the reference engine (Streamiz) has no data-
+  * selection surface; this family extends the library along the
+  * training-data-pipeline axis (SURVEY §2's LLM-pipeline mandate), the
+  * same first-class track as dedup/ANN/quality filters.
+  */
+object Dsir {
+
+  /** A fitted DSIR model: per-bucket log-likelihood-ratio
+    * `floor(1e6·(ln p_target(b) − ln p_raw(b)))` in integer micro-units,
+    * plus the feature rule that produced it (tokenizer tag + bucket
+    * count — scoring MUST hash grams exactly the way fitting did).
+    */
+  final case class Model(buckets: Int, tokenizerTag: String,
+      alpha: Double, lrMicro: Array[Long]) {
+    require(lrMicro.length == buckets,
+      s"Dsir.Model: ${lrMicro.length} entries for $buckets buckets")
+  }
+
+  /** Unigram ∪ adjacent-bigram grams of `text` — the fit pass's explode
+    * side of the feature rule ([[graft.functions.DsirScoreKernel]] is the
+    * fused scoring twin; parity locked in DsirSpec).
+    */
+  private[operators] def gramsCol(text: Column, tokenizer: Tokenizer): Column = {
+    val t = tokenizer.column(text)
+    val bis = when(size(t) >= 2,
+        graft.queries.TextQueries.ngramsCol(text, 2, tokenizer))
+      .otherwise(array().cast("array<string>"))
+    concat(t, bis)
+  }
+
+  /** Per-bucket gram-occurrence counts of one corpus, as a driver array
+    * of length `buckets` (zeros included). The aggregate is B-bounded:
+    * map-side partial aggregation means the Exchange carries at most
+    * `partitions·buckets` rows regardless of corpus size.
+    */
+  private def bucketCounts(df: DataFrame, textCol: String, buckets: Int,
+      tokenizer: Tokenizer): Array[Long] = {
+    Md5Prefix32.register(df.sparkSession) // idempotent; bare sessions lack it
+    val counts = df
+      .select(explode(gramsCol(col(textCol), tokenizer)).as("__g"))
+      .select(pmod(Md5Prefix32.md5Prefix32(col("__g")), lit(buckets.toLong))
+        .as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .collect()
+    val out = Array.fill(buckets)(0L)
+    counts.foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+    out
+  }
+
+  /** Fit the bucketed importance model: `target` is the distribution you
+    * WANT (e.g. curated/domain text), `raw` the proposal corpus you will
+    * select from. Laplace-`alpha` smoothed per-bucket log probabilities;
+    * the driver computes `lr(b) = ln((ct+α)/(Tt+α·B)) − ln((cr+α)/(Tr+α·B))`
+    * with a pinned operation order (the DuckDB oracle mirrors it
+    * term-for-term) and floors to micro-units once, here — every later
+    * scoring sum is pure integer arithmetic.
+    */
+  def fit(target: DataFrame, raw: DataFrame, textCol: String,
+      buckets: Int = 1 << 13, alpha: Double = 1.0,
+      tokenizer: Tokenizer = Tokenizer.Ascii): Model = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"Dsir.fit: buckets must be in (0, 2^20], got $buckets — the model " +
+        "is a driver/broadcast array; beyond 2^20 use a coarser hash")
+    require(alpha > 0.0, s"Dsir.fit: alpha must be > 0, got $alpha")
+    val ct = bucketCounts(target, textCol, buckets, tokenizer)
+    val cr = bucketCounts(raw, textCol, buckets, tokenizer)
+    val tt = ct.sum.toDouble + alpha * buckets
+    val tr = cr.sum.toDouble + alpha * buckets
+    val lr = Array.tabulate(buckets) { b =>
+      math.floor((math.log((ct(b) + alpha) / tt)
+        - math.log((cr(b) + alpha) / tr)) * 1e6).toLong
+    }
+    Model(buckets, tokenizer.tag, alpha, lr)
+  }
+
+  /** Importance weight per document, integer micro-units — one codegen'd
+    * map-side projection (no shuffle; the model rides as a reference
+    * object).
+    */
+  def score(df: DataFrame, textCol: String, model: Model,
+      weightCol: String = "dsir_weight_q"): DataFrame = {
+    require(!df.columns.contains(weightCol),
+      s"Dsir.score: input already has a '$weightCol' column; rename it first")
+    df.withColumn(weightCol,
+      DsirScore.dsirScore(col(textCol), model.tokenizerTag, model.buckets,
+        model.lrMicro))
+  }
+
+  /** Deterministic integer Gumbel noise for `idCol` under `seed`:
+    * `u = (md5prefix32(seed:":":id) + 0.5) / 2^32`,
+    * `floor(1e6·(−ln(−ln u)))`. Exposed for the oracle mirror.
+    */
+  private[operators] def gumbelMicro(idCol: Column, seed: Long): Column = {
+    val u = (Md5Prefix32.md5Prefix32(
+      concat(lit(s"$seed:"), idCol.cast("string"))).cast("double") + 0.5) /
+      4294967296.0
+    floor(-log(-log(u)) * 1e6).cast("long")
+  }
+
+  /** Gumbel-top-k importance resampling: draw `k` documents WITHOUT
+    * replacement with probability ∝ exp(weight) — equivalently, take the
+    * top k of `weight + Gumbel` (Vieira'14). Noise is seeded md5 of the
+    * doc id, quantized to the same micro-units as the weights, so the
+    * draw is replayable and engine-exact; ONE TakeOrdered — no global
+    * sort, no RNG partition state. Returns (id, weight_q, total_q, rank).
+    */
+  def resample(df: DataFrame, idCol: String, textCol: String, model: Model,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"Dsir.resample: k must be > 0, got $k")
+    Md5Prefix32.register(df.sparkSession) // idempotent; bare sessions lack it
+    val scored = score(df, textCol, model)
+      .withColumn("total_q",
+        col("dsir_weight_q") + gumbelMicro(col(idCol), seed))
+      .select(col(idCol), col("dsir_weight_q"), col("total_q"))
+      .orderBy(col("total_q").desc, col(idCol))
+      .limit(k)
+    // rank over the k already-taken rows — bounded, not a corpus window
+    scored.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("total_q").desc, col(idCol))).cast("int"))
+  }
+
+  // ---- model persistence (one tiny parquet + the shared meta file) ----
+
+  private val MetaFileName = "_graft_dsir_model_meta.json"
+
+  /** Persist a fitted model: `(bucket, lr_micro)` parquet + the shared
+    * meta artifact carrying the feature rule. Scoring after [[readModel]]
+    * is bit-identical to scoring with the in-memory model.
+    */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    model.lrMicro.zipWithIndex
+      .map { case (lr, b) => (b, lr) }.toSeq
+      .toDF("bucket", "lr_micro")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    IndexLifecycle.writeMeta(spark, path, MetaFileName,
+      s"""{"buckets": ${model.buckets}, "tok": "${model.tokenizerTag}", """ +
+        s""""alpha": "${model.alpha}", "version": 1}""")
+  }
+
+  /** Load a persisted model; the tokenizer tag is resolved from the meta
+    * (never a caller parameter — the index-family rule: the model decides
+    * how text is featurized, or weights silently drift).
+    */
+  def readModel(spark: SparkSession, path: String): Model = {
+    val txt = IndexLifecycle.requireMeta(spark, path, MetaFileName,
+      "Dsir.readModel", "Dsir.writeModel")
+    val buckets = IndexLifecycle.longField(txt, "buckets").map(_.toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Dsir.readModel: malformed model meta at $path: $txt"))
+    val tok = IndexLifecycle.strField(txt, "tok")
+      .map(Tokenizer.fromTag(_, "Dsir.readModel"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Dsir.readModel: model meta at $path lacks a tokenizer tag: $txt"))
+    val alpha = IndexLifecycle.strField(txt, "alpha").map(_.toDouble)
+      .getOrElse(1.0)
+    val rows = spark.read.parquet(path).select("bucket", "lr_micro").collect()
+    require(rows.length == buckets,
+      s"Dsir.readModel: $path has ${rows.length} bucket rows, meta says $buckets")
+    val lr = Array.fill(buckets)(0L)
+    rows.foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    Model(buckets, tok.tag, alpha, lr)
+  }
+}

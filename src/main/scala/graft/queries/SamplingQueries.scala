@@ -257,8 +257,98 @@ object SamplingQueries {
       .select("doc_id", "source", "n_tokens", "copies")
   }
 
+  // ---- DSIR importance resampling ([[graft.operators.Dsir]]) ----
+
+  /** The DSIR feature rule in DuckDB: unigrams ∪ adjacent bigrams of the
+    * ascii-tokenized `text` (the exact mirror of `Dsir.gramsCol` /
+    * `DsirScoreKernel`).
+    */
+  private def dsirGramsSql(c: String): String =
+    s"list_concat(${TextQueries.tokensSqlCol(c)}, ${TextQueries.ngramsSqlCol(c, 2)})"
+
+  private val DsirBuckets = 8192
+
+  /** The fit + score pipeline as CTEs over `documents`: target = German
+    * docs, raw (the proposal corpus to select from) = English docs; `w`
+    * ends up as (doc_id, dsir_weight_q) for every raw doc — zero-gram
+    * docs weight 0. Mirrors the driver's pinned IEEE op order:
+    * `(c + 1.0) / (T_double + αB)`, ln, subtract, ×1e6, floor — per
+    * bucket ONCE, then pure integer sums per doc.
+    */
+  private val dsirCtes: String = {
+    val b = DsirBuckets
+    val h = hash32Sql("g")
+    "tgt AS (SELECT text FROM documents WHERE lang = 'de'), " +
+      "raw AS (SELECT doc_id, text FROM documents WHERE lang = 'en'), " +
+      s"tg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM tgt), " +
+      s"rg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM raw), " +
+      s"tb AS (SELECT ($h % $b) AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), " +
+      s"rb AS (SELECT ($h % $b) AS b, CAST(count(*) AS BIGINT) AS c FROM rg GROUP BY 1), " +
+      "tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tb), " +
+      "rt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM rb), " +
+      s"dg AS (SELECT doc_id, ($h % $b) AS b FROM " +
+      s"(SELECT doc_id, unnest(${dsirGramsSql("text")}) AS g FROM raw)), " +
+      "db AS (SELECT DISTINCT b FROM dg), " +
+      "lr AS (SELECT db.b, CAST(floor((ln((coalesce(tb.c, 0) + 1.0) / " +
+      s"(tt.t + $b.0)) - ln((coalesce(rb.c, 0) + 1.0) / (rt.t + $b.0))) " +
+      "* 1000000) AS BIGINT) AS lr FROM db " +
+      "LEFT JOIN tb USING (b) LEFT JOIN rb USING (b) " +
+      "CROSS JOIN tt CROSS JOIN rt), " +
+      "w AS (SELECT r.doc_id, CAST(coalesce(s.wq, 0) AS BIGINT) AS dsir_weight_q " +
+      "FROM raw r LEFT JOIN (SELECT dg.doc_id, sum(lr.lr) AS wq " +
+      "FROM dg JOIN lr USING (b) GROUP BY 1) s USING (doc_id))"
+  }
+
+  /** DSIR importance weights (Xie et al. NeurIPS'23): hashed
+    * unigram+bigram bucket log-ratio model fitted on German-vs-English
+    * documents, every English doc scored. The Spark side is the fused
+    * [[graft.functions.DsirScore]] kernel — ONE map-side projection, no
+    * shuffle — against the oracle's full unnest+join recompute; integer
+    * micro-units make the two sums identical.
+    */
+  val qDsirWeights = q(
+    "q_dsir_weights",
+    s"WITH $dsirCtes SELECT doc_id, dsir_weight_q FROM w") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val model = graft.operators.Dsir.fit(
+      docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),
+      "text", buckets = DsirBuckets)
+    graft.operators.Dsir.score(docs.filter(col("lang") === "en"), "text", model)
+      .select(col("doc_id"), col("dsir_weight_q"))
+  }
+
+  /** DSIR Gumbel-top-k resample: 50 English docs drawn without
+    * replacement with probability ∝ exp(importance weight), via
+    * deterministic seeded integer Gumbel noise + ONE TakeOrdered — the
+    * paper's resampling step with a replayable draw. The model is
+    * persisted ([[graft.operators.Dsir.writeModel]]) and re-read before
+    * scoring, so the entry also gates the model artifact roundtrip.
+    */
+  val qDsirSample = q(
+    "q_dsir_sample", {
+      val gu = hash32Sql("'7:' || CAST(doc_id AS VARCHAR)")
+      s"WITH $dsirCtes, " +
+        s"gn AS (SELECT doc_id, CAST(floor(-ln(-ln((CAST($gu AS DOUBLE) + 0.5) " +
+        "/ 4294967296.0)) * 1000000) AS BIGINT) AS gq FROM raw), " +
+        "tot AS (SELECT w.doc_id, dsir_weight_q, dsir_weight_q + gq AS total_q " +
+        "FROM w JOIN gn USING (doc_id)) " +
+        "SELECT doc_id, dsir_weight_q, total_q, CAST(rank AS INT) AS rank FROM (" +
+        "SELECT *, row_number() OVER (ORDER BY total_q DESC, doc_id) AS rank " +
+        "FROM tot) WHERE rank <= 50"
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val fitted = graft.operators.Dsir.fit(
+      docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),
+      "text", buckets = DsirBuckets)
+    val dir = TextQueries.scratchDir("graft_dsir_model", d)
+    graft.operators.Dsir.writeModel(s, fitted, dir)
+    val model = graft.operators.Dsir.readModel(s, dir)
+    graft.operators.Dsir.resample(docs.filter(col("lang") === "en"),
+      "doc_id", "text", model, k = 50, seed = 7L)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
       qSampleMixture, qSampleTemperature, qMixturePacked, qShuffleShard,
-      qTrainingShards)
+      qTrainingShards, qDsirWeights, qDsirSample)
 }

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DSIR importance resampling ([[Dsir]], Xie et al. NeurIPS'23): the
+  * fused scoring kernel against an explode/join column recompute, the
+  * fit's smoothing arithmetic on a hand corpus, Gumbel-top-k draw
+  * properties, and the model artifact roundtrip.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // a corpus with ascii, non-ascii, empty, and single-token rows — every
+  // tokenizer edge the kernel must agree on with the column pipeline
+  private val corpus = docs(
+    0L -> "the model trains on data",
+    1L -> "das modell trainiert auf daten",
+    2L -> "",
+    3L -> "x",
+    4L -> "the the the model",
+    5L -> "Caffé crème — naïve 'quote'",
+    6L -> "data data model model the")
+  private val target = docs(
+    10L -> "das modell lernt",
+    11L -> "daten und modell",
+    12L -> "auf daten trainiert")
+
+  /** The kernel's value-oracle: grams exploded, bucketed with the SAME
+    * hash, joined to the model table, summed per doc (zero-gram docs 0).
+    */
+  private def scoreByExplode(df: DataFrame, model: Dsir.Model): DataFrame = {
+    val lr = model.lrMicro.zipWithIndex
+      .map { case (v, b) => (b.toLong, v) }.toSeq.toDF("__b", "__lr")
+    val grams = df.select(col("doc_id"),
+        explode(Dsir.gramsCol(col("text"), Tokenizer.Ascii)).as("__g"))
+      .select(col("doc_id"),
+        pmod(graft.queries.TextQueries.hash32(col("__g")),
+          lit(model.buckets.toLong)).as("__b"))
+    df.select("doc_id").join(
+        grams.join(lr, "__b").groupBy("doc_id")
+          .agg(sum("__lr").as("w")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("w"), lit(0L)).as("dsir_weight_q"))
+  }
+
+  test("kernel score == explode/join recompute on every corpus shape") {
+    val model = Dsir.fit(target, corpus, "text", buckets = 64)
+    val kernel = Dsir.score(corpus, "text", model)
+      .select("doc_id", "dsir_weight_q").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oracle = scoreByExplode(corpus, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kernel === oracle)
+    assert(kernel(2L) === 0L, "empty doc must score 0, not null")
+  }
+
+  test("fit: hand-checked smoothing arithmetic on a 2-bucket toy") {
+    // one gram total on each side, forced into knowable buckets by using
+    // buckets = 1: every gram lands in bucket 0
+    val m = Dsir.fit(docs(0L -> "aa"), docs(1L -> "bb"), "text", buckets = 1)
+    // target: 1 gram, raw: 1 gram, alpha = 1, B = 1:
+    // lr = ln((1+1)/(1+1)) - ln((1+1)/(1+1)) = 0
+    assert(m.lrMicro.toSeq === Seq(0L))
+    val m2 = Dsir.fit(docs(0L -> "aa aa"), docs(1L -> "bb"), "text", buckets = 1)
+    // target: 3 grams (2 uni + 1 bi), raw 1: ln(4/4) - ln(2/2) = 0
+    assert(m2.lrMicro.toSeq === Seq(0L))
+  }
+
+  test("fit favors target-only vocabulary and penalizes raw-only") {
+    val model = Dsir.fit(target, corpus, "text", buckets = 4096)
+    val scored = Dsir.score(corpus, "text", model)
+      .select("doc_id", "dsir_weight_q").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares its vocabulary with the target corpus; doc 0 is the
+    // raw-typical English doc — the importance weight must separate them
+    assert(scored(1L) > scored(0L))
+  }
+
+  test("resample: k rows, dense ranks, deterministic, seed-sensitive") {
+    val model = Dsir.fit(target, corpus, "text", buckets = 256)
+    val a = Dsir.resample(corpus, "doc_id", "text", model, k = 3, seed = 1L)
+      .collect()
+    assert(a.length === 3)
+    assert(a.map(_.getAs[Int]("rank")).toSeq.sorted === Seq(1, 2, 3))
+    val b = Dsir.resample(corpus, "doc_id", "text", model, k = 3, seed = 1L)
+      .collect().map(_.toString).toSeq
+    assert(a.map(_.toString).toSeq === b, "same seed must replay the draw")
+    val c = Dsir.resample(corpus, "doc_id", "text", model, k = 3, seed = 2L)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    // with 7 docs and 3 draws, two seeds agreeing entirely would mean the
+    // noise is not wired in (weights alone would pin one order)
+    assert(c != a.map(_.getAs[Long]("doc_id")).toSeq ||
+      Dsir.resample(corpus, "doc_id", "text", model, k = 3, seed = 3L)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq != c)
+  }
+
+  test("model roundtrip: write/read bit-identical, scoring equal") {
+    val model = Dsir.fit(target, corpus, "text", buckets = 128)
+    val dir = tempDir("dsir_model") + "/m"
+    Dsir.writeModel(spark, model, dir)
+    val back = Dsir.readModel(spark, dir)
+    assert(back.buckets === model.buckets)
+    assert(back.tokenizerTag === model.tokenizerTag)
+    assert(back.alpha === model.alpha)
+    assert(back.lrMicro.toSeq === model.lrMicro.toSeq)
+    assert(Dsir.score(corpus, "text", back).collect().map(_.toString).sorted
+      === Dsir.score(corpus, "text", model).collect().map(_.toString).sorted)
+  }
+
+  test("loud guards: weight column collision, non-model path, bad params") {
+    val model = Dsir.fit(target, corpus, "text", buckets = 16)
+    val already = Dsir.score(corpus, "text", model)
+    intercept[IllegalArgumentException] {
+      Dsir.score(already, "text", model)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.readModel(spark, tempDir("dsir_nomodel"))
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.fit(target, corpus, "text", buckets = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.fit(target, corpus, "text", buckets = 16, alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.resample(corpus, "doc_id", "text", model, k = 0)
+    }
+  }
+}
