@@ -653,8 +653,44 @@ object CompositeQueries {
       .select("doc_id", "source", "n_tokens", "copies")
   }
 
+  /** Dedup → quality gate → DSIR selection composed into ONE flow — the
+    * "curate then pick what looks like the target domain" recipe (the
+    * DSIR paper's own pipeline position: selection runs AFTER cleaning).
+    * Stage anatomy: exact dedup survivors ([[graft.operators.Dedup
+    * .exact]]) → ≥ 5-token quality gate → `Dsir.fit` on the SURVIVING
+    * German docs vs the surviving English docs → Gumbel-top-40 draw.
+    * Locks the derived-corpus composition the standalone q_dsir entries
+    * can't: the model is fitted on post-dedup text, so a collapsed
+    * duplicate must shift every bucket count it touched (both engines
+    * recompute from the same survivor set, value-exact).
+    */
+  val qCurationPipeline5 = q(
+    "q_curation_pipeline5", {
+      val toks = TextQueries.tokensSqlCol("text")
+      val stageCtes =
+        "sur AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), " +
+          "base AS (SELECT d.doc_id, d.text, d.lang FROM documents d " +
+          s"JOIN sur USING (doc_id) WHERE len($toks) >= 5)"
+      s"WITH $stageCtes, " +
+        SamplingQueries.dsirCtesOver(
+          "SELECT text FROM base WHERE lang = 'de'",
+          "SELECT doc_id, text FROM base WHERE lang = 'en'") +
+        s", ${SamplingQueries.dsirDrawSql(seed = 11L, k = 40)}"
+    }) { (s, d) =>
+    import graft.operators.{Dedup, Dsir}
+    val base = Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .filter(size(TextQueries.tokensCol(col("text"))) >= 5)
+      .select("doc_id", "text", "lang")
+    val model = Dsir.fit(base.filter(col("lang") === "de"),
+      base.filter(col("lang") === "en"), "text",
+      buckets = SamplingQueries.DsirBuckets)
+    Dsir.resample(base.filter(col("lang") === "en"), "doc_id", "text",
+      model, k = 40, seed = 11L)
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
     qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
     q4PriorityExists, q13Custdist, q17SmallQty, q11Important,
-    qCurationPipeline2, qCurationPipeline3, qCurationPipeline4)
+    qCurationPipeline2, qCurationPipeline3, qCurationPipeline4,
+    qCurationPipeline5)
 }

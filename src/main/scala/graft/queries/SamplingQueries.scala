@@ -266,20 +266,20 @@ object SamplingQueries {
   private def dsirGramsSql(c: String): String =
     s"list_concat(${TextQueries.tokensSqlCol(c)}, ${TextQueries.ngramsSqlCol(c, 2)})"
 
-  private val DsirBuckets = 8192
+  private[queries] val DsirBuckets = 8192
 
-  /** The fit + score pipeline as CTEs over `documents`: target = German
-    * docs, raw (the proposal corpus to select from) = English docs; `w`
-    * ends up as (doc_id, dsir_weight_q) for every raw doc — zero-gram
-    * docs weight 0. Mirrors the driver's pinned IEEE op order:
+  /** The fit + score pipeline as CTEs over caller-supplied target/raw
+    * corpus SQL (each `SELECT`ing at least (doc_id, text)); `w` ends up
+    * as (doc_id, dsir_weight_q) for every raw doc — zero-gram docs
+    * weight 0. Mirrors the driver's pinned IEEE op order:
     * `(c + 1.0) / (T_double + αB)`, ln, subtract, ×1e6, floor — per
     * bucket ONCE, then pure integer sums per doc.
     */
-  private val dsirCtes: String = {
+  private[queries] def dsirCtesOver(tgtSql: String, rawSql: String): String = {
     val b = DsirBuckets
     val h = hash32Sql("g")
-    "tgt AS (SELECT text FROM documents WHERE lang = 'de'), " +
-      "raw AS (SELECT doc_id, text FROM documents WHERE lang = 'en'), " +
+    s"tgt AS ($tgtSql), " +
+      s"raw AS ($rawSql), " +
       s"tg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM tgt), " +
       s"rg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM raw), " +
       s"tb AS (SELECT ($h % $b) AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), " +
@@ -297,6 +297,26 @@ object SamplingQueries {
       "w AS (SELECT r.doc_id, CAST(coalesce(s.wq, 0) AS BIGINT) AS dsir_weight_q " +
       "FROM raw r LEFT JOIN (SELECT dg.doc_id, sum(lr.lr) AS wq " +
       "FROM dg JOIN lr USING (b) GROUP BY 1) s USING (doc_id))"
+  }
+
+  /** The q_dsir_* corpora: target = German docs, raw = English docs. */
+  private val dsirCtes: String = dsirCtesOver(
+    "SELECT text FROM documents WHERE lang = 'de'",
+    "SELECT doc_id, text FROM documents WHERE lang = 'en'")
+
+  /** The Gumbel-top-k draw tail over the `w`/`raw` CTEs ([[dsirCtesOver]]):
+    * seeded integer noise + rank ≤ k — the `Dsir.resample` mirror,
+    * reusable after any corpus derivation.
+    */
+  private[queries] def dsirDrawSql(seed: Long, k: Int): String = {
+    val gu = hash32Sql(s"'$seed:' || CAST(doc_id AS VARCHAR)")
+    s"gn AS (SELECT doc_id, CAST(floor(-ln(-ln((CAST($gu AS DOUBLE) + 0.5) " +
+      "/ 4294967296.0)) * 1000000) AS BIGINT) AS gq FROM raw), " +
+      "tot AS (SELECT w.doc_id, dsir_weight_q, dsir_weight_q + gq AS total_q " +
+      "FROM w JOIN gn USING (doc_id)) " +
+      "SELECT doc_id, dsir_weight_q, total_q, CAST(rank AS INT) AS rank FROM (" +
+      "SELECT *, row_number() OVER (ORDER BY total_q DESC, doc_id) AS rank " +
+      s"FROM tot) WHERE rank <= $k"
   }
 
   /** DSIR importance weights (Xie et al. NeurIPS'23): hashed
@@ -325,17 +345,8 @@ object SamplingQueries {
     * scoring, so the entry also gates the model artifact roundtrip.
     */
   val qDsirSample = q(
-    "q_dsir_sample", {
-      val gu = hash32Sql("'7:' || CAST(doc_id AS VARCHAR)")
-      s"WITH $dsirCtes, " +
-        s"gn AS (SELECT doc_id, CAST(floor(-ln(-ln((CAST($gu AS DOUBLE) + 0.5) " +
-        "/ 4294967296.0)) * 1000000) AS BIGINT) AS gq FROM raw), " +
-        "tot AS (SELECT w.doc_id, dsir_weight_q, dsir_weight_q + gq AS total_q " +
-        "FROM w JOIN gn USING (doc_id)) " +
-        "SELECT doc_id, dsir_weight_q, total_q, CAST(rank AS INT) AS rank FROM (" +
-        "SELECT *, row_number() OVER (ORDER BY total_q DESC, doc_id) AS rank " +
-        "FROM tot) WHERE rank <= 50"
-    }) { (s, d) =>
+    "q_dsir_sample",
+    s"WITH $dsirCtes, ${dsirDrawSql(seed = 7L, k = 50)}") { (s, d) =>
     val docs = Tables.documents(s, d)
     val fitted = graft.operators.Dsir.fit(
       docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),

@@ -576,6 +576,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2500))
   }
 
+  test("q_dsir_weights: scoring is ONE map-side codegen'd projection, no Exchange") {
+    val p = plan("q_dsir_weights")
+    assert(!p.contains("Exchange"),
+      "DSIR scoring must not shuffle — the model is a plan reference:\n" +
+        p.take(1500))
+    assert(p.contains("codegen id"),
+      "the dsir_score kernel must stay inside codegen:\n" + p.take(1500))
+    assert(!p.contains("Generate"),
+      "scoring must not explode grams (that is the fit pass only):\n" +
+        p.take(1500))
+  }
+
+  test("q_dsir_sample: one TakeOrdered over the scored scan; only the k-row rank window repartitions") {
+    val p = plan("q_dsir_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the draw must be a TakeOrdered, not a global sort:\n" + p.take(2000))
+    // the single allowed Exchange is the SinglePartition one feeding the
+    // rank window over the k already-taken rows
+    val exchanges = "\\+- Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1 && (exchanges == 0 || p.contains("SinglePartition")),
+      "only the bounded rank window may repartition:\n" + p.take(2000))
+  }
+
   test("q_range_join: keyless range join plans as a bucket EQUI-join, never nested-loop") {
     val p = plan("q_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
