@@ -959,26 +959,29 @@ object Retrieval {
         max(col("__tlb")).as("__lb"),
         max_by(col("n_docs"), col("__tlb")).as("__lb_docs"))
 
-    // θ_lb per query IN-PLAN: blocks in lb-desc order until the witness
-    // doc count reaches n; valid only when it does reach n (otherwise no
-    // pruning for that query — the unpruned scan is still exact)
-    val lbWin = Window.partitionBy(col("query_id"))
-      .orderBy(col("__lb").desc, col("block").asc)
+    // θ_lb per query IN-PLAN, as two windows over qb's ONE shuffle:
+    // blocks in lb-desc order until the witness doc count reaches n
+    // (valid only when it does reach n — otherwise no pruning for that
+    // query; the unpruned scan is still exact). Expressing θ as windows
+    // instead of a groupBy + join-back keeps the whole sidecar plane
+    // (bstats → perTerm → qb) a SINGLE subtree in the final plan — the
+    // join-back formulation executed it twice (once under θ, once under
+    // the survivor filter), measured +60% probe wall at 50× corpus
+    // (SCALE.md round 16, batch-WAND-at-scale).
+    val lbOrd = Window.partitionBy(col("query_id"))
+      .orderBy(col("__lb").desc, col("block").asc) // desc = NULLS LAST
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val thetaLb = qb
-      .where(col("__lb").isNotNull)
-      .withColumn("__cum", sum(col("__lb_docs")).over(lbWin))
-      .where(col("__cum") - col("__lb_docs") < nPerQuery)
-      .groupBy(col("query_id"))
-      .agg(min(col("__lb")).as("__cand"), max(col("__cum")).as("__covered"))
-      .select(col("query_id"),
-        when(col("__covered") >= nPerQuery, col("__cand")).as("__theta"))
-
-    // surviving (query, block) pairs — IN-PLAN, never driver-routed:
-    // AQE broadcasts the pair set when small and shuffle-joins when not,
-    // so no degrade path is needed for exactness or driver memory
+    val whole = Window.partitionBy(col("query_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val surviving = qb
-      .join(thetaLb, Seq("query_id"), "left")
+      .withColumn("__cum", sum(coalesce(col("__lb_docs"), lit(0L))).over(lbOrd))
+      .withColumn("__prefix",
+        col("__lb").isNotNull && col("__cum") - col("__lb_docs") < nPerQuery)
+      .withColumn("__cand", min(when(col("__prefix"), col("__lb"))).over(whole))
+      .withColumn("__covered",
+        max(when(col("__prefix"), col("__cum"))).over(whole))
+      .withColumn("__theta",
+        when(col("__covered") >= nPerQuery, col("__cand")))
       .where(col("__theta").isNull || col("__ub") >= col("__theta"))
       .select(col("query_id"), col("block"))
 

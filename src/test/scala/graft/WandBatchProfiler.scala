@@ -36,12 +36,39 @@ object WandBatchProfiler {
       }
     })
 
-    val docs = Tables.documentsBalanced(spark, sfDir)
+    // rep > 1 reproduces Round16WandBatchScaleTimer's corpus/batch (the
+    // replicated-corpus scaling shape) instead of the flat sf corpus
+    val rep = args.lift(1).map(_.toInt).getOrElse(1)
+    import org.apache.spark.sql.functions.{col, concat, lit, regexp_replace}
+    val docs =
+      if (rep == 1) Tables.documentsBalanced(spark, sfDir)
+      else (0 until rep)
+        .map(r => Tables.documents(spark, sfDir).select("doc_id", "text")
+          .withColumn("doc_id", col("doc_id") + lit(r.toLong * (1L << 20)))
+          .withColumn("text",
+            if (r == 0) col("text")
+            else concat(regexp_replace(col("text"), "\\bdup\\b", "dupx"),
+              lit(" pad" * (16 * r)))))
+        .reduce(_ unionAll _)
     val idx = java.nio.file.Files.createTempDirectory("wbp").toString + "/idx"
-    Retrieval.writeTextIndex(docs, "doc_id", "text", idx, nBuckets = 16,
-      blockSize = 64)
-    val batch = Seq((1L, "hash"), (1L, "join"), (2L, "spark"),
-      (2L, "window"), (2L, "scan")).toDF("query_id", "term")
+    if (rep == 1)
+      Retrieval.writeTextIndex(docs, "doc_id", "text", idx, nBuckets = 16,
+        blockSize = 64)
+    else
+      Retrieval.writeTextIndex(docs, "doc_id", "text", idx, blockSize = 128L)
+    val batch =
+      if (rep == 1) Seq((1L, "hash"), (1L, "join"), (2L, "spark"),
+        (2L, "window"), (2L, "scan")).toDF("query_id", "term")
+      else Seq(
+        (0L, "dup"), (0L, "spark"), (0L, "join"),
+        (1L, "dup"), (1L, "hash"), (1L, "window"),
+        (2L, "dup"), (2L, "shuffle"),
+        (3L, "dup"), (3L, "data"), (3L, "model"),
+        (4L, "dup"), (4L, "query"),
+        (5L, "dup"), (5L, "stream"), (5L, "batch"),
+        (6L, "dup"), (6L, "table"),
+        (7L, "dup"), (7L, "index"), (7L, "scan")
+      ).toDF("query_id", "term")
 
     def profile(label: String)(body: => Unit): Unit = {
       lines.clear()
