@@ -269,7 +269,7 @@ object Boilerplate {
     val groups = df.select(col(groupCol)).filter(col(groupCol).isNotNull)
       .distinct().collect().map(_.getString(0)) // bounded by #domains
     val tokens = groups.map(grpTokenOf).toSeq
-    val roots = path +: listIngestDirs(spark, path, excludeIngestDir)
+    val roots = IndexLifecycle.liveRoots(spark, path, excludeIngestDir)
     val idxPartials = roots
       .map(r => spark.read.schema(lineIndexSchema(groupCol)).parquet(r)
         // prune on the encoded PARTITION token; join on the real value
@@ -430,7 +430,7 @@ object Boilerplate {
     require(filesPerGroup >= 1, s"filesPerGroup must be >= 1, got $filesPerGroup")
     IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactLineFreqIndex")
     val (txt, groupCol) = readLineMeta(spark, path, "compactLineFreqIndex")
-    val roots = path +: listIngestDirs(spark, path, exclude = None)
+    val roots = IndexLifecycle.liveRoots(spark, path)
     val merged = roots
       .map(r => spark.read.schema(lineIndexSchema(groupCol)).parquet(r))
       .reduce(_ unionByName _)

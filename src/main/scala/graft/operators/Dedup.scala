@@ -704,7 +704,7 @@ object Dedup {
     */
   private def signatureIndexRoots(spark: org.apache.spark.sql.SparkSession,
       path: String, exclude: Option[String] = None): Seq[String] =
-    path +: IndexLifecycle.listIngestDirs(spark, path, exclude)
+    IndexLifecycle.liveRoots(spark, path, exclude)
 
   /** Compact a [[writeSignatureIndex]] index into `targetPath`: each
     * microbatch append adds at least one file per band, so a long-running

@@ -54,8 +54,16 @@ object Dsir {
     */
   private[operators] def gramsCol(text: Column, tokenizer: Tokenizer): Column = {
     val t = tokenizer.column(text)
+    // bigrams zip-shifted from the SAME token expression (the ngramsCol
+    // route re-derived the tokenizer chain from the raw text; one shared
+    // subtree keeps codegen subexpression elimination applicable in the
+    // fit pass — the only full-corpus scans this operator runs). Shape
+    // and values are byte-identical to ngramsCol(text, 2, tokenizer).
+    val parts = (0 until 2).map(j =>
+      slice(t, lit(j + 1), greatest(size(t) - 1, lit(0))).as(s"g$j"))
     val bis = when(size(t) >= 2,
-        graft.queries.TextQueries.ngramsCol(text, 2, tokenizer))
+        transform(arrays_zip(parts: _*),
+          s => concat_ws(" ", s.getField("g0"), s.getField("g1"))))
       .otherwise(array().cast("array<string>"))
     concat(t, bis)
   }

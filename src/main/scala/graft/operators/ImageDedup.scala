@@ -691,7 +691,7 @@ object ImageDedup {
     */
   private def imageIndexRoots(spark: org.apache.spark.sql.SparkSession,
       path: String, exclude: Option[String] = None): Seq[String] =
-    path +: IndexLifecycle.listIngestDirs(spark, path, exclude)
+    IndexLifecycle.liveRoots(spark, path, exclude)
 
   /** INCREMENTAL near-dup check of an ingest batch against the index:
     * one row per (batch doc, matched corpus doc) with the exact Hamming

@@ -106,15 +106,50 @@ private[graft] object IndexLifecycle {
     else {
       val excluded = exclude.map(e =>
         fs.makeQualified(new org.apache.hadoop.fs.Path(e)).toString).toSet
-      for {
+      val all = for {
         q <- fs.listStatus(root).toSeq if q.isDirectory
         b <- fs.listStatus(q.getPath).toSeq
         if b.isDirectory && !b.getPath.getName.endsWith(TmpSuffix)
-        d = fs.makeQualified(b.getPath).toString
-        if !excluded.contains(d)
-      } yield d
+      } yield (q.getPath.getName, b.getPath.getName,
+        fs.makeQualified(b.getPath).toString)
+      // COMPACT-CUTOFF RULE: a compact `<tag>-c/b_N` folded, by
+      // construction, EVERYTHING its query published before batch N (its
+      // live `b_<i>` dirs, i < N, and any older compact). So given the
+      // newest compact per tag, any older sibling is a superseded
+      // leftover — either the torn window between a fold's publish and
+      // its (deferred) source deletes, or a crash inside it. Excluding
+      // them HERE makes every probe race-free against in-loop
+      // compaction: a listing that catches sources + their compacted
+      // copy deterministically reads each row once.
+      val cutoff = all.iterator
+        .filter(_._1.endsWith(CompactTagSuffix))
+        .flatMap { case (ns, b, _) =>
+          batchIdOf(b).map(ns.stripSuffix(CompactTagSuffix) -> _)
+        }
+        .toSeq.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
+      all.collect {
+        case (ns, b, d) if !excluded.contains(d) &&
+            cutoff.get(ns.stripSuffix(CompactTagSuffix))
+              .forall(n => batchIdOf(b).forall(_ >= n)) =>
+          d
+      }
     }
   }
+
+  /** A persisted index's LIVE roots: base tree ∪ published, non-superseded
+    * ingest subtrees — the ONE definition of what a probe reads (every
+    * index family's readers route through here; `exclude` is a replaying
+    * batch's own subtree, which the replay must not probe).
+    */
+  def liveRoots(spark: SparkSession, path: String,
+      exclude: Option[String] = None): Seq[String] =
+    path +: listIngestDirs(spark, path, exclude)
+
+  /** Batch id of a `b_<n>` subtree dir name (None for foreign names —
+    * treated as live, never garbage-collected).
+    */
+  private def batchIdOf(name: String): Option[Long] =
+    if (name.startsWith("b_")) name.drop(2).toLongOption else None
 
   /** Stage-then-publish for one batch subtree: run `write` against
     * `<dir>.tmp` (cleared first, so a crashed previous stage can't
@@ -150,54 +185,78 @@ private[graft] object IndexLifecycle {
   private val CompactTagSuffix = "-c"
 
   /** The published subtrees belonging to ONE ingest query (its own tag
-    * plus its compacted namespace), qualified — the set its in-loop
-    * compaction may fold. Other queries' subtrees are never touched: they
-    * may still replay their last batch, and folding a subtree a replay
-    * later overwrites would double its rows.
+    * plus its compacted namespace), qualified, split (live, stale) by the
+    * compact-cutoff rule ([[listIngestDirs]]): stale dirs are superseded
+    * leftovers of a previous fold, awaiting garbage collection. Other
+    * queries' subtrees are never touched: they may still replay their
+    * last batch, and folding a subtree a replay later overwrites would
+    * double its rows.
     */
   private def listOwnDirs(spark: SparkSession, path: String,
-      queryTag: String): Seq[String] = {
+      queryTag: String): (Seq[String], Seq[String]) = {
     val conf = spark.sessionState.newHadoopConf()
-    Seq(queryTag, queryTag + CompactTagSuffix).flatMap { t =>
+    val all = Seq(queryTag, queryTag + CompactTagSuffix).flatMap { t =>
       val root = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(path, IngestDirName), t)
       val fs = root.getFileSystem(conf)
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.collect {
         case s if s.isDirectory && !s.getPath.getName.endsWith(TmpSuffix) =>
-          fs.makeQualified(s.getPath).toString
+          (t, s.getPath.getName, fs.makeQualified(s.getPath).toString)
       }
     }
+    val cutoff = all.iterator
+      .filter(_._1 == queryTag + CompactTagSuffix)
+      .flatMap { case (_, b, _) => batchIdOf(b) }
+      .maxOption
+    val (live, stale) = all.partition { case (_, b, _) =>
+      cutoff.forall(n => batchIdOf(b).forall(_ >= n))
+    }
+    (live.map(_._3), stale.map(_._3))
   }
 
   /** In-loop auto-compaction for a streaming-ingest query's OWN subtrees —
     * the `maxLiveSubtrees` knob every ingest loop shares. Call at BATCH
-    * START (before the batch's probe): when the query's published subtree
-    * count has reached `maxLiveSubtrees`, every subtree it owns — its live
-    * `b_<id>` dirs and any previous compact — folds into ONE new subtree
-    * `_ingest/<tag>-c/b_<batchId>` (staged via [[writeViaTmp]], published
-    * complete-or-nothing), and the folded sources are deleted. Content is
-    * row-identical (`mergeInto` unions the source rows into the family's
-    * clustered layout), so every later probe is bit-identical to the
-    * uncompacted index — only the file/subtree count collapses.
+    * START (before the batch's probe): when the query's live subtree
+    * count has reached `maxLiveSubtrees`, every live subtree it owns —
+    * its `b_<id>` dirs and the previous compact — folds into ONE new
+    * subtree `_ingest/<tag>-c/b_<batchId>` (staged via [[writeViaTmp]],
+    * published complete-or-nothing). Content is row-identical
+    * (`mergeInto` unions the source rows into the family's clustered
+    * layout), so every later probe is bit-identical to the uncompacted
+    * index — only the file/subtree count collapses.
+    *
+    * DEFERRED source deletion: the folded sources are NOT deleted at
+    * publish time — the compact-cutoff rule ([[listIngestDirs]]) already
+    * hides anything older than the newest compact from every reader, so
+    * the sources sit invisible on disk until the NEXT trigger call
+    * garbage-collects them. Concurrent probes in other sessions
+    * therefore never double-read a folded row (the rule is applied at
+    * listing time) and never lose a file mid-scan to this fold (a scan
+    * would have to straddle a full trigger-to-trigger cycle to race the
+    * deferred delete).
     *
     * Crash/replay safety (the foreachBatch rules: only batch `batchId`
     * itself can replay; earlier batches are committed):
     *  - crash while staging → the `.tmp` stage is invisible; the replay
     *    redoes the merge from the unchanged sources;
-    *  - crash after publish, before the source deletes → the index is
-    *    OVER-complete (sources + their compacted copy both visible —
-    *    the same torn-replay window the per-batch publish already
-    *    documents) until the replay, which sees the published target and
-    *    finishes the deletes without re-merging;
+    *  - crash after publish → the sources are superseded leftovers, which
+    *    is the NORMAL post-fold state; the replay's trigger call (and
+    *    every later one) garbage-collects them;
     *  - the batch's own `b_<batchId>` subtree (present when replaying a
     *    batch that already appended) is NEVER a merge source — the replay
     *    overwrites it later, and folding it first would double its rows.
     *
-    * Runs on batches ALREADY ingested — cost is one read+write of the
-    * ingested-since-last-compact data, never the corpus-sized base (the
-    * base layout is [[requireDistinctPaths]]-guarded offline compaction's
-    * job). Returns true when a compaction (or its replay repair) ran.
+    * Cost, honestly: each fold rewrites EVERYTHING the query has ingested
+    * since its start (the previous compact is a merge source), so a loop
+    * of B batches at threshold k performs ~B/k folds of growing size —
+    * O(B²/k) cumulative write amplification, NOT a constant window. That
+    * totality is load-bearing: it is what makes the newest compact
+    * supersede every older sibling and the cutoff rule race-free. For
+    * loops whose ingested volume grows large, run the offline
+    * [[requireDistinctPaths]]-guarded family compaction (fold into a NEW
+    * base) periodically and restart the loop's accretion from zero.
+    * Returns true when a fold (or its replay repair) ran.
     */
   def compactOwnSubtrees(spark: SparkSession, path: String, queryTag: String,
       batchId: Long, maxLiveSubtrees: Int)
@@ -212,16 +271,16 @@ private[graft] object IndexLifecycle {
     val own = qualified(ingestBatchDir(path, queryTag, batchId))
     val target = ingestBatchDir(path, queryTag + CompactTagSuffix, batchId)
     val targetQ = qualified(target)
-    val sources = listOwnDirs(spark, path, queryTag)
-      .filterNot(d => d == own || d == targetQ)
+    val (liveDirs, staleDirs) = listOwnDirs(spark, path, queryTag)
     val targetP = new org.apache.hadoop.fs.Path(target)
     val fs = targetP.getFileSystem(conf)
-    val published = fs.exists(targetP)
-    if (!published && sources.size < maxLiveSubtrees) return false
-    if (sources.isEmpty && !published) return false
-    if (!published && sources.nonEmpty)
-      writeViaTmp(spark, target)(tmp => mergeInto(sources, tmp))
-    sources.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    // garbage-collect the PREVIOUS cycle's superseded sources (readers
+    // exclude them via the cutoff rule, so this is invisible to probes)
+    staleDirs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
+    if (fs.exists(targetP)) return true // replay after a crashed fold
+    val sources = liveDirs.filterNot(d => d == own || d == targetQ)
+    if (sources.size < maxLiveSubtrees || sources.isEmpty) return false
+    writeViaTmp(spark, target)(tmp => mergeInto(sources, tmp))
     true
   }
 

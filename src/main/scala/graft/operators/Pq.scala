@@ -857,16 +857,18 @@ object Pq {
   private[operators] def maybeCompactPqIngest(spark: SparkSession,
       indexPath: String, queryTag: String, batchId: Long,
       maxLiveSubtrees: Int): Boolean =
-    maxLiveSubtrees > 0 && {
-      val baseSchema = spark.read.parquet(indexPath).schema
+    maxLiveSubtrees > 0 &&
       IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
           maxLiveSubtrees) { (sources, tmp) =>
+        // schema inference on the (corpus-sized) base only when a fold
+        // actually runs — per-batch inference was seconds of listing/footer
+        // overhead on object stores for a hook that usually returns false
+        val baseSchema = spark.read.parquet(indexPath).schema
         val all = sources.map(s => spark.read.schema(baseSchema).parquet(s))
           .reduce(_ unionByName _)
         IndexLifecycle.clusterForPartitionedWrite(all, "centroid_id")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
       }
-    }
 
   /** Codebooks persisted by [[writeIndex]], back in driver shape. */
   def readCodebooks(spark: SparkSession, path: String): Codebooks = {

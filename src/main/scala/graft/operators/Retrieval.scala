@@ -414,11 +414,13 @@ object Retrieval {
   private[operators] def maybeCompactTextIngest(spark: SparkSession,
       indexPath: String, queryTag: String, batchId: Long,
       maxLiveSubtrees: Int): Boolean =
-    maxLiveSubtrees > 0 && {
-      val sidecars = readBlockSize(spark, indexPath,
-        "streamingTextIngest").isDefined
+    maxLiveSubtrees > 0 &&
       IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
           maxLiveSubtrees) { (sources, tmp) =>
+        // meta read only when a fold actually runs — not one meta-file
+        // read per trigger (the loop's own once-per-query rule)
+        val sidecars = readBlockSize(spark, indexPath,
+          "streamingTextIngest").isDefined
         val conf = spark.sessionState.newHadoopConf()
         if (sidecars) {
           val withSide = sources.filter { s =>
@@ -444,7 +446,6 @@ object Retrieval {
             sortCols = Seq("term"))
           .write.mode("append").partitionBy("__tb").parquet(tmp)
       }
-    }
 
   /** Query the PERSISTED index: reads ONLY the query terms' bucket
     * partitions plus the stats partition — across the base layout AND
@@ -458,7 +459,7 @@ object Retrieval {
     requireQuery(queryTerms, n, "bm25AgainstIndex")
     val nBuckets = readMeta(spark, path, "bm25AgainstIndex")
     val tks = (queryTerms.map(bucketTokenOf(_, nBuckets)).distinct :+ StatsToken)
-    val rows = (path +: listIngestDirs(spark, path))
+    val rows = IndexLifecycle.liveRoots(spark, path)
       .map(r => spark.read.schema(indexSchema).parquet(r))
       .reduce(_ unionByName _)
       .filter(col("__tb").isInCollection(tks))
@@ -605,7 +606,7 @@ object Retrieval {
         s"bm25WandAgainstIndex: index at $path predates block stats " +
           "(version-1 meta) — rebuild with writeTextIndex or upgrade via " +
           "compactTextIndex"))
-    val roots = path +: listIngestDirs(spark, path)
+    val roots = IndexLifecycle.liveRoots(spark, path)
     val tks = queryTerms.map(bucketTokenOf(_, nBuckets)).distinct
     locally { // every root must carry the sidecar, or bounds under-count
       val conf = spark.sessionState.newHadoopConf()
@@ -780,7 +781,7 @@ object Retrieval {
       "bm25BatchAgainstIndex: NULL query ids are not addressable")
 
     val tks = terms.map(bucketTokenOf(_, nBuckets)).distinct :+ StatsToken
-    val rows = (path +: listIngestDirs(spark, path))
+    val rows = IndexLifecycle.liveRoots(spark, path)
       .map(r => spark.read.schema(indexSchema).parquet(r))
       .reduce(_ unionByName _)
       .filter(col("__tb").isInCollection(tks))
@@ -841,19 +842,17 @@ object Retrieval {
     *
     * Scale shape: the survivor pair set never routes through the driver
     * — it joins the posting scan in-plan (AQE picks broadcast or shuffle
-    * by size), so there is no driver-memory cap to degrade around:
-    * `maxSurvivors`/`seedBoost` are retained for source compatibility
-    * and ignored. Driver traffic is |terms|+1 plane rows; the probe runs
-    * ONE fixed postings aggregation (df/stats) and ONE scoring pass.
+    * by size), so there is no driver-memory cap to degrade around (the
+    * pre-one-pass `maxSurvivors`/`seedBoost` knobs are REMOVED, not
+    * silently ignored). Driver traffic is |query,term| pairs (bounded by
+    * `maxBatchPairs`); the probe runs ONE fixed postings aggregation
+    * (df/stats) and ONE scoring pass.
     */
   def bm25WandBatchAgainstIndex(spark: SparkSession, path: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
       nPerQuery: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxSurvivors: Int = 1 << 20, seedBoost: Int = 32,
       maxBatchPairs: Int = 1 << 20): DataFrame = {
     require(nPerQuery > 0, "bm25WandBatchAgainstIndex: nPerQuery must be positive")
-    require(seedBoost >= 1,
-      s"bm25WandBatchAgainstIndex: seedBoost must be >= 1, got $seedBoost")
     val nBuckets = readMeta(spark, path, "bm25WandBatchAgainstIndex")
     val blockSize = readBlockSize(spark, path, "bm25WandBatchAgainstIndex")
       .getOrElse(throw new IllegalArgumentException(
@@ -887,7 +886,7 @@ object Retrieval {
     val q = qRows.map(r => (r.getLong(0), r.getString(1))).toSeq
       .toDF("query_id", "term")
 
-    val roots = path +: listIngestDirs(spark, path)
+    val roots = IndexLifecycle.liveRoots(spark, path)
     val tks = terms.map(bucketTokenOf(_, nBuckets)).distinct
     locally {
       val conf = spark.sessionState.newHadoopConf()
@@ -1003,7 +1002,6 @@ object Retrieval {
         Window.partitionBy(col("query_id"))
           .orderBy(col("bm25_q").desc, col("doc_id").asc)))
       .where(col("rank") <= nPerQuery)
-      .drop("block")
   }
 
   /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09): fuse N ranked
@@ -1121,7 +1119,7 @@ object Retrieval {
       targetPath: String, blockSize: Long = DefaultBlockSize): Unit = {
     val nBuckets = readMeta(spark, path, "compactTextIndex")
     IndexLifecycle.requireDistinctPaths(spark, path, targetPath, "compactTextIndex")
-    val rows = (path +: listIngestDirs(spark, path))
+    val rows = IndexLifecycle.liveRoots(spark, path)
       .map(r => spark.read.schema(indexSchema).parquet(r))
       .reduce(_ unionByName _)
     val stats = rows.where(col("term").isNull)

@@ -874,7 +874,7 @@ object Similarity {
     */
   private def semIndexRoots(spark: org.apache.spark.sql.SparkSession,
       path: String, exclude: Option[String] = None): Seq[String] =
-    path +: IndexLifecycle.listIngestDirs(spark, path, exclude)
+    IndexLifecycle.liveRoots(spark, path, exclude)
 
   private def validateSemIndex(df: DataFrame, idCol: String, vecCol: String,
       path: String, op: String): Unit = {
@@ -1061,16 +1061,17 @@ object Similarity {
   private[operators] def maybeCompactSemIngest(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       queryTag: String, batchId: Long, maxLiveSubtrees: Int): Boolean =
-    maxLiveSubtrees > 0 && {
-      val baseSchema = spark.read.parquet(indexPath).schema
+    maxLiveSubtrees > 0 &&
       IndexLifecycle.compactOwnSubtrees(spark, indexPath, queryTag, batchId,
           maxLiveSubtrees) { (sources, tmp) =>
+        // base-schema inference only when a fold actually runs (the hook
+        // fires per batch; inference per batch was pure listing overhead)
+        val baseSchema = spark.read.parquet(indexPath).schema
         val all = sources.map(s => spark.read.schema(baseSchema).parquet(s))
           .reduce(_ unionByName _)
         IndexLifecycle.clusterForPartitionedWrite(all, "centroid_id")
           .write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
       }
-    }
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
     * `y_j = dot(x, r_j) / sqrt(outDim)` with the deterministic ±1

@@ -209,7 +209,16 @@ object StatefulOps {
           // store grows without bound (measured: Round16StatefulScaleTimer,
           // SCALE.md). The running-max ts guard protects LIVE keys; after
           // a delete, a revived key is a fresh generation and emits its
-          // own ts, exactly as the reference's store does.
+          // own ts, exactly as the reference's store does. CONSEQUENCE
+          // (spec-locked, StreamingChangelogSpec "revival after
+          // tombstone"): a revival whose event-ts is OLDER than the
+          // tombstone's is visible to log-ordered consumers of this
+          // changelog but DROPPED by ts-ordered latest views
+          // (latestFromChangelog keeps the newer tombstone) — the
+          // reference's own out-of-order-drop rule for table
+          // materialization. Keeping the dead key's ts would reverse that
+          // at the cost of unbounded state; the reference makes the same
+          // trade.
           if (agg.isEmpty) state.remove() else state.update((agg, maxTs))
           Iterator.single(Upsert(key, agg, new Timestamp(maxTs)))
       }

@@ -140,6 +140,44 @@ class StreamingChangelogSpec extends SparkSpec {
       "a tombstoned key must drop its previous-value row")
   }
 
+  test("revival after tombstone with an OLDER event-ts: fresh generation in the aggregate, dropped by ts-ordered latest views (the reference's out-of-order rule)") {
+    import graft.streaming.{KeyedChange, StatefulOps}
+    val ain = MemoryStream[(String, Option[Long], Option[Long], Long)]
+    val changes = ain.toDS().map { case (k, o, n, t) =>
+      KeyedChange(k, Change(o, n), new java.sql.Timestamp(t)) }
+    val agg = StatefulOps.aggregateChanges(changes)(
+      () => "0",
+      (_: String, v: Long, acc: String) => (acc.toLong + v).toString,
+      (_: String, v: Long, acc: String) => {
+        val r = acc.toLong - v; if (r == 0L) null else r.toString })
+    val q = start(agg, "t_revive_agg", mode = "append")
+    ain.addData(("k", Option.empty[Long], Some(5L), 100L)); q.processAllAvailable()
+    ain.addData(("k", Some(5L), Option.empty[Long], 100L)); q.processAllAvailable()
+    // LATE add (event-ts 50 < the tombstone's 100) in a later batch: the
+    // evicted key is a FRESH GENERATION — the aggregate emits the revival
+    // at ITS OWN ts (the store kept no history to max against; the
+    // reference's store delete has the same amnesia,
+    // KTableAggregateProcessor.cs:63-66)
+    ain.addData(("k", Option.empty[Long], Some(3L), 50L)); q.processAllAvailable()
+    val events = spark.table("t_revive_agg").as[Upsert[String, String]]
+      .collect().map(u => (u.value, u.ts.getTime)).toSet
+    assert(events
+      === Set((Some("5"), 100L), (None, 100L), (Some("3"), 50L)),
+      "the revival must be emitted live, at its own (older) event-ts")
+    // a ts-ordered latest view over that changelog KEEPS the ts=100
+    // tombstone — the revival is invisible to it. This is the reference's
+    // own out-of-order-drop rule for table materialization (an update
+    // older than the stored row's ts is discarded), locked here so the
+    // interaction is a CONTRACT, not an accident: revivals are visible to
+    // log-ordered consumers (the changelog above) and invisible to
+    // ts-ordered views until an add at ts >= the tombstone's arrives.
+    val view = StatefulOps.latestFromChangelog(
+      spark.table("t_revive_agg").as[Upsert[String, String]])
+      .collect().map(u => u.key -> u.value).toMap
+    assert(view("k") === None,
+      "ts-ordered latest view must keep the newer tombstone")
+  }
+
   test("fk join: right-side update re-emits all subscribed left rows (cross-batch)") {
     val oin = MemoryStream[(String, String, Long)] // (orderKey, custKey, ts)
     val cin = MemoryStream[(String, String, Long)] // (custKey, name, ts)

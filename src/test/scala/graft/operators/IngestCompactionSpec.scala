@@ -29,6 +29,14 @@ class IngestCompactionSpec extends SparkSpec {
         .map(f => s"$t/${f.getName}")
     }.sorted
 
+  /** The rule-filtered live subtrees (what probes actually read),
+    * relative, sorted — [[ownSubtrees]] is the raw DISK view including
+    * superseded leftovers awaiting deferred GC.
+    */
+  private def liveSubtrees(idx: String): Seq[String] =
+    IndexLifecycle.listIngestDirs(spark, idx)
+      .map(_.split("/_ingest/").last).sorted
+
   /** Full index content (base ∪ published subtrees) as sorted row strings
     * — probe bit-identity for ANY probe.
     */
@@ -86,12 +94,20 @@ class IngestCompactionSpec extends SparkSpec {
     // disabled: nothing moves
     assert(!Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 0))
 
-    // at the cap: the three subtrees fold into _ingest/qr-c/b_3
+    // at the cap: the three subtrees fold into _ingest/qr-c/b_3; the
+    // sources stay on DISK (deferred GC) but leave the LIVE view — the
+    // cutoff rule makes the fold race-free for concurrent readers
     assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L,
       maxLiveSubtrees = 3))
-    assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3"))
+    assert(liveSubtrees(idx) === Seq("qr-c/b_3"))
+    assert(ownSubtrees(idx, "qr").size === 4, "sources deferred, not deleted")
     assert(contentOf(idx) === rowsBefore,
       "compaction must be row-identical")
+    // the NEXT trigger call garbage-collects the superseded sources
+    assert(!Retrieval.maybeCompactTextIngest(spark, idx, "qr", 4L,
+      maxLiveSubtrees = 3))
+    assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3"))
+    assert(contentOf(idx) === rowsBefore)
     assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
       .map(_.toString).toSeq === plainBefore)
     // the sidecar folded too — WAND still exact AND its per-term df gate
@@ -110,19 +126,21 @@ class IngestCompactionSpec extends SparkSpec {
     }
     val before = Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
       .map(_.toString).toSeq
-    // stash one source subtree, compact, then restore it — exactly the
-    // on-disk state of a crash after the compact published but before the
-    // source deletes finished (the documented over-complete torn window)
-    val stash = tempDir("cmp_text_stash") + "/b_1"
-    copyDir(s"$idx/_ingest/qr/b_1", stash)
+    // fold, then crash before any GC: under deferred deletion the
+    // post-publish on-disk state IS the crash state — sources + compact
+    // both present (no stash/restore simulation needed anymore)
     assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 3))
-    copyDir(stash, s"$idx/_ingest/qr/b_1")
-    assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3", "qr/b_1"))
-    // over-complete: batch 1's postings are now duplicated — visibly wrong
+    assert(ownSubtrees(idx, "qr").toSet
+      === Set("qr-c/b_3", "qr/b_0", "qr/b_1", "qr/b_2"))
+    // the leftover is INVISIBLE to probes: the cutoff rule excludes
+    // anything older than the newest compact at LISTING time, so the
+    // crash window is never over-read (this assertion fails on the old
+    // eager-delete design, where the leftover doubled batch 1's postings)
+    assert(liveSubtrees(idx) === Seq("qr-c/b_3"))
     assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
-      .map(_.toString).toSeq !== before)
-    // the replay's trigger call sees the published target and finishes the
-    // deletes WITHOUT re-merging (the leftover's rows already live there)
+      .map(_.toString).toSeq === before)
+    // the replay's trigger call sees the published target and garbage-
+    // collects the leftover WITHOUT re-merging (its rows already live there)
     assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 3))
     assert(ownSubtrees(idx, "qr") === Seq("qr-c/b_3"))
     assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
@@ -160,8 +178,11 @@ class IngestCompactionSpec extends SparkSpec {
     val sigSchema = spark.read.parquet(idx).schema
     assert(Dedup.maybeCompactSignatureIngest(spark, idx, "qd", 3L, 3,
       sigSchema))
-    assert(ownSubtrees(idx, "qd") === Seq("qd-c/b_3"))
+    assert(liveSubtrees(idx) === Seq("qd-c/b_3"))
     assert(contentOf(idx) === rowsBefore)
+    assert(!Dedup.maybeCompactSignatureIngest(spark, idx, "qd", 4L, 3,
+      sigSchema)) // deferred-GC pass
+    assert(ownSubtrees(idx, "qd") === Seq("qd-c/b_3"))
     assert(Dedup.dedupAgainstIndex(probe, "doc_id", "text", idx,
       minAgreeFraction = 0.3).collect().map(_.toString).sorted.toSeq
       === hitsBefore)
@@ -192,8 +213,11 @@ class IngestCompactionSpec extends SparkSpec {
     val rowsBefore = contentOf(idx)
     assert(ImageDedup.maybeCompactImageIngest(spark, idx, "qi", 3L, 3,
       spark.read.parquet(idx).schema))
-    assert(ownSubtrees(idx, "qi") === Seq("qi-c/b_3"))
+    assert(liveSubtrees(idx) === Seq("qi-c/b_3"))
     assert(contentOf(idx) === rowsBefore)
+    assert(!ImageDedup.maybeCompactImageIngest(spark, idx, "qi", 4L, 3,
+      spark.read.parquet(idx).schema)) // deferred-GC pass
+    assert(ownSubtrees(idx, "qi") === Seq("qi-c/b_3"))
     assert(ImageDedup.dedupAgainstImageIndex(probe, "id", "dhash", idx)
       .collect().map(_.toString).sorted.toSeq === hitsBefore)
   }
@@ -222,9 +246,11 @@ class IngestCompactionSpec extends SparkSpec {
     val rowsBefore = Pq.readIndex(spark, idx).collect()
       .map(_.toString).sorted.toSeq
     assert(Pq.maybeCompactPqIngest(spark, idx, "qp", 4L, 3))
-    assert(ownSubtrees(idx, "qp") === Seq("qp-c/b_4"))
+    assert(liveSubtrees(idx) === Seq("qp-c/b_4"))
     assert(Pq.readIndex(spark, idx).collect().map(_.toString).sorted.toSeq
       === rowsBefore)
+    assert(!Pq.maybeCompactPqIngest(spark, idx, "qp", 5L, 3)) // deferred GC
+    assert(ownSubtrees(idx, "qp") === Seq("qp-c/b_4"))
   }
 
   // ---------------------------------------------------------------------
@@ -259,6 +285,8 @@ class IngestCompactionSpec extends SparkSpec {
     val rowsBefore = Similarity.ivfRead(spark, idx).collect()
       .map(_.toString).sorted.toSeq
     assert(Similarity.maybeCompactSemIngest(spark, idx, "qs", 3L, 3))
+    assert(liveSubtrees(idx) === Seq("qs-c/b_3"))
+    assert(!Similarity.maybeCompactSemIngest(spark, idx, "qs", 4L, 3))
     assert(ownSubtrees(idx, "qs") === Seq("qs-c/b_3"))
     assert(Similarity.ivfRead(spark, idx).collect().map(_.toString).sorted.toSeq
       === rowsBefore)
@@ -310,6 +338,8 @@ class IngestCompactionSpec extends SparkSpec {
       s"HEADER (df 8 across base+batches) must strip: $stripBefore")
     val totalsBefore = totals()
     assert(Boilerplate.maybeCompactLineIngest(spark, idx, "ql", 3L, 3, "src"))
+    assert(liveSubtrees(idx) === Seq("ql-c/b_3"))
+    assert(!Boilerplate.maybeCompactLineIngest(spark, idx, "ql", 4L, 3, "src"))
     assert(ownSubtrees(idx, "ql") === Seq("ql-c/b_3"))
     assert(totals() === totalsBefore,
       "summed per-(group, line) counts must be preserved")
@@ -360,10 +390,20 @@ class IngestCompactionSpec extends SparkSpec {
       q.processAllAvailable()
       assert(perBatch(2L) === Set(21L),
         s"the dup of batch 0's doc must still be caught AFTER the fold: ${perBatch.toMap}")
-      // the fold really happened: batch 0/1 subtrees gone, one compact +
-      // batch 2's own subtree live
-      assert(ownSubtrees(idx, tag) === Seq(s"$tag-c/b_2", s"$tag/b_2"),
+      // the fold really happened: batch 0/1 folded out of the LIVE view
+      // (their dirs await the next trigger's deferred GC)
+      assert(liveSubtrees(idx) === Seq(s"$tag-c/b_2", s"$tag/b_2"),
+        s"got ${liveSubtrees(idx)}")
+      // one more batch: its trigger garbage-collects the first fold's
+      // sources (b_0/b_1 leave the DISK), and at cap=2 it folds again —
+      // deferring ITS sources (c/b_2, b_2) to the next cycle
+      in.addData((30L, "completely fresh vocabulary nothing matches here at all today ok fine"))
+      q.processAllAvailable()
+      assert(ownSubtrees(idx, tag) ===
+        Seq(s"$tag-c/b_2", s"$tag-c/b_3", s"$tag/b_2", s"$tag/b_3"),
         s"got ${ownSubtrees(idx, tag)}")
+      assert(liveSubtrees(idx) === Seq(s"$tag-c/b_3", s"$tag/b_3"),
+        s"got ${liveSubtrees(idx)}")
     } finally q.stop()
   }
 }

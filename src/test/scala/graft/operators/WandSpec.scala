@@ -223,8 +223,6 @@ class WandSpec extends SparkSpec {
         "query_id", "term", n))
       assert(rows(Retrieval.bm25WandBatchAgainstIndex(spark, idx, batch,
         "query_id", "term", n)) === plain, s"n=$n")
-      assert(rows(Retrieval.bm25WandBatchAgainstIndex(spark, idx, batch,
-        "query_id", "term", n, maxSurvivors = 0)) === plain, s"n=$n degraded")
     }
   }
 
