@@ -297,10 +297,6 @@ object Boilerplate {
       batchId: Long): String =
     IndexLifecycle.ingestBatchDir(path, queryTag, batchId)
 
-  private def listIngestDirs(spark: org.apache.spark.sql.SparkSession,
-      path: String, exclude: Option[String]): Seq[String] =
-    IndexLifecycle.listIngestDirs(spark, path, exclude)
-
   /** One streaming microbatch of the line-curation ingest loop — exposed
     * for direct spec-level replay testing; [[streamingLineIngest]] wires
     * it into `foreachBatch`. Steps: (1) strip lines whose COMBINED df

@@ -54,18 +54,12 @@ object Dsir {
     */
   private[operators] def gramsCol(text: Column, tokenizer: Tokenizer): Column = {
     val t = tokenizer.column(text)
-    // bigrams zip-shifted from the SAME token expression (the ngramsCol
-    // route re-derived the tokenizer chain from the raw text; one shared
-    // subtree keeps codegen subexpression elimination applicable in the
-    // fit pass — the only full-corpus scans this operator runs). Shape
-    // and values are byte-identical to ngramsCol(text, 2, tokenizer).
-    val parts = (0 until 2).map(j =>
-      slice(t, lit(j + 1), greatest(size(t) - 1, lit(0))).as(s"g$j"))
-    val bis = when(size(t) >= 2,
-        transform(arrays_zip(parts: _*),
-          s => concat_ws(" ", s.getField("g0"), s.getField("g1"))))
-      .otherwise(array().cast("array<string>"))
-    concat(t, bis)
+    // bigrams from the SAME token expression via the shared gram
+    // construction (one definition — TextQueries.ngramsOfTokens — so the
+    // feature rule can't drift from the oracle mirror, and the shared
+    // subtree keeps codegen CSE applicable in the fit pass, the only
+    // full-corpus scans this operator runs)
+    concat(t, graft.queries.TextQueries.ngramsOfTokens(t, 2))
   }
 
   /** Per-bucket gram-occurrence counts of one corpus, as a driver array

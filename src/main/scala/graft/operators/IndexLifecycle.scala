@@ -110,9 +110,16 @@ private[graft] object IndexLifecycle {
         q <- fs.listStatus(root).toSeq if q.isDirectory
         b <- fs.listStatus(q.getPath).toSeq
         if b.isDirectory && !b.getPath.getName.endsWith(TmpSuffix)
+        // an UNMARKED compact is a publish still in flight (or its
+        // crash debris): invisible, like a `.tmp` stage — and it must
+        // not count toward the cutoff, or a half-copied compact on a
+        // non-atomic-rename store would hide COMPLETE sources and
+        // silently under-read committed rows
+        if !q.getPath.getName.endsWith(CompactTagSuffix) ||
+          isMarkedCompact(fs, b.getPath)
       } yield (q.getPath.getName, b.getPath.getName,
         fs.makeQualified(b.getPath).toString)
-      // COMPACT-CUTOFF RULE: a compact `<tag>-c/b_N` folded, by
+      // COMPACT-CUTOFF RULE: a (marked) compact `<tag>-c/b_N` folded, by
       // construction, EVERYTHING its query published before batch N (its
       // live `b_<i>` dirs, i < N, and any older compact). So given the
       // newest compact per tag, any older sibling is a superseded
@@ -120,7 +127,9 @@ private[graft] object IndexLifecycle {
       // its (deferred) source deletes, or a crash inside it. Excluding
       // them HERE makes every probe race-free against in-loop
       // compaction: a listing that catches sources + their compacted
-      // copy deterministically reads each row once.
+      // copy deterministically reads each row once. Foreign-named dirs
+      // (no `b_<n>` id) are always live — and never merge sources, so
+      // they are read exactly once too.
       val cutoff = all.iterator
         .filter(_._1.endsWith(CompactTagSuffix))
         .flatMap { case (ns, b, _) =>
@@ -184,6 +193,22 @@ private[graft] object IndexLifecycle {
     */
   private val CompactTagSuffix = "-c"
 
+  /** Completion marker written INSIDE a compact subtree after its rename
+    * finishes — single-file create, atomic on every store. The cutoff
+    * rule honors only MARKED compacts, because a compact's visibility has
+    * a side effect no per-batch subtree has (it HIDES its sources): on a
+    * store with non-atomic rename, a half-copied compact dir that counted
+    * toward the cutoff would make probes silently UNDER-read committed
+    * rows — the one failure mode the publish contract forbids. Per-batch
+    * subtrees need no marker: their partial states only under-read the
+    * uncommitted batch itself, which its replay repairs.
+    */
+  private val CompactCompleteMarker = "_GRAFT_COMPACT_COMPLETE"
+
+  private def isMarkedCompact(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, CompactCompleteMarker))
+
   /** The published subtrees belonging to ONE ingest query (its own tag
     * plus its compacted namespace), qualified, split (live, stale) by the
     * compact-cutoff rule ([[listIngestDirs]]): stale dirs are superseded
@@ -202,15 +227,20 @@ private[graft] object IndexLifecycle {
       if (!fs.exists(root)) Seq.empty
       else fs.listStatus(root).toSeq.collect {
         case s if s.isDirectory && !s.getPath.getName.endsWith(TmpSuffix) =>
-          (t, s.getPath.getName, fs.makeQualified(s.getPath).toString)
+          val marked = t == queryTag || isMarkedCompact(fs, s.getPath)
+          (t, s.getPath.getName, fs.makeQualified(s.getPath).toString, marked)
       }
     }
+    // cutoff from MARKED compacts only (an unmarked compact is an
+    // in-flight or crashed publish — it supersedes nothing)
     val cutoff = all.iterator
-      .filter(_._1 == queryTag + CompactTagSuffix)
-      .flatMap { case (_, b, _) => batchIdOf(b) }
+      .filter(e => e._1 == queryTag + CompactTagSuffix && e._4)
+      .flatMap { case (_, b, _, _) => batchIdOf(b) }
       .maxOption
-    val (live, stale) = all.partition { case (_, b, _) =>
-      cutoff.forall(n => batchIdOf(b).forall(_ >= n))
+    val (live, stale) = all.partition { case (t, b, _, marked) =>
+      // an unmarked compact is trash (its sources are intact — deleting
+      // it loses nothing); foreign-named dirs (no b_<n> id) are live
+      marked && cutoff.forall(n => batchIdOf(b).forall(_ >= n))
     }
     (live.map(_._3), stale.map(_._3))
   }
@@ -274,13 +304,25 @@ private[graft] object IndexLifecycle {
     val (liveDirs, staleDirs) = listOwnDirs(spark, path, queryTag)
     val targetP = new org.apache.hadoop.fs.Path(target)
     val fs = targetP.getFileSystem(conf)
-    // garbage-collect the PREVIOUS cycle's superseded sources (readers
-    // exclude them via the cutoff rule, so this is invisible to probes)
+    // garbage-collect the PREVIOUS cycle's superseded sources plus any
+    // unmarked (crashed-publish) compact debris — readers exclude both
+    // via the cutoff rule, so this is invisible to probes; deleting an
+    // unmarked target here is also the crashed-fold repair (its sources
+    // are intact, the re-merge below rebuilds it)
     staleDirs.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(s), true))
-    if (fs.exists(targetP)) return true // replay after a crashed fold
+    if (fs.exists(targetP)) return true // replay after a completed fold
+    // foreign-named dirs (no b_<n> id) are never merge sources: the
+    // cutoff rule can't supersede them, so folding them would leave both
+    // copies live — probes would double-read their rows forever
     val sources = liveDirs.filterNot(d => d == own || d == targetQ)
+      .filter(d => batchIdOf(d.split('/').last).isDefined)
     if (sources.size < maxLiveSubtrees || sources.isEmpty) return false
     writeViaTmp(spark, target)(tmp => mergeInto(sources, tmp))
+    // completion marker LAST (atomic single-file create): only now does
+    // the compact exist for readers and supersede its sources
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(targetP, CompactCompleteMarker), true)
+    out.close()
     true
   }
 

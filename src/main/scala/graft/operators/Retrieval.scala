@@ -330,9 +330,6 @@ object Retrieval {
       batchId: Long): String =
     IndexLifecycle.ingestBatchDir(path, queryTag, batchId)
 
-  private def listIngestDirs(spark: SparkSession, path: String): Seq[String] =
-    IndexLifecycle.listIngestDirs(spark, path)
-
   /** One streaming microbatch — exposed for direct spec-level replay
     * testing; [[streamingTextIngest]] wires it into `foreachBatch`.
     * Overwrites the batch's own subtree with its postings + stats row,

@@ -697,13 +697,19 @@ object TextQueries {
     * has fewer than n tokens.
     */
   def ngramsCol(text: Column, n: Int,
-      tokenizer: graft.operators.Tokenizer = graft.operators.Tokenizer.Ascii): Column = {
-    val t = tokenizer.column(text)
-    // n equal-length shifted slices zipped, one concat per gram — NOT a
-    // per-gram slice(t, i, n)+array_join lambda: that shape re-slices the
-    // token array once per gram (O(len·n) array copies) and measured 5.9×
-    // slower on the sf0.1 corpus (3.4 s vs 0.6 s for 3-grams); output is
-    // byte-identical (proven corpus-wide for n=3 and n=5)
+      tokenizer: graft.operators.Tokenizer = graft.operators.Tokenizer.Ascii): Column =
+    ngramsOfTokens(tokenizer.column(text), n)
+
+  /** [[ngramsCol]] over an ALREADY-derived token array — the ONE gram
+    * construction (callers holding the token column, e.g. `Dsir.gramsCol`,
+    * reuse their subtree for codegen CSE instead of re-tokenizing).
+    * n equal-length shifted slices zipped, one concat per gram — NOT a
+    * per-gram slice(t, i, n)+array_join lambda: that shape re-slices the
+    * token array once per gram (O(len·n) array copies) and measured 5.9×
+    * slower on the sf0.1 corpus (3.4 s vs 0.6 s for 3-grams); output is
+    * byte-identical (proven corpus-wide for n=3 and n=5).
+    */
+  def ngramsOfTokens(t: Column, n: Int): Column = {
     val parts = (0 until n).map(j =>
       slice(t, lit(j + 1), greatest(size(t) - (n - 1), lit(0))).as(s"g$j"))
     when(size(t) >= n,

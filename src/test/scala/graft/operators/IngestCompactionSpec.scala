@@ -147,6 +147,75 @@ class IngestCompactionSpec extends SparkSpec {
       .map(_.toString).toSeq === before)
   }
 
+  test("torn compact publish (unmarked dir): invisible to probes — committed rows never under-read; replay rebuilds") {
+    val q = Seq("a", "b", "c")
+    val idx = freshDir("cmp_text_torn")
+    Retrieval.writeTextIndex(docs(0, 2), "doc_id", "text", idx, nBuckets = 4)
+    (0 to 2).foreach { i =>
+      Retrieval.ingestTextBatch(docs(2 + 2 * i, 4 + 2 * i), "doc_id", "text",
+        idx, queryTag = "qr", batchId = i.toLong)
+    }
+    val before = Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 3))
+    // simulate the torn-rename state on an object store: the compact dir
+    // is (partially) visible but its completion marker never landed
+    val marker = new java.io.File(
+      s"$idx/_ingest/qr-c/b_3/_GRAFT_COMPACT_COMPLETE")
+    assert(marker.isFile, "a completed fold must carry the marker")
+    assert(marker.delete())
+    // ...and the copy genuinely incomplete: drop a data file, so a rule
+    // that trusted bare directory existence would UNDER-read (the probe
+    // below would lose committed postings, not just double them)
+    def firstParquet(f: java.io.File): java.io.File =
+      if (f.isFile) (if (f.getName.endsWith(".parquet")) f else null)
+      else f.listFiles().iterator.map(firstParquet).find(_ != null).orNull
+    val victim = firstParquet(new java.io.File(s"$idx/_ingest/qr-c/b_3"))
+    assert(victim != null && victim.delete())
+    // an UNMARKED compact supersedes nothing and is itself invisible:
+    // probes read the intact sources — committed rows are never
+    // under-read (this assertion fails if the cutoff rule trusted bare
+    // directory existence)
+    assert(liveSubtrees(idx) === Seq("qr/b_0", "qr/b_1", "qr/b_2"))
+    assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq === before)
+    // the replay's trigger deletes the debris and re-merges from the
+    // intact sources — nothing was lost
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 3))
+    assert(liveSubtrees(idx) === Seq("qr-c/b_3"))
+    assert(new java.io.File(
+      s"$idx/_ingest/qr-c/b_3/_GRAFT_COMPACT_COMPLETE").isFile)
+    assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq === before)
+  }
+
+  test("foreign-named subtree dirs: live for probes, never merge sources, never GC'd") {
+    val q = Seq("a", "b", "c")
+    val idx = freshDir("cmp_text_foreign")
+    Retrieval.writeTextIndex(docs(0, 2), "doc_id", "text", idx, nBuckets = 4)
+    (0 to 1).foreach { i =>
+      Retrieval.ingestTextBatch(docs(2 + 2 * i, 4 + 2 * i), "doc_id", "text",
+        idx, queryTag = "qr", batchId = i.toLong)
+    }
+    // a manually-restored dir with a non-b_<n> name joins the namespace
+    copyDir(s"$idx/_ingest/qr/b_1", s"$idx/_ingest/qr/restored_backup")
+    // its rows count (batch 1's postings are deliberately doubled now)
+    val before = Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq
+    // the fold must NOT consume it: the cutoff rule can't supersede a
+    // foreign name, so folding it would leave both copies live (rows
+    // tripled) — and GC must never touch it
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qr", 2L, 2))
+    assert(liveSubtrees(idx) === Seq("qr-c/b_2", "qr/restored_backup"))
+    assert(Retrieval.bm25AgainstIndex(spark, idx, q, 10).collect()
+      .map(_.toString).toSeq === before,
+      "fold + foreign dir must stay row-identical (each row read once)")
+    assert(!Retrieval.maybeCompactTextIngest(spark, idx, "qr", 3L, 2))
+    assert(ownSubtrees(idx, "qr").toSet
+      === Set("qr-c/b_2", "qr/restored_backup"),
+      "GC must remove folded sources but never the foreign dir")
+  }
+
   // ---------------------------------------------------------------------
   // MinHash signatures
   // ---------------------------------------------------------------------
