@@ -1,0 +1,63 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Phase-split A/B driver for the q_bm25_wand entry: times the index
+  * BUILD (write + append) and the WAND PROBE separately so a residual
+  * in the fused bench entry can be attributed. Temporary adjudication
+  * tool — compiled into both A/B trees, removed after SCALE.md records
+  * the verdict.
+  */
+object AbProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("AB_REPS", "5").toInt
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.operators.Retrieval
+    val docs = Tables.documentsBalanced(spark, sfDir)
+    docs.write.format("noop").mode("overwrite").save() // warm
+    def t[A](f: => A): Long = {
+      val s = System.nanoTime(); f; (System.nanoTime() - s) / 1000000
+    }
+    val builds = new scala.collection.mutable.ArrayBuffer[Long]
+    val probes = new scala.collection.mutable.ArrayBuffer[Long]
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet(): Unit
+      }
+    })
+    val jobCounts = new scala.collection.mutable.ArrayBuffer[String]
+    (1 to reps).foreach { i =>
+      val idx = java.nio.file.Files.createTempDirectory("ab_widx").toString
+      builds += t {
+        Retrieval.writeTextIndex(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx,
+          nBuckets = 16, blockSize = 64)
+        Retrieval.appendToTextIndex(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      }
+      val j0 = jobs.get(); val t0 = tasks.get()
+      probes += t {
+        Retrieval.bm25WandAgainstIndex(spark, idx,
+          Seq("hash", "join", "spark", "window"), 20)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Thread.sleep(200) // listener drain
+      jobCounts += s""""${jobs.get() - j0}j/${tasks.get() - t0}t""""
+    }
+    println(s"""{"builds":[${builds.mkString(",")}],"probes":[${probes.mkString(",")}],"probe_jobs":[${jobCounts.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -90,9 +90,33 @@ object Bench {
     }.getOrElse(2)
     require(minReps >= 1, s"SPARK_GRAFT_MIN_REPS must be >= 1, got $minReps")
     def minOfReps(name: String)(run: () => Unit): (Double, Seq[Double]) = {
+      // accretion guard: incremental-index entries materialize persisted
+      // indexes under registered scratch dirs keyed per (tag, sf, pid) —
+      // the SAME dirs across reps. Rep 1 establishes the baseline (dirs,
+      // files) count per path; every later rep must land on IDENTICAL
+      // counts, or the rep timings were measuring a growing index (state
+      // leaked across reps) and the entry fails loudly naming the path —
+      // a rep pattern like 6s -> 56s -> 155s can never again be ambiguous
+      // between co-tenant load and a real leak (BENCH_r16, VERDICT r16 #3).
+      var baseline: Option[Map[String, (Long, Long)]] = None
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { run(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          run()
+          val t = (System.nanoTime() - t0) / 1e9
+          val snap = graft.queries.TextQueries.scratchSnapshot()
+          baseline match {
+            case None => baseline = Some(snap)
+            case Some(b) =>
+              val delta = graft.queries.TextQueries.scratchDelta(b, snap)
+              require(delta.isEmpty,
+                s"scratch accretion across reps:\n  ${delta.mkString("\n  ")}")
+              // new paths can only appear if a LATER rep materialized an
+              // index rep 1 didn't — fold them in so rep 3 checks rep 2's
+              baseline = Some(snap)
+          }
+          t
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }

@@ -409,7 +409,52 @@ object TextQueries {
         rm(new java.io.File(p))
       }))
     def register(path: String): String = { paths.add(path); path }
+    def snapshot(): Map[String, (Long, Long)] = {
+      val out = Map.newBuilder[String, (Long, Long)]
+      paths.forEach { p =>
+        val root = new java.io.File(p)
+        if (root.exists()) {
+          var dirs = 0L; var files = 0L
+          def walk(f: java.io.File): Unit =
+            if (f.isDirectory) {
+              dirs += 1
+              val kids = f.listFiles()
+              if (kids != null) kids.foreach(walk)
+            } else files += 1
+          walk(root)
+          out += p -> (dirs, files)
+        }
+      }
+      out.result()
+    }
   }
+
+  /** Live (dir count, file count) per registered scratch path — the
+    * bench harness's accretion guard: an incremental-index entry that
+    * leaves MORE subtrees or files after rep i than after rep 1 is
+    * accreting state across reps (its per-rep timings would then
+    * measure a growing index, not the operator), and the guard turns
+    * that from a rep-pattern ambiguity (load spike? leak?) into a
+    * structural failure naming the path.
+    */
+  private[graft] def scratchSnapshot(): Map[String, (Long, Long)] =
+    ScratchDirs.snapshot()
+
+  /** Paths whose (dirs, files) counts differ between two snapshots —
+    * empty means no accretion. A path absent from `before` (first
+    * materialization happens inside rep 1) is compared against its
+    * FIRST appearance, which callers provide by re-baselining after
+    * rep 1.
+    */
+  private[graft] def scratchDelta(before: Map[String, (Long, Long)],
+      after: Map[String, (Long, Long)]): Seq[String] =
+    after.toSeq.sortBy(_._1).flatMap { case (p, (d1, f1)) =>
+      before.get(p) match {
+        case Some((d0, f0)) if d0 != d1 || f0 != f1 =>
+          Some(s"$p: dirs $d0 -> $d1, files $f0 -> $f1")
+        case _ => None
+      }
+    }
 
   private[queries] def scratchDir(tag: String, d: String): String =
     ScratchDirs.register(
