@@ -73,7 +73,8 @@ object Bench {
       // a typo'd name would otherwise time ZERO queries and exit 0 with
       // total 0.000 — the opposite of the knob's purpose
       val known = SparkEntry.queries.keySet ++
-        Set("stream_windowed_pipeline", "stream_dsl_windowed_count")
+        Set("stream_windowed_pipeline", "stream_dsl_windowed_count",
+          "stream_dsl_windowed_count_rocksdb")
       val unknown = names.diff(known)
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names not in the suite: ${unknown.toSeq.sorted.mkString(", ")}")
@@ -197,10 +198,51 @@ object Bench {
         .start()
       q.processAllAvailable(); q.stop()
     })
+    // the SAME DSL pipeline on the RocksDB state-store provider — the
+    // reference's default persistent store is a first-class dial
+    // (graft.runtime.Stores), so one driver-facing entry keeps the
+    // provider path continuously benchmarked, not just spec'd. The
+    // provider is restored afterwards: a session-level conf would
+    // otherwise silently re-backend every later streaming entry.
+    val dslRocksSecs = if (!wanted("stream_dsl_windowed_count_rocksdb"))
+      None
+    else Some(minOfReps("stream_dsl_windowed_count_rocksdb") { () =>
+      import org.apache.spark.sql.functions.col
+      import graft.dsl.{KStream, KV, TumblingWindow}
+      import spark.implicits._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val streamDir = tempDir("graft_bench_dslr")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val prev = spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+      graft.runtime.Stores.use(spark, graft.runtime.Stores.RocksDb)
+      try {
+        val ks = new KStream(Tables.withEventTs(
+            spark.readStream.schema(schema).parquet(streamDir.toString))
+          .select(col("event_type"), col("value"), col("ts"))
+          .map(r => KV(r.getString(0), r.getDouble(1), r.getTimestamp(2))))
+        val counted = ks.withWatermarkMs(3600000L)
+          .groupByKey.windowedBy(TumblingWindow.of(3600000L)).count
+        val q = counted.changelog.writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation",
+            tempDir("graft_bench_dslr_ckpt").toString)
+          .start()
+        q.processAllAvailable(); q.stop()
+      } finally prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    })
     val loadAfter = loadavg()
     val allResults = results ++
       streamSecs.map("stream_windowed_pipeline" -> _) ++
-      dslStreamSecs.map("stream_dsl_windowed_count" -> _)
+      dslStreamSecs.map("stream_dsl_windowed_count" -> _) ++
+      dslRocksSecs.map("stream_dsl_windowed_count_rocksdb" -> _)
     // per-query times as integer ms; the full line goes to stdout AND the
     // tracked BENCH_FULL.json, and a compact total-only line prints last so
     // a size-limited log tail always ends with complete JSON (see below)

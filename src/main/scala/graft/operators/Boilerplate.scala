@@ -321,6 +321,8 @@ object Boilerplate {
       Seq("text_kept", "lines_removed", "__pos", "__ln", "__lf", "df_count", "__grp"))
     requireStringGroup(batch, groupCol, "ingestLineBatch")
     validateLineMeta(batch, indexPath, groupCol, "ingestLineBatch")
+    IndexLifecycle.requireBatchIdFresh(batch.sparkSession, indexPath,
+      queryTag, batchId, "ingestLineBatch")
     val own = ingestBatchDir(indexPath, queryTag, batchId)
     // counts computed ONCE per trigger: the threshold union and the
     // subtree write both read this frame (review finding r12)

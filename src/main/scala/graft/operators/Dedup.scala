@@ -689,6 +689,8 @@ object Dedup {
     val spark = df.sparkSession
     val id = if (batchId >= 0L) batchId
       else IndexLifecycle.nextAppendBatchId(spark, path, queryTag)
+    IndexLifecycle.requireBatchIdFresh(spark, path, queryTag, id,
+      "appendToSignatureIndex")
     val dir = IndexLifecycle.ingestBatchDir(path, queryTag, id)
     val rows = bandedSignatures(df, idCol, textCol, bands, rowsPerBand,
       readTokenizer(spark, path, "appendToSignatureIndex"))

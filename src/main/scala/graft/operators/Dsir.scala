@@ -107,6 +107,30 @@ object Dsir {
     Model(buckets, tokenizer.tag, alpha, lr)
   }
 
+  /** [[fit]] on a deterministic hash-sample of the RAW corpus — the
+    * documented escape hatch when even two streaming scans of raw are
+    * too much, now enforced to be the REPLAYABLE kind: the sample is
+    * [[Sampling.hashSample]] on `idCol` (md5-bucket < perMille), so a
+    * refit over the same corpus sees the same rows — no RNG partition
+    * state, no sampling drift between the fit and a later audit. The
+    * target corpus is NEVER sampled (it is the small, wanted side by
+    * construction; thinning it only adds estimator variance for free).
+    * Bucket probabilities are ratios, so a uniform row sample leaves
+    * their expectations unchanged — weight error shrinks as the sampled
+    * gram count grows (measured at 100× in SCALE.md: rank-stable
+    * weights at perMille = 100).
+    */
+  def fitSampled(target: DataFrame, raw: DataFrame, idCol: String,
+      textCol: String, perMille: Int,
+      buckets: Int = 1 << 13, alpha: Double = 1.0,
+      tokenizer: Tokenizer = Tokenizer.Ascii): Model = {
+    require(perMille > 0 && perMille <= 1000,
+      s"Dsir.fitSampled: perMille must be in (0, 1000], got $perMille")
+    Md5Prefix32.register(raw.sparkSession)
+    fit(target, Sampling.hashSample(raw, col(idCol), perMille), textCol,
+      buckets, alpha, tokenizer)
+  }
+
   /** Importance weight per document, integer micro-units — one codegen'd
     * map-side projection (no shuffle; the model rides as a reference
     * object).
@@ -115,9 +139,16 @@ object Dsir {
       weightCol: String = "dsir_weight_q"): DataFrame = {
     require(!df.columns.contains(weightCol),
       s"Dsir.score: input already has a '$weightCol' column; rename it first")
+    // NULL text scores 0, same as the empty doc (zero n-grams, zero sum)
+    // — the kernel expression itself is null-preserving, so without the
+    // coalesce a nullable corpus column would diverge from the DuckDB
+    // mirror (whose final CTE coalesces missing scores to 0) and from
+    // the documented "empty doc scores 0" contract
     df.withColumn(weightCol,
-      DsirScore.dsirScore(col(textCol), model.tokenizerTag, model.buckets,
-        model.lrMicro))
+      coalesce(
+        DsirScore.dsirScore(col(textCol), model.tokenizerTag, model.buckets,
+          model.lrMicro),
+        lit(0L)))
   }
 
   /** Deterministic integer Gumbel noise for `idCol` under `seed`:
@@ -193,7 +224,21 @@ object Dsir {
     require(rows.length == buckets,
       s"Dsir.readModel: $path has ${rows.length} bucket rows, meta says $buckets")
     val lr = Array.fill(buckets)(0L)
-    rows.foreach(r => lr(r.getInt(0)) = r.getLong(1))
+    val seen = new java.util.BitSet(buckets)
+    rows.foreach { r =>
+      val i = r.getInt(0)
+      // a corrupt/hand-edited model would otherwise throw a raw
+      // ArrayIndexOutOfBounds (out-of-range) or silently leave some
+      // bucket at lr=0 while another was written twice (duplicate) —
+      // wrong scores with no diagnostic
+      require(i >= 0 && i < buckets,
+        s"Dsir.readModel: malformed model at $path — bucket index $i " +
+          s"outside [0, $buckets)")
+      require(!seen.get(i),
+        s"Dsir.readModel: malformed model at $path — duplicate bucket $i")
+      seen.set(i)
+      lr(i) = r.getLong(1)
+    }
     Model(buckets, tok.tag, alpha, lr)
   }
 }

@@ -678,6 +678,8 @@ object ImageDedup {
       "appendToImageHashIndex")
     val id = if (batchId >= 0L) batchId
       else IndexLifecycle.nextAppendBatchId(spark, path, queryTag)
+    IndexLifecycle.requireBatchIdFresh(spark, path, queryTag, id,
+      "appendToImageHashIndex")
     val dir = IndexLifecycle.ingestBatchDir(path, queryTag, id)
     val rows = bandedHashes(df, idCol, hashCol, bandBits)
     IndexLifecycle.writeViaTmp(spark, dir) { tmp =>

@@ -209,6 +209,47 @@ private[graft] object IndexLifecycle {
       dir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(dir, CompactCompleteMarker))
 
+  /** Newest MARKED compact's batch id for `queryTag`, if any — the
+    * compact-cutoff the listing rule hides older siblings behind.
+    */
+  private def compactCutoff(spark: SparkSession, path: String,
+      queryTag: String): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(path, IngestDirName),
+      queryTag + CompactTagSuffix)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).toSeq.flatMap { s =>
+      if (s.isDirectory && !s.getPath.getName.endsWith(TmpSuffix) &&
+        isMarkedCompact(fs, s.getPath)) batchIdOf(s.getPath.getName)
+      else None
+    }.maxOption
+  }
+
+  /** LOUD guard against batch-id REGRESSION below the compact cutoff:
+    * `queryTagOf` hashes only the checkpoint PATH, so wiping a
+    * checkpoint's contents while reusing its path restarts batch ids at
+    * 0 under the SAME tag — and every append below the newest marked
+    * compact's id would be invisible to probes (the cutoff rule
+    * classifies it as a superseded leftover) and then garbage-collected:
+    * permanent silent data loss. Every ingest writer and the in-loop
+    * compactor call this before touching the subtree namespace.
+    */
+  def requireBatchIdFresh(spark: SparkSession, path: String,
+      queryTag: String, batchId: Long, op: String): Unit =
+    compactCutoff(spark, path, queryTag).foreach { n =>
+      require(batchId >= n,
+        s"$op: batch id $batchId regressed below this query's newest " +
+          s"compacted batch $n (index $path, tag $queryTag). This happens " +
+          "when a checkpoint directory was wiped or replaced while " +
+          "REUSING the same checkpoint path — the query tag hashes the " +
+          "path, so the restarted query's batch ids collide with the " +
+          "compacted history and its appends would be hidden by the " +
+          "compact-cutoff rule and then garbage-collected. Restart the " +
+          "ingest with a FRESH checkpoint path (new tag), or compact the " +
+          "index into a new base and start over.")
+    }
+
   /** The published subtrees belonging to ONE ingest query (its own tag
     * plus its compacted namespace), qualified, split (live, stale) by the
     * compact-cutoff rule ([[listIngestDirs]]): stale dirs are superseded
@@ -293,6 +334,7 @@ private[graft] object IndexLifecycle {
       (mergeInto: (Seq[String], String) => Unit): Boolean = {
     require(maxLiveSubtrees >= 1,
       s"maxLiveSubtrees must be >= 1 when compaction is enabled, got $maxLiveSubtrees")
+    requireBatchIdFresh(spark, path, queryTag, batchId, "compactOwnSubtrees")
     val conf = spark.sessionState.newHadoopConf()
     def qualified(d: String) = {
       val p = new org.apache.hadoop.fs.Path(d)

@@ -815,6 +815,8 @@ object Pq {
       indexPath: String, queryTag: String, batchId: Long): Unit = {
     val enc = selfConfiguredCodes(batch, idCol, vecCol, indexPath,
       "Pq.ingestPqBatch")
+    IndexLifecycle.requireBatchIdFresh(batch.sparkSession, indexPath,
+      queryTag, batchId, "Pq.ingestPqBatch")
     val dir = IndexLifecycle.ingestBatchDir(indexPath, queryTag, batchId)
     IndexLifecycle.writeViaTmp(batch.sparkSession, dir) { tmp =>
       enc.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)

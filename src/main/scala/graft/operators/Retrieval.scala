@@ -341,6 +341,8 @@ object Retrieval {
     requireLongId(batch, idCol, "ingestTextBatch")
     val nBuckets = readMeta(batch.sparkSession, indexPath, "ingestTextBatch")
     val blockSize = readBlockSize(batch.sparkSession, indexPath, "ingestTextBatch")
+    IndexLifecycle.requireBatchIdFresh(batch.sparkSession, indexPath,
+      queryTag, batchId, "ingestTextBatch")
     val dir = ingestBatchDir(indexPath, queryTag, batchId)
     val rows = batchRows(batch, idCol, textCol, nBuckets,
       readTokenizer(batch.sparkSession, indexPath, "ingestTextBatch"))
@@ -837,18 +839,31 @@ object Retrieval {
     * exactness. Sidecars written before v2 read their lb columns as
     * NULL and behave the same way; `compactTextIndex` regenerates v2.
     *
-    * Scale shape: the survivor pair set never routes through the driver
-    * — it joins the posting scan in-plan (AQE picks broadcast or shuffle
-    * by size), so there is no driver-memory cap to degrade around (the
-    * pre-one-pass `maxSurvivors`/`seedBoost` knobs are REMOVED, not
-    * silently ignored). Driver traffic is |query,term| pairs (bounded by
-    * `maxBatchPairs`); the probe runs ONE fixed postings aggregation
-    * (df/stats) and ONE scoring pass.
+    * Scale shape (revised round 17 after the crossover measurement —
+    * SCALE.md "batch-WAND crossover"): the r16 shape joined the survivor
+    * pairs IN-PLAN, and Spark planned that join as a SHUFFLE of the full
+    * postings×queries fan-out — the probe shuffled exactly the rows it
+    * was pruning (measured 1.7× the plain probe's shuffle records at
+    * Q=128, walls 2× plain, growing with Q: the crossover could never
+    * arrive). Now the probe mirrors the single-query probe's proven
+    * plane: (1) ONE fused postings aggregation collects df/stats as
+    * local relations; (2) ONE sidecar-bounded job computes θ per query
+    * (the two-window formulation) and collects the surviving (query,
+    * block) pairs, capped at `maxSurvivorPairs` — overflow degrades to
+    * the exact unpruned scan, never a driver OOM; (3) ONE scoring pass
+    * over the postings, survivor-filtered MAP-SIDE via a broadcast of
+    * the collected pairs (plus a scan-level block filter when the
+    * surviving block union is small enough for a pushed set probe), so
+    * the only shuffle left is the per-(query, doc) aggregate over
+    * ALREADY-PRUNED rows. Driver traffic is |query,term| pairs (bounded
+    * by `maxBatchPairs`) + survivor pairs (bounded by
+    * `maxSurvivorPairs`).
     */
   def bm25WandBatchAgainstIndex(spark: SparkSession, path: String,
       queries: DataFrame, queryIdCol: String, termCol: String,
       nPerQuery: Int, k1: Double = 1.2, b: Double = 0.75,
-      maxBatchPairs: Int = 1 << 20): DataFrame = {
+      maxBatchPairs: Int = 1 << 20,
+      maxSurvivorPairs: Int = 1 << 20): DataFrame = {
     require(nPerQuery > 0, "bm25WandBatchAgainstIndex: nPerQuery must be positive")
     val nBuckets = readMeta(spark, path, "bm25WandBatchAgainstIndex")
     val blockSize = readBlockSize(spark, path, "bm25WandBatchAgainstIndex")
@@ -900,20 +915,15 @@ object Retrieval {
       .reduce(_ unionByName _)
       .filter(col("__tb").isInCollection(tks :+ StatsToken))
     // df from the POSTINGS (the plain batch probe's exact number; the
-    // sidecar Σ n_docs only equals it when the sidecar is complete) — as
-    // IN-PLAN subplans: with the whole probe now being ONE action, a
-    // collected plane would just add a second fixed-cost job (measured
-    // ~0.3 s at sf0.1); inside the single plan the df aggregate doubles
-    // as the phantom gate for the sidecar lower bounds below, exactly as
-    // the plain batch probe computes it
-    val dfreq = rows
-      .where(col("term").isNotNull && col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
-    val stats = rows.where(col("term").isNull)
-      .agg(sum(col("tf")).as("__n"),
-        when(coalesce(sum(col("tf")), lit(0L)) === 0, lit(null).cast("double"))
-          .otherwise(sum(col("dl")).cast("double") / sum(col("tf")))
-          .as("__avgdl"))
+    // sidecar Σ n_docs only equals it when the sidecar is complete),
+    // COLLECTED once as local relations — the single probe's plane. The
+    // r16 in-plan formulation saved this job but forced the survivor
+    // join below into the main plan, where Spark shuffled the full
+    // postings fan-out to meet it; one ~fixed-cost aggregation job is
+    // the right trade against a shuffle that grows with |batch|×df.
+    // The collected df doubles as the phantom gate for the sidecar
+    // lower bounds, exactly as before.
+    val (dfreq, stats) = collectScoringPlane(spark, rows, terms)
 
     // per-(term, block) merged sidecar rows with BOTH bound directions.
     // The lb ingredients survive the merge only if every contributing
@@ -981,15 +991,37 @@ object Retrieval {
       .where(col("__theta").isNull || col("__ub") >= col("__theta"))
       .select(col("query_id"), col("block"))
 
-    // the single scoring pass
-    rows
+    // collect the survivor pairs in ONE sidecar-bounded job (the plane
+    // subtree reads only `_block_stats` + the local df/q relations — it
+    // never touches postings). Overflowing the cap degrades to the
+    // exact unpruned scan: correctness never depends on pruning.
+    val survivorPairs = surviving.take(maxSurvivorPairs + 1)
+    val prune = survivorPairs.length <= maxSurvivorPairs
+
+    // the single postings pass: survivor-filtered MAP-SIDE (broadcast
+    // of the collected pairs), so the one remaining shuffle is the
+    // per-(query, doc) aggregate over pruned rows
+    val scored = rows
       .where(col("term").isNotNull && col("term").isin(terms: _*))
       .select(col("term"), col("doc_id"), col("tf").as("__tf"),
         col("dl").as("__dl"))
       .join(broadcast(dfreq), "term")
       .join(broadcast(q), "term")
       .withColumn("block", blockOf(col("doc_id"), blockSize))
-      .join(surviving, Seq("query_id", "block"))
+    val gated = if (!prune) scored else {
+      // when pruning collapsed the survivors to FEW distinct blocks, a
+      // scan-level set probe on doc_id's block drops pruned postings
+      // before the joins even see them; a large union (weak pruning)
+      // would make the per-row probe pure overhead, so it is gated
+      val unionBlocks = survivorPairs.map(_.getLong(1)).distinct.toSeq
+      val scanned = if (unionBlocks.nonEmpty && unionBlocks.length <= 4096)
+        scored.where(col("block").isInCollection(unionBlocks))
+      else scored
+      val surv = survivorPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("query_id", "block")
+      scanned.join(broadcast(surv), Seq("query_id", "block"))
+    }
+    gated
       .crossJoin(broadcast(stats))
       .withColumn("__sq", scoreQ(col("__tf"), col("__df"), col("__dl"),
         col("__n"), col("__avgdl"), k1, b))

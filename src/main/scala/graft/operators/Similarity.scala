@@ -861,6 +861,8 @@ object Similarity {
     validateSemIndex(batch, idCol, vecCol, indexPath, "ingestSemBatch")
     val rows = ivfAssign(batch.select(col(idCol), col(vecCol)), idCol,
       vecCol, cents).drop("cosine")
+    IndexLifecycle.requireBatchIdFresh(spark, indexPath, queryTag,
+      batchId, "ingestSemBatch")
     val dir = IndexLifecycle.ingestBatchDir(indexPath, queryTag, batchId)
     IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
       IndexLifecycle.clusterForPartitionedWrite(rows, "centroid_id")

@@ -26,6 +26,8 @@ class DsirSpec extends SparkSpec {
     4L -> "the the the model",
     5L -> "Caffé crème — naïve 'quote'",
     6L -> "data data model model the")
+    .unionByName(Seq(7L).toDF("doc_id")
+      .withColumn("text", lit(null).cast("string"))) // NULL text: scores 0
   private val target = docs(
     10L -> "das modell lernt",
     11L -> "daten und modell",
@@ -57,6 +59,10 @@ class DsirSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(kernel === oracle)
     assert(kernel(2L) === 0L, "empty doc must score 0, not null")
+    assert(kernel(7L) === 0L,
+      "NULL text must score 0 like the empty doc — the kernel expression " +
+        "is null-preserving, so a bare (uncoalesced) score would emit " +
+        "NULL and diverge from the DuckDB mirror's coalesce(wq, 0)")
   }
 
   test("fit: hand-checked smoothing arithmetic on a 2-bucket toy") {
@@ -129,5 +135,100 @@ class DsirSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dsir.resample(corpus, "doc_id", "text", model, k = 0)
     }
+  }
+
+  test("fitSampled: deterministic hash-rule sample, rank-stable vs the full fit") {
+    // 400-doc raw corpus, two separable vocabularies: even ids English
+    // (raw-typical), odd ids German (target-like). Big enough that a
+    // half sample still estimates every discriminative bucket.
+    val en = Vector("the", "model", "trains", "on", "data", "quality",
+      "tokens", "filter")
+    val de = Vector("das", "modell", "lernt", "auf", "daten", "qualitaet",
+      "zeichen", "filter")
+    val raw = (0L until 400L).map { i =>
+      val v = if (i % 10 == 1) de else en // raw is 90% English
+      val w = (0 until 6).map(j => v(((i + j * 7) % v.size).toInt))
+      i -> w.mkString(" ")
+    }
+    val rawDf = docs(raw: _*)
+    // target big enough that its gram mass dominates the Laplace floor
+    // (Tt >> alpha·B) — a 2-doc target would drown in smoothing and no
+    // fit, sampled or not, could separate the vocabularies
+    val tgt = docs((1000L until 1060L).map { i =>
+      val w = (0 until 6).map(j => de(((i + j * 5) % de.size).toInt))
+      i -> w.mkString(" ")
+    }: _*)
+
+    val full = Dsir.fit(tgt, rawDf, "text", buckets = 256)
+    val samp = Dsir.fitSampled(tgt, rawDf, "doc_id", "text", perMille = 500,
+      buckets = 256)
+    val samp2 = Dsir.fitSampled(tgt, rawDf, "doc_id", "text", perMille = 500,
+      buckets = 256)
+    assert(samp.lrMicro.toSeq === samp2.lrMicro.toSeq,
+      "the hash-rule sample must make the fit replayable bit-for-bit")
+    assert(Dsir.fitSampled(tgt, rawDf, "doc_id", "text", perMille = 1000,
+      buckets = 256).lrMicro.toSeq === full.lrMicro.toSeq,
+      "perMille = 1000 keeps every row — identical to the full fit")
+
+    // rank stability, the property the draw depends on: both models
+    // must score every target-vocabulary probe above every raw-typical
+    // probe (pairwise separation preserved under sampling)
+    val probes = docs(2000L -> "das modell lernt", 2001L -> "auf daten",
+      2002L -> "the model trains", 2003L -> "on data quality")
+    def scores(m: Dsir.Model): Map[Long, Long] =
+      Dsir.score(probes, "text", m).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (m <- Seq(full, samp); s = scores(m); d <- Seq(2000L, 2001L);
+        e <- Seq(2002L, 2003L))
+      assert(s(d) > s(e),
+        s"model must rank target-like doc $d above raw-like $e: $s")
+
+    intercept[IllegalArgumentException] {
+      Dsir.fitSampled(tgt, rawDf, "doc_id", "text", perMille = 0)
+    }
+  }
+
+  test("readModel refuses corrupt bucket rows loudly (duplicate, out-of-range)") {
+    val model = Dsir.fit(target, corpus, "text", buckets = 8)
+    val dir = tempDir("dsir_corrupt") + "/m"
+    Dsir.writeModel(spark, model, dir)
+    val good = spark.read.parquet(dir)
+    // duplicate bucket: bucket 1's row relabeled 0 — same row count as
+    // the meta, bucket 0 written twice, bucket 1 missing. Pre-guard this
+    // silently left bucket 1 at lr=0 (wrong scores, no diagnostic).
+    locally {
+      val dup = good.where(col("bucket") === 1).withColumn("bucket", lit(0))
+        .unionByName(good.where(col("bucket") =!= 1))
+      dup.coalesce(1).write.mode("overwrite").parquet(dir + "_dup")
+      copyModelMeta(dir, dir + "_dup")
+      val e = intercept[IllegalArgumentException] {
+        Dsir.readModel(spark, dir + "_dup")
+      }
+      assert(e.getMessage.contains("duplicate bucket"), e.getMessage)
+    }
+    // out-of-range index: pre-guard a raw ArrayIndexOutOfBoundsException
+    locally {
+      val oob = good.where(col("bucket") === 1).withColumn("bucket", lit(99))
+        .unionByName(good.where(col("bucket") =!= 1))
+      oob.coalesce(1).write.mode("overwrite").parquet(dir + "_oob")
+      copyModelMeta(dir, dir + "_oob")
+      val e = intercept[IllegalArgumentException] {
+        Dsir.readModel(spark, dir + "_oob")
+      }
+      assert(e.getMessage.contains("outside [0, 8)"), e.getMessage)
+    }
+  }
+
+  /** Copy the model meta file so a tampered-rows dir still parses as a
+    * model (the corruption under test is the ROWS, not the meta).
+    */
+  private def copyModelMeta(from: String, to: String): Unit = {
+    val name = "_graft_dsir_model_meta.json"
+    val src = new java.io.File(from, name)
+    assert(src.exists(), s"expected model meta at $src")
+    java.nio.file.Files.copy(src.toPath,
+      new java.io.File(to, name).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 }

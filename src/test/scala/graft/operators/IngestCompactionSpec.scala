@@ -116,6 +116,47 @@ class IngestCompactionSpec extends SparkSpec {
       .map(_.toString).toSeq === wandBefore)
   }
 
+  test("batch-id regression below the compact cutoff fails loudly (stale checkpoint reuse)") {
+    val idx = freshDir("cmp_regress")
+    Retrieval.writeTextIndex(docs(0, 2), "doc_id", "text", idx, nBuckets = 4)
+    (0 to 2).foreach { i =>
+      Retrieval.ingestTextBatch(docs(2 + 2 * i, 4 + 2 * i), "doc_id", "text",
+        idx, queryTag = "qg", batchId = i.toLong)
+    }
+    assert(Retrieval.maybeCompactTextIngest(spark, idx, "qg", 3L,
+      maxLiveSubtrees = 3)) // marked compact at b_3 — the cutoff
+    val rowsBefore = contentOf(idx)
+
+    // a wiped-but-path-reused checkpoint restarts ids at 0 under the SAME
+    // tag: pre-guard, the append landed, was invisible to every probe,
+    // and the next trigger GC'd it — permanent silent data loss. Now it
+    // fails before writing anything, naming the cause.
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.ingestTextBatch(docs(0, 2), "doc_id", "text", idx,
+        queryTag = "qg", batchId = 0L)
+    }
+    assert(e.getMessage.contains("regressed below"), e.getMessage)
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+    assert(contentOf(idx) === rowsBefore, "the refused append wrote nothing")
+
+    // the compactor refuses a regressed trigger the same way
+    val e2 = intercept[IllegalArgumentException] {
+      Retrieval.maybeCompactTextIngest(spark, idx, "qg", 1L,
+        maxLiveSubtrees = 1)
+    }
+    assert(e2.getMessage.contains("regressed below"), e2.getMessage)
+
+    // ids AT or ABOVE the cutoff stay legal (the normal resumed loop)
+    Retrieval.ingestTextBatch(docs(0, 2), "doc_id", "text", idx,
+      queryTag = "qg", batchId = 4L)
+    assert(liveSubtrees(idx).toSet === Set("qg-c/b_3", "qg/b_4"))
+
+    // an UNRELATED tag on the same index is not constrained by qg's cutoff
+    Retrieval.ingestTextBatch(docs(2, 4), "doc_id", "text", idx,
+      queryTag = "qh", batchId = 0L)
+    assert(liveSubtrees(idx).toSet === Set("qg-c/b_3", "qg/b_4", "qh/b_0"))
+  }
+
   test("text ingest: crash between publish and source deletes is repaired by the replay's trigger call") {
     val q = Seq("a", "b", "c")
     val idx = freshDir("cmp_text_crash")
