@@ -72,6 +72,49 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.nearDuplicates(hot, "doc_id", "text").count() === (n - 1).toLong)
   }
 
+  test("giant NEAR-dup cluster (above threshold, not identical): star path still yields one cluster with the min-id survivor") {
+    // 2.5k docs sharing a long base text, each with a UNIQUE tail token —
+    // exact pre-collapse cannot shortcut this (no two texts equal), so the
+    // full LSH path runs with every band bucket hot. The star degradation
+    // must (a) bound candidates to n-1 distinct pairs (every member links
+    // the bucket's lowest id — the same rep in every band, so the distinct
+    // set collapses across bands), and (b) still hand the verifier enough
+    // edges that connected components form ONE cluster around the min id.
+    val n = Dedup.DefaultHotBucketThreshold * 5 / 2
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val giant = (0L until n.toLong).map(i => (i, s"$base tail$i"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(giant, "doc_id", "text")
+    // the unique tails perturb a few band hashes, so the cluster spans a
+    // handful of buckets per band (hot ones star to their own rep, small
+    // spill-over buckets pair quadratically among few docs) — the bound
+    // is bands·(n−1) + spill, orders below the unguarded C(n,2) ≈ 3.3M
+    val cand = Dedup.lshCandidates(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.size <= 8 * (n - 1),
+      s"star guard must bound pairs to ~bands x n, got ${cand.size}")
+    assert(cand.size.toLong < n.toLong * (n - 1) / 2 / 100,
+      s"pairs must sit orders below C(n,2), got ${cand.size}")
+    val pairs = Dedup.nearDuplicates(giant, "doc_id", "text",
+      minAgreeFraction = 0.5)
+    val sizes = Dedup.connectedComponents(pairs, giant, "doc_id")
+      .groupBy("rep").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // LSH recall is < 1 by construction: a doc whose tail token flips a
+    // shingle-row in EVERY band lands in 8 singleton buckets and pairs
+    // with nothing (~1-2 expected at this n; deterministic here). The
+    // guard claim is that the giant component still forms around the min
+    // id with at most a few such stragglers — not that banding is exact.
+    assert(sizes.getOrElse(0L, 0L) >= (n - 5).toLong,
+      s"giant component must absorb all but LSH-recall stragglers: $sizes")
+    assert(sizes.size <= 6, s"at most a few stragglers, got $sizes")
+    // ...and the end-to-end dedup keeps the min-id survivor + stragglers
+    val kept = Dedup.dedupNear(giant, "doc_id", "text", minAgreeFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L) && kept.size === sizes.size,
+      s"one survivor per component: $kept vs $sizes")
+  }
+
   test("nearDupPairs: banded-LSH candidates verify to a subset of exact pairs") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding"), col("label"))
