@@ -72,7 +72,9 @@ object Round17GiantClusterTimer {
 
     leg(width, 1024, "guard-on")
     leg(1000, 1000000, "guard-off") // C(1000,2) = 499.5k pairs, measurable
-    leg(1000, 1024, "guard-on")
+    // same width, guard ENGAGED (1000 < the default 1024 threshold, so
+    // the default leg would silently stay quadratic-in-bucket)
+    leg(1000, 64, "guard-on-tight")
     spark.stop()
   }
 }
