@@ -3,10 +3,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Phase-split A/B driver for the q_bm25_wand entry: times the index
-  * BUILD (write + append) and the WAND PROBE separately so a residual
-  * in the fused bench entry can be attributed. Temporary adjudication
-  * tool — compiled into both A/B trees, removed after SCALE.md records
-  * the verdict.
+  * BUILD (write + append) and the WAND PROBE separately, with a
+  * SparkListener counting jobs/tasks per probe, so a residual in the
+  * fused bench entry can be attributed (job-structure delta vs same-
+  * structure timing noise). This is the same-window two-binary
+  * technique of SCALE.md "Round 17 — Same-window A/B": compile this
+  * file into BOTH trees (it is self-contained) and alternate
+  * `sbt "runMain graft.AbProbe"` runs in one quiet window.
   */
 object AbProbe {
   def main(args: Array[String]): Unit = {
