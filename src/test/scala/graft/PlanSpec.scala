@@ -554,6 +554,28 @@ class PlanSpec extends SparkSpec {
       p.take(2500))
   }
 
+  test("q_bm25_wand_batch: survivors broadcast into the one scoring pass — the postings fan-out never shuffles to meet them") {
+    val p = plan("q_bm25_wand_batch")
+    // the r16 in-plan survivor join planned as a SHUFFLE of the full
+    // postings x queries fan-out (measured 1.7x the plain probe's
+    // shuffle records at Q=128 — SCALE.md "Batch-WAND crossover"); the
+    // r17 shape collects the sidecar-bounded survivor pairs and
+    // broadcasts them, so NO sort-merge or shuffled-hash join may
+    // appear anywhere in the probe
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the survivor filter must be broadcast, not a shuffle join:\n" +
+        p.take(2500))
+    // dfreq + query pairs + survivor pairs all ride broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
+    // bucket partition pruning and term pushdown survive on the scan
+    assert(p.contains("PartitionFilters: [__tb"),
+      "bucket partition pruning lost:\n" + p.take(2500))
+    // the only shuffles left: the per-(query, doc) aggregate and the
+    // per-query rank window
+    assert("\\+- Exchange".r.findAllIn(p).size <= 2,
+      "an extra shuffle entered the scoring pass:\n" + p.take(2500))
+  }
+
   test("q_ann_ivfpq: the rerank scan reads only shortlist ids, top-k never sorts the corpus") {
     val p = plan("q_ann_ivfpq")
     // the exact-cosine rerank fetches ONLY the ADC shortlist's ids — the
