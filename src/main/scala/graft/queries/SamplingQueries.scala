@@ -275,13 +275,20 @@ object SamplingQueries {
     * `(c + 1.0) / (T_double + αB)`, ln, subtract, ×1e6, floor — per
     * bucket ONCE, then pure integer sums per doc.
     */
-  private[queries] def dsirCtesOver(tgtSql: String, rawSql: String): String = {
+  /** `fitRawSql`, when set, fits the model's raw side on a DIFFERENT
+    * corpus than the one scored (the [[graft.operators.Dsir.fitSampled]]
+    * mirror: fit on the hash-sampled subset, score everything) — the
+    * default fits and scores the same `raw`.
+    */
+  private[queries] def dsirCtesOver(tgtSql: String, rawSql: String,
+      fitRawSql: Option[String] = None): String = {
     val b = DsirBuckets
     val h = hash32Sql("g")
     s"tgt AS ($tgtSql), " +
       s"raw AS ($rawSql), " +
+      s"fitraw AS (${fitRawSql.getOrElse("SELECT text FROM raw")}), " +
       s"tg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM tgt), " +
-      s"rg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM raw), " +
+      s"rg AS (SELECT unnest(${dsirGramsSql("text")}) AS g FROM fitraw), " +
       s"tb AS (SELECT ($h % $b) AS b, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY 1), " +
       s"rb AS (SELECT ($h % $b) AS b, CAST(count(*) AS BIGINT) AS c FROM rg GROUP BY 1), " +
       "tt AS (SELECT CAST(coalesce(sum(c), 0) AS DOUBLE) AS t FROM tb), " +
@@ -358,8 +365,33 @@ object SamplingQueries {
       "doc_id", "text", model, k = 50, seed = 7L)
   }
 
+  /** DSIR weights under the SAMPLED fit ([[graft.operators.Dsir
+    * .fitSampled]]): the model's raw-side gram counts come from the
+    * deterministic md5-bucket half of the English corpus (the
+    * `Sampling.hashSample` rule — replayable, no RNG state), while
+    * SCORING covers every English doc. The oracle recomputes the whole
+    * pipeline with the fit CTE filtered by the same bucket rule, so the
+    * entry gates both the sampling rule's engine parity and that the
+    * sampled fit changes ONLY the model, never the scored population.
+    */
+  val qDsirWeightsSampled = q(
+    "q_dsir_weights_sampled",
+    s"WITH ${dsirCtesOver(
+        "SELECT text FROM documents WHERE lang = 'de'",
+        "SELECT doc_id, text FROM documents WHERE lang = 'en'",
+        Some("SELECT text FROM documents WHERE lang = 'en' AND " +
+          s"${bucketSql("CAST(doc_id AS VARCHAR)")} < 500"))} " +
+      "SELECT doc_id, dsir_weight_q FROM w") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val model = graft.operators.Dsir.fitSampled(
+      docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),
+      "doc_id", "text", perMille = 500, buckets = DsirBuckets)
+    graft.operators.Dsir.score(docs.filter(col("lang") === "en"), "text", model)
+      .select(col("doc_id"), col("dsir_weight_q"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(qSampleHash, qSampleStratified, qSampleSplit, qSamplePerKeyCap,
       qSampleMixture, qSampleTemperature, qMixturePacked, qShuffleShard,
-      qTrainingShards, qDsirWeights, qDsirSample)
+      qTrainingShards, qDsirWeights, qDsirSample, qDsirWeightsSampled)
 }
