@@ -42,8 +42,19 @@ object AbProbe {
       }
     })
     val jobCounts = new scala.collection.mutable.ArrayBuffer[String]
+    val scratch = scala.collection.mutable.ArrayBuffer[String]()
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratch.foreach { p =>
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(p))
+      }))
     (1 to reps).foreach { i =>
       val idx = java.nio.file.Files.createTempDirectory("ab_widx").toString
+      scratch += idx
       builds += t {
         Retrieval.writeTextIndex(
           docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx,
@@ -51,6 +62,7 @@ object AbProbe {
         Retrieval.appendToTextIndex(
           docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
       }
+      Thread.sleep(200) // drain the build's in-flight listener events
       val j0 = jobs.get(); val t0 = tasks.get()
       probes += t {
         Retrieval.bm25WandAgainstIndex(spark, idx,

@@ -111,7 +111,9 @@ object Bench {
             case Some(b) =>
               val delta = graft.queries.TextQueries.scratchDelta(b, snap)
               require(delta.isEmpty,
-                s"scratch accretion across reps:\n  ${delta.mkString("\n  ")}")
+                s"scratch state changed across reps (growth = the index " +
+                  s"accreted; shrinkage = a rep deleted persisted state):" +
+                  s"\n  ${delta.mkString("\n  ")}")
               // new paths can only appear if a LATER rep materialized an
               // index rep 1 didn't — fold them in so rep 3 checks rep 2's
               baseline = Some(snap)
@@ -216,8 +218,11 @@ object Bench {
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$sfDir/events.parquet"),
         streamDir.resolve("events.parquet"))
-      val prev = spark.conf.getOption(
-        "spark.sql.streaming.stateStore.providerClass")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val changelogKey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prev = spark.conf.getOption(providerKey)
+      val prevChangelog = spark.conf.getOption(changelogKey)
       graft.runtime.Stores.use(spark, graft.runtime.Stores.RocksDb)
       try {
         val ks = new KStream(Tables.withEventTs(
@@ -231,11 +236,18 @@ object Bench {
             tempDir("graft_bench_dslr_ckpt").toString)
           .start()
         q.processAllAvailable(); q.stop()
-      } finally prev match {
-        case Some(p) => spark.conf.set(
-          "spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset(
-          "spark.sql.streaming.stateStore.providerClass")
+      } finally {
+        // restore BOTH confs Stores.use touched — leaving the rocksdb
+        // changelog flag behind would hand later provider selections in
+        // this session a default Spark never set
+        prev match {
+          case Some(p) => spark.conf.set(providerKey, p)
+          case None => spark.conf.unset(providerKey)
+        }
+        prevChangelog match {
+          case Some(v) => spark.conf.set(changelogKey, v)
+          case None => spark.conf.unset(changelogKey)
+        }
       }
     })
     val loadAfter = loadavg()

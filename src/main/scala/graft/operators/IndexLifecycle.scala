@@ -130,6 +130,11 @@ private[graft] object IndexLifecycle {
       // copy deterministically reads each row once. Foreign-named dirs
       // (no `b_<n>` id) are always live — and never merge sources, so
       // they are read exactly once too.
+      // multi-tag twin of [[compactCutoff]] over the ONE listing this
+      // function already holds — any change to the rule must land in
+      // BOTH (CompactCutoffRuleSpec-style pinning lives in
+      // IngestCompactionSpec's fold/replay tests, which exercise the
+      // single- and multi-tag paths against each other)
       val cutoff = all.iterator
         .filter(_._1.endsWith(CompactTagSuffix))
         .flatMap { case (ns, b, _) =>
@@ -273,11 +278,11 @@ private[graft] object IndexLifecycle {
       }
     }
     // cutoff from MARKED compacts only (an unmarked compact is an
-    // in-flight or crashed publish — it supersedes nothing)
-    val cutoff = all.iterator
-      .filter(e => e._1 == queryTag + CompactTagSuffix && e._4)
-      .flatMap { case (_, b, _, _) => batchIdOf(b) }
-      .maxOption
+    // in-flight or crashed publish — it supersedes nothing). ONE
+    // definition of the rule ([[compactCutoff]], shared with the
+    // regression guard and the append-id allocator) — a fork here
+    // would let the guard desynchronize from what this listing hides.
+    val cutoff = compactCutoff(spark, path, queryTag)
     val (live, stale) = all.partition { case (t, b, _, marked) =>
       // an unmarked compact is trash (its sources are intact — deleting
       // it loses nothing); foreign-named dirs (no b_<n> id) are live
@@ -379,7 +384,7 @@ private[graft] object IndexLifecycle {
     val root = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(path, IngestDirName), queryTag)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) 0L
+    val plainNext = if (!fs.exists(root)) 0L
     else {
       val ids = fs.listStatus(root).toSeq.collect {
         case s if s.isDirectory && s.getPath.getName.startsWith("b_") &&
@@ -388,6 +393,13 @@ private[graft] object IndexLifecycle {
       }
       if (ids.isEmpty) 0L else ids.max + 1L
     }
+    // the allocator must clear the compact cutoff too: after a fold GC'd
+    // every plain b_* dir, allocating from the plain namespace alone
+    // restarts at 0 — and [[requireBatchIdFresh]] would then refuse the
+    // append FOREVER (0 < cutoff on every retry), a dead end where
+    // resuming ABOVE the cutoff is perfectly safe and is what a
+    // still-running streaming query would do naturally
+    plainNext max compactCutoff(spark, path, queryTag).getOrElse(0L)
   }
 
   /** Stable per-query tag from the QUALIFIED checkpoint path — a restart

@@ -865,6 +865,10 @@ object Retrieval {
       maxBatchPairs: Int = 1 << 20,
       maxSurvivorPairs: Int = 1 << 20): DataFrame = {
     require(nPerQuery > 0, "bm25WandBatchAgainstIndex: nPerQuery must be positive")
+    require(maxSurvivorPairs > 0 && maxSurvivorPairs < Int.MaxValue,
+      s"bm25WandBatchAgainstIndex: maxSurvivorPairs must be in (0, " +
+        s"Int.MaxValue), got $maxSurvivorPairs — 0 would silently disable " +
+        "pruning and Int.MaxValue overflows the survivor collect's +1")
     val nBuckets = readMeta(spark, path, "bm25WandBatchAgainstIndex")
     val blockSize = readBlockSize(spark, path, "bm25WandBatchAgainstIndex")
       .getOrElse(throw new IllegalArgumentException(

@@ -440,19 +440,24 @@ object TextQueries {
   private[graft] def scratchSnapshot(): Map[String, (Long, Long)] =
     ScratchDirs.snapshot()
 
-  /** Paths whose (dirs, files) counts differ between two snapshots —
-    * empty means no accretion. A path absent from `before` (first
-    * materialization happens inside rep 1) is compared against its
-    * FIRST appearance, which callers provide by re-baselining after
-    * rep 1.
+  /** Paths whose (dirs, files) counts CHANGED between two snapshots —
+    * empty means state held still. Symmetric over the key union: a
+    * registered root deleted wholesale between reps (absent from
+    * `after`) is reported too — a delete-then-recreate rep sequence
+    * must not slip past the guard just because the final listing looks
+    * similar. A path absent from `before` (first materialization
+    * happens inside rep 1) is compared against its FIRST appearance,
+    * which callers provide by re-baselining after rep 1.
     */
   private[graft] def scratchDelta(before: Map[String, (Long, Long)],
       after: Map[String, (Long, Long)]): Seq[String] =
-    after.toSeq.sortBy(_._1).flatMap { case (p, (d1, f1)) =>
-      before.get(p) match {
-        case Some((d0, f0)) if d0 != d1 || f0 != f1 =>
+    (before.keySet ++ after.keySet).toSeq.sorted.flatMap { p =>
+      (before.get(p), after.get(p)) match {
+        case (Some((d0, f0)), Some((d1, f1))) if d0 != d1 || f0 != f1 =>
           Some(s"$p: dirs $d0 -> $d1, files $f0 -> $f1")
-        case _ => None
+        case (Some((d0, f0)), None) =>
+          Some(s"$p: dirs $d0 -> GONE, files $f0 -> GONE (root deleted)")
+        case _ => None // equal, or first appearance (caller re-baselines)
       }
     }
 

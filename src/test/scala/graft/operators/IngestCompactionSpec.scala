@@ -261,6 +261,35 @@ class IngestCompactionSpec extends SparkSpec {
   // MinHash signatures
   // ---------------------------------------------------------------------
 
+  test("append-id allocator clears the compact cutoff: manual append resumes after a fold GC'd every plain subtree") {
+    val idx = freshDir("cmp_alloc")
+    val base = Seq((1L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureIndex(base, "doc_id", "text", idx)
+    (0 to 2).foreach { i =>
+      Dedup.appendToSignatureIndex(
+        Seq((10L + i, s"tok$i one two three four five six seven eight nine ten eleven"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", idx, queryTag = "qa", batchId = i.toLong)
+    }
+    val sigSchema = spark.read.parquet(idx).schema
+    assert(Dedup.maybeCompactSignatureIngest(spark, idx, "qa", 3L, 3, sigSchema))
+    assert(!Dedup.maybeCompactSignatureIngest(spark, idx, "qa", 4L, 3,
+      sigSchema)) // deferred GC removes the folded plain b_* dirs
+    assert(ownSubtrees(idx, "qa") === Seq("qa-c/b_3"))
+    // pre-fix: nextAppendBatchId saw an empty plain namespace, allocated
+    // 0, and requireBatchIdFresh refused it FOREVER (0 < cutoff 3) — a
+    // dead end where resuming above the cutoff is safe. The allocator
+    // now clears the cutoff, so the default batchId = -1 append lands.
+    Dedup.appendToSignatureIndex(
+      Seq((20L, "resumed append lands above the compact cutoff just fine yes"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", idx, queryTag = "qa") // batchId = -1 → allocator
+    assert(ownSubtrees(idx, "qa").toSet === Set("qa-c/b_3", "qa/b_3"),
+      "the allocated id must be >= the cutoff, not 0")
+  }
+
   test("signature ingest: cap folds subtrees; index probe bit-identical") {
     val idx = freshDir("cmp_sig")
     val base = Seq((1L,
