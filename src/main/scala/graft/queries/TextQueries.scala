@@ -1457,6 +1457,47 @@ object TextQueries {
       .withColumn(s"${textCol}_redacted", regexp_replace(col(textCol), pattern, token))
   }
 
+  /** PII masking ([[graft.operators.Pii.maskPii]] — the Dolma/FineWeb
+    * anonymization stage): emails, IPv4 literals, and separator-bearing
+    * phone numbers masked in a FIXED sequence with per-class counts
+    * taken on the text each class actually saw (an IP-shaped string
+    * inside an email's local part counts as ONE email, ZERO IPs). The
+    * synthetic corpus carries no organic PII, so the entry plants a
+    * deterministic per-doc payload IN-QUERY on both engines — including
+    * the overlap case — and the oracle mirrors the count/mask CTE
+    * pipeline verbatim (the patterns live in the Java-regex ∩ RE2
+    * common subset), hash-matching all three counts AND the masked
+    * text's md5.
+    */
+  val qPiiMask = q(
+    "q_pii_mask", {
+      val planted = "text || ' reach 1.2.3.' || CAST(doc_id % 256 AS VARCHAR) " +
+        "|| '@mail.example.org or user' || CAST(doc_id AS VARCHAR) " +
+        "|| '@ex.io from 10.' || CAST(doc_id % 256 AS VARCHAR) " +
+        "|| '.0.7 call 555-123-4567.'"
+      val email = graft.operators.Pii.EmailPattern
+      val ip = graft.operators.Pii.Ipv4Pattern
+      val phone = graft.operators.Pii.PhonePattern
+      s"WITH p AS (SELECT doc_id, $planted AS t FROM documents), " +
+        s"e AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, " +
+        s"regexp_replace(t, '$email', '<EMAIL>', 'g') AS t FROM p), " +
+        s"i AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4, " +
+        s"regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM e) " +
+        s"SELECT doc_id, n_emails, n_ipv4, " +
+        s"CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones, " +
+        s"md5(regexp_replace(t, '$phone', '<PHONE>', 'g')) AS masked_md5 FROM i"
+    }) { (s, d) =>
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        lit(" reach 1.2.3."), col("doc_id") % 256,
+        lit("@mail.example.org or user"), col("doc_id"),
+        lit("@ex.io from 10."), col("doc_id") % 256,
+        lit(".0.7 call 555-123-4567.")).as("t"))
+    graft.operators.Pii.maskPii(planted, "t")
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        md5(col("t_masked")).as("masked_md5"))
+  }
+
   /** Redaction over the events payload: digit runs → `<NUM>`; the redacted
     * text is pinned through md5 (identical hex on both engines).
     */
@@ -1813,5 +1854,5 @@ object TextQueries {
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch, qBm25WandBatch, qDocReorder,
-    qRedact, qSplitLeakfree)
+    qRedact, qPiiMask, qSplitLeakfree)
 }
