@@ -1498,6 +1498,80 @@ object TextQueries {
         md5(col("t_masked")).as("masked_md5"))
   }
 
+  /** The q_url_* planted corpus: one messy URL per doc exercising every
+    * canonicalization rule — uppercase scheme+host, default port,
+    * trailing-slash variants (odd/even doc), tracking params, unsorted
+    * params, a fragment — expressed identically in Spark and SQL so both
+    * engines canonicalize the same bytes.
+    */
+  private val urlPlantSql: String =
+    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://News.Example.COM:80' " +
+      "ELSE 'HTTPS://News.Example.COM:443' END) || '/' || source || '/item' " +
+      "|| (CASE WHEN doc_id % 2 = 0 THEN '///' ELSE '' END) " +
+      "|| '?z=9&utm_source=feed&a=' || CAST(doc_id % 5 AS VARCHAR) " +
+      "|| '&gclid=abc#frag' || CAST(doc_id AS VARCHAR)"
+
+  private def urlPlantCol: Column =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("HTTP://News.Example.COM:80"))
+        .otherwise(lit("HTTPS://News.Example.COM:443")),
+      lit("/"), col("source"), lit("/item"),
+      when(col("doc_id") % 2 === 0, lit("///")).otherwise(lit("")),
+      lit("?z=9&utm_source=feed&a="), col("doc_id") % 5,
+      lit("&gclid=abc#frag"), col("doc_id"))
+
+  /** The DuckDB mirror of [[graft.operators.Urls.canonicalUrl]], step
+    * for step over a column expression `u`.
+    */
+  private def urlCanonSql(u: String): String = {
+    val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val hostRaw = s"lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    val host = s"(CASE WHEN $scheme = 'http' THEN regexp_replace($hostRaw, ':80$$', '') " +
+      s"WHEN $scheme = 'https' THEN regexp_replace($hostRaw, ':443$$', '') ELSE $hostRaw END)"
+    val pathTrim = s"regexp_replace(regexp_extract($u, " +
+      s"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$$', '')"
+    val path = s"(CASE WHEN $pathTrim = '' THEN '/' ELSE $pathTrim END)"
+    val params = "array_to_string(list_sort(list_filter(string_split(" +
+      s"regexp_extract($u, '^[^#]*\\?([^#]*)', 1), '&'), " +
+      s"x -> x <> '' AND NOT regexp_matches(x, " +
+      s"'${graft.operators.Urls.TrackingParamRe}'))), '&')"
+    s"(CASE WHEN $u IS NULL THEN NULL WHEN $scheme = '' THEN $u " +
+      s"ELSE $scheme || '://' || $host || $path || " +
+      s"(CASE WHEN $params = '' THEN '' ELSE '?' || $params END) END)"
+  }
+
+  /** URL canonicalization ([[graft.operators.Urls.canonicalUrl]] — the
+    * crawl pipelines' pre-content dedup key): scheme/host casefold,
+    * default-port strip, trailing-slash and empty-path rules, tracking
+    * params dropped, surviving params SORTED, fragment dropped. The
+    * oracle applies the identical rule sequence in DuckDB over the same
+    * planted corpus, so the full canonical string hash-matches per doc.
+    */
+  val qUrlCanon = q(
+    "q_url_canon",
+    s"SELECT doc_id, ${urlCanonSql(s"($urlPlantSql)")} AS curl FROM documents") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.operators.Urls.canonicalUrl(urlPlantCol).as("curl"))
+  }
+
+  /** URL dedup ([[graft.operators.Urls.dedupByUrl]]): keep the min doc_id
+    * per canonical URL — the planted corpus collapses to
+    * (source × a-param × scheme-group) classes because slashes, ports,
+    * casing, tracking params, and fragments all canonicalize away.
+    */
+  val qUrlDedup = q(
+    "q_url_dedup",
+    s"WITH c AS (SELECT doc_id, ${urlCanonSql(s"($urlPlantSql)")} AS curl " +
+      "FROM documents) " +
+      "SELECT doc_id, n_chars FROM documents WHERE doc_id IN " +
+      "(SELECT min(doc_id) FROM c GROUP BY curl)") { (s, d) =>
+    graft.operators.Urls.dedupByUrl(
+      Tables.documents(s, d).withColumn("url", urlPlantCol),
+      "doc_id", "url")
+      .select("doc_id", "n_chars")
+  }
+
   /** Redaction over the events payload: digit runs → `<NUM>`; the redacted
     * text is pinned through md5 (identical hex on both engines).
     */
@@ -1854,5 +1928,5 @@ object TextQueries {
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch, qBm25WandBatch, qDocReorder,
-    qRedact, qPiiMask, qSplitLeakfree)
+    qRedact, qPiiMask, qUrlCanon, qUrlDedup, qSplitLeakfree)
 }
