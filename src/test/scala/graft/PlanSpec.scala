@@ -554,6 +554,22 @@ class PlanSpec extends SparkSpec {
       p.take(2500))
   }
 
+  test("q_pii_mask: one map-side projection — no shuffle, no join, pruned scan") {
+    val p = plan("q_pii_mask")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "PII masking must stay a map-side projection:\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
+  test("q_url_canon: one map-side projection — no shuffle, no join, pruned scan") {
+    val p = plan("q_url_canon")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "URL canonicalization must stay a map-side projection:\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
   test("q_bm25_wand_batch: survivors broadcast into the one scoring pass — the postings fan-out never shuffles to meet them") {
     val p = plan("q_bm25_wand_batch")
     // the r16 in-plan survivor join planned as a SHUFFLE of the full
