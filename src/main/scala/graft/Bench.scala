@@ -102,8 +102,20 @@ object Bench {
       var baseline: Option[Map[String, (Long, Long)]] = None
       def once(): Double = {
         val t0 = System.nanoTime()
-        try {
-          run()
+        // only the QUERY runs inside the try: a query failure degrades to
+        // the -1.0 entry convention, but the accretion guard below sits
+        // OUTSIDE it and rethrows — a state leak is a structural failure
+        // of the bench itself and must abort the run (non-zero exit, no
+        // BENCH_FULL.json refresh), never land in the tracked artifact
+        // disguised as an ordinary failed entry.
+        val ran = try {
+          run(); true
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        if (!ran) -1.0
+        else {
           val t = (System.nanoTime() - t0) / 1e9
           val snap = graft.queries.TextQueries.scratchSnapshot()
           baseline match {
@@ -111,17 +123,14 @@ object Bench {
             case Some(b) =>
               val delta = graft.queries.TextQueries.scratchDelta(b, snap)
               require(delta.isEmpty,
-                s"scratch state changed across reps (growth = the index " +
-                  s"accreted; shrinkage = a rep deleted persisted state):" +
-                  s"\n  ${delta.mkString("\n  ")}")
+                s"[$name] scratch state changed across reps (growth = the " +
+                  s"index accreted; shrinkage = a rep deleted persisted " +
+                  s"state):\n  ${delta.mkString("\n  ")}")
               // new paths can only appear if a LATER rep materialized an
               // index rep 1 didn't — fold them in so rep 3 checks rep 2's
               baseline = Some(snap)
           }
           t
-        }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       }
       var reps = Vector.empty[Double]

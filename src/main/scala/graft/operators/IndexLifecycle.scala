@@ -214,6 +214,22 @@ private[graft] object IndexLifecycle {
       dir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(dir, CompactCompleteMarker))
 
+  /** The cutoff RULE as a pure function of already-listed rows
+    * `(tag, dirName, marked)`: newest MARKED compact's batch id under
+    * `queryTag`'s compacted namespace, if any. ONE definition shared by
+    * [[compactCutoff]] (which lists and delegates) and [[listOwnDirs]]
+    * (which applies it to the SAME listing it partitions — deriving the
+    * cutoff from a second, later listing would let a compact published
+    * between the two listings yield a cutoff inconsistent with the rows
+    * being partitioned).
+    */
+  private def cutoffFrom(rows: Seq[(String, String, Boolean)],
+      queryTag: String): Option[Long] =
+    rows.flatMap { case (t, name, marked) =>
+      if (t == queryTag + CompactTagSuffix && marked) batchIdOf(name)
+      else None
+    }.maxOption
+
   /** Newest MARKED compact's batch id for `queryTag`, if any — the
     * compact-cutoff the listing rule hides older siblings behind.
     */
@@ -223,12 +239,14 @@ private[graft] object IndexLifecycle {
       new org.apache.hadoop.fs.Path(path, IngestDirName),
       queryTag + CompactTagSuffix)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) None
-    else fs.listStatus(root).toSeq.flatMap { s =>
-      if (s.isDirectory && !s.getPath.getName.endsWith(TmpSuffix) &&
-        isMarkedCompact(fs, s.getPath)) batchIdOf(s.getPath.getName)
-      else None
-    }.maxOption
+    val rows =
+      if (!fs.exists(root)) Seq.empty[(String, String, Boolean)]
+      else fs.listStatus(root).toSeq.collect {
+        case s if s.isDirectory && !s.getPath.getName.endsWith(TmpSuffix) =>
+          (queryTag + CompactTagSuffix, s.getPath.getName,
+            isMarkedCompact(fs, s.getPath))
+      }
+    cutoffFrom(rows, queryTag)
   }
 
   /** LOUD guard against batch-id REGRESSION below the compact cutoff:
@@ -278,11 +296,13 @@ private[graft] object IndexLifecycle {
       }
     }
     // cutoff from MARKED compacts only (an unmarked compact is an
-    // in-flight or crashed publish — it supersedes nothing). ONE
-    // definition of the rule ([[compactCutoff]], shared with the
-    // regression guard and the append-id allocator) — a fork here
-    // would let the guard desynchronize from what this listing hides.
-    val cutoff = compactCutoff(spark, path, queryTag)
+    // in-flight or crashed publish — it supersedes nothing). The rule is
+    // [[cutoffFrom]] — ONE pure definition shared with [[compactCutoff]]
+    // (regression guard, append-id allocator) — applied to THIS listing's
+    // own rows, not a second FS listing a concurrent compact publish
+    // could desynchronize from the rows being partitioned.
+    val cutoff = cutoffFrom(all.map { case (t, b, _, m) => (t, b, m) },
+      queryTag)
     val (live, stale) = all.partition { case (t, b, _, marked) =>
       // an unmarked compact is trash (its sources are intact — deleting
       // it loses nothing); foreign-named dirs (no b_<n> id) are live

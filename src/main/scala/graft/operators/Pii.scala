@@ -51,11 +51,18 @@ object Pii {
     */
   val Ipv4Pattern: String = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
 
-  /** NANP-style phone: 3-3-4 digits with `-` or `.` separators. The
-    * separator is REQUIRED (a bare 10-digit run is far likelier to be
-    * an id than a phone number in crawl text).
+  /** NANP-style phone: either `(NNN) NNN-NNNN` (parenthesized area
+    * code, optional single space — the most common written US form) or
+    * `NNN-NNN-NNNN` with `-` or `.` separators. A separator of SOME
+    * form is still REQUIRED (a bare 10-digit run is far likelier to be
+    * an id than a phone number in crawl text), but recall-over-
+    * precision argues the parenthesized form in: it is unambiguous in
+    * prose. The optional space is a literal `[ ]` rather than `\s` —
+    * Java's `\s` includes `\x0B`, RE2's does not, and the pattern must
+    * mean the same bytes in both engines for oracle parity.
     */
-  val PhonePattern: String = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val PhonePattern: String =
+    "(\\(\\d{3}\\) ?|\\b\\d{3}[-.])\\d{3}[-.]\\d{4}\\b"
 
   val EmailToken = "<EMAIL>"
   val Ipv4Token = "<IP>"

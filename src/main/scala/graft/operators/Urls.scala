@@ -22,9 +22,13 @@ import org.apache.spark.sql.functions._
   *   5. fragment dropped (never sent to the server).
   *
   * SYNTACTIC canonicalizer, not a URL parser: userinfo (`user@host`)
-  * is left inside the host verbatim, percent-encoding is not
-  * normalized, and a string without `scheme://` canonicalizes to
-  * itself unchanged (returned as-is so upstream junk stays visible
+  * is kept inside the authority and CASE-FOLDED along with the host —
+  * a deliberate dedup-key choice (RFC 3986 makes userinfo
+  * case-sensitive, but crawl URLs differing only in userinfo case are
+  * in practice the same resource, and a canonical KEY prefers the
+  * coarser fold); percent-encoding is not normalized, and a string
+  * without `scheme://` canonicalizes to itself unchanged (returned
+  * as-is so upstream junk stays visible
   * instead of being silently rewritten). Everything is built from
   * codegen'd string/array functions in the Java-regex ∩ RE2 common
   * subset — one map-side projection, no shuffle, no UDF.
@@ -67,12 +71,44 @@ object Urls {
     * exact-dedup family uses (deterministic, engine-mirrorable). One
     * hash-partial aggregate on the canonical key; no pair
     * materialization.
+    *
+    * NULL urls are EXEMPT from dedup: `canonicalUrl` is NULL exactly
+    * when the url column is NULL, and Spark's groupBy collects all
+    * nulls into ONE group — deduping them would silently collapse
+    * every url-less document onto a single survivor, which is data
+    * loss, not dedup, for corpora with optional URLs. Every null-url
+    * row passes through unchanged.
+    *
+    * Loud guards (the operator-family convention): the id column must
+    * be integral (the min-id survivor rule needs a total order the
+    * oracle mirrors), a NULL id on any url-bearing row raises in-plan
+    * (a null id can never win `min` nor match the semi join — it
+    * would vanish silently), and the scratch column name must be
+    * fresh (`withColumn` would silently REPLACE a caller's `__curl`,
+    * changing the grouping key).
     */
   def dedupByUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
-    val canon = df.withColumn("__curl", canonicalUrl(col(urlCol)))
-    val keep = canon.groupBy(col("__curl"))
-      .agg(min(col(idCol)).as(idCol))
+    import org.apache.spark.sql.types._
+    require(!df.columns.contains("__curl"),
+      "Urls.dedupByUrl: input already has a '__curl' column; rename it first")
+    val idType = df.schema(idCol).dataType
+    require(idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"Urls.dedupByUrl: id column '$idCol' must be integral (got " +
+      s"${idType.simpleString}) — the min-id survivor rule needs a total " +
+      "order with no engine-dependent collation")
+    val guardedId = coalesce(col(idCol),
+      raise_error(concat(
+        lit(s"Urls.dedupByUrl: NULL id in column '$idCol' for url: "),
+        col(urlCol))).cast(idType))
+    val withUrl = df.where(col(urlCol).isNotNull)
+    val keep = withUrl
+      .withColumn("__curl", canonicalUrl(col(urlCol)))
+      .groupBy(col("__curl"))
+      .agg(min(guardedId).as(idCol))
       .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    df.where(col(urlCol).isNull)
+      .unionByName(withUrl.join(keep, Seq(idCol), "left_semi"))
   }
 }

@@ -1474,7 +1474,7 @@ object TextQueries {
       val planted = "text || ' reach 1.2.3.' || CAST(doc_id % 256 AS VARCHAR) " +
         "|| '@mail.example.org or user' || CAST(doc_id AS VARCHAR) " +
         "|| '@ex.io from 10.' || CAST(doc_id % 256 AS VARCHAR) " +
-        "|| '.0.7 call 555-123-4567.'"
+        "|| '.0.7 call 555-123-4567 or (555) 987-6543.'"
       val email = graft.operators.Pii.EmailPattern
       val ip = graft.operators.Pii.Ipv4Pattern
       val phone = graft.operators.Pii.PhonePattern
@@ -1492,7 +1492,7 @@ object TextQueries {
         lit(" reach 1.2.3."), col("doc_id") % 256,
         lit("@mail.example.org or user"), col("doc_id"),
         lit("@ex.io from 10."), col("doc_id") % 256,
-        lit(".0.7 call 555-123-4567.")).as("t"))
+        lit(".0.7 call 555-123-4567 or (555) 987-6543.")).as("t"))
     graft.operators.Pii.maskPii(planted, "t")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("t_masked")).as("masked_md5"))
@@ -1505,20 +1505,21 @@ object TextQueries {
     * engines canonicalize the same bytes.
     */
   private val urlPlantSql: String =
-    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://News.Example.COM:80' " +
+    "(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE " +
+      "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://News.Example.COM:80' " +
       "ELSE 'HTTPS://News.Example.COM:443' END) || '/' || source || '/item' " +
       "|| (CASE WHEN doc_id % 2 = 0 THEN '///' ELSE '' END) " +
       "|| '?z=9&utm_source=feed&a=' || CAST(doc_id % 5 AS VARCHAR) " +
-      "|| '&gclid=abc#frag' || CAST(doc_id AS VARCHAR)"
+      "|| '&gclid=abc#frag' || CAST(doc_id AS VARCHAR) END)"
 
   private def urlPlantCol: Column =
-    concat(
+    when(col("doc_id") % 97 === 0, lit(null).cast("string")).otherwise(concat(
       when(col("doc_id") % 3 === 0, lit("HTTP://News.Example.COM:80"))
         .otherwise(lit("HTTPS://News.Example.COM:443")),
       lit("/"), col("source"), lit("/item"),
       when(col("doc_id") % 2 === 0, lit("///")).otherwise(lit("")),
       lit("?z=9&utm_source=feed&a="), col("doc_id") % 5,
-      lit("&gclid=abc#frag"), col("doc_id"))
+      lit("&gclid=abc#frag"), col("doc_id")))
 
   /** The DuckDB mirror of [[graft.operators.Urls.canonicalUrl]], step
     * for step over a column expression `u`.
@@ -1559,13 +1560,16 @@ object TextQueries {
     * per canonical URL — the planted corpus collapses to
     * (source × a-param × scheme-group) classes because slashes, ports,
     * casing, tracking params, and fragments all canonicalize away.
+    * Docs whose planted url is NULL (`doc_id % 97 = 0`) are EXEMPT from
+    * dedup and all survive — the null-url passthrough contract.
     */
   val qUrlDedup = q(
     "q_url_dedup",
     s"WITH c AS (SELECT doc_id, ${urlCanonSql(s"($urlPlantSql)")} AS curl " +
       "FROM documents) " +
       "SELECT doc_id, n_chars FROM documents WHERE doc_id IN " +
-      "(SELECT min(doc_id) FROM c GROUP BY curl)") { (s, d) =>
+      "(SELECT min(doc_id) FROM c WHERE curl IS NOT NULL GROUP BY curl) " +
+      "OR doc_id % 97 = 0") { (s, d) =>
     graft.operators.Urls.dedupByUrl(
       Tables.documents(s, d).withColumn("url", urlPlantCol),
       "doc_id", "url")

@@ -25,6 +25,9 @@ class PiiSpec extends SparkSpec {
       === ((0L, 2L, 0L, "server <IP> and <IP> up")))
     assert(masked("call 555-123-4567 or 555.987.6543!")
       === ((0L, 0L, 2L, "call <PHONE> or <PHONE>!")))
+    // parenthesized NANP, with and without the single space
+    assert(masked("call (555) 123-4567 or (555)987-6543.")
+      === ((0L, 0L, 2L, "call <PHONE> or <PHONE>.")))
   }
 
   test("overlap attribution: an IP-shaped local part is ONE email, zero IPs") {

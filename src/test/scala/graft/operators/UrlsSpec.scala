@@ -38,10 +38,12 @@ class UrlsSpec extends SparkSpec {
     assert(canon("https://ex.io/p?a=1&b=2") === canon("https://ex.io/p?b=2&a=1"))
   }
 
-  test("syntactic contract: non-URLs pass through, NULL stays NULL, userinfo kept verbatim") {
+  test("syntactic contract: non-URLs pass through, NULL stays NULL, userinfo case-folds") {
     assert(canon("not a url") === Some("not a url"))
     assert(canon("mailto:x@y.z") === Some("mailto:x@y.z")) // no ://
     assert(canon(null) === None)
+    // userinfo is DELIBERATELY case-folded with the host (dedup-key
+    // choice documented on [[Urls]]; RFC 3986 would keep its case)
     assert(canon("https://User@Ex.IO/a") === Some("https://user@ex.io/a"))
   }
 
@@ -52,5 +54,34 @@ class UrlsSpec extends SparkSpec {
       (2L, "https://ex.io/q")).toDF("id", "url")
     assert(Urls.dedupByUrl(df, "id", "url").select("id")
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("dedupByUrl exempts NULL urls: every url-less row survives") {
+    val df = Seq(
+      (1L, Some("https://ex.io/p")),
+      (2L, Some("HTTPS://EX.IO/p/")), // dup of 1
+      (3L, None),
+      (4L, None),
+      (5L, None)).toDF("id", "url")
+    assert(Urls.dedupByUrl(df, "id", "url").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("dedupByUrl loud guards: fresh __curl, integral id, NULL id raises") {
+    val df = Seq((1L, "https://ex.io/p")).toDF("id", "url")
+    intercept[IllegalArgumentException] {
+      Urls.dedupByUrl(df.withColumn("__curl", lit("x")), "id", "url")
+    }
+    intercept[IllegalArgumentException] {
+      Urls.dedupByUrl(
+        Seq(("a", "https://ex.io/p")).toDF("id", "url"), "id", "url")
+    }
+    val nullId = Seq((Some(1L), "https://ex.io/p"), (None, "https://ex.io/q"))
+      .toDF("id", "url")
+    val e = intercept[Exception] {
+      Urls.dedupByUrl(nullId, "id", "url").collect()
+    }
+    assert(e.getMessage.contains("NULL id") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL id")))
   }
 }
