@@ -570,6 +570,25 @@ class PlanSpec extends SparkSpec {
       "column pruning lost:\n" + p.take(2500))
   }
 
+  test("q_bpe_tokens: the fused encode kernel is one map-side projection — no shuffle, no join, pruned scan") {
+    val p = plan("q_bpe_tokens")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "BPE encode must stay a map-side projection (the model is a plan " +
+        "reference object, never a join side):\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
+  test("q_bpe_pack: BPE counts feed packing with exactly ONE exchange (the group shuffle the window needs)") {
+    val p = plan("q_bpe_pack")
+    // count the detail headers ("(n) Exchange") — the formatted explain
+    // prints every node twice (tree line + detail section)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "packing by model-true counts must add no shuffle beyond the " +
+        "per-group window partitioning:\n" + p.take(2500))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
   test("q_bm25_wand_batch: survivors broadcast into the one scoring pass — the postings fan-out never shuffles to meet them") {
     val p = plan("q_bm25_wand_batch")
     // the r16 in-plan survivor join planned as a SHUFFLE of the full
