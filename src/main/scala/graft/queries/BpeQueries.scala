@@ -59,15 +59,18 @@ object BpeQueries {
     "MAP {" + m.vocab.zipWithIndex
       .map { case (t, i) => s"'$t': $i" }.mkString(", ") + "}"
 
-  /** The shared oracle chain, ending in
-    * `agg(doc_id, ts = list of subword tokens)`:
+  /** The shared oracle chain over a caller-supplied `(doc_id, text)`
+    * relation, ending in `agg(doc_id, ts = list of subword tokens)`:
     * distinct words → recursive merge loop → join back to occurrences →
     * per-doc flatten in word order. Prefix with `WITH RECURSIVE `.
+    * Shared with `q_curation_pipeline6` (which runs it over the masked,
+    * classifier-gated survivor text).
     */
-  private def bpeCtes(m: Bpe.Model): String = {
+  private[queries] def bpeCtesOver(m: Bpe.Model, docsSql: String): String = {
     val toks = Tokenizer.Ascii.duckSql("text")
-    s"wd AS (SELECT doc_id, w, wi FROM (SELECT doc_id, unnest($toks) AS w, " +
-      s"generate_subscripts($toks, 1) AS wi FROM documents)), " +
+    s"bpesrc AS ($docsSql), " +
+      s"wd AS (SELECT doc_id, w, wi FROM (SELECT doc_id, unnest($toks) AS w, " +
+      s"generate_subscripts($toks, 1) AS wi FROM bpesrc)), " +
       "uw AS (SELECT DISTINCT w FROM wd), " +
       "init AS (SELECT w, list_transform(range(1, len(w)+1), i -> w[i]) " +
       "AS toks, 0 AS step FROM uw), " +
@@ -86,6 +89,9 @@ object BpeQueries {
       "agg AS (SELECT wd.doc_id, flatten(list(finw.toks ORDER BY wd.wi)) " +
       "AS ts FROM wd JOIN finw USING (w) GROUP BY wd.doc_id)"
   }
+
+  private def bpeCtes(m: Bpe.Model): String =
+    bpeCtesOver(m, "SELECT doc_id, text FROM documents")
 
   /** BPE token-count CTE over the chain: every document, zero for
     * token-less ones (the kernel's empty-array contract).

@@ -688,9 +688,73 @@ object CompositeQueries {
       model, k = 40, seed = 11L)
   }
 
+  /** The MODERN curation flow — every post-r16 stage composed into one
+    * value-checked plan: URL dedup (canonical-key survivors) → PII
+    * masking (the MASKED text flows downstream, so a changed byte moves
+    * every later stage) → learned classifier gate (hashed-gram linear
+    * logit ≥ 0) → BPE model-true token counts → static-weight token-
+    * budget mixture. The oracle chains the five stages' shared CTE
+    * mirrors ([[TextQueries.urlCanonSql]]/[[TextQueries.piiMaskCtes]]/
+    * [[TextQueries.clfCtes]]/[[BpeQueries.bpeCtesOver]]/
+    * [[SamplingQueries.mixtureCtesFrom]]) — one definition per rule on
+    * each side, so a drift in ANY stage breaks the hash.
+    */
+  val qCurationPipeline6 = q(
+    "q_curation_pipeline6", {
+      val curl = TextQueries.urlCanonSql(s"(${TextQueries.urlPlantSql})")
+      s"WITH RECURSIVE c AS (SELECT doc_id, $curl AS curl FROM documents), " +
+        "sur AS (SELECT doc_id FROM documents WHERE doc_id IN " +
+        "(SELECT min(doc_id) FROM c WHERE curl IS NOT NULL GROUP BY curl) " +
+        "OR doc_id % 97 = 0), " +
+        TextQueries.piiMaskCtes(
+          s"SELECT d.doc_id, d.source, ${TextQueries.piiPlantSql} AS t " +
+            "FROM documents d JOIN sur USING (doc_id)") + ", " +
+        TextQueries.clfCtes("SELECT doc_id, t AS text FROM msk", "text") + ", " +
+        "kept AS (SELECT k.doc_id, k.source, k.t FROM msk k " +
+        "LEFT JOIN clf USING (doc_id) " +
+        s"WHERE ${TextQueries.ClfBiasMicro} + coalesce(lg, 0) >= 0), " +
+        BpeQueries.bpeCtesOver(BpeQueries.FixedModel,
+          "SELECT doc_id, t AS text FROM kept") + ", " +
+        "cnt6 AS (SELECT k.doc_id, k.source, " +
+        "CAST(coalesce(len(ts), 0) AS BIGINT) AS n_tokens " +
+        "FROM kept k LEFT JOIN agg USING (doc_id)), " +
+        SamplingQueries.mixtureCtesFrom(
+          "SELECT doc_id, source, n_tokens FROM cnt6 WHERE n_tokens >= 1") +
+        " SELECT doc_id, source, n_tokens, copies FROM m"
+    }) { (s, d) =>
+    curationPipeline6(Tables.documents(s, d))
+  }
+
+  /** The `q_curation_pipeline6` flow as a reusable function (also the
+    * round-18 full-pipeline scale-rehearsal subject).
+    */
+  def curationPipeline6(docs: DataFrame): DataFrame = {
+    import graft.operators.{Bpe, Pii, QualityClassifier, Sampling, Urls}
+    // stage 1: URL dedup on the canonical planted url (the free
+    // pre-content dedup key) — null-url docs pass through
+    val s1 = Urls.dedupByUrl(docs.withColumn("url", TextQueries.urlPlantCol),
+      "doc_id", "url")
+    // stage 2: PII mask the planted payload; the MASKED text flows on
+    val planted = s1.select(col("doc_id"), col("source"),
+      TextQueries.piiPlantCol.as("t"))
+    val masked = Pii.maskPii(planted, "t")
+      .select(col("doc_id"), col("source"), col("t_masked").as("t"))
+    // stage 3: learned classifier gate (map-side logit >= 0)
+    val s3 = QualityClassifier.filterByScore(masked, "t",
+      TextQueries.ClfModel, thresholdMicro = 0L)
+    // stage 4: model-true token counts -> static token-budget mixture
+    val dt = s3.select(col("doc_id"), col("source"),
+      Bpe.tokenCount(col("t"), BpeQueries.FixedModel).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+    Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
+        col("n_tokens"), SamplingQueries.MixtureWeights,
+        SamplingQueries.MixtureBudget)
+      .select("doc_id", "source", "n_tokens", "copies")
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
     qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
     q4PriorityExists, q13Custdist, q17SmallQty, q11Important,
     qCurationPipeline2, qCurationPipeline3, qCurationPipeline4,
-    qCurationPipeline5)
+    qCurationPipeline5, qCurationPipeline6)
 }

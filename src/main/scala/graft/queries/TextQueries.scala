@@ -1469,30 +1469,51 @@ object TextQueries {
     * common subset), hash-matching all three counts AND the masked
     * text's md5.
     */
+  /** The q_pii_* planted payload (the synthetic corpus carries no
+    * organic PII): per-doc emails/IPs/phones appended to the text,
+    * including the email-contains-IP overlap case — expressed
+    * identically in Spark and SQL. Shared with `q_curation_pipeline6`.
+    */
+  private[queries] val piiPlantSql: String =
+    "(text || ' reach 1.2.3.' || CAST(doc_id % 256 AS VARCHAR) " +
+      "|| '@mail.example.org or user' || CAST(doc_id AS VARCHAR) " +
+      "|| '@ex.io from 10.' || CAST(doc_id % 256 AS VARCHAR) " +
+      "|| '.0.7 call 555-123-4567 or (555) 987-6543.')"
+
+  private[queries] def piiPlantCol: Column =
+    concat(col("text"),
+      lit(" reach 1.2.3."), col("doc_id") % 256,
+      lit("@mail.example.org or user"), col("doc_id"),
+      lit("@ex.io from 10."), col("doc_id") % 256,
+      lit(".0.7 call 555-123-4567 or (555) 987-6543."))
+
+  /** The [[graft.operators.Pii.maskPii]] pipeline as oracle CTEs over a
+    * caller-supplied `p` relation carrying a `t` text column: counts
+    * taken on the text each class actually saw, ending in `msk` = p's
+    * other columns + n_emails/n_ipv4/n_phones + masked `t`. Shared with
+    * `q_curation_pipeline6`.
+    */
+  private[queries] def piiMaskCtes(pSql: String): String = {
+    val email = graft.operators.Pii.EmailPattern
+    val ip = graft.operators.Pii.Ipv4Pattern
+    val phone = graft.operators.Pii.PhonePattern
+    s"p AS ($pSql), " +
+      s"e AS (SELECT * EXCLUDE (t), CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, " +
+      s"regexp_replace(t, '$email', '<EMAIL>', 'g') AS t FROM p), " +
+      s"i AS (SELECT * EXCLUDE (t), CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4, " +
+      s"regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM e), " +
+      s"msk AS (SELECT * EXCLUDE (t), " +
+      s"CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones, " +
+      s"regexp_replace(t, '$phone', '<PHONE>', 'g') AS t FROM i)"
+  }
+
   val qPiiMask = q(
-    "q_pii_mask", {
-      val planted = "text || ' reach 1.2.3.' || CAST(doc_id % 256 AS VARCHAR) " +
-        "|| '@mail.example.org or user' || CAST(doc_id AS VARCHAR) " +
-        "|| '@ex.io from 10.' || CAST(doc_id % 256 AS VARCHAR) " +
-        "|| '.0.7 call 555-123-4567 or (555) 987-6543.'"
-      val email = graft.operators.Pii.EmailPattern
-      val ip = graft.operators.Pii.Ipv4Pattern
-      val phone = graft.operators.Pii.PhonePattern
-      s"WITH p AS (SELECT doc_id, $planted AS t FROM documents), " +
-        s"e AS (SELECT doc_id, CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails, " +
-        s"regexp_replace(t, '$email', '<EMAIL>', 'g') AS t FROM p), " +
-        s"i AS (SELECT doc_id, n_emails, CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ipv4, " +
-        s"regexp_replace(t, '$ip', '<IP>', 'g') AS t FROM e) " +
-        s"SELECT doc_id, n_emails, n_ipv4, " +
-        s"CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones, " +
-        s"md5(regexp_replace(t, '$phone', '<PHONE>', 'g')) AS masked_md5 FROM i"
-    }) { (s, d) =>
-    val planted = Tables.documents(s, d).select(col("doc_id"),
-      concat(col("text"),
-        lit(" reach 1.2.3."), col("doc_id") % 256,
-        lit("@mail.example.org or user"), col("doc_id"),
-        lit("@ex.io from 10."), col("doc_id") % 256,
-        lit(".0.7 call 555-123-4567 or (555) 987-6543.")).as("t"))
+    "q_pii_mask",
+    s"WITH ${piiMaskCtes(s"SELECT doc_id, $piiPlantSql AS t FROM documents")} " +
+      "SELECT doc_id, n_emails, n_ipv4, n_phones, md5(t) AS masked_md5 " +
+      "FROM msk") { (s, d) =>
+    val planted = Tables.documents(s, d)
+      .select(col("doc_id"), piiPlantCol.as("t"))
     graft.operators.Pii.maskPii(planted, "t")
       .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
         md5(col("t_masked")).as("masked_md5"))
@@ -1504,7 +1525,7 @@ object TextQueries {
     * params, a fragment — expressed identically in Spark and SQL so both
     * engines canonicalize the same bytes.
     */
-  private val urlPlantSql: String =
+  private[queries] val urlPlantSql: String =
     "(CASE WHEN doc_id % 97 = 0 THEN NULL ELSE " +
       "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP://News.Example.COM:80' " +
       "ELSE 'HTTPS://News.Example.COM:443' END) || '/' || source || '/item' " +
@@ -1512,7 +1533,7 @@ object TextQueries {
       "|| '?z=9&utm_source=feed&a=' || CAST(doc_id % 5 AS VARCHAR) " +
       "|| '&gclid=abc#frag' || CAST(doc_id AS VARCHAR) END)"
 
-  private def urlPlantCol: Column =
+  private[queries] def urlPlantCol: Column =
     when(col("doc_id") % 97 === 0, lit(null).cast("string")).otherwise(concat(
       when(col("doc_id") % 3 === 0, lit("HTTP://News.Example.COM:80"))
         .otherwise(lit("HTTPS://News.Example.COM:443")),
@@ -1524,7 +1545,7 @@ object TextQueries {
   /** The DuckDB mirror of [[graft.operators.Urls.canonicalUrl]], step
     * for step over a column expression `u`.
     */
-  private def urlCanonSql(u: String): String = {
+  private[queries] def urlCanonSql(u: String): String = {
     val scheme = s"lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
     val hostRaw = s"lower(regexp_extract($u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
     val host = s"(CASE WHEN $scheme = 'http' THEN regexp_replace($hostRaw, ':80$$', '') " +
@@ -1921,8 +1942,66 @@ object TextQueries {
         col("c4_page_drop").cast("long"), col("c4_text"))
   }
 
+  /** The q_quality_classifier model: hashed-gram linear weights from a
+    * pinned integer formula (`((b·2654435761 + 12345) mod 2000001) −
+    * 10⁶` micro-units, a pseudorandom ±1 spread) — both engines derive
+    * the SAME weight per bucket from the bucket index alone, so the
+    * oracle needs no weight table, just the formula. One definition
+    * drives the Spark model array and the SQL expression.
+    */
+  private[queries] val ClfBuckets = 4096
+  private[queries] def clfWeightMicro(b: Long): Long =
+    ((b * 2654435761L + 12345L) % 2000001L) - 1000000L
+  private[queries] val ClfBiasMicro = 250000L
+  private[queries] val ClfWeightSqlOf: String => String =
+    b => s"((($b) * 2654435761 + 12345) % 2000001) - 1000000"
+
+  private[queries] lazy val ClfModel: graft.operators.QualityClassifier.Model =
+    graft.operators.QualityClassifier.Model(ClfBuckets,
+      graft.operators.Tokenizer.Ascii.tag, ClfBiasMicro,
+      Array.tabulate(ClfBuckets)(b => clfWeightMicro(b.toLong)))
+
+  /** The classifier scoring rule as oracle CTEs over a caller-supplied
+    * `(doc_id, text-expr)` relation: grams (unigrams ∪ bigrams, ascii
+    * rule) → md5 bucket → formula weight → integer sum. Ends in
+    * `clf(doc_id, lg)` where `lg` is the logit WITHOUT bias (callers
+    * add `ClfBiasMicro`, mirroring the Spark side's `lit(bias) + Σ`).
+    * Shared with `q_curation_pipeline6`.
+    */
+  private[queries] def clfCtes(docSql: String, textExpr: String): String = {
+    val grams =
+      s"list_concat(${tokensSqlCol(textExpr)}, ${ngramsSqlCol(textExpr, 2)})"
+    val h = hash32Sql("g")
+    s"clfsrc AS ($docSql), " +
+      s"clfg AS (SELECT doc_id, ($h % $ClfBuckets) AS b FROM " +
+      s"(SELECT doc_id, unnest($grams) AS g FROM clfsrc)), " +
+      s"clf AS (SELECT doc_id, sum(${ClfWeightSqlOf("b")}) AS lg " +
+      "FROM clfg GROUP BY 1)"
+  }
+
+  /** Learned quality-classifier inference ([[graft.operators
+    * .QualityClassifier]] — the FineWeb-Edu-style APPLY stage): a
+    * hashed-n-gram linear model scored per document as ONE codegen'd
+    * map-side projection (the [[graft.functions.DsirScore]] kernel with
+    * classifier weights), gated at logit ≥ 0. The oracle recomputes the
+    * full unnest → hash → formula-weight → integer-sum pipeline, so
+    * logits AND keep verdicts hash-match exactly.
+    */
+  val qQualityClassifier = q(
+    "q_quality_classifier",
+    s"WITH ${clfCtes("SELECT doc_id, text FROM documents", "text")} " +
+      s"SELECT d.doc_id, CAST($ClfBiasMicro + coalesce(lg, 0) AS BIGINT) " +
+      "AS clf_logit_q, " +
+      s"CAST(CASE WHEN $ClfBiasMicro + coalesce(lg, 0) >= 0 THEN 1 ELSE 0 " +
+      "END AS INT) AS clf_keep " +
+      "FROM documents d LEFT JOIN clf USING (doc_id)") { (s, d) =>
+    graft.operators.QualityClassifier.classify(
+      Tables.documents(s, d), "text", ClfModel, thresholdMicro = 0L)
+      .select(col("doc_id"), col("clf_logit_q"), col("clf_keep"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qQualityGopher, qC4Clean,
+    qQualityGopher, qC4Clean, qQualityClassifier,
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qDedupMinhashUnicode, qDedupNear, qDedupNearBest,
     qDedupIncremental, qDedupIncremental2,

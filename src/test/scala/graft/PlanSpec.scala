@@ -570,6 +570,15 @@ class PlanSpec extends SparkSpec {
       "column pruning lost:\n" + p.take(2500))
   }
 
+  test("q_quality_classifier: learned-model inference is one map-side projection — no shuffle, no join, pruned scan") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "classifier scoring must stay map-side (weights ride the plan as " +
+        "a reference object, never a join side):\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
   test("q_bpe_tokens: the fused encode kernel is one map-side projection — no shuffle, no join, pruned scan") {
     val p = plan("q_bpe_tokens")
     assert(!p.contains("Exchange") && !p.contains("Join"),

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[QualityClassifier]] hand fixtures: bias-only scoring on empty
+  * evidence, the naive-Bayes bridge from a fitted DSIR model, gate vs
+  * classify consistency, model roundtrip, and loud guards. Engine
+  * parity of the scoring sum is the `q_quality_classifier` oracle's job.
+  */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val model = QualityClassifier.Model(64, Tokenizer.Ascii.tag,
+    biasMicro = 1000L, wMicro = Array.tabulate(64)(b => (b * 7 - 100).toLong))
+
+  private def logit(text: Option[String]): Long =
+    QualityClassifier.score(Seq(Tuple1(text)).toDF("t"), "t", model)
+      .select("clf_logit_q").collect()(0).getLong(0)
+
+  test("empty and NULL text score exactly the bias (no grams, empty sum)") {
+    assert(logit(Some("")) === 1000L)
+    assert(logit(None) === 1000L)
+    assert(logit(Some("   ")) === 1000L) // tokenizer drops empties
+  }
+
+  test("score is bias + the DSIR kernel sum (the shared hashed-gram rule)") {
+    val docs = Seq((1L, "table scan fast"), (2L, "window batch join"),
+      (3L, "")).toDF("id", "t")
+    val viaDsir = Dsir.score(docs, "t",
+      Dsir.Model(model.buckets, model.tokenizerTag, 1.0, model.wMicro))
+      .select(col("id"), (col("dsir_weight_q") + model.biasMicro).as("x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaClf = QualityClassifier.score(docs, "t", model)
+      .select("id", "clf_logit_q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaClf === viaDsir)
+  }
+
+  test("fromDsir turns a fitted DSIR model into the NB log-odds classifier") {
+    val good = Seq("table table scan", "table batch").toDF("text")
+    val bad = Seq("noise junk noise", "junk spam").toDF("text")
+    val clf = QualityClassifier.fromDsir(
+      Dsir.fit(good, bad, "text", buckets = 128), biasMicro = 0L)
+    val score = (t: String) =>
+      QualityClassifier.score(Seq(Tuple1(t)).toDF("t"), "t", clf)
+        .select("clf_logit_q").collect()(0).getLong(0)
+    // good-corpus vocabulary scores above bad-corpus vocabulary
+    assert(score("table scan") > score("noise junk"))
+    assert(score("table scan") > 0L && score("noise junk") < 0L)
+  }
+
+  test("classify flags and filterByScore gate agree at the threshold") {
+    val docs = Seq((1L, "table"), (2L, ""), (3L, "junkword")).toDF("id", "t")
+    val flags = QualityClassifier.classify(docs, "t", model,
+      thresholdMicro = 1000L)
+      .select("id", "clf_logit_q", "clf_keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    flags.foreach { case (_, lg, keep) =>
+      assert((keep == 1) === (lg >= 1000L))
+    }
+    val kept = QualityClassifier.filterByScore(docs, "t", model,
+      thresholdMicro = 1000L).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === flags.filter(_._3 == 1).map(_._1).toSet)
+  }
+
+  test("model roundtrip is lossless and scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clf_spec")
+      .toString + "/model"
+    QualityClassifier.writeModel(spark, model, dir)
+    val back = QualityClassifier.readModel(spark, dir)
+    assert(back.buckets === model.buckets)
+    assert(back.tokenizerTag === model.tokenizerTag)
+    assert(back.biasMicro === model.biasMicro)
+    assert(back.wMicro.toSeq === model.wMicro.toSeq)
+    val t = Seq(Tuple1("table scan fast")).toDF("t")
+    assert(QualityClassifier.score(t, "t", back).select("clf_logit_q")
+      .collect()(0).getLong(0) ===
+      QualityClassifier.score(t, "t", model).select("clf_logit_q")
+        .collect()(0).getLong(0))
+  }
+
+  test("guards stay loud: fresh columns, weight-length and bucket bounds") {
+    val docs = Seq((1L, "x")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      QualityClassifier.score(docs.withColumn("clf_logit_q", lit(1L)),
+        "t", model)
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.classify(docs.withColumn("clf_keep", lit(1)),
+        "t", model, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.Model(64, "ascii", 0L, Array.fill(63)(0L))
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.Model((1 << 20) + 1, "ascii", 0L,
+        Array.fill((1 << 20) + 1)(0L))
+    }
+  }
+}
