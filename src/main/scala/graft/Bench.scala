@@ -88,7 +88,11 @@ object Bench {
         throw new IllegalArgumentException(
           s"SPARK_GRAFT_MIN_REPS must be an integer, got '$v'")
       }
-    }.getOrElse(2)
+    }.getOrElse(3) // default raised 2→3 in r18 (VERDICT r17 #1): with two
+    // reps a single co-tenant stall on rep 2 decides the entry; min-of-3
+    // keeps one clean rep through any single-rep excursion. Cross-round
+    // note: r18+ artifacts are min-of-3 vs the min-of-2 r16/r17 baseline —
+    // a ≤ few-% one-time downward basis shift, recorded in SCALE.md.
     require(minReps >= 1, s"SPARK_GRAFT_MIN_REPS must be >= 1, got $minReps")
     def minOfReps(name: String)(run: () => Unit): (Double, Seq[Double]) = {
       // accretion guard: incremental-index entries materialize persisted
