@@ -304,7 +304,7 @@ object Bench {
     // summary — a run whose loadavg shows dozens of runnable co-tenant
     // processes or whose max_spread is large is self-declared noisy
     val noise = s""""load_before":${jsonStr(loadBefore)},"load_after":${jsonStr(loadAfter)},"max_spread":${r2(maxSpread)},"n_spread_gt2":$nSpreadGt2"""
-    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","queries":$qs,"reps":$repsJson,$noise,"sf":$sf,"sf_dir":${jsonStr(sfDir)}}"""
+    val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","qunit":"ms","min_reps":$minReps,"queries":$qs,"reps":$repsJson,$noise,"sf":$sf,"sf_dir":${jsonStr(sfDir)}}"""
     println(line)
     // the full line has outgrown the driver's ~2000-char log-tail window
     // (94 queries ≈ 2 KB), so ALSO print a compact line LAST: whatever the
@@ -312,11 +312,13 @@ object Bench {
     // parseable; the full per-query map is committed as BENCH_FULL.json
     val compact = s"""{"metric":"total","value":$totalStr,"unit":"sec",$noise,"sf":$sf,"detail":"BENCH_FULL.json"}"""
     println(compact)
-    // only an UNMODIFIED run may refresh the tracked artifact: a query
-    // filter measures a subset, and a rep-count override changes the
-    // measurement basis (min over N warm reps is not comparable to the
-    // 2-rep baseline) — either would poison cross-round diffs
-    if (only.isEmpty && minRepsEnv.isEmpty)
+    // only an UNFILTERED run may refresh the tracked artifact (a query
+    // filter measures a subset — poison for cross-round diffs). A
+    // rep-count override is allowed to refresh since r18: the artifact
+    // self-describes its basis via the min_reps field and the per-entry
+    // reps arrays, so a min-of-N vs min-of-M comparison is visible to
+    // any reader instead of silently wrong.
+    if (only.isEmpty)
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
         (line + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () } // best-effort; stdout is the contract

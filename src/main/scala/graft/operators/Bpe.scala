@@ -150,7 +150,11 @@ object Bpe {
     * `maxDictWords` bounds the driver collect LOUDLY — the dictionary of
     * a deduplicated web corpus is millions of entries, not billions,
     * and `minWordCount` drops the hapax tail first (a word seen once
-    * cannot influence any merge that matters at corpus scale).
+    * cannot influence any merge that matters at corpus scale). Note the
+    * vocab consequence: base characters appearing ONLY in dropped rare
+    * words are absent from the vocabulary, so they encode as stable
+    * single-char tokens with id 0 (`<unk>`) — the standard trained-BPE
+    * behavior for out-of-alphabet bytes.
     */
   def fit(docs: DataFrame, textCol: String, numMerges: Int,
       tokenizer: Tokenizer = Tokenizer.Ascii,

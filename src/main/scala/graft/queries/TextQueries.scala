@@ -1600,6 +1600,92 @@ object TextQueries {
   /** Redaction over the events payload: digit runs → `<NUM>`; the redacted
     * text is pinned through md5 (identical hex on both engines).
     */
+  /** The q_html_* planted markup: each doc's text wrapped in a full
+    * page exercising every extraction rule — script/style/comment
+    * bodies (including a bare `<` inside the script), block tags,
+    * attribute-bearing and unquoted tags, all six entities INCLUDING
+    * the `&amp;lt;` double-decode trap, and two links (absolute with a
+    * tracking param + `&amp;`, and relative). One definition on each
+    * engine, same bytes.
+    */
+  private[queries] val htmlPlantSql: String =
+    "('<HTML><head><title lang=\"en\">Doc ' || CAST(doc_id AS VARCHAR) || " +
+      "' &amp; Friends</title>' || " +
+      "'<style type=\"text/css\">p { color: red; }</style>' || " +
+      "'<script>if (doc_id < 3) { alert(\"x&y\"); }</script></head>' || " +
+      "'<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || " +
+      "'<p class=\"lead\">' || text || '</p>' || " +
+      "'<ul><li>item &lt;' || CAST(doc_id % 7 AS VARCHAR) || '&gt;</li>' || " +
+      "'<li>&#39;quoted&#39;&nbsp;and &amp;lt;kept&amp;gt;</li></ul>' || " +
+      "'<a href=\"https://News.Example.COM:443/read/item' || " +
+      "CAST(doc_id % 13 AS VARCHAR) || '?z=9&amp;utm_source=feed&amp;a=' || " +
+      "CAST(doc_id % 5 AS VARCHAR) || '#s\">go</a> ' || " +
+      "'<a href=/rel/p' || CAST(doc_id % 3 AS VARCHAR) || '>rel</a>' || " +
+      "'<!-- hidden ' || CAST(doc_id AS VARCHAR) || ' --></body></HTML>')"
+
+  private[queries] def htmlPlantCol: Column =
+    concat(
+      lit("<HTML><head><title lang=\"en\">Doc "), col("doc_id"),
+      lit(" &amp; Friends</title>"),
+      lit("<style type=\"text/css\">p { color: red; }</style>"),
+      lit("<script>if (doc_id < 3) { alert(\"x&y\"); }</script></head>"),
+      lit("<body><h1>Doc "), col("doc_id"), lit("</h1>"),
+      lit("<p class=\"lead\">"), col("text"), lit("</p>"),
+      lit("<ul><li>item &lt;"), col("doc_id") % 7, lit("&gt;</li>"),
+      lit("<li>&#39;quoted&#39;&nbsp;and &amp;lt;kept&amp;gt;</li></ul>"),
+      lit("<a href=\"https://News.Example.COM:443/read/item"),
+      col("doc_id") % 13, lit("?z=9&amp;utm_source=feed&amp;a="),
+      col("doc_id") % 5, lit("#s\">go</a> "),
+      lit("<a href=/rel/p"), col("doc_id") % 3, lit(">rel</a>"),
+      lit("<!-- hidden "), col("doc_id"), lit(" --></body></HTML>"))
+
+  /** HTML → text extraction ([[graft.operators.Html.extractText]] — the
+    * crawl stage upstream of every text filter): script/style/comment
+    * removal, block tags → newlines, tag strip, ordered entity decode
+    * (with the `&amp;lt;` double-decode trap), whitespace
+    * normalization, plus `<title>` and the href list. The oracle runs
+    * the IDENTICAL pattern bytes (one shared constant per rule), so the
+    * full extracted text, the title, and the link list hash-match.
+    */
+  val qHtmlExtract = q(
+    "q_html_extract", {
+      val t = graft.operators.Html.extractTextSql(s"($htmlPlantSql)")
+      s"SELECT doc_id, md5($t) AS text_md5, " +
+        s"CAST(len(string_split($t, chr(10))) AS BIGINT) AS n_lines, " +
+        s"${graft.operators.Html.extractTitleSql(s"($htmlPlantSql)")} AS title, " +
+        s"array_to_string(${graft.operators.Html.extractLinksSql(s"($htmlPlantSql)")}, ' ') AS links_str " +
+        "FROM documents"
+    }) { (s, d) =>
+    val h = htmlPlantCol
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(graft.operators.Html.extractText(h)).as("text_md5"),
+      size(split(graft.operators.Html.extractText(h), "\n")).cast("long")
+        .as("n_lines"),
+      graft.operators.Html.extractTitle(h).as("title"),
+      array_join(graft.operators.Html.extractLinks(h), " ").as("links_str"))
+  }
+
+  /** Link-graph composition: hrefs extracted from the planted markup
+    * feed [[graft.operators.Urls.canonicalUrl]] — casefold/port/
+    * tracking-param/fragment rules apply to every ABSOLUTE link, while
+    * the relative link passes through the no-scheme contract unchanged.
+    * The href-extraction + canonicalization chain is the exact
+    * pre-dedup path a crawl frontier runs.
+    */
+  val qHtmlLinks = q(
+    "q_html_links", {
+      val links = graft.operators.Html.extractLinksSql(s"($htmlPlantSql)")
+      s"SELECT doc_id, ${urlCanonSql("u")} AS curl FROM " +
+        s"(SELECT doc_id, unnest($links) AS u FROM documents)"
+    }) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.operators.Html.extractLinks(htmlPlantCol)).as("u"))
+      .select(col("doc_id"),
+        graft.operators.Urls.canonicalUrl(col("u")).as("curl"))
+  }
+
   val qRedact = q(
     "q_redact",
     "SELECT event_id, CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redacted, " +
@@ -2011,5 +2097,6 @@ object TextQueries {
     qRepetition, qDecontaminate, qDecontaminateBloom, qDecontaminateFrac, qBoilerplate, qStripLines, qStripLinesIncremental, qBigramRarity, qMultimodalMeta, qImageDedup, qImageDedupIncremental, qImageDedupIncremental16, qVideoOverlap, qAudioDedup, qNgramProfile,
     qCurationPipeline, qChunkTokens, qPackSequences, qPackBoundaries,
     qDedupClusters, qTfidf, qBm25, qBm25Indexed, qBm25Wand, qBm25Unicode, qBm25Batch, qBm25WandBatch, qDocReorder,
-    qRedact, qPiiMask, qUrlCanon, qUrlDedup, qSplitLeakfree)
+    qRedact, qPiiMask, qUrlCanon, qUrlDedup, qHtmlExtract, qHtmlLinks,
+    qSplitLeakfree)
 }

@@ -570,6 +570,14 @@ class PlanSpec extends SparkSpec {
       "column pruning lost:\n" + p.take(2500))
   }
 
+  test("q_html_extract: the extraction regex chain is one map-side projection — no shuffle, no join, pruned scan") {
+    val p = plan("q_html_extract")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "HTML extraction must stay a map-side projection:\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
   test("q_quality_classifier: learned-model inference is one map-side projection — no shuffle, no join, pruned scan") {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange") && !p.contains("Join"),
