@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SCALE.md measurement for round 18 (VERDICT r17 #5): the FULL curation
-  * pipeline COMPOSED — URL dedup → PII mask → Gopher/C4 → MinHash
-  * near-dedup → decontaminate → classifier gate → BPE-count temperature
-  * mixture → sequence packing → shuffle-shard — driven as one staged
+  * pipeline COMPOSED — HTML text extraction → URL dedup → PII mask →
+  * Gopher/C4 → MinHash near-dedup → decontaminate → classifier gate →
+  * BPE-count temperature mixture → sequence packing → shuffle-shard —
+  * raw crawl markup in, training shards out, driven as one staged
   * flow at R×10 and R×100 salted volume with per-stage wall, row, and
   * shuffle-record accounting. Stages were all proven ALONE in earlier
   * rounds; this drives them together, where a stage's output shape is
@@ -95,9 +96,24 @@ object Round18PipelineRehearsalTimer {
     val t0all = System.nanoTime()
     val base = stage("salt", corpus)
 
+    // 0. HTML → text: each salted doc arrives as full-page markup (the
+    //    crawl shape) and the pipeline starts by extracting. The page
+    //    identity in title/h1 uses the BASE doc id (doc_id mod 2^32) so
+    //    verbatim replicas produce byte-identical extracted text — the
+    //    dedup planting must survive the extraction stage.
+    val s0 = stage("html_extract",
+      base.select(col("doc_id"),
+        Html.extractText(concat(
+          lit("<html><head><title>d"), pmod(col("doc_id"), lit(1L << 32)),
+          lit("</title><style>p{x:1}</style><script>if(a<2){b()}</script>"),
+          lit("</head><body><h1>d"), pmod(col("doc_id"), lit(1L << 32)),
+          lit("</h1><p>"), col("text"),
+          lit("</p><!-- c --></body></html>"))).as("text"),
+        col("source"), col("url")))
+
     // 1. URL-key dedup (free pre-content key; null urls pass through)
     val s1 = stage("url_dedup",
-      Urls.dedupByUrl(base, "doc_id", "url").drop("url"))
+      Urls.dedupByUrl(s0, "doc_id", "url").drop("url"))
 
     // 2. PII mask — the MASKED text flows downstream
     val s2 = stage("pii_mask",
