@@ -578,6 +578,24 @@ class PlanSpec extends SparkSpec {
       "column pruning lost:\n" + p.take(2500))
   }
 
+  test("q_html_links: href explode + canonicalization stays map-side — no shuffle, no join") {
+    val p = plan("q_html_links")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "link extraction must stay Scan -> Generate -> Project:\n" + p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+  }
+
+  test("q_curation_pipeline6: the five-stage modern flow costs ONE shuffle (the URL-key aggregate)") {
+    val p = plan("q_curation_pipeline6")
+    // mask/gate/encode/copies all fold into projections; the survivor
+    // semi-join broadcasts at this SF (AQE re-plans it co-partitioned at
+    // corpus scale — the measured, expected switch; SCALE.md r18)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2500))
+    assert("""\(\d+\) Exchange\n""".r.findAllIn(p).size == 1,
+      "expected exactly the one URL-key groupBy Exchange:\n" + p.take(2500))
+  }
+
   test("q_quality_classifier: learned-model inference is one map-side projection — no shuffle, no join, pruned scan") {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange") && !p.contains("Join"),
