@@ -16,7 +16,8 @@ object SparkEntry {
     CoreQueries.all ++ JoinQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ SpanQueries.all ++ VectorQueries.all ++
       DslQueries.all ++ CompositeQueries.all ++ SamplingQueries.all ++
-      WarehouseQueries.all ++ TemporalQueries.all ++ BpeQueries.all
+      WarehouseQueries.all ++ TemporalQueries.all ++ BpeQueries.all ++
+      LmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

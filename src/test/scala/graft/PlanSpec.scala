@@ -705,4 +705,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("struct<l_quantity:double,l_shipdate:timestamp"),
       "lineitem scan must be pruned to 2 columns:\n" + p.take(2000))
   }
+
+  test("q_lm_score: LM scoring is one map-side projection — the count table rides the plan, never a join side") {
+    val p = plan("q_lm_score")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "ngram_lm_score must stay Scan -> Project (the CCNet deploy shape " +
+        "— model ships to workers, corpus never shuffles):\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost:\n" + p.take(2500))
+  }
+
+  test("q_lm_ppl_buckets: scoring stays map-side; the ONLY exchange is the per-language percentile window") {
+    val p = plan("q_lm_ppl_buckets")
+    assert(!p.contains("Join"), p.take(2500))
+    assert("""\(\d+\) Exchange\n""".r.findAllIn(p).size == 1 &&
+      p.contains("Window"),
+      "expected exactly the one lang-partition Window exchange:\n" +
+        p.take(2500))
+  }
 }
