@@ -69,6 +69,68 @@ object Sampling {
       .drop("__rn")
   }
 
+  // ---- embedding-cluster-balanced selection ----
+
+  private def requireClusterCols(df: DataFrame, op: String): Unit =
+    Seq("centroid_id", "cosine", "__rn", "__n").foreach { c =>
+      require(!df.columns.contains(c),
+        s"Sampling.$op: input already has a '$c' column; rename it first " +
+          "(the cluster assignment appends centroid_id/cosine)")
+    }
+
+  /** Cluster-balanced cap (the DataComp-style embedding-space balance:
+    * k-means clusters over an embedding column, then at most `cap` docs
+    * per CLUSTER) — flattens head clusters the way [[perKeyCap]] flattens
+    * head domains, but in semantic space: near-duplicate-rich clusters
+    * stop dominating the mixture. Assignment is [[Similarity.ivfAssign]]
+    * (centroids ride the plan as one literal array — the bounded-collect
+    * centroid contract); the cap is the deterministic hash-rank rule, so
+    * the selection is reproducible and oracle-mirrorable. Output keeps
+    * `centroid_id` and `cosine` for downstream audit.
+    *
+    * At 100 TB: one map-side assignment pass + ONE shuffle on
+    * centroid_id (the same per-key ranking cost as any window); k is
+    * thousands at most, so the ranking state per partition is bounded by
+    * the cap, never the corpus.
+    */
+  def clusterBalancedCap(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], cap: Int): DataFrame = {
+    require(cap >= 1, s"Sampling.clusterBalancedCap: cap must be >= 1, got $cap")
+    requireClusterCols(df, "clusterBalancedCap")
+    perKeyCap(Similarity.ivfAssign(df, idCol, vecCol, centroids),
+      col("centroid_id"), col(idCol), cap)
+  }
+
+  /** D4-style prototype drop (Tirumala et al. 2023: after SemDeDup,
+    * DROP the most PROTOTYPICAL documents — the ones nearest their
+    * cluster centroid — and keep the diverse tail; the paper's
+    * diversification half): within each cluster, rank by cosine-to-
+    * centroid descending and drop the top `dropPpm`/10⁶ fraction.
+    * The drop count per cluster is the exact integer
+    * `(n·dropPpm) div 10⁶`, so both engines agree with no float
+    * thresholds; ties (identical cosines) break by id.
+    *
+    * Same scale shape as [[clusterBalancedCap]]: map-side assignment +
+    * one centroid_id shuffle for the window pair (rank + count share
+    * the partitioning).
+    */
+  def clusterPrototypeDrop(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[(Int, Array[Float])], dropPpm: Long): DataFrame = {
+    require(dropPpm >= 0 && dropPpm < 1000000L,
+      s"Sampling.clusterPrototypeDrop: dropPpm must be in [0, 1e6), got " +
+        s"$dropPpm (1e6 would drop every cluster whole)")
+    requireClusterCols(df, "clusterPrototypeDrop")
+    val assigned = Similarity.ivfAssign(df, idCol, vecCol, centroids)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("cosine").desc, col(idCol))).cast("long"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__rn") > expr(s"(__n * ${dropPpm}L) div 1000000L"))
+      .drop("__rn", "__n")
+  }
+
   /** Fine hash bucket in [0, 1e6): the mixture sampler needs ppm resolution
     * — at a 10^9-row domain a per-mille grid quantizes the kept volume by
     * ±0.05%, a ppm grid by ±0.00005%.

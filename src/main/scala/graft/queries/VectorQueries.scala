@@ -118,6 +118,64 @@ object VectorQueries {
       .select(col("vec_id"), Exact.quant(col("cosine"), 10000).as("cos_e4"))
   }
 
+  /** Cluster-balanced selection (the DataComp-style embedding-space
+    * balance; [[graft.operators.Sampling.clusterBalancedCap]]): assign
+    * every corpus vector to its nearest of the 8 fixed centroids, keep
+    * at most 40 per CLUSTER by the deterministic hash-rank rule —
+    * semantic-space head clusters stop dominating the mixture. At
+    * sf0.001 most cells hold ~60 vectors, so the cap genuinely bites
+    * while smaller cells pass whole.
+    */
+  val qClusterBalanced = q(
+    "q_cluster_balanced", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "assigned AS (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, " +
+        s"$cosCE AS cos, row_number() OVER (PARTITION BY vec_id ORDER BY " +
+        s"$cosCE DESC, cid) AS rn FROM embeddings, c WHERE vec_id >= 8) WHERE rn = 1) " +
+        s"SELECT vec_id, cid AS centroid_id, ${Exact.quantSql("cos", 10000)} AS cos_e4 " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY " +
+        s"(${TextQueries.hash32Sql("CAST(vec_id AS VARCHAR)")} % 1000), vec_id) AS kr " +
+        "FROM assigned) WHERE kr <= 40"
+    }) { (s, d) =>
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    graft.operators.Sampling.clusterBalancedCap(
+      Tables.embeddingsBalanced(s, d).filter(col("vec_id") >= 8)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", cents, cap = 40)
+      .select(col("vec_id"), col("centroid_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
+  /** D4-style prototype drop ([[graft.operators.Sampling
+    * .clusterPrototypeDrop]], Tirumala et al. 2023): within each cluster
+    * drop the 40% most-prototypical vectors (nearest the centroid —
+    * the semantic-redundancy mass), keep the diverse tail. The per-
+    * cluster drop count is the exact integer `(n·dropPpm) div 10⁶`.
+    */
+  val qClusterDiverse = q(
+    "q_cluster_diverse", {
+      val cosCE = s"${dotSql("embedding", "ce")} / (${normSql("embedding")} * ${normSql("ce")})"
+      "WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8), " +
+        "assigned AS (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, " +
+        s"$cosCE AS cos, row_number() OVER (PARTITION BY vec_id ORDER BY " +
+        s"$cosCE DESC, cid) AS rn FROM embeddings, c WHERE vec_id >= 8) WHERE rn = 1) " +
+        s"SELECT vec_id, cid AS centroid_id, ${Exact.quantSql("cos", 10000)} AS cos_e4 " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id) AS pr, " +
+        "count(*) OVER (PARTITION BY cid) AS n FROM assigned) " +
+        "WHERE pr > (n * 400000) // 1000000"
+    }) { (s, d) =>
+    val cents = graft.operators.Similarity.collectCentroids(
+      Tables.embeddings(s, d).filter(col("vec_id") < 8), "vec_id", "embedding")
+    graft.operators.Sampling.clusterPrototypeDrop(
+      Tables.embeddingsBalanced(s, d).filter(col("vec_id") >= 8)
+        .select("vec_id", "embedding"),
+      "vec_id", "embedding", cents, dropPpm = 400000L)
+      .select(col("vec_id"), col("centroid_id"),
+        Exact.quant(col("cosine"), 10000).as("cos_e4"))
+  }
+
   /** Batch IVF serving ([[graft.operators.Similarity.ivfJoinTopK]]): every
     * query in the set (vec_id 8, 9) probes its own 2 nearest of the 8
     * cells, exact cosine top-10 within the probed cells — the bulk
@@ -1024,7 +1082,7 @@ object VectorQueries {
     qAnnTopkBatch, qAnnMultiProbeBatch, qAnnMultiProbeDeep, qAnnIvfSearchBatch,
     qAnnIvfPqBatch, qAnnIvfPqIncremental,
     qSemDedup, qSemDedupBest, qSemDedupIncremental, qSemDedupIncremental2,
-    qEmbedProject, qAnnProjected)
+    qEmbedProject, qAnnProjected, qClusterBalanced, qClusterDiverse)
 }
 
 /** Shared vector helpers (also used by operators.Similarity). */

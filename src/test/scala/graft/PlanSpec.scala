@@ -596,6 +596,32 @@ class PlanSpec extends SparkSpec {
       "expected exactly the one URL-key groupBy Exchange:\n" + p.take(2500))
   }
 
+  test("q_cluster_balanced: centroid assignment is map-side; the cap costs exactly ONE exchange (the per-cluster window)") {
+    val p = plan("q_cluster_balanced")
+    // centroids ride the plan as a literal array (bounded-collect
+    // contract) — never a join side; the only shuffle is the
+    // centroid_id window partitioning the per-cluster rank needs
+    assert(!p.contains("Join"),
+      "assignment must fold into a projection, not a join:\n" + p.take(2500))
+    // the fixture's round-robin rebalance is test-data plumbing; the
+    // OPERATOR may add only the one centroid_id hash exchange
+    assert("""Arguments: hashpartitioning\(centroid_id""".r.findAllIn(p).size == 1
+      && """Arguments: hashpartitioning""".r.findAllIn(p).size == 1,
+      "expected exactly the one centroid_id window Exchange:\n" + p.take(2500))
+  }
+
+  test("q_cluster_diverse: prototype drop shares the one centroid_id exchange between its rank and count windows") {
+    val p = plan("q_cluster_diverse")
+    assert(!p.contains("Join"), p.take(2500))
+    // row_number + count over the same partitioning must share ONE
+    // centroid_id hash exchange — a second hash exchange means the
+    // frames stopped sharing the partitioning (the round-robin node is
+    // the fixture's test-data rebalance)
+    assert("""Arguments: hashpartitioning\(centroid_id""".r.findAllIn(p).size == 1
+      && """Arguments: hashpartitioning""".r.findAllIn(p).size == 1,
+      "rank and count windows must share one shuffle:\n" + p.take(2500))
+  }
+
   test("q_quality_classifier: learned-model inference is one map-side projection — no shuffle, no join, pruned scan") {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange") && !p.contains("Join"),

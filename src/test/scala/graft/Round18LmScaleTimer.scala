@@ -50,7 +50,8 @@ object Round18LmScaleTimer {
       val m = NgramLm.fit(df, "text", n = 3, minCount = minCount,
         maxEntries = 1 << 24)
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"[r18lm] R=$r fit($label)%-28s ${s}%6.2f s  " +
+      val tag = s"fit($label)"
+      println(f"[r18lm] R=$r $tag%-34s ${s}%6.2f s  " +
         f"${m.grams.length}%9d grams  total=${m.totalTokens}")
       m
     }

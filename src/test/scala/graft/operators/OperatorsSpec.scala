@@ -2002,4 +2002,77 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L) === ((0, "no digits here")))
     assert(out(2L) === ((3, "x#y#z#")))
   }
+
+  // Three well-separated axis centroids; vectors land in the cluster of
+  // their dominant axis, with a small id-keyed wobble on another axis so
+  // cosines within a cluster are distinct (prototype ranking is total).
+  private def clusterFixture(perCluster: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val cents = Seq(0 -> Array(1f, 0f, 0f), 1 -> Array(0f, 1f, 0f),
+      2 -> Array(0f, 0f, 1f))
+    val rows = for {
+      (n, cid) <- perCluster.zipWithIndex
+      i <- 0 until n
+    } yield {
+      val id = cid * 1000L + i
+      val wobble = 0.01f * (i % 17)
+      val v = Array.fill(3)(0f)
+      v(cid) = 1f
+      v((cid + 1) % 3) = wobble
+      (id, v.toSeq)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  private val axisCentroids = Seq(0 -> Array(1f, 0f, 0f),
+    1 -> Array(0f, 1f, 0f), 2 -> Array(0f, 0f, 1f))
+
+  test("clusterBalancedCap bounds every cluster and is repartition-stable") {
+    val df = clusterFixture(Seq(60, 12, 3))
+    val out = Sampling.clusterBalancedCap(df, "id", "vec", axisCentroids, 20)
+    val counts = out.groupBy("centroid_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts === Map(0 -> 20L, 1 -> 12L, 2 -> 3L)) // cap bites only the head
+    // every survivor kept its true nearest centroid
+    out.select("id", "centroid_id").collect().foreach { r =>
+      assert(r.getInt(1) === (r.getLong(0) / 1000L).toInt)
+    }
+    val again = Sampling.clusterBalancedCap(
+      df.repartition(7), "id", "vec", axisCentroids, 20)
+    assert(out.select("id").collect().map(_.getLong(0)).sorted
+      .sameElements(again.select("id").collect().map(_.getLong(0)).sorted))
+    intercept[IllegalArgumentException] {
+      Sampling.clusterBalancedCap(df, "id", "vec", axisCentroids, 0)
+    }
+    intercept[IllegalArgumentException] { // fresh-column guard
+      Sampling.clusterBalancedCap(df.withColumn("cosine", lit(0.0)),
+        "id", "vec", axisCentroids, 5)
+    }
+  }
+
+  test("clusterPrototypeDrop removes the exact integer count of most-prototypical rows") {
+    val df = clusterFixture(Seq(10, 7, 1))
+    // 40% drop: per-cluster drops = (n*400000) div 1e6 = 4, 2, 0
+    val out = Sampling.clusterPrototypeDrop(df, "id", "vec", axisCentroids,
+      dropPpm = 400000L)
+    val byCluster = out.select("id", "centroid_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._2).map { case (c, rs) => c -> rs }
+    assert(byCluster(0).length === 6 && byCluster(1).length === 5 &&
+      byCluster(2).length === 1)
+    // the DROPPED rows are the prototypes: every kept cosine is <= every
+    // dropped cosine (rank by cosine desc ties broken by id)
+    val assigned = Similarity.ivfAssign(df, "id", "vec", axisCentroids)
+      .select("id", "centroid_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val droppedC0 = assigned.filter(_._2 == 0).map(_._1)
+      .diff(byCluster(0).map(_._1)).toSet
+    val dropMin = assigned.filter(r => droppedC0(r._1)).map(_._3).min
+    assert(byCluster(0).forall(_._3 <= dropMin))
+    // dropPpm=0 keeps everything
+    assert(Sampling.clusterPrototypeDrop(df, "id", "vec", axisCentroids, 0L)
+      .count() === 18L)
+    intercept[IllegalArgumentException] {
+      Sampling.clusterPrototypeDrop(df, "id", "vec", axisCentroids, 1000000L)
+    }
+  }
 }
