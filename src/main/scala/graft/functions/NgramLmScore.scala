@@ -51,8 +51,28 @@ object NgramLmKernel {
 
   def score(text: UTF8String, tag: String, n: Int,
       counts: java.util.HashMap[String, java.lang.Long],
-      totalTokens: Long): Long = {
+      totalTokens: Long): Long =
+    scoreTokens(MinHashSigKernels.tokens(text, tag), n, counts, totalTokens)
+
+  /** [[score]] fused with the token count: `[Σ logprob micro, n_tokens]`
+    * as one primitive long array, so the per-token-NLL stage tokenizes
+    * ONCE instead of paying a second full tokenize for `size(tokens)`
+    * (unfused paid ~1.5× of plain scoring at 500k docs; fused times
+    * identical to plain scoring — SCALE.md round 18, incl. the
+    * alias-anchoring requirement that makes the fusion actually land).
+    */
+  def scoreWithCount(text: UTF8String, tag: String, n: Int,
+      counts: java.util.HashMap[String, java.lang.Long],
+      totalTokens: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = MinHashSigKernels.tokens(text, tag)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array(
+        scoreTokens(toks, n, counts, totalTokens), toks.length.toLong))
+  }
+
+  private def scoreTokens(toks: Array[String], n: Int,
+      counts: java.util.HashMap[String, java.lang.Long],
+      totalTokens: Long): Long = {
     val lnTotal = math.log(totalTokens.toDouble)
     var sum = 0L
     var i = 0
@@ -140,6 +160,55 @@ case class NgramLmScore(child: Expression, tokenizerTag: String, n: Int,
     copy(child = newChild)
 }
 
+/** [[NgramLmScore]] fused with the token count: returns the primitive
+  * long array `[Σ logprob micro, n_tokens]` from ONE tokenize pass —
+  * the shape [[graft.operators.NgramLm.scoreWithNll]] unpacks. The
+  * caller MUST alias this expression to its own column and consume the
+  * alias: inlined at each `element_at` site, CollapseProject plus the
+  * conditional NLL branches re-evaluate the kernel per reference and
+  * the fusion wins nothing (measured — SCALE.md round 18); behind a
+  * non-cheap multiply-referenced alias the projections stay split and
+  * the kernel runs once per row.
+  */
+case class NgramLmScoreCount(child: Expression, tokenizerTag: String, n: Int,
+    counts: java.util.HashMap[String, java.lang.Long], totalTokens: Long)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (n < 1) TypeCheckResult.TypeCheckFailure(
+        s"ngram_lm_score_count: order must be >= 1, got $n")
+      else if (totalTokens <= 0) TypeCheckResult.TypeCheckFailure(
+        s"ngram_lm_score_count: totalTokens must be > 0, got $totalTokens")
+      else TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_lm_score_count requires a string input, got $t")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_lm_score_count"
+
+  protected override def nullSafeEval(v: Any): Any =
+    NgramLmKernel.scoreWithCount(v.asInstanceOf[UTF8String], tokenizerTag, n,
+      counts, totalTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tagRef = ctx.addReferenceObj("tokTag", tokenizerTag, "java.lang.String")
+    val cntRef = ctx.addReferenceObj("lmCounts", counts,
+      "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+        |${ev.value} = graft.functions.NgramLmKernel.scoreWithCount($v, $tagRef,
+        |  $n, $cntRef, ${totalTokens}L);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramLmScoreCount =
+    copy(child = newChild)
+}
+
 object NgramLmScore {
   import org.apache.spark.sql.graft.ColumnBridge
 
@@ -147,5 +216,11 @@ object NgramLmScore {
       counts: java.util.HashMap[String, java.lang.Long],
       totalTokens: Long): Column =
     ColumnBridge.column(NgramLmScore(ColumnBridge.expression(text),
+      tokenizerTag, n, counts, totalTokens))
+
+  def ngramLmScoreCount(text: Column, tokenizerTag: String, n: Int,
+      counts: java.util.HashMap[String, java.lang.Long],
+      totalTokens: Long): Column =
+    ColumnBridge.column(NgramLmScoreCount(ColumnBridge.expression(text),
       tokenizerTag, n, counts, totalTokens))
 }

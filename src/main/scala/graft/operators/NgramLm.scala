@@ -140,12 +140,33 @@ object NgramLm {
     require(!df.columns.contains(nllCol),
       s"NgramLm.scoreWithNll: input already has a '$nllCol' column; " +
         "rename it first")
-    val nTok = size(Tokenizer.fromTag(model.tokenizerTag, "NgramLm.scoreWithNll")
-      .column(col(textCol))).cast("long")
-    score(df, textCol, model, scoreCol)
+    require(!df.columns.contains(scoreCol),
+      s"NgramLm.scoreWithNll: input already has a '$scoreCol' column; " +
+        "rename it first")
+    require(!df.columns.contains("__lm"),
+      "NgramLm.scoreWithNll: input already has a '__lm' column; rename it first")
+    // ONE fused tokenize+score pass ([[NgramLmScoreCount]]) yields
+    // [Σ logprob, n_tokens]; the unfused shape paid a SECOND full
+    // tokenization just for size(tokens). NULL text → [0, 0], same as
+    // the empty doc (the score() coalesce contract). The array MUST land
+    // in its own aliased column: with the kernel inlined at each
+    // element_at site, CollapseProject + the conditional nll branches
+    // re-evaluate it per reference — the alias is non-cheap and
+    // multiply-referenced, so the projections stay split and the kernel
+    // runs once per row (measured: the inlined shape times identical to
+    // the unfused double tokenize; this shape is the one that wins —
+    // SCALE.md round 18).
+    val fused = coalesce(
+      NgramLmScore.ngramLmScoreCount(col(textCol),
+        model.tokenizerTag, model.n, model.table, model.totalTokens),
+      array(lit(0L), lit(0L)))
+    df.withColumn("__lm", fused)
+      .withColumn(scoreCol, element_at(col("__lm"), 1))
       .withColumn(nllCol,
-        when(coalesce(nTok, lit(0L)) === 0L, lit(null).cast("long"))
-          .otherwise(call_function("div", -col(scoreCol), nTok)))
+        when(element_at(col("__lm"), 2) === 0L, lit(null).cast("long"))
+          .otherwise(call_function("div", -element_at(col("__lm"), 1),
+            element_at(col("__lm"), 2))))
+      .drop("__lm")
   }
 
   // ---- model persistence (one tiny parquet + the shared meta file) ----

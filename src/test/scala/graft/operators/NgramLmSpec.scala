@@ -79,6 +79,27 @@ class NgramLmSpec extends SparkSpec {
     assert(out(1L) == Some(1504079L / 3L)) // 501359, floor of 501359.67
     assert(out(2L) == None, "zero-token doc belongs to no distribution")
     assert(out(3L) == Some(5533885L / 3L))
+    // NULL text follows the empty-doc contract through the FUSED kernel
+    // too: score 0 (not NULL), nll NULL
+    val nr = NgramLm.scoreWithNll(
+      Seq[(Long, Option[String])]((9L, None)).toDF("id", "text"),
+      "text", model).head
+    assert(nr.getAs[Long]("lm_logprob_q") == 0L &&
+      nr.isNullAt(nr.fieldIndex("lm_nll_per_tok_q")))
+  }
+
+  test("fused score+count kernel is identical to the unfused score on every shape") {
+    val corpus = Seq("the cat sat", "", "dog cat sat", "sat", "!!! ???",
+      "the the the cat cat sat dog unseen words here")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val unfused = NgramLm.score(corpus, "text", model)
+      .select("id", "lm_logprob_q").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    NgramLm.scoreWithNll(corpus, "text", model)
+      .select("id", "lm_logprob_q").collect().foreach { r =>
+        assert(r.getLong(1) === unfused(r.getLong(0)),
+          s"fused/unfused drift at id ${r.getLong(0)}")
+      }
   }
 
   test("n=1 degenerates to the unigram model — no penalties ever") {
