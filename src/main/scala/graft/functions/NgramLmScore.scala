@@ -50,9 +50,9 @@ object NgramLmKernel {
   val AlphaPenaltyMicro: Long = -916291L
 
   def score(text: UTF8String, tag: String, n: Int,
-      counts: java.util.HashMap[String, java.lang.Long],
-      totalTokens: Long): Long =
-    scoreTokens(MinHashSigKernels.tokens(text, tag), n, counts, totalTokens)
+      table: LmTable, totalTokens: Long): Long =
+    scoreTokens(MinHashSigKernels.tokens(text, tag), n, table.counts,
+      totalTokens)
 
   /** [[score]] fused with the token count: `[Σ logprob micro, n_tokens]`
     * as one primitive long array, so the per-token-NLL stage tokenizes
@@ -62,12 +62,12 @@ object NgramLmKernel {
     * alias-anchoring requirement that makes the fusion actually land).
     */
   def scoreWithCount(text: UTF8String, tag: String, n: Int,
-      counts: java.util.HashMap[String, java.lang.Long],
+      table: LmTable,
       totalTokens: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val toks = MinHashSigKernels.tokens(text, tag)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(Array(
-        scoreTokens(toks, n, counts, totalTokens), toks.length.toLong))
+        scoreTokens(toks, n, table.counts, totalTokens), toks.length.toLong))
   }
 
   private def scoreTokens(toks: Array[String], n: Int,
@@ -121,8 +121,18 @@ object NgramLmKernel {
   }
 }
 
+/** Plan reference holder for the LM count table — identity equality and
+  * hashCode (the [[BpeTable]] pattern), NOT the HashMap's content-based
+  * O(model-size) ones: Catalyst compares and hashes expressions
+  * repeatedly during planning (subexpression elimination, ExpressionSet,
+  * canonicalization), and a multi-million-entry map as a direct
+  * case-class field would make every such call traverse the model.
+  */
+final class LmTable(val counts: java.util.HashMap[String, java.lang.Long])
+  extends Serializable
+
 case class NgramLmScore(child: Expression, tokenizerTag: String, n: Int,
-    counts: java.util.HashMap[String, java.lang.Long], totalTokens: Long)
+    table: LmTable, totalTokens: Long)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -140,14 +150,13 @@ case class NgramLmScore(child: Expression, tokenizerTag: String, n: Int,
   override def prettyName: String = "ngram_lm_score"
 
   protected override def nullSafeEval(v: Any): Any =
-    NgramLmKernel.score(v.asInstanceOf[UTF8String], tokenizerTag, n, counts,
+    NgramLmKernel.score(v.asInstanceOf[UTF8String], tokenizerTag, n, table,
       totalTokens)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tagRef = ctx.addReferenceObj("tokTag", tokenizerTag, "java.lang.String")
-    // raw type: Janino (Spark's codegen compiler) has no generics
-    val cntRef = ctx.addReferenceObj("lmCounts", counts,
-      "java.util.HashMap")
+    val cntRef = ctx.addReferenceObj("lmTable", table,
+      "graft.functions.LmTable")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
         |${ev.value} = graft.functions.NgramLmKernel.score($v, $tagRef,
@@ -171,7 +180,7 @@ case class NgramLmScore(child: Expression, tokenizerTag: String, n: Int,
   * the kernel runs once per row.
   */
 case class NgramLmScoreCount(child: Expression, tokenizerTag: String, n: Int,
-    counts: java.util.HashMap[String, java.lang.Long], totalTokens: Long)
+    table: LmTable, totalTokens: Long)
   extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -191,12 +200,12 @@ case class NgramLmScoreCount(child: Expression, tokenizerTag: String, n: Int,
 
   protected override def nullSafeEval(v: Any): Any =
     NgramLmKernel.scoreWithCount(v.asInstanceOf[UTF8String], tokenizerTag, n,
-      counts, totalTokens)
+      table, totalTokens)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tagRef = ctx.addReferenceObj("tokTag", tokenizerTag, "java.lang.String")
-    val cntRef = ctx.addReferenceObj("lmCounts", counts,
-      "java.util.HashMap")
+    val cntRef = ctx.addReferenceObj("lmTable", table,
+      "graft.functions.LmTable")
     nullSafeCodeGen(ctx, ev, v => {
       s"""
         |${ev.value} = graft.functions.NgramLmKernel.scoreWithCount($v, $tagRef,
@@ -213,14 +222,12 @@ object NgramLmScore {
   import org.apache.spark.sql.graft.ColumnBridge
 
   def ngramLmScore(text: Column, tokenizerTag: String, n: Int,
-      counts: java.util.HashMap[String, java.lang.Long],
-      totalTokens: Long): Column =
+      table: LmTable, totalTokens: Long): Column =
     ColumnBridge.column(NgramLmScore(ColumnBridge.expression(text),
-      tokenizerTag, n, counts, totalTokens))
+      tokenizerTag, n, table, totalTokens))
 
   def ngramLmScoreCount(text: Column, tokenizerTag: String, n: Int,
-      counts: java.util.HashMap[String, java.lang.Long],
-      totalTokens: Long): Column =
+      table: LmTable, totalTokens: Long): Column =
     ColumnBridge.column(NgramLmScoreCount(ColumnBridge.expression(text),
-      tokenizerTag, n, counts, totalTokens))
+      tokenizerTag, n, table, totalTokens))
 }

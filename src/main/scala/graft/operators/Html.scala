@@ -65,8 +65,15 @@ object Html {
   private val BlockTagRe: String =
     s"(?i)</?(${BlockTags.mkString("|")})($W[^>]*)?/?>"
   private val AnyTagRe = "<[^>]*>"
+  // `href` must be preceded by whitespace (or follow `<a ` directly):
+  // a bare greedy `[^>]*href` backtracks onto the LAST "href" substring
+  // in the tag, so `<a href="a" data-href="b">` extracted "b" and
+  // `<a data-href="x">` (no real href) extracted the phantom "x". RE2
+  // has no lookbehind, so the guard is the optional greedy
+  // `(?:[^>]*$W)?` — on backtrack it can only end at whitespace, which
+  // excludes the tail of an attribute NAME like data-href.
   private val HrefRe: String =
-    s"(?i)<a$W[^>]*href$W*=$W*[\"']?([^\"' \\t\\n\\r\\f>]+)"
+    s"(?i)<a$W(?:[^>]*$W)?href$W*=$W*[\"']?([^\"' \\t\\n\\r\\f>]+)"
   private val TitleRe: String = s"(?is)<title($W[^>]*)?>(.*?)</title$W*>"
   private val SpaceRunRe = "[ \\t]+"
   private val NlPadRe = " ?\\n ?"

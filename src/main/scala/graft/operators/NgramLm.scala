@@ -60,15 +60,19 @@ object NgramLm {
         s"NgramLm.Model: malformed entry ('$g', $c)")
     }
 
-    /** Executable form (one plan reference object; built once). */
-    @transient lazy val table: java.util.HashMap[String, java.lang.Long] = {
+    /** Executable form (one plan reference object; built once). The
+      * [[graft.functions.LmTable]] holder keeps expression equals/
+      * hashCode identity-based — a raw HashMap field would make Catalyst
+      * planning traverse the whole model per comparison.
+      */
+    @transient lazy val table: graft.functions.LmTable = {
       val m = new java.util.HashMap[String, java.lang.Long](grams.length * 2)
       grams.foreach { case (g, c) =>
         val prev = m.put(g, java.lang.Long.valueOf(c))
         require(prev == null,
           s"NgramLm.Model: duplicate gram '$g' — counts would be ambiguous")
       }
-      m
+      new graft.functions.LmTable(m)
     }
   }
 

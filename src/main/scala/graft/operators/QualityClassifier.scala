@@ -126,7 +126,11 @@ object QualityClassifier {
       .getOrElse(throw new IllegalArgumentException(
         s"QualityClassifier.readModel: meta at $path lacks a tokenizer " +
           s"tag: $txt"))
-    val bias = IndexLifecycle.longField(txt, "bias_micro").getOrElse(0L)
+    // loud like every sibling field: a silently-defaulted bias would
+    // shift EVERY logit and mis-gate documents with no error signal
+    val bias = IndexLifecycle.longField(txt, "bias_micro")
+      .getOrElse(throw new IllegalArgumentException(
+        s"QualityClassifier.readModel: meta at $path lacks bias_micro: $txt"))
     val rows = spark.read.parquet(path).select("bucket", "w_micro").collect()
     require(rows.length == buckets,
       s"QualityClassifier.readModel: $path has ${rows.length} bucket rows, " +

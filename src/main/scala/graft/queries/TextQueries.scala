@@ -2042,7 +2042,10 @@ object TextQueries {
   private[queries] val ClfWeightSqlOf: String => String =
     b => s"((($b) * 2654435761 + 12345) % 2000001) - 1000000"
 
-  private[queries] lazy val ClfModel: graft.operators.QualityClassifier.Model =
+  // private[graft], not [queries]: the rehearsal timer drives the SAME
+  // model — a re-derived copy of the formula there would silently
+  // desynchronize its classifier-gate stage from the oracle-locked one
+  private[graft] lazy val ClfModel: graft.operators.QualityClassifier.Model =
     graft.operators.QualityClassifier.Model(ClfBuckets,
       graft.operators.Tokenizer.Ascii.tag, ClfBiasMicro,
       Array.tabulate(ClfBuckets)(b => clfWeightMicro(b.toLong)))

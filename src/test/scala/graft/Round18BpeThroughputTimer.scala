@@ -68,15 +68,39 @@ object Round18BpeThroughputTimer {
         Dsir.Model(8192, Tokenizer.Ascii.tag, 1.0, Array.fill(8192)(1L)))
       .agg(sum("dsir_weight_q")).collect()(0).getLong(0))
 
-    // memo-defeating corpus: every word unique per doc (id-suffixed)
+    // memo-defeating corpus: EVERY word gets a per-doc suffix, so the
+    // distinct-word population per task (~docs/task × words/doc ≈ 10⁶)
+    // dwarfs the 2^16 memo and the merge loop runs cold for nearly every
+    // word. (The first version of this leg salted ONE word per doc
+    // between the untouched originals — the originals stayed memoized
+    // and the salt memo-hit after its first occurrence, so the "cold"
+    // number was actually warm; review round 18.) The suffix also
+    // lengthens every word by ~7 chars, which biases AGAINST the kernel
+    // — acceptable for a worst-case bound.
     val cold = corpus.select(col("doc_id"),
-      regexp_replace(col("text"), lit(" "),
-        concat(lit(" u"), pmod(col("doc_id"), lit(99991)), lit("q "))).as("text"))
+      regexp_replace(col("text"), lit("([a-z0-9]+)"),
+        concat(lit("$1u"), pmod(col("doc_id"), lit(999983)))).as("text"))
       .localCheckpoint(true)
     cold.count()
-    t("bpe_count COLD words")(cold
-      .select(Bpe.tokenCount(col("text"), model).as("n"))
-      .agg(sum("n")).collect()(0).getLong(0))
+    val coldDistinct = cold
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(approx_count_distinct(col("w"))).collect()(0).getLong(0)
+    val coldChars = cold.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val t0c = System.nanoTime()
+    val vc = cold.select(Bpe.tokenCount(col("text"), model).as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val sc = (System.nanoTime() - t0c) / 1e9
+    println(f"[r18bpe] R=$r bpe_count COLD words     ${sc}%6.2f s  " +
+      f"${coldChars / sc / 1e6}%8.1f MB/s  (result $vc; " +
+      f"~$coldDistinct distinct words, chars=$coldChars)")
+    // the whitespace floor on the SAME grown corpus, for a like-for-like
+    // cold ratio
+    val t0w = System.nanoTime()
+    val vw = cold.select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect()(0).getLong(0)
+    val sw = (System.nanoTime() - t0w) / 1e9
+    println(f"[r18bpe] R=$r ws_count COLD corpus     ${sw}%6.2f s  " +
+      f"${coldChars / sw / 1e6}%8.1f MB/s  (result $vw)")
 
     println(s"[r18bpe] R=$r docs=$nDocs chars=$chars")
     spark.stop()

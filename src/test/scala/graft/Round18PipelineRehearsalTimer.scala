@@ -148,9 +148,9 @@ object Round18PipelineRehearsalTimer {
       Decontaminate.cleanByOverlap(s4, bench, "doc_id", "text",
         maxOverlapPpm = 200000L, n = 3))
 
-    // 6. learned classifier gate (map-side logit >= 0; formula weights)
-    val clf = QualityClassifier.Model(4096, Tokenizer.Ascii.tag, 250000L,
-      Array.tabulate(4096)(b => ((b * 2654435761L + 12345L) % 2000001L) - 1000000L))
+    // 6. learned classifier gate (map-side logit >= 0) — the ONE shared
+    // oracle-locked model, not a re-derived copy of its formula
+    val clf = graft.queries.TextQueries.ClfModel
     val s6 = stage("clf_gate",
       QualityClassifier.filterByScore(s5, "text", clf, thresholdMicro = 0L)
         .select("doc_id", "text", "source"))

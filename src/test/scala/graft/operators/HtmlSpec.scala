@@ -65,6 +65,13 @@ class HtmlSpec extends SparkSpec {
     // attribute order tolerated; non-anchor tags ignored
     assert(links("<a class=\"x\" href=\"u1\">t</a><link href=\"u2\">")
       === Seq("u1"))
+    // attribute NAMES merely ending in "href" must not match: the real
+    // href wins regardless of order, and a tag with ONLY data-href
+    // yields no link (the pre-fix pattern extracted "b" and a phantom
+    // "x" here via greedy backtrack onto the data-href substring)
+    assert(links("<a href=\"a\" data-href=\"b\">t</a>") === Seq("a"))
+    assert(links("<a data-href=\"b\" href=\"a\">t</a>") === Seq("a"))
+    assert(links("<a data-href=\"x\">t</a>") === Seq.empty)
   }
 
   test("title: first occurrence, entities decoded, whitespace folded, absent -> empty") {

@@ -79,6 +79,18 @@ class QualityClassifierSpec extends SparkSpec {
       .collect()(0).getLong(0) ===
       QualityClassifier.score(t, "t", model).select("clf_logit_q")
         .collect()(0).getLong(0))
+    // a meta missing bias_micro must FAIL, not silently shift every logit
+    val metaPath = new java.io.File(dir, "_graft_clf_model_meta.json")
+    val metaTxt = new String(
+      java.nio.file.Files.readAllBytes(metaPath.toPath), "UTF-8")
+    java.nio.file.Files.write(metaPath.toPath,
+      metaTxt.replaceAll(""""bias_micro":\s*-?\d+,\s*""", "").getBytes("UTF-8"))
+    // drop the Hadoop local-FS checksum sidecar the out-of-band edit broke
+    new java.io.File(dir, "._graft_clf_model_meta.json.crc").delete()
+    val e = intercept[IllegalArgumentException] {
+      QualityClassifier.readModel(spark, dir)
+    }
+    assert(e.getMessage.contains("bias_micro"))
   }
 
   test("guards stay loud: fresh columns, weight-length and bucket bounds") {
