@@ -52,6 +52,87 @@ object DsirScoreKernel {
   }
 }
 
+/** K-class variant: ONE tokenize+hash pass scores K hashed-gram linear
+  * models at once (weights flattened row-major, K×buckets; per-class
+  * biases seed the sums), returning the K logits as a primitive long
+  * array. Each gram's bucket is computed ONCE and charged to every
+  * class — K separate [[DsirScoreKernel.score]] calls would re-tokenize
+  * and re-hash the document K times. This is the fastText-style
+  * language-ID / multi-label routing shape (CCNet's LID stage): the
+  * caller argmaxes the array. Per the round-18 fusion lesson
+  * ([[NgramLmScoreCount]]): alias the expression to its own column
+  * before consuming it more than once.
+  */
+object DsirScoreMultiKernel {
+  def scoreMulti(text: UTF8String, tag: String, buckets: Int, k: Int,
+      wFlat: Array[Long],
+      biasMicro: Array[Long]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = MinHashSigKernels.tokens(text, tag)
+    val sums = java.util.Arrays.copyOf(biasMicro, k)
+    var i = 0
+    while (i < toks.length) {
+      val b1 = (Md5Prefix32.hash(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        % buckets).toInt
+      var c = 0
+      while (c < k) { sums(c) += wFlat(c * buckets + b1); c += 1 }
+      if (i + 1 < toks.length) {
+        val bi = toks(i) + " " + toks(i + 1)
+        val b2 = (Md5Prefix32.hash(
+          bi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          % buckets).toInt
+        c = 0
+        while (c < k) { sums(c) += wFlat(c * buckets + b2); c += 1 }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sums)
+  }
+}
+
+case class DsirScoreMulti(child: Expression, tokenizerTag: String,
+    buckets: Int, k: Int, wFlat: Array[Long], biasMicro: Array[Long])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      if (k < 1) TypeCheckResult.TypeCheckFailure(
+        s"dsir_score_multi: k must be >= 1, got $k")
+      else if (wFlat.length != k * buckets) TypeCheckResult.TypeCheckFailure(
+        s"dsir_score_multi: wFlat has ${wFlat.length} entries for " +
+          s"$k × $buckets")
+      else if (biasMicro.length != k) TypeCheckResult.TypeCheckFailure(
+        s"dsir_score_multi: ${biasMicro.length} biases for $k classes")
+      else TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"dsir_score_multi requires a string input, got $t")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_score_multi"
+
+  protected override def nullSafeEval(v: Any): Any =
+    DsirScoreMultiKernel.scoreMulti(v.asInstanceOf[UTF8String], tokenizerTag,
+      buckets, k, wFlat, biasMicro)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tagRef = ctx.addReferenceObj("tokTag", tokenizerTag, "java.lang.String")
+    val wRef = ctx.addReferenceObj("wFlat", wFlat, "long[]")
+    val bRef = ctx.addReferenceObj("biasMicro", biasMicro, "long[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+        |${ev.value} = graft.functions.DsirScoreMultiKernel.scoreMulti($v,
+        |  $tagRef, $buckets, $k, $wRef, $bRef);
+      """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DsirScoreMulti =
+    copy(child = newChild)
+}
+
 case class DsirScore(child: Expression, tokenizerTag: String, buckets: Int,
     lrMicro: Array[Long]) extends UnaryExpression {
 
@@ -93,4 +174,9 @@ object DsirScore {
       lrMicro: Array[Long]): Column =
     ColumnBridge.column(DsirScore(ColumnBridge.expression(text), tokenizerTag,
       buckets, lrMicro))
+
+  def dsirScoreMulti(text: Column, tokenizerTag: String, buckets: Int,
+      k: Int, wFlat: Array[Long], biasMicro: Array[Long]): Column =
+    ColumnBridge.column(DsirScoreMulti(ColumnBridge.expression(text),
+      tokenizerTag, buckets, k, wFlat, biasMicro))
 }

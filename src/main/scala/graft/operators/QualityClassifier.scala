@@ -93,6 +93,65 @@ object QualityClassifier {
     score(df, textCol, model, scoreCol)
       .where(col(scoreCol) >= thresholdMicro)
 
+  /** Multi-class inference — the fastText-style language-ID / routing
+    * stage (CCNet runs LID over every crawl document before anything
+    * else): K per-class linear models over the SAME hashed-gram feature
+    * rule, scored by ONE fused kernel pass
+    * ([[graft.functions.DsirScoreMulti]] — each gram tokenizes and
+    * hashes once and is charged to every class; K separate [[score]]
+    * calls would re-tokenize the document K times). Output: the winning
+    * label and its logit. Ties break to the FIRST model in `models`
+    * (lowest index — the pinned rule both engines replay via
+    * first-position-of-max / ordered CASE). NULL/empty text argmaxes
+    * the biases alone (no grams, empty evidence — the [[score]] rule).
+    *
+    * Per-class models train independently (e.g. [[fromDsir]] one-vs-rest
+    * per language) and persist individually via [[writeModel]]. Scale
+    * shape: one map-side projection, zero shuffle; the K×buckets weight
+    * matrix rides the plan as one reference object (K languages ×
+    * 2^20 max buckets — a few MB for the ~200-language fastText range
+    * at typical bucket counts).
+    */
+  def classifyMulti(df: DataFrame, textCol: String,
+      models: Seq[(String, Model)], labelCol: String = "clf_label",
+      logitCol: String = "clf_logit_q"): DataFrame = {
+    require(models.size >= 2,
+      s"QualityClassifier.classifyMulti: need >= 2 classes, got ${models.size}")
+    val labels = models.map(_._1)
+    require(labels.distinct.size == labels.size,
+      s"QualityClassifier.classifyMulti: duplicate labels in " +
+        labels.mkString("[", ", ", "]"))
+    val head = models.head._2
+    models.foreach { case (l, m) =>
+      require(m.buckets == head.buckets && m.tokenizerTag == head.tokenizerTag,
+        s"QualityClassifier.classifyMulti: class '$l' has feature rule " +
+          s"(${m.buckets}, ${m.tokenizerTag}) but '${labels.head}' has " +
+          s"(${head.buckets}, ${head.tokenizerTag}) — all classes must " +
+          "share ONE rule (one tokenize+hash pass scores them all)")
+    }
+    Seq(labelCol, logitCol, "__mc").foreach { c =>
+      require(!df.columns.contains(c),
+        s"QualityClassifier.classifyMulti: input already has a '$c' " +
+          "column; rename it first")
+    }
+    val k = models.size
+    val wFlat = new Array[Long](k * head.buckets)
+    models.zipWithIndex.foreach { case ((_, m), c) =>
+      System.arraycopy(m.wMicro, 0, wFlat, c * head.buckets, head.buckets)
+    }
+    val biases = models.map(_._2.biasMicro).toArray
+    // alias-anchored (the round-18 fusion lesson): consumed thrice below
+    val fused = coalesce(
+      DsirScore.dsirScoreMulti(col(textCol), head.tokenizerTag, head.buckets,
+        k, wFlat, biases),
+      array(biases.toIndexedSeq.map(lit(_)): _*))
+    df.withColumn("__mc", fused)
+      .withColumn(logitCol, array_max(col("__mc")))
+      .withColumn(labelCol, element_at(typedlit(labels),
+        array_position(col("__mc"), array_max(col("__mc"))).cast("int")))
+      .drop("__mc")
+  }
+
   // ---- model persistence (one tiny parquet + the shared meta file) ----
 
   private val MetaFileName = "_graft_clf_model_meta.json"

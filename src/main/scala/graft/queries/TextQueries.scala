@@ -2050,6 +2050,22 @@ object TextQueries {
       graft.operators.Tokenizer.Ascii.tag, ClfBiasMicro,
       Array.tabulate(ClfBuckets)(b => clfWeightMicro(b.toLong)))
 
+  /** The q_lang_classifier multi-class fixture: 3 language models over
+    * the SAME feature rule, weights from the one formula at per-class
+    * bucket shifts (`clfWeightMicro(b + c·7919)`), distinct biases. ONE
+    * definition drives the Spark model seq and the SQL mirror.
+    */
+  private[graft] val ClfMultiShift = 7919L
+  private[graft] val ClfMultiBias = Array(250000L, -130000L, 40000L)
+  private[graft] val ClfMultiLabels = Seq("en", "de", "fr")
+  private[graft] lazy val ClfMultiModels
+      : Seq[(String, graft.operators.QualityClassifier.Model)] =
+    ClfMultiLabels.zipWithIndex.map { case (lbl, c) =>
+      lbl -> graft.operators.QualityClassifier.Model(ClfBuckets,
+        graft.operators.Tokenizer.Ascii.tag, ClfMultiBias(c),
+        Array.tabulate(ClfBuckets)(b => clfWeightMicro(b + c * ClfMultiShift)))
+    }
+
   /** The classifier scoring rule as oracle CTEs over a caller-supplied
     * `(doc_id, text-expr)` relation: grams (unigrams ∪ bigrams, ascii
     * rule) → md5 bucket → formula weight → integer sum. Ends in
@@ -2089,8 +2105,40 @@ object TextQueries {
       .select(col("doc_id"), col("clf_logit_q"), col("clf_keep"))
   }
 
+  /** Multi-class learned language-ID ([[graft.operators.QualityClassifier
+    * .classifyMulti]] — the fastText-LID stage CCNet runs first): 3
+    * formula-weight language models scored by ONE fused kernel pass,
+    * argmax with the lowest-index tie-break. The oracle recomputes all
+    * three logits from the shared bucket CTE (the gram hashes once,
+    * exactly like the kernel) and replays the tie-break as an ordered
+    * CASE; logits AND labels hash-match per document.
+    */
+  val qLangClassifier = q(
+    "q_lang_classifier", {
+      def w(shift: Long) =
+        s"sum(${ClfWeightSqlOf(s"b + $shift")})"
+      s"WITH clfsrc AS (SELECT doc_id, text FROM documents), " +
+        s"clfg AS (SELECT doc_id, (${hash32Sql("g")} % $ClfBuckets) AS b FROM " +
+        s"(SELECT doc_id, unnest(list_concat(${tokensSqlCol("text")}, " +
+        s"${ngramsSqlCol("text", 2)})) AS g FROM clfsrc)), " +
+        s"mlg AS (SELECT doc_id, ${w(0L)} AS s0, ${w(ClfMultiShift)} AS s1, " +
+        s"${w(2 * ClfMultiShift)} AS s2 FROM clfg GROUP BY 1) " +
+        s"SELECT doc_id, CASE WHEN l0 >= l1 AND l0 >= l2 THEN " +
+        s"'${ClfMultiLabels(0)}' WHEN l1 >= l2 THEN '${ClfMultiLabels(1)}' " +
+        s"ELSE '${ClfMultiLabels(2)}' END AS clf_label, " +
+        "CAST(greatest(l0, l1, l2) AS BIGINT) AS clf_logit_q FROM " +
+        s"(SELECT d.doc_id, ${ClfMultiBias(0)} + coalesce(s0, 0) AS l0, " +
+        s"${ClfMultiBias(1)} + coalesce(s1, 0) AS l1, " +
+        s"${ClfMultiBias(2)} + coalesce(s2, 0) AS l2 " +
+        "FROM documents d LEFT JOIN mlg USING (doc_id))"
+    }) { (s, d) =>
+    graft.operators.QualityClassifier.classifyMulti(
+      Tables.documents(s, d), "text", ClfMultiModels)
+      .select(col("doc_id"), col("clf_label"), col("clf_logit_q"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
-    qQualityGopher, qC4Clean, qQualityClassifier,
+    qQualityGopher, qC4Clean, qQualityClassifier, qLangClassifier,
     qDedupExact, qDedupFingerprint, qDedupSurvivors, qDedupFpSurvivors,
     qMinhashSig, qDedupMinhash, qDedupMinhashUnicode, qDedupNear, qDedupNearBest,
     qDedupIncremental, qDedupIncremental2,

@@ -631,6 +631,19 @@ class PlanSpec extends SparkSpec {
       "column pruning lost:\n" + p.take(2500))
   }
 
+  test("q_lang_classifier: K-class LID is ONE map-side kernel pass — no shuffle, no join, pruned scan") {
+    val p = plan("q_lang_classifier")
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      "multi-class scoring must stay map-side (the K×buckets weight " +
+        "matrix rides the plan as a reference object):\n" + p.take(2000))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "column pruning lost:\n" + p.take(2500))
+    // the fused array is consumed via its alias — exactly one kernel call
+    assert("dsir_score_multi".r.findAllIn(p).size <= 2, // tree + detail line
+      "the fused kernel must appear once, not re-inlined per consumer:\n" +
+        p.take(2500))
+  }
+
   test("q_bpe_tokens: the fused encode kernel is one map-side projection — no shuffle, no join, pruned scan") {
     val p = plan("q_bpe_tokens")
     assert(!p.contains("Exchange") && !p.contains("Join"),

@@ -111,4 +111,64 @@ class QualityClassifierSpec extends SparkSpec {
         Array.fill((1 << 20) + 1)(0L))
     }
   }
+
+  private val multi = Seq(
+    "a" -> model,
+    "b" -> QualityClassifier.Model(64, Tokenizer.Ascii.tag, -500L,
+      Array.tabulate(64)(b => (131 - b * 11).toLong)),
+    "c" -> QualityClassifier.Model(64, Tokenizer.Ascii.tag, 2000L,
+      Array.tabulate(64)(b => ((b * b) % 97 - 48).toLong)))
+
+  test("classifyMulti: fused kernel agrees with K independent score() passes") {
+    val docs = Seq((1L, "the table scan runs fast"), (2L, ""),
+      (3L, "zip zap"), (4L, "a b c d e f g h i j k")).toDF("id", "t")
+    val fused = QualityClassifier.classifyMulti(docs, "t", multi)
+      .select("id", "clf_label", "clf_logit_q").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // reference: score each class independently, argmax with
+    // lowest-index tie-break
+    val perClass = multi.map { case (lbl, m) =>
+      lbl -> QualityClassifier.score(docs, "t", m)
+        .select("id", "clf_logit_q").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    docs.select("id").collect().map(_.getLong(0)).foreach { id =>
+      val logits = perClass.map { case (lbl, byId) => (lbl, byId(id)) }
+      val best = logits.maxBy(_._2)._2
+      val expect = logits.find(_._2 == best).get
+      assert(fused(id) === expect, s"doc $id")
+    }
+  }
+
+  test("classifyMulti: ties break to the FIRST class; NULL text argmaxes the biases") {
+    val docs = Seq((1L, "same same")).toDF("id", "t")
+    val tied = QualityClassifier.classifyMulti(docs, "t",
+      Seq("first" -> model, "second" -> model))
+      .select("clf_label").collect()(0).getString(0)
+    assert(tied === "first")
+    val nullRow = QualityClassifier.classifyMulti(
+      Seq[(Long, Option[String])]((9L, None)).toDF("id", "t"), "t", multi)
+      .select("clf_label", "clf_logit_q").collect()(0)
+    assert(nullRow.getString(0) === "c" && nullRow.getLong(1) === 2000L)
+  }
+
+  test("classifyMulti guards: class count, duplicate labels, rule mismatch, stale columns") {
+    val docs = Seq((1L, "x")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      QualityClassifier.classifyMulti(docs, "t", Seq("only" -> model))
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.classifyMulti(docs, "t",
+        Seq("a" -> model, "a" -> multi(1)._2))
+    }
+    intercept[IllegalArgumentException] { // bucket-count mismatch
+      QualityClassifier.classifyMulti(docs, "t", Seq("a" -> model,
+        "b" -> QualityClassifier.Model(32, Tokenizer.Ascii.tag, 0L,
+          Array.fill(32)(0L))))
+    }
+    intercept[IllegalArgumentException] {
+      QualityClassifier.classifyMulti(
+        docs.withColumn("clf_label", lit("x")), "t", multi)
+    }
+  }
 }
