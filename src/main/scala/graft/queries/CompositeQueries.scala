@@ -752,9 +752,93 @@ object CompositeQueries {
       .select("doc_id", "source", "n_tokens", "copies")
   }
 
+  /** The 2024-era model-driven curation flow — the round-18 learned
+    * stages composed into ONE value-checked plan: multi-class LID gate
+    * (keep docs the fused K-class kernel labels 'en') → n-gram-LM
+    * perplexity gate (English-fitted stupid-backoff trigram model, keep
+    * per-token NLL ≤ 4.0 in micro-units — an ABSOLUTE gate, so no
+    * window; the bucketed form is `q_lm_ppl_buckets`) → embedding-space
+    * cluster balance (join survivors to their vectors, nearest-of-8
+    * centroid assignment, ≤ 8 per cluster by the deterministic
+    * hash-rank rule). Every stage reuses its standalone oracle mirror
+    * ([[TextQueries.clfMultiCtes]] / [[LmQueries.lmCtesOver]] / the
+    * `q_cluster_balanced` window SQL), so a drift in ANY stage breaks
+    * the hash.
+    *
+    * Scale anatomy: stages 1–2 are map-side projections (models as plan
+    * reference objects); the vector join is keyed on the id both tables
+    * share (co-partitioned at production scale, broadcast at this SF);
+    * the cap's window is the ONE added shuffle.
+    */
+  // declared BEFORE the query val: the SQL string interpolates these at
+  // object init, and a forward val reference would silently embed 0
+  private val Pipeline7NllGate = 4000000L
+  private val Pipeline7Cap = 8
+
+  val qCurationPipeline7 = q(
+    "q_curation_pipeline7", {
+      val cosCE = s"${VectorQueries.dotSql("embedding", "ce")} / " +
+        s"(${VectorQueries.normSql("embedding")} * ${VectorQueries.normSql("ce")})"
+      s"WITH ${TextQueries.clfMultiCtes("SELECT doc_id, text FROM documents")}, " +
+        "lid AS (SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN mlab USING (doc_id) WHERE clf_label = 'en'), " +
+        LmQueries.lmCtesOver(
+          "SELECT text FROM documents WHERE lang = 'en'",
+          "SELECT doc_id, text FROM lid") + ", " +
+        "nl AS (SELECT sc.doc_id, CASE WHEN len(dt.tk) = 0 THEN NULL " +
+        "ELSE (-lm_logprob_q) // len(dt.tk) END AS nll " +
+        "FROM sc JOIN dt USING (doc_id)), " +
+        s"ppl AS (SELECT doc_id, nll FROM nl WHERE nll IS NOT NULL AND " +
+        s"nll <= $Pipeline7NllGate), " +
+        "cc AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings " +
+        "WHERE vec_id < 8), " +
+        "asg AS (SELECT doc_id, cid, cos FROM (SELECT p.doc_id, cid, " +
+        s"$cosCE AS cos, row_number() OVER (PARTITION BY p.doc_id ORDER BY " +
+        s"$cosCE DESC, cid) AS rn FROM ppl p " +
+        "JOIN embeddings e ON e.vec_id = p.doc_id, cc WHERE e.vec_id >= 8) " +
+        "WHERE rn = 1) " +
+        "SELECT doc_id, cid AS centroid_id, nll AS lm_nll_per_tok_q FROM " +
+        "(SELECT a.doc_id, cid, p.nll, row_number() OVER (PARTITION BY cid " +
+        s"ORDER BY (${TextQueries.hash32Sql("CAST(a.doc_id AS VARCHAR)")} " +
+        "% 1000), a.doc_id) AS kr FROM asg a JOIN ppl p USING (doc_id)) " +
+        s"WHERE kr <= $Pipeline7Cap"
+    }) { (s, d) =>
+    curationPipeline7(s, Tables.documents(s, d), Tables.embeddings(s, d))
+  }
+
+  /** The `q_curation_pipeline7` flow as a reusable function. */
+  def curationPipeline7(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, emb: DataFrame): DataFrame = {
+    import graft.operators.{NgramLm, QualityClassifier, Sampling, Similarity}
+    // stage 1: multi-class LID gate (one fused kernel pass, map-side)
+    val s1 = QualityClassifier.classifyMulti(docs, "text",
+        TextQueries.ClfMultiModels)
+      .where(col("clf_label") === TextQueries.ClfMultiLabels.head)
+      .select("doc_id", "text")
+    // stage 2: LM perplexity gate — English-fitted reference model (the
+    // CCNet shape: the reference corpus is independent of the gate),
+    // absolute integer NLL threshold so the stage stays a projection;
+    // fit constants shared with the standalone q_lm_* entries
+    val model = NgramLm.fit(docs.filter(col("lang") === "en"), "text",
+      n = LmQueries.N, minCount = LmQueries.MinCount)
+    val s2 = NgramLm.scoreWithNll(s1, "text", model)
+      .where(col("lm_nll_per_tok_q").isNotNull &&
+        col("lm_nll_per_tok_q") <= Pipeline7NllGate)
+      .select("doc_id", "lm_nll_per_tok_q")
+    // stage 3: embedding cluster balance over the survivors
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val joined = s2.join(
+      emb.filter(col("vec_id") >= 8).withColumnRenamed("vec_id", "doc_id"),
+      Seq("doc_id"))
+    Sampling.clusterBalancedCap(joined, "doc_id", "embedding", cents,
+        Pipeline7Cap)
+      .select("doc_id", "centroid_id", "lm_nll_per_tok_q")
+  }
+
   val all: Seq[GraftQuery] = Seq(q3Shipping, q5Region, q10Returns, qPivot,
     qSaltedAgg, qSaltedJoin, q14Promo, q18Large, q9Profit, q12Priority,
     q4PriorityExists, q13Custdist, q17SmallQty, q11Important,
     qCurationPipeline2, qCurationPipeline3, qCurationPipeline4,
-    qCurationPipeline5, qCurationPipeline6)
+    qCurationPipeline5, qCurationPipeline6, qCurationPipeline7)
 }

@@ -27,8 +27,8 @@ import GraftQuery.q
   */
 object LmQueries {
 
-  private val N = 3
-  private val MinCount = 2L
+  private[queries] val N = 3
+  private[queries] val MinCount = 2L
   private val Penalty = NgramLmKernel.AlphaPenaltyMicro // -916291
 
   /** Grams of order `o` over a token-list SQL expression `tk` (the
@@ -88,11 +88,11 @@ object LmQueries {
   /** The q_lm_* corpora: fit = English documents (CCNet's clean
     * reference role), score = every document.
     */
-  private val lmCtes: String = lmCtesOver(
+  private[queries] val lmCtes: String = lmCtesOver(
     "SELECT text FROM documents WHERE lang = 'en'",
     "SELECT doc_id, text FROM documents")
 
-  private def fitModel(s: org.apache.spark.sql.SparkSession,
+  private[queries] def fitModel(s: org.apache.spark.sql.SparkSession,
       d: String): NgramLm.Model =
     NgramLm.fit(Tables.documents(s, d).filter(col("lang") === "en"), "text",
       n = N, tokenizer = Tokenizer.Ascii, minCount = MinCount)

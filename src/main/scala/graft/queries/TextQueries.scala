@@ -2113,25 +2113,35 @@ object TextQueries {
     * exactly like the kernel) and replays the tie-break as an ordered
     * CASE; logits AND labels hash-match per document.
     */
+  /** The multi-class scoring + argmax rule as oracle CTEs over a
+    * caller-supplied `(doc_id, text)` relation — ends in
+    * `mlab(doc_id, clf_label, clf_logit_q)` with the ordered-CASE
+    * tie-break (first max = lowest class index, the
+    * [[graft.operators.QualityClassifier.classifyMulti]] rule). Shared
+    * by `q_lang_classifier` and `q_curation_pipeline7`.
+    */
+  private[queries] def clfMultiCtes(docSql: String): String = {
+    def w(shift: Long) = s"sum(${ClfWeightSqlOf(s"b + $shift")})"
+    s"mcsrc AS ($docSql), " +
+      s"mcg AS (SELECT doc_id, (${hash32Sql("g")} % $ClfBuckets) AS b FROM " +
+      s"(SELECT doc_id, unnest(list_concat(${tokensSqlCol("text")}, " +
+      s"${ngramsSqlCol("text", 2)})) AS g FROM mcsrc)), " +
+      s"mlg AS (SELECT doc_id, ${w(0L)} AS s0, ${w(ClfMultiShift)} AS s1, " +
+      s"${w(2 * ClfMultiShift)} AS s2 FROM mcg GROUP BY 1), " +
+      s"mlab AS (SELECT doc_id, CASE WHEN l0 >= l1 AND l0 >= l2 THEN " +
+      s"'${ClfMultiLabels(0)}' WHEN l1 >= l2 THEN '${ClfMultiLabels(1)}' " +
+      s"ELSE '${ClfMultiLabels(2)}' END AS clf_label, " +
+      "CAST(greatest(l0, l1, l2) AS BIGINT) AS clf_logit_q FROM " +
+      s"(SELECT m.doc_id, ${ClfMultiBias(0)} + coalesce(s0, 0) AS l0, " +
+      s"${ClfMultiBias(1)} + coalesce(s1, 0) AS l1, " +
+      s"${ClfMultiBias(2)} + coalesce(s2, 0) AS l2 " +
+      "FROM mcsrc m LEFT JOIN mlg USING (doc_id)))"
+  }
+
   val qLangClassifier = q(
-    "q_lang_classifier", {
-      def w(shift: Long) =
-        s"sum(${ClfWeightSqlOf(s"b + $shift")})"
-      s"WITH clfsrc AS (SELECT doc_id, text FROM documents), " +
-        s"clfg AS (SELECT doc_id, (${hash32Sql("g")} % $ClfBuckets) AS b FROM " +
-        s"(SELECT doc_id, unnest(list_concat(${tokensSqlCol("text")}, " +
-        s"${ngramsSqlCol("text", 2)})) AS g FROM clfsrc)), " +
-        s"mlg AS (SELECT doc_id, ${w(0L)} AS s0, ${w(ClfMultiShift)} AS s1, " +
-        s"${w(2 * ClfMultiShift)} AS s2 FROM clfg GROUP BY 1) " +
-        s"SELECT doc_id, CASE WHEN l0 >= l1 AND l0 >= l2 THEN " +
-        s"'${ClfMultiLabels(0)}' WHEN l1 >= l2 THEN '${ClfMultiLabels(1)}' " +
-        s"ELSE '${ClfMultiLabels(2)}' END AS clf_label, " +
-        "CAST(greatest(l0, l1, l2) AS BIGINT) AS clf_logit_q FROM " +
-        s"(SELECT d.doc_id, ${ClfMultiBias(0)} + coalesce(s0, 0) AS l0, " +
-        s"${ClfMultiBias(1)} + coalesce(s1, 0) AS l1, " +
-        s"${ClfMultiBias(2)} + coalesce(s2, 0) AS l2 " +
-        "FROM documents d LEFT JOIN mlg USING (doc_id))"
-    }) { (s, d) =>
+    "q_lang_classifier",
+    s"WITH ${clfMultiCtes("SELECT doc_id, text FROM documents")} " +
+      "SELECT doc_id, clf_label, clf_logit_q FROM mlab") { (s, d) =>
     graft.operators.QualityClassifier.classifyMulti(
       Tables.documents(s, d), "text", ClfMultiModels)
       .select(col("doc_id"), col("clf_label"), col("clf_logit_q"))

@@ -622,6 +622,19 @@ class PlanSpec extends SparkSpec {
       "rank and count windows must share one shuffle:\n" + p.take(2500))
   }
 
+  test("q_curation_pipeline7: LID + LM gates stay projections; the vector join broadcasts; the cap adds the ONE hash exchange") {
+    val p = plan("q_curation_pipeline7")
+    // both learned models ride the plan as reference objects — the only
+    // join is survivors×embeddings, broadcast at this SF (AQE re-plans
+    // co-partitioned at corpus scale)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert("""Arguments: hashpartitioning\(centroid_id""".r.findAllIn(p).size == 1
+      && """Arguments: hashpartitioning""".r.findAllIn(p).size == 1,
+      "expected exactly the cluster-cap window Exchange:\n" + p.take(2500))
+  }
+
   test("q_quality_classifier: learned-model inference is one map-side projection — no shuffle, no join, pruned scan") {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange") && !p.contains("Join"),
