@@ -53,13 +53,20 @@ object DsirScoreKernel {
 }
 
 /** K-class variant: ONE tokenize+hash pass scores K hashed-gram linear
-  * models at once (weights flattened row-major, K×buckets; per-class
-  * biases seed the sums), returning the K logits as a primitive long
-  * array. Each gram's bucket is computed ONCE and charged to every
-  * class — K separate [[DsirScoreKernel.score]] calls would re-tokenize
-  * and re-hash the document K times. This is the fastText-style
-  * language-ID / multi-label routing shape (CCNet's LID stage): the
-  * caller argmaxes the array. Per the round-18 fusion lesson
+  * models at once (per-class biases seed the sums), returning the K
+  * logits as a primitive long array. Each gram's bucket is computed
+  * ONCE and charged to every class — K separate
+  * [[DsirScoreKernel.score]] calls would re-tokenize and re-hash the
+  * document K times. This is the fastText-style language-ID /
+  * multi-label routing shape (CCNet's LID stage): the caller argmaxes
+  * the array.
+  *
+  * `wFlat` is BUCKET-MAJOR (`wFlat(b*k + c)`): the K weights a gram
+  * touches sit contiguous (~⌈K/8⌉ cache lines), so the inner class loop
+  * streams — class-major would stride `buckets` longs apart and pay up
+  * to K cache misses per gram once the matrix outgrows L2 (it does: the
+  * matrix is K×buckets×8 bytes — ~100 MB at fastText scale, 200
+  * languages × 2^16 buckets). Per the round-18 fusion lesson
   * ([[NgramLmScoreCount]]): alias the expression to its own column
   * before consuming it more than once.
   */
@@ -71,18 +78,18 @@ object DsirScoreMultiKernel {
     val sums = java.util.Arrays.copyOf(biasMicro, k)
     var i = 0
     while (i < toks.length) {
-      val b1 = (Md5Prefix32.hash(
+      val o1 = (Md5Prefix32.hash(
         toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        % buckets).toInt
+        % buckets).toInt * k
       var c = 0
-      while (c < k) { sums(c) += wFlat(c * buckets + b1); c += 1 }
+      while (c < k) { sums(c) += wFlat(o1 + c); c += 1 }
       if (i + 1 < toks.length) {
         val bi = toks(i) + " " + toks(i + 1)
-        val b2 = (Md5Prefix32.hash(
+        val o2 = (Md5Prefix32.hash(
           bi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          % buckets).toInt
+          % buckets).toInt * k
         c = 0
-        while (c < k) { sums(c) += wFlat(c * buckets + b2); c += 1 }
+        while (c < k) { sums(c) += wFlat(o2 + c); c += 1 }
       }
       i += 1
     }

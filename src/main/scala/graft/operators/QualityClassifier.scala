@@ -108,9 +108,10 @@ object QualityClassifier {
     * Per-class models train independently (e.g. [[fromDsir]] one-vs-rest
     * per language) and persist individually via [[writeModel]]. Scale
     * shape: one map-side projection, zero shuffle; the K×buckets weight
-    * matrix rides the plan as one reference object (K languages ×
-    * 2^20 max buckets — a few MB for the ~200-language fastText range
-    * at typical bucket counts).
+    * matrix rides the plan as one reference object (K·buckets·8 bytes —
+    * ~100 MB at the 200-language × 2^16-bucket fastText scale, a
+    * broadcast-sized artifact; the bucket-major layout keeps the
+    * per-gram reads contiguous at any size).
     */
   def classifyMulti(df: DataFrame, textCol: String,
       models: Seq[(String, Model)], labelCol: String = "clf_label",
@@ -135,9 +136,12 @@ object QualityClassifier {
           "column; rename it first")
     }
     val k = models.size
+    // bucket-major (wFlat(b*k + c)) so the K weights a gram touches sit
+    // contiguous — see the DsirScoreMultiKernel layout note
     val wFlat = new Array[Long](k * head.buckets)
     models.zipWithIndex.foreach { case ((_, m), c) =>
-      System.arraycopy(m.wMicro, 0, wFlat, c * head.buckets, head.buckets)
+      var b = 0
+      while (b < head.buckets) { wFlat(b * k + c) = m.wMicro(b); b += 1 }
     }
     val biases = models.map(_._2.biasMicro).toArray
     // alias-anchored (the round-18 fusion lesson): consumed thrice below
@@ -148,7 +152,7 @@ object QualityClassifier {
     df.withColumn("__mc", fused)
       .withColumn(logitCol, array_max(col("__mc")))
       .withColumn(labelCol, element_at(typedlit(labels),
-        array_position(col("__mc"), array_max(col("__mc"))).cast("int")))
+        array_position(col("__mc"), col(logitCol)).cast("int")))
       .drop("__mc")
   }
 

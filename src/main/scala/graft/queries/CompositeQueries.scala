@@ -781,12 +781,12 @@ object CompositeQueries {
         s"(${VectorQueries.normSql("embedding")} * ${VectorQueries.normSql("ce")})"
       s"WITH ${TextQueries.clfMultiCtes("SELECT doc_id, text FROM documents")}, " +
         "lid AS (SELECT d.doc_id, d.text FROM documents d " +
-        "JOIN mlab USING (doc_id) WHERE clf_label = 'en'), " +
+        "JOIN mlab USING (doc_id) WHERE clf_label = " +
+        s"'${TextQueries.ClfMultiLabels.head}'), " +
         LmQueries.lmCtesOver(
           "SELECT text FROM documents WHERE lang = 'en'",
           "SELECT doc_id, text FROM lid") + ", " +
-        "nl AS (SELECT sc.doc_id, CASE WHEN len(dt.tk) = 0 THEN NULL " +
-        "ELSE (-lm_logprob_q) // len(dt.tk) END AS nll " +
+        s"nl AS (SELECT sc.doc_id, ${LmQueries.nllExprSql} AS nll " +
         "FROM sc JOIN dt USING (doc_id)), " +
         s"ppl AS (SELECT doc_id, nll FROM nl WHERE nll IS NOT NULL AND " +
         s"nll <= $Pipeline7NllGate), " +

@@ -85,6 +85,15 @@ object LmQueries {
       "(SELECT doc_id, sum(v) AS s FROM jv GROUP BY 1) sv USING (doc_id))"
   }
 
+  /** The ONE per-token-NLL rule as SQL (over a row holding
+    * `lm_logprob_q` and the token list `tk`): integer floor division of
+    * the negated sum, NULL for zero-token docs — shared by
+    * `q_lm_ppl_buckets` and `q_curation_pipeline7` so the zero-token
+    * contract and rounding can never fork between them.
+    */
+  private[queries] val nllExprSql: String =
+    "CASE WHEN len(dt.tk) = 0 THEN NULL ELSE (-lm_logprob_q) // len(dt.tk) END"
+
   /** The q_lm_* corpora: fit = English documents (CCNet's clean
     * reference role), score = every document.
     */
@@ -115,8 +124,7 @@ object LmQueries {
   val qLmPplBuckets = q(
     "q_lm_ppl_buckets",
     s"WITH $lmCtes, " +
-      "nl AS (SELECT sc.doc_id, d.lang, CASE WHEN len(dt.tk) = 0 THEN NULL " +
-      "ELSE (-lm_logprob_q) // len(dt.tk) END AS nll " +
+      s"nl AS (SELECT sc.doc_id, d.lang, $nllExprSql AS nll " +
       "FROM sc JOIN documents d USING (doc_id) JOIN dt USING (doc_id)), " +
       // Spark ranks NULLs first and subtracts the null count; DuckDB
       // orders NULLS LAST here, so non-null ranks need no correction.

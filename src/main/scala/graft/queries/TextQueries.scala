@@ -2073,16 +2073,27 @@ object TextQueries {
     * add `ClfBiasMicro`, mirroring the Spark side's `lit(bias) + Σ`).
     * Shared with `q_curation_pipeline6`.
     */
-  private[queries] def clfCtes(docSql: String, textExpr: String): String = {
+  /** The ONE gram→bucket mirror (unnest unigrams ∪ bigrams → md5 →
+    * mod buckets), parameterized on the CTE prefix so single- and
+    * multi-class chains keep their established CTE names while sharing
+    * the rule — two hand-maintained copies would let a bucketing change
+    * split `q_quality_classifier`/pipeline6 parity from
+    * `q_lang_classifier`/pipeline7 parity.
+    */
+  private def clfBucketCtes(prefix: String, docSql: String,
+      textExpr: String): String = {
     val grams =
       s"list_concat(${tokensSqlCol(textExpr)}, ${ngramsSqlCol(textExpr, 2)})"
     val h = hash32Sql("g")
-    s"clfsrc AS ($docSql), " +
-      s"clfg AS (SELECT doc_id, ($h % $ClfBuckets) AS b FROM " +
-      s"(SELECT doc_id, unnest($grams) AS g FROM clfsrc)), " +
+    s"${prefix}src AS ($docSql), " +
+      s"${prefix}g AS (SELECT doc_id, ($h % $ClfBuckets) AS b FROM " +
+      s"(SELECT doc_id, unnest($grams) AS g FROM ${prefix}src))"
+  }
+
+  private[queries] def clfCtes(docSql: String, textExpr: String): String =
+    clfBucketCtes("clf", docSql, textExpr) + ", " +
       s"clf AS (SELECT doc_id, sum(${ClfWeightSqlOf("b")}) AS lg " +
       "FROM clfg GROUP BY 1)"
-  }
 
   /** Learned quality-classifier inference ([[graft.operators
     * .QualityClassifier]] — the FineWeb-Edu-style APPLY stage): a
@@ -2122,10 +2133,7 @@ object TextQueries {
     */
   private[queries] def clfMultiCtes(docSql: String): String = {
     def w(shift: Long) = s"sum(${ClfWeightSqlOf(s"b + $shift")})"
-    s"mcsrc AS ($docSql), " +
-      s"mcg AS (SELECT doc_id, (${hash32Sql("g")} % $ClfBuckets) AS b FROM " +
-      s"(SELECT doc_id, unnest(list_concat(${tokensSqlCol("text")}, " +
-      s"${ngramsSqlCol("text", 2)})) AS g FROM mcsrc)), " +
+    clfBucketCtes("mc", docSql, "text") + ", " +
       s"mlg AS (SELECT doc_id, ${w(0L)} AS s0, ${w(ClfMultiShift)} AS s1, " +
       s"${w(2 * ClfMultiShift)} AS s2 FROM mcg GROUP BY 1), " +
       s"mlab AS (SELECT doc_id, CASE WHEN l0 >= l1 AND l0 >= l2 THEN " +

@@ -35,12 +35,14 @@ object Round18MultiClassTimer {
     val nDocs = corpus.count()
     val chars = corpus.agg(sum(length(col("text")))).collect()(0).getLong(0)
 
-    def modelsOf(k: Int): Seq[(String, QualityClassifier.Model)] =
+    def modelsOf(k: Int): Seq[(String, QualityClassifier.Model)] = {
+      val base = graft.queries.TextQueries.ClfMultiModels.head._2
       (0 until k).map { c =>
-        s"c$c" -> graft.queries.TextQueries.ClfMultiModels.head._2.copy(
-          biasMicro = c * 1000L,
-          wMicro = Array.tabulate(4096)(b => ((b + c * 131) % 977 - 488).toLong))
+        s"c$c" -> base.copy(biasMicro = c * 1000L,
+          wMicro = Array.tabulate(base.buckets)(
+            b => ((b + c * 131) % 977 - 488).toLong))
       }
+    }
 
     def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
