@@ -79,8 +79,17 @@ object NgramLm {
   /** Train on a reference corpus: ONE distributed gram-count aggregate
     * over all orders 1..n (tokens derive once per row; the per-order
     * gram arrays flatten into a single explode), `minCount` prunes the
-    * tail map-side-aggregated BEFORE the loudly-capped driver collect,
-    * and one cheap second aggregate takes the unpruned token total.
+    * tail map-side-aggregated BEFORE the loudly-capped driver collect.
+    *
+    * The unpruned token total rides the SAME action (r18): each token
+    * also emits one SENTINEL gram (the empty string — unreachable by any
+    * real gram, since tokens are non-empty and n-grams space-join them),
+    * so the sentinel's count row IS `sum(size(tokens))` and the single
+    * CollectLimit action returns model and total together. The old shape
+    * ran a second full tokenize pass over the corpus just for the total;
+    * a union-of-two-aggregates fusion was tried first and measured
+    * CPU-NEGATIVE (the in-branch limit plans a single-partition
+    * GlobalLimit instead of fusing into CollectLimit).
     */
   def fit(docs: DataFrame, textCol: String, n: Int,
       tokenizer: Tokenizer = Tokenizer.Ascii,
@@ -89,24 +98,27 @@ object NgramLm {
     require(minCount >= 1, s"NgramLm.fit: minCount must be >= 1, got $minCount")
     require(maxEntries > 0, s"NgramLm.fit: maxEntries must be > 0")
     val toks = tokenizer.column(col(textCol))
-    val allGrams = flatten(array((1 to n).map(o =>
-      graft.queries.TextQueries.ngramsOfTokens(toks, o)): _*))
+    val allGrams = concat(
+      flatten(array((1 to n).map(o =>
+        graft.queries.TextQueries.ngramsOfTokens(toks, o)): _*)),
+      array_repeat(lit(""), size(toks))) // sentinel: one "" per token
     val rows = docs
       .select(explode(allGrams).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount)
-      .limit(maxEntries + 1)
+      // the sentinel row must survive even when minCount would prune it
+      .filter(col("__c") >= minCount || col("__g") === "")
+      .limit(maxEntries + 2) // grams cap + the sentinel row
       .collect()
-    require(rows.length <= maxEntries,
+    val (totRows, gramRows) = rows.partition(_.getString(0).isEmpty)
+    require(gramRows.length <= maxEntries,
       s"NgramLm.fit: pruned gram table exceeds maxEntries=$maxEntries — " +
         "raise minCount (prune harder), lower n, fit on a thinner " +
         "reference corpus, or raise maxEntries (driver memory permitting)")
-    val total = docs.select(
-      coalesce(sum(size(toks).cast("long")), lit(0L))).head.getLong(0)
+    val total = totRows.headOption.map(_.getLong(1)).getOrElse(0L)
     require(total > 0,
       "NgramLm.fit: reference corpus has zero tokens — nothing to model")
     Model(tokenizer.tag, n, total,
-      rows.map(r => (r.getString(0), r.getLong(1))))
+      gramRows.map(r => (r.getString(0), r.getLong(1))))
   }
 
   /** Σ log-probability of `text` under `model`, integer micro-units,

@@ -262,6 +262,148 @@ object Sampling {
       .drop("__ok")
   }
 
+  // ---- in-plan mixture (no driver collect) -------------------------------
+  // [[mixtureByTokenBudget]] collects per-domain totals to the driver and
+  // bakes the copies rules into literals — which means the totals pass
+  // EXECUTES THE WHOLE UPSTREAM SUBTREE once before the final plan runs it
+  // again. Composed after an expensive derivation (the curation pipelines)
+  // that doubles the query. The in-plan form below computes totals, rules,
+  // and the per-row copies arithmetic INSIDE the returned plan: the rules
+  // frame (bounded by #domains) broadcast-joins back, the driver never
+  // touches data, and the query is ONE action end-to-end. All arithmetic
+  // mirrors the driver form on an exact integer/decimal grid (DECIMAL(38,0)
+  // where budget×ppm or rem×1e6 could overflow a Long), so the output rows
+  // are bit-identical to the collect form — the same values the DuckDB
+  // oracle CTEs (`SamplingQueries.mixtureCtesWith`) compute.
+  //
+  // Difference worth knowing: the collect form fails loudly when NO
+  // weighted domain has rows; the in-plan form returns an empty frame
+  // (there is no driver-side point to check without adding an action).
+
+  /** Per-domain token totals as a tiny aggregated FRAME (`__dom`,
+    * `__total`) — the in-plan analog of [[domainTokenTotals]] (same null
+    * and `total > 0` drops).
+    */
+  def domainTotalsDf(df: DataFrame, domainCol: Column,
+      tokenCountCol: Column): DataFrame =
+    df.groupBy(domainCol.as("__dom"))
+      .agg(sum(tokenCountCol.cast("long")).as("__total"))
+      .where(col("__dom").isNotNull && col("__total") > 0)
+
+  /** (budget, ppm, total) → (copies, rem_ppm) on the exact integer grid of
+    * [[mixtureByTokenBudget]]'s driver arithmetic: `target = budget·ppm/1e6`
+    * and `rem_ppm = (target mod total)·1e6/total`, both via DECIMAL(38,0)
+    * intermediates (budget×ppm and rem×1e6 overflow a Long at
+    * trillion-token budgets / petabyte domains; `div` floors like BigInt
+    * division on the non-negative operands here). Input: a frame with
+    * `__dom`, `__total`, `__ppm`; output `__dom`, `__copies`, `__rem`.
+    */
+  private def mixtureRulesFrame(weighted: DataFrame,
+      budgetTokens: Long): DataFrame =
+    weighted
+      .withColumn("__target",
+        expr(s"(CAST($budgetTokens AS DECIMAL(38,0)) * __ppm) div 1000000"))
+      .withColumn("__copies", expr("__target div __total"))
+      .withColumn("__rem",
+        expr("(CAST(__target % __total AS DECIMAL(38,0)) * 1000000) div __total"))
+      .select(col("__dom"), col("__copies"), col("__rem"))
+
+  /** Join the rules frame back and materialize `copies` (same row rule as
+    * [[mixtureByTokenBudget]]: base copies + 1 when the row's ppm bucket
+    * falls under the domain's remainder rate; rows at 0 drop). The rules
+    * side is bounded by #domains — broadcast.
+    */
+  private def applyMixtureRules(df: DataFrame, domainCol: Column,
+      idCol: Column, rules: DataFrame): DataFrame =
+    df.join(broadcast(rules), domainCol === col("__dom"))
+      .withColumn("copies",
+        col("__copies") + when(bucketPpm(idCol) < col("__rem"), 1L).otherwise(0L))
+      .where(col("copies") > 0)
+      .drop("__dom", "__copies", "__rem")
+
+  private def requireMixtureScratchFree(df: DataFrame, op: String): Unit =
+    Seq("__dom", "__total", "__ppm", "__target", "__copies", "__rem")
+      .foreach { c =>
+        require(!df.columns.contains(c),
+          s"Sampling.$op: input already has a '$c' column; rename it first " +
+            "(the in-plan mixture uses it as scratch)")
+      }
+
+  /** [[mixtureByTokenBudget]] with the totals/rules computed IN-PLAN (see
+    * the section comment). The static `weightsPpm.isin` filter is still
+    * applied directly so the domain pruning keeps pushing into the scan.
+    */
+  def mixtureByTokenBudgetInPlan(df: DataFrame, domainCol: Column,
+      idCol: Column, tokenCountCol: Column, weightsPpm: Seq[(String, Long)],
+      budgetTokens: Long): DataFrame = {
+    require(weightsPpm.nonEmpty, "mixtureByTokenBudgetInPlan: no domain weights")
+    require(weightsPpm.forall(_._2 > 0),
+      "mixtureByTokenBudgetInPlan: weights must be positive ppm values")
+    require(weightsPpm.map(_._1).distinct.size == weightsPpm.size,
+      "mixtureByTokenBudgetInPlan: duplicate domain in weightsPpm")
+    require(budgetTokens > 0, "mixtureByTokenBudgetInPlan: budgetTokens must be > 0")
+    requireMixtureScratchFree(df, "mixtureByTokenBudgetInPlan")
+    Md5Prefix32.register(df.sparkSession)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toDF("__dom", "__ppm")
+    val kept = df.where(domainCol.isin(weightsPpm.map(_._1): _*))
+    val rules = mixtureRulesFrame(
+      domainTotalsDf(kept, domainCol, tokenCountCol).join(w, "__dom"),
+      budgetTokens)
+    applyMixtureRules(kept, domainCol, idCol, rules)
+  }
+
+  /** α = 1/2 temperature weights over a [[domainTotalsDf]] frame, in-plan:
+    * the exact-integer isqrt (float sqrt then the two driver-mirrored
+    * corrections — multiply form down, division form up, matching
+    * [[isqrt]]) and largest-remainder apportionment (window over the
+    * #domains-sized frame; remainder DESC, domain name tiebreak). Output:
+    * `__dom`, `__ppm` (> 0 rows only) — bit-identical to
+    * [[sqrtTemperatureWeightsPpm]] over the collected totals.
+    */
+  private[operators] def sqrtTemperatureWeightsDf(tot: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy() // #domains rows — single tiny partition
+    tot
+      .withColumn("__g", floor(sqrt(col("__total").cast("double"))).cast("long"))
+      .withColumn("__g1",
+        when(col("__g") > 0 && col("__g") * col("__g") > col("__total"),
+          col("__g") - 1).otherwise(col("__g")))
+      .withColumn("__wt",
+        when(expr("__g1 + 1 <= (__total div (__g1 + 1))"), col("__g1") + 1)
+          .otherwise(col("__g1")))
+      .withColumn("__s", sum(col("__wt")).over(wAll))
+      .withColumn("__base", expr("(__wt * 1000000) div __s"))
+      .withColumn("__remn", expr("(__wt * 1000000) % __s"))
+      .withColumn("__extras", lit(1000000L) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(
+        wAll.orderBy(col("__remn").desc, col("__dom"))))
+      .withColumn("__ppm",
+        col("__base") + when(col("__rk") <= col("__extras"), 1L).otherwise(0L))
+      .where(col("__ppm") > 0)
+      .select(col("__dom"), col("__total"), col("__ppm"))
+  }
+
+  /** The derive-sqrt-temperature-weights → mixture chain fully in-plan:
+    * ONE logical consumer of `df` for the totals (the weights and rules
+    * share the same tiny aggregate — its partial-aggregate exchange
+    * dedupes under exchange reuse) and one for the sampled rows. The
+    * in-plan replacement for the
+    * `domainTokenTotals` → `sqrtTemperatureWeightsPpm` →
+    * `mixtureByTokenBudget(precomputedTotals)` driver chain.
+    */
+  def sqrtTemperatureMixtureInPlan(df: DataFrame, domainCol: Column,
+      idCol: Column, tokenCountCol: Column, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "sqrtTemperatureMixtureInPlan: budgetTokens must be > 0")
+    requireMixtureScratchFree(df, "sqrtTemperatureMixtureInPlan")
+    Md5Prefix32.register(df.sparkSession)
+    val rules = mixtureRulesFrame(
+      sqrtTemperatureWeightsDf(domainTotalsDf(df, domainCol, tokenCountCol)),
+      budgetTokens)
+    applyMixtureRules(df, domainCol, idCol, rules)
+  }
+
   // ---- temperature-based mixture weights --------------------------------
   // The published multilingual/multi-domain sampling rule (mBERT, XLM-R,
   // mT5): sample domain d with p_d ∝ n_d^α, α ∈ (0, 1] — α = 1 is

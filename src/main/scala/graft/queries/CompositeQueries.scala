@@ -357,13 +357,17 @@ object CompositeQueries {
     }) { (s, d) =>
     import graft.operators.Sampling
     val cleaned = SpanQueries.keep1CleanedDf(s, d)
+    // one pinned exchange: the mixture's in-plan totals and the sampled
+    // rows both read it (exchange reuse), instead of the totals pass
+    // replaying the whole span-dedup subtree — see curationPipeline3
     val dt2 = cleaned
       .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         size(TextQueries.tokensCol(col("clean_text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 5)
-    val m = Sampling.mixtureByTokenBudget(dt2, col("source"), col("doc_id"),
-        col("n_tokens"), SamplingQueries.MixtureWeights,
+      .repartition(col("doc_id"))
+    val m = Sampling.mixtureByTokenBudgetInPlan(dt2, col("source"),
+        col("doc_id"), col("n_tokens"), SamplingQueries.MixtureWeights,
         SamplingQueries.MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")
     SamplingQueries.packedTailDf(m, 1024L)
@@ -496,6 +500,21 @@ object CompositeQueries {
       stagedDir: Option[String]): DataFrame = {
     import graft.operators.{Boilerplate, Decontaminate, QualityFilters, Sampling}
     val checkpoint = stageCheckpoint(stagedDir) _
+    // In the one-plan form (stagedDir = None) every SELF-JOINING stage
+    // consumes its input twice (prefix table + join-back; overlap counts +
+    // anti join; totals + sampled rows). Left as bare map-side subtrees
+    // those consumers each REPLAY the upstream cleaning (~4× the regex
+    // work, plus a full extra execution for the old driver-side totals
+    // collect — the documented r11 "one-plan honesty cost"). `share` pins
+    // ONE hash exchange at each such boundary instead: both consumers plan
+    // the identical Exchange subtree, exchange reuse collapses them, and
+    // every stage executes exactly once — the in-plan analog of the staged
+    // parquet materialization (guide §2.4: share one exchange), paying one
+    // shuffle of the (shrinking) cleaned text instead of N recomputes of
+    // the cleaning subtree. The staged form already materializes, so it
+    // keeps the bare composition.
+    val share: DataFrame => DataFrame =
+      if (stagedDir.isEmpty) df => df.repartition(col("doc_id")) else identity
     val bench = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id"), col("text").as("text_clean"))
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
@@ -505,27 +524,28 @@ object CompositeQueries {
         col("g_symbol_ratio") && col("g_bullet_lines") &&
         col("g_ellipsis_lines") && col("g_alpha_words"))
       .select("doc_id", "source", "text")
-    val s2 = QualityFilters.c4CleanLines(g, "text")
+    val s2 = share(QualityFilters.c4CleanLines(g, "text")
       .filter(!col("c4_page_drop"))
       .select(col("doc_id"), col("source"),
         when(col("c4_lines_kept") > 0, col("c4_text"))
-          .otherwise(col("text")).as("text2"))
-    val s3 = checkpoint(
+          .otherwise(col("text")).as("text2")))
+    val s3 = share(checkpoint(
       Boilerplate.stripFrequentPrefixes(s2, "doc_id", "text2",
           "source", k = 2, minDf = 2L)
         .select("doc_id", "source", "text_clean"),
-      "stage3_clean")
+      "stage3_clean"))
     val s4 = checkpoint(
       Decontaminate.cleanByOverlap(s3, bench, "doc_id", "text_clean",
         maxOverlapPpm = 200000L, n = 3),
       "stage4_decontaminated")
-    val dt = s4.select(col("doc_id"), col("source"),
+    val dt = share(s4.select(col("doc_id"), col("source"),
         size(TextQueries.tokensCol(col("text_clean"))).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") >= 1)
-    val totals = Sampling.domainTokenTotals(dt, col("source"), col("n_tokens"))
-    Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
-        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
-        SamplingQueries.MixtureBudget, precomputedTotals = Some(totals.toMap))
+      .filter(col("n_tokens") >= 1))
+    // totals → weights → rules derived IN-PLAN (no driver collect): the old
+    // domainTokenTotals collect executed the whole cleaning subtree once
+    // more before the final plan ran it again
+    Sampling.sqrtTemperatureMixtureInPlan(dt, col("source"), col("doc_id"),
+        col("n_tokens"), SamplingQueries.MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")
   }
 
@@ -614,6 +634,16 @@ object CompositeQueries {
       stagedDir: Option[String]): DataFrame = {
     import graft.operators.{Boilerplate, Decontaminate, QualityFilters, Sampling}
     val checkpoint = stageCheckpoint(stagedDir) _
+    // same shared-exchange rationale as [[curationPipeline3]] — but here
+    // stripFrequentLines' per-doc regroup aggregate ALREADY hash-partitions
+    // on doc_id, so Spark elides these pinned repartitions as redundant
+    // (the strip aggregate's exchange is what every downstream consumer
+    // reuses at runtime; only the cheap map-side Gopher/C4 projections
+    // above it replay per consumer). Kept as declarations of the intended
+    // boundary: if the strip shape ever stops partitioning by doc_id, the
+    // pin re-materializes instead of the subtree silently replaying.
+    val share: DataFrame => DataFrame =
+      if (stagedDir.isEmpty) df => df.repartition(col("doc_id")) else identity
     val bench = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id"), col("text").as("text_kept"))
     val corpus = docs.filter(col("doc_id") % 100 =!= 0)
@@ -630,26 +660,25 @@ object CompositeQueries {
       .select("doc_id", "source", "text_kept")
     // stage 3: C4 clean, falling back to the stage input when no line
     // qualifies; page-level drop gates
-    val s3 = checkpoint(
+    val s3 = share(checkpoint(
       QualityFilters.c4CleanLines(s2, "text_kept")
         .filter(!col("c4_page_drop"))
         .select(col("doc_id"), col("source"),
           when(col("c4_lines_kept") > 0, col("c4_text"))
             .otherwise(col("text_kept")).as("text_kept")),
-      "stage3_clean")
+      "stage3_clean"))
     // stage 4: overlap-fraction decontamination vs the raw bench slice
     val s4 = checkpoint(
       Decontaminate.cleanByOverlap(s3, bench, "doc_id", "text_kept",
         maxOverlapPpm = 200000L, n = 3),
       "stage4_decontaminated")
-    // stage 5: temperature mixture over surviving token counts
-    val dt = s4.select(col("doc_id"), col("source"),
+    // stage 5: temperature mixture over surviving token counts — totals →
+    // weights → rules in-plan (no driver collect; see curationPipeline3)
+    val dt = share(s4.select(col("doc_id"), col("source"),
         size(TextQueries.tokensCol(col("text_kept"))).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") >= 1)
-    val totals = Sampling.domainTokenTotals(dt, col("source"), col("n_tokens"))
-    Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
-        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
-        SamplingQueries.MixtureBudget, precomputedTotals = Some(totals.toMap))
+      .filter(col("n_tokens") >= 1))
+    Sampling.sqrtTemperatureMixtureInPlan(dt, col("source"), col("doc_id"),
+        col("n_tokens"), SamplingQueries.MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")
   }
 
@@ -742,11 +771,15 @@ object CompositeQueries {
     // stage 3: learned classifier gate (map-side logit >= 0)
     val s3 = QualityClassifier.filterByScore(masked, "t",
       TextQueries.ClfModel, thresholdMicro = 0L)
-    // stage 4: model-true token counts -> static token-budget mixture
+    // stage 4: model-true token counts -> static token-budget mixture, the
+    // totals/rules in-plan behind one pinned exchange (the collect form
+    // replayed URL-dedup → mask → gate → BPE once more for the totals —
+    // see curationPipeline3)
     val dt = s3.select(col("doc_id"), col("source"),
       Bpe.tokenCount(col("t"), BpeQueries.FixedModel).as("n_tokens"))
       .filter(col("n_tokens") >= 1)
-    Sampling.mixtureByTokenBudget(dt, col("source"), col("doc_id"),
+      .repartition(col("doc_id"))
+    Sampling.mixtureByTokenBudgetInPlan(dt, col("source"), col("doc_id"),
         col("n_tokens"), SamplingQueries.MixtureWeights,
         SamplingQueries.MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")

@@ -148,12 +148,18 @@ object SamplingQueries {
 
   private lazy val mixtureCtes: String = mixtureCtesFrom(docsDtSql)
 
-  /** Spark side of the mixture sample (shared by both mixture queries). */
+  /** Spark side of the mixture sample (shared by both mixture queries).
+    * Totals/rules in-plan (one action, driver touches no data); the
+    * repartition pins the tokenized frame behind ONE exchange so the
+    * totals aggregate and the sampled rows share a single tokenize pass
+    * (exchange reuse) instead of re-scanning the text.
+    */
   private def mixtureDf(s: org.apache.spark.sql.SparkSession, d: String) = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(TextQueries.tokensCol(col("text"))).cast("long").as("n_tokens"))
-    Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
+      .repartition(col("doc_id"))
+    Sampling.mixtureByTokenBudgetInPlan(docs, col("source"), col("doc_id"),
         col("n_tokens"), MixtureWeights, MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")
   }
@@ -248,12 +254,13 @@ object SamplingQueries {
     s"WITH ${mixtureCtesWith(docsDtSql, sqrtTempWeightsCte)} " +
       "SELECT doc_id, source, n_tokens, copies FROM m") { (s, d) =>
     import org.apache.spark.sql.functions._
+    // derive-weights → sample fully in-plan (no driver collect), the
+    // tokenized frame pinned behind one shared exchange — see mixtureDf
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
       size(TextQueries.tokensCol(col("text"))).cast("long").as("n_tokens"))
-    val totals = Sampling.domainTokenTotals(docs, col("source"), col("n_tokens"))
-    Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
-        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals),
-        MixtureBudget, precomputedTotals = Some(totals.toMap))
+      .repartition(col("doc_id"))
+    Sampling.sqrtTemperatureMixtureInPlan(docs, col("source"), col("doc_id"),
+        col("n_tokens"), MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")
   }
 

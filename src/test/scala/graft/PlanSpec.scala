@@ -19,6 +19,17 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  /** The FINAL adaptive plan (query stages materialized, exchange reuse
+    * visible): the static tree duplicates every shared subtree once per
+    * consumer, so runtime-dedupe properties (r18's pinned shared
+    * exchanges) are only assertable here.
+    */
+  private def finalPlan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q3_shipping broadcasts both dimension sides; fact table never shuffles pre-join") {
     val p = plan("q3_shipping")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
@@ -284,13 +295,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "one-row scalar must broadcast")
   }
 
-  test("q_sample_mixture is a map-side filter with the domain IN pushed to the scan") {
+  test("q_sample_mixture: in-plan totals behind ONE shared tokenize pass; domain IN pushed to the scan") {
     val p = plan("q_sample_mixture")
-    // the per-domain totals collect happens once at plan-construction; the
-    // emitted plan itself must be a pure narrow filter — zero shuffles
-    assert(!p.contains("Exchange"), "mixture sampling must not shuffle the corpus")
+    // r18: totals/rules moved IN-PLAN (no driver collect, which executed
+    // the tokenize pass once more before the final plan ran it again);
+    // the tokenized frame is pinned behind a doc_id repartition both the
+    // totals aggregate and the sampled rows read (runtime exchange reuse)
+    assert(p.contains("REPARTITION_BY_COL"), "shared tokenize boundary lost")
     assert(p.contains("In(source"), "weighted-domain pre-filter must reach the scan")
     assert(p.contains("md5_prefix32"), "ppm bucket via the native expression")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "rules frame must broadcast back:\n" + p.take(2000))
+    val f = finalPlan("q_sample_mixture")
+    assert("ReusedExchange".r.findAllIn(f).size >= 1,
+      "the pinned exchange must dedupe at runtime (totals + sampled rows):\n" +
+        f.take(2500))
   }
 
   test("q_dedup_spans: gram pipeline is explode -> hash ops, never all-pairs") {
@@ -333,22 +352,27 @@ class PlanSpec extends SparkSpec {
     assert("AS __gf_ls".r.findAllIn(g).size == 1, g.take(1500))
   }
 
-  test("q_curation_pipeline3: five composed stages, four agg shuffles, all joins broadcast") {
+  test("q_curation_pipeline3: shared-exchange composition — every stage executes ONCE at runtime") {
     val p = plan("q_curation_pipeline3")
-    // the only shuffles are the tiny aggregates: the boilerplate prefix
-    // table (twice — the decontamination's dirty-id branch recomputes the
-    // stripped corpus; AQE dedupes the identical subtrees at runtime),
-    // the benchmark gram set, and the per-doc overlap counts. Gopher and
-    // C4 are in-scan filters/projections; the mixture rule is a pure
-    // map-side CASE from driver-collected totals.
-    assert("\\+- Exchange".r.findAllIn(p).size <= 4, p.take(2500))
-    // prefix join-back, gram probe, and dirty-id anti join all broadcast
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "every pipeline join must broadcast:\n" + p.take(2500))
+    // r18 re-plan: the three stage boundaries each self-joining consumer
+    // reads (cleaned s2, stripped s3, token counts dt) are pinned
+    // REPARTITION_BY_COL exchanges, and the mixture totals/weights/rules
+    // moved IN-PLAN (the old driver collect executed the whole cleaning
+    // subtree once more). The static tree textually duplicates the shared
+    // subtrees per consumer — the single-execution property lives in the
+    // FINAL adaptive plan's ReusedExchange nodes, asserted below.
+    assert("REPARTITION_BY_COL".r.findAllIn(p).size >= 3,
+      "the three pinned stage boundaries lost:\n" + p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // prefix join-back, gram probe, and the rules join-back broadcast
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
-    // the mixture's domain rule pushes into the parquet scan itself
-    assert(p.contains("In(source"),
-      "mixture domain filter must reach the scan:\n" + p.take(2500))
+    // no global sort anywhere (the weights window sorts a #domains frame;
+    // a rangepartitioning exchange would mean a corpus-level sort)
+    assert(!p.contains("rangepartitioning"),
+      "corpus-level sort snuck in:\n" + p.take(2500))
+    val f = finalPlan("q_curation_pipeline3")
+    assert("ReusedExchange".r.findAllIn(f).size >= 3,
+      "shared stage boundaries must dedupe at runtime:\n" + f.take(2500))
   }
 
   test("q_image_dedup_incremental: probe prunes the index scan and broadcasts the batch") {
@@ -365,22 +389,27 @@ class PlanSpec extends SparkSpec {
     assert("\\+- Exchange".r.findAllIn(p).size <= 3, p.take(2000))
   }
 
-  test("q_curation_pipeline4: CCNet order composes without sort-merge or sort nodes") {
+  test("q_curation_pipeline4: CCNet order on shared exchanges — no corpus-level sort, runtime reuse") {
     val p = plan("q_curation_pipeline4")
-    // exchanges: the line strip's distinct-df two-phase + per-doc regroup
-    // (replayed once by the decontamination branch, AQE-deduped at
-    // runtime), the benchmark gram set, and the per-doc overlap counts;
-    // Gopher and C4 stay in-scan, the mixture rule is a map-side CASE
-    assert("\\+- Exchange".r.findAllIn(p).size <= 7, p.take(2500))
-    // frequent-line join-back, gram probe, dirty-id anti join: broadcast
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      "every pipeline join must broadcast:\n" + p.take(2500))
+    // r18 re-plan (see q_curation_pipeline3): mixture totals/weights/rules
+    // in-plan; the pipeline's shared boundaries ELIDE here — the line
+    // strip's per-doc regroup aggregate already hash-partitions on doc_id,
+    // so the pinned repartitions are redundant and Spark drops them (zero
+    // NEW shuffles; the strip aggregate's exchange is what every consumer
+    // reuses at runtime, asserted below; the map-side Gopher/C4
+    // projections above it replay per consumer — measured a wash at sf0.1,
+    // bounded by 2× regex over the stripped text). The decontamination
+    // anti join plans sort-merge WITHOUT any exchange — both sides
+    // co-partitioned on doc_id — per-partition sorts instead of
+    // broadcasting a corpus-derived dirty set (the safer 100 TB shape).
+    // A corpus-level global sort would show as rangepartitioning: absent.
+    assert(!p.contains("CartesianProduct"), p.take(2500))
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2500))
-    // line reassembly via sort_array inside the aggregate — no Sort node
-    assert(!p.contains("Sort ("), "no sort may sneak in:\n" + p.take(2500))
-    // the mixture's domain rule pushes into the parquet scan itself
-    assert(p.contains("In(source"),
-      "mixture domain filter must reach the scan:\n" + p.take(2500))
+    assert(!p.contains("rangepartitioning"),
+      "corpus-level sort snuck in:\n" + p.take(2500))
+    val f = finalPlan("q_curation_pipeline4")
+    assert("ReusedExchange".r.findAllIn(f).size >= 2,
+      "shared stage boundaries must dedupe at runtime:\n" + f.take(2500))
   }
 
   test("q_strip_lines: tiny-table broadcasts, ordered reassembly without a sort node") {
@@ -585,15 +614,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p.take(2000))
   }
 
-  test("q_curation_pipeline6: the five-stage modern flow costs ONE shuffle (the URL-key aggregate)") {
+  test("q_curation_pipeline6: projections + URL-key aggregate + the shared token-count boundary") {
     val p = plan("q_curation_pipeline6")
     // mask/gate/encode/copies all fold into projections; the survivor
     // semi-join broadcasts at this SF (AQE re-plans it co-partitioned at
-    // corpus scale — the measured, expected switch; SCALE.md r18)
+    // corpus scale — the measured, expected switch; SCALE.md r18). r18
+    // adds the pinned doc_id boundary the in-plan mixture's totals and
+    // sampled rows share (the old totals collect replayed URL-dedup →
+    // mask → gate → BPE once more).
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       p.take(2500))
-    assert("""\(\d+\) Exchange\n""".r.findAllIn(p).size == 1,
-      "expected exactly the one URL-key groupBy Exchange:\n" + p.take(2500))
+    assert(p.contains("REPARTITION_BY_COL"),
+      "shared token-count boundary lost:\n" + p.take(2500))
+    val f = finalPlan("q_curation_pipeline6")
+    assert("ReusedExchange".r.findAllIn(f).size >= 1,
+      "the shared boundary must dedupe at runtime:\n" + f.take(2500))
+    // distinct runtime shuffles stay bounded: URL-key aggregate, the
+    // pinned boundary, and the totals aggregate (plus AQE bookkeeping)
+    assert(("ShuffleQueryStage \\d+".r.findAllIn(f).map(identity).toSet.size <= 4),
+      "unexpected extra runtime shuffle:\n" + f.take(2500))
   }
 
   test("q_cluster_balanced: centroid assignment is map-side; the cap costs exactly ONE exchange (the per-cluster window)") {

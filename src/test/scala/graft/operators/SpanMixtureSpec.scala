@@ -142,6 +142,52 @@ class SpanMixtureSpec extends SparkSpec {
     }
   }
 
+  test("in-plan mixture equals the collect form row-for-row (static and temperature weights)") {
+    // varied shape: dominant domain, small domain, zero-token domain (must
+    // drop from rules), unweighted domain (static path drops it), null
+    // domain (never sampled), and ids spread over the ppm bucket space
+    val rows = (0 until 80).map { i =>
+      val dom = i % 5 match {
+        case 0 => "a"; case 1 => "a"; case 2 => "b"; case 3 => "zz"; case 4 => null
+      }
+      (i.toLong * 7919L, dom, if (dom == "b" && i < 10) 0L else (i % 13 + 1).toLong)
+    }
+    val df = rows.toDF("id", "dom", "n_tokens")
+    val weights = Seq("a" -> 700000L, "b" -> 250000L, "ghost" -> 50000L)
+    val budget = 12345L
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val coll = Sampling.mixtureByTokenBudget(df, col("dom"), col("id"),
+      col("n_tokens"), weights, budget).collect().map(key).sorted
+    val inPlan = Sampling.mixtureByTokenBudgetInPlan(df, col("dom"), col("id"),
+      col("n_tokens"), weights, budget).collect().map(key).sorted
+    assert(inPlan === coll, "static-weight in-plan mixture must be row-identical")
+    // temperature path: derive-weights → sample, both forms
+    val totals = Sampling.domainTokenTotals(df, col("dom"), col("n_tokens"))
+    val collT = Sampling.mixtureByTokenBudget(df, col("dom"), col("id"),
+        col("n_tokens"), Sampling.sqrtTemperatureWeightsPpm(totals), budget,
+        precomputedTotals = Some(totals.toMap))
+      .collect().map(key).sorted
+    val inPlanT = Sampling.sqrtTemperatureMixtureInPlan(df, col("dom"),
+      col("id"), col("n_tokens"), budget).collect().map(key).sorted
+    assert(inPlanT === collT, "temperature in-plan mixture must be row-identical")
+    assert(inPlanT.nonEmpty && inPlan.nonEmpty)
+  }
+
+  test("in-plan sqrt-temperature weights equal the driver derivation on perfect squares and ties") {
+    // totals chosen to exercise the isqrt boundary corrections (perfect
+    // squares, off-by-one) and the largest-remainder tie order
+    val tot = Seq(("a", 49L), ("b", 50L), ("c", 48L), ("d", 1L), ("e", 1000000L))
+      .toDF("__dom", "__total")
+    val inPlan = Sampling.sqrtTemperatureWeightsDf(tot)
+      .select("__dom", "__ppm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val driver = Sampling.sqrtTemperatureWeightsPpm(
+      Seq("a" -> 49L, "b" -> 50L, "c" -> 48L, "d" -> 1L, "e" -> 1000000L)).toMap
+    assert(inPlan === driver)
+    assert(inPlan.values.sum === 1000000L, "ppm apportionment must sum to 1e6")
+  }
+
   test("explodeCopies materializes one row per epoch and drops non-positive rows") {
     val df = Seq((1L, 3L), (2L, 1L), (3L, 0L)).toDF("id", "copies")
     val out = Sampling.explodeCopies(df, col("copies"))
