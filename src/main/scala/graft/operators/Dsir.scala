@@ -98,6 +98,52 @@ object Dsir {
     require(alpha > 0.0, s"Dsir.fit: alpha must be > 0, got $alpha")
     val ct = bucketCounts(target, textCol, buckets, tokenizer)
     val cr = bucketCounts(raw, textCol, buckets, tokenizer)
+    modelFrom(ct, cr, buckets, alpha, tokenizer)
+  }
+
+  /** [[fit]] when target and raw live in ONE frame, distinguished by a
+    * boolean column expression: both sides' bucket counts come out of a
+    * SINGLE tagged aggregate pass (r18) — one corpus scan/tokenize and
+    * one action instead of two, and any expensive shared upstream (e.g.
+    * the dedup subtree the composed pipeline fits on) executes once
+    * instead of once per side. Rows where `isTarget` is NULL belong to
+    * neither side and are excluded — mirror of the two-frame form where
+    * such rows simply appear in neither input. Model-identical to
+    * `fit(df.where(isTarget), df.where(!isTarget), …)` (locked in
+    * DsirSpec): the per-side gram multisets are the same, the driver
+    * arithmetic is shared.
+    */
+  def fitSplit(df: DataFrame, isTarget: Column, textCol: String,
+      buckets: Int = 1 << 13, alpha: Double = 1.0,
+      tokenizer: Tokenizer = Tokenizer.Ascii): Model = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      s"Dsir.fitSplit: buckets must be in (0, 2^20], got $buckets — the " +
+        "model is a driver/broadcast array; beyond 2^20 use a coarser hash")
+    require(alpha > 0.0, s"Dsir.fitSplit: alpha must be > 0, got $alpha")
+    Md5Prefix32.register(df.sparkSession)
+    val rows = df
+      .select(isTarget.as("__t"),
+        explode(gramsCol(col(textCol), tokenizer)).as("__g"))
+      .where(col("__t").isNotNull)
+      .select(col("__t"),
+        pmod(Md5Prefix32.md5Prefix32(col("__g")), lit(buckets.toLong))
+          .as("__b"))
+      .groupBy(col("__t"), col("__b")).agg(count(lit(1)).as("__c"))
+      .collect()
+    val ct = Array.fill(buckets)(0L)
+    val cr = Array.fill(buckets)(0L)
+    rows.foreach { r =>
+      val side = if (r.getBoolean(0)) ct else cr
+      side(r.getLong(1).toInt) = r.getLong(2)
+    }
+    modelFrom(ct, cr, buckets, alpha, tokenizer)
+  }
+
+  /** The shared driver arithmetic of [[fit]]/[[fitSplit]] — pinned op
+    * order, floored to micro-units exactly once.
+    */
+  private def modelFrom(ct: Array[Long], cr: Array[Long], buckets: Int,
+      alpha: Double, tokenizer: Tokenizer): Model = {
     val tt = ct.sum.toDouble + alpha * buckets
     val tr = cr.sum.toDouble + alpha * buckets
     val lr = Array.tabulate(buckets) { b =>

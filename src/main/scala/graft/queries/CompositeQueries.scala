@@ -710,9 +710,12 @@ object CompositeQueries {
     val base = Dedup.exact(Tables.documents(s, d), "doc_id", "text")
       .filter(size(TextQueries.tokensCol(col("text"))) >= 5)
       .select("doc_id", "text", "lang")
-    val model = Dsir.fit(base.filter(col("lang") === "de"),
-      base.filter(col("lang") === "en"), "text",
-      buckets = SamplingQueries.DsirBuckets)
+    // ONE tagged fit pass (r18): the dedup+gate subtree `base` executes
+    // once for both model sides instead of once per side
+    val model = Dsir.fitSplit(base,
+      when(col("lang") === "de", lit(true))
+        .when(col("lang") === "en", lit(false)),
+      "text", buckets = SamplingQueries.DsirBuckets)
     Dsir.resample(base.filter(col("lang") === "en"), "doc_id", "text",
       model, k = 40, seed = 11L)
   }

@@ -344,8 +344,11 @@ object SamplingQueries {
     "q_dsir_weights",
     s"WITH $dsirCtes SELECT doc_id, dsir_weight_q FROM w") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val model = graft.operators.Dsir.fit(
-      docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),
+    // one tagged fit pass over both languages (r18): same model, half
+    // the fit scans/actions
+    val model = graft.operators.Dsir.fitSplit(docs,
+      when(col("lang") === "de", lit(true))
+        .when(col("lang") === "en", lit(false)),
       "text", buckets = DsirBuckets)
     graft.operators.Dsir.score(docs.filter(col("lang") === "en"), "text", model)
       .select(col("doc_id"), col("dsir_weight_q"))
@@ -362,8 +365,9 @@ object SamplingQueries {
     "q_dsir_sample",
     s"WITH $dsirCtes, ${dsirDrawSql(seed = 7L, k = 50)}") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val fitted = graft.operators.Dsir.fit(
-      docs.filter(col("lang") === "de"), docs.filter(col("lang") === "en"),
+    val fitted = graft.operators.Dsir.fitSplit(docs,
+      when(col("lang") === "de", lit(true))
+        .when(col("lang") === "en", lit(false)),
       "text", buckets = DsirBuckets)
     val dir = TextQueries.scratchDir("graft_dsir_model", d)
     graft.operators.Dsir.writeModel(s, fitted, dir)

@@ -65,6 +65,21 @@ class DsirSpec extends SparkSpec {
         "NULL and diverge from the DuckDB mirror's coalesce(wq, 0)")
   }
 
+  test("fitSplit: one tagged pass model-equals the two-frame fit (null tag rows excluded)") {
+    val twoPass = Dsir.fit(target, corpus, "text", buckets = 64)
+    // one frame: target rows tagged true, corpus rows false, plus an
+    // extra row tagged NULL that must belong to NEITHER side
+    val union = target.withColumn("__side", lit(true))
+      .unionByName(corpus.withColumn("__side", lit(false)))
+      .unionByName(docs(99L -> "the the the model data")
+        .withColumn("__side", lit(null).cast("boolean")))
+    val onePass = Dsir.fitSplit(union, col("__side"), "text", buckets = 64)
+    assert(onePass.buckets === twoPass.buckets)
+    assert(onePass.tokenizerTag === twoPass.tokenizerTag)
+    assert(onePass.lrMicro.toSeq === twoPass.lrMicro.toSeq,
+      "single tagged pass must produce the identical log-ratio table")
+  }
+
   test("fit: hand-checked smoothing arithmetic on a 2-bucket toy") {
     // one gram total on each side, forced into knowable buckets by using
     // buckets = 1: every gram lands in bucket 0
