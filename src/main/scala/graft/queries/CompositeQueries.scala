@@ -357,17 +357,21 @@ object CompositeQueries {
     }) { (s, d) =>
     import graft.operators.Sampling
     val cleaned = SpanQueries.keep1CleanedDf(s, d)
-    // one pinned exchange: the mixture's in-plan totals and the sampled
-    // rows both read it (exchange reuse), instead of the totals pass
-    // replaying the whole span-dedup subtree — see curationPipeline3
+    // DELIBERATELY the collect-form mixture (r18): both in-plan variants —
+    // with and without a pinned dt2 exchange — measured 1.25–1.26× SLOWER
+    // at the bench config in alternating same-window A/Bs (controls flat).
+    // Unlike pipelines 3/4/6, the upstream here is the span-dedup subtree,
+    // whose own internal shuffles already serialize the plan; adding the
+    // in-plan totals branch (or another exchange) costs more in stage
+    // barriers than the collect's separate simple-plan execution. See
+    // OPTIMIZATION_r18.md "q_curation_pipeline2".
     val dt2 = cleaned
       .join(Tables.documents(s, d).select("doc_id", "source"), Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         size(TextQueries.tokensCol(col("clean_text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") >= 5)
-      .repartition(col("doc_id"))
-    val m = Sampling.mixtureByTokenBudgetInPlan(dt2, col("source"),
-        col("doc_id"), col("n_tokens"), SamplingQueries.MixtureWeights,
+    val m = Sampling.mixtureByTokenBudget(dt2, col("source"), col("doc_id"),
+        col("n_tokens"), SamplingQueries.MixtureWeights,
         SamplingQueries.MixtureBudget)
       .select("doc_id", "source", "n_tokens", "copies")
     SamplingQueries.packedTailDf(m, 1024L)
