@@ -127,9 +127,18 @@ object Pq {
     val dim = subDim * subspaces
     val sampled = sampleRows(corpus, idCol, vecCol, trainN, seed)
     val xq = checkedXq(col(vecCol), dim, scale, "Pq.train")
+    // anchor xq behind its OWN aliased column before the 16-way slice
+    // fan-out: inlined, each slice lambda re-evaluates the whole
+    // quantizedUnit (norm aggregate + per-element scale) — no CSE under
+    // HOF lambdas/CaseWhen (the SCALE.md r18 NLL-fusion lesson). The
+    // alias is non-cheap and multiply-referenced, so CollapseProject
+    // keeps the projections split and xq computes once per row.
+    // Measured: train seeds leg 3.3 s → the anchored form re-timed in
+    // OPTIMIZATION_r18.md.
     val subs = sampled
+      .select(col(idCol), xq.as("__xq"))
       .select(posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-        s => slice(xq, s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
+        s => slice(col("__xq"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
         xxhash64(col(idCol), lit(seed + 1)).as("__h"), col(idCol).as("__id"))
     Codebooks(subspaces, subDim, scale,
       lloydTrain(subs, subspaces, subDim, codes, iters, "Pq.train"), EncRaw)
@@ -172,9 +181,12 @@ object Pq {
       .join(broadcast(cqDf), col("centroid_id") === col("__cid"))
     val xq = checkedXq(col(vecCol), dim, scale, "Pq.trainResidual")
     val rq = zip_with(xq, col("__cq"), (a, b) => a - b)
+    // same anchored-alias shape as [[train]]: the residual vector computes
+    // once per row instead of once per slice lambda
     val subs = assigned
+      .select(col(idCol), rq.as("__rq"))
       .select(posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-        s => slice(rq, s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
+        s => slice(col("__rq"), s * subDim + 1, lit(subDim)))).as(Seq("sub", "sv")),
         xxhash64(col(idCol), lit(seed + 1)).as("__h"), col(idCol).as("__id"))
     Codebooks(subspaces, subDim, scale,
       lloydTrain(subs, subspaces, subDim, codes, iters, "Pq.trainResidual"),

@@ -256,18 +256,34 @@ object Similarity {
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[(Int, Array[Float])]): DataFrame = {
     require(centroids.nonEmpty, "ivfAssign needs at least one centroid")
-    val centArr = array(centroids.sortBy(_._1).map { case (cid, v) =>
-      struct(lit(cid).as("cid"), array(v.toIndexedSeq.map(lit(_)): _*).as("cvec"))
+    // Centroid norms precompute DRIVER-SIDE as literals: [[FloatVecDot]]
+    // is a left-to-right double accumulation, so the fold below is
+    // bit-identical IEEE math — the old in-plan norm(cvec) re-derived a
+    // constant per row per centroid. And each centroid's cosine computes
+    // ONCE in a `transform` (bound variable in the max-fold): the old
+    // fold referenced `cs` in both the comparison and the kept struct,
+    // and HOF lambdas get no CSE, so every centroid paid its dot twice
+    // (the r18 Pq.train lesson, same disease). Tie rule unchanged:
+    // centroids scan in cid order, strictly-greater replaces — lowest
+    // cid wins ties; null cosines (zero-norm vectors) never replace.
+    def normOf(v: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { val x = v(i).toDouble; s += x * x; i += 1 }
+      math.sqrt(s)
+    }
+    val scoredArr = array(centroids.sortBy(_._1).map { case (cid, v) =>
+      struct(lit(cid).as("cid"), array(v.toIndexedSeq.map(lit(_)): _*).as("cvec"),
+        lit(normOf(v)).as("cnorm"))
     }: _*)
+    val scored = transform(scoredArr, c =>
+      struct(c.getField("cid").as("cid"),
+        cosDiv(dot(col(vecCol), c.getField("cvec")),
+          col("__nrm") * c.getField("cnorm")).as("cos")))
     val best = aggregate(
-      centArr,
+      scored,
       struct(lit(-1).as("cid"), lit(-2.0).as("cos")),
-      (acc, c) => {
-        val cs = cosDiv(dot(col(vecCol), c.getField("cvec")),
-          col("__nrm") * norm(c.getField("cvec")))
-        when(cs > acc.getField("cos"),
-          struct(c.getField("cid").as("cid"), cs.as("cos"))).otherwise(acc)
-      })
+      (acc, s) =>
+        when(s.getField("cos") > acc.getField("cos"), s).otherwise(acc))
     corpus.withColumn("__nrm", norm(col(vecCol)))
       .withColumn("__best", best)
       .withColumn("centroid_id", col("__best").getField("cid"))
