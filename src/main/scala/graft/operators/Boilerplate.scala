@@ -452,11 +452,17 @@ object Boilerplate {
   def stripFrequentPrefixes(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, k: Int, minDf: Long): DataFrame = {
     QualityFilters.requireFreshColumns(df, "stripFrequentPrefixes",
-      Seq("prefix", "is_boilerplate", "text_clean", "df_count", "__bp"))
+      Seq("prefix", "is_boilerplate", "text_clean", "df_count", "__bp", "__toks"))
     val prefixes = frequentPrefixes(df, textCol, groupCol, k, minDf)
       .withColumn("__bp", lit(1))
-    val toks = TextQueries.tokensCol(col(textCol))
-    df.withColumn("prefix", prefixCol(toks, k))
+    // tokenize ONCE per row: anchored in its own column — referenced bare,
+    // the regex tokenization re-evaluates under each CaseWhen branch below
+    // (prefix slice, strip branch, keep branch), since codegen
+    // subexpression elimination does not reach into CaseWhen branches
+    // (the r18 Pq.train/NLL-fusion lesson)
+    val toks = col("__toks")
+    df.withColumn("__toks", TextQueries.tokensCol(col(textCol)))
+      .withColumn("prefix", prefixCol(toks, k))
       .join(prefixes, Seq(groupCol, "prefix"), "left")
       .withColumn("is_boilerplate", col("__bp").isNotNull)
       // coalesce: NULL text tokenizes to NULL, but the contract (and the
@@ -467,6 +473,6 @@ object Boilerplate {
           array_join(slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))), " "))
           .otherwise(array_join(toks, " ")),
         lit("")))
-      .drop("prefix", "df_count", "__bp")
+      .drop("prefix", "df_count", "__bp", "__toks")
   }
 }
