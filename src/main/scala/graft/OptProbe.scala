@@ -64,11 +64,12 @@ object OptProbe {
         df.write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - w0) / 1000000
         Thread.sleep(300)
-        val reused = "Reused(Exchange|QueryStage)".r
-          .findAllIn(df.queryExecution.executedPlan.toString).size
+        // NOTE: no exchange-reuse count here — `df.queryExecution` is not
+        // the execution the noop write ran, so its plan never finalizes;
+        // use OPT_DUMP (collect + executedPlan) for reuse evidence
         s"""{"wall":$wall,"jobs":${jobs.get() - j0},"tasks":${tasks.get() - t0},""" +
           s""""run_ms":${runMs.get() - r0},"sw_rec":${swRec.get() - sr0},""" +
-          s""""sw_bytes":${swBytes.get() - sb0},"reused":$reused}"""
+          s""""sw_bytes":${swBytes.get() - sb0}}"""
       }
       println(s""""$name": [${out.mkString(", ")}]""")
       if (sys.env.contains("OPT_DUMP")) {
