@@ -767,7 +767,6 @@ object Dedup {
       bands: Int = 8, rowsPerBand: Int = 4,
       maxProbeKeys: Int = 1 << 20,
       excludeSubtree: Option[String] = None): DataFrame = {
-    import TextQueries.NumPerm
     requireBanding(bands, rowsPerBand, "dedupAgainstIndex")
     validateIndexMeta(newDocs, indexPath, bands, rowsPerBand,
       "dedupAgainstIndex")
@@ -778,6 +777,21 @@ object Dedup {
     // index's OWN meta, so probe and index can never tokenize apart
     val probes = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand,
       readTokenizer(spark, indexPath, "dedupAgainstIndex"))
+    probeIndexWithSigs(spark, probes, idCol, indexPath, minAgreeFraction,
+      maxProbeKeys, excludeSubtree, "dedupAgainstIndex")
+  }
+
+  /** The probe body shared by [[dedupAgainstIndex]] and
+    * [[cleanAndAppendToIndex]]: match rows of a PRECOMPUTED banded
+    * signature frame against the index (so the reuse path can persist
+    * the signatures once and feed the probe AND the append off the same
+    * frame).
+    */
+  private def probeIndexWithSigs(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame, idCol: String, indexPath: String,
+      minAgreeFraction: Double, maxProbeKeys: Int,
+      excludeSubtree: Option[String], op: String): DataFrame = {
+    import TextQueries.NumPerm
     // the batch's probe keys, driver-collected (ingest-batch contract):
     // they prune the index scan BEFORE any join happens. take(cap+1)
     // keeps the bounded-batch contract CHECKED: a corpus-sized frame
@@ -786,7 +800,7 @@ object Dedup {
     val keyRows = probes.select(col("band"), col("bh")).distinct()
       .take(maxProbeKeys + 1)
     require(keyRows.length <= maxProbeKeys,
-      s"dedupAgainstIndex collects the batch's (band, bucket) probe keys " +
+      s"$op collects the batch's (band, bucket) probe keys " +
         s"to the driver, and they exceed maxProbeKeys=$maxProbeKeys — this " +
         "operator is for BOUNDED ingest batches probing a large index; " +
         "split the batch (e.g. foreachBatch microbatches), raise " +
@@ -844,6 +858,68 @@ object Dedup {
       dedupAgainstIndex(newDocs, idCol, textCol, indexPath, minAgreeFraction,
         bands, rowsPerBand, maxProbeKeys, excludeSubtree).select(idCol).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Fused probe + clean + append — the sequential-ingest round trip
+    * (`cleanAgainstIndex` → `appendToSignatureIndex`) in ONE signature
+    * pass over the batch (r19, VERDICT r18 #6). The separate calls
+    * computed the batch's banded signatures three times across actions
+    * (probe-key collect, the append's flagged-set recompute inside the
+    * anti join, and the append's own re-signature of the cleaned docs)
+    * and scanned the pruned index twice. Here the signatures persist for
+    * the call's duration: the probe keys, the match join, the appended
+    * rows, and the returned clean batch all derive from that one frame.
+    *
+    * Bit-equality with the separate calls: a doc's signature rows depend
+    * only on its own text ([[MinHashSigFull]] is row-local), so
+    * filtering the persisted signature frame to the clean ids IS
+    * `bandedSignatures(cleanDocs)`; the flagged-id set is the exact
+    * [[dedupAgainstIndex]] match set (collected — bounded by the batch,
+    * strictly smaller than the probe-key collect the contract already
+    * allows) and the anti joins reproduce `cleanAgainstIndex`'s null/
+    * match semantics. Locked in `OperatorsSpec` against the separate
+    * calls; `q_dedup_incremental2`'s oracle gates it end-to-end.
+    *
+    * Returns what [[cleanAgainstIndex]] returns: the batch rows with no
+    * indexed near-dup — exactly the docs whose signatures were appended.
+    */
+  def cleanAndAppendToIndex(newDocs: DataFrame, idCol: String,
+      textCol: String, indexPath: String, minAgreeFraction: Double = 0.5,
+      bands: Int = 8, rowsPerBand: Int = 4,
+      maxProbeKeys: Int = 1 << 20,
+      queryTag: String = "append", batchId: Long = -1L): DataFrame = {
+    requireBanding(bands, rowsPerBand, "cleanAndAppendToIndex")
+    validateIndexMeta(newDocs, indexPath, bands, rowsPerBand,
+      "cleanAndAppendToIndex")
+    val spark = newDocs.sparkSession
+    val sigs = bandedSignatures(newDocs, idCol, textCol, bands, rowsPerBand,
+      readTokenizer(spark, indexPath, "cleanAndAppendToIndex"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matches = probeIndexWithSigs(spark, sigs, idCol, indexPath,
+        minAgreeFraction, maxProbeKeys, excludeSubtree = None,
+        "cleanAndAppendToIndex")
+      // flagged ids, driver-collected and re-injected as a LOCAL relation:
+      // ≤ |batch| rows (the probe-key collect above is |batch|×bands, so
+      // this adds no new driver-traffic class), and the append job then
+      // reads ONLY the persisted signatures — no index scan, no re-sign
+      val flaggedRows = matches.select(col(idCol)).distinct().collect()
+      val flagged = spark.createDataFrame(
+        java.util.Arrays.asList(flaggedRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            sigs.schema(idCol).dataType))))
+      val id = if (batchId >= 0L) batchId
+        else IndexLifecycle.nextAppendBatchId(spark, indexPath, queryTag)
+      IndexLifecycle.requireBatchIdFresh(spark, indexPath, queryTag, id,
+        "cleanAndAppendToIndex")
+      val dir = IndexLifecycle.ingestBatchDir(indexPath, queryTag, id)
+      IndexLifecycle.writeViaTmp(spark, dir) { tmp =>
+        sigs.join(broadcast(flagged), Seq(idCol), "left_anti")
+          .write.mode("overwrite").partitionBy("band").parquet(tmp)
+      }
+      newDocs.join(broadcast(flagged), Seq(idCol), "left_anti")
+    } finally sigs.unpersist()
+  }
 
   /** The full append-only-corpus ingest loop as ONE Structured Streaming
     * query: per microbatch, (1) near-dedup WITHIN the batch ([[dedupNear]] —

@@ -241,26 +241,52 @@ object Retrieval {
         "writeTextIndex"),
       "blockSize")
 
-  private def batchRows(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int, tokenizer: Tokenizer): DataFrame = {
+  /** The batch's per-document token counts in ONE fused pass
+    * ([[graft.functions.TokenTf]]): `__t = struct(dl, tfs)` — a doc's
+    * (term, tf) multiset depends only on its own text, so computing it
+    * row-local removes both the token-occurrence explode AND the
+    * `groupBy(doc_id, dl, term)` count Exchange the r1–r18 build paid
+    * (guide §2.4: that shuffle carried every distinct (doc, term) pair
+    * of the corpus purely to count occurrences that were already
+    * co-located in the document row). Value-exactness of the counts is
+    * locked by `TokenTfSpec` against the explode/groupBy form on the
+    * real corpus under every tokenizer tag; the oracle entries gate the
+    * end-to-end postings. Callers persist THIS frame (compact: one row
+    * per doc) so postings, the stats row, and the block-stats sidecar
+    * all derive from a single tokenize pass.
+    */
+  private def tokenBase(docs: DataFrame, idCol: String, textCol: String,
+      tokenizer: Tokenizer): DataFrame = {
     Md5Prefix32.register(docs.sparkSession) // idempotent; bare sessions lack it
-    val words = docs.select(col(idCol).cast("long").as("doc_id"),
-      tokens(textCol, tokenizer).as("__w"))
-    val postings = words
-      .select(col("doc_id"), size(col("__w")).cast("long").as("dl"),
-        explode(col("__w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"),
-        bucketToken(col("term"), nBuckets).as("__tb"))
-    val stats = words
-      .agg(count(lit(1)).as("tf"), sum(size(col("__w")).cast("long")).as("dl"))
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.TokenTf.tokenTf(col(textCol), tokenizer.tag).as("__t"))
+  }
+
+  /** Postings rows off [[tokenBase]] — a pure map-side projection:
+    * explode the per-doc (term, tf) entries (≤ distinct terms per doc,
+    * never per-occurrence rows) and attach the bucket token. NULL-text
+    * docs drop out here (explode of the NULL struct's field), exactly
+    * like the old explode-of-NULL-array.
+    */
+  private def postingsOf(base: DataFrame, nBuckets: Int): DataFrame =
+    base
+      .select(col("doc_id"), col("__t.dl").as("dl"),
+        explode(col("__t.tfs")).as("__p"))
+      .select(col("__p.term").as("term"), col("doc_id"),
+        col("__p.tf").as("tf"), col("dl"),
+        bucketToken(col("__p.term"), nBuckets).as("__tb"))
+
+  /** The batch's ONE stats row (doc count + token total) off
+    * [[tokenBase]] — same aggregate the old union's second corpus pass
+    * computed, now over the persisted per-doc frame.
+    */
+  private def statsRowOf(base: DataFrame): DataFrame =
+    base
+      .agg(count(lit(1)).as("tf"), sum(col("__t.dl")).as("dl"))
       .select(lit(null).cast(StringType).as("term"),
         lit(null).cast(LongType).as("doc_id"),
         col("tf"), coalesce(col("dl"), lit(0L)).as("dl"),
         lit(StatsToken).as("__tb"))
-    postings.unionByName(stats)
-  }
 
   /** Build the index: postings partitioned by term bucket (probes prune
     * statically to their query terms' buckets), salt-clustered and
@@ -274,17 +300,22 @@ object Retrieval {
     require(nBuckets > 0, s"writeTextIndex: nBuckets must be positive, got $nBuckets")
     require(blockSize > 0, s"writeTextIndex: blockSize must be positive, got $blockSize")
     requireLongId(docs, idCol, "writeTextIndex")
-    val rows = batchRows(docs, idCol, textCol, nBuckets, tokenizer)
+    // the per-doc token counts persist (ONE tokenize pass, r19); the
+    // postings/stats/sidecar branches are map-side projections off it
+    val base = tokenBase(docs, idCol, textCol, tokenizer)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      IndexLifecycle.clusterForPartitionedWrite(rows, "__tb", sortCols = Seq("term"))
+      val postings = postingsOf(base, nBuckets)
+      IndexLifecycle.clusterForPartitionedWrite(
+          postings.unionByName(statsRowOf(base)), "__tb",
+          sortCols = Seq("term"))
         .write.mode("overwrite").partitionBy("__tb").parquet(path)
       // one aggregation over the SAME materialized tokenization — the
       // corpus is never tokenized twice for the stats sidecar
-      blockStatsOf(rows.where(col("term").isNotNull), blockSize)
+      blockStatsOf(postings, blockSize)
         .write.mode("overwrite").partitionBy("__tb")
         .parquet(s"$path/$BlockStatsDirName")
-    } finally rows.unpersist()
+    } finally base.unpersist()
     writeMeta(docs.sparkSession, path, nBuckets, blockSize, tokenizer)
   }
 
@@ -299,10 +330,11 @@ object Retrieval {
     requireLongId(docs, idCol, "appendToTextIndex")
     val nBuckets = readMeta(docs.sparkSession, path, "appendToTextIndex")
     val blockSize = readBlockSize(docs.sparkSession, path, "appendToTextIndex")
-    val rows = batchRows(docs, idCol, textCol, nBuckets,
+    val base = tokenBase(docs, idCol, textCol,
       readTokenizer(docs.sparkSession, path, "appendToTextIndex"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val postings = postingsOf(base, nBuckets)
       // sidecar FIRST: a crash between the two writes then leaves an
       // OVER-complete sidecar (rows for postings that never landed) —
       // harmless to the WAND probe (phantom blocks bound rows that don't
@@ -312,12 +344,13 @@ object Retrieval {
       // rows append alongside earlier ones; the probe re-aggregates
       // (max, min, sum) across writes.
       blockSize.foreach { bs =>
-        blockStatsOf(rows.where(col("term").isNotNull), bs)
+        blockStatsOf(postings, bs)
           .write.mode("append").partitionBy("__tb")
           .parquet(s"$path/$BlockStatsDirName")
       }
-      rows.write.mode("append").partitionBy("__tb").parquet(path)
-    } finally rows.unpersist()
+      postings.unionByName(statsRowOf(base))
+        .write.mode("append").partitionBy("__tb").parquet(path)
+    } finally base.unpersist()
   }
 
   // ---- streaming ingest: idempotent per-batch subtrees under _ingest ----
@@ -344,10 +377,11 @@ object Retrieval {
     IndexLifecycle.requireBatchIdFresh(batch.sparkSession, indexPath,
       queryTag, batchId, "ingestTextBatch")
     val dir = ingestBatchDir(indexPath, queryTag, batchId)
-    val rows = batchRows(batch, idCol, textCol, nBuckets,
+    val base = tokenBase(batch, idCol, textCol,
       readTokenizer(batch.sparkSession, indexPath, "ingestTextBatch"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val postings = postingsOf(base, nBuckets)
       // replay idempotence + the sidecar-FIRST invariant (the
       // appendToTextIndex rule: every observable state is sidecar ≥
       // postings, where over-complete is harmless — phantom blocks bound
@@ -369,13 +403,14 @@ object Retrieval {
       // the subtree bit-identically.
       IndexLifecycle.writeViaTmp(batch.sparkSession, dir) { tmp =>
         blockSize.foreach { bs =>
-          blockStatsOf(rows.where(col("term").isNotNull), bs)
+          blockStatsOf(postings, bs)
             .write.mode("overwrite").partitionBy("__tb")
             .parquet(s"$tmp/$BlockStatsDirName")
         }
-        rows.write.mode("append").partitionBy("__tb").parquet(tmp)
+        postings.unionByName(statsRowOf(base))
+          .write.mode("append").partitionBy("__tb").parquet(tmp)
       }
-    } finally rows.unpersist()
+    } finally base.unpersist()
   }
 
   /** Live-ingest loop for the inverted index — the retrieval member of

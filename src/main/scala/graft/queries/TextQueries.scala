@@ -503,9 +503,11 @@ object TextQueries {
     val batch2 = docs.filter(col("doc_id") % 7 === 0)
     val idx = scratchDir("graft_sigidx2", d)
     graft.operators.Dedup.writeSignatureIndex(corpus, "doc_id", "text", idx)
-    val clean1 = graft.operators.Dedup
-      .cleanAgainstIndex(batch1, "doc_id", "text", idx)
-    graft.operators.Dedup.appendToSignatureIndex(clean1, "doc_id", "text", idx)
+    // fused probe+clean+append (r19): batch 1's signatures compute ONCE
+    // and feed the probe and the appended rows — bit-identical to the
+    // separate cleanAgainstIndex → appendToSignatureIndex calls
+    // (OperatorsSpec locks the equivalence; the oracle gates end-to-end)
+    graft.operators.Dedup.cleanAndAppendToIndex(batch1, "doc_id", "text", idx)
     graft.operators.Dedup.dedupAgainstIndex(batch2, "doc_id", "text", idx)
   }
 

@@ -1070,6 +1070,45 @@ class OperatorsSpec extends SparkSpec {
       s"batch-2 matches must span the appended batch-1 doc and the corpus: $hits")
   }
 
+  test("cleanAndAppendToIndex ≡ cleanAgainstIndex → appendToSignatureIndex") {
+    // the fused one-signature-pass form (r19) must leave a bit-identical
+    // index and return the identical clean batch
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val batch1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (11L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (20L, "one two three four five six seven eight nine ten eleven thirteen"),
+      (21L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (22L, "entirely unrelated words about spark parquet shuffles and caching"))
+      .toDF("doc_id", "text")
+    val idxSep = tempDir("graft_sigidx_eq_sep") + "/idx"
+    val idxFused = tempDir("graft_sigidx_eq_fus") + "/idx"
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idxSep)
+    Dedup.writeSignatureIndex(corpus, "doc_id", "text", idxFused)
+    val cleanSep = Dedup.cleanAgainstIndex(batch1, "doc_id", "text", idxSep,
+      minAgreeFraction = 0.3)
+    Dedup.appendToSignatureIndex(cleanSep, "doc_id", "text", idxSep)
+    val cleanFused = Dedup.cleanAndAppendToIndex(batch1, "doc_id", "text",
+      idxFused, minAgreeFraction = 0.3)
+    // identical clean batch (full rows, not just ids)
+    assert(cleanFused.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === cleanSep.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    // bit-identical appended subtrees (every signature column; both
+    // allocate the default append tag's first id)
+    def subtree(p: String) = spark.read.parquet(s"$p/_ingest/append/b_0")
+      .collect().map(_.toSeq).toSet
+    assert(subtree(idxFused) === subtree(idxSep))
+    // and identical batch-2 probes end to end
+    def probe(p: String) = Dedup.dedupAgainstIndex(batch2, "doc_id", "text", p,
+        minAgreeFraction = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(probe(idxFused) === probe(idxSep))
+  }
+
   test("appendToSignatureIndex: staged publish — torn stages invisible, replays overwrite") {
     val base = tempDir("graft_sigidx_stage")
     val idx = base + "/idx"
